@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (hash groupBy),
+  * MinHash+LSH banding, SimHash, and n-gram Jaccard.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is a single hash-shuffle on a 16-byte key (md5), the minimum
+  *    possible shuffle width;
+  *  - MinHash signatures are computed map-side (explode + partial min-agg —
+  *    map-side combine keeps the shuffle at #docs × #hashes, independent of
+  *    document length);
+  *  - LSH banding turns all-pairs O(n²) into a self-equi-join on band keys —
+  *    a plain shuffled hash join that AQE skew-splits if one bucket is hot;
+  *  - all-pairs Jaccard is intentionally bounded (`maxId`) — at scale it is
+  *    only ever run on LSH candidate pairs, never the full corpus.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of a text column; empty array when the
+    * document has fewer than n tokens (all-or-nothing guard in the spirit of
+    * reference E10, transform_lambda/main.py:192-198). */
+  def wordShingles(c: Column, n: Int): Column = {
+    val ws = split(c, " ")
+    val idx = sequence(lit(0), size(ws) - n)
+    val sh = transform(idx, i =>
+      concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))
+    when(size(ws) >= n, array_distinct(sh))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** (id, shingle) exploded pairs — the map-side input to MinHash/Jaccard. */
+  def explodedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("sg"))
+
+  /** MinHash signature: for each seed s, min over shingles of the 16-hex-char
+    * md5 prefix of "s:shingle". Lexicographic min over fixed-width hex ≡ min
+    * over a 64-bit hash — engine-portable with no hex→int conversion. */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 8, shingleN: Int = 3): DataFrame = {
+    val sh = explodedShingles(df, idCol, textCol, shingleN)
+    val aggs = (0 until numHashes).map { s =>
+      min(substring(md5(concat(lit(s + ":"), col("sg")).cast("binary")), 1, 16)).as(s"sig$s")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over a MinHash signature: hash each band of `rowsPerBand`
+    * signature slots (salted with the band index), self-join on the band key,
+    * emit distinct candidate pairs (doc_a < doc_b). */
+  def lshCandidatePairs(sig: DataFrame, idCol: String,
+                        numHashes: Int = 8, bands: Int = 2): DataFrame = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    val bandDfs = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"sig$i"))
+      sig.select(col(idCol),
+        md5(concat_ws("|", lit(s"B$b") +: cols: _*).cast("binary")).as("band"))
+    }
+    val all = bandDfs.reduce(_ unionByName _)
+    all.as("a").join(all.as("b"),
+        col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+  }
+
+  /** 16-bit SimHash over whitespace tokens: per bit b, sum ±1 weighted by bit
+    * b of hash16(token); bit set iff the sum is positive. Two map-side-combined
+    * aggregations — no all-pairs stage. */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .select(col(idCol), TextOps.hash16(col("tok")).as("h"))
+    val sums = (0 until 16).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    val sig = (0 until 16).map { b =>
+      when(col(s"s$b") > 0, 1 << b).otherwise(0)
+    }.reduce(_ + _)
+    toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+      .select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Exact-duplicate groups by md5 fingerprint of normalized text: fingerprint,
+    * group size, and the representative (minimum) id kept. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextOps.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+
+  /** All-pairs n-gram Jaccard similarity over ids < maxId (bounded — at scale
+    * this runs on LSH candidates only), thresholded. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, maxId: Long = 350L,
+                   threshold: Double = 0.8): DataFrame = {
+    val sub = df.filter(col(idCol) < maxId)
+    val s = explodedShingles(sub, idCol, textCol, shingleN)
+    val counts = s.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val shared = s.as("a").join(s.as("b"),
+        col("a.sg") === col("b.sg") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    val j = shared
+      .join(counts.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
+      .join(counts.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")).cast("double"))
+    j.filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("na"), col("nb"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+}

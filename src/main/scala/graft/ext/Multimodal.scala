@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video as opaque `BINARY` payloads
+  * with a typed metadata struct, plus decode / feature-extract / resize /
+  * frame-sample stages.
+  *
+  * The decode step is STUBBED: this container ships no codec libraries, so
+  * [[decodeStub]] derives features deterministically from the payload bytes
+  * (md5-based). Everything around the stub — schema, typed Dataset plumbing,
+  * per-partition batching (the Scala analog of `mapInPandas` batch shape),
+  * partitioning by payload size — is real and tested. A production deployment
+  * swaps `decodeStub`'s body for a codec call; nothing else changes.
+  */
+object Multimodal {
+
+  case class MediaMeta(source: String, lang: String, n_bytes: Long)
+  case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte], meta: MediaMeta)
+  case class MediaFeatures(media_id: Long, kind: String, width: Int, height: Int,
+                           n_frames: Int, feature: Array[Float])
+
+  /** Stand-in media table: documents' text bytes as opaque payloads (the
+    * testdata ships no real media; the plumbing is payload-agnostic). */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      concat(lit("blob:"), col("source")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        col("source").as("source"),
+        col("lang").as("lang"),
+        length(col("text")).cast("long").as("n_bytes")).as("meta"))
+
+  /** STUB decode: deterministic pseudo-features from md5(payload). Replace the
+    * body with a real codec (e.g. javax.imageio / ffmpeg bindings) in
+    * production; the signature and batch shape are the real contract. */
+  private def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    val h = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    def u(i: Int): Int = h(i) & 0xff
+    val width = 1 + (((u(0) << 8) | u(1)) % 64)
+    val height = 1 + (((u(2) << 8) | u(3)) % 64)
+    val frames = 1 + payload.length / 256
+    val feature = Array.tabulate(8)(i => ((u(2 * i) << 8 | u(2 * i + 1)) / 65535.0f))
+    (width, height, frames, feature)
+  }
+
+  /** Feature extraction over typed records, one partition at a time — the
+    * Scala analog of a `mapInPandas` batch UDF: per-partition setup cost is
+    * amortized (a codec context would be opened once per partition here). */
+  def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // per-partition codec init would go here
+      it.map { r =>
+        val (w, h, f, feat) = decodeStub(r.payload)
+        MediaFeatures(r.media_id, r.kind, w, h, f, feat)
+      }
+    }
+  }
+
+  /** Size-aware repartitioning: large payloads dominate decode cost, so range
+    * partition by n_bytes to even out per-task work (skew control at scale). */
+  def partitionBySize(df: DataFrame, partitions: Int): DataFrame =
+    df.repartitionByRange(partitions, col("meta.n_bytes"), col("media_id"))
+
+  /** Frame-sample stub: every `stride`-th frame index up to n_frames — the
+    * plumbing for video frame extraction (indices only; decode is stubbed). */
+  def frameSampleIndices(nFramesCol: org.apache.spark.sql.Column, stride: Int): org.apache.spark.sql.Column =
+    sequence(lit(0), greatest(nFramesCol - 1, lit(0)), lit(stride))
+}

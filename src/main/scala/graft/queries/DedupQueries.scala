@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, TextOps}
+import graft.util.Tables.load
+
+/** Deduplication operator surface over `documents` (exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard) — thin wrappers around [[graft.ext.Dedup]] so the
+  * DuckDB oracle exercises the real library code paths.
+  */
+object DedupQueries {
+
+  /** Shared DuckDB fragment: distinct word 3-gram shingles per document
+    * (mirrors [[Dedup.wordShingles]] with n=3). */
+  private val ShinglesCte =
+    """w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      | t AS (SELECT doc_id, unnest(ws) tok, generate_subscripts(ws, 1) i FROM w),
+      | sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sg
+      |        FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |                 JOIN t c ON a.doc_id = c.doc_id AND c.i = a.i + 2)""".stripMargin
+
+  private val SigCte = {
+    val sigCols = (0 until 8)
+      .map(s => s"min(substring(md5('$s:' || sg), 1, 16)) AS sig$s").mkString(",\n   ")
+    s"""$ShinglesCte,
+       | sig AS (SELECT doc_id,
+       |   $sigCols
+       | FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  /** DuckDB reconstruction of [[TextOps.hash16]]: strpos arithmetic over the
+    * first 4 hex chars of md5 (no hex→int cast needed). */
+  private def hex16Sql(e: String): String =
+    (0 until 4).map { i =>
+      val shift = math.pow(16, 3 - i).toInt
+      s"(strpos('0123456789abcdef', substring(md5($e), ${i + 1}, 1)) - 1) * $shift"
+    }.mkString(" + ")
+
+  def q20DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDupGroups(load(spark, dir, "documents"), "doc_id", "text")
+      .orderBy(col("fingerprint"))
+
+  def q21MinhashSignature(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignature(load(spark, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  def q22LshBandPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.minhashSignature(load(spark, dir, "documents"), "doc_id", "text")
+    Dedup.lshCandidatePairs(sig, "doc_id").orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def q23Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash16(load(spark, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  def q24NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(load(spark, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** E-style fingerprinting (md5 of normalized text + order-sensitive rolling
+    * token hash, [[TextOps.rollingTokenHash]]). */
+  def q30Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents").select(
+      col("doc_id"),
+      TextOps.fingerprintMd5(col("text")).as("fp_md5"),
+      length(TextOps.normalize(col("text"))).cast("long").as("n_norm_chars"),
+      TextOps.rollingTokenHash(TextOps.tokens(col("text"))).as("roll_hash")
+    ).orderBy(col("doc_id"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_dedup_exact" -> (q20DedupExact _),
+    "q21_minhash_signature" -> (q21MinhashSignature _),
+    "q22_lsh_band_pairs" -> (q22LshBandPairs _),
+    "q23_simhash" -> (q23Simhash _),
+    "q24_ngram_jaccard" -> (q24NgramJaccard _),
+    "q30_fingerprint" -> (q30Fingerprint _)
+  )
+
+  val sql: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY fingerprint""".stripMargin,
+    "q21_minhash_signature" ->
+      s"""WITH $SigCte
+         |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+    "q22_lsh_band_pairs" ->
+      s"""WITH $SigCte,
+         | bands AS (
+         |   SELECT doc_id, md5('B0|' || sig0 || '|' || sig1 || '|' || sig2 || '|' || sig3) AS band FROM sig
+         |   UNION ALL
+         |   SELECT doc_id, md5('B1|' || sig4 || '|' || sig5 || '|' || sig6 || '|' || sig7) AS band FROM sig)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q23_simhash" -> {
+      val sums = (0 until 16)
+        .map(b => s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n   ")
+      val bits = (0 until 16)
+        .map(b => s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+         | t AS (SELECT doc_id, unnest(ws) tok FROM w),
+         | h AS (SELECT doc_id, ${hex16Sql("tok")} AS hv FROM t),
+         | s AS (SELECT doc_id,
+         |   $sums
+         | FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($bits AS INTEGER) AS simhash
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "q24_ngram_jaccard" ->
+      s"""WITH $ShinglesCte,
+         | sub AS (SELECT * FROM sh WHERE doc_id < 350),
+         | c AS (SELECT doc_id, COUNT(*) n FROM sub GROUP BY doc_id),
+         | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |       FROM sub a JOIN sub b ON a.sg = b.sg AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         | j AS (SELECT doc_a, doc_b, shared, ca.n AS na, cb.n AS nb,
+         |         CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) AS jac
+         |       FROM p JOIN c ca ON ca.doc_id = doc_a JOIN c cb ON cb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, shared, na, nb, round(jac, 4) AS jaccard
+         |FROM j WHERE jac >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q30_fingerprint" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5,
+         |    CAST(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS BIGINT) AS n_norm_chars,
+         |    list_transform(string_split(text, ' '), tok -> CAST(${hex16Sql("tok")} AS BIGINT)) AS hs
+         |  FROM documents)
+         |SELECT doc_id, fp_md5, n_norm_chars,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), hs), (acc, h) -> (acc * 31 + h) % 2147483647) AS roll_hash
+         |FROM b ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables.load
+
+/** Scalar-expression coverage (SURVEY.md §2.6 E1-E21) over the driver
+  * testdata. Every pandas `errors='coerce'` analog uses `try_cast` (Spark 4
+  * ANSI mode), and every `regexp_extract` no-match is normalized with
+  * `nullif(..., '')` — the two likeliest oracle-mismatch traps (SURVEY §7.5).
+  * All expressions are native Catalyst functions — zero UDFs — so the whole
+  * chain stays inside WholeStageCodegen.
+  */
+object ExprQueries {
+
+  /** E3/E4/E11/E16/E19 analogs over `part`: first-token split, regex number
+    * extraction with null-on-no-match, key normalization, translate,
+    * when-chain bucketing. */
+  def q13PartExprs(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "part").select(
+      col("p_partkey"),
+      element_at(split(col("p_name"), " "), 1).as("first_word"),
+      nullif(regexp_extract(col("p_brand"), "(\\d+)", 1), lit("")).try_cast("int").as("brand_num"),
+      trim(lower(col("p_type"))).as("type_norm"),
+      translate(col("p_name"), " ", "_").as("name_underscored"),
+      when(col("p_retailprice") < 910, "low")
+        .when(col("p_retailprice") < 1100, "mid")
+        .otherwise("high").as("retail_bucket")
+    ).orderBy(col("p_partkey"))
+
+  /** E2-style id-from-delimited-string extraction (auction_id from URL segment,
+    * reference T:143-146) mapped onto `customer.c_name`. */
+  def q14CustomerExprs(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer").select(
+      col("c_custkey"),
+      element_at(split(col("c_name"), "#"), 2).try_cast("bigint").as("cust_num"),
+      element_at(split(col("c_name"), "#"), 1).as("name_prefix"),
+      lower(col("c_mktsegment")).like("%mach%").as("seg_is_mach"),
+      when(col("c_acctbal") < 0, "neg")
+        .when(col("c_acctbal") < 5000, "low")
+        .otherwise("high").as("bal_bucket")
+    ).orderBy(col("c_custkey"))
+
+  /** E1/E18/E21: timestamp parse, epoch-millis round-trip, date truncation.
+    * `o_orderdate` is parquet TIMESTAMP_NTZ; epoch functions need LTZ (session
+    * TZ is UTC so the cast is identity), and outputs go back to NTZ so the
+    * written parquet stays naive like the DuckDB oracle's. */
+  def q15DateExprs(spark: SparkSession, dir: String): DataFrame = {
+    val od = col("o_orderdate").cast("timestamp")
+    load(spark, dir, "orders").select(
+      col("o_orderkey"),
+      to_date(od).cast("timestamp_ntz").as("od_date"),
+      unix_millis(od).as("od_millis"),
+      date_trunc("month", od).cast("timestamp_ntz").as("od_month"),
+      year(od).as("od_year"),
+      date_format(od, "yyyy-MM-dd HH:mm:ss").as("od_str"),
+      try_to_timestamp(date_format(od, "yyyy-MM-dd HH:mm:ss")).cast("timestamp_ntz").as("od_reparsed"),
+      timestamp_millis(unix_millis(od)).cast("timestamp_ntz").as("ts_ms_roundtrip")
+    ).orderBy(col("o_orderkey"))
+  }
+
+  /** E15/E16/E17: contains-based when-chain classification (order matters) +
+    * token-before-delimiter numeric extraction. */
+  def q16PriorityClassify(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders").select(
+      col("o_orderkey"),
+      when(lower(col("o_orderpriority")).contains("urgent"), "Urgent")
+        .when(lower(col("o_orderpriority")).contains("high"), "High")
+        .otherwise("Other").as("prio_class"),
+      element_at(split(col("o_orderpriority"), "-"), 1).try_cast("int").as("prio_num"),
+      (lower(col("o_orderstatus")) === "f").as("is_final")
+    ).orderBy(col("o_orderkey"))
+
+  /** E6/E7: numeric coerce with null-on-failure + coalesce-to-default, over a
+    * regex-extracted JSON field (reference view/watcher counts T:175-180). */
+  def q17JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events").select(
+      col("event_id"),
+      coalesce(
+        nullif(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1), lit("")).try_cast("bigint"),
+        lit(0L)).as("k_val"),
+      trim(lower(col("event_type"))).as("etype_norm")
+    ).orderBy(col("event_id"))
+
+  /** E13: per-row array statistics (max/min/mean/exact-median/range) with the
+    * reference's len>=2 guard (T:267-290), via native array expressions. */
+  def q18ArrayStats(spark: SparkSession, dir: String): DataFrame = {
+    val vd = col("embedding").cast("array<double>")
+    val n = size(col("embedding"))
+    val sorted = sort_array(vd)
+    val half = (n / 2).cast("int")
+    val vsum = aggregate(vd, lit(0.0), (acc, x) => acc + x)
+    val median = when(n % 2 === 1, element_at(sorted, half + 1))
+      .otherwise((element_at(sorted, half) + element_at(sorted, half + 1)) / 2.0)
+    val guard = n >= 2
+    load(spark, dir, "embeddings").select(
+      col("vec_id"),
+      n.as("dim"),
+      when(guard, array_max(vd)).as("vmax"),
+      when(guard, array_min(vd)).as("vmin"),
+      when(guard, round(vsum / n, 6)).as("vmean"),
+      when(guard, median).as("vmedian"),
+      when(guard, array_max(vd) - array_min(vd)).as("vrange")
+    ).orderBy(col("vec_id"))
+  }
+
+  /** Streaming-shaped tumbling-window aggregation as a batch query (SURVEY
+    * §2.9 demo surface): hourly event counts + exact sums. */
+  def q19TumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("bucket"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_part_exprs" -> (q13PartExprs _),
+    "q14_customer_exprs" -> (q14CustomerExprs _),
+    "q15_date_exprs" -> (q15DateExprs _),
+    "q16_priority_classify" -> (q16PriorityClassify _),
+    "q17_json_extract" -> (q17JsonExtract _),
+    "q18_array_stats" -> (q18ArrayStats _),
+    "q19_tumbling_window" -> (q19TumblingWindow _)
+  )
+
+  val sql: Map[String, String] = Map(
+    "q13_part_exprs" ->
+      """SELECT p_partkey,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  try_cast(nullif(regexp_extract(p_brand, '(\d+)', 1), '') AS INTEGER) AS brand_num,
+        |  trim(lower(p_type)) AS type_norm,
+        |  translate(p_name, ' ', '_') AS name_underscored,
+        |  CASE WHEN p_retailprice < 910 THEN 'low'
+        |       WHEN p_retailprice < 1100 THEN 'mid'
+        |       ELSE 'high' END AS retail_bucket
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q14_customer_exprs" ->
+      """SELECT c_custkey,
+        |  try_cast(split_part(c_name, '#', 2) AS BIGINT) AS cust_num,
+        |  split_part(c_name, '#', 1) AS name_prefix,
+        |  lower(c_mktsegment) LIKE '%mach%' AS seg_is_mach,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg'
+        |       WHEN c_acctbal < 5000 THEN 'low'
+        |       ELSE 'high' END AS bal_bucket
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q15_date_exprs" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS od_date,
+        |  epoch_ms(o_orderdate) AS od_millis,
+        |  date_trunc('month', o_orderdate) AS od_month,
+        |  CAST(year(o_orderdate) AS INTEGER) AS od_year,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od_str,
+        |  try_cast(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS od_reparsed,
+        |  make_timestamp(epoch_ms(o_orderdate) * 1000) AS ts_ms_roundtrip
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q16_priority_classify" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN contains(lower(o_orderpriority), 'urgent') THEN 'Urgent'
+        |       WHEN contains(lower(o_orderpriority), 'high') THEN 'High'
+        |       ELSE 'Other' END AS prio_class,
+        |  try_cast(split_part(o_orderpriority, '-', 1) AS INTEGER) AS prio_num,
+        |  lower(o_orderstatus) = 'f' AS is_final
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q17_json_extract" ->
+      """SELECT event_id,
+        |  coalesce(try_cast(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT), 0) AS k_val,
+        |  trim(lower(event_type)) AS etype_norm
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q18_array_stats" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+        |SELECT vec_id,
+        |  len(v) AS dim,
+        |  CASE WHEN len(v) >= 2 THEN list_max(v) END AS vmax,
+        |  CASE WHEN len(v) >= 2 THEN list_min(v) END AS vmin,
+        |  CASE WHEN len(v) >= 2 THEN round(list_sum(v) / len(v), 6) END AS vmean,
+        |  CASE WHEN len(v) >= 2 THEN (CASE WHEN len(v) % 2 = 1 THEN list_sort(v)[(len(v) // 2) + 1]
+        |       ELSE (list_sort(v)[len(v) // 2] + list_sort(v)[(len(v) // 2) + 1]) / 2.0 END) END AS vmedian,
+        |  CASE WHEN len(v) >= 2 THEN list_max(v) - list_min(v) END AS vrange
+        |FROM e ORDER BY vec_id""".stripMargin,
+    "q19_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY bucket, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.TextOps
+import graft.util.Tables.load
+
+/** Text-analysis operator surface over `documents`: quality scoring, token
+  * counting, language-ID — wrappers around [[graft.ext.TextOps]].
+  */
+object TextQueries {
+
+  private val Stopwords = Seq("the", "a", "or", "and", "of")
+
+  def q27TextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    load(spark, dir, "documents").select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      round(TextOps.avgTokenLen(col("text")), 4).as("avg_tok_len"),
+      round(TextOps.nonAlphaRatio(col("text")), 4).as("nonalpha_ratio"),
+      round(TextOps.tokenSetRatio(toks, Stopwords), 4).as("stopword_ratio"),
+      // unrounded: both engines compute bit-identical doubles here, while
+      // round(·,4) diverges when the true value sits on a .00005 boundary
+      TextOps.qualityScore(col("text"), Stopwords).as("quality")
+    ).orderBy(col("doc_id"))
+  }
+
+  def q28TokenCount(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents").select(
+      col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("ws_tokens"),
+      TextOps.reTokenCount(col("text")).cast("long").as("re_tokens"),
+      round(length(col("text")).cast("double") /
+        greatest(TextOps.reTokenCount(col("text")), lit(1)).cast("double"), 4)
+        .as("chars_per_token")
+    ).orderBy(col("doc_id"))
+
+  def q29LangId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val scores = TextOps.langScores(toks)
+    val scoreCols = scores.map { case (lang, s) => round(s, 4).as(s"s_$lang") }
+    load(spark, dir, "documents").select(
+      (col("doc_id") +: scoreCols :+ TextOps.langPredict(scores).as("lang_pred")): _*
+    ).orderBy(col("doc_id"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_text_quality" -> (q27TextQuality _),
+    "q28_token_count" -> (q28TokenCount _),
+    "q29_lang_id" -> (q29LangId _)
+  )
+
+  private val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  val sql: Map[String, String] = Map(
+    "q27_text_quality" ->
+      s"""WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS toks, length(text) AS nc FROM documents),
+         | m AS (SELECT doc_id, len(toks) AS nt,
+         |   CAST(nc - (len(toks) - 1) AS DOUBLE) / greatest(len(toks), 1) AS avg_tok,
+         |   CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / greatest(nc, 1) AS nonalpha,
+         |   CAST(len(list_filter(toks, t -> t IN ($stopIn))) AS DOUBLE) / greatest(len(toks), 1) AS stop_r
+         | FROM b)
+         |SELECT doc_id, nt AS n_tokens,
+         |  round(avg_tok, 4) AS avg_tok_len,
+         |  round(nonalpha, 4) AS nonalpha_ratio,
+         |  round(stop_r, 4) AS stopword_ratio,
+         |  0.4 * (1.0 - nonalpha) + 0.3 * least(CAST(nt AS DOUBLE) / 100.0, 1.0) + 0.3 * least(stop_r * 5.0, 1.0) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "q28_token_count" ->
+      s"""SELECT doc_id,
+         |  len(string_split(text, ' ')) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.ReTokenPattern}')) AS BIGINT) AS re_tokens,
+         |  round(CAST(length(text) AS DOUBLE) / greatest(len(regexp_extract_all(text, '${TextOps.ReTokenPattern}')), 1), 4) AS chars_per_token
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q29_lang_id" -> {
+      val ratios = TextOps.LangMarkers.map { case (lang, words) =>
+        val in = words.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(toks, t -> t IN ($in))) AS DOUBLE) / greatest(len(toks), 1) AS r_$lang"
+      }.mkString(",\n   ")
+      s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         | m AS (SELECT doc_id,
+         |   $ratios
+         | FROM b)
+         |SELECT doc_id,
+         |  round(r_en, 4) AS s_en, round(r_es, 4) AS s_es, round(r_de, 4) AS s_de,
+         |  CASE WHEN r_en >= 0.01 AND r_en >= r_es AND r_en >= r_de THEN 'en'
+         |       WHEN r_es >= 0.01 AND r_es >= r_de THEN 'es'
+         |       WHEN r_de >= 0.01 THEN 'de'
+         |       ELSE 'unknown' END AS lang_pred
+         |FROM m ORDER BY doc_id""".stripMargin
+    }
+  )
+}
