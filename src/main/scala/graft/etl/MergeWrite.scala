@@ -1,0 +1,70 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** S5 (SURVEY.md §2.1): the processed-layer partitioned merge-write.
+  *
+  * Reference (`transform_lambda/main.py:327-399`): one NDJSON object per
+  * auction date; if the object exists, existing + new are concatenated,
+  * sorted by auction_date desc (stable → EXISTING wins ties), deduped
+  * keep-first by auction_id, and rewritten.
+  *
+  * Spark formulation (no Delta on the classpath): date-partitioned Parquet +
+  * dynamic partition overwrite. Only the partitions present in the incoming
+  * batch are read back and rewritten — the same object-granularity
+  * read-modify-write as the reference, which at 100 TB means a merge touches
+  * O(batch dates), never the table root.
+  */
+object MergeWrite {
+
+  val PartitionCol = "auction_saving_date"
+
+  /** Merge `batch` (silver schema, with auction_date) into the
+    * date-partitioned Parquet table at `processedDir`. */
+  def mergeWrite(spark: SparkSession, processedDir: String, batch: DataFrame): Unit = {
+    val dated = batch.withColumn(PartitionCol, to_date(col("auction_date")))
+    val merged =
+      if (tableExists(spark, processedDir)) {
+        val affectedDates = dated.select(col(PartitionCol)).distinct()
+        val existing = spark.read.parquet(processedDir)
+          // partition-pruned semi join: only the batch's dates are re-read
+          .join(broadcast(affectedDates), Seq(PartitionCol), "left_semi")
+        // stable-sort parity: existing rows outrank new ones on date ties
+        val tagged = existing.withColumn("_src_rank", lit(0))
+          .unionByName(dated.withColumn("_src_rank", lit(1)), allowMissingColumns = true)
+        val w = Window.partitionBy(col("auction_id"))
+          .orderBy(col("auction_date").desc_nulls_last, col("_src_rank").asc,
+            col("auction_url").asc_nulls_last)
+        tagged.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn", "_src_rank")
+      } else dated
+    // The merged plan reads the target path; Spark cannot overwrite a path
+    // it is reading from, so materialize through a staging dir first.
+    val staging = processedDir.stripSuffix("/") + "_staging"
+    merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    spark.read.parquet(staging).write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic") // never static-overwrite the root
+      .partitionBy(PartitionCol)
+      .parquet(processedDir)
+    delete(spark, staging)
+  }
+
+  def readProcessed(spark: SparkSession, processedDir: String): DataFrame =
+    spark.read.parquet(processedDir)
+
+  private def tableExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  private def delete(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
+  }
+}

@@ -1,0 +1,122 @@
+package graft.star
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** vehicle_dim (J3 + U2 upsert) and auction_fact (J4 + U1 insert-only) —
+  * reference `update_dims.sql` Q:118-223. All dim lookups are broadcast
+  * equi-joins over pre-normalized keys.
+  */
+object Facts {
+
+  private def bcast(wh: Warehouse, table: String): DataFrame = broadcast(wh.read(table))
+
+  /** The J3 4-way dim resolution feeding vehicle_dim (Q:147-157). */
+  def resolveVehicleAttrs(wh: Warehouse, staging: DataFrame): DataFrame = {
+    val makeDim = wh.read("vehicle_make_dim")
+      .select(trim(col("make")).as("_mk"), col("id").as("make_id"))
+    val modelDim = wh.read("vehicle_model_dim")
+      .select(col("model").as("_md"), col("make_id").as("_md_make_id"), col("id").as("model_id"))
+    val bodyDim = wh.read("body_style_dim")
+      .select(col("body_style").as("_bs"), col("id").as("body_style_id"))
+    val transDim = wh.read("transmission_dim")
+      .select(col("transmission").as("_tr"), col("id").as("transmission_id"))
+    val driveDim = wh.read("drivetrain_dim")
+      .select(col("drivetrain").as("_dr"), col("id").as("drivetrain_id"))
+    staging
+      .join(broadcast(makeDim), trim(col("make")) === col("_mk"), "left")
+      .join(broadcast(modelDim),
+        trim(col("model")) === col("_md") && col("make_id") === col("_md_make_id"), "left")
+      .join(broadcast(bodyDim), trim(lower(col("body_style"))) === col("_bs"), "left")
+      .join(broadcast(transDim), trim(lower(col("transmission_type"))) === col("_tr"), "left")
+      .join(broadcast(driveDim), trim(upper(col("drivetrain"))) === col("_dr"), "left")
+      .select(
+        trim(col("vin")).as("vin"),
+        col("auction_id"),
+        col("make_id"), col("model_id"), col("body_style_id"),
+        col("manufacture_year"), col("mileage"), col("engine"),
+        col("transmission_id"), col("gears").as("gear_count"), col("drivetrain_id"),
+        col("exterior_color"), col("interior_color"),
+        col("title_status_cleaned").as("title_status"), col("title_state"),
+        col("equipment_count"), col("mod_count"), col("flaw_count"),
+        col("service_count"), col("included_items_count"))
+  }
+
+  /** U2 (Q:158-177): upsert on (vin, auction_id) — incoming wins on all
+    * attributes, the existing row keeps its vehicle_id (Postgres ON CONFLICT
+    * DO UPDATE preserves the PK). New rows get max(existing)+row_number. */
+  def upsertVehicleDim(wh: Warehouse, staging: DataFrame): Unit = {
+    val keys = Seq("vin", "auction_id")
+    val incoming = resolveVehicleAttrs(wh, staging).withColumn("_inc", lit(1))
+    val merged = wh.readIfExists("vehicle_dim") match {
+      case None => incoming.drop("_inc")
+      case Some(existing) =>
+        val ids = existing.select(col("vin"), col("auction_id"), col("vehicle_id"))
+        val union = incoming.unionByName(
+          existing.drop("vehicle_id").withColumn("_inc", lit(0)), allowMissingColumns = true)
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_inc").desc)
+        union.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn", "_inc")
+          .join(ids, keys, "left")
+    }
+    val withIds =
+      if (merged.columns.contains("vehicle_id")) merged
+      else merged.withColumn("vehicle_id", lit(null).cast("long"))
+    val maxId = wh.readIfExists("vehicle_dim")
+      .map(_.agg(coalesce(max(col("vehicle_id")), lit(0L))).head().getLong(0))
+      .getOrElse(0L)
+    val w = Window.orderBy(col("vin").asc_nulls_last, col("auction_id").asc_nulls_last)
+    val result = withIds.withColumn("vehicle_id",
+      coalesce(col("vehicle_id"),
+        row_number().over(w).cast("long") + lit(maxId)))
+    wh.overwrite("vehicle_dim", result)
+  }
+
+  /** J4 + U1 (Q:181-223): the 6-way star join resolving every surrogate key,
+    * insert-only on auction_id. auction_time: the reference round-trips
+    * epoch-millis (`TO_TIMESTAMP(auction_date/1000)`, E18); we keep
+    * TimestampType end-to-end so it is auction_date unchanged. */
+  def insertAuctionFact(wh: Warehouse, staging: DataFrame): Long = {
+    val vd = wh.read("vehicle_dim")
+      .select(col("vin").as("_vvin"), col("auction_id").as("_vaid"), col("vehicle_id"))
+    val asd = wh.read("auction_status_dim").select(col("status").as("_as"), col("id").as("auction_status_id"))
+    val rsd = wh.read("reserve_status_dim").select(col("status").as("_rs"), col("id").as("reserve_status_id"))
+    val sd = wh.read("state_dim").select(col("state_abbr").as("_sa"), col("id").as("auction_state"))
+    val cd = wh.read("city_dim")
+      .select(col("city_name").as("_cn"), col("state_id").as("_cs"), col("id").as("auction_city"))
+    val std = wh.read("seller_type_dim").select(col("seller_type").as("_st"), col("id").as("seller_type_id"))
+
+    val resolved = staging.filter(col("auction_id").isNotNull)
+      .join(broadcast(vd),
+        trim(col("vin")) === col("_vvin") && col("auction_id") === col("_vaid"), "left")
+      .join(broadcast(asd), trim(lower(col("auction_status"))) === col("_as"), "left")
+      .join(broadcast(rsd), trim(lower(col("reserve_status"))) === col("_rs"), "left")
+      .join(broadcast(sd), trim(upper(col("title_state"))) === col("_sa"), "left")
+      .join(broadcast(cd),
+        trim(col("city")) === col("_cn") && col("auction_state") === col("_cs"), "left")
+      .join(broadcast(std), trim(lower(col("seller_type"))) === col("_st"), "left")
+      .select(
+        col("auction_id"),
+        col("auction_date").as("auction_time"),
+        col("vehicle_id"),
+        col("auction_status_id").as("auction_status"),
+        col("reserve_status_id").as("reserve_status"),
+        col("auction_state"),
+        col("auction_city"),
+        col("seller_type_id").as("seller_type"),
+        col("view_count"), col("watcher_count"), col("bid_count"),
+        col("max_bid"), col("min_bid"), col("mean_bid"), col("median_bid"),
+        col("bid_range"), col("bids"),
+        col("highlight_count"), col("video_count"),
+        col("auction_title"), col("auction_subtitle"), col("auction_url"))
+
+    val newRows = wh.readIfExists("auction_fact") match {
+      case Some(f) => resolved.join(f.select("auction_id"), Seq("auction_id"), "left_anti")
+      case None => resolved
+    }
+    val n = newRows.count()
+    if (n > 0) wh.append("auction_fact", newRows)
+    n
+  }
+}

@@ -1,0 +1,42 @@
+package graft.star
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Parquet-backed warehouse: one directory per table under `dir`. Stands in
+  * for the reference's Postgres schema (no JDBC target in this harness —
+  * SURVEY.md §2.1 S6). Overwrites stage through a temp dir + rename so a
+  * table can be rebuilt from a plan that reads it (the U2 merge case).
+  */
+final class Warehouse(val spark: SparkSession, val dir: String) {
+
+  private def path(table: String) = new Path(s"$dir/$table")
+  private def fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(table: String): Boolean = {
+    val p = path(table)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  def read(table: String): DataFrame = spark.read.parquet(path(table).toString)
+
+  def readIfExists(table: String): Option[DataFrame] =
+    if (exists(table)) Some(read(table)) else None
+
+  /** Append new rows (the U1 insert-only path — callers anti-join first). */
+  def append(table: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append).parquet(path(table).toString)
+
+  /** Full rewrite via staging + atomic-ish rename (safe when `df`'s plan
+    * reads the table being replaced). */
+  def overwrite(table: String, df: DataFrame): Unit = {
+    val tmp = new Path(s"$dir/.${table}_tmp")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val target = path(table)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(tmp, target)
+    ()
+  }
+
+  def truncateInsert(table: String, df: DataFrame): Unit = overwrite(table, df)
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Unit behavior of the training-data-pipeline extensions. */
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (3L, "completely different words about spark query engines and shuffles here"),
+    (4L, "THE  quick brown fox jumps over the lazy dog again and again today"), // dup of 1 mod case/ws
+    (5L, "the quick brown fox jumps over the lazy dog again and again today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups case/whitespace-normalized duplicates") {
+    val g = Dedup.exactDupGroups(docs, "doc_id", "text")
+    assert(g.count() == 3)
+    val dup = g.filter(col("n_docs") === 3).head()
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash signatures: identical for dups, mostly shared for near-dups") {
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text").orderBy("doc_id").collect()
+    val s1 = (1 to 8).map(i => sig(0).getString(i))
+    val s2 = (1 to 8).map(i => sig(1).getString(i))
+    val s3 = (1 to 8).map(i => sig(2).getString(i))
+    assert(s1.zip(s3).count { case (a, b) => a == b } == 0) // unrelated docs
+    assert(s1.zip(s2).count { case (a, b) => a == b } >= 4) // near-dups share most slots
+  }
+
+  test("LSH banding surfaces the duplicate candidate pair, not unrelated docs") {
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L))) // identical text → identical signature → same bands
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: equal for identical text, near for near-dups, far for different") {
+    def ham(a: Int, b: Int): Int = Integer.bitCount(a ^ b)
+    val h = Dedup.simhash16(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(_.getInt(1))
+    assert(ham(h(0), h(1)) <= 6)
+    assert(ham(h(0), h(2)) >= 2)
+  }
+
+  test("jaccard pairs finds the planted near-dup above threshold") {
+    val p = Dedup.jaccardPairs(docs, "doc_id", "text", shingleN = 3, maxId = 100L, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(p.exists { case (a, b, j) => a == 1L && b == 2L && j > 0.5 })
+    assert(!p.exists { case (a, b, _) => b == 3L })
+  }
+
+  test("cosine similarity: exact on known vectors") {
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
+      .toDF("a", "b")
+    val r = df.select(Similarity.cosine(col("a"), col("b")).as("c")).collect().map(_.getDouble(0))
+    assert(r(0) == 0.0)
+    assert(math.abs(r(1) - 1.0) < 1e-12)
+  }
+
+  test("ANN buckets agree with brute force on clustered vectors") {
+    val base1 = Array.tabulate(64)(i => math.sin(i + 1))
+    val base2 = Array.tabulate(64)(i => math.cos(2 * i + 1))
+    def jitter(b: Array[Double], k: Int): Seq[Float] = b.zipWithIndex
+      .map { case (v, i) => (v + 0.001 * ((i * k) % 7)).toFloat }.toSeq
+    val emb = (0 until 10).map(k => (k.toLong, jitter(if (k % 2 == 0) base1 else base2, k)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 2)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // clustered vectors share sign-buckets → ANN recovers the brute-force set
+    assert(ann == brute)
+  }
+
+  test("text ops: ratios, langid, rolling hash order-sensitivity") {
+    val t = Seq((1L, "the cat and the dog")).toDF("id", "text")
+    val toks = TextOps.tokens(col("text"))
+    val r = t.select(
+      TextOps.tokenSetRatio(toks, Seq("the", "and")).as("ratio"),
+      TextOps.langPredict(TextOps.langScores(toks)).as("lang"),
+      TextOps.rollingTokenHash(toks).as("h1"),
+      TextOps.rollingTokenHash(reverse(toks)).as("h2")).head()
+    assert(r.getAs[Double]("ratio") == 0.6)
+    assert(r.getAs[String]("lang") == "en")
+    assert(r.getAs[Long]("h1") != r.getAs[Long]("h2"))
+  }
+
+  test("multimodal: mapPartitions decode stub matches the expression path") {
+    val media = Multimodal.fromDocuments(
+      Seq((7L, "some payload text", "en", "src1", 17L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    import spark.implicits._
+    val typed = media.as[Multimodal.MediaRecord]
+    val feat = Multimodal.extractFeatures(typed).head()
+    val exprWidth = media.select((lit(1) + TextOps.hash16(col("payload")) % 64).as("w"))
+      .head().getInt(0)
+    assert(feat.width == exprWidth)
+    assert(feat.feature.length == 8)
+    assert(feat.n_frames == 1)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.MergeWrite
+import graft.stream.Incremental
+
+/** §2.9: Trigger.AvailableNow incremental ingestion — new files merge into
+  * the processed layer; already-seen files are not reprocessed (checkpoint).
+  */
+class IncrementalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def rawFile(url: String, date: String, model: String): String =
+    s"""[{"auction_url": "$url",
+       |"auction_stats": {"reserve_status": "Reserve", "auction_status": "Sold",
+       |  "highest_bid_value": "2,500", "bid_count": 3, "auction_date": "$date",
+       |  "bids": ["$$1,000","$$2,500"]},
+       |"auction_quick_facts": {"Make": "Ford", "Model": "$model", "Mileage": "45,000",
+       |  "VIN": "VINX", "Title Status": "Clean (CA)", "Location": "Dallas, TX",
+       |  "Seller": "bob", "Engine": "V8", "Drivetrain": "RWD",
+       |  "Transmission": "Manual", "Body Style": "Truck",
+       |  "Exterior Color": "Red", "Interior Color": "Black", "Seller Type": "Dealer"}}]""".stripMargin
+
+  test("AvailableNow processes new files only and merges keep-newest") {
+    val base = Files.createTempDirectory("graft_stream")
+    val rawDir = base.resolve("raw"); Files.createDirectories(rawDir)
+    val processed = base.resolve("processed").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    Files.writeString(rawDir.resolve("f1.json"),
+      rawFile("https://x/auctions/S1/2015-a", "2024-05-01 10:00:00", "first"))
+    Incremental.runAvailableNow(spark, rawDir.toString, processed, ckpt)
+    val r1 = MergeWrite.readProcessed(spark, processed)
+    assert(r1.count() == 1)
+    assert(r1.head().getAs[String]("model") == "first")
+
+    // late correction for the same auction (newer ts) + a brand-new auction
+    Files.writeString(rawDir.resolve("f2.json"),
+      rawFile("https://x/auctions/S1/2015-a", "2024-05-01 11:00:00", "corrected"))
+    Files.writeString(rawDir.resolve("f3.json"),
+      rawFile("https://x/auctions/S2/2016-b", "2024-05-02 09:00:00", "other"))
+    Incremental.runAvailableNow(spark, rawDir.toString, processed, ckpt)
+    val r2 = MergeWrite.readProcessed(spark, processed)
+    assert(r2.count() == 2)
+    assert(r2.filter(col("auction_id") === "S1").head().getAs[String]("model") == "corrected")
+  }
+}

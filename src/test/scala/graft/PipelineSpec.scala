@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.{Flatten, MergeWrite, Silver, Validate}
+
+/** Golden end-to-end fixture through bronze→silver→merge (SURVEY.md §5.3):
+  * both envelope shapes, invalid-status rescrape split, keep-newest dedup,
+  * merge idempotence.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // model default carries a JSON-escaped newline (\n inside the JSON string)
+  private def rec(url: String, status: String, date: String, model: String = "F-150\\nSave",
+                  bids: String = """["$1,000","$2,500","$2,000"]""",
+                  location: String = "Dallas, TX 75001",
+                  title: String = "Clean (CA)"): String =
+    s"""{
+       |"auction_url": "$url",
+       |"auction_title": "t", "auction_subtitle": "s", "dougs_take": "d",
+       |"auction_stats": {"reserve_status": "Reserve", "auction_status": "$status",
+       |  "highest_bid_value": "2,500", "bid_count": 3,
+       |  "auction_date": "$date", "bids": $bids},
+       |"auction_quick_facts": {"Make": "Ford", "Model": "$model", "Mileage": "45,000 miles",
+       |  "VIN": "VIN001", "Title Status": "$title", "Location": "$location",
+       |  "Seller": "bob\\nFollow", "Engine": "5.0L V8", "Drivetrain": "Rear-wheel drive",
+       |  "Transmission": "6-Speed Manual", "Body Style": "Truck",
+       |  "Exterior Color": "Red", "Interior Color": "Black", "Seller Type": "Dealer"},
+       |"auction_highlights": {"description": "hl", "bullet_points": ["a","b"]},
+       |"service_history": {"description": "sh", "items": ["s1"]},
+       |"known_flaws": ["f1","f2","f3"],
+       |"included_items": ["i1"],
+       |"seller_notes": ["n1"],
+       |"auction_videos": ["v1","v2"]
+       |}""".stripMargin
+
+  private val dir = Files.createTempDirectory("graft_raw").toString
+
+  // map envelope: valid AAA111 (newer) + invalid CCC333
+  Files.writeString(Paths.get(s"$dir/map.json"),
+    s"""{"https://carsandbids.com/auctions/AAA111/2015-ford-f150": ${rec("ignored", "Sold to winner", "2024-05-02 10:00:00")},
+       |"https://carsandbids.com/auctions/CCC333/2018-bmw-m3": ${rec("ignored", "junk status", "2024-05-02 11:00:00")}}""".stripMargin)
+  // list envelope: AAA111 duplicate (older, different model) + BBB222 edge cases
+  Files.writeString(Paths.get(s"$dir/list.json"),
+    s"""[${rec("https://carsandbids.com/auctions/AAA111/2015-ford-f150", "Sold to winner", "2024-05-01 09:00:00", model = "OLD-MODEL")},
+       |${rec("https://carsandbids.com/auctions/BBB222/1999-mazda-miata", "Reserve not met, bid to " + "$9,000", "2024-05-02 12:00:00",
+      model = "Miata", bids = """["$9,000","junk"]""", location = "Berlin", title = "Salvage")}]""".stripMargin)
+
+  lazy val bronze = Flatten.bronze(spark, dir)
+  lazy val silver = Silver.run(bronze).cache()
+
+  test("P1-P4: both envelopes flatten; map key wins as auction_url") {
+    assert(bronze.count() == 4)
+    assert(bronze.columns.contains("title_status")) // "Title Status" normalized
+    val urls = bronze.select("auction_url").collect().map(_.getString(0)).toSet
+    assert(urls.contains("https://carsandbids.com/auctions/AAA111/2015-ford-f150"))
+    assert(!urls.contains("ignored"))
+  }
+
+  test("F2: invalid status rows feed the rescrape list (null-safe)") {
+    val urls = Validate.rescrapeUrls(bronze).collect().map(_.getString(0))
+    assert(urls.toSeq == Seq("https://carsandbids.com/auctions/CCC333/2018-bmw-m3"))
+  }
+
+  test("silver: keep-newest dedup + full expression chain") {
+    val rows = silver.orderBy("auction_id").collect()
+    assert(rows.length == 2)
+    val a = silver.filter(col("auction_id") === "AAA111").head()
+    assert(a.getAs[String]("model") == "F-150") // newest record won, E3 applied
+    assert(a.getAs[Long]("mileage") == 45000L)
+    assert(a.getAs[String]("auction_status") == "Sold winner")
+    assert(!a.getAs[Boolean]("reserve_met"))
+    assert(a.getSeq[Long](a.fieldIndex("bids")) == Seq(1000L, 2500L, 2000L))
+    assert(a.getAs[Long]("max_bid") == 2500L)
+    assert(a.getAs[Double]("median_bid") == 2000.0)
+    assert(a.getAs[String]("city") == "Dallas")
+    assert(a.getAs[String]("state") == "TX")
+    assert(a.getAs[String]("title_state") == "CA")
+    assert(a.getAs[String]("transmission_type") == "Manual")
+    assert(a.getAs[Int]("gears") == 6)
+    assert(a.getAs[String]("drivetrain") == "RWD")
+    assert(a.getAs[Int]("manufacture_year") == 2015)
+    assert(a.getAs[Int]("highlight_count") == 2)
+    assert(a.getAs[Int]("service_count") == 1)
+    assert(a.getAs[Int]("flaw_count") == 3)
+    val b = silver.filter(col("auction_id") === "BBB222").head()
+    assert(b.getSeq[Long](b.fieldIndex("bids")) == Seq()) // E10 all-or-nothing
+    assert(b.isNullAt(b.fieldIndex("max_bid"))) // E13 guard
+    assert(b.getAs[String]("city") == "Berlin")
+    assert(b.isNullAt(b.fieldIndex("state")))
+    assert(b.isNullAt(b.fieldIndex("title_state")))
+    // E8 whole-cell quirk: suffix present → unchanged
+    assert(b.getAs[String]("auction_status") == "Reserve not met, bid to $9,000")
+  }
+
+  test("S5: merge-write is keep-newest and idempotent") {
+    val processed = Files.createTempDirectory("graft_processed").toString + "/t"
+    MergeWrite.mergeWrite(spark, processed, silver)
+    val first = MergeWrite.readProcessed(spark, processed)
+    assert(first.count() == 2)
+    // re-merge the same batch → unchanged (idempotence, merge(merge(x))==merge(x))
+    MergeWrite.mergeWrite(spark, processed, silver)
+    assert(MergeWrite.readProcessed(spark, processed).count() == 2)
+    // newer record (same date partition, later time) for AAA111 wins on re-merge
+    val updated = silver.filter(col("auction_id") === "AAA111")
+      .withColumn("auction_date", col("auction_date") + expr("INTERVAL 1 HOUR"))
+      .withColumn("model", lit("RAPTOR"))
+    MergeWrite.mergeWrite(spark, processed, updated)
+    val after = MergeWrite.readProcessed(spark, processed)
+    assert(after.count() == 2)
+    assert(after.filter(col("auction_id") === "AAA111").head().getAs[String]("model") == "RAPTOR")
+  }
+}

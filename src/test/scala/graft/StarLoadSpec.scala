@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.star.{Facts, Warehouse, StarLoad}
+
+/** Star-schema load: dim cardinalities, surrogate-key stability, U1
+  * insert-only and U2 upsert semantics (SURVEY.md §2.10, §3.3).
+  */
+class StarLoadSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def silverRow(id: String, vin: String, status: String, make: String,
+                        city: String, state: String, mileage: Long): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(
+      java.sql.Timestamp.valueOf("2024-05-01 10:00:00"), id, vin, "Dealer", "Reserve",
+      status == "Sold", status, "t", "s", make, "M1", "Red", "Black", "Truck",
+      mileage, "V8", "RWD", "6-Speed Manual", "Manual", 6, "Clean", state, city, state,
+      3L, 10L, 5L, 2500.0, 2500L, 1000L, 1833.0, 2000.0, 1500L, Seq(1000L, 2500L),
+      2, 1, 0, 3, 1, 1, 2, 2015, s"$city, $state", s"https://x/auctions/$id/2015-x", "bob")
+
+  private def silverDf(rows: Seq[org.apache.spark.sql.Row]) =
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      graft.schema.Schemas.processed)
+
+  test("star load: dims, fact, idempotence, upsert") {
+    val whDir = Files.createTempDirectory("graft_wh").toString
+    val wh = new Warehouse(spark, whDir)
+    val batch1 = silverDf(Seq(
+      silverRow("A1", "VINA", "Sold", "Ford", "Dallas", "TX", 45000L),
+      silverRow("A2", "VINB", "Reserve not met", "Mazda", "Austin", "TX", 60000L),
+      silverRow("A3", "VINC", "Sold", "Ford", "Nowhere", "ZZ", 1000L)))
+    StarLoad.run(wh, batch1)
+
+    assert(wh.read("auction_status_dim").collect().map(_.getString(1)).sorted
+      === Array("reserve not met", "sold"))
+    assert(wh.read("vehicle_make_dim").count() == 2)
+    assert(wh.read("city_dim").count() == 3)
+    // unknown state ZZ → null state_id, city still present
+    assert(wh.read("city_dim").filter(col("city_name") === "Nowhere")
+      .head().isNullAt(wh.read("city_dim").schema.fieldIndex("state_id")))
+    val fact1 = wh.read("auction_fact")
+    assert(fact1.count() == 3)
+    assert(fact1.select("auction_id").distinct().count() == 3)
+    // every fact row resolved its vehicle + status surrogate
+    assert(fact1.filter(col("vehicle_id").isNull || col("auction_status").isNull).count() == 0)
+
+    val vehicleIds1 = wh.read("vehicle_dim")
+      .select("vin", "vehicle_id").as[(String, Long)].collect().toMap
+
+    // rerun with the same batch → nothing changes (U1 + idempotent U2)
+    StarLoad.run(wh, batch1)
+    assert(wh.read("auction_fact").count() == 3)
+    assert(wh.read("auction_status_dim").count() == 2)
+    assert(wh.read("vehicle_dim").count() == 3)
+
+    // U2: changed mileage upserts the vehicle row, keeps its vehicle_id;
+    // U1: fact does NOT change for existing auction_id
+    val batch2 = silverDf(Seq(silverRow("A1", "VINA", "Sold", "Ford", "Dallas", "TX", 99999L)))
+    StarLoad.run(wh, batch2)
+    val vd = wh.read("vehicle_dim")
+    assert(vd.count() == 3)
+    assert(vd.filter(col("vin") === "VINA").head().getAs[Long]("mileage") == 99999L)
+    val vehicleIds2 = vd.select("vin", "vehicle_id").as[(String, Long)].collect().toMap
+    assert(vehicleIds1 == vehicleIds2) // surrogate keys stable across loads
+    assert(wh.read("auction_fact").count() == 3)
+
+    // new auction → appended with a fresh, non-colliding vehicle_id
+    val batch3 = silverDf(Seq(silverRow("A4", "VIND", "Sold", "Honda", "Reno", "NV", 5L)))
+    StarLoad.run(wh, batch3)
+    assert(wh.read("auction_fact").count() == 4)
+    val ids = wh.read("vehicle_dim").select("vehicle_id").as[Long].collect()
+    assert(ids.distinct.length == ids.length)
+  }
+
+  test("J1 disjunctive rewrite ≡ OR-join on the state lookup") {
+    val staging = Seq(("Dallas", "TX"), ("Austin", "Texas"), ("X", "ZZ"), ("Y", null))
+      .toDF("city", "title_state")
+    val stateDim = Seq((1L, "Texas", "TX"), (2L, "Nevada", "NV")).toDF("id", "state", "state_abbr")
+    val rewritten = graft.star.Joins.disjunctiveLeftRewrite(staging, stateDim, col("title_state"))
+      .select("city", "state_id").orderBy("city").collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getLong(1)))
+    val orJoin = staging.join(stateDim,
+        col("title_state") === col("state_abbr") || col("title_state") === col("state"), "left")
+      .select("city", "id").orderBy("city").collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getLong(1)))
+    assert(rewritten.toSeq == orJoin.toSeq)
+  }
+}
