@@ -14,13 +14,21 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Cosine similarity between two array<double> columns — natively codegen'd
-    * (zip_with dot product + aggregate fold, index order, deterministic). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+  import graft.functions.DotProduct.dot
+
+  /** Cosine similarity between two array<double> columns, on the codegen
+    * [[graft.functions.DotProduct]] expression (index-order accumulation —
+    * deterministic, engine-portable). */
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+
+  /** Cosine from a precomputed dot and per-side L2 norms — the all-pairs hot
+    * path: norms are computed once per VECTOR, not once per pair. */
+  def cosineFromNorms(dotAB: Column, normA: Column, normB: Column): Column =
+    dotAB / (normA * normB)
+
+  /** L2 norm of an array<double> column. */
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Brute-force cosine top-k: for each query vector (broadcast), the k most
     * similar corpus vectors (excluding itself). Ranking uses the rounded
@@ -28,9 +36,12 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
     val sims = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
-      .select(col("query_id"), col("cand_id"), round(cosine(col("qv"), col("cv")), 4).as("sim"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")), 4).as("sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id"))
     sims.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -43,9 +54,11 @@ object Similarity {
                    threshold: Double, maxId: Long): DataFrame = {
     val e = emb.filter(col(idCol) < maxId)
       .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-    e.select(col(idCol).as("vec_a"), col("v").as("va"))
-      .join(e.select(col(idCol).as("vec_b"), col("v").as("vb")), col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("nrm", l2norm(col("v")))
+    e.select(col(idCol).as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+      .join(e.select(col(idCol).as("vec_b"), col("v").as("vb"), col("nrm").as("nb")),
+        col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cos") > threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
   }
@@ -67,10 +80,7 @@ object Similarity {
   def signBuckets(vecCol: Column, planes: Seq[Array[Double]]): Column = {
     val vd = vecCol.cast("array<double>")
     planes.zipWithIndex.map { case (plane, p) =>
-      val dot = aggregate(
-        zip_with(vd, typedLit(plane.toSeq), (x, c) => x * c),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, 1 << p).otherwise(0)
+      when(dot(vd, typedLit(plane.toSeq)) > 0, 1 << p).otherwise(0)
     }.reduce(_ + _)
   }
 
@@ -83,13 +93,15 @@ object Similarity {
     val c = corpus.select(col(idCol).as("cand_id"),
       col(vecCol).cast("array<double>").as("cv"),
       signBuckets(col(vecCol), planes).as("bucket"))
+      .withColumn("cn", l2norm(col("cv")))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"),
       signBuckets(col(vecCol), planes).as("qbucket"))
+      .withColumn("qn", l2norm(col("qv")))
     val sims = c.join(broadcast(q),
         col("bucket") === col("qbucket") && col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"), col("bucket"),
-        round(cosine(col("qv"), col("cv")), 4).as("sim"))
+        round(cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")), 4).as("sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id"))
     sims.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
