@@ -160,7 +160,15 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** O1: global sort desc (reference sort_values, T:140/T:385/L:96) with a
+    * deterministic tie-break — a full range-partitioned Exchange + sort. */
+  def q33SortDesc(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("value").desc_nulls_last, col("event_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_sort_desc" -> (q33SortDesc _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_rlike_filter" -> (q02RlikeFilter _),
     "q03_rlike_complement" -> (q03RlikeComplement _),
@@ -176,6 +184,9 @@ object RelationalQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "q33_sort_desc" ->
+      """SELECT event_id, user_id, value FROM events
+        |ORDER BY value DESC NULLS LAST, event_id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
