@@ -35,14 +35,21 @@ object Dedup {
   def explodedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("sg"))
 
-  /** MinHash signature: for each seed s, min over shingles of the 16-hex-char
-    * md5 prefix of "s:shingle". Lexicographic min over fixed-width hex ≡ min
-    * over a 64-bit hash — engine-portable with no hex→int conversion. */
+  /** MinHash signature: slot s takes the min over shingles of an 8-hex-char
+    * (32-bit) slice of md5("⌊s/4⌋:" + shingle) — four independent slots per
+    * salted digest, so a doc costs 2 md5 calls per shingle instead of 8.
+    * Lexicographic min over fixed-width hex ≡ min over a 32-bit hash —
+    * engine-portable with no hex→int conversion. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        numHashes: Int = 8, shingleN: Int = 3): DataFrame = {
+    val nDigests = (numHashes + 3) / 4
     val sh = explodedShingles(df, idCol, textCol, shingleN)
+      // digests in a projection so each md5 runs once per shingle row —
+      // aggregate expressions get no common-subexpression elimination
+      .select(col(idCol) +: (0 until nDigests).map(d =>
+        md5(concat(lit(s"$d:"), col("sg")).cast("binary")).as(s"_d$d")): _*)
     val aggs = (0 until numHashes).map { s =>
-      min(substring(md5(concat(lit(s + ":"), col("sg")).cast("binary")), 1, 16)).as(s"sig$s")
+      min(substring(col(s"_d${s / 4}"), 1 + 8 * (s % 4), 8)).as(s"sig$s")
     }
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }

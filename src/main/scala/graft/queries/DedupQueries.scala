@@ -22,7 +22,8 @@ object DedupQueries {
 
   private val SigCte = {
     val sigCols = (0 until 8)
-      .map(s => s"min(substring(md5('$s:' || sg), 1, 16)) AS sig$s").mkString(",\n   ")
+      .map(s => s"min(substring(md5('${s / 4}:' || sg), ${1 + 8 * (s % 4)}, 8)) AS sig$s")
+      .mkString(",\n   ")
     s"""$ShinglesCte,
        | sig AS (SELECT doc_id,
        |   $sigCols

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.etl.Silver
+import graft.expr.CleanExprs
+
+/** Property tests (SURVEY.md §5.4): A4 idempotence, U1 monotonicity, E10
+  * all-or-nothing invariant — over generated inputs (plain ScalaCheck runner,
+  * 10 cases each since every case runs Spark jobs).
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val recGen = for {
+    id <- Gen.choose(0, 5)
+    ts <- Gen.choose(0L, 100L)
+    url <- Gen.alphaLowerStr.map(s => s"u_${s.take(4)}")
+  } yield (s"A$id", new java.sql.Timestamp(ts * 3600 * 1000), url)
+
+  test("A4: keepNewest is idempotent, keeps max date, one row per key") {
+    check(Prop.forAll(Gen.listOfN(30, recGen)) { recs =>
+      recs.isEmpty || {
+        val df = recs.toDF("auction_id", "auction_date", "auction_url")
+        val once = Silver.keepNewest(df).cache()
+        val a = once.orderBy("auction_id", "auction_url").collect().toSeq
+        val b = Silver.keepNewest(once).orderBy("auction_id", "auction_url").collect().toSeq
+        val maxDates = df.groupBy("auction_id").agg(max("auction_date").as("m"))
+          .collect().map(r => r.getString(0) -> r.getTimestamp(1)).toMap
+        val newestWon = once.collect().forall(r => r.getTimestamp(1) == maxDates(r.getString(0)))
+        val unique = once.groupBy("auction_id").count().filter(col("count") > 1).count() == 0
+        once.unpersist()
+        a == b && newestWon && unique
+      }
+    })
+  }
+
+  test("U1: insert-only-new — ids never mutate, keys only grow") {
+    val whDir = java.nio.file.Files.createTempDirectory("graft_prop_wh").toString
+    val wh = new graft.star.Warehouse(spark, whDir)
+    val schema = StructType(Seq(StructField("k", StringType)))
+    def candidates(ks: Seq[String]) = spark.createDataFrame(
+      new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(ks.distinct.map(Row(_))).asJava), schema)
+    var seen = Map.empty[String, Long]
+    val batches = Seq(Seq("a", "b"), Seq("b", "c", "d"), Seq.empty,
+      Seq("a", "d", "e"), Seq("f"), Seq("a", "b", "c", "d", "e", "f"))
+    batches.foreach { ks =>
+      graft.star.Dims.insertOnlyNew(wh, "prop_dim", candidates(ks), Seq("k"))
+      val now = wh.read("prop_dim").collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+      seen.foreach { case (k, id) => assert(now(k) == id, s"id for $k changed") }
+      assert(now.keySet.size == now.values.toSet.size, "duplicate surrogate ids")
+      assert(seen.keySet.subsetOf(now.keySet), "keys must only grow")
+      seen = now
+    }
+    assert(seen.keySet == Set("a", "b", "c", "d", "e", "f"))
+  }
+
+  test("E10: bids parse is all-or-nothing") {
+    val bidGen = Gen.listOf(Gen.oneOf(
+      Gen.choose(1, 999999).map(n => f"$$$n%,d"),
+      Gen.const("garbage")))
+    check(Prop.forAll(bidGen) { bids =>
+      val out = Seq(Tuple1(bids)).toDF("bids")
+        .select(CleanExprs.bidsParse(col("bids")).as("b"))
+        .head().getSeq[Long](0)
+      if (bids.contains("garbage") || bids.isEmpty) out.isEmpty
+      else out.length == bids.length
+    })
+  }
+}
