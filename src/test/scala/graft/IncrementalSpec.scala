@@ -46,4 +46,19 @@ class IncrementalSpec extends AnyFunSuite {
     assert(r2.count() == 2)
     assert(r2.filter(col("auction_id") === "S1").head().getAs[String]("model") == "corrected")
   }
+
+  test("streaming windowed counts match the batch tumbling-window query") {
+    val dir = "/root/testdata/sf0.001"
+    // file-stream sources need a directory; link the single-file table in
+    val streamDir = Files.createTempDirectory("graft_events_stream")
+    Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+    val streaming = graft.stream.WindowedCounts
+      .runToSnapshot(spark, streamDir.toString, "wc_test")
+      .select(col("bucket").cast("timestamp_ntz").as("bucket"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("bucket", "event_type").collect().toSeq
+    val batch = graft.queries.ExprQueries.q19TumblingWindow(spark, dir)
+      .collect().toSeq
+    assert(streaming == batch)
+  }
 }
