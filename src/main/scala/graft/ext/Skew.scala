@@ -1,0 +1,36 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys (SURVEY.md §7.4 "100 TB design rules").
+  * AQE's skew-join handles sort-merge joins at runtime; these helpers cover
+  * the cases it can't: broadcast-ineligible skewed joins and skewed
+  * aggregations where one key floods a single reducer.
+  */
+object Skew {
+
+  /** Salted equi-join: the big (skewed) side gets a uniform salt in
+    * [0, salts); the small side is replicated once per salt value, and the
+    * join key becomes (key, salt) — a hot key now spreads over `salts`
+    * reducers. Salt choice never affects the result, only placement. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    val salted = big.withColumn("_salt", (rand(42) * salts).cast("int"))
+    val replicated = small.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
+  /** Two-phase salted aggregation: partial aggregate on (key, salt), then
+    * combine per key — the hot key's partial states land on many reducers
+    * first. Works for any algebraic aggregate expressed as (partial, final)
+    * column pairs; count/sum provided as the canonical instance. Pass a
+    * DECIMAL-cast value when exact (salt-order-independent) sums matter. */
+  def saltedSumCount(df: DataFrame, key: String, value: Column,
+                     salts: Int): DataFrame =
+    df.withColumn("_salt", (rand(42) * salts).cast("int"))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(value).as("_psum"), count(lit(1)).as("_pcnt"))
+      .groupBy(col(key))
+      .agg(sum(col("_psum")).as("sum_value"), sum(col("_pcnt")).as("n"))
+}

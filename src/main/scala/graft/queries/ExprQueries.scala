@@ -114,7 +114,17 @@ object ExprQueries {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy(col("bucket"), col("event_type"))
 
+  /** Skew-resistant two-phase aggregation ([[graft.ext.Skew]]): the salt is
+    * internal placement only — with DECIMAL partials the result is exactly
+    * the plain GROUP BY, which is the oracle. */
+  def q34SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Skew.saltedSumCount(load(spark, dir, "events"), "event_type",
+        col("value").cast("decimal(18,2)"), salts = 8)
+      .select(col("event_type"), col("sum_value").cast("double").as("sum_value"), col("n"))
+      .orderBy(col("event_type"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_salted_agg" -> (q34SaltedAgg _),
     "q13_part_exprs" -> (q13PartExprs _),
     "q14_customer_exprs" -> (q14CustomerExprs _),
     "q15_date_exprs" -> (q15DateExprs _),
@@ -125,6 +135,12 @@ object ExprQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "q34_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q13_part_exprs" ->
       """SELECT p_partkey,
         |  split_part(p_name, ' ', 1) AS first_word,

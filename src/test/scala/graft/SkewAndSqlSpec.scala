@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Skew
+import graft.functions.GraftFunctions
+
+/** Salted-join / salted-agg equivalence and the SQL function surface. */
+class SkewAndSqlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // skewed: 90% of rows share key 0
+  private lazy val big = (1 to 1000)
+    .map(i => (if (i % 10 == 0) i % 7 else 0, i.toDouble)).toDF("k", "v")
+  private lazy val small = (0 to 6).map(i => (i, s"dim$i")).toDF("k", "name")
+
+  test("salted join ≡ plain join") {
+    val plain = big.join(small, Seq("k")).groupBy("k", "name")
+      .agg(count(lit(1)).as("n"), round(sum("v"), 6).as("s"))
+      .orderBy("k").collect().toSeq
+    val salted = Skew.saltedJoin(big, small, "k", salts = 8).groupBy("k", "name")
+      .agg(count(lit(1)).as("n"), round(sum("v"), 6).as("s"))
+      .orderBy("k").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("salted two-phase aggregation ≡ direct aggregation") {
+    val direct = big.groupBy("k")
+      .agg(sum("v").as("sum_value"), count(lit(1)).as("n"))
+      .orderBy("k").collect().toSeq
+    val salted = Skew.saltedSumCount(big, "k", col("v"), salts = 8)
+      .orderBy("k").collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("graft_dot is callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(r == 11.0)
+  }
+}
