@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{AsOf, RangeJoin}
+import graft.util.Tables.load
+
+/** Advanced join operators beyond the reference surface: as-of join and
+  * range join in their scale-safe formulations, plus rollup aggregation.
+  */
+object AdvancedJoinQueries {
+
+  /** Backward as-of join: each purchase gets the user's most recent signup
+    * at-or-before it ([[AsOf.asOfJoinBackward]] — union + one window pass,
+    * no inequality join). */
+  def q35AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("signup_event"))
+    // nulls (no prior signup) → sentinels: null hashing differs across
+    // compare harnesses; AdvancedJoinSpec covers the null semantics.
+    AsOf.asOfJoinBackward(purchases, signups, "user_id", "ts", Seq("signup_event"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        coalesce(col("asof_ts"), to_timestamp(lit("1970-01-01 00:00:00"))
+          .cast("timestamp_ntz")).as("asof_ts"),
+        coalesce(col("asof_signup_event"), lit(-1L)).as("asof_signup_event"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Binned range join: events.value ∈ [40·r_regionkey, 40·r_regionkey+50)
+    * ([[RangeJoin.binnedRangeJoin]] — equi-join on bins, not BNLJ). */
+  def q36RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val points = load(spark, dir, "events").select(col("event_id"), col("value"))
+    val intervals = load(spark, dir, "region").select(
+      col("r_regionkey"),
+      (col("r_regionkey") * 40.0).as("lo"),
+      (col("r_regionkey") * 40.0 + 50.0).as("hi"))
+    RangeJoin.binnedRangeJoin(points, "value", intervals, "lo", "hi", binWidth = 50.0)
+      .select(col("event_id"), col("r_regionkey"), col("value"))
+      .orderBy(col("event_id"), col("r_regionkey"))
+  }
+
+  /** Rollup aggregation (subtotals + grand total) with exact decimal sums. */
+  def q37Rollup(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_asof_join" -> (q35AsofJoin _),
+    "q36_range_join" -> (q36RangeJoin _),
+    "q37_rollup" -> (q37Rollup _)
+  )
+
+  val sql: Map[String, String] = Map(
+    "q35_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        | s AS (SELECT user_id, ts, event_id AS signup_event FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  coalesce(s.ts, TIMESTAMP '1970-01-01 00:00:00') AS asof_ts,
+        |  coalesce(s.signup_event, -1) AS asof_signup_event
+        |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q36_range_join" ->
+      """SELECT e.event_id, r.r_regionkey, e.value
+        |FROM events e JOIN region r
+        |  ON e.value >= r.r_regionkey * 40.0 AND e.value < r.r_regionkey * 40.0 + 50.0
+        |ORDER BY e.event_id, r.r_regionkey""".stripMargin,
+    "q37_rollup" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+        |  coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -52,8 +52,8 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
                 return (f"VALUES col={c} exact_mismatch={exact_bad} beyond_1e-9={close_bad} "
                         f"sample spark={av[~ok].head(3).tolist()} duck={bv[~ok].head(3).tolist()}")
         else:
-            eq = (av.astype(object).where(pd.notna(av), None) ==
-                  bv.astype(object).where(pd.notna(bv), None))
+            both_na = av.isna() & bv.isna()
+            eq = both_na | (av.astype(object) == bv.astype(object)).fillna(False)
             bad = int((~eq).sum())
             if bad:
                 i = (~eq).idxmax()
