@@ -54,10 +54,20 @@ object AdvancedJoinQueries {
         col("n"), col("sum_price"))
       .orderBy(col("o_orderstatus"), col("o_orderpriority"))
 
+  /** Grouped exact median (the per-row E13 median, lifted to groups — both
+    * engines sort the group and interpolate the middle pair; values carry 2
+    * decimals so round(6) is an exact no-op guard). */
+  def q38GroupedMedian(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(round(median(col("value")), 6).as("med_value"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_asof_join" -> (q35AsofJoin _),
     "q36_range_join" -> (q36RangeJoin _),
-    "q37_rollup" -> (q37Rollup _)
+    "q37_rollup" -> (q37Rollup _),
+    "q38_grouped_median" -> (q38GroupedMedian _)
   )
 
   val sql: Map[String, String] = Map(
@@ -74,6 +84,9 @@ object AdvancedJoinQueries {
         |FROM events e JOIN region r
         |  ON e.value >= r.r_regionkey * 40.0 AND e.value < r.r_regionkey * 40.0 + 50.0
         |ORDER BY e.event_id, r.r_regionkey""".stripMargin,
+    "q38_grouped_median" ->
+      """SELECT event_type, round(median(value), 6) AS med_value, COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q37_rollup" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
         |  coalesce(o_orderpriority, '(all)') AS o_orderpriority,
