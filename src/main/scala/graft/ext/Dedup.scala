@@ -36,22 +36,23 @@ object Dedup {
     df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("sg"))
 
   /** MinHash signature: slot s takes the min over shingles of an 8-hex-char
-    * (32-bit) slice of md5("⌊s/4⌋:" + shingle) — four independent slots per
-    * salted digest, so a doc costs 2 md5 calls per shingle instead of 8.
-    * Lexicographic min over fixed-width hex ≡ min over a 32-bit hash —
-    * engine-portable with no hex→int conversion. */
+    * (32-bit) slice of md5("⌊s/4⌋:" + shingle). Computed whole-signature per
+    * row by the [[graft.functions.MinHashSlots]] kernel — a map-only
+    * projection with NO explode and NO shuffle (the relational
+    * explode+groupBy twin, kept in git history, cost a wide aggregation).
+    * Docs with fewer than shingleN tokens have no shingles and are dropped,
+    * matching the exploded formulation's semantics. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        numHashes: Int = 8, shingleN: Int = 3): DataFrame = {
-    val nDigests = (numHashes + 3) / 4
-    val sh = explodedShingles(df, idCol, textCol, shingleN)
-      // digests in a projection so each md5 runs once per shingle row —
-      // aggregate expressions get no common-subexpression elimination
-      .select(col(idCol) +: (0 until nDigests).map(d =>
-        md5(concat(lit(s"$d:"), col("sg")).cast("binary")).as(s"_d$d")): _*)
-    val aggs = (0 until numHashes).map { s =>
-      min(substring(col(s"_d${s / 4}"), 1 + 8 * (s % 4), 8)).as(s"sig$s")
-    }
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    require(numHashes == graft.functions.MinHashKernel.NumSlots,
+      s"kernel computes ${graft.functions.MinHashKernel.NumSlots} slots")
+    // the kernel is flagged non-deterministic so this projection is a
+    // collapse barrier: one kernel call per row, 8 cheap element_at reads
+    df.select(col(idCol),
+        graft.functions.MinHashSlots.minhashSlots(col(textCol), shingleN).as("_sig"))
+      .filter(col("_sig").isNotNull) // < shingleN tokens → no shingles → drop
+      .select(col(idCol) +: (0 until numHashes).map(s =>
+        element_at(col("_sig"), s + 1).as(s"sig$s")): _*)
   }
 
   /** LSH banding over a MinHash signature: hash each band of `rowsPerBand`
