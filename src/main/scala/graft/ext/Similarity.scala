@@ -77,12 +77,8 @@ object Similarity {
 
   /** Sign-LSH bucket id per vector: bit p = (v · plane_p) > 0. Pure map-side
     * expression over broadcast literal planes. */
-  def signBuckets(vecCol: Column, planes: Seq[Array[Double]]): Column = {
-    val vd = vecCol.cast("array<double>")
-    planes.zipWithIndex.map { case (plane, p) =>
-      when(dot(vd, typedLit(plane.toSeq)) > 0, 1 << p).otherwise(0)
-    }.reduce(_ + _)
-  }
+  def signBuckets(vecCol: Column, planes: Seq[Array[Double]]): Column =
+    graft.functions.SignBuckets.signBuckets(vecCol.cast("array<double>"), planes)
 
   /** ANN top-k via sign-LSH: candidates share the query's bucket; exact cosine
     * re-rank inside the bucket. Trades recall for a bucket-equi-join — the
