@@ -42,9 +42,9 @@ object Similarity {
     val sims = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
         round(cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")), 4).as("sim"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id"))
-    sims.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    // bounded map-side top-k aggregation: the shuffle carries O(queries·k)
+    // rows, vs. the window form shuffling every (query, candidate) pair
+    TopK.topKPerGroup(sims, "query_id", "cand_id", "sim", k)
       .select(col("query_id"), col("cand_id"), col("sim"))
   }
 
