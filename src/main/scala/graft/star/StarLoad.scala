@@ -26,16 +26,23 @@ object StarLoad {
     wh.read("staging")
   }
 
-  /** Full star load from a processed/silver frame. */
+  /** Full star load from a processed/silver frame. `staging` is cached for
+    * the duration — all 11 load steps scan it, and at warehouse scale
+    * re-reading the staging table per step is the dominant repeated cost. */
   def run(wh: Warehouse, processed: DataFrame): Unit = {
     StateSeed.ensureSeeded(wh)
     val staging = loadStaging(wh, processed)
-    Dims.loadAllSimple(wh, staging)
-    Dims.loadCityDim(wh, staging)
-    Dims.loadMakeDim(wh, staging)
-    Dims.loadModelDim(wh, staging)
-    Facts.upsertVehicleDim(wh, staging)
-    Facts.insertAuctionFact(wh, staging)
-    ()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Dims.loadAllSimple(wh, staging)
+      Dims.loadCityDim(wh, staging)
+      Dims.loadMakeDim(wh, staging)
+      Dims.loadModelDim(wh, staging)
+      Facts.upsertVehicleDim(wh, staging)
+      Facts.insertAuctionFact(wh, staging)
+    } finally {
+      staging.unpersist()
+      ()
+    }
   }
 }
