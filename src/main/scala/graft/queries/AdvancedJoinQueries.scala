@@ -63,11 +63,31 @@ object AdvancedJoinQueries {
       .agg(round(median(col("value")), 6).as("med_value"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: per-user event counts as one column per event type (explicit
+    * value list — deterministic schema, no extra distinct pass). */
+  def q39Pivot(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .orderBy(col("user_id"))
+
+  /** Unpivot (melt): part's numeric attributes to (attr, val) rows. */
+  def q40Unpivot(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"), col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")), Array(col("p_size"), col("p_retailprice")), "attr", "val")
+      .orderBy(col("p_partkey"), col("attr"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_asof_join" -> (q35AsofJoin _),
     "q36_range_join" -> (q36RangeJoin _),
     "q37_rollup" -> (q37Rollup _),
-    "q38_grouped_median" -> (q38GroupedMedian _)
+    "q38_grouped_median" -> (q38GroupedMedian _),
+    "q39_pivot" -> (q39Pivot _),
+    "q40_unpivot" -> (q40Unpivot _)
   )
 
   val sql: Map[String, String] = Map(
@@ -87,6 +107,20 @@ object AdvancedJoinQueries {
     "q38_grouped_median" ->
       """SELECT event_type, round(median(value), 6) AS med_value, COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q39_pivot" -> {
+      val cases = EventTypes
+        .map(t => s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS \"$t\"")
+        .mkString(",\n  ")
+      s"""SELECT user_id,
+         |  $cases
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+    "q40_unpivot" ->
+      """SELECT p_partkey, attr, val FROM (
+        |  SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part) u
+        |ORDER BY p_partkey, attr""".stripMargin,
     "q37_rollup" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
         |  coalesce(o_orderpriority, '(all)') AS o_orderpriority,
