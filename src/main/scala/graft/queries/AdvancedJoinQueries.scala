@@ -81,7 +81,29 @@ object AdvancedJoinQueries {
       .unpivot(Array(col("p_partkey")), Array(col("p_size"), col("p_retailprice")), "attr", "val")
       .orderBy(col("p_partkey"), col("attr"))
 
+  /** Batch sessionization: split each user's event stream into sessions at
+    * >30-minute gaps (lag + running sum of session-start flags — two window
+    * passes over one shuffle by user). The stateful-streaming twin is
+    * [[graft.stream.Sessionize]]. */
+  def q41Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    load(spark, dir, "events")
+      .withColumn("_prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("_new", when(col("_prev").isNull ||
+        (unix_millis(col("ts").cast("timestamp")) -
+          unix_millis(col("_prev").cast("timestamp"))) > 30L * 60 * 1000, 1).otherwise(0))
+      .withColumn("session_id", sum(col("_new")).over(
+        byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_sessionize" -> (q41Sessionize _),
     "q35_asof_join" -> (q35AsofJoin _),
     "q36_range_join" -> (q36RangeJoin _),
     "q37_rollup" -> (q37Rollup _),
@@ -115,6 +137,23 @@ object AdvancedJoinQueries {
          |  $cases
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
     },
+    "q41_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 30 * 60 * 1000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | s AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "q40_unpivot" ->
       """SELECT p_partkey, attr, val FROM (
         |  SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part

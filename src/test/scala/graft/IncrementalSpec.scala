@@ -47,6 +47,25 @@ class IncrementalSpec extends AnyFunSuite {
     assert(r2.filter(col("auction_id") === "S1").head().getAs[String]("model") == "corrected")
   }
 
+  test("stateful streaming sessionization matches batch q41") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = Files.createTempDirectory("graft_sess_stream")
+    Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+    val streaming = graft.stream.Sessionize
+      .runToSnapshot(spark, streamDir.toString, "sess_test")
+      .toDF()
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        unix_millis(col("session_start")).as("s"), unix_millis(col("session_end")).as("e"))
+      .orderBy("user_id", "session_id").collect().toSeq
+    val batch = graft.queries.AdvancedJoinQueries.q41Sessionize(spark, dir)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        unix_millis(col("session_start").cast("timestamp")).as("s"),
+        unix_millis(col("session_end").cast("timestamp")).as("e"))
+      .collect().toSeq
+    assert(streaming == batch)
+  }
+
   test("streaming windowed counts match the batch tumbling-window query") {
     val dir = "/root/testdata/sf0.001"
     // file-stream sources need a directory; link the single-file table in
