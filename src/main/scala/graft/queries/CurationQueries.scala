@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, TextOps}
+import graft.util.Tables.load
+
+/** Corpus-curation capstone: the training-data operators composed into one
+  * pipeline — quality scoring → language filter → exact dedup (keep lowest
+  * id per fingerprint) — the shape of a pre-training data curation pass.
+  * Every stage is a map-side expression except the dedup's single
+  * hash-shuffle on the 16-byte fingerprint.
+  */
+object CurationQueries {
+
+  private val Stopwords = Seq("the", "a", "or", "and", "of")
+
+  def q42CorpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val toks = TextOps.tokens(col("text"))
+    val scored = docs.select(
+      col("doc_id"), col("text"),
+      TextOps.qualityScore(col("text"), Stopwords).as("quality"),
+      TextOps.langPredict(TextOps.langScores(toks)).as("lang_pred"),
+      TextOps.fingerprintMd5(col("text")).as("fp"))
+    val keep = Dedup.exactDupGroups(docs, "doc_id", "text")
+      .select(col("fingerprint").as("fp"), col("keep_id"))
+    scored
+      .join(keep, Seq("fp"))
+      .filter(col("doc_id") === col("keep_id") &&
+        col("quality") > 0.5 && col("lang_pred") === "en")
+      .select(col("doc_id"), col("quality"), col("lang_pred"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_corpus_curation" -> (q42CorpusCuration _)
+  )
+
+  private val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  val sql: Map[String, String] = Map(
+    "q42_corpus_curation" -> {
+      val ratios = TextOps.LangMarkers.map { case (lang, words) =>
+        val in = words.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(toks, t -> t IN ($in))) AS DOUBLE) / greatest(len(toks), 1) AS r_$lang"
+      }.mkString(",\n   ")
+      s"""WITH b AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS toks, length(text) AS nc,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents),
+         | m AS (
+         |  SELECT doc_id, fp,
+         |   CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / greatest(nc, 1) AS nonalpha,
+         |   CAST(len(toks) AS DOUBLE) AS nt,
+         |   CAST(len(list_filter(toks, t -> t IN ($stopIn))) AS DOUBLE) / greatest(len(toks), 1) AS stop_r,
+         |   $ratios
+         |  FROM b),
+         | q AS (
+         |  SELECT doc_id, fp,
+         |   0.4 * (1.0 - nonalpha) + 0.3 * least(nt / 100.0, 1.0) + 0.3 * least(stop_r * 5.0, 1.0) AS quality,
+         |   CASE WHEN r_en >= 0.01 AND r_en >= r_es AND r_en >= r_de THEN 'en'
+         |        WHEN r_es >= 0.01 AND r_es >= r_de THEN 'es'
+         |        WHEN r_de >= 0.01 THEN 'de'
+         |        ELSE 'unknown' END AS lang_pred
+         |  FROM m),
+         | keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM q GROUP BY fp)
+         |SELECT q.doc_id, q.quality, q.lang_pred, q.fp
+         |FROM q JOIN keep ON q.fp = keep.fp
+         |WHERE q.doc_id = keep.keep_id AND q.quality > 0.5 AND q.lang_pred = 'en'
+         |ORDER BY q.doc_id""".stripMargin
+    }
+  )
+}
