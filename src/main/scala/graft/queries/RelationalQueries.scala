@@ -15,9 +15,11 @@ import graft.util.Tables.load
   *   - ascending ORDER BY columns that can be null carry NULLS FIRST in the
   *     oracle (Spark's asc default) — DuckDB's default is NULLS LAST.
   *
-  * Scale notes (100 TB design): dimension sides of every join are wrapped in
-  * `broadcast(...)`; the disjunctive join (J1 analog, q06) ships with the
-  * union-of-equi-joins rewrite used at scale (see [[graft.star.Joins]]).
+  * Scale notes (100 TB design): only true (fixed-cardinality) dimension sides
+  * are wrapped in `broadcast(...)`; fact-scale tables are never hinted — AQE
+  * picks shuffled hash / sort-merge for those. The disjunctive join (J1
+  * analog, q06) ships with the union-of-equi-joins rewrite used at scale
+  * (see [[graft.star.Joins]]).
   */
 object RelationalQueries {
 
@@ -68,15 +70,19 @@ object RelationalQueries {
   }
 
   /** J3/J4 analog: multi-way star left-join (lineitem⋈orders⋈customer⋈nation⋈
-    * region) with broadcast dims, grouped revenue per region/nation. */
+    * region) grouped to revenue per region/nation. Scale shape: only the true
+    * dims (nation, region — fixed cardinality) are broadcast; orders and
+    * customer grow linearly with the fact table, so those joins are left to
+    * AQE (shuffled hash / sort-merge on the join key) — broadcasting a
+    * fact-scale build side OOMs the driver at 100×. */
   def q05StarRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = load(spark, dir, "lineitem")
     val o = load(spark, dir, "orders")
     val c = load(spark, dir, "customer")
     val n = load(spark, dir, "nation")
     val r = load(spark, dir, "region")
-    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"), "left")
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"), "left")
+    li.join(o, col("l_orderkey") === col("o_orderkey"), "left")
+      .join(c, col("o_custkey") === col("c_custkey"), "left")
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"), "left")
       .groupBy(col("r_name"), col("n_name"))

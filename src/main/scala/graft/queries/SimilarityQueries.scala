@@ -6,8 +6,7 @@ import graft.ext.Similarity
 import graft.util.Tables.load
 
 /** Similarity-search surface over `embeddings`: brute-force cosine top-k
-  * (baseline), threshold near-dup pairs, and sign-LSH ANN (scale path;
-  * rows-only check — the hyperplane literals aren't SQL-expressible).
+  * (baseline), threshold near-dup pairs, and sign-LSH ANN (scale path).
   */
 object SimilarityQueries {
 
@@ -22,8 +21,11 @@ object SimilarityQueries {
         threshold = 0.45, maxId = 2000L)
       .orderBy(col("vec_a"), col("vec_b"))
 
-  /** Rows-only check (no SQL oracle): ANN via deterministic sign-LSH buckets;
-    * recall-vs-brute-force is asserted in SimilaritySpec instead. */
+  /** ANN via deterministic sign-LSH buckets. Oracle-checked: the hyperplanes
+    * are md5-seeded literals ([[graft.ext.Similarity.hyperplanes]]), so the
+    * oracle rebuilds them in SQL — sign bit p of plane (p,d) is the LSB of
+    * md5("graft:p:d")'s first byte, i.e. the parity of the hex digest's
+    * second character. Recall-vs-brute-force is asserted in SimilaritySpec. */
   def q31AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = load(spark, dir, "embeddings")
     Similarity.annTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
@@ -52,6 +54,26 @@ object SimilarityQueries {
         |  round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) > 0.45
-        |ORDER BY vec_a, vec_b""".stripMargin
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q31_ann_lsh" ->
+      """WITH planes AS (
+        |  SELECT p, d,
+        |    CASE WHEN substr(md5('graft:' || p || ':' || d), 2, 1) IN ('0','2','4','6','8','a','c','e')
+        |         THEN 1.0 ELSE -1.0 END AS w
+        |  FROM range(0,8) t1(p), range(0,64) t2(d)),
+        | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | ev AS (SELECT vec_id, generate_subscripts(v,1)-1 AS d, unnest(v) AS x FROM e),
+        | dots AS (SELECT ev.vec_id, pl.p, SUM(ev.x * pl.w) AS dp
+        |          FROM ev JOIN planes pl ON ev.d = pl.d GROUP BY ev.vec_id, pl.p),
+        | buckets AS (SELECT vec_id, CAST(SUM(CASE WHEN dp > 0 THEN (1 << p) ELSE 0 END) AS INTEGER) AS bucket
+        |             FROM dots GROUP BY vec_id),
+        | q AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b USING(vec_id) WHERE e.vec_id < 10),
+        | c AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b USING(vec_id)),
+        | s AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.bucket AS bucket,
+        |         round(list_cosine_similarity(q.v, c.v), 4) AS sim
+        |       FROM q JOIN c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id)
+        |SELECT query_id, cand_id, bucket, sim FROM s
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) <= 5
+        |ORDER BY query_id, cand_id""".stripMargin
   )
 }
