@@ -41,15 +41,14 @@ object MergeWrite {
           .filter(col("_rn") === 1).drop("_rn", "_src_rank")
       } else dated
     // The merged plan reads the target path; Spark cannot overwrite a path
-    // it is reading from, so materialize through a staging dir first.
-    val staging = processedDir.stripSuffix("/") + "_staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(staging)
-    spark.read.parquet(staging).write
+    // it is reading from, so cut the lineage with an eager localCheckpoint
+    // (executor-local blocks) — each affected partition is then written to
+    // the table exactly once, instead of the staging-dir double write.
+    merged.localCheckpoint().write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic") // never static-overwrite the root
       .partitionBy(PartitionCol)
       .parquet(processedDir)
-    delete(spark, staging)
   }
 
   def readProcessed(spark: SparkSession, processedDir: String): DataFrame =
@@ -59,12 +58,5 @@ object MergeWrite {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p).nonEmpty
-  }
-
-  private def delete(spark: SparkSession, dir: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    ()
   }
 }

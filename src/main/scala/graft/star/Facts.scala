@@ -1,6 +1,6 @@
 package graft.star
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,22 +43,50 @@ object Facts {
         col("service_count"), col("included_items_count"))
   }
 
+  /** Number of hash buckets vehicle_dim is partitioned into on disk. A key's
+    * bucket is a pure function of (vin, auction_id), so an upsert reads and
+    * rewrites only the buckets its incoming keys fall in (the MergeWrite
+    * date-pruning pattern applied to a keyed dim). Fixed once the table
+    * exists — changing it requires a one-off rebucketing rewrite. */
+  val VehicleDimBuckets = 64
+
+  private[graft] def vehicleBucket(vin: Column, auctionId: Column): Column =
+    pmod(hash(vin, auctionId), lit(VehicleDimBuckets))
+
   /** U2 (Q:158-177): upsert on (vin, auction_id) — incoming wins on all
     * attributes, the existing row keeps its vehicle_id (Postgres ON CONFLICT
-    * DO UPDATE preserves the PK). New rows get max(existing)+row_number. */
+    * DO UPDATE preserves the PK). New rows get max(existing)+row_number.
+    *
+    * Scale shape: the dim is hash-bucketed by key on disk; only buckets
+    * containing incoming keys are read (partition-pruned semi join) and
+    * rewritten (dynamic partition overwrite) — never the whole table. The
+    * `maxId` scalar agg scans one column of the full dim (column-pruned);
+    * the id-assignment window is single-partition but runs over NEW keys
+    * only, so it is bounded by the incoming batch, not the dim. */
   def upsertVehicleDim(wh: Warehouse, staging: DataFrame): Unit = {
     val keys = Seq("vin", "auction_id")
-    val incoming = resolveVehicleAttrs(wh, staging).withColumn("_inc", lit(1))
+    val incoming = resolveVehicleAttrs(wh, staging)
+      .withColumn("_bucket", vehicleBucket(col("vin"), col("auction_id")))
+      .withColumn("_inc", lit(1))
     val merged = wh.readIfExists("vehicle_dim") match {
       case None => incoming.drop("_inc")
       case Some(existing) =>
-        val ids = existing.select(col("vin"), col("auction_id"), col("vehicle_id"))
+        // partition-pruned: only buckets containing incoming keys are read
+        val affected = incoming.select(col("_bucket")).distinct()
+        val hit = existing.join(broadcast(affected), Seq("_bucket"), "left_semi")
+        val ids = hit.select(
+          col("vin").as("_ivin"), col("auction_id").as("_iaid"), col("vehicle_id"))
         val union = incoming.unionByName(
-          existing.drop("vehicle_id").withColumn("_inc", lit(0)), allowMissingColumns = true)
+          hit.drop("vehicle_id").withColumn("_inc", lit(0)), allowMissingColumns = true)
         val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_inc").desc)
+        // null-safe id recovery (<=>): the keep-first window above groups
+        // null keys together, so the join must match them too — a plain
+        // equi-join would re-key every null-vin row on each load, orphaning
+        // the fact rows that reference its old vehicle_id.
         union.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn", "_inc")
-          .join(ids, keys, "left")
+          .join(ids, col("vin") <=> col("_ivin") && col("auction_id") <=> col("_iaid"), "left")
+          .drop("_ivin", "_iaid")
     }
     val withIds =
       if (merged.columns.contains("vehicle_id")) merged
@@ -66,11 +94,11 @@ object Facts {
     val maxId = wh.readIfExists("vehicle_dim")
       .map(_.agg(coalesce(max(col("vehicle_id")), lit(0L))).head().getLong(0))
       .getOrElse(0L)
+    val keyed = withIds.filter(col("vehicle_id").isNotNull)
     val w = Window.orderBy(col("vin").asc_nulls_last, col("auction_id").asc_nulls_last)
-    val result = withIds.withColumn("vehicle_id",
-      coalesce(col("vehicle_id"),
-        row_number().over(w).cast("long") + lit(maxId)))
-    wh.overwrite("vehicle_dim", result)
+    val fresh = withIds.filter(col("vehicle_id").isNull)
+      .withColumn("vehicle_id", row_number().over(w).cast("long") + lit(maxId))
+    wh.overwritePartitions("vehicle_dim", keyed.unionByName(fresh), "_bucket")
   }
 
   /** J4 + U1 (Q:181-223): the 6-way star join resolving every surrogate key,

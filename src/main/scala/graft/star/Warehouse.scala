@@ -38,5 +38,19 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     ()
   }
 
+  /** Rewrite ONLY the partitions present in `df` (dynamic partition
+    * overwrite) — files in untouched partitions are left as-is, so a keyed
+    * upsert costs O(affected partitions), not O(table). The incoming plan may
+    * read the target table itself: lineage is cut with an eager
+    * `localCheckpoint` (executor-local blocks) instead of a staging-dir
+    * round-trip, so the merged data is written to the table exactly once. */
+  def overwritePartitions(table: String, df: DataFrame, partitionCol: String): Unit = {
+    val snapped = df.localCheckpoint()
+    snapped.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path(table).toString)
+  }
+
   def truncateInsert(table: String, df: DataFrame): Unit = overwrite(table, df)
 }

@@ -76,6 +76,61 @@ class StarLoadSpec extends AnyFunSuite {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("U2 upsert rewrites only the buckets containing incoming keys") {
+    val whDir = Files.createTempDirectory("graft_wh_bkt").toString
+    val wh = new Warehouse(spark, whDir)
+    StarLoad.run(wh, silverDf(Seq(
+      silverRow("A1", "VINA", "Sold", "Ford", "Dallas", "TX", 45000L),
+      silverRow("A2", "VINB", "Reserve not met", "Mazda", "Austin", "TX", 60000L),
+      silverRow("A3", "VINC", "Sold", "Ford", "Nowhere", "ZZ", 1000L))))
+
+    def dimFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$whDir/vehicle_dim"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    def bucketOf(vin: String, aid: String): Int = spark.range(1)
+      .select(Facts.vehicleBucket(lit(vin), lit(aid))).head().getInt(0)
+
+    val incomingBucket = s"_bucket=${bucketOf("VINA", "A1")}"
+    // precondition: the other keys land in at least one different bucket
+    assert(Seq(bucketOf("VINB", "A2"), bucketOf("VINC", "A3"))
+      .exists(b => s"_bucket=$b" != incomingBucket))
+
+    val before = dimFiles()
+    StarLoad.run(wh, silverDf(Seq(silverRow("A1", "VINA", "Sold", "Ford", "Dallas", "TX", 99999L))))
+    val after = dimFiles()
+
+    // untouched buckets: identical file set, bytes never rewritten
+    val untouchedBefore = before.filterNot(_._1.contains(incomingBucket))
+    val untouchedAfter = after.filterNot(_._1.contains(incomingBucket))
+    assert(untouchedBefore == untouchedAfter)
+    // the incoming key's bucket WAS rewritten
+    assert(before.keySet.filter(_.contains(incomingBucket)) !=
+      after.keySet.filter(_.contains(incomingBucket)))
+    // and the merge semantics held
+    val vd = wh.read("vehicle_dim")
+    assert(vd.count() == 3)
+    assert(vd.filter(col("vin") === "VINA").head().getAs[Long]("mileage") == 99999L)
+  }
+
+  test("null-vin rows keep their surrogate id across loads (null-safe recovery)") {
+    val whDir = Files.createTempDirectory("graft_wh_nullvin").toString
+    val wh = new Warehouse(spark, whDir)
+    val batch = silverDf(Seq(silverRow("A9", null, "Sold", "Ford", "Dallas", "TX", 1L)))
+    StarLoad.run(wh, batch)
+    val id1 = wh.read("vehicle_dim").filter(col("vin").isNull)
+      .select("vehicle_id").as[Long].collect()
+    assert(id1.length == 1)
+    StarLoad.run(wh, batch)
+    val vd2 = wh.read("vehicle_dim")
+    assert(vd2.count() == 1)
+    val id2 = vd2.filter(col("vin").isNull).select("vehicle_id").as[Long].collect()
+    assert(id2.toSeq == id1.toSeq) // no re-keying on re-load
+  }
+
   test("J1 disjunctive rewrite ≡ OR-join on the state lookup") {
     val staging = Seq(("Dallas", "TX"), ("Austin", "Texas"), ("X", "ZZ"), ("Y", null))
       .toDF("city", "title_state")
