@@ -66,6 +66,42 @@ class IncrementalSpec extends AnyFunSuite {
     assert(streaming == batch)
   }
 
+  test("multi-batch sessionization (1 file per trigger) still matches batch q41") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = Files.createTempDirectory("graft_sess_multi")
+    // split events into three time-contiguous files, oldest first, so each
+    // micro-batch extends sessions from the previous ones — this exercises
+    // cross-batch state merging AND the snapshot upsert (stale open-session
+    // rows must be replaced, not retained)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val Array(q33, q66) = ev.stat.approxQuantile("ts", Array(0.33, 0.66), 0.0)
+    val chunks = Seq(
+      ev.filter(col("ts") <= q33),
+      ev.filter(col("ts") > q33 && col("ts") <= q66),
+      ev.filter(col("ts") > q66))
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = Files.createTempDirectory(s"graft_sess_chunk$i")
+      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(s"c$i.parquet")
+      Files.move(part, dest)
+      dest.toFile.setLastModified(1000000L * (i + 1)) // force processing order
+    }
+    val streaming = graft.stream.Sessionize
+      .runToSnapshot(spark, streamDir.toString, "sess_multi", maxFilesPerTrigger = Some(1))
+      .toDF()
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        unix_millis(col("session_start")).as("s"), unix_millis(col("session_end")).as("e"))
+      .orderBy("user_id", "session_id").collect().toSeq
+    val batch = graft.queries.AdvancedJoinQueries.q41Sessionize(spark, dir)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        unix_millis(col("session_start").cast("timestamp")).as("s"),
+        unix_millis(col("session_end").cast("timestamp")).as("e"))
+      .collect().toSeq
+    assert(streaming == batch)
+  }
+
   test("streaming windowed counts match the batch tumbling-window query") {
     val dir = "/root/testdata/sf0.001"
     // file-stream sources need a directory; link the single-file table in

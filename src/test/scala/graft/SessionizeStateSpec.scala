@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.api.java.Optional
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.stream.Sessionize
+import graft.stream.Sessionize.{Ev, OpenSess, SessState, Session}
+
+/** The sessionization state machine, driven directly through
+  * `TestGroupState`: state is O(1) per user (counter + open tuple, never the
+  * event history), gap timeouts close-and-evict the open session keeping
+  * only the counter, the counter TTL removes state entirely, and session
+  * numbering stays monotonic for late-returning users.
+  */
+class SessionizeStateSpec extends AnyFunSuite {
+
+  private def ts(ms: Long) = new Timestamp(ms)
+  private val Gap = Sessionize.GapMs
+
+  private def freshState(watermarkMs: Long = 0L, timedOut: Boolean = false,
+                         prior: Option[SessState] = None): TestGroupState[SessState] =
+    TestGroupState.create[SessState](
+      prior.map(Optional.of[SessState]).getOrElse(Optional.empty[SessState]()),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(watermarkMs), timedOut)
+
+  test("state stays O(1) under many events; open session emitted with running totals") {
+    val state = freshState()
+    val n = 10000
+    val evs = (1 to n).map(i => Ev(1L, ts(i * 1000L))) // 1s apart — one session
+    val out = Sessionize.update(1L, evs.iterator, state).toSeq
+    // state holds exactly the counter + the open tuple — not the 10k events
+    assert(state.get == SessState(1L, Some(OpenSess(1000L, n * 1000L, n.toLong))))
+    assert(out == Seq(Session(1L, 1L, n.toLong, ts(1000L), ts(n * 1000L))))
+    assert(state.getTimeoutTimestampMs.get() == n * 1000L + Gap)
+  }
+
+  test("in-batch gap closes the first session and opens a numbered successor") {
+    val state = freshState()
+    val evs = Seq(Ev(7L, ts(1000L)), Ev(7L, ts(2000L)), Ev(7L, ts(2000L + Gap + 1)))
+    val out = Sessionize.update(7L, evs.iterator, state).toSeq
+    assert(out == Seq(
+      Session(7L, 1L, 2L, ts(1000L), ts(2000L)),
+      Session(7L, 2L, 1L, ts(2000L + Gap + 1), ts(2000L + Gap + 1))))
+    assert(state.get == SessState(2L, Some(OpenSess(2000L + Gap + 1, 2000L + Gap + 1, 1L))))
+  }
+
+  test("within-gap late event folds into the open session") {
+    val prior = SessState(1L, Some(OpenSess(100000L, 200000L, 2L)))
+    val state = freshState(watermarkMs = 0L, prior = Some(prior))
+    val out = Sessionize.update(1L, Iterator(Ev(1L, ts(150000L))), state).toSeq
+    assert(state.get == SessState(1L, Some(OpenSess(100000L, 200000L, 3L))))
+    assert(out == Seq(Session(1L, 1L, 3L, ts(100000L), ts(200000L))))
+  }
+
+  test("gap timeout emits the closed session and keeps only the counter") {
+    val prior = SessState(3L, Some(OpenSess(1000L, 5000L, 4L)))
+    val state = freshState(watermarkMs = 5000L + Gap + 1, timedOut = true, prior = Some(prior))
+    val out = Sessionize.update(9L, Iterator.empty, state).toSeq
+    assert(out == Seq(Session(9L, 3L, 4L, ts(1000L), ts(5000L))))
+    assert(state.get == SessState(3L, None)) // event data evicted
+    assert(state.getTimeoutTimestampMs.get() == 5000L + Sessionize.CounterTtlMs)
+  }
+
+  test("counter TTL removes the user's state entirely") {
+    val state = freshState(watermarkMs = Sessionize.CounterTtlMs + 1, timedOut = true,
+      prior = Some(SessState(3L, None)))
+    val out = Sessionize.update(9L, Iterator.empty, state).toSeq
+    assert(out.isEmpty)
+    assert(state.isRemoved)
+  }
+
+  test("late-returning user continues session numbering from the counter") {
+    val state = freshState(watermarkMs = 1000L, prior = Some(SessState(5L, None)))
+    val t = 10L * Gap
+    val out = Sessionize.update(4L, Iterator(Ev(4L, ts(t))), state).toSeq
+    assert(out == Seq(Session(4L, 6L, 1L, ts(t), ts(t))))
+    assert(state.get == SessState(6L, Some(OpenSess(t, t, 1L))))
+  }
+}
