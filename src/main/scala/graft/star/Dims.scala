@@ -21,7 +21,7 @@ object Dims {
     * `table` yet, with surrogate ids. Returns rows appended. */
   def insertOnlyNew(wh: Warehouse, table: String, candidates: DataFrame,
                     keys: Seq[String], idCol: String = "id"): Long = {
-    val existing = wh.readIfExists(table)
+    val existing = wh.readIfExistsCached(table)
     val newRows = existing match {
       case Some(e) => candidates.join(broadcast(e.select(keys.map(col): _*)), keys, "left_anti")
       case None => candidates
@@ -56,7 +56,7 @@ object Dims {
     val withState = Joins.disjunctiveLeftRewrite(
       staging.filter(col("city").isNotNull)
         .select(trim(col("city")).as("city_name"), col("title_state")),
-      wh.read("state_dim"), col("title_state"))
+      wh.readCached("state_dim"), col("title_state"))
     val candidates = withState.select(col("city_name"), col("state_id")).distinct()
     insertOnlyNew(wh, table = "city_dim", candidates, keys = Seq("city_name", "state_id"))
   }
@@ -71,7 +71,7 @@ object Dims {
   /** vehicle_model_dim (Q:104-114): J2 — normalize the make key BEFORE the
     * join so it stays an equi-join (broadcast-hash, not BNLJ). */
   def loadModelDim(wh: Warehouse, staging: DataFrame): Long = {
-    val makeDim = wh.read("vehicle_make_dim")
+    val makeDim = wh.readCached("vehicle_make_dim")
       .select(trim(col("make")).as("_mk"), col("id").as("make_id"))
     val candidates = staging.filter(col("model").isNotNull)
       .select(trim(col("model")).as("model"), trim(col("make")).as("_mk"))

@@ -10,19 +10,17 @@ import org.apache.spark.sql.functions._
   */
 object Facts {
 
-  private def bcast(wh: Warehouse, table: String): DataFrame = broadcast(wh.read(table))
-
   /** The J3 4-way dim resolution feeding vehicle_dim (Q:147-157). */
   def resolveVehicleAttrs(wh: Warehouse, staging: DataFrame): DataFrame = {
-    val makeDim = wh.read("vehicle_make_dim")
+    val makeDim = wh.readCached("vehicle_make_dim")
       .select(trim(col("make")).as("_mk"), col("id").as("make_id"))
-    val modelDim = wh.read("vehicle_model_dim")
+    val modelDim = wh.readCached("vehicle_model_dim")
       .select(col("model").as("_md"), col("make_id").as("_md_make_id"), col("id").as("model_id"))
-    val bodyDim = wh.read("body_style_dim")
+    val bodyDim = wh.readCached("body_style_dim")
       .select(col("body_style").as("_bs"), col("id").as("body_style_id"))
-    val transDim = wh.read("transmission_dim")
+    val transDim = wh.readCached("transmission_dim")
       .select(col("transmission").as("_tr"), col("id").as("transmission_id"))
-    val driveDim = wh.read("drivetrain_dim")
+    val driveDim = wh.readCached("drivetrain_dim")
       .select(col("drivetrain").as("_dr"), col("id").as("drivetrain_id"))
     staging
       .join(broadcast(makeDim), trim(col("make")) === col("_mk"), "left")
@@ -108,12 +106,12 @@ object Facts {
   def insertAuctionFact(wh: Warehouse, staging: DataFrame): Long = {
     val vd = wh.read("vehicle_dim")
       .select(col("vin").as("_vvin"), col("auction_id").as("_vaid"), col("vehicle_id"))
-    val asd = wh.read("auction_status_dim").select(col("status").as("_as"), col("id").as("auction_status_id"))
-    val rsd = wh.read("reserve_status_dim").select(col("status").as("_rs"), col("id").as("reserve_status_id"))
-    val sd = wh.read("state_dim").select(col("state_abbr").as("_sa"), col("id").as("auction_state"))
-    val cd = wh.read("city_dim")
+    val asd = wh.readCached("auction_status_dim").select(col("status").as("_as"), col("id").as("auction_status_id"))
+    val rsd = wh.readCached("reserve_status_dim").select(col("status").as("_rs"), col("id").as("reserve_status_id"))
+    val sd = wh.readCached("state_dim").select(col("state_abbr").as("_sa"), col("id").as("auction_state"))
+    val cd = wh.readCached("city_dim")
       .select(col("city_name").as("_cn"), col("state_id").as("_cs"), col("id").as("auction_city"))
-    val std = wh.read("seller_type_dim").select(col("seller_type").as("_st"), col("id").as("seller_type_id"))
+    val std = wh.readCached("seller_type_dim").select(col("seller_type").as("_st"), col("id").as("seller_type_id"))
 
     val resolved = staging.filter(col("auction_id").isNotNull)
       .join(broadcast(vd),

@@ -23,9 +23,30 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
   def readIfExists(table: String): Option[DataFrame] =
     if (exists(table)) Some(read(table)) else None
 
+  // Small-dim read cache: one star load scans each lookup dim at several
+  // join sites (resolution joins, anti-joins, maxId aggs). Caching makes
+  // that one parquet scan + in-memory reuse per load; any write to the
+  // table invalidates. Only true lookup dims belong here — fact-scale
+  // tables (vehicle_dim, auction_fact, staging) must use `read`.
+  private val dimCache = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  def readCached(table: String): DataFrame = synchronized {
+    dimCache.getOrElseUpdate(table,
+      read(table).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  def readIfExistsCached(table: String): Option[DataFrame] =
+    if (exists(table)) Some(readCached(table)) else None
+
+  private def invalidate(table: String): Unit = synchronized {
+    dimCache.remove(table).foreach(_.unpersist())
+  }
+
   /** Append new rows (the U1 insert-only path — callers anti-join first). */
-  def append(table: String, df: DataFrame): Unit =
+  def append(table: String, df: DataFrame): Unit = {
     df.write.mode(SaveMode.Append).parquet(path(table).toString)
+    invalidate(table)
+  }
 
   /** Full rewrite via staging + atomic-ish rename (safe when `df`'s plan
     * reads the table being replaced). */
@@ -35,7 +56,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     val target = path(table)
     if (fs.exists(target)) fs.delete(target, true)
     fs.rename(tmp, target)
-    ()
+    invalidate(table)
   }
 
   /** Rewrite ONLY the partitions present in `df` (dynamic partition
@@ -50,6 +71,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(path(table).toString)
+    invalidate(table)
   }
 
   def truncateInsert(table: String, df: DataFrame): Unit = overwrite(table, df)
