@@ -46,11 +46,13 @@ object Dedup {
                        numHashes: Int = 8, shingleN: Int = 3): DataFrame = {
     require(numHashes == graft.functions.MinHashKernel.NumSlots,
       s"kernel computes ${graft.functions.MinHashKernel.NumSlots} slots")
-    // the kernel is flagged non-deterministic so this projection is a
-    // collapse barrier: one kernel call per row, 8 cheap element_at reads
-    df.select(col(idCol),
+    // one kernel call per row: CollapseProject won't inline a non-cheap
+    // expression into its 8 slot references (SPARK-36718), and the
+    // short-document guard filters on token count — NOT on the kernel's
+    // null result, which filter pushdown would duplicate below the project
+    df.filter(size(split(col(textCol), " ")) >= shingleN) // kernel nulls exactly these
+      .select(col(idCol),
         graft.functions.MinHashSlots.minhashSlots(col(textCol), shingleN).as("_sig"))
-      .filter(col("_sig").isNotNull) // < shingleN tokens → no shingles → drop
       .select(col(idCol) +: (0 until numHashes).map(s =>
         element_at(col("_sig"), s + 1).as(s"sig$s")): _*)
   }

@@ -12,16 +12,25 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Point-side-preserving types only: right/full would emit an unmatched
+    * interval once per bin it covers. The range predicate lives in the JOIN
+    * CONDITION, not a post-join filter — a filter would silently turn a left
+    * join back into inner by dropping the null-extended rows. */
   def binnedRangeJoin(points: DataFrame, pointCol: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
                       binWidth: Double, joinType: String = "inner"): DataFrame = {
-    val p = points.withColumn("_bin", floor(col(pointCol) / binWidth).cast("long"))
-    val iv = intervals.withColumn("_bin",
+    require(Set("inner", "left", "leftouter", "left_outer")(joinType.toLowerCase),
+      s"binnedRangeJoin supports inner/left; '$joinType' would emit each " +
+        s"unmatched interval once per covered bin")
+    val p = points.withColumn("_pbin", floor(col(pointCol) / binWidth).cast("long"))
+    val iv = intervals.withColumn("_ibin",
       explode(sequence(
         floor(col(loCol) / binWidth).cast("long"),
         floor((col(hiCol) - lit(1e-9)) / binWidth).cast("long"))))
-    p.join(iv, Seq("_bin"), joinType)
-      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
-      .drop("_bin")
+    p.join(iv,
+        col("_pbin") === col("_ibin") &&
+          col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol),
+        joinType)
+      .drop("_pbin", "_ibin")
   }
 }

@@ -10,12 +10,23 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join types saltedJoin supports: inner and big-side-preserving only.
+    * Small-side-preserving types (right/full) are rejected — the small side
+    * is replicated once per salt, so each of its unmatched rows would be
+    * emitted `salts` times. */
+  private val BigSidePreserving =
+    Set("inner", "left", "leftouter", "left_outer", "leftsemi", "left_semi",
+      "leftanti", "left_anti")
+
   /** Salted equi-join: the big (skewed) side gets a uniform salt in
     * [0, salts); the small side is replicated once per salt value, and the
     * join key becomes (key, salt) — a hot key now spreads over `salts`
     * reducers. Salt choice never affects the result, only placement. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
+    require(BigSidePreserving(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi/left_anti; '$joinType' would " +
+        s"emit each unmatched small-side row once per salt")
     val salted = big.withColumn("_salt", (rand(42) * salts).cast("int"))
     val replicated = small.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")

@@ -28,11 +28,11 @@ case class MinHashSlots(child: Expression, shingleN: Int = 3) extends UnaryExpre
   override def nullable: Boolean = true
   override def prettyName: String = "graft_minhash_slots"
 
-  /** The kernel IS deterministic; this flag only stops CollapseProject from
-    * inlining one kernel call per downstream slot reference (8× the md5
-    * work, and multiplicatively worse through self-joins). Results are
-    * unchanged because the value is a pure function of the input. */
-  override lazy val deterministic: Boolean = false
+  // Deterministic (a pure function of the input). Single-evaluation per row
+  // is guaranteed structurally, not by abusing the non-determinism flag:
+  // CollapseProject refuses to duplicate non-cheap expressions (SPARK-36718),
+  // and codegen subexpression elimination folds any surviving duplicate
+  // references into one kernel call. MinHashSpec asserts the plan shape.
 
   override def nullSafeEval(v: Any): Any =
     MinHashKernel.compute(v.asInstanceOf[UTF8String], shingleN)

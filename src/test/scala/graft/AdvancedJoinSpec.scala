@@ -46,4 +46,24 @@ class AdvancedJoinSpec extends AnyFunSuite {
     assert(binned == naive)
     assert(binned.nonEmpty)
   }
+
+  test("binned range LEFT join preserves unmatched points (≡ naive left join)") {
+    val points = (1 to 100).map(i => (i.toLong, i * 5.0)).toDF("id", "p")
+    val intervals = Seq((1L, 10.0, 60.0), (2L, 300.0, 400.0)).toDF("iid", "lo", "hi")
+    def shape(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = df
+      .select(col("id"), coalesce(col("iid"), lit(-1L)).as("iid"))
+      .orderBy("id", "iid").collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val binned = shape(RangeJoin.binnedRangeJoin(points, "p", intervals, "lo", "hi", 25.0, "left"))
+    val naive = shape(points.join(intervals,
+      col("p") >= col("lo") && col("p") < col("hi"), "left"))
+    assert(binned == naive)
+    assert(binned.exists(_._2 == -1L)) // unmatched points survive
+    // small-side-preserving types are rejected, not silently wrong
+    assertThrows[IllegalArgumentException] {
+      RangeJoin.binnedRangeJoin(points, "p", intervals, "lo", "hi", 25.0, "right")
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.ext.Skew.saltedJoin(points, intervals, "id", 4, "full")
+    }
+  }
 }

@@ -33,6 +33,18 @@ class ExtSpec extends AnyFunSuite {
     assert(s1.zip(s2).count { case (a, b) => a == b } >= 4) // near-dups share most slots
   }
 
+  test("minhash kernel appears once per row in the optimized plan (no inlining)") {
+    // the kernel is deterministic; single evaluation must hold structurally:
+    // CollapseProject may not duplicate the non-cheap kernel into the 8
+    // element_at slot references (SPARK-36718). A parquet source, not a
+    // local Seq — a LocalRelation would be constant-folded at plan time.
+    val parquetDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Dedup.minhashSignature(parquetDocs, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    val calls = "graft_minhash_slots".r.findAllIn(plan).length
+    assert(calls == 1, s"kernel inlined $calls times:\n$plan")
+  }
+
   test("LSH banding surfaces the duplicate candidate pair, not unrelated docs") {
     val sig = Dedup.minhashSignature(docs, "doc_id", "text")
     val pairs = Dedup.lshCandidatePairs(sig, "doc_id")
