@@ -80,6 +80,57 @@ object Similarity {
   def signBuckets(vecCol: Column, planes: Seq[Array[Double]]): Column =
     graft.functions.SignBuckets.signBuckets(vecCol.cast("array<double>"), planes)
 
+  /** IVF-style ANN top-k: a coarse quantizer assigns every vector to its
+    * nearest of `nlist` centroids (the "inverted lists"); a query probes its
+    * `nprobe` closest lists and exact-re-ranks only those candidates.
+    *
+    * Index build: centroids are a deterministic pseudo-random sample — the
+    * first `nlist` corpus vectors in md5(id) order (hash order ≡ uniform
+    * sample, reproducible in any engine). They are collected to the driver
+    * (nlist·dim doubles — the FAISS-style in-memory coarse quantizer) and
+    * embedded as plan literals, so assignment is a pure map-side projection:
+    * no shuffle, no per-row join against a centroid table. Real deployments
+    * refine centroids with Lloyd iterations (each = one map-side assign +
+    * one groupBy-average shuffle); the sampling init is the deterministic,
+    * oracle-checkable instance of the same structure.
+    *
+    * Scale shape: candidate generation is an equi-join on list_id (shuffle
+    * keyed on ≤ nlist values — AQE skew-splits hot lists), and the re-rank
+    * is the bounded [[TopK]] aggregation, so the shuffle carries
+    * O(queries·k), never all pairs. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val e = corpus.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
+    val cents: Array[(Long, Array[Double])] = e
+      .orderBy(md5(col("_id").cast("string").cast("binary")))
+      .limit(nlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+    // per-centroid (rounded similarity, centroid id) structs; array_max /
+    // array_sort order field-by-field → argmax by (sim, cid), deterministic
+    def centStructs(v: Column, vNorm: Column): Seq[Column] = cents.toSeq.map {
+      case (cid, cv) =>
+        val cn = math.sqrt(cv.map(x => x * x).sum)
+        struct(round(dot(v, lit(cv)) / (vNorm * lit(cn)), 4).as("s"), lit(cid).as("c"))
+    }
+
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+      .withColumn("list_id", array_max(array(centStructs(col("cv"), col("cn")): _*)).getField("c"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+      .withColumn("probe", explode(transform(
+        slice(reverse(array_sort(array(centStructs(col("qv"), col("qn")): _*))), 1, nprobe),
+        s => s.getField("c"))))
+    val sims = c.join(broadcast(q),
+        col("list_id") === col("probe") && col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")), 4).as("sim"))
+    TopK.topKPerGroup(sims, "query_id", "cand_id", "sim", k)
+      .select(col("query_id"), col("cand_id"), col("sim"))
+  }
+
   /** ANN top-k via sign-LSH: candidates share the query's bucket; exact cosine
     * re-rank inside the bucket. Trades recall for a bucket-equi-join — the
     * shape that survives 100 TB (shuffle keyed on bucket, AQE-skew-safe). */

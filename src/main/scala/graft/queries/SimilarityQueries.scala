@@ -32,10 +32,21 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("cand_id"))
   }
 
+  /** IVF ANN: deterministic hash-ordered centroid sample → map-side nearest-
+    * centroid assignment → inverted-list equi-join → bounded top-k re-rank.
+    * The oracle rebuilds the same index in SQL (md5-ordered LIMIT sample). */
+  def q43AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = load(spark, dir, "embeddings")
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+      .orderBy(col("query_id"), col("cand_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_cosine_topk" -> (q25CosineTopK _),
     "q26_embedding_neardup" -> (q26EmbeddingNearDup _),
-    "q31_ann_lsh" -> (q31AnnLsh _)
+    "q31_ann_lsh" -> (q31AnnLsh _),
+    "q43_ann_ivf" -> (q43AnnIvf _)
   )
 
   val sql: Map[String, String] = Map(
@@ -73,6 +84,26 @@ object SimilarityQueries {
         |         round(list_cosine_similarity(q.v, c.v), 4) AS sim
         |       FROM q JOIN c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id)
         |SELECT query_id, cand_id, bucket, sim FROM s
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) <= 5
+        |ORDER BY query_id, cand_id""".stripMargin,
+    "q43_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | cents AS (SELECT vec_id AS cid, v AS cv FROM e
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        | asgn AS (SELECT e.vec_id, c.cid,
+        |            round(list_cosine_similarity(e.v, c.cv), 4) AS s
+        |          FROM e CROSS JOIN cents c),
+        | lists AS (SELECT vec_id, cid AS list_id FROM asgn
+        |           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) = 1),
+        | probes AS (SELECT vec_id AS query_id, cid AS probe FROM asgn WHERE vec_id < 10
+        |            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) <= 4),
+        | s AS (SELECT p.query_id, l.vec_id AS cand_id,
+        |         round(list_cosine_similarity(q.v, c.v), 4) AS sim
+        |       FROM probes p
+        |       JOIN lists l ON l.list_id = p.probe AND l.vec_id <> p.query_id
+        |       JOIN e q ON q.vec_id = p.query_id
+        |       JOIN e c ON c.vec_id = l.vec_id)
+        |SELECT query_id, cand_id, sim FROM s
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) <= 5
         |ORDER BY query_id, cand_id""".stripMargin
   )

@@ -92,6 +92,23 @@ class ExtSpec extends AnyFunSuite {
     assert(ann == brute)
   }
 
+  test("IVF ANN recovers brute-force neighbors on clustered vectors") {
+    val base1 = Array.tabulate(64)(i => math.sin(i + 1))
+    val base2 = Array.tabulate(64)(i => math.cos(2 * i + 1))
+    def jitter(b: Array[Double], k: Int): Seq[Float] = b.zipWithIndex
+      .map { case (v, i) => (v + 0.001 * ((i * k) % 7)).toFloat }.toSeq
+    val emb = (0 until 12).map(k => (k.toLong, jitter(if (k % 2 == 0) base1 else base2, k)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 2)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nlist=4 lists over 2 tight clusters; probing 2 lists covers the cluster
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 3,
+        nlist = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == brute)
+  }
+
   test("text ops: ratios, langid, rolling hash order-sensitivity") {
     val t = Seq((1L, "the cat and the dog")).toDF("id", "text")
     val toks = TextOps.tokens(col("text"))

@@ -102,6 +102,31 @@ class IncrementalSpec extends AnyFunSuite {
     assert(streaming == batch)
   }
 
+  test("streaming dedup across micro-batches keeps one row per fingerprint") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = Files.createTempDirectory("graft_dedup_stream")
+    // two overlapping files: docs 250-299 arrive in BOTH batches — the
+    // second arrival must be suppressed by the watermark-bounded state
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val parts = Seq(docs.filter(col("doc_id") < 300), docs.filter(col("doc_id") >= 250))
+    parts.zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = Files.createTempDirectory(s"graft_dedup_chunk$i")
+      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(s"c$i.parquet")
+      Files.move(part, dest)
+      dest.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val streamed = graft.stream.StreamingDedup
+      .runToSnapshot(spark, streamDir.toString, "dedup_test", maxFilesPerTrigger = Some(1))
+    val batchFps = graft.ext.Dedup.exactDupGroups(docs, "doc_id", "text")
+      .select("fingerprint").collect().map(_.getString(0)).toSet
+    assert(streamed.select("fingerprint").collect().map(_.getString(0)).toSet == batchFps)
+    // exactly one emission per fingerprint, despite the overlap
+    assert(streamed.count() == batchFps.size)
+  }
+
   test("streaming windowed counts match the batch tumbling-window query") {
     val dir = "/root/testdata/sf0.001"
     // file-stream sources need a directory; link the single-file table in
