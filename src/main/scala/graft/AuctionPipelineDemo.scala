@@ -32,7 +32,10 @@ object AuctionPipelineDemo {
 
     // batch path
     val bronze = Flatten.bronze(spark, rawDir)
-    val rescrape = Validate.rescrapeUrls(bronze).collect().map(_.getString(0))
+    // rescrape list goes through the distributed text sink (S8), not a
+    // driver-side collect; read back only for the demo printout
+    graft.sources.TextSources.writeUrlList(Validate.rescrapeUrls(bronze), s"$work/rescrape")
+    val rescrape = spark.read.text(s"$work/rescrape").collect().map(_.getString(0)).sorted
     val silver = Silver.run(bronze)
     MergeWrite.mergeWrite(spark, s"$work/processed", silver)
     val processed = MergeWrite.readProcessed(spark, s"$work/processed")

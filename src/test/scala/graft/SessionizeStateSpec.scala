@@ -70,6 +70,52 @@ class SessionizeStateSpec extends AnyFunSuite {
     assert(state.isRemoved)
   }
 
+  /** Replay time-contiguous chunks through the state machine, upserting
+    * emissions by session_id (what the snapshot sink does); optionally fire
+    * the event-time timeout between chunks whenever the gap has elapsed —
+    * the AvailableNow-with-tight-watermark schedule. */
+  private def replay(chunks: Seq[Seq[Long]], fireTimeouts: Boolean): Seq[Session] = {
+    val emitted = scala.collection.mutable.Map.empty[Long, Session]
+    var st: Option[SessState] = None
+    var watermark = 0L
+    chunks.foreach { chunk =>
+      if (fireTimeouts) st.flatMap(_.open).foreach { o =>
+        if (chunk.nonEmpty && chunk.min - o.last > Gap) {
+          watermark = o.last + Gap + 1
+          val s = freshState(watermark, timedOut = true, prior = st)
+          Sessionize.update(1L, Iterator.empty, s)
+            .foreach(x => emitted(x.session_id) = x)
+          st = if (s.isRemoved) None else s.getOption
+        }
+      }
+      val s = freshState(watermark, prior = st)
+      Sessionize.update(1L, chunk.map(t => Ev(1L, ts(t))).iterator, s)
+        .foreach(x => emitted(x.session_id) = x)
+      st = if (s.isRemoved) None else s.getOption
+    }
+    emitted.values.toSeq.sortBy(_.session_id)
+  }
+
+  test("property: any time-ordered chunked replay ≡ batch sessionsOf") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      times <- Gen.listOfN(n, Gen.choose(0L, 12L * Gap))
+      nCuts <- Gen.choose(0, 4)
+      cuts <- Gen.listOfN(nCuts, Gen.choose(0, n))
+      withTimeouts <- Gen.oneOf(true, false)
+    } yield (times.sorted, cuts.sorted, withTimeouts)
+    val prop = Prop.forAll(gen) { case (sorted, cuts, withTimeouts) =>
+      val bounds = (0 +: cuts :+ sorted.length).distinct.sorted
+      val chunks = bounds.zip(bounds.tail).map { case (a, b) => sorted.slice(a, b) }
+      val streamed = replay(chunks, withTimeouts)
+      val batch = Sessionize.sessionsOf(1L, sorted)
+      streamed == batch
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("late-returning user continues session numbering from the counter") {
     val state = freshState(watermarkMs = 1000L, prior = Some(SessState(5L, None)))
     val t = 10L * Gap
