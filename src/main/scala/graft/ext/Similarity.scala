@@ -98,30 +98,60 @@ object Similarity {
     * keyed on ≤ nlist values — AQE skew-splits hot lists), and the re-rank
     * is the bounded [[TopK]] aggregation, so the shuffle carries
     * O(queries·k), never all pairs. */
+  /** per-centroid (rounded similarity, centroid id) structs; array_max /
+    * array_sort order field-by-field → argmax by (sim, cid), deterministic */
+  private def centStructs(cents: Array[(Long, Array[Double])],
+                          v: Column, vNorm: Column): Seq[Column] = cents.toSeq.map {
+    case (cid, cv) =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      struct(round(dot(v, lit(cv)) / (vNorm * lit(cn)), 4).as("s"), lit(cid).as("c"))
+  }
+
+  /** Lloyd refinement of the coarse quantizer: each iteration assigns every
+    * vector to its nearest centroid (map-side, literal centroids) and
+    * re-centers each list on the member mean — one shuffle of nlist·dim
+    * map-side-combined partials (dim separate avg aggregates, NOT an
+    * explode), then a nlist-row collect. Empty lists keep their centroid. */
+  private def refineCentroids(e: DataFrame, cents0: Array[(Long, Array[Double])],
+                              iterations: Int): Array[(Long, Array[Double])] = {
+    val dim = cents0.head._2.length
+    var cents = cents0
+    (0 until iterations).foreach { _ =>
+      val assigned = e
+        .withColumn("_n", l2norm(col("_v")))
+        .withColumn("_list",
+          array_max(array(centStructs(cents, col("_v"), col("_n")): _*)).getField("c"))
+      val aggs = (0 until dim).map(i => avg(element_at(col("_v"), i + 1)).as(s"m$i"))
+      val means = assigned.groupBy(col("_list")).agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => r.getLong(0) -> Array.tabulate(dim)(i => r.getDouble(i + 1)))
+        .toMap
+      cents = cents.map { case (cid, cv) => (cid, means.getOrElse(cid, cv)) }
+    }
+    cents
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              lloydIterations: Int = 0): DataFrame = {
     val e = corpus.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
-    val cents: Array[(Long, Array[Double])] = e
+    val sample: Array[(Long, Array[Double])] = e
       .orderBy(md5(col("_id").cast("string").cast("binary")))
       .limit(nlist)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-
-    // per-centroid (rounded similarity, centroid id) structs; array_max /
-    // array_sort order field-by-field → argmax by (sim, cid), deterministic
-    def centStructs(v: Column, vNorm: Column): Seq[Column] = cents.toSeq.map {
-      case (cid, cv) =>
-        val cn = math.sqrt(cv.map(x => x * x).sum)
-        struct(round(dot(v, lit(cv)) / (vNorm * lit(cn)), 4).as("s"), lit(cid).as("c"))
-    }
+    val cents =
+      if (lloydIterations > 0) refineCentroids(e, sample, lloydIterations)
+      else sample
 
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", l2norm(col("cv")))
-      .withColumn("list_id", array_max(array(centStructs(col("cv"), col("cn")): _*)).getField("c"))
+      .withColumn("list_id",
+        array_max(array(centStructs(cents, col("cv"), col("cn")): _*)).getField("c"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", l2norm(col("qv")))
       .withColumn("probe", explode(transform(
-        slice(reverse(array_sort(array(centStructs(col("qv"), col("qn")): _*))), 1, nprobe),
+        slice(reverse(array_sort(array(centStructs(cents, col("qv"), col("qn")): _*))), 1, nprobe),
         s => s.getField("c"))))
     val sims = c.join(broadcast(q),
         col("list_id") === col("probe") && col("cand_id") =!= col("query_id"))

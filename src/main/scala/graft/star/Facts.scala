@@ -137,12 +137,18 @@ object Facts {
         col("highlight_count"), col("video_count"),
         col("auction_title"), col("auction_subtitle"), col("auction_url"))
 
-    val newRows = wh.readIfExists("auction_fact") match {
+    // persist (spill-safe) so count + append run the 6-way resolution once
+    val newRows = (wh.readIfExists("auction_fact") match {
       case Some(f) => resolved.join(f.select("auction_id"), Seq("auction_id"), "left_anti")
       case None => resolved
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = newRows.count()
+      if (n > 0) wh.append("auction_fact", newRows)
+      n
+    } finally {
+      newRows.unpersist()
+      ()
     }
-    val n = newRows.count()
-    if (n > 0) wh.append("auction_fact", newRows)
-    n
   }
 }

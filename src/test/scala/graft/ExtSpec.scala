@@ -107,6 +107,14 @@ class ExtSpec extends AnyFunSuite {
         nlist = 4, nprobe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf == brute)
+    // Lloyd refinement re-centers lists on member means: recall holds and
+    // the result is deterministic across runs
+    def refined() = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 3,
+        nlist = 4, nprobe = 2, lloydIterations = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r1 = refined()
+    assert(r1 == brute)
+    assert(r1 == refined())
   }
 
   test("text ops: ratios, langid, rolling hash order-sensitivity") {
