@@ -74,7 +74,7 @@ object Flatten {
 
   /** P4 (T:105-108): lowercase column names, spaces → underscores. */
   def normalizeNames(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.toLowerCase.replace(" ", "_")): _*)
+    df.toDF(df.columns.toIndexedSeq.map(_.toLowerCase.replace(" ", "_")): _*)
 
   /** P1∘P2∘P3∘P4 — raw file(s) to the flat bronze frame. */
   def bronze(spark: SparkSession, path: String): DataFrame =

@@ -100,7 +100,7 @@ object MinHashKernel {
       var d = 0
       while (d < NumDigests) {
         digest.reset()
-        val h = hex(digest.digest((d + ":" + sg).getBytes(StandardCharsets.UTF_8)))
+        val h = hex(digest.digest(s"$d:$sg".getBytes(StandardCharsets.UTF_8)))
         var k = 0
         while (k < SlotsPerDigest) {
           val slice = h.substring(8 * k, 8 * k + 8)
