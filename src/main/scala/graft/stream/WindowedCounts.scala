@@ -14,9 +14,12 @@ object WindowedCounts {
   /** Streaming hourly counts per event_type over the events table
     * (nanos-as-long ts normalized exactly like [[graft.util.Tables.load]]). */
   def hourlyCounts(spark: SparkSession, eventsParquet: String,
-                   watermark: String = "1 hour"): DataFrame = {
+                   watermark: String = "1 hour",
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = spark.read.parquet(eventsParquet).schema
-    val raw = spark.readStream.schema(schema).parquet(eventsParquet)
+    val reader = spark.readStream.schema(schema)
+    val raw = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(eventsParquet)
     val events =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -32,8 +35,9 @@ object WindowedCounts {
     * in-memory table and return the final result (complete mode — the
     * batch-comparable snapshot). */
   def runToSnapshot(spark: SparkSession, eventsParquet: String,
-                    queryName: String = "hourly_counts"): DataFrame = {
-    val q = hourlyCounts(spark, eventsParquet).writeStream
+                    queryName: String = "hourly_counts",
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val q = hourlyCounts(spark, eventsParquet, maxFilesPerTrigger = maxFilesPerTrigger).writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(queryName)

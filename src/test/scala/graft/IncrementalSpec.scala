@@ -141,4 +141,30 @@ class IncrementalSpec extends AnyFunSuite {
       .collect().toSeq
     assert(streaming == batch)
   }
+
+  test("multi-batch windowed counts (1 file per trigger) still match batch q19") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = Files.createTempDirectory("graft_events_multi")
+    // time-contiguous files, oldest first: complete-mode state must carry
+    // partial windows across micro-batches without the watermark dropping them
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val Array(mid) = ev.stat.approxQuantile("ts", Array(0.5), 0.0)
+    Seq(ev.filter(col("ts") <= mid), ev.filter(col("ts") > mid)).zipWithIndex.foreach {
+      case (chunk, i) =>
+        val tmp = Files.createTempDirectory(s"graft_wc_chunk$i")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .find(_.toString.endsWith(".parquet")).get
+        val dest = streamDir.resolve(s"c$i.parquet")
+        Files.move(part, dest)
+        dest.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val streaming = graft.stream.WindowedCounts
+      .runToSnapshot(spark, streamDir.toString, "wc_multi", maxFilesPerTrigger = Some(1))
+      .select(col("bucket").cast("timestamp_ntz").as("bucket"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("bucket", "event_type").collect().toSeq
+    val batch = graft.queries.ExprQueries.q19TumblingWindow(spark, dir)
+      .collect().toSeq
+    assert(streaming == batch)
+  }
 }
