@@ -98,14 +98,11 @@ object Similarity {
     * keyed on ≤ nlist values — AQE skew-splits hot lists), and the re-rank
     * is the bounded [[TopK]] aggregation, so the shuffle carries
     * O(queries·k), never all pairs. */
-  /** per-centroid (rounded similarity, centroid id) structs; array_max /
-    * array_sort order field-by-field → argmax by (sim, cid), deterministic */
-  private def centStructs(cents: Array[(Long, Array[Double])],
-                          v: Column, vNorm: Column): Seq[Column] = cents.toSeq.map {
-    case (cid, cv) =>
-      val cn = math.sqrt(cv.map(x => x * x).sum)
-      struct(round(dot(v, lit(cv)) / (vNorm * lit(cn)), 4).as("s"), lit(cid).as("c"))
-  }
+  /** Top-n centroid ids by (rounded cosine sim, id) desc — the fused
+    * [[graft.functions.NearestCentroids]] kernel: one codegen unit per row
+    * instead of nlist unrolled dot-product projections. */
+  private def nearestIds(cents: Array[(Long, Array[Double])], v: Column, n: Int): Column =
+    graft.functions.NearestCentroids.nearestCentroids(v, cents.toSeq, n)
 
   /** Lloyd refinement of the coarse quantizer: each iteration assigns every
     * vector to its nearest centroid (map-side, literal centroids) and
@@ -118,9 +115,7 @@ object Similarity {
     var cents = cents0
     (0 until iterations).foreach { _ =>
       val assigned = e
-        .withColumn("_n", l2norm(col("_v")))
-        .withColumn("_list",
-          array_max(array(centStructs(cents, col("_v"), col("_n")): _*)).getField("c"))
+        .withColumn("_list", element_at(nearestIds(cents, col("_v"), 1), 1))
       val aggs = (0 until dim).map(i => avg(element_at(col("_v"), i + 1)).as(s"m$i"))
       val means = assigned.groupBy(col("_list")).agg(aggs.head, aggs.tail: _*)
         .collect()
@@ -146,13 +141,10 @@ object Similarity {
 
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", l2norm(col("cv")))
-      .withColumn("list_id",
-        array_max(array(centStructs(cents, col("cv"), col("cn")): _*)).getField("c"))
+      .withColumn("list_id", element_at(nearestIds(cents, col("cv"), 1), 1))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", l2norm(col("qv")))
-      .withColumn("probe", explode(transform(
-        slice(reverse(array_sort(array(centStructs(cents, col("qv"), col("qn")): _*))), 1, nprobe),
-        s => s.getField("c"))))
+      .withColumn("probe", explode(nearestIds(cents, col("qv"), nprobe)))
     val sims = c.join(broadcast(q),
         col("list_id") === col("probe") && col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
