@@ -21,8 +21,11 @@ object GraftFunctions {
     }
 }
 
-/** `SparkSessionExtensions` hook (SURVEY.md §4 custom-hook tier). */
+/** `SparkSessionExtensions` hook (SURVEY.md §4 custom-hook tier): SQL
+  * function surface + the literal-alternation RLIKE rewrite rule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => graft.plans.RewriteLiteralAlternationRLike)
+  }
 }

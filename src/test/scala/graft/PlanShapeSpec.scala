@@ -36,6 +36,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(cols == Set("event_id", "user_id", "value"), s"scan reads: $readSchema")
   }
 
+  test("literal-alternation RLIKE rewrites to Contains ORs; real regex keeps RLike") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // q02 itself (parquet-backed — a LocalRelation would be constant-folded):
+    // pure literal alternation → no regex left in the plan
+    val plan = RelationalQueries.q02RlikeFilter(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("RLIKE"), s"alternation not rewritten:\n$plan")
+    assert(plan.contains("Contains"), plan)
+    // semantics preserved, incl. metacharacter patterns staying on the
+    // regex engine (else 'wid.et' could not match 'widget')
+    val df = Seq("a widget here", "a bolt there", "neither", "wid.et").toDF("s")
+    assert(df.filter(lower(col("s")).rlike("widget|bolt")).count() == 2)
+    val regex = df.filter(col("s").rlike("wid.et"))
+    val plan2 = spark.read.parquet(s"$dir/part.parquet")
+      .filter(col("p_name").rlike("wid.et")).queryExecution.optimizedPlan.toString
+    assert(plan2.contains("RLIKE"), s"unsafe pattern was rewritten:\n$plan2")
+    assert(regex.count() == 2) // 'a widget here' and 'wid.et' both match wid.et
+  }
+
   test("filter pushdown reaches the parquet scan (q01: shipdate predicate)") {
     val plan = RelationalQueries.q01PricingSummary(spark, dir)
       .queryExecution.executedPlan.toString
