@@ -3,6 +3,7 @@ package graft.stream
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.Trigger
 import graft.etl.{Flatten, MergeWrite, Silver, Validate}
+import graft.star.{StarLoad, Warehouse}
 
 /** §2.9: the reference's file-arrival micro-batches (S3 ObjectCreated → one
   * state-machine run per object) as Structured Streaming —
@@ -14,9 +15,14 @@ object Incremental {
 
   /** Process every raw file currently in `rawDir` (wholetext JSON, either
     * envelope), then stop — the AvailableNow analog of the reference's
-    * per-object trigger. Returns once all available input is merged. */
+    * per-object trigger. Returns once all available input is merged; when
+    * `warehouseDir` is given, each micro-batch also runs the star load (the
+    * reference's full lambda chain raw → processed → warehouse). Per-batch
+    * star loads are safe because every load step is idempotent — dims are
+    * insert-only-new (U1), vehicle_dim is a keyed upsert (U2), the fact is
+    * insert-only (U1) — so replays and late corrections converge. */
   def runAvailableNow(spark: SparkSession, rawDir: String, processedDir: String,
-                      checkpointDir: String): Unit = {
+                      checkpointDir: String, warehouseDir: Option[String] = None): Unit = {
     import spark.implicits._
     val raw = spark.readStream
       .option("wholetext", "true")
@@ -31,6 +37,9 @@ object Incremental {
             Flatten.parseEnvelopes(batch.select($"value"))))
           val silver = Silver.run(bronze)
           MergeWrite.mergeWrite(spark, processedDir, silver)
+          warehouseDir.foreach { wd =>
+            StarLoad.run(new Warehouse(spark, wd), silver)
+          }
         }
       }
       .start()

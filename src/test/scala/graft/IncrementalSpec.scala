@@ -47,6 +47,36 @@ class IncrementalSpec extends AnyFunSuite {
     assert(r2.filter(col("auction_id") === "S1").head().getAs[String]("model") == "corrected")
   }
 
+  test("AvailableNow end-to-end: micro-batches reach the star warehouse idempotently") {
+    val base = Files.createTempDirectory("graft_stream_e2e")
+    val rawDir = base.resolve("raw"); Files.createDirectories(rawDir)
+    val processed = base.resolve("processed").toString
+    val ckpt = base.resolve("ckpt").toString
+    val whDir = base.resolve("wh").toString
+
+    Files.writeString(rawDir.resolve("f1.json"),
+      rawFile("https://x/auctions/S1/2015-a", "2024-05-01 10:00:00", "first"))
+    Incremental.runAvailableNow(spark, rawDir.toString, processed, ckpt, Some(whDir))
+    val wh = new graft.star.Warehouse(spark, whDir)
+    assert(wh.read("auction_fact").count() == 1)
+
+    // correction for S1 (newer ts) + a brand-new auction, second micro-batch:
+    // fact stays insert-only (S1 not duplicated), S2 appended, vehicle dim
+    // upserts by (vin, auction_id)
+    Files.writeString(rawDir.resolve("f2.json"),
+      rawFile("https://x/auctions/S1/2015-a", "2024-05-01 11:00:00", "corrected"))
+    Files.writeString(rawDir.resolve("f3.json"),
+      rawFile("https://x/auctions/S2/2016-b", "2024-05-02 09:00:00", "other"))
+    Incremental.runAvailableNow(spark, rawDir.toString, processed, ckpt, Some(whDir))
+    val fact = wh.read("auction_fact")
+    assert(fact.count() == 2)
+    assert(fact.select("auction_id").distinct().count() == 2)
+    assert(wh.read("vehicle_dim").count() == 2)
+    // the processed layer still merged the correction
+    assert(MergeWrite.readProcessed(spark, processed)
+      .filter(col("auction_id") === "S1").head().getAs[String]("model") == "corrected")
+  }
+
   test("stateful streaming sessionization matches batch q41") {
     val dir = "/root/testdata/sf0.001"
     val streamDir = Files.createTempDirectory("graft_sess_stream")
