@@ -112,4 +112,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(after.count() == 2)
     assert(after.filter(col("auction_id") === "AAA111").head().getAs[String]("model") == "RAPTOR")
   }
+
+  test("S5: merge rewrites only the affected date partitions (file-level)") {
+    val processed = Files.createTempDirectory("graft_mw_prune").toString + "/t"
+    // a second auction two days later → a second date partition on disk
+    val day2 = silver.filter(col("auction_id") === "BBB222")
+      .withColumn("auction_date", col("auction_date") + expr("INTERVAL 2 DAYS"))
+      .withColumn("auction_id", lit("DDD444"))
+    MergeWrite.mergeWrite(spark, processed, silver.unionByName(day2))
+
+    def files(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(processed)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val dirs = new java.io.File(processed).listFiles()
+      .filter(_.getName.startsWith(MergeWrite.PartitionCol)).map(_.getName).sorted
+    assert(dirs.length == 2, dirs.mkString(","))
+    val day2Dir = dirs.last
+
+    val before = files()
+    // correction touching ONLY the later date
+    val upd = day2
+      .withColumn("auction_date", col("auction_date") + expr("INTERVAL 1 HOUR"))
+      .withColumn("model", lit("NEWMODEL"))
+    MergeWrite.mergeWrite(spark, processed, upd)
+    val after = files()
+
+    // the untouched date partition's files are byte-identical
+    assert(before.filterNot(_._1.contains(day2Dir)) ==
+      after.filterNot(_._1.contains(day2Dir)))
+    // the affected partition WAS rewritten, with the merge applied
+    assert(before.keySet.filter(_.contains(day2Dir)) !=
+      after.keySet.filter(_.contains(day2Dir)))
+    val merged = MergeWrite.readProcessed(spark, processed)
+    assert(merged.count() == 3)
+    assert(merged.filter(col("auction_id") === "DDD444")
+      .head().getAs[String]("model") == "NEWMODEL")
+  }
 }
