@@ -2,7 +2,6 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over an embedding column (`ARRAY<FLOAT>`).
   *
@@ -129,6 +128,11 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
               lloydIterations: Int = 0): DataFrame = {
+    // the centroid sample and inverted-list ids are read as Long — fail fast
+    // on misuse instead of a ClassCastException deep in the sample collect
+    require(corpus.schema(idCol).dataType == org.apache.spark.sql.types.LongType,
+      s"ivfTopK: id column '$idCol' must be LongType, got " +
+        s"${corpus.schema(idCol).dataType.simpleString} — cast it upstream")
     val e = corpus.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
     val sample: Array[(Long, Array[Double])] = e
       .orderBy(md5(col("_id").cast("string").cast("binary")))
@@ -169,11 +173,15 @@ object Similarity {
       .withColumn("qn", l2norm(col("qv")))
     val sims = c.join(broadcast(q),
         col("bucket") === col("qbucket") && col("cand_id") =!= col("query_id"))
-      .select(col("query_id"), col("cand_id"), col("bucket"),
+      .select(col("query_id"), col("cand_id"),
         round(cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")), 4).as("sim"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id"))
-    sims.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    // bounded top-k re-rank (same tier as bruteForceTopK/ivfTopK): the
+    // shuffle carries O(queries·k) rows even when a bucket is hot, where the
+    // window form would shuffle every in-bucket (query, candidate) pair.
+    // The candidate's bucket equals the query's by the join condition, so it
+    // is recovered from the tiny broadcast query side after the aggregation.
+    TopK.topKPerGroup(sims, "query_id", "cand_id", "sim", k)
+      .join(broadcast(q.select(col("query_id"), col("qbucket").as("bucket"))), Seq("query_id"))
       .select(col("query_id"), col("cand_id"), col("bucket"), col("sim"))
   }
 }

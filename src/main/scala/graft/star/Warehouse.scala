@@ -48,14 +48,31 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     invalidate(table)
   }
 
-  /** Full rewrite via staging + atomic-ish rename (safe when `df`'s plan
-    * reads the table being replaced). */
-  def overwrite(table: String, df: DataFrame): Unit = {
+  /** Full rewrite via staging + rename swap (safe when `df`'s plan reads the
+    * table being replaced). The old table is renamed ASIDE, the staged data
+    * renamed in, and only then is the old data deleted — so the no-table
+    * window is two metadata renames, not a recursive delete, and a crash
+    * mid-swap leaves the previous data recoverable at the aside path instead
+    * of gone. */
+  def overwrite(table: String, df: DataFrame): Unit =
+    overwriteWithProbe(table, df, _ => ())
+
+  /** [[overwrite]] with a step-boundary callback so specs can assert the
+    * table stays visible across the swap. */
+  private[graft] def overwriteWithProbe(table: String, df: DataFrame,
+                                        probe: String => Unit): Unit = {
     val tmp = new Path(s"$dir/.${table}_tmp")
+    val aside = new Path(s"$dir/.${table}_old")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    probe("staged")
+    if (fs.exists(aside)) fs.delete(aside, true)
     val target = path(table)
-    if (fs.exists(target)) fs.delete(target, true)
+    val hadOld = fs.exists(target)
+    if (hadOld) fs.rename(target, aside)
     fs.rename(tmp, target)
+    probe("swapped")
+    if (hadOld) fs.delete(aside, true)
+    probe("cleaned")
     invalidate(table)
   }
 

@@ -56,6 +56,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(regex.count() == 2) // 'a widget here' and 'wid.et' both match wid.et
   }
 
+  test("ANN re-ranks (q31 LSH, q43 IVF) use the bounded TopK aggregator, not a Window") {
+    // the window form shuffles every in-bucket (query, candidate) pair; the
+    // aggregator caps each partition's contribution at k rows per query
+    Seq(graft.queries.SimilarityQueries.q31AnnLsh _,
+        graft.queries.SimilarityQueries.q43AnnIvf _).foreach { q =>
+      val plan = q(spark, dir).queryExecution.sparkPlan.toString
+      assert(!plan.contains("Window"), s"window re-rank crept back in:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"expected the TopKAggregator's ObjectHashAggregate in:\n$plan")
+    }
+  }
+
   test("filter pushdown reaches the parquet scan (q01: shipdate predicate)") {
     val plan = RelationalQueries.q01PricingSummary(spark, dir)
       .queryExecution.executedPlan.toString

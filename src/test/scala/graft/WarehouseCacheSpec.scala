@@ -38,4 +38,22 @@ class WarehouseCacheSpec extends AnyFunSuite {
     assert(p2.count() == 2)
     assert(p2.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
   }
+
+  test("overwrite keeps the table visible at every step boundary, leaves no staging dirs") {
+    val dir = Files.createTempDirectory("graft_whswap").toString
+    val wh = new Warehouse(spark, dir)
+    wh.overwrite("t", Seq((1L, "old")).toDF("id", "k"))
+
+    val steps = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean, Long)]
+    wh.overwriteWithProbe("t", Seq((2L, "new"), (3L, "new")).toDF("id", "k"),
+      step => steps += ((step, wh.exists("t"), wh.read("t").count())))
+
+    assert(steps.map(_._1).toSeq == Seq("staged", "swapped", "cleaned"))
+    assert(steps.forall(_._2), s"table vanished at a step boundary: $steps")
+    // old data readable until the swap, new data from the swap on
+    assert(steps.map(_._3).toSeq == Seq(1L, 2L, 2L))
+    // swap artifacts are cleaned up
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("."))
+    assert(leftovers.isEmpty, s"staging dirs left behind: ${leftovers.toSeq}")
+  }
 }
