@@ -1,8 +1,10 @@
 package graft.stream
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.star.Warehouse
 
 /** Stateful-streaming sessionization via `flatMapGroupsWithState` — the
   * custom-state tier of Structured Streaming (SURVEY.md §2.9 / builder
@@ -10,18 +12,27 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * asserts both produce identical sessions.
   *
   * Scale design — state is O(1) per user, never O(events): only the OPEN
-  * session's (start, last, n) tuple plus the session counter live in
+  * session's (sid, start, last, n) tuple plus the session counter live in
   * `GroupState`. Sessions close either inline (a same-user event past the
   * gap) or via event-time timeout once the watermark passes last+gap; a
   * closed session is emitted and its event data dropped from state. After a
-  * gap timeout only the 16-byte counter survives (so session numbering stays
+  * gap timeout only the counter survives (so session numbering stays
   * monotonic for late-returning users) with a second, much longer TTL
-  * timeout that removes the user's state entirely.
+  * timeout that removes the user's state entirely. If THAT TTL fires, a
+  * returning user's numbering restarts at 1 — downstream stores keyed on
+  * (user_id, session_id) will overwrite the ancient sessions under those
+  * ids. That collision is accepted here (the TTL is 30 days of idleness);
+  * a deployment that must keep forever-history adds a restart epoch to the
+  * session id.
   *
-  * Within-session late events (older than the open session's last event but
-  * inside the gap) fold into the open session; events late enough to fall
-  * behind the watermark are dropped by Spark before reaching the state
-  * function — the standard streaming-sessionization contract.
+  * Late events, precisely: an event inside the open session's span ±gap
+  * folds into it (extending `session_start` backwards at most one gap —
+  * exactly what the batch twin does); an event OLDER than the open session's
+  * start by more than the gap can no longer join any session (its neighbours
+  * were closed and evicted), so it is emitted as its own already-closed
+  * straggler session rather than silently stretching the open one across a
+  * gap. Events later than the watermark delay never reach the state function
+  * at all — Spark drops them.
   */
 object Sessionize {
 
@@ -29,11 +40,13 @@ object Sessionize {
   case class Session(user_id: Long, session_id: Long, n_events: Long,
                      session_start: Timestamp, session_end: Timestamp)
 
-  /** Open-session tuple — the only per-event-derived state kept. */
-  case class OpenSess(start: Long, last: Long, n: Long)
+  /** Open-session tuple — the only per-event-derived state kept. Carries its
+    * own session id: straggler sessions (see above) may be assigned LATER
+    * ids while the open session keeps the id it already emitted under. */
+  case class OpenSess(sid: Long, start: Long, last: Long, n: Long)
 
-  /** Per-user state: id of the current (or last closed) session + the open
-    * session, if any. Fixed-size regardless of event count. */
+  /** Per-user state: highest session id assigned so far + the open session,
+    * if any. Fixed-size regardless of event count. */
   case class SessState(sid: Long, open: Option[OpenSess])
 
   val GapMs: Long = 30L * 60 * 1000
@@ -76,8 +89,8 @@ object Sessionize {
     * running totals (Update mode: downstream upserts on (user, session_id)). */
   private[graft] def update(userId: Long, events: Iterator[Ev],
                             state: GroupState[SessState]): Iterator[Session] = {
-    def emit(sid: Long, o: OpenSess): Session =
-      Session(userId, sid, o.n, new Timestamp(o.start), new Timestamp(o.last))
+    def emit(o: OpenSess): Session =
+      Session(userId, o.sid, o.n, new Timestamp(o.start), new Timestamp(o.last))
     // timeouts must be strictly ahead of the watermark or Spark rejects them
     def armTimeout(atMs: Long): Unit =
       state.setTimeoutTimestamp(math.max(atMs, state.getCurrentWatermarkMs() + 1))
@@ -90,7 +103,7 @@ object Sessionize {
           // keep only the counter (with its own TTL) for stable numbering
           state.update(SessState(s.sid, None))
           armTimeout(o.last + CounterTtlMs)
-          Iterator(emit(s.sid, o))
+          Iterator(emit(o))
         case None =>
           state.remove() // counter TTL expired — full eviction
           Iterator.empty
@@ -102,46 +115,81 @@ object Sessionize {
       val s0 = state.getOption.getOrElse(SessState(0L, None))
       var sid = s0.sid
       var open = s0.open
-      times.foreach { t =>
+      // cross-batch stragglers older than the open session by more than the
+      // gap: their would-be neighbours are closed and evicted, so gap-split
+      // them among themselves and emit them already-closed under FRESH ids
+      // (the open session keeps the id it may already have emitted under;
+      // id order ≠ time order for stragglers, by construction)
+      val (stragglers, current) = open match {
+        case Some(o) => times.partition(_ < o.start - GapMs)
+        case None => (Array.empty[Long], times)
+      }
+      var i = 0
+      while (i < stragglers.length) {
+        var j = i
+        while (j + 1 < stragglers.length && stragglers(j + 1) - stragglers(j) <= GapMs) j += 1
+        sid += 1
+        out += Session(userId, sid, (j - i + 1).toLong,
+          new Timestamp(stragglers(i)), new Timestamp(stragglers(j)))
+        i = j + 1
+      }
+      current.foreach { t =>
         open match {
           case Some(o) if t - o.last > GapMs =>
-            out += emit(sid, o) // closed by an in-batch gap
+            out += emit(o) // closed by an in-batch gap
             sid += 1
-            open = Some(OpenSess(t, t, 1L))
+            open = Some(OpenSess(sid, t, t, 1L))
           case Some(o) =>
-            open = Some(OpenSess(math.min(o.start, t), math.max(o.last, t), o.n + 1L))
+            open = Some(o.copy(start = math.min(o.start, t),
+              last = math.max(o.last, t), n = o.n + 1L))
           case None =>
             sid += 1
-            open = Some(OpenSess(t, t, 1L))
+            open = Some(OpenSess(sid, t, t, 1L))
         }
       }
       open match {
         case Some(o) =>
           state.update(SessState(sid, open))
           armTimeout(o.last + GapMs)
-          out += emit(sid, o) // running totals of the still-open session
+          out += emit(o) // running totals of the still-open session
         case None => // batch carried no events (shouldn't happen outside timeout)
       }
       out.iterator
     }
   }
 
-  /** Streaming sessionization over a parquet file stream of events
-    * (AvailableNow); returns the snapshot of all sessions at stream end.
-    *
-    * The sink upserts each Update-mode emission on (user_id, session_id),
-    * so re-emissions of a growing open session replace their prior row —
-    * correct across any number of micro-batches (`maxFilesPerTrigger`
-    * exercises this in IncrementalSpec). The driver-side map is snapshot
-    * plumbing for tests/demos; production would foreachBatch-upsert into a
-    * keyed store the same way.
-    *
-    * `watermarkDelay` bounds how late an event may be; the default is
-    * generous so finite test data is never dropped. */
-  def runToSnapshot(spark: SparkSession, eventsDir: String,
-                    queryName: String = "sessions",
-                    watermarkDelay: String = "30 days",
-                    maxFilesPerTrigger: Option[Int] = None): Dataset[Session] = {
+  /** Number of hash buckets the sessions table is partitioned into on disk —
+    * the vehicle_dim keyed-upsert shape ([[graft.star.Facts]]) applied to
+    * the streaming sink: a user's bucket is a pure function of user_id, so
+    * each micro-batch reads and rewrites only the buckets its users fall in. */
+  val SessionBuckets = 64
+
+  private def sessionBucket(userId: Column): Column =
+    pmod(hash(userId), lit(SessionBuckets))
+
+  /** Keyed upsert of one micro-batch of session emissions: incoming wins on
+    * (user_id, session_id); only buckets containing incoming users are read
+    * (partition-pruned semi join) and rewritten (dynamic partition
+    * overwrite). Entirely executor-side — no driver collect. */
+  def upsertSessions(wh: Warehouse, table: String, batch: DataFrame): Unit = {
+    val inc = batch.select(col("user_id"), col("session_id"), col("n_events"),
+        col("session_start"), col("session_end"))
+      .withColumn("_bucket", sessionBucket(col("user_id")))
+    val merged = wh.readIfExists(table) match {
+      case None => inc
+      case Some(existing) =>
+        val affected = inc.select("_bucket").distinct()
+        val hit = existing.join(broadcast(affected), Seq("_bucket"), "left_semi")
+        val kept = hit.join(inc.select("user_id", "session_id"),
+          Seq("user_id", "session_id"), "left_anti")
+        inc.unionByName(kept)
+    }
+    wh.overwritePartitions(table, merged, "_bucket")
+  }
+
+  private def sessionStream(spark: SparkSession, eventsDir: String,
+                            watermarkDelay: String,
+                            maxFilesPerTrigger: Option[Int]): Dataset[Session] = {
     import spark.implicits._
     val schema = spark.read.parquet(eventsDir).schema
     val reader = spark.readStream.schema(schema)
@@ -149,23 +197,53 @@ object Sessionize {
       .parquet(eventsDir)
     val events =
       (if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       else raw).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
         .withWatermark("ts", watermarkDelay)
         .as[Ev]
-    val sessions = events.groupByKey(_.user_id)
+    events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
-    val store = new java.util.concurrent.ConcurrentHashMap[(Long, Long), Session]()
-    val q = sessions.writeStream
+  }
+
+  /** Streaming sessionization over a parquet file stream of events
+    * (AvailableNow) into warehouse table `table` — the production sink
+    * shape: every Update-mode emission is upserted on (user_id, session_id)
+    * via [[upsertSessions]], so re-emissions of a growing open session
+    * replace their prior row, correct across any number of micro-batches
+    * (`maxFilesPerTrigger` exercises this in IncrementalSpec).
+    *
+    * `watermarkDelay` bounds how late an event may be; the default is
+    * generous so finite test data is never dropped. */
+  def runToWarehouse(spark: SparkSession, eventsDir: String, wh: Warehouse,
+                     table: String = "sessions",
+                     queryName: String = "sessions",
+                     watermarkDelay: String = "30 days",
+                     maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val sessions = sessionStream(spark, eventsDir, watermarkDelay, maxFilesPerTrigger)
+    val q = sessions.toDF().writeStream
       .outputMode("update")
       .queryName(queryName)
-      .foreachBatch { (batch: Dataset[Session], _: Long) =>
-        batch.collect().foreach(s => store.put((s.user_id, s.session_id), s))
-      }
+      .foreachBatch { (batch: DataFrame, _: Long) => upsertSessions(wh, table, batch) }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    import scala.jdk.CollectionConverters._
-    spark.createDataset(store.values.asScala.toSeq)
+  }
+
+  /** [[runToWarehouse]] into a fresh temp warehouse, returning the final
+    * sessions table — the test/demo convenience entry point. The snapshot IS
+    * the keyed table read back; nothing is collected to the driver. */
+  def runToSnapshot(spark: SparkSession, eventsDir: String,
+                    queryName: String = "sessions",
+                    watermarkDelay: String = "30 days",
+                    maxFilesPerTrigger: Option[Int] = None): Dataset[Session] = {
+    import spark.implicits._
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_sessions_wh").toString)
+    runToWarehouse(spark, eventsDir, wh, "sessions", queryName,
+      watermarkDelay, maxFilesPerTrigger)
+    wh.readIfExists("sessions")
+      .map(_.select("user_id", "session_id", "n_events", "session_start", "session_end")
+        .as[Session])
+      .getOrElse(spark.emptyDataset[Session])
   }
 }
