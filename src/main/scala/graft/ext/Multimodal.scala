@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * with a typed metadata struct, plus decode / feature-extract / resize /
   * frame-sample stages.
   *
-  * The decode step is STUBBED: this container ships no codec libraries, so
-  * [[decodeStub]] derives features deterministically from the payload bytes
-  * (md5-based). Everything around the stub — schema, typed Dataset plumbing,
-  * per-partition batching (the Scala analog of `mapInPandas` batch shape),
-  * partitioning by payload size — is real and tested. A production deployment
-  * swaps `decodeStub`'s body for a codec call; nothing else changes.
+  * Image decode is REAL (the JDK's `javax.imageio` PNG/BMP/GIF/JPEG readers
+  * — no external jars); payloads no image reader understands (audio/video —
+  * this container ships no codecs for those — and the testdata's text blobs)
+  * fall back to [[decodeStub]], which derives features deterministically from
+  * the payload bytes (md5-based). Everything around decode — schema, typed
+  * Dataset plumbing, per-partition batching (the Scala analog of
+  * `mapInPandas` batch shape), partitioning by payload size — is real and
+  * tested. A production deployment swaps the stub for audio/video codec
+  * bindings; nothing else changes.
   */
 object Multimodal {
 
@@ -33,9 +36,43 @@ object Multimodal {
         col("lang").as("lang"),
         length(col("text")).cast("long").as("n_bytes")).as("meta"))
 
-  /** STUB decode: deterministic pseudo-features from md5(payload). Replace the
-    * body with a real codec (e.g. javax.imageio / ffmpeg bindings) in
-    * production; the signature and batch shape are the real contract. */
+  /** Decode: real images first, deterministic stub for everything else.
+    *
+    * Image payloads (PNG/BMP/GIF/JPEG — the decoders the JDK ships in
+    * `javax.imageio`, no external jars) decode to their true dimensions and
+    * an 8-bin normalized luminance histogram as the feature vector. Payloads
+    * no registered reader understands (audio/video — this container ships no
+    * codecs for those — and the testdata's text blobs) fall back to
+    * [[decodeStub]]. */
+  private[graft] def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) decodeStub(payload)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val hist = new Array[Float](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          hist(lum >> 5) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      (w, h, 1, hist.map(_ / n))
+    }
+  }
+
+  /** STUB decode for non-image payloads: deterministic pseudo-features from
+    * md5(payload). A production deployment swaps this for audio/video codec
+    * bindings; the signature and batch shape are the real contract. */
   private def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     val h = java.security.MessageDigest.getInstance("MD5").digest(payload)
     def u(i: Int): Int = h(i) & 0xff
@@ -54,7 +91,7 @@ object Multimodal {
     records.mapPartitions { it =>
       // per-partition codec init would go here
       it.map { r =>
-        val (w, h, f, feat) = decodeStub(r.payload)
+        val (w, h, f, feat) = decode(r.payload)
         MediaFeatures(r.media_id, r.kind, w, h, f, feat)
       }
     }

@@ -142,4 +142,29 @@ class ExtSpec extends AnyFunSuite {
     assert(feat.feature.length == 8)
     assert(feat.n_frames == 1)
   }
+
+  test("multimodal: a real PNG payload decodes to true dimensions + luminance histogram") {
+    // 6×4 image: left half black, right half white → histogram mass split
+    // evenly between the darkest and brightest bins
+    val img = new java.awt.image.BufferedImage(6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 6)
+      img.setRGB(x, y, if (x < 3) 0x000000 else 0xffffff)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+
+    val media = Seq((1L, "image/png", png, Multimodal.MediaMeta("cam", "n/a", png.length.toLong)))
+      .toDF("media_id", "kind", "payload", "meta")
+    val feat = Multimodal.extractFeatures(media.as[Multimodal.MediaRecord]).head()
+    assert(feat.width == 6 && feat.height == 4)
+    assert(feat.n_frames == 1)
+    assert(feat.feature(0) == 0.5f && feat.feature(7) == 0.5f)
+    assert(math.abs(feat.feature.sum - 1.0f) < 1e-6)
+
+    // non-image payloads still take the deterministic stub path
+    val stub = Multimodal.extractFeatures(
+      Seq((2L, "blob", "not an image".getBytes, Multimodal.MediaMeta("s", "en", 12L)))
+        .toDF("media_id", "kind", "payload", "meta").as[Multimodal.MediaRecord]).head()
+    assert(stub.width >= 1 && stub.width <= 64)
+  }
 }
