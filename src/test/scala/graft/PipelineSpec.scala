@@ -113,6 +113,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(after.filter(col("auction_id") === "AAA111").head().getAs[String]("model") == "RAPTOR")
   }
 
+  test("F2→S8→S3→merge: the full rescrape correction loop, newest wins in processed + star") {
+    // round 1: ingest the golden fixture — CCC333 is invalid and held out
+    val processed = Files.createTempDirectory("graft_loop_proc").toString + "/t"
+    val whDir = Files.createTempDirectory("graft_loop_wh").toString
+    val wh = new graft.star.Warehouse(spark, whDir)
+    MergeWrite.mergeWrite(spark, processed, silver)
+    graft.star.StarLoad.run(wh, silver)
+    assert(MergeWrite.readProcessed(spark, processed).count() == 2)
+    assert(wh.read("auction_fact").count() == 2)
+
+    // the rescrape list flows through the S8 text sink and back via S3
+    val listDir = Files.createTempDirectory("graft_loop_list").toString + "/urls"
+    graft.sources.TextSources.writeUrlList(Validate.rescrapeUrls(bronze), listDir)
+    val toRescrape = graft.sources.TextSources.readUrlList(spark, listDir).collect().toSeq
+    assert(toRescrape == Seq("https://carsandbids.com/auctions/CCC333/2018-bmw-m3"))
+
+    // "rescrape" produces a corrected record for the listed URL (now valid,
+    // newer) plus a fresher AAA111 revision — the reference's merge-wins
+    // path. Corrections keep their auction's date (same partition object):
+    // the merge is per date-object, so a LATER time on the SAME date is what
+    // "newest wins" means here
+    val correctedDir = Files.createTempDirectory("graft_loop_raw").toString
+    Files.writeString(Paths.get(s"$correctedDir/corrected.json"),
+      s"""{"${toRescrape.head}": ${rec("ignored", "Sold to winner", "2024-05-02 13:00:00", model = "M3")},
+         |"https://carsandbids.com/auctions/AAA111/2015-ford-f150": ${rec("ignored", "Sold to winner", "2024-05-02 23:00:00", model = "RAPTOR")}}""".stripMargin)
+    val corrected = Silver.run(Flatten.bronze(spark, correctedDir))
+    assert(Validate.rescrapeUrls(Flatten.bronze(spark, correctedDir)).count() == 0)
+
+    // re-ingest: merge into processed, load into the star — newest wins
+    MergeWrite.mergeWrite(spark, processed, corrected)
+    val after = MergeWrite.readProcessed(spark, processed)
+    assert(after.count() == 3) // CCC333 recovered
+    assert(after.filter(col("auction_id") === "CCC333").head()
+      .getAs[String]("auction_status") == "Sold winner")
+    assert(after.filter(col("auction_id") === "AAA111").head()
+      .getAs[String]("model") == "RAPTOR") // newer revision won
+    graft.star.StarLoad.run(wh, corrected)
+    val fact = wh.read("auction_fact")
+    assert(fact.count() == 3) // corrected row inserted; existing rows kept (U1)
+    assert(fact.select("auction_id").distinct().count() == 3)
+    // the corrected vehicle upserted with the revised model resolved (U2)
+    val vd = wh.read("vehicle_dim")
+    assert(vd.filter(col("auction_id") === "CCC333").count() == 1)
+  }
+
   test("S5: merge rewrites only the affected date partitions (file-level)") {
     val processed = Files.createTempDirectory("graft_mw_prune").toString + "/t"
     // a second auction two days later → a second date partition on disk
