@@ -42,11 +42,24 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("cand_id"))
   }
 
+  /** IVF ANN with one Lloyd refinement iteration: the coarse quantizer's
+    * centroids are re-centered on their list means (map-side assign + one
+    * per-dimension-avg shuffle) before the index is built. The oracle replays
+    * the iteration in SQL — assignment, per-dimension means, empty lists
+    * keeping their centroid — proving the refinement end-to-end. */
+  def q45AnnIvfLloyd(spark: SparkSession, dir: String): DataFrame = {
+    val e = load(spark, dir, "embeddings")
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4, lloydIterations = 1)
+      .orderBy(col("query_id"), col("cand_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_cosine_topk" -> (q25CosineTopK _),
     "q26_embedding_neardup" -> (q26EmbeddingNearDup _),
     "q31_ann_lsh" -> (q31AnnLsh _),
-    "q43_ann_ivf" -> (q43AnnIvf _)
+    "q43_ann_ivf" -> (q43AnnIvf _),
+    "q45_ann_ivf_lloyd" -> (q45AnnIvfLloyd _)
   )
 
   val sql: Map[String, String] = Map(
@@ -90,6 +103,38 @@ object SimilarityQueries {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | cents AS (SELECT vec_id AS cid, v AS cv FROM e
         |           ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        | asgn AS (SELECT e.vec_id, c.cid,
+        |            round(list_cosine_similarity(e.v, c.cv), 4) AS s
+        |          FROM e CROSS JOIN cents c),
+        | lists AS (SELECT vec_id, cid AS list_id FROM asgn
+        |           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) = 1),
+        | probes AS (SELECT vec_id AS query_id, cid AS probe FROM asgn WHERE vec_id < 10
+        |            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) <= 4),
+        | s AS (SELECT p.query_id, l.vec_id AS cand_id,
+        |         round(list_cosine_similarity(q.v, c.v), 4) AS sim
+        |       FROM probes p
+        |       JOIN lists l ON l.list_id = p.probe AND l.vec_id <> p.query_id
+        |       JOIN e q ON q.vec_id = p.query_id
+        |       JOIN e c ON c.vec_id = l.vec_id)
+        |SELECT query_id, cand_id, sim FROM s
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) <= 5
+        |ORDER BY query_id, cand_id""".stripMargin,
+    "q45_ann_ivf_lloyd" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | cents0 AS (SELECT vec_id AS cid, v AS cv FROM e
+        |            ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        | asgn0 AS (SELECT e.vec_id, c.cid,
+        |             round(list_cosine_similarity(e.v, c.cv), 4) AS s
+        |           FROM e CROSS JOIN cents0 c),
+        | lists0 AS (SELECT vec_id, cid AS list_id FROM asgn0
+        |            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) = 1),
+        | mvals AS (SELECT l.list_id, generate_subscripts(e.v, 1) AS d, unnest(e.v) AS x
+        |           FROM lists0 l JOIN e ON e.vec_id = l.vec_id),
+        | mlists AS (SELECT list_id, list(m ORDER BY d) AS mv FROM
+        |              (SELECT list_id, d, avg(x) AS m FROM mvals GROUP BY list_id, d)
+        |            GROUP BY list_id),
+        | cents AS (SELECT c.cid, COALESCE(m.mv, c.cv) AS cv
+        |           FROM cents0 c LEFT JOIN mlists m ON c.cid = m.list_id),
         | asgn AS (SELECT e.vec_id, c.cid,
         |            round(list_cosine_similarity(e.v, c.cv), 4) AS s
         |          FROM e CROSS JOIN cents c),
