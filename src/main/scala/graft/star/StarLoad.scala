@@ -28,15 +28,34 @@ object StarLoad {
 
   /** Full star load from a processed/silver frame. `staging` is cached for
     * the duration — all 11 load steps scan it, and at warehouse scale
-    * re-reading the staging table per step is the dominant repeated cost. */
+    * re-reading the staging table per step is the dominant repeated cost.
+    *
+    * The reference's serial transaction is really a dependency DAG: the six
+    * simple dims, city (needs only the pre-seeded state_dim) and make write
+    * DISTINCT tables and read none of each other — so they run as one
+    * concurrent wave (Spark schedules concurrent driver-side actions
+    * fairly; results are identical because the steps share no tables).
+    * Only the true dependencies serialize: model after make, vehicle after
+    * its four dims, fact last. */
   def run(wh: Warehouse, processed: DataFrame): Unit = {
     StateSeed.ensureSeeded(wh)
     val staging = loadStaging(wh, processed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      Dims.loadAllSimple(wh, staging)
-      Dims.loadCityDim(wh, staging)
-      Dims.loadMakeDim(wh, staging)
+      staging.count() // materialize once, before the concurrent fan-out
+      val wave1: Seq[() => Unit] = Seq(
+        () => { Dims.loadSimpleDim(wh, staging, "auction_status_dim", "auction_status", "status"); () },
+        () => { Dims.loadSimpleDim(wh, staging, "reserve_status_dim", "reserve_status", "status"); () },
+        () => { Dims.loadSimpleDim(wh, staging, "body_style_dim", "body_style", "body_style"); () },
+        () => { Dims.loadSimpleDim(wh, staging, "seller_type_dim", "seller_type", "seller_type"); () },
+        () => { Dims.loadSimpleDim(wh, staging, "drivetrain_dim", "drivetrain", "drivetrain", mode = "upper"); () },
+        () => { Dims.loadSimpleDim(wh, staging, "transmission_dim", "transmission_type", "transmission"); () },
+        () => { Dims.loadCityDim(wh, staging); () },
+        () => { Dims.loadMakeDim(wh, staging); () })
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(Future.sequence(wave1.map(f => Future(f()))), Duration.Inf)
       Dims.loadModelDim(wh, staging)
       Facts.upsertVehicleDim(wh, staging)
       Facts.insertAuctionFact(wh, staging)
