@@ -102,8 +102,13 @@ object Facts {
   /** J4 + U1 (Q:181-223): the 6-way star join resolving every surrogate key,
     * insert-only on auction_id. auction_time: the reference round-trips
     * epoch-millis (`TO_TIMESTAMP(auction_date/1000)`, E18); we keep
-    * TimestampType end-to-end so it is auction_date unchanged. */
-  def insertAuctionFact(wh: Warehouse, staging: DataFrame): Long = {
+    * TimestampType end-to-end so it is auction_date unchanged.
+    *
+    * Join shape: the five lookup dims are broadcast-hinted; vehicle_dim is
+    * NOT — it is one row per staged (vin, auction_id), i.e. fact-scale, so
+    * its resolution must be free to shuffle on the key (AQE still broadcasts
+    * it at small SF where it fits; PlanShapeSpec pins the degradation). */
+  private[graft] def resolveFact(wh: Warehouse, staging: DataFrame): DataFrame = {
     val vd = wh.read("vehicle_dim")
       .select(col("vin").as("_vvin"), col("auction_id").as("_vaid"), col("vehicle_id"))
     val asd = wh.readCached("auction_status_dim").select(col("status").as("_as"), col("id").as("auction_status_id"))
@@ -113,8 +118,8 @@ object Facts {
       .select(col("city_name").as("_cn"), col("state_id").as("_cs"), col("id").as("auction_city"))
     val std = wh.readCached("seller_type_dim").select(col("seller_type").as("_st"), col("id").as("seller_type_id"))
 
-    val resolved = staging.filter(col("auction_id").isNotNull)
-      .join(broadcast(vd),
+    staging.filter(col("auction_id").isNotNull)
+      .join(vd,
         trim(col("vin")) === col("_vvin") && col("auction_id") === col("_vaid"), "left")
       .join(broadcast(asd), trim(lower(col("auction_status"))) === col("_as"), "left")
       .join(broadcast(rsd), trim(lower(col("reserve_status"))) === col("_rs"), "left")
@@ -136,7 +141,10 @@ object Facts {
         col("bid_range"), col("bids"),
         col("highlight_count"), col("video_count"),
         col("auction_title"), col("auction_subtitle"), col("auction_url"))
+  }
 
+  def insertAuctionFact(wh: Warehouse, staging: DataFrame): Long = {
+    val resolved = resolveFact(wh, staging)
     // persist (spill-safe) so count + append run the 6-way resolution once
     val newRows = (wh.readIfExists("auction_fact") match {
       case Some(f) => resolved.join(f.select("auction_id"), Seq("auction_id"), "left_anti")

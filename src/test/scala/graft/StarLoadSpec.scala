@@ -131,6 +131,24 @@ class StarLoadSpec extends AnyFunSuite {
     assert(id2.toSeq == id1.toSeq) // no re-keying on re-load
   }
 
+  test("fact resolution: vehicle_dim degrades to a shuffle join; lookup dims stay broadcast") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft_wh_factplan").toString)
+    val batch = silverDf(Seq(silverRow("A1", "VINA", "Sold", "Ford", "Dallas", "TX", 1L)))
+    StarLoad.run(wh, batch)
+    // vehicle_dim is fact-scale: with fact-sized estimates (auto-broadcast
+    // off) its join must shuffle on the key; the five true lookup dims keep
+    // their broadcast hints
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Facts.resolveFact(wh, batch).queryExecution.sparkPlan.toString
+      val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+      val shuffle = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).length
+      assert(bhj == 5, s"expected the 5 hinted lookup-dim joins broadcast, got $bhj:\n$plan")
+      assert(shuffle == 1, s"expected the vehicle_dim join to shuffle, got $shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("J1 disjunctive rewrite ≡ OR-join on the state lookup") {
     val staging = Seq(("Dallas", "TX"), ("Austin", "Texas"), ("X", "ZZ"), ("Y", null))
       .toDF("city", "title_state")
