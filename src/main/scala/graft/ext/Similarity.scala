@@ -62,6 +62,27 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** Near-duplicate pairs via sign-LSH buckets — the unbounded scale path
+    * for [[nearDupPairs]]: candidates are only in-bucket pairs (a bucket
+    * equi-join, AQE-skew-safe), never all pairs, so it runs over the whole
+    * corpus with no id bound. Recall: a pair is surfaced iff both vectors
+    * share a bucket (multi-probe or band-OR would raise recall; one bucket
+    * per vector keeps the construction oracle-exact). */
+  def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"),
+        signBuckets(col(vecCol), planes).as("bucket"))
+      .withColumn("nrm", l2norm(col("v")))
+    e.select(col(idCol).as("vec_a"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
+      .join(e.select(col(idCol).as("vec_b"), col("v").as("vb"), col("nrm").as("nb"),
+          col("bucket").as("_b2")),
+        col("bucket") === col("_b2") && col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cos") > threshold)
+      .select(col("vec_a"), col("vec_b"), col("bucket"), round(col("cos"), 4).as("cos_sim"))
+  }
+
   /** Deterministic ±1 random hyperplanes (seeded md5 over plane/dim indices),
     * materialized as plan-time literals — no data-dependent randomness. */
   def hyperplanes(numPlanes: Int, dim: Int, seed: String = "graft"): Seq[Array[Double]] = {

@@ -54,12 +54,22 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("cand_id"))
   }
 
+  /** q26's near-dup semantics on the scale path: sign-LSH bucket equi-join
+    * instead of bounded all-pairs — no id bound, whole corpus. 6 planes /
+    * 0.3 threshold picked so collisions actually surface pairs on the
+    * testdata's similarity distribution (8 planes at 0.45 → empty result). */
+  def q46LshNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(load(spark, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, numPlanes = 6)
+      .orderBy(col("vec_a"), col("vec_b"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_cosine_topk" -> (q25CosineTopK _),
     "q26_embedding_neardup" -> (q26EmbeddingNearDup _),
     "q31_ann_lsh" -> (q31AnnLsh _),
     "q43_ann_ivf" -> (q43AnnIvf _),
-    "q45_ann_ivf_lloyd" -> (q45AnnIvfLloyd _)
+    "q45_ann_ivf_lloyd" -> (q45AnnIvfLloyd _),
+    "q46_lsh_neardup" -> (q46LshNearDup _)
   )
 
   val sql: Map[String, String] = Map(
@@ -150,6 +160,24 @@ object SimilarityQueries {
         |       JOIN e c ON c.vec_id = l.vec_id)
         |SELECT query_id, cand_id, sim FROM s
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) <= 5
-        |ORDER BY query_id, cand_id""".stripMargin
+        |ORDER BY query_id, cand_id""".stripMargin,
+    "q46_lsh_neardup" ->
+      """WITH planes AS (
+        |  SELECT p, d,
+        |    CASE WHEN substr(md5('graft:' || p || ':' || d), 2, 1) IN ('0','2','4','6','8','a','c','e')
+        |         THEN 1.0 ELSE -1.0 END AS w
+        |  FROM range(0,6) t1(p), range(0,64) t2(d)),
+        | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | ev AS (SELECT vec_id, generate_subscripts(v,1)-1 AS d, unnest(v) AS x FROM e),
+        | dots AS (SELECT ev.vec_id, pl.p, SUM(ev.x * pl.w) AS dp
+        |          FROM ev JOIN planes pl ON ev.d = pl.d GROUP BY ev.vec_id, pl.p),
+        | buckets AS (SELECT vec_id, CAST(SUM(CASE WHEN dp > 0 THEN (1 << p) ELSE 0 END) AS INTEGER) AS bucket
+        |             FROM dots GROUP BY vec_id),
+        | b AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN buckets bk USING(vec_id))
+        |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.bucket AS bucket,
+        |  round(list_cosine_similarity(a.v, c.v), 4) AS cos_sim
+        |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        |WHERE list_cosine_similarity(a.v, c.v) > 0.3
+        |ORDER BY vec_a, vec_b""".stripMargin
   )
 }
