@@ -45,29 +45,40 @@ object Multimodal {
     * codecs for those — and the testdata's text blobs) fall back to
     * [[decodeStub]]. */
   private[graft] def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
-    if (img == null) decodeStub(payload)
-    else {
-      val w = img.getWidth
-      val h = img.getHeight
-      val hist = new Array[Float](8)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-            (rgb & 0xff) * 114) / 1000
-          hist(lum >> 5) += 1f
-          x += 1
+    import javax.imageio.ImageIO
+    try {
+      val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return decodeStub(payload) }
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        // frame count (animated GIFs > 1); features come from frame 0
+        val frames = try math.max(reader.getNumImages(true), 1)
+                     catch { case _: java.io.IOException => 1 }
+        val img = reader.read(0)
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Float](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            hist(lum >> 5) += 1f
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        val n = (w.toLong * h).toFloat
+        (w, h, frames, hist.map(_ / n))
+      } finally {
+        reader.dispose()
+        iis.close()
       }
-      val n = (w.toLong * h).toFloat
-      (w, h, 1, hist.map(_ / n))
-    }
+    } catch { case _: java.io.IOException => decodeStub(payload) }
   }
 
   /** STUB decode for non-image payloads: deterministic pseudo-features from

@@ -167,4 +167,27 @@ class ExtSpec extends AnyFunSuite {
         .toDF("media_id", "kind", "payload", "meta").as[Multimodal.MediaRecord]).head()
     assert(stub.width >= 1 && stub.width <= 64)
   }
+
+  test("multimodal: an animated GIF reports its true frame count") {
+    import javax.imageio.{IIOImage, ImageIO}
+    val buf = new java.io.ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(buf)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until 3).foreach { i =>
+      val f = new java.awt.image.BufferedImage(5, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 5; x <- 0 until 5) f.setRGB(x, y, i * 0x333333)
+      writer.writeToSequence(new IIOImage(f, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    val gif = buf.toByteArray
+
+    val feat = Multimodal.extractFeatures(
+      Seq((3L, "image/gif", gif, Multimodal.MediaMeta("cam", "n/a", gif.length.toLong)))
+        .toDF("media_id", "kind", "payload", "meta").as[Multimodal.MediaRecord]).head()
+    assert(feat.width == 5 && feat.height == 5)
+    assert(feat.n_frames == 3)
+  }
 }

@@ -96,6 +96,33 @@ class IncrementalSpec extends AnyFunSuite {
     assert(streaming == batch)
   }
 
+  test("runToWarehouse upserts sessions into a caller-owned bucketed table") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = Files.createTempDirectory("graft_sess_wh_stream")
+    Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+    val whDir = Files.createTempDirectory("graft_sess_wh").toString
+    val wh = new graft.star.Warehouse(spark, whDir)
+    graft.stream.Sessionize.runToWarehouse(spark, streamDir.toString, wh,
+      table = "sessions", queryName = "sess_wh")
+    val table = wh.read("sessions")
+    // on-disk layout is the keyed-upsert shape: hash-bucket partition dirs
+    val bucketDirs = new java.io.File(s"$whDir/sessions").listFiles()
+      .filter(_.getName.startsWith("_bucket=")).map(_.getName)
+    assert(bucketDirs.nonEmpty)
+    // the table IS the snapshot: matches the oracle-checked batch twin
+    val streamed = table
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        unix_millis(col("session_start")).as("s"), unix_millis(col("session_end")).as("e"))
+      .orderBy("user_id", "session_id").collect().toSeq
+    val batch = graft.queries.AdvancedJoinQueries.q41Sessionize(spark, dir)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        unix_millis(col("session_start").cast("timestamp")).as("s"),
+        unix_millis(col("session_end").cast("timestamp")).as("e"))
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("multi-batch sessionization (1 file per trigger) still matches batch q41") {
     val dir = "/root/testdata/sf0.001"
     val streamDir = Files.createTempDirectory("graft_sess_multi")
