@@ -178,6 +178,44 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("sim"))
   }
 
+  /** Multi-probe sign-LSH ANN: each query probes its own bucket AND the
+    * bucket at Hamming distance 1 from flipping its lowest-margin plane —
+    * the plane whose dot product is closest to zero is the likeliest bit to
+    * differ for a true neighbor (the LSH multi-probe idea). Roughly doubles
+    * candidate recall for one extra probe per query; candidate generation
+    * stays a bucket equi-join and the re-rank stays the bounded TopK.
+    *
+    * The probe set is computed with per-plane dot columns on the (small)
+    * query side only; the corpus side keeps the fused
+    * [[graft.functions.SignBuckets]] kernel. */
+  def annTopKMultiProbe(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int, numPlanes: Int = 8,
+                        dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val c = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("cv"),
+      signBuckets(col(vecCol), planes).as("bucket"))
+      .withColumn("cn", l2norm(col("cv")))
+    val dps = array(planes.map(p => dot(col("qv"), typedLit(p.toSeq))): _*)
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+      .withColumn("qbucket", signBuckets(col("qv"), planes))
+      .withColumn("_dps", dps)
+      // 1-based index of the minimum |dot| — the least-confident sign bit
+      .withColumn("_weak", array_position(
+        transform(col("_dps"), x => abs(x)),
+        array_min(transform(col("_dps"), x => abs(x)))).cast("int"))
+      .withColumn("probe",
+        explode(array(col("qbucket"), expr("qbucket ^ shiftleft(1, _weak - 1)"))))
+    val sims = c.join(broadcast(q),
+        col("bucket") === col("probe") && col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")), 4).as("sim"))
+    TopK.topKPerGroup(sims, "query_id", "cand_id", "sim", k)
+      .select(col("query_id"), col("cand_id"), col("sim"))
+  }
+
   /** ANN top-k via sign-LSH: candidates share the query's bucket; exact cosine
     * re-rank inside the bucket. Trades recall for a bucket-equi-join — the
     * shape that survives 100 TB (shuffle keyed on bucket, AQE-skew-safe). */

@@ -63,13 +63,23 @@ object SimilarityQueries {
         threshold = 0.3, numPlanes = 6)
       .orderBy(col("vec_a"), col("vec_b"))
 
+  /** Multi-probe sign-LSH ANN: own bucket + the Hamming-1 bucket at the
+    * query's lowest-margin plane. The oracle reproduces the margin argmin
+    * from the same md5-seeded planes. */
+  def q47AnnMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    val e = load(spark, dir, "embeddings")
+    Similarity.annTopKMultiProbe(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      .orderBy(col("query_id"), col("cand_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_cosine_topk" -> (q25CosineTopK _),
     "q26_embedding_neardup" -> (q26EmbeddingNearDup _),
     "q31_ann_lsh" -> (q31AnnLsh _),
     "q43_ann_ivf" -> (q43AnnIvf _),
     "q45_ann_ivf_lloyd" -> (q45AnnIvfLloyd _),
-    "q46_lsh_neardup" -> (q46LshNearDup _)
+    "q46_lsh_neardup" -> (q46LshNearDup _),
+    "q47_ann_multiprobe" -> (q47AnnMultiProbe _)
   )
 
   val sql: Map[String, String] = Map(
@@ -178,6 +188,33 @@ object SimilarityQueries {
         |  round(list_cosine_similarity(a.v, c.v), 4) AS cos_sim
         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
         |WHERE list_cosine_similarity(a.v, c.v) > 0.3
-        |ORDER BY vec_a, vec_b""".stripMargin
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q47_ann_multiprobe" ->
+      """WITH planes AS (
+        |  SELECT p, d,
+        |    CASE WHEN substr(md5('graft:' || p || ':' || d), 2, 1) IN ('0','2','4','6','8','a','c','e')
+        |         THEN 1.0 ELSE -1.0 END AS w
+        |  FROM range(0,8) t1(p), range(0,64) t2(d)),
+        | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | ev AS (SELECT vec_id, generate_subscripts(v,1)-1 AS d, unnest(v) AS x FROM e),
+        | dots AS (SELECT ev.vec_id, pl.p, SUM(ev.x * pl.w) AS dp
+        |          FROM ev JOIN planes pl ON ev.d = pl.d GROUP BY ev.vec_id, pl.p),
+        | buckets AS (SELECT vec_id, CAST(SUM(CASE WHEN dp > 0 THEN (1 << p) ELSE 0 END) AS INTEGER) AS bucket
+        |             FROM dots GROUP BY vec_id),
+        | weak AS (SELECT vec_id, p AS wp FROM dots WHERE vec_id < 10
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY abs(dp) ASC, p ASC) = 1),
+        | q AS (SELECT e.vec_id AS query_id, e.v, b.bucket, w.wp
+        |       FROM e JOIN buckets b USING(vec_id) JOIN weak w USING(vec_id)
+        |       WHERE e.vec_id < 10),
+        | probes AS (SELECT query_id, v, bucket AS probe FROM q
+        |            UNION ALL
+        |            SELECT query_id, v, CAST(xor(bucket, 1 << wp) AS INTEGER) AS probe FROM q),
+        | c AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b USING(vec_id)),
+        | s AS (SELECT p.query_id, c.vec_id AS cand_id,
+        |         round(list_cosine_similarity(p.v, c.v), 4) AS sim
+        |       FROM probes p JOIN c ON c.bucket = p.probe AND c.vec_id <> p.query_id)
+        |SELECT query_id, cand_id, sim FROM s
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) <= 5
+        |ORDER BY query_id, cand_id""".stripMargin
   )
 }

@@ -90,6 +90,12 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // clustered vectors share sign-buckets → ANN recovers the brute-force set
     assert(ann == brute)
+    // the extra Hamming-1 probe can only widen the candidate set: multi-probe
+    // recall vs brute force is at least single-probe recall
+    val multi = Similarity.annTopKMultiProbe(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((multi intersect brute).size >= (ann intersect brute).size)
+    assert(multi == brute)
   }
 
   test("IVF ANN recovers brute-force neighbors on clustered vectors") {
