@@ -33,8 +33,29 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source token-budget sampling — the mixture-building primitive: each
+    * source contributes documents in deterministic md5(doc_id) order (hash
+    * order ≡ uniform sample, engine-portable) until its running token total
+    * crosses the budget; the crossing document is included, then the source
+    * stops. One running-total window PER SOURCE (shuffle keyed on source,
+    * each partition scanned once) — no global sort, no collect: the shape
+    * that builds a 100 TB pre-training mixture. */
+  def q48TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 800L
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextOps.reTokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q42_corpus_curation" -> (q42CorpusCuration _)
+    "q42_corpus_curation" -> (q42CorpusCuration _),
+    "q48_token_budget" -> (q48TokenBudget _)
   )
 
   private val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
@@ -69,6 +90,20 @@ object CurationQueries {
          |FROM q JOIN keep ON q.fp = keep.fp
          |WHERE q.doc_id = keep.keep_id AND q.quality > 0.5 AND q.lang_pred = 'en'
          |ORDER BY q.doc_id""".stripMargin
-    }
+    },
+    "q48_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(text, '${TextOps.ReTokenPattern}')) AS BIGINT) AS n_tokens,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         | c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens - n_tokens < 800
+         |ORDER BY source, doc_id""".stripMargin
   )
 }
