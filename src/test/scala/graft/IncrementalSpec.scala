@@ -159,6 +159,33 @@ class IncrementalSpec extends AnyFunSuite {
     assert(streaming == batch)
   }
 
+  test("out-of-order micro-batches conserve every event (stragglers become closed sessions)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = Files.createTempDirectory("graft_sess_ooo")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val total = ev.count()
+    val Array(q50) = ev.stat.approxQuantile("ts", Array(0.5), 0.0)
+    // NEWEST half first, oldest second — every old event arrives after the
+    // open sessions have moved far past it
+    val chunks = Seq(ev.filter(col("ts") > q50), ev.filter(col("ts") <= q50))
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = Files.createTempDirectory(s"graft_ooo_chunk$i")
+      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(s"c$i.parquet")
+      Files.move(part, dest)
+      dest.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val sessions = graft.stream.Sessionize
+      .runToSnapshot(spark, streamDir.toString, "sess_ooo", maxFilesPerTrigger = Some(1))
+    // ids diverge from the batch twin (stragglers take fresh ids — by
+    // design), but no event is lost, double-counted, or silently folded
+    assert(sessions.toDF().agg(sum(col("n_events"))).head().getLong(0) == total)
+    assert(sessions.toDF().select("user_id", "session_id").distinct().count() ==
+      sessions.count())
+  }
+
   test("streaming dedup across micro-batches keeps one row per fingerprint") {
     val dir = "/root/testdata/sf0.001"
     val streamDir = Files.createTempDirectory("graft_dedup_stream")
