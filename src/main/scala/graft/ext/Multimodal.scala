@@ -108,6 +108,65 @@ object Multimodal {
     }
   }
 
+  /** Frame-sampled feature extraction: decode every `stride`-th frame of an
+    * animated payload and mean-pool the per-frame luminance histograms — the
+    * video feature path made real for the formats the JDK decodes (animated
+    * GIF). Single-frame images degenerate to [[extractFeatures]]; non-image
+    * payloads take the stub. Same mapPartitions batch shape. */
+  def extractFrameSampledFeatures(records: Dataset[MediaRecord],
+                                  stride: Int): Dataset[MediaFeatures] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val (w, h, f, feat) = decodeFrameSampled(r.payload, stride)
+        MediaFeatures(r.media_id, r.kind, w, h, f, feat)
+      }
+    }
+  }
+
+  private[graft] def decodeFrameSampled(payload: Array[Byte],
+                                        stride: Int): (Int, Int, Int, Array[Float]) = {
+    import javax.imageio.ImageIO
+    try {
+      val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return decodeStub(payload) }
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val frames = try math.max(reader.getNumImages(true), 1)
+                     catch { case _: java.io.IOException => 1 }
+        val sampled = 0 until frames by stride
+        val pooled = new Array[Float](8)
+        var w = 0
+        var h = 0
+        sampled.foreach { i =>
+          val img = reader.read(i)
+          w = img.getWidth
+          h = img.getHeight
+          val n = (w.toLong * h).toFloat
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              pooled(lum >> 5) += 1f / n
+              x += 1
+            }
+            y += 1
+          }
+        }
+        (w, h, frames, pooled.map(_ / sampled.size))
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+    } catch { case _: java.io.IOException => decodeStub(payload) }
+  }
+
   /** Size-aware repartitioning: large payloads dominate decode cost, so range
     * partition by n_bytes to even out per-task work (skew control at scale). */
   def partitionBySize(df: DataFrame, partitions: Int): DataFrame =

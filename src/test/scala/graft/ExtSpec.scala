@@ -190,10 +190,20 @@ class ExtSpec extends AnyFunSuite {
     ios.close()
     val gif = buf.toByteArray
 
-    val feat = Multimodal.extractFeatures(
-      Seq((3L, "image/gif", gif, Multimodal.MediaMeta("cam", "n/a", gif.length.toLong)))
-        .toDF("media_id", "kind", "payload", "meta").as[Multimodal.MediaRecord]).head()
+    val ds = Seq((3L, "image/gif", gif, Multimodal.MediaMeta("cam", "n/a", gif.length.toLong)))
+      .toDF("media_id", "kind", "payload", "meta").as[Multimodal.MediaRecord]
+    val feat = Multimodal.extractFeatures(ds).head()
     assert(feat.width == 5 && feat.height == 5)
     assert(feat.n_frames == 3)
+
+    // frame-sampled features mean-pool across the sampled frames: the black
+    // frame 0 alone puts all mass in bin 0, frames {0,2} split it between
+    // bins, and each pooled histogram still sums to 1
+    val f0 = Multimodal.extractFrameSampledFeatures(ds, stride = 3).head() // frame 0 only
+    val f02 = Multimodal.extractFrameSampledFeatures(ds, stride = 2).head() // frames 0 and 2
+    assert(math.abs(f0.feature(0) - 1.0f) < 1e-5)
+    assert(math.abs(f02.feature(0) - 0.5f) < 1e-5)
+    assert(f02.feature.sum > 0.99f && f02.feature.sum < 1.01f)
+    assert(f0.n_frames == 3 && f02.n_frames == 3)
   }
 }
