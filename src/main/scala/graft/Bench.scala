@@ -29,10 +29,17 @@ object Bench {
     // Each query runs twice and reports the min: single-run numbers at this
     // scale are dominated by page-cache/first-scanner noise (±0.5 s), which
     // drowned real plan deltas in round-over-round comparisons.
+    // `noop`-format write, NOT count(): a count lets Catalyst prune every
+    // unevaluated projection, so map-only expression queries would be timed
+    // as bare row-count scans. The noop sink consumes full rows — the bench
+    // times what the verify path actually executes. (Levels shifted up vs
+    // r3 for projection-only queries; see NOTES.md.)
     val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val attempts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None } catch {
+        val err = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None
+        } catch {
           case e: Throwable =>
             Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }

@@ -99,8 +99,10 @@ object CurationQueries {
          |  FROM documents),
          | c AS (
          |  SELECT doc_id, source, n_tokens,
-         |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
-         |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |    -- DuckDB SUM(BIGINT) yields HUGEINT (float64 via pandas) — cast
+         |    -- back so the driver's dtype-sensitive hash matches Spark int64.
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
          |  FROM t)
          |SELECT doc_id, source, n_tokens, cum_tokens FROM c
          |WHERE cum_tokens - n_tokens < 800

@@ -59,8 +59,9 @@ object Facts {
     * containing incoming keys are read (partition-pruned semi join) and
     * rewritten (dynamic partition overwrite) — never the whole table. The
     * `maxId` scalar agg scans one column of the full dim (column-pruned);
-    * the id-assignment window is single-partition but runs over NEW keys
-    * only, so it is bounded by the incoming batch, not the dim. */
+    * fresh-key id assignment is a range-shuffled sort + `zipWithIndex`
+    * (see [[assignFreshIds]]) — parallel even when the fresh set is the
+    * whole fact table (initial bulk load). */
   def upsertVehicleDim(wh: Warehouse, staging: DataFrame): Unit = {
     val keys = Seq("vin", "auction_id")
     val incoming = resolveVehicleAttrs(wh, staging)
@@ -93,10 +94,27 @@ object Facts {
       .map(_.agg(coalesce(max(col("vehicle_id")), lit(0L))).head().getLong(0))
       .getOrElse(0L)
     val keyed = withIds.filter(col("vehicle_id").isNotNull)
-    val w = Window.orderBy(col("vin").asc_nulls_last, col("auction_id").asc_nulls_last)
-    val fresh = withIds.filter(col("vehicle_id").isNull)
-      .withColumn("vehicle_id", row_number().over(w).cast("long") + lit(maxId))
+    val fresh = assignFreshIds(withIds.filter(col("vehicle_id").isNull), maxId)
     wh.overwritePartitions("vehicle_dim", keyed.unionByName(fresh), "_bucket")
+  }
+
+  /** Deterministic DISTRIBUTED fresh-id assignment: a range-shuffled global
+    * sort on the natural keys, then `zipWithIndex` + maxId offset — the exact
+    * total order `row_number() OVER (ORDER BY vin, auction_id)` yields, with
+    * no single-partition WindowExec. On an initial bulk load the fresh set IS
+    * the whole fact table, so every fresh key funnelling through one window
+    * task would be the scale-killer; zipWithIndex instead costs one extra
+    * (parallel, cheap) job to count per-partition sizes and keeps every
+    * stage partitioned. Reference semantics: `update_dims.sql`:158-167
+    * (serial nextval over ordered distinct candidates). */
+  private[graft] def assignFreshIds(fresh: DataFrame, maxId: Long): DataFrame = {
+    val sorted = fresh.drop("vehicle_id")
+      .orderBy(col("vin").asc_nulls_last, col("auction_id").asc_nulls_last)
+    val schema = sorted.schema.add("vehicle_id", org.apache.spark.sql.types.LongType)
+    val withIdx = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (maxId + i + 1L))
+    }
+    sorted.sparkSession.createDataFrame(withIdx, schema)
   }
 
   /** J4 + U1 (Q:181-223): the 6-way star join resolving every surrogate key,

@@ -75,4 +75,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("LessThanOrEqual\\(l_shipdate".r.findFirstIn(plan).isDefined,
       s"shipdate predicate not pushed:\n$plan")
   }
+
+  test("fresh-id assignment has no single-partition Window and matches key order") {
+    // on an initial bulk load the fresh set IS the whole fact table —
+    // a no-partition row_number window would funnel it through one task.
+    // assignFreshIds must (a) contain no WindowExec at all, (b) still
+    // reproduce exactly the row_number-over-key-order ids the oracle expects.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val fresh = Seq(("VINB", 2L), ("VINA", 9L), (null.asInstanceOf[String], 1L), ("VINA", 3L))
+      .toDF("vin", "auction_id")
+      .withColumn("vehicle_id", lit(null).cast("long"))
+      .repartition(4)
+    val assigned = graft.star.Facts.assignFreshIds(fresh, maxId = 100L)
+    assert(!assigned.queryExecution.sparkPlan.toString.contains("Window"),
+      "fresh-id path must not use a Window")
+    val got = assigned.select("vin", "auction_id", "vehicle_id")
+      .as[(String, Long, Long)].collect().toSet
+    // key order (vin asc nulls last, auction_id asc): VINA/3 → 101,
+    // VINA/9 → 102, VINB/2 → 103, null/1 → 104
+    assert(got == Set(("VINA", 3L, 101L), ("VINA", 9L, 102L),
+      ("VINB", 2L, 103L), (null, 1L, 104L)), got.toString)
+  }
 }

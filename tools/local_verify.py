@@ -41,6 +41,12 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
     a, b = canon(spark_df), canon(duck_df)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # the driver's hash is dtype-sensitive: a value-equal column whose
+        # dtypes differ (e.g. DuckDB HUGEINT→float64 vs Spark int64, r3's
+        # q48) passes a pure value compare but fails the driver. Flag any
+        # int-vs-float kind drift as a failure here too.
+        if {av.dtype.kind, bv.dtype.kind} == {"i", "f"}:
+            return f"DTYPE col={c} spark={av.dtype} duck={bv.dtype} (driver hash is dtype-sensitive)"
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             av = av.astype(float)
             bv = bv.astype(float)
