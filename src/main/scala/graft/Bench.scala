@@ -34,7 +34,12 @@ object Bench {
     // as bare row-count scans. The noop sink consumes full rows — the bench
     // times what the verify path actually executes. (Levels shifted up vs
     // r3 for projection-only queries; see NOTES.md.)
-    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query filter for local iteration, e.g.
+    // SPARK_GRAFT_ONLY=q44_star_load — the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val runs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val attempts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val err = try {

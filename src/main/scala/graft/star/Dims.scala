@@ -30,20 +30,12 @@ object Dims {
       .map(_.agg(coalesce(max(col(idCol)), lit(0L)).as("m")).head().getLong(0))
       .getOrElse(0L)
     val w = Window.orderBy(keys.map(c => col(c).asc_nulls_last): _*)
-    // persist the (dim-delta-sized) result so count + append run the
-    // anti-join/window once, not twice
+    // count + append fused into one action (Observation on the write plan) —
+    // the anti-join/window runs exactly once, no persist needed
     val assigned = newRows
       .withColumn(idCol, row_number().over(w).cast("long") + lit(maxId))
       .select((idCol +: keys).map(col): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = assigned.count()
-      if (n > 0) wh.append(table, assigned)
-      n
-    } finally {
-      assigned.unpersist()
-      ()
-    }
+    wh.appendCounted(table, assigned)
   }
 
   /** A1+U1: the six single-column dims (Q:8-69). mode per reference:

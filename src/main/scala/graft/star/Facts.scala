@@ -93,9 +93,22 @@ object Facts {
     val maxId = wh.readIfExists("vehicle_dim")
       .map(_.agg(coalesce(max(col("vehicle_id")), lit(0L))).head().getLong(0))
       .getOrElse(0L)
-    val keyed = withIds.filter(col("vehicle_id").isNotNull)
-    val fresh = assignFreshIds(withIds.filter(col("vehicle_id").isNull), maxId)
-    wh.overwritePartitions("vehicle_dim", keyed.unionByName(fresh), "_bucket")
+    // ONE materialization (eager localCheckpoint) feeds everything below:
+    // the keyed/fresh split, the id-assignment sort+zipWithIndex, and the
+    // final write all read executor-local blocks instead of re-running the
+    // resolution joins — and the checkpoint already cut lineage to
+    // vehicle_dim, so the write needs no second snap.
+    val snapped = withIds.localCheckpoint()
+    val keyed = snapped.filter(col("vehicle_id").isNotNull)
+    val fresh = assignFreshIds(snapped.filter(col("vehicle_id").isNull), maxId)
+    // cluster by the on-disk partition key before the partitioned write:
+    // without it every task writes a sliver file into every bucket it
+    // touches (tasks × buckets files + as many dynamic-overwrite commits);
+    // with it each bucket is one task's contiguous write — bounded file
+    // count at any scale, one cheap shuffle of the affected buckets
+    wh.overwritePartitions("vehicle_dim",
+      keyed.unionByName(fresh).repartition(col("_bucket")), "_bucket",
+      alreadySnapped = true)
   }
 
   /** Deterministic DISTRIBUTED fresh-id assignment: a range-shuffled global
@@ -163,18 +176,12 @@ object Facts {
 
   def insertAuctionFact(wh: Warehouse, staging: DataFrame): Long = {
     val resolved = resolveFact(wh, staging)
-    // persist (spill-safe) so count + append run the 6-way resolution once
-    val newRows = (wh.readIfExists("auction_fact") match {
+    val newRows = wh.readIfExists("auction_fact") match {
       case Some(f) => resolved.join(f.select("auction_id"), Seq("auction_id"), "left_anti")
       case None => resolved
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = newRows.count()
-      if (n > 0) wh.append("auction_fact", newRows)
-      n
-    } finally {
-      newRows.unpersist()
-      ()
     }
+    // count + append fused into one action (Observation on the write plan):
+    // the 6-way resolution + anti-join run exactly once, unpersisted
+    wh.appendCounted("auction_fact", newRows)
   }
 }

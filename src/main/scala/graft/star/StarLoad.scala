@@ -18,12 +18,16 @@ import graft.schema.Schemas
 object StarLoad {
 
   /** U3 + P5 + A4 (L:84-107): project the warehouse columns, keep-newest per
-    * auction_id, truncate-load `staging`. */
+    * auction_id, truncate-load `staging`. Returns the staged frame PERSISTED
+    * (MEMORY_AND_DISK): the write job itself materializes the cache, so the
+    * eleven downstream load steps read memory blocks with no extra
+    * count-to-materialize action and no parquet read-back. Caller unpersists. */
   def loadStaging(wh: Warehouse, processed: DataFrame): DataFrame = {
     val projected = processed.select(Schemas.insertColumns.map(col): _*)
     val deduped = Silver.keepNewest(projected)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     wh.truncateInsert("staging", deduped)
-    wh.read("staging")
+    deduped
   }
 
   /** Full star load from a processed/silver frame. `staging` is cached for
@@ -39,10 +43,8 @@ object StarLoad {
     * its four dims, fact last. */
   def run(wh: Warehouse, processed: DataFrame): Unit = {
     StateSeed.ensureSeeded(wh)
-    val staging = loadStaging(wh, processed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val staging = loadStaging(wh, processed) // persisted by the write job
     try {
-      staging.count() // materialize once, before the concurrent fan-out
       val wave1: Seq[() => Unit] = Seq(
         () => { Dims.loadSimpleDim(wh, staging, "auction_status_dim", "auction_status", "status"); () },
         () => { Dims.loadSimpleDim(wh, staging, "reserve_status_dim", "reserve_status", "status"); () },

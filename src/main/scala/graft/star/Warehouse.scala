@@ -13,9 +13,16 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
   private def path(table: String) = new Path(s"$dir/$table")
   private def fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** A table exists only if it has at least one DATA file — a dir holding
+    * just a `_SUCCESS` marker (e.g. from appending an empty frame before the
+    * table was ever loaded) is not a table; reading it would fail schema
+    * inference. */
   def exists(table: String): Boolean = {
     val p = path(table)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
+    fs.exists(p) && fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      s.isDirectory || (!n.startsWith("_") && !n.startsWith("."))
+    }
   }
 
   def read(table: String): DataFrame = spark.read.parquet(path(table).toString)
@@ -46,6 +53,24 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
   def append(table: String, df: DataFrame): Unit = {
     df.write.mode(SaveMode.Append).parquet(path(table).toString)
     invalidate(table)
+  }
+
+  /** Append + row count in ONE action: an [[org.apache.spark.sql.Observation]]
+    * on the write plan counts rows as they stream to the files. Replaces the
+    * count-then-append double action — each of which re-runs the full input
+    * plan (anti-join, resolution joins) at warehouse scale — and removes the
+    * need to persist the input just to keep the two actions consistent.
+    * Appending zero rows is safe: Spark writes a schema-bearing empty part
+    * file, so a table created by an empty append is readable (valid schema,
+    * zero rows) — and [[exists]] additionally guards against _SUCCESS-only
+    * dirs, which would fail schema inference. */
+  def appendCounted(table: String, df: DataFrame): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.mode(SaveMode.Append).parquet(path(table).toString)
+    invalidate(table)
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Full rewrite via staging + rename swap (safe when `df`'s plan reads the
@@ -82,8 +107,9 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     * read the target table itself: lineage is cut with an eager
     * `localCheckpoint` (executor-local blocks) instead of a staging-dir
     * round-trip, so the merged data is written to the table exactly once. */
-  def overwritePartitions(table: String, df: DataFrame, partitionCol: String): Unit = {
-    val snapped = df.localCheckpoint()
+  def overwritePartitions(table: String, df: DataFrame, partitionCol: String,
+                          alreadySnapped: Boolean = false): Unit = {
+    val snapped = if (alreadySnapped) df else df.localCheckpoint()
     snapped.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)

@@ -56,4 +56,26 @@ class WarehouseCacheSpec extends AnyFunSuite {
     val leftovers = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("."))
     assert(leftovers.isEmpty, s"staging dirs left behind: ${leftovers.toSeq}")
   }
+
+  test("appendCounted: one action, exact count, empty append stays readable") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft_whobs").toString)
+    import org.apache.spark.sql.functions.col
+
+    // empty append to a table that never existed: Spark writes one
+    // schema-bearing empty part file, so the table may come into existence —
+    // but then it MUST be readable (valid schema, zero rows), never a
+    // _SUCCESS-only dir that fails schema inference
+    val empty = Seq((1L, "a")).toDF("id", "k").filter(col("id") < 0)
+    assert(wh.appendCounted("fresh", empty) == 0L)
+    if (wh.exists("fresh")) {
+      assert(wh.read("fresh").count() == 0L)
+      assert(wh.read("fresh").schema.fieldNames.toSeq == Seq("id", "k"))
+    }
+
+    // count comes from the write's own observation, matches what landed
+    assert(wh.appendCounted("t", Seq((1L, "a"), (2L, "b")).toDF("id", "k")) == 2L)
+    assert(wh.appendCounted("t", Seq((3L, "c")).toDF("id", "k")) == 1L)
+    assert(wh.appendCounted("t", empty) == 0L)
+    assert(wh.read("t").count() == 3L)
+  }
 }
