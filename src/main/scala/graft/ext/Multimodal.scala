@@ -7,15 +7,16 @@ import org.apache.spark.sql.functions._
   * with a typed metadata struct, plus decode / feature-extract / resize /
   * frame-sample stages.
   *
-  * Image decode is REAL (the JDK's `javax.imageio` PNG/BMP/GIF/JPEG readers
-  * — no external jars); payloads no image reader understands (audio/video —
-  * this container ships no codecs for those — and the testdata's text blobs)
-  * fall back to [[decodeStub]], which derives features deterministically from
-  * the payload bytes (md5-based). Everything around decode — schema, typed
-  * Dataset plumbing, per-partition batching (the Scala analog of
-  * `mapInPandas` batch shape), partitioning by payload size — is real and
-  * tested. A production deployment swaps the stub for audio/video codec
-  * bindings; nothing else changes.
+  * Image decode is REAL (the JDK's `javax.imageio` PNG/BMP/GIF/JPEG readers)
+  * and audio decode is REAL for the formats the JDK parses
+  * (`javax.sound.sampled` WAV/AIFF/AU PCM — [[decodeAudio]]), no external
+  * jars either way. Payloads neither stack understands (video — this
+  * container ships no codecs — and the testdata's text blobs) fall back to
+  * [[decodeStub]], which derives features deterministically from the payload
+  * bytes (md5-based). Everything around decode — schema, typed Dataset
+  * plumbing, per-partition batching (the Scala analog of `mapInPandas` batch
+  * shape), partitioning by payload size — is real and tested. A production
+  * deployment swaps the stub for video codec bindings; nothing else changes.
   */
 object Multimodal {
 
@@ -36,20 +37,23 @@ object Multimodal {
         col("lang").as("lang"),
         length(col("text")).cast("long").as("n_bytes")).as("meta"))
 
-  /** Decode: real images first, deterministic stub for everything else.
+  /** Decode: real images first, real audio second, deterministic stub last.
     *
     * Image payloads (PNG/BMP/GIF/JPEG — the decoders the JDK ships in
     * `javax.imageio`, no external jars) decode to their true dimensions and
     * an 8-bin normalized luminance histogram as the feature vector. Payloads
-    * no registered reader understands (audio/video — this container ships no
-    * codecs for those — and the testdata's text blobs) fall back to
-    * [[decodeStub]]. */
+    * no image reader understands are offered to [[decodeAudio]] (WAV/AIFF/AU
+    * PCM); whatever neither stack parses (video — this container ships no
+    * codecs — and the testdata's text blobs) falls back to [[decodeStub]]. */
   private[graft] def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     import javax.imageio.ImageIO
     try {
       val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
       val readers = ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) { iis.close(); return decodeStub(payload) }
+      if (!readers.hasNext) {
+        iis.close()
+        return decodeAudio(payload).getOrElse(decodeStub(payload))
+      }
       val reader = readers.next()
       try {
         reader.setInput(iis)
@@ -81,9 +85,69 @@ object Multimodal {
     } catch { case _: java.io.IOException => decodeStub(payload) }
   }
 
-  /** STUB decode for non-image payloads: deterministic pseudo-features from
-    * md5(payload). A production deployment swaps this for audio/video codec
-    * bindings; the signature and batch shape are the real contract. */
+  /** Audio decode: the JDK's `javax.sound.sampled` WAV/AIFF/AU parsers (no
+    * external jars). 8/16-bit PCM payloads decode to (sample_rate, channels,
+    * frame_count, 8-segment RMS energy profile) — width carries the sample
+    * rate and height the channel count, reusing the media-feature shape the
+    * way the image path uses it for pixels. Multi-channel audio is mixed down
+    * by per-frame channel average before the energy computation. Non-audio or
+    * non-PCM payloads return None and the caller falls through to the stub. */
+  private[graft] def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
+    try {
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val channels = fmt.getChannels
+        val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+        val pcmOk = ((bits == 8 && (signed || enc == AudioFormat.Encoding.PCM_UNSIGNED)) ||
+          (bits == 16 && signed)) && fmt.getFrameSize == channels * bits / 8
+        if (!pcmOk) return None
+        val bytes = ais.readAllBytes()
+        val frameSize = fmt.getFrameSize
+        val frames = bytes.length / frameSize
+        if (frames == 0) return None
+        val energy = new Array[Double](8)
+        val counts = new Array[Int](8)
+        var i = 0
+        while (i < frames) {
+          var c = 0
+          var mix = 0.0
+          while (c < channels) {
+            val off = i * frameSize + c * (bits / 8)
+            val s =
+              if (bits == 8) {
+                if (signed) bytes(off) / 128.0 else ((bytes(off) & 0xff) - 128) / 128.0
+              } else {
+                val lo = if (fmt.isBigEndian) bytes(off + 1) & 0xff else bytes(off) & 0xff
+                val hi = if (fmt.isBigEndian) bytes(off).toInt else bytes(off + 1).toInt
+                ((hi << 8) | lo).toShort / 32768.0
+              }
+            mix += s
+            c += 1
+          }
+          mix /= channels
+          val seg = (i.toLong * 8 / frames).toInt
+          energy(seg) += mix * mix
+          counts(seg) += 1
+          i += 1
+        }
+        val rms = Array.tabulate(8)(s =>
+          if (counts(s) > 0) math.sqrt(energy(s) / counts(s)).toFloat else 0f)
+        Some((fmt.getSampleRate.toInt, channels, frames, rms))
+      } finally ais.close()
+    } catch {
+      case _: UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** STUB decode for payloads neither the image nor the audio stack parses:
+    * deterministic pseudo-features from md5(payload). A production deployment
+    * swaps this for video codec bindings; the signature and batch shape are
+    * the real contract. */
   private def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     val h = java.security.MessageDigest.getInstance("MD5").digest(payload)
     def u(i: Int): Int = h(i) & 0xff
@@ -131,7 +195,10 @@ object Multimodal {
     try {
       val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
       val readers = ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) { iis.close(); return decodeStub(payload) }
+      if (!readers.hasNext) {
+        iis.close()
+        return decodeAudio(payload).getOrElse(decodeStub(payload))
+      }
       val reader = readers.next()
       try {
         reader.setInput(iis)

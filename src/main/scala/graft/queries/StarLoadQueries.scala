@@ -99,7 +99,42 @@ object StarLoadQueries {
     val wh = new Warehouse(spark,
       java.nio.file.Files.createTempDirectory("graft_q44_wh").toString)
     StarLoad.run(wh, syntheticProcessed(spark, dir))
+    readBack(wh)
+  }
 
+  /** q49: the INCREMENTAL differential — two composed loads into one
+    * warehouse. Batch 1 is the synthetic frame at key <= 40000; batch 2 is
+    * the remaining new keys PLUS corrections to every 5th batch-1 row
+    * (changed mileage, a make/model pair that exists in neither load's dims,
+    * flipped auction_status). The second run must prove, end to end:
+    * U1 — corrected auction_ids do NOT re-insert or update the fact (their
+    * fact rows keep the original auction_status surrogate);
+    * U2 — corrected (vin, auction_id) keys update vehicle attributes in
+    * place while KEEPING their vehicle_id (the fact rows' vehicle_id join
+    * surfaces the corrected mileage/make);
+    * U1-dims — new dim keys continue ids from max(existing), existing keys
+    * are untouched. Reference `update_dims.sql`:158-177 + the fact's
+    * `ON CONFLICT DO NOTHING`. */
+  def q49IncrementalLoad(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_q49_wh").toString)
+    val full = syntheticProcessed(spark, dir)
+    val key = substring(col("auction_id"), 2, 10).cast("long")
+    val batch1 = full.filter(key <= 40000)
+    val corrections = batch1.filter(key % 5 === 0)
+      .withColumn("mileage", col("mileage") + lit(1111L))
+      .withColumn("make", lit("MakeNew"))
+      .withColumn("model", lit("ModelNew"))
+      .withColumn("auction_status", lit("Reserve Not Met"))
+    val batch2 = full.filter(key > 40000).unionByName(corrections)
+    StarLoad.run(wh, batch1)
+    StarLoad.run(wh, batch2)
+    readBack(wh)
+  }
+
+  /** Every fact row joined back to its dim keys — the hash surface shared by
+    * q44 (fresh load) and q49 (incremental). */
+  private def readBack(wh: Warehouse): DataFrame = {
     val asd = wh.read("auction_status_dim")
       .select(col("id").as("_aid"), col("status").as("status_key"))
     val rsd = wh.read("reserve_status_dim")
@@ -137,19 +172,13 @@ object StarLoadQueries {
     .mkString(", ")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q44_star_load" -> (q44StarLoad _))
+    "q44_star_load" -> (q44StarLoad _),
+    "q49_incremental_load" -> (q49IncrementalLoad _))
 
-  /** The full `update_dims.sql` transliteration: every dim is DISTINCT
-    * normalized keys + row_number surrogate ids over key order (the
-    * insert-only-new shape on an empty warehouse — `Dims.insertOnlyNew`
-    * assigns row_number over keys asc-nulls-last plus max(existing)=0);
-    * vehicle_dim ids order by (vin, auction_id); the fact resolves all six
-    * surrogates exactly as `Facts.insertAuctionFact`. The keep-newest staging
-    * dedup is omitted because synthetic auction_ids are unique (A4 has its
-    * own oracle, q04). */
-  val sql: Map[String, String] = Map(
-    "q44_star_load" -> s"""
-      |WITH staging AS (
+  /** The synthetic staging SELECT (DuckDB side of [[syntheticProcessed]]),
+    * parameterized by key range so q44 (full) and q49 (two batches) share
+    * one derivation. */
+  private def stagingSql(where: String): String = s"""
       |  SELECT
       |    o_orderdate AS auction_date,
       |    'A' || o_orderkey AS auction_id,
@@ -179,7 +208,33 @@ object StarLoadQueries {
       |    CAST(o_orderkey % 8 AS INTEGER) AS video_count,
       |    CAST(1990 + o_orderkey % 30 AS INTEGER) AS manufacture_year,
       |    'https://x/a/' || o_orderkey AS auction_url
-      |  FROM orders WHERE o_orderkey <= 60000
+      |  FROM orders WHERE $where""".stripMargin
+
+  /** Incremental simple-dim transliteration of `Dims.insertOnlyNew` across
+    * two loads: batch-1 keys get row_number ids over key order; batch-2 NEW
+    * keys continue from count(batch-1) (= max existing id on a fresh
+    * warehouse); existing keys are untouched. */
+  private def incDimSql(name: String, norm: String, raw: String): String = s"""
+${name}_k1 AS (SELECT DISTINCT $norm AS k FROM staging1 WHERE $raw IS NOT NULL),
+${name}_k2 AS (SELECT DISTINCT $norm AS k FROM staging2 WHERE $raw IS NOT NULL
+              AND $norm NOT IN (SELECT k FROM ${name}_k1)),
+$name AS (
+  SELECT CAST(row_number() OVER (ORDER BY k ASC) AS BIGINT) AS id, k FROM ${name}_k1
+  UNION ALL
+  SELECT (SELECT COUNT(*) FROM ${name}_k1) + CAST(row_number() OVER (ORDER BY k ASC) AS BIGINT) AS id, k
+  FROM ${name}_k2)"""
+
+  /** The full `update_dims.sql` transliteration: every dim is DISTINCT
+    * normalized keys + row_number surrogate ids over key order (the
+    * insert-only-new shape on an empty warehouse — `Dims.insertOnlyNew`
+    * assigns row_number over keys asc-nulls-last plus max(existing)=0);
+    * vehicle_dim ids order by (vin, auction_id); the fact resolves all six
+    * surrogates exactly as `Facts.insertAuctionFact`. The keep-newest staging
+    * dedup is omitted because synthetic auction_ids are unique (A4 has its
+    * own oracle, q04). */
+  val sql: Map[String, String] = Map(
+    "q44_star_load" -> s"""
+      |WITH staging AS (${stagingSql("o_orderkey <= 60000")}
       |),
       |state_dim AS (
       |  SELECT CAST(v.id AS BIGINT) AS id, v.state, v.state_abbr
@@ -283,5 +338,172 @@ object StarLoadQueries {
       |LEFT JOIN city_dim c2 ON f.auction_city = c2.id
       |LEFT JOIN seller_type_dim s2 ON f.seller_type = s2.id
       |LEFT JOIN vehicle_dim v2 ON f.vehicle_id = v2.vehicle_id
-      |ORDER BY f.auction_id""".stripMargin)
+      |ORDER BY f.auction_id""".stripMargin,
+
+    /* The two-load incremental differential (see q49IncrementalLoad's doc).
+     * Batch-2 dim ids continue from COUNT(batch-1) — on a fresh warehouse
+     * max(existing id) = count, so this replays `Dims.insertOnlyNew`.
+     * vehicle_dim replays the three-way upsert split (keep / update-in-place
+     * keeping vid / fresh ids continuing from count); the fact replays
+     * ON CONFLICT DO NOTHING via the NOT IN guard on batch-1 auction_ids. */
+    "q49_incremental_load" -> s"""
+WITH staging1 AS (${stagingSql("o_orderkey <= 40000")}
+),
+staging_new AS (${stagingSql("o_orderkey > 40000 AND o_orderkey <= 60000")}
+),
+corrections AS (
+  SELECT * REPLACE (mileage + 1111 AS mileage, 'MakeNew' AS make,
+                    'ModelNew' AS model, 'Reserve Not Met' AS auction_status)
+  FROM staging1 WHERE CAST(substring(auction_id, 2) AS BIGINT) % 5 = 0),
+staging2 AS (SELECT * FROM staging_new UNION ALL SELECT * FROM corrections),
+state_dim AS (
+  SELECT CAST(v.id AS BIGINT) AS id, v.state, v.state_abbr
+  FROM (VALUES $stateValues) v(id, state, state_abbr)),
+${List(
+      incDimSql("auction_status_dim", "lower(trim(auction_status))", "auction_status"),
+      incDimSql("reserve_status_dim", "lower(trim(reserve_status))", "reserve_status"),
+      incDimSql("body_style_dim", "lower(trim(body_style))", "body_style"),
+      incDimSql("seller_type_dim", "lower(trim(seller_type))", "seller_type"),
+      incDimSql("drivetrain_dim", "upper(trim(drivetrain))", "drivetrain"),
+      incDimSql("transmission_dim", "lower(trim(transmission_type))", "transmission_type")).mkString(",")},
+city_c1 AS (
+  SELECT DISTINCT trim(s.city) AS cn, COALESCE(sa.id, sn.id) AS sid
+  FROM staging1 s
+  LEFT JOIN state_dim sa ON s.title_state = sa.state_abbr
+  LEFT JOIN state_dim sn ON s.title_state = sn.state
+  WHERE s.city IS NOT NULL),
+city_c2 AS (
+  SELECT DISTINCT trim(s.city) AS cn, COALESCE(sa.id, sn.id) AS sid
+  FROM staging2 s
+  LEFT JOIN state_dim sa ON s.title_state = sa.state_abbr
+  LEFT JOIN state_dim sn ON s.title_state = sn.state
+  WHERE s.city IS NOT NULL),
+city_k2 AS (
+  SELECT * FROM city_c2 x
+  WHERE NOT EXISTS (SELECT 1 FROM city_c1 c
+                    WHERE c.cn = x.cn AND c.sid IS NOT DISTINCT FROM x.sid)),
+city_dim AS (
+  SELECT CAST(row_number() OVER (ORDER BY cn ASC NULLS LAST, sid ASC NULLS LAST) AS BIGINT) AS id,
+    cn AS city_name, sid AS state_id FROM city_c1
+  UNION ALL
+  SELECT (SELECT COUNT(*) FROM city_c1) + CAST(row_number() OVER (ORDER BY cn ASC NULLS LAST, sid ASC NULLS LAST) AS BIGINT),
+    cn, sid FROM city_k2),
+make_k1 AS (SELECT DISTINCT trim(make) AS mk FROM staging1 WHERE make IS NOT NULL),
+make_k2 AS (SELECT DISTINCT trim(make) AS mk FROM staging2 WHERE make IS NOT NULL
+            AND trim(make) NOT IN (SELECT mk FROM make_k1)),
+vehicle_make_dim AS (
+  SELECT CAST(row_number() OVER (ORDER BY mk ASC) AS BIGINT) AS id, mk AS make FROM make_k1
+  UNION ALL
+  SELECT (SELECT COUNT(*) FROM make_k1) + CAST(row_number() OVER (ORDER BY mk ASC) AS BIGINT), mk
+  FROM make_k2),
+model_c1 AS (
+  SELECT DISTINCT trim(s.model) AS md, m.id AS mid
+  FROM staging1 s LEFT JOIN vehicle_make_dim m ON trim(s.make) = m.make
+  WHERE s.model IS NOT NULL),
+model_c2 AS (
+  SELECT DISTINCT trim(s.model) AS md, m.id AS mid
+  FROM staging2 s LEFT JOIN vehicle_make_dim m ON trim(s.make) = m.make
+  WHERE s.model IS NOT NULL),
+model_k2 AS (
+  SELECT * FROM model_c2 x
+  WHERE NOT EXISTS (SELECT 1 FROM model_c1 c
+                    WHERE c.md = x.md AND c.mid IS NOT DISTINCT FROM x.mid)),
+vehicle_model_dim AS (
+  SELECT CAST(row_number() OVER (ORDER BY md ASC NULLS LAST, mid ASC NULLS LAST) AS BIGINT) AS id,
+    md AS model, mid AS make_id FROM model_c1
+  UNION ALL
+  SELECT (SELECT COUNT(*) FROM model_c1) + CAST(row_number() OVER (ORDER BY md ASC NULLS LAST, mid ASC NULLS LAST) AS BIGINT),
+    md, mid FROM model_k2),
+veh_c1 AS (
+  SELECT trim(s.vin) AS vin, s.auction_id AS aid,
+    m.id AS make_id, md.id AS model_id, b.id AS body_style_id,
+    t.id AS transmission_id, d.id AS drivetrain_id,
+    s.mileage, s.gears AS gear_count, s.manufacture_year
+  FROM staging1 s
+  LEFT JOIN vehicle_make_dim m ON trim(s.make) = m.make
+  LEFT JOIN vehicle_model_dim md ON trim(s.model) = md.model AND m.id = md.make_id
+  LEFT JOIN body_style_dim b ON lower(trim(s.body_style)) = b.k
+  LEFT JOIN transmission_dim t ON lower(trim(s.transmission_type)) = t.k
+  LEFT JOIN drivetrain_dim d ON upper(trim(s.drivetrain)) = d.k),
+veh1 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vin ASC NULLS LAST, aid ASC NULLS LAST) AS BIGINT) AS vid, *
+  FROM veh_c1),
+veh_c2 AS (
+  SELECT trim(s.vin) AS vin, s.auction_id AS aid,
+    m.id AS make_id, md.id AS model_id, b.id AS body_style_id,
+    t.id AS transmission_id, d.id AS drivetrain_id,
+    s.mileage, s.gears AS gear_count, s.manufacture_year
+  FROM staging2 s
+  LEFT JOIN vehicle_make_dim m ON trim(s.make) = m.make
+  LEFT JOIN vehicle_model_dim md ON trim(s.model) = md.model AND m.id = md.make_id
+  LEFT JOIN body_style_dim b ON lower(trim(s.body_style)) = b.k
+  LEFT JOIN transmission_dim t ON lower(trim(s.transmission_type)) = t.k
+  LEFT JOIN drivetrain_dim d ON upper(trim(s.drivetrain)) = d.k),
+veh_new AS (
+  SELECT * FROM veh_c2 x
+  WHERE NOT EXISTS (SELECT 1 FROM veh1 v
+                    WHERE v.vin IS NOT DISTINCT FROM x.vin
+                      AND v.aid IS NOT DISTINCT FROM x.aid)),
+veh_newid AS (
+  SELECT (SELECT COUNT(*) FROM veh1) + CAST(row_number() OVER (ORDER BY vin ASC NULLS LAST, aid ASC NULLS LAST) AS BIGINT) AS vid, *
+  FROM veh_new),
+veh_upd AS (
+  SELECT v.vid, x.* FROM veh_c2 x
+  JOIN veh1 v ON v.vin IS NOT DISTINCT FROM x.vin AND v.aid IS NOT DISTINCT FROM x.aid),
+veh_keep AS (
+  SELECT * FROM veh1 v
+  WHERE NOT EXISTS (SELECT 1 FROM veh_c2 x
+                    WHERE x.vin IS NOT DISTINCT FROM v.vin
+                      AND x.aid IS NOT DISTINCT FROM v.aid)),
+vehicle_dim AS (
+  SELECT * FROM veh_keep UNION ALL SELECT * FROM veh_upd UNION ALL SELECT * FROM veh_newid),
+fact1 AS (
+  SELECT s.auction_id, s.auction_date AS auction_time,
+    v.vid AS vehicle_id, a.id AS auction_status, r.id AS reserve_status,
+    st.id AS auction_state, c.id AS auction_city, sel.id AS seller_type,
+    s.view_count, s.watcher_count, s.bid_count, s.max_bid, s.min_bid,
+    s.mean_bid, s.median_bid, s.bid_range, s.highlight_count, s.video_count,
+    s.auction_title, s.auction_url
+  FROM staging1 s
+  LEFT JOIN veh1 v ON trim(s.vin) = v.vin AND s.auction_id = v.aid
+  LEFT JOIN auction_status_dim a ON lower(trim(s.auction_status)) = a.k
+  LEFT JOIN reserve_status_dim r ON lower(trim(s.reserve_status)) = r.k
+  LEFT JOIN state_dim st ON upper(trim(s.title_state)) = st.state_abbr
+  LEFT JOIN city_dim c ON trim(s.city) = c.city_name AND st.id = c.state_id
+  LEFT JOIN seller_type_dim sel ON lower(trim(s.seller_type)) = sel.k
+  WHERE s.auction_id IS NOT NULL),
+fact2 AS (
+  SELECT s.auction_id, s.auction_date AS auction_time,
+    v.vid AS vehicle_id, a.id AS auction_status, r.id AS reserve_status,
+    st.id AS auction_state, c.id AS auction_city, sel.id AS seller_type,
+    s.view_count, s.watcher_count, s.bid_count, s.max_bid, s.min_bid,
+    s.mean_bid, s.median_bid, s.bid_range, s.highlight_count, s.video_count,
+    s.auction_title, s.auction_url
+  FROM staging2 s
+  LEFT JOIN vehicle_dim v ON trim(s.vin) = v.vin AND s.auction_id = v.aid
+  LEFT JOIN auction_status_dim a ON lower(trim(s.auction_status)) = a.k
+  LEFT JOIN reserve_status_dim r ON lower(trim(s.reserve_status)) = r.k
+  LEFT JOIN state_dim st ON upper(trim(s.title_state)) = st.state_abbr
+  LEFT JOIN city_dim c ON trim(s.city) = c.city_name AND st.id = c.state_id
+  LEFT JOIN seller_type_dim sel ON lower(trim(s.seller_type)) = sel.k
+  WHERE s.auction_id IS NOT NULL
+    AND s.auction_id NOT IN (SELECT auction_id FROM fact1)),
+fact_all AS (SELECT * FROM fact1 UNION ALL SELECT * FROM fact2)
+SELECT f.auction_id, f.auction_time, f.vehicle_id,
+  f.auction_status, a2.k AS status_key,
+  f.reserve_status, r2.k AS reserve_key,
+  f.auction_state, f.auction_city, c2.city_name AS city_key,
+  f.seller_type, s2.k AS seller_key,
+  f.view_count, f.watcher_count, f.bid_count, f.max_bid, f.min_bid,
+  f.mean_bid, f.median_bid, f.bid_range, f.highlight_count, f.video_count,
+  f.auction_title, f.auction_url,
+  v2.make_id, v2.model_id, v2.body_style_id, v2.transmission_id,
+  v2.drivetrain_id, v2.mileage, v2.gear_count, v2.manufacture_year
+FROM fact_all f
+LEFT JOIN auction_status_dim a2 ON f.auction_status = a2.id
+LEFT JOIN reserve_status_dim r2 ON f.reserve_status = r2.id
+LEFT JOIN city_dim c2 ON f.auction_city = c2.id
+LEFT JOIN seller_type_dim s2 ON f.seller_type = s2.id
+LEFT JOIN vehicle_dim v2 ON f.vehicle_id = v2.vid
+ORDER BY f.auction_id""")
 }

@@ -206,4 +206,36 @@ class ExtSpec extends AnyFunSuite {
     assert(f02.feature.sum > 0.99f && f02.feature.sum < 1.01f)
     assert(f0.n_frames == 3 && f02.n_frames == 3)
   }
+
+  test("multimodal: a real WAV payload decodes to rate/channels/frames + RMS profile") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 8 kHz mono 16-bit PCM, 800 frames: first half silence, second half a
+    // 440 Hz sine at amplitude 0.5 → segment RMS ≈ 0 then ≈ 0.5/√2
+    val rate = 8000
+    val n = 800
+    val pcm = new Array[Byte](n * 2)
+    for (i <- n / 2 until n) {
+      val s = (0.5 * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte        // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val buf = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, buf)
+    val wav = buf.toByteArray
+
+    val ds = Seq((4L, "audio/wav", wav, Multimodal.MediaMeta("mic", "n/a", wav.length.toLong)))
+      .toDF("media_id", "kind", "payload", "meta").as[Multimodal.MediaRecord]
+    val feat = Multimodal.extractFeatures(ds).head()
+    assert(feat.width == rate)     // sample rate rides in the width slot
+    assert(feat.height == 1)       // mono
+    assert(feat.n_frames == n)
+    assert(feat.feature.length == 8)
+    feat.feature.take(4).foreach(v => assert(v < 1e-4f, s"silent segment rms=$v"))
+    val expected = (0.5 / math.sqrt(2)).toFloat
+    feat.feature.drop(4).foreach(v =>
+      assert(math.abs(v - expected) < 0.02f, s"sine segment rms=$v expected≈$expected"))
+  }
 }
