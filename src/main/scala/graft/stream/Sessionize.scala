@@ -18,12 +18,17 @@ import graft.star.Warehouse
   * closed session is emitted and its event data dropped from state. After a
   * gap timeout only the counter survives (so session numbering stays
   * monotonic for late-returning users) with a second, much longer TTL
-  * timeout that removes the user's state entirely. If THAT TTL fires, a
-  * returning user's numbering restarts at 1 — downstream stores keyed on
-  * (user_id, session_id) will overwrite the ancient sessions under those
-  * ids. That collision is accepted here (the TTL is 30 days of idleness);
-  * a deployment that must keep forever-history adds a restart epoch to the
-  * session id.
+  * timeout that evicts the counter, leaving a 3-long restart tombstone:
+  * the epoch. Session ids are `epoch * 2^32 + counter`, so a user
+  * returning after a TTL eviction restarts counting under the NEXT epoch
+  * and downstream stores keyed on (user_id, session_id) never see their
+  * ancient sessions overwritten. Epoch 0 ids are plain counters — the
+  * batch twin's numbering — and an epoch only appears after 30 days of
+  * idleness, so batch/stream equivalence is unaffected. The tombstone
+  * means per-user state never drops to zero bytes; it is bounded by
+  * distinct users ever seen (24 bytes each), the price of durable-key
+  * uniqueness — a deployment that prefers full eviction restores
+  * `state.remove()` there and re-accepts the collision.
   *
   * Late events, precisely: an event inside the open session's span ±gap
   * folds into it (extending `session_start` backwards at most one gap —
@@ -45,9 +50,19 @@ object Sessionize {
     * ids while the open session keeps the id it already emitted under. */
   case class OpenSess(sid: Long, start: Long, last: Long, n: Long)
 
-  /** Per-user state: highest session id assigned so far + the open session,
-    * if any. Fixed-size regardless of event count. */
-  case class SessState(sid: Long, open: Option[OpenSess])
+  /** Per-user state: highest session COUNTER assigned in the current epoch,
+    * the open session (if any), and the restart epoch (incremented each time
+    * the counter TTL evicts this user). Fixed-size regardless of event
+    * count. Emitted session ids are [[mkSid]](epoch, counter). */
+  case class SessState(sid: Long, open: Option[OpenSess], epoch: Long = 0L)
+
+  /** Session-id namespace stride between restart epochs: ids are
+    * `epoch * 2^32 + counter`, plain counters in epoch 0. 2^32 sessions per
+    * epoch per user and epochs only advance after [[CounterTtlMs]] of
+    * idleness — neither side can realistically overflow. */
+  val EpochStride: Long = 1L << 32
+
+  private def mkSid(epoch: Long, counter: Long): Long = epoch * EpochStride + counter
 
   val GapMs: Long = 30L * 60 * 1000
 
@@ -101,11 +116,14 @@ object Sessionize {
         case Some(o) =>
           // gap timeout: the open session is now closed; evict its data,
           // keep only the counter (with its own TTL) for stable numbering
-          state.update(SessState(s.sid, None))
+          state.update(SessState(s.sid, None, s.epoch))
           armTimeout(o.last + CounterTtlMs)
           Iterator(emit(o))
         case None =>
-          state.remove() // counter TTL expired — full eviction
+          // counter TTL expired: evict the counter, keep only the restart
+          // tombstone (no timeout — it persists) so the user's next epoch
+          // issues ids that cannot collide with any already emitted
+          state.update(SessState(0L, None, s.epoch + 1))
           Iterator.empty
       }
     } else {
@@ -113,7 +131,7 @@ object Sessionize {
       val times = events.map(_.ts.getTime).toArray.sorted
       val out = scala.collection.mutable.ArrayBuffer.empty[Session]
       val s0 = state.getOption.getOrElse(SessState(0L, None))
-      var sid = s0.sid
+      var sid = s0.sid // raw counter; emitted ids go through mkSid
       var open = s0.open
       // cross-batch stragglers older than the open session by more than the
       // gap: their would-be neighbours are closed and evicted, so gap-split
@@ -129,7 +147,7 @@ object Sessionize {
         var j = i
         while (j + 1 < stragglers.length && stragglers(j + 1) - stragglers(j) <= GapMs) j += 1
         sid += 1
-        out += Session(userId, sid, (j - i + 1).toLong,
+        out += Session(userId, mkSid(s0.epoch, sid), (j - i + 1).toLong,
           new Timestamp(stragglers(i)), new Timestamp(stragglers(j)))
         i = j + 1
       }
@@ -138,18 +156,18 @@ object Sessionize {
           case Some(o) if t - o.last > GapMs =>
             out += emit(o) // closed by an in-batch gap
             sid += 1
-            open = Some(OpenSess(sid, t, t, 1L))
+            open = Some(OpenSess(mkSid(s0.epoch, sid), t, t, 1L))
           case Some(o) =>
             open = Some(o.copy(start = math.min(o.start, t),
               last = math.max(o.last, t), n = o.n + 1L))
           case None =>
             sid += 1
-            open = Some(OpenSess(sid, t, t, 1L))
+            open = Some(OpenSess(mkSid(s0.epoch, sid), t, t, 1L))
         }
       }
       open match {
         case Some(o) =>
-          state.update(SessState(sid, open))
+          state.update(SessState(sid, open, s0.epoch))
           armTimeout(o.last + GapMs)
           out += emit(o) // running totals of the still-open session
         case None => // batch carried no events (shouldn't happen outside timeout)

@@ -10,8 +10,10 @@ import graft.stream.Sessionize.{Ev, OpenSess, SessState, Session}
 /** The sessionization state machine, driven directly through
   * `TestGroupState`: state is O(1) per user (counter + open tuple, never the
   * event history), gap timeouts close-and-evict the open session keeping
-  * only the counter, the counter TTL removes state entirely, and session
-  * numbering stays monotonic for late-returning users.
+  * only the counter, the counter TTL evicts down to a restart-epoch
+  * tombstone, and session numbering stays monotonic for late-returning
+  * users — across epochs too, since post-TTL ids are namespaced by
+  * `epoch * 2^32` and can never collide with ids already emitted.
   */
 class SessionizeStateSpec extends AnyFunSuite {
 
@@ -62,12 +64,29 @@ class SessionizeStateSpec extends AnyFunSuite {
     assert(state.getTimeoutTimestampMs.get() == 5000L + Sessionize.CounterTtlMs)
   }
 
-  test("counter TTL removes the user's state entirely") {
+  test("counter TTL evicts the counter, leaving only the restart tombstone") {
     val state = freshState(watermarkMs = Sessionize.CounterTtlMs + 1, timedOut = true,
       prior = Some(SessState(3L, None)))
     val out = Sessionize.update(9L, Iterator.empty, state).toSeq
     assert(out.isEmpty)
-    assert(state.isRemoved)
+    assert(state.get == SessState(0L, None, 1L))
+    assert(!state.getTimeoutTimestampMs.isPresent) // tombstone never times out
+  }
+
+  test("TTL-evicted user returns under the next epoch: no (user, session_id) collision") {
+    // epoch-1 tombstone left by the counter TTL; the user's epoch-0 history
+    // was emitted under plain counter ids 1..3
+    val state = freshState(watermarkMs = 1000L, prior = Some(SessState(0L, None, 1L)))
+    val t = 100L * Gap
+    val out = Sessionize.update(4L, Iterator(Ev(4L, ts(t))), state).toSeq
+    val sid = Sessionize.EpochStride + 1L // epoch 1, counter 1
+    assert(out == Seq(Session(4L, sid, 1L, ts(t), ts(t))))
+    assert(state.get == SessState(1L, Some(OpenSess(sid, t, t, 1L)), 1L))
+    // a second TTL cycle advances the epoch again
+    val state2 = freshState(watermarkMs = t + Sessionize.CounterTtlMs + 1, timedOut = true,
+      prior = Some(SessState(1L, None, 1L)))
+    Sessionize.update(4L, Iterator.empty, state2)
+    assert(state2.get == SessState(0L, None, 2L))
   }
 
   /** Replay time-contiguous chunks through the state machine, upserting
