@@ -83,6 +83,44 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("bucket"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** Band-OR near-duplicate pairs — the standard recall lever over
+    * [[lshNearDupPairs]]: `bands` independent sign-LSH tables (distinct
+    * md5-seeded plane sets), a pair is a candidate if it collides in ANY
+    * band, then one exact cosine verify per distinct pair. Collision
+    * probability rises from s^p to 1-(1-s^p)^bands (s = 1 - angle/pi) at the
+    * cost of `bands` narrow self-joins.
+    *
+    * Scale shape: all band buckets are computed in ONE pass over the corpus
+    * (map-side literal-plane projection; the per-vector intermediate is
+    * (id, bands ints) — vectors are NOT carried), each band is a bucket
+    * equi-join on that narrow frame, and the union dedups through a
+    * (vec_a, vec_b) groupBy whose count is the surfaced `n_bands`. Vectors
+    * re-enter only for the final verify, keyed by id. */
+  def bandedNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, bands: Int = 3, planesPerBand: Int = 6,
+                         dim: Int = 64): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    val bucketCols = (0 until bands).map(b =>
+      signBuckets(col(vecCol), hyperplanes(planesPerBand, dim, s"graft:b$b")).as(s"bk_$b"))
+    val bk = emb.select((col(idCol) +: bucketCols): _*)
+    val perBand = (0 until bands).map { b =>
+      bk.select(col(idCol).as("vec_a"), col(s"bk_$b").as("bk"))
+        .join(bk.select(col(idCol).as("vec_b"), col(s"bk_$b").as("bk2")),
+          col("bk") === col("bk2") && col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"))
+    }
+    val cands = perBand.reduce(_ unionByName _)
+      .groupBy("vec_a", "vec_b").agg(count(lit(1)).as("n_bands"))
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    cands
+      .join(e.select(col(idCol).as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(e.select(col(idCol).as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .withColumn("cos", cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cos") > threshold)
+      .select(col("vec_a"), col("vec_b"), col("n_bands"), round(col("cos"), 4).as("cos_sim"))
+  }
+
   /** Deterministic ±1 random hyperplanes (seeded md5 over plane/dim indices),
     * materialized as plan-time literals — no data-dependent randomness. */
   def hyperplanes(numPlanes: Int, dim: Int, seed: String = "graft"): Seq[Array[Double]] = {

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.Similarity
+import graft.ext.{Dedup, Similarity}
 import graft.util.Tables.load
 
 /** Similarity-search surface over `embeddings`: brute-force cosine top-k
@@ -72,6 +72,27 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("cand_id"))
   }
 
+  /** Band-OR LSH near-dup: 3 independent 6-plane sign-LSH tables OR'd —
+    * ~3× q46's recall (146 vs 46 true pairs at sf0.01) for three narrow
+    * bucket self-joins instead of one. `n_bands` = collision multiplicity. */
+  def q50BandedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bandedNearDupPairs(load(spark, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, bands = 3, planesPerBand = 6)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** Duplicate clusters over the band-OR near-dup graph: min-label-
+    * propagation connected components ([[Dedup.duplicateClusters]]) — the
+    * step that turns pairwise detections into keep-one-per-cluster curation
+    * decisions. 0.35 threshold sits in the clustering regime on this data
+    * (multi-hop chains, no percolation: 32 clusters / max size 4 at sf0.01;
+    * 0.3 would merge 60% of surfaced docs into one giant component). */
+  def q51DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Similarity.bandedNearDupPairs(load(spark, dir, "embeddings"),
+      "vec_id", "embedding", threshold = 0.35, bands = 3, planesPerBand = 6)
+    Dedup.duplicateClusters(pairs, "vec_a", "vec_b")
+      .orderBy(col("cluster_id"), col("vec_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_cosine_topk" -> (q25CosineTopK _),
     "q26_embedding_neardup" -> (q26EmbeddingNearDup _),
@@ -79,7 +100,9 @@ object SimilarityQueries {
     "q43_ann_ivf" -> (q43AnnIvf _),
     "q45_ann_ivf_lloyd" -> (q45AnnIvfLloyd _),
     "q46_lsh_neardup" -> (q46LshNearDup _),
-    "q47_ann_multiprobe" -> (q47AnnMultiProbe _)
+    "q47_ann_multiprobe" -> (q47AnnMultiProbe _),
+    "q50_banded_neardup" -> (q50BandedNearDup _),
+    "q51_dup_clusters" -> (q51DupClusters _)
   )
 
   val sql: Map[String, String] = Map(
@@ -215,6 +238,63 @@ object SimilarityQueries {
         |       FROM probes p JOIN c ON c.bucket = p.probe AND c.vec_id <> p.query_id)
         |SELECT query_id, cand_id, sim FROM s
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) <= 5
-        |ORDER BY query_id, cand_id""".stripMargin
+        |ORDER BY query_id, cand_id""".stripMargin,
+    "q50_banded_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | planes AS (
+        |  SELECT b, p, d,
+        |    CASE WHEN substr(md5('graft:b' || b || ':' || p || ':' || d), 2, 1) IN ('0','2','4','6','8','a','c','e')
+        |         THEN 1.0 ELSE -1.0 END AS w
+        |  FROM range(0,3) tb(b), range(0,6) t1(p), range(0,64) t2(d)),
+        | ev AS (SELECT vec_id, generate_subscripts(v,1)-1 AS d, unnest(v) AS x FROM e),
+        | dots AS (SELECT ev.vec_id, pl.b, pl.p, SUM(ev.x * pl.w) AS dp
+        |          FROM ev JOIN planes pl ON ev.d = pl.d GROUP BY ev.vec_id, pl.b, pl.p),
+        | buckets AS (SELECT vec_id, b, CAST(SUM(CASE WHEN dp > 0 THEN (1 << p) ELSE 0 END) AS INTEGER) AS bucket
+        |             FROM dots GROUP BY vec_id, b),
+        | cand AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, CAST(COUNT(*) AS BIGINT) AS n_bands
+        |          FROM buckets a JOIN buckets c ON a.b = c.b AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+        |          GROUP BY a.vec_id, c.vec_id)
+        |SELECT cand.vec_a, cand.vec_b, cand.n_bands,
+        |  round(list_cosine_similarity(ea.v, eb.v), 4) AS cos_sim
+        |FROM cand
+        |JOIN e ea ON ea.vec_id = cand.vec_a
+        |JOIN e eb ON eb.vec_id = cand.vec_b
+        |WHERE list_cosine_similarity(ea.v, eb.v) > 0.3
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    /* Connected components replayed as a recursive transitive closure (the
+     * pair graph is small — closure is fine for the oracle; the engine side
+     * is iterative min-label propagation, the distributed formulation). */
+    "q51_dup_clusters" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | planes AS (
+        |  SELECT b, p, d,
+        |    CASE WHEN substr(md5('graft:b' || b || ':' || p || ':' || d), 2, 1) IN ('0','2','4','6','8','a','c','e')
+        |         THEN 1.0 ELSE -1.0 END AS w
+        |  FROM range(0,3) tb(b), range(0,6) t1(p), range(0,64) t2(d)),
+        | ev AS (SELECT vec_id, generate_subscripts(v,1)-1 AS d, unnest(v) AS x FROM e),
+        | dots AS (SELECT ev.vec_id, pl.b, pl.p, SUM(ev.x * pl.w) AS dp
+        |          FROM ev JOIN planes pl ON ev.d = pl.d GROUP BY ev.vec_id, pl.b, pl.p),
+        | buckets AS (SELECT vec_id, b, CAST(SUM(CASE WHEN dp > 0 THEN (1 << p) ELSE 0 END) AS INTEGER) AS bucket
+        |             FROM dots GROUP BY vec_id, b),
+        | cand AS (SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+        |          FROM buckets a JOIN buckets c ON a.b = c.b AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
+        | pairs AS (
+        |  SELECT cand.vec_a, cand.vec_b FROM cand
+        |  JOIN e ea ON ea.vec_id = cand.vec_a
+        |  JOIN e eb ON eb.vec_id = cand.vec_b
+        |  WHERE list_cosine_similarity(ea.v, eb.v) > 0.35),
+        | edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+        |           UNION SELECT vec_b, vec_a FROM pairs),
+        | reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+        | labels AS (
+        |  SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+        |  FROM reach GROUP BY a)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        |FROM labels
+        |ORDER BY cluster_id, vec_id""".stripMargin
   )
 }

@@ -98,6 +98,42 @@ class ExtSpec extends AnyFunSuite {
     assert(multi == brute)
   }
 
+  test("band-OR LSH near-dup: recall >= single-table, identical vectors collide in every band") {
+    val base1 = Array.tabulate(64)(i => math.sin(i + 1))
+    val base2 = Array.tabulate(64)(i => math.cos(2 * i + 1))
+    def jitter(b: Array[Double], k: Int): Seq[Float] = b.zipWithIndex
+      .map { case (v, i) => (v + 0.001 * ((i * k) % 7)).toFloat }.toSeq
+    val emb = (0 until 10).map(k => (k.toLong, jitter(if (k % 2 == 0) base1 else base2, k)))
+      .toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.9, numPlanes = 6))
+    val banded = Similarity.bandedNearDupPairs(emb, "vec_id", "embedding", 0.9,
+      bands = 3, planesPerBand = 6)
+    val bandedPairs = pairs(banded)
+    // OR-ing tables can only widen the candidate set's coverage of true pairs
+    assert(bandedPairs.size >= single.size)
+    // every surfaced pair really is above threshold, and same-cluster twins
+    // (vectors jittered off one base) collide in all 3 bands
+    val rows = banded.collect()
+    assert(rows.forall(_.getAs[Double]("cos_sim") > 0.9))
+    assert(rows.forall { r => val n = r.getAs[Long]("n_bands"); n >= 1 && n <= 3 })
+    assert(rows.exists(_.getAs[Long]("n_bands") == 3L))
+  }
+
+  test("duplicate clusters: multi-hop chains merge to the component min label") {
+    // chain 10-20, 20-30, 30-40 (diameter 3 — needs real propagation, not
+    // one-hop neighbor mins) + isolated pair 5-50 + pair 41-42
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L), (5L, 50L), (41L, 42L))
+      .toDF("vec_a", "vec_b")
+    val got = Dedup.duplicateClusters(pairs, "vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (10L, 10L, 4L), (20L, 10L, 4L), (30L, 10L, 4L), (40L, 10L, 4L),
+      (5L, 5L, 2L), (50L, 5L, 2L),
+      (41L, 41L, 2L), (42L, 41L, 2L)), got.toString)
+  }
+
   test("IVF ANN recovers brute-force neighbors on clustered vectors") {
     val base1 = Array.tabulate(64)(i => math.sin(i + 1))
     val base2 = Array.tabulate(64)(i => math.cos(2 * i + 1))

@@ -68,6 +68,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q50 band-OR near-dup joins on buckets — no cartesian product anywhere") {
+    // the whole point of banding is that candidates come from bucket
+    // equi-joins; a cartesian (or broadcast nested loop) product would mean
+    // the all-pairs shape leaked back in
+    val plan = graft.queries.SimilarityQueries.q50BandedNearDup(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in banded near-dup:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop in banded near-dup:\n$plan")
+  }
+
   test("filter pushdown reaches the parquet scan (q01: shipdate predicate)") {
     val plan = RelationalQueries.q01PricingSummary(spark, dir)
       .queryExecution.executedPlan.toString
