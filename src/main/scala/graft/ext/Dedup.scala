@@ -120,4 +120,51 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("shared"), col("na"), col("nb"),
         round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** Duplicate clusters: connected components over a near-dup pair graph
+    * (the step after any pairwise detector — exact, LSH, embedding — that
+    * turns pairs into keep-one-per-cluster decisions). Labels are the MIN id
+    * reachable in the component, so output is fully deterministic.
+    *
+    * Algorithm: min-label propagation — each iteration every node takes the
+    * min of its own and its neighbours' labels (one equi-join + one map-side-
+    * combined min aggregation, i.e. two narrow shuffles over the PAIR set,
+    * never the corpus), repeated until a fixpoint. Converges in
+    * graph-diameter iterations; near-dup components are shallow (dozens of
+    * docs, diameter ≲ 5). For adversarially long chains the standard
+    * O(log n)-round variant is large-star/small-star (same per-round shape).
+    * Each iteration materializes through `persist` and drops its
+    * predecessor, so lineage stays flat. The convergence check is a scalar
+    * count — the only driver-side value.
+    *
+    * Output: one row per node appearing in `pairs` — (vec_id, cluster_id,
+    * cluster_size); singleton docs never enter the pair graph. */
+  def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // pairs carry a < b once; edges need both directions
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    var labels = edges.groupBy(col("src").as("vec_id"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("vec_id"), least(col("vec_id"), col("nmin")).as("label"))
+      .persist()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges
+        .join(labels.select(col("vec_id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("vec_id")).agg(min(col("label")).as("nlabel"))
+      val next = labels.as("l")
+        .join(prop.as("p"), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("l.label").as("old"),
+          least(col("l.label"), coalesce(col("p.nlabel"), col("l.label"))).as("label"))
+        .persist()
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next.select(col("vec_id"), col("label"))
+    }
+    val out = labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("label"))))
+      .select(col("vec_id"), col("label").as("cluster_id"), col("cluster_size"))
+    out
+  }
 }

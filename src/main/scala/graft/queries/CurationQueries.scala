@@ -53,9 +53,31 @@ object CurationQueries {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Sequence packing — the concat-and-chunk batching step of a training
+    * pipeline: per source, documents are concatenated in deterministic
+    * md5(doc_id) order and split into fixed 512-token sequences; each doc
+    * reports the pack it starts in and its offset there (docs may straddle
+    * pack boundaries — the GPT-style packing approximation, no padding
+    * waste). Same single source-keyed window shuffle as q48, pure integer
+    * arithmetic — no global sort, no collect. */
+  def q52SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val seqLen = 512L
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextOps.reTokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor(col("start_tok") / seqLen).cast("long").as("pack_id"),
+        (col("start_tok") % seqLen).as("offset_in_pack"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_corpus_curation" -> (q42CorpusCuration _),
-    "q48_token_budget" -> (q48TokenBudget _)
+    "q48_token_budget" -> (q48TokenBudget _),
+    "q52_sequence_packing" -> (q52SequencePacking _)
   )
 
   private val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
@@ -106,6 +128,24 @@ object CurationQueries {
          |  FROM t)
          |SELECT doc_id, source, n_tokens, cum_tokens FROM c
          |WHERE cum_tokens - n_tokens < 800
+         |ORDER BY source, doc_id""".stripMargin,
+    "q52_sequence_packing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(text, '${TextOps.ReTokenPattern}')) AS BIGINT) AS n_tokens,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         | c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    -- HUGEINT window sum cast back to BIGINT (driver hash is
+         |    -- dtype-sensitive)
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |                             ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens,
+         |  CAST(start_tok // 512 AS BIGINT) AS pack_id,
+         |  CAST(start_tok % 512 AS BIGINT) AS offset_in_pack
+         |FROM c
          |ORDER BY source, doc_id""".stripMargin
   )
 }
