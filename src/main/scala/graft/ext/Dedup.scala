@@ -126,45 +126,60 @@ object Dedup {
     * turns pairs into keep-one-per-cluster decisions). Labels are the MIN id
     * reachable in the component, so output is fully deterministic.
     *
-    * Algorithm: min-label propagation — each iteration every node takes the
-    * min of its own and its neighbours' labels (one equi-join + one map-side-
-    * combined min aggregation, i.e. two narrow shuffles over the PAIR set,
-    * never the corpus), repeated until a fixpoint. Converges in
-    * graph-diameter iterations; near-dup components are shallow (dozens of
-    * docs, diameter ≲ 5). For adversarially long chains the standard
-    * O(log n)-round variant is large-star/small-star (same per-round shape).
-    * Each iteration materializes through `persist` and drops its
-    * predecessor, so lineage stays flat. The convergence check is a scalar
-    * count — the only driver-side value.
+    * Algorithm: min-label propagation with pointer jumping. Each round every
+    * node takes the min of its own, its neighbours', and its LABEL'S label
+    * (path compression — Floyd/star-contraction style), so a diameter-d
+    * chain converges in O(log d) rounds, not d: without the jump a 30-node
+    * chain costs 30 rounds of full-pipeline recomputation, which is exactly
+    * what blew the heap at sf0.1. Every materialization point is a
+    * `localCheckpoint(eager)`, not a `persist`: a persist caches EXECUTION
+    * but leaves the LOGICAL plan nested, so an iterative loop re-analyzes a
+    * plan that doubles per round — Catalyst itself became the bottleneck
+    * (300 MB plan strings, OOM in explain rendering) long before any data
+    * did. The checkpoint truncates lineage to the materialized rows, making
+    * every round's plan O(1): two equi-joins + one map-side-combined min
+    * over the PAIR set, one scalar convergence count on the driver. (On a
+    * shared cluster where executor loss matters, swap for reliable
+    * `checkpoint()` with a checkpoint dir — localCheckpoint blocks are
+    * non-replicated.)
     *
     * Output: one row per node appearing in `pairs` — (vec_id, cluster_id,
     * cluster_size); singleton docs never enter the pair graph. */
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // pairs carry a < b once; edges need both directions
+    // pairs carry a < b once; edges need both directions. The checkpoint
+    // materializes the (possibly expensive) upstream detector exactly once —
+    // iterations read the materialized edge rows, not the detector's plan.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(true)
     var labels = edges.groupBy(col("src").as("vec_id"))
       .agg(min(col("dst")).as("nmin"))
       .select(col("vec_id"), least(col("vec_id"), col("nmin")).as("label"))
-      .persist()
+      .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
+      // neighbour min over the materialized edges
       val prop = edges
         .join(labels.select(col("vec_id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("vec_id")).agg(min(col("label")).as("nlabel"))
-      val next = labels.as("l")
+      val stepped = labels.as("l")
         .join(prop.as("p"), Seq("vec_id"), "left")
         .select(col("vec_id"), col("l.label").as("old"),
-          least(col("l.label"), coalesce(col("p.nlabel"), col("l.label"))).as("label"))
-        .persist()
+          least(col("l.label"), coalesce(col("p.nlabel"), col("l.label"))).as("mid"))
+      // pointer jump: follow the label's own label (labels are node ids, so
+      // label(label) is defined whenever the label is a non-min node)
+      val next = stepped.as("s")
+        .join(stepped.select(col("vec_id").as("mid"), col("mid").as("jump")).as("j"),
+          Seq("mid"), "left")
+        .select(col("vec_id"), col("old"),
+          least(col("mid"), coalesce(col("jump"), col("mid"))).as("label"))
+        .localCheckpoint(true)
       changed = next.filter(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = next.select(col("vec_id"), col("label"))
     }
-    val out = labels
+    labels
       .withColumn("cluster_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("label"))))
       .select(col("vec_id"), col("label").as("cluster_id"), col("cluster_size"))
-    out
   }
 }
