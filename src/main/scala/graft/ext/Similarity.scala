@@ -239,11 +239,10 @@ object Similarity {
         col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", l2norm(col("qv")))
       .withColumn("qbucket", signBuckets(col("qv"), planes))
-      .withColumn("_dps", dps)
+      .withColumn("_absdps", transform(dps, x => abs(x)))
       // 1-based index of the minimum |dot| — the least-confident sign bit
-      .withColumn("_weak", array_position(
-        transform(col("_dps"), x => abs(x)),
-        array_min(transform(col("_dps"), x => abs(x)))).cast("int"))
+      .withColumn("_weak",
+        array_position(col("_absdps"), array_min(col("_absdps"))).cast("int"))
       .withColumn("probe",
         explode(array(col("qbucket"), expr("qbucket ^ shiftleft(1, _weak - 1)"))))
     val sims = c.join(broadcast(q),

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, TextOps}
+import graft.util.Output.tinySort
 import graft.util.Tables.load
 
 /** Corpus-curation capstone: the training-data operators composed into one
@@ -30,7 +31,7 @@ object CurationQueries {
       .filter(col("doc_id") === col("keep_id") &&
         col("quality") > 0.5 && col("lang_pred") === "en")
       .select(col("doc_id"), col("quality"), col("lang_pred"), col("fp"))
-      .orderBy(col("doc_id"))
+      .transform(tinySort(_, col("doc_id")))
   }
 
   /** Per-source token-budget sampling — the mixture-building primitive: each
@@ -50,7 +51,7 @@ object CurationQueries {
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") - col("n_tokens") < budget)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
-      .orderBy(col("source"), col("doc_id"))
+      .transform(tinySort(_, col("source"), col("doc_id")))
   }
 
   /** Sequence packing — the concat-and-chunk batching step of a training

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, TextOps}
+import graft.util.Output.tinySort
 import graft.util.Tables.load
 
 /** Deduplication operator surface over `documents` (exact, MinHash+LSH,
@@ -48,7 +49,8 @@ object DedupQueries {
 
   def q22LshBandPairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = Dedup.minhashSignature(load(spark, dir, "documents"), "doc_id", "text")
-    Dedup.lshCandidatePairs(sig, "doc_id").orderBy(col("doc_a"), col("doc_b"))
+    Dedup.lshCandidatePairs(sig, "doc_id")
+      .transform(tinySort(_, col("doc_a"), col("doc_b")))
   }
 
   def q23Simhash(spark: SparkSession, dir: String): DataFrame =
@@ -57,7 +59,7 @@ object DedupQueries {
 
   def q24NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(load(spark, dir, "documents"), "doc_id", "text")
-      .orderBy(col("doc_a"), col("doc_b"))
+      .transform(tinySort(_, col("doc_a"), col("doc_b")))
 
   /** E-style fingerprinting (md5 of normalized text + order-sensitive rolling
     * token hash, [[TextOps.rollingTokenHash]]). */

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.util.Output.tinySort
 import graft.util.Tables.load
 
 /** Relational operator coverage (SURVEY.md §2.3-§2.5, §2.7, §2.10) mapped onto
@@ -38,7 +39,7 @@ object RelationalQueries {
           .cast("decimal(28,4)")).cast("double").as("sum_disc_price"),
         (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .transform(tinySort(_, col("l_returnflag"), col("l_linestatus")))
   }
 
   /** F1: regex-contains validity filter (`rlike`, null → filtered, matching
@@ -91,7 +92,7 @@ object RelationalQueries {
           .cast("decimal(28,4)")).cast("double").as("revenue"),
         countDistinct(col("o_orderkey")).as("n_orders"),
         count(lit(1)).as("n_rows"))
-      .orderBy(col("r_name"), col("n_name"))
+      .transform(tinySort(_, col("r_name"), col("n_name")))
   }
 
   /** J1: disjunctive (OR-condition) left join — BroadcastNestedLoopJoin is fine

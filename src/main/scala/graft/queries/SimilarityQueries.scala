@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, Similarity}
+import graft.util.Output.tinySort
 import graft.util.Tables.load
 
 /** Similarity-search surface over `embeddings`: brute-force cosine top-k
@@ -13,13 +14,13 @@ object SimilarityQueries {
   def q25CosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = load(spark, dir, "embeddings")
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
-      .orderBy(col("query_id"), col("cand_id"))
+      .transform(tinySort(_, col("query_id"), col("cand_id")))
   }
 
   def q26EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(load(spark, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.45, maxId = 2000L)
-      .orderBy(col("vec_a"), col("vec_b"))
+      .transform(tinySort(_, col("vec_a"), col("vec_b")))
 
   /** ANN via deterministic sign-LSH buckets. Oracle-checked: the hyperplanes
     * are md5-seeded literals ([[graft.ext.Similarity.hyperplanes]]), so the
@@ -29,7 +30,7 @@ object SimilarityQueries {
   def q31AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = load(spark, dir, "embeddings")
     Similarity.annTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
-      .orderBy(col("query_id"), col("cand_id"))
+      .transform(tinySort(_, col("query_id"), col("cand_id")))
   }
 
   /** IVF ANN: deterministic hash-ordered centroid sample → map-side nearest-
@@ -39,7 +40,7 @@ object SimilarityQueries {
     val e = load(spark, dir, "embeddings")
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, nlist = 16, nprobe = 4)
-      .orderBy(col("query_id"), col("cand_id"))
+      .transform(tinySort(_, col("query_id"), col("cand_id")))
   }
 
   /** IVF ANN with one Lloyd refinement iteration: the coarse quantizer's
@@ -51,7 +52,7 @@ object SimilarityQueries {
     val e = load(spark, dir, "embeddings")
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, nlist = 16, nprobe = 4, lloydIterations = 1)
-      .orderBy(col("query_id"), col("cand_id"))
+      .transform(tinySort(_, col("query_id"), col("cand_id")))
   }
 
   /** q26's near-dup semantics on the scale path: sign-LSH bucket equi-join
@@ -61,7 +62,7 @@ object SimilarityQueries {
   def q46LshNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshNearDupPairs(load(spark, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.3, numPlanes = 6)
-      .orderBy(col("vec_a"), col("vec_b"))
+      .transform(tinySort(_, col("vec_a"), col("vec_b")))
 
   /** Multi-probe sign-LSH ANN: own bucket + the Hamming-1 bucket at the
     * query's lowest-margin plane. The oracle reproduces the margin argmin
@@ -69,7 +70,7 @@ object SimilarityQueries {
   def q47AnnMultiProbe(spark: SparkSession, dir: String): DataFrame = {
     val e = load(spark, dir, "embeddings")
     Similarity.annTopKMultiProbe(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
-      .orderBy(col("query_id"), col("cand_id"))
+      .transform(tinySort(_, col("query_id"), col("cand_id")))
   }
 
   /** Band-OR LSH near-dup: 3 independent 6-plane sign-LSH tables OR'd —
@@ -78,7 +79,7 @@ object SimilarityQueries {
   def q50BandedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.bandedNearDupPairs(load(spark, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.3, bands = 3, planesPerBand = 6)
-      .orderBy(col("vec_a"), col("vec_b"))
+      .transform(tinySort(_, col("vec_a"), col("vec_b")))
 
   /** Duplicate clusters over the band-OR near-dup graph: min-label-
     * propagation connected components ([[Dedup.duplicateClusters]]) — the
@@ -90,7 +91,7 @@ object SimilarityQueries {
     val pairs = Similarity.bandedNearDupPairs(load(spark, dir, "embeddings"),
       "vec_id", "embedding", threshold = 0.35, bands = 3, planesPerBand = 6)
     Dedup.duplicateClusters(pairs, "vec_a", "vec_b")
-      .orderBy(col("cluster_id"), col("vec_id"))
+      .transform(tinySort(_, col("cluster_id"), col("vec_id")))
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -163,6 +163,11 @@ object StarLoadQueries {
         col("highlight_count"), col("video_count"), col("auction_title"), col("auction_url"),
         col("make_id"), col("model_id"), col("body_style_id"), col("transmission_id"),
         col("drivetrain_id"), col("mileage"), col("gear_count"), col("manufacture_year"))
+      // fact-scale output: the range-sort for the deterministic dump is the
+      // right distributed plan, but its partitioner's sampling pass would
+      // re-execute the whole 5-way readBack join under a write sink —
+      // checkpoint once, then both the sample and the sort read local blocks
+      .localCheckpoint()
       .orderBy(col("auction_id"))
   }
 

@@ -1,7 +1,6 @@
 package graft.star
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.expr.CleanExprs.normKey
 
@@ -12,8 +11,10 @@ import graft.expr.CleanExprs.normKey
   * (SURVEY.md §7.5 #5: ids must be stable across incremental loads).
   *
   * Scale note: the insert-only pattern is a `left_anti` join against the
-  * existing dim — broadcast when small; the single-partition `row_number`
-  * window only ever sees NEW distinct keys (dim deltas, not fact volume).
+  * existing dim — broadcast when small; fresh ids come from the distributed
+  * sort+zipWithIndex shape ([[Ids.assignSequentialIds]]), so even a
+  * pathological dim (city_dim on a dirty corpus) never funnels through a
+  * single-partition window.
   */
 object Dims {
 
@@ -29,11 +30,10 @@ object Dims {
     val maxId: Long = existing
       .map(_.agg(coalesce(max(col(idCol)), lit(0L)).as("m")).head().getLong(0))
       .getOrElse(0L)
-    val w = Window.orderBy(keys.map(c => col(c).asc_nulls_last): _*)
-    // count + append fused into one action (Observation on the write plan) —
-    // the anti-join/window runs exactly once, no persist needed
-    val assigned = newRows
-      .withColumn(idCol, row_number().over(w).cast("long") + lit(maxId))
+    // count + append fused into one action (Observation on the write plan);
+    // the anti-join's shuffle map stages are shared between zipWithIndex's
+    // size job and the write (stage reuse), so it still runs exactly once
+    val assigned = Ids.assignSequentialIds(newRows, keys, idCol, maxId)
       .select((idCol +: keys).map(col): _*)
     wh.appendCounted(table, assigned)
   }

@@ -120,15 +120,9 @@ object Facts {
     * (parallel, cheap) job to count per-partition sizes and keeps every
     * stage partitioned. Reference semantics: `update_dims.sql`:158-167
     * (serial nextval over ordered distinct candidates). */
-  private[graft] def assignFreshIds(fresh: DataFrame, maxId: Long): DataFrame = {
-    val sorted = fresh.drop("vehicle_id")
-      .orderBy(col("vin").asc_nulls_last, col("auction_id").asc_nulls_last)
-    val schema = sorted.schema.add("vehicle_id", org.apache.spark.sql.types.LongType)
-    val withIdx = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (maxId + i + 1L))
-    }
-    sorted.sparkSession.createDataFrame(withIdx, schema)
-  }
+  private[graft] def assignFreshIds(fresh: DataFrame, maxId: Long): DataFrame =
+    Ids.assignSequentialIds(fresh.drop("vehicle_id"),
+      Seq("vin", "auction_id"), "vehicle_id", maxId)
 
   /** J4 + U1 (Q:181-223): the 6-way star join resolving every surrogate key,
     * insert-only on auction_id. auction_time: the reference round-trips
