@@ -27,15 +27,19 @@ object Dims {
       case Some(e) => candidates.join(broadcast(e.select(keys.map(col): _*)), keys, "left_anti")
       case None => candidates
     }
-    val maxId: Long = existing
-      .map(_.agg(coalesce(max(col(idCol)), lit(0L)).as("m")).head().getLong(0))
-      .getOrElse(0L)
+    val maxId: Long = existing match {
+      case Some(e) => wh.cachedMaxId(table)(
+        e.agg(coalesce(max(col(idCol)), lit(0L)).as("m")).head().getLong(0))
+      case None => 0L
+    }
     // count + append fused into one action (Observation on the write plan);
     // the anti-join's shuffle map stages are shared between zipWithIndex's
     // size job and the write (stage reuse), so it still runs exactly once
     val assigned = Ids.assignSequentialIds(newRows, keys, idCol, maxId)
       .select((idCol +: keys).map(col): _*)
-    wh.appendCounted(table, assigned)
+    val appended = wh.appendCounted(table, assigned)
+    wh.recordMaxId(table, maxId + appended)
+    appended
   }
 
   /** A1+U1: the six single-column dims (Q:8-69). mode per reference:

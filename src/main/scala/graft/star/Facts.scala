@@ -1,7 +1,6 @@
 package graft.star
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** vehicle_dim (J3 + U2 upsert) and auction_fact (J4 + U1 insert-only) —
@@ -63,35 +62,56 @@ object Facts {
     * (see [[assignFreshIds]]) — parallel even when the fresh set is the
     * whole fact table (initial bulk load). */
   def upsertVehicleDim(wh: Warehouse, staging: DataFrame): Unit = {
+    val (merged, prevMax) = mergedVehicleDim(wh, staging)
+    writeVehicleDim(wh, merged, prevMax)
+  }
+
+  /** Builds (and checkpoints) the merged rows of the AFFECTED buckets —
+    * every incoming (vin, auction_id) key's final row with its final
+    * vehicle_id. The fact load only ever resolves keys it is currently
+    * staging, and those are all in the affected buckets, so this frame is a
+    * sufficient (and smaller) join side for [[resolveFact]] — letting
+    * [[StarLoad.run]] overlap the bucket write ([[writeVehicleDim]]) with
+    * the fact resolution instead of waiting for the write and re-reading
+    * the table from disk. Returns (merged, previous max vehicle_id). */
+  private[graft] def mergedVehicleDim(wh: Warehouse, staging: DataFrame): (DataFrame, Long) = {
     val keys = Seq("vin", "auction_id")
     val incoming = resolveVehicleAttrs(wh, staging)
       .withColumn("_bucket", vehicleBucket(col("vin"), col("auction_id")))
       .withColumn("_inc", lit(1))
-    val merged = wh.readIfExists("vehicle_dim") match {
+    val withIds = wh.readIfExists("vehicle_dim") match {
       case None => incoming.drop("_inc")
+        .withColumn("vehicle_id", lit(null).cast("long"))
       case Some(existing) =>
         // partition-pruned: only buckets containing incoming keys are read
         val affected = incoming.select(col("_bucket")).distinct()
         val hit = existing.join(broadcast(affected), Seq("_bucket"), "left_semi")
-        val ids = hit.select(
-          col("vin").as("_ivin"), col("auction_id").as("_iaid"), col("vehicle_id"))
-        val union = incoming.unionByName(
-          hit.drop("vehicle_id").withColumn("_inc", lit(0)), allowMissingColumns = true)
-        val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_inc").desc)
-        // null-safe id recovery (<=>): the keep-first window above groups
-        // null keys together, so the join must match them too — a plain
-        // equi-join would re-key every null-vin row on each load, orphaning
-        // the fact rows that reference its old vehicle_id.
-        union.withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1).drop("_rn", "_inc")
-          .join(ids, col("vin") <=> col("_ivin") && col("auction_id") <=> col("_iaid"), "left")
-          .drop("_ivin", "_iaid")
+          .withColumn("_inc", lit(0))
+        val union = incoming.withColumn("vehicle_id", lit(null).cast("long"))
+          .unionByName(hit)
+        // incoming-wins merge as ONE map-side-combinable aggregation: per
+        // key (≤ 2 rows: one staged, one existing — staging is keep-newest
+        // per auction_id and the table is key-unique) take the higher-_inc
+        // row's attributes and the EXISTING row's vehicle_id (the PK
+        // survives, ON CONFLICT DO UPDATE semantics). groupBy groups NULL
+        // keys together — exactly the null-safe (<=>) matching the old
+        // window + id-recovery join needed; this shape is one shuffle
+        // instead of window-shuffle + join.
+        val attrs = union.columns.filterNot(c =>
+          keys.contains(c) || c == "vehicle_id" || c == "_inc")
+        union.groupBy(keys.map(col): _*)
+          .agg(
+            max_by(struct(attrs.map(col): _*), col("_inc")).as("_r"),
+            max(when(col("_inc") === 0, col("vehicle_id"))).as("vehicle_id"))
+          .select(keys.map(col) ++
+            attrs.map(c => col(s"_r.$c").as(c)) :+ col("vehicle_id"): _*)
     }
-    val withIds =
-      if (merged.columns.contains("vehicle_id")) merged
-      else merged.withColumn("vehicle_id", lit(null).cast("long"))
+    // high-water mark: known from the previous load's write observation
+    // ([[writeVehicleDim]]) when this Warehouse instance did it — otherwise
+    // one column-pruned scalar scan
     val maxId = wh.readIfExists("vehicle_dim")
-      .map(_.agg(coalesce(max(col("vehicle_id")), lit(0L))).head().getLong(0))
+      .map(t => wh.cachedMaxId("vehicle_dim")(
+        t.agg(coalesce(max(col("vehicle_id")), lit(0L))).head().getLong(0)))
       .getOrElse(0L)
     // ONE materialization (eager localCheckpoint) feeds everything below:
     // the keyed/fresh split, the id-assignment sort+zipWithIndex, and the
@@ -101,14 +121,27 @@ object Facts {
     val snapped = withIds.localCheckpoint()
     val keyed = snapped.filter(col("vehicle_id").isNotNull)
     val fresh = assignFreshIds(snapped.filter(col("vehicle_id").isNull), maxId)
-    // cluster by the on-disk partition key before the partitioned write:
-    // without it every task writes a sliver file into every bucket it
-    // touches (tasks × buckets files + as many dynamic-overwrite commits);
-    // with it each bucket is one task's contiguous write — bounded file
-    // count at any scale, one cheap shuffle of the affected buckets
+    (keyed.unionByName(fresh), maxId)
+  }
+
+  /** The U2 bucket write for [[mergedVehicleDim]]'s output. Clusters by the
+    * on-disk partition key before the partitioned write: without it every
+    * task writes a sliver file into every bucket it touches (tasks × buckets
+    * files + as many dynamic-overwrite commits); with it each bucket is one
+    * task's contiguous write — bounded file count at any scale, one cheap
+    * shuffle of the affected buckets. An Observation on the write records
+    * the new max vehicle_id (fresh ids are assigned above the old global
+    * max, so max(prevMax, max over merged) is the table's new high-water
+    * mark) — the NEXT incremental load skips its max-id scan entirely. */
+  private[graft] def writeVehicleDim(wh: Warehouse, merged: DataFrame,
+                                     prevMax: Long): Unit = {
+    val obs = org.apache.spark.sql.Observation()
     wh.overwritePartitions("vehicle_dim",
-      keyed.unionByName(fresh).repartition(col("_bucket")), "_bucket",
+      merged.observe(obs, max(col("vehicle_id")).as("m"))
+        .repartition(col("_bucket")), "_bucket",
       alreadySnapped = true)
+    val m = Option(obs.get("m")).collect { case l: Long => l }.getOrElse(0L)
+    wh.recordMaxId("vehicle_dim", math.max(prevMax, m))
   }
 
   /** Deterministic DISTRIBUTED fresh-id assignment: a range-shuffled global
@@ -133,8 +166,9 @@ object Facts {
     * NOT — it is one row per staged (vin, auction_id), i.e. fact-scale, so
     * its resolution must be free to shuffle on the key (AQE still broadcasts
     * it at small SF where it fits; PlanShapeSpec pins the degradation). */
-  private[graft] def resolveFact(wh: Warehouse, staging: DataFrame): DataFrame = {
-    val vd = wh.read("vehicle_dim")
+  private[graft] def resolveFact(wh: Warehouse, staging: DataFrame,
+                                 vehicleDim: Option[DataFrame] = None): DataFrame = {
+    val vd = vehicleDim.getOrElse(wh.read("vehicle_dim"))
       .select(col("vin").as("_vvin"), col("auction_id").as("_vaid"), col("vehicle_id"))
     val asd = wh.readCached("auction_status_dim").select(col("status").as("_as"), col("id").as("auction_status_id"))
     val rsd = wh.readCached("reserve_status_dim").select(col("status").as("_rs"), col("id").as("reserve_status_id"))
@@ -168,8 +202,11 @@ object Facts {
         col("auction_title"), col("auction_subtitle"), col("auction_url"))
   }
 
-  def insertAuctionFact(wh: Warehouse, staging: DataFrame): Long = {
-    val resolved = resolveFact(wh, staging)
+  /** `vehicleDim`: an in-memory sufficient join side (all currently-staged
+    * keys) from [[mergedVehicleDim]]; None reads the table from disk. */
+  def insertAuctionFact(wh: Warehouse, staging: DataFrame,
+                        vehicleDim: Option[DataFrame] = None): Long = {
+    val resolved = resolveFact(wh, staging, vehicleDim)
     val newRows = wh.readIfExists("auction_fact") match {
       case Some(f) => resolved.join(f.select("auction_id"), Seq("auction_id"), "left_anti")
       case None => resolved

@@ -47,7 +47,31 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
 
   private def invalidate(table: String): Unit = synchronized {
     dimCache.remove(table).foreach(_.unpersist())
+    maxIds.remove(table)
+    ()
   }
+
+  // Surrogate-id high-water marks: an incremental load re-derives each dim's
+  // max(id) as a scalar agg — one driver action per dim per load. The
+  // insert-only path KNOWS the new max (old max + rows appended), so it
+  // records it and the next load skips the agg. Any other write to the table
+  // drops the entry (computed lazily again).
+  private val maxIds = scala.collection.mutable.Map.empty[String, Long]
+
+  /** Cached max surrogate id for `table`, computing via `compute` on miss. */
+  private[graft] def cachedMaxId(table: String)(compute: => Long): Long = {
+    synchronized(maxIds.get(table)) match {
+      case Some(v) => v
+      case None =>
+        val v = compute
+        synchronized { maxIds(table) = v }
+        v
+    }
+  }
+
+  /** Record the known max id after an append of contiguous fresh ids. */
+  private[graft] def recordMaxId(table: String, v: Long): Unit =
+    synchronized { maxIds(table) = v }
 
   /** Append new rows (the U1 insert-only path — callers anti-join first). */
   def append(table: String, df: DataFrame): Unit = {
