@@ -75,10 +75,69 @@ object CurationQueries {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** q53 — the END-TO-END pre-training curation capstone: every stage of a
+    * 100 TB data-curation pass composed into ONE dataflow over
+    * `documents`+`embeddings` (ids aligned 1:1):
+    *
+    *   1. band-OR sign-LSH near-dup detection over the embedding corpus
+    *      ([[graft.ext.Similarity.bandedNearDupPairs]], the q50 scale path);
+    *   2. duplicate clusters from the pair graph
+    *      ([[graft.ext.Dedup.duplicateClusters]], q51) — the detector and
+    *      clustering materialize ONCE (the edge checkpoint), so the final
+    *      plan contains NO embeddings scan and NO LSH expression (pinned in
+    *      PlanShapeSpec);
+    *   3. keep-one-per-cluster: non-representative members (vec_id ≠
+    *      cluster label) are anti-joined out — NOT broadcast-hinted: on a
+    *      duplicate-heavy crawl the drop set is O(corpus);
+    *   4. exact-dup keep + quality/language filter (the q42 stages);
+    *   5. per-source token-budget mixture + sequence packing (q48+q52) in
+    *      ONE source-keyed window — running totals, budget cut, pack ids.
+    *
+    * Shuffles: detector band joins (bucketed) + cluster iterations (pair
+    * graph only), one fingerprint groupBy, one anti-join, one source-keyed
+    * window. Nothing all-pairs, nothing collected. */
+  def q53CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 800L
+    val seqLen = 512L
+    val emb = load(spark, dir, "embeddings")
+    val pairs = graft.ext.Similarity.bandedNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.35, bands = 3, planesPerBand = 6)
+    val dropped = Dedup.duplicateClusters(pairs, "vec_a", "vec_b")
+      .filter(col("vec_id") =!= col("cluster_id"))
+      .select(col("vec_id").as("doc_id"))
+    val docs = load(spark, dir, "documents")
+    val toks = TextOps.tokens(col("text"))
+    val scored = docs.select(
+      col("doc_id"), col("source"), col("text"),
+      TextOps.qualityScore(col("text"), Stopwords).as("quality"),
+      TextOps.langPredict(TextOps.langScores(toks)).as("lang_pred"),
+      TextOps.fingerprintMd5(col("text")).as("fp"))
+    val keep = Dedup.exactDupGroups(docs, "doc_id", "text")
+      .select(col("fingerprint").as("fp"), col("keep_id"))
+    val kept = scored
+      .join(keep, Seq("fp"))
+      .filter(col("doc_id") === col("keep_id") &&
+        col("quality") > 0.5 && col("lang_pred") === "en")
+      .join(dropped, Seq("doc_id"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    kept
+      .select(col("doc_id"), col("source"), col("quality"),
+        TextOps.reTokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .select(col("doc_id"), col("source"), col("quality"), col("n_tokens"),
+        col("cum_tokens"),
+        floor((col("cum_tokens") - col("n_tokens")) / seqLen).cast("long").as("pack_id"),
+        ((col("cum_tokens") - col("n_tokens")) % seqLen).as("offset_in_pack"))
+      .transform(tinySort(_, col("source"), col("doc_id")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_corpus_curation" -> (q42CorpusCuration _),
     "q48_token_budget" -> (q48TokenBudget _),
-    "q52_sequence_packing" -> (q52SequencePacking _)
+    "q52_sequence_packing" -> (q52SequencePacking _),
+    "q53_curation_pipeline" -> (q53CurationPipeline _)
   )
 
   private val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
@@ -130,6 +189,56 @@ object CurationQueries {
          |SELECT doc_id, source, n_tokens, cum_tokens FROM c
          |WHERE cum_tokens - n_tokens < 800
          |ORDER BY source, doc_id""".stripMargin,
+    "q53_curation_pipeline" -> {
+      val ratios = TextOps.LangMarkers.map { case (lang, words) =>
+        val in = words.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(toks, t -> t IN ($in))) AS DOUBLE) / greatest(len(toks), 1) AS r_$lang"
+      }.mkString(",\n   ")
+      s"""WITH RECURSIVE ${SimilarityQueries.ClusterLabelCtes},
+         | dropped AS (SELECT vec_id FROM labels WHERE vec_id <> cluster_id),
+         | bq AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS toks, length(text) AS nc,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents),
+         | m AS (
+         |  SELECT doc_id, fp,
+         |   CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / greatest(nc, 1) AS nonalpha,
+         |   CAST(len(toks) AS DOUBLE) AS nt,
+         |   CAST(len(list_filter(toks, t -> t IN ($stopIn))) AS DOUBLE) / greatest(len(toks), 1) AS stop_r,
+         |   $ratios
+         |  FROM bq),
+         | q AS (
+         |  SELECT doc_id, fp,
+         |   0.4 * (1.0 - nonalpha) + 0.3 * least(nt / 100.0, 1.0) + 0.3 * least(stop_r * 5.0, 1.0) AS quality,
+         |   CASE WHEN r_en >= 0.01 AND r_en >= r_es AND r_en >= r_de THEN 'en'
+         |        WHEN r_es >= 0.01 AND r_es >= r_de THEN 'es'
+         |        WHEN r_de >= 0.01 THEN 'de'
+         |        ELSE 'unknown' END AS lang_pred
+         |  FROM m),
+         | keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM q GROUP BY fp),
+         | kept AS (
+         |  SELECT q.doc_id, q.quality
+         |  FROM q JOIN keep ON q.fp = keep.fp
+         |  WHERE q.doc_id = keep.keep_id AND q.quality > 0.5 AND q.lang_pred = 'en'
+         |    AND q.doc_id NOT IN (SELECT vec_id FROM dropped)),
+         | t AS (
+         |  SELECT d.doc_id, d.source, k.quality,
+         |    CAST(len(regexp_extract_all(d.text, '${TextOps.ReTokenPattern}')) AS BIGINT) AS n_tokens,
+         |    md5(CAST(d.doc_id AS VARCHAR)) AS h
+         |  FROM documents d JOIN kept k USING (doc_id)),
+         | c AS (
+         |  SELECT doc_id, source, quality, n_tokens,
+         |    -- HUGEINT window sum cast back (driver hash is dtype-sensitive)
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, source, quality, n_tokens, cum_tokens,
+         |  CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS pack_id,
+         |  CAST((cum_tokens - n_tokens) % 512 AS BIGINT) AS offset_in_pack
+         |FROM c
+         |WHERE cum_tokens - n_tokens < 800
+         |ORDER BY source, doc_id""".stripMargin
+    },
     "q52_sequence_packing" ->
       s"""WITH t AS (
          |  SELECT doc_id, source,

@@ -106,6 +106,38 @@ object SimilarityQueries {
     "q51_dup_clusters" -> (q51DupClusters _)
   )
 
+  /** Shared CTE chain: band-OR sign-LSH detector at 0.35 → `pairs` →
+    * transitive closure → `labels` (vec_id, cluster_id). Used by q51 and the
+    * q53 curation capstone. */
+  private[queries] val ClusterLabelCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      | planes AS (
+      |  SELECT b, p, d,
+      |    CASE WHEN substr(md5('graft:b' || b || ':' || p || ':' || d), 2, 1) IN ('0','2','4','6','8','a','c','e')
+      |         THEN 1.0 ELSE -1.0 END AS w
+      |  FROM range(0,3) tb(b), range(0,6) t1(p), range(0,64) t2(d)),
+      | ev AS (SELECT vec_id, generate_subscripts(v,1)-1 AS d, unnest(v) AS x FROM e),
+      | dots AS (SELECT ev.vec_id, pl.b, pl.p, SUM(ev.x * pl.w) AS dp
+      |          FROM ev JOIN planes pl ON ev.d = pl.d GROUP BY ev.vec_id, pl.b, pl.p),
+      | buckets AS (SELECT vec_id, b, CAST(SUM(CASE WHEN dp > 0 THEN (1 << p) ELSE 0 END) AS INTEGER) AS bucket
+      |             FROM dots GROUP BY vec_id, b),
+      | cand AS (SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+      |          FROM buckets a JOIN buckets c ON a.b = c.b AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
+      | pairs AS (
+      |  SELECT cand.vec_a, cand.vec_b FROM cand
+      |  JOIN e ea ON ea.vec_id = cand.vec_a
+      |  JOIN e eb ON eb.vec_id = cand.vec_b
+      |  WHERE list_cosine_similarity(ea.v, eb.v) > 0.35),
+      | edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+      |           UNION SELECT vec_b, vec_a FROM pairs),
+      | reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+      | labels AS (
+      |  SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+      |  FROM reach GROUP BY a)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q25_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -266,36 +298,11 @@ object SimilarityQueries {
      * pair graph is small — closure is fine for the oracle; the engine side
      * is iterative min-label propagation, the distributed formulation). */
     "q51_dup_clusters" ->
-      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        | planes AS (
-        |  SELECT b, p, d,
-        |    CASE WHEN substr(md5('graft:b' || b || ':' || p || ':' || d), 2, 1) IN ('0','2','4','6','8','a','c','e')
-        |         THEN 1.0 ELSE -1.0 END AS w
-        |  FROM range(0,3) tb(b), range(0,6) t1(p), range(0,64) t2(d)),
-        | ev AS (SELECT vec_id, generate_subscripts(v,1)-1 AS d, unnest(v) AS x FROM e),
-        | dots AS (SELECT ev.vec_id, pl.b, pl.p, SUM(ev.x * pl.w) AS dp
-        |          FROM ev JOIN planes pl ON ev.d = pl.d GROUP BY ev.vec_id, pl.b, pl.p),
-        | buckets AS (SELECT vec_id, b, CAST(SUM(CASE WHEN dp > 0 THEN (1 << p) ELSE 0 END) AS INTEGER) AS bucket
-        |             FROM dots GROUP BY vec_id, b),
-        | cand AS (SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
-        |          FROM buckets a JOIN buckets c ON a.b = c.b AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
-        | pairs AS (
-        |  SELECT cand.vec_a, cand.vec_b FROM cand
-        |  JOIN e ea ON ea.vec_id = cand.vec_a
-        |  JOIN e eb ON eb.vec_id = cand.vec_b
-        |  WHERE list_cosine_similarity(ea.v, eb.v) > 0.35),
-        | edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
-        |           UNION SELECT vec_b, vec_a FROM pairs),
-        | reach AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
-        | labels AS (
-        |  SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
-        |  FROM reach GROUP BY a)
+      s"""WITH RECURSIVE $ClusterLabelCtes
         |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
         |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
         |FROM labels
         |ORDER BY cluster_id, vec_id""".stripMargin
   )
+
 }

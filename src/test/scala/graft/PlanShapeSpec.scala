@@ -78,6 +78,49 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop in banded near-dup:\n$plan")
   }
 
+  test("q53 capstone: detector materializes once — final plan has no LSH, no embeddings scan") {
+    // the near-dup detector + clustering run eagerly into the edge/label
+    // checkpoints; if the final plan still contained a sign_buckets
+    // expression or an embeddings file scan, the detector subtree would
+    // re-execute under the write sink (and its sampling passes)
+    val plan = graft.queries.CurationQueries.q53CurationPipeline(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("sign_buckets"), s"detector re-appears in final plan:\n$plan")
+    assert(!plan.contains("embeddings"), s"embeddings rescanned in final plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in capstone:\n$plan")
+    // exactly the one source-keyed running-total window survives (the
+    // cluster_size window is pruned — q53 never references it)
+    assert("Window".r.findAllIn(plan).length == 1, s"expected exactly 1 window:\n$plan")
+  }
+
+  test("q51 label-propagation round plan is O(1) nodes (checkpoint contract)") {
+    // every round's frames must read materialized blocks, not the detector:
+    // a round plan referencing parquet or LSH means lineage grew — the exact
+    // regression that OOM'd sf0.1 before the localCheckpoint fix
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("vec_a", "vec_b")
+    val labels = graft.ext.Dedup.duplicateClusters(pairs, "vec_a", "vec_b")
+    val plan = labels.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
+      s"labels must read checkpointed rows:\n$plan")
+    assert(!plan.contains("Join"), s"final labels plan must be join-free (post-fixpoint):\n$plan")
+    val got = labels.select("vec_id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L)), got.toString)
+  }
+
+  test("q52 sequence packing is a single source-keyed window shuffle") {
+    val plan = graft.queries.CurationQueries.q52SequencePacking(spark, dir)
+      .queryExecution.sparkPlan.toString
+    val windows = "Window".r.findAllIn(plan).length
+    assert(windows == 1, s"expected exactly 1 window:\n$plan")
+    // the window is keyed on source — not an unpartitioned global window
+    assert("Window.*partitionBy|Window \\[.*windowspecdefinition\\(source".r
+      .findFirstIn(plan).isDefined || plan.contains("partitionBy"),
+      s"window must be source-keyed:\n$plan")
+  }
+
   test("filter pushdown reaches the parquet scan (q01: shipdate predicate)") {
     val plan = RelationalQueries.q01PricingSummary(spark, dir)
       .queryExecution.executedPlan.toString
