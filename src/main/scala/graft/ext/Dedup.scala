@@ -182,4 +182,67 @@ object Dedup {
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("label"))))
       .select(col("vec_id"), col("label").as("cluster_id"), col("cluster_size"))
   }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the hub-safe fallback to [[duplicateClusters]]: min-label
+    * propagation's per-round cost concentrates on high-degree nodes (every
+    * neighbour of a hub re-sends its label each round), while the star
+    * operations REWIRE the graph itself, bounding any node's degree growth
+    * and converging in O(log n) rounds on adversarial (hub-heavy,
+    * long-chain) pair graphs.
+    *
+    * Each round over the canonical (a < b) edge set:
+    *  - large-star: per node u (symmetric view), attach every LARGER
+    *    neighbour to m(u) = min(Γ(u) ∪ {u}) — one groupBy-min + one
+    *    equi-join, both keyed on the pair set;
+    *  - small-star: orient edges child(=max) → parent(=min); per child,
+    *    attach every parent and itself to the minimum parent.
+    * Both steps preserve components; the fixpoint is one star per
+    * component centred on its minimum id. Every round materializes through
+    * an eager localCheckpoint (same plan-growth contract as
+    * [[duplicateClusters]]; swap for reliable `checkpoint()` on a shared
+    * cluster), and convergence is an edge-set equality check (count +
+    * anti-join — both over the pair graph only).
+    *
+    * Output schema matches [[duplicateClusters]]: (vec_id, cluster_id,
+    * cluster_size), one row per node in `pairs`. */
+  def duplicateClustersStar(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    var canon = pairs
+      .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var done = false
+    while (!done) {
+      val sym = canon.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(canon.select(col("b").as("u"), col("a").as("v")))
+      // large-star: m(u) = least(u, min neighbour); larger neighbours attach to it
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("_mv"))
+        .select(col("u"), least(col("u"), col("_mv")).as("m"))
+      val ls = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .distinct()
+      // small-star on the large-star output: child(=b) → min parent
+      val minParent = ls.groupBy(col("b").as("u")).agg(min(col("a")).as("m"))
+      val ss = ls.join(minParent, ls("b") === minParent("u"))
+        .select(col("a").as("v"), col("m"))
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .unionByName(minParent.select(col("m").as("a"), col("u").as("b")))
+        .distinct()
+        .localCheckpoint(true)
+      // fixpoint: the canonical edge set stopped changing
+      done = ss.count() == canon.count() &&
+        ss.join(canon, Seq("a", "b"), "left_anti").isEmpty
+      canon = ss
+    }
+    // at the fixpoint each component is a star rooted at its min id
+    val labels = canon.select(col("b").as("vec_id"), col("a").as("label"))
+      .unionByName(canon.select(col("a").as("vec_id"), col("a").as("label")).distinct())
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("label"))))
+      .select(col("vec_id"), col("label").as("cluster_id"), col("cluster_size"))
+  }
 }

@@ -24,6 +24,8 @@ object Multimodal {
   case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte], meta: MediaMeta)
   case class MediaFeatures(media_id: Long, kind: String, width: Int, height: Int,
                            n_frames: Int, feature: Array[Float])
+  case class FrameFeatures(media_id: Long, kind: String, frame_idx: Int,
+                           width: Int, height: Int, n_frames: Int, feature: Array[Float])
 
   /** Stand-in media table: documents' text bytes as opaque payloads (the
     * testdata ships no real media; the plumbing is payload-agnostic). */
@@ -232,6 +234,78 @@ object Multimodal {
         iis.close()
       }
     } catch { case _: java.io.IOException => decodeStub(payload) }
+  }
+
+  /** PER-FRAME feature extraction: one output row per sampled frame of an
+    * animated payload (vs. [[extractFrameSampledFeatures]]'s mean-pool) —
+    * the shape a video-understanding pipeline feeds per-frame encoders
+    * with. `maxFrames` caps the fan-out per record: an adversarial
+    * 100k-frame GIF otherwise turns one input row into 100k decodes inside
+    * a single task (the per-record skew bomb — the cap bounds both CPU and
+    * the output multiplicity; sampling stays deterministic: first
+    * `maxFrames` of the stride sequence). Non-animated payloads emit their
+    * single frame; non-image payloads emit one stub/audio row (frame 0). */
+  def extractPerFrameFeatures(records: Dataset[MediaRecord], stride: Int,
+                              maxFrames: Int): Dataset[FrameFeatures] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(maxFrames >= 1, s"maxFrames must be >= 1, got $maxFrames")
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        decodePerFrame(r.payload, stride, maxFrames).map {
+          case (idx, w, h, n, feat) => FrameFeatures(r.media_id, r.kind, idx, w, h, n, feat)
+        }
+      }
+    }
+  }
+
+  /** (frame_idx, w, h, n_frames, 8-bin luminance histogram) per sampled
+    * frame; single pseudo-frame for non-image payloads. */
+  private[graft] def decodePerFrame(payload: Array[Byte], stride: Int,
+                                    maxFrames: Int): Seq[(Int, Int, Int, Int, Array[Float])] = {
+    import javax.imageio.ImageIO
+    try {
+      val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) {
+        iis.close()
+        val (w, h, f, feat) = decodeAudio(payload).getOrElse(decodeStub(payload))
+        return Seq((0, w, h, f, feat))
+      }
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val frames = try math.max(reader.getNumImages(true), 1)
+                     catch { case _: java.io.IOException => 1 }
+        (0 until frames by stride).take(maxFrames).map { i =>
+          val img = reader.read(i)
+          val w = img.getWidth
+          val h = img.getHeight
+          val hist = new Array[Float](8)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              hist(lum >> 5) += 1f
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toFloat
+          (i, w, h, frames, hist.map(_ / n))
+        }
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+    } catch {
+      case _: java.io.IOException =>
+        val (w, h, f, feat) = decodeStub(payload)
+        Seq((0, w, h, f, feat))
+    }
   }
 
   /** Size-aware repartitioning: large payloads dominate decode cost, so range
