@@ -36,8 +36,16 @@ object ProfilePhases {
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = ExecutionContext.global
       time(s"$tag seed")(StateSeed.ensureSeeded(wh))
-      val staging = time(s"$tag staging")(StarLoad.loadStaging(wh, processed))
+      val staging = time(s"$tag staging build")(
+        graft.etl.Silver.keepNewest(processed.select(graft.schema.Schemas.insertColumns.map(col): _*))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      time(s"$tag staging count")(staging.count())
+      val stagingWriteF = Future(time(s"$tag staging write")(wh.truncateInsert("staging", staging)))
       try {
+        val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+        val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         time(s"$tag dim wave") {
           val wave: Seq[() => Unit] = Seq(
             () => { Dims.loadSimpleDim(wh, staging, "auction_status_dim", "auction_status", "status"); () },
@@ -51,10 +59,13 @@ object ProfilePhases {
           Await.result(Future.sequence(wave.map(f => Future(f()))), Duration.Inf)
         }
         time(s"$tag model dim")(Dims.loadModelDim(wh, staging))
+        spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+        spark.conf.set("spark.sql.shuffle.partitions", shufWas)
         val (merged, prevMax) = time(s"$tag vehicle merge")(Facts.mergedVehicleDim(wh, staging))
         val writeF = Future(time(s"$tag vehicle write")(Facts.writeVehicleDim(wh, merged, prevMax)))
         time(s"$tag fact insert")(Facts.insertAuctionFact(wh, staging, Some(merged)))
         Await.result(writeF, Duration.Inf)
+        Await.result(stagingWriteF, Duration.Inf)
       } finally { staging.unpersist(); () }
     }
 

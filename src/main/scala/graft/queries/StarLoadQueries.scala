@@ -133,6 +133,13 @@ object StarLoadQueries {
       .withColumn("model", lit("ModelNew"))
       .withColumn("auction_status", lit("Reserve Not Met"))
     val batch2 = full.filter(key > 26000).unionByName(corrections)
+    // two sequential composed loads. The pipelined variant
+    // (StarLoad.runPipelined — batch 2's dim phase overlapping batch 1's
+    // vehicle+fact tail) measured SLOWER here at both local[8] and
+    // local[32] (13.5s vs 14.9s warm at 32): the composed load is
+    // driver-action-latency bound, and the overlapped phases contend on the
+    // same scheduler instead of using disjoint resources as they would on a
+    // real cluster.
     StarLoad.run(wh, batch1)
     StarLoad.run(wh, batch2)
     readBack(wh)

@@ -5,6 +5,9 @@ import org.apache.spark.sql.functions.col
 import graft.etl.Silver
 import graft.schema.Schemas
 
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
 /** The warehouse load, end-to-end (reference `load_lambda/main.py:83-113` +
   * `update_dims.sql`): staging truncate-insert (U3), then the 11-statement
   * star population in dependency order (SURVEY.md §3.3) — independent simple
@@ -16,6 +19,8 @@ import graft.schema.Schemas
   * SURVEY.md §4).
   */
 object StarLoad {
+
+  private implicit val ec: ExecutionContext = ExecutionContext.global
 
   /** U3 + P5 + A4 (L:84-107): project the warehouse columns, keep-newest per
     * auction_id, truncate-load `staging`. Returns the staged frame PERSISTED
@@ -35,63 +40,127 @@ object StarLoad {
     Silver.keepNewest(processed.select(Schemas.insertColumns.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** The dim phase: the six simple dims, city (needs only the pre-seeded
+    * state_dim) and make write DISTINCT tables and read none of each other —
+    * one concurrent wave of driver-side actions (results identical: the
+    * steps share no tables); model serializes after make. */
+  private def dimPhase(wh: Warehouse, staging: DataFrame): Unit = {
+    val wave: Seq[() => Unit] = Seq(
+      () => { Dims.loadSimpleDim(wh, staging, "auction_status_dim", "auction_status", "status"); () },
+      () => { Dims.loadSimpleDim(wh, staging, "reserve_status_dim", "reserve_status", "status"); () },
+      () => { Dims.loadSimpleDim(wh, staging, "body_style_dim", "body_style", "body_style"); () },
+      () => { Dims.loadSimpleDim(wh, staging, "seller_type_dim", "seller_type", "seller_type"); () },
+      () => { Dims.loadSimpleDim(wh, staging, "drivetrain_dim", "drivetrain", "drivetrain", mode = "upper"); () },
+      () => { Dims.loadSimpleDim(wh, staging, "transmission_dim", "transmission_type", "transmission"); () },
+      () => { Dims.loadCityDim(wh, staging); () },
+      () => { Dims.loadMakeDim(wh, staging); () })
+    Await.result(Future.sequence(wave.map(f => Future(f()))), Duration.Inf)
+    Dims.loadModelDim(wh, staging)
+    ()
+  }
+
+  /** The dim phase under latency-tuned session conf: AQE's per-stage
+    * materialization barrier and a per-core shuffle fan-out only add driver
+    * round-trips to ~20 small actions over bounded deltas with fully static
+    * plans (explicit broadcasts, DISTINCT on tiny key sets) — measured ~20%
+    * of composed-load wall time at sf0.1. Fact-scale stages are NOT run
+    * under this: they keep AQE's runtime skew/broadcast decisions, which DO
+    * matter at warehouse scale. */
+  private def dimPhaseTuned(wh: Warehouse, staging: DataFrame): Unit = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val shufKey = "spark.sql.shuffle.partitions"
+    val aqeWas = wh.spark.conf.get(aqeKey)
+    val shufWas = wh.spark.conf.get(shufKey)
+    try {
+      wh.spark.conf.set(aqeKey, "false")
+      wh.spark.conf.set(shufKey, "8")
+      dimPhase(wh, staging)
+    } finally {
+      wh.spark.conf.set(aqeKey, aqeWas)
+      wh.spark.conf.set(shufKey, shufWas)
+    }
+  }
+
+  /** The vehicle + fact tail: the fact's vehicle resolution consumes the
+    * merged in-memory frame (sufficient for all currently-staged keys — see
+    * [[Facts.mergedVehicleDim]]) while the bucket write streams to disk
+    * concurrently. */
+  private def vehicleFactTail(wh: Warehouse, staging: DataFrame): Unit = {
+    val (mergedVehicle, prevMax) = Facts.mergedVehicleDim(wh, staging)
+    val writeF = Future(Facts.writeVehicleDim(wh, mergedVehicle, prevMax))
+    Facts.insertAuctionFact(wh, staging, Some(mergedVehicle))
+    Await.result(writeF, Duration.Inf)
+  }
+
   /** Full star load from a processed/silver frame. `staging` is cached for
     * the duration — all 11 load steps scan it, and at warehouse scale
-    * re-reading the staging table per step is the dominant repeated cost.
-    *
-    * The reference's serial transaction is really a dependency DAG: the six
-    * simple dims, city (needs only the pre-seeded state_dim) and make write
-    * DISTINCT tables and read none of each other — so they run as one
-    * concurrent wave (Spark schedules concurrent driver-side actions
-    * fairly; results are identical because the steps share no tables).
-    * Only the true dependencies serialize: model after make, vehicle after
-    * its four dims, fact last. */
+    * re-reading the staging table per step is the dominant repeated cost. */
   def run(wh: Warehouse, processed: DataFrame): Unit = {
     StateSeed.ensureSeeded(wh)
     val staging = stagedFrame(processed)
     try {
-      val wave1: Seq[() => Unit] = Seq(
-        () => { Dims.loadSimpleDim(wh, staging, "auction_status_dim", "auction_status", "status"); () },
-        () => { Dims.loadSimpleDim(wh, staging, "reserve_status_dim", "reserve_status", "status"); () },
-        () => { Dims.loadSimpleDim(wh, staging, "body_style_dim", "body_style", "body_style"); () },
-        () => { Dims.loadSimpleDim(wh, staging, "seller_type_dim", "seller_type", "seller_type"); () },
-        () => { Dims.loadSimpleDim(wh, staging, "drivetrain_dim", "drivetrain", "drivetrain", mode = "upper"); () },
-        () => { Dims.loadSimpleDim(wh, staging, "transmission_dim", "transmission_type", "transmission"); () },
-        () => { Dims.loadCityDim(wh, staging); () },
-        () => { Dims.loadMakeDim(wh, staging); () })
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      // the staging TABLE dump (U3 semantics) overlaps the whole load: every
-      // load step reads the persisted `staging` frame, never the table — the
-      // write races only for who materializes a cached partition first
+      // materialize the staging cache ONCE before anything fans out: Spark's
+      // block cache has no per-partition compute lock, so launching the dump
+      // and the 8-way dim wave against a cold cache makes every job compute
+      // the keepNewest window independently (measured 2× load wall time at
+      // local[32])
+      staging.count()
+      // the staging TABLE dump (U3 semantics) then overlaps the whole load:
+      // every load step reads the now-materialized frame, never the table
       val stagingWrite = Future(wh.truncateInsert("staging", staging))
-      // The dim phase is ~20 small actions over bounded deltas with fully
-      // static plans (explicit broadcasts, distinct on tiny key sets) — AQE's
-      // per-stage materialization barrier only adds a driver round-trip per
-      // shuffle here (~20% of composed-load wall time measured at sf0.1).
-      // The fact-scale stages below (vehicle merge, fact resolution) keep AQE
-      // for runtime skew/broadcast decisions, which DO matter at warehouse
-      // scale.
-      val aqeKey = "spark.sql.adaptive.enabled"
-      val aqeWas = wh.spark.conf.get(aqeKey)
-      try {
-        wh.spark.conf.set(aqeKey, "false")
-        Await.result(Future.sequence(wave1.map(f => Future(f()))), Duration.Inf)
-        Dims.loadModelDim(wh, staging)
-      } finally wh.spark.conf.set(aqeKey, aqeWas)
-      // vehicle upsert and fact insert overlap: the fact's vehicle
-      // resolution consumes the merged in-memory frame (sufficient for all
-      // currently-staged keys — see Facts.mergedVehicleDim) while the
-      // bucket write streams to disk concurrently
-      val (mergedVehicle, prevMax) = Facts.mergedVehicleDim(wh, staging)
-      val writeF = Future(Facts.writeVehicleDim(wh, mergedVehicle, prevMax))
-      Facts.insertAuctionFact(wh, staging, Some(mergedVehicle))
-      Await.result(writeF, Duration.Inf)
+      dimPhaseTuned(wh, staging)
+      vehicleFactTail(wh, staging)
       Await.result(stagingWrite, Duration.Inf)
     } finally {
       staging.unpersist()
       ()
     }
+  }
+
+  /** PIPELINED incremental loads — the micro-batch form of [[run]]: batch
+    * i+1's staging build and dim phase overlap batch i's vehicle+fact tail.
+    * Legal because the dim phase of batch i+1 depends only on the DIMS as of
+    * batch i (complete before the tail starts), never on batch i's vehicle
+    * or fact writes; the tails themselves stay strictly ordered (vehicle
+    * i+1 reads the table batch i wrote; fact i+1 anti-joins batch i's
+    * rows). Dim appends racing the previous tail's dim READS are safe:
+    * appends commit file-atomically (rename), dims are append-only with
+    * stable ids, and a resolution join against a superset of its load's
+    * dims matches exactly the same rows (keys not in its staging never
+    * join). Staging dumps chain so the table ends as the LAST batch's
+    * staging (U3 truncate semantics).
+    *
+    * Session conf is left untouched: phases from different batches
+    * interleave, so the per-phase latency toggle [[run]] uses would race
+    * with the concurrent tail's plan construction.
+    *
+    * Measured caveat (sf0.1, local[8] and local[32]): sequential [[run]]
+    * calls are FASTER in local mode — the composed load is
+    * driver-action-latency bound and overlapped phases contend on one
+    * scheduler. This path is for real clusters, where a batch's dim wave
+    * (driver-latency bound) and the previous tail (executor bound) use
+    * disjoint resources; q49 uses sequential [[run]]s. */
+  def runPipelined(wh: Warehouse, batches: Seq[DataFrame]): Unit = {
+    StateSeed.ensureSeeded(wh)
+    val staged = batches.map(stagedFrame)
+    try {
+      var prevTail: Future[Unit] = Future.successful(())
+      var stagingWrites: Future[Unit] = Future.successful(())
+      staged.foreach { s =>
+        s.count() // materialize once before fan-out (see run())
+        val prevWrites = stagingWrites
+        stagingWrites = Future {
+          // truncate-inserts share a temp dir — serialize them; final table
+          // state = last batch's staging either way
+          Await.result(prevWrites, Duration.Inf)
+          wh.truncateInsert("staging", s)
+        }
+        dimPhase(wh, s) // overlaps the previous batch's vehicle+fact tail
+        Await.result(prevTail, Duration.Inf)
+        prevTail = Future(vehicleFactTail(wh, s))
+      }
+      Await.result(prevTail, Duration.Inf)
+      Await.result(stagingWrites, Duration.Inf)
+    } finally staged.foreach(_.unpersist())
   }
 }

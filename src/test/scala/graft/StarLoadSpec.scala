@@ -76,6 +76,34 @@ class StarLoadSpec extends AnyFunSuite {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("pipelined micro-batch loads ≡ sequential runs (tables hash-equal)") {
+    // runPipelined overlaps batch i+1's dim phase with batch i's
+    // vehicle+fact tail; every table must come out identical to two
+    // sequential run()s — same dim ids, same vehicle ids, same fact rows
+    val b1 = silverDf(Seq(
+      silverRow("A1", "VINA", "Sold", "Ford", "Dallas", "TX", 45000L),
+      silverRow("A2", "VINB", "Reserve not met", "Mazda", "Austin", "TX", 60000L)))
+    val b2 = silverDf(Seq(
+      silverRow("A1", "VINA", "Sold", "Ford", "Dallas", "TX", 99999L), // U2 correction
+      silverRow("A3", "VINC", "Sold", "Honda", "Reno", "NV", 5L)))     // new key + new dims
+    val whSeq = new Warehouse(spark, Files.createTempDirectory("graft_wh_seq").toString)
+    StarLoad.run(whSeq, b1)
+    StarLoad.run(whSeq, b2)
+    val whPipe = new Warehouse(spark, Files.createTempDirectory("graft_wh_pipe").toString)
+    StarLoad.runPipelined(whPipe, Seq(b1, b2))
+    val tables = Seq("auction_status_dim", "reserve_status_dim", "body_style_dim",
+      "seller_type_dim", "drivetrain_dim", "transmission_dim", "city_dim",
+      "vehicle_make_dim", "vehicle_model_dim", "vehicle_dim", "auction_fact", "staging")
+    tables.foreach { t =>
+      val a = whSeq.read(t)
+      val b = whPipe.read(t)
+      val cols = a.columns.sorted.map(col).toSeq
+      assert(a.select(cols: _*).exceptAll(b.select(cols: _*)).isEmpty &&
+        b.select(cols: _*).exceptAll(a.select(cols: _*)).isEmpty,
+        s"table $t differs between sequential and pipelined loads")
+    }
+  }
+
   test("U2 upsert rewrites only the buckets containing incoming keys") {
     val whDir = Files.createTempDirectory("graft_wh_bkt").toString
     val wh = new Warehouse(spark, whDir)
