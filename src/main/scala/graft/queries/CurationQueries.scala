@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, TextOps}
 import graft.util.Output.tinySort
@@ -133,11 +133,70 @@ object CurationQueries {
       .transform(tinySort(_, col("source"), col("doc_id")))
   }
 
+  /** q54 — Gopher-style repetition filters (Rae et al. 2021 §A1.1 quality
+    * heuristics, word-level): duplicate-token fraction, fraction of 2-grams
+    * taken by the most common 2-gram, duplicate-3-gram fraction, and the
+    * composite keep flag. Pure map-side array expressions (`transform` /
+    * `aggregate` / `filter` HOFs — no explode, no shuffle, no UDF): the
+    * repetition screen a 100 TB curation pass runs before anything
+    * heavier. All ratios are integer/integer IEEE divisions — bit-identical
+    * across engines, so they ship unrounded. */
+  def q54RepetitionFilters(spark: SparkSession, dir: String): DataFrame = {
+    def grams(n: Int): Column = {
+      val t = col("_toks")
+      when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
+    load(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
+      .withColumn("_g2", grams(2))
+      .withColumn("_g3", grams(3))
+      .select(
+        col("doc_id"),
+        (lit(1.0) - size(array_distinct(col("_toks"))).cast("double") /
+          greatest(size(col("_toks")), lit(1))).as("dup_token_frac"),
+        when(size(col("_g2")) > 0,
+          aggregate(array_distinct(col("_g2")), lit(0),
+            (acc, x) => greatest(acc, size(filter(col("_g2"), y => y === x))))
+            .cast("double") / size(col("_g2")))
+          .otherwise(lit(0.0)).as("top_2gram_frac"),
+        when(size(col("_g3")) > 0,
+          lit(1.0) - size(array_distinct(col("_g3"))).cast("double") / size(col("_g3")))
+          .otherwise(lit(0.0)).as("dup_3gram_frac"))
+      .withColumn("keep",
+        col("dup_token_frac") <= 0.4 && col("top_2gram_frac") <= 0.25 &&
+          col("dup_3gram_frac") <= 0.2)
+      .orderBy(col("doc_id")) // O(n) map-only dump: plain orderBy (see Output)
+  }
+
+  /** q55 — eval-set DECONTAMINATION: flag corpus documents sharing any word
+    * 3-gram with a benchmark set (here: every 50th doc stands in for the
+    * held-out eval corpus). Scale shape: the benchmark n-gram set is small
+    * and fixed (eval suites are), so it BROADCASTS; the corpus side
+    * explodes its shingles map-side and only benchmark-colliding grams
+    * reach the per-doc count shuffle. The n-gram-overlap screen every
+    * pre-training data pipeline runs before training. */
+  def q55Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val bg = Dedup.explodedShingles(docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", 3)
+      .select(col("sg")).distinct()
+    val cg = Dedup.explodedShingles(docs.filter(col("doc_id") % 50 =!= 0),
+      "doc_id", "text", 3)
+    cg.join(broadcast(bg), Seq("sg"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_3grams"))
+      .transform(tinySort(_, col("doc_id")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_corpus_curation" -> (q42CorpusCuration _),
     "q48_token_budget" -> (q48TokenBudget _),
     "q52_sequence_packing" -> (q52SequencePacking _),
-    "q53_curation_pipeline" -> (q53CurationPipeline _)
+    "q53_curation_pipeline" -> (q53CurationPipeline _),
+    "q54_repetition_filters" -> (q54RepetitionFilters _),
+    "q55_decontaminate" -> (q55Decontaminate _)
   )
 
   private val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
@@ -239,6 +298,36 @@ object CurationQueries {
          |WHERE cum_tokens - n_tokens < 800
          |ORDER BY source, doc_id""".stripMargin
     },
+    "q54_repetition_filters" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | g AS (SELECT doc_id, toks, len(toks) AS nt,
+        |   CASE WHEN len(toks) >= 2 THEN
+        |     list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |   ELSE [] END AS g2,
+        |   CASE WHEN len(toks) >= 3 THEN
+        |     list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |   ELSE [] END AS g3
+        | FROM b),
+        | m AS (SELECT doc_id,
+        |   1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(nt, 1) AS dup_token_frac,
+        |   CASE WHEN len(g2) > 0 THEN
+        |     CAST(list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE) / len(g2)
+        |   ELSE 0.0 END AS top_2gram_frac,
+        |   CASE WHEN len(g3) > 0 THEN
+        |     1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+        |   ELSE 0.0 END AS dup_3gram_frac
+        | FROM g)
+        |SELECT doc_id, dup_token_frac, top_2gram_frac, dup_3gram_frac,
+        |  (dup_token_frac <= 0.4 AND top_2gram_frac <= 0.25 AND dup_3gram_frac <= 0.2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q55_decontaminate" ->
+      s"""WITH ${DedupQueries.ShinglesCte},
+         | bg AS (SELECT DISTINCT sg FROM sh WHERE doc_id % 50 = 0),
+         | hits AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_3grams
+         |          FROM sh s JOIN bg USING (sg)
+         |          WHERE s.doc_id % 50 <> 0
+         |          GROUP BY s.doc_id)
+         |SELECT doc_id, n_shared_3grams FROM hits ORDER BY doc_id""".stripMargin,
     "q52_sequence_packing" ->
       s"""WITH t AS (
          |  SELECT doc_id, source,

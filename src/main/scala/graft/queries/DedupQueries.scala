@@ -13,8 +13,8 @@ import graft.util.Tables.load
 object DedupQueries {
 
   /** Shared DuckDB fragment: distinct word 3-gram shingles per document
-    * (mirrors [[Dedup.wordShingles]] with n=3). */
-  private val ShinglesCte =
+    * (mirrors [[Dedup.wordShingles]] with n=3). Also used by q55. */
+  private[queries] val ShinglesCte =
     """w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
       | t AS (SELECT doc_id, unnest(ws) tok, generate_subscripts(ws, 1) i FROM w),
       | sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sg

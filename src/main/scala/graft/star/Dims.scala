@@ -24,7 +24,17 @@ object Dims {
                     keys: Seq[String], idCol: String = "id"): Long = {
     val existing = wh.readIfExistsCached(table)
     val newRows = existing match {
-      case Some(e) => candidates.join(broadcast(e.select(keys.map(col): _*)), keys, "left_anti")
+      case Some(e) =>
+        // NULL-SAFE anti-join (<=>): compound dim keys carry nulls (city
+        // with unknown state, model with missing make). A plain key-list
+        // anti-join never matches NULL = NULL, so every incremental load
+        // would re-insert each null-keyed row under a fresh id — shifting
+        // every later surrogate id (caught at sf0.1: 19 duplicated
+        // (model, NULL) pairs after q49's second load). The DuckDB oracle
+        // was already IS NOT DISTINCT FROM.
+        val ex = e.select(keys.map(c => col(c).as(s"_e_$c")): _*)
+        candidates.join(broadcast(ex),
+          keys.map(k => col(k) <=> col(s"_e_$k")).reduce(_ && _), "left_anti")
       case None => candidates
     }
     val maxId: Long = existing match {

@@ -51,11 +51,19 @@ class StarLoadSpec extends AnyFunSuite {
     val vehicleIds1 = wh.read("vehicle_dim")
       .select("vin", "vehicle_id").as[(String, Long)].collect().toMap
 
-    // rerun with the same batch → nothing changes (U1 + idempotent U2)
+    // rerun with the same batch → nothing changes (U1 + idempotent U2).
+    // city_dim/model_dim counts pin the NULL-KEY case: (Nowhere, NULL) must
+    // NOT re-insert under a fresh id (null-safe anti-join — a plain
+    // key-list anti-join silently duplicated every null-keyed dim row per
+    // incremental load and shifted all later surrogate ids)
     StarLoad.run(wh, batch1)
     assert(wh.read("auction_fact").count() == 3)
     assert(wh.read("auction_status_dim").count() == 2)
     assert(wh.read("vehicle_dim").count() == 3)
+    assert(wh.read("city_dim").count() == 3)
+    val cityDups = wh.read("city_dim").groupBy("city_name", "state_id")
+      .count().filter(col("count") > 1).count()
+    assert(cityDups == 0, "null-keyed city re-inserted on re-load")
 
     // U2: changed mileage upserts the vehicle row, keeps its vehicle_id;
     // U1: fact does NOT change for existing auction_id
