@@ -44,6 +44,38 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("connected components: star-contraction ≡ label propagation on random graphs") {
+    // both paths must agree with a reference union-find on arbitrary edge
+    // sets (self-loops and duplicate edges included by generation)
+    val edgeGen = for {
+      a <- Gen.choose(0L, 24L)
+      b <- Gen.choose(0L, 24L)
+    } yield (a, b)
+    check(Prop.forAll(Gen.nonEmptyListOf(edgeGen)) { edges =>
+      val clean = edges.filter { case (a, b) => a != b }
+      clean.isEmpty || {
+        // driver-side union-find reference
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        clean.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(k => k -> find(k)).toMap
+        val pairs = clean.toDF("vec_a", "vec_b")
+        def labelsOf(df: org.apache.spark.sql.DataFrame) =
+          df.select("vec_id", "cluster_id").collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val prop = labelsOf(graft.ext.Dedup.duplicateClusters(pairs, "vec_a", "vec_b"))
+        val star = labelsOf(graft.ext.Dedup.duplicateClustersStar(pairs, "vec_a", "vec_b"))
+        prop == want && star == want
+      }
+    })
+  }
+
   test("U1: insert-only-new — ids never mutate, keys only grow") {
     val whDir = java.nio.file.Files.createTempDirectory("graft_prop_wh").toString
     val wh = new graft.star.Warehouse(spark, whDir)
