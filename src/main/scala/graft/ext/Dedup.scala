@@ -19,6 +19,52 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The observed metric from an eager-checkpoint action, with a bounded
+    * wait and a real-action fallback: the metric event fires for
+    * `localCheckpoint(true)` (it runs under `withAction`, so the
+    * execution-end event carries the CollectMetrics row — verified), but the
+    * event is asynchronous and a listener-bus hiccup must degrade to one
+    * extra count job, never a hang. `get` blocks, and the non-blocking
+    * `getOrEmpty` is private[sql] — so `get` runs on a bounded-wait DAEMON
+    * thread: on the rare timeout the parked thread costs nothing (daemon,
+    * no pool) and dies when the event eventually lands. A null metric
+    * (empty input) reads as 0. */
+  private def observedLong(obs: org.apache.spark.sql.Observation, key: String,
+                           fallback: => Long): Long = {
+    @volatile var result: Option[Long] = None
+    val t = new Thread(() => {
+      result = Some(obs.get.get(key) match {
+        case Some(l: java.lang.Long) => l.longValue
+        case _ => 0L
+      })
+    })
+    t.setDaemon(true)
+    t.start()
+    t.join(5000)
+    result.getOrElse(fallback)
+  }
+
+  /** Eager-materialize a frame AND hand back a statistics-free leaf over
+    * the checkpointed rows. `localCheckpoint(true)` alone is NOT enough for
+    * an iterative loop on Spark 4: `Dataset.checkpoint` builds its
+    * truncated `LogicalRDD` with `originStats = optimizedPlan.stats`
+    * (SPARK-39748), and size-only stats estimate every join as the PRODUCT
+    * of its children's sizeInBytes — so round r's leaf stats are round
+    * r-1's raised to the number of joins per round. The BigInt exponent
+    * compounds ~4× per round; by round 10 the planner multiplies
+    * 10⁸-bit integers and a single checkpoint takes minutes (measured:
+    * round 1 = 626 stats bits/0.5 s, round 10 = 1.9×10⁸ bits/105 s).
+    * Rebuilding the frame from the materialized RDD through the public
+    * `createDataFrame` API yields a LogicalRDD with NO origin stats
+    * (leaves fall back to `defaultSizeInBytes`), keeping every round's
+    * planning O(1). Cost: one extra InternalRow⇄Row map per downstream
+    * read of the (small, two-long-column) label frame; broadcast choices
+    * inside the loop are AQE's at runtime either way. */
+  private def checkpointStripped(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(true)
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   /** Distinct word n-gram shingles of a text column; empty array when the
     * document has fewer than n tokens (all-or-nothing guard in the spirit of
     * reference E10, transform_lambda/main.py:192-198). */
@@ -138,10 +184,12 @@ object Dedup {
     * (300 MB plan strings, OOM in explain rendering) long before any data
     * did. The checkpoint truncates lineage to the materialized rows, making
     * every round's plan O(1): two equi-joins + one map-side-combined min
-    * over the PAIR set, one scalar convergence count on the driver. (On a
-    * shared cluster where executor loss matters, swap for reliable
-    * `checkpoint()` with a checkpoint dir — localCheckpoint blocks are
-    * non-replicated.)
+    * over the PAIR set, with the convergence count riding the checkpoint
+    * action as an observed metric. Plan STATISTICS must be truncated along
+    * with the plan ([[checkpointStripped]]) or planning cost compounds
+    * exponentially across rounds. (On a shared cluster where executor loss
+    * matters, swap for reliable `checkpoint()` with a checkpoint dir —
+    * localCheckpoint blocks are non-replicated.)
     *
     * Output: one row per node appearing in `pairs` — (vec_id, cluster_id,
     * cluster_size); singleton docs never enter the pair graph. */
@@ -149,33 +197,67 @@ object Dedup {
     // pairs carry a < b once; edges need both directions. The checkpoint
     // materializes the (possibly expensive) upstream detector exactly once —
     // iterations read the materialized edge rows, not the detector's plan.
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.groupBy(col("src").as("vec_id"))
-      .agg(min(col("dst")).as("nmin"))
-      .select(col("vec_id"), least(col("vec_id"), col("nmin")).as("label"))
-      .localCheckpoint(true)
+    // It runs under the caller's conf (AQE on): the detector plan WANTS
+    // runtime re-planning (skew splits, broadcast promotion).
+    val edges = checkpointStripped(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    var labels = checkpointStripped(
+      edges.groupBy(col("src").as("vec_id"))
+        .agg(min(col("dst")).as("nmin"))
+        .select(col("vec_id"), least(col("vec_id"), col("nmin")).as("label")))
+    // one pointer jump: label ← least(label, label(label)). The lookup side
+    // is a projection of the SAME frame, so its exchange is computed once
+    // and reused (ReuseExchange); `old` rides only the probe side.
+    def jump(d: DataFrame): DataFrame = d.as("s")
+      .join(d.select(col("vec_id").as("lab"), col("lab").as("_j")).as("j"),
+        Seq("lab"), "left")
+      .select(col("s.vec_id").as("vec_id"), col("s.old").as("old"),
+        least(col("lab"), coalesce(col("_j"), col("lab"))).as("lab"))
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    var round = 0
     var changed = 1L
-    while (changed > 0) {
-      // neighbour min over the materialized edges
-      val prop = edges
-        .join(labels.select(col("vec_id").as("dst"), col("label")), "dst")
-        .groupBy(col("src").as("vec_id")).agg(min(col("label")).as("nlabel"))
-      val stepped = labels.as("l")
-        .join(prop.as("p"), Seq("vec_id"), "left")
-        .select(col("vec_id"), col("l.label").as("old"),
-          least(col("l.label"), coalesce(col("p.nlabel"), col("l.label"))).as("mid"))
-      // pointer jump: follow the label's own label (labels are node ids, so
-      // label(label) is defined whenever the label is a non-min node)
-      val next = stepped.as("s")
-        .join(stepped.select(col("vec_id").as("mid"), col("mid").as("jump")).as("j"),
-          Seq("mid"), "left")
+    // one edge-propagation sub-step: lab ← least(lab, min over neighbours)
+    def prop(d: DataFrame): DataFrame = {
+      val nmin = edges
+        .join(d.select(col("vec_id").as("dst"), col("lab").as("_nl")), "dst")
+        .groupBy(col("src").as("vec_id")).agg(min(col("_nl")).as("nlabel"))
+      d.as("l").join(nmin.as("p"), Seq("vec_id"), "left")
         .select(col("vec_id"), col("old"),
-          least(col("mid"), coalesce(col("jump"), col("mid"))).as("label"))
+          least(col("lab"), coalesce(col("nlabel"), col("lab"))).as("lab"))
+    }
+    while (changed > 0) {
+      val t0 = System.nanoTime()
+      val start = labels.select(col("vec_id"), col("label").as("old"),
+        col("label").as("lab"))
+      // TWO (propagate ▸ jump) sub-steps per round. Propagation moves the
+      // min ONE edge-hop per sub-step and is what binds convergence on
+      // near-dup graphs (measured on the sf0.1 graph: 2 vs 4 jumps per
+      // round leave the changed-sequence IDENTICAL — label pointer chains
+      // stay depth-1 here, so extra jumps are no-ops, while each extra
+      // propagation halves the round count). At bench scale a round costs
+      // ~one driver action regardless of how many tiny joins ride it, so
+      // sub-steps-per-round vs rounds is nearly free wall-clock; at
+      // cluster scale total edge-shuffle volume is round-count × sub-steps
+      // ≈ constant in the trade. The jump keeps the O(log d) guarantee on
+      // adversarial long-chain graphs where pointer chains DO form. The
+      // convergence count rides the checkpoint action as an observed
+      // metric: ONE driver action per round instead of checkpoint + count
+      // (the count was ~half the per-round latency at local[32]).
+      val obs = org.apache.spark.sql.Observation()
+      val next = jump(prop(jump(prop(start))))
+        .select(col("vec_id"), col("old"), col("lab").as("label"))
+        .observe(obs, sum(when(col("label") =!= col("old"), 1L).otherwise(0L)).as("chg"))
         .localCheckpoint(true)
-      changed = next.filter(col("label") =!= col("old")).count()
-      labels = next.select(col("vec_id"), col("label"))
+      changed = observedLong(obs, "chg",
+        fallback = next.filter(col("label") =!= col("old")).count())
+      // strip the checkpoint's origin stats (see checkpointStripped) — the
+      // materialization itself already happened under the observe action
+      val proj = next.select(col("vec_id"), col("label"))
+      labels = next.sparkSession.createDataFrame(proj.rdd, proj.schema)
+      round += 1
+      if (debug) println(f"[cc] round $round changed=$changed ${(System.nanoTime() - t0) / 1e9}%.3fs " +
+        s"statsBits=${labels.queryExecution.analyzed.stats.sizeInBytes.bitLength}")
     }
     labels
       .withColumn("cluster_size",
@@ -208,11 +290,10 @@ object Dedup {
     * Output schema matches [[duplicateClusters]]: (vec_id, cluster_id,
     * cluster_size), one row per node in `pairs`. */
   def duplicateClustersStar(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    var canon = pairs
+    var canon = checkpointStripped(pairs
       .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var done = false
     while (!done) {
       val sym = canon.select(col("a").as("u"), col("b").as("v"))
@@ -231,11 +312,11 @@ object Dedup {
         .select(col("m").as("a"), col("v").as("b"))
         .unionByName(minParent.select(col("m").as("a"), col("u").as("b")))
         .distinct()
-        .localCheckpoint(true)
+      val ssCp = checkpointStripped(ss)
       // fixpoint: the canonical edge set stopped changing
-      done = ss.count() == canon.count() &&
-        ss.join(canon, Seq("a", "b"), "left_anti").isEmpty
-      canon = ss
+      done = ssCp.count() == canon.count() &&
+        ssCp.join(canon, Seq("a", "b"), "left_anti").isEmpty
+      canon = ssCp
     }
     // at the fixpoint each component is a star rooted at its min id
     val labels = canon.select(col("b").as("vec_id"), col("a").as("label"))

@@ -158,8 +158,20 @@ object CurationQueries {
         (lit(1.0) - size(array_distinct(col("_toks"))).cast("double") /
           greatest(size(col("_toks")), lit(1))).as("dup_token_frac"),
         when(size(col("_g2")) > 0,
-          aggregate(array_distinct(col("_g2")), lit(0),
-            (acc, x) => greatest(acc, size(filter(col("_g2"), y => y === x))))
+          // top-gram count = longest run of equal elements in the SORTED
+          // array: one O(n log n) sort + one linear aggregate pass. The
+          // naive form (per distinct gram, filter the full array) is
+          // O(distinct × n) ≈ O(n²) per document — a single 100k-token
+          // document becomes a 10¹⁰-comparison straggler task at scale.
+          aggregate(sort_array(col("_g2")),
+            struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+            (acc, x) => {
+              val run = when(x === acc.getField("prev"),
+                acc.getField("run") + 1).otherwise(lit(1))
+              struct(x.as("prev"), run.as("run"),
+                greatest(acc.getField("best"), run).as("best"))
+            },
+            acc => acc.getField("best"))
             .cast("double") / size(col("_g2")))
           .otherwise(lit(0.0)).as("top_2gram_frac"),
         when(size(col("_g3")) > 0,

@@ -73,6 +73,12 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
   private[graft] def recordMaxId(table: String, v: Long): Unit =
     synchronized { maxIds(table) = v }
 
+  /** The cached high-water mark if known — lets batch callers fuse ALL
+    * their miss computations into one action instead of one scalar agg per
+    * table ([[Dims.loadSimpleDimsFused]]). */
+  private[graft] def peekMaxId(table: String): Option[Long] =
+    synchronized(maxIds.get(table))
+
   /** Append new rows (the U1 insert-only path — callers anti-join first). */
   def append(table: String, df: DataFrame): Unit = {
     df.write.mode(SaveMode.Append).parquet(path(table).toString)
