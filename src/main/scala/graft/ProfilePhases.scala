@@ -32,9 +32,9 @@ object ProfilePhases {
     }
 
     def timedLoad(wh: Warehouse, processed: DataFrame, tag: String): Unit = {
-      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
+      implicit val ec: scala.concurrent.ExecutionContext = graft.util.Exec.loadEc
       time(s"$tag seed")(StateSeed.ensureSeeded(wh))
       val staging = time(s"$tag staging build")(
         graft.etl.Silver.keepNewest(processed.select(graft.schema.Schemas.insertColumns.map(col): _*))

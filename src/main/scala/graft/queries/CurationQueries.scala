@@ -16,23 +16,31 @@ object CurationQueries {
 
   private val Stopwords = Seq("the", "a", "or", "and", "of")
 
-  def q42CorpusCuration(spark: SparkSession, dir: String): DataFrame = {
-    val docs = load(spark, dir, "documents")
+  /** The q42 stage stack, shared verbatim by the q53 capstone so the unit
+    * query and the composed pipeline cannot drift: quality/language/
+    * fingerprint scoring (map-side) → exact-dup keep-lowest-id (ONE
+    * hash-shuffle on the 16-byte fingerprint) → quality > 0.5 ∧ lang = en.
+    * `extra` columns (q53's `source`) ride the projection. Returns one row
+    * per kept doc: (doc_id, extra…, text, quality, lang_pred, fp). */
+  private def curatedDocs(docs: DataFrame, extra: Seq[String]): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val scored = docs.select(
-      col("doc_id"), col("text"),
-      TextOps.qualityScore(col("text"), Stopwords).as("quality"),
-      TextOps.langPredict(TextOps.langScores(toks)).as("lang_pred"),
-      TextOps.fingerprintMd5(col("text")).as("fp"))
+      (col("doc_id") +: extra.map(col)) ++ Seq(col("text"),
+        TextOps.qualityScore(col("text"), Stopwords).as("quality"),
+        TextOps.langPredict(TextOps.langScores(toks)).as("lang_pred"),
+        TextOps.fingerprintMd5(col("text")).as("fp")): _*)
     val keep = Dedup.exactDupGroups(docs, "doc_id", "text")
       .select(col("fingerprint").as("fp"), col("keep_id"))
     scored
       .join(keep, Seq("fp"))
       .filter(col("doc_id") === col("keep_id") &&
         col("quality") > 0.5 && col("lang_pred") === "en")
+  }
+
+  def q42CorpusCuration(spark: SparkSession, dir: String): DataFrame =
+    curatedDocs(load(spark, dir, "documents"), Nil)
       .select(col("doc_id"), col("quality"), col("lang_pred"), col("fp"))
       .transform(tinySort(_, col("doc_id")))
-  }
 
   /** Per-source token-budget sampling — the mixture-building primitive: each
     * source contributes documents in deterministic md5(doc_id) order (hash
@@ -106,18 +114,8 @@ object CurationQueries {
       .filter(col("vec_id") =!= col("cluster_id"))
       .select(col("vec_id").as("doc_id"))
     val docs = load(spark, dir, "documents")
-    val toks = TextOps.tokens(col("text"))
-    val scored = docs.select(
-      col("doc_id"), col("source"), col("text"),
-      TextOps.qualityScore(col("text"), Stopwords).as("quality"),
-      TextOps.langPredict(TextOps.langScores(toks)).as("lang_pred"),
-      TextOps.fingerprintMd5(col("text")).as("fp"))
-    val keep = Dedup.exactDupGroups(docs, "doc_id", "text")
-      .select(col("fingerprint").as("fp"), col("keep_id"))
-    val kept = scored
-      .join(keep, Seq("fp"))
-      .filter(col("doc_id") === col("keep_id") &&
-        col("quality") > 0.5 && col("lang_pred") === "en")
+    // stage 4 IS q42's stack ([[curatedDocs]] — shared builder, no drift)
+    val kept = curatedDocs(docs, Seq("source"))
       .join(dropped, Seq("doc_id"), "left_anti")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
       .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
@@ -180,25 +178,39 @@ object CurationQueries {
       .withColumn("keep",
         col("dup_token_frac") <= 0.4 && col("top_2gram_frac") <= 0.25 &&
           col("dup_3gram_frac") <= 0.2)
-      .orderBy(col("doc_id")) // O(n) map-only dump: plain orderBy (see Output)
+      // O(corpus) sorted dump over an EXPENSIVE map (per-doc gram build +
+      // sort): checkpoint the narrow feature rows first so the range
+      // partitioner's sampling pass reads materialized (doc_id, 4 doubles)
+      // rows instead of re-running the gram pipeline (see Output scaladoc;
+      // same pattern as StarLoadQueries.readBack)
+      .localCheckpoint()
+      .orderBy(col("doc_id"))
   }
 
-  /** q55 — eval-set DECONTAMINATION: flag corpus documents sharing any word
-    * 3-gram with a benchmark set (here: every 50th doc stands in for the
-    * held-out eval corpus). Scale shape: the benchmark n-gram set is small
-    * and fixed (eval suites are), so it BROADCASTS; the corpus side
-    * explodes its shingles map-side and only benchmark-colliding grams
-    * reach the per-doc count shuffle. The n-gram-overlap screen every
-    * pre-training data pipeline runs before training. */
+  /** Eval-set DECONTAMINATION operator: per corpus document, the count of
+    * word n-grams shared with ANY document of the `benchmark` frame — the
+    * n-gram-overlap screen every pre-training pipeline runs before
+    * training. Scale shape: the benchmark n-gram set is small and fixed
+    * (eval suites are), so it BROADCASTS; the corpus side explodes its
+    * shingles map-side and only benchmark-colliding grams reach the
+    * per-doc count shuffle. Output: (idCol, n_shared_{n}grams), corpus
+    * docs with ≥1 shared gram. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int): DataFrame = {
+    val bg = Dedup.explodedShingles(benchmark, idCol, textCol, n)
+      .select(col("sg")).distinct()
+    Dedup.explodedShingles(corpus, idCol, textCol, n)
+      .join(broadcast(bg), Seq("sg"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as(s"n_shared_${n}grams"))
+  }
+
+  /** q55 — [[decontaminate]] instantiated the way the oracle replays it:
+    * every 50th doc stands in for the held-out eval corpus, the rest are
+    * the training corpus. */
   def q55Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = load(spark, dir, "documents")
-    val bg = Dedup.explodedShingles(docs.filter(col("doc_id") % 50 === 0),
-        "doc_id", "text", 3)
-      .select(col("sg")).distinct()
-    val cg = Dedup.explodedShingles(docs.filter(col("doc_id") % 50 =!= 0),
-      "doc_id", "text", 3)
-    cg.join(broadcast(bg), Seq("sg"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_3grams"))
+    decontaminate(docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 3)
       .transform(tinySort(_, col("doc_id")))
   }
 

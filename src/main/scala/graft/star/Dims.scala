@@ -135,9 +135,10 @@ object Dims {
     * [[loadSimpleDim]]/[[insertOnlyNew]] (reference `update_dims.sql`:8-100).
     * Returns rows appended per table. */
   def loadSimpleDimsFused(wh: Warehouse, staging: DataFrame): Map[String, Long] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
+    // dedicated pool, NOT ExecutionContext.global — see graft.util.Exec
+    implicit val ec: scala.concurrent.ExecutionContext = graft.util.Exec.loadEc
     val specs = SimpleDimSpecs
     // candidates: normKey is null-preserving in both directions, so
     // filtering the normalized key ≡ the per-dim source-col isNotNull filter
@@ -218,9 +219,10 @@ object Dims {
     * `row_number OVER (ORDER BY k1 ASC NULLS LAST, k2 ASC NULLS LAST)`.
     * Reference `update_dims.sql`:73-86 (city), :104-114 (model). */
   def loadCompoundDimsFused(wh: Warehouse, staging: DataFrame): Map[String, Long] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
+    // dedicated pool, NOT ExecutionContext.global — see graft.util.Exec
+    implicit val ec: scala.concurrent.ExecutionContext = graft.util.Exec.loadEc
     val specs = Seq(("city_dim", "city_name", "state_id"),
       ("vehicle_model_dim", "model", "make_id"))
     val withState = Joins.disjunctiveLeftRewrite(

@@ -7,6 +7,7 @@ import graft.schema.Schemas
 
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
+import graft.util.Exec
 
 /** The warehouse load, end-to-end (reference `load_lambda/main.py:83-113` +
   * `update_dims.sql`): staging truncate-insert (U3), then the 11-statement
@@ -20,7 +21,8 @@ import scala.concurrent.duration.Duration
   */
 object StarLoad {
 
-  private implicit val ec: ExecutionContext = ExecutionContext.global
+  // dedicated pool, NOT ExecutionContext.global — see graft.util.Exec
+  private implicit val ec: ExecutionContext = Exec.loadEc
 
   /** U3 + P5 + A4 (L:84-107): project the warehouse columns, keep-newest per
     * auction_id, truncate-load `staging`. Returns the staged frame PERSISTED
