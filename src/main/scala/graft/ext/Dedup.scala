@@ -60,7 +60,7 @@ object Dedup {
     * planning O(1). Cost: one extra InternalRow⇄Row map per downstream
     * read of the (small, two-long-column) label frame; broadcast choices
     * inside the loop are AQE's at runtime either way. */
-  private def checkpointStripped(df: DataFrame): DataFrame = {
+  private[graft] def checkpointStripped(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint(true)
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }

@@ -121,6 +121,40 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("n_bands") == 3L))
   }
 
+  test("checkpointStripped leaves carry no origin stats (plan-stat snowball guard)") {
+    // Spark 4's Dataset.localCheckpoint embeds originStats =
+    // optimizedPlan.stats into the truncated LogicalRDD (SPARK-39748);
+    // size-only stats estimate joins as child-size PRODUCTS, so an
+    // iterative checkpoint loop compounds sizeInBytes exponentially —
+    // measured ×4 bit-length per CC round until planning took minutes
+    // inside BigInteger.multiply. The strip must pin leaf stats to the
+    // session default regardless of how bloated the checkpointed plan was.
+    import org.apache.spark.sql.functions._
+    val base = spark.range(100).select(col("id").as("vec_id"), (col("id") % 7).as("label"))
+    // a self-join tower whose PLAIN checkpoint would carry product stats
+    val j = base.as("a").join(base.as("b"), Seq("vec_id")).select(col("vec_id"), col("a.label"))
+    val jj = j.as("a").join(j.as("b"), Seq("vec_id")).select(col("vec_id"), col("a.label"))
+    val plainBits = jj.localCheckpoint(true)
+      .queryExecution.analyzed.stats.sizeInBytes.bitLength
+    val strippedBits = graft.ext.Dedup.checkpointStripped(jj)
+      .queryExecution.analyzed.stats.sizeInBytes.bitLength
+    val defaultBits = BigInt(spark.sessionState.conf.defaultSizeInBytes).bitLength
+    assert(strippedBits <= defaultBits,
+      s"stripped leaf stats must not exceed the session default ($strippedBits > $defaultBits)")
+    // and iterating the strip keeps them constant (the loop invariant)
+    var labels = graft.ext.Dedup.checkpointStripped(base)
+    (1 to 3).foreach { r =>
+      val next = labels.as("a").join(labels.as("b"), Seq("vec_id"))
+        .select(col("vec_id"), col("a.label"))
+      labels = graft.ext.Dedup.checkpointStripped(next)
+      val bits = labels.queryExecution.analyzed.stats.sizeInBytes.bitLength
+      assert(bits <= defaultBits, s"round $r leaf stats grew: $bits bits")
+    }
+    // sanity: the guard tests something real — the PLAIN checkpoint does
+    // carry join-product stats when origin stats survive
+    assert(plainBits >= strippedBits)
+  }
+
   test("duplicate clusters: multi-hop chains merge to the component min label") {
     // chain 10-20, 20-30, 30-40 (diameter 3 — needs real propagation, not
     // one-hop neighbor mins) + isolated pair 5-50 + pair 41-42
