@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text operators for training-data pipelines: fixed-size token
+  * chunking with overlap, TF-IDF term scoring, and inverted-index builds.
+  *
+  * Scale shapes: chunking is a pure map-side explode (no shuffle — each
+  * document expands independently); TF-IDF is one map-side-combinable
+  * (doc, term) count plus a VOCABULARY-sized document-frequency side that
+  * broadcasts; the inverted index bounds its per-term state with the
+  * [[TopKAggregator]] so a stopword's posting list never materializes
+  * O(corpus) rows in one aggregation buffer.
+  */
+object Corpus {
+
+  /** Split each document into fixed-size token chunks with overlap — the
+    * context-window preparation step of a training pipeline (and the unit
+    * RAG ingestion runs per document). Chunk c covers tokens
+    * [c·stride, c·stride + chunkSize); starts run while start < n_tokens,
+    * so every token is covered and the tail chunk may be short. Pure
+    * map-side: tokenization, `sequence` of starts, one explode, `slice` —
+    * no shuffle, no UDF; a 100 TB corpus chunks at scan speed. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1, s"chunkSize/stride must be >= 1")
+    val chunk = slice(col("_toks"), col("start_tok") + 1, lit(chunkSize))
+    docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+      .withColumn("start_tok",
+        explode(sequence(lit(0), greatest(size(col("_toks")) - 1, lit(0)), lit(stride))))
+      .select(
+        col(idCol),
+        (col("start_tok") / stride).cast("long").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        size(chunk).cast("long").as("chunk_len"),
+        concat_ws(" ", chunk).as("chunk_text"))
+  }
+
+  /** Per-document term frequencies over whitespace tokens: one explode into
+    * a map-side-combinable (doc, term) count — the shuffle carries at most
+    * one row per distinct (doc, term) per input partition. */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** TF-IDF top-k terms per document: tf · ln(N/df), rank per doc by score
+    * desc then term asc. Join shape at scale: `df` (document frequency) and
+    * the scalar corpus size are VOCABULARY-sized / single-row — both
+    * broadcast; the only fact-scale shuffles are the (doc, term) count and
+    * the per-doc ranking window (each doc's term set is small, so no
+    * single-reducer funnel). */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("_n_docs"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") * log(col("_n_docs").cast("double") / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      // the raw tf·ln(N/df) double is NOT emitted: ln differs in the last
+      // ulp across engines (Math.log vs libm, neither correctly rounded).
+      // The RANK is engine-portable — scores collide only at identical
+      // (tf, df), where the term tie-break decides
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** Inverted index over the corpus: per term, document frequency and the
+    * first `sampleK` postings (ascending doc id, comma-joined). Posting
+    * lists of stopword-frequency terms are O(corpus), so the postings
+    * sample aggregates through the bounded [[TopKAggregator]] (map-side
+    * partials capped at k entries per term) — the shuffle carries
+    * O(vocabulary · k) rows, never a full posting list. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    sampleK: Int): DataFrame =
+    docs.select(col(idCol), explode(array_distinct(TextOps.tokens(col(textCol)))).as("term"))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        // min-k ids via top-k on score = -id
+        TopK.topKAgg(sampleK)(col(idCol), -col(idCol).cast("double")).as("_top"))
+      .select(col("term"), col("df"),
+        concat_ws(",", transform(col("_top"), e => e.getField("id").cast("string")))
+          .as("postings_sample"))
+}

@@ -29,6 +29,35 @@ object Similarity {
   /** L2 norm of an array<double> column. */
   def l2norm(v: Column): Column = sqrt(dot(v, v))
 
+  /** Symmetric int8 quantization of an embedding column — the storage/compute
+    * compression step before an ANN index ships to serving: per vector,
+    * scale = max|x|/127, q_i = clamp(round(x_i/scale), ±127). Emits the scale
+    * plus integer summaries (L1 mass, signed sum, saturation count) — exact
+    * in both engines; the float path is a single double division + half-away
+    * -from-zero round, bit-identical across Spark and the oracle. Pure
+    * map-side array HOFs (`transform`/`aggregate`/`filter`) — no shuffle, no
+    * UDF: quantizing a 100 TB embedding table runs at scan speed. */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val amax = array_max(transform(v, x => abs(x)))
+    // all-zero vectors: scale 0 is reported, but quantization divides by 1
+    // so q is all-zero instead of NaN
+    val safe = when(col("_amax") > 0.0, col("_amax") / 127.0).otherwise(lit(1.0))
+    val q = transform(v, x =>
+      least(greatest(round(x / col("_safe")), lit(-127.0)), lit(127.0)).cast("int"))
+    emb
+      .select(col(idCol), v.as(vecCol), amax.as("_amax"))
+      .withColumn("_safe", safe)
+      .withColumn("_q", q)
+      .select(
+        col(idCol),
+        size(col("_q")).cast("long").as("n_dims"),
+        (col("_amax") / 127.0).as("scale"),
+        aggregate(col("_q"), lit(0L), (acc, x) => acc + abs(x).cast("long")).as("q_l1"),
+        aggregate(col("_q"), lit(0L), (acc, x) => acc + x.cast("long")).as("q_sum"),
+        size(filter(col("_q"), x => abs(x) === 127)).cast("long").as("n_saturated"))
+  }
+
   /** Brute-force cosine top-k: for each query vector (broadcast), the k most
     * similar corpus vectors (excluding itself). Ranking uses the rounded
     * similarity with id tie-break for full determinism. */

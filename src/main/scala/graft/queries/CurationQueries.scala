@@ -214,8 +214,19 @@ object CurationQueries {
       .transform(tinySort(_, col("doc_id")))
   }
 
+  /** q56 — fixed-size token chunking with overlap
+    * ([[graft.ext.Corpus.chunkDocuments]], 64-token chunks, stride 48): the
+    * context-window preparation step between curation and packing. Pure
+    * map-side explode (no shuffle), so the plain global sort is the correct
+    * dump plan — the sampling pass re-runs only a cheap scan. */
+  def q56DocChunking(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Corpus.chunkDocuments(load(spark, dir, "documents"),
+        "doc_id", "text", chunkSize = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_corpus_curation" -> (q42CorpusCuration _),
+    "q56_doc_chunking" -> (q56DocChunking _),
     "q48_token_budget" -> (q48TokenBudget _),
     "q52_sequence_packing" -> (q52SequencePacking _),
     "q53_curation_pipeline" -> (q53CurationPipeline _),
@@ -352,6 +363,16 @@ object CurationQueries {
          |          WHERE s.doc_id % 50 <> 0
          |          GROUP BY s.doc_id)
          |SELECT doc_id, n_shared_3grams FROM hits ORDER BY doc_id""".stripMargin,
+    "q56_doc_chunking" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | s AS (SELECT doc_id, toks,
+        |        unnest(range(0, greatest(len(toks), 1), 48)) AS start_tok FROM b)
+        |SELECT doc_id,
+        |  CAST(start_tok // 48 AS BIGINT) AS chunk_id,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(len(toks[start_tok+1 : start_tok+64]) AS BIGINT) AS chunk_len,
+        |  array_to_string(toks[start_tok+1 : start_tok+64], ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "q52_sequence_packing" ->
       s"""WITH t AS (
          |  SELECT doc_id, source,

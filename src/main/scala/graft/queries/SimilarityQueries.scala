@@ -94,8 +94,17 @@ object SimilarityQueries {
       .transform(tinySort(_, col("cluster_id"), col("vec_id")))
   }
 
+  /** q58 — symmetric int8 embedding quantization
+    * ([[Similarity.quantizeInt8]]): per-vector scale + exact integer
+    * summaries. Map-only array HOFs, no shuffle — a plain global sort is the
+    * correct dump plan (the sampling pass re-runs a cheap scan). */
+  def q58EmbeddingQuantize(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(load(spark, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy(col("vec_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_cosine_topk" -> (q25CosineTopK _),
+    "q58_embedding_quantize" -> (q58EmbeddingQuantize _),
     "q26_embedding_neardup" -> (q26EmbeddingNearDup _),
     "q31_ann_lsh" -> (q31AnnLsh _),
     "q43_ann_ivf" -> (q43AnnIvf _),
@@ -139,6 +148,21 @@ object SimilarityQueries {
       |  FROM reach GROUP BY a)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "q58_embedding_quantize" ->
+      """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM b),
+        | s AS (SELECT vec_id, v, amax,
+        |         CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS safe FROM m),
+        | q AS (SELECT vec_id, amax,
+        |         list_transform(v, x -> CAST(least(greatest(round(x / safe), -127.0), 127.0) AS INT)) AS qv
+        |       FROM s)
+        |SELECT vec_id,
+        |  CAST(len(qv) AS BIGINT) AS n_dims,
+        |  amax / 127.0 AS scale,
+        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_saturated
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q25_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.TextOps
+import graft.util.Output.tinySort
 import graft.util.Tables.load
 
 /** Text-analysis operator surface over `documents`: quality scoring, token
@@ -45,10 +46,31 @@ object TextQueries {
     ).orderBy(col("doc_id"))
   }
 
+  /** q57 — TF-IDF top-3 terms per document ([[graft.ext.Corpus.tfidfTopK]]):
+    * corpus-statistics scoring with the scale-correct join shape (document
+    * frequency is vocabulary-sized → broadcast; corpus size is one row →
+    * broadcast). The output is O(docs·k) with a window + joins upstream, so
+    * the dump checkpoints the narrow result rows before the global sort
+    * (the q54 pattern — the range partitioner's sampling pass must not
+    * re-run the explode/agg/window stack). */
+  def q57TfidfTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Corpus.tfidfTopK(load(spark, dir, "documents"), "doc_id", "text", k = 3)
+      .localCheckpoint()
+      .orderBy(col("doc_id"), col("rk"))
+
+  /** q59 — inverted index ([[graft.ext.Corpus.invertedIndex]]): per term, df
+    * + first-10 postings. Vocabulary-sized output → [[tinySort]]. */
+  def q59InvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Corpus.invertedIndex(load(spark, dir, "documents"),
+        "doc_id", "text", sampleK = 10)
+      .transform(tinySort(_, col("term")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_text_quality" -> (q27TextQuality _),
     "q28_token_count" -> (q28TokenCount _),
-    "q29_lang_id" -> (q29LangId _)
+    "q29_lang_id" -> (q29LangId _),
+    "q57_tfidf_topk" -> (q57TfidfTopK _),
+    "q59_inverted_index" -> (q59InvertedIndex _)
   )
 
   private val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
@@ -89,6 +111,25 @@ object TextQueries {
          |       WHEN r_de >= 0.01 THEN 'de'
          |       ELSE 'unknown' END AS lang_pred
          |FROM m ORDER BY doc_id""".stripMargin
-    }
+    },
+    "q57_tfidf_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term),
+        | dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        | n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+        | s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |         CAST(tf.tf AS DOUBLE) * ln(nd / df) AS tfidf
+        |       FROM tf JOIN dfq USING (term), n),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        |       FROM s)
+        |SELECT doc_id, term, tf, df, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q59_inverted_index" ->
+      """WITH t0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | t AS (SELECT DISTINCT doc_id, term FROM t0),
+        | idx AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |           array_to_string((list(doc_id ORDER BY doc_id))[1:10], ',') AS postings_sample
+        |         FROM t GROUP BY term)
+        |SELECT term, df, postings_sample FROM idx ORDER BY term""".stripMargin
   )
 }

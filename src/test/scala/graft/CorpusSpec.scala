@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Corpus, Similarity}
+
+/** Unit behavior of the corpus-level operators (chunking, TF-IDF, inverted
+  * index) and int8 embedding quantization. */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b c d e f g h i j"), // 10 tokens
+    (2L, "x y z"), // shorter than one chunk
+    (3L, "a a a b b c") // repeats for tf/df
+  ).toDF("doc_id", "text")
+
+  test("chunking covers every token, tail chunk short, overlap = size - stride") {
+    val chunks = Corpus.chunkDocuments(docs, "doc_id", "text", chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d1 = chunks.filter(_.getLong(0) == 1L)
+    // starts 0,3,6,9 → lens 4,4,4,1
+    assert(d1.map(r => (r.getAs[Long]("start_tok"), r.getAs[Long]("chunk_len"))).toSeq ==
+      Seq((0L, 4L), (3L, 4L), (6L, 4L), (9L, 1L)))
+    assert(d1.map(_.getAs[String]("chunk_text")).toSeq ==
+      Seq("a b c d", "d e f g", "g h i j", "j"))
+    // every token index is covered by some chunk
+    val covered = d1.flatMap(r => r.getAs[Long]("start_tok") until
+      (r.getAs[Long]("start_tok") + r.getAs[Long]("chunk_len"))).toSet
+    assert(covered == (0L until 10L).toSet)
+    // a document shorter than one chunk yields exactly one full-coverage chunk
+    val d2 = chunks.filter(_.getLong(0) == 2L)
+    assert(d2.map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("chunk_len"),
+      r.getAs[String]("chunk_text"))).toSeq == Seq((0L, 3L, "x y z")))
+  }
+
+  test("tf-idf: df counts documents not occurrences; rank caps at k; rarer term wins") {
+    val top = Corpus.tfidfTopK(docs, "doc_id", "text", k = 2)
+    val rows = top.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+      r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Long]("rk")))
+    assert(rows.groupBy(_._1).forall(_._2.length <= 2))
+    // "a" occurs in docs 1 and 3 → df 2; "c" too; "x" only doc 2 → df 1
+    val byTerm = rows.map(r => r._2 -> r._4).toMap
+    assert(byTerm.get("x").forall(_ == 1L))
+    // doc 3: tf(a)=3 df(a)=2, tf(b)=2 df(b)=2, tf(c)=1 df(c)=2 — ln(3/2) same
+    // for all, so tf decides: a then b
+    assert(rows.filter(_._1 == 3L).sortBy(_._5).map(_._2).toSeq == Seq("a", "b"))
+  }
+
+  test("inverted index: df = distinct docs per term, postings sorted and bounded") {
+    val idx = Corpus.invertedIndex(docs, "doc_id", "text", sampleK = 2)
+      .collect().map(r => r.getAs[String]("term") ->
+        ((r.getAs[Long]("df"), r.getAs[String]("postings_sample")))).toMap
+    assert(idx("a") == (2L, "1,3")) // docs 1 and 3, once each despite repeats
+    assert(idx("x") == (1L, "2"))
+    // sampleK bounds the sample: term "b" in docs 1,3 → both fit; all terms
+    // have ≤ 2 postings listed
+    assert(idx.values.forall(_._2.split(",").length <= 2))
+  }
+
+  test("int8 quantization: max saturates, zero vector safe, integer summaries bounded") {
+    val emb = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    val r1 = q(0)
+    assert(r1.getAs[Long]("n_dims") == 4L)
+    assert(math.abs(r1.getAs[Double]("scale") - 1.0 / 127.0) < 1e-15)
+    // 0.5→64 (0.5/ (1/127) = 63.5 → HALF_UP 64), -1.0→-127, 0.25→32, 0→0
+    assert(r1.getAs[Long]("q_l1") == 64L + 127L + 32L)
+    assert(r1.getAs[Long]("q_sum") == 64L - 127L + 32L)
+    assert(r1.getAs[Long]("n_saturated") == 1L)
+    val r2 = q(1)
+    assert(r2.getAs[Double]("scale") == 0.0)
+    assert(r2.getAs[Long]("q_l1") == 0L && r2.getAs[Long]("n_saturated") == 0L)
+  }
+
+  test("chunking plan is map-side only: no shuffle exchange") {
+    val plan = Corpus.chunkDocuments(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", "text", 64, 48).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+}
