@@ -71,6 +71,28 @@ object Corpus {
         col("rk").cast("long").as("rk"))
   }
 
+  /** Corpus composition statistics: per (source, length-bucket) — document
+    * count, whitespace-token volume, char min/max, and distinct-language
+    * count. The profiling step that precedes any mixing/budgeting decision
+    * (and the report a curation run ships with). One map-side-combinable
+    * aggregation keyed on (source, bucket) — output is bounded by
+    * |sources|·|buckets|, never corpus-scale; every stat is exact (no
+    * approx sketches → oracle-checkable in any engine). */
+  def sourceStats(docs: DataFrame, srcCol: String, textCol: String,
+                  charsCol: String, langCol: String,
+                  bucketWidth: Int = 100): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    docs
+      .groupBy(col(srcCol),
+        (floor(col(charsCol) / bucketWidth) * bucketWidth).cast("long").as("char_bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col(textCol))).cast("long")).as("ws_tokens"),
+        min(col(charsCol)).as("min_chars"),
+        max(col(charsCol)).as("max_chars"),
+        countDistinct(col(langCol)).as("n_langs"))
+  }
+
   /** Inverted index over the corpus: per term, document frequency and the
     * first `sampleK` postings (ascending doc id, comma-joined). Posting
     * lists of stopword-frequency terms are O(corpus), so the postings

@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling operators for training-data pipelines:
+  * hash-based train/val/test splits and temperature-weighted source mixing.
+  *
+  * Both operators derive every keep/route decision from md5 of the row's own
+  * key, never from `rand()`: the split is reproducible across engines, runs,
+  * partitionings and cluster sizes (the property a 100 TB pipeline needs —
+  * re-running a failed stage must not reshuffle the split), and it is
+  * oracle-checkable in any SQL engine with md5.
+  *
+  * Scale shapes: hashSplit is pure map-side (one expression per row);
+  * temperatureMix is one vocabulary-sized (per-source) aggregate that
+  * broadcasts back — the corpus-scale path stays a scan + filter.
+  */
+object Sampling {
+
+  /** Bucket label: first `hexChars` hex chars of md5(salt:id) — 16^hexChars
+    * uniform buckets encoded as a lexicographically ordered string, so split
+    * assignment is a plain string compare (identical semantics in every
+    * engine; no hex→int conversion needed). */
+  private[ext] def bucketHex(idCol: Column, salt: String, hexChars: Int): Column =
+    substring(md5(concat(lit(salt + ":"), idCol.cast("string")).cast("binary")), 1, hexChars)
+
+  /** Cumulative-weight thresholds as hex-string literals: split i keeps
+    * buckets in [thresh(i-1), thresh(i)). With 2 hex chars the grid is 1/256
+    * ≈ 0.4% — document the rounding, don't hide it. */
+  private[graft] def hexThresholds(weights: Seq[Double], hexChars: Int): Seq[String] = {
+    val buckets = math.pow(16, hexChars).toInt
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    cum.map(c => math.min(buckets, math.round(c * buckets).toInt))
+      .map(b => if (b >= buckets) "g" * hexChars // > every hex string
+                else ("%0" + hexChars + "x").format(b))
+  }
+
+  /** Deterministic train/val/test split: route each row by the first two hex
+    * chars of md5(salt:id). `splits` maps name → weight (weights normalized;
+    * realized fractions are on the 1/256 grid). Pure map-side — no shuffle,
+    * no rand(), stable under retries and repartitioning. */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                salt: String = "graft-split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "splits must have positive weights")
+    val total = splits.map(_._2).sum
+    val th = hexThresholds(splits.map(_._2 / total), hexChars = 2)
+    val bucket = bucketHex(col(idCol), salt, 2)
+    // evaluate thresholds low→high: first threshold the bucket is under wins
+    val ordered = splits.map(_._1).zip(th)
+    val expr = ordered.init.foldRight(lit(ordered.last._1): Column) {
+      case ((name, t), acc) => when(bucket < lit(t), lit(name)).otherwise(acc)
+    }
+    df.select(col(idCol), bucket.as("bucket"), expr.as("split"))
+  }
+
+  /** Temperature-weighted source mixing (the multi-corpus sampling step of a
+    * training pipeline, e.g. GPT-3 Table 2.2 / Pile §1): source s with c_s
+    * documents is sampled at rate r_s = min(1, p_s·T/c_s) where
+    * p_s ∝ c_s^alpha (alpha < 1 up-weights small sources) and
+    * T = targetFrac·N is the target corpus size. A document is kept iff the
+    * first 4 hex chars of md5(salt:id) fall under the source's rate
+    * threshold — deterministic per document, no rand().
+    *
+    * Engine parity: the threshold is materialized as a 4-hex-char string via
+    * floor(r_s·65536) computed IN the plan (hex + lpad are engine-portable);
+    * r_s uses sqrt-free pow only through `pow(c, alpha)` — its last-ulp
+    * variation across libm implementations could in principle flip a
+    * floor(·) boundary, so rates are rounded to 1e-6 first (a boundary flip
+    * now needs the true rate within ~1e-10 of a grid point — negligible, and
+    * the oracle re-runs the same rounding).
+    *
+    * Scale shape: `rates` is one map-side-combinable count per source (20
+    * rows here, bounded by the source vocabulary) joined back via broadcast;
+    * the corpus path is scan → broadcast-join → filter, no corpus-scale
+    * shuffle. */
+  def temperatureMix(docs: DataFrame, idCol: String, srcCol: String,
+                     alpha: Double, targetFrac: Double,
+                     salt: String = "graft-mix"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    require(targetFrac > 0 && targetFrac <= 1, s"targetFrac in (0,1], got $targetFrac")
+    val counts = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("c_s"))
+    // totals via an unpartitioned window OVER THE AGGREGATE: its input is
+    // the vocabulary-bounded counts (not corpus rows), so the single
+    // partition holds |sources| rows — and the corpus is scanned exactly
+    // once for this branch (a counts.agg(...) side would re-run the scan,
+    // and a crossJoin would plan a BroadcastNestedLoopJoin)
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val rates = counts
+      .withColumn("n_total", sum(col("c_s")).over(whole).cast("double"))
+      .withColumn("w_total", sum(pow(col("c_s").cast("double"), alpha)).over(whole))
+      .withColumn("p_s", pow(col("c_s").cast("double"), alpha) / col("w_total"))
+      .withColumn("rate", round(
+        least(lit(1.0), col("p_s") * lit(targetFrac) * col("n_total") / col("c_s")), 6))
+      .withColumn("thresh",
+        lpad(lower(hex(floor(col("rate") * 65536).cast("long"))), 4, "0"))
+      .select(col(srcCol), col("c_s"), col("rate"), col("thresh"))
+    val bucket = bucketHex(col(idCol), salt, 4)
+    docs.join(broadcast(rates), Seq(srcCol))
+      .filter(col("rate") >= 1.0 || bucket < col("thresh"))
+      .select(col(idCol), col(srcCol), col("c_s"), col("rate"))
+  }
+}

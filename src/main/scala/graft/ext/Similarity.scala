@@ -282,6 +282,52 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("sim"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    * 2303.09540): cluster the embedding space with the same deterministic
+    * coarse quantizer as [[ivfTopK]] (md5-ordered sample → map-side
+    * nearest-centroid assignment), then drop, within each cluster, every
+    * vector that has a strictly-smaller-id cluster-mate above the cosine
+    * threshold (keep-min-id — the paper keeps one arbitrary member per
+    * ε-ball; min-id is the deterministic instance).
+    *
+    * Scale shape: the only corpus-scale operations are the map-side
+    * assignment (literal centroids, no shuffle) and ONE self-equi-join
+    * keyed on list_id. Per-cluster work is quadratic BY DESIGN — SemDeDup's
+    * premise is that nlist grows with the corpus (the paper uses 50k
+    * clusters for LAION) so cluster size stays bounded; hot lists are AQE
+    * skew-split. The drop set is O(corpus) on a duplicate-heavy crawl, so
+    * the keep-one anti-join is a shuffled hash join, deliberately NOT
+    * broadcast (the q53 lesson). */
+  def semDeDup(emb: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, nlist: Int = 16): DataFrame = {
+    require(emb.schema(idCol).dataType == org.apache.spark.sql.types.LongType,
+      s"semDeDup: id column '$idCol' must be LongType, got " +
+        s"${emb.schema(idCol).dataType.simpleString} — cast it upstream")
+    val e = emb.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
+    val cents: Array[(Long, Array[Double])] = e
+      .orderBy(md5(col("_id").cast("string").cast("binary")))
+      .limit(nlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val lists = e
+      .withColumn("_n", l2norm(col("_v")))
+      .withColumn("list_id", element_at(nearestIds(cents, col("_v"), 1), 1))
+    val a = lists.select(col("list_id"), col("_id").as("a_id"),
+      col("_v").as("av"), col("_n").as("an"))
+    val dropped = a.join(
+        lists.select(col("list_id"), col("_id").as("b_id"),
+          col("_v").as("bv"), col("_n").as("bn")),
+        Seq("list_id"))
+      .filter(col("a_id") < col("b_id") &&
+        cosineFromNorms(dot(col("av"), col("bv")), col("an"), col("bn")) > threshold)
+      .select(col("b_id")).distinct()
+    lists
+      .join(dropped.withColumnRenamed("b_id", "_id").withColumn("_drop", lit(true)),
+        Seq("_id"), "left")
+      .select(col("_id").as("vec_id"), col("list_id"),
+        col("_drop").isNull.as("kept"))
+  }
+
   /** ANN top-k via sign-LSH: candidates share the query's bucket; exact cosine
     * re-rank inside the bucket. Trades recall for a bucket-equi-join — the
     * shape that survives 100 TB (shuffle keyed on bucket, AQE-skew-safe). */

@@ -54,6 +54,24 @@ object AdvancedJoinQueries {
         col("n"), col("sum_price"))
       .orderBy(col("o_orderstatus"), col("o_orderpriority"))
 
+  /** q64 — CUBE aggregation: all four grouping sets of (returnflag,
+    * linestatus) in ONE pass (Spark expands grouping sets before the
+    * aggregate — still a single shuffle, partial-aggregated map-side).
+    * Exact decimal money sums; null grouping keys disambiguated with
+    * literal sentinels (the q37 rollup convention — the real columns are
+    * never null in this data). */
+  def q64Cube(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+        col("n"), col("sum_qty"), col("sum_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
   /** Grouped exact median (the per-row E13 median, lifted to groups — both
     * engines sort the group and interpolate the middle pair; values carry 2
     * decimals so round(6) is an exact no-op guard). */
@@ -107,6 +125,7 @@ object AdvancedJoinQueries {
     "q35_asof_join" -> (q35AsofJoin _),
     "q36_range_join" -> (q36RangeJoin _),
     "q37_rollup" -> (q37Rollup _),
+    "q64_cube" -> (q64Cube _),
     "q38_grouped_median" -> (q38GroupedMedian _),
     "q39_pivot" -> (q39Pivot _),
     "q40_unpivot" -> (q40Unpivot _)
@@ -167,6 +186,15 @@ object AdvancedJoinQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin,
+    "q64_cube" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+        |  coalesce(l_linestatus, '(all)') AS l_linestatus,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, TextOps}
+import graft.ext.{Dedup, Sampling, TextOps}
 import graft.util.Output.tinySort
 import graft.util.Tables.load
 
@@ -224,9 +224,29 @@ object CurationQueries {
         "doc_id", "text", chunkSize = 64, stride = 48)
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** q61 — deterministic train/val/test split ([[Sampling.hashSplit]],
+    * 80/10/10 on the first two hex chars of md5("graft-split:"+doc_id)).
+    * Pure map-side expression — the plain global sort dump is correct. */
+  def q61HashSplit(spark: SparkSession, dir: String): DataFrame =
+    Sampling.hashSplit(load(spark, dir, "documents"), "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** q63 — temperature-weighted language mixing
+    * ([[Sampling.temperatureMix]], alpha=0.5, target half the corpus):
+    * down-samples the dominant language toward a sqrt-weighted mix (en keeps
+    * ~35%, the small langs ~60-65% at sf0.01) — the multi-corpus sampling
+    * step of a training pipeline. Corpus path is scan → broadcast-join →
+    * filter; the only aggregation is the 5-row per-lang count. */
+  def q63LangMix(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMix(load(spark, dir, "documents"), "doc_id", "lang",
+        alpha = 0.5, targetFrac = 0.5)
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_corpus_curation" -> (q42CorpusCuration _),
     "q56_doc_chunking" -> (q56DocChunking _),
+    "q61_hash_split" -> (q61HashSplit _),
+    "q63_lang_mix" -> (q63LangMix _),
     "q48_token_budget" -> (q48TokenBudget _),
     "q52_sequence_packing" -> (q52SequencePacking _),
     "q53_curation_pipeline" -> (q53CurationPipeline _),
@@ -390,6 +410,36 @@ object CurationQueries {
          |  CAST(start_tok // 512 AS BIGINT) AS pack_id,
          |  CAST(start_tok % 512 AS BIGINT) AS offset_in_pack
          |FROM c
-         |ORDER BY source, doc_id""".stripMargin
+         |ORDER BY source, doc_id""".stripMargin,
+    /* Thresholds are the hexThresholds(0.8/0.1/0.1, 2) literals: 205/256
+     * → 'cd', 230/256 → 'e6' (hex strings order like their numeric value). */
+    "q61_hash_split" ->
+      """SELECT doc_id,
+        |  substr(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+        |  CASE WHEN substr(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |       WHEN substr(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    /* Replays rate = round(min(1, sqrt-weighted share · target / c_s), 6)
+     * and the floor(rate·65536) hex threshold; the keep test is a plain
+     * string compare on md5 prefixes. Rounding-boundary margins measured:
+     * ≥0.10 on the 65536 grid, ≥0.10 on the 1e-6 output grid (both SFs). */
+    "q63_lang_mix" ->
+      """WITH counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS c_s
+        |               FROM documents GROUP BY lang),
+        | tot AS (SELECT CAST(sum(c_s) AS DOUBLE) AS n_total,
+        |                sum(pow(CAST(c_s AS DOUBLE), 0.5)) AS w_total FROM counts),
+        | rates AS (SELECT lang, c_s,
+        |    round(least(1.0, pow(CAST(c_s AS DOUBLE), 0.5) / w_total * 0.5 * n_total / c_s), 6) AS rate
+        |  FROM counts, tot),
+        | th AS (SELECT lang, c_s, rate,
+        |    lpad(lower(to_hex(CAST(floor(rate * 65536) AS BIGINT))), 4, '0') AS thresh
+        |  FROM rates)
+        |SELECT d.doc_id, d.lang, t.c_s, t.rate
+        |FROM documents d JOIN th t USING (lang)
+        |WHERE t.rate >= 1.0
+        |   OR substr(md5('graft-mix:' || CAST(d.doc_id AS VARCHAR)), 1, 4) < t.thresh
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

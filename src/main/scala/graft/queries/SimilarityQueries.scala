@@ -102,6 +102,17 @@ object SimilarityQueries {
     Similarity.quantizeInt8(load(spark, dir, "embeddings"), "vec_id", "embedding")
       .orderBy(col("vec_id"))
 
+  /** q60 — SemDeDup ([[Similarity.semDeDup]]): IVF-cluster the embedding
+    * space (same deterministic md5-sampled coarse quantizer as q43), then
+    * within each cluster drop every vector with a smaller-id cluster-mate
+    * above 0.3 cosine (keep-min-id). Output: every vector with its cluster
+    * and keep/drop verdict. The oracle replays centroid sample, assignment
+    * tie-breaks, and the within-cluster pair filter. */
+  def q60SemDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDeDup(load(spark, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, nlist = 16)
+      .transform(tinySort(_, col("vec_id")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_cosine_topk" -> (q25CosineTopK _),
     "q58_embedding_quantize" -> (q58EmbeddingQuantize _),
@@ -112,7 +123,8 @@ object SimilarityQueries {
     "q46_lsh_neardup" -> (q46LshNearDup _),
     "q47_ann_multiprobe" -> (q47AnnMultiProbe _),
     "q50_banded_neardup" -> (q50BandedNearDup _),
-    "q51_dup_clusters" -> (q51DupClusters _)
+    "q51_dup_clusters" -> (q51DupClusters _),
+    "q60_semdedup" -> (q60SemDedup _)
   )
 
   /** Shared CTE chain: band-OR sign-LSH detector at 0.35 → `pairs` →
@@ -326,7 +338,28 @@ object SimilarityQueries {
         |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
         |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
         |FROM labels
-        |ORDER BY cluster_id, vec_id""".stripMargin
+        |ORDER BY cluster_id, vec_id""".stripMargin,
+    /* SemDeDup: q43's deterministic index build (md5-ordered centroid
+     * sample, round(cos,4) DESC + cid DESC assignment tie-break), then the
+     * within-cluster keep-min-id drop rule on the UNROUNDED cosine (the q26
+     * convention; nearest pair sits 1.5e-5 from the 0.3 boundary at sf0.1). */
+    "q60_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | cents AS (SELECT vec_id AS cid, v AS cv FROM e
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        | asgn AS (SELECT e.vec_id, c.cid,
+        |            round(list_cosine_similarity(e.v, c.cv), 4) AS s
+        |          FROM e CROSS JOIN cents c),
+        | lists AS (SELECT vec_id, cid AS list_id FROM asgn
+        |           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) = 1),
+        | le AS (SELECT l.vec_id, l.list_id, e.v FROM lists l JOIN e USING (vec_id)),
+        | dropped AS (SELECT DISTINCT b.vec_id
+        |             FROM le a JOIN le b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        |             WHERE list_cosine_similarity(a.v, b.v) > 0.3)
+        |SELECT le.vec_id, CAST(le.list_id AS BIGINT) AS list_id,
+        |  (d.vec_id IS NULL) AS kept
+        |FROM le LEFT JOIN dropped d ON le.vec_id = d.vec_id
+        |ORDER BY le.vec_id""".stripMargin
   )
 
 }

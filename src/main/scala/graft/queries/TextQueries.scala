@@ -58,6 +58,15 @@ object TextQueries {
       .localCheckpoint()
       .orderBy(col("doc_id"), col("rk"))
 
+  /** q62 — corpus composition statistics ([[graft.ext.Corpus.sourceStats]]):
+    * per (source, 100-char length bucket) — doc count, token volume, char
+    * range, distinct langs. One map-side-combinable aggregation; output
+    * bounded by |sources|·|buckets| → [[tinySort]]. */
+  def q62CorpusStats(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Corpus.sourceStats(load(spark, dir, "documents"),
+        "source", "text", "n_chars", "lang", bucketWidth = 100)
+      .transform(tinySort(_, col("source"), col("char_bucket")))
+
   /** q59 — inverted index ([[graft.ext.Corpus.invertedIndex]]): per term, df
     * + first-10 postings. Vocabulary-sized output → [[tinySort]]. */
   def q59InvertedIndex(spark: SparkSession, dir: String): DataFrame =
@@ -70,7 +79,8 @@ object TextQueries {
     "q28_token_count" -> (q28TokenCount _),
     "q29_lang_id" -> (q29LangId _),
     "q57_tfidf_topk" -> (q57TfidfTopK _),
-    "q59_inverted_index" -> (q59InvertedIndex _)
+    "q59_inverted_index" -> (q59InvertedIndex _),
+    "q62_corpus_stats" -> (q62CorpusStats _)
   )
 
   private val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
@@ -130,6 +140,17 @@ object TextQueries {
         | idx AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
         |           array_to_string((list(doc_id ORDER BY doc_id))[1:10], ',') AS postings_sample
         |         FROM t GROUP BY term)
-        |SELECT term, df, postings_sample FROM idx ORDER BY term""".stripMargin
+        |SELECT term, df, postings_sample FROM idx ORDER BY term""".stripMargin,
+    "q62_corpus_stats" ->
+      """SELECT source,
+        |  CAST(floor(n_chars / 100) * 100 AS BIGINT) AS char_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |  min(n_chars) AS min_chars,
+        |  max(n_chars) AS max_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents
+        |GROUP BY source, floor(n_chars / 100) * 100
+        |ORDER BY source, char_bucket""".stripMargin
   )
 }

@@ -84,4 +84,37 @@ class CorpusSpec extends AnyFunSuite {
       "doc_id", "text", 64, 48).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
+
+  test("sourceStats: per-bucket stats partition the corpus; totals exact") {
+    val d = Seq(
+      ("s1", "a b c", 50L, "en"), ("s1", "d e", 149L, "en"),
+      ("s1", "f", 150L, "de"), ("s2", "g h i j", 249L, "en")
+    ).toDF("source", "text", "n_chars", "lang")
+    val st = Corpus.sourceStats(d, "source", "text", "n_chars", "lang", bucketWidth = 100)
+      .orderBy("source", "char_bucket").collect()
+    assert(st.map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("ws_tokens"), r.getAs[Long]("n_langs"))).toSeq == Seq(
+      ("s1", 0L, 1L, 3L, 1L),   // chars 50 → bucket 0
+      ("s1", 100L, 2L, 3L, 2L), // chars 149, 150 → bucket 100; langs {en, de}
+      ("s2", 200L, 1L, 4L, 1L)))
+  }
+
+  test("semDeDup: list-min id always kept; high threshold keeps all; drops are cluster-local") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.semDeDup(e, "vec_id", "embedding", threshold = 0.3, nlist = 8)
+      .cache()
+    assert(out.count() == e.count(), "semDeDup must emit a verdict per vector")
+    // the smallest id in every list has no smaller-id mate → always kept
+    val minPerList = out.groupBy("list_id").agg(min("vec_id").as("vec_id"))
+    val minKept = out.join(minPerList, Seq("list_id", "vec_id"))
+    assert(minKept.filter(!col("kept")).count() == 0)
+    // a threshold above max cosine drops nothing
+    val none = Similarity.semDeDup(e, "vec_id", "embedding", threshold = 1.1, nlist = 8)
+    assert(none.filter(!col("kept")).count() == 0)
+    // a threshold below min cosine (-1) keeps exactly one vector per list
+    val all = Similarity.semDeDup(e, "vec_id", "embedding", threshold = -1.1, nlist = 8)
+    val keptPerList = all.filter(col("kept")).groupBy("list_id").count().collect()
+    assert(keptPerList.forall(_.getLong(1) == 1L))
+    out.unpersist()
+  }
 }

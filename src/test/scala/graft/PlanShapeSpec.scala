@@ -150,4 +150,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(got == Set(("VINA", 3L, 101L), ("VINA", 9L, 102L),
       ("VINB", 2L, 103L), (null, 1L, 104L)), got.toString)
   }
+
+  test("q61 hash split is map-side only before the dump sort: no Exchange, no join") {
+    // the split must stay a per-row expression — any shuffle or join here
+    // means the operator can't run at scan speed on 100 TB
+    val plan = graft.ext.Sampling.hashSplit(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hashSplit must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"hashSplit must not join:\n$plan")
+  }
+
+  test("q63 mixing: corpus path is scan + broadcast join + filter — the only " +
+      "shuffle aggregates the per-source counts") {
+    val plan = graft.queries.CurationQueries.q63LangMix(spark, dir)
+      .queryExecution.sparkPlan.toString
+    // the rates side joins back via broadcast — never a corpus-side shuffle join
+    assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"equi-join expected:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus side must not shuffle-join:\n$plan")
+    // aggregation shuffles exist only for the (bounded) per-lang counts —
+    // they key on lang, never on doc_id
+    assert(!plan.contains("hashpartitioning(doc_id"),
+      s"no corpus-keyed exchange allowed:\n$plan")
+  }
 }
