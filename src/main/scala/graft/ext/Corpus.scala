@@ -71,6 +71,28 @@ object Corpus {
         col("rk").cast("long").as("rk"))
   }
 
+  /** Heavy hitters: the k most frequent whitespace tokens per group (count
+    * desc, token asc tie-break) — the vocabulary-audit operator of a corpus
+    * profile (boilerplate detection, stopword discovery, contamination
+    * tells). Two shuffles, both benign at scale: the (group, token) count is
+    * map-side-combinable, and the ranking window partitions on the group
+    * over the VOCABULARY-sized count table — never over corpus rows. Exact
+    * counts (no count-min sketch) keep it oracle-checkable; the sketch
+    * variant only becomes necessary when per-group vocabularies stop
+    * fitting a shuffle partition, which at (20 sources × word-salad) they
+    * never do. */
+  def heavyHitters(docs: DataFrame, groupCol: String, textCol: String,
+                   k: Int): DataFrame = {
+    val counts = docs
+      .select(col(groupCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col("token").asc)
+    counts
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Corpus composition statistics: per (source, length-bucket) — document
     * count, whitespace-token volume, char min/max, and distinct-language
     * count. The profiling step that precedes any mixing/budgeting decision

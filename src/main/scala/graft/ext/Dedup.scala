@@ -81,6 +81,32 @@ object Dedup {
   def explodedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("sg"))
 
+  /** N-gram novelty: for each document, the fraction of its DISTINCT word
+    * n-grams that first appear in it (no smaller-id document contains them)
+    * — the memorization/duplication profile a corpus report carries
+    * (novelty → 0 as boilerplate takes over; the per-doc complement of
+    * dedup). Processing-order semantics use ascending id as "earlier".
+    *
+    * Scale shape: shingles explode map-side ([[explodedShingles]] emits
+    * distinct-per-doc pairs); first-seer is one map-side-combinable
+    * min-aggregation keyed on the shingle; the join back is shuffle-on-
+    * shingle (both sides already carry the key — at corpus scale the gram
+    * table outgrows broadcast, so the equi-join is the right default and
+    * AQE still broadcasts it under the threshold). The ratio is a single
+    * exact division per doc — both engines see bit-identical doubles. */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val sh = explodedShingles(docs, idCol, textCol, n)
+    val firstSeer = sh.groupBy(col("sg")).agg(min(col(idCol)).as("_first"))
+    sh.join(firstSeer, "sg")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("_first") === col(idCol), 1L).otherwise(0L)).as("novel_grams"))
+      .withColumn("novelty",
+        round(col("novel_grams").cast("double") / col("n_grams").cast("double"), 4))
+  }
+
   /** MinHash signature: slot s takes the min over shingles of an 8-hex-char
     * (32-bit) slice of md5("⌊s/4⌋:" + shingle). Computed whole-signature per
     * row by the [[graft.functions.MinHashSlots]] kernel — a map-only

@@ -55,6 +55,26 @@ object Sampling {
     df.select(col(idCol), bucket.as("bucket"), expr.as("split"))
   }
 
+  /** Deterministic corpus shuffle: a reproducible global training order —
+    * every row gets a dense position 1..N by sorting on md5(salt:id) with
+    * the id itself as tie-break (md5 collisions at 128 bits never happen,
+    * but the tie-break makes determinism unconditional). Same salt → same
+    * permutation on any cluster size, any partitioning, any retry — the
+    * property `orderBy(rand())` does NOT have, and the one a resumable
+    * 100 TB training run needs (epoch e = salt "epoch-e").
+    *
+    * Scale shape: the sort is a range-shuffled distributed sort on the hash
+    * key; the dense position comes from [[graft.star.Ids.assignSequentialIds]]
+    * (per-partition zipWithIndex + offset — NO single-partition
+    * `row_number()` window funnel). */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+                           salt: String = "graft-shuffle"): DataFrame = {
+    val keyed = df.withColumn("shuffle_key",
+      md5(concat(lit(salt + ":"), col(idCol).cast("string")).cast("binary")))
+    graft.star.Ids.assignSequentialIds(keyed, Seq("shuffle_key", idCol),
+      "shuffle_pos", 0L)
+  }
+
   /** Temperature-weighted source mixing (the multi-corpus sampling step of a
     * training pipeline, e.g. GPT-3 Table 2.2 / Pile §1): source s with c_s
     * documents is sampled at rate r_s = min(1, p_s·T/c_s) where

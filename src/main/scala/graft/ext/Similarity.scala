@@ -58,6 +58,37 @@ object Similarity {
         size(filter(col("_q"), x => abs(x) === 127)).cast("long").as("n_saturated"))
   }
 
+  /** Per-label centroid of the int8-QUANTIZED embedding space ([[quantizeInt8]]'s
+    * q-vectors): for each (label, dimension) the count, exact integer sum and
+    * sum-of-squares of q values, and the centroid coordinate sum/n. Running
+    * the centroid pass on quantized integers instead of raw floats makes
+    * every aggregate EXACT (BIGINT sums are associative — no accumulation-
+    * order drift between a 1000-partition cluster sum and the oracle's
+    * sequential one; the only float op left is a single division per output
+    * row). This is the class-prototype step of SemDeDup-style pruning / a
+    * k-means seeding pass, at 64·|labels| output rows from any corpus size.
+    *
+    * Scale shape: posexplode is map-side; the (label, pos) aggregation is
+    * map-side-combinable with a vocabulary-bounded key space (labels ×
+    * dims), so the shuffle carries partial sums, not vectors. */
+  def labelCentroidsInt8(emb: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val amax = array_max(transform(v, x => abs(x)))
+    val safe = when(col("_amax") > 0.0, col("_amax") / 127.0).otherwise(lit(1.0))
+    val q = transform(v, x =>
+      least(greatest(round(x / col("_safe")), lit(-127.0)), lit(127.0)).cast("int"))
+    emb
+      .select(col(labelCol), v.as(vecCol), amax.as("_amax"))
+      .withColumn("_safe", safe)
+      .select(col(labelCol), posexplode(q).as(Seq("pos", "qx")))
+      .groupBy(col(labelCol), col("pos").cast("long").as("pos"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("qx").cast("long")).as("sum_q"),
+        sum((col("qx") * col("qx")).cast("long")).as("sum_sq"))
+      .withColumn("centroid", col("sum_q").cast("double") / col("n").cast("double"))
+  }
+
   /** Brute-force cosine top-k: for each query vector (broadcast), the k most
     * similar corpus vectors (excluding itself). Ranking uses the rounded
     * similarity with id tie-break for full determinism. */

@@ -120,8 +120,21 @@ object AdvancedJoinQueries {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** q65 — per-user time-series window features ([[graft.ext.TimeSeries
+    * .movingStats]]): lag/lead, 3-row moving sum, exact decimal running
+    * total, per-user row index — ONE window shuffle feeds all five columns.
+    * O(events) output with a WindowExec upstream → checkpoint the narrow
+    * result before the global sort (the q54 dump pattern: the range
+    * partitioner's sampling pass must not re-run the window). */
+  def q65MovingStats(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TimeSeries.movingStats(load(spark, dir, "events"),
+        "user_id", "ts", "event_id", "value")
+      .localCheckpoint()
+      .orderBy(col("event_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_sessionize" -> (q41Sessionize _),
+    "q65_moving_stats" -> (q65MovingStats _),
     "q35_asof_join" -> (q35AsofJoin _),
     "q36_range_join" -> (q36RangeJoin _),
     "q37_rollup" -> (q37Rollup _),
@@ -132,6 +145,18 @@ object AdvancedJoinQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "q65_moving_stats" ->
+      """WITH b AS (SELECT event_id, user_id, ts, value,
+        |    CAST(value AS DECIMAL(18,2)) AS dv FROM events)
+        |SELECT event_id, user_id, ts, value,
+        |  lag(value, 1, -1.0) OVER w AS prev_value,
+        |  lead(value, 1, -1.0) OVER w AS next_value,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  CAST(sum(dv) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum3,
+        |  CAST(sum(dv) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_sum
+        |FROM b
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
     "q35_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
         | s AS (SELECT user_id, ts, event_id AS signup_event FROM events WHERE event_type = 'signup')

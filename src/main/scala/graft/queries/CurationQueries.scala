@@ -242,8 +242,19 @@ object CurationQueries {
         alpha = 0.5, targetFrac = 0.5)
       .orderBy(col("doc_id"))
 
+  /** q69 — deterministic corpus shuffle ([[Sampling.deterministicShuffle]]):
+    * reproducible global training order by md5(salt:id), dense positions via
+    * the distributed sort + zipWithIndex id assigner (no single-partition
+    * window). Output is O(docs) but narrow (three columns); positions are
+    * already the total order, so the dump sorts by them. */
+  def q69CorpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    Sampling.deterministicShuffle(
+        load(spark, dir, "documents").select(col("doc_id")), "doc_id")
+      .transform(tinySort(_, col("shuffle_pos")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_corpus_curation" -> (q42CorpusCuration _),
+    "q69_corpus_shuffle" -> (q69CorpusShuffle _),
     "q56_doc_chunking" -> (q56DocChunking _),
     "q61_hash_split" -> (q61HashSplit _),
     "q63_lang_mix" -> (q63LangMix _),
@@ -257,6 +268,13 @@ object CurationQueries {
   private val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
 
   val sql: Map[String, String] = Map(
+    "q69_corpus_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |    md5('graft-shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, shuffle_key,
+        |  CAST(row_number() OVER (ORDER BY shuffle_key ASC NULLS LAST, doc_id ASC NULLS LAST) AS BIGINT) AS shuffle_pos
+        |FROM k ORDER BY shuffle_pos""".stripMargin,
     "q42_corpus_curation" -> {
       val ratios = TextOps.LangMarkers.map { case (lang, words) =>
         val in = words.map(w => s"'$w'").mkString(", ")

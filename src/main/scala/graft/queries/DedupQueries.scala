@@ -71,8 +71,19 @@ object DedupQueries {
       TextOps.rollingTokenHash(TextOps.tokens(col("text"))).as("roll_hash")
     ).orderBy(col("doc_id"))
 
+  /** q70 — n-gram novelty profile ([[Dedup.ngramNovelty]]): per document,
+    * the fraction of its distinct 3-grams first seen in it (ascending-id
+    * processing order). Bounded to doc_id < 350 like q24 so the bench
+    * measures the operator, not the SF. */
+  def q70NgramNovelty(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramNovelty(
+        load(spark, dir, "documents").filter(col("doc_id") < 350),
+        "doc_id", "text", n = 3)
+      .transform(tinySort(_, col("doc_id")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact" -> (q20DedupExact _),
+    "q70_ngram_novelty" -> (q70NgramNovelty _),
     "q21_minhash_signature" -> (q21MinhashSignature _),
     "q22_lsh_band_pairs" -> (q22LshBandPairs _),
     "q23_simhash" -> (q23Simhash _),
@@ -81,6 +92,16 @@ object DedupQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "q70_ngram_novelty" ->
+      s"""WITH $ShinglesCte,
+         | sub AS (SELECT * FROM sh WHERE doc_id < 350),
+         | f AS (SELECT sg, MIN(doc_id) AS fd FROM sub GROUP BY sg),
+         | j AS (SELECT s.doc_id, COUNT(*) AS n_grams,
+         |         SUM(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 END) AS novel
+         |       FROM sub s JOIN f ON f.sg = s.sg GROUP BY s.doc_id)
+         |SELECT doc_id, n_grams, CAST(novel AS BIGINT) AS novel_grams,
+         |  round(CAST(novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 4) AS novelty
+         |FROM j ORDER BY doc_id""".stripMargin,
     "q20_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  COUNT(*) AS n_docs, MIN(doc_id) AS keep_id

@@ -123,8 +123,25 @@ object ExprQueries {
       .select(col("event_type"), col("sum_value").cast("double").as("sum_value"), col("n"))
       .orderBy(col("event_type"))
 
+  /** q67 — PII redaction pass ([[graft.ext.Redact]]) over the
+    * identifier-bearing `customer.c_name`: partial masking (keep-last-4),
+    * digit-run token substitution, digit census, and salted-md5
+    * pseudonymization. All map-side codegen expressions — the redaction
+    * sweep of a 100 TB corpus is a scan. */
+  def q67PiiMask(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Redact
+    load(spark, dir, "customer").select(
+      col("c_custkey"),
+      Redact.maskTail(col("c_name"), 4).as("masked_name"),
+      Redact.redactDigitRuns(col("c_name")).as("redacted_name"),
+      Redact.digitCount(col("c_name")).as("n_digits"),
+      Redact.pseudonym(col("c_name"), "graft-pii").as("pseudo_id")
+    ).orderBy(col("c_custkey"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_salted_agg" -> (q34SaltedAgg _),
+    "q67_pii_mask" -> (q67PiiMask _),
     "q13_part_exprs" -> (q13PartExprs _),
     "q14_customer_exprs" -> (q14CustomerExprs _),
     "q15_date_exprs" -> (q15DateExprs _),
@@ -135,6 +152,14 @@ object ExprQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "q67_pii_mask" ->
+      """SELECT c_custkey,
+        |  repeat('*', greatest(length(c_name) - 4, 0)) ||
+        |    substr(c_name, length(c_name) - 3, 4) AS masked_name,
+        |  regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS redacted_name,
+        |  CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+        |  md5('graft-pii:' || c_name) AS pseudo_id
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q34_salted_agg" ->
       """SELECT event_type,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,

@@ -113,8 +113,17 @@ object SimilarityQueries {
         threshold = 0.3, nlist = 16)
       .transform(tinySort(_, col("vec_id")))
 
+  /** q68 — per-label int8 centroids ([[Similarity.labelCentroidsInt8]]):
+    * exact BIGINT sums over the quantized space, one division per output
+    * row. |labels|·dims output rows → [[tinySort]]. */
+  def q68LabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroidsInt8(load(spark, dir, "embeddings"),
+        "label", "embedding")
+      .transform(tinySort(_, col("label"), col("pos")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_cosine_topk" -> (q25CosineTopK _),
+    "q68_label_centroids" -> (q68LabelCentroids _),
     "q58_embedding_quantize" -> (q58EmbeddingQuantize _),
     "q26_embedding_neardup" -> (q26EmbeddingNearDup _),
     "q31_ann_lsh" -> (q31AnnLsh _),
@@ -160,6 +169,21 @@ object SimilarityQueries {
       |  FROM reach GROUP BY a)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "q68_label_centroids" ->
+      """WITH b AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | m AS (SELECT label, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM b),
+        | s AS (SELECT label, v,
+        |         CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS safe FROM m),
+        | q AS (SELECT label,
+        |         list_transform(v, x -> CAST(least(greatest(round(x / safe), -127.0), 127.0) AS INT)) AS qv
+        |       FROM s),
+        | e AS (SELECT label, unnest(qv) AS qx, generate_subscripts(qv, 1) - 1 AS pos FROM q)
+        |SELECT label, CAST(pos AS BIGINT) AS pos, COUNT(*) AS n,
+        |  CAST(SUM(qx) AS BIGINT) AS sum_q,
+        |  CAST(SUM(qx * qx) AS BIGINT) AS sum_sq,
+        |  CAST(SUM(qx) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS centroid
+        |FROM e GROUP BY label, pos
+        |ORDER BY label, pos""".stripMargin,
     "q58_embedding_quantize" ->
       """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM b),

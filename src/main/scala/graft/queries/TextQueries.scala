@@ -74,8 +74,17 @@ object TextQueries {
         "doc_id", "text", sampleK = 10)
       .transform(tinySort(_, col("term")))
 
+  /** q66 — per-source heavy hitters ([[graft.ext.Corpus.heavyHitters]]):
+    * top-5 tokens by exact count, token tie-break. Output is
+    * |sources|·k rows → [[tinySort]]. */
+  def q66HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Corpus.heavyHitters(load(spark, dir, "documents"),
+        "source", "text", k = 5)
+      .transform(tinySort(_, col("source"), col("rk")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_text_quality" -> (q27TextQuality _),
+    "q66_heavy_hitters" -> (q66HeavyHitters _),
     "q28_token_count" -> (q28TokenCount _),
     "q29_lang_id" -> (q29LangId _),
     "q57_tfidf_topk" -> (q57TfidfTopK _),
@@ -86,6 +95,14 @@ object TextQueries {
   private val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
 
   val sql: Map[String, String] = Map(
+    "q66_heavy_hitters" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        | c AS (SELECT source, token, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+        | r AS (SELECT source, token, cnt,
+        |         CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, token ASC) AS BIGINT) AS rk
+        |       FROM c)
+        |SELECT source, token, cnt, rk FROM r WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin,
     "q27_text_quality" ->
       s"""WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS toks, length(text) AS nc FROM documents),
          | m AS (SELECT doc_id, len(toks) AS nt,

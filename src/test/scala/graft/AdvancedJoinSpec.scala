@@ -11,6 +11,36 @@ class AdvancedJoinSpec extends AnyFunSuite {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("movingStats: exact decimal running sums, sentinel edges, one window spec") {
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), 1.10),
+      (2L, 10L, ts("2024-01-01 11:00:00"), 2.20),
+      (3L, 10L, ts("2024-01-01 12:00:00"), 3.30),
+      (4L, 10L, ts("2024-01-01 13:00:00"), 4.40),
+      (5L, 20L, ts("2024-01-01 10:30:00"), 9.90)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = graft.ext.TimeSeries.movingStats(ev, "user_id", "ts", "event_id", "value")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(4), r.getDouble(5), r.getLong(6),
+        r.getDouble(7), r.getDouble(8)))
+    assert(out.toSeq == Seq(
+      // (id, prev, next, rn, mov_sum3, cum_sum)
+      (1L, -1.0, 2.2, 1L, 1.1, 1.1),
+      (2L, 1.1, 3.3, 2L, 3.3, 3.3),
+      (3L, 2.2, 4.4, 3L, 6.6, 6.6),
+      (4L, 3.3, -1.0, 4L, 9.9, 11.0), // mov window slides: 2.2+3.3+4.4
+      (5L, -1.0, -1.0, 1L, 9.9, 9.9)))
+    // exactness: 1.1+2.2+3.3+4.4 in doubles is 10.999999…; decimal path is 11.0
+    assert(out(3)._6 == 11.0)
+    // plan: all five window columns share ONE window shuffle (a single sort
+    // + at most two WindowExec nodes over the same partitioning — lag/lead/
+    // row_number share a frame; the two sums share another)
+    val plan = graft.ext.TimeSeries
+      .movingStats(ev, "user_id", "ts", "event_id", "value")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("backward as-of join picks the latest right row at-or-before, null when none") {
     val left = Seq(
       (1L, 10L, ts("2024-01-01 10:00:00")),

@@ -16,6 +16,53 @@ class CorpusSpec extends AnyFunSuite {
     (3L, "a a a b b c") // repeats for tf/df
   ).toDF("doc_id", "text")
 
+  test("heavy hitters: exact counts, count-desc/token-asc order, k bound") {
+    val d = Seq(
+      ("s1", "a a a b b c"),
+      ("s1", "b c c"),
+      ("s2", "z z y")
+    ).toDF("source", "text")
+    val hh = Corpus.heavyHitters(d, "source", "text", k = 2)
+      .orderBy("source", "rk").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // s1: a=3, b=3 (tie → token asc), c=3 — a,b win at k=2
+    assert(hh.filter(_._1 == "s1").toSeq ==
+      Seq(("s1", "a", 3L, 1L), ("s1", "b", 3L, 2L)))
+    assert(hh.filter(_._1 == "s2").toSeq ==
+      Seq(("s2", "z", 2L, 1L), ("s2", "y", 1L, 2L)))
+  }
+
+  test("ngram novelty: first doc fully novel, duplicate fully stale, ratio exact") {
+    val d = Seq(
+      (1L, "a b c d"),     // grams: abc, bcd — both first here
+      (2L, "a b c d"),     // exact dup → novelty 0
+      (3L, "a b c x y z")  // abc stale; bcx, cxy, xyz novel → 3/4
+    ).toDF("doc_id", "text")
+    val nv = graft.ext.Dedup.ngramNovelty(d, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(nv.toSeq == Seq(
+      (1L, 2L, 2L, 1.0),
+      (2L, 2L, 0L, 0.0),
+      (3L, 4L, 3L, 0.75)))
+  }
+
+  test("label centroids: exact integer sums over quantized space, centroid = sum/n") {
+    val emb = Seq(
+      (0, Seq(127.0f, 0.0f)),   // amax=127 → scale=1 → q=(127,0)
+      (0, Seq(0.0f, -127.0f)),  // q=(0,-127)
+      (1, Seq(0.0f, 0.0f))      // all-zero vector → q=(0,0), no NaN
+    ).toDF("label", "embedding")
+    val c = Similarity.labelCentroidsInt8(emb, "label", "embedding")
+      .orderBy("label", "pos").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(c.toSeq == Seq(
+      (0, 0L, 2L, 127L, 16129L, 63.5),
+      (0, 1L, 2L, -127L, 16129L, -63.5),
+      (1, 0L, 1L, 0L, 0L, 0.0),
+      (1, 1L, 1L, 0L, 0L, 0.0)))
+  }
+
   test("chunking covers every token, tail chunk short, overlap = size - stride") {
     val chunks = Corpus.chunkDocuments(docs, "doc_id", "text", chunkSize = 4, stride = 3)
       .orderBy("doc_id", "chunk_id").collect()

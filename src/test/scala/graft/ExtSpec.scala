@@ -240,6 +240,25 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getAs[Long]("h1") != r.getAs[Long]("h2"))
   }
 
+  test("redaction: mask tail, digit-run substitution, digit census, stable pseudonyms") {
+    val r = Seq(("Customer#000000042", "call 555-0199 re order 7"))
+      .toDF("name", "note").select(
+        graft.ext.Redact.maskTail(col("name"), 4).as("masked"),
+        graft.ext.Redact.maskTail(col("name"), 40).as("maskedAll"),
+        graft.ext.Redact.redactDigitRuns(col("note")).as("red"),
+        graft.ext.Redact.digitCount(col("note")).as("nd"),
+        graft.ext.Redact.pseudonym(col("name"), "s1").as("p1"),
+        graft.ext.Redact.pseudonym(col("name"), "s2").as("p2")).head()
+    assert(r.getAs[String]("masked") == "**************0042")
+    // keep ≥ length → value passes through unmasked
+    assert(r.getAs[String]("maskedAll") == "Customer#000000042")
+    assert(r.getAs[String]("red") == "call <ID>-<ID> re order <ID>")
+    assert(r.getAs[Long]("nd") == 8L)
+    // pseudonym is salt-keyed: same value, different salt → different token
+    assert(r.getAs[String]("p1") != r.getAs[String]("p2"))
+    assert(r.getAs[String]("p1").length == 32)
+  }
+
   test("multimodal: mapPartitions decode stub matches the expression path") {
     val media = Multimodal.fromDocuments(
       Seq((7L, "some payload text", "en", "src1", 17L)).toDF("doc_id", "text", "lang", "source", "n_chars"))

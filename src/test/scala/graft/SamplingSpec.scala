@@ -41,6 +41,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(a.join(b, Seq("id", "split")).count() == 2000)
   }
 
+  test("deterministicShuffle: dense 1..N permutation, salt-stable, salt-sensitive") {
+    val out = Sampling.deterministicShuffle(ids, "id").cache()
+    // positions are exactly 1..N with no gaps or dups
+    assert(out.agg(min("shuffle_pos"), max("shuffle_pos"),
+      countDistinct("shuffle_pos")).head().toSeq == Seq(1L, 2000L, 2000L))
+    // same salt → identical permutation, any partitioning
+    val again = Sampling.deterministicShuffle(ids.repartition(7), "id")
+    assert(out.join(again, Seq("id", "shuffle_pos")).count() == 2000)
+    // different salt (epoch 2) → a genuinely different order
+    val epoch2 = Sampling.deterministicShuffle(ids, "id", salt = "epoch-2")
+    assert(out.join(epoch2, Seq("id", "shuffle_pos")).count() < 100)
+    // the order is NOT the id order (it is a shuffle)
+    val sameAsId = out.filter(col("shuffle_pos") === col("id") + 1).count()
+    assert(sameAsId < 100)
+    out.unpersist()
+  }
+
   test("temperatureMix: alpha<1 up-weights small sources; rates bounded; deterministic") {
     // 3 sources with 100 / 400 / 1500 rows
     val docs = (0L until 2000L).map { i =>
