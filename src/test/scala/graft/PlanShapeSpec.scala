@@ -175,4 +175,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning(doc_id"),
       s"no corpus-keyed exchange allowed:\n$plan")
   }
+
+  test("q64 cube expands the PREAGGREGATE, not the fact scan") {
+    // grouping-set expansion multiplies its input 4×: Expand must sit above
+    // the base (flag, status) aggregate — an Expand directly over the scan
+    // means 4× the fact table through the shuffle at 100 TB
+    val plan = graft.queries.AdvancedJoinQueries.q64Cube(spark, dir)
+      .queryExecution.sparkPlan.toString
+    val expandIdx = plan.indexOf("Expand")
+    val scanIdx = plan.indexOf("Scan parquet")
+    assert(expandIdx >= 0 && scanIdx >= 0, s"missing Expand/Scan:\n$plan")
+    // plans print top-down: HashAggregate(s) … Expand … HashAggregate(base)
+    // … Scan. The base aggregate must appear BETWEEN Expand and the scan.
+    val between = plan.substring(expandIdx, scanIdx)
+    assert(between.contains("HashAggregate"),
+      s"no base aggregate between Expand and scan (cube runs over raw rows):\n$plan")
+  }
+
+  test("q66 heavy hitters: count is partial-aggregated; window keys on the group") {
+    val plan = graft.ext.Corpus.heavyHitters(
+        spark.read.parquet(s"$dir/documents.parquet"), "source", "text", 5)
+      .queryExecution.sparkPlan.toString
+    // map-side combine on (source, token) before the exchange
+    assert("partial_count".r.findAllIn(plan).nonEmpty ||
+      plan.contains("Partial"), s"no partial aggregation:\n$plan")
+    // the ranking window partitions on source — never a global (empty-key)
+    // window, which would funnel the vocabulary through one task
+    assert(!plan.contains("Window [") ||
+      plan.contains("windowspecdefinition(source"), s"window must key on source:\n$plan")
+  }
+
+  test("q69 deterministic shuffle has no single-partition Window") {
+    val plan = graft.ext.Sampling.deterministicShuffle(
+        spark.read.parquet(s"$dir/documents.parquet").select("doc_id"), "doc_id")
+      .queryExecution.executedPlan.toString
+    // dense positions come from the distributed sort + zipWithIndex path —
+    // a row_number() over an empty partition spec would be the funnel
+    assert(!plan.contains("Window"), s"no Window allowed in the id path:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"no single-partition exchange:\n$plan")
+  }
 }
