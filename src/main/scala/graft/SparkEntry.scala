@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ ExprQueries.defs ++ DedupQueries.defs ++
       TextQueries.defs ++ SimilarityQueries.defs ++ MultimodalQueries.defs ++
-      AdvancedJoinQueries.defs ++ CurationQueries.defs ++ StarLoadQueries.defs
+      AdvancedJoinQueries.defs ++ CurationQueries.defs ++ StarLoadQueries.defs ++
+      ProfilingQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.sql ++ ExprQueries.sql ++ DedupQueries.sql ++
       TextQueries.sql ++ SimilarityQueries.sql ++ MultimodalQueries.sql ++
-      AdvancedJoinQueries.sql ++ CurationQueries.sql ++ StarLoadQueries.sql
+      AdvancedJoinQueries.sql ++ CurationQueries.sql ++ StarLoadQueries.sql ++
+      ProfilingQueries.sql
 }

@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality / profiling operators — the governance pass over a corpus or
+  * warehouse table: per-column profiles (the ANALYZE-style stats a planner
+  * or a data catalog wants), declarative constraint checks (the
+  * expectations gate before a load commits), and quantile-based outlier
+  * trimming (the length-cap curation step).
+  *
+  * All exact (no sketches) so every number is oracle-checkable; the
+  * approximate twins (HLL distinct, t-digest quantiles) become the drop-in
+  * replacements only when a column's distinct count itself stops fitting —
+  * at which point exactness is the thing being traded, not the operator
+  * shape.
+  */
+object DataQuality {
+
+  /** Per-column profile: one output row per profiled column with row/null/
+    * distinct counts and min/max rendered as strings (binary UTF8 compare
+    * in both Spark and the oracle engine — identical on ASCII data).
+    *
+    * Shape: ONE aggregation action. The multi-column distinct counts plan
+    * through Spark's Expand (|cols| copies of the input into one shuffle) —
+    * the standard profiling trade; output is |cols| rows from any input
+    * size. At petabyte scale you run it per partition-batch, not per query.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"_cnt_$c"),
+        countDistinct(col(c)).as(s"_nd_$c"),
+        min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"))
+    }
+    val total = count(lit(1)).as("_total")
+    val one = df.agg(aggs.head, aggs.tail :+ total: _*)
+    // single profile row → |cols| rows: map-side explode of a struct array
+    val entries = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("_total").as("n_rows"),
+        (col("_total") - col(s"_cnt_$c")).as("n_nulls"),
+        col(s"_nd_$c").as("n_distinct"),
+        col(s"_min_$c").as("min_str"),
+        col(s"_max_$c").as("max_str"))
+    }
+    one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Declarative constraint checks: each (name, violation-predicate-count)
+    * pair becomes one output row. Checks over ONE table fuse into a single
+    * conditional-count aggregation (one scan however many checks ride it).
+    */
+  def constraintCounts(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    val aggs = checks.map { case (name, pred) =>
+      sum(when(pred, 1L).otherwise(0L)).as(name) }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = checks.map { case (name, _) =>
+      struct(lit(name).as("check"), coalesce(col(name), lit(0L)).as("n_violations")) }
+    one.select(explode(array(entries: _*)).as("c")).select(col("c.*"))
+  }
+
+  /** Orphan-key count: rows of `child` whose `childKey` has no match in
+    * `parent.parentKey` (referential-integrity violation count). Equi
+    * anti-join on the key — shuffles on the key at scale, AQE broadcasts
+    * under the threshold. */
+  def orphanCount(child: DataFrame, childKey: String,
+                  parent: DataFrame, parentKey: String): DataFrame =
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+
+  /** Per-group quantile cap: compute quantile `q` of `valueCol` per group
+    * (exact, linear interpolation — engine-portable at round(…,6)), then
+    * tag every row keep/drop against its group's cap. Returns per-group
+    * (cap, n_total, n_kept, n_dropped).
+    *
+    * Shape: the caps table is group-vocabulary-sized → broadcast back; the
+    * corpus path is scan → broadcast join → conditional count. The exact
+    * per-group percentile is one sort-based aggregation over the group's
+    * values — the piece that becomes a t-digest at petabyte group sizes. */
+  def quantileTrimStats(df: DataFrame, groupCol: String, valueCol: String,
+                        q: Double): DataFrame = {
+    val capsExact = df.groupBy(col(groupCol))
+      .agg(round(expr(s"percentile($valueCol, $q)"), 6).as("cap"))
+    df.join(broadcast(capsExact), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        first(col("cap")).as("cap"),
+        count(lit(1)).as("n_total"),
+        sum(when(col(valueCol) <= col("cap"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col(valueCol) > col("cap"), 1L).otherwise(0L)).as("n_dropped"))
+  }
+}

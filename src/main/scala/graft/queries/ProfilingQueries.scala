@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.DataQuality
+import graft.util.Output.tinySort
+import graft.util.Tables.load
+
+/** Data-quality / profiling operator surface ([[graft.ext.DataQuality]]):
+  * column profiles, constraint-violation counts, quantile outlier trimming
+  * — the governance layer of a warehouse / corpus pipeline.
+  */
+object ProfilingQueries {
+
+  /** q71 — per-column profile of `documents`: row/null/distinct counts +
+    * string-rendered min/max, ONE aggregation action (multi-distinct plans
+    * through Expand; output is |cols| rows from any input size). */
+  def q71ColumnProfile(spark: SparkSession, dir: String): DataFrame =
+    DataQuality.columnProfile(load(spark, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .transform(tinySort(_, col("column")))
+
+  /** q72 — constraint-violation report across three tables: per-table checks
+    * fuse into one conditional-count aggregation each (one scan per table no
+    * matter how many checks); referential integrity via key anti-join;
+    * duplicate-PK via keyed count. Output: one row per check. */
+  def q72DqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val li = DataQuality.constraintCounts(load(spark, dir, "lineitem"), Seq(
+      "li_negative_price" -> (col("l_extendedprice") < 0),
+      "li_bad_discount" -> (col("l_discount") < 0 || col("l_discount") > 1),
+      "li_null_quantity" -> col("l_quantity").isNull))
+    val ord = DataQuality.constraintCounts(load(spark, dir, "orders"), Seq(
+      "ord_null_orderdate" -> col("o_orderdate").isNull,
+      "ord_nonpositive_total" -> (col("o_totalprice") <= 0)))
+    val orphan = DataQuality.orphanCount(
+        load(spark, dir, "lineitem"), "l_orderkey",
+        load(spark, dir, "orders"), "o_orderkey")
+      .select(lit("li_orphan_orderkey").as("check"), col("n_violations"))
+    val dup = load(spark, dir, "customer")
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).agg(count(lit(1)).as("n_violations"))
+      .select(lit("cust_dup_key").as("check"), col("n_violations"))
+    li.select(col("check"), col("n_violations"))
+      .unionByName(ord.select(col("check"), col("n_violations")))
+      .unionByName(orphan).unionByName(dup)
+      .withColumnRenamed("check", "check_name")
+      .transform(tinySort(_, col("check_name")))
+  }
+
+  /** q73 — per-source length-outlier trim stats: exact p99 cap on n_chars
+    * (vocabulary-sized caps broadcast back), keep/drop counts per source. */
+  def q73LengthTrim(spark: SparkSession, dir: String): DataFrame =
+    DataQuality.quantileTrimStats(load(spark, dir, "documents"),
+        "source", "n_chars", q = 0.99)
+      .transform(tinySort(_, col("source")))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_column_profile" -> (q71ColumnProfile _),
+    "q72_dq_checks" -> (q72DqChecks _),
+    "q73_length_trim" -> (q73LengthTrim _))
+
+  private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  val sql: Map[String, String] = Map(
+    "q71_column_profile" -> ProfileCols.map(c =>
+      s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_str,
+         |  CAST(MAX($c) AS VARCHAR) AS max_str
+         |FROM documents""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
+    "q72_dq_checks" ->
+      """SELECT 'li_negative_price' AS check_name,
+        |  CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'li_bad_discount',
+        |  CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'li_null_quantity',
+        |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'ord_null_orderdate',
+        |  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'ord_nonpositive_total',
+        |  CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'li_orphan_orderkey', COUNT(*)
+        |FROM lineitem l WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'cust_dup_key', COUNT(*)
+        |FROM (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1)
+        |ORDER BY check_name""".stripMargin,
+    "q73_length_trim" ->
+      """WITH caps AS (
+        |  SELECT source, round(quantile_cont(n_chars, 0.99), 6) AS cap
+        |  FROM documents GROUP BY source)
+        |SELECT d.source, ANY_VALUE(c.cap) AS cap,
+        |  COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN d.n_chars <= c.cap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN d.n_chars > c.cap THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM documents d JOIN caps c USING (source)
+        |GROUP BY d.source
+        |ORDER BY d.source""".stripMargin)
+}
