@@ -97,6 +97,42 @@ class PropertySpec extends AnyFunSuite {
     assert(seen.keySet == Set("a", "b", "c", "d", "e", "f"))
   }
 
+  test("novelty conservation: novel grams sum to the distinct-gram vocabulary") {
+    // every distinct n-gram is first-seen in exactly one document, so
+    // Σ novel_grams == |distinct grams| — on ANY corpus
+    val textGen = Gen.listOfN(8, Gen.listOfN(12,
+      Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" ")))
+    check(Prop.forAll(textGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val nv = graft.ext.Dedup.ngramNovelty(docs, "doc_id", "text", 3)
+      val novelSum = nv.agg(org.apache.spark.sql.functions.sum("novel_grams"))
+        .head().getLong(0)
+      val vocab = graft.ext.Dedup.explodedShingles(docs, "doc_id", "text", 3)
+        .select("sg").distinct().count()
+      novelSum == vocab
+    })
+  }
+
+  test("movingStats conservation: last running total per user == exact group sum") {
+    val ev = (1 to 200).map { i =>
+      (i.toLong, (i % 7).toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00"),
+        i * 1.01)
+    }.toDF("event_id", "user_id", "ts", "value")
+    val ms = graft.ext.TimeSeries.movingStats(ev, "user_id", "ts", "event_id", "value")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      .orderBy(col("rn").desc)
+    val lastCum = ms.withColumn("_r", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_r") === 1).select(col("user_id"), col("cum_sum"))
+    val totals = ev.groupBy(col("user_id"))
+      .agg(org.apache.spark.sql.functions.sum(col("value").cast("decimal(18,2)"))
+        .cast("double").as("tot"))
+    assert(lastCum.join(totals, "user_id")
+      .filter(col("cum_sum") =!= col("tot")).count() == 0)
+    assert(lastCum.count() == 7)
+  }
+
   test("E10: bids parse is all-or-nothing") {
     val bidGen = Gen.listOf(Gen.oneOf(
       Gen.choose(1, 999999).map(n => f"$$$n%,d"),
