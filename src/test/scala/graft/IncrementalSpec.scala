@@ -186,6 +186,36 @@ class IncrementalSpec extends AnyFunSuite {
       sessions.count())
   }
 
+  test("stateful streaming running totals match batch q65 across ordered micro-batches") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = Files.createTempDirectory("graft_tot_stream")
+    // two event-time-ordered chunks: every user's later events arrive in the
+    // later batch → state must carry (rn, cents) across the batch boundary
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val Array(q50) = ev.stat.approxQuantile("ts", Array(0.5), 0.0)
+    val chunks = Seq(ev.filter(col("ts") <= q50), ev.filter(col("ts") > q50))
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = Files.createTempDirectory(s"graft_tot_chunk$i")
+      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(s"c$i.parquet")
+      Files.move(part, dest)
+      dest.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val streamed = graft.stream.RunningTotals
+      .runToSnapshot(spark, streamDir.toString, "tot_test", maxFilesPerTrigger = Some(1))
+      .toDF().select("event_id", "user_id", "rn", "cum_sum")
+      .orderBy("event_id").collect().toSeq
+    val batch = graft.ext.TimeSeries
+      .movingStats(graft.util.Tables.load(spark, dir, "events"),
+        "user_id", "ts", "event_id", "value")
+      .select("event_id", "user_id", "rn", "cum_sum")
+      .orderBy("event_id").collect().toSeq
+    assert(streamed.size == batch.size)
+    assert(streamed == batch)
+  }
+
   test("streaming dedup across micro-batches keeps one row per fingerprint") {
     val dir = "/root/testdata/sf0.001"
     val streamDir = Files.createTempDirectory("graft_dedup_stream")
