@@ -65,17 +65,16 @@ object Dedup {
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
 
-  /** Distinct word n-gram shingles of a text column; empty array when the
-    * document has fewer than n tokens (all-or-nothing guard in the spirit of
-    * reference E10, transform_lambda/main.py:192-198). */
-  def wordShingles(c: Column, n: Int): Column = {
-    val ws = split(c, " ")
-    val idx = sequence(lit(0), size(ws) - n)
-    val sh = transform(idx, i =>
-      concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))
-    when(size(ws) >= n, array_distinct(sh))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Distinct word n-gram shingles of a text column; null when the document
+    * has fewer than n tokens (all-or-nothing guard in the spirit of
+    * reference E10, transform_lambda/main.py:192-198 — and identical to an
+    * empty array under the `explode` every consumer applies). Computed by
+    * the fused codegen kernel [[graft.functions.WordShingles]]: the HOF
+    * chain (`sequence`/`transform`/`array_distinct`) evaluates interpreted
+    * and was the whole cost of the q55 scan stage (3.1 s of 3.5 s at
+    * sf0.1). */
+  def wordShingles(c: Column, n: Int): Column =
+    graft.functions.WordShingles.wordShingles(c, n)
 
   /** (id, shingle) exploded pairs — the map-side input to MinHash/Jaccard. */
   def explodedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =

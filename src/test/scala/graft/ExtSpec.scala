@@ -240,6 +240,27 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getAs[Long]("h1") != r.getAs[Long]("h2"))
   }
 
+  test("shingle kernel ≡ the relational HOF formulation (incl. dups, short docs, empties)") {
+    val texts = Seq(
+      "a b c d e", "a a a a", "x y", "", "one two three",
+      "a b c a b c a b c", "t t t t t t t t",
+      "  leading double space", "trailing space ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    // the pre-kernel formulation, verbatim
+    val ws = split(col("text"), " ")
+    val idx = sequence(lit(0), size(ws) - 3)
+    val hof = when(size(ws) >= 3, array_distinct(transform(idx, i =>
+        concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+    val both = df.select(col("id"),
+      Dedup.wordShingles(col("text"), 3).as("k"), hof.as("h")).collect()
+    both.foreach { r =>
+      val k = Option(r.getSeq[String](1)).getOrElse(Seq.empty)
+      val h = r.getSeq[String](2)
+      assert(k == h, s"id=${r.getLong(0)}: kernel=$k hof=$h")
+    }
+  }
+
   test("redaction: mask tail, digit-run substitution, digit census, stable pseudonyms") {
     val r = Seq(("Customer#000000042", "call 555-0199 re order 7"))
       .toDF("name", "note").select(
