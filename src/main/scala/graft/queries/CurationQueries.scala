@@ -140,41 +140,22 @@ object CurationQueries {
     * heavier. All ratios are integer/integer IEEE divisions — bit-identical
     * across engines, so they ship unrounded. */
   def q54RepetitionFilters(spark: SparkSession, dir: String): DataFrame = {
-    def grams(n: Int): Column = {
-      val t = col("_toks")
-      when(size(t) >= n,
-        transform(sequence(lit(0), size(t) - n),
-          i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*)))
-        .otherwise(array().cast("array<string>"))
-    }
+    // all three fractions in one fused codegen pass
+    // ([[graft.functions.RepetitionStats]]): the HOF form (two
+    // array_distinct + a sort_array/aggregate longest-run, kept in git
+    // history) evaluated its lambdas interpreted and built three gram
+    // arrays per document. Max 2-gram multiplicity == longest equal-run of
+    // the sorted gram array — the kernel counts it hash-side, without the
+    // O(n log n) sort. Identical integer/integer IEEE divisions → oracle
+    // untouched.
     load(spark, dir, "documents")
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
-      .withColumn("_g2", grams(2))
-      .withColumn("_g3", grams(3))
+      .select(col("doc_id"),
+        graft.functions.RepetitionStats.repetitionStats(col("text")).as("_r"))
       .select(
         col("doc_id"),
-        (lit(1.0) - size(array_distinct(col("_toks"))).cast("double") /
-          greatest(size(col("_toks")), lit(1))).as("dup_token_frac"),
-        when(size(col("_g2")) > 0,
-          // top-gram count = longest run of equal elements in the SORTED
-          // array: one O(n log n) sort + one linear aggregate pass. The
-          // naive form (per distinct gram, filter the full array) is
-          // O(distinct × n) ≈ O(n²) per document — a single 100k-token
-          // document becomes a 10¹⁰-comparison straggler task at scale.
-          aggregate(sort_array(col("_g2")),
-            struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-            (acc, x) => {
-              val run = when(x === acc.getField("prev"),
-                acc.getField("run") + 1).otherwise(lit(1))
-              struct(x.as("prev"), run.as("run"),
-                greatest(acc.getField("best"), run).as("best"))
-            },
-            acc => acc.getField("best"))
-            .cast("double") / size(col("_g2")))
-          .otherwise(lit(0.0)).as("top_2gram_frac"),
-        when(size(col("_g3")) > 0,
-          lit(1.0) - size(array_distinct(col("_g3"))).cast("double") / size(col("_g3")))
-          .otherwise(lit(0.0)).as("dup_3gram_frac"))
+        col("_r.dup_token_frac").as("dup_token_frac"),
+        col("_r.top_2gram_frac").as("top_2gram_frac"),
+        col("_r.dup_3gram_frac").as("dup_3gram_frac"))
       .withColumn("keep",
         col("dup_token_frac") <= 0.4 && col("top_2gram_frac") <= 0.25 &&
           col("dup_3gram_frac") <= 0.2)

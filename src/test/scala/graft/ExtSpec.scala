@@ -261,6 +261,50 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition kernel ≡ the HOF formulation on planted repetition patterns") {
+    val texts = Seq(
+      "a b c d e f",                 // no repetition
+      "a a a a a a",                 // total repetition
+      "x y x y x y x y",            // dominant 2-gram
+      "a b c a b c a b c d",        // repeated 3-grams
+      "one two", "solo", "",        // short/empty edges
+      "p q p q r p q")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    def grams(n: Int): org.apache.spark.sql.Column = {
+      val t = col("_toks")
+      when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
+    val hof = df.select(col("id"), TextOps.tokens(col("text")).as("_toks"))
+      .withColumn("_g2", grams(2)).withColumn("_g3", grams(3))
+      .select(col("id"),
+        (lit(1.0) - size(array_distinct(col("_toks"))).cast("double") /
+          greatest(size(col("_toks")), lit(1))).as("d1"),
+        when(size(col("_g2")) > 0,
+          aggregate(sort_array(col("_g2")),
+            struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+            (acc, x) => {
+              val run = when(x === acc.getField("prev"),
+                acc.getField("run") + 1).otherwise(lit(1))
+              struct(x.as("prev"), run.as("run"),
+                greatest(acc.getField("best"), run).as("best"))
+            },
+            acc => acc.getField("best")).cast("double") / size(col("_g2")))
+          .otherwise(lit(0.0)).as("d2"),
+        when(size(col("_g3")) > 0,
+          lit(1.0) - size(array_distinct(col("_g3"))).cast("double") / size(col("_g3")))
+          .otherwise(lit(0.0)).as("d3"))
+      .orderBy("id").collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val kernel = df.select(col("id"),
+        graft.functions.RepetitionStats.repetitionStats(col("text")).as("_r"))
+      .select(col("id"), col("_r.dup_token_frac"), col("_r.top_2gram_frac"),
+        col("_r.dup_3gram_frac"))
+      .orderBy("id").collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(kernel.toSeq == hof.toSeq)
+  }
+
   test("redaction: mask tail, digit-run substitution, digit census, stable pseudonyms") {
     val r = Seq(("Customer#000000042", "call 555-0199 re order 7"))
       .toDF("name", "note").select(
