@@ -23,12 +23,17 @@ object CurationQueries {
     * `extra` columns (q53's `source`) ride the projection. Returns one row
     * per kept doc: (doc_id, extra…, text, quality, lang_pred, fp). */
   private def curatedDocs(docs: DataFrame, extra: Seq[String]): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
+    // quality + language in one fused codegen pass
+    // ([[graft.functions.TextStats]] — bit-identical to the TextOps
+    // expression forms the oracle mirrors; two-step select so
+    // CollapseProject keeps ONE kernel call per row)
     val scored = docs.select(
       (col("doc_id") +: extra.map(col)) ++ Seq(col("text"),
-        TextOps.qualityScore(col("text"), Stopwords).as("quality"),
-        TextOps.langPredict(TextOps.langScores(toks)).as("lang_pred"),
+        graft.functions.TextStats.textStats(col("text"), Stopwords).as("_t"),
         TextOps.fingerprintMd5(col("text")).as("fp")): _*)
+      .withColumn("quality", col("_t.quality"))
+      .withColumn("lang_pred", col("_t.lang_pred"))
+      .drop("_t")
     val keep = Dedup.exactDupGroups(docs, "doc_id", "text")
       .select(col("fingerprint").as("fp"), col("keep_id"))
     scored

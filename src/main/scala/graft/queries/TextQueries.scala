@@ -13,19 +13,24 @@ object TextQueries {
 
   private val Stopwords = Seq("the", "a", "or", "and", "of")
 
-  def q27TextQuality(spark: SparkSession, dir: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    load(spark, dir, "documents").select(
-      col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      round(TextOps.avgTokenLen(col("text")), 4).as("avg_tok_len"),
-      round(TextOps.nonAlphaRatio(col("text")), 4).as("nonalpha_ratio"),
-      round(TextOps.tokenSetRatio(toks, Stopwords), 4).as("stopword_ratio"),
-      // unrounded: both engines compute bit-identical doubles here, while
-      // round(·,4) diverges when the true value sits on a .00005 boundary
-      TextOps.qualityScore(col("text"), Stopwords).as("quality")
-    ).orderBy(col("doc_id"))
-  }
+  def q27TextQuality(spark: SparkSession, dir: String): DataFrame =
+    // one fused kernel pass ([[graft.functions.TextStats]] — bit-identical
+    // to the TextOps expression forms, so the oracle is untouched);
+    // two-step select keeps one kernel call per row (CollapseProject
+    // refuses to inline non-cheap expressions)
+    load(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextStats.textStats(col("text"), Stopwords).as("_t"))
+      .select(
+        col("doc_id"),
+        col("_t.n_tokens").cast("long").as("n_tokens"),
+        round(col("_t.avg_tok_len"), 4).as("avg_tok_len"),
+        round(col("_t.nonalpha_ratio"), 4).as("nonalpha_ratio"),
+        round(col("_t.stopword_ratio"), 4).as("stopword_ratio"),
+        // unrounded: both engines compute bit-identical doubles here, while
+        // round(·,4) diverges when the true value sits on a .00005 boundary
+        col("_t.quality").as("quality")
+      ).orderBy(col("doc_id"))
 
   def q28TokenCount(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "documents").select(
@@ -37,14 +42,17 @@ object TextQueries {
         .as("chars_per_token")
     ).orderBy(col("doc_id"))
 
-  def q29LangId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val scores = TextOps.langScores(toks)
-    val scoreCols = scores.map { case (lang, s) => round(s, 4).as(s"s_$lang") }
-    load(spark, dir, "documents").select(
-      (col("doc_id") +: scoreCols :+ TextOps.langPredict(scores).as("lang_pred")): _*
-    ).orderBy(col("doc_id"))
-  }
+  def q29LangId(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextStats.textStats(col("text"), Stopwords).as("_t"))
+      .select(
+        col("doc_id"),
+        round(col("_t.s_en"), 4).as("s_en"),
+        round(col("_t.s_es"), 4).as("s_es"),
+        round(col("_t.s_de"), 4).as("s_de"),
+        col("_t.lang_pred").as("lang_pred")
+      ).orderBy(col("doc_id"))
 
   /** q57 — TF-IDF top-3 terms per document ([[graft.ext.Corpus.tfidfTopK]]):
     * corpus-statistics scoring with the scale-correct join shape (document

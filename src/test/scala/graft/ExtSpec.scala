@@ -305,6 +305,35 @@ class ExtSpec extends AnyFunSuite {
     assert(kernel.toSeq == hof.toSeq)
   }
 
+  test("text-stats kernel ≡ the TextOps expression forms, bit-identical doubles") {
+    val stop = Seq("the", "a", "or", "and", "of")
+    val texts = Seq(
+      "the cat and the dog", "el la los datos y", "der die das und nicht",
+      "no marker words here at all", "", "x", "UPPER Case! 123 #",
+      "the the the the the the the the", "a of or and the")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val toks = TextOps.tokens(col("text"))
+    val scores = TextOps.langScores(toks)
+    val expr = df.select(col("id"),
+        size(toks).as("nt"), TextOps.avgTokenLen(col("text")).as("at"),
+        TextOps.nonAlphaRatio(col("text")).as("na"),
+        TextOps.tokenSetRatio(toks, stop).as("sr"),
+        TextOps.qualityScore(col("text"), stop).as("q"),
+        scores(0)._2.as("en"), scores(1)._2.as("es"), scores(2)._2.as("de"),
+        TextOps.langPredict(scores).as("lang"))
+      .orderBy("id").collect()
+    val kern = df.select(col("id"),
+        graft.functions.TextStats.textStats(col("text"), stop).as("_t"))
+      .select(col("id"), col("_t.n_tokens"), col("_t.avg_tok_len"),
+        col("_t.nonalpha_ratio"), col("_t.stopword_ratio"), col("_t.quality"),
+        col("_t.s_en"), col("_t.s_es"), col("_t.s_de"), col("_t.lang_pred"))
+      .orderBy("id").collect()
+    expr.zip(kern).foreach { case (e, k) =>
+      (1 to 9).foreach(i => assert(e.get(i) == k.get(i),
+        s"id=${e.getLong(0)} field $i: expr=${e.get(i)} kernel=${k.get(i)}"))
+    }
+  }
+
   test("redaction: mask tail, digit-run substitution, digit census, stable pseudonyms") {
     val r = Seq(("Customer#000000042", "call 555-0199 re order 7"))
       .toDF("name", "note").select(
