@@ -89,9 +89,11 @@ object TextOps {
   }
 
   /** Rolling polynomial hash over tokens: fold(h = (h*31 + hash16(tok)) mod
-    * 2^31-1). Order-sensitive (true rolling fingerprint, unlike the md5 of the
-    * whole text); native `aggregate` — no UDF. */
+    * 2^31-1). Order-sensitive (true rolling fingerprint, unlike the md5 of
+    * the whole text). Fused codegen kernel
+    * ([[graft.functions.RollingTokenHash]]) — the `aggregate` HOF form ran
+    * a full md5-hex expression tree interpreted per token. pmod ≡ plain %
+    * here: every operand is non-negative. */
   def rollingTokenHash(toks: Column): Column =
-    aggregate(toks, lit(0L),
-      (acc, t) => pmod(acc * 31L + hash16(t).cast("long"), lit(2147483647L)))
+    graft.functions.RollingTokenHash.rollingTokenHash(toks)
 }
