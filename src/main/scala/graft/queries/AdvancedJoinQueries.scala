@@ -145,9 +145,28 @@ object AdvancedJoinQueries {
       .localCheckpoint()
       .orderBy(col("event_id"))
 
+  /** q74 — ranking-function suite over one window spec (dense_rank, ntile,
+    * percent_rank, cume_dist): the §2.7 ranking surface in a single
+    * WindowExec pass (all four share the same (partition, order), so
+    * Catalyst plans ONE sort + window). percent_rank/cume_dist are exact
+    * integer-ratio doubles — engine-portable unrounded. */
+  def q74RankSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    load(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        dense_rank().over(w).cast("long").as("drk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .localCheckpoint()
+      .orderBy(col("event_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_sessionize" -> (q41Sessionize _),
     "q65_moving_stats" -> (q65MovingStats _),
+    "q74_rank_suite" -> (q74RankSuite _),
     "q35_asof_join" -> (q35AsofJoin _),
     "q36_range_join" -> (q36RangeJoin _),
     "q37_rollup" -> (q37Rollup _),
@@ -158,6 +177,15 @@ object AdvancedJoinQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "q74_rank_suite" ->
+      """SELECT event_id, event_type, value,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin,
     "q65_moving_stats" ->
       """WITH b AS (SELECT event_id, user_id, ts, value,
         |    CAST(value AS DECIMAL(18,2)) AS dv FROM events)
