@@ -49,6 +49,38 @@ object DataQuality {
     one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }
 
+  /** The approximate twin of [[columnProfile]] — HyperLogLog++ distinct
+    * counts (`approx_count_distinct`) instead of exact multi-distinct.
+    * The exact form expands the input |cols|× through one shuffle; the HLL
+    * form is a plain map-side-combinable aggregate carrying a fixed-size
+    * sketch per column — the profile you run over the FULL 100 TB table
+    * rather than a partition batch. Not oracle-comparable across engines
+    * (sketch implementations differ); the spec bounds its relative error
+    * against [[columnProfile]] instead. `rsd` is the target relative
+    * standard deviation (default 0.023 ≈ Spark's). */
+  def columnProfileApprox(df: DataFrame, cols: Seq[String],
+                          rsd: Double = 0.023): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"_cnt_$c"),
+        approx_count_distinct(col(c), rsd).as(s"_nd_$c"),
+        min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"))
+    }
+    val total = count(lit(1)).as("_total")
+    val one = df.agg(aggs.head, aggs.tail :+ total: _*)
+    val entries = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("_total").as("n_rows"),
+        (col("_total") - col(s"_cnt_$c")).as("n_nulls"),
+        col(s"_nd_$c").as("n_distinct_approx"),
+        col(s"_min_$c").as("min_str"),
+        col(s"_max_$c").as("max_str"))
+    }
+    one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Declarative constraint checks: each (name, violation-predicate-count)
     * pair becomes one output row. Checks over ONE table fuse into a single
     * conditional-count aggregation (one scan however many checks ride it).
@@ -81,6 +113,17 @@ object DataQuality {
     * corpus path is scan → broadcast join → conditional count. The exact
     * per-group percentile is one sort-based aggregation over the group's
     * values — the piece that becomes a t-digest at petabyte group sizes. */
+  /** The approximate twin of [[quantileTrimStats]]'s cap computation —
+    * `percentile_approx` (a positional sketch with bounded `accuracy`
+    * memory) instead of the exact sort-based percentile: per-group state
+    * stops growing with group size, the trade a petabyte-scale trim makes.
+    * The spec bounds its caps against the exact ones. */
+  def approxQuantileCaps(df: DataFrame, groupCol: String, valueCol: String,
+                         q: Double, accuracy: Int = 10000): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(valueCol), lit(q), lit(accuracy))
+        .cast("double").as("cap_approx"))
+
   def quantileTrimStats(df: DataFrame, groupCol: String, valueCol: String,
                         q: Double): DataFrame = {
     val capsExact = df.groupBy(col(groupCol))

@@ -51,6 +51,35 @@ class DataQualitySpec extends AnyFunSuite {
       .head().getLong(0) == 0L)
   }
 
+  test("approx profile twin: HLL distinct within 10% of exact; no Expand in the plan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cols = Seq("doc_id", "lang", "source")
+    val exact = DataQuality.columnProfile(docs, cols).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = DataQuality.columnProfileApprox(docs, cols).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    cols.foreach { c =>
+      val (e, a) = (exact(c).toDouble, approx(c).toDouble)
+      assert(math.abs(a - e) / e <= 0.10, s"$c: exact=$e approx=$a")
+    }
+    // the scale claim: the HLL form must NOT expand the input per column
+    val plan = DataQuality.columnProfileApprox(docs, cols)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("Expand"), s"approx profile must not Expand:\n$plan")
+  }
+
+  test("approx quantile caps within 2% of the exact percentile caps") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = DataQuality.quantileTrimStats(docs, "lang", "n_chars", 0.9)
+      .select("lang", "cap").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = DataQuality.approxQuantileCaps(docs, "lang", "n_chars", 0.9)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (g, e) =>
+      assert(math.abs(approx(g) - e) / math.max(e, 1.0) <= 0.02,
+        s"$g: exact=$e approx=${approx(g)}")
+    }
+  }
+
   test("quantileTrimStats: cap is the exact group percentile; keep/drop partition") {
     // group g: values 1..10 → p50 cap = 5.5 → 5 kept, 5 dropped
     val df = (1 to 10).map(v => ("g", v.toLong)).toDF("grp", "v")
