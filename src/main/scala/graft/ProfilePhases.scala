@@ -46,19 +46,11 @@ object ProfilePhases {
         val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        time(s"$tag dim wave") {
-          val wave: Seq[() => Unit] = Seq(
-            () => { Dims.loadSimpleDim(wh, staging, "auction_status_dim", "auction_status", "status"); () },
-            () => { Dims.loadSimpleDim(wh, staging, "reserve_status_dim", "reserve_status", "status"); () },
-            () => { Dims.loadSimpleDim(wh, staging, "body_style_dim", "body_style", "body_style"); () },
-            () => { Dims.loadSimpleDim(wh, staging, "seller_type_dim", "seller_type", "seller_type"); () },
-            () => { Dims.loadSimpleDim(wh, staging, "drivetrain_dim", "drivetrain", "drivetrain", mode = "upper"); () },
-            () => { Dims.loadSimpleDim(wh, staging, "transmission_dim", "transmission_type", "transmission"); () },
-            () => { Dims.loadCityDim(wh, staging); () },
-            () => { Dims.loadMakeDim(wh, staging); () })
-          Await.result(Future.sequence(wave.map(f => Future(f()))), Duration.Inf)
-        }
-        time(s"$tag model dim")(Dims.loadModelDim(wh, staging))
+        // the FUSED dim phases StarLoad.run actually executes — profiling
+        // the old per-dim wave overstated this phase ~3× (it is kept in git
+        // history; swap back only to compare fused vs per-dim)
+        time(s"$tag simple dims fused")(Dims.loadSimpleDimsFused(wh, staging))
+        time(s"$tag compound dims fused")(Dims.loadCompoundDimsFused(wh, staging))
         spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
         spark.conf.set("spark.sql.shuffle.partitions", shufWas)
         val (merged, prevMax) = time(s"$tag vehicle merge")(Facts.mergedVehicleDim(wh, staging))
