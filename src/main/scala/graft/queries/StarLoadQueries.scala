@@ -123,8 +123,15 @@ object StarLoadQueries {
     // full loads, so it gets a 2/3 data bound to keep its bench share sane.
     // At sf0.01 (the driver's hash SF) every key is under both bounds, so the
     // oracle result is unchanged; the split below only bites at sf >= 0.027.
+    // materialize the synthetic input ONCE: the two batches and the
+    // correction set all branch from `full`, and without this each staging
+    // build re-runs the whole expression pipeline (profiled 1.8 s on the
+    // L2 staging materialization alone). Real incremental batches arrive
+    // as FILES — deriving them three times from expressions is harness
+    // cost, not operator cost.
     val full = syntheticProcessed(spark, dir)
       .filter(substring(col("auction_id"), 2, 10).cast("long") <= 40000)
+      .localCheckpoint()
     val key = substring(col("auction_id"), 2, 10).cast("long")
     val batch1 = full.filter(key <= 26000)
     val corrections = batch1.filter(key % 5 === 0)
