@@ -174,8 +174,26 @@ object RelationalQueries {
       .select(col("event_id"), col("user_id"), col("value"))
       .orderBy(col("value").desc_nulls_last, col("event_id"))
 
+  /** q75 — set operations (§2.7): INTERSECT / EXCEPT of per-year customer
+    * key sets. Spark plans both as hash aggregates + joins over the
+    * distinct key sets (left-semi for intersect, left-anti for except) —
+    * no sort-based distinct, shuffles keyed on the customer key. Output is
+    * bounded by |customers| → [[tinySort]]. */
+  def q75IntersectExcept(spark: SparkSession, dir: String): DataFrame = {
+    val orders = load(spark, dir, "orders")
+    def keysOf(y: Int) = orders.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    val a = keysOf(1996)
+    val b = keysOf(1997)
+    a.intersect(b).withColumn("tag", lit("both"))
+      .unionByName(a.except(b).withColumn("tag", lit("only_1996")))
+      .select(col("tag"), col("o_custkey"))
+      .transform(tinySort(_, col("tag"), col("o_custkey")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_sort_desc" -> (q33SortDesc _),
+    "q75_intersect_except" -> (q75IntersectExcept _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_rlike_filter" -> (q02RlikeFilter _),
     "q03_rlike_complement" -> (q03RlikeComplement _),
@@ -191,6 +209,13 @@ object RelationalQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "q75_intersect_except" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+        | b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        |SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT 'only_1996' AS tag, o_custkey FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+        |ORDER BY tag, o_custkey""".stripMargin,
     "q33_sort_desc" ->
       """SELECT event_id, user_id, value FROM events
         |ORDER BY value DESC NULLS LAST, event_id""".stripMargin,
