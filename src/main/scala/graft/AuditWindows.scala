@@ -37,15 +37,33 @@ object AuditWindows {
         p.subqueries.flatMap(unpartitionedWindows)
     }
 
+    def nodesOf(p: SparkPlan, pred: SparkPlan => Boolean): Seq[SparkPlan] = {
+      val self = p match {
+        case a: AdaptiveSparkPlanExec => nodesOf(a.executedPlan, pred)
+        case n if pred(n) => Seq(n)
+        case _ => Seq.empty
+      }
+      self ++ p.children.flatMap(nodesOf(_, pred)) ++
+        p.subqueries.flatMap(nodesOf(_, pred))
+    }
+
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val offenders = unpartitionedWindows(fn(spark, sfDir).queryExecution.executedPlan)
+        val plan = fn(spark, sfDir).queryExecution.executedPlan
+        val offenders = unpartitionedWindows(plan)
         if (offenders.nonEmpty) {
           bad += 1
           println(s"[audit] $name: ${offenders.size} unpartitioned WindowExec")
           offenders.foreach(w => println(s"         ${w.windowExpression.mkString(", ").take(120)}"))
         }
+        // informational: non-equi join shapes. Legitimate on BOUNDED sides
+        // (q25's broadcast all-pairs baseline); a new unbounded one is a
+        // scale bug — eyeball any new entry here.
+        val loops = nodesOf(plan, n => n.nodeName.contains("BroadcastNestedLoop") ||
+          n.nodeName.contains("CartesianProduct"))
+        if (loops.nonEmpty)
+          println(s"[audit] $name: info — ${loops.size} ${loops.map(_.nodeName).distinct.mkString("/")}")
       } catch {
         case e: Throwable => println(s"[audit] $name: build failed: ${e.getMessage.take(120)}")
       }
