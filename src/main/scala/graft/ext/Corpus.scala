@@ -39,6 +39,78 @@ object Corpus {
         concat_ws(" ", chunk).as("chunk_text"))
   }
 
+  /** Span-level exact deduplication with document reconstruction (the
+    * Lee et al. 2021 "Deduplicating Training Data" repeated-substring screen,
+    * at non-overlapping span granularity): split every document into
+    * fixed-size token spans, keep only each span's FIRST corpus occurrence
+    * (ascending (doc, position) order), and stitch the survivors back into a
+    * deduplicated document. Catches the cross-document boilerplate that
+    * document-level fingerprints ([[Dedup.exactDupGroups]]) miss entirely.
+    *
+    * Scale shape: spans explode map-side ([[chunkDocuments]] with
+    * stride = chunkSize, so volume ≈ corpus tokens); first-occurrence is one
+    * map-side-combinable MIN keyed on the span text (a 100 TB corpus would
+    * key on a 16-byte span hash instead — same plan); the keep-join shuffles
+    * on the same key; reconstruction is one per-doc aggregation whose state
+    * is the document's own surviving spans. No window, no collect, nothing
+    * all-pairs. Docs that lose every span surface with kept_spans = 0 and
+    * empty text — the caller's drop signal. */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+                spanTokens: Int): DataFrame = {
+    val spans = chunkDocuments(docs, idCol, textCol, spanTokens, spanTokens)
+      .select(col(idCol), col("chunk_id"), col("chunk_text"))
+    // first occurrence = lexicographic min of (doc, position) — struct
+    // ordering gives it in one agg, map-side combinable
+    val first = spans.groupBy(col("chunk_text"))
+      .agg(min(struct(col(idCol), col("chunk_id"))).as("_first"))
+    val kept = spans.join(first, "chunk_text")
+      .filter(col(s"_first.$idCol") === col(idCol) &&
+        col("_first.chunk_id") === col("chunk_id"))
+    val perDoc = spans.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
+    val keptAgg = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("kept_spans"),
+      concat_ws(" ", transform(
+        sort_array(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+        e => e.getField("chunk_text"))).as("text_deduped"))
+    perDoc.join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("kept_spans"), lit(0L)).as("kept_spans"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+  }
+
+  /** Token-vocabulary build with cumulative coverage — the first step of
+    * tokenizer training (and the vocabulary-truncation decision it feeds):
+    * corpus-wide token counts ranked by frequency (count desc, token asc),
+    * each with the cumulative fraction of all token occurrences a vocabulary
+    * cut at that rank would cover.
+    *
+    * Scale shape: ONE map-side-combinable (token → count) aggregation over
+    * the exploded corpus; ranking and the running sum are windows over the
+    * VOCABULARY-sized count table, never corpus rows. The window's constant
+    * partition key is non-foldable (`substring(token, 0, 0)` — the optimizer
+    * strips foldable keys, recreating the unpartitioned-window warning; see
+    * q63) — the vocabulary is one partition by design, bounded by |vocab|,
+    * and a sharded two-level rank is the escape hatch if a real corpus's
+    * vocabulary ever outgrows one partition. */
+  def tokenVocab(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val counts = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val one = substring(col("token"), 0, 0)
+    val w = Window.partitionBy(one).orderBy(col("cnt").desc, col("token").asc)
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_count", sum(col("cnt")).over(
+        Window.partitionBy(one).orderBy(col("cnt").desc, col("token").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy(one)))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("token"), col("cnt"),
+        col("cum_count"),
+        (col("cum_count").cast("double") / col("total").cast("double"))
+          .as("coverage"))
+  }
+
   /** Per-document term frequencies over whitespace tokens: one explode into
     * a map-side-combinable (doc, term) count — the shuffle carries at most
     * one row per distinct (doc, term) per input partition. */

@@ -1,0 +1,45 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: Z-order (Morton) clustering keys for multi-column
+  * file skipping.
+  *
+  * A 100 TB table sorted on one column prunes scans on that column only;
+  * interleaving the bits of k columns gives a single sort key whose
+  * contiguous ranges are small hyper-rectangles in all k dimensions — files
+  * written in z-order carry tight min/max stats on EVERY interleaved column,
+  * so predicates on any of them skip files (the layout trick behind
+  * Delta/Iceberg `ZORDER BY`). The z-value is a pure per-row bit expression
+  * (codegen'd shifts and masks, no UDF, no shuffle); the layout write is one
+  * range-repartition on it.
+  */
+object Layout {
+
+  /** Morton-interleave the low `bits` bits of each column (non-negative
+    * integral values < 2^bits — caller guarantees range, e.g. by bucketing
+    * continuous dimensions first). Column j contributes its bit i to result
+    * bit `i * k + j`. */
+  def zValue(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    require(k >= 1, "zValue needs at least one column")
+    require(bits >= 1 && bits * k <= 63, s"bits * cols must fit a long, got $bits * $k")
+    val terms =
+      for { i <- 0 until bits; (c, j) <- cols.zipWithIndex }
+        yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * k + j)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Rewrite `df` into z-order: range-partition on the z-value (so file N's
+    * z-range precedes file N+1's) and sort within partitions. `numFiles`
+    * bounds output file count; the z column itself is dropped — it is a
+    * layout key, not data. */
+  def zorderBy(df: DataFrame, dims: Seq[Column], bits: Int,
+               numFiles: Int): DataFrame = {
+    val keyed = df.withColumn("_z", zValue(dims, bits))
+    keyed.repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+  }
+}

@@ -200,6 +200,40 @@ object CurationQueries {
       .transform(tinySort(_, col("doc_id")))
   }
 
+  /** [[decontaminate]]'s scale path for benchmark sets too big to broadcast
+    * as an exact hash relation: a bloom filter over the benchmark's n-gram
+    * hashes (~10 bits/gram at 1% fpp vs ~50+ bytes/gram for the exact
+    * relation) prefilters the corpus gram stream MAP-SIDE, so only true
+    * matches plus the fpp tail ever reach a shuffle; the exact verify join
+    * then runs over that residue (NOT broadcast-hinted — AQE broadcasts it
+    * when small, shuffles when the benchmark really is huge). Bloom
+    * membership has no false negatives, so the result is EXACT — identical
+    * to [[decontaminate]], and the oracle is the same exact SQL. The build
+    * is distributed (per-partition blooms, driver merges one per
+    * partition); `expectedGrams` sizes it. */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int,
+                         expectedGrams: Long, fpp: Double): DataFrame = {
+    val bg = Dedup.explodedShingles(benchmark, idCol, textCol, n)
+      .select(col("sg")).distinct()
+    val bloom = graft.functions.BloomPrefilter.build(bg, "sg", expectedGrams, fpp)
+    Dedup.explodedShingles(corpus, idCol, textCol, n)
+      .filter(graft.functions.BloomPrefilter.mightContain(bloom, col("sg")))
+      .join(bg, Seq("sg"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as(s"n_shared_${n}grams"))
+  }
+
+  /** q79 — [[bloomDecontaminate]] on a different split than q55 (every 37th
+    * doc is benchmark), proving the bloom path end-to-end against the exact
+    * oracle. */
+  def q79BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    bloomDecontaminate(docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0), "doc_id", "text", n = 3,
+        expectedGrams = 1L << 17, fpp = 0.01)
+      .transform(tinySort(_, col("doc_id")))
+  }
+
   /** q56 — fixed-size token chunking with overlap
     * ([[graft.ext.Corpus.chunkDocuments]], 64-token chunks, stride 48): the
     * context-window preparation step between curation and packing. Pure
@@ -248,7 +282,8 @@ object CurationQueries {
     "q52_sequence_packing" -> (q52SequencePacking _),
     "q53_curation_pipeline" -> (q53CurationPipeline _),
     "q54_repetition_filters" -> (q54RepetitionFilters _),
-    "q55_decontaminate" -> (q55Decontaminate _)
+    "q55_decontaminate" -> (q55Decontaminate _),
+    "q79_bloom_decontaminate" -> (q79BloomDecontaminate _)
   )
 
   private val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
@@ -385,6 +420,16 @@ object CurationQueries {
          | hits AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_3grams
          |          FROM sh s JOIN bg USING (sg)
          |          WHERE s.doc_id % 50 <> 0
+         |          GROUP BY s.doc_id)
+         |SELECT doc_id, n_shared_3grams FROM hits ORDER BY doc_id""".stripMargin,
+    // the bloom prefilter is exact end-to-end (no false negatives + exact
+    // verify join) — the oracle is the same SQL as q55 on the %37 split
+    "q79_bloom_decontaminate" ->
+      s"""WITH ${DedupQueries.ShinglesCte},
+         | bg AS (SELECT DISTINCT sg FROM sh WHERE doc_id % 37 = 0),
+         | hits AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_3grams
+         |          FROM sh s JOIN bg USING (sg)
+         |          WHERE s.doc_id % 37 <> 0
          |          GROUP BY s.doc_id)
          |SELECT doc_id, n_shared_3grams FROM hits ORDER BY doc_id""".stripMargin,
     "q56_doc_chunking" ->

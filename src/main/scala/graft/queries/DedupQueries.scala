@@ -81,7 +81,17 @@ object DedupQueries {
         "doc_id", "text", n = 3)
       .transform(tinySort(_, col("doc_id")))
 
+  /** q77 — span-level exact dedup with reconstruction
+    * ([[graft.ext.Corpus.spanDedup]], 8-token non-overlapping spans): keep
+    * each span's first corpus occurrence, stitch survivors back per doc —
+    * the cross-document boilerplate screen document fingerprints miss. */
+  def q77SpanDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Corpus.spanDedup(load(spark, dir, "documents"),
+        "doc_id", "text", spanTokens = 8)
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_span_dedup" -> (q77SpanDedup _),
     "q20_dedup_exact" -> (q20DedupExact _),
     "q70_ngram_novelty" -> (q70NgramNovelty _),
     "q21_minhash_signature" -> (q21MinhashSignature _),
@@ -92,6 +102,27 @@ object DedupQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "q77_span_dedup" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | s AS (SELECT doc_id, toks,
+        |        unnest(range(0, greatest(len(toks), 1), 8)) AS start_tok FROM b),
+        | sp AS (SELECT doc_id, CAST(start_tok // 8 AS BIGINT) AS chunk_id,
+        |          array_to_string(toks[start_tok+1 : start_tok+8], ' ') AS chunk_text
+        |        FROM s),
+        | f AS (SELECT chunk_text, MIN(doc_id * 1000000 + chunk_id) AS fk
+        |       FROM sp GROUP BY chunk_text),
+        | k AS (SELECT sp.doc_id, sp.chunk_id, sp.chunk_text
+        |       FROM sp JOIN f ON sp.chunk_text = f.chunk_text
+        |        AND sp.doc_id * 1000000 + sp.chunk_id = f.fk),
+        | pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans FROM sp GROUP BY doc_id),
+        | ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_spans,
+        |          string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text_deduped
+        |        FROM k GROUP BY doc_id)
+        |SELECT pd.doc_id, pd.n_spans,
+        |  COALESCE(ka.kept_spans, 0) AS kept_spans,
+        |  COALESCE(ka.text_deduped, '') AS text_deduped
+        |FROM pd LEFT JOIN ka ON pd.doc_id = ka.doc_id
+        |ORDER BY pd.doc_id""".stripMargin,
     "q70_ngram_novelty" ->
       s"""WITH $ShinglesCte,
          | sub AS (SELECT * FROM sh WHERE doc_id < 350),

@@ -90,7 +90,17 @@ object TextQueries {
         "source", "text", k = 5)
       .transform(tinySort(_, col("source"), col("rk")))
 
+  /** q78 — token vocabulary with cumulative coverage
+    * ([[graft.ext.Corpus.tokenVocab]], top-100): corpus-wide frequency
+    * ranking plus the fraction of all token occurrences each vocabulary
+    * prefix covers — tokenizer-training's first step. */
+  def q78TokenVocab(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Corpus.tokenVocab(load(spark, dir, "documents"), "text",
+        topK = 100)
+      .transform(tinySort(_, col("rank")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_token_vocab" -> (q78TokenVocab _),
     "q27_text_quality" -> (q27TextQuality _),
     "q66_heavy_hitters" -> (q66HeavyHitters _),
     "q28_token_count" -> (q28TokenCount _),
@@ -103,6 +113,19 @@ object TextQueries {
   private val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
 
   val sql: Map[String, String] = Map(
+    "q78_token_vocab" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        | c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY token),
+        | r AS (SELECT token, cnt,
+        |   CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS BIGINT) AS rank,
+        |   -- HUGEINT window sum cast back (driver hash is dtype-sensitive)
+        |   CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
+        |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_count,
+        |   CAST(SUM(cnt) OVER () AS BIGINT) AS total
+        | FROM c)
+        |SELECT rank, token, cnt, cum_count,
+        |  CAST(cum_count AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+        |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
     "q66_heavy_hitters" ->
       """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
         | c AS (SELECT source, token, COUNT(*) AS cnt FROM t GROUP BY 1, 2),

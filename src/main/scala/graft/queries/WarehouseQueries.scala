@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Layout, Scd}
+import graft.util.Output.tinySort
+import graft.util.Tables.load
+
+/** Warehouse-maintenance operators beyond the reference's Type-1 star load:
+  * SCD Type-2 version history ([[graft.ext.Scd]]) and Z-order layout keys
+  * ([[graft.ext.Layout]]).
+  */
+object WarehouseQueries {
+
+  /** q76 — SCD Type-2 dimension maintenance over `customer`: batch 1 loads
+    * every customer; batch 2 re-delivers every fifth customer (those
+    * divisible by 10 with a changed market segment — closed + re-versioned;
+    * the rest unchanged — proving no-op idempotence) plus brand-new keys
+    * (custkey+1e6 for every hundredth). The output is the full version
+    * history: one row per (key, version) with batch-clock validity. */
+  def q76Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val attrs = Seq("c_mktsegment", "c_nationkey")
+    val cust = load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    val updates = cust.filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 0, concat(col("c_mktsegment"), lit("_V2")))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        col("c_nationkey"))
+    val newKeys = cust.filter(col("c_custkey") % 100 === 0)
+      .select((col("c_custkey") + lit(1000000L)).as("c_custkey"),
+        lit("NEWSEG").as("c_mktsegment"), col("c_nationkey"))
+    val state1 = Scd.scd2Init(cust, "c_custkey", attrs, batchId = 1L)
+    Scd.scd2Merge(state1, updates.unionByName(newKeys), "c_custkey", attrs,
+        batchId = 2L)
+      // O(customers) output over cheap joins — the plain range sort is the
+      // correct distributed dump plan
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  private val ZBits = 20
+
+  /** q80 — Z-order layout audit over `orders`: Morton-interleave
+    * (o_custkey, days-since-epoch-of-orderdate) into one clustering key
+    * ([[Layout.zValue]]), then report per z-range-bucket row counts and the
+    * min/max of BOTH dimensions — the file-skipping stats a z-ordered
+    * layout would carry (tight ranges on every interleaved column, which a
+    * single-column sort cannot give). Map-side bit arithmetic + one bounded
+    * aggregation (≤ 2^12 buckets). */
+  def q80ZorderStats(spark: SparkSession, dir: String): DataFrame = {
+    val days = datediff(col("o_orderdate").cast("date"),
+      lit("1992-01-01").cast("date")).cast("long")
+    load(spark, dir, "orders")
+      .select(col("o_custkey"), days.as("d_days"))
+      .withColumn("zval",
+        Layout.zValue(Seq(col("o_custkey"), col("d_days")), ZBits))
+      .groupBy(shiftright(col("zval"), 28).as("z_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+        min(col("d_days")).as("min_days"), max(col("d_days")).as("max_days"))
+      .transform(tinySort(_, col("z_bucket")))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_scd2_history" -> (q76Scd2 _),
+    "q80_zorder_stats" -> (q80ZorderStats _)
+  )
+
+  /** DuckDB replay of [[Layout.zValue]] for (o_custkey, d_days): column j's
+    * bit i lands at result bit i·2+j. */
+  private val ZValSql: String =
+    (0 until ZBits).flatMap(i => Seq(
+      s"(((o_custkey >> $i) & 1) << ${2 * i})",
+      s"(((d_days >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+
+  val sql: Map[String, String] = Map(
+    "q76_scd2_history" ->
+      """WITH hist AS (
+        |  SELECT c_custkey, c_mktsegment, c_nationkey,
+        |    CAST(1 AS BIGINT) AS valid_from,
+        |    CASE WHEN c_custkey % 10 = 0 THEN CAST(2 AS BIGINT)
+        |         ELSE CAST(NULL AS BIGINT) END AS valid_to,
+        |    (c_custkey % 10 <> 0) AS is_current
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment || '_V2', c_nationkey,
+        |    CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEWSEG', c_nationkey,
+        |    CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+        |  FROM customer WHERE c_custkey % 100 = 0)
+        |SELECT * FROM hist ORDER BY c_custkey, valid_from""".stripMargin,
+    "q80_zorder_stats" ->
+      s"""WITH d AS (
+         |  SELECT o_custkey,
+         |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d_days
+         |  FROM orders),
+         | z AS (SELECT o_custkey, d_days, ($ZValSql) AS zval FROM d)
+         |SELECT zval >> 28 AS z_bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+         |  MIN(d_days) AS min_days, MAX(d_days) AS max_days
+         |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
+  )
+}

@@ -164,4 +164,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(keptPerList.forall(_.getLong(1) == 1L))
     out.unpersist()
   }
+
+  test("spanDedup: first occurrence wins, within-doc dups collapse, total loss surfaces") {
+    val d = Seq(
+      (1L, "a b c d"),     // spans "a b", "c d" — both first
+      (2L, "a b x y"),     // "a b" dup -> keeps "x y"
+      (3L, "a b c d"),     // loses everything
+      (4L, "p q p q")      // within-doc dup: keeps first "p q" only
+    ).toDF("doc_id", "text")
+    val out = Corpus.spanDedup(d, "doc_id", "text", spanTokens = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 2L, 0L, ""),
+      (4L, 2L, 1L, "p q")))
+  }
+
+  test("spanDedup: tail span shorter than spanTokens still dedups") {
+    val d = Seq((1L, "a b c"), (2L, "z z c")).toDF("doc_id", "text")
+    // spans at 2 tokens: d1 = ["a b", "c"], d2 = ["z z", "c"] — the 1-token
+    // tail "c" first occurs in d1, so d2 keeps only "z z"
+    val out = Corpus.spanDedup(d, "doc_id", "text", spanTokens = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    assert(out == Seq((1L, 2L, "a b c"), (2L, 1L, "z z")))
+  }
+
+  test("tokenVocab: exact counts, rank order, cumulative coverage") {
+    val d = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // counts: a=3, b=2, c=1; total=6
+    val v = Corpus.tokenVocab(d, "text", topK = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(v == Seq(
+      (1L, "a", 3L, 3L, 3.0 / 6.0),
+      (2L, "b", 2L, 5L, 5.0 / 6.0)))
+  }
 }

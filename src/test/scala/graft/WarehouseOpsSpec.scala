@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Layout, Scd}
+
+/** Unit behavior of the round-7 warehouse/layout operators: SCD Type-2
+  * merge, Z-order keys, and the bloom decontamination prefilter.
+  */
+class WarehouseOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val attrs = Seq("seg", "nat")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("k", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5)))
+      .toSeq
+
+  test("scd2: init opens every row; merge closes changed, ignores unchanged, inserts new") {
+    val b1 = Seq((1L, "A", 10), (2L, "B", 20), (3L, "C", 30)).toDF("k", "seg", "nat")
+    val s1 = Scd.scd2Init(b1, "k", attrs, 1L)
+    assert(s1.filter(col("is_current")).count() == 3)
+
+    // k=1 changes, k=2 re-delivered unchanged, k=9 is new; k=3 absent
+    val b2 = Seq((1L, "A2", 10), (2L, "B", 20), (9L, "N", 90)).toDF("k", "seg", "nat")
+    val s2 = Scd.scd2Merge(s1, b2, "k", attrs, 2L)
+    assert(rows(s2) == Seq(
+      (1L, "A", 10, 1L, Some(2L), false),
+      (1L, "A2", 10, 2L, None, true),
+      (2L, "B", 20, 1L, None, true),
+      (3L, "C", 30, 1L, None, true),
+      (9L, "N", 90, 2L, None, true)))
+  }
+
+  test("scd2: reversion creates a third version; closed rows keep valid_from") {
+    val b1 = Seq((1L, "A", 10)).toDF("k", "seg", "nat")
+    val b2 = Seq((1L, "B", 10)).toDF("k", "seg", "nat")
+    val b3 = Seq((1L, "A", 10)).toDF("k", "seg", "nat") // back to the original
+    val s = Scd.scd2Merge(
+      Scd.scd2Merge(Scd.scd2Init(b1, "k", attrs, 1L), b2, "k", attrs, 2L),
+      b3, "k", attrs, 3L)
+    assert(rows(s) == Seq(
+      (1L, "A", 10, 1L, Some(2L), false),
+      (1L, "B", 10, 2L, Some(3L), false),
+      (1L, "A", 10, 3L, None, true)))
+  }
+
+  test("scd2: attribute comparison is null-safe") {
+    val b1 = Seq((1L, Option.empty[String], 10), (2L, Some("B"), 20))
+      .toDF("k", "seg", "nat")
+    // k=1: NULL -> value is a change; k=2: value -> NULL is a change
+    val b2 = Seq((1L, Some("X"), 10), (2L, Option.empty[String], 20))
+      .toDF("k", "seg", "nat")
+    val s2 = Scd.scd2Merge(Scd.scd2Init(b1, "k", attrs, 1L), b2, "k", attrs, 2L)
+    assert(s2.filter(col("is_current")).count() == 2)
+    assert(s2.count() == 4)
+    // NULL -> NULL is NOT a change
+    val s3 = Scd.scd2Merge(s2, Seq((2L, Option.empty[String], 20))
+      .toDF("k", "seg", "nat"), "k", attrs, 3L)
+    assert(s3.count() == 4)
+  }
+
+  test("zValue interleaves bits: (5, 3) at 3 bits -> 27") {
+    // x=0b101 contributes bits 0,4 (1+16); y=0b011 contributes bits 1,3 (2+8)
+    val z = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zValue(Seq(col("x"), col("y")), 3).as("z"))
+      .head().getLong(0)
+    assert(z == 27L)
+  }
+
+  test("zValue matches a scala reference on random in-range values") {
+    val bits = 10
+    val data = (0 until 200).map { i =>
+      (((i * 2654435761L) & 1023), ((i * 40503L) & 1023))
+    }
+    def ref(x: Long, y: Long): Long =
+      (0 until bits).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    val got = data.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(Seq(col("x"), col("y")), bits).as("z"))
+      .collect()
+    got.foreach(r => assert(r.getLong(2) == ref(r.getLong(0), r.getLong(1))))
+  }
+
+  test("zorderBy range-partitions on the z key: file N's range precedes file N+1's") {
+    val df = (0 until 512).map(i => ((i * 7L) % 64, (i * 13L) % 64)).toDF("x", "y")
+    val parts = Layout.zorderBy(df, Seq(col("x"), col("y")), bits = 6, numFiles = 4)
+      .withColumn("z", Layout.zValue(Seq(col("x"), col("y")), 6))
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid").agg(min("z").as("lo"), max("z").as("hi"), count(lit(1)).as("n"))
+      .orderBy("pid").collect()
+    assert(parts.map(_.getLong(3)).sum == 512)
+    parts.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) <= b.getLong(1)) // hi(N) <= lo(N+1)
+      case _ =>
+    }
+  }
+
+  test("bloom prefilter: no false negatives, and bloomDecontaminate == decontaminate") {
+    // every third doc carries a common phrase, so corpus docs (i%7!=0)
+    // share 3-grams with benchmark docs (i%7==0, overlapping at i%21==0)
+    val docs = (0L until 200L).map { i =>
+      val words =
+        if (i % 3 == 0) s"common phrase alpha beta gamma doc $i"
+        else s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"
+      (i, words)
+    }.toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+
+    // no false negatives: every benchmark gram passes its own bloom
+    val bg = graft.ext.Dedup.explodedShingles(bench, "doc_id", "text", 3)
+      .select(col("sg")).distinct()
+    val bloom = graft.functions.BloomPrefilter.build(bg, "sg", 10000L, 0.01)
+    assert(bg.filter(!graft.functions.BloomPrefilter.mightContain(bloom, col("sg"))).count() == 0)
+
+    val exact = graft.queries.CurationQueries
+      .decontaminate(corpus, bench, "doc_id", "text", 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bloomed = graft.queries.CurationQueries
+      .bloomDecontaminate(corpus, bench, "doc_id", "text", 3, 10000L, 0.01)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bloomed == exact)
+    assert(exact.nonEmpty)
+  }
+}
