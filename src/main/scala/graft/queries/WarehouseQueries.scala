@@ -46,7 +46,8 @@ object WarehouseQueries {
     * min/max of BOTH dimensions — the file-skipping stats a z-ordered
     * layout would carry (tight ranges on every interleaved column, which a
     * single-column sort cannot give). Map-side bit arithmetic + one bounded
-    * aggregation (≤ 2^12 buckets). */
+    * aggregation (bucket = zval >> 20, i.e. one bucket per 2^20 z-range —
+    * a few hundred buckets at the test SFs). */
   def q80ZorderStats(spark: SparkSession, dir: String): DataFrame = {
     val days = datediff(col("o_orderdate").cast("date"),
       lit("1992-01-01").cast("date")).cast("long")
@@ -54,7 +55,7 @@ object WarehouseQueries {
       .select(col("o_custkey"), days.as("d_days"))
       .withColumn("zval",
         Layout.zValue(Seq(col("o_custkey"), col("d_days")), ZBits))
-      .groupBy(shiftright(col("zval"), 28).as("z_bucket"))
+      .groupBy(shiftright(col("zval"), 20).as("z_bucket"))
       .agg(count(lit(1)).as("n_orders"),
         min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
         min(col("d_days")).as("min_days"), max(col("d_days")).as("max_days"))
@@ -97,7 +98,7 @@ object WarehouseQueries {
          |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d_days
          |  FROM orders),
          | z AS (SELECT o_custkey, d_days, ($ZValSql) AS zval FROM d)
-         |SELECT zval >> 28 AS z_bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |SELECT zval >> 20 AS z_bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
          |  MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
          |  MIN(d_days) AS min_days, MAX(d_days) AS max_days
          |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin

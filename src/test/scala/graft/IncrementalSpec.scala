@@ -281,4 +281,43 @@ class IncrementalSpec extends AnyFunSuite {
       .collect().toSeq
     assert(streaming == batch)
   }
+
+  test("streaming SCD2 merge across micro-batches equals the batch replay") {
+    import spark.implicits._
+    val attrs = Seq("seg", "nat")
+    val streamDir = Files.createTempDirectory("graft_scd2_stream")
+    val stateDir = Files.createTempDirectory("graft_scd2_root").resolve("state").toString
+    val ckpt = Files.createTempDirectory("graft_scd2_ckpt").toString
+    // batch 1 load; batch 2: change + unchanged + new key; batch 3: reversion
+    val batches = Seq(
+      Seq((1L, "A", 10), (2L, "B", 20), (3L, "C", 30)),
+      Seq((1L, "A2", 10), (2L, "B", 20), (9L, "N", 90)),
+      Seq((1L, "A", 10))).map(_.toDF("k", "seg", "nat"))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = Files.createTempDirectory(s"graft_scd2_b$i")
+      b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(s"b$i.parquet")
+      Files.move(part, dest)
+      dest.toFile.setLastModified(1000000L * (i + 1))
+    }
+    graft.stream.Scd2Stream.runAvailableNow(spark, streamDir.toString,
+      batches.head.schema, stateDir, ckpt, "k", attrs, maxFilesPerTrigger = Some(1))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("k", "seg", "nat", "valid_from", "valid_to", "is_current")
+        .orderBy("k", "valid_from").collect().map(_.mkString("|")).toSeq
+    val streamed = canon(spark.read.parquet(stateDir))
+    val batchReplay = batches.zipWithIndex.foldLeft(
+        graft.ext.Scd.scd2Init(batches.head.limit(0), "k", attrs, 0L)) {
+      case (s, (b, i)) => graft.ext.Scd.scd2Merge(s, b, "k", attrs, i + 1L)
+    }
+    assert(streamed == canon(batchReplay))
+    // k=1 has three versions (A → A2 → A), k=2/k=3/k=9 one each
+    assert(streamed.size == 6)
+    // re-run with the same checkpoint: no new files, state untouched
+    graft.stream.Scd2Stream.runAvailableNow(spark, streamDir.toString,
+      batches.head.schema, stateDir, ckpt, "k", attrs, maxFilesPerTrigger = Some(1))
+    assert(canon(spark.read.parquet(stateDir)) == streamed)
+  }
 }
