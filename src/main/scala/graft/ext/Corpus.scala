@@ -111,6 +111,51 @@ object Corpus {
           .as("coverage"))
   }
 
+  /** Unigram-LM quality scoring — the exact-arithmetic core of a
+    * CCNet-style language-model filter: fit a unigram model on the corpus
+    * (top-`topK` tokens by frequency, probability = count/total; everything
+    * else scores an out-of-vocabulary floor of `oovPseudoCount`/total),
+    * then score each document by its mean and min token probability.
+    * Real perplexity filters use logprobs from a trained LM; this keeps the
+    * identical dataflow with probabilities summed in DOCUMENT ORDER (left
+    * fold over the token array), so every double is bit-reproducible across
+    * engines — no `ln` in sight (libm `log` differs in the last ulp across
+    * implementations).
+    *
+    * Scale shape: one map-side-combinable (token → count) aggregation; the
+    * top-K vocabulary COLLECTS (bounded by `topK` — the same justified
+    * collect as IVF centroids) and ships as a map literal, so scoring is a
+    * pure map-side projection over each document's own token array — no
+    * explode, no join, no shuffle on the corpus path. The per-row lambda
+    * HOFs evaluate interpreted; at ~100-token documents they are far from
+    * the q55-kernel regime, and a fused kernel is the known escape hatch. */
+  def unigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                     topK: Int, oovPseudoCount: Double = 0.5,
+                     keepThreshold: Double = 0.01): DataFrame = {
+    val counts = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt"))).head().getLong(0)
+    val vocab = counts.orderBy(col("cnt").desc, col("token").asc)
+      .limit(topK).collect()
+      .map(r => (r.getString(0), r.getLong(1).toDouble / total.toDouble))
+    val pMap = map(vocab.flatMap { case (t, p) => Seq(lit(t), lit(p)) }: _*)
+    val floorP = oovPseudoCount / total.toDouble
+    val ps = transform(col("_toks"),
+      t => coalesce(element_at(pMap, t), lit(floorP)))
+    docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+      .withColumn("_ps", ps)
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        size(filter(col("_toks"), t => element_at(pMap, t).isNull))
+          .cast("long").as("oov"),
+        array_min(col("_ps")).as("min_p"),
+        (aggregate(col("_ps"), lit(0.0d), (acc, x) => acc + x) /
+          size(col("_toks")).cast("double")).as("mean_p"))
+      .withColumn("keep", col("mean_p") >= keepThreshold)
+  }
+
   /** Per-document term frequencies over whitespace tokens: one explode into
     * a map-side-combinable (doc, term) count — the shuffle carries at most
     * one row per distinct (doc, term) per input partition. */

@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.Events
+import graft.util.Output.tinySort
+import graft.util.Tables.load
+
+/** Product-analytics operators over the `events` stream: ordered funnels
+  * and cohort retention ([[graft.ext.Events]]).
+  */
+object EventQueries {
+
+  /** q82 — three-stage ordered funnel (view → click → purchase): users whose
+    * first click strictly follows their first view, and first purchase
+    * strictly follows that click. */
+  def q82Funnel(spark: SparkSession, dir: String): DataFrame =
+    Events.funnel(load(spark, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .transform(tinySort(_, col("stage")))
+
+  /** q83 — daily cohort retention matrix: users grouped by first active day
+    * (index from 2024-01-01), distinct-user counts per (cohort, offset). */
+  def q83Retention(spark: SparkSession, dir: String): DataFrame =
+    Events.retentionCohorts(load(spark, dir, "events"), "user_id", "ts",
+        epoch = "2024-01-01")
+      .transform(tinySort(_, col("cohort_day"), col("day_offset")))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_funnel" -> (q82Funnel _),
+    "q83_retention" -> (q83Retention _)
+  )
+
+  val sql: Map[String, String] = Map(
+    "q82_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        | c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |       JOIN v ON e.user_id = v.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        | p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |       JOIN c ON e.user_id = c.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+        |UNION ALL SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+        |UNION ALL SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+        |ORDER BY stage""".stripMargin,
+    "q83_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+        |           FROM events),
+        | co AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY user_id)
+        |SELECT co.cohort AS cohort_day, d.day - co.cohort AS day_offset,
+        |  CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
+        |FROM d JOIN co ON d.user_id = co.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+  )
+}

@@ -99,8 +99,18 @@ object TextQueries {
         topK = 100)
       .transform(tinySort(_, col("rank")))
 
+  /** q81 — unigram-LM quality scoring ([[graft.ext.Corpus.unigramLmScore]],
+    * top-25 vocabulary, 0.5 OOV pseudo-count): mean/min token probability
+    * per document with probabilities summed in document order — the
+    * CCNet-style LM-filter dataflow with exactly reproducible doubles. */
+  def q81UnigramLm(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Corpus.unigramLmScore(load(spark, dir, "documents"),
+        "doc_id", "text", topK = 25)
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q78_token_vocab" -> (q78TokenVocab _),
+    "q81_unigram_lm" -> (q81UnigramLm _),
     "q27_text_quality" -> (q27TextQuality _),
     "q66_heavy_hitters" -> (q66HeavyHitters _),
     "q28_token_count" -> (q28TokenCount _),
@@ -113,6 +123,32 @@ object TextQueries {
   private val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
 
   val sql: Map[String, String] = Map(
+    /* Replays the exact Spark arithmetic: p = CAST(cnt AS DOUBLE)/total and
+     * the OOV floor 0.5/total are single IEEE divisions; per-doc sums fold
+     * the probability list in document order (list_reduce left fold ==
+     * Spark `aggregate` with 0.0 init — 0.0 + p1 == p1 exactly), so every
+     * double matches bit-for-bit. */
+    "q81_unigram_lm" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |             generate_subscripts(string_split(text, ' '), 1) AS i
+        |            FROM documents),
+        | c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY tok),
+        | tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c),
+        | vocab AS (SELECT tok, CAST(cnt AS DOUBLE) / (SELECT total FROM tot) AS p
+        |           FROM c ORDER BY cnt DESC, tok ASC LIMIT 25),
+        | per AS (SELECT t.doc_id, t.i,
+        |          coalesce(v.p, 0.5 / (SELECT total FROM tot)) AS p,
+        |          CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS is_oov
+        |         FROM tk t LEFT JOIN vocab v ON t.tok = v.tok),
+        | agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |          CAST(SUM(is_oov) AS BIGINT) AS oov,
+        |          MIN(p) AS min_p,
+        |          list(p ORDER BY i) AS ps
+        |         FROM per GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, oov, min_p,
+        |  list_reduce(ps, (a, b) -> a + b) / CAST(n_tokens AS DOUBLE) AS mean_p,
+        |  (list_reduce(ps, (a, b) -> a + b) / CAST(n_tokens AS DOUBLE) >= 0.01) AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q78_token_vocab" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         | c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY token),

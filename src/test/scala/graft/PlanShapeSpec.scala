@@ -214,4 +214,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"no Window allowed in the id path:\n$plan")
     assert(!plan.contains("SinglePartition"), s"no single-partition exchange:\n$plan")
   }
+
+  test("q79 bloom prefilter applies MAP-SIDE: below every shuffle, above the scan") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val plan = graft.queries.CurationQueries.q79BloomDecontaminate(spark, dir)
+      .queryExecution.sparkPlan
+    val bloomFilters = plan.collect {
+      case f: FilterExec if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) => f
+    }
+    assert(bloomFilters.nonEmpty, s"no might_contain filter in:\n$plan")
+    // the prefilter must cut the corpus gram stream BEFORE any exchange —
+    // a bloom above the shuffle would ship every gram and filter late
+    bloomFilters.foreach { f =>
+      assert(f.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"bloom filter sits above a shuffle (late filtering):\n$plan")
+    }
+  }
+
+  test("q76/q77 plans stay equi-join only: no cartesian, no nested-loop") {
+    val scd2 = graft.queries.WarehouseQueries.q76Scd2(spark, dir)
+      .queryExecution.sparkPlan.toString
+    val span = graft.ext.Corpus.spanDedup(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 8)
+      .queryExecution.sparkPlan.toString
+    Seq("q76" -> scd2, "q77" -> span).foreach { case (n, p) =>
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n has a non-equi join:\n$p")
+    }
+  }
+
+  test("q81 scoring path is map-side only: vocab ships as a literal, no join, no explode") {
+    // unigramLmScore collects the bounded vocabulary while BUILDING the
+    // frame; the returned plan must score documents with a pure projection —
+    // at 100 TB the corpus path adds zero shuffles
+    val plan = graft.ext.Corpus.unigramLmScore(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 25)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("Join"), s"scoring path must not join:\n$plan")
+    assert(!plan.contains("Generate"), s"scoring path must not explode:\n$plan")
+    assert(!plan.contains("Exchange"), s"scoring path must not shuffle:\n$plan")
+  }
 }
