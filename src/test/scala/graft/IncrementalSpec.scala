@@ -282,6 +282,45 @@ class IncrementalSpec extends AnyFunSuite {
     assert(streaming == batch)
   }
 
+  test("stream-stream interval join matches the batch range join across batch boundaries") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = Files.createTempDirectory("graft_ij_stream")
+    // event-time-ordered halves: (view, purchase) pairs straddling the split
+    // can only match through the two-sided join state carried across batches
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val Array(q50) = ev.stat.approxQuantile("ts", Array(0.5), 0.0)
+    val chunks = Seq(ev.filter(col("ts") <= q50), ev.filter(col("ts") > q50))
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = Files.createTempDirectory(s"graft_ij_chunk$i")
+      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(s"c$i.parquet")
+      Files.move(part, dest)
+      dest.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val streamed = graft.stream.IntervalJoin
+      .runToSnapshot(spark, streamDir.toString, "ij_test", windowMinutes = 1440,
+        maxFilesPerTrigger = Some(1))
+      .select("view_id", "purchase_id").orderBy("view_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = graft.stream.IntervalJoin
+      .batchEquivalent(graft.util.Tables.load(spark, dir, "events"), 1440)
+      .select("view_id", "purchase_id").orderBy("view_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(batch.nonEmpty, "fixture must produce at least one attributed pair")
+    assert(streamed == batch)
+    // pairs straddle the split (otherwise this proves nothing about state)
+    // q50 is in raw nanos (the parquet long); loaded timestamps cast to
+    // epoch seconds — align units before comparing
+    val q50s = q50 / 1e9
+    val crossing = graft.stream.IntervalJoin
+      .batchEquivalent(graft.util.Tables.load(spark, dir, "events"), 1440)
+      .filter(col("view_ts").cast("timestamp").cast("double") <= q50s &&
+        col("purchase_ts").cast("timestamp").cast("double") > q50s)
+    assert(crossing.count() > 0, "no cross-batch pairs — split point needs adjusting")
+  }
+
   test("streaming SCD2 merge across micro-batches equals the batch replay") {
     import spark.implicits._
     val attrs = Seq("seg", "nat")
