@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Event-analytics operators over a (user, ts, event_type) stream: ordered
@@ -39,6 +39,56 @@ object Events {
           .select(lit(s"${i + 1}_$stage").as("stage"), col("n_users"))
       }
       .reduce(_ unionByName _)
+  }
+
+  /** Calendar gap-fill (densification): aggregate a measure per day, then
+    * left-join it onto the full day spine [min_day, max_day] so silent days
+    * surface as explicit zero rows — the operator behind every "per day"
+    * report that must not skip empty days. The spine GENERATES from the
+    * observed min/max (a 1-row aggregate exploded via `sequence` — no
+    * collect, no driver loop), and the join broadcasts it (a calendar is
+    * O(days), never O(facts)). Day indexes are relative to `epoch`.
+    *
+    * Scale shape: one map-side-combinable daily aggregation (output is
+    * calendar-bounded), one 1-row min/max agg, one broadcast join. */
+  def gapFillDaily(df: DataFrame, tsCol: String, epoch: String,
+                   aggs: Seq[(Column, String)]): DataFrame = {
+    val day = datediff(col(tsCol).cast("date"), lit(epoch).cast("date"))
+      .cast("long").as("day")
+    val daily = df.select(day, col("*"))
+      .groupBy(col("day"))
+      .agg(aggs.head._1.as(aggs.head._2),
+        aggs.tail.map { case (c, n) => c.as(n) }: _*)
+    val spine = daily.agg(min(col("day")).as("_lo"), max(col("day")).as("_hi"))
+      .select(explode(sequence(col("_lo"), col("_hi"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+  }
+
+  /** Top user paths: each user's first `steps` event types in time order
+    * (ties broken by `idCol`), joined with ">", counted across users, top
+    * `topN` by frequency (count desc, path asc) — the path-mining query of
+    * product analytics.
+    *
+    * Scale shape: one per-user aggregation whose state is the user's own
+    * events (collect_list + sort_array — bounded by per-user activity, the
+    * same contract as sessionization); one map-side-combinable path count;
+    * one window over the DISTINCT-PATH table (vocabulary-sized, keyed by a
+    * non-foldable constant — see tokenVocab). */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+               idCol: String, typeCol: String, steps: Int, topN: Int): DataFrame = {
+    val paths = events
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(col(tsCol), col(idCol), col(typeCol))))
+        .as("_evs"))
+      .select(concat_ws(">",
+        transform(slice(col("_evs"), 1, steps), e => e.getField(typeCol)))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+    val one = substring(col("path"), 0, 0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(one)
+      .orderBy(col("n_users").desc, col("path").asc)
+    paths.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topN)
   }
 
   /** Cohort retention matrix: cohort = each user's first active day (index

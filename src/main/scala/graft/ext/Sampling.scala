@@ -95,6 +95,21 @@ object Sampling {
     * rows here, bounded by the source vocabulary) joined back via broadcast;
     * the corpus path is scan → broadcast-join → filter, no corpus-scale
     * shuffle. */
+  /** Stratified exact-n sampling: the first `n` rows of every stratum in
+    * deterministic md5(salt:id) order — hash order ≡ a uniform draw that
+    * any engine replays (the eval-set construction primitive: n examples
+    * per source/language/label). One group-keyed window shuffle (each
+    * stratum scans once, no global sort, no collect); emits (stratum, id,
+    * sample_rank). */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+                       n: Int, salt: String = "graft-strat"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), col(idCol))
+    df.select(col(groupCol), col(idCol))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= n)
+  }
+
   def temperatureMix(docs: DataFrame, idCol: String, srcCol: String,
                      alpha: Double, targetFrac: Double,
                      salt: String = "graft-mix"): DataFrame = {

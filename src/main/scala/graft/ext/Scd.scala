@@ -72,4 +72,35 @@ object Scd {
             .otherwise(col("is_current")).as("is_current")): _*)
     closed.unionByName(inserts)
   }
+
+  /** Snapshot diff — the change-data-feed operator (Delta CDF / Iceberg
+    * changelog shape): compare two versions of a keyed table and emit one
+    * row per difference, tagged `insert` / `update` / `delete`. Unchanged
+    * rows are NOT emitted (the diff is the delta, not the table). `update`
+    * and `insert` rows carry the NEW attribute values, `delete` rows the
+    * old ones. Attribute comparison is null-safe.
+    *
+    * Scale shape: ONE full-outer equi-join on the key — both sides shuffle
+    * once; at warehouse scale this is the minimal movement any diff needs
+    * (AQE broadcasts when a side is small). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+                   attrCols: Seq[String]): DataFrame = {
+    val o = oldDf.as("o")
+    val n = newDf.as("n")
+    val changed = attrCols
+      .map(a => !(col(s"o.$a") <=> col(s"n.$a")))
+      .reduce(_ || _)
+    o.join(n, col(s"o.$keyCol") === col(s"n.$keyCol"), "full_outer")
+      .withColumn("change_type",
+        when(col(s"o.$keyCol").isNull, lit("insert"))
+          .when(col(s"n.$keyCol").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(
+        col("change_type") +:
+          coalesce(col(s"n.$keyCol"), col(s"o.$keyCol")).as(keyCol) +:
+          attrCols.map(a =>
+            when(col("change_type") === "delete", col(s"o.$a"))
+              .otherwise(col(s"n.$a")).as(a)): _*)
+  }
 }

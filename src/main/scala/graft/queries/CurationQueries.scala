@@ -262,6 +262,14 @@ object CurationQueries {
         alpha = 0.5, targetFrac = 0.5)
       .orderBy(col("doc_id"))
 
+  /** q86 — stratified exact-n sampling ([[Sampling.stratifiedSample]], 20
+    * docs per source in md5 order): the eval-set construction primitive.
+    * One source-keyed window shuffle. */
+  def q86StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(load(spark, dir, "documents"), "source",
+        "doc_id", n = 20)
+      .transform(tinySort(_, col("source"), col("sample_rank")))
+
   /** q69 — deterministic corpus shuffle ([[Sampling.deterministicShuffle]]):
     * reproducible global training order by md5(salt:id), dense positions via
     * the distributed sort + zipWithIndex id assigner (no single-partition
@@ -283,12 +291,22 @@ object CurationQueries {
     "q53_curation_pipeline" -> (q53CurationPipeline _),
     "q54_repetition_filters" -> (q54RepetitionFilters _),
     "q55_decontaminate" -> (q55Decontaminate _),
-    "q79_bloom_decontaminate" -> (q79BloomDecontaminate _)
+    "q79_bloom_decontaminate" -> (q79BloomDecontaminate _),
+    "q86_stratified_sample" -> (q86StratifiedSample _)
   )
 
   private val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
 
   val sql: Map[String, String] = Map(
+    "q86_stratified_sample" ->
+      """WITH r AS (SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('graft-strat:' || CAST(doc_id AS VARCHAR)) ASC NULLS LAST,
+        |               doc_id ASC NULLS LAST) AS BIGINT) AS sample_rank
+        |  FROM documents)
+        |SELECT source, doc_id, sample_rank FROM r
+        |WHERE sample_rank <= 20
+        |ORDER BY source, sample_rank""".stripMargin,
     "q69_corpus_shuffle" ->
       """WITH k AS (SELECT doc_id,
         |    md5('graft-shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key

@@ -26,9 +26,17 @@ object EventQueries {
         epoch = "2024-01-01")
       .transform(tinySort(_, col("cohort_day"), col("day_offset")))
 
+  /** q87 — top user paths ([[Events.topPaths]]): each user's first four
+    * event types in time order, counted across users, top-10. */
+  def q87TopPaths(spark: SparkSession, dir: String): DataFrame =
+    Events.topPaths(load(spark, dir, "events"), "user_id", "ts", "event_id",
+        "event_type", steps = 4, topN = 10)
+      .transform(tinySort(_, col("rk")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_funnel" -> (q82Funnel _),
-    "q83_retention" -> (q83Retention _)
+    "q83_retention" -> (q83Retention _),
+    "q87_top_paths" -> (q87TopPaths _)
   )
 
   val sql: Map[String, String] = Map(
@@ -45,6 +53,17 @@ object EventQueries {
         |UNION ALL SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
         |UNION ALL SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
         |ORDER BY stage""".stripMargin,
+    "q87_top_paths" ->
+      """WITH s AS (SELECT user_id,
+        |            list(event_type ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST)[1:4] AS p
+        |           FROM events GROUP BY user_id),
+        | c AS (SELECT array_to_string(p, '>') AS path,
+        |         CAST(COUNT(*) AS BIGINT) AS n_users
+        |       FROM s GROUP BY 1),
+        | r AS (SELECT path, n_users,
+        |         CAST(row_number() OVER (ORDER BY n_users DESC, path ASC NULLS LAST) AS BIGINT) AS rk
+        |       FROM c)
+        |SELECT path, n_users, rk FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin,
     "q83_retention" ->
       """WITH d AS (SELECT DISTINCT user_id,
         |            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day

@@ -62,9 +62,44 @@ object WarehouseQueries {
       .transform(tinySort(_, col("z_bucket")))
   }
 
+  /** q84 — snapshot diff ([[Scd.snapshotDiff]]): customer v2 derives from v1
+    * by changing every tenth segment, deleting every seventeenth customer,
+    * and inserting a new key for every hundredth — the diff emits exactly
+    * the insert/update/delete delta, never unchanged rows. */
+  def q84SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    val v2 = v1.filter(col("c_custkey") % 17 =!= 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 0, concat(col("c_mktsegment"), lit("_V2")))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        col("c_nationkey"))
+      .unionByName(v1.filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") + lit(1000000L)).as("c_custkey"),
+          lit("NEWSEG").as("c_mktsegment"), col("c_nationkey")))
+    Scd.snapshotDiff(v1, v2, "c_custkey", Seq("c_mktsegment", "c_nationkey"))
+      .transform(tinySort(_, col("c_custkey")))
+  }
+
+  /** q85 — calendar gap-fill ([[graft.ext.Events.gapFillDaily]]): daily
+    * order counts and DECIMAL revenue over the full day spine — empty days
+    * surface as explicit (0, null-revenue) rows. Output is calendar-bounded
+    * (~2.4k rows at any SF). */
+  def q85GapFillDaily(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Events.gapFillDaily(load(spark, dir, "orders"),
+        "o_orderdate", epoch = "1992-01-01",
+        aggs = Seq(
+          (count(lit(1)), "n_orders"),
+          (sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), "revenue")))
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"), col("revenue"))
+      .transform(tinySort(_, col("day")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_scd2_history" -> (q76Scd2 _),
-    "q80_zorder_stats" -> (q80ZorderStats _)
+    "q80_zorder_stats" -> (q80ZorderStats _),
+    "q84_snapshot_diff" -> (q84SnapshotDiff _),
+    "q85_gap_fill" -> (q85GapFillDaily _)
   )
 
   /** DuckDB replay of [[Layout.zValue]] for (o_custkey, d_days): column j's
@@ -92,6 +127,31 @@ object WarehouseQueries {
         |    CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
         |  FROM customer WHERE c_custkey % 100 = 0)
         |SELECT * FROM hist ORDER BY c_custkey, valid_from""".stripMargin,
+    /* v2 derivation: %17 deleted (wins over change), %10 changed (_V2),
+     * %100 inserted under key+1e6. Unchanged rows must NOT appear. */
+    "q84_snapshot_diff" ->
+      """WITH diff AS (
+        |  SELECT 'delete' AS change_type, c_custkey, c_mktsegment, c_nationkey
+        |  FROM customer WHERE c_custkey % 17 = 0
+        |  UNION ALL
+        |  SELECT 'update', c_custkey, c_mktsegment || '_V2', c_nationkey
+        |  FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 0
+        |  UNION ALL
+        |  SELECT 'insert', c_custkey + 1000000, 'NEWSEG', c_nationkey
+        |  FROM customer WHERE c_custkey % 100 = 0)
+        |SELECT change_type, c_custkey, c_mktsegment, c_nationkey
+        |FROM diff ORDER BY c_custkey""".stripMargin,
+    "q85_gap_fill" ->
+      """WITH d AS (SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |            o_totalprice FROM orders),
+        | daily AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |           FROM d GROUP BY day),
+        | spine AS (SELECT unnest(generate_series((SELECT MIN(day) FROM daily),
+        |                                         (SELECT MAX(day) FROM daily))) AS day)
+        |SELECT s.day, COALESCE(dl.n_orders, 0) AS n_orders, dl.revenue
+        |FROM spine s LEFT JOIN daily dl ON s.day = dl.day
+        |ORDER BY s.day""".stripMargin,
     "q80_zorder_stats" ->
       s"""WITH d AS (
          |  SELECT o_custkey,

@@ -53,6 +53,69 @@ class EventsSpec extends AnyFunSuite {
       (1L, 0L, 1L)))
   }
 
+  test("snapshotDiff: insert/update/delete only — unchanged rows never emitted") {
+    val v1 = Seq((1L, Some("A"), 10), (2L, Some("B"), 20), (3L, Some("C"), 30),
+        (4L, Option.empty[String], 40))
+      .toDF("k", "seg", "nat")
+    val v2 = Seq((1L, Some("A"), 10), (2L, Some("B2"), 20), (4L, Some("X"), 40), (9L, Some("N"), 90))
+      .toDF("k", "seg", "nat")
+    val out = graft.ext.Scd.snapshotDiff(v1, v2, "k", Seq("seg", "nat"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)), r.getInt(3))).toSeq
+    assert(out == Seq(
+      ("update", 2L, Some("B2"), 20),   // B -> B2
+      ("delete", 3L, Some("C"), 30),    // gone in v2, old values
+      ("update", 4L, Some("X"), 40),    // NULL -> X is a change (null-safe)
+      ("insert", 9L, Some("N"), 90)))   // new key, new values
+    // k=1 unchanged -> absent
+  }
+
+  test("gapFillDaily: silent days appear with zero counts and null measure") {
+    def t(day: Int) = new Timestamp(86400000L * day)
+    val df = Seq((t(0), 10.0), (t(0), 5.0), (t(3), 2.0)).toDF("ts", "v")
+    val out = graft.ext.Events.gapFillDaily(df, "ts", "1970-01-01",
+        Seq((count(lit(1)), "n"), (sum(col("v")), "sv")))
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(out == Seq(
+      (0L, Some(2L), Some(15.0)),
+      (1L, None, None),
+      (2L, None, None),
+      (3L, Some(1L), Some(2.0))))
+  }
+
+  test("stratifiedSample: exactly n per stratum, deterministic, rank dense") {
+    val df = (0L until 100L).map(i => (s"s${i % 3}", i)).toDF("source", "doc_id")
+    val a = graft.ext.Sampling.stratifiedSample(df, "source", "doc_id", 5)
+      .orderBy("source", "sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = graft.ext.Sampling.stratifiedSample(df, "source", "doc_id", 5)
+      .orderBy("source", "sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a == b)
+    assert(a.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._3).sorted == Seq(1L, 2L, 3L, 4L, 5L) })
+    // a different salt draws a different sample
+    val c = graft.ext.Sampling.stratifiedSample(df, "source", "doc_id", 5, salt = "other")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(c != a.map(r => (r._1, r._2)).toSet)
+  }
+
+  test("topPaths: time order with id tie-break, slice at steps, count desc") {
+    val ev = Seq(
+      (1L, ts(1), 1L, "view"), (1L, ts(2), 2L, "click"),
+      (2L, ts(1), 3L, "view"), (2L, ts(2), 4L, "click"),
+      (3L, ts(5), 5L, "error"),
+      // u4: same ts — event_id breaks the tie (6 before 7)
+      (4L, ts(1), 6L, "view"), (4L, ts(1), 7L, "click")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.ext.Events.topPaths(ev, "user_id", "ts", "event_id",
+        "event_type", steps = 2, topN = 3)
+      .orderBy("rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("view>click", 3L, 1L), ("error", 1L, 2L)))
+  }
+
   test("unigramLmScore: exact probabilities, OOV floor, document-order sum") {
     val d = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
     // counts: a=2, b=1, c=1, total=4; topK=2 → vocab {a: 0.5, b: 0.25}
