@@ -133,6 +133,19 @@ object Dedup {
     * emit distinct candidate pairs (doc_a < doc_b). */
   def lshCandidatePairs(sig: DataFrame, idCol: String,
                         numHashes: Int = 8, bands: Int = 2): DataFrame = {
+    val all = bandKeys(sig, idCol, numHashes, bands)
+    all.as("a").join(all.as("b"),
+        col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+  }
+
+  /** One (id, band-key) row per band per document: each band of `rowsPerBand`
+    * signature slots hashed with the band index as salt. Shared by the
+    * self-join ([[lshCandidatePairs]]) and cross-corpus
+    * ([[crossCorpusCandidates]]) LSH paths. */
+  private def bandKeys(sig: DataFrame, idCol: String,
+                       numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
     val bandDfs = (0 until bands).map { b =>
@@ -140,12 +153,29 @@ object Dedup {
       sig.select(col(idCol),
         md5(concat_ws("|", lit(s"B$b") +: cols: _*).cast("binary")).as("band"))
     }
-    val all = bandDfs.reduce(_ unionByName _)
-    all.as("a").join(all.as("b"),
-        col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-      .distinct()
+    bandDfs.reduce(_ unionByName _)
   }
+
+  /** Cross-corpus LSH dedup — the INCREMENTAL-crawl operator: candidate
+    * near-duplicate pairs between a NEW corpus and an existing REFERENCE
+    * corpus (dedup the fresh crawl against everything already in the
+    * training set, without re-pairing the reference against itself).
+    * Both sides carry [[minhashSignature]] columns; emits distinct
+    * (new_id, ref_id) candidates that share at least one LSH band.
+    *
+    * Scale shape: band keys are map-side projections of the signatures;
+    * the single equi-join on the 32-hex band key shuffles each side ONCE
+    * (at 100 TB the reference's band table is the big side — it shuffles
+    * by band hash exactly like the self-join; when the new crawl increment
+    * is small AQE broadcast-promotes it). No self-pairs are generated, so
+    * a reference corpus that was already deduped never re-verifies its own
+    * survivors. */
+  def crossCorpusCandidates(newSig: DataFrame, refSig: DataFrame, idCol: String,
+                            numHashes: Int = 8, bands: Int = 2): DataFrame =
+    bandKeys(newSig, idCol, numHashes, bands).as("n")
+      .join(bandKeys(refSig, idCol, numHashes, bands).as("r"), "band")
+      .select(col(s"n.$idCol").as("new_id"), col(s"r.$idCol").as("ref_id"))
+      .distinct()
 
   /** 16-bit SimHash over whitespace tokens: per bit b, sum ±1 weighted by bit
     * b of hash16(token); bit set iff the sum is positive. Two map-side-combined

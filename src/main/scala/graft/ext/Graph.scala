@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph-centrality over an edge list — the numeric-fixpoint
+  * companion to the label-propagation loop in [[Dedup.duplicateClusters]].
+  * PageRank here ranks near-duplicate HUB documents (which doc does every
+  * other spelling of this page point at?) so canonical-selection can keep
+  * the most central copy instead of min-id.
+  *
+  * All arithmetic is INTEGER fixed-point (ranks scaled by `scale`, damping
+  * as a percentage, `div` floor division): floating-point summation order
+  * differs run-to-run and engine-to-engine, but BIGINT arithmetic is exact
+  * everywhere, so DuckDB replays the fixpoint bit-identically with an
+  * unrolled CTE chain. Mass lost to integer floors is deterministic and
+  * identical in both engines — this is a ranking, not a probability
+  * distribution.
+  *
+  * Scale shape per iteration: one equi-join of the rank frame onto the edge
+  * list (shuffles on the join key; AQE broadcast-promotes the rank frame
+  * while it is small — it is O(nodes), the edge list is the big side) and
+  * one map-side-combinable sum by destination. Plans are kept O(1) across
+  * iterations by [[Dedup.checkpointStripped]] — the same stats-snowball
+  * guard the CC loop needs (see NOTES round 6).
+  */
+object Graph {
+
+  /** `iterations` rounds of damped PageRank over a DIRECTED edge list
+    * (`srcCol`, `dstCol`). Every node must appear as a source at least once
+    * (true for symmetric graphs like the near-dup pair graph); dangling-mass
+    * redistribution is deliberately out of scope and documented as such.
+    * Returns (node, rank) with rank on the fixed-point `scale`. */
+  def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+                  iterations: Int, dampingPct: Int = 85,
+                  scale: Long = 1000000000000L): DataFrame = {
+    require(scale % 100 == 0, "scale must be divisible by 100 for exact teleport mass")
+    val teleport = scale / 100 * (100 - dampingPct)
+    // materialize the edge list ONCE: every iteration's action re-executes
+    // its upstream otherwise (a near-dup pair graph re-runs MinHash+LSH per
+    // round — the q49 input-materialization lesson)
+    val e = Dedup.checkpointStripped(edges.select(col(srcCol), col(dstCol)))
+    val deg = e.groupBy(col(srcCol).as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    var rank = deg.select(col("node"), lit(scale).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = rank.join(deg, "node")
+        .join(e, col("node") === col(srcCol))
+        .select(col(dstCol).as("node"), expr("rank div outdeg").as("share"))
+        .groupBy(col("node")).agg(sum(col("share")).as("inflow"))
+      val next = deg.select(col("node"))
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"($dampingPct * coalesce(inflow, cast(0 as bigint))) div 100")).as("rank"))
+      rank = Dedup.checkpointStripped(next)
+    }
+    rank
+  }
+}

@@ -88,6 +88,29 @@ object TextOps {
       lit(0.3) * least(tokenSetRatio(toks, stopwords) * 5.0, lit(1.0))
   }
 
+  /** C4-style line-level boilerplate filter: split a document on newlines and
+    * keep only lines that look like prose — at least `minWords` words,
+    * terminal punctuation (`.`/`!`/`?`) when `requireTerminal`, and no
+    * blocklisted boilerplate phrase (case-insensitive). Returns the ARRAY of
+    * kept lines so callers can count, rejoin, or explode.
+    *
+    * Scale shape: a pure per-row Column expression — map-only at any scale.
+    * Word counting is `regexp_count('[^ ]+')` (not split+size) so empty and
+    * multi-space lines count identically in every engine. The HOF lambda
+    * runs interpreted, but per LINE, not per token — documents have few
+    * lines, so this stays off the kernel-rewrite list (see NOTES on hot
+    * HOFs). */
+  def lineFilter(text: Column, minWords: Int, blocklist: Seq[String],
+                 requireTerminal: Boolean = true): Column =
+    filter(split(text, "\n"), l => {
+      val words = regexp_count(l, lit("[^ ]+")) >= minWords
+      val terminal = if (requireTerminal) l.rlike("[.!?]$") else lit(true)
+      val clean = blocklist
+        .map(p => !lower(l).contains(lit(p)))
+        .foldLeft(lit(true))(_ && _)
+      words && terminal && clean
+    })
+
   /** Rolling polynomial hash over tokens: fold(h = (h*31 + hash16(tok)) mod
     * 2^31-1). Order-sensitive (true rolling fingerprint, unlike the md5 of
     * the whole text). Fused codegen kernel

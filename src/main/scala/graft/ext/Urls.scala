@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization for crawl curation: the same page arrives under many
+  * spellings (scheme case, `www.` prefix, trailing slash, tracking params,
+  * fragments, param order), and exact dedup only works after the spellings
+  * collapse to one canonical key. Regex-only (no `parse_url`, which DuckDB
+  * lacks) so the oracle replays every rule byte-identically.
+  *
+  * All pure Column expressions — map-only at any scale; the canonical key
+  * then feeds the standard hash-groupBy exact-dedup shuffle.
+  */
+object Urls {
+
+  /** Hostname, lowercased, leading `www.` stripped. */
+  def host(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url, "^[a-zA-Z]+://([^/?#]+)", 1)),
+      "^www\\.", "")
+
+  /** Path with any trailing `/` removed (`/a/b/` ≡ `/a/b`; bare `/` ≡ ``). */
+  def path(url: Column): Column =
+    regexp_replace(regexp_extract(url, "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1),
+      "/+$", "")
+
+  /** Query string with tracking params (`utm_*`, `ref`, `fbclid`) and empty
+    * fragments dropped, remaining params SORTED so param order never splits
+    * a canonical key. The HOF runs per URL over a handful of params —
+    * interpreted cost is negligible (see NOTES on hot HOFs). */
+  def cleanQuery(url: Column): Column = {
+    val raw = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = filter(split(raw, "&"), p =>
+      length(p) > 0 &&
+        !p.startsWith("utm_") && !p.startsWith("ref=") && !p.startsWith("fbclid="))
+    array_join(sort_array(kept), "&")
+  }
+
+  /** Canonical form: `host` + `path` (+ `?` + sorted clean query). Scheme and
+    * fragment are dropped entirely — http/https/HTTPS variants of one page
+    * collapse. */
+  def canonical(url: Column): Column = {
+    val q = cleanQuery(url)
+    concat(host(url), path(url),
+      when(length(q) > 0, concat(lit("?"), q)).otherwise(lit("")))
+  }
+}

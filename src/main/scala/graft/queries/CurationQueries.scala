@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Sampling, TextOps}
+import graft.ext.{Dedup, Sampling, TextOps, Urls}
 import graft.util.Output.tinySort
 import graft.util.Tables.load
 
@@ -270,6 +270,53 @@ object CurationQueries {
         "doc_id", n = 20)
       .transform(tinySort(_, col("source"), col("sample_rank")))
 
+  /** q88 — C4-style line filter ([[TextOps.lineFilter]]): each document is
+    * rebuilt as a deterministic multi-line page (prose line + cookie-banner
+    * boilerplate + a too-short line + a menu line on every third doc), then
+    * line-filtered (≥3 words, terminal punctuation, no "cookie"/"javascript").
+    * Emits per-doc line counts and the md5 of the cleaned text. Map-only at
+    * any scale; the final sort is a cheap map-only dump (NOTES discipline). */
+  def q88LineFilter(spark: SparkSession, dir: String): DataFrame = {
+    val multi = concat_ws("\n",
+      concat(col("text"), lit(".")),
+      lit("click here to accept our cookie policy."),
+      lit("short line."),
+      when(col("doc_id") % 3 === 0,
+        lit("menu home about contact privacy terms sitemap")))
+    val kept = TextOps.lineFilter(multi, minWords = 3,
+      blocklist = Seq("cookie", "javascript"))
+    load(spark, dir, "documents").select(col("doc_id"),
+        size(split(multi, "\n")).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        md5(array_join(kept, "\n").cast("binary")).as("cleaned_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q89 — URL canonicalization + exact dedup ([[Urls.canonical]]): each doc
+    * gets one of two URL spellings of the same logical page (scheme case,
+    * `www.`, trailing slash, tracking params, fragment, param order all
+    * differ); canonicalization collapses each even/odd pair to one key, and
+    * the keep-lowest-id groupBy is the standard exact-dedup shuffle. */
+  def q89UrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    // pair id (doc 2k and 2k+1 describe the SAME page): host and path both
+    // derive from it, so the two spellings collapse to one canonical key
+    val half = floor(col("doc_id") / 2).cast("long")
+    val site = (half % 7).cast("string")
+    val halfS = half.cast("string")
+    val url = when(col("doc_id") % 2 === 0,
+        concat(lit("https://www.site"), site, lit(".example.com/a/"), halfS,
+          lit("/?utm_source=feed&ref=1&id=7")))
+      .otherwise(
+        concat(lit("HTTP://site"), site, lit(".EXAMPLE.com/a/"), halfS,
+          lit("?id=7&utm_campaign=x#frag")))
+    load(spark, dir, "documents")
+      .select(col("doc_id"), Urls.canonical(url).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_urls"))
+      .transform(tinySort(_, col("canonical_url")))
+  }
+
   /** q69 — deterministic corpus shuffle ([[Sampling.deterministicShuffle]]):
     * reproducible global training order by md5(salt:id), dense positions via
     * the distributed sort + zipWithIndex id assigner (no single-partition
@@ -292,12 +339,65 @@ object CurationQueries {
     "q54_repetition_filters" -> (q54RepetitionFilters _),
     "q55_decontaminate" -> (q55Decontaminate _),
     "q79_bloom_decontaminate" -> (q79BloomDecontaminate _),
-    "q86_stratified_sample" -> (q86StratifiedSample _)
+    "q86_stratified_sample" -> (q86StratifiedSample _),
+    "q88_line_filter" -> (q88LineFilter _),
+    "q89_url_dedup" -> (q89UrlDedup _)
   )
 
   private val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
 
   val sql: Map[String, String] = Map(
+    "q88_line_filter" ->
+      """WITH m AS (SELECT doc_id,
+        |    concat_ws(chr(10), text || '.',
+        |      'click here to accept our cookie policy.',
+        |      'short line.',
+        |      CASE WHEN doc_id % 3 = 0
+        |        THEN 'menu home about contact privacy terms sitemap' END) AS t
+        |  FROM documents),
+        | k AS (SELECT doc_id, t,
+        |    list_filter(string_split(t, chr(10)), x ->
+        |      len(regexp_extract_all(x, '[^ ]+')) >= 3
+        |      AND regexp_matches(x, '[.!?]$')
+        |      AND NOT contains(lower(x), 'cookie')
+        |      AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  md5(array_to_string(kept, chr(10))) AS cleaned_fp
+        |FROM k ORDER BY doc_id""".stripMargin,
+    "q89_url_dedup" ->
+      """WITH h AS (SELECT doc_id, CAST(floor(doc_id / 2) AS BIGINT) AS half
+        |  FROM documents),
+        | u AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN
+        |      'https://www.site' || CAST(half % 7 AS VARCHAR) ||
+        |        '.example.com/a/' || CAST(half AS VARCHAR) ||
+        |        '/?utm_source=feed&ref=1&id=7'
+        |    ELSE
+        |      'HTTP://site' || CAST(half % 7 AS VARCHAR) ||
+        |        '.EXAMPLE.com/a/' || CAST(half AS VARCHAR) ||
+        |        '?id=7&utm_campaign=x#frag'
+        |    END AS url FROM h),
+        | c AS (SELECT doc_id,
+        |    regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+        |      '^www\.', '')
+        |    || regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+        |      '/+$', '') AS hp,
+        |    array_to_string(list_sort(list_filter(
+        |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'), p ->
+        |        len(p) > 0 AND NOT starts_with(p, 'utm_')
+        |        AND NOT starts_with(p, 'ref=')
+        |        AND NOT starts_with(p, 'fbclid='))), '&') AS q
+        |  FROM u),
+        | k AS (SELECT doc_id,
+        |    hp || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
+        |  FROM c)
+        |SELECT canonical_url, MIN(doc_id) AS keep_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_urls
+        |FROM k GROUP BY canonical_url
+        |ORDER BY canonical_url""".stripMargin,
     "q86_stratified_sample" ->
       """WITH r AS (SELECT source, doc_id,
         |    CAST(row_number() OVER (PARTITION BY source

@@ -90,8 +90,21 @@ object DedupQueries {
         "doc_id", "text", spanTokens = 8)
       .orderBy(col("doc_id"))
 
+  /** q90 — cross-corpus LSH dedup ([[Dedup.crossCorpusCandidates]]): the
+    * incremental-crawl shape — odd doc_ids are the NEW crawl, even the
+    * existing REFERENCE corpus; candidates are (new, ref) pairs sharing an
+    * LSH band. No self-pairing of the already-deduped reference. */
+  def q90CrossCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    def sig(parity: Int) = Dedup.minhashSignature(
+      docs.filter(col("doc_id") % 2 === parity), "doc_id", "text")
+    Dedup.crossCorpusCandidates(sig(1), sig(0), "doc_id")
+      .transform(tinySort(_, col("new_id"), col("ref_id")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_span_dedup" -> (q77SpanDedup _),
+    "q90_cross_corpus" -> (q90CrossCorpus _),
     "q20_dedup_exact" -> (q20DedupExact _),
     "q70_ngram_novelty" -> (q70NgramNovelty _),
     "q21_minhash_signature" -> (q21MinhashSignature _),
@@ -142,6 +155,16 @@ object DedupQueries {
     "q21_minhash_signature" ->
       s"""WITH $SigCte
          |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+    "q90_cross_corpus" ->
+      s"""WITH $SigCte,
+         | bands AS (
+         |   SELECT doc_id, md5('B0|' || sig0 || '|' || sig1 || '|' || sig2 || '|' || sig3) AS band FROM sig
+         |   UNION ALL
+         |   SELECT doc_id, md5('B1|' || sig4 || '|' || sig5 || '|' || sig6 || '|' || sig7) AS band FROM sig)
+         |SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+         |FROM bands n JOIN bands r ON n.band = r.band
+         |WHERE n.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+         |ORDER BY new_id, ref_id""".stripMargin,
     "q22_lsh_band_pairs" ->
       s"""WITH $SigCte,
          | bands AS (

@@ -227,6 +227,57 @@ class ExtSpec extends AnyFunSuite {
     assert(r1 == refined())
   }
 
+  test("lineFilter: word floor, terminal punctuation, blocklist, toggle") {
+    val df = Seq((1L, Seq(
+      "this is a fine prose sentence.",   // kept
+      "too short.",                       // < 3 words
+      "accept our Cookie policy please.", // blocklisted (case-insensitive)
+      "no terminal punctuation here",     // dropped unless toggle off
+      "another good line stays!").mkString("\n"))).toDF("doc_id", "text")
+    val strict = df.select(TextOps.lineFilter(col("text"), 3,
+      Seq("cookie", "javascript")).as("k")).head().getSeq[String](0)
+    assert(strict == Seq("this is a fine prose sentence.", "another good line stays!"))
+    val loose = df.select(TextOps.lineFilter(col("text"), 3,
+      Seq("cookie", "javascript"), requireTerminal = false).as("k"))
+      .head().getSeq[String](0)
+    assert(loose.contains("no terminal punctuation here") && loose.size == 3)
+  }
+
+  test("url canonicalization collapses spelling variants, keeps distinct pages apart") {
+    val urls = Seq(
+      (1L, "https://www.Example.com/a/b/?utm_source=x&ref=1&id=7"),
+      (2L, "HTTP://example.COM/a/b?id=7&utm_campaign=y#frag"),
+      (3L, "https://example.com/a/b?id=7&page=2"), // extra real param → distinct
+      (4L, "https://example.com/other?id=7")       // different path → distinct
+    ).toDF("id", "url")
+    val c = urls.select(col("id"), graft.ext.Urls.canonical(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(c(1L) == "example.com/a/b?id=7")
+    assert(c(2L) == c(1L))
+    assert(c(3L) == "example.com/a/b?id=7&page=2") // params sorted
+    assert(c(4L) == "example.com/other?id=7")
+    assert(Set(c(1L), c(3L), c(4L)).size == 3)
+  }
+
+  test("crossCorpusCandidates: new↔ref pairs only — no self- or within-side pairs") {
+    val dupText = "the quick brown fox jumps over the lazy dog again and again today"
+    val cross = Seq(
+      (1L, dupText),                                                            // new
+      (3L, "completely different words about spark query engines and shuffles"), // new
+      (5L, dupText),                                                            // new, dup of 1
+      (2L, dupText),                                                            // ref, dup of 1
+      (4L, "unrelated reference corpus document with its own vocabulary set")   // ref
+    ).toDF("doc_id", "text")
+    val sigAll = Dedup.minhashSignature(cross, "doc_id", "text")
+    val pairs = Dedup.crossCorpusCandidates(
+        sigAll.filter(col("doc_id") % 2 === 1),
+        sigAll.filter(col("doc_id") % 2 === 0), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact dups share every band → (1,2) and (5,2) must surface; 1–5 are
+    // dups WITHIN the new side → never paired; unrelated 3/4 share no band
+    assert(pairs == Set((1L, 2L), (5L, 2L)))
+  }
+
   test("text ops: ratios, langid, rolling hash order-sensitivity") {
     val t = Seq((1L, "the cat and the dog")).toDF("id", "text")
     val toks = TextOps.tokens(col("text"))

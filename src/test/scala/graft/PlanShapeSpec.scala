@@ -245,6 +245,37 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q90 cross-corpus LSH joins on the band key only: hash equi-join, no BNLJ") {
+    // the incremental-dedup claim: new-crawl bands meet reference bands in
+    // ONE equi-join on the 32-hex band key — any cartesian/nested-loop here
+    // would be corpus × corpus at 100 TB
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    import org.apache.spark.sql.functions.col
+    def sig(p: Int) = graft.ext.Dedup.minhashSignature(
+      docs.filter(col("doc_id") % 2 === p), "doc_id", "text")
+    val plan = graft.ext.Dedup.crossCorpusCandidates(sig(1), sig(0), "doc_id")
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cross-corpus join is not an equi-join:\n$plan")
+    assert(plan.contains("Join"), s"expected a band-key join:\n$plan")
+  }
+
+  test("q88/q89 map paths: line filter adds no shuffle; url dedup shuffles once") {
+    // q88 is a pure per-row rewrite — its only exchange is the output sort's;
+    // q89's single exchange is the canonical-key aggregation (tinySort's
+    // 1-partition shuffle rides on top)
+    val lf = graft.queries.CurationQueries.q88LineFilter(spark, dir)
+      .queryExecution.sparkPlan.toString
+    val beforeSort = lf.split("Sort", 2).last // plan prints leaves last
+    assert("Exchange".r.findAllIn(beforeSort).length <= 1,
+      s"q88 should only exchange for the final sort:\n$lf")
+    val ud = graft.queries.CurationQueries.q89UrlDedup(spark, dir)
+      .queryExecution.sparkPlan.toString
+    val agg = "HashAggregate".r.findAllIn(ud).length
+    assert(agg >= 2, s"q89 canonical dedup should partial-aggregate:\n$ud")
+    assert(!ud.contains("Join"), s"q89 needs no join:\n$ud")
+  }
+
   test("q81 scoring path is map-side only: vocab ships as a literal, no join, no explode") {
     // unigramLmScore collects the bounded vocabulary while BUILDING the
     // frame; the returned plan must score documents with a pure projection —
