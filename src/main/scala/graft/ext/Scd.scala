@@ -83,6 +83,26 @@ object Scd {
     * Scale shape: ONE full-outer equi-join on the key — both sides shuffle
     * once; at warehouse scale this is the minimal movement any diff needs
     * (AQE broadcasts when a side is small). */
+  /** Apply a [[snapshotDiff]]-shaped change feed to a snapshot: inserts and
+    * updates take the feed's attribute values, deletes drop the key — the
+    * consumer half of the CDC loop (`applyDiff(v1, snapshotDiff(v1, v2)) ≡
+    * v2`, pinned in WarehouseOpsSpec).
+    *
+    * Scale shape: one left anti/semi-free full pass — the snapshot joins
+    * the (usually much smaller, AQE-broadcastable) diff once on the key;
+    * untouched rows stream through the join unmodified. */
+  def applyDiff(snapshot: DataFrame, diff: DataFrame, keyCol: String,
+                attrCols: Seq[String]): DataFrame = {
+    val d = diff.select(col(keyCol) +: col("change_type") +:
+      attrCols.map(a => col(a).as(s"_d_$a")): _*)
+    val merged = snapshot.join(d, Seq(keyCol), "full_outer")
+      .filter(coalesce(col("change_type"), lit("")) =!= "delete")
+      .select(col(keyCol) +: attrCols.map(a =>
+        when(col("change_type").isin("insert", "update"), col(s"_d_$a"))
+          .otherwise(col(a)).as(a)): _*)
+    merged
+  }
+
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
                    attrCols: Seq[String]): DataFrame = {
     val o = oldDf.as("o")

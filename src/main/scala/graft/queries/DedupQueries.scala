@@ -102,9 +102,26 @@ object DedupQueries {
       .transform(tinySort(_, col("new_id"), col("ref_id")))
   }
 
+  /** q91 — near-dup hub centrality ([[graft.ext.Graph.pageRankInt]], 5
+    * damped iterations, integer fixed-point): PageRank over the symmetric
+    * LSH pair graph (the same graph q22 emits and q51 clusters) — ranks the
+    * hub copies a canonical-selection pass would keep. BIGINT arithmetic end
+    * to end, so the oracle's unrolled CTE chain replays every floor division
+    * bit-identically. */
+  def q91PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.minhashSignature(docs, "doc_id", "text"), "doc_id")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    graft.ext.Graph.pageRankInt(edges, "src", "dst", iterations = 5)
+      .transform(tinySort(_, col("node")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_span_dedup" -> (q77SpanDedup _),
     "q90_cross_corpus" -> (q90CrossCorpus _),
+    "q91_pagerank" -> (q91PageRank _),
     "q20_dedup_exact" -> (q20DedupExact _),
     "q70_ngram_novelty" -> (q70NgramNovelty _),
     "q21_minhash_signature" -> (q21MinhashSignature _),
@@ -155,6 +172,33 @@ object DedupQueries {
     "q21_minhash_signature" ->
       s"""WITH $SigCte
          |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+    "q91_pagerank" -> {
+      // unrolled damped-PageRank iterations: r_{i} from r_{i-1}, all BIGINT
+      // (// is DuckDB floor division ≡ Spark `div` on non-negatives)
+      val iters = (1 to 5).map { i =>
+        s"""r$i AS (SELECT d.node,
+           |   CAST(150000000000 + (85 * COALESCE(s.inflow, 0)) // 100 AS BIGINT) AS rank
+           | FROM deg d LEFT JOIN (
+           |   SELECT e.dst AS node, CAST(SUM(r.rank // g.outdeg) AS BIGINT) AS inflow
+           |   FROM r${i - 1} r JOIN deg g ON r.node = g.node
+           |   JOIN edges e ON r.node = e.src
+           |   GROUP BY e.dst) s ON d.node = s.node)""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH $SigCte,
+         | bands AS (
+         |   SELECT doc_id, md5('B0|' || sig0 || '|' || sig1 || '|' || sig2 || '|' || sig3) AS band FROM sig
+         |   UNION ALL
+         |   SELECT doc_id, md5('B1|' || sig4 || '|' || sig5 || '|' || sig6 || '|' || sig7) AS band FROM sig),
+         | pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |   FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         | edges AS (SELECT a AS src, b AS dst FROM pairs
+         |   UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         | deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+         |   FROM edges GROUP BY src),
+         | r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM deg),
+         | $iters
+         |SELECT node, rank FROM r5 ORDER BY node""".stripMargin
+    },
     "q90_cross_corpus" ->
       s"""WITH $SigCte,
          | bands AS (

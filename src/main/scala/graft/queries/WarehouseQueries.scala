@@ -66,7 +66,10 @@ object WarehouseQueries {
     * by changing every tenth segment, deleting every seventeenth customer,
     * and inserting a new key for every hundredth — the diff emits exactly
     * the insert/update/delete delta, never unchanged rows. */
-  def q84SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+  /** Customer snapshot versions shared by q84 (diff) and q93 (apply): v2
+    * changes every tenth segment, deletes every seventeenth key, inserts a
+    * new key for every hundredth. */
+  private def customerV1V2(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val v1 = load(spark, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
     val v2 = v1.filter(col("c_custkey") % 17 =!= 0)
@@ -77,7 +80,23 @@ object WarehouseQueries {
       .unionByName(v1.filter(col("c_custkey") % 100 === 0)
         .select((col("c_custkey") + lit(1000000L)).as("c_custkey"),
           lit("NEWSEG").as("c_mktsegment"), col("c_nationkey")))
+    (v1, v2)
+  }
+
+  def q84SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val (v1, v2) = customerV1V2(spark, dir)
     Scd.snapshotDiff(v1, v2, "c_custkey", Seq("c_mktsegment", "c_nationkey"))
+      .transform(tinySort(_, col("c_custkey")))
+  }
+
+  /** q93 — CDC apply ([[Scd.applyDiff]]): feed q84's diff back onto v1 —
+    * the result must BE v2, and the oracle derives v2 directly, so the hash
+    * match proves the diff→apply loop is lossless. */
+  def q93CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val (v1, v2) = customerV1V2(spark, dir)
+    val attrs = Seq("c_mktsegment", "c_nationkey")
+    Scd.applyDiff(v1, Scd.snapshotDiff(v1, v2, "c_custkey", attrs),
+        "c_custkey", attrs)
       .transform(tinySort(_, col("c_custkey")))
   }
 
@@ -95,11 +114,34 @@ object WarehouseQueries {
         coalesce(col("n_orders"), lit(0L)).as("n_orders"), col("revenue"))
       .transform(tinySort(_, col("day")))
 
+  /** q92 — incremental materialized-view refresh ([[graft.ext.Mv
+    * .mergeAggregates]]): the per-customer order-count/revenue view split at
+    * 1997-01-01 into a BASE view and a DELTA partial, then merged — the
+    * oracle recomputes the aggregate over ALL orders, so the hash match IS
+    * the proof that the incremental refresh equals a full recompute.
+    * DECIMAL(18,2) partials keep the merge exact. */
+  def q92MvRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val orders = load(spark, dir, "orders")
+    val cut = lit("1997-01-01").cast("date")
+    def partial(f: DataFrame) = f.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("revenue"))
+    val base = partial(orders.filter(col("o_orderdate").cast("date") < cut))
+    val delta = partial(orders.filter(col("o_orderdate").cast("date") >= cut))
+    graft.ext.Mv.mergeAggregates(base, delta, Seq("o_custkey"))
+      .select(col("o_custkey"), col("n_orders"),
+        col("revenue").cast("double").as("revenue"))
+      .transform(tinySort(_, col("o_custkey")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_scd2_history" -> (q76Scd2 _),
     "q80_zorder_stats" -> (q80ZorderStats _),
     "q84_snapshot_diff" -> (q84SnapshotDiff _),
-    "q85_gap_fill" -> (q85GapFillDaily _)
+    "q85_gap_fill" -> (q85GapFillDaily _),
+    "q92_mv_refresh" -> (q92MvRefresh _),
+    "q93_cdc_apply" -> (q93CdcApply _)
   )
 
   /** DuckDB replay of [[Layout.zValue]] for (o_custkey, d_days): column j's
@@ -152,6 +194,26 @@ object WarehouseQueries {
         |SELECT s.day, COALESCE(dl.n_orders, 0) AS n_orders, dl.revenue
         |FROM spine s LEFT JOIN daily dl ON s.day = dl.day
         |ORDER BY s.day""".stripMargin,
+    /* v2 derived DIRECTLY (not via diff+apply) — matching it proves the
+     * CDC loop reconstructs the target snapshot exactly */
+    "q93_cdc_apply" ->
+      """SELECT c_custkey, c_mktsegment, c_nationkey FROM (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment || '_V2'
+        |         ELSE c_mktsegment END AS c_mktsegment,
+        |    c_nationkey
+        |  FROM customer WHERE c_custkey % 17 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEWSEG', c_nationkey
+        |  FROM customer WHERE c_custkey % 100 = 0)
+        |ORDER BY c_custkey""".stripMargin,
+    /* full recompute over ALL orders — matching it proves the incremental
+     * base+delta merge is lossless */
+    "q92_mv_refresh" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
     "q80_zorder_stats" ->
       s"""WITH d AS (
          |  SELECT o_custkey,

@@ -70,6 +70,24 @@ class EventsSpec extends AnyFunSuite {
     // k=1 unchanged -> absent
   }
 
+  test("applyDiff roundtrip: applyDiff(v1, snapshotDiff(v1, v2)) ≡ v2") {
+    val v1 = Seq((1L, Some("A"), 10), (2L, Some("B"), 20), (3L, Some("C"), 30),
+        (4L, Option.empty[String], 40))
+      .toDF("k", "seg", "nat")
+    val v2 = Seq((1L, Some("A"), 10), (2L, Some("B2"), 20), (4L, Some("X"), 40), (9L, Some("N"), 90))
+      .toDF("k", "seg", "nat")
+    val diff = graft.ext.Scd.snapshotDiff(v1, v2, "k", Seq("seg", "nat"))
+    val rebuilt = graft.ext.Scd.applyDiff(v1, diff, "k", Seq("seg", "nat"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getInt(2))).toSeq
+    val want = v2.orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getInt(2))).toSeq
+    assert(rebuilt == want)
+    // empty diff is the identity
+    val id = graft.ext.Scd.applyDiff(v1, diff.limit(0), "k", Seq("seg", "nat"))
+    assert(id.orderBy("k").collect().toSeq == v1.orderBy("k").collect().toSeq)
+  }
+
   test("gapFillDaily: silent days appear with zero counts and null measure") {
     def t(day: Int) = new Timestamp(86400000L * day)
     val df = Seq((t(0), 10.0), (t(0), 5.0), (t(3), 2.0)).toDF("ts", "v")

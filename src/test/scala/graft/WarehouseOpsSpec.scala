@@ -127,4 +127,51 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(bloomed == exact)
     assert(exact.nonEmpty)
   }
+
+  test("mv merge: base+delta refresh ≡ full recompute, schema pinned, associative") {
+    val all = (1L to 200L).map(i => (i % 13, i, BigDecimal(i) * 7 / 100))
+      .toDF("g", "one", "amt")
+      .select(col("g"), col("one"), col("amt").cast("decimal(18,2)").as("amt"))
+    def partial(f: org.apache.spark.sql.DataFrame) = f.groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("amt")).cast("decimal(18,2)").as("s"))
+    def rows(f: org.apache.spark.sql.DataFrame) = f.orderBy("g").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2))).toSeq
+    val full = rows(partial(all))
+    // one-shot refresh
+    val oneShot = graft.ext.Mv.mergeAggregates(
+      partial(all.filter(col("one") <= 120)),
+      partial(all.filter(col("one") > 120)), Seq("g"))
+    assert(rows(oneShot) == full)
+    // two successive delta applications reach the same view (associativity)
+    val twoStep = graft.ext.Mv.mergeAggregates(
+      graft.ext.Mv.mergeAggregates(
+        partial(all.filter(col("one") <= 80)),
+        partial(all.filter(col("one") > 80 && col("one") <= 120)), Seq("g")),
+      partial(all.filter(col("one") > 120)), Seq("g"))
+    assert(rows(twoStep) == full)
+    // refresh must not widen dtypes (DECIMAL sum widens to (28,2) unpinned)
+    assert(oneShot.schema("s").dataType == partial(all).schema("s").dataType)
+  }
+
+  test("pageRankInt ≡ an in-memory integer reference on an asymmetric-degree graph") {
+    // 1↔2, 1↔3, 2↔3, 3↔4: node 3 has degree 3, node 4 degree 1
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val got = graft.ext.Graph.pageRankInt(edges, "src", "dst", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: same fixed-point arithmetic in plain Scala
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var rank = adj.keys.map(_ -> 1000000000000L).toMap
+    for (_ <- 1 to 5) {
+      val inflow = adj.toSeq
+        .flatMap { case (s, ds) => ds.map(_ -> rank(s) / ds.size) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      rank = rank.map { case (n, _) =>
+        n -> (150000000000L + 85L * inflow.getOrElse(n, 0L) / 100L) }
+    }
+    assert(got == rank)
+    // hub 3 outranks leaf 4 and the symmetric 1/2 pair
+    assert(got(3L) > got(1L) && got(1L) == got(2L) && got(3L) > got(4L))
+  }
 }
