@@ -33,7 +33,8 @@ object Graph {
     * Returns (node, rank) with rank on the fixed-point `scale`. */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
                   iterations: Int, dampingPct: Int = 85,
-                  scale: Long = 1000000000000L): DataFrame = {
+                  scale: Long = 1000000000000L,
+                  checkpointEvery: Int = 4): DataFrame = {
     require(scale % 100 == 0, "scale must be divisible by 100 for exact teleport mass")
     val teleport = scale / 100 * (100 - dampingPct)
     // materialize the edge list ONCE: every iteration's action re-executes
@@ -43,7 +44,7 @@ object Graph {
     val deg = e.groupBy(col(srcCol).as("node"))
       .agg(count(lit(1)).as("outdeg"))
     var rank = deg.select(col("node"), lit(scale).as("rank"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = rank.join(deg, "node")
         .join(e, col("node") === col(srcCol))
         .select(col(dstCol).as("node"), expr("rank div outdeg").as("share"))
@@ -53,7 +54,15 @@ object Graph {
         .select(col("node"),
           (lit(teleport) +
             expr(s"($dampingPct * coalesce(inflow, cast(0 as bigint))) div 100")).as("rank"))
-      rank = Dedup.checkpointStripped(next)
+      // checkpoint only every `checkpointEvery` rounds: un-checkpointed
+      // rounds chain into ONE plan whose repeated deg/edge subtrees dedup
+      // via ReuseExchange (one action instead of one per round — at
+      // local[32] each eager checkpoint is ~0.3 s of pure driver latency),
+      // while the periodic stripped checkpoint still bounds plan depth and
+      // stats growth for large `iterations`
+      rank = if (i % checkpointEvery == 0 && i < iterations)
+        Dedup.checkpointStripped(next)
+      else next
     }
     rank
   }

@@ -359,4 +359,46 @@ class IncrementalSpec extends AnyFunSuite {
       batches.head.schema, stateDir, ckpt, "k", attrs, maxFilesPerTrigger = Some(1))
     assert(canon(spark.read.parquet(stateDir)) == streamed)
   }
+
+  test("streaming MV maintenance equals the one-shot batch view; replayed batch is skipped") {
+    import spark.implicits._
+    val streamDir = Files.createTempDirectory("graft_mv_stream")
+    val viewDir = Files.createTempDirectory("graft_mv_root").resolve("view").toString
+    val ckpt = Files.createTempDirectory("graft_mv_ckpt").toString
+    val batches = Seq(
+      Seq((1L, 100L), (2L, 250L), (1L, 50L)),
+      Seq((2L, 10L), (3L, 700L)),
+      Seq((1L, 1L), (3L, 2L), (3L, 3L))).map(_.toDF("g", "cents"))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = Files.createTempDirectory(s"graft_mv_b$i")
+      b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(s"b$i.parquet")
+      Files.move(part, dest)
+      dest.toFile.setLastModified(1000000L * (i + 1))
+    }
+    def partial(df: org.apache.spark.sql.DataFrame) = df.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
+    graft.stream.MvStream.runAvailableNow(spark, streamDir.toString,
+      batches.head.schema, viewDir, ckpt, Seq("g"), partial,
+      maxFilesPerTrigger = Some(1))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.select("g", "n", "total").orderBy("g").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val streamed = canon(spark.read.parquet(viewDir))
+    assert(streamed == canon(partial(batches.reduce(_ unionByName _))))
+    // the atomic marker matched the last batch
+    assert(graft.stream.MvStream.lastApplied(spark, viewDir).contains(2L))
+    // crash re-delivery of an already-applied batch id must be a no-op
+    // (SUM merges are NOT idempotent — this is the exactly-once guard)
+    graft.stream.MvStream.applyBatch(spark, viewDir, partial(batches(2)),
+      Seq("g"), batchId = 2L)
+    assert(canon(spark.read.parquet(viewDir)) == streamed)
+    // a genuinely new batch still applies
+    graft.stream.MvStream.applyBatch(spark, viewDir,
+      partial(Seq((1L, 9L)).toDF("g", "cents")), Seq("g"), batchId = 3L)
+    val after = canon(spark.read.parquet(viewDir))
+    assert(after.find(_._1 == 1L).get == ((1L, 4L, 160L)))
+  }
 }
