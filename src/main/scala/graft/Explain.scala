@@ -11,7 +11,8 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_pricing_summary", "q05_star_revenue", "q04_keep_newest",
         "q21_minhash_signature", "q26_embedding_neardup", "q64_cube",
-        "q65_moving_stats", "q55_decontaminate")
+        "q65_moving_stats", "q55_decontaminate", "q90_cross_corpus",
+        "q92_mv_refresh", "q95_anomaly_flags")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -91,6 +91,33 @@ object Events {
       .filter(col("rk") <= topN)
   }
 
+  /** Markov transition matrix over per-user event streams: count
+    * (event_type → next event_type) transitions in time order (ties broken
+    * by `idCol`) and row-normalize into probabilities — the user-journey
+    * model behind next-action prediction and funnel simulation.
+    *
+    * Scale shape: one user-keyed window shuffle for `lead`, one map-side-
+    * combinable pair count; the probability window runs over the
+    * TRANSITION-MATRIX table (|types|² rows, keyed by the source type).
+    * The probability is a single double division of two exact counts —
+    * deterministic in any engine. */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                       idCol: String, typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val counts = events
+      .select(col(typeCol).as("event_type"),
+        lead(col(typeCol), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val rowTotal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    counts.withColumn("prob",
+      col("n_transitions").cast("double") /
+        sum(col("n_transitions")).over(rowTotal).cast("double"))
+  }
+
   /** Cohort retention matrix: cohort = each user's first active day (index
     * relative to `epoch`), offset = days after the cohort day a user is
     * active again; counts distinct users per (cohort_day, day_offset).

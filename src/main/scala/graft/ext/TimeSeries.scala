@@ -44,4 +44,36 @@ object TimeSeries {
       sum(dec).over(w.rowsBetween(Window.unboundedPreceding, 0))
         .cast("double").as("cum_sum"))
   }
+
+  /** Rolling anomaly flags with EXACT integer arithmetic: over a trailing
+    * `frameRows`-row frame on `centsCol` (an integer-scaled measure), flag
+    * rows where (x − mean)² > kSq · var (population variance). The float
+    * form of that test is engine-hostile — window sums associate differently
+    * (segment trees vs sequential frames) and the flag flips on the last
+    * ulp near the boundary — so the test is algebraically cleared of
+    * divisions: with S = Σx, Q = Σx², n the frame count,
+    *
+    *   (x − S/n)² > kSq·(Q/n − S²/n²)  ⇔  (n·x − S)² > kSq·(n·Q − S²)
+    *
+    * evaluated in DECIMAL(38,0) (the oracle uses HUGEINT) — every engine
+    * gets the same booleans for any |x| up to ~10⁹ at frame 7.
+    *
+    * Scale shape: one WindowExec. The series is a per-key aggregate (e.g.
+    * daily totals), so the window keys on a non-foldable constant (q63
+    * idiom) — calendar-bounded input, never O(facts). */
+  def rollingAnomalyFlags(df: DataFrame, orderCol: String, centsCol: String,
+                          frameRows: Int = 7, kSq: Int = 4): DataFrame = {
+    val one = substring(col(orderCol).cast("string"), 0, 0)
+    val w = Window.partitionBy(one).orderBy(col(orderCol))
+      .rowsBetween(-(frameRows - 1), 0)
+    val c = col(centsCol).cast("decimal(38,0)")
+    val s = sum(c).over(w)
+    val q = sum((c * c).cast("decimal(38,0)")).over(w)
+    val n = count(lit(1)).over(w).cast("decimal(38,0)")
+    val lhs = (n * c - s) * (n * c - s)
+    val rhs = lit(kSq).cast("decimal(38,0)") * (n * q - s * s)
+    df.select(col(orderCol), col(centsCol),
+      n.cast("long").as("n_window"),
+      (lhs > rhs).as("is_anomaly"))
+  }
 }

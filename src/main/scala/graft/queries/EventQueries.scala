@@ -33,13 +33,34 @@ object EventQueries {
         "event_type", steps = 4, topN = 10)
       .transform(tinySort(_, col("rk")))
 
+  /** q94 — Markov transition matrix ([[Events.transitionMatrix]]): per-user
+    * next-event transitions, row-normalized. The |types|²-row output makes
+    * the probability window vocabulary-sized. */
+  def q94TransitionMatrix(spark: SparkSession, dir: String): DataFrame =
+    Events.transitionMatrix(load(spark, dir, "events"), "user_id", "ts",
+        "event_id", "event_type")
+      .transform(tinySort(_, col("event_type"), col("next_type")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_funnel" -> (q82Funnel _),
     "q83_retention" -> (q83Retention _),
-    "q87_top_paths" -> (q87TopPaths _)
+    "q87_top_paths" -> (q87TopPaths _),
+    "q94_transition_matrix" -> (q94TransitionMatrix _)
   )
 
   val sql: Map[String, String] = Map(
+    "q94_transition_matrix" ->
+      """WITH o AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) AS next_type
+        |  FROM events),
+        | c AS (SELECT event_type, next_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_transitions
+        |  FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n_transitions,
+        |  CAST(n_transitions AS DOUBLE) /
+        |  CAST(CAST(SUM(n_transitions) OVER (PARTITION BY event_type) AS BIGINT) AS DOUBLE) AS prob
+        |FROM c ORDER BY event_type, next_type""".stripMargin,
     "q82_funnel" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
         |           WHERE event_type = 'view' GROUP BY user_id),

@@ -135,8 +135,25 @@ object WarehouseQueries {
       .transform(tinySort(_, col("o_custkey")))
   }
 
+  /** q95 — exact-integer rolling anomaly flags
+    * ([[graft.ext.TimeSeries.rollingAnomalyFlags]], trailing 7 rows, 2σ):
+    * daily revenue in cents, flagged where (x−mean)² > 4·var with the test
+    * cleared of divisions into DECIMAL(38,0)/HUGEINT arithmetic — the
+    * booleans are bit-identical in any engine, which a float z-score can
+    * never promise. Calendar-bounded input. */
+  def q95AnomalyFlags(spark: SparkSession, dir: String): DataFrame = {
+    val daily = load(spark, dir, "orders")
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1992-01-01").cast("date")).cast("long").as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"))
+    graft.ext.TimeSeries.rollingAnomalyFlags(daily, "day", "cents")
+      .transform(tinySort(_, col("day")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_scd2_history" -> (q76Scd2 _),
+    "q95_anomaly_flags" -> (q95AnomalyFlags _),
     "q80_zorder_stats" -> (q80ZorderStats _),
     "q84_snapshot_diff" -> (q84SnapshotDiff _),
     "q85_gap_fill" -> (q85GapFillDaily _),
@@ -194,6 +211,23 @@ object WarehouseQueries {
         |SELECT s.day, COALESCE(dl.n_orders, 0) AS n_orders, dl.revenue
         |FROM spine s LEFT JOIN daily dl ON s.day = dl.day
         |ORDER BY s.day""".stripMargin,
+    /* the anomaly test replays in HUGEINT: every term exact, so the
+     * booleans cannot drift on a float ulp */
+    "q95_anomaly_flags" ->
+      """WITH d AS (SELECT date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS day, o_totalprice FROM orders),
+        | a AS (SELECT day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+        |  FROM d GROUP BY day),
+        | w AS (SELECT day, cents,
+        |    CAST(COUNT(*) OVER win AS BIGINT) AS n,
+        |    CAST(SUM(CAST(cents AS HUGEINT)) OVER win AS HUGEINT) AS s,
+        |    CAST(SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) OVER win AS HUGEINT) AS q
+        |  FROM a WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, cents, n AS n_window,
+        |  (CAST(n AS HUGEINT) * cents - s) * (CAST(n AS HUGEINT) * cents - s)
+        |    > 4 * (CAST(n AS HUGEINT) * q - s * s) AS is_anomaly
+        |FROM w ORDER BY day""".stripMargin,
     /* v2 derived DIRECTLY (not via diff+apply) — matching it proves the
      * CDC loop reconstructs the target snapshot exactly */
     "q93_cdc_apply" ->

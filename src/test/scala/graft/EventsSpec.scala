@@ -134,6 +134,44 @@ class EventsSpec extends AnyFunSuite {
     assert(out == Seq(("view>click", 3L, 1L), ("error", 1L, 2L)))
   }
 
+  test("transitionMatrix: ordered pairs, tie-break, row-normalized probabilities") {
+    val ev = Seq(
+      (1L, ts(1), 1L, "view"), (1L, ts(2), 2L, "click"), (1L, ts(3), 3L, "view"),
+      (2L, ts(1), 4L, "view"), (2L, ts(2), 5L, "click"), (2L, ts(3), 6L, "purchase"),
+      // u3: same ts — event_id orders (view before click)
+      (3L, ts(1), 7L, "view"), (3L, ts(1), 8L, "click")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.ext.Events.transitionMatrix(ev, "user_id", "ts", "event_id", "event_type")
+      .orderBy("event_type", "next_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq(
+      ("click", "purchase", 1L, 0.5),
+      ("click", "view", 1L, 0.5),
+      ("view", "click", 3L, 1.0)))
+  }
+
+  test("rollingAnomalyFlags: spike flagged, constants and gentle drift are not") {
+    // trailing-7 window, kSq=4 (2σ): a flat series never flags (var = 0 and
+    // x = mean); a 10× spike flags exactly at the spike row
+    val base = (0L until 20L).map(d => (d, 100000L)).toMap + (12L -> 1000000L)
+    val df = base.toSeq.toDF("day", "cents")
+    val got = graft.ext.TimeSeries.rollingAnomalyFlags(df, "day", "cents")
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSeq
+    // scala reference with BigInt — same algebra, no division
+    val ordered = base.toSeq.sortBy(_._1)
+    val want = ordered.zipWithIndex.map { case ((d, x), i) =>
+      val frame = ordered.slice(math.max(0, i - 6), i + 1).map(_._2).map(BigInt(_))
+      val n = BigInt(frame.size); val s = frame.sum; val q = frame.map(v => v * v).sum
+      (d, frame.size.toLong, (n * x - s).pow(2) > 4 * (n * q - s * s))
+    }
+    assert(got == want)
+    assert(got.count(_._3) == 1 && got.find(_._3).get._1 == 12L)
+    // the spike also drags the window's variance up afterwards: day 13's
+    // value is NOT flagged against the inflated frame
+    assert(!got.find(_._1 == 13L).get._3)
+  }
+
   test("unigramLmScore: exact probabilities, OOV floor, document-order sum") {
     val d = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
     // counts: a=2, b=1, c=1, total=4; topK=2 → vocab {a: 0.5, b: 0.25}
