@@ -145,4 +145,61 @@ class PropertySpec extends AnyFunSuite {
       else out.length == bids.length
     })
   }
+
+  test("lineFilter is idempotent: filtering the kept lines keeps them all") {
+    val wordGen = Gen.oneOf("alpha", "beta", "the", "cookie", "scan", "xy")
+    val lineGen = for {
+      n <- Gen.choose(0, 6)
+      ws <- Gen.listOfN(n, wordGen)
+      punct <- Gen.oneOf("", ".", "!", "")
+    } yield ws.mkString(" ") + punct
+    val docGen = Gen.choose(1, 6).flatMap(k => Gen.listOfN(k, lineGen))
+    check(Prop.forAll(docGen) { lines =>
+      val df = Seq(Tuple1(lines.mkString("\n"))).toDF("text")
+      val kept = df.select(graft.ext.TextOps.lineFilter(col("text"), 2,
+        Seq("cookie")).as("k")).head().getSeq[String](0)
+      val kept2 = Seq(Tuple1(kept.mkString("\n"))).toDF("text")
+        .select(graft.ext.TextOps.lineFilter(col("text"), 2,
+          Seq("cookie")).as("k")).head().getSeq[String](0)
+      kept2 == kept
+    })
+  }
+
+  test("url canonicalization is a fixpoint: canonical(scheme + canonical(u)) == canonical(u)") {
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP")
+      www <- Gen.oneOf("", "www.")
+      host <- Gen.oneOf("Example.com", "site7.example.com", "a.B.c")
+      path <- Gen.oneOf("", "/x", "/x/y/", "/x//")
+      q <- Gen.oneOf("", "?utm_source=a", "?id=7&utm_b=1", "?b=2&a=1", "?ref=z&id=3")
+      frag <- Gen.oneOf("", "#f")
+    } yield s"$scheme://$www$host$path$q$frag"
+    check(Prop.forAll(urlGen) { u =>
+      val c = Seq(Tuple1(u)).toDF("u")
+        .select(graft.ext.Urls.canonical(col("u")).as("c")).head().getString(0)
+      val c2 = Seq(Tuple1("https://" + c)).toDF("u")
+        .select(graft.ext.Urls.canonical(col("u")).as("c")).head().getString(0)
+      c2 == c
+    })
+  }
+
+  test("cross-corpus candidates ≡ self-join pairs of the union, restricted to cross pairs") {
+    import graft.ext.Dedup
+    val docs = (0L until 40L).map { i =>
+      // planted near-dup structure: groups of 4 share a long common prefix
+      val tail = if (i % 4 == 3) s"unique suffix $i entirely different content here" else s"tail $i"
+      (i, s"group ${i / 4} shares this long common prefix of many tokens $tail")
+    }.toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text")
+    val newSig = sig.filter(col("doc_id") % 2 === 1)
+    val refSig = sig.filter(col("doc_id") % 2 === 0)
+    val cross = Dedup.crossCorpusCandidates(newSig, refSig, "doc_id")
+      .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val full = Dedup.lshCandidatePairs(sig, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a % 2 != b % 2 }.toSet
+    assert(cross == full)
+    assert(cross.nonEmpty, "planted near-dups produced no candidates")
+  }
 }
