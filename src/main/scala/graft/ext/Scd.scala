@@ -83,6 +83,21 @@ object Scd {
     * Scale shape: ONE full-outer equi-join on the key — both sides shuffle
     * once; at warehouse scale this is the minimal movement any diff needs
     * (AQE broadcasts when a side is small). */
+  /** Point-in-time (temporal) lookup against an SCD2 history: resolve each
+    * probe row's key to the dimension version valid at the probe's clock
+    * `timeCol` — `valid_from <= t < valid_to` (open `valid_to` = current).
+    * Probes before a key's first version (or for unknown keys) drop out.
+    *
+    * Scale shape: ONE equi-join on the key + a validity post-filter —
+    * versions per key are bounded (append-only history, few versions), so
+    * the filter discards O(versions) rows per probe. Deliberately NOT a
+    * range join: an inequality-only join would plan BNLJ at fact scale. */
+  def pointInTime(probes: DataFrame, history: DataFrame, keyCol: String,
+                  timeCol: String): DataFrame =
+    probes.join(history, Seq(keyCol))
+      .filter(col("valid_from") <= col(timeCol) &&
+        (col("valid_to").isNull || col(timeCol) < col("valid_to")))
+
   /** Apply a [[snapshotDiff]]-shaped change feed to a snapshot: inserts and
     * updates take the feed's attribute values, deletes drop the key — the
     * consumer half of the CDC loop (`applyDiff(v1, snapshotDiff(v1, v2)) ≡

@@ -18,7 +18,9 @@ object WarehouseQueries {
     * the rest unchanged — proving no-op idempotence) plus brand-new keys
     * (custkey+1e6 for every hundredth). The output is the full version
     * history: one row per (key, version) with batch-clock validity. */
-  def q76Scd2(spark: SparkSession, dir: String): DataFrame = {
+  /** The two-batch customer SCD2 history shared by q76 (dump) and q96
+    * (point-in-time lookup). */
+  private def customerScd2History(spark: SparkSession, dir: String): DataFrame = {
     val attrs = Seq("c_mktsegment", "c_nationkey")
     val cust = load(spark, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
@@ -32,10 +34,32 @@ object WarehouseQueries {
         lit("NEWSEG").as("c_mktsegment"), col("c_nationkey"))
     val state1 = Scd.scd2Init(cust, "c_custkey", attrs, batchId = 1L)
     Scd.scd2Merge(state1, updates.unionByName(newKeys), "c_custkey", attrs,
-        batchId = 2L)
+      batchId = 2L)
+  }
+
+  def q76Scd2(spark: SparkSession, dir: String): DataFrame =
+    customerScd2History(spark, dir)
       // O(customers) output over cheap joins — the plain range sort is the
       // correct distributed dump plan
       .orderBy(col("c_custkey"), col("valid_from"))
+
+  /** q96 — point-in-time lookup ([[Scd.pointInTime]]): every key (incl. the
+    * batch-2-only NEWSEG keys) probed at clocks t=1 and t=2 against the q76
+    * history — t=1 resolves the ORIGINAL segment (the closed version for
+    * changed keys), t=2 the current one, and t=1 probes of batch-2-only
+    * keys drop out. One key equi-join + validity filter, never a range
+    * join. */
+  def q96PointInTime(spark: SparkSession, dir: String): DataFrame = {
+    val hist = customerScd2History(spark, dir)
+    val cust = load(spark, dir, "customer").select(col("c_custkey"))
+    val keys = cust.unionByName(
+      cust.filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") + lit(1000000L)).as("c_custkey")))
+    val probes = keys.select(col("c_custkey"),
+      explode(array(lit(1L), lit(2L))).as("t"))
+    Scd.pointInTime(probes, hist, "c_custkey", "t")
+      .select(col("c_custkey"), col("t"), col("c_mktsegment"), col("valid_from"))
+      .orderBy(col("c_custkey"), col("t"))
   }
 
   private val ZBits = 20
@@ -158,7 +182,8 @@ object WarehouseQueries {
     "q84_snapshot_diff" -> (q84SnapshotDiff _),
     "q85_gap_fill" -> (q85GapFillDaily _),
     "q92_mv_refresh" -> (q92MvRefresh _),
-    "q93_cdc_apply" -> (q93CdcApply _)
+    "q93_cdc_apply" -> (q93CdcApply _),
+    "q96_point_in_time" -> (q96PointInTime _)
   )
 
   /** DuckDB replay of [[Layout.zValue]] for (o_custkey, d_days): column j's
@@ -211,6 +236,31 @@ object WarehouseQueries {
         |SELECT s.day, COALESCE(dl.n_orders, 0) AS n_orders, dl.revenue
         |FROM spine s LEFT JOIN daily dl ON s.day = dl.day
         |ORDER BY s.day""".stripMargin,
+    /* probes × the q76 hist CTE, joined with the same validity rule — the
+     * differential check replays the temporal join itself */
+    "q96_point_in_time" ->
+      """WITH hist AS (
+        |  SELECT c_custkey, c_mktsegment, c_nationkey,
+        |    CAST(1 AS BIGINT) AS valid_from,
+        |    CASE WHEN c_custkey % 10 = 0 THEN CAST(2 AS BIGINT)
+        |         ELSE CAST(NULL AS BIGINT) END AS valid_to
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment || '_V2', c_nationkey,
+        |    CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEWSEG', c_nationkey,
+        |    CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM customer WHERE c_custkey % 100 = 0),
+        | keys AS (SELECT c_custkey FROM customer
+        |   UNION ALL SELECT c_custkey + 1000000 FROM customer WHERE c_custkey % 100 = 0),
+        | probes AS (SELECT k.c_custkey, t.t
+        |   FROM keys k, (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT))) AS t(t))
+        |SELECT p.c_custkey, p.t, h.c_mktsegment, h.valid_from
+        |FROM probes p JOIN hist h ON p.c_custkey = h.c_custkey
+        |WHERE h.valid_from <= p.t AND (h.valid_to IS NULL OR p.t < h.valid_to)
+        |ORDER BY 1, 2""".stripMargin,
     /* the anomaly test replays in HUGEINT: every term exact, so the
      * booleans cannot drift on a float ulp */
     "q95_anomaly_flags" ->

@@ -128,6 +128,24 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("pointInTime resolves the version valid at each probe clock") {
+    val b1 = Seq((1L, "A", 10), (2L, "B", 20)).toDF("k", "seg", "nat")
+    val s1 = Scd.scd2Init(b1, "k", attrs, 1L)
+    val s2 = Scd.scd2Merge(s1, Seq((1L, "A2", 10), (9L, "N", 90)).toDF("k", "seg", "nat"),
+      "k", attrs, 3L)
+    val probes = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 3L), (9L, 1L), (9L, 3L), (7L, 3L))
+      .toDF("k", "t")
+    val got = Scd.pointInTime(probes, s2, "k", "t")
+      .select("k", "t", "seg").orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      (1L, 1L, "A"),  // version A valid [1,3)
+      (1L, 2L, "A"),  // still the closed version at t=2
+      (1L, 3L, "A2"), // the new current version from t=3
+      (2L, 3L, "B"),  // never changed
+      (9L, 3L, "N"))) // key born at t=3: its t=1 probe dropped; 7 unknown
+  }
+
   test("mv merge: base+delta refresh ≡ full recompute, schema pinned, associative") {
     val all = (1L to 200L).map(i => (i % 13, i, BigDecimal(i) * 7 / 100))
       .toDF("g", "one", "amt")
