@@ -124,6 +124,33 @@ object DataQuality {
       .agg(percentile_approx(col(valueCol), lit(q), lit(accuracy))
         .cast("double").as("cap_approx"))
 
+  /** Equi-width histogram: `nBins` equal-width bins over the OBSERVED
+    * [min, max] of `valueCol`. Two passes: a 1-row min/max aggregate
+    * broadcast onto the scan, then one map-side-combinable bin count.
+    * The max value itself is clamped into the last bin (`least`). Bin
+    * boundaries (`bin_lo`/`bin_hi`) are recomputed with the same IEEE
+    * expression shape the binning used, so the oracle replays them
+    * bit-identically — no rounding anywhere.
+    *
+    * Scale shape: two scans (stats + counts), zero shuffles beyond the
+    * two aggregations; output is `nBins` rows. The empty-bin case keeps its
+    * row absent by design (gap-fill is [[graft.ext.Events.gapFillDaily]]'s
+    * job; a histogram over 100 TB still fits in a calendar-sized frame). */
+  def equiWidthHistogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val stats = df.agg(min(col(valueCol)).cast("double").as("_mn"),
+      max(col(valueCol)).cast("double").as("_mx"))
+    val w = (col("_mx") - col("_mn")) / lit(nBins.toDouble)
+    df.select(col(valueCol).cast("double").as("_v"))
+      .crossJoin(broadcast(stats))
+      .select(least(floor((col("_v") - col("_mn")) / w), lit(nBins - 1L))
+        .cast("long").as("bin"), col("_mn"), w.as("_w"))
+      .groupBy(col("bin"))
+      .agg(first(col("_mn") + col("bin") * col("_w")).as("bin_lo"),
+        first(col("_mn") + (col("bin") + 1) * col("_w")).as("bin_hi"),
+        count(lit(1)).as("n_rows"))
+  }
+
   def quantileTrimStats(df: DataFrame, groupCol: String, valueCol: String,
                         q: Double): DataFrame = {
     val capsExact = df.groupBy(col(groupCol))

@@ -222,6 +222,34 @@ object Dedup {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** LSH parameter evaluation: precision/recall of a CANDIDATE pair set
+    * against a ground-truth pair set (both canonical `a < b` pairs on the
+    * same id universe — here, exact Jaccard on the bounded audit slice).
+    * This is the tuning loop every production dedup pipeline runs before
+    * committing band/row parameters: recall tells you what the bands MISS,
+    * precision what the verify stage must pay to filter.
+    *
+    * Returns one row: (n_candidates, n_truth, n_hits, precision, recall) —
+    * each ratio ONE double division of two exact counts.
+    *
+    * Scale shape: one equi-join of two pair sets (both O(candidates), never
+    * O(corpus²) — truth comes from a bounded audit sample), three 1-row
+    * aggregates combined by broadcast cross join. */
+  def lshEval(candidates: DataFrame, truth: DataFrame,
+              aCol: String, bCol: String): DataFrame = {
+    val c = candidates.select(col(aCol).as("a"), col(bCol).as("b"))
+    val t = truth.select(col(aCol).as("a"), col(bCol).as("b"))
+    val nC = c.agg(count(lit(1)).as("n_candidates"))
+    val nT = t.agg(count(lit(1)).as("n_truth"))
+    val nH = c.join(t, Seq("a", "b")).agg(count(lit(1)).as("n_hits"))
+    nC.crossJoin(nT).crossJoin(nH)
+      .select(col("n_candidates"), col("n_truth"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_candidates").cast("double"))
+          .as("precision"),
+        (col("n_hits").cast("double") / col("n_truth").cast("double"))
+          .as("recall"))
+  }
+
   /** Duplicate clusters: connected components over a near-dup pair graph
     * (the step after any pairwise detector — exact, LSH, embedding — that
     * turns pairs into keep-one-per-cluster decisions). Labels are the MIN id

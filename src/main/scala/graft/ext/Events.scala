@@ -118,6 +118,125 @@ object Events {
         sum(col("n_transitions")).over(rowTotal).cast("double"))
   }
 
+  /** Peak interval concurrency (sweep line): how many intervals of each
+    * `typeCol` overlap at the busiest instant of each day. Each row opens an
+    * interval [ts, ts + durSecs) (clamped to its calendar day, so the sweep
+    * is complete within every (type, day) partition); the sweep explodes
+    * ±1 boundary events and takes the max running sum. End events sort
+    * BEFORE start events at the same instant (delta ascending), so an
+    * interval ending exactly when another starts does NOT count as
+    * concurrent — the half-open convention.
+    *
+    * Scale shape: one map-side explode (2 rows per input), one
+    * (type, day)-keyed window shuffle, one map-side-combinable max per
+    * group. Output is |types| × |days| rows — calendar-bounded. All
+    * arithmetic integer; the only per-row state is the running sum. */
+  def peakConcurrency(events: DataFrame, typeCol: String, tsCol: String,
+                      idCol: String, durSecs: Column, epoch: String): DataFrame = {
+    val dayEnd = date_add(col(tsCol).cast("date"), 1).cast("timestamp_ntz")
+    val endTs = least(expr(s"timestampadd(SECOND, _dur, $tsCol)"), dayEnd)
+    val bounds = events
+      .withColumn("_dur", durSecs)
+      .select(col(typeCol).as("event_type"),
+        col(tsCol).cast("date").as("_dayd"), col(idCol).as("_id"),
+        explode(array(
+          struct(col(tsCol).as("t"), lit(1).as("delta")),
+          struct(endTs.as("t"), lit(-1).as("delta")))).as("_b"))
+      .select(col("event_type"), col("_dayd"), col("_id"),
+        col("_b.t").as("t"), col("_b.delta").as("delta"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("_dayd"))
+      .orderBy(col("t").asc, col("delta").asc, col("_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    bounds.withColumn("_run", sum(col("delta")).over(w))
+      .groupBy(col("event_type"), col("_dayd"))
+      .agg(max(col("_run")).cast("long").as("peak_concurrency"))
+      .select(col("event_type"),
+        datediff(col("_dayd"), lit(epoch).cast("date")).cast("long").as("day"),
+        col("peak_concurrency"))
+  }
+
+  /** Gaps-and-islands activity streaks: per user, group CONSECUTIVE active
+    * days into islands (the classic `day − row_number()` trick — constant
+    * within a run of consecutive days, jumps at every gap) and report the
+    * longest streak, streak count, and total active days.
+    *
+    * Scale shape: one distinct over (user, day) — map-side combinable —
+    * one user-keyed window for row_number, two map-side-combinable
+    * aggregations. Output is one row per user. */
+  def activityStreaks(events: DataFrame, userCol: String, tsCol: String,
+                      epoch: String): DataFrame = {
+    val day = datediff(col(tsCol).cast("date"), lit(epoch).cast("date"))
+      .cast("long").as("_day")
+    val activity = events.select(col(userCol), day).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col("_day"))
+    activity
+      .withColumn("_island", col("_day") - row_number().over(w))
+      .groupBy(col(userCol), col("_island"))
+      .agg(count(lit(1)).as("_len"))
+      .groupBy(col(userCol))
+      .agg(max(col("_len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("_len")).as("n_active_days"))
+  }
+
+  /** Last-touch attribution: each `target` event is attributed to the LAST
+    * preceding non-target event type of the same user (time order, ties by
+    * `idCol`); targets with no preceding touch attribute to "(none)".
+    * Returns per attributed type: conversion count and exact-cents revenue
+    * (`valueCol` cast to DECIMAL(18,2) BEFORE summing — double summation
+    * order is engine-dependent, decimal is exact).
+    *
+    * Scale shape: one user-keyed window shuffle (`last` with ignoreNulls
+    * over the preceding frame is O(1) state per row), one
+    * map-side-combinable aggregation over |types| groups. */
+  def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
+                           idCol: String, typeCol: String, valueCol: String,
+                           target: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events
+      .withColumn("_touch",
+        last(when(col(typeCol) =!= target, col(typeCol)), ignoreNulls = true).over(w))
+      .filter(col(typeCol) === target)
+      .groupBy(coalesce(col("_touch"), lit("(none)")).as("attributed_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("revenue"))
+  }
+
+  /** Event-type co-occurrence with lift: how often two event types occur in
+    * the same (user, day) basket vs what independence predicts.
+    * `lift = P(a,b) / (P(a)·P(b)) = co·N / (nₐ·n_b)` — computed as ONE
+    * double division of two exact BIGINT products, so it replays
+    * bit-identically in any engine (no logs: PMI's `ln` is libm-dependent).
+    *
+    * Scale shape: one distinct over (user, day, type), one (user, day)-keyed
+    * self equi-join (baskets are small — bounded by the type vocabulary),
+    * per-type counts broadcast onto the vocabulary-sized pair table. */
+  def cooccurrenceLift(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String): DataFrame = {
+    val baskets = events
+      .select(col(userCol).as("_u"), col(tsCol).cast("date").as("_d"),
+        col(typeCol).as("_t"))
+      .distinct()
+    val n = baskets.select(col("_u"), col("_d")).distinct()
+      .agg(count(lit(1)).as("_n"))
+    val typeCounts = baskets.groupBy(col("_t")).agg(count(lit(1)).as("_nt"))
+    val co = baskets.as("a").join(baskets.as("b"),
+        col("a._u") === col("b._u") && col("a._d") === col("b._d") &&
+          col("a._t") < col("b._t"))
+      .groupBy(col("a._t").as("type_a"), col("b._t").as("type_b"))
+      .agg(count(lit(1)).as("n_co"))
+    co.join(broadcast(typeCounts.select(col("_t").as("type_a"), col("_nt").as("n_a"))), "type_a")
+      .join(broadcast(typeCounts.select(col("_t").as("type_b"), col("_nt").as("n_b"))), "type_b")
+      .crossJoin(broadcast(n))
+      .select(col("type_a"), col("type_b"), col("n_co"), col("n_a"), col("n_b"),
+        ((col("n_co") * col("_n")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
   /** Cohort retention matrix: cohort = each user's first active day (index
     * relative to `epoch`), offset = days after the cohort day a user is
     * active again; counts distinct users per (cohort_day, day_offset).

@@ -66,4 +66,36 @@ object Graph {
     }
     rank
   }
+
+  /** Triangle census over an UNDIRECTED graph given as canonical pairs
+    * (`aCol` < `bCol`, distinct). A triangle {x<y<z} is counted exactly once
+    * by the oriented wedge join: edges (x,y)⋈(y,z) on the middle vertex,
+    * closed by probing (x,z) — every edge list stays in ascending
+    * orientation, so no pair is enumerated twice and no `DISTINCT` over
+    * wedges is needed. Near-dup graphs are what this runs on here: a high
+    * triangle density inside an LSH candidate set is the classic signal
+    * that candidates are true duplicate CLIQUES rather than hash noise.
+    *
+    * Returns one row: (n_nodes, n_edges, n_triangles).
+    *
+    * Scale shape: two equi-joins over the PAIR graph (O(edges) and
+    * O(wedges)), never over the corpus; the skew guard at real scale is
+    * degree-ordering (orienting edges low-degree→high-degree), which this
+    * canonical id orientation approximates for near-dup graphs whose hubs
+    * are min-ids. */
+  def triangleStats(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = pairs.select(col(aCol).as("a"), col(bCol).as("b")).distinct()
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val tri = wedges.join(e.as("e3"),
+        col("x") === col("e3.a") && col("z") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = e.select(col("a").as("v"))
+      .unionByName(e.select(col("b").as("v"))).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    nodes.crossJoin(edges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

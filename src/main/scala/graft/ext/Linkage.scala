@@ -1,0 +1,44 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Record linkage / entity resolution: fuzzy string matching with blocking.
+  *
+  * The all-pairs edit-distance comparison is O(n²) and never runs at scale;
+  * the standard shape (Fellegi–Sunter style blocking) is: reduce to DISTINCT
+  * values first (names repeat heavily in fact tables), derive a cheap
+  * BLOCKING KEY per value (here: a caller-supplied expression, e.g. the last
+  * token, a phonetic code, a length bucket), self-equi-join on the block key,
+  * and only run the expensive `levenshtein` comparator inside each block.
+  * Candidate volume is Σ|block|² over blocks — bounded by the blocking
+  * choice, not the corpus.
+  *
+  * `levenshtein` is the same exact integer DP in Spark and DuckDB, so the
+  * whole operator replays bit-identically in the oracle — no float anywhere.
+  *
+  * Scale shape: one DISTINCT aggregation (map-side combinable — the value
+  * domain is vocabulary-sized, not row-sized), one block-keyed self
+  * equi-join, map-side distance filter. No BNLJ, no cartesian.
+  */
+object Linkage {
+
+  /** Fuzzy duplicate-value pairs: distinct `nameCol` values (with support
+    * counts and min exemplar id), blocked by `blockKey(name)`, paired within
+    * each block at `levenshtein ≤ maxDist` (and unequal). Returns
+    * (name_a < name_b, block, dist, n_a, n_b) — the candidate map for a
+    * merge/canonicalize pass. */
+  def blockedFuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
+                        blockKey: Column => Column, maxDist: Int): DataFrame = {
+    val values = df.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n_rows"), min(col(idCol)).as("min_id"))
+      .withColumn("block", blockKey(col("name")))
+    values.as("a").join(values.as("b"),
+        col("a.block") === col("b.block") && col("a.name") < col("b.name"))
+      .withColumn("dist", levenshtein(col("a.name"), col("b.name")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+        col("a.block").as("block"), col("dist").cast("long").as("dist"),
+        col("a.n_rows").as("n_a"), col("b.n_rows").as("n_b"))
+  }
+}

@@ -163,7 +163,19 @@ object AdvancedJoinQueries {
       .orderBy(col("event_id"))
   }
 
+  /** q97 — blocked fuzzy join ([[graft.ext.Linkage.blockedFuzzyPairs]]):
+    * near-duplicate part NAMES at levenshtein ≤ 2, blocked on the last
+    * name token so the comparator only runs inside blocks — the
+    * entity-resolution candidate map. Exact integer edit distance replays
+    * identically in DuckDB. */
+  def q97FuzzyPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Linkage.blockedFuzzyPairs(load(spark, dir, "part"),
+        "p_partkey", "p_name",
+        blockKey = name => element_at(split(name, " "), -1), maxDist = 2)
+      .transform(tinySort(_, col("name_a"), col("name_b")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_fuzzy_pairs" -> (q97FuzzyPairs _),
     "q41_sessionize" -> (q41Sessionize _),
     "q65_moving_stats" -> (q65MovingStats _),
     "q74_rank_suite" -> (q74RankSuite _),
@@ -177,6 +189,18 @@ object AdvancedJoinQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "q97_fuzzy_pairs" ->
+      """WITH v AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |            MIN(p_partkey) AS min_id
+        |           FROM part GROUP BY 1),
+        | b AS (SELECT name, n_rows, min_id,
+        |         string_split(name, ' ')[-1] AS block FROM v)
+        |SELECT a.name AS name_a, b2.name AS name_b, a.block AS block,
+        |  CAST(levenshtein(a.name, b2.name) AS BIGINT) AS dist,
+        |  a.n_rows AS n_a, b2.n_rows AS n_b
+        |FROM b a JOIN b b2 ON a.block = b2.block AND a.name < b2.name
+        |WHERE levenshtein(a.name, b2.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
     "q74_rank_suite" ->
       """SELECT event_id, event_type, value,
         |  CAST(dense_rank() OVER w AS BIGINT) AS drk,

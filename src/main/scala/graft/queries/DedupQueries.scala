@@ -118,7 +118,37 @@ object DedupQueries {
       .transform(tinySort(_, col("node")))
   }
 
+  /** q100 — triangle census over the near-dup pair graph
+    * ([[graft.ext.Graph.triangleStats]]): the clique-density audit of an
+    * LSH candidate set (triangles ⇒ true duplicate cliques, wedges without
+    * closure ⇒ hash noise). One row: nodes / edges / triangles. */
+  def q100Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.minhashSignature(docs, "doc_id", "text"), "doc_id")
+    graft.ext.Graph.triangleStats(pairs, "doc_a", "doc_b")
+  }
+
+  /** q104 — LSH parameter evaluation ([[Dedup.lshEval]]): precision/recall
+    * of the band candidates against exact Jaccard ≥ 0.95 ground truth on a
+    * 1-in-3 id sample (`doc_id % 3 = 0` — an id-mod sample keeps ~1/9 of
+    * true pairs at ANY scale, unlike a fixed id range whose partners
+    * migrate out of range as the corpus grows). Truth threshold sits ABOVE
+    * the 0.8 the bands were tuned for, so precision measures the
+    * 0.8–0.95 near-misses the verify stage must filter. */
+  def q104LshEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val cand = Dedup.lshCandidatePairs(
+        Dedup.minhashSignature(docs, "doc_id", "text"), "doc_id")
+      .filter(col("doc_a") % 3 === 0 && col("doc_b") % 3 === 0)
+    val truth = Dedup.jaccardPairs(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", maxId = Long.MaxValue, threshold = 0.95)
+    Dedup.lshEval(cand, truth, "doc_a", "doc_b")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_triangles" -> (q100Triangles _),
+    "q104_lsh_eval" -> (q104LshEval _),
     "q77_span_dedup" -> (q77SpanDedup _),
     "q90_cross_corpus" -> (q90CrossCorpus _),
     "q91_pagerank" -> (q91PageRank _),
@@ -132,6 +162,47 @@ object DedupQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "q100_triangles" ->
+      s"""WITH $SigCte,
+         | bands AS (
+         |   SELECT doc_id, md5('B0|' || sig0 || '|' || sig1 || '|' || sig2 || '|' || sig3) AS band FROM sig
+         |   UNION ALL
+         |   SELECT doc_id, md5('B1|' || sig4 || '|' || sig5 || '|' || sig6 || '|' || sig7) AS band FROM sig),
+         | pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |   FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         | wedge AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |   FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a),
+         | tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |   FROM wedge w JOIN pairs e3 ON w.x = e3.a AND w.z = e3.b),
+         | nn AS (SELECT CAST(COUNT(DISTINCT v) AS BIGINT) AS n_nodes
+         |   FROM (SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs)),
+         | ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs)
+         |SELECT n_nodes, n_edges, n_triangles FROM nn, ne, tri""".stripMargin,
+    "q104_lsh_eval" ->
+      s"""WITH $SigCte,
+         | bands AS (
+         |   SELECT doc_id, md5('B0|' || sig0 || '|' || sig1 || '|' || sig2 || '|' || sig3) AS band FROM sig
+         |   UNION ALL
+         |   SELECT doc_id, md5('B1|' || sig4 || '|' || sig5 || '|' || sig6 || '|' || sig7) AS band FROM sig),
+         | pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |   FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         | cand AS (SELECT a, b FROM pairs WHERE a % 3 = 0 AND b % 3 = 0),
+         | sub AS (SELECT * FROM sh WHERE doc_id % 3 = 0),
+         | c AS (SELECT doc_id, COUNT(*) n FROM sub GROUP BY doc_id),
+         | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |       FROM sub a JOIN sub b ON a.sg = b.sg AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         | truth AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |   JOIN c ca ON ca.doc_id = doc_a JOIN c cb ON cb.doc_id = doc_b
+         |   WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.95),
+         | nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+         | nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+         | nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+         |   FROM cand JOIN truth ON cand.a = truth.a AND cand.b = truth.b)
+         |SELECT n_candidates, n_truth, n_hits,
+         |  CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE) AS precision,
+         |  CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+         |FROM nc, nt, nh""".stripMargin,
     "q77_span_dedup" ->
       """WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         | s AS (SELECT doc_id, toks,

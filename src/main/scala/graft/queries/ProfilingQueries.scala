@@ -54,14 +54,37 @@ object ProfilingQueries {
         "source", "n_chars", q = 0.99)
       .transform(tinySort(_, col("source")))
 
+  /** q101 — equi-width histogram ([[DataQuality.equiWidthHistogram]]):
+    * 20 bins over observed [min, max] of order totals; the two-pass
+    * (1-row stats broadcast, then map-side binning) profile operator. Bin
+    * boundaries keep the raw IEEE doubles — no rounding — so the oracle
+    * replays them bit-identically. */
+  def q101Histogram(spark: SparkSession, dir: String): DataFrame =
+    DataQuality.equiWidthHistogram(load(spark, dir, "orders"),
+        "o_totalprice", nBins = 20)
+      .transform(tinySort(_, col("bin")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_column_profile" -> (q71ColumnProfile _),
     "q72_dq_checks" -> (q72DqChecks _),
-    "q73_length_trim" -> (q73LengthTrim _))
+    "q73_length_trim" -> (q73LengthTrim _),
+    "q101_histogram" -> (q101Histogram _))
 
   private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
 
   val sql: Map[String, String] = Map(
+    "q101_histogram" ->
+      """WITH s AS (SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS mn,
+        |            CAST(MAX(o_totalprice) AS DOUBLE) AS mx FROM orders),
+        | b AS (SELECT LEAST(FLOOR((CAST(o_totalprice AS DOUBLE) - mn) /
+        |                          ((mx - mn) / 20.0)), 19) AS bin,
+        |         mn, (mx - mn) / 20.0 AS w
+        |       FROM orders, s)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  first(mn + bin * w) AS bin_lo,
+        |  first(mn + (bin + 1) * w) AS bin_hi,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "q71_column_profile" -> ProfileCols.map(c =>
       s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
          |  COUNT(*) - COUNT($c) AS n_nulls,
