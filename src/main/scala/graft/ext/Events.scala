@@ -133,14 +133,17 @@ object Events {
     * arithmetic integer; the only per-row state is the running sum. */
   def peakConcurrency(events: DataFrame, typeCol: String, tsCol: String,
                       idCol: String, durSecs: Column, epoch: String): DataFrame = {
-    val dayEnd = date_add(col(tsCol).cast("date"), 1).cast("timestamp_ntz")
-    val endTs = least(expr(s"timestampadd(SECOND, _dur, $tsCol)"), dayEnd)
+    val dayEnd = date_add(col("_ts").cast("date"), 1).cast("timestamp_ntz")
+    val endTs = least(expr("timestampadd(SECOND, _dur, _ts)"), dayEnd)
     val bounds = events
+      // normalize to NTZ so the day-end clamp type-checks for TIMESTAMP
+      // inputs too (identity for the NTZ tables; UTC session elsewhere)
+      .withColumn("_ts", col(tsCol).cast("timestamp_ntz"))
       .withColumn("_dur", durSecs)
       .select(col(typeCol).as("event_type"),
-        col(tsCol).cast("date").as("_dayd"), col(idCol).as("_id"),
+        col("_ts").cast("date").as("_dayd"), col(idCol).as("_id"),
         explode(array(
-          struct(col(tsCol).as("t"), lit(1).as("delta")),
+          struct(col("_ts").as("t"), lit(1).as("delta")),
           struct(endTs.as("t"), lit(-1).as("delta")))).as("_b"))
       .select(col("event_type"), col("_dayd"), col("_id"),
         col("_b.t").as("t"), col("_b.delta").as("delta"))

@@ -184,4 +184,73 @@ class EventsSpec extends AnyFunSuite {
       (1L, 3L, 0L, 0.25, (0.5 + 0.5 + 0.25) / 3.0, true),
       (2L, 1L, 1L, 0.125, 0.125, true)))
   }
+
+  test("peakConcurrency: half-open intervals, day clamp, per-type sweep") {
+    def at(h: Int, m: Int) = new Timestamp(((h * 60L + m) * 60L) * 1000L)
+    val ev = Seq(
+      // type a, day 0: [10:00,11:00) and [10:30,11:00) overlap → 2;
+      // [11:00,11:01) starts exactly as both end → NOT concurrent (half-open)
+      (1L, at(10, 0), "a", 3600L), (2L, at(10, 30), "a", 1800L),
+      (3L, at(11, 0), "a", 60L),
+      // type a, day 1: one interval opening at 23:50 day 0 is clamped to the
+      // day-0 boundary, so day 1 holds only its own event → peak 1 each day
+      (4L, at(23, 50), "a", 7200L), (5L, at(24, 10), "a", 60L),
+      // type b never overlaps a: same instants, separate sweep
+      (6L, at(10, 0), "b", 3600L), (7L, at(12, 0), "b", 60L)
+    ).toDF("event_id", "ts", "event_type", "dur")
+    val out = Events.peakConcurrency(ev, "event_type", "ts", "event_id",
+        durSecs = col("dur"), epoch = "1970-01-01")
+      .orderBy("event_type", "day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("a", 0L, 2L), ("a", 1L, 1L), ("b", 0L, 1L)))
+  }
+
+  test("activityStreaks: islands split on gaps, longest/count/total per user") {
+    def t(day: Int, h: Int) = new Timestamp(86400000L * day + 3600000L * h)
+    val ev = Seq(
+      // u1 active days {0,1,2, 5,6, 9} → streaks 3+2+1
+      (1L, t(0, 1)), (1L, t(0, 9)), (1L, t(1, 2)), (1L, t(2, 3)),
+      (1L, t(5, 4)), (1L, t(6, 5)), (1L, t(9, 6)),
+      // u2 active one day only
+      (2L, t(4, 1))
+    ).toDF("user_id", "ts")
+    val out = Events.activityStreaks(ev, "user_id", "ts", "1970-01-01")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 3L, 3L, 6L), (2L, 1L, 1L, 1L)))
+  }
+
+  test("lastTouchAttribution: most recent prior touch wins; no touch → (none)") {
+    val ev = Seq(
+      // u1: view@1 click@2 purchase@3 → attributed to click (most recent)
+      (1L, ts(1), "view", 0.0), (2L, ts(2), "click", 0.0),
+      (3L, ts(3), "purchase", 10.10),
+      // u1 again: purchase@4 attributes to click@2 still (no newer touch)
+      (4L, ts(4), "purchase", 5.15),
+      // u2: purchase with NO prior event → (none); a LATER view must not count
+      (5L, ts(1), "purchase", 2.00), (6L, ts(2), "view", 0.0),
+      // u3: purchase then purchase — an earlier purchase is not a touch
+      (7L, ts(1), "purchase", 1.00)
+    ).map { case (id, t, ty, v) =>
+      (id, if (id <= 4) 1L else if (id <= 6) 2L else 3L, t, ty, v)
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Events.lastTouchAttribution(ev, "user_id", "ts", "event_id",
+        "event_type", "value", target = "purchase")
+      .orderBy("attributed_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString)).toSeq
+    assert(out == Seq(("(none)", 2L, "3.00"), ("click", 2L, "15.25")))
+  }
+
+  test("cooccurrenceLift: basket counts and the independence ratio") {
+    def t(day: Int) = new Timestamp(86400000L * day)
+    // baskets: (u1,d0)={a,b}, (u1,d1)={a}, (u2,d0)={b} → N=3, na=2, nb=2, co=1
+    val ev = Seq(
+      (1L, t(0), "a"), (1L, t(0), "b"), (1L, t(0), "a"), // dup a same day
+      (1L, t(1), "a"), (2L, t(0), "b")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Events.cooccurrenceLift(ev, "user_id", "ts", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(out == Seq(("a", "b", 1L, 2L, 2L, 3.0 / 4.0)))
+  }
 }
