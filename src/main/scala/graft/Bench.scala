@@ -11,6 +11,11 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // static conf, must be set before the session exists: the default
+      // 100-entry generated-class cache thrashes on a 100+-query run (a
+      // single composed load emits >100 codegen units, so even its OWN
+      // second attempt recompiled everything — Janino time, not query time)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: session/codegen/JIT bootstrap is not query cost —
@@ -37,10 +42,26 @@ object Bench {
     // optional comma-separated query filter for local iteration, e.g.
     // SPARK_GRAFT_ONLY=q44_star_load — the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // UNTIMED inter-query hygiene, so query N's cost never bleeds into
+    // query N+1's number (the cross-query contamination that made one
+    // composed load 2× slower at position 50 of a full run than isolated):
+    // drop every persisted RDD left over from the previous query — each
+    // query builds its state from scratch, so at a query boundary every
+    // still-persisted block (localCheckpoints, persists whose owner went
+    // out of scope) is garbage that would otherwise pin storage memory
+    // until a GC cycle lets the ContextCleaner reap it — then one explicit
+    // GC so weak-ref cleanup and finalization run now, not mid-measurement.
+    def quiesce(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      System.gc()
+    }
     val runs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val attempts = (1 to 2).map { _ =>
+        quiesce()
         val t0 = System.nanoTime()
         val err = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None
@@ -61,7 +82,15 @@ object Bench {
     val errs = runs.collect { case (k, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = runs.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout line is >4 KB at 100+ queries and output-capture windows
+    // truncate it — ALSO dump the same JSON whole to a file (overridable;
+    // default lands in the repo cwd for the round artifacts)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

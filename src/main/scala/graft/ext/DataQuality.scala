@@ -141,10 +141,16 @@ object DataQuality {
     val stats = df.agg(min(col(valueCol)).cast("double").as("_mn"),
       max(col(valueCol)).cast("double").as("_mx"))
     val w = (col("_mx") - col("_mn")) / lit(nBins.toDouble)
+    // degenerate single-value column (min == max): w is 0 and the division
+    // below would null out (Spark divides-by-zero to null, which `least`
+    // then SKIPS — dumping every row in bin nBins-1); short-circuit to one
+    // bin [mn, mn] instead. The oracle replays the same CASE guard.
+    val bin = when(col("_mx") === col("_mn"), lit(0L))
+      .otherwise(least(floor((col("_v") - col("_mn")) / w), lit(nBins - 1L))
+        .cast("long"))
     df.select(col(valueCol).cast("double").as("_v"))
       .crossJoin(broadcast(stats))
-      .select(least(floor((col("_v") - col("_mn")) / w), lit(nBins - 1L))
-        .cast("long").as("bin"), col("_mn"), w.as("_w"))
+      .select(bin.as("bin"), col("_mn"), w.as("_w"))
       .groupBy(col("bin"))
       .agg(first(col("_mn") + col("bin") * col("_w")).as("bin_lo"),
         first(col("_mn") + (col("bin") + 1) * col("_w")).as("bin_hi"),

@@ -33,10 +33,12 @@ object Events {
         .filter(col(tsCol) > col("_prev_t"))
         .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
     }
+    // stage labels zero-pad the index so lexicographic order IS funnel
+    // order past 9 stages ("10_x" would sort before "2_y" unpadded)
     reached.zip(stages).zipWithIndex
       .map { case ((df, stage), i) =>
         df.agg(count(lit(1)).as("n_users"))
-          .select(lit(s"${i + 1}_$stage").as("stage"), col("n_users"))
+          .select(lit(f"${i + 1}%02d_$stage").as("stage"), col("n_users"))
       }
       .reduce(_ unionByName _)
   }

@@ -3,10 +3,13 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Incremental materialized-view maintenance for distributive aggregates
-  * (COUNT / SUM / MIN / MAX re-expressed as summable partials): refresh an
-  * aggregate table by merging the OLD view with a partial aggregate of only
-  * the NEW rows, instead of rescanning the full fact history.
+/** Incremental materialized-view maintenance for SUM-mergeable aggregates
+  * (COUNT and SUM partials — [[mergeAggregates]] re-SUMs every non-key
+  * column, so MIN/MAX partials do NOT belong in a view it maintains: they
+  * need min/max merge functions and are unmaintainable under deletes
+  * anyway): refresh an aggregate table by merging the OLD view with a
+  * partial aggregate of only the NEW rows, instead of rescanning the full
+  * fact history.
   *
   * At 100 TB this is the difference between a refresh that reads one
   * arrival partition plus an O(groups) view and one that reads the fact

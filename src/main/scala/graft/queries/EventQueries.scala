@@ -128,9 +128,9 @@ object EventQueries {
         | p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
         |       JOIN c ON e.user_id = c.user_id
         |       WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
-        |SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
-        |UNION ALL SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
-        |UNION ALL SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+        |SELECT '01_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+        |UNION ALL SELECT '02_click', CAST(COUNT(*) AS BIGINT) FROM c
+        |UNION ALL SELECT '03_purchase', CAST(COUNT(*) AS BIGINT) FROM p
         |ORDER BY stage""".stripMargin,
     "q87_top_paths" ->
       """WITH s AS (SELECT user_id,

@@ -76,8 +76,9 @@ object ProfilingQueries {
     "q101_histogram" ->
       """WITH s AS (SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS mn,
         |            CAST(MAX(o_totalprice) AS DOUBLE) AS mx FROM orders),
-        | b AS (SELECT LEAST(FLOOR((CAST(o_totalprice AS DOUBLE) - mn) /
-        |                          ((mx - mn) / 20.0)), 19) AS bin,
+        | b AS (SELECT CASE WHEN mx = mn THEN 0
+        |              ELSE LEAST(FLOOR((CAST(o_totalprice AS DOUBLE) - mn) /
+        |                         ((mx - mn) / 20.0)), 19) END AS bin,
         |         mn, (mx - mn) / 20.0 AS w
         |       FROM orders, s)
         |SELECT CAST(bin AS BIGINT) AS bin,

@@ -99,6 +99,10 @@ object StarLoadQueries {
     val wh = new Warehouse(spark,
       java.nio.file.Files.createTempDirectory("graft_q44_wh").toString)
     StarLoad.run(wh, syntheticProcessed(spark, dir))
+    // the load is done: release the dim-cache blocks (readBack reads the
+    // warehouse from disk — a leaked temp-warehouse cache otherwise lives
+    // until a GC cycle and evicts later queries' live caches)
+    wh.close()
     readBack(wh)
   }
 
@@ -149,6 +153,7 @@ object StarLoadQueries {
     // real cluster.
     StarLoad.run(wh, batch1)
     StarLoad.run(wh, batch2)
+    wh.close() // see q44 — release dim-cache blocks; readBack reads disk
     readBack(wh)
   }
 

@@ -75,10 +75,15 @@ object WarehouseQueries {
   def q80ZorderStats(spark: SparkSession, dir: String): DataFrame = {
     val days = datediff(col("o_orderdate").cast("date"),
       lit("1992-01-01").cast("date")).cast("long")
+    // zValue's contract needs values < 2^ZBits; custkeys exceed 2^20 at
+    // SF≥7, so the clustering key EXPLICITLY buckets the custkey into its
+    // low 20 bits (a documented fold of the key space, not silent bit
+    // drop inside the interleave). d_days < 2^20 until year 4862.
     load(spark, dir, "orders")
       .select(col("o_custkey"), days.as("d_days"))
-      .withColumn("zval",
-        Layout.zValue(Seq(col("o_custkey"), col("d_days")), ZBits))
+      .withColumn("zval", Layout.zValue(
+        Seq(col("o_custkey").bitwiseAND(lit((1L << ZBits) - 1)), col("d_days")),
+        ZBits))
       .groupBy(shiftright(col("zval"), 20).as("z_bucket"))
       .agg(count(lit(1)).as("n_orders"),
         min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
@@ -190,7 +195,7 @@ object WarehouseQueries {
     * bit i lands at result bit i·2+j. */
   private val ZValSql: String =
     (0 until ZBits).flatMap(i => Seq(
-      s"(((o_custkey >> $i) & 1) << ${2 * i})",
+      s"((((o_custkey & ${(1L << ZBits) - 1}) >> $i) & 1) << ${2 * i})",
       s"(((d_days >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
 
   val sql: Map[String, String] = Map(

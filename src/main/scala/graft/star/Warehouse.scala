@@ -51,6 +51,17 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     ()
   }
 
+  /** Release every block this Warehouse pinned in the session: the
+    * persisted dim caches. Without this, a temp warehouse that goes out of
+    * scope leaks its storage blocks until a JVM GC cycle lets Spark's
+    * ContextCleaner reap them — across a long session of many composed
+    * loads that is a storage-memory leak that evicts LIVE caches mid-query.
+    * Reads after close still work (the cache repopulates on demand). */
+  def close(): Unit = synchronized {
+    dimCache.valuesIterator.foreach(_.unpersist())
+    dimCache.clear()
+  }
+
   // Surrogate-id high-water marks: an incremental load re-derives each dim's
   // max(id) as a scalar agg — one driver action per dim per load. The
   // insert-only path KNOWS the new max (old max + rows appended), so it

@@ -59,13 +59,34 @@ object MvStream {
     publish(spark, viewDir, merged, batchId)
   }
 
+  /** Single-writer crash recovery: a crash between [[publish]]'s two
+    * renames leaves the primary dir MISSING with the previous state parked
+    * at `._mv_old` (and the new state staged at `._mv_tmp`). Reading
+    * "missing" as "empty" there would silently drop the whole view, so
+    * every read first rolls the `_old` dir back — a fully-consistent
+    * (state, marker) pair one batch behind; the streaming engine then
+    * re-delivers that batch and the merge re-applies it, and exactly-once
+    * resumes. (Primary present ⇒ nothing to do: a crash after the second
+    * rename only leaves stale side dirs, which the next publish clears.) */
+  private def recoverIfInterrupted(spark: SparkSession, viewDir: String): Unit = {
+    val p = new Path(viewDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(viewDir.stripSuffix("/") + "._mv_old")
+    if (!fs.exists(p) && fs.exists(old)) {
+      require(fs.rename(old, p), s"mv: could not roll back $old")
+      fs.delete(new Path(viewDir.stripSuffix("/") + "._mv_tmp"), true)
+    }
+  }
+
   def readView(spark: SparkSession, viewDir: String): Option[DataFrame] = {
+    recoverIfInterrupted(spark, viewDir)
     val p = new Path(viewDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) Some(spark.read.parquet(viewDir)) else None
   }
 
   def lastApplied(spark: SparkSession, viewDir: String): Option[Long] = {
+    recoverIfInterrupted(spark, viewDir)
     val p = new Path(viewDir.stripSuffix("/") + "/_LAST_BATCH")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None

@@ -51,10 +51,27 @@ object Scd2Stream {
     * schema on first contact. */
   def readState(spark: SparkSession, stateDir: String, batch: DataFrame,
                 keyCol: String, attrCols: Seq[String]): DataFrame = {
+    recoverIfInterrupted(spark, stateDir)
     val p = new Path(stateDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) spark.read.parquet(stateDir)
     else Scd.scd2Init(batch.limit(0), keyCol, attrCols, 0L)
+  }
+
+  /** Single-writer crash recovery (same contract as
+    * [[MvStream.recoverIfInterrupted]]): a crash between [[publish]]'s two
+    * renames leaves the primary missing with the previous history parked at
+    * `._scd2_old`; reading "missing" as "empty" would drop the whole SCD2
+    * history, so roll the `_old` dir back and let the re-delivered batch
+    * re-merge (idempotent — attrs equal is a no-op). */
+  private def recoverIfInterrupted(spark: SparkSession, stateDir: String): Unit = {
+    val p = new Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(stateDir.stripSuffix("/") + "._scd2_old")
+    if (!fs.exists(p) && fs.exists(old)) {
+      require(fs.rename(old, p), s"scd2: could not roll back $old")
+      fs.delete(new Path(stateDir.stripSuffix("/") + "._scd2_tmp"), true)
+    }
   }
 
   /** Stage-and-swap overwrite: the merge READS the state it replaces, so a

@@ -27,7 +27,7 @@ class EventsSpec extends AnyFunSuite {
     val out = Events.funnel(ev, "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"))
       .orderBy("stage").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    assert(out == Seq(("1_view", 3L), ("2_click", 1L), ("3_purchase", 1L)))
+    assert(out == Seq(("01_view", 3L), ("02_click", 1L), ("03_purchase", 1L)))
   }
 
   test("funnel: equal timestamps do not advance (strictly-after semantics)") {
@@ -35,7 +35,7 @@ class EventsSpec extends AnyFunSuite {
       .toDF("user_id", "ts", "event_type")
     val out = Events.funnel(ev, "user_id", "ts", "event_type", Seq("view", "click"))
       .orderBy("stage").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    assert(out == Seq(("1_view", 1L), ("2_click", 0L)))
+    assert(out == Seq(("01_view", 1L), ("02_click", 0L)))
   }
 
   test("retention: cohort = first active day, offsets count distinct users") {

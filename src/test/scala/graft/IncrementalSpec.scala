@@ -401,4 +401,49 @@ class IncrementalSpec extends AnyFunSuite {
     val after = canon(spark.read.parquet(viewDir))
     assert(after.find(_._1 == 1L).get == ((1L, 4L, 160L)))
   }
+
+  test("interrupted publish swap: reads roll _old back and the re-delivered batch converges") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths}
+    // MV side: a crash between publish()'s two renames leaves the primary
+    // missing and the previous (state, marker) parked at ._mv_old — reads
+    // must recover that pair, not silently reinitialize from empty
+    val viewDir = Files.createTempDirectory("graft_mv_crash").resolve("view").toString
+    def partial(df: org.apache.spark.sql.DataFrame) = df.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
+    graft.stream.MvStream.applyBatch(spark, viewDir,
+      partial(Seq((1L, 100L), (2L, 200L)).toDF("g", "cents")), Seq("g"), 0L)
+    graft.stream.MvStream.applyBatch(spark, viewDir,
+      partial(Seq((1L, 10L), (3L, 30L)).toDF("g", "cents")), Seq("g"), 1L)
+    def canonV(): Seq[(Long, Long, Long)] =
+      graft.stream.MvStream.readView(spark, viewDir).get
+        .select("g", "n", "total").orderBy("g").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val beforeCrash = canonV()
+    // simulate the crash window mid-publish of batch 2: primary moved
+    // aside, new state still staged
+    JFiles.move(Paths.get(viewDir), Paths.get(viewDir + "._mv_old"))
+    JFiles.createDirectories(Paths.get(viewDir + "._mv_tmp"))
+    assert(graft.stream.MvStream.lastApplied(spark, viewDir).contains(1L))
+    assert(canonV() == beforeCrash)
+    assert(!JFiles.exists(Paths.get(viewDir + "._mv_tmp"))) // staged cleared
+    // the engine re-delivers batch 2; the merge applies it exactly once
+    graft.stream.MvStream.applyBatch(spark, viewDir,
+      partial(Seq((3L, 5L)).toDF("g", "cents")), Seq("g"), 2L)
+    assert(canonV().find(_._1 == 3L).get == ((3L, 2L, 35L)))
+
+    // SCD2 side: same window, state parked at ._scd2_old — readState must
+    // roll it back instead of initializing a zero-version state
+    val stateDir = Files.createTempDirectory("graft_scd2_crash").resolve("state").toString
+    val batch = Seq((1L, "A", 10), (2L, "B", 20)).toDF("k", "seg", "nat")
+    val hist = graft.ext.Scd.scd2Merge(
+      graft.ext.Scd.scd2Init(batch.limit(0), "k", Seq("seg", "nat"), 0L),
+      batch, "k", Seq("seg", "nat"), 1L)
+    hist.write.parquet(stateDir)
+    JFiles.move(Paths.get(stateDir), Paths.get(stateDir + "._scd2_old"))
+    val recovered = graft.stream.Scd2Stream.readState(spark, stateDir, batch,
+      "k", Seq("seg", "nat"))
+    assert(recovered.count() == 2L)
+    assert(JFiles.exists(Paths.get(stateDir)))
+  }
 }
