@@ -25,8 +25,15 @@ object ProfileJobs {
     val starts = scala.collection.concurrent.TrieMap.empty[Int, (Long, String)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        val site = Option(j.properties).map(_.getProperty("callSite.short", "?")).getOrElse("?")
-        starts(j.jobId) = (System.nanoTime(), site)
+        val p = Option(j.properties)
+        def prop(k: String) = p.flatMap(x => Option(x.getProperty(k)))
+        // callSite.short is absent under SQL execution; the job description
+        // (write path, action name) is the useful label there
+        val site = prop("callSite.short")
+          .orElse(prop("spark.job.description").map(_.take(100)))
+          .getOrElse("?")
+        val nTasks = j.stageInfos.map(_.numTasks).sum
+        starts(j.jobId) = (System.nanoTime(), s"tasks=$nTasks  $site")
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         starts.remove(j.jobId).foreach { case (t0, site) =>

@@ -19,31 +19,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** The observed metric from an eager-checkpoint action, with a bounded
-    * wait and a real-action fallback: the metric event fires for
-    * `localCheckpoint(true)` (it runs under `withAction`, so the
-    * execution-end event carries the CollectMetrics row — verified), but the
-    * event is asynchronous and a listener-bus hiccup must degrade to one
-    * extra count job, never a hang. `get` blocks, and the non-blocking
-    * `getOrEmpty` is private[sql] — so `get` runs on a bounded-wait DAEMON
-    * thread: on the rare timeout the parked thread costs nothing (daemon,
-    * no pool) and dies when the event eventually lands. A null metric
-    * (empty input) reads as 0. */
-  private def observedLong(obs: org.apache.spark.sql.Observation, key: String,
-                           fallback: => Long): Long = {
-    @volatile var result: Option[Long] = None
-    val t = new Thread(() => {
-      result = Some(obs.get.get(key) match {
-        case Some(l: java.lang.Long) => l.longValue
-        case _ => 0L
-      })
-    })
-    t.setDaemon(true)
-    t.start()
-    t.join(5000)
-    result.getOrElse(fallback)
-  }
-
   /** Eager-materialize a frame AND hand back a statistics-free leaf over
     * the checkpointed rows. `localCheckpoint(true)` alone is NOT enough for
     * an iterative loop on Spark 4: `Dataset.checkpoint` builds its
@@ -255,95 +230,103 @@ object Dedup {
     * turns pairs into keep-one-per-cluster decisions). Labels are the MIN id
     * reachable in the component, so output is fully deterministic.
     *
-    * Algorithm: min-label propagation with pointer jumping. Each round every
-    * node takes the min of its own, its neighbours', and its LABEL'S label
-    * (path compression — Floyd/star-contraction style), so a diameter-d
-    * chain converges in O(log d) rounds, not d: without the jump a 30-node
-    * chain costs 30 rounds of full-pipeline recomputation, which is exactly
-    * what blew the heap at sf0.1. Every materialization point is a
-    * `localCheckpoint(eager)`, not a `persist`: a persist caches EXECUTION
-    * but leaves the LOGICAL plan nested, so an iterative loop re-analyzes a
-    * plan that doubles per round — Catalyst itself became the bottleneck
-    * (300 MB plan strings, OOM in explain rendering) long before any data
-    * did. The checkpoint truncates lineage to the materialized rows, making
-    * every round's plan O(1): two equi-joins + one map-side-combined min
-    * over the PAIR set, with the convergence count riding the checkpoint
-    * action as an observed metric. Plan STATISTICS must be truncated along
-    * with the plan ([[checkpointStripped]]) or planning cost compounds
-    * exponentially across rounds. (On a shared cluster where executor loss
-    * matters, swap for reliable `checkpoint()` with a checkpoint dir —
-    * localCheckpoint blocks are non-replicated.)
+    * Algorithm: min-label propagation with pointer jumping (label ←
+    * label(label), path compression), so a diameter-d chain converges in
+    * O(log d) rounds, not d.
+    *
+    * Implementation is the ONE place this engine drops to the RDD API, and
+    * deliberately so: an iterative fixpoint wants a hash partitioner that
+    * SURVIVES ACROSS ROUNDS — edges are shuffled into place once, and every
+    * round's edge⋈label and label-update joins are then narrow
+    * (co-partitioned), leaving one real shuffle (the per-destination min)
+    * per propagation step. The Dataset twin of this loop (kept in git
+    * history) cannot express that: every round re-planned through Catalyst
+    * behind an eager checkpoint (whose plan STATS must be stripped or
+    * planning compounds exponentially — [[checkpointStripped]], still the
+    * contract for the DF loop in [[duplicateClustersStar]]), partitioning
+    * info died at each checkpoint boundary so every round re-shuffled
+    * everything, and a round cost ~10 AQE stage barriers of pure driver
+    * latency (~1 s/round at local[32], measured) against the RDD round's
+    * four narrow stages. Iterative graph fixpoints are exactly the workload
+    * Spark itself routes around the DataFrame API (GraphX/Pregel are
+    * RDD-based for this reason).
+    *
+    * Per round (ONE driver action): two propagation sub-steps (send labels
+    * over edges, min per destination, fold into each node's label — two is
+    * the measured latency optimum, NOTES r7) and one pointer jump (invert
+    * to (label, node), look the label's label up in the same partitioned
+    * frame, fold back). Convergence rides a LongAccumulator on the round's
+    * single materializing count: a round whose propagations change no label
+    * is the fixpoint — at it labels are constant per component and equal to
+    * the component min, so the jump is provably a no-op too and needs no
+    * separate check (retried tasks can only re-add to the accumulator,
+    * which cannot turn a genuine zero nonzero). Every round's labels RDD is
+    * localCheckpoint-truncated at materialization, keeping lineage O(1)
+    * across rounds; the previous round's blocks drop as soon as the next is
+    * materialized. (On a shared cluster where executor loss matters, swap
+    * for reliable `checkpoint()` — local checkpoint blocks are
+    * non-replicated.)
+    *
+    * Scale shape: every structure in the loop is O(pairs) and partitioned;
+    * the jump's label-keyed lookup concentrates a huge component's nodes on
+    * its root's partition — the hub caveat shared with the DF formulation —
+    * and [[duplicateClustersStar]] remains the hub-safe fallback for
+    * adversarial graphs.
     *
     * Output: one row per node appearing in `pairs` — (vec_id, cluster_id,
     * cluster_size); singleton docs never enter the pair graph. */
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // pairs carry a < b once; edges need both directions. The checkpoint
-    // materializes the (possibly expensive) upstream detector exactly once —
-    // iterations read the materialized edge rows, not the detector's plan.
-    // It runs under the caller's conf (AQE on): the detector plan WANTS
-    // runtime re-planning (skew splits, broadcast promotion).
-    val edges = checkpointStripped(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
-    var labels = checkpointStripped(
-      edges.groupBy(col("src").as("vec_id"))
-        .agg(min(col("dst")).as("nmin"))
-        .select(col("vec_id"), least(col("vec_id"), col("nmin")).as("label")))
-    // one pointer jump: label ← least(label, label(label)). The lookup side
-    // is a projection of the SAME frame, so its exchange is computed once
-    // and reused (ReuseExchange); `old` rides only the probe side.
-    def jump(d: DataFrame): DataFrame = d.as("s")
-      .join(d.select(col("vec_id").as("lab"), col("lab").as("_j")).as("j"),
-        Seq("lab"), "left")
-      .select(col("s.vec_id").as("vec_id"), col("s.old").as("old"),
-        least(col("lab"), coalesce(col("_j"), col("lab"))).as("lab"))
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    val numParts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val p = new org.apache.spark.HashPartitioner(numParts)
+    // symmetric edge list, shuffled into its loop partitioning ONCE; the
+    // localCheckpoint materializes the (possibly expensive) detector plan
+    // exactly once — rounds read executor-local blocks, never the detector
+    val edges = pairs
+      .select(col(aCol).cast("long"), col(bCol).cast("long")).as[(Long, Long)]
+      .rdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(p)
+    edges.localCheckpoint()
+    // start from least(own id, min neighbour) — same first hop as the DF twin
+    var labels = edges.reduceByKey(p, math.min(_: Long, _: Long))
+      .mapPartitions(_.map { case (v, m) => (v, math.min(v, m)) },
+        preservesPartitioning = true)
+    def prop(l: org.apache.spark.rdd.RDD[(Long, Long)],
+             acc: org.apache.spark.util.LongAccumulator) = {
+      val msgs = edges.join(l, p) // narrow: both sides already partitioned by p
+        .map { case (_, (dst, lab)) => (dst, lab) }
+        .reduceByKey(p, math.min(_: Long, _: Long)) // the sub-step's one real shuffle
+      l.leftOuterJoin(msgs, p).mapPartitions(_.map { case (v, (old, m)) =>
+        val nl = m.fold(old)(math.min(old, _))
+        if (nl < old) acc.add(1L)
+        (v, nl)
+      }, preservesPartitioning = true)
+    }
+    def jump(l: org.apache.spark.rdd.RDD[(Long, Long)]) =
+      l.map { case (v, lab) => (lab, v) } // one shuffle: key by label
+        .join(l, p) // narrow on the right: l IS the (node → label) lookup
+        .map { case (lab, (v, ll)) => (v, math.min(lab, ll)) }
+        .reduceByKey(p, math.min(_: Long, _: Long)) // v unique — a no-op that restores partitioning
     var round = 0
     var changed = 1L
-    // one edge-propagation sub-step: lab ← least(lab, min over neighbours)
-    def prop(d: DataFrame): DataFrame = {
-      val nmin = edges
-        .join(d.select(col("vec_id").as("dst"), col("lab").as("_nl")), "dst")
-        .groupBy(col("src").as("vec_id")).agg(min(col("_nl")).as("nlabel"))
-      d.as("l").join(nmin.as("p"), Seq("vec_id"), "left")
-        .select(col("vec_id"), col("old"),
-          least(col("lab"), coalesce(col("nlabel"), col("lab"))).as("lab"))
-    }
     while (changed > 0) {
       val t0 = System.nanoTime()
-      val start = labels.select(col("vec_id"), col("label").as("old"),
-        col("label").as("lab"))
-      // TWO (propagate ▸ jump) sub-steps per round. Propagation moves the
-      // min ONE edge-hop per sub-step and is what binds convergence on
-      // near-dup graphs (measured on the sf0.1 graph: 2 vs 4 jumps per
-      // round leave the changed-sequence IDENTICAL — label pointer chains
-      // stay depth-1 here, so extra jumps are no-ops, while each extra
-      // propagation halves the round count). TWO is the measured optimum:
-      // 1 prop = 11 rounds × 0.31 s, 2 = 6 × 0.52, 3 = 5 × 0.85 (per-round
-      // cost grows superlinearly in sub-steps — each extra shuffle is an
-      // AQE stage barrier); at cluster scale total edge-shuffle volume is
-      // round-count × sub-steps ≈ constant in the trade, so the latency
-      // optimum is also scale-neutral. The jump keeps the O(log d) guarantee on
-      // adversarial long-chain graphs where pointer chains DO form. The
-      // convergence count rides the checkpoint action as an observed
-      // metric: ONE driver action per round instead of checkpoint + count
-      // (the count was ~half the per-round latency at local[32]).
-      val obs = org.apache.spark.sql.Observation()
-      val next = jump(prop(jump(prop(start))))
-        .select(col("vec_id"), col("old"), col("lab").as("label"))
-        .observe(obs, sum(when(col("label") =!= col("old"), 1L).otherwise(0L)).as("chg"))
-        .localCheckpoint(true)
-      changed = observedLong(obs, "chg",
-        fallback = next.filter(col("label") =!= col("old")).count())
-      // strip the checkpoint's origin stats (see checkpointStripped) — the
-      // materialization itself already happened under the observe action
-      val proj = next.select(col("vec_id"), col("label"))
-      labels = next.sparkSession.createDataFrame(proj.rdd, proj.schema)
+      val acc = spark.sparkContext.longAccumulator
+      val next = jump(prop(prop(labels, acc), acc))
+      next.localCheckpoint() // truncate lineage at materialization
+      next.count() // the round's ONE action; also settles the accumulator
+      changed = acc.value
+      labels.unpersist(blocking = false)
+      labels = next
       round += 1
-      if (debug) println(f"[cc] round $round changed=$changed ${(System.nanoTime() - t0) / 1e9}%.3fs " +
-        s"statsBits=${labels.queryExecution.analyzed.stats.sizeInBytes.bitLength}")
+      if (debug) println(f"[cc] round $round changed=$changed " +
+        f"${(System.nanoTime() - t0) / 1e9}%.3fs parts=${next.getNumPartitions}")
     }
-    labels
+    edges.unpersist(blocking = false) // labels' lineage is checkpoint-truncated
+    labels.toDF("vec_id", "label")
       .withColumn("cluster_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("label"))))
       .select(col("vec_id"), col("label").as("cluster_id"), col("cluster_size"))

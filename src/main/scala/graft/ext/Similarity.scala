@@ -253,13 +253,22 @@ object Similarity {
       s"ivfTopK: id column '$idCol' must be LongType, got " +
         s"${corpus.schema(idCol).dataType.simpleString} — cast it upstream")
     val e = corpus.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
-    val sample: Array[(Long, Array[Double])] = e
+    // the Lloyd path runs 1 + iterations full-corpus actions (sample, then
+    // one assignment+means pass per iteration) — cache the projected
+    // embeddings for the duration so each pass reads memory blocks, not the
+    // source scan again (at corpus scale the re-scan dominates the loop)
+    val eCached = if (lloydIterations > 0)
+      e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else e
+    val sample: Array[(Long, Array[Double])] = eCached
       .orderBy(md5(col("_id").cast("string").cast("binary")))
       .limit(nlist)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val cents =
-      if (lloydIterations > 0) refineCentroids(e, sample, lloydIterations)
+      if (lloydIterations > 0)
+        try refineCentroids(eCached, sample, lloydIterations)
+        finally { eCached.unpersist(); () }
       else sample
 
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).cast("array<double>").as("cv"))

@@ -28,9 +28,13 @@ object StateSeed {
 
   def seed(spark: SparkSession): DataFrame = {
     import spark.implicits._
+    // coalesce(1): a 51-row local Seq otherwise parallelizes into
+    // default-parallelism partitions and the seed write commits 32
+    // near-empty files — measurable latency at the head of every load
     states.zipWithIndex
       .map { case ((state, abbr), i) => (i + 1L, state, abbr) }
       .toDF("id", "state", "state_abbr")
+      .coalesce(1)
   }
 
   def ensureSeeded(wh: Warehouse): Unit =

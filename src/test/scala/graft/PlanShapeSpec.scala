@@ -103,7 +103,10 @@ class PlanShapeSpec extends AnyFunSuite {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("vec_a", "vec_b")
     val labels = graft.ext.Dedup.duplicateClusters(pairs, "vec_a", "vec_b")
     val plan = labels.queryExecution.executedPlan.toString
-    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
+    // "Scan[obj" = ExternalRDDScan over the loop's checkpoint-truncated
+    // tuple RDD (the RDD formulation); the DF-loop spellings stay accepted
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan")
+        || plan.contains("Scan[obj"),
       s"labels must read checkpointed rows:\n$plan")
     assert(!plan.contains("Join"), s"final labels plan must be join-free (post-fixpoint):\n$plan")
     val got = labels.select("vec_id", "cluster_id").as[(Long, Long)].collect().toSet
