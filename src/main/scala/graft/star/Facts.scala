@@ -83,8 +83,14 @@ object Facts {
       case None => incoming.drop("_inc")
         .withColumn("vehicle_id", lit(null).cast("long"))
       case Some(existing) =>
-        // partition-pruned: only buckets containing incoming keys are read
-        val affected = incoming.select(col("_bucket")).distinct()
+        // partition-pruned: only buckets containing incoming keys are read.
+        // The bucket is a pure function of the STAGED key columns, so the
+        // affected set derives straight from the (cached) staging frame —
+        // deriving it from `incoming` instead would execute the whole 5-way
+        // attr resolution a second time just to feed this broadcast
+        val affected = staging
+          .select(vehicleBucket(trim(col("vin")), col("auction_id")).as("_bucket"))
+          .distinct()
         val hit = existing.join(broadcast(affected), Seq("_bucket"), "left_semi")
           .withColumn("_inc", lit(0))
         val union = incoming.withColumn("vehicle_id", lit(null).cast("long"))
