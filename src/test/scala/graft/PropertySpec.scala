@@ -76,6 +76,36 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("triangle census: degree-ordered orientation ≡ canonical-id orientation ≡ brute force") {
+    // the hub-safe degree ordering must count the same census as the
+    // canonical orientation on arbitrary graphs (hubs, chains, cliques
+    // included by generation) — and both must match a driver-side
+    // enumeration over the adjacency sets
+    val edgeGen = for {
+      a <- Gen.choose(0L, 14L)
+      b <- Gen.choose(0L, 14L)
+    } yield (math.min(a, b), math.max(a, b))
+    check(Prop.forAll(Gen.nonEmptyListOf(edgeGen)) { edges =>
+      val clean = edges.filter { case (a, b) => a != b }.distinct
+      clean.isEmpty || {
+        val adj = clean.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val want = (for {
+          (a, b) <- clean
+          c <- adj(a) if c > b && adj(b).contains(c)
+        } yield 1).size.toLong
+        val pairs = clean.toDF("vec_a", "vec_b")
+        def census(df: org.apache.spark.sql.DataFrame) = {
+          val r = df.collect().head
+          (r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+        val canonical = census(graft.ext.Graph.triangleStats(pairs, "vec_a", "vec_b"))
+        val ordered = census(graft.ext.Graph.triangleStatsDegreeOrdered(pairs, "vec_a", "vec_b"))
+        canonical == ordered && ordered._3 == want
+      }
+    })
+  }
+
   test("U1: insert-only-new — ids never mutate, keys only grow") {
     val whDir = java.nio.file.Files.createTempDirectory("graft_prop_wh").toString
     val wh = new graft.star.Warehouse(spark, whDir)
