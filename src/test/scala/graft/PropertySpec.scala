@@ -90,9 +90,11 @@ class PropertySpec extends AnyFunSuite {
       clean.isEmpty || {
         val adj = clean.flatMap { case (a, b) => Seq(a -> b, b -> a) }
           .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        // adj(a) is a Set — materialize to Seq or the yield collapses
+        // multiple triangles through one edge into a single element
         val want = (for {
           (a, b) <- clean
-          c <- adj(a) if c > b && adj(b).contains(c)
+          c <- adj(a).toSeq if c > b && adj(b).contains(c)
         } yield 1).size.toLong
         val pairs = clean.toDF("vec_a", "vec_b")
         def census(df: org.apache.spark.sql.DataFrame) = {
