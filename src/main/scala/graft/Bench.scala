@@ -60,8 +60,14 @@ object Bench {
     val runs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val attempts = (1 to 2).map { _ =>
-        quiesce()
+      val attempts = (1 to 2).map { attempt =>
+        // quiesce on QUERY boundaries only (attempt 1): that is where the
+        // contamination vector lives — attempt 2 then measures steady
+        // state, because the A/B (SPARK_GRAFT_NO_QUIESCE, driver never
+        // sets it) showed the gc's concurrent aftershocks + async block
+        // removals land inside the next timed region (~15% on composed
+        // loads on an unpressured box)
+        if (attempt == 1 && !sys.env.contains("SPARK_GRAFT_NO_QUIESCE")) quiesce()
         val t0 = System.nanoTime()
         val err = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None
