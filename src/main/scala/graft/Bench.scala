@@ -60,6 +60,15 @@ object Bench {
     val runs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+      // total JVM GC wall across all collectors — per-query deltas are the
+      // first thing to read when a driver-box number diverges from a local
+      // one (the r7 story): a query whose gc share explains the gap is a
+      // heap/contamination problem, not a plan problem
+      def gcMillis: Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+      }
       val attempts = (1 to 2).map { attempt =>
         // quiesce on QUERY boundaries only (attempt 1): that is where the
         // contamination vector lives — attempt 2 then measures steady
@@ -68,6 +77,7 @@ object Bench {
         // removals land inside the next timed region (~15% on composed
         // loads on an unpressured box)
         if (attempt == 1 && !sys.env.contains("SPARK_GRAFT_NO_QUIESCE")) quiesce()
+        val g0 = gcMillis
         val t0 = System.nanoTime()
         val err = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None
@@ -75,20 +85,25 @@ object Bench {
           case e: Throwable =>
             Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
-        ((System.nanoTime() - t0) / 1e9, err)
+        ((System.nanoTime() - t0) / 1e9, err, (gcMillis - g0) / 1e3)
       }
-      val ok = attempts.collect { case (t, None) => t }
-      (name, if (ok.nonEmpty) ok.min else -1.0, if (ok.isEmpty) attempts.head._2 else None)
+      val ok = attempts.collect { case (t, None, g) => (t, g) }
+      val best = if (ok.nonEmpty) ok.minBy(_._1) else (-1.0, 0.0)
+      (name, best._1, if (ok.isEmpty) attempts.head._2 else None, best._2)
     }
-    val qs = runs.map { case (k, v, e) => s"\"" + k + "\":" + (if (e.isDefined) -1.0 else v) }
+    val qs = runs.map { case (k, v, e, _) => s"\"" + k + "\":" + (if (e.isDefined) -1.0 else v) }
       .mkString("{", ",", "}")
     // every control char (not just \n\r\t) must be mapped out or the JSON
     // line is unparseable
     def jstr(s: String) = "\"" + s.replaceAll("[\\x00-\\x1f\\\\\"]", " ") + "\""
-    val errs = runs.collect { case (k, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }
+    val errs = runs.collect { case (k, _, Some(e), _) => s"\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = runs.collect { case (_, v, None) => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // gc seconds inside the reported (min) attempt, per query — diagnostic
+    // only, rounded to avoid double-noise in the line
+    val gcs = runs.map { case (k, _, _, g) => s"\"" + k + "\":" + math.round(g * 1000) / 1000.0 }
+      .mkString("{", ",", "}")
+    val total = runs.collect { case (_, v, None, _) => v }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"gc":$gcs,"sf":"$sfDir"}"""
     println(line)
     // the stdout line is >4 KB at 100+ queries and output-capture windows
     // truncate it — ALSO dump the same JSON whole to a file (overridable;
