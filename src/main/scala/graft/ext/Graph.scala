@@ -17,12 +17,11 @@ import org.apache.spark.sql.functions._
   * identical in both engines — this is a ranking, not a probability
   * distribution.
   *
-  * Scale shape per iteration: one equi-join of the rank frame onto the edge
-  * list (shuffles on the join key; AQE broadcast-promotes the rank frame
-  * while it is small — it is O(nodes), the edge list is the big side) and
-  * one map-side-combinable sum by destination. Plans are kept O(1) across
-  * iterations by [[Dedup.checkpointStripped]] — the same stats-snowball
-  * guard the CC loop needs (see NOTES round 6).
+  * Scale shape per iteration: two narrow (co-partitioned) joins plus one
+  * map-side-combinable sum by destination — edges, degrees, and ranks all
+  * ride one hash partitioner shuffled into place once, the same loop shape
+  * as [[Dedup.duplicateClusters]] (see its Scaladoc for why the RDD API is
+  * the right tier for iterative fixpoints).
   */
 object Graph {
 
@@ -30,41 +29,63 @@ object Graph {
     * (`srcCol`, `dstCol`). Every node must appear as a source at least once
     * (true for symmetric graphs like the near-dup pair graph); dangling-mass
     * redistribution is deliberately out of scope and documented as such.
-    * Returns (node, rank) with rank on the fixed-point `scale`. */
+    * Returns (node, rank) with rank on the fixed-point `scale`.
+    *
+    * Implementation shares [[Dedup.duplicateClusters]]'s rationale for
+    * dropping to the RDD API (the second and last numeric-loop site): one
+    * hash partitioner carries edges, out-degrees, and ranks across ALL
+    * iterations, so each round is two narrow joins plus exactly one real
+    * shuffle (the per-destination contribution sum) — and because
+    * convergence is a fixed `iterations` count, the loop needs NO
+    * intermediate actions at all: the whole fixpoint materializes in the
+    * consumer's single action. The Dataset twin (kept in git history)
+    * re-planned each round through Catalyst and needed stride checkpoints
+    * plus [[Dedup.checkpointStripped]] to keep planning O(1); here lineage
+    * is `iterations` narrow layers deep, which a periodic localCheckpoint
+    * bounds for large iteration counts.
+    *
+    * Arithmetic is UNCHANGED from the DF form and exact in both engines:
+    * ranks scaled by `scale`, damping as a percentage, floor division on
+    * non-negative longs (Scala `/` ≡ SQL `div` there), Long sums associate
+    * exactly — so the DuckDB unrolled-CTE oracle still replays the fixpoint
+    * bit-identically (WarehouseOpsSpec pins ≡ an in-memory reference). */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
                   iterations: Int, dampingPct: Int = 85,
                   scale: Long = 1000000000000L,
-                  checkpointEvery: Int = 4): DataFrame = {
+                  checkpointEvery: Int = 8): DataFrame = {
     require(scale % 100 == 0, "scale must be divisible by 100 for exact teleport mass")
     val teleport = scale / 100 * (100 - dampingPct)
-    // materialize the edge list ONCE: every iteration's action re-executes
-    // its upstream otherwise (a near-dup pair graph re-runs MinHash+LSH per
-    // round — the q49 input-materialization lesson)
-    val e = Dedup.checkpointStripped(edges.select(col(srcCol), col(dstCol)))
-    val deg = e.groupBy(col(srcCol).as("node"))
-      .agg(count(lit(1)).as("outdeg"))
-    var rank = deg.select(col("node"), lit(scale).as("rank"))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val numParts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val p = new org.apache.spark.HashPartitioner(numParts)
+    // shuffle the edge list into the loop partitioning ONCE (keyed by src);
+    // the localCheckpoint materializes the (possibly expensive) detector
+    // plan exactly once — iterations read executor-local blocks
+    val e = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+      .as[(Long, Long)].rdd.partitionBy(p)
+    e.localCheckpoint()
+    val deg = e.mapValues(_ => 1L).reduceByKey(p, _ + _)
+    var rank = deg.mapPartitions(_.map { case (n, _) => (n, scale) },
+      preservesPartitioning = true)
     for (i <- 1 to iterations) {
-      val contribs = rank.join(deg, "node")
-        .join(e, col("node") === col(srcCol))
-        .select(col(dstCol).as("node"), expr("rank div outdeg").as("share"))
-        .groupBy(col("node")).agg(sum(col("share")).as("inflow"))
-      val next = deg.select(col("node"))
-        .join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) +
-            expr(s"($dampingPct * coalesce(inflow, cast(0 as bigint))) div 100")).as("rank"))
-      // checkpoint only every `checkpointEvery` rounds: un-checkpointed
-      // rounds chain into ONE plan whose repeated deg/edge subtrees dedup
-      // via ReuseExchange (one action instead of one per round — at
-      // local[32] each eager checkpoint is ~0.3 s of pure driver latency),
-      // while the periodic stripped checkpoint still bounds plan depth and
-      // stats growth for large `iterations`
-      rank = if (i % checkpointEvery == 0 && i < iterations)
-        Dedup.checkpointStripped(next)
-      else next
+      // share = rank div outdeg, sent along every out-edge; both joins are
+      // narrow (deg, rank, e all carry partitioner p on the source key)
+      val shares = deg.join(rank, p)
+        .mapPartitions(_.map { case (n, (d, r)) => (n, r / d) },
+          preservesPartitioning = true)
+      val contribs = e.join(shares, p)
+        .map { case (_, (dst, share)) => (dst, share) }
+        .reduceByKey(p, _ + _) // the round's one real shuffle
+      // nodes keep their row even with no inflow (teleport mass only);
+      // contributions to non-source nodes drop — same as the DF left join
+      rank = deg.leftOuterJoin(contribs, p)
+        .mapPartitions(_.map { case (n, (_, inf)) =>
+          (n, teleport + dampingPct * inf.getOrElse(0L) / 100)
+        }, preservesPartitioning = true)
+      if (i % checkpointEvery == 0 && i < iterations) rank.localCheckpoint()
     }
-    rank
+    rank.toDF("node", "rank")
   }
 
   /** Triangle census over an UNDIRECTED graph given as canonical pairs
