@@ -27,6 +27,26 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q97 blocked fuzzy join: block-keyed equi-join, no BNLJ, levenshtein above the join") {
+    // the entity-resolution shape claim: the expensive comparator may only
+    // run INSIDE blocks — the self-join must be an equi-join on the block
+    // key (hash/sort-merge/broadcast-HASH, never nested-loop), with the
+    // a.name < b.name ordering and the distance filter applied after
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, "jon smith"), (2L, "john smith"), (3L, "jane doe"))
+      .toDF("id", "name")
+    val plan = graft.ext.Linkage
+      .blockedFuzzyPairs(df, "id", "name",
+        n => element_at(split(n, " "), -1), maxDist = 2)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"fuzzy join must stay an equi-join on the block key:\n$plan")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(plan).nonEmpty,
+      s"expected a hash/merge equi-join on the block key:\n$plan")
+    assert(plan.contains("levenshtein"), s"comparator missing from plan:\n$plan")
+  }
+
   test("column pruning reaches the parquet scan (q33: 3 of 5 event columns)") {
     val plan = RelationalQueries.q33SortDesc(spark, dir)
       .queryExecution.executedPlan.toString
