@@ -202,6 +202,22 @@ class ExtSpec extends AnyFunSuite {
     assert(star == prop && star.nonEmpty, s"q51-graph divergence: ${star.size} vs ${prop.size}")
   }
 
+  test("duplicate clusters: 256-node chain converges to one component (pointer-jump depth case)") {
+    // the adversarial diameter case the pointer jump exists for: pure
+    // propagation needs O(d) rounds on a chain; with the per-round jump the
+    // label-pointer chains compress and the loop stays O(log d). The spec
+    // asserts the fixpoint, not the round count — a hang/regression here
+    // shows up as a timeout
+    import spark.implicits._
+    val n = 256L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("vec_a", "vec_b")
+    val got = Dedup.duplicateClusters(pairs, "vec_a", "vec_b")
+      .select("vec_id", "cluster_id", "cluster_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == n)
+    assert(got.forall { case (_, cid, sz) => cid == 0L && sz == n })
+  }
+
   test("IVF ANN recovers brute-force neighbors on clustered vectors") {
     val base1 = Array.tabulate(64)(i => math.sin(i + 1))
     val base2 = Array.tabulate(64)(i => math.cos(2 * i + 1))
