@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct-count sketch — the bounded-state
+  * alternative to exact `COUNT(DISTINCT)` for 100 TB-scale cardinality
+  * profiling (Bar-Yossef et al. 2002; the estimator behind "distinct
+  * sampling").
+  *
+  * Exact distinct counting shuffles EVERY distinct value to its group's
+  * reducer; this aggregator's partial (map-side) reduction caps each
+  * partition's contribution at the k smallest 60-bit hashes per group, so
+  * the shuffle carries O(groups·k) longs regardless of input size, and
+  * sketches from different partitions/days/corpora merge losslessly
+  * (union → k smallest). Estimator: with h_k the k-th smallest of n
+  * distinct uniform hashes on [0, 2^60), E[h_k] ≈ k/(n+1)·2^60, so
+  * n̂ = (k-1)·2^60 / h_k (the unbiased KMV form); when fewer than k
+  * distinct hashes exist the sketch IS the exact distinct set.
+  *
+  * Determinism: hashes are md5-derived (no seed, no rand()), so the sketch
+  * is identical across engines, partitionings and retries — and therefore
+  * DuckDB-oracle-checkable, unlike HLL implementations whose register
+  * layouts differ per engine. Estimate arithmetic stays exact-integer
+  * (DECIMAL(38,0) product, integral division ≡ DuckDB HUGEINT `//`).
+  */
+class KmvAggregator(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+
+  /** Buffer invariant: ascending-sorted distinct hashes, size ≤ k. */
+  override def zero: Seq[Long] = Nil
+
+  override def reduce(buf: Seq[Long], h: Long): Seq[Long] =
+    if (buf.length == k && h >= buf.last) buf // fast path: can't enter the sketch
+    else if (buf.contains(h)) buf
+    else ((buf :+ h).sorted).take(k)
+
+  override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
+    (b1 ++ b2).distinct.sorted.take(k)
+
+  override def finish(r: Seq[Long]): Seq[Long] = r
+
+  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}
+
+object Sketch {
+
+  /** 2^60 — the hash domain size; 15 hex chars of md5 keep the value
+    * exactly representable in a BIGINT on both engines. */
+  val HashSpace: Long = 1152921504606846976L
+
+  /** Deterministic 60-bit hash: integer value of the first 15 hex chars of
+    * md5("kmv:" + value). The DuckDB oracle reconstructs it with strpos
+    * arithmetic (same trick as [[graft.ext.TextOps.hash16]], 15 digits). */
+  def kmvHash(c: Column): Column =
+    conv(substring(md5(concat(lit("kmv:"), c.cast("string")).cast("binary")), 1, 15), 16, 10)
+      .cast("bigint")
+
+  /** Per-group distinct-count estimation: exact count (the comparison
+    * column a profiling report wants at test scale — at production scale
+    * drop it and keep only the sketch path), sketch fill, and the KMV
+    * estimate. One aggregation action; the sketch side's shuffle is
+    * O(groups·k) regardless of input size. */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Int = 256): DataFrame = {
+    val agg = udaf(new KmvAggregator(k))
+    df.select(col(groupCol), col(valueCol), kmvHash(col(valueCol)).as("_h"))
+      .groupBy(col(groupCol))
+      .agg(
+        countDistinct(col(valueCol)).as("exact_distinct"),
+        agg(col("_h")).as("_sk"))
+      .withColumn("sketch_size", size(col("_sk")).cast("bigint"))
+      .withColumn("kmv_estimate",
+        when(col("sketch_size") < k, col("sketch_size"))
+          .otherwise(expr(
+            s"CAST(${k - 1} AS DECIMAL(38,0)) * CAST($HashSpace AS DECIMAL(38,0))" +
+              s" div CAST(element_at(_sk, $k) AS DECIMAL(38,0))")))
+      .select(col(groupCol), col("exact_distinct"), col("sketch_size"),
+        col("kmv_estimate"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.DataQuality
+import graft.ext.{DataQuality, Sketch}
 import graft.util.Output.tinySort
 import graft.util.Tables.load
 
@@ -64,11 +64,33 @@ object ProfilingQueries {
         "o_totalprice", nBins = 20)
       .transform(tinySort(_, col("bin")))
 
+  /** q106 — KMV distinct-count sketch ([[graft.ext.Sketch.kmvDistinct]]):
+    * per-priority distinct-customer cardinality, estimated from the k=256
+    * smallest md5-derived 60-bit hashes. The sketch's map-side partials are
+    * bounded at k longs per group per partition — the 100 TB formulation of
+    * approximate COUNT(DISTINCT) (the exact column rides along as the
+    * test-scale comparison; production drops it). The oracle replays hash,
+    * sketch and exact-integer estimator (HUGEINT `//` ≡ DECIMAL div). */
+  def q106KmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    Sketch.kmvDistinct(load(spark, dir, "orders"), "o_orderpriority",
+        "o_custkey", k = 256)
+      .transform(tinySort(_, col("o_orderpriority")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_column_profile" -> (q71ColumnProfile _),
     "q72_dq_checks" -> (q72DqChecks _),
     "q73_length_trim" -> (q73LengthTrim _),
-    "q101_histogram" -> (q101Histogram _))
+    "q101_histogram" -> (q101Histogram _),
+    "q106_kmv_distinct" -> (q106KmvDistinct _))
+
+  /** DuckDB reconstruction of [[Sketch.kmvHash]]: strpos arithmetic over
+    * the first 15 hex chars of md5 (60 bits — BIGINT-exact in both
+    * engines). */
+  private def hex60(e: String): String =
+    (0 until 15).map { i =>
+      val shift = java.math.BigInteger.valueOf(16).pow(14 - i)
+      s"(strpos('0123456789abcdef', substring(md5($e), ${i + 1}, 1)) - 1) * $shift"
+    }.mkString("(", "\n      + ", ")")
 
   private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
 
@@ -132,5 +154,26 @@ object ProfilingQueries {
         |  CAST(SUM(CASE WHEN d.n_chars > c.cap THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
         |FROM documents d JOIN caps c USING (source)
         |GROUP BY d.source
-        |ORDER BY d.source""".stripMargin)
+        |ORDER BY d.source""".stripMargin,
+    "q106_kmv_distinct" ->
+      s"""WITH hx AS (
+        |  SELECT o_orderpriority AS grp, o_custkey,
+        |    ${hex60("'kmv:' || CAST(o_custkey AS VARCHAR)")} AS hv
+        |  FROM orders),
+        | d AS (SELECT DISTINCT grp, hv FROM hx),
+        | r AS (SELECT grp, hv,
+        |         row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn FROM d),
+        | a AS (SELECT grp, COUNT(*) AS nd,
+        |         MAX(CASE WHEN rn = 256 THEN hv END) AS hk
+        |       FROM r GROUP BY grp),
+        | x AS (SELECT grp, COUNT(DISTINCT o_custkey) AS exact_distinct
+        |       FROM hx GROUP BY grp)
+        |SELECT a.grp AS o_orderpriority,
+        |  CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+        |  CAST(LEAST(a.nd, 256) AS BIGINT) AS sketch_size,
+        |  CAST(CASE WHEN a.hk IS NULL THEN LEAST(a.nd, 256)
+        |       ELSE (CAST(255 AS HUGEINT) * CAST(${Sketch.HashSpace} AS HUGEINT))
+        |            // CAST(a.hk AS HUGEINT) END AS BIGINT) AS kmv_estimate
+        |FROM a JOIN x USING (grp)
+        |ORDER BY o_orderpriority""".stripMargin)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Similarity}
+import graft.ext.{Dedup, Fusion, Similarity}
 import graft.util.Output.tinySort
 import graft.util.Tables.load
 
@@ -121,8 +121,26 @@ object SimilarityQueries {
         "label", "embedding")
       .transform(tinySort(_, col("label"), col("pos")))
 
+  /** q107 — reciprocal-rank fusion ([[graft.ext.Fusion]]) of the two
+    * independent ANN retrievals (q31's sign-LSH list and q43's IVF list)
+    * into one hybrid ranking — the standard score-calibration-free list
+    * merge of a retrieval/RAG pipeline. Inputs are bounded top-k lists, so
+    * the rank windows and the full-outer merge are O(queries·k); each RRF
+    * score is two exact IEEE reciprocals summed once (engine-portable). */
+  def q107RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val e = load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val lsh = Similarity.annTopK(e, q, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("cand_id"), col("sim"))
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4)
+    Fusion.reciprocalRankFusion(lsh, ivf, "rank_lsh", "rank_ivf")
+      .transform(tinySort(_, col("query_id"), col("fused_rank")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_cosine_topk" -> (q25CosineTopK _),
+    "q107_rrf_fusion" -> (q107RrfFusion _),
     "q68_label_centroids" -> (q68LabelCentroids _),
     "q58_embedding_quantize" -> (q58EmbeddingQuantize _),
     "q26_embedding_neardup" -> (q26EmbeddingNearDup _),
@@ -169,6 +187,62 @@ object SimilarityQueries {
       |  FROM reach GROUP BY a)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    /* RRF: q31's LSH chain and q43's IVF chain rebuilt side by side,
+     * per-list ranks = the same row_number that selects their top-5, then
+     * the two-term reciprocal sum. CAST(1 AS DOUBLE) keeps the division
+     * IEEE (a bare 1.0 literal is DECIMAL in DuckDB). */
+    "q107_rrf_fusion" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | planes AS (
+        |  SELECT p, d,
+        |    CASE WHEN substr(md5('graft:' || p || ':' || d), 2, 1) IN ('0','2','4','6','8','a','c','e')
+        |         THEN 1.0 ELSE -1.0 END AS w
+        |  FROM range(0,8) t1(p), range(0,64) t2(d)),
+        | ev AS (SELECT vec_id, generate_subscripts(v,1)-1 AS d, unnest(v) AS x FROM e),
+        | dots AS (SELECT ev.vec_id, pl.p, SUM(ev.x * pl.w) AS dp
+        |          FROM ev JOIN planes pl ON ev.d = pl.d GROUP BY ev.vec_id, pl.p),
+        | buckets AS (SELECT vec_id, CAST(SUM(CASE WHEN dp > 0 THEN (1 << p) ELSE 0 END) AS INTEGER) AS bucket
+        |             FROM dots GROUP BY vec_id),
+        | lq AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b USING(vec_id) WHERE e.vec_id < 10),
+        | lc AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b USING(vec_id)),
+        | ls AS (SELECT lq.vec_id AS query_id, lc.vec_id AS cand_id,
+        |          round(list_cosine_similarity(lq.v, lc.v), 4) AS sim
+        |        FROM lq JOIN lc ON lc.bucket = lq.bucket AND lc.vec_id <> lq.vec_id),
+        | lr AS (SELECT query_id, cand_id,
+        |          CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank_lsh
+        |        FROM ls
+        |        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) <= 5),
+        | cents AS (SELECT vec_id AS cid, v AS cv FROM e
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        | asgn AS (SELECT e.vec_id, c.cid,
+        |            round(list_cosine_similarity(e.v, c.cv), 4) AS s
+        |          FROM e CROSS JOIN cents c),
+        | lists AS (SELECT vec_id, cid AS list_id FROM asgn
+        |           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) = 1),
+        | probes AS (SELECT vec_id AS query_id, cid AS probe FROM asgn WHERE vec_id < 10
+        |            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) <= 4),
+        | ivs AS (SELECT p.query_id, l.vec_id AS cand_id,
+        |           round(list_cosine_similarity(q.v, c.v), 4) AS sim
+        |         FROM probes p
+        |         JOIN lists l ON l.list_id = p.probe AND l.vec_id <> p.query_id
+        |         JOIN e q ON q.vec_id = p.query_id
+        |         JOIN e c ON c.vec_id = l.vec_id),
+        | ir AS (SELECT query_id, cand_id,
+        |          CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank_ivf
+        |        FROM ivs
+        |        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) <= 5),
+        | f AS (SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+        |         COALESCE(a.cand_id, b.cand_id) AS cand_id, a.rank_lsh, b.rank_ivf
+        |       FROM lr a FULL OUTER JOIN ir b
+        |         ON a.query_id = b.query_id AND a.cand_id = b.cand_id),
+        | g AS (SELECT query_id, cand_id, rank_lsh, rank_ivf,
+        |         COALESCE(CAST(1 AS DOUBLE) / CAST(60 + rank_lsh AS DOUBLE), CAST(0 AS DOUBLE))
+        |         + COALESCE(CAST(1 AS DOUBLE) / CAST(60 + rank_ivf AS DOUBLE), CAST(0 AS DOUBLE)) AS rrf_score
+        |       FROM f)
+        |SELECT query_id, cand_id, rank_lsh, rank_ivf, rrf_score,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, cand_id) AS BIGINT) AS fused_rank
+        |FROM g
+        |ORDER BY query_id, fused_rank""".stripMargin,
     "q68_label_centroids" ->
       """WITH b AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | m AS (SELECT label, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM b),

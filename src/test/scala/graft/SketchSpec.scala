@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Sketch
+
+/** KMV distinct-count sketch laws: partition invariance (merge order can't
+  * change the sketch), exactness below k, and estimator accuracy. */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fixture = (1 to 20000)
+    .map(i => (i % 3L, (i % 4021).toLong)) // 3 groups over 4021 distinct values
+    .toDF("g", "v")
+
+  test("sketch and estimate are invariant under repartitioning") {
+    val runs = Seq(1, 7, 32).map { n =>
+      Sketch.kmvDistinct(fixture.repartition(n), "g", "v", k = 256)
+        .orderBy("g").collect().toSeq
+    }
+    assert(runs.distinct.size == 1)
+  }
+
+  test("fewer than k distinct values -> estimate is exact") {
+    val small = (1 to 500).map(i => (0L, (i % 37).toLong)).toDF("g", "v")
+    val r = Sketch.kmvDistinct(small, "g", "v", k = 256).collect().head
+    assert(r.getAs[Long]("exact_distinct") == 37L)
+    assert(r.getAs[Long]("sketch_size") == 37L)
+    assert(r.getAs[Long]("kmv_estimate") == 37L)
+  }
+
+  test("estimate lands within 3 standard errors of exact (k=256 -> ~6.3%)") {
+    val out = Sketch.kmvDistinct(fixture, "g", "v", k = 256)
+      .collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      val est = r.getAs[Long]("kmv_estimate").toDouble
+      assert(r.getAs[Long]("sketch_size") == 256L)
+      assert(math.abs(est - exact) / exact < 3.0 / math.sqrt(256.0),
+        s"group ${r.get(0)}: est $est vs exact $exact")
+    }
+  }
+
+  test("duplicates never enter the sketch (value-distinct semantics)") {
+    val dup = ((1 to 1000).map(i => (0L, 42L)) ++ Seq((0L, 43L))).toDF("g", "v")
+    val r = Sketch.kmvDistinct(dup, "g", "v", k = 8).collect().head
+    assert(r.getAs[Long]("sketch_size") == 2L)
+    assert(r.getAs[Long]("kmv_estimate") == 2L)
+  }
+}
