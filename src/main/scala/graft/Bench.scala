@@ -69,6 +69,23 @@ object Bench {
         java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
           .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
       }
+      // process CPU + machine steal around each attempt: a query whose wall
+      // time inflates while its cpu/wall ratio collapses and steal_pct
+      // rises is being starved by a co-tenant VM, not by its plan — the
+      // one divergence mechanism gc telemetry can't see (r8: same code,
+      // same box spec, 2× wall swings with gc ≈ 0 and vmstat steal 7–12%)
+      def procCpuNanos: Long =
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+          case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+          case _ => -1L
+        }
+      // (stealTicks, totalTicks) from /proc/stat's aggregate cpu line
+      def cpuTicks: (Long, Long) = try {
+        val f = scala.io.Source.fromFile("/proc/stat")
+        val l = try f.getLines().next().trim.split("\\s+") finally f.close()
+        val nums = l.drop(1).map(_.toLong)
+        (if (nums.length > 7) nums(7) else -1L, nums.sum)
+      } catch { case _: Throwable => (-1L, -1L) }
       val attempts = (1 to 2).map { attempt =>
         // quiesce on QUERY boundaries only (attempt 1): that is where the
         // contamination vector lives — attempt 2 then measures steady
@@ -78,6 +95,8 @@ object Bench {
         // loads on an unpressured box)
         if (attempt == 1 && !sys.env.contains("SPARK_GRAFT_NO_QUIESCE")) quiesce()
         val g0 = gcMillis
+        val c0 = procCpuNanos
+        val (s0, k0) = cpuTicks
         val t0 = System.nanoTime()
         val err = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None
@@ -85,25 +104,36 @@ object Bench {
           case e: Throwable =>
             Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
-        ((System.nanoTime() - t0) / 1e9, err, (gcMillis - g0) / 1e3)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = if (c0 < 0) -1.0 else (procCpuNanos - c0) / 1e9
+        val (s1, k1) = cpuTicks
+        val steal = if (s0 < 0 || k1 <= k0) -1.0 else 100.0 * (s1 - s0) / (k1 - k0)
+        (wall, err, (gcMillis - g0) / 1e3, cpu, steal)
       }
-      val ok = attempts.collect { case (t, None, g) => (t, g) }
-      val best = if (ok.nonEmpty) ok.minBy(_._1) else (-1.0, 0.0)
-      (name, best._1, if (ok.isEmpty) attempts.head._2 else None, best._2)
+      val ok = attempts.collect { case (t, None, g, c, s) => (t, g, c, s) }
+      val best = if (ok.nonEmpty) ok.minBy(_._1) else (-1.0, 0.0, -1.0, -1.0)
+      (name, best._1, if (ok.isEmpty) attempts.head._2 else None, best._2, best._3, best._4)
     }
-    val qs = runs.map { case (k, v, e, _) => s"\"" + k + "\":" + (if (e.isDefined) -1.0 else v) }
+    val qs = runs.map { case (k, v, e, _, _, _) => s"\"" + k + "\":" + (if (e.isDefined) -1.0 else v) }
       .mkString("{", ",", "}")
     // every control char (not just \n\r\t) must be mapped out or the JSON
     // line is unparseable
     def jstr(s: String) = "\"" + s.replaceAll("[\\x00-\\x1f\\\\\"]", " ") + "\""
-    val errs = runs.collect { case (k, _, Some(e), _) => s"\"" + k + "\":" + jstr(e) }
+    val errs = runs.collect { case (k, _, Some(e), _, _, _) => s"\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
-    // gc seconds inside the reported (min) attempt, per query — diagnostic
-    // only, rounded to avoid double-noise in the line
-    val gcs = runs.map { case (k, _, _, g) => s"\"" + k + "\":" + math.round(g * 1000) / 1000.0 }
+    def r3(x: Double) = math.round(x * 1000) / 1000.0
+    // per-query diagnostics for the reported (min) attempt, rounded to
+    // avoid double-noise in the line: gc seconds, process cpu seconds, and
+    // machine steal share — wall up with cpu flat + steal up = co-tenant
+    // contention, not a plan change
+    val gcs = runs.map { case (k, _, _, g, _, _) => s"\"" + k + "\":" + r3(g) }
       .mkString("{", ",", "}")
-    val total = runs.collect { case (_, v, None, _) => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"gc":$gcs,"sf":"$sfDir"}"""
+    val cpus_ = runs.map { case (k, _, _, _, c, _) => s"\"" + k + "\":" + r3(c) }
+      .mkString("{", ",", "}")
+    val steals = runs.map { case (k, _, _, _, _, s) => s"\"" + k + "\":" + r3(s) }
+      .mkString("{", ",", "}")
+    val total = runs.collect { case (_, v, None, _, _, _) => v }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"gc":$gcs,"cpu":$cpus_,"steal_pct":$steals,"sf":"$sfDir"}"""
     println(line)
     // the stdout line is >4 KB at 100+ queries and output-capture windows
     // truncate it — ALSO dump the same JSON whole to a file (overridable;

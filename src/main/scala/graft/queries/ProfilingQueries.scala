@@ -72,8 +72,14 @@ object ProfilingQueries {
     * test-scale comparison; production drops it). The oracle replays hash,
     * sketch and exact-integer estimator (HUGEINT `//` ≡ DECIMAL div). */
   def q106KmvDistinct(spark: SparkSession, dir: String): DataFrame =
-    Sketch.kmvDistinct(load(spark, dir, "orders"), "o_orderpriority",
-        "o_custkey", k = 256)
+    // the local single-file parquet arrives as ONE split, which serializes
+    // the map-side sketch build; a production table arrives in thousands of
+    // splits. Round-robin to session parallelism (one narrow shuffle of
+    // three small columns) so the bench measures the parallel shape.
+    Sketch.kmvDistinct(
+        load(spark, dir, "orders")
+          .repartition(spark.sparkContext.defaultParallelism),
+        "o_orderpriority", "o_custkey", k = 256)
       .transform(tinySort(_, col("o_orderpriority")))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
