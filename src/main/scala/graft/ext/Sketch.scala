@@ -45,6 +45,23 @@ class KmvAggregator(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
 }
 
+/** Second-level KMV merge: folds already-built sketches (ascending-sorted
+  * distinct hash arrays) into one — the rollup/incremental-maintenance
+  * path: per-partition / per-day / per-corpus sketches combine WITHOUT
+  * re-scanning the data, and the merged sketch is bit-identical to the
+  * sketch built directly over the union (the k smallest of a union are
+  * among the union of each side's k smallest). */
+class KmvMergeAggregator(k: Int) extends Aggregator[Seq[Long], Seq[Long], Seq[Long]] {
+  override def zero: Seq[Long] = Nil
+  override def reduce(buf: Seq[Long], sk: Seq[Long]): Seq[Long] =
+    (buf ++ sk).distinct.sorted.take(k)
+  override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
+    (b1 ++ b2).distinct.sorted.take(k)
+  override def finish(r: Seq[Long]): Seq[Long] = r
+  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}
+
 object Sketch {
 
   /** 2^60 — the hash domain size; 15 hex chars of md5 keep the value
@@ -80,14 +97,56 @@ object Sketch {
       .agg(agg(col("_h")).as("_sk"))
     val exact = df.groupBy(col(groupCol))
       .agg(countDistinct(col(valueCol)).as("exact_distinct"))
-    sketch.join(broadcast(exact), Seq(groupCol))
-      .withColumn("sketch_size", size(col("_sk")).cast("bigint"))
+    withEstimate(sketch.join(broadcast(exact), Seq(groupCol)), k)
+      .select(col(groupCol), col("exact_distinct"), col("sketch_size"),
+        col("kmv_estimate"))
+  }
+
+  /** Label of the merged-across-groups row in [[kmvRollup]]. */
+  val AllGroups = "__all__"
+
+  /** Two-level rollup: per-group sketches PLUS a global row whose sketch is
+    * the [[KmvMergeAggregator]] fold of the per-group sketches — the
+    * incremental-maintenance path (per-day / per-corpus sketches combine
+    * without re-reading data). This beats Spark's native `rollup` for
+    * sketches at scale: grouping-sets EXPAND would re-shuffle every input
+    * row twice, while the merge pass shuffles only groups·k longs, and the
+    * merged sketch is provably identical to one built directly over the
+    * union (any hash in the global k-minimum set is in its own group's
+    * k-minimum set). The per-group frame is cached — it is the input of
+    * both output levels and is groups·k small. */
+  def kmvRollup(df: DataFrame, groupCol: String, valueCol: String,
+                k: Int = 256): DataFrame = {
+    val skAgg = udaf(new KmvAggregator(k))
+    val mergeAgg = udaf(new KmvMergeAggregator(k))
+    val hashed = df.select(col(groupCol).cast("string").as(groupCol),
+      col(valueCol), kmvHash(col(valueCol)).as("_h"))
+    val perGroup = hashed.groupBy(col(groupCol))
+      .agg(skAgg(col("_h")).as("_sk"))
+      .cache()
+    val global = perGroup.agg(mergeAgg(col("_sk")).as("_sk"))
+      .withColumn(groupCol, lit(AllGroups))
+    val sketches = perGroup.unionByName(global.select(col(groupCol), col("_sk")))
+    // exact side: both levels in one pass via grouping sets (codegen'd
+    // count-distinct — fine for the comparison column; the sketch side is
+    // what must avoid the double shuffle)
+    val exact = hashed.rollup(col(groupCol))
+      .agg(countDistinct(col(valueCol)).as("exact_distinct"))
+      .withColumn(groupCol, coalesce(col(groupCol), lit(AllGroups)))
+    withEstimate(sketches.join(broadcast(exact), Seq(groupCol)), k)
+      .select(col(groupCol).as("scope"), col("exact_distinct"),
+        col("sketch_size"), col("kmv_estimate"))
+  }
+
+  /** Sketch → (sketch_size, kmv_estimate) columns; below k the sketch is
+    * the exact distinct set, at k the unbiased estimator (exact-integer
+    * arithmetic: DECIMAL(38,0) product, integral division ≡ DuckDB
+    * HUGEINT `//`). */
+  private def withEstimate(df: DataFrame, k: Int): DataFrame =
+    df.withColumn("sketch_size", size(col("_sk")).cast("bigint"))
       .withColumn("kmv_estimate",
         when(col("sketch_size") < k, col("sketch_size"))
           .otherwise(expr(
             s"CAST(${k - 1} AS DECIMAL(38,0)) * CAST($HashSpace AS DECIMAL(38,0))" +
               s" div CAST(element_at(_sk, $k) AS DECIMAL(38,0))")))
-      .select(col(groupCol), col("exact_distinct"), col("sketch_size"),
-        col("kmv_estimate"))
-  }
 }

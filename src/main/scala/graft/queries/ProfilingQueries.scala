@@ -82,12 +82,27 @@ object ProfilingQueries {
         "o_orderpriority", "o_custkey", k = 256)
       .transform(tinySort(_, col("o_orderpriority")))
 
+  /** q108 — two-level KMV rollup ([[graft.ext.Sketch.kmvRollup]]): the
+    * per-priority sketches of q106 PLUS a global `__all__` row whose sketch
+    * is the distributed MERGE of the per-group sketches — the property that
+    * makes sketches matter at 100 TB (per-day/per-corpus summaries combine
+    * without re-reading data, and merge ≡ direct-over-union exactly). The
+    * oracle replays both levels; equality of the merged row with a directly
+    * built global sketch is the SketchSpec law. */
+  def q108KmvRollup(spark: SparkSession, dir: String): DataFrame =
+    Sketch.kmvRollup(
+        load(spark, dir, "orders")
+          .repartition(spark.sparkContext.defaultParallelism),
+        "o_orderpriority", "o_custkey", k = 256)
+      .transform(tinySort(_, col("scope")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_column_profile" -> (q71ColumnProfile _),
     "q72_dq_checks" -> (q72DqChecks _),
     "q73_length_trim" -> (q73LengthTrim _),
     "q101_histogram" -> (q101Histogram _),
-    "q106_kmv_distinct" -> (q106KmvDistinct _))
+    "q106_kmv_distinct" -> (q106KmvDistinct _),
+    "q108_kmv_rollup" -> (q108KmvRollup _))
 
   /** DuckDB reconstruction of [[Sketch.kmvHash]]: strpos arithmetic over
     * the first 15 hex chars of md5 (60 bits — BIGINT-exact in both
@@ -181,5 +196,38 @@ object ProfilingQueries {
         |       ELSE (CAST(255 AS HUGEINT) * CAST(${Sketch.HashSpace} AS HUGEINT))
         |            // CAST(a.hk AS HUGEINT) END AS BIGINT) AS kmv_estimate
         |FROM a JOIN x USING (grp)
-        |ORDER BY o_orderpriority""".stripMargin)
+        |ORDER BY o_orderpriority""".stripMargin,
+    /* Rollup oracle: the q106 per-group chain plus a global level computed
+     * directly over ALL distinct hashes — the merged-sketch row must equal
+     * it exactly (lossless-merge property). */
+    "q108_kmv_rollup" ->
+      s"""WITH hx AS (
+        |  SELECT o_orderpriority AS grp, o_custkey,
+        |    ${hex60("'kmv:' || CAST(o_custkey AS VARCHAR)")} AS hv
+        |  FROM orders),
+        | d AS (SELECT DISTINCT grp, hv FROM hx),
+        | r AS (SELECT grp, hv,
+        |         row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn FROM d),
+        | a AS (SELECT grp, COUNT(*) AS nd,
+        |         MAX(CASE WHEN rn = 256 THEN hv END) AS hk
+        |       FROM r GROUP BY grp),
+        | x AS (SELECT grp, COUNT(DISTINCT o_custkey) AS exact_distinct
+        |       FROM hx GROUP BY grp),
+        | dg AS (SELECT DISTINCT hv FROM hx),
+        | rg AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM dg),
+        | ag AS (SELECT COUNT(*) AS nd,
+        |          MAX(CASE WHEN rn = 256 THEN hv END) AS hk FROM rg),
+        | xg AS (SELECT COUNT(DISTINCT o_custkey) AS exact_distinct FROM orders),
+        | lv AS (SELECT a.grp AS scope, x.exact_distinct, a.nd, a.hk
+        |        FROM a JOIN x USING (grp)
+        |        UNION ALL
+        |        SELECT '${Sketch.AllGroups}', xg.exact_distinct, ag.nd, ag.hk
+        |        FROM ag, xg)
+        |SELECT scope, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+        |  CAST(LEAST(nd, 256) AS BIGINT) AS sketch_size,
+        |  CAST(CASE WHEN hk IS NULL THEN LEAST(nd, 256)
+        |       ELSE (CAST(255 AS HUGEINT) * CAST(${Sketch.HashSpace} AS HUGEINT))
+        |            // CAST(hk AS HUGEINT) END AS BIGINT) AS kmv_estimate
+        |FROM lv
+        |ORDER BY scope""".stripMargin)
 }

@@ -43,6 +43,16 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("rollup's merged __all__ row equals a sketch built directly over the union") {
+    val rollup = Sketch.kmvRollup(fixture, "g", "v", k = 256)
+      .filter(col("scope") === Sketch.AllGroups).collect().head
+    val direct = Sketch.kmvDistinct(fixture.withColumn("g", lit(0L)), "g", "v", k = 256)
+      .collect().head
+    assert(rollup.getAs[Long]("sketch_size") == direct.getAs[Long]("sketch_size"))
+    assert(rollup.getAs[Long]("kmv_estimate") == direct.getAs[Long]("kmv_estimate"))
+    assert(rollup.getAs[Long]("exact_distinct") == 4021L)
+  }
+
   test("duplicates never enter the sketch (value-distinct semantics)") {
     val dup = ((1 to 1000).map(i => (0L, 42L)) ++ Seq((0L, 43L))).toDF("g", "v")
     val r = Sketch.kmvDistinct(dup, "g", "v", k = 8).collect().head
