@@ -30,4 +30,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // long many-query session spent measurable time in GC (storage + shuffle
   // + 32 task working sets), which contaminated per-query timings
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // The JVM's JIT code cache (default 240m) is too small for a 100+-query
+  // session: every query adds whole-stage-codegen classes, and once the
+  // cache fills the JVM silently flushes cold compiled methods — hot
+  // codegen'd operators then run interpreted/deoptimized, inflating a
+  // query's task CPU 3-11x at random (no warning until the compiler hard-
+  // disables; gc and steal telemetry stay flat). Measured on the full
+  // bench: total 121s -> 69s, worst single query 49s -> 9s. Reserved
+  // address space, committed on demand — oversizing costs ~nothing.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "2g")}",
 )

@@ -79,6 +79,20 @@ object Bench {
           case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
           case _ => -1L
         }
+      // cumulative JIT compilation millis + JIT code-cache bytes in use: a
+      // LATE query whose jit delta spikes while codecache sits at the
+      // reserved ceiling is being hit by code-cache flushing (compiled
+      // methods evicted -> interpreted re-runs -> recompilation churn) —
+      // the r8 full-run-only 3-11x CPU blowups, invisible to gc/steal
+      def jitMillis: Long =
+        Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+          .map(_.getTotalCompilationTime).getOrElse(-1L)
+      def codeCacheMb: Double = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+          .filter(_.getName.startsWith("CodeHeap"))
+          .map(_.getUsage.getUsed).sum / 1e6
+      }
       // (stealTicks, totalTicks) from /proc/stat's aggregate cpu line
       def cpuTicks: (Long, Long) = try {
         val f = scala.io.Source.fromFile("/proc/stat")
@@ -94,8 +108,14 @@ object Bench {
         // removals land inside the next timed region (~15% on composed
         // loads on an unpressured box)
         if (attempt == 1 && !sys.env.contains("SPARK_GRAFT_NO_QUIESCE")) quiesce()
+        // attribute every job of this attempt in the Spark event log / UI —
+        // post-hoc per-query stage forensics (the r8 full-run-only CPU
+        // blowups were only diagnosable by diffing a query's stage metrics
+        // between a full run and an isolated one)
+        spark.sparkContext.setJobDescription(s"$name#$attempt")
         val g0 = gcMillis
         val c0 = procCpuNanos
+        val j0 = jitMillis
         val (s0, k0) = cpuTicks
         val t0 = System.nanoTime()
         val err = try {
@@ -106,34 +126,40 @@ object Bench {
         }
         val wall = (System.nanoTime() - t0) / 1e9
         val cpu = if (c0 < 0) -1.0 else (procCpuNanos - c0) / 1e9
+        val jit = if (j0 < 0) -1.0 else (jitMillis - j0) / 1e3
         val (s1, k1) = cpuTicks
         val steal = if (s0 < 0 || k1 <= k0) -1.0 else 100.0 * (s1 - s0) / (k1 - k0)
-        (wall, err, (gcMillis - g0) / 1e3, cpu, steal)
+        (wall, err, (gcMillis - g0) / 1e3, cpu, steal, jit)
       }
-      val ok = attempts.collect { case (t, None, g, c, s) => (t, g, c, s) }
-      val best = if (ok.nonEmpty) ok.minBy(_._1) else (-1.0, 0.0, -1.0, -1.0)
-      (name, best._1, if (ok.isEmpty) attempts.head._2 else None, best._2, best._3, best._4)
+      val ccMb = codeCacheMb
+      val ok = attempts.collect { case (t, None, g, c, s, j) => (t, g, c, s, j) }
+      val best = if (ok.nonEmpty) ok.minBy(_._1) else (-1.0, 0.0, -1.0, -1.0, -1.0)
+      (name, best._1, if (ok.isEmpty) attempts.head._2 else None,
+        best._2, best._3, best._4, best._5, ccMb)
     }
-    val qs = runs.map { case (k, v, e, _, _, _) => s"\"" + k + "\":" + (if (e.isDefined) -1.0 else v) }
+    val qs = runs.map { case r => s"\"" + r._1 + "\":" + (if (r._3.isDefined) -1.0 else r._2) }
       .mkString("{", ",", "}")
     // every control char (not just \n\r\t) must be mapped out or the JSON
     // line is unparseable
     def jstr(s: String) = "\"" + s.replaceAll("[\\x00-\\x1f\\\\\"]", " ") + "\""
-    val errs = runs.collect { case (k, _, Some(e), _, _, _) => s"\"" + k + "\":" + jstr(e) }
-      .mkString("{", ",", "}")
+    val errs = runs.collect { case r if r._3.isDefined =>
+      s"\"" + r._1 + "\":" + jstr(r._3.get) }.mkString("{", ",", "}")
     def r3(x: Double) = math.round(x * 1000) / 1000.0
     // per-query diagnostics for the reported (min) attempt, rounded to
-    // avoid double-noise in the line: gc seconds, process cpu seconds, and
-    // machine steal share — wall up with cpu flat + steal up = co-tenant
-    // contention, not a plan change
-    val gcs = runs.map { case (k, _, _, g, _, _) => s"\"" + k + "\":" + r3(g) }
-      .mkString("{", ",", "}")
-    val cpus_ = runs.map { case (k, _, _, _, c, _) => s"\"" + k + "\":" + r3(c) }
-      .mkString("{", ",", "}")
-    val steals = runs.map { case (k, _, _, _, _, s) => s"\"" + k + "\":" + r3(s) }
-      .mkString("{", ",", "}")
-    val total = runs.collect { case (_, v, None, _, _, _) => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"gc":$gcs,"cpu":$cpus_,"steal_pct":$steals,"sf":"$sfDir"}"""
+    // avoid double-noise in the line: gc seconds, process cpu seconds,
+    // machine steal share, jit compile seconds, and code-cache MB in use at
+    // query end — wall up with cpu flat + steal up = co-tenant contention;
+    // cpu up with gc/steal flat + codecache at the ceiling = code-cache
+    // flushing (see build.sbt's ReservedCodeCacheSize note)
+    def jmap(f: ((String, Double, Option[String], Double, Double, Double, Double, Double)) => Double) =
+      runs.map(r => s"\"" + r._1 + "\":" + r3(f(r))).mkString("{", ",", "}")
+    val gcs = jmap(_._4)
+    val cpus_ = jmap(_._5)
+    val steals = jmap(_._6)
+    val jits = jmap(_._7)
+    val ccs = jmap(_._8)
+    val total = runs.collect { case r if r._3.isEmpty => r._2 }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"gc":$gcs,"cpu":$cpus_,"steal_pct":$steals,"jit":$jits,"codecache_mb":$ccs,"sf":"$sfDir"}"""
     println(line)
     // the stdout line is >4 KB at 100+ queries and output-capture windows
     // truncate it — ALSO dump the same JSON whole to a file (overridable;
