@@ -197,6 +197,69 @@ object Dedup {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** EXACT Jaccard-threshold self-join via prefix filtering (the
+    * AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al. WWW'08) —
+    * the scale path for exact-threshold set-similarity: unlike MinHash/LSH
+    * banding ([[lshBandPairs]]) it has ZERO false negatives, and unlike the
+    * brute shingle self-join ([[jaccardPairs]], which must stay id-bounded)
+    * its candidate join only explodes each document's PREFIX under a global
+    * rarest-first token order: two sets with Jaccard ≥ t must share a token
+    * in each other's first `n − ⌈t·n⌉ + 1` rarest tokens, so common
+    * boilerplate shingles (the skew killers of the naive join) sort LAST
+    * and never generate candidates.
+    *
+    * The threshold is the RATIONAL tNum/tDen and every pruning/acceptance
+    * test is integer cross-multiplication — no float ceil/compare anywhere,
+    * so DuckDB replays the construction bit-exactly:
+    *   prefix length  L = n − ⌈tNum·n/tDen⌉ + 1   (integer ceil-div)
+    *   length filter  tDen·min(na,nb) ≥ tNum·max(na,nb)
+    *   accept         tDen·shared ≥ tNum·(na+nb−shared)
+    *
+    * Scale shape: shingle freq = one map-side-combined agg; per-doc ordered
+    * token array = one shuffle-on-token join + one groupBy-doc collect
+    * (sort_array is map-side); candidates = equi-join on prefix tokens +
+    * DISTINCT (both shuffle-on-key, no window, no broadcast of anything
+    * unbounded); verify = two joins pulling the pre-sorted arrays +
+    * map-side array_intersect. Every stage is keyed shuffle or map-only —
+    * no driver collects, nothing quadratic outside Σ|candidates|. */
+  def prefixJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, tNum: Int = 4, tDen: Int = 5): DataFrame = {
+    val s = explodedShingles(df, idCol, textCol, shingleN)
+    // global rarest-first order: (freq asc, token asc) — deterministic and
+    // identical in both engines (plain string collation on hex-free tokens)
+    val freq = s.groupBy(col("sg")).agg(count(lit(1)).as("_f"))
+    val ordered = s.join(freq, "sg")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("_f"), col("sg")))).as("_ts"))
+      .select(col(idCol), transform(col("_ts"), t => t.getField("sg")).as("toks"),
+        size(col("_ts")).as("n"))
+      // L = n − ceil(tNum·n/tDen) + 1, all integer: ceil(a/b) = (a+b−1) div b
+      .withColumn("_L",
+        expr(s"n - (($tNum * n + ${tDen - 1}) div $tDen) + 1"))
+    val prefixes = ordered.select(col(idCol), col("n"),
+      explode(slice(col("toks"), lit(1), col("_L"))).as("sg"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.sg") === col("b.sg") && col(s"a.$idCol") < col(s"b.$idCol") &&
+          // length filter: J ≥ t forces t·max(na,nb) ≤ min(na,nb)
+          lit(tDen) * least(col("a.n"), col("b.n")) >=
+            lit(tNum) * greatest(col("a.n"), col("b.n")))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+    cand
+      .join(ordered.select(col(idCol).as("doc_a"), col("toks").as("_ta"),
+        col("n").as("na")), "doc_a")
+      .join(ordered.select(col(idCol).as("doc_b"), col("toks").as("_tb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("shared",
+        size(array_intersect(col("_ta"), col("_tb"))).cast("long"))
+      .filter(lit(tDen) * col("shared") >=
+        lit(tNum) * (col("na") + col("nb") - col("shared")))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+        round(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")).cast("double"), 4).as("jaccard"))
+  }
+
   /** LSH parameter evaluation: precision/recall of a CANDIDATE pair set
     * against a ground-truth pair set (both canonical `a < b` pairs on the
     * same id universe — here, exact Jaccard on the bounded audit slice).

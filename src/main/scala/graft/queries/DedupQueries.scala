@@ -146,7 +146,19 @@ object DedupQueries {
     Dedup.lshEval(cand, truth, "doc_a", "doc_b")
   }
 
+  /** q109 — exact Jaccard-threshold join via prefix filtering
+    * ([[Dedup.prefixJaccardJoin]], AllPairs/PPJoin family): the UNBOUNDED
+    * exact-threshold self-join over the whole corpus — where brute q24 must
+    * stay id-bounded, the rarest-first prefix filter + length filter bound
+    * the candidate join instead, with zero false negatives (contrast LSH
+    * q22/q104, which trades recall). Threshold 4/5; every prune/accept test
+    * is integer cross-multiplication, replayed exactly by the oracle. */
+  def q109PrefixJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardJoin(load(spark, dir, "documents"), "doc_id", "text")
+      .transform(tinySort(_, col("doc_a"), col("doc_b")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_prefix_jaccard" -> (q109PrefixJaccard _),
     "q100_triangles" -> (q100Triangles _),
     "q104_lsh_eval" -> (q104LshEval _),
     "q77_span_dedup" -> (q77SpanDedup _),
@@ -162,6 +174,32 @@ object DedupQueries {
   )
 
   val sql: Map[String, String] = Map(
+    /* q109: identical construction — rarest-first (freq, token) order via
+     * ordered list() aggregate, integer prefix length and cross-multiplied
+     * threshold tests, list_intersect for the exact verify. */
+    "q109_prefix_jaccard" ->
+      s"""WITH $ShinglesCte,
+         | f AS (SELECT sg, COUNT(*) AS fr FROM sh GROUP BY sg),
+         | o AS (SELECT doc_id, list(sg ORDER BY fr, sg) AS toks,
+         |         COUNT(*) AS n
+         |       FROM sh JOIN f USING (sg) GROUP BY doc_id),
+         | p AS (SELECT doc_id, n,
+         |         unnest(list_slice(toks, 1, n - ((4 * n + 4) // 5) + 1)) AS sg
+         |       FROM o),
+         | c AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM p a JOIN p b ON a.sg = b.sg AND a.doc_id < b.doc_id
+         |        AND 5 * least(a.n, b.n) >= 4 * greatest(a.n, b.n)),
+         | v AS (SELECT doc_a, doc_b,
+         |         len(list_intersect(oa.toks, ob.toks)) AS shared,
+         |         oa.n AS na, ob.n AS nb
+         |       FROM c JOIN o oa ON oa.doc_id = doc_a
+         |              JOIN o ob ON ob.doc_id = doc_b)
+         |SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+         |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+         |  round(CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE), 4)
+         |    AS jaccard
+         |FROM v WHERE 5 * shared >= 4 * (na + nb - shared)
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q100_triangles" ->
       s"""WITH $SigCte,
          | bands AS (

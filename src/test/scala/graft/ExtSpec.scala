@@ -68,6 +68,19 @@ class ExtSpec extends AnyFunSuite {
     assert(!p.exists { case (a, b, _) => b == 3L })
   }
 
+  test("prefix-filtered jaccard join == brute-force pairs (zero false negatives)") {
+    // real corpus slice: the prefix+length filters must lose NOTHING vs the
+    // brute shingle self-join at the same rational threshold (4/5 = 0.8)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val brute = Dedup.jaccardPairs(corpus, "doc_id", "text",
+        maxId = Long.MaxValue, threshold = 0.8)
+      .select("doc_a", "doc_b", "shared", "na", "nb", "jaccard")
+    val pref = Dedup.prefixJaccardJoin(corpus, "doc_id", "text")
+      .select("doc_a", "doc_b", "shared", "na", "nb", "jaccard")
+    assert(pref.count() > 0, "corpus should contain at least one near-dup pair")
+    assert(brute.exceptAll(pref).isEmpty && pref.exceptAll(brute).isEmpty)
+  }
+
   test("cosine similarity: exact on known vectors") {
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
       .toDF("a", "b")
