@@ -12,6 +12,17 @@ import graft.stream.Incremental
 class IncrementalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  /** events.ts changed physical type across driver testdata generations
+    * (TIMESTAMP(NANOS) → long under nanosAsLong vs TIMESTAMP(MICROS) → NTZ,
+    * which approxQuantile rejects). Project to a numeric column and compare
+    * in that same domain — only relative order matters for the splits. */
+  private def tsNum(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Column =
+    if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType) col("ts")
+    else unix_micros(col("ts").cast("timestamp"))
+
+  private def tsQuantiles(ev: org.apache.spark.sql.DataFrame, probs: Double*): Array[Double] =
+    ev.select(tsNum(ev).cast("double").as("_t")).stat.approxQuantile("_t", probs.toArray, 0.0)
+
   private def rawFile(url: String, date: String, model: String): String =
     s"""[{"auction_url": "$url",
        |"auction_stats": {"reserve_status": "Reserve", "auction_status": "Sold",
@@ -131,11 +142,11 @@ class IncrementalSpec extends AnyFunSuite {
     // cross-batch state merging AND the snapshot upsert (stale open-session
     // rows must be replaced, not retained)
     val ev = spark.read.parquet(s"$dir/events.parquet")
-    val Array(q33, q66) = ev.stat.approxQuantile("ts", Array(0.33, 0.66), 0.0)
+    val Array(q33, q66) = tsQuantiles(ev, 0.33, 0.66)
     val chunks = Seq(
-      ev.filter(col("ts") <= q33),
-      ev.filter(col("ts") > q33 && col("ts") <= q66),
-      ev.filter(col("ts") > q66))
+      ev.filter(tsNum(ev) <= q33),
+      ev.filter(tsNum(ev) > q33 && tsNum(ev) <= q66),
+      ev.filter(tsNum(ev) > q66))
     chunks.zipWithIndex.foreach { case (chunk, i) =>
       val tmp = Files.createTempDirectory(s"graft_sess_chunk$i")
       chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -164,10 +175,10 @@ class IncrementalSpec extends AnyFunSuite {
     val streamDir = Files.createTempDirectory("graft_sess_ooo")
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val total = ev.count()
-    val Array(q50) = ev.stat.approxQuantile("ts", Array(0.5), 0.0)
+    val Array(q50) = tsQuantiles(ev, 0.5)
     // NEWEST half first, oldest second — every old event arrives after the
     // open sessions have moved far past it
-    val chunks = Seq(ev.filter(col("ts") > q50), ev.filter(col("ts") <= q50))
+    val chunks = Seq(ev.filter(tsNum(ev) > q50), ev.filter(tsNum(ev) <= q50))
     chunks.zipWithIndex.foreach { case (chunk, i) =>
       val tmp = Files.createTempDirectory(s"graft_ooo_chunk$i")
       chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -192,8 +203,8 @@ class IncrementalSpec extends AnyFunSuite {
     // two event-time-ordered chunks: every user's later events arrive in the
     // later batch → state must carry (rn, cents) across the batch boundary
     val ev = spark.read.parquet(s"$dir/events.parquet")
-    val Array(q50) = ev.stat.approxQuantile("ts", Array(0.5), 0.0)
-    val chunks = Seq(ev.filter(col("ts") <= q50), ev.filter(col("ts") > q50))
+    val Array(q50) = tsQuantiles(ev, 0.5)
+    val chunks = Seq(ev.filter(tsNum(ev) <= q50), ev.filter(tsNum(ev) > q50))
     chunks.zipWithIndex.foreach { case (chunk, i) =>
       val tmp = Files.createTempDirectory(s"graft_tot_chunk$i")
       chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -262,8 +273,8 @@ class IncrementalSpec extends AnyFunSuite {
     // time-contiguous files, oldest first: complete-mode state must carry
     // partial windows across micro-batches without the watermark dropping them
     val ev = spark.read.parquet(s"$dir/events.parquet")
-    val Array(mid) = ev.stat.approxQuantile("ts", Array(0.5), 0.0)
-    Seq(ev.filter(col("ts") <= mid), ev.filter(col("ts") > mid)).zipWithIndex.foreach {
+    val Array(mid) = tsQuantiles(ev, 0.5)
+    Seq(ev.filter(tsNum(ev) <= mid), ev.filter(tsNum(ev) > mid)).zipWithIndex.foreach {
       case (chunk, i) =>
         val tmp = Files.createTempDirectory(s"graft_wc_chunk$i")
         chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -288,8 +299,8 @@ class IncrementalSpec extends AnyFunSuite {
     // event-time-ordered halves: (view, purchase) pairs straddling the split
     // can only match through the two-sided join state carried across batches
     val ev = spark.read.parquet(s"$dir/events.parquet")
-    val Array(q50) = ev.stat.approxQuantile("ts", Array(0.5), 0.0)
-    val chunks = Seq(ev.filter(col("ts") <= q50), ev.filter(col("ts") > q50))
+    val Array(q50) = tsQuantiles(ev, 0.5)
+    val chunks = Seq(ev.filter(tsNum(ev) <= q50), ev.filter(tsNum(ev) > q50))
     chunks.zipWithIndex.foreach { case (chunk, i) =>
       val tmp = Files.createTempDirectory(s"graft_ij_chunk$i")
       chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
