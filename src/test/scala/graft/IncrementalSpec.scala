@@ -322,9 +322,11 @@ class IncrementalSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture must produce at least one attributed pair")
     assert(streamed == batch)
     // pairs straddle the split (otherwise this proves nothing about state)
-    // q50 is in raw nanos (the parquet long); loaded timestamps cast to
-    // epoch seconds — align units before comparing
-    val q50s = q50 / 1e9
+    // q50 is in tsNum's domain: raw long (nanos) when ts is LongType, else
+    // unix_micros; loaded timestamps cast to epoch seconds — align units
+    val q50s =
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType) q50 / 1e9
+      else q50 / 1e6
     val crossing = graft.stream.IntervalJoin
       .batchEquivalent(graft.util.Tables.load(spark, dir, "events"), 1440)
       .filter(col("view_ts").cast("timestamp").cast("double") <= q50s &&
