@@ -375,17 +375,31 @@ object Dedup {
         .reduceByKey(p, math.min(_: Long, _: Long)) // v unique — a no-op that restores partitioning
     var round = 0
     var changed = 1L
+    var firstChanged = -1L
     while (changed > 0) {
       val t0 = System.nanoTime()
       val acc = spark.sparkContext.longAccumulator
-      val next = jump(prop(prop(labels, acc), acc))
+      // double-propagation is the latency optimum while labels are moving in
+      // bulk (NOTES r7); once the per-round delta collapses to a sliver of
+      // round 1's (the long-tail chains), the second sub-step's shuffle buys
+      // almost no extra convergence — drop to one prop per round. The
+      // fixpoint is unaffected: a round whose SINGLE prop changes nothing
+      // means every symmetric edge has equal labels on both ends (min over
+      // neighbours >= own label, both directions), i.e. labels are already
+      // constant per component and equal to the component min.
+      val tail = round >= 2 && firstChanged > 0 &&
+        changed < math.max(64L, firstChanged / 8)
+      val stepped = if (tail) prop(labels, acc) else prop(prop(labels, acc), acc)
+      val next = jump(stepped)
       next.localCheckpoint() // truncate lineage at materialization
       next.count() // the round's ONE action; also settles the accumulator
       changed = acc.value
+      if (firstChanged < 0) firstChanged = changed
       labels.unpersist(blocking = false)
       labels = next
       round += 1
       if (debug) println(f"[cc] round $round changed=$changed " +
+        f"props=${if (tail) 1 else 2} " +
         f"${(System.nanoTime() - t0) / 1e9}%.3fs parts=${next.getNumPartitions}")
     }
     edges.unpersist(blocking = false) // labels' lineage is checkpoint-truncated

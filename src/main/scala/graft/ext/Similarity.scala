@@ -266,12 +266,18 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val cents =
-      if (lloydIterations > 0)
-        try refineCentroids(eCached, sample, lloydIterations)
-        finally { eCached.unpersist(); () }
+      if (lloydIterations > 0) refineCentroids(eCached, sample, lloydIterations)
       else sample
 
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).cast("array<double>").as("cv"))
+    // final bucketing reads the SAME projected frame the Lloyd passes
+    // cached (r9, VERDICT #5): the candidate side is exactly e's projection
+    // renamed, so with lloydIterations > 0 it scans memory blocks instead
+    // of a fresh source scan — at corpus scale that re-scan was the last
+    // full pass not served from cache. The persist deliberately outlives
+    // this call (the returned frame is lazy); the caller's session hygiene
+    // (bench quiesce / session teardown) reclaims the blocks, which are a
+    // 2-column projected slice at MEMORY_AND_DISK.
+    val c = eCached.select(col("_id").as("cand_id"), col("_v").as("cv"))
       .withColumn("cn", l2norm(col("cv")))
       .withColumn("list_id", element_at(nearestIds(cents, col("cv"), 1), 1))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
