@@ -138,6 +138,67 @@ object Sketch {
         col("sketch_size"), col("kmv_estimate"))
   }
 
+  /** Count-Min Sketch (Cormode & Muthukrishnan, "An improved data stream
+    * summary: the count-min sketch and its applications", J. Algorithms
+    * 2005) in LONG FORM — the frequency-estimation companion to the KMV
+    * cardinality sketch above. A CMS is a d×w integer matrix: every
+    * occurrence of a value increments one counter per row r (bucket =
+    * hash_r(value) mod w), and a value's frequency estimate is the MINIMUM
+    * of its d counters — an overestimate by construction (collisions only
+    * ever add). The long form keeps the matrix as (r, bucket, cnt) rows,
+    * which is the distributed-native representation at 100 TB:
+    *
+    *   - build: ONE map-side-combined aggregation whose state is bounded at
+    *     d·w cells per group no matter the input size (the d-way explode
+    *     happens below the partial agg, so the shuffle carries cells, not
+    *     events);
+    *   - merge across groups (days / corpora / partitions): element-wise
+    *     SUM — lossless by construction, counts are additive, so
+    *     merge-of-per-group-sketches ≡ sketch-built-directly-over-the-union
+    *     (the SketchSpec law, same shape as the KMV merge law);
+    *   - probe: a broadcast join of d cells per probe key + one `min`.
+    *
+    * Determinism: buckets are md5-derived (the [[kmvHash]] idiom), counts
+    * are integers end-to-end — identical across engines, partitionings and
+    * retries, hence exactly DuckDB-replayable. */
+  def cmsBucket(c: Column, r: Int, w: Int): Column =
+    conv(substring(md5(concat(lit(s"cms:$r:"), c.cast("string")).cast("binary")), 1, 15), 16, 10)
+      .cast("bigint") % w
+
+  /** The d (r, bucket) cells a single value touches. */
+  private def cmsCells(c: Column, d: Int, w: Int): Column =
+    array((0 until d).map(r =>
+      struct(lit(r).as("r"), cmsBucket(c, r, w).as("bucket"))): _*)
+
+  /** Per-group long-form sketches: (groupCol, r, bucket, cnt), ≤ d·w cells
+    * per group. */
+  def cmsLongForm(df: DataFrame, groupCol: String, valueCol: String,
+                  d: Int = 4, w: Int = 256): DataFrame =
+    df.select(col(groupCol), explode(cmsCells(col(valueCol), d, w)).as("_rb"))
+      .select(col(groupCol), col("_rb.r").as("r"), col("_rb.bucket").as("bucket"))
+      .groupBy(col(groupCol), col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge per-group sketches into the global sketch: element-wise sum over
+    * the cell grid — O(groups·d·w) input rows, no re-read of the data. */
+  def cmsMerge(longForm: DataFrame): DataFrame =
+    longForm.groupBy(col("r"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-query the (merged) sketch for every probe row: each key joins
+    * its d cells (broadcast — probes are a bounded set) and takes the min.
+    * All probe columns ride along; a probed key that contributed to the
+    * sketch always matches exactly d cells. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+                  d: Int = 4, w: Int = 256): DataFrame = {
+    val pk = probes
+      .withColumn("_rb", explode(cmsCells(col(keyCol), d, w)))
+      .withColumn("r", col("_rb.r")).withColumn("bucket", col("_rb.bucket"))
+      .drop("_rb")
+    sketch.join(broadcast(pk), Seq("r", "bucket"))
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min(col("cnt")).as("cms_estimate"))
+  }
+
   /** Sketch → (sketch_size, kmv_estimate) columns; below k the sketch is
     * the exact distinct set, at k the unbiased estimator (exact-integer
     * arithmetic: DECIMAL(38,0) product, integral division ≡ DuckDB

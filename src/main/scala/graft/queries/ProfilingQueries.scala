@@ -96,13 +96,39 @@ object ProfilingQueries {
         "o_orderpriority", "o_custkey", k = 256)
       .transform(tinySort(_, col("scope")))
 
+  /** q110 — Count-Min Sketch frequency estimation
+    * ([[graft.ext.Sketch.cmsLongForm]]/[[graft.ext.Sketch.cmsMerge]]/
+    * [[graft.ext.Sketch.cmsEstimate]]): per-DAY 4×256 long-form sketches
+    * over event user activity, merged element-wise into the global sketch
+    * (the incremental-maintenance path: daily sketches combine without
+    * re-reading events, and merge ≡ direct-over-union exactly since counts
+    * are additive — which is why the oracle may compute the global grid
+    * directly), then point-queried for the top-10 users by exact count.
+    * Output carries the exact count next to the estimate: the CMS
+    * overestimate law (estimate ≥ truth, collisions only add) is visible
+    * as a non-negative `overcount` column, and at production scale the
+    * exact side is what the sketch replaces. */
+  def q110CmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    val perDay = Sketch.cmsLongForm(
+      ev.withColumn("_day", to_date(col("ts"))), "_day", "user_id")
+    val probes = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("user_id").asc)
+      .limit(10)
+    Sketch.cmsEstimate(Sketch.cmsMerge(perDay), probes, "user_id")
+      .withColumn("overcount", col("cms_estimate") - col("exact_cnt"))
+      .transform(tinySort(_, col("user_id")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_column_profile" -> (q71ColumnProfile _),
     "q72_dq_checks" -> (q72DqChecks _),
     "q73_length_trim" -> (q73LengthTrim _),
     "q101_histogram" -> (q101Histogram _),
     "q106_kmv_distinct" -> (q106KmvDistinct _),
-    "q108_kmv_rollup" -> (q108KmvRollup _))
+    "q108_kmv_rollup" -> (q108KmvRollup _),
+    "q110_cms_freq" -> (q110CmsFreq _))
 
   /** DuckDB reconstruction of [[Sketch.kmvHash]]: strpos arithmetic over
     * the first 15 hex chars of md5 (60 bits — BIGINT-exact in both
@@ -229,5 +255,29 @@ object ProfilingQueries {
         |       ELSE (CAST(255 AS HUGEINT) * CAST(${Sketch.HashSpace} AS HUGEINT))
         |            // CAST(hk AS HUGEINT) END AS BIGINT) AS kmv_estimate
         |FROM lv
-        |ORDER BY scope""".stripMargin)
+        |ORDER BY scope""".stripMargin,
+    /* CMS oracle: the engine side builds per-day sketches and merges them;
+     * because cell counts are additive, merged ≡ built-directly-global, so
+     * the oracle computes the global (r, bucket) grid in one grouping. */
+    "q110_cms_freq" ->
+      s"""WITH rs AS (SELECT r FROM (VALUES (0),(1),(2),(3)) t(r)),
+        | cells AS (SELECT r.r,
+        |     ${hex60("'cms:' || CAST(r.r AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)")}
+        |       % 256 AS bucket
+        |   FROM events e CROSS JOIN rs r),
+        | sk AS (SELECT r, bucket, COUNT(*) AS cnt FROM cells GROUP BY r, bucket),
+        | probes AS (SELECT user_id, COUNT(*) AS exact_cnt FROM events
+        |            GROUP BY user_id
+        |            ORDER BY exact_cnt DESC, user_id ASC LIMIT 10),
+        | pc AS (SELECT p.user_id, p.exact_cnt, r.r,
+        |     ${hex60("'cms:' || CAST(r.r AS VARCHAR) || ':' || CAST(p.user_id AS VARCHAR)")}
+        |       % 256 AS bucket
+        |   FROM probes p CROSS JOIN rs r)
+        |SELECT CAST(pc.user_id AS BIGINT) AS user_id,
+        |  CAST(pc.exact_cnt AS BIGINT) AS exact_cnt,
+        |  CAST(MIN(sk.cnt) AS BIGINT) AS cms_estimate,
+        |  CAST(MIN(sk.cnt) - pc.exact_cnt AS BIGINT) AS overcount
+        |FROM pc JOIN sk USING (r, bucket)
+        |GROUP BY pc.user_id, pc.exact_cnt
+        |ORDER BY user_id""".stripMargin)
 }

@@ -310,4 +310,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), s"scoring path must not explode:\n$plan")
     assert(!plan.contains("Exchange"), s"scoring path must not shuffle:\n$plan")
   }
+
+  test("q110 CMS: cell counts partial-aggregate below the shuffle; probe join is broadcast") {
+    // the long-form sketch claim: the d-way explode feeds a map-side
+    // combined count (shuffle carries <= d*w cells per group, not events),
+    // the probe side broadcasts, and nothing degenerates to a nested loop
+    val plan = graft.queries.ProfilingQueries.q110CmsFreq(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q110 probe must be an equi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q110 probe side should broadcast:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"q110 cell counts should partial-aggregate:\n$plan")
+  }
 }

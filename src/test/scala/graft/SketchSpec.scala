@@ -59,4 +59,46 @@ class SketchSpec extends AnyFunSuite {
     assert(r.getAs[Long]("sketch_size") == 2L)
     assert(r.getAs[Long]("kmv_estimate") == 2L)
   }
+
+  // ---- Count-Min Sketch (long form) ----
+
+  /** Skewed multiset over 2 groups: value v occurs ~(v mod 50)+1 times. */
+  private def cmsFixture = (1 to 12000)
+    .map(i => ((i % 2).toLong, (i % 300).toLong))
+    .toDF("g", "v")
+
+  test("CMS merge of per-group sketches equals the sketch built directly over the union") {
+    val merged = Sketch.cmsMerge(Sketch.cmsLongForm(cmsFixture, "g", "v", d = 4, w = 64))
+      .orderBy("r", "bucket").collect().toSeq
+    val direct = Sketch.cmsMerge(
+        Sketch.cmsLongForm(cmsFixture.withColumn("g", lit(0L)), "g", "v", d = 4, w = 64))
+      .orderBy("r", "bucket").collect().toSeq
+    assert(merged == direct)
+  }
+
+  test("CMS estimate >= exact count for EVERY key, and is partition-invariant") {
+    val exact = cmsFixture.groupBy("v").agg(count(lit(1)).as("exact_cnt"))
+    val runs = Seq(1, 32).map { n =>
+      val sk = Sketch.cmsMerge(Sketch.cmsLongForm(
+        cmsFixture.repartition(n), "g", "v", d = 4, w = 64))
+      Sketch.cmsEstimate(sk, exact, "v", d = 4, w = 64)
+        .orderBy("v").collect().toSeq
+    }
+    assert(runs.distinct.size == 1)
+    runs.head.foreach { r =>
+      assert(r.getAs[Long]("cms_estimate") >= r.getAs[Long]("exact_cnt"),
+        s"key ${r.get(0)}: CMS under-estimated — impossible by construction")
+    }
+  }
+
+  test("CMS is exact when the grid is collision-free") {
+    // 10 distinct keys into a 4x1024 grid: expect no collisions; every
+    // estimate must equal the true count exactly
+    val tiny = (1 to 100).map(i => (0L, (i % 10).toLong)).toDF("g", "v")
+    val exact = tiny.groupBy("v").agg(count(lit(1)).as("exact_cnt"))
+    val sk = Sketch.cmsMerge(Sketch.cmsLongForm(tiny, "g", "v", d = 4, w = 1024))
+    Sketch.cmsEstimate(sk, exact, "v", d = 4, w = 1024).collect().foreach { r =>
+      assert(r.getAs[Long]("cms_estimate") == r.getAs[Long]("exact_cnt"))
+    }
+  }
 }
