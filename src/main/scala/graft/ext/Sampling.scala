@@ -143,4 +143,54 @@ object Sampling {
       .filter(col("rate") >= 1.0 || bucket < col("thresh"))
       .select(col(idCol), col(srcCol), col("c_s"), col("rate"))
   }
+
+  /** Deterministic proportional interleaving — a global training ORDER in
+    * which every source appears at its corpus share continuously (stride
+    * scheduling, Waldspurger & Weihl, OSDI '94): source s's r-th document
+    * (r = 1..n_s in per-source md5 order) sits at integer position
+    * pos = (2r−1)·T div (2·n_s) ∈ [0, T), T = corpus size. One source's
+    * positions are T/n_s apart, so ANY contiguous window of the schedule
+    * holds each source in proportion — the shard-free mixture/curriculum
+    * order a streaming trainer consumes. Contrast [[deterministicShuffle]]
+    * (uniform permutation — proportional only in expectation) and
+    * [[temperatureMix]] (membership, not order).
+    *
+    * Engine parity: position arithmetic is exact DECIMAL(38,0) — the
+    * (2r−1)·T product overflows BIGINT around 1e9 docs/source on a 1e9
+    * corpus, and DECIMAL `div` ≡ DuckDB HUGEINT `//`; ranks come from a
+    * per-source md5 window, no rand() anywhere.
+    *
+    * Scale shape: ONE per-source window shuffle for the ranks (the
+    * [[stratifiedSample]] tier), a vocabulary-sized broadcast of
+    * (n_s, T) — totals via the whole-frame window over the aggregate, the
+    * [[temperatureMix]] trick, so the corpus scans once and nothing plans
+    * a BroadcastNestedLoopJoin — and a map-side-combined aggregate over
+    * schedule buckets. No corpus-scale sort, no global window.
+    *
+    * Output (bounded: |sources|·nBuckets rows): per (source, schedule
+    * bucket) doc counts + first/last position — the stride fairness law
+    * (a source's per-bucket counts differ by ≤1) as visible columns. */
+  def interleaveSchedule(docs: DataFrame, idCol: String, srcCol: String,
+                         nBuckets: Int = 10,
+                         salt: String = "graft-ilv"): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring(col(srcCol), 0, 0))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val counts = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("n_s"))
+      .withColumn("t_total", sum(col("n_s")).over(whole))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(srcCol))
+      .orderBy(md5(concat(lit(s"$salt:"), col(idCol).cast("string")).cast("binary")),
+        col(idCol))
+    docs.select(col(srcCol), col(idCol))
+      .withColumn("_r", row_number().over(w).cast("long"))
+      .join(broadcast(counts), Seq(srcCol))
+      .withColumn("_pos", expr(
+        "CAST(2*_r - 1 AS DECIMAL(38,0)) * CAST(t_total AS DECIMAL(38,0))" +
+          " div CAST(2 * n_s AS DECIMAL(38,0))"))
+      .withColumn("bucket", expr(s"_pos * $nBuckets div t_total"))
+      .groupBy(col(srcCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("_pos")).as("first_pos"), max(col("_pos")).as("last_pos"))
+  }
 }

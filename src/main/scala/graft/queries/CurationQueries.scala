@@ -327,7 +327,21 @@ object CurationQueries {
         load(spark, dir, "documents").select(col("doc_id")), "doc_id")
       .transform(tinySort(_, col("shuffle_pos")))
 
+  /** q111 — deterministic proportional interleave schedule
+    * ([[Sampling.interleaveSchedule]]): stride-scheduling positions for
+    * every document (per-source md5 rank r → position (2r−1)·T div (2·n_s),
+    * exact DECIMAL(38,0) ≡ HUGEINT), summarized per (source, schedule
+    * decile) — counts plus first/last position, the proportional-fairness
+    * law as data. The curriculum/streaming-mixture ORDER primitive that
+    * [[Sampling.deterministicShuffle]] (uniform) and
+    * [[Sampling.temperatureMix]] (membership) don't cover. */
+  def q111Interleave(spark: SparkSession, dir: String): DataFrame =
+    Sampling.interleaveSchedule(load(spark, dir, "documents"),
+        "doc_id", "source")
+      .transform(tinySort(_, col("source"), col("bucket")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_interleave" -> (q111Interleave _),
     "q42_corpus_curation" -> (q42CorpusCuration _),
     "q69_corpus_shuffle" -> (q69CorpusShuffle _),
     "q56_doc_chunking" -> (q56DocChunking _),
@@ -398,6 +412,27 @@ object CurationQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_urls
         |FROM k GROUP BY canonical_url
         |ORDER BY canonical_url""".stripMargin,
+    /* Stride positions replayed with HUGEINT `//` ≡ Spark DECIMAL(38,0)
+     * `div`; the per-source md5 rank is the q86 idiom. The oracle carries
+     * t_total through the position CTE instead of re-aggregating. */
+    "q111_interleave" ->
+      """WITH ns AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+        | t AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_total FROM documents),
+        | r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |          ORDER BY md5('graft-ilv:' || CAST(doc_id AS VARCHAR)) ASC NULLS LAST,
+        |                   doc_id ASC NULLS LAST) AS r
+        |        FROM documents),
+        | p AS (SELECT r.source, t.t_total,
+        |         CAST((CAST(2*r.r - 1 AS HUGEINT) * t.t_total)
+        |              // (2 * ns.n_s) AS BIGINT) AS pos
+        |       FROM r JOIN ns USING (source) CROSS JOIN t)
+        |SELECT source,
+        |  CAST((pos * 10) // t_total AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(pos) AS BIGINT) AS first_pos,
+        |  CAST(MAX(pos) AS BIGINT) AS last_pos
+        |FROM p GROUP BY source, t_total, bucket
+        |ORDER BY source, bucket""".stripMargin,
     "q86_stratified_sample" ->
       """WITH r AS (SELECT source, doc_id,
         |    CAST(row_number() OVER (PARTITION BY source

@@ -415,6 +415,48 @@ class IncrementalSpec extends AnyFunSuite {
     assert(after.find(_._1 == 1L).get == ((1L, 4L, 160L)))
   }
 
+  test("streaming CMS sketch maintenance equals the batch sketch (MvStream composition)") {
+    import spark.implicits._
+    // the long-form CMS is (r, bucket, cnt) rows with SUM-mergeable counts
+    // — exactly MvStream's contract, so continuous sketch maintenance is
+    // pure composition: partial = per-batch sketch, keys = the cell grid
+    val streamDir = Files.createTempDirectory("graft_cms_stream")
+    val viewDir = Files.createTempDirectory("graft_cms_root").resolve("view").toString
+    val ckpt = Files.createTempDirectory("graft_cms_ckpt").toString
+    val batches = Seq(
+      (0L until 400L).map(i => i % 37),
+      (0L until 300L).map(i => i % 11),
+      Seq.fill(300)(5L)).map(_.toDF("v"))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = Files.createTempDirectory(s"graft_cms_b$i")
+      b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(s"b$i.parquet")
+      Files.move(part, dest)
+      dest.toFile.setLastModified(1000000L * (i + 1))
+    }
+    def sketch(df: org.apache.spark.sql.DataFrame) = graft.ext.Sketch.cmsMerge(
+      graft.ext.Sketch.cmsLongForm(df.withColumn("_g", lit(0)), "_g", "v",
+        d = 4, w = 64))
+    graft.stream.MvStream.runAvailableNow(spark, streamDir.toString,
+      batches.head.schema, viewDir, ckpt, Seq("r", "bucket"), sketch,
+      maxFilesPerTrigger = Some(1))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long, Long)] =
+      df.select("r", "bucket", "cnt").orderBy("r", "bucket").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val streamed = canon(spark.read.parquet(viewDir))
+    val all = batches.reduce(_ unionByName _)
+    assert(streamed == canon(sketch(all)))
+    // estimates from the STREAMED sketch still satisfy the overestimate law
+    val exact = all.groupBy("v").agg(count(lit(1)).as("exact_cnt"))
+    graft.ext.Sketch.cmsEstimate(spark.read.parquet(viewDir), exact, "v",
+        d = 4, w = 64)
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("cms_estimate") >= r.getAs[Long]("exact_cnt"))
+      }
+  }
+
   test("interrupted publish swap: reads roll _old back and the re-delivered batch converges") {
     import spark.implicits._
     import java.nio.file.{Files => JFiles, Paths}

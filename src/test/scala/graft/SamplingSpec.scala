@@ -90,4 +90,45 @@ class SamplingSpec extends AnyFunSuite {
     // p_s = c_s / N → rate = targetFrac exactly, for every source
     assert(rates.toSeq == Seq(0.25))
   }
+
+  // skewed sources: 1500 / 360 / 140 docs
+  private lazy val ilvDocs = (0L until 2000L)
+    .map(i => (i, if (i < 1500) "big" else if (i < 1860) "mid" else "small"))
+    .toDF("id", "src")
+
+  test("interleaveSchedule: stride fairness — a source's per-bucket counts differ by <= 1") {
+    val out = Sampling.interleaveSchedule(ilvDocs, "id", "src", nBuckets = 10)
+      .collect()
+    assert(out.length == 30, "every source must appear in every bucket")
+    Seq("big", "mid", "small").foreach { s =>
+      val counts = out.filter(_.getString(0) == s).map(_.getAs[Long]("n_docs"))
+      assert(counts.max - counts.min <= 1,
+        s"source $s buckets ${counts.toSeq} — stride should spread evenly")
+      assert(counts.sum == (if (s == "big") 1500 else if (s == "mid") 360 else 140))
+    }
+  }
+
+  test("interleaveSchedule: positions cover [0, T) and buckets tile it in order") {
+    val out = Sampling.interleaveSchedule(ilvDocs, "id", "src", nBuckets = 10)
+      .collect()
+    assert(out.forall(r => r.getAs[Long]("first_pos") >= 0 &&
+      r.getAs[Long]("last_pos") < 2000))
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val byBucket = rows.sortBy(_.getAs[Long]("bucket"))
+      // within a source, bucket k's positions all precede bucket k+1's
+      byBucket.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_pos") < b.getAs[Long]("first_pos"))
+        case _ => ()
+      }
+    }
+  }
+
+  test("interleaveSchedule: invariant under repartitioning") {
+    val runs = Seq(1, 32).map { n =>
+      Sampling.interleaveSchedule(ilvDocs.repartition(n), "id", "src")
+        .orderBy("src", "bucket").collect().toSeq
+    }
+    assert(runs.distinct.size == 1)
+  }
 }
