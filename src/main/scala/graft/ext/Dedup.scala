@@ -260,6 +260,71 @@ object Dedup {
           (col("na") + col("nb") - col("shared")).cast("double"), 4).as("jaccard"))
   }
 
+  /** EXACT set-CONTAINMENT join (asymmetric Jaccard): ordered pairs
+    * (doc_in, doc_out) with C(in, out) = |S_in ∩ S_out| / |S_in| ≥
+    * tNum/tDen over distinct word shingles — the doc-inside-doc duplication
+    * detector (quotation, boilerplate wrapping, near-subset re-posts) that
+    * SYMMETRIC Jaccard ([[prefixJaccardJoin]]) structurally misses: a small
+    * document fully quoted inside a large one has J ≈ n_in/n_out → 0 but
+    * containment 1. The set-containment-join literature calls this the
+    * PRETTI/prefix family; both filters below keep ZERO false negatives.
+    *
+    * Candidate generation joins the CONTAINED side's rarest-first prefix
+    * (length n_in − ⌈t·n_in⌉ + 1 — pigeonhole: C ≥ t forces an
+    * intersection token into the prefix) against the container side's FULL
+    * posting lists, pruned by two integer tests:
+    *   length filter      tDen·n_out ≥ tNum·n_in   (|∩| ≤ n_out)
+    *   positional filter  j ≤ n_out − ⌈t·n_in⌉ + 1 — the globally-RAREST
+    *     intersection token must sit within the container's first
+    *     n_out − m + 1 positions (m = ⌈t·n_in⌉ of the m-sized intersection
+    *     can't all hide in the last m − 1 slots), and that token is itself
+    *     a generator, so dropping deep-position matches loses no pair.
+    * Everything is integer cross-multiplication (⌈a/b⌉ = (a+b−1) div b);
+    * the output ratio is integer basis points ((10000·shared) div n_in) so
+    * no float rounding crosses the engine boundary anywhere.
+    *
+    * Scale shape: same keyed-shuffle tiers as [[prefixJaccardJoin]] — freq
+    * agg, one groupBy-doc sorted-array build, candidate equi-join on the
+    * (rare) prefix tokens + DISTINCT, verify via two array joins +
+    * map-side array_intersect. The container side ships full posting lists
+    * but only meets PREFIX tokens of contained docs: rarest-first ordering
+    * keeps the hot boilerplate shingles out of every probe. */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, tNum: Int = 9, tDen: Int = 10): DataFrame = {
+    val s = explodedShingles(df, idCol, textCol, shingleN)
+    val freq = s.groupBy(col("sg")).agg(count(lit(1)).as("_f"))
+    val ordered = s.join(freq, "sg")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("_f"), col("sg")))).as("_ts"))
+      .select(col(idCol), transform(col("_ts"), t => t.getField("sg")).as("toks"),
+        size(col("_ts")).as("n"))
+    val prefixes = ordered
+      .withColumn("_L", expr(s"n - (($tNum * n + ${tDen - 1}) div $tDen) + 1"))
+      .select(col(idCol), col("n"),
+        explode(slice(col("toks"), lit(1), col("_L"))).as("sg"))
+    val full = ordered
+      .select(col(idCol), col("n"), posexplode(col("toks")).as(Seq("_j0", "sg")))
+      .withColumn("_j", col("_j0") + 1).drop("_j0")
+    val cand = prefixes.as("a").join(full.as("b"),
+        col("a.sg") === col("b.sg") && col(s"a.$idCol") =!= col(s"b.$idCol") &&
+          lit(tDen) * col("b.n") >= lit(tNum) * col("a.n") &&
+          col("b._j") <= col("b.n") -
+            expr(s"($tNum * a.n + ${tDen - 1}) div $tDen") + 1)
+      .select(col(s"a.$idCol").as("doc_in"), col(s"b.$idCol").as("doc_out"))
+      .distinct()
+    cand
+      .join(ordered.select(col(idCol).as("doc_in"), col("toks").as("_ta"),
+        col("n").as("na")), "doc_in")
+      .join(ordered.select(col(idCol).as("doc_out"), col("toks").as("_tb"),
+        col("n").as("nb")), "doc_out")
+      .withColumn("shared",
+        size(array_intersect(col("_ta"), col("_tb"))).cast("long"))
+      .filter(lit(tDen) * col("shared") >= lit(tNum) * col("na"))
+      .select(col("doc_in"), col("doc_out"), col("shared"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+        expr("(10000 * shared) div na").as("containment_bp"))
+  }
+
   /** LSH parameter evaluation: precision/recall of a CANDIDATE pair set
     * against a ground-truth pair set (both canonical `a < b` pairs on the
     * same id universe — here, exact Jaccard on the bounded audit slice).

@@ -157,7 +157,19 @@ object DedupQueries {
     Dedup.prefixJaccardJoin(load(spark, dir, "documents"), "doc_id", "text")
       .transform(tinySort(_, col("doc_a"), col("doc_b")))
 
+  /** q112 — exact set-containment join ([[Dedup.containmentJoin]], the
+    * PRETTI/prefix set-containment family): ordered (contained, container)
+    * pairs at C ≥ 9/10 over the whole corpus — the doc-inside-doc detector
+    * symmetric q109 structurally misses. Prefix + length + positional
+    * filters are all integer cross-multiplication with zero false
+    * negatives; the ratio ships as integer basis points, so nothing
+    * floating crosses the engine boundary. */
+  def q112Containment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentJoin(load(spark, dir, "documents"), "doc_id", "text")
+      .transform(tinySort(_, col("doc_in"), col("doc_out")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_containment" -> (q112Containment _),
     "q109_prefix_jaccard" -> (q109PrefixJaccard _),
     "q100_triangles" -> (q100Triangles _),
     "q104_lsh_eval" -> (q104LshEval _),
@@ -177,6 +189,37 @@ object DedupQueries {
     /* q109: identical construction — rarest-first (freq, token) order via
      * ordered list() aggregate, integer prefix length and cross-multiplied
      * threshold tests, list_intersect for the exact verify. */
+    /* q112: the q109 chain with the containment variants of the three
+     * filters — contained-side prefix vs container-side FULL posting list
+     * with 1-based positions, length filter on the container, positional
+     * filter j ≤ n_out − ⌈t·n_in⌉ + 1; accept on tDen·shared ≥ tNum·n_in;
+     * ratio as integer basis points (no float rounding cross-engine). */
+    "q112_containment" ->
+      s"""WITH $ShinglesCte,
+         | f AS (SELECT sg, COUNT(*) AS fr FROM sh GROUP BY sg),
+         | o AS (SELECT doc_id, list(sg ORDER BY fr, sg) AS toks,
+         |         COUNT(*) AS n
+         |       FROM sh JOIN f USING (sg) GROUP BY doc_id),
+         | p AS (SELECT doc_id, n,
+         |         unnest(list_slice(toks, 1, n - ((9 * n + 9) // 10) + 1)) AS sg
+         |       FROM o),
+         | ft AS (SELECT doc_id, n, unnest(toks) AS sg,
+         |          generate_subscripts(toks, 1) AS j
+         |        FROM o),
+         | c AS (SELECT DISTINCT p.doc_id AS doc_in, b.doc_id AS doc_out
+         |       FROM p JOIN ft b ON p.sg = b.sg AND p.doc_id <> b.doc_id
+         |        AND 10 * b.n >= 9 * p.n
+         |        AND b.j <= b.n - ((9 * p.n + 9) // 10) + 1),
+         | v AS (SELECT doc_in, doc_out,
+         |         len(list_intersect(oa.toks, ob.toks)) AS shared,
+         |         oa.n AS na, ob.n AS nb
+         |       FROM c JOIN o oa ON oa.doc_id = doc_in
+         |              JOIN o ob ON ob.doc_id = doc_out)
+         |SELECT doc_in, doc_out, CAST(shared AS BIGINT) AS shared,
+         |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+         |  CAST((10000 * shared) // na AS BIGINT) AS containment_bp
+         |FROM v WHERE 10 * shared >= 9 * na
+         |ORDER BY doc_in, doc_out""".stripMargin,
     "q109_prefix_jaccard" ->
       s"""WITH $ShinglesCte,
          | f AS (SELECT sg, COUNT(*) AS fr FROM sh GROUP BY sg),

@@ -81,6 +81,38 @@ class ExtSpec extends AnyFunSuite {
     assert(brute.exceptAll(pref).isEmpty && pref.exceptAll(brute).isEmpty)
   }
 
+  test("containment join is directional: quoted doc found inside container, not vice versa") {
+    val a = (1 to 12).map(i => s"x$i").mkString(" ")           // 10 shingles
+    val b = a + " " + (1 to 9).map(i => s"y$i").mkString(" ")  // superset of a's
+    val c = (1 to 12).map(i => s"z$i").mkString(" ")           // disjoint
+    val fx = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = Dedup.containmentJoin(fx, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("containment_bp")))
+    assert(out.toSeq == Seq((1L, 2L, 10000L)),
+      s"expected exactly (1 contained-in 2) at 100%, got ${out.toSeq}")
+  }
+
+  test("containment join == brute-force containment (zero false negatives, both directions)") {
+    // the prefix + length + positional filters must lose NOTHING vs the
+    // unfiltered shingle self-join at the same rational threshold (9/10)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val s = Dedup.explodedShingles(corpus, "doc_id", "text", 3)
+    val counts = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val brute = s.as("a").join(s.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_in"), col("b.doc_id").as("doc_out"))
+      .agg(count(lit(1)).as("shared"))
+      .join(counts.select(col("doc_id").as("doc_in"), col("n").as("na")), "doc_in")
+      .join(counts.select(col("doc_id").as("doc_out"), col("n").as("nb")), "doc_out")
+      .filter(lit(10) * col("shared") >= lit(9) * col("na"))
+      .select(col("doc_in"), col("doc_out"), col("shared"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+        expr("(10000 * shared) div na").as("containment_bp"))
+    val fast = Dedup.containmentJoin(corpus, "doc_id", "text")
+    assert(fast.count() > 0, "corpus should contain at least one containment pair")
+    assert(brute.exceptAll(fast).isEmpty && fast.exceptAll(brute).isEmpty)
+  }
+
   test("cosine similarity: exact on known vectors") {
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
       .toDF("a", "b")

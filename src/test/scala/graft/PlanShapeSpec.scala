@@ -311,6 +311,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"scoring path must not shuffle:\n$plan")
   }
 
+  test("q112 containment join: prefix-token equi-joins only — no cartesian, no BNLJ") {
+    // the set-containment claim: candidate generation must be an equi-join
+    // on the shingle key (prefix side × posting lists) — any nested-loop
+    // here is corpus × corpus at 100 TB
+    val plan = graft.ext.Dedup.containmentJoin(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q112 must stay equi-join only:\n$plan")
+  }
+
   test("q110 CMS: cell counts partial-aggregate below the shuffle; probe join is broadcast") {
     // the long-form sketch claim: the d-way explode feeds a map-side
     // combined count (shuffle carries <= d*w cells per group, not events),
