@@ -168,8 +168,11 @@ object Sampling {
     * schedule buckets. No corpus-scale sort, no global window.
     *
     * Output (bounded: |sources|·nBuckets rows): per (source, schedule
-    * bucket) doc counts + first/last position — the stride fairness law
-    * (a source's per-bucket counts differ by ≤1) as visible columns. */
+    * bucket) doc counts + first/last position — the stride fairness law as
+    * visible columns: a source's per-bucket counts differ by at most 2
+    * (floor(n_s/nBuckets)/ceil(n_s/nBuckets) from equal spacing, and the
+    * integer floor on positions can push one point across a bucket
+    * boundary; ≤1 for most weight vectors, property-tested ≤2 always). */
   def interleaveSchedule(docs: DataFrame, idCol: String, srcCol: String,
                          nBuckets: Int = 10,
                          salt: String = "graft-ilv"): DataFrame = {
