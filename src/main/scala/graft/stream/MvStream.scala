@@ -35,7 +35,8 @@ object MvStream {
                       schema: StructType, viewDir: String,
                       checkpointDir: String, keys: Seq[String],
                       partial: DataFrame => DataFrame,
-                      maxFilesPerTrigger: Option[Int] = None): Unit = {
+                      maxFilesPerTrigger: Option[Int] = None,
+                      merge: Option[(DataFrame, DataFrame) => DataFrame] = None): Unit = {
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val q = reader.parquet(factsDir)
@@ -43,18 +44,27 @@ object MvStream {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) applyBatch(spark, viewDir, partial(batch), keys, batchId)
+        if (!batch.isEmpty)
+          applyBatch(spark, viewDir, partial(batch), keys, batchId, merge)
       }
       .start()
     q.awaitTermination()
   }
 
   /** Fold one batch partial into the view; a batch id at or below the
-    * view's `_LAST_BATCH` marker is a crash re-delivery and is skipped. */
+    * view's `_LAST_BATCH` marker is a crash re-delivery and is skipped.
+    *
+    * `merge` defaults to the SUM-partial fold ([[Mv.mergeAggregates]] on
+    * `keys`) — the continuous-aggregate contract. A non-SUM mergeable
+    * state (a KMV sketch's k-min set union, a MAX-register fold) supplies
+    * its own (base, delta) => merged; the exactly-once marker, atomic
+    * publish and crash rollback are merge-agnostic and shared. */
   def applyBatch(spark: SparkSession, viewDir: String, partial: DataFrame,
-                 keys: Seq[String], batchId: Long): Unit = {
+                 keys: Seq[String], batchId: Long,
+                 merge: Option[(DataFrame, DataFrame) => DataFrame] = None): Unit = {
     if (lastApplied(spark, viewDir).exists(_ >= batchId)) return
-    val merged = readView(spark, viewDir).map(Mv.mergeAggregates(_, partial, keys))
+    val mergeFn = merge.getOrElse(Mv.mergeAggregates(_: DataFrame, _: DataFrame, keys))
+    val merged = readView(spark, viewDir).map(mergeFn(_, partial))
       .getOrElse(partial)
     publish(spark, viewDir, merged, batchId)
   }

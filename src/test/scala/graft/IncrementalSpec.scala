@@ -457,6 +457,56 @@ class IncrementalSpec extends AnyFunSuite {
       }
   }
 
+  test("streaming KMV sketch maintenance equals the batch sketch (custom merge hook)") {
+    import spark.implicits._
+    // KMV's merge is NOT a SUM — it's the k-min set union — so this
+    // exercises MvStream's custom-merge hook: the marker/publish/rollback
+    // machinery is merge-agnostic, only the fold changes
+    val streamDir = Files.createTempDirectory("graft_kmv_stream")
+    val viewDir = Files.createTempDirectory("graft_kmv_root").resolve("view").toString
+    val ckpt = Files.createTempDirectory("graft_kmv_ckpt").toString
+    val batches = Seq(
+      (0L until 500L).map(i => (i % 2, i % 131)),
+      (0L until 400L).map(i => (i % 2, 100L + i % 97)),
+      (0L until 300L).map(i => (1L, 200L + i % 53))).map(_.toDF("g", "v"))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = Files.createTempDirectory(s"graft_kmv_b$i")
+      b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(s"b$i.parquet")
+      Files.move(part, dest)
+      dest.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val k = 64
+    def sketch(df: org.apache.spark.sql.DataFrame) = {
+      val agg = udaf(new graft.ext.KmvAggregator(k))
+      df.select(col("g"), graft.ext.Sketch.kmvHash(col("v")).as("_h"))
+        .groupBy("g").agg(agg(col("_h")).as("_sk"))
+    }
+    val mergeSketches = (base: org.apache.spark.sql.DataFrame,
+                         delta: org.apache.spark.sql.DataFrame) => {
+      val m = udaf(new graft.ext.KmvMergeAggregator(k))
+      base.unionByName(delta).groupBy("g").agg(m(col("_sk")).as("_sk"))
+    }
+    graft.stream.MvStream.runAvailableNow(spark, streamDir.toString,
+      batches.head.schema, viewDir, ckpt, Seq("g"), sketch,
+      maxFilesPerTrigger = Some(1), merge = Some(mergeSketches))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Long])] =
+      df.select("g", "_sk").orderBy("g").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val streamed = canon(spark.read.parquet(viewDir))
+    val direct = canon(sketch(batches.reduce(_ unionByName _)))
+    // streamed-and-merged sketch ≡ sketch built directly over the union:
+    // the lossless-merge law, now across micro-batch boundaries
+    assert(streamed == direct)
+    assert(streamed.forall(_._2.size == k), "fixture should saturate the sketch")
+    // crash re-delivery stays a no-op under the custom merge too
+    graft.stream.MvStream.applyBatch(spark, viewDir, sketch(batches(2)),
+      Seq("g"), batchId = 2L, merge = Some(mergeSketches))
+    assert(canon(spark.read.parquet(viewDir)) == streamed)
+  }
+
   test("interrupted publish swap: reads roll _old back and the re-delivered batch converges") {
     import spark.implicits._
     import java.nio.file.{Files => JFiles, Paths}
