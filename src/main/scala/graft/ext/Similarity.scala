@@ -260,14 +260,24 @@ object Similarity {
     val eCached = if (lloydIterations > 0)
       e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else e
-    val sample: Array[(Long, Array[Double])] = eCached
-      .orderBy(md5(col("_id").cast("string").cast("binary")))
-      .limit(nlist)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // unpersist on the failure path: if the sample action or a Lloyd pass
+    // throws, nobody ever consumes the cached projection, so letting the
+    // persist outlive the exception would leak MEMORY_AND_DISK blocks until
+    // session teardown (the success-path persist DOES outlive the call —
+    // see below)
     val cents =
-      if (lloydIterations > 0) refineCentroids(eCached, sample, lloydIterations)
-      else sample
+      try {
+        val sample: Array[(Long, Array[Double])] = eCached
+          .orderBy(md5(col("_id").cast("string").cast("binary")))
+          .limit(nlist)
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        if (lloydIterations > 0) refineCentroids(eCached, sample, lloydIterations)
+        else sample
+      } catch { case ex: Throwable =>
+        if (lloydIterations > 0) eCached.unpersist(blocking = false)
+        throw ex
+      }
 
     // final bucketing reads the SAME projected frame the Lloyd passes
     // cached (r9, VERDICT #5): the candidate side is exactly e's projection

@@ -62,6 +62,55 @@ class KmvMergeAggregator(k: Int) extends Aggregator[Seq[Long], Seq[Long], Seq[Lo
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
 }
 
+/** Bottom-k-by-hash (hash, value) pair sketch — the rank/quantile member of
+  * the sketch triad (KMV = cardinality, CMS = frequency, this = rank). The
+  * k pairs with the smallest md5-derived row-key hashes ARE a uniform
+  * random sample of the rows (a bottom-k sample; Cohen & Kaplan, "Summarizing
+  * data using bottom-k sketches", PODC 2007): hash order is independent of
+  * the value column, so sample quantiles estimate population quantiles with
+  * the classical sampling rank-error bound O(√(log(1/δ)/k)).
+  *
+  * Why this construction and not GK/KLL/t-digest: those carry engine-
+  * internal compaction state (randomized or order-dependent), so no other
+  * engine can replay them bit-for-bit. The bottom-k sample is DETERMINISTIC
+  * (md5, no seed) and has the same lossless two-level merge law as KMV —
+  * the k smallest row hashes of a union are among the union of each side's
+  * k smallest — so per-group / per-day sketches roll up into a global
+  * sketch IDENTICAL to one built directly over the union, and DuckDB
+  * replays the whole thing with a row_number window.
+  *
+  * Buffer invariant: ascending (hash, value) lexicographic order, ≤ k
+  * pairs, distinct (row keys are unique so hash ties are ~2⁻⁶⁰; the value
+  * tiebreak makes even that case order-stable). */
+class BottomKSampleAggregator(k: Int)
+    extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+  override def zero: Seq[(Long, Long)] = Nil
+  override def reduce(buf: Seq[(Long, Long)], p: (Long, Long)): Seq[(Long, Long)] =
+    if (buf.length == k && Ordering[(Long, Long)].compare(p, buf.last) >= 0) buf
+    else ((buf :+ p).distinct.sorted).take(k)
+  override def merge(b1: Seq[(Long, Long)], b2: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    (b1 ++ b2).distinct.sorted.take(k)
+  override def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r
+  override def bufferEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
+}
+
+/** Second-level bottom-k merge: folds already-built pair sketches into one —
+  * same rollup/incremental-maintenance role as [[KmvMergeAggregator]], same
+  * lossless-merge argument (any pair in the union's bottom-k is in its own
+  * side's bottom-k). */
+class BottomKSampleMergeAggregator(k: Int)
+    extends Aggregator[Seq[(Long, Long)], Seq[(Long, Long)], Seq[(Long, Long)]] {
+  override def zero: Seq[(Long, Long)] = Nil
+  override def reduce(buf: Seq[(Long, Long)], sk: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    (buf ++ sk).distinct.sorted.take(k)
+  override def merge(b1: Seq[(Long, Long)], b2: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    (b1 ++ b2).distinct.sorted.take(k)
+  override def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r
+  override def bufferEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
+}
+
 object Sketch {
 
   /** 2^60 — the hash domain size; 15 hex chars of md5 keep the value
@@ -184,19 +233,91 @@ object Sketch {
   def cmsMerge(longForm: DataFrame): DataFrame =
     longForm.groupBy(col("r"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
 
-  /** Point-query the (merged) sketch for every probe row: each key joins
-    * its d cells (broadcast — probes are a bounded set) and takes the min.
-    * All probe columns ride along; a probed key that contributed to the
-    * sketch always matches exactly d cells. */
+  /** Point-query the (merged) sketch for every probe row: each key LEFT
+    * joins its d cells against the sketch (broadcast — the merged grid is
+    * ≤ d·w rows by construction) and takes the min, with an absent cell
+    * counting as 0: a key the sketch never saw estimates 0 (true CMS
+    * semantics — an empty counter is a zero counter), and a key that only
+    * collides into SOME rows is not inflated by the rows it misses. All
+    * probe columns ride along; a probed key that contributed to the sketch
+    * always matches exactly d cells, so for contributed keys this is
+    * identical to the inner-join form. */
   def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
                   d: Int = 4, w: Int = 256): DataFrame = {
     val pk = probes
       .withColumn("_rb", explode(cmsCells(col(keyCol), d, w)))
       .withColumn("r", col("_rb.r")).withColumn("bucket", col("_rb.bucket"))
       .drop("_rb")
-    sketch.join(broadcast(pk), Seq("r", "bucket"))
+    pk.join(broadcast(sketch), Seq("r", "bucket"), "left")
       .groupBy(probes.columns.map(col): _*)
-      .agg(min(col("cnt")).as("cms_estimate"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
+  }
+
+  /** Deterministic 60-bit row hash for the quantile sketch (distinct salt
+    * from [[kmvHash]] so the two sketches never share hash streams). */
+  def qskHash(c: Column): Column =
+    conv(substring(md5(concat(lit("qsk:"), c.cast("string")).cast("binary")), 1, 15), 16, 10)
+      .cast("bigint")
+
+  /** Quantile estimates from a bottom-k pair sketch column `_sk`
+    * (array<struct<_1:hash,_2:value>>): sort the SAMPLED VALUES and read
+    * the positional (lower) quantile at 0-based rank (size−1)·bp div 100 —
+    * pure integer arithmetic, so the estimate is an element of the input
+    * domain and bit-identical across engines (no interpolation, no float
+    * rank). `qBps` are integer basis-points-of-100 (50 = median). */
+  private def withQuantileEstimates(df: DataFrame, qBps: Seq[Int]): DataFrame = {
+    val base = df
+      .withColumn("_vals", array_sort(expr("transform(_sk, x -> x._2)")))
+      .withColumn("sketch_size", size(col("_vals")).cast("bigint"))
+    qBps.foldLeft(base) { (d, bp) =>
+      d.withColumn(s"est_p$bp", expr(
+        s"element_at(_vals, CAST((sketch_size - 1) * $bp DIV 100 AS INT) + 1)"))
+    }
+  }
+
+  /** Per-group quantile profile with BOUNDED state — the rank companion of
+    * [[kmvRollup]], completing the sketch triad. For each group (plus the
+    * merged `__all__` row) reports the bottom-k-sample positional quantile
+    * estimates next to the exact interpolated percentiles (the test-scale
+    * comparison columns, same role as q106's `exact_distinct`; production
+    * drops them and keeps only the sketch path).
+    *
+    * Scale shape: the sketch side's map-side partials are capped at k
+    * (hash, value) pairs per group per partition, so the shuffle carries
+    * O(groups·k) pairs from ANY input size; the global row is the
+    * SECOND-LEVEL merge of the per-group sketches — no re-read of the data,
+    * and provably identical to a sketch built directly over the union (the
+    * SketchSpec law; the DuckDB oracle computes the global row directly,
+    * which is exactly what the law licenses). The exact side is one
+    * grouping-sets percentile aggregation — the piece the sketch replaces
+    * at 100 TB. `keyCol` must be row-unique (the sample frame); uniqueness
+    * makes hash order independent of the value distribution. */
+  def quantileRollup(df: DataFrame, groupCol: String, keyCol: String,
+                     valueCol: String, qBps: Seq[Int] = Seq(50, 90),
+                     k: Int = 256): DataFrame = {
+    val skAgg = udaf(new BottomKSampleAggregator(k))
+    val mergeAgg = udaf(new BottomKSampleMergeAggregator(k))
+    val pairs = df.select(col(groupCol).cast("string").as(groupCol),
+      qskHash(col(keyCol)).as("_h"), col(valueCol).cast("bigint").as("_v"))
+    // same two-level shape as [[kmvRollup]]: per-group sketches cached
+    // (input of both output levels, groups·k small), global = merge fold
+    val perGroup = pairs.groupBy(col(groupCol))
+      .agg(skAgg(col("_h"), col("_v")).as("_sk"))
+      .cache()
+    val global = perGroup.agg(mergeAgg(col("_sk")).as("_sk"))
+      .withColumn(groupCol, lit(AllGroups))
+    val sketches = perGroup.unionByName(global.select(col(groupCol), col("_sk")))
+    // exact side: both levels in one grouping-sets pass (sort-based
+    // percentile — fine for the comparison columns; the sketch side is
+    // what must stay bounded)
+    val exactAggs = qBps.map(bp =>
+      round(expr(s"percentile(_v, ${bp / 100.0})"), 6).as(s"exact_p$bp"))
+    val exact = pairs.rollup(col(groupCol))
+      .agg(exactAggs.head, exactAggs.tail: _*)
+      .withColumn(groupCol, coalesce(col(groupCol), lit(AllGroups)))
+    withQuantileEstimates(sketches.join(broadcast(exact), Seq(groupCol)), qBps)
+      .select(col(groupCol).as("scope") +: col("sketch_size") +:
+        qBps.flatMap(bp => Seq(col(s"est_p$bp"), col(s"exact_p$bp"))): _*)
   }
 
   /** Sketch → (sketch_size, kmv_estimate) columns; below k the sketch is

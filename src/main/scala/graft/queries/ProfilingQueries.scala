@@ -121,6 +121,25 @@ object ProfilingQueries {
       .transform(tinySort(_, col("user_id")))
   }
 
+  /** q113 — mergeable QUANTILE sketch rollup
+    * ([[graft.ext.Sketch.quantileRollup]]), completing the sketch triad
+    * (q106/q108 KMV = cardinality, q110 CMS = frequency, this = rank):
+    * per-source document-length percentiles from a bottom-k-by-row-hash
+    * sample whose map-side partials are bounded at k (hash, value) pairs —
+    * the 100 TB formulation of per-group percentile profiling (q73 is the
+    * exact twin). The `__all__` row is the lossless second-level MERGE of
+    * the per-source sketches (bottom-k of a union = bottom-k of the merged
+    * bottom-k's — which is why the oracle may compute the global sample
+    * directly); estimates are positional integers from the sample, the
+    * exact interpolated percentiles ride along as the test-scale comparison
+    * columns. */
+  def q113QuantileSketch(spark: SparkSession, dir: String): DataFrame =
+    Sketch.quantileRollup(
+        load(spark, dir, "documents")
+          .repartition(spark.sparkContext.defaultParallelism),
+        "source", "doc_id", "n_chars", qBps = Seq(50, 90), k = 256)
+      .transform(tinySort(_, col("scope")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_column_profile" -> (q71ColumnProfile _),
     "q72_dq_checks" -> (q72DqChecks _),
@@ -128,7 +147,8 @@ object ProfilingQueries {
     "q101_histogram" -> (q101Histogram _),
     "q106_kmv_distinct" -> (q106KmvDistinct _),
     "q108_kmv_rollup" -> (q108KmvRollup _),
-    "q110_cms_freq" -> (q110CmsFreq _))
+    "q110_cms_freq" -> (q110CmsFreq _),
+    "q113_quantile_sketch" -> (q113QuantileSketch _))
 
   /** DuckDB reconstruction of [[Sketch.kmvHash]]: strpos arithmetic over
     * the first 15 hex chars of md5 (60 bits — BIGINT-exact in both
@@ -279,5 +299,52 @@ object ProfilingQueries {
         |  CAST(MIN(sk.cnt) - pc.exact_cnt AS BIGINT) AS overcount
         |FROM pc JOIN sk USING (r, bucket)
         |GROUP BY pc.user_id, pc.exact_cnt
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin,
+    /* Quantile-sketch oracle: per-group bottom-k sample via one row_number
+     * window over the qsk row hash, positional (lower) quantiles at integer
+     * rank (sz-1)*bp//100, exact side via quantile_cont (≡ Spark percentile
+     * at round 6 — the q73-proven pairing). The global level samples
+     * DIRECTLY over all rows — equal to the engine's merged sketch by the
+     * lossless bottom-k merge law. */
+    "q113_quantile_sketch" ->
+      s"""WITH hx AS (
+        |  SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
+        |    ${hex60("'qsk:' || CAST(doc_id AS VARCHAR)")} AS hv
+        |  FROM documents),
+        | r AS (SELECT grp, v,
+        |         row_number() OVER (PARTITION BY grp ORDER BY hv, v) AS rn
+        |       FROM hx),
+        | sk AS (SELECT grp, v FROM r WHERE rn <= 256),
+        | sr AS (SELECT grp, v,
+        |          row_number() OVER (PARTITION BY grp ORDER BY v) AS vr,
+        |          COUNT(*) OVER (PARTITION BY grp) AS sz FROM sk),
+        | est AS (SELECT grp, MAX(sz) AS sketch_size,
+        |     MAX(CASE WHEN vr = ((sz - 1) * 50) // 100 + 1 THEN v END) AS est_p50,
+        |     MAX(CASE WHEN vr = ((sz - 1) * 90) // 100 + 1 THEN v END) AS est_p90
+        |   FROM sr GROUP BY grp),
+        | rg AS (SELECT v, row_number() OVER (ORDER BY hv, v) AS rn FROM hx),
+        | skg AS (SELECT v FROM rg WHERE rn <= 256),
+        | srg AS (SELECT v, row_number() OVER (ORDER BY v) AS vr,
+        |           COUNT(*) OVER () AS sz FROM skg),
+        | estg AS (SELECT MAX(sz) AS sketch_size,
+        |     MAX(CASE WHEN vr = ((sz - 1) * 50) // 100 + 1 THEN v END) AS est_p50,
+        |     MAX(CASE WHEN vr = ((sz - 1) * 90) // 100 + 1 THEN v END) AS est_p90
+        |   FROM srg),
+        | ex AS (SELECT grp, round(quantile_cont(v, 0.5), 6) AS exact_p50,
+        |          round(quantile_cont(v, 0.9), 6) AS exact_p90
+        |        FROM hx GROUP BY grp),
+        | exg AS (SELECT round(quantile_cont(v, 0.5), 6) AS exact_p50,
+        |           round(quantile_cont(v, 0.9), 6) AS exact_p90 FROM hx),
+        | lv AS (
+        |  SELECT e.grp AS scope, e.sketch_size,
+        |    e.est_p50, x.exact_p50, e.est_p90, x.exact_p90
+        |  FROM est e JOIN ex x USING (grp)
+        |  UNION ALL
+        |  SELECT '${Sketch.AllGroups}', g.sketch_size,
+        |    g.est_p50, xg.exact_p50, g.est_p90, xg.exact_p90
+        |  FROM estg g, exg xg)
+        |SELECT scope, CAST(sketch_size AS BIGINT) AS sketch_size,
+        |  CAST(est_p50 AS BIGINT) AS est_p50, exact_p50,
+        |  CAST(est_p90 AS BIGINT) AS est_p90, exact_p90
+        |FROM lv ORDER BY scope""".stripMargin)
 }

@@ -507,6 +507,60 @@ class IncrementalSpec extends AnyFunSuite {
     assert(canon(spark.read.parquet(viewDir)) == streamed)
   }
 
+  test("streaming quantile-sketch maintenance equals the batch sketch (bottom-k merge hook)") {
+    import spark.implicits._
+    // third member of the sketch triad through the SAME MvStream contract:
+    // the bottom-k (hash, value) pair union is the custom merge, everything
+    // else (marker, atomic publish, crash skip) is shared machinery
+    val streamDir = Files.createTempDirectory("graft_qsk_stream")
+    val viewDir = Files.createTempDirectory("graft_qsk_root").resolve("view").toString
+    val ckpt = Files.createTempDirectory("graft_qsk_ckpt").toString
+    // unique row ids ACROSS batches (the sample-frame contract)
+    val batches = Seq(
+      (0L until 500L).map(i => (i, i % 2, (i * 13) % 400)),
+      (500L until 900L).map(i => (i, i % 2, (i * 7) % 300)),
+      (900L until 1200L).map(i => (i, 1L, (i * 3) % 200))).map(_.toDF("id", "g", "v"))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = Files.createTempDirectory(s"graft_qsk_b$i")
+      b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(s"b$i.parquet")
+      Files.move(part, dest)
+      dest.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val k = 64
+    def sketch(df: org.apache.spark.sql.DataFrame) = {
+      val agg = udaf(new graft.ext.BottomKSampleAggregator(k))
+      df.select(col("g"), graft.ext.Sketch.qskHash(col("id")).as("_h"),
+          col("v").cast("bigint").as("_v"))
+        .groupBy("g").agg(agg(col("_h"), col("_v")).as("_sk"))
+    }
+    val mergeSketches = (base: org.apache.spark.sql.DataFrame,
+                         delta: org.apache.spark.sql.DataFrame) => {
+      val m = udaf(new graft.ext.BottomKSampleMergeAggregator(k))
+      base.unionByName(delta).groupBy("g").agg(m(col("_sk")).as("_sk"))
+    }
+    graft.stream.MvStream.runAvailableNow(spark, streamDir.toString,
+      batches.head.schema, viewDir, ckpt, Seq("g"), sketch,
+      maxFilesPerTrigger = Some(1), merge = Some(mergeSketches))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[(Long, Long)])] =
+      df.select("g", "_sk").orderBy("g").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1)))))
+        .toSeq
+    val streamed = canon(spark.read.parquet(viewDir))
+    val direct = canon(sketch(batches.reduce(_ unionByName _)))
+    // streamed-and-merged ≡ built-directly-over-the-union, across
+    // micro-batch boundaries — the lossless bottom-k merge law
+    assert(streamed == direct)
+    assert(streamed.forall(_._2.size == k), "fixture should saturate the sketch")
+    // crash re-delivery stays a no-op under this merge too
+    graft.stream.MvStream.applyBatch(spark, viewDir, sketch(batches(2)),
+      Seq("g"), batchId = 2L, merge = Some(mergeSketches))
+    assert(canon(spark.read.parquet(viewDir)) == streamed)
+  }
+
   test("interrupted publish swap: reads roll _old back and the re-delivered batch converges") {
     import spark.implicits._
     import java.nio.file.{Files => JFiles, Paths}

@@ -101,4 +101,71 @@ class SketchSpec extends AnyFunSuite {
       assert(r.getAs[Long]("cms_estimate") == r.getAs[Long]("exact_cnt"))
     }
   }
+
+  test("CMS estimates 0 for keys the sketch never saw (empty counter = zero)") {
+    val tiny = (1 to 100).map(i => (0L, (i % 10).toLong)).toDF("g", "v")
+    val sk = Sketch.cmsMerge(Sketch.cmsLongForm(tiny, "g", "v", d = 4, w = 1024))
+    val probes = Seq(9999L, 123456L, -7L).toDF("v")
+    Sketch.cmsEstimate(sk, probes, "v", d = 4, w = 1024).collect().foreach { r =>
+      assert(r.getAs[Long]("cms_estimate") == 0L,
+        s"unseen key ${r.get(0)} must estimate 0, not a colliding-cell min")
+    }
+  }
+
+  // ---- bottom-k quantile sketch ----
+
+  /** Unique row keys (the sample frame), 3 groups, values decorrelated from
+    * ids so hash order is a genuine uniform sample of the value column. */
+  private def qRows = (1 to 20000)
+    .map(i => (i.toLong, (i % 3).toLong, ((i * 37) % 10000).toLong))
+  private def qFixture = qRows.toDF("id", "g", "v")
+
+  test("quantile rollup's merged __all__ row equals a sketch built directly over the union") {
+    val all = Sketch.quantileRollup(qFixture, "g", "id", "v", Seq(50, 90), k = 256)
+      .filter(col("scope") === Sketch.AllGroups).collect().head
+    val direct = Sketch.quantileRollup(qFixture.withColumn("g", lit(0L)),
+        "g", "id", "v", Seq(50, 90), k = 256)
+      .filter(col("scope") === "0").collect().head
+    assert(all.getAs[Long]("sketch_size") == direct.getAs[Long]("sketch_size"))
+    assert(all.getAs[Long]("est_p50") == direct.getAs[Long]("est_p50"))
+    assert(all.getAs[Long]("est_p90") == direct.getAs[Long]("est_p90"))
+  }
+
+  test("quantile sketch is invariant under repartitioning") {
+    val runs = Seq(1, 7, 32).map { n =>
+      Sketch.quantileRollup(qFixture.repartition(n), "g", "id", "v", Seq(50, 90), k = 256)
+        .orderBy("scope").collect().toSeq
+    }
+    assert(runs.distinct.size == 1)
+  }
+
+  test("fewer than k rows -> the sample IS the group; positional quantiles are exact") {
+    val small = (1 to 101).map(i => (i.toLong, 0L, i.toLong)).toDF("id", "g", "v")
+    val r = Sketch.quantileRollup(small, "g", "id", "v", Seq(50, 90), k = 256)
+      .filter(col("scope") === "0").collect().head
+    assert(r.getAs[Long]("sketch_size") == 101L)
+    // values 1..101: 0-based rank (101-1)*50 div 100 = 50 -> element 51
+    assert(r.getAs[Long]("est_p50") == 51L)
+    // (101-1)*90 div 100 = 90 -> element 91
+    assert(r.getAs[Long]("est_p90") == 91L)
+  }
+
+  test("sampled quantiles land within 3 standard errors of true rank (k=256)") {
+    // classical sampling bound: rank of the sample q-quantile in the
+    // population deviates from q by ~sqrt(q(1-q)/k); md5 hashes freeze the
+    // draw, so this is a deterministic regression test of that bound
+    val byScope = qRows.groupBy(_._2.toString).view.mapValues(_.map(_._3)).toMap +
+      (Sketch.AllGroups -> qRows.map(_._3))
+    Sketch.quantileRollup(qFixture, "g", "id", "v", Seq(50, 90), k = 256)
+      .collect().foreach { r =>
+        val vs = byScope(r.getAs[String]("scope"))
+        Seq(50, 90).foreach { bp =>
+          val q = bp / 100.0
+          val est = r.getAs[Long](s"est_p$bp")
+          val rank = vs.count(_ <= est).toDouble / vs.size
+          assert(math.abs(rank - q) <= 3 * math.sqrt(q * (1 - q) / 256.0),
+            s"scope ${r.get(0)} p$bp: est $est has rank $rank")
+        }
+      }
+  }
 }
