@@ -115,13 +115,50 @@ object CurationQueries {
     val emb = load(spark, dir, "embeddings")
     val pairs = graft.ext.Similarity.bandedNearDupPairs(emb, "vec_id", "embedding",
       threshold = 0.35, bands = 3, planesPerBand = 6)
-    val dropped = Dedup.duplicateClusters(pairs, "vec_a", "vec_b")
-      .filter(col("vec_id") =!= col("cluster_id"))
-      .select(col("vec_id").as("doc_id"))
     val docs = load(spark, dir, "documents")
-    // stage 4 IS q42's stack ([[curatedDocs]] — shared builder, no drift)
+    // the TWO detectors are independent dataflows over different tables
+    // (embeddings vs documents) — overlap their eager materializations on
+    // the clean-thread executor (graft.util.Exec — the star loads' dim-wave
+    // idiom) instead of paying them serially; each future ends in a
+    // checkpointed, O(duplicates)-sized frame
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import graft.util.Exec.loadEc
+    val droppedF = Future {
+      Dedup.duplicateClusters(pairs, "vec_a", "vec_b")
+        .filter(col("vec_id") =!= col("cluster_id"))
+        .select(col("vec_id").as("doc_id"))
+    }
+    // stage 3b: doc-inside-doc CONTAINMENT detector ([[Dedup
+    // .containmentJoin]], the q112 operator) — the case both preceding
+    // detectors miss: a fully-quoted small doc inside a big one is NOT an
+    // embedding near-dup of it (different lengths → different vectors) and
+    // NOT an exact dup (different fingerprints), yet it is pure duplicated
+    // text. The CONTAINED side is dropped, the container kept; a MUTUAL
+    // pair (exact/near-identical twins — each contains the other) keeps
+    // the min id, the same deterministic rule as the exact-dup stage, so
+    // the two stages can never disagree about which twin survives.
+    // the pair set feeds TWO consumers (itself + its reversal) — checkpoint
+    // so the corpus-wide shingle detector executes ONCE, not once per
+    // consumer (the same materialize-once discipline as the LSH edge
+    // checkpoint; the pair set is O(duplicate pairs), tiny)
+    val cpairsF = Future {
+      Dedup.containmentJoin(docs, "doc_id", "text")
+        .select(col("doc_in"), col("doc_out"))
+        .localCheckpoint()
+    }
+    val dropped = Await.result(droppedF, Duration.Inf)
+    val cpairs = Await.result(cpairsF, Duration.Inf)
+    val crev = cpairs.select(col("doc_in").as("_ri"), col("doc_out").as("_ro"))
+    val cdrop = cpairs.join(crev,
+        col("doc_in") === col("_ro") && col("doc_out") === col("_ri"), "left")
+      .filter(col("_ri").isNull || col("doc_in") > col("doc_out"))
+      .select(col("doc_in").as("doc_id")).distinct()
+    // stage 4 IS q42's stack ([[curatedDocs]] — shared builder, no drift);
+    // cluster drops and containment drops are conjunctive anti-joins
     val kept = curatedDocs(docs, Seq("source"))
       .join(dropped, Seq("doc_id"), "left_anti")
+      .join(cdrop, Seq("doc_id"), "left_anti")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
       .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
     kept
@@ -502,6 +539,34 @@ object CurationQueries {
       }.mkString(",\n   ")
       s"""WITH RECURSIVE ${SimilarityQueries.ClusterLabelCtes},
          | dropped AS (SELECT vec_id FROM labels WHERE vec_id <> cluster_id),
+         | -- containment detector (the q112 chain, CTEs c-prefixed to avoid
+         | -- colliding with this query's t/c): contained side dropped,
+         | -- mutual pairs keep the min id
+         | cw AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+         | ct AS (SELECT doc_id, unnest(ws) tok, generate_subscripts(ws, 1) i FROM cw),
+         | csh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sg
+         |         FROM ct a JOIN ct b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+         |                  JOIN ct c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+         | cf AS (SELECT sg, COUNT(*) AS fr FROM csh GROUP BY sg),
+         | co AS (SELECT doc_id, list(sg ORDER BY fr, sg) AS toks, COUNT(*) AS n
+         |        FROM csh JOIN cf USING (sg) GROUP BY doc_id),
+         | cp AS (SELECT doc_id, n,
+         |          unnest(list_slice(toks, 1, n - ((9 * n + 9) // 10) + 1)) AS sg
+         |        FROM co),
+         | cft AS (SELECT doc_id, n, unnest(toks) AS sg,
+         |           generate_subscripts(toks, 1) AS j FROM co),
+         | cc AS (SELECT DISTINCT cp.doc_id AS doc_in, b.doc_id AS doc_out
+         |        FROM cp JOIN cft b ON cp.sg = b.sg AND cp.doc_id <> b.doc_id
+         |         AND 10 * b.n >= 9 * cp.n
+         |         AND b.j <= b.n - ((9 * cp.n + 9) // 10) + 1),
+         | cv AS (SELECT doc_in, doc_out
+         |        FROM cc JOIN co oa ON oa.doc_id = doc_in
+         |               JOIN co ob ON ob.doc_id = doc_out
+         |        WHERE 10 * len(list_intersect(oa.toks, ob.toks)) >= 9 * oa.n),
+         | cdrop AS (SELECT DISTINCT a.doc_in AS doc_id
+         |           FROM cv a LEFT JOIN cv b
+         |             ON a.doc_in = b.doc_out AND a.doc_out = b.doc_in
+         |           WHERE b.doc_in IS NULL OR a.doc_in > a.doc_out),
          | bq AS (
          |  SELECT doc_id, text, string_split(text, ' ') AS toks, length(text) AS nc,
          |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
@@ -526,7 +591,8 @@ object CurationQueries {
          |  SELECT q.doc_id, q.quality
          |  FROM q JOIN keep ON q.fp = keep.fp
          |  WHERE q.doc_id = keep.keep_id AND q.quality > 0.5 AND q.lang_pred = 'en'
-         |    AND q.doc_id NOT IN (SELECT vec_id FROM dropped)),
+         |    AND q.doc_id NOT IN (SELECT vec_id FROM dropped)
+         |    AND q.doc_id NOT IN (SELECT doc_id FROM cdrop)),
          | t AS (
          |  SELECT d.doc_id, d.source, k.quality,
          |    CAST(len(regexp_extract_all(d.text, '${TextOps.ReTokenPattern}')) AS BIGINT) AS n_tokens,
