@@ -42,17 +42,23 @@ object Bench {
     // optional comma-separated query filter for local iteration, e.g.
     // SPARK_GRAFT_ONLY=q44_star_load — the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // per-query UNTIMED warmup at the smallest SF (r9, VERDICT #2): the r8
-    // telemetry localized the driver-vs-local gap to JIT compile landing
-    // INSIDE the composed loads' timed windows (q44 jit=42.9s, q49 26.2s,
-    // code cache at 125 MB — far under the 2g reserve, so compile LATENCY,
-    // not the r8-diagnosed flushing). Running the same plan on tiny data
-    // first forces Janino codegen-class compilation and seeds tiered JIT
-    // before the clock starts; the adaptive attempt rule below catches any
-    // residual C2 storm that still lands in attempt 1.
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // per-query UNTIMED warmup AT THE BENCH SF (r10, VERDICT #1): the r9
+    // sf0.001 warmup halved but did not remove in-window JIT for the
+    // composed loads (BENCH_r09: q44 jit=21.0s, q49 16.5s inside the timed
+    // windows) because the warm plan must BE the timed plan — at tiny SF
+    // AQE picks different join/stage shapes, and queries that embed
+    // data-derived literals (collected centroids, sampled caps) generate
+    // different codegen SOURCE entirely, so Janino compiles classes the
+    // sf0.1 attempts never reuse. Warming at the bench SF runs the exact
+    // plan once, untimed (attempt 0, discarded): codegen-class compilation,
+    // tiered-JIT seeding and page-cache priming all land before the clock
+    // starts. Costs one extra execution per query — untimed, and partly
+    // repaid because the adaptive re-attempt rule fires far less often when
+    // attempt 1 is already steady-state. SPARK_GRAFT_WARM_DIR still
+    // overrides for A/B runs; SPARK_GRAFT_NO_WARMUP disables.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
     val doWarm = !sys.env.contains("SPARK_GRAFT_NO_WARMUP") &&
-      new java.io.File(warmDir).isDirectory && warmDir != sfDir
+      new java.io.File(warmDir).isDirectory
     // UNTIMED inter-query hygiene, so query N's cost never bleeds into
     // query N+1's number (the cross-query contamination that made one
     // composed load 2× slower at position 50 of a full run than isolated):
@@ -111,8 +117,8 @@ object Bench {
         val nums = l.drop(1).map(_.toLong)
         (if (nums.length > 7) nums(7) else -1L, nums.sum)
       } catch { case _: Throwable => (-1L, -1L) }
-      // one untimed pass on tiny data before anything is measured (see
-      // doWarm above); its debris is cleared by the attempt-1 quiesce
+      // attempt 0: one untimed pass of the plan the timed attempts will run
+      // (see doWarm above); its debris is cleared by the attempt-1 quiesce
       if (doWarm) {
         spark.sparkContext.setJobDescription(s"$name#warmup")
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
@@ -168,8 +174,13 @@ object Bench {
       val ccMb = codeCacheMb
       val ok = attempts.collect { case (t, None, g, c, s, j) => (t, g, c, s, j) }
       val best = if (ok.nonEmpty) ok.minBy(_._1) else (-1.0, 0.0, -1.0, -1.0, -1.0)
+      // every attempt's wall + jit ride along (ADVICE r9: the variable-N
+      // min must be auditable — a reader can see how many attempts ran and
+      // which one the reported floor came from; errored attempts log -1)
       (name, best._1, if (ok.isEmpty) attempts.head._2 else None,
-        best._2, best._3, best._4, best._5, ccMb)
+        best._2, best._3, best._4, best._5, ccMb,
+        attempts.map(a => if (a._2.isDefined) -1.0 else a._1).toSeq,
+        attempts.map(_._6).toSeq)
     }
     val qs = runs.map { case r => s"\"" + r._1 + "\":" + (if (r._3.isDefined) -1.0 else r._2) }
       .mkString("{", ",", "}")
@@ -185,15 +196,23 @@ object Bench {
     // query end — wall up with cpu flat + steal up = co-tenant contention;
     // cpu up with gc/steal flat + codecache at the ceiling = code-cache
     // flushing (see build.sbt's ReservedCodeCacheSize note)
-    def jmap(f: ((String, Double, Option[String], Double, Double, Double, Double, Double)) => Double) =
+    type RunRow = (String, Double, Option[String], Double, Double, Double,
+      Double, Double, Seq[Double], Seq[Double])
+    def jmap(f: RunRow => Double) =
       runs.map(r => s"\"" + r._1 + "\":" + r3(f(r))).mkString("{", ",", "}")
+    // per-attempt arrays: the audit trail for the adaptive-attempt rule
+    def jarr(f: RunRow => Seq[Double]) =
+      runs.map(r => "\"" + r._1 + "\":" + f(r).map(r3).mkString("[", ",", "]"))
+        .mkString("{", ",", "}")
     val gcs = jmap(_._4)
     val cpus_ = jmap(_._5)
     val steals = jmap(_._6)
     val jits = jmap(_._7)
     val ccs = jmap(_._8)
+    val aWalls = jarr(_._9)
+    val aJits = jarr(_._10)
     val total = runs.collect { case r if r._3.isEmpty => r._2 }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"gc":$gcs,"cpu":$cpus_,"steal_pct":$steals,"jit":$jits,"codecache_mb":$ccs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"gc":$gcs,"cpu":$cpus_,"steal_pct":$steals,"jit":$jits,"codecache_mb":$ccs,"attempt_walls":$aWalls,"attempt_jits":$aJits,"sf":"$sfDir"}"""
     println(line)
     // the stdout line is >4 KB at 100+ queries and output-capture windows
     // truncate it — ALSO dump the same JSON whole to a file (overridable;
