@@ -320,6 +320,49 @@ object Sketch {
         qBps.flatMap(bp => Seq(col(s"est_p$bp"), col(s"exact_p$bp"))): _*)
   }
 
+  /** KMV SET ALGEBRA — overlap estimation between two sketches WITHOUT
+    * touching the underlying data (Beyer et al., "On synopses for
+    * distinct-value estimation under multiset operations", SIGMOD 2007):
+    * because every group's sketch draws from the SAME deterministic hash
+    * function, the bottom-k of the union of two sketches is a coordinated
+    * uniform sample of A ∪ B, and the fraction of that sample present in
+    * BOTH input sketches estimates the Jaccard similarity. Combined with
+    * the KMV union-cardinality estimate this yields intersection size:
+    *
+    *   M  = bottom-k(skA ∪ skB)            (the union sketch — lossless)
+    *   ρ̂  = |M ∩ skA ∩ skB| / |M|          (sample Jaccard)
+    *   n̂U = KMV estimate over M            (union cardinality)
+    *   n̂∩ = ρ̂ · n̂U                         (intersection cardinality)
+    *
+    * This is the operation that makes per-corpus/per-day sketches an
+    * ALGEBRA at 100 TB: cross-corpus overlap, day-over-day audience
+    * retention, dedup-planning "how much would merging these shards save"
+    * — each answered from O(k) state per group instead of a corpus-scale
+    * distinct join. All arithmetic is exact-integer (DECIMAL(38,0)
+    * products, `div` ⇒ BIGINT ≡ DuckDB HUGEINT `//`; Jaccard ships as
+    * integer basis points), so DuckDB replays every column bit-for-bit.
+    *
+    * Input: one row per pair with sketch columns `_ska`, `_skb`
+    * (ascending bottom-k hash arrays, the [[KmvAggregator]] invariant).
+    * Adds: union_k, shared_k, est_union, est_intersection,
+    * est_jaccard_bp. */
+  def kmvOverlapEstimates(df: DataFrame, k: Int): DataFrame =
+    df.withColumn("_m", expr(s"slice(array_sort(array_distinct(concat(_ska, _skb))), 1, $k)"))
+      .withColumn("union_k", size(col("_m")).cast("bigint"))
+      .withColumn("shared_k",
+        size(array_intersect(array_intersect(col("_m"), col("_ska")), col("_skb")))
+          .cast("bigint"))
+      .withColumn("est_union",
+        when(col("union_k") < k, col("union_k"))
+          .otherwise(expr(
+            s"CAST(${k - 1} AS DECIMAL(38,0)) * CAST($HashSpace AS DECIMAL(38,0))" +
+              s" div CAST(element_at(_m, $k) AS DECIMAL(38,0))")))
+      .withColumn("est_intersection", expr(
+        "CAST(shared_k AS DECIMAL(38,0)) * CAST(est_union AS DECIMAL(38,0))" +
+          " div CAST(union_k AS DECIMAL(38,0))"))
+      .withColumn("est_jaccard_bp", expr("(10000 * shared_k) div union_k"))
+      .drop("_m")
+
   /** Sketch → (sketch_size, kmv_estimate) columns; below k the sketch is
     * the exact distinct set, at k the unbiased estimator (exact-integer
     * arithmetic: DECIMAL(38,0) product, integral division ≡ DuckDB

@@ -140,7 +140,53 @@ object ProfilingQueries {
         "source", "doc_id", "n_chars", qBps = Seq(50, 90), k = 256)
       .transform(tinySort(_, col("scope")))
 
+  /** q114 — KMV set algebra: day-over-day audience-overlap estimation from
+    * per-day sketches alone ([[graft.ext.Sketch.kmvOverlapEstimates]],
+    * Beyer et al. SIGMOD '07). Each consecutive-day pair's intersection
+    * cardinality and Jaccard are estimated from the two days' k=64 sketches
+    * (coordinated samples under the shared hash) — the 100 TB formulation
+    * of "how much do these corpora/shards/days overlap", answered from
+    * O(k) state per group instead of the corpus-scale distinct join that
+    * computes the exact comparison columns riding along. All estimator
+    * arithmetic is exact-integer, so the oracle replays it bit-for-bit. */
+  def q114SketchOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val agg = udaf(new graft.ext.KmvAggregator(k))
+    val ev = load(spark, dir, "events")
+      .select(to_date(col("ts")).cast("string").as("day"), col("user_id"))
+    val sk = ev.select(col("day"), Sketch.kmvHash(col("user_id")).as("_h"))
+      .groupBy(col("day")).agg(agg(col("_h")).as("_sk"))
+    // consecutive-day pairs via a precomputed next-day key: EQUI-join (the
+    // sketch frame is days-sized, but plan hygiene is free here)
+    val pairs = sk.select(col("day").as("day_a"),
+        date_add(to_date(col("day")), 1).cast("string").as("_nx"),
+        col("_sk").as("_ska"))
+      .join(sk.select(col("day").as("day_b"), col("_sk").as("_skb")),
+        col("_nx") === col("day_b"))
+      .drop("_nx")
+    val est = Sketch.kmvOverlapEstimates(pairs, k)
+    // exact comparison columns (test scale): the distinct self-join the
+    // sketch path replaces at production scale
+    val du = ev.distinct()
+    val nd = du.groupBy(col("day")).agg(count(lit(1)).as("_n"))
+    val xb = du.select(col("day").as("day_b"), col("user_id").as("_ub"))
+    val xi = du.select(col("day").as("day_a"),
+        date_add(to_date(col("day")), 1).cast("string").as("_nx"), col("user_id"))
+      .join(xb, col("_nx") === col("day_b") && col("user_id") === col("_ub"))
+      .groupBy(col("day_a"), col("day_b"))
+      .agg(count(lit(1)).as("exact_intersection"))
+    est.join(broadcast(xi), Seq("day_a", "day_b"))
+      .join(broadcast(nd.select(col("day").as("day_a"), col("_n").as("_na"))), Seq("day_a"))
+      .join(broadcast(nd.select(col("day").as("day_b"), col("_n").as("_nb"))), Seq("day_b"))
+      .select(col("day_a"), col("day_b"), col("union_k"), col("shared_k"),
+        col("est_union"), col("est_intersection"), col("est_jaccard_bp"),
+        (col("_na") + col("_nb") - col("exact_intersection")).as("exact_union"),
+        col("exact_intersection"))
+      .transform(tinySort(_, col("day_a")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_sketch_overlap" -> (q114SketchOverlap _),
     "q71_column_profile" -> (q71ColumnProfile _),
     "q72_dq_checks" -> (q72DqChecks _),
     "q73_length_trim" -> (q73LengthTrim _),
@@ -346,5 +392,62 @@ object ProfilingQueries {
         |SELECT scope, CAST(sketch_size AS BIGINT) AS sketch_size,
         |  CAST(est_p50 AS BIGINT) AS est_p50, exact_p50,
         |  CAST(est_p90 AS BIGINT) AS est_p90, exact_p90
-        |FROM lv ORDER BY scope""".stripMargin)
+        |FROM lv ORDER BY scope""".stripMargin,
+    /* KMV-overlap oracle: per-day bottom-64 sketches (row_number over the
+     * kmv hash), per-pair union sketch = bottom-64 of the two sketches'
+     * union, shared = union-sample members present in BOTH sketches;
+     * estimators in HUGEINT ≡ Spark DECIMAL(38,0) div. The exact side is
+     * the distinct self-join the sketch path replaces. */
+    "q114_sketch_overlap" ->
+      s"""WITH ev AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id
+        |            FROM events),
+        | du AS (SELECT DISTINCT day, user_id FROM ev),
+        | hx AS (SELECT DISTINCT day,
+        |          ${hex60("'kmv:' || CAST(user_id AS VARCHAR)")} AS hv
+        |        FROM ev),
+        | r AS (SELECT day, hv,
+        |         row_number() OVER (PARTITION BY day ORDER BY hv) AS rn FROM hx),
+        | sk AS (SELECT day, hv FROM r WHERE rn <= 64),
+        | days AS (SELECT DISTINCT day FROM ev),
+        | prs AS (SELECT a.day AS day_a, b.day AS day_b
+        |         FROM days a JOIN days b
+        |           ON CAST(CAST(a.day AS DATE) + 1 AS VARCHAR) = b.day),
+        | pu AS (SELECT p.day_a, p.day_b, s.hv
+        |        FROM prs p JOIN sk s ON s.day = p.day_a
+        |        UNION
+        |        SELECT p.day_a, p.day_b, s.hv
+        |        FROM prs p JOIN sk s ON s.day = p.day_b),
+        | m AS (SELECT day_a, day_b, hv,
+        |         row_number() OVER (PARTITION BY day_a, day_b ORDER BY hv) AS rn
+        |       FROM pu),
+        | mk AS (SELECT day_a, day_b, hv FROM m WHERE rn <= 64),
+        | sh AS (SELECT mk.day_a, mk.day_b, mk.hv,
+        |          CASE WHEN sa.hv IS NOT NULL AND sb.hv IS NOT NULL
+        |               THEN 1 ELSE 0 END AS inboth
+        |        FROM mk LEFT JOIN sk sa ON sa.day = mk.day_a AND sa.hv = mk.hv
+        |                LEFT JOIN sk sb ON sb.day = mk.day_b AND sb.hv = mk.hv),
+        | ag AS (SELECT day_a, day_b, COUNT(*) AS km, MAX(hv) AS hk,
+        |          SUM(inboth) AS shared
+        |        FROM sh GROUP BY day_a, day_b),
+        | eu AS (SELECT day_a, day_b, km, shared,
+        |          CASE WHEN km < 64 THEN km
+        |               ELSE (CAST(63 AS HUGEINT) * CAST(${Sketch.HashSpace} AS HUGEINT))
+        |                    // CAST(hk AS HUGEINT) END AS est_union
+        |        FROM ag),
+        | nd AS (SELECT day, COUNT(*) AS n FROM du GROUP BY day),
+        | xi AS (SELECT p.day_a, p.day_b, COUNT(*) AS exact_intersection
+        |        FROM prs p JOIN du a ON a.day = p.day_a
+        |                   JOIN du b ON b.day = p.day_b AND b.user_id = a.user_id
+        |        GROUP BY p.day_a, p.day_b)
+        |SELECT e.day_a, e.day_b,
+        |  CAST(e.km AS BIGINT) AS union_k, CAST(e.shared AS BIGINT) AS shared_k,
+        |  CAST(e.est_union AS BIGINT) AS est_union,
+        |  CAST((CAST(e.shared AS HUGEINT) * CAST(e.est_union AS HUGEINT))
+        |       // CAST(e.km AS HUGEINT) AS BIGINT) AS est_intersection,
+        |  CAST((10000 * e.shared) // e.km AS BIGINT) AS est_jaccard_bp,
+        |  CAST(na.n + nb.n - x.exact_intersection AS BIGINT) AS exact_union,
+        |  CAST(x.exact_intersection AS BIGINT) AS exact_intersection
+        |FROM eu e JOIN xi x USING (day_a, day_b)
+        |  JOIN nd na ON na.day = e.day_a JOIN nd nb ON nb.day = e.day_b
+        |ORDER BY day_a""".stripMargin)
 }

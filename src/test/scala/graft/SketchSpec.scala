@@ -112,6 +112,48 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  // ---- KMV set algebra (overlap estimation) ----
+
+  private def overlapSketch(vals: Seq[Long], k: Int = 64) = {
+    val agg = udaf(new graft.ext.KmvAggregator(k))
+    vals.map((0L, _)).toDF("g", "v")
+      .select(col("g"), Sketch.kmvHash(col("v")).as("_h"))
+      .groupBy("g").agg(agg(col("_h")).as("_sk"))
+  }
+
+  test("KMV overlap: identical sketches -> jaccard 10000, intersection = union") {
+    val sk = overlapSketch((1L to 997L))
+    val pairs = sk.select(col("_sk").as("_ska"), col("_sk").as("_skb"))
+    val r = Sketch.kmvOverlapEstimates(pairs, 64).collect().head
+    assert(r.getAs[Long]("union_k") == 64L && r.getAs[Long]("shared_k") == 64L)
+    assert(r.getAs[Long]("est_jaccard_bp") == 10000L)
+    assert(r.getAs[Long]("est_intersection") == r.getAs[Long]("est_union"))
+  }
+
+  test("KMV overlap: disjoint value sets -> zero shared, zero intersection estimate") {
+    val pairs = overlapSketch((1L to 3000L)).select(col("_sk").as("_ska"))
+      .crossJoin(overlapSketch((100001L to 103000L)).select(col("_sk").as("_skb")))
+    val r = Sketch.kmvOverlapEstimates(pairs, 64).collect().head
+    assert(r.getAs[Long]("shared_k") == 0L)
+    assert(r.getAs[Long]("est_intersection") == 0L)
+    assert(r.getAs[Long]("est_jaccard_bp") == 0L)
+  }
+
+  test("KMV overlap estimates track truth within sampling error (k=64)") {
+    // A = 1..4000, B = 2001..6000: |A∪B| = 6000, |A∩B| = 2000, J = 1/3.
+    // ρ̂ deviates by ~sqrt(J(1-J)/k) ≈ 0.059 (3σ ≈ 0.177), n̂U by ~3/√k ≈
+    // 37% at 3σ; md5 freezes the draw so these are regression bounds
+    val pairs = overlapSketch((1L to 4000L)).select(col("_sk").as("_ska"))
+      .crossJoin(overlapSketch((2001L to 6000L)).select(col("_sk").as("_skb")))
+    val r = Sketch.kmvOverlapEstimates(pairs, 64).collect().head
+    val jbp = r.getAs[Long]("est_jaccard_bp")
+    assert(jbp >= 1560L && jbp <= 5110L, s"jaccard_bp $jbp outside 3σ of 3333")
+    val eu = r.getAs[Long]("est_union")
+    assert(eu >= 3750L && eu <= 8250L, s"est_union $eu outside 3σ of 6000")
+    val ei = r.getAs[Long]("est_intersection")
+    assert(ei >= 585L && ei <= 4210L, s"est_intersection $ei outside bounds of 2000")
+  }
+
   // ---- bottom-k quantile sketch ----
 
   /** Unique row keys (the sample frame), 3 groups, values decorrelated from
