@@ -267,6 +267,30 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("bottom-k sample: any reduce/merge tree over any data split equals direct bottom-k") {
+    // the lossless-merge law at the AGGREGATOR level, over arbitrary data
+    // and arbitrary fold shapes — the algebraic fact the q113 rollup, the
+    // q114 overlap and the streaming twin all stand on (pure Scala: no
+    // Spark jobs, so the full default 100 cases run)
+    val agg = new graft.ext.BottomKSampleAggregator(8)
+    val mrg = new graft.ext.BottomKSampleMergeAggregator(8)
+    val pairGen = for {
+      h <- Gen.choose(0L, 40L) // narrow domain → ties and duplicates likely
+      v <- Gen.choose(-5L, 5L)
+    } yield (h, v)
+    val p = Prop.forAll(
+      Gen.listOf(pairGen), Gen.listOf(pairGen), Gen.listOf(pairGen)) { (a, b, c) =>
+      def direct(xs: Seq[(Long, Long)]) = xs.distinct.sorted.take(8)
+      def sketch(xs: Seq[(Long, Long)]) = xs.foldLeft(agg.zero)(agg.reduce)
+      val viaMerge = agg.merge(agg.merge(sketch(a), sketch(b)), sketch(c))
+      val viaMergeAgg = Seq(sketch(a), sketch(b), sketch(c))
+        .foldLeft(mrg.zero)(mrg.reduce)
+      viaMerge == direct(a ++ b ++ c) && viaMergeAgg == direct(a ++ b ++ c)
+    }
+    val res = SCTest.check(SCTest.Parameters.default, p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("interleave schedule: per-source bucket spread ≤ 2 for arbitrary source skews") {
     import graft.ext.Sampling
     val weightsGen = Gen.listOfN(4, Gen.choose(10, 400))
