@@ -270,8 +270,11 @@ object Sketch {
       .withColumn("_vals", array_sort(expr("transform(_sk, x -> x._2)")))
       .withColumn("sketch_size", size(col("_vals")).cast("bigint"))
     qBps.foldLeft(base) { (d, bp) =>
-      d.withColumn(s"est_p$bp", expr(
-        s"element_at(_vals, CAST((sketch_size - 1) * $bp DIV 100 AS INT) + 1)"))
+      // the empty-sketch guard (when() evaluates branches conditionally, so
+      // ANSI element_at never sees an empty array) only fires for an empty
+      // INPUT frame's global row — a real group always has ≥ 1 pair
+      d.withColumn(s"est_p$bp", when(col("sketch_size") > 0, expr(
+        s"element_at(_vals, CAST((sketch_size - 1) * $bp DIV 100 AS INT) + 1)")))
     }
   }
 
@@ -357,10 +360,14 @@ object Sketch {
           .otherwise(expr(
             s"CAST(${k - 1} AS DECIMAL(38,0)) * CAST($HashSpace AS DECIMAL(38,0))" +
               s" div CAST(element_at(_m, $k) AS DECIMAL(38,0))")))
-      .withColumn("est_intersection", expr(
+      // union_k = 0 only when BOTH sketches are empty (a real group always
+      // contributes ≥ 1 hash) — guard anyway so ANSI div can't see a zero
+      .withColumn("est_intersection", when(col("union_k") > 0, expr(
         "CAST(shared_k AS DECIMAL(38,0)) * CAST(est_union AS DECIMAL(38,0))" +
-          " div CAST(union_k AS DECIMAL(38,0))"))
-      .withColumn("est_jaccard_bp", expr("(10000 * shared_k) div union_k"))
+          " div CAST(union_k AS DECIMAL(38,0))")).otherwise(lit(0L)))
+      .withColumn("est_jaccard_bp",
+        when(col("union_k") > 0, expr("(10000 * shared_k) div union_k"))
+          .otherwise(lit(0L)))
       .drop("_m")
 
   /** Sketch → (sketch_size, kmv_estimate) columns; below k the sketch is

@@ -192,6 +192,20 @@ class SketchSpec extends AnyFunSuite {
     assert(r.getAs[Long]("est_p90") == 91L)
   }
 
+  test("empty inputs don't throw under ANSI: null quantile estimates, zero overlap") {
+    // a real group always contributes >= 1 pair/hash; these edges only
+    // arise on an empty INPUT frame — the API must degrade, not crash
+    // (ANSI element_at/div would otherwise throw on the guarded paths)
+    val emptyQ = Seq.empty[(Long, Long, Long)].toDF("id", "g", "v")
+    val rows = Sketch.quantileRollup(emptyQ, "g", "id", "v", Seq(50), k = 8).collect()
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("est_p50"))))
+    val emptyPair = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("_ska", "_skb")
+    val r = Sketch.kmvOverlapEstimates(emptyPair, 8).collect().head
+    assert(r.getAs[Long]("union_k") == 0L)
+    assert(r.getAs[Long]("est_intersection") == 0L)
+    assert(r.getAs[Long]("est_jaccard_bp") == 0L)
+  }
+
   test("sampled quantiles land within 3 standard errors of true rank (k=256)") {
     // classical sampling bound: rank of the sample q-quantile in the
     // population deviates from q by ~sqrt(q(1-q)/k); md5 hashes freeze the
