@@ -335,4 +335,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
       s"q110 cell counts should partial-aggregate:\n$plan")
   }
+
+  test("q113 quantile sketch: typed agg partial-aggregates; exact side broadcasts; no BNLJ") {
+    // the bounded-state claim: the bottom-k pair aggregator runs with a
+    // partial (map-side) phase so the shuffle carries <= k pairs per group
+    // per partition, the vocabulary-sized exact-percentile frame broadcasts
+    // onto the sketch frame, and no join degenerates
+    val plan = graft.queries.ProfilingQueries.q113QuantileSketch(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q113 joins must stay equi:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q113 exact side should broadcast:\n$plan")
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
+      s"q113 sketch agg should have a partial phase:\n$plan")
+  }
+
+  test("q114 sketch overlap: day pairing and probe joins are broadcast equi-joins") {
+    // the set-algebra claim: all post-sketch work happens on days-sized
+    // frames via broadcast equi-joins (the consecutive-day pairing is a
+    // precomputed next-day KEY, not a date-arithmetic theta join), and the
+    // corpus-scale phase is only the partial-aggregated sketch build
+    val plan = graft.queries.ProfilingQueries.q114SketchOverlap(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q114 pairing must be an equi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q114 small frames should broadcast:\n$plan")
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
+      s"q114 sketch agg should have a partial phase:\n$plan")
+  }
 }
