@@ -39,6 +39,14 @@ object DedupQueries {
       s"(strpos('0123456789abcdef', substring(md5($e), ${i + 1}, 1)) - 1) * $shift"
     }.mkString(" + ")
 
+  /** 60-bit variant (15 hex chars — BIGINT-exact in both engines) for the
+    * winnow-fingerprint hash. */
+  private def hex60Sql(e: String): String =
+    (0 until 15).map { i =>
+      val shift = java.math.BigInteger.valueOf(16).pow(14 - i)
+      s"(strpos('0123456789abcdef', substring(md5($e), ${i + 1}, 1)) - 1) * $shift"
+    }.mkString("(", "\n      + ", ")")
+
   def q20DedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactDupGroups(load(spark, dir, "documents"), "doc_id", "text")
       .orderBy(col("fingerprint"))
@@ -168,7 +176,31 @@ object DedupQueries {
     Dedup.containmentJoin(load(spark, dir, "documents"), "doc_id", "text")
       .transform(tinySort(_, col("doc_in"), col("doc_out")))
 
+  /** q115 — winnowed-fingerprint repeated-span pairs
+    * ([[Dedup.winnowOverlapPairs]], Schleimer–Wilkerson–Aiken SIGMOD '03):
+    * document pairs sharing ≥ 2 winnow-SELECTED 4-grams (windows of 8),
+    * with fingerprint-set Jaccard as basis points — the alignment-
+    * independent repeated-span detector the fixed-boundary q77 chunks
+    * structurally miss (a shared run of ≥ w+k−1 = 11 tokens is guaranteed
+    * a shared fingerprint at ANY offset). Selection is document-local, so
+    * it runs entirely inside the map-side [[graft.functions
+    * .WinnowFingerprints]] codegen kernel (zero shuffles to the
+    * fingerprint set — the oracle replays the equivalent two-window SQL);
+    * the pair join is fingerprint-keyed with a document-frequency cap
+    * bounding fanout at maxDf². */
+  def q115WinnowOverlap(spark: SparkSession, dir: String): DataFrame =
+    // single-file parquet arrives as ONE split, which would serialize the
+    // md5 gram build — round-robin to session parallelism first (the q106
+    // idiom; production tables arrive in thousands of splits)
+    Dedup.winnowOverlapPairs(
+        load(spark, dir, "documents")
+          .select("doc_id", "text")
+          .repartition(spark.sparkContext.defaultParallelism),
+        "doc_id", "text")
+      .transform(tinySort(_, col("doc_a"), col("doc_b")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_winnow_overlap" -> (q115WinnowOverlap _),
     "q112_containment" -> (q112Containment _),
     "q109_prefix_jaccard" -> (q109PrefixJaccard _),
     "q100_triangles" -> (q100Triangles _),
@@ -186,6 +218,45 @@ object DedupQueries {
   )
 
   val sql: Map[String, String] = Map(
+    /* q115: winnowing replayed exactly — same two-window selection (min over
+     * the following w frame, then max of those mins over the preceding w
+     * frame equals own hash), same df cap and pair aggregate; ratio as
+     * integer basis points. */
+    "q115_winnow_overlap" ->
+      s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         | gl AS (SELECT doc_id,
+         |         CASE WHEN len(ws) >= 4 THEN
+         |           list_transform(range(1, len(ws)-2),
+         |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+         |         ELSE [] END AS g FROM b),
+         | gr AS (SELECT doc_id, unnest(g) AS gram,
+         |          generate_subscripts(g, 1) AS i FROM gl),
+         | h AS (SELECT doc_id, i,
+         |         ${hex60Sql("'wfp:' || gram")} AS hv
+         |       FROM gr),
+         | m AS (SELECT doc_id, i, hv,
+         |        MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+         |                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+         |       FROM h),
+         | s AS (SELECT doc_id, hv,
+         |        MAX(wmin) OVER (PARTITION BY doc_id ORDER BY i
+         |                        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS selmax
+         |       FROM m),
+         | fp AS (SELECT DISTINCT doc_id, hv FROM s WHERE selmax = hv),
+         | dfq AS (SELECT hv, COUNT(*) AS df FROM fp GROUP BY hv),
+         | fpk AS (SELECT fp.doc_id, fp.hv FROM fp JOIN dfq USING (hv)
+         |         WHERE df <= 64),
+         | n AS (SELECT doc_id, COUNT(*) AS nf FROM fpk GROUP BY doc_id),
+         | pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |        FROM fpk a JOIN fpk b ON a.hv = b.hv AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         |SELECT pr.doc_a, pr.doc_b, CAST(pr.shared AS BIGINT) AS shared_fp,
+         |  CAST(na.nf AS BIGINT) AS na_fp, CAST(nb.nf AS BIGINT) AS nb_fp,
+         |  CAST((10000 * pr.shared) // (na.nf + nb.nf - pr.shared) AS BIGINT)
+         |    AS overlap_bp
+         |FROM pr JOIN n na ON na.doc_id = pr.doc_a
+         |        JOIN n nb ON nb.doc_id = pr.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
     /* q109: identical construction — rarest-first (freq, token) order via
      * ordered list() aggregate, integer prefix length and cross-multiplied
      * threshold tests, list_intersect for the exact verify. */

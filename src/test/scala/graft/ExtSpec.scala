@@ -588,4 +588,37 @@ class ExtSpec extends AnyFunSuite {
     feat.feature.drop(4).foreach(v =>
       assert(math.abs(v - expected) < 0.02f, s"sine segment rms=$v expected≈$expected"))
   }
+
+  test("winnow kernel ≡ the two-window DataFrame formulation (the SQL the oracle replays)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the kernel fuses gram hashing + window minima + max-of-mins selection
+    // + per-doc dedup; this reference is the literal DataFrame spelling of
+    // the oracle's SQL — equality here is what licenses the fused form
+    val k = 4; val w = 8
+    val docs = (1L to 40L).map { id =>
+      val toks = (0 until (id % 37 + 3).toInt).map(t => s"w${(id * 31 + t * 7) % 59}")
+      (id, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("_i"))
+    val reference = docs
+      .withColumn("_ws", split(col("text"), " "))
+      .withColumn("_gl", when(size(col("_ws")) >= k, expr(
+        s"transform(sequence(1, size(_ws) - ${k - 1})," +
+          s" i -> CAST(conv(substring(md5(CAST(concat('wfp:'," +
+          s" concat_ws(' ', slice(_ws, i, $k))) AS binary)), 1, 15), 16, 10)" +
+          s" AS bigint))"))
+        .otherwise(expr("CAST(array() AS array<bigint>)")))
+      .select(col("doc_id"), posexplode(col("_gl")).as(Seq("_i", "_h")))
+      .withColumn("_wmin", min(col("_h")).over(W.rowsBetween(0, w - 1)))
+      .withColumn("_selmax", max(col("_wmin")).over(W.rowsBetween(-(w - 1), 0)))
+      .filter(col("_selmax") === col("_h"))
+      .select(col("doc_id"), col("_h").as("fp")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kernel = graft.ext.Dedup.winnowedFingerprints(docs, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kernel == reference)
+    assert(kernel.nonEmpty)
+  }
 }

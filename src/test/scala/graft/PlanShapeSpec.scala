@@ -351,6 +351,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q113 sketch agg should have a partial phase:\n$plan")
   }
 
+  test("q115 winnow overlap: fingerprint selection is map-side — no Window, no Exchange") {
+    // winnowing is document-local: the fingerprint subplan must be scan →
+    // kernel → explode with NO shuffle and no window (a WindowExec means
+    // the fused kernel regressed to the shuffled two-window spelling); the
+    // full query checkpoints that set, so assert the kernel there
+    val fpPlan = graft.ext.Dedup.winnowedFingerprints(
+        graft.util.Tables.load(spark, dir, "documents"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(fpPlan.contains("graft_winnow_fingerprints"),
+      s"fingerprints should come from the fused kernel:\n$fpPlan")
+    assert(!fpPlan.contains("Exchange") && !fpPlan.contains("Window"),
+      s"fingerprint selection must be map-side only:\n$fpPlan")
+    val plan = graft.queries.DedupQueries.q115WinnowOverlap(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q115 must have no window anywhere:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q115 pair join must stay equi:\n$plan")
+  }
+
   test("q114 sketch overlap: day pairing and probe joins are broadcast equi-joins") {
     // the set-algebra claim: all post-sketch work happens on days-sized
     // frames via broadcast equi-joins (the consecutive-day pairing is a

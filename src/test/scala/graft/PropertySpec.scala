@@ -291,6 +291,31 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("winnowing guarantee: a shared run of >= w+k-1 tokens is detected at ANY alignment") {
+    // the SIGMOD '03 theorem the operator stands on: selection depends only
+    // on content, so two docs sharing a contiguous token run of length
+    // >= w + k - 1 (= 11 at k=4, w=8) share a selected fingerprint no
+    // matter the offsets; random prefixes/suffixes exercise the alignments
+    import graft.ext.Dedup
+    val word = Gen.choose(0, 5000).map(n => s"w$n")
+    val gen = for {
+      run <- Gen.listOfN(11, word) // the planted shared run, length w+k-1
+      pre1 <- Gen.listOfN(17, word); suf1 <- Gen.listOfN(5, word)
+      pre2 <- Gen.listOfN(3, word); suf2 <- Gen.listOfN(23, word)
+    } yield (
+      (pre1 ++ run ++ suf1).mkString(" "),
+      (pre2 ++ run ++ suf2).mkString(" "))
+    check(Prop.forAll(gen) { case (t1, t2) =>
+      val docs = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+      val fp = Dedup.winnowedFingerprints(docs, "doc_id", "text")
+      val a = fp.filter(col("doc_id") === 1L).select("fp")
+        .collect().map(_.getLong(0)).toSet
+      val b = fp.filter(col("doc_id") === 2L).select("fp")
+        .collect().map(_.getLong(0)).toSet
+      (a intersect b).nonEmpty
+    })
+  }
+
   test("interleave schedule: per-source bucket spread ≤ 2 for arbitrary source skews") {
     import graft.ext.Sampling
     val weightsGen = Gen.listOfN(4, Gen.choose(10, 400))
