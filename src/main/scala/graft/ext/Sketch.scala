@@ -154,6 +154,17 @@ object Sketch {
   /** Label of the merged-across-groups row in [[kmvRollup]]. */
   val AllGroups = "__all__"
 
+  /** Label a NULL group key maps to in the rollups. Without this mapping a
+    * NULL group collides with the grand-total row: the exact side's
+    * `rollup` + `coalesce(groupCol, AllGroups)` renders BOTH the NULL
+    * group's subtotal and the grand total as `__all__` (fanning the global
+    * sketch row out into contradictory duplicates), while the sketch
+    * side's NULL row never joins at all (non-null-safe key). Mapping NULL
+    * to its own sentinel BEFORE aggregation makes it an ordinary group on
+    * both sides, and leaves post-rollup NULL meaning exactly one thing:
+    * the grand total. */
+  val NullGroup = "__null__"
+
   /** Two-level rollup: per-group sketches PLUS a global row whose sketch is
     * the [[KmvMergeAggregator]] fold of the per-group sketches — the
     * incremental-maintenance path (per-day / per-corpus sketches combine
@@ -168,7 +179,8 @@ object Sketch {
                 k: Int = 256): DataFrame = {
     val skAgg = udaf(new KmvAggregator(k))
     val mergeAgg = udaf(new KmvMergeAggregator(k))
-    val hashed = df.select(col(groupCol).cast("string").as(groupCol),
+    val hashed = df.select(
+      coalesce(col(groupCol).cast("string"), lit(NullGroup)).as(groupCol),
       col(valueCol), kmvHash(col(valueCol)).as("_h"))
     val perGroup = hashed.groupBy(col(groupCol))
       .agg(skAgg(col("_h")).as("_sk"))
@@ -300,7 +312,8 @@ object Sketch {
                      k: Int = 256): DataFrame = {
     val skAgg = udaf(new BottomKSampleAggregator(k))
     val mergeAgg = udaf(new BottomKSampleMergeAggregator(k))
-    val pairs = df.select(col(groupCol).cast("string").as(groupCol),
+    val pairs = df.select(
+      coalesce(col(groupCol).cast("string"), lit(NullGroup)).as(groupCol),
       qskHash(col(keyCol)).as("_h"), col(valueCol).cast("bigint").as("_v"))
     // same two-level shape as [[kmvRollup]]: per-group sketches cached
     // (input of both output levels, groups·k small), global = merge fold

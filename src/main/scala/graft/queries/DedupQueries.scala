@@ -39,13 +39,9 @@ object DedupQueries {
       s"(strpos('0123456789abcdef', substring(md5($e), ${i + 1}, 1)) - 1) * $shift"
     }.mkString(" + ")
 
-  /** 60-bit variant (15 hex chars — BIGINT-exact in both engines) for the
-    * winnow-fingerprint hash. */
-  private def hex60Sql(e: String): String =
-    (0 until 15).map { i =>
-      val shift = java.math.BigInteger.valueOf(16).pow(14 - i)
-      s"(strpos('0123456789abcdef', substring(md5($e), ${i + 1}, 1)) - 1) * $shift"
-    }.mkString("(", "\n      + ", ")")
+  /** 60-bit md5 reconstruction (15 hex chars — BIGINT-exact in both
+    * engines) shared with the sketch oracles. */
+  private def hex60Sql(e: String): String = ProfilingQueries.hex60(e)
 
   def q20DedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactDupGroups(load(spark, dir, "documents"), "doc_id", "text")

@@ -166,8 +166,10 @@ object ProfilingQueries {
       .drop("_nx")
     val est = Sketch.kmvOverlapEstimates(pairs, k)
     // exact comparison columns (test scale): the distinct self-join the
-    // sketch path replaces at production scale
-    val du = ev.distinct()
+    // sketch path replaces at production scale. The (day, user) frame
+    // feeds THREE consumers (sizes + both sides of the intersection join)
+    // — materialize once (the q53 discipline; it is days·users small).
+    val du = ev.distinct().localCheckpoint()
     val nd = du.groupBy(col("day")).agg(count(lit(1)).as("_n"))
     val xb = du.select(col("day").as("day_b"), col("user_id").as("_ub"))
     val xi = du.select(col("day").as("day_a"),
@@ -175,7 +177,11 @@ object ProfilingQueries {
       .join(xb, col("_nx") === col("day_b") && col("user_id") === col("_ub"))
       .groupBy(col("day_a"), col("day_b"))
       .agg(count(lit(1)).as("exact_intersection"))
-    est.join(broadcast(xi), Seq("day_a", "day_b"))
+    // LEFT join + coalesce 0: a day pair with NO shared users has no xi
+    // group, but 100%-churn pairs are exactly the rows a retention report
+    // must SHOW, not drop (the sketch side builds every consecutive pair)
+    est.join(broadcast(xi), Seq("day_a", "day_b"), "left")
+      .withColumn("exact_intersection", coalesce(col("exact_intersection"), lit(0L)))
       .join(broadcast(nd.select(col("day").as("day_a"), col("_n").as("_na"))), Seq("day_a"))
       .join(broadcast(nd.select(col("day").as("day_b"), col("_n").as("_nb"))), Seq("day_b"))
       .select(col("day_a"), col("day_b"), col("union_k"), col("shared_k"),
@@ -199,7 +205,7 @@ object ProfilingQueries {
   /** DuckDB reconstruction of [[Sketch.kmvHash]]: strpos arithmetic over
     * the first 15 hex chars of md5 (60 bits — BIGINT-exact in both
     * engines). */
-  private def hex60(e: String): String =
+  private[queries] def hex60(e: String): String =
     (0 until 15).map { i =>
       val shift = java.math.BigInteger.valueOf(16).pow(14 - i)
       s"(strpos('0123456789abcdef', substring(md5($e), ${i + 1}, 1)) - 1) * $shift"
@@ -439,15 +445,16 @@ object ProfilingQueries {
         |        FROM prs p JOIN du a ON a.day = p.day_a
         |                   JOIN du b ON b.day = p.day_b AND b.user_id = a.user_id
         |        GROUP BY p.day_a, p.day_b)
+        |-- LEFT join + COALESCE 0: zero-overlap day pairs must appear
         |SELECT e.day_a, e.day_b,
         |  CAST(e.km AS BIGINT) AS union_k, CAST(e.shared AS BIGINT) AS shared_k,
         |  CAST(e.est_union AS BIGINT) AS est_union,
         |  CAST((CAST(e.shared AS HUGEINT) * CAST(e.est_union AS HUGEINT))
         |       // CAST(e.km AS HUGEINT) AS BIGINT) AS est_intersection,
         |  CAST((10000 * e.shared) // e.km AS BIGINT) AS est_jaccard_bp,
-        |  CAST(na.n + nb.n - x.exact_intersection AS BIGINT) AS exact_union,
-        |  CAST(x.exact_intersection AS BIGINT) AS exact_intersection
-        |FROM eu e JOIN xi x USING (day_a, day_b)
+        |  CAST(na.n + nb.n - COALESCE(x.exact_intersection, 0) AS BIGINT) AS exact_union,
+        |  CAST(COALESCE(x.exact_intersection, 0) AS BIGINT) AS exact_intersection
+        |FROM eu e LEFT JOIN xi x USING (day_a, day_b)
         |  JOIN nd na ON na.day = e.day_a JOIN nd nb ON nb.day = e.day_b
         |ORDER BY day_a""".stripMargin)
 }

@@ -192,6 +192,24 @@ class SketchSpec extends AnyFunSuite {
     assert(r.getAs[Long]("est_p90") == 91L)
   }
 
+  test("NULL group keys become their own __null__ group, never the __all__ row") {
+    // without the sentinel mapping, the exact side's rollup+coalesce
+    // rendered a NULL group as '__all__' (colliding with the grand total
+    // and fanning it into contradictory duplicates) while the sketch
+    // side's NULL row vanished in the non-null-safe join
+    val mixed = ((1 to 300).map(i => (i.toLong, Some("a"), (i % 97).toLong)) ++
+      (301 to 500).map(i => (i.toLong, None: Option[String], (i % 53).toLong)))
+      .toDF("id", "g", "v")
+    val out = Sketch.quantileRollup(mixed, "g", "id", "v", Seq(50), k = 64)
+      .collect().map(r => r.getAs[String]("scope"))
+    assert(out.count(_ == Sketch.AllGroups) == 1, out.mkString(","))
+    assert(out.count(_ == Sketch.NullGroup) == 1, out.mkString(","))
+    val kmv = Sketch.kmvRollup(mixed, "g", "v", k = 64)
+      .collect().map(r => r.getAs[String]("scope"))
+    assert(kmv.count(_ == Sketch.AllGroups) == 1, kmv.mkString(","))
+    assert(kmv.count(_ == Sketch.NullGroup) == 1, kmv.mkString(","))
+  }
+
   test("empty inputs don't throw under ANSI: null quantile estimates, zero overlap") {
     // a real group always contributes >= 1 pair/hash; these edges only
     // arise on an empty INPUT frame — the API must degrade, not crash
