@@ -583,6 +583,48 @@ object Dedup {
     * prefix filter), so per-gram join fanout is bounded at maxDf²; the join
     * itself is a gram-keyed shuffled equi-join, never all-pairs. Pairs below
     * `minShared` fingerprints are noise and cut in the aggregate. */
+  /** Exact longest-shared-token-run extraction for CANDIDATE pairs — the
+    * verification/extraction tier above [[winnowOverlapPairs]]'s detection
+    * tier (together they are the fingerprint-then-verify shape of the
+    * ExactSubstr dedup family): for each (doc_a, doc_b) pair, the length of
+    * the longest CONTIGUOUS run of tokens the two documents share, plus the
+    * count of matched token-position PAIRS (a token matching at several
+    * positions lands on several diagonals).
+    *
+    * The classical DP is quadratic per pair and engine-local; this is the
+    * relational formulation both engines evaluate exactly: join the two
+    * documents' (position, token) rows on token, put each match on its
+    * DIAGONAL d = i − j (on a diagonal, j is a function of i, so (d, i) is
+    * unique), and a shared run is an ISLAND of consecutive i within a
+    * diagonal — the standard gaps-and-islands trick (i − row_number() is
+    * constant exactly on an island). Longest run = max island size.
+    *
+    * Scale shape: candidate pairs come from a DETECTOR (winnowing/LSH) so
+    * the position join is per-pair bounded, never corpus²; the islands
+    * window partitions on (pair, diagonal). Token positions materialize
+    * once for both join sides. `pairs` must carry (doc_a, doc_b). */
+  def sharedSpanStats(docs: DataFrame, pairs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("_p0", "tok")))
+      .withColumn("_p", col("_p0") + 1).drop("_p0")
+      .localCheckpoint()
+    val a = pairs.join(toks.select(col(idCol).as("doc_a"),
+      col("_p").as("i"), col("tok")), Seq("doc_a"))
+    val m = a.join(toks.select(col(idCol).as("doc_b"),
+        col("_p").as("j"), col("tok")), Seq("doc_b", "tok"))
+      .select(col("doc_a"), col("doc_b"), col("i"), col("j"),
+        (col("i") - col("j")).as("_d"))
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("_d")).orderBy(col("i"))
+    m.withColumn("_isl", col("i") - row_number().over(W))
+      .groupBy(col("doc_a"), col("doc_b"), col("_d"), col("_isl"))
+      .agg(count(lit(1)).as("_run"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("_run")).as("n_matched_positions"),
+        max(col("_run")).as("longest_shared_run"))
+  }
+
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 4, w: Int = 8, maxDf: Int = 64,
                          minShared: Int = 2): DataFrame = {

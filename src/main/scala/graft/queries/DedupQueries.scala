@@ -195,7 +195,25 @@ object DedupQueries {
         "doc_id", "text")
       .transform(tinySort(_, col("doc_a"), col("doc_b")))
 
+  /** q116 — exact shared-span extraction over the q115 candidates
+    * ([[Dedup.sharedSpanStats]]): for every winnow-detected pair, the
+    * longest contiguous shared token run and the matched-position-pair
+    * count, via the relational LCS formulation (token-position join →
+    * diagonal d = i−j → gaps-and-islands) — the verify/extract tier that
+    * completes the fingerprint-then-verify ExactSubstr shape. Quadratic
+    * work exists only INSIDE detected pairs, never corpus-wide. */
+  def q116SharedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .select("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val pairs = Dedup.winnowOverlapPairs(docs, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"))
+    Dedup.sharedSpanStats(docs, pairs, "doc_id", "text")
+      .transform(tinySort(_, col("doc_a"), col("doc_b")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_shared_spans" -> (q116SharedSpans _),
     "q115_winnow_overlap" -> (q115WinnowOverlap _),
     "q112_containment" -> (q112Containment _),
     "q109_prefix_jaccard" -> (q109PrefixJaccard _),
@@ -213,39 +231,67 @@ object DedupQueries {
     "q30_fingerprint" -> (q30Fingerprint _)
   )
 
+  /** The q115 CTE chain (winnow selection through the `pr` pair set) —
+    * shared verbatim by the q116 oracle so detector and extractor can
+    * never drift. */
+  private def winnowCtes: String =
+    s"""b AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       | gl AS (SELECT doc_id,
+       |         CASE WHEN len(ws) >= 4 THEN
+       |           list_transform(range(1, len(ws)-2),
+       |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+       |         ELSE [] END AS g FROM b),
+       | gr AS (SELECT doc_id, unnest(g) AS gram,
+       |          generate_subscripts(g, 1) AS i FROM gl),
+       | h AS (SELECT doc_id, i,
+       |         ${hex60Sql("'wfp:' || gram")} AS hv
+       |       FROM gr),
+       | m AS (SELECT doc_id, i, hv,
+       |        MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+       |                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+       |       FROM h),
+       | s AS (SELECT doc_id, hv,
+       |        MAX(wmin) OVER (PARTITION BY doc_id ORDER BY i
+       |                        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS selmax
+       |       FROM m),
+       | fp AS (SELECT DISTINCT doc_id, hv FROM s WHERE selmax = hv),
+       | dfq AS (SELECT hv, COUNT(*) AS df FROM fp GROUP BY hv),
+       | fpk AS (SELECT fp.doc_id, fp.hv FROM fp JOIN dfq USING (hv)
+       |         WHERE df <= 64),
+       | n AS (SELECT doc_id, COUNT(*) AS nf FROM fpk GROUP BY doc_id),
+       | pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |        FROM fpk a JOIN fpk b ON a.hv = b.hv AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
+
   val sql: Map[String, String] = Map(
+    /* q116: the q115 chain's pair set, then the relational LCS — token-
+     * position join, diagonal d = i − j, islands of consecutive i within a
+     * diagonal (i − row_number constant on an island), longest run = max
+     * island size. */
+    "q116_shared_spans" ->
+      s"""WITH $winnowCtes,
+         | tk AS (SELECT doc_id, unnest(ws) AS tok,
+         |          generate_subscripts(ws, 1) AS p FROM b),
+         | mm AS (SELECT pr.doc_a, pr.doc_b, ta.p AS i, ta.p - tb.p AS d
+         |        FROM pr JOIN tk ta ON ta.doc_id = pr.doc_a
+         |                JOIN tk tb ON tb.doc_id = pr.doc_b AND tb.tok = ta.tok),
+         | isl AS (SELECT doc_a, doc_b, d,
+         |           i - row_number() OVER (PARTITION BY doc_a, doc_b, d
+         |                                  ORDER BY i) AS grp
+         |         FROM mm),
+         | runs AS (SELECT doc_a, doc_b, d, grp, COUNT(*) AS run
+         |          FROM isl GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b,
+         |  CAST(SUM(run) AS BIGINT) AS n_matched_positions,
+         |  CAST(MAX(run) AS BIGINT) AS longest_shared_run
+         |FROM runs GROUP BY doc_a, doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
     /* q115: winnowing replayed exactly — same two-window selection (min over
      * the following w frame, then max of those mins over the preceding w
      * frame equals own hash), same df cap and pair aggregate; ratio as
      * integer basis points. */
     "q115_winnow_overlap" ->
-      s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         | gl AS (SELECT doc_id,
-         |         CASE WHEN len(ws) >= 4 THEN
-         |           list_transform(range(1, len(ws)-2),
-         |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
-         |         ELSE [] END AS g FROM b),
-         | gr AS (SELECT doc_id, unnest(g) AS gram,
-         |          generate_subscripts(g, 1) AS i FROM gl),
-         | h AS (SELECT doc_id, i,
-         |         ${hex60Sql("'wfp:' || gram")} AS hv
-         |       FROM gr),
-         | m AS (SELECT doc_id, i, hv,
-         |        MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
-         |                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
-         |       FROM h),
-         | s AS (SELECT doc_id, hv,
-         |        MAX(wmin) OVER (PARTITION BY doc_id ORDER BY i
-         |                        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS selmax
-         |       FROM m),
-         | fp AS (SELECT DISTINCT doc_id, hv FROM s WHERE selmax = hv),
-         | dfq AS (SELECT hv, COUNT(*) AS df FROM fp GROUP BY hv),
-         | fpk AS (SELECT fp.doc_id, fp.hv FROM fp JOIN dfq USING (hv)
-         |         WHERE df <= 64),
-         | n AS (SELECT doc_id, COUNT(*) AS nf FROM fpk GROUP BY doc_id),
-         | pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-         |        FROM fpk a JOIN fpk b ON a.hv = b.hv AND a.doc_id < b.doc_id
-         |        GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      s"""WITH $winnowCtes
          |SELECT pr.doc_a, pr.doc_b, CAST(pr.shared AS BIGINT) AS shared_fp,
          |  CAST(na.nf AS BIGINT) AS na_fp, CAST(nb.nf AS BIGINT) AS nb_fp,
          |  CAST((10000 * pr.shared) // (na.nf + nb.nf - pr.shared) AS BIGINT)

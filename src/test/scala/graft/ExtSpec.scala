@@ -589,6 +589,40 @@ class ExtSpec extends AnyFunSuite {
       assert(math.abs(v - expected) < 0.02f, s"sine segment rms=$v expected≈$expected"))
   }
 
+  test("shared-span stats ≡ brute-force longest common token run + match count") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // deterministic corpus with planted repeats, duplicate tokens (the
+    // multi-diagonal case) and runs at unaligned offsets
+    val texts = Seq(
+      1L -> "a b c d e f g h a b c",
+      2L -> "x a b c d e y z a b",
+      3L -> "q r s t u v w",
+      4L -> "t u v q r s t u v w q")
+    val docs = texts.toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (1L, 3L)).toDF("doc_a", "doc_b")
+    def brute(a: String, b: String): (Long, Long) = {
+      val (ta, tb) = (a.split(" "), b.split(" "))
+      var best = 0
+      var matches = 0L
+      for (i <- ta.indices; j <- tb.indices if ta(i) == tb(j)) {
+        matches += 1
+        var l = 0
+        while (i + l < ta.length && j + l < tb.length && ta(i + l) == tb(j + l)) l += 1
+        best = math.max(best, l)
+      }
+      (matches, best.toLong)
+    }
+    val got = graft.ext.Dedup.sharedSpanStats(docs, pairs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_matched_positions"), r.getAs[Long]("longest_shared_run")))
+      .toMap
+    val m = texts.toMap
+    assert(got((1L, 2L)) == brute(m(1L), m(2L)))  // run "a b c d e" across offsets
+    assert(got((3L, 4L)) == brute(m(3L), m(4L)))  // full doc inside repeats
+    assert(!got.contains((1L, 3L)) == (brute(m(1L), m(3L))._1 == 0L)) // no shared tokens -> no row
+  }
+
   test("winnow kernel ≡ the two-window DataFrame formulation (the SQL the oracle replays)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
