@@ -42,4 +42,26 @@ object Layout {
       .sortWithinPartitions(col("_z"))
       .drop("_z")
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment: item → the shard
+    * s ∈ [0, nShards) maximizing md5(salt:s:item) (Thaler & Ravishankar,
+    * IEEE/ACM ToN '98 — the consistent-hashing scheme behind cache routing
+    * and shard placement). The property a 100 TB re-shard needs: growing
+    * nShards from N to N+m moves ONLY items captured by the m new shards
+    * (each old shard's hash is unchanged, so an item moves iff some new
+    * shard's hash beats its old max) — expected churn m/(N+m), vs ~100% for
+    * `hash(id) % n`. Pure per-row expression — nShards md5 calls, a max and
+    * a match, all codegen'd, no shuffle, no state ring to store; md5
+    * equality across distinct shard strings never happens, so the argmax is
+    * well-defined and every engine agrees on it. */
+  def rendezvousShard(idCol: Column, nShards: Int,
+                      salt: String = "graft-hrw"): Column = {
+    require(nShards >= 2, s"nShards must be at least 2, got $nShards")
+    val hs = (0 until nShards).map(s =>
+      md5(concat(lit(s"$salt:$s:"), idCol.cast("string")).cast("binary")))
+    val mx = greatest(hs: _*)
+    hs.zipWithIndex.foldRight(lit(-1): Column) { case ((hc, i), acc) =>
+      when(hc === mx, lit(i)).otherwise(acc)
+    }.cast("int")
+  }
 }

@@ -196,4 +196,82 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"),
         min(col("_pos")).as("first_pos"), max(col("_pos")).as("last_pos"))
   }
+
+  /** 2^40 — the hash domain of [[prioritySample]] (10 hex chars of md5).
+    * Deliberately NARROWER than the 60-bit sketch domain: the largest
+    * priority is w·2^40 (at h = 0), so with 40 bits every priority,
+    * threshold and estimate term fits a BIGINT for weights up to 2^23
+    * (≈ 8.4M) with NO cap or DECIMAL anywhere — and a 2^-40 uniform
+    * granularity is far below any estimator-visible resolution. */
+  private val PriM = 1099511627776L
+
+  /** Weighted sampling without replacement in EXACT integer arithmetic:
+    * priority sampling (Duffield, Lund & Thorup, JACM '07). Item i with
+    * weight w_i > 0 draws uniform u_i and gets priority q_i = w_i/u_i; the
+    * k highest-priority items form the sample, τ = the (k+1)-th priority,
+    * and ŵ_i = max(w_i, τ) makes every subset-sum estimate unbiased:
+    * E[Σ_{i∈S∩sample} ŵ_i] = Σ_{i∈S} w_i for ANY subset S fixed in advance.
+    * The one weighted-sampling scheme with a per-item closed form that
+    * needs NO transcendentals — Efraimidis–Spirakis keys are u^(1/w) (libm
+    * pow, not bit-portable across engines; NOTES #3), while q_i here is a
+    * single integer division, so the whole construction replays bit-exactly
+    * in any engine with md5:
+    *
+    *   u_i ≈ (h_i+1)/2^40 for the 40-bit md5 hash h_i, so
+    *   q_i = w_i·2^40 div (h_i+1)   — exact BIGINTs only (see [[PriM]];
+    *   weights must stay under 2^23 — wider weights need a wider hash
+    *   constant and DECIMAL carry, not a silent clamp).
+    *
+    * q_i is the priority IN WEIGHT UNITS (floored to the unit grid), so τ
+    * compares against w directly in the estimator; when the population has
+    * ≤ k items the sample is the population and τ = 0 (ŵ = w exactly —
+    * the DLT small-population degenerate case).
+    *
+    * Scale shape: priorities are map-side expressions; the global top-(k+1)
+    * is a per-partition top-k merged on one reducer (O(partitions·k) rows
+    * move — no corpus-scale sort); the estimate side aggregates k rows.
+    * The exact per-group comparison column is one ordinary agg (drop it at
+    * production scale; it is the unbiasedness law made visible at test SF).
+    *
+    * Output: one row per group — n_docs, w_exact (= Σw), n_sampled (docs of
+    * the group in the global k-sample), w_est (= Σ max(w,τ) over the
+    * group's sampled docs — unbiased for w_exact). */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+                     groupCol: String, k: Int,
+                     salt: String = "graft-pri"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val h = conv(substring(md5(concat(lit(s"$salt:"),
+      col(idCol).cast("string")).cast("binary")), 1, 10), 16, 10).cast("bigint")
+    val weighted = df.filter(col(weightCol) > 0)
+      .select(col(idCol), col(groupCol), col(weightCol).cast("long").as("w"))
+    val pri = weighted.withColumn("_h", h)
+      .withColumn("_q", expr(s"w * ${PriM}L div (_h + 1)"))
+    // Global top-(k+1): Spark plans Limit(Sort) as TakeOrderedAndProject —
+    // per-partition top-(k+1) heaps merged on a single reducer, NOT a
+    // range-shuffled global sort (verified in PlanShapeSpec).
+    val top = pri.orderBy(col("_q").desc, col(idCol).asc).limit(k + 1)
+    // τ and ranks over the (≤ k+1)-row frame: one keyed single-partition
+    // window (the non-foldable empty-substring constant key — NOTES).
+    val wholeKey = substring(col(idCol).cast("string"), 0, 0)
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy(wholeKey)
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val ord = org.apache.spark.sql.expressions.Window.partitionBy(wholeKey)
+      .orderBy(col("_q").desc, col(idCol).asc)
+    val ranked = top
+      .withColumn("_rn", row_number().over(ord))
+      .withColumn("_tau", when(count(lit(1)).over(whole) === k + 1,
+        min(col("_q")).over(whole)).otherwise(lit(0L)))
+    // q = w·2^40 div (h+1) IS the priority in weight units (u=(h+1)/2^40,
+    // q = w/u floored to the unit grid), so τ compares against w directly.
+    val est = ranked.filter(col("_rn") <= k)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(greatest(col("w"), col("_tau"))).as("w_est"))
+    val exact = weighted.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("w_exact"))
+    exact.join(est, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_docs"), col("w_exact"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("w_est"), lit(0L)).as("w_est"))
+  }
 }

@@ -377,8 +377,20 @@ object CurationQueries {
         "doc_id", "source")
       .transform(tinySort(_, col("source"), col("bucket")))
 
+  /** q117 — weighted priority sampling ([[Sampling.prioritySample]],
+    * Duffield–Lund–Thorup JACM '07): a 128-doc length-weighted sample of
+    * the corpus with the unbiased max(w, τ) estimator, summarized per
+    * source — w_est tracks w_exact, the unbiasedness law as data. The
+    * integer-exact weighted-sampling scheme that closes the
+    * Efraimidis–Spirakis gap (NOTES #3) without transcendentals. */
+  def q117PrioritySample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.prioritySample(load(spark, dir, "documents"),
+        "doc_id", "n_chars", "source", k = 128)
+      .transform(tinySort(_, col("source")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_interleave" -> (q111Interleave _),
+    "q117_priority_sample" -> (q117PrioritySample _),
     "q42_corpus_curation" -> (q42CorpusCuration _),
     "q69_corpus_shuffle" -> (q69CorpusShuffle _),
     "q56_doc_chunking" -> (q56DocChunking _),
@@ -396,6 +408,15 @@ object CurationQueries {
   )
 
   private val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Integer value of the first 10 hex chars of md5(e) — the 40-bit
+    * [[graft.ext.Sampling.prioritySample]] hash domain (same strpos
+    * construction as [[ProfilingQueries.hex60]], 10 digits). */
+  private def hex40Sql(e: String): String =
+    (0 until 10).map { i =>
+      val shift = java.math.BigInteger.valueOf(16).pow(9 - i)
+      s"(strpos('0123456789abcdef', substring(md5($e), ${i + 1}, 1)) - 1) * $shift"
+    }.mkString("(", "\n      + ", ")")
 
   val sql: Map[String, String] = Map(
     "q88_line_filter" ->
@@ -470,6 +491,32 @@ object CurationQueries {
         |  CAST(MAX(pos) AS BIGINT) AS last_pos
         |FROM p GROUP BY source, t_total, bucket
         |ORDER BY source, bucket""".stripMargin,
+    /* Priority sampling replayed in plain BIGINT: q = w·2^40 // (h+1)
+     * over the 10-hex-char md5 hash (everything fits — see
+     * Sampling.PriM); the global rank is the (q DESC, doc_id) window;
+     * τ = the 129th priority (0 when the population is smaller). SUMs of
+     * BIGINT go through CAST AS BIGINT (HUGEINT otherwise — NOTES). */
+    "q117_priority_sample" ->
+      s"""WITH w AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+        |    ${hex40Sql("'graft-pri:' || CAST(doc_id AS VARCHAR)")} AS h
+        |  FROM documents WHERE n_chars > 0),
+        | q AS (SELECT doc_id, source, w,
+        |    (w * 1099511627776) // (h + 1) AS q
+        |  FROM w),
+        | r AS (SELECT *, row_number() OVER (ORDER BY q DESC, doc_id ASC NULLS LAST) AS rn
+        |       FROM q),
+        | tau AS (SELECT CASE WHEN (SELECT COUNT(*) FROM q) >= 129
+        |    THEN (SELECT q FROM r WHERE rn = 129) ELSE 0 END AS tau),
+        | s AS (SELECT source, COUNT(*) AS n_sampled,
+        |    CAST(SUM(GREATEST(w, tau.tau)) AS BIGINT) AS w_est
+        |   FROM r CROSS JOIN tau WHERE rn <= 128 GROUP BY source),
+        | e AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(w) AS BIGINT) AS w_exact FROM w GROUP BY source)
+        |SELECT e.source, e.n_docs, e.w_exact,
+        |  COALESCE(s.n_sampled, 0) AS n_sampled,
+        |  COALESCE(s.w_est, 0) AS w_est
+        |FROM e LEFT JOIN s USING (source)
+        |ORDER BY source""".stripMargin,
     "q86_stratified_sample" ->
       """WITH r AS (SELECT source, doc_id,
         |    CAST(row_number() OVER (PARTITION BY source

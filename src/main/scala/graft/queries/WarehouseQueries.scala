@@ -180,8 +180,28 @@ object WarehouseQueries {
       .transform(tinySort(_, col("day")))
   }
 
+  /** q118 — rendezvous-hash re-shard churn ([[Layout.rendezvousShard]]):
+    * every order is assigned to 8 shards and then to 12 by
+    * highest-random-weight hashing, and the (old, new) transition matrix
+    * makes the minimal-disruption law visible as data: a row moves ONLY
+    * into one of the four new shards (moved=1 ⇒ new_shard ≥ 8 — old
+    * shards' hashes are unchanged, so no old shard can newly win), and
+    * the expected churn is 4/12 of the table vs ~100% for `hash % n`.
+    * Both assignments are pure per-row codegen'd expressions; the only
+    * shuffle is the bounded 8×12 transition aggregation. */
+  def q118RendezvousShards(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .select(col("o_orderkey"))
+      .withColumn("old_shard", Layout.rendezvousShard(col("o_orderkey"), 8))
+      .withColumn("new_shard", Layout.rendezvousShard(col("o_orderkey"), 12))
+      .groupBy(col("old_shard"), col("new_shard"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("moved", (col("old_shard") =!= col("new_shard")).cast("int"))
+      .transform(tinySort(_, col("old_shard"), col("new_shard")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_scd2_history" -> (q76Scd2 _),
+    "q118_rendezvous_shards" -> (q118RendezvousShards _),
     "q95_anomaly_flags" -> (q95AnomalyFlags _),
     "q80_zorder_stats" -> (q80ZorderStats _),
     "q84_snapshot_diff" -> (q84SnapshotDiff _),
@@ -191,6 +211,17 @@ object WarehouseQueries {
     "q96_point_in_time" -> (q96PointInTime _)
   )
 
+  /** DuckDB replay of [[Layout.rendezvousShard]]: argmax over the per-shard
+    * md5 columns h0..h(n-1) (distinct inputs → ties impossible, so the
+    * CASE scan and Spark's when-chain pick the same winner). */
+  private def hrwCaseSql(n: Int): String = {
+    val hs = (0 until n).map(s => s"h$s")
+    val mx = s"GREATEST(${hs.mkString(", ")})"
+    "CASE " +
+      hs.zipWithIndex.map { case (h, i) => s"WHEN $h = $mx THEN $i" }
+        .mkString(" ") + " END"
+  }
+
   /** DuckDB replay of [[Layout.zValue]] for (o_custkey, d_days): column j's
     * bit i lands at result bit i·2+j. */
   private val ZValSql: String =
@@ -199,6 +230,21 @@ object WarehouseQueries {
       s"(((d_days >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
 
   val sql: Map[String, String] = Map(
+    "q118_rendezvous_shards" ->
+      s"""WITH h AS (SELECT o_orderkey,
+        |    ${(0 until 12).map(s =>
+               s"md5('graft-hrw:$s:' || CAST(o_orderkey AS VARCHAR)) AS h$s")
+               .mkString(",\n        |    ")}
+        |  FROM orders),
+        | a AS (SELECT o_orderkey,
+        |    ${hrwCaseSql(8)} AS old_shard,
+        |    ${hrwCaseSql(12)} AS new_shard
+        |  FROM h)
+        |SELECT old_shard, new_shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END AS moved
+        |FROM a GROUP BY old_shard, new_shard
+        |ORDER BY old_shard, new_shard""".stripMargin,
     "q76_scd2_history" ->
       """WITH hist AS (
         |  SELECT c_custkey, c_mktsegment, c_nationkey,

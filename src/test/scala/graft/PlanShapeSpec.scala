@@ -144,6 +144,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"window must be source-keyed:\n$plan")
   }
 
+  test("q117 priority sample: global top-k is TakeOrdered, not a range sort") {
+    // the top-(k+1) selection must plan as per-partition heaps merged on
+    // one reducer (TakeOrderedAndProject) — a range-partitioned global
+    // SortExec over the corpus would be the 100 TB scale-killer here
+    val plan = graft.queries.CurationQueries
+      .q117PrioritySample(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+    // the only repartition allowed is the bounded 20-row output dump's
+    assert(!plan.contains("rangepartitioning"),
+      s"range-partitioned sort leaked into:\n$plan")
+  }
+
   test("filter pushdown reaches the parquet scan (q01: shipdate predicate)") {
     val plan = RelationalQueries.q01PricingSummary(spark, dir)
       .queryExecution.executedPlan.toString

@@ -131,4 +131,60 @@ class SamplingSpec extends AnyFunSuite {
     }
     assert(runs.distinct.size == 1)
   }
+
+  // priority sampling fixture: 2000 items, weight 1 + (id mod 100), two
+  // groups by id parity — group sums are known exactly
+  private lazy val priDocs = (0L until 2000L).toDF("id")
+    .select(col("id"), (lit(1L) + col("id") % 100).as("w"),
+      (col("id") % 2).cast("string").as("grp"))
+
+  test("prioritySample: population <= k degenerates to the exact totals") {
+    val out = Sampling.prioritySample(priDocs.limit(50), "id", "w", "grp", k = 128)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // every item sampled, τ = 0, so the estimate IS the exact sum
+    out.values.foreach { case (nDocs, wExact, nSampled, wEst) =>
+      assert(nSampled == nDocs)
+      assert(wEst == wExact)
+    }
+  }
+
+  test("prioritySample: k of N sampled; estimate within DLT variance of the total") {
+    val out = Sampling.prioritySample(priDocs, "id", "w", "grp", k = 128).collect()
+    val nSampled = out.map(_.getAs[Long]("n_sampled")).sum
+    assert(nSampled == 128)
+    val wExact = out.map(_.getAs[Long]("w_exact")).sum
+    val wEst = out.map(_.getAs[Long]("w_est")).sum
+    // Var[Σŵ] ≤ W²/(k−1) ⇒ σ ≈ W/11.3 at k=128; 3σ ≈ 27% of W. The draw
+    // is a fixed md5 function, so this is a deterministic check, not a
+    // flaky statistical one.
+    assert(math.abs(wEst - wExact) < (wExact * 3) / 11,
+      s"estimate $wEst strays from exact $wExact beyond 3σ")
+  }
+
+  test("prioritySample: per-group estimates are max(w, τ) sums — τ shared globally") {
+    val out = Sampling.prioritySample(priDocs, "id", "w", "grp", k = 128)
+      .collect()
+    // both groups sampled (k=128 across 2 balanced groups)
+    assert(out.forall(_.getAs[Long]("n_sampled") > 20))
+    // τ ≥ every sampled weight's floor ⇒ w_est ≥ n_sampled · min-weight
+    out.foreach { r =>
+      assert(r.getAs[Long]("w_est") >= r.getAs[Long]("n_sampled"))
+    }
+  }
+
+  test("prioritySample: deterministic and invariant under repartitioning") {
+    val runs = Seq(1, 32).map { n =>
+      Sampling.prioritySample(priDocs.repartition(n), "id", "w", "grp", k = 64)
+        .orderBy("grp").collect().toSeq
+    }
+    assert(runs.distinct.size == 1)
+  }
+
+  test("prioritySample: zero/negative weights are excluded from population and sample") {
+    val withZero = priDocs.unionByName(
+      Seq((9000L, 0L, "z"), (9001L, -5L, "z")).toDF("id", "w", "grp"))
+    val out = Sampling.prioritySample(withZero, "id", "w", "grp", k = 64)
+    assert(out.filter(col("grp") === "z").count() == 0)
+  }
 }

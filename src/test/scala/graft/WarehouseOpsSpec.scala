@@ -100,6 +100,36 @@ class WarehouseOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rendezvousShard: in-range, roughly uniform, deterministic under repartition") {
+    val ids = (0L until 3000L).toDF("id")
+    val out = ids.select(col("id"), Layout.rendezvousShard(col("id"), 8).as("s"))
+      .cache()
+    val counts = out.groupBy("s").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0 until 8).toSet)
+    // binomial(3000, 1/8): mean 375, σ ≈ 18 — 5σ bounds
+    counts.values.foreach(c => assert(c > 280 && c < 470, s"skewed: $counts"))
+    val again = ids.repartition(13)
+      .select(col("id"), Layout.rendezvousShard(col("id"), 8).as("s"))
+    assert(out.join(again, Seq("id", "s")).count() == 3000)
+    out.unpersist()
+  }
+
+  test("rendezvousShard: growing the ring moves rows ONLY onto new shards") {
+    val ids = (0L until 3000L).toDF("id")
+    val both = ids.select(col("id"),
+      Layout.rendezvousShard(col("id"), 8).as("old"),
+      Layout.rendezvousShard(col("id"), 12).as("nw")).cache()
+    // minimal disruption: an old shard's hash is unchanged, so a row never
+    // moves between two OLD shards — it either stays or goes to 8..11
+    assert(both.filter(col("old") =!= col("nw") && col("nw") < 8).count() == 0)
+    // churn ≈ 4/12 of rows (binomial bounds), and every new shard lands rows
+    val moved = both.filter(col("old") =!= col("nw")).count()
+    assert(moved > 800 && moved < 1200, s"churn $moved of 3000")
+    assert(both.filter(col("nw") >= 8).select("nw").distinct().count() == 4)
+    both.unpersist()
+  }
+
   test("bloom prefilter: no false negatives, and bloomDecontaminate == decontaminate") {
     // every third doc carries a common phrase, so corpus docs (i%7!=0)
     // share 3-grams with benchmark docs (i%7==0, overlapping at i%21==0)
