@@ -108,7 +108,20 @@ object TextQueries {
         "doc_id", "text", topK = 25)
       .orderBy(col("doc_id"))
 
+  /** q119 — BPE vocabulary learning ([[graft.ext.Bpe.learnMerges]],
+    * Sennrich ACL '16): 8 merge rounds over the top-50 word types of the
+    * corpus — the subword-tokenizer training primitive. One corpus-scale
+    * word-count shuffle; merge learning runs on the collected
+    * maxTypes-bounded type table (the industrial trainer split — see the
+    * operator scaladoc for the measured 7× over DataFrame rounds).
+    * Output: the learned merge table with selection-time pair counts. */
+  def q119BpeVocab(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Bpe.learnMerges(load(spark, dir, "documents"), "text",
+        rounds = 8, maxTypes = 50)
+      .transform(tinySort(_, col("round")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_bpe_vocab" -> (q119BpeVocab _),
     "q78_token_vocab" -> (q78TokenVocab _),
     "q81_unigram_lm" -> (q81UnigramLm _),
     "q27_text_quality" -> (q27TextQuality _),
@@ -122,7 +135,59 @@ object TextQueries {
 
   private val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** DuckDB replay of one BPE merge round r (see [[graft.ext.Bpe]]): pair
+    * counts over the weighted symbol table s(r-1), top-1 selection with
+    * the (count DESC, a, b) tie-break, greedy non-overlapping application
+    * via gaps-and-islands, dense position re-rank. */
+  private def bpeRoundSql(r: Int): String = {
+    val x = s"s${r - 1}"
+    s""" p$r AS MATERIALIZED (SELECT s1.sym AS a, s2.sym AS b, SUM(s1.cnt) AS t
+       |   FROM $x s1 JOIN $x s2 ON s1.word = s2.word AND s2.pos = s1.pos + 1
+       |   GROUP BY s1.sym, s2.sym),
+       | m$r AS MATERIALIZED (SELECT a, b, t FROM p$r ORDER BY t DESC, a ASC, b ASC LIMIT 1),
+       | c$r AS MATERIALIZED (SELECT s1.word, s1.pos FROM $x s1
+       |   JOIN $x s2 ON s1.word = s2.word AND s2.pos = s1.pos + 1
+       |   CROSS JOIN m$r WHERE s1.sym = m$r.a AND s2.sym = m$r.b),
+       | k$r AS MATERIALIZED (SELECT word, pos FROM (
+       |     SELECT word, pos, MIN(pos) OVER (PARTITION BY word, isl) AS isl0
+       |     FROM (SELECT word, pos,
+       |         pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS isl
+       |       FROM c$r) ci) ck
+       |   WHERE (pos - isl0) % 2 = 0),
+       | s$r AS MATERIALIZED (SELECT s.word, s.cnt,
+       |     row_number() OVER (PARTITION BY s.word ORDER BY s.pos) AS pos,
+       |     CASE WHEN kk.pos IS NOT NULL THEN m$r.a || m$r.b ELSE s.sym END AS sym
+       |   FROM $x s
+       |   CROSS JOIN m$r
+       |   LEFT JOIN k$r kk ON s.word = kk.word AND s.pos = kk.pos
+       |   LEFT JOIN k$r kp ON s.word = kp.word AND s.pos = kp.pos + 1
+       |   WHERE kp.pos IS NULL)"""
+  }
+
+  private def bpeSql(rounds: Int, maxTypes: Int): String = {
+    val roundCtes = (1 to rounds).map(bpeRoundSql).mkString(",\n")
+    val unions = (1 to rounds).map(r =>
+      s"""  SELECT CAST($r AS BIGINT) AS round, a AS lsym, b AS rsym,
+         |    a || b AS merged, CAST(t AS BIGINT) AS pair_count FROM m$r"""
+        .stripMargin).mkString("\n  UNION ALL\n")
+    s"""WITH words0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
+       |  WHERE word <> '' GROUP BY word),
+       | types AS MATERIALIZED (SELECT word, cnt FROM words0
+       |   ORDER BY cnt DESC, word ASC LIMIT $maxTypes),
+       | s0 AS MATERIALIZED (SELECT word, cnt, CAST(pos AS BIGINT) AS pos,
+       |     CASE WHEN pos <= len(word) THEN substring(word, pos, 1)
+       |          ELSE '_' END AS sym
+       |   FROM (SELECT word, cnt, unnest(range(1, len(word) + 2)) AS pos
+       |         FROM types) v),
+       |$roundCtes
+       |SELECT * FROM (
+       |$unions
+       |) ORDER BY round""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q119_bpe_vocab" -> bpeSql(rounds = 8, maxTypes = 50),
     /* Replays the exact Spark arithmetic: p = CAST(cnt AS DOUBLE)/total and
      * the OOV floor 0.5/total are single IEEE divisions; per-doc sums fold
      * the probability list in document order (list_reduce left fold ==
