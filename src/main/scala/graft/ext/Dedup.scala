@@ -603,18 +603,32 @@ object Dedup {
     * the position join is per-pair bounded, never corpus²; the islands
     * window partitions on (pair, diagonal). Token positions materialize
     * once for both join sides. `pairs` must carry (doc_a, doc_b). */
-  def sharedSpanStats(docs: DataFrame, pairs: DataFrame, idCol: String,
-                      textCol: String): DataFrame = {
-    val toks = docs
+  /** (position, token) rows of `docs`, 1-based — materialized once because
+    * every span consumer joins it on BOTH sides. */
+  private def tokenPositions(docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame =
+    docs
       .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("_p0", "tok")))
       .withColumn("_p", col("_p0") + 1).drop("_p0")
       .localCheckpoint()
+
+  /** Matched token positions of candidate pairs on their diagonals:
+    * (doc_a, doc_b, i, j, _d = i − j) — the shared prefix of
+    * [[sharedSpanStats]] (stats) and [[removeSharedSpans]] (rewrite). */
+  private def diagonalMatches(toks: DataFrame, pairs: DataFrame,
+                              idCol: String): DataFrame = {
     val a = pairs.join(toks.select(col(idCol).as("doc_a"),
       col("_p").as("i"), col("tok")), Seq("doc_a"))
-    val m = a.join(toks.select(col(idCol).as("doc_b"),
+    a.join(toks.select(col(idCol).as("doc_b"),
         col("_p").as("j"), col("tok")), Seq("doc_b", "tok"))
       .select(col("doc_a"), col("doc_b"), col("i"), col("j"),
         (col("i") - col("j")).as("_d"))
+  }
+
+  def sharedSpanStats(docs: DataFrame, pairs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val toks = tokenPositions(docs, idCol, textCol)
+    val m = diagonalMatches(toks, pairs, idCol)
     val W = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_a"), col("doc_b"), col("_d")).orderBy(col("i"))
     m.withColumn("_isl", col("i") - row_number().over(W))
@@ -623,6 +637,50 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("_run")).as("n_matched_positions"),
         max(col("_run")).as("longest_shared_run"))
+  }
+
+  /** Duplicated-span REMOVAL — the rewrite tier completing the
+    * detect ([[winnowOverlapPairs]]) → verify ([[sharedSpanStats]]) →
+    * rewrite shape of the ExactSubstr dedup family (Lee et al., ACL '22
+    * "Deduplicating Training Data Makes Language Models Better": drop
+    * every long-enough duplicated substring, keep its first occurrence):
+    * for each candidate pair (doc_a < doc_b), token positions of the
+    * LATER document lying on a shared diagonal run of ≥ `minRun` tokens
+    * are removed; a document in several pairs loses the UNION of its
+    * covered positions; the earlier document always keeps its copy.
+    *
+    * Output: one row per rewritten document — original token count,
+    * removed token count, and md5 of the surviving tokens re-joined in
+    * order (the rewritten text's fingerprint; the full text rides the
+    * same aggregate in a real pipeline).
+    *
+    * Scale shape: inherits the per-pair-bounded position join and the
+    * (pair, diagonal) windows from the stats tier; the removal union is
+    * one distinct on matched positions; reassembly is one per-document
+    * aggregate over affected docs only (doc-length bounded). */
+  def removeSharedSpans(docs: DataFrame, pairs: DataFrame, idCol: String,
+                        textCol: String, minRun: Int): DataFrame = {
+    require(minRun >= 1, s"minRun must be positive, got $minRun")
+    val toks = tokenPositions(docs, idCol, textCol)
+    val m = diagonalMatches(toks, pairs, idCol)
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("_d")).orderBy(col("i"))
+    val WRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("_d"), col("_isl"))
+    val rem = m.withColumn("_isl", col("i") - row_number().over(W))
+      .withColumn("_run", count(lit(1)).over(WRun))
+      .filter(col("_run") >= minRun)
+      .select(col("doc_b").as(idCol), col("j").as("_p"))
+      .distinct()
+    val affected = rem.select(col(idCol)).distinct()
+    toks.join(affected, Seq(idCol))
+      .join(rem.withColumn("_hit", lit(1)), Seq(idCol, "_p"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_hit").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(transform(array_sort(collect_list(
+            when(col("_hit").isNull, struct(col("_p"), col("tok"))))),
+          x => x.getField("tok")), " ").cast("binary")).as("kept_fp"))
   }
 
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,

@@ -212,7 +212,25 @@ object DedupQueries {
       .transform(tinySort(_, col("doc_a"), col("doc_b")))
   }
 
+  /** q120 — duplicated-span removal over the q115 candidates
+    * ([[Dedup.removeSharedSpans]], the ExactSubstr rewrite tier, Lee et
+    * al. ACL '22): every token position of the LATER doc of a detected
+    * pair covered by a shared run of ≥ 11 tokens (the winnow guarantee
+    * length w+k−1) is dropped — union across pairs, first occurrence kept
+    * — and the rewritten doc ships as (n_tokens, n_removed, kept-text
+    * fingerprint). Completes detect (q115) → verify (q116) → REWRITE. */
+  def q120SpanRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .select("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val pairs = Dedup.winnowOverlapPairs(docs, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"))
+    Dedup.removeSharedSpans(docs, pairs, "doc_id", "text", minRun = 11)
+      .transform(tinySort(_, col("doc_id")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_span_rewrite" -> (q120SpanRewrite _),
     "q116_shared_spans" -> (q116SharedSpans _),
     "q115_winnow_overlap" -> (q115WinnowOverlap _),
     "q112_containment" -> (q112Containment _),
@@ -268,6 +286,37 @@ object DedupQueries {
      * position join, diagonal d = i − j, islands of consecutive i within a
      * diagonal (i − row_number constant on an island), longest run = max
      * island size. */
+    /* q120: the q116 chain extended with the removal tier — islands keep
+     * their i so qualifying runs (≥ 11) map back to positions j = i − d in
+     * the later doc; the union of covered positions is one DISTINCT; the
+     * rewritten doc reassembles with an ordered FILTER list aggregate. */
+    "q120_span_rewrite" ->
+      s"""WITH $winnowCtes,
+         | tk AS (SELECT doc_id, unnest(ws) AS tok,
+         |          generate_subscripts(ws, 1) AS p FROM b),
+         | mm AS (SELECT pr.doc_a, pr.doc_b, ta.p AS i, ta.p - tb.p AS d
+         |        FROM pr JOIN tk ta ON ta.doc_id = pr.doc_a
+         |                JOIN tk tb ON tb.doc_id = pr.doc_b AND tb.tok = ta.tok),
+         | isl AS (SELECT doc_a, doc_b, d, i,
+         |           i - row_number() OVER (PARTITION BY doc_a, doc_b, d
+         |                                  ORDER BY i) AS grp
+         |         FROM mm),
+         | runs AS (SELECT doc_a, doc_b, d, grp, COUNT(*) AS run
+         |          FROM isl GROUP BY 1, 2, 3, 4),
+         | rem AS (SELECT DISTINCT isl.doc_b AS doc_id, isl.i - isl.d AS p
+         |         FROM isl JOIN runs USING (doc_a, doc_b, d, grp)
+         |         WHERE runs.run >= 11),
+         | aff AS (SELECT DISTINCT doc_id FROM rem)
+         |SELECT t.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(r.p) AS BIGINT) AS n_removed,
+         |  md5(COALESCE(array_to_string(
+         |    list(t.tok ORDER BY t.p) FILTER (WHERE r.p IS NULL), ' '), ''))
+         |    AS kept_fp
+         |FROM tk t JOIN aff USING (doc_id)
+         |LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.p = t.p
+         |GROUP BY t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "q116_shared_spans" ->
       s"""WITH $winnowCtes,
          | tk AS (SELECT doc_id, unnest(ws) AS tok,

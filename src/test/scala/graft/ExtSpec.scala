@@ -623,6 +623,40 @@ class ExtSpec extends AnyFunSuite {
     assert(!got.contains((1L, 3L)) == (brute(m(1L), m(3L))._1 == 0L)) // no shared tokens -> no row
   }
 
+  test("removeSharedSpans: later doc loses the UNION of covered spans; first copy survives") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val S = (1 to 12).map(i => s"s$i").mkString(" ")   // 12 >= minRun
+    val U = (1 to 13).map(i => s"u$i").mkString(" ")   // 13 >= minRun
+    val A5 = (1 to 5).map(i => s"a$i").mkString(" ")   // 5 < minRun
+    val texts = Seq(
+      1L -> s"p1 p2 $S q1 q2",   // earlier copy of S — always kept
+      2L -> s"r1 $S r2 r3",      // one span removed mid-doc
+      3L -> U,                   // earlier copy of U
+      4L -> U,                   // exact duplicate — fully emptied
+      5L -> s"$S z1 $U",         // union across TWO pairs (1,5) and (3,5)
+      6L -> s"$A5 c1 c2 c3",
+      7L -> s"d1 $A5 d2",        // shared run below minRun — untouched
+      8L -> s"$S m1 $S")         // S twice: BOTH occurrences on qualifying diagonals
+    val docs = texts.toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (1L, 5L), (3L, 5L), (6L, 7L), (1L, 8L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.ext.Dedup
+      .removeSharedSpans(docs, pairs, "doc_id", "text", minRun = 11)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("kept_fp"))).toMap
+    // exactly the rewritten docs appear: 2, 4, 5, 8 (7 below threshold;
+    // 1/3/6 are earlier docs and keep their copies)
+    assert(got.keySet == Set(2L, 4L, 5L, 8L))
+    assert(got(2L) == ((15L, 12L, md5hex("r1 r2 r3"))))
+    assert(got(4L) == ((13L, 13L, md5hex("")))) // fully emptied duplicate
+    assert(got(5L) == ((26L, 25L, md5hex("z1")))) // union of both pairs' spans
+    assert(got(8L) == ((25L, 24L, md5hex("m1")))) // both repeated occurrences
+  }
+
   test("winnow kernel ≡ the two-window DataFrame formulation (the SQL the oracle replays)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
