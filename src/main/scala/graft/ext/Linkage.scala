@@ -41,4 +41,48 @@ object Linkage {
         col("a.block").as("block"), col("dist").cast("long").as("dist"),
         col("a.n_rows").as("n_a"), col("b.n_rows").as("n_b"))
   }
+
+  /** Golden-record survivorship — the consolidation tier of master-data
+    * management, above pair detection ([[blockedFuzzyPairs]]) and cluster
+    * formation ([[Dedup.duplicateClusters]]): several source systems
+    * deliver conflicting versions of the same entity, and ONE canonical
+    * record must survive, attribute by attribute, under explicit
+    * deterministic rules (the Fellegi–Sunter tradition's "fusion" step):
+    *
+    *   - `modeCol` survives by CONSENSUS: the most frequent non-null
+    *     value; ties broken by recency (max `clockCol` among deliveries
+    *     of that value), then by the value itself — a total order, so
+    *     every engine elects the same winner;
+    *   - `latestCol` survives by RECENCY: the value of the latest
+    *     delivery that actually supplied one (nulls never win — a late
+    *     system with missing data must not erase an earlier value).
+    *
+    * Conflict visibility ships alongside (n_mentions, n_values) — the
+    * rows a data steward reviews.
+    *
+    * Scale shape: one entity-keyed aggregation for the consensus counts,
+    * one entity-keyed window over the (entity, value)-bounded count rows
+    * to elect the winner, one aggregation for recency/conflicts — all
+    * partitioned by the entity key, no corpus-scale sort, no collect. */
+  def goldenRecord(mentions: DataFrame, keyCol: String, clockCol: String,
+                   modeCol: String, latestCol: String): DataFrame = {
+    val byValue = mentions.filter(col(modeCol).isNotNull)
+      .groupBy(col(keyCol), col(modeCol))
+      .agg(count(lit(1)).as("_cnt"), max(col(clockCol)).as("_mc"))
+    val elect = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("_cnt").desc, col("_mc").desc, col(modeCol).asc)
+    val consensus = byValue.withColumn("_rk", row_number().over(elect))
+      .filter(col("_rk") === 1)
+      .select(col(keyCol), col(modeCol).as(s"golden_$modeCol"))
+    val recency = mentions.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_mentions"),
+      countDistinct(when(col(modeCol).isNotNull, col(modeCol)))
+        .as("n_values"),
+      // null values carry a null ordering key, so max_by skips them —
+      // the same contract as DuckDB's arg_max
+      max_by(col(latestCol), when(col(latestCol).isNotNull, col(clockCol)))
+        .as(s"golden_$latestCol"))
+    recency.join(consensus, Seq(keyCol), "left")
+  }
 }

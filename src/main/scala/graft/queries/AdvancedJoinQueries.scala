@@ -174,7 +174,37 @@ object AdvancedJoinQueries {
         blockKey = name => element_at(split(name, " "), -1), maxDist = 2)
       .transform(tinySort(_, col("name_a"), col("name_b")))
 
+  /** q121 — golden-record survivorship ([[graft.ext.Linkage.goldenRecord]]):
+    * three source systems deliver conflicting customer versions (clock 2
+    * rewrites every 3rd segment, clock 3 covers only even keys with
+    * missing segments on %5 and missing/shifted nations on %7) and the
+    * consolidation elects one canonical record per entity — segment by
+    * consensus (frequency, then recency, then value), nation by latest
+    * NON-NULL delivery — with conflict counts for steward review. The MDM
+    * fusion tier above q97 (pair detection) and q51 (clustering). */
+  def q121GoldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    val cust = load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    val sys1 = cust.select(col("c_custkey"), lit(1L).as("clock"),
+      col("c_mktsegment"), col("c_nationkey"))
+    val sys2 = cust.select(col("c_custkey"), lit(2L).as("clock"),
+      when(col("c_custkey") % 3 === 0, concat(col("c_mktsegment"), lit("_B")))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+      col("c_nationkey"))
+    val sys3 = cust.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), lit(3L).as("clock"),
+        when(col("c_custkey") % 5 === 0, lit(null))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        when(col("c_custkey") % 7 === 0, lit(null))
+          .otherwise(col("c_nationkey") + 1).as("c_nationkey"))
+    graft.ext.Linkage.goldenRecord(
+        sys1.unionByName(sys2).unionByName(sys3),
+        "c_custkey", "clock", "c_mktsegment", "c_nationkey")
+      .orderBy(col("c_custkey"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_golden_record" -> (q121GoldenRecord _),
     "q97_fuzzy_pairs" -> (q97FuzzyPairs _),
     "q41_sessionize" -> (q41Sessionize _),
     "q65_moving_stats" -> (q65MovingStats _),
@@ -189,6 +219,40 @@ object AdvancedJoinQueries {
   )
 
   val sql: Map[String, String] = Map(
+    /* q121: the three feeds replayed inline; consensus via the same
+     * (count DESC, max-clock DESC, value) election window; recency via
+     * arg_max with a null-guarded ordering key (≡ Spark max_by — both
+     * skip null-keyed rows, verified). */
+    "q121_golden_record" ->
+      """WITH m AS (
+        |  SELECT c_custkey, 1 AS clock, c_mktsegment, c_nationkey
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 2,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment || '_B'
+        |         ELSE c_mktsegment END, c_nationkey
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 3,
+        |    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey + 1 END
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        | bv AS (SELECT c_custkey, c_mktsegment AS v, COUNT(*) AS cnt,
+        |          MAX(clock) AS mc
+        |        FROM m WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2),
+        | el AS (SELECT c_custkey, v AS golden_c_mktsegment,
+        |          row_number() OVER (PARTITION BY c_custkey
+        |            ORDER BY cnt DESC, mc DESC, v ASC) AS rk FROM bv),
+        | rec AS (SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_mentions,
+        |          CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_values,
+        |          arg_max(c_nationkey,
+        |            CASE WHEN c_nationkey IS NOT NULL THEN clock END)
+        |            AS golden_c_nationkey
+        |         FROM m GROUP BY 1)
+        |SELECT r.c_custkey, r.n_mentions, r.n_values,
+        |  r.golden_c_nationkey, e.golden_c_mktsegment
+        |FROM rec r LEFT JOIN el e ON e.c_custkey = r.c_custkey AND e.rk = 1
+        |ORDER BY r.c_custkey""".stripMargin,
     "q97_fuzzy_pairs" ->
       """WITH v AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |            MIN(p_partkey) AS min_id

@@ -657,6 +657,32 @@ class ExtSpec extends AnyFunSuite {
     assert(got(8L) == ((25L, 24L, md5hex("m1")))) // both repeated occurrences
   }
 
+  test("goldenRecord: consensus, recency and null-survivorship rules") {
+    import spark.implicits._
+    val mentions = Seq(
+      // majority wins over recency: B delivered twice beats late-only A
+      (1L, 1L, Option("B"), Option(10)), (1L, 2L, Option("B"), Option(11)),
+      (1L, 3L, Option("A"), Option.empty[Int]),
+      // all-null attribute: no consensus row, recency keeps the only nation
+      (2L, 1L, Option.empty[String], Option(5)),
+      (2L, 2L, Option.empty[String], Option.empty[Int]),
+      // frequency tie → recency: Y (clock 2) beats X (clock 1)
+      (3L, 1L, Option("X"), Option(1)), (3L, 2L, Option("Y"), Option(2)),
+      // frequency AND clock tie → value order: A < B (nation keeps the
+      // sole non-null delivery — no ordering-key tie)
+      (4L, 1L, Option("B"), Option(7)), (4L, 1L, Option("A"), Option.empty[Int])
+    ).toDF("k", "clock", "seg", "nat")
+    val got = graft.ext.Linkage.goldenRecord(mentions, "k", "clock", "seg", "nat")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_mentions"), r.getAs[Long]("n_values"),
+          Option(r.getAs[Integer]("golden_nat")).map(_.toInt),
+          Option(r.getAs[String]("golden_seg")))).toMap
+    assert(got(1L) == ((3L, 2L, Some(11), Some("B")))) // late null nation must NOT erase 11
+    assert(got(2L) == ((2L, 0L, Some(5), None)))
+    assert(got(3L) == ((2L, 2L, Some(2), Some("Y"))))
+    assert(got(4L) == ((2L, 2L, Some(7), Some("A"))))
+  }
+
   test("winnow kernel ≡ the two-window DataFrame formulation (the SQL the oracle replays)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
