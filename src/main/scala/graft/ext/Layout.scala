@@ -43,6 +43,38 @@ object Layout {
       .drop("_z")
   }
 
+  /** Small-file compaction planner — the OPTIMIZE/rewrite-data-files
+    * planning step of Delta/Iceberg maintenance: a 100 TB table ingested
+    * in small increments accumulates files far below the scan-efficient
+    * size, and the planner groups them into target-size output bins
+    * WITHOUT reading data — file-level metadata only. Files are packed
+    * next-fit in `orderCol` order within each partition (time-ordered
+    * packing preserves clustering, so the rewritten files keep their
+    * min/max pruning power): file i opens a new bin exactly when the
+    * running size before it crosses a target boundary —
+    * bin = prefix_bytes div targetBytes, one window cumsum, pure integer.
+    * A single file larger than the target keeps its own bin (never split).
+    *
+    * Output per (partition, bin): file count, total bytes, and fill ratio
+    * in basis points — the review artifact a maintenance job executes.
+    *
+    * Scale shape: one partition-keyed window over FILE METADATA rows
+    * (millions of rows for a 100 TB table, not billions) and one bounded
+    * aggregation; no data files are opened. */
+  def compactionPlan(files: DataFrame, partCol: String, orderCol: String,
+                     sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(col(orderCol))
+      .rowsBetween(Long.MinValue, 0)
+    files
+      .withColumn("_cum", sum(col(sizeCol)).over(w))
+      .withColumn("bin", expr(s"(_cum - $sizeCol) div ${targetBytes}L"))
+      .groupBy(col(partCol), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col(sizeCol)).as("total_bytes"))
+      .withColumn("fill_bp", expr(s"10000 * total_bytes div ${targetBytes}L"))
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment: item → the shard
     * s ∈ [0, nShards) maximizing md5(salt:s:item) (Thaler & Ravishankar,
     * IEEE/ACM ToN '98 — the consistent-hashing scheme behind cache routing

@@ -42,4 +42,27 @@ object Redact {
     * without the salt. */
   def pseudonym(c: Column, salt: String): Column =
     md5(concat(lit(salt + ":"), c).cast("binary"))
+
+  /** k-anonymity audit (Sweeney, IJUFKS '02) — the release-risk check that
+    * complements redaction: a row is k-anonymous when at least k−1 OTHER
+    * rows share its quasi-identifier tuple, so the re-identification
+    * surface is the distribution of QI equivalence-CLASS sizes. Returns
+    * that distribution — one row per class size: how many classes, how
+    * many records they hold, and whether the size violates the caller's k
+    * (class_size < k ⇒ those records are linkable below the k-anonymity
+    * floor and need generalization or suppression before release).
+    *
+    * Scale shape: one QI-keyed aggregation over the corpus (map-side
+    * combined) and one bounded aggregation over class sizes; the output is
+    * O(distinct class sizes) — an audit artifact, not a rewrite. */
+  def kAnonymityAudit(df: org.apache.spark.sql.DataFrame,
+                      qiCols: Seq[Column], k: Int): org.apache.spark.sql.DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be at least 2, got $k")
+    df.groupBy(qiCols: _*).agg(count(lit(1)).as("class_size"))
+      .groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"))
+      .withColumn("n_rows", col("class_size") * col("n_classes"))
+      .withColumn("below_k", (col("class_size") < k).cast("int"))
+  }
 }

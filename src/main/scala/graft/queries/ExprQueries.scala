@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.util.Output.tinySort
 import graft.util.Tables.load
 
 /** Scalar-expression coverage (SURVEY.md §2.6 E1-E21) over the driver
@@ -139,7 +140,23 @@ object ExprQueries {
     ).orderBy(col("c_custkey"))
   }
 
+  /** q122 — k-anonymity audit ([[graft.ext.Redact.kAnonymityAudit]],
+    * Sweeney IJUFKS '02): the release-risk distribution over the customer
+    * quasi-identifier (nation, segment, 1000-unit balance bucket) at k=5 —
+    * one QI aggregation + one bounded class-size rollup, the privacy
+    * check that pairs with q67's redaction before a corpus leaves its
+    * boundary. */
+  def q122KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Redact
+    Redact.kAnonymityAudit(load(spark, dir, "customer"),
+        Seq(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket")),
+        k = 5)
+      .transform(tinySort(_, col("class_size")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_k_anonymity" -> (q122KAnonymity _),
     "q34_salted_agg" -> (q34SaltedAgg _),
     "q67_pii_mask" -> (q67PiiMask _),
     "q13_part_exprs" -> (q13PartExprs _),
@@ -152,6 +169,17 @@ object ExprQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "q122_k_anonymity" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+        |    COUNT(*) AS class_size
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT CAST(class_size AS BIGINT) AS class_size,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(class_size * COUNT(*) AS BIGINT) AS n_rows,
+        |  CASE WHEN class_size < 5 THEN 1 ELSE 0 END AS below_k
+        |FROM cls GROUP BY class_size
+        |ORDER BY class_size""".stripMargin,
     "q67_pii_mask" ->
       """SELECT c_custkey,
         |  repeat('*', greatest(length(c_name) - 4, 0)) ||

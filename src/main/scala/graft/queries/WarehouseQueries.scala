@@ -199,9 +199,28 @@ object WarehouseQueries {
       .withColumn("moved", (col("old_shard") =!= col("new_shard")).cast("int"))
       .transform(tinySort(_, col("old_shard"), col("new_shard")))
 
+  /** q123 — small-file compaction plan ([[Layout.compactionPlan]]): order
+    * ingestion is simulated as one file per order date (bytes = rows × a
+    * fixed 128 B row proxy — metadata-level, no data read), partitioned by
+    * month, and the planner packs each month's files next-fit into 64 KiB
+    * output bins in date order. Output per (month, bin): file count, byte
+    * total, fill basis points — the Delta/Iceberg OPTIMIZE planning
+    * artifact; at sf0.1 months genuinely split into multiple bins. */
+  def q123CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val files = load(spark, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderdate").as("file_date"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("bytes", col("n_rows") * 128)
+    Layout.compactionPlan(files, "month", "file_date", "bytes",
+        targetBytes = 64L * 1024)
+      .transform(tinySort(_, col("month"), col("bin")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_scd2_history" -> (q76Scd2 _),
     "q118_rendezvous_shards" -> (q118RendezvousShards _),
+    "q123_compaction_plan" -> (q123CompactionPlan _),
     "q95_anomaly_flags" -> (q95AnomalyFlags _),
     "q80_zorder_stats" -> (q80ZorderStats _),
     "q84_snapshot_diff" -> (q84SnapshotDiff _),
@@ -230,6 +249,23 @@ object WarehouseQueries {
       s"(((d_days >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
 
   val sql: Map[String, String] = Map(
+    /* q123: same next-fit arithmetic — the bin is the integer quotient of
+     * the ROWS-framed running size BEFORE each file. */
+    "q123_compaction_plan" ->
+      """WITH f AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    o_orderdate AS d, CAST(COUNT(*) * 128 AS BIGINT) AS bytes
+        |  FROM orders GROUP BY 1, 2),
+        | c AS (SELECT month, bytes,
+        |    SUM(bytes) OVER (PARTITION BY month ORDER BY d
+        |                     ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM f),
+        | b AS (SELECT month, bytes, (cum - bytes) // 65536 AS bin FROM c)
+        |SELECT month, CAST(bin AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+        |  CAST((10000 * SUM(bytes)) // 65536 AS BIGINT) AS fill_bp
+        |FROM b GROUP BY month, bin
+        |ORDER BY month, bin""".stripMargin,
     "q118_rendezvous_shards" ->
       s"""WITH h AS (SELECT o_orderkey,
         |    ${(0 until 12).map(s =>
