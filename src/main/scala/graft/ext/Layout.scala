@@ -85,15 +85,18 @@ object Layout {
     * `hash(id) % n`. Pure per-row expression — nShards md5 calls, a max and
     * a match, all codegen'd, no shuffle, no state ring to store; md5
     * equality across distinct shard strings never happens, so the argmax is
-    * well-defined and every engine agrees on it. */
+    * well-defined and every engine agrees on it.
+    *
+    * Spelling matters at per-row cost: the hashes are materialized ONCE
+    * into an array and the winner is `array_position(hs, array_max(hs))`,
+    * so each md5 is evaluated exactly once per row — a `greatest` +
+    * when-chain argmax would re-reference every hash ~nShards times and
+    * (absent full subexpression elimination) pay O(n²) md5 evaluations. */
   def rendezvousShard(idCol: Column, nShards: Int,
                       salt: String = "graft-hrw"): Column = {
     require(nShards >= 2, s"nShards must be at least 2, got $nShards")
-    val hs = (0 until nShards).map(s =>
-      md5(concat(lit(s"$salt:$s:"), idCol.cast("string")).cast("binary")))
-    val mx = greatest(hs: _*)
-    hs.zipWithIndex.foldRight(lit(-1): Column) { case ((hc, i), acc) =>
-      when(hc === mx, lit(i)).otherwise(acc)
-    }.cast("int")
+    val hs = array((0 until nShards).map(s =>
+      md5(concat(lit(s"$salt:$s:"), idCol.cast("string")).cast("binary"))): _*)
+    (array_position(hs, array_max(hs)) - 1).cast("int")
   }
 }
