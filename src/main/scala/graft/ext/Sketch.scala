@@ -31,10 +31,27 @@ class KmvAggregator(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
   /** Buffer invariant: ascending-sorted distinct hashes, size ≤ k. */
   override def zero: Seq[Long] = Nil
 
+  /** Per-ROW hot path (every input row passes through here under
+    * ObjectHashAggregate, buffers live as objects between rows): the
+    * sorted invariant makes membership + insertion a binary search and
+    * one arraycopy, O(k), instead of the `contains` + full re-`sorted`
+    * spelling, O(k log k) with two interim collections per insert. */
   override def reduce(buf: Seq[Long], h: Long): Seq[Long] =
     if (buf.length == k && h >= buf.last) buf // fast path: can't enter the sketch
-    else if (buf.contains(h)) buf
-    else ((buf :+ h).sorted).take(k)
+    else {
+      val arr = buf.toArray
+      val idx = java.util.Arrays.binarySearch(arr, h)
+      if (idx >= 0) buf // already present
+      else {
+        val ins = -idx - 1
+        val n = math.min(arr.length + 1, k)
+        val out = new Array[Long](n)
+        System.arraycopy(arr, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(arr, ins, out, ins + 1, n - ins - 1)
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+      }
+    }
 
   override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
     (b1 ++ b2).distinct.sorted.take(k)
@@ -85,9 +102,30 @@ class KmvMergeAggregator(k: Int) extends Aggregator[Seq[Long], Seq[Long], Seq[Lo
 class BottomKSampleAggregator(k: Int)
     extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
   override def zero: Seq[(Long, Long)] = Nil
+
+  /** Same binary-search insert as [[KmvAggregator.reduce]] (the per-row
+    * hot path), on the lexicographic pair order. */
   override def reduce(buf: Seq[(Long, Long)], p: (Long, Long)): Seq[(Long, Long)] =
     if (buf.length == k && Ordering[(Long, Long)].compare(p, buf.last) >= 0) buf
-    else ((buf :+ p).distinct.sorted).take(k)
+    else {
+      val arr = buf.toArray
+      var lo = 0
+      var hi = arr.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (Ordering[(Long, Long)].compare(arr(mid), p) < 0) lo = mid + 1
+        else hi = mid
+      }
+      if (lo < arr.length && arr(lo) == p) buf // already present
+      else {
+        val n = math.min(arr.length + 1, k)
+        val out = new Array[(Long, Long)](n)
+        System.arraycopy(arr, 0, out, 0, lo)
+        out(lo) = p
+        System.arraycopy(arr, lo, out, lo + 1, n - lo - 1)
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+      }
+    }
   override def merge(b1: Seq[(Long, Long)], b2: Seq[(Long, Long)]): Seq[(Long, Long)] =
     (b1 ++ b2).distinct.sorted.take(k)
   override def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r
