@@ -36,11 +36,54 @@ case class BpeMerge(round: Long, lsym: String, rsym: String,
   *     (a,a) → ['aa','a']) — the gaps-and-islands alternation the DuckDB
   *     oracle replays relationally.
   *
-  * Every word carries a terminal '_' marker symbol (the end-of-word
-  * sentinel), so merges can learn whole-word units and the symbol stream
-  * is reversible.
+  * Every word carries a terminal ' ' (space) marker symbol — the
+  * end-of-word sentinel in the tradition of Sennrich's '&lt;/w&gt;' — so
+  * merges can learn whole-word units. A space CANNOT appear inside a
+  * whitespace-split token, so the sentinel never collides with corpus
+  * characters and the symbol stream is exactly reversible (an earlier
+  * '_' sentinel was ambiguous against literal underscores). Words are
+  * split into Unicode CODE POINTS, not UTF-16 code units, so non-BMP
+  * input (emoji, rare CJK) yields the same symbol stream as engines that
+  * index by character (DuckDB substring).
   */
 object Bpe {
+
+  /** End-of-word marker: a space can never appear inside a token produced
+    * by whitespace splitting, so it is collision-free and reversible. */
+  val Sentinel = " "
+
+  /** Code-point lexicographic comparison (≡ UTF-8 byte order ≡ DuckDB
+    * ORDER BY). Plain Java String comparison orders by UTF-16 code UNIT,
+    * which disagrees for symbols in [U+E000, U+FFFF] vs non-BMP symbols
+    * (0xFFFD sorts above a surrogate but below U+1F600) — the tie-break
+    * must use the order every other engine uses. */
+  private[ext] def compareCodePoints(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  private val symOrd: Ordering[String] = (a, b) => compareCodePoints(a, b)
+
+  /** One string per Unicode code point (surrogate pairs stay together —
+    * the same per-character indexing DuckDB's substring uses). */
+  private[ext] def codePointSymbols(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
 
   /** Learn `rounds` merges over the `maxTypes` most frequent words of
     * `textCol` (whitespace tokenization; the type cap keeps the collect
@@ -67,7 +110,7 @@ object Bpe {
 
     // Local merge learning over the weighted type table.
     var words: Array[(Vector[String], Long)] =
-      types.map { case (w, c) => (w.map(_.toString).toVector :+ "_", c) }
+      types.map { case (w, c) => (codePointSymbols(w) :+ Sentinel, c) }
     val merges = Vector.newBuilder[BpeMerge]
     var r = 1
     var exhausted = false
@@ -78,7 +121,8 @@ object Bpe {
           counts.getOrElse(syms(i) -> syms(i + 1), 0L) + cnt
       if (counts.isEmpty) exhausted = true
       else {
-        val ((a, b), t) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        val ((a, b), t) = counts.minBy { case ((x, y), n) => (-n, x, y) }(
+          Ordering.Tuple3(Ordering.Long, symOrd, symOrd))
         merges += BpeMerge(r.toLong, a, b, a + b, t)
         // greedy left-to-right non-overlapping application
         words = words.map { case (syms, cnt) =>

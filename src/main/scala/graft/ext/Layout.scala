@@ -47,13 +47,17 @@ object Layout {
     * planning step of Delta/Iceberg maintenance: a 100 TB table ingested
     * in small increments accumulates files far below the scan-efficient
     * size, and the planner groups them into target-size output bins
-    * WITHOUT reading data — file-level metadata only. Files are packed
-    * next-fit in `orderCol` order within each partition (time-ordered
-    * packing preserves clustering, so the rewritten files keep their
-    * min/max pruning power): file i opens a new bin exactly when the
-    * running size before it crosses a target boundary —
+    * WITHOUT reading data — file-level metadata only. Files are packed by
+    * BOUNDARY-CROSSING QUOTIENT BINNING in `orderCol` order within each
+    * partition (time-ordered packing preserves clustering, so the
+    * rewritten files keep their min/max pruning power): file i's bin is
+    * the integer quotient of the running size BEFORE it —
     * bin = prefix_bytes div targetBytes, one window cumsum, pure integer.
-    * A single file larger than the target keeps its own bin (never split).
+    * Unlike true next-fit, a file straddling a target boundary stays in
+    * the bin its prefix opened, so a bin may overfill past `targetBytes`
+    * (its `fill_bp` exceeds 10000) — the trade is a closed-form bin id
+    * (no sequential scan state) for bounded overfill of at most one file
+    * per bin; files are never split.
     *
     * Output per (partition, bin): file count, total bytes, and fill ratio
     * in basis points — the review artifact a maintenance job executes.

@@ -55,7 +55,9 @@ object Linkage {
     *     every engine elects the same winner;
     *   - `latestCol` survives by RECENCY: the value of the latest
     *     delivery that actually supplied one (nulls never win — a late
-    *     system with missing data must not erase an earlier value).
+    *     system with missing data must not erase an earlier value);
+    *     deliveries tying on the clock are broken by the value itself,
+    *     so this rule too is a total order.
     *
     * Conflict visibility ships alongside (n_mentions, n_values) — the
     * rows a data steward reviews.
@@ -80,8 +82,15 @@ object Linkage {
       countDistinct(when(col(modeCol).isNotNull, col(modeCol)))
         .as("n_values"),
       // null values carry a null ordering key, so max_by skips them —
-      // the same contract as DuckDB's arg_max
-      max_by(col(latestCol), when(col(latestCol).isNotNull, col(clockCol)))
+      // the same contract as DuckDB's arg_max. The ordering key is
+      // (clock, value), not clock alone: two deliveries tying on clock
+      // with different non-null values would otherwise elect whichever
+      // row the partition order presented first — the value tiebreak
+      // completes the total order (same determinism contract as the
+      // consensus window's three-level ORDER BY).
+      max_by(col(latestCol),
+        when(col(latestCol).isNotNull,
+          struct(col(clockCol), col(latestCol))))
         .as(s"golden_$latestCol"))
     recency.join(consensus, Seq(keyCol), "left")
   }

@@ -219,8 +219,9 @@ object Sampling {
     *
     *   u_i ≈ (h_i+1)/2^40 for the 40-bit md5 hash h_i, so
     *   q_i = w_i·2^40 div (h_i+1)   — exact BIGINTs only (see [[PriM]];
-    *   weights must stay under 2^23 — wider weights need a wider hash
-    *   constant and DECIMAL carry, not a silent clamp).
+    *   weights must stay under 2^23, enforced at runtime via assert_true —
+    *   wider weights need a wider hash constant and DECIMAL carry, not a
+    *   silent clamp).
     *
     * q_i is the priority IN WEIGHT UNITS (floored to the unit grid), so τ
     * compares against w directly in the estimator; when the population has
@@ -242,8 +243,21 @@ object Sampling {
     require(k >= 1, s"k must be positive, got $k")
     val h = conv(substring(md5(concat(lit(s"$salt:"),
       col(idCol).cast("string")).cast("binary")), 1, 10), 16, 10).cast("bigint")
+    // Runtime contract guard: a weight ≥ 2^23 would overflow w·2^40 in the
+    // BIGINT priority — Spark Long arithmetic wraps around silently
+    // (garbage priorities → wrong samples) while DuckDB errors on HUGEINT
+    // overflow, so the engines would diverge exactly when the documented
+    // contract is violated. assert_true makes the violation fail loudly
+    // and identically in both; it is folded into `w` (null when passing)
+    // so column pruning cannot drop the check.
+    val wLong = col(weightCol).cast("long")
+    val guarded = (wLong + coalesce(
+      assert_true(wLong < (1L << 23),
+        concat(lit("prioritySample: weight must be < 2^23, got "),
+          wLong.cast("string"))).cast("long"),
+      lit(0L))).as("w")
     val weighted = df.filter(col(weightCol) > 0)
-      .select(col(idCol), col(groupCol), col(weightCol).cast("long").as("w"))
+      .select(col(idCol), col(groupCol), guarded)
     val pri = weighted.withColumn("_h", h)
       .withColumn("_q", expr(s"w * ${PriM}L div (_h + 1)"))
     // Global top-(k+1): Spark plans Limit(Sort) as TakeOrderedAndProject —

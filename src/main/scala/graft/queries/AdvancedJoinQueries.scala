@@ -220,9 +220,11 @@ object AdvancedJoinQueries {
 
   val sql: Map[String, String] = Map(
     /* q121: the three feeds replayed inline; consensus via the same
-     * (count DESC, max-clock DESC, value) election window; recency via
-     * arg_max with a null-guarded ordering key (≡ Spark max_by — both
-     * skip null-keyed rows, verified). */
+     * (count DESC, max-clock DESC, value) election window; recency via a
+     * null-filtered (clock DESC, value DESC) row_number window — the
+     * lexicographic max of the (clock, value) struct Spark's max_by
+     * maximizes, so both engines skip null values and break clock ties
+     * on the value. */
     "q121_golden_record" ->
       """WITH m AS (
         |  SELECT c_custkey, 1 AS clock, c_mktsegment, c_nationkey
@@ -244,14 +246,17 @@ object AdvancedJoinQueries {
         |          row_number() OVER (PARTITION BY c_custkey
         |            ORDER BY cnt DESC, mc DESC, v ASC) AS rk FROM bv),
         | rec AS (SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_mentions,
-        |          CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_values,
-        |          arg_max(c_nationkey,
-        |            CASE WHEN c_nationkey IS NOT NULL THEN clock END)
-        |            AS golden_c_nationkey
-        |         FROM m GROUP BY 1)
+        |          CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_values
+        |         FROM m GROUP BY 1),
+        | lat AS (SELECT c_custkey, c_nationkey AS golden_c_nationkey,
+        |          row_number() OVER (PARTITION BY c_custkey
+        |            ORDER BY clock DESC, c_nationkey DESC) AS rk
+        |         FROM m WHERE c_nationkey IS NOT NULL)
         |SELECT r.c_custkey, r.n_mentions, r.n_values,
-        |  r.golden_c_nationkey, e.golden_c_mktsegment
-        |FROM rec r LEFT JOIN el e ON e.c_custkey = r.c_custkey AND e.rk = 1
+        |  l.golden_c_nationkey, e.golden_c_mktsegment
+        |FROM rec r
+        |LEFT JOIN lat l ON l.c_custkey = r.c_custkey AND l.rk = 1
+        |LEFT JOIN el e ON e.c_custkey = r.c_custkey AND e.rk = 1
         |ORDER BY r.c_custkey""".stripMargin,
     "q97_fuzzy_pairs" ->
       """WITH v AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -177,7 +177,7 @@ object TextQueries {
        |   ORDER BY cnt DESC, word ASC LIMIT $maxTypes),
        | s0 AS MATERIALIZED (SELECT word, cnt, CAST(pos AS BIGINT) AS pos,
        |     CASE WHEN pos <= len(word) THEN substring(word, pos, 1)
-       |          ELSE '_' END AS sym
+       |          ELSE ' ' END AS sym
        |   FROM (SELECT word, cnt, unnest(range(1, len(word) + 2)) AS pos
        |         FROM types) v),
        |$roundCtes

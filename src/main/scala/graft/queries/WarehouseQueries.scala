@@ -202,8 +202,9 @@ object WarehouseQueries {
   /** q123 — small-file compaction plan ([[Layout.compactionPlan]]): order
     * ingestion is simulated as one file per order date (bytes = rows × a
     * fixed 128 B row proxy — metadata-level, no data read), partitioned by
-    * month, and the planner packs each month's files next-fit into 64 KiB
-    * output bins in date order. Output per (month, bin): file count, byte
+    * month, and the planner packs each month's files into 64 KiB-target
+    * quotient bins in date order (boundary-crossing files overfill their
+    * bin rather than split — see [[Layout.compactionPlan]]). Output per (month, bin): file count, byte
     * total, fill basis points — the Delta/Iceberg OPTIMIZE planning
     * artifact; at sf0.1 months genuinely split into multiple bins. */
   def q123CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
@@ -249,7 +250,7 @@ object WarehouseQueries {
       s"(((d_days >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
 
   val sql: Map[String, String] = Map(
-    /* q123: same next-fit arithmetic — the bin is the integer quotient of
+    /* q123: same quotient-binning arithmetic — the bin is the integer quotient of
      * the ROWS-framed running size BEFORE each file. */
     "q123_compaction_plan" ->
       """WITH f AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,

@@ -17,28 +17,28 @@ class BpeSpec extends AnyFunSuite {
         r.getString(3), r.getLong(4)))
 
   test("greedy non-overlapping application: 'aaaa' fuses pairwise, then exhausts") {
-    // word 'aaaa' ×3 docs → symbols [a,a,a,a,_]:
+    // word 'aaaa' ×3 docs → symbols [a,a,a,a,' ']:
     //   r1: (a,a) counted WITH overlaps (3 per word ×3 = 9); greedy
-    //       application keeps candidates 1,3 → [aa,aa,_]
-    //   r2: (aa,aa)=3 ties (aa,_)=3 → b-tie-break picks '_' (0x5f < 'a')
-    //   r3: (aa,aa_)=3 → [aaaa_]; r4 has no pairs → learning stops early
+    //       application keeps candidates 1,3 → [aa,aa,' ']
+    //   r2: (aa,aa)=3 ties (aa,' ')=3 → b-tie-break picks ' ' (0x20 < 'a')
+    //   r3: (aa,'aa ')=3 → ['aaaa ']; r4 has no pairs → learning stops early
     val out = merges(Seq("aaaa", "aaaa", "aaaa"))
     assert(out.toSeq == Seq(
       (1L, "a", "a", "aa", 9L),
-      (2L, "aa", "_", "aa_", 3L),
-      (3L, "aa", "aa_", "aaaa_", 3L)))
+      (2L, "aa", " ", "aa ", 3L),
+      (3L, "aa", "aa ", "aaaa ", 3L)))
   }
 
   test("highest weighted pair wins across words; marker merges learn whole words") {
-    // 'to' ×5, 'ton' ×2: r1 pairs — (t,o)=7, (o,_)=5, (o,n)=2, (n,_)=2
+    // 'to' ×5, 'ton' ×2: r1 pairs — (t,o)=7, (o,' ')=5, (o,n)=2, (n,' ')=2
     val out = merges(Seq.fill(5)("to").mkString(" ") :: List("ton ton"))
     assert(out.head == (1L, "t", "o", "to", 7L))
-    // r2: (to,_)=5 beats (to,n)=2 → 'to_' — the end-of-word unit
-    assert(out(1) == (2L, "to", "_", "to_", 5L))
-    // r3: only 'ton' = [to,n,_] remains: (to,n)=2 TIES (n,_)=2 and the
+    // r2: (to,' ')=5 beats (to,n)=2 → 'to ' — the end-of-word unit
+    assert(out(1) == (2L, "to", " ", "to ", 5L))
+    // r3: only 'ton' = [to,n,' '] remains: (to,n)=2 TIES (n,' ')=2 and the
     // a-tie-break picks 'n' < 'to'; r4 then fuses the whole word
-    assert(out(2) == (3L, "n", "_", "n_", 2L))
-    assert(out(3) == (4L, "to", "n_", "ton_", 2L))
+    assert(out(2) == (3L, "n", " ", "n ", 2L))
+    assert(out(3) == (4L, "to", "n ", "ton ", 2L))
   }
 
   test("deterministic and invariant under repartitioning") {
@@ -58,5 +58,16 @@ class BpeSpec extends AnyFunSuite {
     val out = Bpe.learnMerges(docs.toDF("text"), "text", 3, maxTypes = 1)
       .collect().map(_.getString(3))
     assert(out.forall(m => !m.contains("q")))
+  }
+
+  test("non-BMP input splits on code points, not UTF-16 code units") {
+    // '😀' is a surrogate pair (2 UTF-16 units, 1 code point): the word
+    // '😀a' must yield symbols [😀, a, ' '] — a code-UNIT split would
+    // produce lone surrogates that no other engine's character indexing
+    // reproduces. r1 pairs: (😀,a)=3, (a,' ')=3 — tie on count, and the
+    // CODE-POINT a-tie-break picks 'a' (0x61) < '😀' (U+1F600).
+    val out = merges(Seq("😀a", "😀a", "😀a"), rounds = 2)
+    assert(out.head == (1L, "a", " ", "a ", 3L))
+    assert(out(1) == (2L, "\ud83d\ude00", "a ", "\ud83d\ude00a ", 3L))
   }
 }

@@ -670,8 +670,13 @@ class ExtSpec extends AnyFunSuite {
       (3L, 1L, Option("X"), Option(1)), (3L, 2L, Option("Y"), Option(2)),
       // frequency AND clock tie → value order: A < B (nation keeps the
       // sole non-null delivery — no ordering-key tie)
-      (4L, 1L, Option("B"), Option(7)), (4L, 1L, Option("A"), Option.empty[Int])
-    ).toDF("k", "clock", "seg", "nat")
+      (4L, 1L, Option("B"), Option(7)), (4L, 1L, Option("A"), Option.empty[Int]),
+      // recency CLOCK tie with different non-null values → the (clock,
+      // value) struct key breaks it on the value (9 > 3), independent of
+      // partition/row order — the determinism-under-repartitioning
+      // contract for the recency rule
+      (5L, 1L, Option("C"), Option(9)), (5L, 1L, Option("C"), Option(3))
+    ).toDF("k", "clock", "seg", "nat").repartition(7)
     val got = graft.ext.Linkage.goldenRecord(mentions, "k", "clock", "seg", "nat")
       .collect().map(r => r.getLong(0) ->
         (r.getAs[Long]("n_mentions"), r.getAs[Long]("n_values"),
@@ -681,6 +686,7 @@ class ExtSpec extends AnyFunSuite {
     assert(got(2L) == ((2L, 0L, Some(5), None)))
     assert(got(3L) == ((2L, 2L, Some(2), Some("Y"))))
     assert(got(4L) == ((2L, 2L, Some(7), Some("A"))))
+    assert(got(5L) == ((2L, 1L, Some(9), Some("C"))))
   }
 
   test("winnow kernel ≡ the two-window DataFrame formulation (the SQL the oracle replays)") {
