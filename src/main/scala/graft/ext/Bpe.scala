@@ -140,4 +140,15 @@ object Bpe {
     }
     merges.result().toDF()
   }
+
+  /** Tokenizer ENCODE — apply a learned merge table to a corpus: the pass
+    * every training pipeline runs after vocabulary training. Per document,
+    * one map-side fused-kernel call ([[graft.functions.BpeEncode]] — zero
+    * shuffles, merge table rides into codegen as a bounded constant);
+    * semantics are exactly the learner's application rule, so
+    * `encodeTokens(text, learned)` reproduces the trainer's final symbol
+    * streams. Returns the document token stream as array&lt;string&gt;. */
+  def encodeTokens(text: org.apache.spark.sql.Column,
+                   merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    graft.functions.BpeEncode.bpeEncode(text, merges)
 }

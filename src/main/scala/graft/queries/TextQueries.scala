@@ -120,8 +120,39 @@ object TextQueries {
         rounds = 8, maxTypes = 50)
       .transform(tinySort(_, col("round")))
 
+  /** q124 — BPE corpus encoding ([[graft.ext.Bpe.encodeTokens]] applying
+    * [[graft.ext.Bpe.learnMerges]]'s table): learn the q119 vocabulary (8
+    * rounds, top-50 types), then tokenize EVERY document with it — the
+    * learn→apply pair that completes the tokenizer story (train the
+    * vocabulary once, encode the corpus with it). The encode is one
+    * map-side fused-kernel call per document (zero shuffles; the merge
+    * table is a bounded codegen constant, the same data-derived-literal
+    * tier as the IVF centroids). Output per doc: pre-merge symbol count
+    * (code points + one sentinel per word — n_symbols − n_tokens = merges
+    * applied), token count, and an md5 fingerprint of the exact token
+    * stream (chr(1)-joined — a delimiter no token can contain), which
+    * pins the full tokenization, not just its length. */
+  def q124BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val merges = graft.ext.Bpe.learnMerges(docs, "text", rounds = 8,
+        maxTypes = 50)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    docs
+      .select(col("doc_id"), col("text"),
+        graft.ext.Bpe.encodeTokens(col("text"), merges).as("_toks"))
+      .select(col("doc_id"),
+        (length(regexp_replace(col("text"), " ", "")) +
+          size(filter(split(col("text"), " "), w => w =!= "")))
+          .cast("long").as("n_symbols"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        md5(array_join(col("_toks"), "\u0001").cast("binary")).as("token_fp"))
+      .transform(tinySort(_, col("doc_id")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_bpe_vocab" -> (q119BpeVocab _),
+    "q124_bpe_encode" -> (q124BpeEncode _),
     "q78_token_vocab" -> (q78TokenVocab _),
     "q81_unigram_lm" -> (q81UnigramLm _),
     "q27_text_quality" -> (q27TextQuality _),
@@ -164,13 +195,12 @@ object TextQueries {
        |   WHERE kp.pos IS NULL)"""
   }
 
-  private def bpeSql(rounds: Int, maxTypes: Int): String = {
+  /** The learning CTE chain shared by q119 (reads the merges m1..mR) and
+    * q124 (applies them to the corpus): word counts → capped type table →
+    * symbol table s0 → R pair-count/select/apply rounds. */
+  private def bpeLearnCtes(rounds: Int, maxTypes: Int): String = {
     val roundCtes = (1 to rounds).map(bpeRoundSql).mkString(",\n")
-    val unions = (1 to rounds).map(r =>
-      s"""  SELECT CAST($r AS BIGINT) AS round, a AS lsym, b AS rsym,
-         |    a || b AS merged, CAST(t AS BIGINT) AS pair_count FROM m$r"""
-        .stripMargin).mkString("\n  UNION ALL\n")
-    s"""WITH words0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    s"""words0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
        |  WHERE word <> '' GROUP BY word),
        | types AS MATERIALIZED (SELECT word, cnt FROM words0
@@ -180,14 +210,83 @@ object TextQueries {
        |          ELSE ' ' END AS sym
        |   FROM (SELECT word, cnt, unnest(range(1, len(word) + 2)) AS pos
        |         FROM types) v),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private def bpeSql(rounds: Int, maxTypes: Int): String = {
+    val unions = (1 to rounds).map(r =>
+      s"""  SELECT CAST($r AS BIGINT) AS round, a AS lsym, b AS rsym,
+         |    a || b AS merged, CAST(t AS BIGINT) AS pair_count FROM m$r"""
+        .stripMargin).mkString("\n  UNION ALL\n")
+    s"""WITH ${bpeLearnCtes(rounds, maxTypes)}
        |SELECT * FROM (
        |$unions
        |) ORDER BY round""".stripMargin
   }
 
+  /** One ENCODE round r over the uncapped corpus type table: mark pairs
+    * matching the LEARNED merge m$r, keep alternating island positions
+    * (greedy non-overlapping), rebuild — [[bpeRoundSql]]'s c/k/s triple
+    * without the pair-count/selection step (merges come from learning). */
+  private def bpeApplyRoundSql(r: Int): String = {
+    val x = s"a${r - 1}"
+    s""" ca$r AS MATERIALIZED (SELECT s1.word, s1.pos FROM $x s1
+       |   JOIN $x s2 ON s1.word = s2.word AND s2.pos = s1.pos + 1
+       |   CROSS JOIN m$r WHERE s1.sym = m$r.a AND s2.sym = m$r.b),
+       | ka$r AS MATERIALIZED (SELECT word, pos FROM (
+       |     SELECT word, pos, MIN(pos) OVER (PARTITION BY word, isl) AS isl0
+       |     FROM (SELECT word, pos,
+       |         pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS isl
+       |       FROM ca$r) ci) ck
+       |   WHERE (pos - isl0) % 2 = 0),
+       | a$r AS MATERIALIZED (SELECT s.word,
+       |     row_number() OVER (PARTITION BY s.word ORDER BY s.pos) AS pos,
+       |     CASE WHEN kk.pos IS NOT NULL THEN m$r.a || m$r.b ELSE s.sym END AS sym
+       |   FROM $x s
+       |   CROSS JOIN m$r
+       |   LEFT JOIN ka$r kk ON s.word = kk.word AND s.pos = kk.pos
+       |   LEFT JOIN ka$r kp ON s.word = kp.word AND s.pos = kp.pos + 1
+       |   WHERE kp.pos IS NULL)"""
+  }
+
+  /** q124 replay: learn m1..mR (the q119 CTEs), then encode — per DISTINCT
+    * corpus word (encode is word-local, so per-type work + a join back ≡
+    * the kernel's per-document pass), R apply rounds, then per-doc token
+    * count and chr(1)-joined stream fingerprint in (word-index, position)
+    * order — exactly the kernel's word-major token order. */
+  private def bpeApplySql(rounds: Int, maxTypes: Int): String = {
+    val applyCtes = (1 to rounds).map(bpeApplyRoundSql).mkString(",\n")
+    s"""WITH ${bpeLearnCtes(rounds, maxTypes)},
+       | wt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+       |          unnest(range(1, len(string_split(text, ' ')) + 1)) AS widx
+       |        FROM documents),
+       | wtf AS (SELECT doc_id, word, widx FROM wt WHERE word <> ''),
+       | atypes AS (SELECT DISTINCT word FROM wtf),
+       | a0 AS MATERIALIZED (SELECT word, CAST(pos AS BIGINT) AS pos,
+       |     CASE WHEN pos <= len(word) THEN substring(word, pos, 1)
+       |          ELSE ' ' END AS sym
+       |   FROM (SELECT word, unnest(range(1, len(word) + 2)) AS pos
+       |         FROM atypes) v),
+       |$applyCtes,
+       | enc AS (SELECT w.doc_id, w.widx, a.pos, a.sym
+       |         FROM wtf w JOIN a$rounds a ON a.word = w.word),
+       | agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |          md5(string_agg(sym, chr(1) ORDER BY widx, pos)) AS token_fp
+       |         FROM enc GROUP BY doc_id),
+       | met AS (SELECT d.doc_id,
+       |          CAST(len(replace(d.text, ' ', '')) AS BIGINT) + w.n_words
+       |            AS n_symbols
+       |         FROM documents d JOIN (SELECT doc_id,
+       |             CAST(COUNT(*) AS BIGINT) AS n_words
+       |           FROM wtf GROUP BY 1) w ON w.doc_id = d.doc_id)
+       |SELECT m.doc_id, m.n_symbols, g.n_tokens, g.token_fp
+       |FROM met m JOIN agg g ON g.doc_id = m.doc_id
+       |ORDER BY m.doc_id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q119_bpe_vocab" -> bpeSql(rounds = 8, maxTypes = 50),
+    "q124_bpe_encode" -> bpeApplySql(rounds = 8, maxTypes = 50),
     /* Replays the exact Spark arithmetic: p = CAST(cnt AS DOUBLE)/total and
      * the OOV floor 0.5/total are single IEEE divisions; per-doc sums fold
      * the probability list in document order (list_reduce left fold ==

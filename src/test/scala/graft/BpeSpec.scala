@@ -60,6 +60,65 @@ class BpeSpec extends AnyFunSuite {
     assert(out.forall(m => !m.contains("q")))
   }
 
+  test("encode kernel ≡ the HOF fold formulation (the greedy semantics the oracle replays)") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      "aaaa aaaa banana aaa",
+      "to ton  to",  // double space → empty word contributes nothing
+      "low lower lowest 😀a",
+      "banana band bandana aaaa to").toDF("text")
+    val merges = Bpe.learnMerges(docs, "text", 8, 50).orderBy("round")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // reference spelling: per word, code-point symbols + sentinel, then one
+    // greedy fold per merge round — after fusing, the last element is a+b
+    // (strictly longer than a), so the plain fold IS non-overlapping greedy
+    def round(syms: Column, a: String, b: String): Column =
+      aggregate(syms, array().cast("array<string>"),
+        (acc, s) => when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+    val ref = flatten(transform(
+      filter(split(col("text"), " "), w => w =!= ""),
+      w => {
+        val syms0 = concat(
+          transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))),
+          array(lit(" ")))
+        merges.foldLeft(syms0) { case (s, (a, b)) => round(s, a, b) }
+      }))
+    val got = docs.select(Bpe.encodeTokens(col("text"), merges).as("t"),
+        ref.as("r")).collect()
+    got.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("encode is reversible: concatenated tokens reproduce the words + sentinels") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq("aaaa  banana to", "lowest band 😀a").toDF("text")
+    val merges = Bpe.learnMerges(docs, "text", 6, 50).orderBy("round")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    docs.select(col("text"), Bpe.encodeTokens(col("text"), merges).as("t"))
+      .collect().foreach { r =>
+        val expected = r.getString(0).split(" ", -1).filter(_.nonEmpty)
+          .map(_ + " ").mkString("")
+        assert(r.getSeq[String](1).mkString("") == expected)
+      }
+  }
+
+  test("apply ∘ learn: planted words tokenize to the trainer's final units") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq("aaaa", "aaaa", "aaaa").toDF("text")
+    val merges = Bpe.learnMerges(docs, "text", 8, 50).orderBy("round")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    def enc(s: String): Seq[String] =
+      Seq(s).toDF("text")
+        .select(Bpe.encodeTokens(col("text"), merges))
+        .collect().head.getSeq[String](0)
+    assert(enc("aaaa") == Seq("aaaa "))        // the learned whole-word unit
+    assert(enc("aa") == Seq("aa "))            // r1 then the (aa,' ') merge
+    assert(enc("aaab") == Seq("aa", "a", "b", " ")) // OOV tail stays atomic
+  }
+
   test("non-BMP input splits on code points, not UTF-16 code units") {
     // '😀' is a surrogate pair (2 UTF-16 units, 1 code point): the word
     // '😀a' must yield symbols [😀, a, ' '] — a code-UNIT split would
