@@ -94,4 +94,63 @@ object Linkage {
         .as(s"golden_$latestCol"))
     recency.join(consensus, Seq(keyCol), "left")
   }
+
+  /** Attribute-survivorship rules beyond [[goldenRecord]]'s consensus +
+    * recency pair — the remaining standard Fellegi–Sunter fusion rules a
+    * steward configures per attribute. Every rule is an argmax/argmin
+    * under a TOTAL order (the value itself is always the final tiebreak),
+    * so elections are deterministic under repartitioning, and every rule
+    * skips null values (a delivery with missing data never erases one
+    * that supplied it — the null-keyed-row contract of max_by/arg_max). */
+  sealed trait SurvivorRule
+  object SurvivorRule {
+    /** Latest non-null delivery; clock ties break on the value. */
+    case object Latest extends SurvivorRule
+    /** EARLIEST non-null delivery (first-seen-wins provenance). */
+    case object FirstNonNull extends SurvivorRule
+    /** Longest value (richest-content heuristic); length ties on value. */
+    case object Longest extends SurvivorRule
+    /** Trust-ordered sources: the first source in `order` that delivered
+      * a non-null value wins; within a source, latest clock, then value.
+      * Unlisted sources rank below every listed one. */
+    final case class SourcePriority(order: Seq[String]) extends SurvivorRule
+  }
+
+  /** Apply one survivorship rule per attribute in ONE entity-keyed
+    * aggregation (single shuffle regardless of rule count — each rule is
+    * a max_by/min_by over its total-order election key). `sourceCol` is
+    * only consulted by [[SurvivorRule.SourcePriority]] rules. Output:
+    * key, n_mentions, and one `golden_<col>` per rule. */
+  def survivorship(mentions: DataFrame, keyCol: String, clockCol: String,
+                   rules: Seq[(String, SurvivorRule)],
+                   sourceCol: String = ""): DataFrame = {
+    import SurvivorRule._
+    val aggs = rules.map { case (c, rule) =>
+      val v = col(c)
+      rule match {
+        case Latest =>
+          max_by(v, when(v.isNotNull, struct(col(clockCol), v)))
+            .as(s"golden_$c")
+        case FirstNonNull =>
+          min_by(v, when(v.isNotNull, struct(col(clockCol), v)))
+            .as(s"golden_$c")
+        case Longest =>
+          max_by(v, when(v.isNotNull, struct(length(v), v)))
+            .as(s"golden_$c")
+        case SourcePriority(order) =>
+          require(sourceCol.nonEmpty,
+            "SourcePriority rules need a sourceCol")
+          // negated rank so ONE max_by expresses (best source, latest,
+          // value) — unlisted sources get rank |order|, i.e. worst
+          val negRank = order.zipWithIndex
+            .foldLeft(lit(-order.size): Column) { case (acc, (s, i)) =>
+              when(col(sourceCol) === s, lit(-i)).otherwise(acc)
+            }
+          max_by(v, when(v.isNotNull, struct(negRank, col(clockCol), v)))
+            .as(s"golden_$c")
+      }
+    }
+    mentions.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_mentions"), aggs: _*)
+  }
 }

@@ -203,8 +203,49 @@ object AdvancedJoinQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** q125 — survivorship rule set ([[graft.ext.Linkage.survivorship]]):
+    * the remaining standard fusion rules beyond q121's consensus+recency,
+    * one entity-keyed aggregation for all three. Feeds: crm (clock 1,
+    * phones missing on even keys), web (clock 2, phones always, aliases
+    * extended on %4), mdm (clock 3, even keys only, gaps on %3/%5/%7).
+    * Rules: phone FIRST-NON-NULL (earliest delivery that supplied one),
+    * alias LONGEST (richest content — web's extended alias wins where
+    * present), nation SOURCE-PRIORITY mdm &gt; crm &gt; web (trust order;
+    * mdm's restatement wins wherever it delivered). Every election key
+    * ends on the value, so the result is partition-order independent. */
+  def q125SurvivorshipRules(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Linkage.SurvivorRule._
+    val cust = load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val key = col("c_custkey")
+    val crm = cust.select(key, lit("crm").as("src"), lit(1L).as("clock"),
+      when(key % 2 === 0, lit(null))
+        .otherwise(concat(lit("P1-"), key.cast("string"))).as("phone"),
+      col("c_name").as("alias"),
+      col("c_nationkey").as("nation"))
+    val web = cust.select(key, lit("web").as("src"), lit(2L).as("clock"),
+      concat(lit("P2-"), key.cast("string")).as("phone"),
+      when(key % 4 === 0, concat(col("c_name"), lit("_ext")))
+        .otherwise(col("c_name")).as("alias"),
+      (col("c_nationkey") + 1).as("nation"))
+    val mdm = cust.filter(key % 2 === 0)
+      .select(key, lit("mdm").as("src"), lit(3L).as("clock"),
+        when(key % 3 === 0, lit(null))
+          .otherwise(concat(lit("P3-"), key.cast("string"))).as("phone"),
+        when(key % 5 === 0, lit(null)).otherwise(col("c_name")).as("alias"),
+        when(key % 7 === 0, lit(null))
+          .otherwise(col("c_nationkey") + 2).as("nation"))
+    graft.ext.Linkage.survivorship(
+        crm.unionByName(web).unionByName(mdm), "c_custkey", "clock",
+        Seq("phone" -> FirstNonNull, "alias" -> Longest,
+          "nation" -> SourcePriority(Seq("mdm", "crm", "web"))),
+        sourceCol = "src")
+      .orderBy(col("c_custkey"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_golden_record" -> (q121GoldenRecord _),
+    "q125_survivorship_rules" -> (q125SurvivorshipRules _),
     "q97_fuzzy_pairs" -> (q97FuzzyPairs _),
     "q41_sessionize" -> (q41Sessionize _),
     "q65_moving_stats" -> (q65MovingStats _),
@@ -258,6 +299,54 @@ object AdvancedJoinQueries {
         |LEFT JOIN lat l ON l.c_custkey = r.c_custkey AND l.rk = 1
         |LEFT JOIN el e ON e.c_custkey = r.c_custkey AND e.rk = 1
         |ORDER BY r.c_custkey""".stripMargin,
+    /* q125: feeds replayed inline; one null-filtered election window per
+     * rule — (clock ASC, value ASC) ≡ min_by first-non-null, (len DESC,
+     * value DESC) ≡ max_by longest, (source-rank ASC, clock DESC, value
+     * DESC) ≡ max_by source-priority — all total orders. */
+    "q125_survivorship_rules" ->
+      """WITH m AS (
+        |  SELECT c_custkey, 'crm' AS src, 1 AS clock,
+        |    CASE WHEN c_custkey % 2 = 0 THEN NULL
+        |         ELSE 'P1-' || CAST(c_custkey AS VARCHAR) END AS phone,
+        |    c_name AS alias, c_nationkey AS nation
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'web', 2,
+        |    'P2-' || CAST(c_custkey AS VARCHAR),
+        |    CASE WHEN c_custkey % 4 = 0 THEN c_name || '_ext'
+        |         ELSE c_name END,
+        |    c_nationkey + 1
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'mdm', 3,
+        |    CASE WHEN c_custkey % 3 = 0 THEN NULL
+        |         ELSE 'P3-' || CAST(c_custkey AS VARCHAR) END,
+        |    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_name END,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey + 2 END
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        | ph AS (SELECT c_custkey, phone AS golden_phone,
+        |         row_number() OVER (PARTITION BY c_custkey
+        |           ORDER BY clock ASC, phone ASC) AS rk
+        |        FROM m WHERE phone IS NOT NULL),
+        | al AS (SELECT c_custkey, alias AS golden_alias,
+        |         row_number() OVER (PARTITION BY c_custkey
+        |           ORDER BY len(alias) DESC, alias DESC) AS rk
+        |        FROM m WHERE alias IS NOT NULL),
+        | na AS (SELECT c_custkey, nation AS golden_nation,
+        |         row_number() OVER (PARTITION BY c_custkey ORDER BY
+        |           CASE src WHEN 'mdm' THEN 0 WHEN 'crm' THEN 1
+        |                    WHEN 'web' THEN 2 ELSE 3 END ASC,
+        |           clock DESC, nation DESC) AS rk
+        |        FROM m WHERE nation IS NOT NULL),
+        | base AS (SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_mentions
+        |          FROM m GROUP BY 1)
+        |SELECT b.c_custkey, b.n_mentions, p.golden_phone,
+        |  a.golden_alias, n.golden_nation
+        |FROM base b
+        |LEFT JOIN ph p ON p.c_custkey = b.c_custkey AND p.rk = 1
+        |LEFT JOIN al a ON a.c_custkey = b.c_custkey AND a.rk = 1
+        |LEFT JOIN na n ON n.c_custkey = b.c_custkey AND n.rk = 1
+        |ORDER BY b.c_custkey""".stripMargin,
     "q97_fuzzy_pairs" ->
       """WITH v AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |            MIN(p_partkey) AS min_id

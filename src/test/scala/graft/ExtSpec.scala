@@ -689,6 +689,34 @@ class ExtSpec extends AnyFunSuite {
     assert(got(5L) == ((2L, 1L, Some(9), Some("C"))))
   }
 
+  test("survivorship: first-non-null, longest, source-priority elections") {
+    import spark.implicits._
+    import graft.ext.Linkage.SurvivorRule._
+    val mentions = Seq(
+      // k=1: phone first-non-null skips clock-1 null → clock 2 wins;
+      // alias longest picks 'ABCD' over later 'XY'; nation priority:
+      // 'gold' (rank 0) beats 'silver' despite older clock
+      (1L, "silver", 1L, Option.empty[String], Option("XY"), Option(10)),
+      (1L, "bronze", 2L, Option("p-b"), Option("ABCD"), Option(11)),
+      (1L, "gold", 3L, Option("p-g"), Option.empty[String], Option(12)),
+      // k=2: phone clock tie at 1 → value ASC picks 'a-1'; alias length
+      // tie (2=2) → value DESC picks 'ZZ'; nation: no listed source
+      // delivered non-null → both unlisted rank equally, clock 9 wins
+      (2L, "oddsrc", 9L, Option("b-2"), Option("ZZ"), Option(7)),
+      (2L, "other", 1L, Option("a-1"), Option("AA"), Option(5))
+    ).toDF("k", "src", "clock", "phone", "alias", "nation").repartition(5)
+    val got = graft.ext.Linkage.survivorship(mentions, "k", "clock",
+        Seq("phone" -> FirstNonNull, "alias" -> Longest,
+          "nation" -> SourcePriority(Seq("gold", "silver"))),
+        sourceCol = "src")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_mentions"), r.getAs[String]("golden_phone"),
+          r.getAs[String]("golden_alias"), r.getAs[Int]("golden_nation")))
+      .toMap
+    assert(got(1L) == ((3L, "p-b", "ABCD", 12)))
+    assert(got(2L) == ((2L, "a-1", "ZZ", 7)))
+  }
+
   test("winnow kernel ≡ the two-window DataFrame formulation (the SQL the oracle replays)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
