@@ -398,14 +398,22 @@ object Sketch {
     *
     * Input: one row per pair with sketch columns `_ska`, `_skb`
     * (ascending bottom-k hash arrays, the [[KmvAggregator]] invariant).
-    * Adds: union_k, shared_k, est_union, est_intersection,
-    * est_jaccard_bp. */
+    * Adds: union_k, shared_k, a_k, b_k, est_union, est_intersection,
+    * est_jaccard_bp, and the remaining set-algebra estimators from the
+    * SAME coordinated sample — est_only_a/est_only_b (difference
+    * cardinalities |A∖B|, |B∖A|: the A-only sample fraction scaled by the
+    * union estimate) and cont_a_in_b_bp/cont_b_in_a_bp (containment
+    * |A∩B|/|A| in basis points: the fraction of A's union-sample members
+    * also in B — the asymmetric overlap a dedup planner reads as "how
+    * much of shard A is already inside B"). */
   def kmvOverlapEstimates(df: DataFrame, k: Int): DataFrame =
     df.withColumn("_m", expr(s"slice(array_sort(array_distinct(concat(_ska, _skb))), 1, $k)"))
       .withColumn("union_k", size(col("_m")).cast("bigint"))
       .withColumn("shared_k",
         size(array_intersect(array_intersect(col("_m"), col("_ska")), col("_skb")))
           .cast("bigint"))
+      .withColumn("a_k", size(array_intersect(col("_m"), col("_ska"))).cast("bigint"))
+      .withColumn("b_k", size(array_intersect(col("_m"), col("_skb"))).cast("bigint"))
       .withColumn("est_union",
         when(col("union_k") < k, col("union_k"))
           .otherwise(expr(
@@ -418,6 +426,22 @@ object Sketch {
           " div CAST(union_k AS DECIMAL(38,0))")).otherwise(lit(0L)))
       .withColumn("est_jaccard_bp",
         when(col("union_k") > 0, expr("(10000 * shared_k) div union_k"))
+          .otherwise(lit(0L)))
+      // difference: the union-sample members in exactly one sketch, scaled
+      // by the union estimate — same exact-integer arithmetic as above
+      .withColumn("est_only_a", when(col("union_k") > 0, expr(
+        "CAST(a_k - shared_k AS DECIMAL(38,0)) * CAST(est_union AS DECIMAL(38,0))" +
+          " div CAST(union_k AS DECIMAL(38,0))")).otherwise(lit(0L)))
+      .withColumn("est_only_b", when(col("union_k") > 0, expr(
+        "CAST(b_k - shared_k AS DECIMAL(38,0)) * CAST(est_union AS DECIMAL(38,0))" +
+          " div CAST(union_k AS DECIMAL(38,0))")).otherwise(lit(0L)))
+      // containment |A∩B|/|A|: A's union-sample members that are also in B
+      // (a_k = 0 only when sketch A is empty — guard for ANSI div anyway)
+      .withColumn("cont_a_in_b_bp",
+        when(col("a_k") > 0, expr("(10000 * shared_k) div a_k"))
+          .otherwise(lit(0L)))
+      .withColumn("cont_b_in_a_bp",
+        when(col("b_k") > 0, expr("(10000 * shared_k) div b_k"))
           .otherwise(lit(0L)))
       .drop("_m")
 

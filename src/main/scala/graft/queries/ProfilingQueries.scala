@@ -191,8 +191,60 @@ object ProfilingQueries {
       .transform(tinySort(_, col("day_a")))
   }
 
+  /** q126 — KMV sketch difference & containment
+    * ([[graft.ext.Sketch.kmvOverlapEstimates]]' completion of the set
+    * algebra): per-priority bottom-64 sketches of o_custkey, ALL priority
+    * pairs (groups² — 10 rows, bounded by contract, so the broadcast
+    * nested-loop pair join is the right plan at any corpus size: the
+    * frame being squared is the GROUP table, never the data), and from
+    * each pair's coordinated union sample: difference cardinalities
+    * |A∖B| / |B∖A| and asymmetric containments |A∩B|/|A| — the numbers a
+    * dedup planner reads as "how much of shard A is already inside B",
+    * answered from O(k) state instead of a distinct join. Exact
+    * comparison columns ride along at test scale (the distinct self
+    * equi-join the sketch path replaces). */
+  def q126SketchDiff(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val agg = udaf(new graft.ext.KmvAggregator(k))
+    val ords = load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("prio"), col("o_custkey"))
+    val sk = ords.select(col("prio"), Sketch.kmvHash(col("o_custkey")).as("_h"))
+      .groupBy(col("prio")).agg(agg(col("_h")).as("_sk"))
+      .localCheckpoint() // feeds both sides of the pair join — build once
+    val pairs = sk.select(col("prio").as("prio_a"), col("_sk").as("_ska"))
+      .join(broadcast(sk.select(col("prio").as("prio_b"), col("_sk").as("_skb"))),
+        col("prio_a") < col("prio_b"))
+    val est = Sketch.kmvOverlapEstimates(pairs, k)
+    // exact side: distinct (prio, custkey) frame — THREE consumers
+    // (per-prio sizes + both legs of the intersection equi-join)
+    val du = ords.distinct().localCheckpoint()
+    val np = du.groupBy(col("prio")).agg(count(lit(1)).as("_n"))
+    val xi = du.select(col("prio").as("prio_a"), col("o_custkey"))
+      .join(du.select(col("prio").as("prio_b"), col("o_custkey").as("_cb")),
+        col("o_custkey") === col("_cb") && col("prio_a") < col("prio_b"))
+      .groupBy(col("prio_a"), col("prio_b"))
+      .agg(count(lit(1)).as("_inter"))
+    est
+      .join(broadcast(xi), Seq("prio_a", "prio_b"), "left")
+      .withColumn("_inter", coalesce(col("_inter"), lit(0L)))
+      .join(broadcast(np.select(col("prio").as("prio_a"), col("_n").as("_na"))),
+        Seq("prio_a"))
+      .join(broadcast(np.select(col("prio").as("prio_b"), col("_n").as("_nb"))),
+        Seq("prio_b"))
+      .select(col("prio_a"), col("prio_b"),
+        col("a_k"), col("b_k"), col("shared_k"),
+        col("est_only_a"), col("est_only_b"),
+        col("cont_a_in_b_bp"), col("cont_b_in_a_bp"),
+        (col("_na") - col("_inter")).as("exact_only_a"),
+        (col("_nb") - col("_inter")).as("exact_only_b"),
+        expr("(10000 * _inter) div _na").as("exact_cont_a_bp"),
+        expr("(10000 * _inter) div _nb").as("exact_cont_b_bp"))
+      .transform(tinySort(_, col("prio_a"), col("prio_b")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_sketch_overlap" -> (q114SketchOverlap _),
+    "q126_sketch_diff" -> (q126SketchDiff _),
     "q71_column_profile" -> (q71ColumnProfile _),
     "q72_dq_checks" -> (q72DqChecks _),
     "q73_length_trim" -> (q73LengthTrim _),
@@ -404,6 +456,62 @@ object ProfilingQueries {
      * union, shared = union-sample members present in BOTH sketches;
      * estimators in HUGEINT ≡ Spark DECIMAL(38,0) div. The exact side is
      * the distinct self-join the sketch path replaces. */
+    /* q126: same sketch-replay machinery as q114 (bottom-64 per group,
+     * coordinated union sample) on priority pairs; difference and
+     * containment estimators in HUGEINT ≡ Spark DECIMAL(38,0) div. */
+    "q126_sketch_diff" ->
+      s"""WITH hx AS (SELECT DISTINCT o_orderpriority AS prio,
+        |          ${hex60("'kmv:' || CAST(o_custkey AS VARCHAR)")} AS hv
+        |        FROM orders),
+        | r AS (SELECT prio, hv,
+        |         row_number() OVER (PARTITION BY prio ORDER BY hv) AS rn FROM hx),
+        | sk AS (SELECT prio, hv FROM r WHERE rn <= 64),
+        | ps AS (SELECT DISTINCT o_orderpriority AS prio FROM orders),
+        | prs AS (SELECT a.prio AS prio_a, b.prio AS prio_b
+        |         FROM ps a JOIN ps b ON a.prio < b.prio),
+        | pu AS (SELECT p.prio_a, p.prio_b, s.hv
+        |        FROM prs p JOIN sk s ON s.prio = p.prio_a
+        |        UNION
+        |        SELECT p.prio_a, p.prio_b, s.hv
+        |        FROM prs p JOIN sk s ON s.prio = p.prio_b),
+        | m AS (SELECT prio_a, prio_b, hv,
+        |         row_number() OVER (PARTITION BY prio_a, prio_b ORDER BY hv) AS rn
+        |       FROM pu),
+        | mk AS (SELECT prio_a, prio_b, hv FROM m WHERE rn <= 64),
+        | sh AS (SELECT mk.prio_a, mk.prio_b, mk.hv,
+        |          CASE WHEN sa.hv IS NOT NULL THEN 1 ELSE 0 END AS ina,
+        |          CASE WHEN sb.hv IS NOT NULL THEN 1 ELSE 0 END AS inb
+        |        FROM mk LEFT JOIN sk sa ON sa.prio = mk.prio_a AND sa.hv = mk.hv
+        |                LEFT JOIN sk sb ON sb.prio = mk.prio_b AND sb.hv = mk.hv),
+        | ag AS (SELECT prio_a, prio_b, COUNT(*) AS km, MAX(hv) AS hk,
+        |          SUM(ina) AS ak, SUM(inb) AS bk, SUM(ina * inb) AS shared
+        |        FROM sh GROUP BY prio_a, prio_b),
+        | eu AS (SELECT *, CASE WHEN km < 64 THEN km
+        |          ELSE (CAST(63 AS HUGEINT) * CAST(${Sketch.HashSpace} AS HUGEINT))
+        |               // CAST(hk AS HUGEINT) END AS est_union
+        |        FROM ag),
+        | du AS (SELECT DISTINCT o_orderpriority AS prio, o_custkey FROM orders),
+        | np AS (SELECT prio, COUNT(*) AS n FROM du GROUP BY prio),
+        | xi AS (SELECT a.prio AS prio_a, b.prio AS prio_b, COUNT(*) AS inter
+        |        FROM du a JOIN du b
+        |          ON b.o_custkey = a.o_custkey AND a.prio < b.prio
+        |        GROUP BY 1, 2)
+        |SELECT e.prio_a, e.prio_b,
+        |  CAST(e.ak AS BIGINT) AS a_k, CAST(e.bk AS BIGINT) AS b_k,
+        |  CAST(e.shared AS BIGINT) AS shared_k,
+        |  CAST((CAST(e.ak - e.shared AS HUGEINT) * CAST(e.est_union AS HUGEINT))
+        |       // CAST(e.km AS HUGEINT) AS BIGINT) AS est_only_a,
+        |  CAST((CAST(e.bk - e.shared AS HUGEINT) * CAST(e.est_union AS HUGEINT))
+        |       // CAST(e.km AS HUGEINT) AS BIGINT) AS est_only_b,
+        |  CAST((10000 * e.shared) // e.ak AS BIGINT) AS cont_a_in_b_bp,
+        |  CAST((10000 * e.shared) // e.bk AS BIGINT) AS cont_b_in_a_bp,
+        |  CAST(na.n - COALESCE(x.inter, 0) AS BIGINT) AS exact_only_a,
+        |  CAST(nb.n - COALESCE(x.inter, 0) AS BIGINT) AS exact_only_b,
+        |  CAST((10000 * COALESCE(x.inter, 0)) // na.n AS BIGINT) AS exact_cont_a_bp,
+        |  CAST((10000 * COALESCE(x.inter, 0)) // nb.n AS BIGINT) AS exact_cont_b_bp
+        |FROM eu e LEFT JOIN xi x USING (prio_a, prio_b)
+        |  JOIN np na ON na.prio = e.prio_a JOIN np nb ON nb.prio = e.prio_b
+        |ORDER BY prio_a, prio_b""".stripMargin,
     "q114_sketch_overlap" ->
       s"""WITH ev AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id
         |            FROM events),

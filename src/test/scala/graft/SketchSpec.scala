@@ -154,6 +154,42 @@ class SketchSpec extends AnyFunSuite {
     assert(ei >= 585L && ei <= 4210L, s"est_intersection $ei outside bounds of 2000")
   }
 
+  test("KMV set algebra: sub-k sketches give EXACT difference and containment") {
+    // A = 1..20, B = 11..50: the UNION (50 values) is below k=64, so the
+    // union sample is the full union and every estimator is exact:
+    // |A∖B| = 10, |B∖A| = 30, |A∩B|/|A| = 50%, |A∩B|/|B| = 25%
+    val pairs = overlapSketch((1L to 20L)).select(col("_sk").as("_ska"))
+      .crossJoin(overlapSketch((11L to 50L)).select(col("_sk").as("_skb")))
+    val r = Sketch.kmvOverlapEstimates(pairs, 64).collect().head
+    assert(r.getAs[Long]("a_k") == 20L && r.getAs[Long]("b_k") == 40L)
+    assert(r.getAs[Long]("est_only_a") == 10L)
+    assert(r.getAs[Long]("est_only_b") == 30L)
+    assert(r.getAs[Long]("cont_a_in_b_bp") == 5000L)
+    assert(r.getAs[Long]("cont_b_in_a_bp") == 2500L)
+  }
+
+  test("KMV set algebra: difference estimates track truth within sampling error (k=64)") {
+    // A = 1..4000, B = 2001..6000: |A∖B| = |B∖A| = 2000, |A∩B|/|A| = 1/2.
+    // The difference fraction 1/3 of the union sample has 3σ ≈ 0.177 →
+    // scaled by the union estimate's own 3σ the loose bound is [390, 4700]
+    val pairs = overlapSketch((1L to 4000L)).select(col("_sk").as("_ska"))
+      .crossJoin(overlapSketch((2001L to 6000L)).select(col("_sk").as("_skb")))
+    val r = Sketch.kmvOverlapEstimates(pairs, 64).collect().head
+    val oa = r.getAs[Long]("est_only_a")
+    val ob = r.getAs[Long]("est_only_b")
+    assert(oa >= 390L && oa <= 4700L, s"est_only_a $oa outside bounds of 2000")
+    assert(ob >= 390L && ob <= 4700L, s"est_only_b $ob outside bounds of 2000")
+    // containment ≈ 5000 bp, 3σ of the sample fraction ≈ ±1880 bp
+    val ca = r.getAs[Long]("cont_a_in_b_bp")
+    assert(ca >= 3120L && ca <= 6880L, s"cont_a_in_b_bp $ca outside 3σ of 5000")
+    // partition identity on the SAME coordinated sample: A-only, B-only
+    // and shared fractions scale the same union estimate, so their sum
+    // reconstructs it up to the three independent floor divisions
+    val sum = oa + ob + r.getAs[Long]("est_intersection")
+    val eu = r.getAs[Long]("est_union")
+    assert(sum <= eu && sum >= eu - 3, s"partition identity violated: $sum vs $eu")
+  }
+
   // ---- bottom-k quantile sketch ----
 
   /** Unique row keys (the sample frame), 3 groups, values decorrelated from
