@@ -67,6 +67,26 @@ object CurationQueries {
       .transform(tinySort(_, col("source"), col("doc_id")))
   }
 
+  /** q127 — water-filling token-budget allocation
+    * ([[graft.ext.Mixture.waterFill]]): q48 spends a FIXED budget inside
+    * each source; this is the step BEFORE it — deciding each source's
+    * budget. 90% of the corpus' tokens are distributed across sources
+    * proportionally to document count, capped at each source's inventory:
+    * token-poor sources saturate, the freed budget redistributes (the
+    * closed-form prefix-cut spelling — one window pass over the
+    * domain table, no iteration, exact-integer allocations). */
+  def q127WaterFill(spark: SparkSession, dir: String): DataFrame = {
+    val domains = load(spark, dir, "documents")
+      .groupBy(col("source").as("domain"))
+      .agg(count(lit(1)).as("w"),
+        sum(size(split(col("text"), " "))).cast("long").as("cap"))
+      .localCheckpoint() // two consumers: the budget total + the allocation
+    val total = domains.agg(sum(col("cap"))).first().getLong(0)
+    graft.ext.Mixture.waterFill(domains, "domain", "w", "cap",
+        budget = 9L * total / 10L)
+      .transform(tinySort(_, col("domain")))
+  }
+
   /** Sequence packing — the concat-and-chunk batching step of a training
     * pipeline: per source, documents are concatenated in deterministic
     * md5(doc_id) order and split into fixed 512-token sequences; each doc
@@ -397,6 +417,7 @@ object CurationQueries {
     "q61_hash_split" -> (q61HashSplit _),
     "q63_lang_mix" -> (q63LangMix _),
     "q48_token_budget" -> (q48TokenBudget _),
+    "q127_water_fill" -> (q127WaterFill _),
     "q52_sequence_packing" -> (q52SequencePacking _),
     "q53_curation_pipeline" -> (q53CurationPipeline _),
     "q54_repetition_filters" -> (q54RepetitionFilters _),
@@ -563,6 +584,38 @@ object CurationQueries {
          |WHERE q.doc_id = keep.keep_id AND q.quality > 0.5 AND q.lang_pred = 'en'
          |ORDER BY q.doc_id""".stripMargin
     },
+    /* q127: same prefix-cut arithmetic — saturation order by the IEEE
+     * ratio, cut = first domain whose cap exceeds its share of the
+     * remaining budget, floored proportional shares after it (HUGEINT ≡
+     * Spark DECIMAL(38,0) div). */
+    "q127_water_fill" ->
+      """WITH d AS (SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS w,
+        |        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS cap
+        |      FROM documents GROUP BY 1),
+        | tot AS (SELECT (9 * SUM(cap)) // 10 AS b FROM d),
+        | o AS (SELECT d.*, row_number() OVER (
+        |        ORDER BY CAST(cap AS DOUBLE) / CAST(w AS DOUBLE), domain) AS i
+        |       FROM d),
+        | c AS (SELECT *,
+        |        SUM(cap) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) - cap AS pcap,
+        |        SUM(w) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) - w AS pw,
+        |        SUM(w) OVER () AS wtot FROM o),
+        | f AS (SELECT *, CASE WHEN CAST(cap AS HUGEINT) * (wtot - pw) >
+        |          CAST((SELECT b FROM tot) - pcap AS HUGEINT) * w THEN i END AS fail
+        |       FROM c),
+        | x AS (SELECT MIN(fail) AS cut FROM f),
+        | p AS (SELECT (SELECT b FROM tot) - pcap AS r, wtot - pw AS wrem
+        |       FROM f WHERE i = (SELECT cut FROM x))
+        |SELECT domain, w, cap,
+        |  CAST(CASE WHEN (SELECT cut FROM x) IS NULL
+        |              OR i < (SELECT cut FROM x) THEN cap
+        |       ELSE LEAST(cap, CAST(CAST((SELECT r FROM p) AS HUGEINT) * w
+        |                 // CAST((SELECT wrem FROM p) AS HUGEINT) AS BIGINT))
+        |       END AS BIGINT) AS alloc,
+        |  CAST(CASE WHEN (SELECT cut FROM x) IS NULL
+        |              OR i < (SELECT cut FROM x) THEN 1 ELSE 0 END AS INT)
+        |    AS saturated
+        |FROM f ORDER BY domain""".stripMargin,
     "q48_token_budget" ->
       s"""WITH t AS (
          |  SELECT doc_id, source,

@@ -689,6 +689,30 @@ class ExtSpec extends AnyFunSuite {
     assert(got(5L) == ((2L, 1L, Some(9), Some("C"))))
   }
 
+  test("waterFill: saturated prefix, floored proportional shares, no-cut case") {
+    import spark.implicits._
+    // ratios: a 10, c 50, b 100 → order a, c, b. Budget 120: a saturates
+    // (10·4 ≤ 120·1); c is the cut (100·3 > 110·2) → R = 110, Wrem = 3:
+    // c = min(100, 2·110 div 3) = 73, b = min(100, 1·110 div 3) = 36
+    val domains = Seq(("a", 1L, 10L), ("b", 1L, 100L), ("c", 2L, 100L))
+      .toDF("domain", "w", "cap").repartition(3)
+    val got = graft.ext.Mixture.waterFill(domains, "domain", "w", "cap", 120L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("alloc"), r.getAs[Int]("saturated"))).toMap
+    assert(got == Map("a" -> ((10L, 1)), "c" -> ((73L, 0)), "b" -> ((36L, 0))))
+    // allocations never exceed the budget
+    assert(got.values.map(_._1).sum <= 120L)
+    // budget ≥ Σcap → no cut, every domain saturates at its inventory
+    val all = graft.ext.Mixture.waterFill(domains, "domain", "w", "cap", 500L)
+      .collect().map(r => (r.getAs[Long]("alloc"), r.getAs[Int]("saturated")))
+    assert(all.forall(_._2 == 1) && all.map(_._1).sum == 210L)
+    // a zero-cap domain sorts first and saturates at 0 without dividing
+    val z = Seq(("z", 5L, 0L), ("y", 1L, 50L)).toDF("domain", "w", "cap")
+    val gz = graft.ext.Mixture.waterFill(z, "domain", "w", "cap", 30L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(gz == Map("z" -> 0L, "y" -> 30L))
+  }
+
   test("survivorship: first-non-null, longest, source-priority elections") {
     import spark.implicits._
     import graft.ext.Linkage.SurvivorRule._
