@@ -150,9 +150,41 @@ object TextQueries {
       .transform(tinySort(_, col("doc_id")))
   }
 
+  /** q128 — tokenizer fertility by language (Ács '19 / the standard
+    * multilingual tokenizer-eval table): encode the corpus with the
+    * learned BPE table (the q124 kernel) and aggregate per language —
+    * docs, words, tokens, FERTILITY (tokens per word, the metric that
+    * exposes vocabulary bias against under-represented languages) and
+    * COMPRESSION (pre-merge symbols per token). Ratios ship as exact
+    * integer basis points (10000·Σa div Σb — corpus-level ratio, not
+    * mean-of-per-doc). One map-side encode pass + one language-keyed
+    * aggregation; same bounded learn collect as q119/q124. */
+  def q128TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val merges = graft.ext.Bpe.learnMerges(docs, "text", rounds = 8,
+        maxTypes = 50)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    docs
+      .select(col("lang"),
+        size(filter(split(col("text"), " "), w => w =!= ""))
+          .cast("long").as("_nw"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("_nc"),
+        size(graft.ext.Bpe.encodeTokens(col("text"), merges))
+          .cast("long").as("_nt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nw")).as("n_words"),
+        sum(col("_nt")).as("n_tokens"),
+        sum(col("_nc") + col("_nw")).as("n_symbols"))
+      .withColumn("fertility_bp", expr("(10000 * n_tokens) div n_words"))
+      .withColumn("compression_bp", expr("(10000 * n_symbols) div n_tokens"))
+      .transform(tinySort(_, col("lang")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_bpe_vocab" -> (q119BpeVocab _),
     "q124_bpe_encode" -> (q124BpeEncode _),
+    "q128_tokenizer_fertility" -> (q128TokenizerFertility _),
     "q78_token_vocab" -> (q78TokenVocab _),
     "q81_unigram_lm" -> (q81UnigramLm _),
     "q27_text_quality" -> (q27TextQuality _),
@@ -284,9 +316,45 @@ object TextQueries {
        |ORDER BY m.doc_id""".stripMargin
   }
 
+  /** q128 replay: the q124 apply chain, aggregated per language instead
+    * of per document. */
+  private def bpeFertilitySql(rounds: Int, maxTypes: Int): String = {
+    val applyCtes = (1 to rounds).map(bpeApplyRoundSql).mkString(",\n")
+    s"""WITH ${bpeLearnCtes(rounds, maxTypes)},
+       | wt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+       |          unnest(range(1, len(string_split(text, ' ')) + 1)) AS widx
+       |        FROM documents),
+       | wtf AS (SELECT doc_id, word, widx FROM wt WHERE word <> ''),
+       | atypes AS (SELECT DISTINCT word FROM wtf),
+       | a0 AS MATERIALIZED (SELECT word, CAST(pos AS BIGINT) AS pos,
+       |     CASE WHEN pos <= len(word) THEN substring(word, pos, 1)
+       |          ELSE ' ' END AS sym
+       |   FROM (SELECT word, unnest(range(1, len(word) + 2)) AS pos
+       |         FROM atypes) v),
+       |$applyCtes,
+       | tl AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS toks
+       |        FROM a$rounds GROUP BY word),
+       | pd AS (SELECT w.doc_id,
+       |          CAST(COUNT(*) AS BIGINT) AS n_words,
+       |          CAST(SUM(tl.toks) AS BIGINT) AS n_tokens
+       |        FROM wtf w JOIN tl ON tl.word = w.word GROUP BY w.doc_id)
+       |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(len(replace(d.text, ' ', '')) + p.n_words) AS BIGINT)
+       |    AS n_symbols,
+       |  CAST((10000 * SUM(p.n_tokens)) // SUM(p.n_words) AS BIGINT)
+       |    AS fertility_bp,
+       |  CAST((10000 * SUM(len(replace(d.text, ' ', '')) + p.n_words))
+       |       // SUM(p.n_tokens) AS BIGINT) AS compression_bp
+       |FROM documents d JOIN pd p ON p.doc_id = d.doc_id
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q119_bpe_vocab" -> bpeSql(rounds = 8, maxTypes = 50),
     "q124_bpe_encode" -> bpeApplySql(rounds = 8, maxTypes = 50),
+    "q128_tokenizer_fertility" -> bpeFertilitySql(rounds = 8, maxTypes = 50),
     /* Replays the exact Spark arithmetic: p = CAST(cnt AS DOUBLE)/total and
      * the OOV floor 0.5/total are single IEEE divisions; per-doc sums fold
      * the probability list in document order (list_reduce left fold ==
