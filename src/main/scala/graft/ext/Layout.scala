@@ -103,4 +103,28 @@ object Layout {
       md5(concat(lit(s"$salt:$s:"), idCol.cast("string")).cast("binary"))): _*)
     (array_position(hs, array_max(hs)) - 1).cast("int")
   }
+
+  /** Consistent-hash RING assignment with virtual nodes — the other
+    * classical minimal-churn scheme ([[graft.functions.RingShard]] has
+    * the design discussion): each shard owns `vnodes` deterministic
+    * 60-bit positions, items map to their successor position's shard.
+    * Same m/(N+m) churn law as [[rendezvousShard]], O(log(N·vnodes)) per
+    * item instead of O(N) hashes — the trade rings make at large N; the
+    * vnode count trades assignment work for balance variance. The ring is
+    * built driver-side (a pure function of the parameters, no data) and
+    * rides into codegen as a sorted constant. */
+  def ringShard(idCol: Column, nShards: Int, vnodes: Int,
+                salt: String = "graft-ring"): Column = {
+    require(nShards >= 2, s"nShards must be at least 2, got $nShards")
+    require(vnodes >= 1, s"vnodes must be at least 1, got $vnodes")
+    val ring = (for {
+      s <- 0 until nShards
+      v <- 0 until vnodes
+    } yield (graft.functions.RingKernel.hash60(s"$salt:v:$s:$v"), s))
+      .sortBy(_._1)
+    require(ring.map(_._1).distinct.size == ring.size,
+      "vnode hash collision — change salt") // P ≈ R²/2^61, never in practice
+    graft.functions.RingShard.ringShard(idCol.cast("string"), s"$salt:i:",
+      ring.map(_._1), ring.map(_._2))
+  }
 }

@@ -65,4 +65,32 @@ object Redact {
       .withColumn("n_rows", col("class_size") * col("n_classes"))
       .withColumn("below_k", (col("class_size") < k).cast("int"))
   }
+
+  /** l-diversity audit (Machanavajjhala et al., TKDD '07) — the
+    * homogeneity-attack complement to [[kAnonymityAudit]]: a QI class can
+    * be comfortably k-anonymous and still LEAK the sensitive attribute if
+    * all its rows share one sensitive value (knowing someone is in the
+    * class reveals their value). Distinct l-diversity requires every class
+    * to contain ≥ l distinct sensitive values; this returns the
+    * distribution over diversity levels — one row per distinct-sensitive
+    * count: how many classes sit at that level, how many records they
+    * hold, and whether the level violates the caller's l (below_l classes
+    * need generalization or suppression before release).
+    *
+    * Scale shape: one QI-keyed aggregation (count + count-distinct over
+    * the class — map-side combinable) and one bounded rollup over
+    * diversity levels; output is O(distinct levels). */
+  def lDiversityAudit(df: org.apache.spark.sql.DataFrame,
+                      qiCols: Seq[Column], sensitiveCol: Column,
+                      l: Int): org.apache.spark.sql.DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be at least 2, got $l")
+    df.groupBy(qiCols: _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(sensitiveCol).as("n_sensitive"))
+      .groupBy(col("n_sensitive"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_rows"))
+      .withColumn("below_l", (col("n_sensitive") < l).cast("int"))
+  }
 }

@@ -155,8 +155,23 @@ object ExprQueries {
       .transform(tinySort(_, col("class_size")))
   }
 
+  /** q129 — l-diversity audit ([[graft.ext.Redact.lDiversityAudit]],
+    * Machanavajjhala TKDD '07): the homogeneity-attack check that pairs
+    * with q122 — over the coarser QI (nation, 2000-unit balance bucket),
+    * how many classes expose fewer than l=3 distinct market segments.
+    * Same bounded two-level aggregation shape as the k-anonymity audit. */
+  def q129LDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Redact
+    Redact.lDiversityAudit(load(spark, dir, "customer"),
+        Seq(col("c_nationkey"),
+          floor(col("c_acctbal") / 2000).cast("long").as("bal_bucket")),
+        col("c_mktsegment"), l = 3)
+      .transform(tinySort(_, col("n_sensitive")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_k_anonymity" -> (q122KAnonymity _),
+    "q129_l_diversity" -> (q129LDiversity _),
     "q34_salted_agg" -> (q34SaltedAgg _),
     "q67_pii_mask" -> (q67PiiMask _),
     "q13_part_exprs" -> (q13PartExprs _),
@@ -169,6 +184,18 @@ object ExprQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "q129_l_diversity" ->
+      """WITH cls AS (SELECT c_nationkey,
+        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+        |    COUNT(*) AS class_size,
+        |    COUNT(DISTINCT c_mktsegment) AS n_sensitive
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(n_sensitive AS BIGINT) AS n_sensitive,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(class_size) AS BIGINT) AS n_rows,
+        |  CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END AS below_l
+        |FROM cls GROUP BY n_sensitive
+        |ORDER BY n_sensitive""".stripMargin,
     "q122_k_anonymity" ->
       """WITH cls AS (SELECT c_nationkey, c_mktsegment,
         |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,

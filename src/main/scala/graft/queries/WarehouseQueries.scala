@@ -199,6 +199,25 @@ object WarehouseQueries {
       .withColumn("moved", (col("old_shard") =!= col("new_shard")).cast("int"))
       .transform(tinySort(_, col("old_shard"), col("new_shard")))
 
+  /** q130 — consistent-hash ring re-shard churn ([[Layout.ringShard]]):
+    * q118's experiment on the OTHER classical scheme — every order mapped
+    * to 8 and then 12 shards (16 vnodes each) by ring successor lookup.
+    * Growing the ring only inserts positions, so the same minimal-churn
+    * law shows up as data: moved=1 ⇒ new_shard ≥ 8 (an item moves iff a
+    * NEW shard's vnode landed between its hash and its old successor),
+    * expected churn 4/12. Assignment is one md5 + a binary search per
+    * row against the codegen-constant ring — map-only; the only shuffle
+    * is the bounded 8×12 transition aggregation. */
+  def q130ConsistentRing(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .select(col("o_orderkey"))
+      .withColumn("old_shard", Layout.ringShard(col("o_orderkey"), 8, 16))
+      .withColumn("new_shard", Layout.ringShard(col("o_orderkey"), 12, 16))
+      .groupBy(col("old_shard"), col("new_shard"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("moved", (col("old_shard") =!= col("new_shard")).cast("int"))
+      .transform(tinySort(_, col("old_shard"), col("new_shard")))
+
   /** q123 — small-file compaction plan ([[Layout.compactionPlan]]): order
     * ingestion is simulated as one file per order date (bytes = rows × a
     * fixed 128 B row proxy — metadata-level, no data read), partitioned by
@@ -221,6 +240,7 @@ object WarehouseQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_scd2_history" -> (q76Scd2 _),
     "q118_rendezvous_shards" -> (q118RendezvousShards _),
+    "q130_consistent_ring" -> (q130ConsistentRing _),
     "q123_compaction_plan" -> (q123CompactionPlan _),
     "q95_anomaly_flags" -> (q95AnomalyFlags _),
     "q80_zorder_stats" -> (q80ZorderStats _),
@@ -267,6 +287,34 @@ object WarehouseQueries {
         |  CAST((10000 * SUM(bytes)) // 65536 AS BIGINT) AS fill_bp
         |FROM b GROUP BY month, bin
         |ORDER BY month, bin""".stripMargin,
+    /* q130: ring and items rebuilt with the same 60-bit md5 arithmetic
+     * (hex60); successor = MIN(rh ≥ ih) with wraparound to the ring's
+     * minimum; the 8-shard ring is the s<8 subset of the 12-shard ring —
+     * the containment that produces the minimal-churn law. */
+    "q130_consistent_ring" ->
+      s"""WITH rv AS (SELECT sv.s, vv.v,
+        |    ${ProfilingQueries.hex60(
+               "'graft-ring:v:' || CAST(sv.s AS VARCHAR) || ':' || CAST(vv.v AS VARCHAR)")} AS rh
+        |  FROM (SELECT unnest(range(0, 12)) AS s) sv
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS v) vv),
+        | items AS (SELECT o_orderkey,
+        |    ${ProfilingQueries.hex60("'graft-ring:i:' || CAST(o_orderkey AS VARCHAR)")} AS ih
+        |  FROM orders),
+        | a AS (SELECT i.o_orderkey,
+        |    COALESCE((SELECT MIN(rh) FROM rv WHERE s < 8 AND rh >= i.ih),
+        |             (SELECT MIN(rh) FROM rv WHERE s < 8)) AS srh8,
+        |    COALESCE((SELECT MIN(rh) FROM rv WHERE rh >= i.ih),
+        |             (SELECT MIN(rh) FROM rv)) AS srh12
+        |  FROM items i),
+        | m AS (SELECT a.o_orderkey, r8.s AS old_shard, r12.s AS new_shard
+        |  FROM a JOIN rv r8 ON r8.rh = a.srh8
+        |         JOIN rv r12 ON r12.rh = a.srh12)
+        |SELECT CAST(old_shard AS INT) AS old_shard,
+        |  CAST(new_shard AS INT) AS new_shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END AS moved
+        |FROM m GROUP BY old_shard, new_shard
+        |ORDER BY old_shard, new_shard""".stripMargin,
     "q118_rendezvous_shards" ->
       s"""WITH h AS (SELECT o_orderkey,
         |    ${(0 until 12).map(s =>

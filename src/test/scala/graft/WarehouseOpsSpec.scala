@@ -130,6 +130,48 @@ class WarehouseOpsSpec extends AnyFunSuite {
     both.unpersist()
   }
 
+  test("ringShard: in-range, deterministic, successor rule matches a reference ring") {
+    val ids = (0L until 3000L).toDF("id")
+    val out = ids.select(col("id"), Layout.ringShard(col("id"), 8, 16).as("s"))
+      .cache()
+    val counts = out.groupBy("s").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0 until 8).toSet)
+    // vnode balance is looser than HRW's binomial (arc lengths are
+    // exponential-ish) — just require every shard holds a real share
+    counts.values.foreach(c => assert(c > 100 && c < 900, s"skewed: $counts"))
+    val again = ids.repartition(13)
+      .select(col("id"), Layout.ringShard(col("id"), 8, 16).as("s"))
+    assert(out.join(again, Seq("id", "s")).count() == 3000)
+    // reference successor lookup over the explicitly rebuilt ring,
+    // including the wraparound case
+    val ring = (for { s <- 0 until 8; v <- 0 until 16 }
+      yield (graft.functions.RingKernel.hash60(s"graft-ring:v:$s:$v"), s))
+      .sortBy(_._1)
+    val got = out.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0L until 3000L).foreach { id =>
+      val h = graft.functions.RingKernel.hash60(s"graft-ring:i:$id")
+      val expect = ring.find(_._1 >= h).getOrElse(ring.head)._2
+      assert(got(id) == expect, s"id $id")
+    }
+    out.unpersist()
+  }
+
+  test("ringShard: growing the ring moves rows ONLY onto new shards") {
+    val ids = (0L until 3000L).toDF("id")
+    val both = ids.select(col("id"),
+      Layout.ringShard(col("id"), 8, 16).as("old"),
+      Layout.ringShard(col("id"), 12, 16).as("nw")).cache()
+    // old vnode positions are unchanged — a row moves iff a NEW shard's
+    // vnode landed between its hash and its old successor
+    assert(both.filter(col("old") =!= col("nw") && col("nw") < 8).count() == 0)
+    val moved = both.filter(col("old") =!= col("nw")).count()
+    // E ≈ 1/3 of rows; vnode-arc variance is wider than binomial
+    assert(moved > 600 && moved < 1500, s"churn $moved of 3000")
+    assert(both.filter(col("nw") >= 8).select("nw").distinct().count() == 4)
+    both.unpersist()
+  }
+
   test("bloom prefilter: no false negatives, and bloomDecontaminate == decontaminate") {
     // every third doc carries a common phrase, so corpus docs (i%7!=0)
     // share 3-grams with benchmark docs (i%7==0, overlapping at i%21==0)
