@@ -181,10 +181,23 @@ object TextQueries {
       .transform(tinySort(_, col("lang")))
   }
 
+  /** q131 — bigram-LM scoring ([[graft.ext.Corpus.bigramLmScore]]): the
+    * stronger perplexity-filter above q81's unigram — per document, mean
+    * and min Laplace-smoothed P(w2|w1) with corpus-trained counts. The
+    * bigram stats stay a DISTRIBUTED type table (too big for a literal
+    * map at any real scale — the scale divide between this and q81's
+    * broadcast vocabulary); exact integer counts + one IEEE division per
+    * bigram + position-ordered folds, so the oracle replays bit-for-bit. */
+  def q131BigramLm(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Corpus.bigramLmScore(load(spark, dir, "documents"),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_bpe_vocab" -> (q119BpeVocab _),
     "q124_bpe_encode" -> (q124BpeEncode _),
     "q128_tokenizer_fertility" -> (q128TokenizerFertility _),
+    "q131_bigram_lm" -> (q131BigramLm _),
     "q78_token_vocab" -> (q78TokenVocab _),
     "q81_unigram_lm" -> (q81UnigramLm _),
     "q27_text_quality" -> (q27TextQuality _),
@@ -355,6 +368,33 @@ object TextQueries {
     "q119_bpe_vocab" -> bpeSql(rounds = 8, maxTypes = 50),
     "q124_bpe_encode" -> bpeApplySql(rounds = 8, maxTypes = 50),
     "q128_tokenizer_fertility" -> bpeFertilitySql(rounds = 8, maxTypes = 50),
+    /* q131: same Laplace arithmetic — (cnt12+1)/(cnt1+V) one division per
+     * bigram; per-doc sum folded in position order (list_reduce's
+     * init-free left fold ≡ Spark's 0.0-init fold). */
+    "q131_bigram_lm" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |            FROM documents),
+        | bp AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+        |         unnest(toks[2:len(toks)]) AS w2,
+        |         unnest(range(1, len(toks))) AS pos
+        |        FROM tk WHERE len(toks) >= 2),
+        | c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt12
+        |         FROM bp GROUP BY 1, 2),
+        | c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cnt1
+        |        FROM bp GROUP BY 1),
+        | vv AS (SELECT COUNT(DISTINCT tok) AS v
+        |        FROM (SELECT unnest(toks) AS tok FROM tk) u),
+        | pr AS (SELECT b.doc_id, b.pos,
+        |         CAST(c.cnt12 + 1 AS DOUBLE) /
+        |           CAST(l.cnt1 + (SELECT v FROM vv) AS DOUBLE) AS p
+        |        FROM bp b JOIN c12 c ON c.w1 = b.w1 AND c.w2 = b.w2
+        |                  JOIN c1 l ON l.w1 = b.w1),
+        | ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |         MIN(p) AS min_p, list(p ORDER BY pos) AS ps
+        |        FROM pr GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, min_p,
+        |  list_reduce(ps, (a, b) -> a + b) / CAST(n_bigrams AS DOUBLE) AS mean_p
+        |FROM ag ORDER BY doc_id""".stripMargin,
     /* Replays the exact Spark arithmetic: p = CAST(cnt AS DOUBLE)/total and
      * the OOV floor 0.5/total are single IEEE divisions; per-doc sums fold
      * the probability list in document order (list_reduce left fold ==

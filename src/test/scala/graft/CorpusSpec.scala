@@ -192,6 +192,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == Seq((1L, 2L, "a b c"), (2L, 1L, "z z")))
   }
 
+  test("bigramLmScore: hand-computed Laplace conditionals, ordered fold") {
+    import spark.implicits._
+    // corpus: "a b a b" and "a b c" → bigrams: (a,b)×3, (b,a)×1, (b,c)×1;
+    // lefts: a→3, b→2; V = 3 distinct tokens
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = graft.ext.Corpus.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("min_p"),
+          r.getAs[Double]("mean_p"))).toMap
+    val pAB = 4.0 / 6.0 // (3+1)/(3+3)
+    val pBA = 2.0 / 5.0 // (1+1)/(2+3)
+    val pBC = 2.0 / 5.0
+    assert(got(1L) == ((3L, pBA, ((pAB + pBA) + pAB) / 3.0)))
+    assert(got(2L) == ((2L, pBC, (pAB + pBC) / 2.0)))
+    // invariant under repartitioning (fold order is pinned by position)
+    val again = graft.ext.Corpus.bigramLmScore(docs.repartition(7),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("min_p"),
+          r.getAs[Double]("mean_p"))).toMap
+    assert(again == got)
+  }
+
   test("tokenVocab: exact counts, rank order, cumulative coverage") {
     val d = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
     // counts: a=3, b=2, c=1; total=6
