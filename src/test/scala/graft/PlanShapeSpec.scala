@@ -398,4 +398,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
       s"q114 sketch agg should have a partial phase:\n$plan")
   }
+
+  test("q118/q130 shard assignment is map-only: one aggregation exchange, no join, no window") {
+    // the re-shard claim for BOTH schemes (HRW and ring): assignment is a
+    // pure per-row expression, so the whole transition matrix costs one
+    // bounded aggregation exchange — nothing else may shuffle
+    import org.apache.spark.sql.functions._
+    val items = graft.util.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"))
+    for (assign <- Seq(
+        graft.ext.Layout.rendezvousShard(col("o_orderkey"), 8),
+        graft.ext.Layout.ringShard(col("o_orderkey"), 8, 16))) {
+      val plan = items.withColumn("s", assign)
+        .groupBy(col("s")).agg(count(lit(1)))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+      val ex = "Exchange".r.findAllIn(plan).length
+      assert(ex == 1, s"expected exactly the aggregation exchange, got $ex:\n$plan")
+    }
+  }
+
+  test("q124 BPE encode pass is map-side only: fused kernel, no Exchange, no Join") {
+    // the tokenizer-apply claim: with the merge table a codegen constant,
+    // encoding is scan-stage work — the relational spelling's R rounds of
+    // windows never appear
+    import org.apache.spark.sql.functions._
+    val plan = graft.util.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.ext.Bpe.encodeTokens(col("text"),
+          Seq(("a", "b"), ("ab", " "))).as("toks"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bpe_encode"),
+      s"tokens should come from the fused kernel:\n$plan")
+    assert(!plan.contains("Exchange") && !plan.contains("Window") &&
+      !plan.contains("Join"),
+      s"encode must be map-side only:\n$plan")
+  }
 }
