@@ -338,6 +338,59 @@ object Dedup {
     * Scale shape: one equi-join of two pair sets (both O(candidates), never
     * O(corpus²) — truth comes from a bounded audit sample), three 1-row
     * aggregates combined by broadcast cross join. */
+  /** Set-cosine (Ochiai) similarity join over shingle sets — the third
+    * member of the exact similarity-measure triad ([[prefixJaccardJoin]] =
+    * Jaccard, [[containmentJoin]] = containment, this = cosine
+    * |A∩B| / √(|A|·|B|), the measure that stays meaningful when the two
+    * documents' sizes differ widely — Jaccard collapses on size ratio,
+    * containment is asymmetric, cosine is the symmetric length-normalized
+    * middle ground retrieval uses).
+    *
+    * Candidate tier: the classic inverted-index walk — post each doc's
+    * DISTINCT shingles, equi-join postings on the shingle, count shared
+    * shingles per pair. `maxDf` prunes postings of shingles appearing in
+    * more than maxDf docs BEFORE the self-join (the df-cap that bounds
+    * Σdf² fanout at corpus scale; boilerplate shingles contribute pair
+    * volume quadratically but similarity evidence barely — the standard
+    * DAAT guard). With maxDf above the corpus' true max df the join is
+    * EXACT (the test-SF configuration, so the oracle replays equality,
+    * not approximation).
+    *
+    * Arithmetic: intersection and set sizes are exact integers; the cosine
+    * is one correctly-rounded sqrt per side, one multiply, one divide —
+    * bit-identical in any IEEE engine, so the threshold filter agrees
+    * everywhere.
+    *
+    * Scale shape: one shingle-keyed df aggregation, a posting equi-join on
+    * the shingle key (bounded by the df cap), one pair aggregation, two
+    * sizes joins. No BNLJ, no cartesian. */
+  def cosinePairs(df: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 3, maxDf: Int = 1000,
+                  minCos: Double = 0.5): DataFrame = {
+    // FOUR consumers (sizes, df counts, both posting-join sides) of the
+    // kernel+explode — materialize once (unlike q131's cheap bigram
+    // explode, the shingle kernel re-run 4× dominates; measured 2.36 s →
+    // 1.16 s at sf0.1)
+    val sg = checkpointStripped(explodedShingles(df, idCol, textCol, shingleN))
+    val sizes = sg.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+    val dfc = sg.groupBy(col("sg")).agg(count(lit(1)).as("_df"))
+    val kept = sg.join(dfc.filter(col("_df") <= maxDf).select(col("sg")), "sg")
+    val pairs = kept.select(col(idCol).as("_ida"), col("sg"))
+      .join(kept.select(col(idCol).as("_idb"), col("sg")),
+        Seq("sg"))
+      .filter(col("_ida") < col("_idb"))
+      .groupBy(col("_ida"), col("_idb"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col(idCol).as("_ida"), col("_n").as("n_a")), Seq("_ida"))
+      .join(sizes.select(col(idCol).as("_idb"), col("_n").as("n_b")), Seq("_idb"))
+      .withColumn("cos", col("inter").cast("double") /
+        (sqrt(col("n_a").cast("double")) * sqrt(col("n_b").cast("double"))))
+      .filter(col("cos") >= minCos)
+      .select(col("_ida").as("doc_a"), col("_idb").as("doc_b"),
+        col("n_a"), col("n_b"), col("inter"), col("cos"))
+  }
+
   def lshEval(candidates: DataFrame, truth: DataFrame,
               aCol: String, bCol: String): DataFrame = {
     val c = candidates.select(col(aCol).as("a"), col(bCol).as("b"))

@@ -161,6 +161,16 @@ object DedupQueries {
     Dedup.prefixJaccardJoin(load(spark, dir, "documents"), "doc_id", "text")
       .transform(tinySort(_, col("doc_a"), col("doc_b")))
 
+  /** q132 — set-cosine similarity join ([[Dedup.cosinePairs]]): the
+    * measure triad's completion — cosine |A∩B|/√(|A|·|B|) over 3-shingle
+    * sets at ≥ 0.5 via the inverted-index posting join with a df cap
+    * (inactive at test SF → exact, the guard that bounds Σdf² fanout at
+    * corpus scale). Integers + correctly-rounded sqrt, so the threshold
+    * filter agrees across engines bit-for-bit. */
+  def q132CosinePairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cosinePairs(load(spark, dir, "documents"), "doc_id", "text")
+      .transform(tinySort(_, col("doc_a"), col("doc_b")))
+
   /** q112 — exact set-containment join ([[Dedup.containmentJoin]], the
     * PRETTI/prefix set-containment family): ordered (contained, container)
     * pairs at C ≥ 9/10 over the whole corpus — the doc-inside-doc detector
@@ -235,6 +245,7 @@ object DedupQueries {
     "q115_winnow_overlap" -> (q115WinnowOverlap _),
     "q112_containment" -> (q112Containment _),
     "q109_prefix_jaccard" -> (q109PrefixJaccard _),
+    "q132_cosine_pairs" -> (q132CosinePairs _),
     "q100_triangles" -> (q100Triangles _),
     "q104_lsh_eval" -> (q104LshEval _),
     "q77_span_dedup" -> (q77SpanDedup _),
@@ -382,6 +393,62 @@ object DedupQueries {
          |  CAST((10000 * shared) // na AS BIGINT) AS containment_bp
          |FROM v WHERE 10 * shared >= 9 * na
          |ORDER BY doc_in, doc_out""".stripMargin,
+    /* q132: postings = DISTINCT doc shingles; pair intersection via the
+     * posting self-join (df cap 1000 — inactive at this corpus, verified
+     * exact); cosine = inter / (sqrt(n_a)*sqrt(n_b)), one sqrt per side
+     * like Spark. */
+    "q132_cosine_pairs" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+        |            FROM documents),
+        | sh AS (SELECT DISTINCT doc_id,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sg
+        |        FROM tk, unnest(range(1, len(t) - 1)) AS u(i)
+        |        WHERE len(t) >= 3),
+        | sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        | dfc AS (SELECT sg FROM (SELECT sg, COUNT(*) AS df FROM sh GROUP BY 1)
+        |         WHERE df <= 1000),
+        | kept AS (SELECT s.doc_id, s.sg FROM sh s JOIN dfc ON dfc.sg = s.sg),
+        | pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(COUNT(*) AS BIGINT) AS inter
+        |        FROM kept a JOIN kept b
+        |          ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b, x.n AS n_a, y.n AS n_b, p.inter,
+        |  CAST(p.inter AS DOUBLE) /
+        |    (sqrt(CAST(x.n AS DOUBLE)) * sqrt(CAST(y.n AS DOUBLE))) AS cos
+        |FROM pr p JOIN sz x ON x.doc_id = p.doc_a
+        |          JOIN sz y ON y.doc_id = p.doc_b
+        |WHERE CAST(p.inter AS DOUBLE) /
+        |    (sqrt(CAST(x.n AS DOUBLE)) * sqrt(CAST(y.n AS DOUBLE))) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    /* q132: postings = DISTINCT doc shingles; pair intersection via the
+     * posting self-join (df cap 1000 — inactive at this corpus, verified
+     * exact); cosine = inter / (sqrt(n_a)*sqrt(n_b)), one sqrt per side
+     * like Spark. */
+    "q132_cosine_pairs" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+        |            FROM documents),
+        | sh AS (SELECT DISTINCT doc_id,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sg
+        |        FROM tk, unnest(range(1, len(t) - 1)) AS u(i)
+        |        WHERE len(t) >= 3),
+        | sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        | dfc AS (SELECT sg FROM (SELECT sg, COUNT(*) AS df FROM sh GROUP BY 1)
+        |         WHERE df <= 1000),
+        | kept AS (SELECT s.doc_id, s.sg FROM sh s JOIN dfc ON dfc.sg = s.sg),
+        | pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(COUNT(*) AS BIGINT) AS inter
+        |        FROM kept a JOIN kept b
+        |          ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b, x.n AS n_a, y.n AS n_b, p.inter,
+        |  CAST(p.inter AS DOUBLE) /
+        |    (sqrt(CAST(x.n AS DOUBLE)) * sqrt(CAST(y.n AS DOUBLE))) AS cos
+        |FROM pr p JOIN sz x ON x.doc_id = p.doc_a
+        |          JOIN sz y ON y.doc_id = p.doc_b
+        |WHERE CAST(p.inter AS DOUBLE) /
+        |    (sqrt(CAST(x.n AS DOUBLE)) * sqrt(CAST(y.n AS DOUBLE))) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q109_prefix_jaccard" ->
       s"""WITH $ShinglesCte,
          | f AS (SELECT sg, COUNT(*) AS fr FROM sh GROUP BY sg),

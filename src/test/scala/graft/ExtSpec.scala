@@ -113,6 +113,23 @@ class ExtSpec extends AnyFunSuite {
     assert(brute.exceptAll(fast).isEmpty && fast.exceptAll(brute).isEmpty)
   }
 
+  test("cosinePairs: hand-computed Ochiai, threshold boundary, df cap drops hot shingles") {
+    // a: 4 shingles of "p q r s t u"; b: the single shingle {p q r}:
+    // inter 1 → cos = 1/(√4·√1) = 0.5 EXACTLY (perfect-square sizes keep
+    // the sqrt product exact — √2·√2 would give 2.0000000000000004, the
+    // boundary case the operator doc warns thresholds live with), kept
+    // by >=; c disjoint
+    val fx = Seq((1L, "p q r s t u"), (2L, "p q r"), (3L, "u2 v w x"))
+      .toDF("doc_id", "text")
+    val out = Dedup.cosinePairs(fx, "doc_id", "text", minCos = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("inter"), r.getAs[Double]("cos")))
+    assert(out.toSeq == Seq((1L, 2L, 1L, 0.5)))
+    // maxDf = 1 prunes the shared shingle's postings (df = 2) → no pairs
+    assert(Dedup.cosinePairs(fx, "doc_id", "text", maxDf = 1,
+      minCos = 0.0).count() == 0)
+  }
+
   test("cosine similarity: exact on known vectors") {
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
       .toDF("a", "b")
