@@ -42,6 +42,60 @@ object Linkage {
         col("a.n_rows").as("n_a"), col("b.n_rows").as("n_b"))
   }
 
+  /** Sorted-neighborhood entity resolution (Hernández & Stolfo, SIGMOD '95
+    * merge/purge) — the OTHER classical blocking geometry, complementing
+    * [[blockedFuzzyPairs]]' hash blocking: sort the distinct values
+    * lexicographically and compare each only to its `window` nearest
+    * neighbors in that order. A hash block key fails exactly when the typo
+    * sits in the key token itself ('jon smith' vs 'john smith' under
+    * last-token blocking); lexicographic neighbors survive typos in LATER
+    * characters — production merge/purge runs several passes with
+    * different geometries and unions the candidates.
+    *
+    * Scale shape: one DISTINCT aggregation (the value domain is
+    * vocabulary-sized — the [[blockedFuzzyPairs]] tier), a rank window
+    * over that bounded frame (constant-key idiom), and the neighbor pairs
+    * as a UNION OF TWO EQUI-JOINS on bucket = rank div window (a pair
+    * within rank distance `window` shares a bucket or sits in adjacent
+    * ones, never both — so the union is disjoint and no BNLJ appears; the
+    * J1 disjunctive-rewrite discipline). levenshtein runs only inside the
+    * neighborhood.
+    *
+    * `sortKey` is the pass's sorting criterion — the paper's method is
+    * MULTI-PASS: the identity key catches suffix typos, `reverse(name)`
+    * catches prefix typos ('old widget'/'red widget' sort 8 ranks apart
+    * forward but adjacently reversed), and a production run unions the
+    * passes. Output pairs are canonically oriented (name_a < name_b)
+    * regardless of the pass's sort order. */
+  def sortedNeighborPairs(df: DataFrame, idCol: String, nameCol: String,
+                          window: Int, maxDist: Int,
+                          sortKey: Column => Column = identity): DataFrame = {
+    require(window >= 1, s"window must be positive, got $window")
+    val values = df.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+    val wholeKey = substring(col("name"), 0, 0)
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(wholeKey).orderBy(sortKey(col("name")), col("name"))
+    val ranked = values.withColumn("_rk", row_number().over(ord))
+      .withColumn("_bk", expr(s"_rk div $window"))
+    val right = ranked.select(col("name").as("name_b"),
+      col("n_rows").as("n_b"), col("_rk").as("_rkb"), col("_bk").as("_bkb"))
+    def half(shift: Int) = ranked.join(right, col("_bkb") === col("_bk") + shift)
+    val swap = col("name") > col("name_b")
+    half(0).unionByName(half(1))
+      .filter(col("_rkb") > col("_rk") &&
+        col("_rkb") - col("_rk") <= window)
+      .withColumn("dist", levenshtein(col("name"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(
+        when(swap, col("name_b")).otherwise(col("name")).as("name_a"),
+        when(swap, col("name")).otherwise(col("name_b")).as("name_b"),
+        (col("_rkb") - col("_rk")).cast("long").as("rank_gap"),
+        col("dist").cast("long").as("dist"),
+        when(swap, col("n_b")).otherwise(col("n_rows")).as("n_a"),
+        when(swap, col("n_rows")).otherwise(col("n_b")).as("n_b"))
+  }
+
   /** Golden-record survivorship — the consolidation tier of master-data
     * management, above pair detection ([[blockedFuzzyPairs]]) and cluster
     * formation ([[Dedup.duplicateClusters]]): several source systems

@@ -243,9 +243,36 @@ object AdvancedJoinQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** q133 — multi-pass sorted-neighborhood merge/purge
+    * ([[graft.ext.Linkage.sortedNeighborPairs]], Hernández–Stolfo '95):
+    * the second blocking geometry over part names, run as the paper's
+    * two-pass union — a FORWARD lexicographic pass (catches suffix typos)
+    * and a REVERSED-name pass (catches prefix typos: 'old widget' /
+    * 'red widget' sort 8 ranks apart forward, adjacently reversed), each
+    * comparing a value to its 5 nearest neighbors at levenshtein ≤ 2,
+    * unioned per pair with pass provenance flags. Complements q97's hash
+    * blocking; every neighbor join is a disjoint union of bucket
+    * equi-joins, no BNLJ. */
+  def q133SortedNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val part = load(spark, dir, "part")
+    def pass(key: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+             label: String) =
+      graft.ext.Linkage.sortedNeighborPairs(part, "p_partkey", "p_name",
+          window = 5, maxDist = 2, sortKey = key)
+        .withColumn("pass", lit(label))
+    pass(identity, "fwd").unionByName(pass(reverse, "rev"))
+      .groupBy(col("name_a"), col("name_b"), col("dist"),
+        col("n_a"), col("n_b"))
+      .agg(min(col("rank_gap")).as("min_gap"),
+        max((col("pass") === "fwd").cast("int")).as("in_fwd"),
+        max((col("pass") === "rev").cast("int")).as("in_rev"))
+      .transform(tinySort(_, col("name_a"), col("name_b")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_golden_record" -> (q121GoldenRecord _),
     "q125_survivorship_rules" -> (q125SurvivorshipRules _),
+    "q133_sorted_neighbors" -> (q133SortedNeighbors _),
     "q97_fuzzy_pairs" -> (q97FuzzyPairs _),
     "q41_sessionize" -> (q41Sessionize _),
     "q65_moving_stats" -> (q65MovingStats _),
@@ -347,6 +374,42 @@ object AdvancedJoinQueries {
         |LEFT JOIN al a ON a.c_custkey = b.c_custkey AND a.rk = 1
         |LEFT JOIN na n ON n.c_custkey = b.c_custkey AND n.rk = 1
         |ORDER BY b.c_custkey""".stripMargin,
+    /* q133: two rank passes (name, reverse(name)) over distinct names,
+     * neighbors within rank distance 5, levenshtein in the neighborhood
+     * only, canonical (least, greatest) orientation, pass flags — plain
+     * range joins here (the oracle frame is tiny; Spark's
+     * union-of-bucket-equi-joins produces the identical pair set). */
+    "q133_sorted_neighbors" ->
+      """WITH v AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |           FROM part GROUP BY 1),
+        | rf AS (SELECT name, n_rows,
+        |         row_number() OVER (ORDER BY name) AS rk FROM v),
+        | rr AS (SELECT name, n_rows,
+        |         row_number() OVER (ORDER BY reverse(name), name) AS rk FROM v),
+        | pf AS (SELECT least(a.name, b.name) AS name_a,
+        |          greatest(a.name, b.name) AS name_b,
+        |          CAST(b.rk - a.rk AS BIGINT) AS rank_gap,
+        |          CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+        |          CASE WHEN a.name <= b.name THEN a.n_rows ELSE b.n_rows END AS n_a,
+        |          CASE WHEN a.name <= b.name THEN b.n_rows ELSE a.n_rows END AS n_b,
+        |          'fwd' AS pass
+        |        FROM rf a JOIN rf b ON b.rk > a.rk AND b.rk <= a.rk + 5
+        |        WHERE levenshtein(a.name, b.name) <= 2),
+        | pr AS (SELECT least(a.name, b.name), greatest(a.name, b.name),
+        |          CAST(b.rk - a.rk AS BIGINT),
+        |          CAST(levenshtein(a.name, b.name) AS BIGINT),
+        |          CASE WHEN a.name <= b.name THEN a.n_rows ELSE b.n_rows END,
+        |          CASE WHEN a.name <= b.name THEN b.n_rows ELSE a.n_rows END,
+        |          'rev'
+        |        FROM rr a JOIN rr b ON b.rk > a.rk AND b.rk <= a.rk + 5
+        |        WHERE levenshtein(a.name, b.name) <= 2),
+        | u AS (SELECT * FROM pf UNION ALL SELECT * FROM pr)
+        |SELECT name_a, name_b, dist, n_a, n_b,
+        |  CAST(MIN(rank_gap) AS BIGINT) AS min_gap,
+        |  CAST(MAX(CASE WHEN pass = 'fwd' THEN 1 ELSE 0 END) AS INT) AS in_fwd,
+        |  CAST(MAX(CASE WHEN pass = 'rev' THEN 1 ELSE 0 END) AS INT) AS in_rev
+        |FROM u GROUP BY name_a, name_b, dist, n_a, n_b
+        |ORDER BY name_a, name_b""".stripMargin,
     "q97_fuzzy_pairs" ->
       """WITH v AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |            MIN(p_partkey) AS min_id

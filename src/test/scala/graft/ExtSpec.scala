@@ -706,6 +706,33 @@ class ExtSpec extends AnyFunSuite {
     assert(got(5L) == ((2L, 1L, Some(9), Some("C"))))
   }
 
+  test("sortedNeighborPairs: pass geometry, canonical orientation, window bound") {
+    import spark.implicits._
+    import graft.ext.Linkage
+    // suffix typo (smith/smyth adjacent forward), prefix typo (jon/kon
+    // brown adjacent only when reversed puts the shared surname first),
+    // plus 'x htith' whose REVERSE ('htith x') sorts between the two
+    // reversed smiths — separating them in the reverse pass
+    val names = Seq("ann smith", "ann smyth", "jon brown", "kon brown",
+      "x htith", "zz zed").zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("id", "name").repartition(3)
+    def pairs(key: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Linkage.sortedNeighborPairs(names, "id", "name", window = 1,
+          maxDist = 2, sortKey = key)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val fwd = pairs(identity)
+    val rev = pairs(org.apache.spark.sql.functions.reverse)
+    // forward: smith/smyth adjacent → found; reverse: the browns group on
+    // the shared reversed surname → found, while the separator pushes the
+    // smiths out of each other's window — each pass sees what its
+    // geometry favors, the multi-pass union's raison d'être
+    assert(fwd.contains(("ann smith", "ann smyth")))
+    assert(rev.contains(("jon brown", "kon brown")))
+    assert(!rev.contains(("ann smith", "ann smyth")))
+    // canonical orientation regardless of pass sort order
+    (fwd ++ rev).foreach { case (a, b) => assert(a < b, s"($a, $b)") }
+  }
+
   test("waterFill: saturated prefix, floored proportional shares, no-cut case") {
     import spark.implicits._
     // ratios: a 10, c 50, b 100 → order a, c, b. Budget 120: a saturates
