@@ -31,6 +31,16 @@ object Layout {
     terms.reduce(_ bitwiseOR _)
   }
 
+  /** Hilbert-curve clustering key — [[zValue]]'s companion with strictly
+    * better worst-case range locality (no Morton diagonal jumps); see
+    * [[graft.functions.HilbertIndex]] for the design discussion. Same
+    * range contract: non-negative values < 2^bits per dimension. */
+  def hilbertValue(xCol: Column, yCol: Column, bits: Int): Column = {
+    require(bits >= 1 && 2 * bits <= 62, s"2 * bits must fit a long, got $bits")
+    graft.functions.HilbertIndex.hilbertIndex(
+      xCol.cast("long"), yCol.cast("long"), bits)
+  }
+
   /** Rewrite `df` into z-order: range-partition on the z-value (so file N's
     * z-range precedes file N+1's) and sort within partitions. `numFiles`
     * bounds output file count; the z column itself is dropped — it is a

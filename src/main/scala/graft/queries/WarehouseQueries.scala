@@ -199,6 +199,29 @@ object WarehouseQueries {
       .withColumn("moved", (col("old_shard") =!= col("new_shard")).cast("int"))
       .transform(tinySort(_, col("old_shard"), col("new_shard")))
 
+  /** q134 — Hilbert-curve layout audit ([[Layout.hilbertValue]]): q80's
+    * experiment on the better space-filling curve — the same
+    * (custkey-low-bits, days) grid keyed by Hilbert position instead of
+    * Morton interleave, with per-bucket counts and both dimensions'
+    * min/max (the file-skipping stats; Hilbert buckets avoid Morton's
+    * diagonal-jump outlier ranges). Map-side O(bits) kernel + one bounded
+    * aggregation; the oracle replays the quadrant-rotation rounds as 20
+    * unrolled integer CTE stages. */
+  def q134HilbertStats(spark: SparkSession, dir: String): DataFrame = {
+    val days = datediff(col("o_orderdate").cast("date"),
+      lit("1992-01-01").cast("date")).cast("long")
+    load(spark, dir, "orders")
+      .select(col("o_custkey"), days.as("d_days"))
+      .withColumn("hval", Layout.hilbertValue(
+        col("o_custkey").bitwiseAND(lit((1L << ZBits) - 1)), col("d_days"),
+        ZBits))
+      .groupBy(shiftright(col("hval"), 20).as("h_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+        min(col("d_days")).as("min_days"), max(col("d_days")).as("max_days"))
+      .transform(tinySort(_, col("h_bucket")))
+  }
+
   /** q130 — consistent-hash ring re-shard churn ([[Layout.ringShard]]):
     * q118's experiment on the OTHER classical scheme — every order mapped
     * to 8 and then 12 shards (16 vnodes each) by ring successor lookup.
@@ -241,6 +264,7 @@ object WarehouseQueries {
     "q76_scd2_history" -> (q76Scd2 _),
     "q118_rendezvous_shards" -> (q118RendezvousShards _),
     "q130_consistent_ring" -> (q130ConsistentRing _),
+    "q134_hilbert_stats" -> (q134HilbertStats _),
     "q123_compaction_plan" -> (q123CompactionPlan _),
     "q95_anomaly_flags" -> (q95AnomalyFlags _),
     "q80_zorder_stats" -> (q80ZorderStats _),
@@ -443,6 +467,44 @@ object WarehouseQueries {
          |SELECT zval >> 20 AS z_bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
          |  MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
          |  MIN(d_days) AS min_days, MAX(d_days) AS max_days
-         |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
+         |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin,
+    "q134_hilbert_stats" -> HilbertSql
   )
+
+  /** One Hilbert quadrant-rotation round at scale s = 2^i (the exact
+    * [[graft.functions.HilbertKernel.xy2d]] loop body) as an integer CTE
+    * stage: accumulate the quadrant's area offset, then flip and swap the
+    * coordinates when ry = 0. */
+  private def hilbertStageSql(i: Int, src: String, dst: String): String = {
+    val s = 1L << i
+    s""" $dst AS (SELECT o_custkey, d_days,
+       |    d + ${s * s} * xor(3 * rx, ry) AS d,
+       |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - y ELSE y END)
+       |         ELSE x END AS x,
+       |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - x ELSE x END)
+       |         ELSE y END AS y
+       |  FROM (SELECT o_custkey, d_days, x, y, d,
+       |      CASE WHEN (x & ${s}) > 0 THEN 1 ELSE 0 END AS rx,
+       |      CASE WHEN (y & ${s}) > 0 THEN 1 ELSE 0 END AS ry
+       |    FROM $src) t)"""
+  }
+
+  private lazy val HilbertSql: String = {
+    val stages = (ZBits - 1 to 0 by -1).map { i =>
+      val src = if (i == ZBits - 1) s"h${ZBits}" else s"h${i + 1}"
+      hilbertStageSql(i, src, s"h$i")
+    }.mkString(",\n")
+    s"""WITH h$ZBits AS (
+       |  SELECT o_custkey,
+       |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d_days,
+       |    CAST(o_custkey & ${(1L << ZBits) - 1} AS BIGINT) AS x,
+       |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+       |    CAST(0 AS BIGINT) AS d
+       |  FROM orders),
+       |$stages
+       |SELECT d >> 20 AS h_bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |  MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+       |  MIN(d_days) AS min_days, MAX(d_days) AS max_days
+       |FROM h0 GROUP BY 1 ORDER BY h_bucket""".stripMargin
+  }
 }

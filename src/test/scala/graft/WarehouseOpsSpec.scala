@@ -130,6 +130,29 @@ class WarehouseOpsSpec extends AnyFunSuite {
     both.unpersist()
   }
 
+  test("hilbert index: bijective on the grid, consecutive cells are Manhattan neighbors") {
+    import graft.functions.HilbertKernel.xy2d
+    // the defining curve property on the full 16×16 grid (bits = 4):
+    // every cell gets a distinct position in [0, 256), and walking the
+    // curve in position order only ever steps to a grid NEIGHBOR — the
+    // locality guarantee Morton z-order breaks at its diagonal jumps
+    val cells = for { x <- 0 until 16; y <- 0 until 16 }
+      yield (xy2d(4, x, y), (x, y))
+    assert(cells.map(_._1).distinct.size == 256)
+    assert(cells.map(_._1).min == 0L && cells.map(_._1).max == 255L)
+    val walk = cells.sortBy(_._1).map(_._2)
+    walk.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jump between ($x1,$y1) and ($x2,$y2)")
+    }
+    // the kernel IS the expression path (sanity via the Column API)
+    import spark.implicits._
+    val got = Seq((3L, 5L)).toDF("x", "y")
+      .select(Layout.hilbertValue(col("x"), col("y"), 4).as("h"))
+      .collect().head.getLong(0)
+    assert(got == xy2d(4, 3L, 5L))
+  }
+
   test("ringShard: in-range, deterministic, successor rule matches a reference ring") {
     val ids = (0L until 3000L).toDF("id")
     val out = ids.select(col("id"), Layout.ringShard(col("id"), 8, 16).as("s"))
