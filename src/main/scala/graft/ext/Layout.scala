@@ -137,4 +137,73 @@ object Layout {
     graft.functions.RingShard.ringShard(idCol.cast("string"), s"$salt:i:",
       ring.map(_._1), ring.map(_._2))
   }
+
+  /** Deterministic 60-bit row hash for range-boundary sampling (salt
+    * distinct from the kmv/qsk/cms streams so sketches never correlate). */
+  private def rngHash(c: Column): Column =
+    conv(substring(md5(concat(lit("rng:"), c.cast("string")).cast("binary")), 1, 15), 16, 10)
+      .cast("bigint")
+
+  /** RANGE-partition boundary planning — the sort/write-layout counterpart
+    * of the hash-sharding ops above, and exactly what Spark core's
+    * `RangePartitioner` does before every global sort: draw a bounded
+    * deterministic sample, take its equi-depth quantiles as split points,
+    * and partition by "count of boundaries ≤ value". The sample here is
+    * bottom-`sampleK` rows by a salted row hash (a fixed-size coordinated
+    * sample, the q113/q117 idiom — reproducible across engines, retries
+    * and partitionings, unlike `RangePartitioner`'s seeded XORShift), so
+    * the planned boundaries are a pure function of the data.
+    *
+    * Scale shape: ONE `TakeOrderedAndProject` pass (O(partitions·k) rows
+    * move, nothing shuffles), one single-row aggregation over the ≤ k
+    * sample to rank it, and a (parts−1)-value collect — the same bounded
+    * driver artifact tier as IVF centroids and the ring table; Spark core
+    * collects its sort sample at the identical point. Boundary i is the
+    * sample value at 1-based rank (i·s) div parts + 1 — the smallest
+    * value equi-depth assigns to partition i, so with ties-right
+    * assignment a full-population sample splits EXACTLY evenly. Duplicate
+    * boundaries are kept: a value straddling a split keeps ALL its rows
+    * on one side (ties go right), which can legitimately empty a
+    * partition — callers see that in the audit, not as a silent skew. */
+  def rangeBoundaries(df: DataFrame, idCol: Column, valueCol: Column,
+                      parts: Int, sampleK: Int = 1024): Seq[Any] = {
+    require(parts >= 2, s"parts must be at least 2, got $parts")
+    require(sampleK >= parts, s"sampleK ($sampleK) must be >= parts ($parts)")
+    val bounds = df
+      .select(rngHash(idCol).as("_h"), valueCol.as("_v"))
+      .where(col("_v").isNotNull)
+      .orderBy(col("_h"), col("_v")).limit(sampleK)
+      .groupBy().agg(sort_array(collect_list(col("_v"))).as("vs"))
+      .select(explode(sequence(lit(1), lit(parts - 1))).as("i"), col("vs"))
+      .select(element_at(col("vs"),
+        expr(s"(i * size(vs)) div $parts + 1").cast("int")).as("b"))
+      .collect().map(_.get(0)).toSeq
+    require(bounds.length == parts - 1,
+      s"expected ${parts - 1} boundaries, got ${bounds.length} — sample smaller than parts?")
+    bounds
+  }
+
+  /** Assign every row to its planned range partition and report the balance
+    * audit: per-partition row count, value range, and relative load in
+    * basis points of the ideal (10000 = perfectly balanced; the integral
+    * `div` replays exactly on the oracle side). Assignment is a pure
+    * per-row expression — `size(filter(boundaries, b -> v >= b))` over the
+    * (parts−1)-literal array, no join, no shuffle beyond the final bounded
+    * aggregation — so at 100 TB the plan costs one sample pass plus one
+    * audit aggregation, and an actual re-layout write would reuse the same
+    * expression as its partition key. */
+  def rangePartitionAudit(df: DataFrame, idCol: Column, valueCol: Column,
+                          parts: Int, sampleK: Int = 1024): DataFrame = {
+    val bounds = rangeBoundaries(df, idCol, valueCol, parts, sampleK)
+    val arr = array(bounds.map(b => lit(b)): _*)
+    val rows = df.where(valueCol.isNotNull)
+      .withColumn("_part", size(filter(arr, b => valueCol >= b)).cast("long"))
+    val n = rows.groupBy().agg(count(lit(1)).as("_n"))
+    rows.groupBy(col("_part").as("part_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(valueCol).as("lo_v"), max(valueCol).as("hi_v"))
+      .join(broadcast(n))
+      .withColumn("load_bp", expr(s"(n_rows * $parts * 10000) div _n"))
+      .drop("_n")
+  }
 }

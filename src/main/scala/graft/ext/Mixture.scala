@@ -78,4 +78,63 @@ object Mixture {
         (col("_cut").isNull || col("_i") < col("_cut")).cast("int")
           .as("saturated"))
   }
+
+  /** Mixture CONCENTRATION audit — the diagnostic read before [[waterFill]]
+    * re-balances anything: how dominated is the corpus by its biggest
+    * groups? Three standard indices, all exact integer basis points so
+    * every engine agrees bit-for-bit:
+    *
+    *   - SIMPSON (Simpson '49): Σ n_i(n_i−1) / (N(N−1)) — the probability
+    *     two documents drawn without replacement share a group (10000 =
+    *     monoculture, →0 = perfectly spread);
+    *   - HHI (Herfindahl–Hirschman): Σ n_i² / N² — the antitrust
+    *     concentration measure, share-weighted average share;
+    *   - GINI: with groups ranked ascending by size (ties broken by name —
+    *     Σ i·n_i is tie-order invariant, so the rank window is
+    *     deterministic), (2·Σ i·n_i − (G+1)·N) / (G·N) — inequality of
+    *     the size distribution (0 = all groups equal).
+    *
+    * Returns one row per group (scope, n_docs, share_bp) plus the
+    * `__all__` summary row carrying the three indices. NULL group keys
+    * fold to `__null__` (the kmvRollup convention); callers with a
+    * literal `__all__`/`__null__` group value must rename first.
+    *
+    * Scale shape: ONE corpus-scale map-side-combined aggregation; every
+    * window and rollup after it runs over the G-row group table (bounded
+    * by the group-key domain), partitioned on the wholeKey constant so
+    * the plan carries no unpartitioned corpus window. */
+  def concentrationAudit(df: DataFrame, groupCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val groups = df
+      .groupBy(coalesce(col(groupCol).cast("string"), lit("__null__")).as("scope"))
+      .agg(count(lit(1)).as("n_docs"))
+    val wholeKey = substring(col("scope"), 0, 0)
+    val ord = Window.partitionBy(wholeKey)
+      .orderBy(col("n_docs").asc, col("scope").asc)
+    val whole = Window.partitionBy(wholeKey)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val g = groups
+      .withColumn("_i", row_number().over(ord))
+      .withColumn("_n", sum(col("n_docs")).over(whole))
+    val perGroup = g.select(
+      col("scope"), col("n_docs"),
+      expr("(n_docs * 10000) div _n").as("share_bp"),
+      lit(null).cast("long").as("simpson_bp"),
+      lit(null).cast("long").as("gini_bp"),
+      lit(null).cast("long").as("hhi_bp"))
+    val all = g.groupBy().agg(
+        sum(col("n_docs")).cast(dec).as("N"),
+        count(lit(1)).cast(dec).as("G"),
+        sum(col("n_docs").cast(dec) * (col("n_docs") - 1).cast(dec)).as("s2"),
+        sum(col("n_docs").cast(dec) * col("n_docs").cast(dec)).as("sq"),
+        sum(col("_i").cast(dec) * col("n_docs").cast(dec)).as("iw"))
+      .select(
+        lit("__all__").as("scope"),
+        col("N").cast("long").as("n_docs"),
+        lit(10000L).as("share_bp"),
+        when(col("N") > 1, expr("(s2 * 10000) div (N * (N - 1))")).as("simpson_bp"),
+        expr("((2 * iw - (G + 1) * N) * 10000) div (G * N)").as("gini_bp"),
+        expr("(sq * 10000) div (N * N)").as("hhi_bp"))
+    perGroup.unionByName(all)
+  }
 }

@@ -93,4 +93,79 @@ object Redact {
         sum(col("class_size")).as("n_rows"))
       .withColumn("below_l", (col("n_sensitive") < l).cast("int"))
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE '07) — the
+    * skewness-attack complement that completes the privacy triad with
+    * [[kAnonymityAudit]] and [[lDiversityAudit]]: a QI class can be
+    * k-anonymous AND l-diverse yet still leak if its sensitive-value
+    * DISTRIBUTION differs sharply from the corpus-wide one (e.g. a class
+    * where 90% share a value the corpus holds at 10% — an attacker's
+    * posterior jumps even though l distinct values are present). For a
+    * categorical sensitive attribute the class-to-global distance is the
+    * variational distance (= EMD under uniform ground distance):
+    * TV = ½ Σ_v |p_class(v) − p_global(v)|, and t-closeness requires
+    * TV ≤ t for every class.
+    *
+    * Exact rational arithmetic so every engine agrees bit-for-bit: with
+    * per-class cell counts cnt(v), class size cs, global counts g(v) and
+    * corpus size n,   TV = num / (2·cs·n)   where
+    *   num = Σ_{v in class} |cnt(v)·n − g(v)·cs| + cs·(n − Σ_{v in class} g(v))
+    * (the second term folds in every category ABSENT from the class:
+    * |0·n − g·cs| summed over them — no densifying cross join needed).
+    * Reported in basis points via integral division: tv_bp = (5000·num)
+    * div (cs·n), computed on DECIMAL(38,0) so the products survive
+    * corpus sizes up to ~10^12 rows without wraparound (the HUGEINT `//`
+    * replay in DuckDB matches because all terms are non-negative, where
+    * truncating and floor division coincide).
+    *
+    * Returns the distribution over tv buckets of width `bucketBp`: one row
+    * per bucket — n_classes, n_rows, and above_t (bucket lower edge ≥ tBp;
+    * `tBp` must be a multiple of `bucketBp` so the flag is constant within
+    * a bucket).
+    *
+    * Scale shape: one (QI, sensitive)-keyed aggregation (map-side
+    * combined; state bounded by |QI classes|·|sensitive domain|), a
+    * broadcast join of the O(|sensitive domain|)-row global distribution,
+    * one QI-keyed aggregation whose per-class state is bounded by the
+    * sensitive domain, and a bounded bucket rollup. No windows, no
+    * cross join, no collect. */
+  def tClosenessAudit(df: org.apache.spark.sql.DataFrame,
+                      qiCols: Seq[Column], sensitiveCol: Column,
+                      tBp: Int, bucketBp: Int = 500): org.apache.spark.sql.DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(tBp > 0 && tBp <= 10000, s"tBp must be in (0, 10000], got $tBp")
+    require(bucketBp > 0 && tBp % bucketBp == 0,
+      s"tBp ($tBp) must be a positive multiple of bucketBp ($bucketBp)")
+    val dec = "decimal(38,0)"
+    val base = df.select((qiCols :+ sensitiveCol.as("_sens")): _*)
+    val qiNames = base.columns.dropRight(1)
+    // Per-(class, value) cell counts — the only corpus-scale shuffle.
+    val cells = base.groupBy(base.columns.map(col): _*).agg(count(lit(1)).as("cnt"))
+    // Global sensitive distribution (tiny: one row per domain value) + n.
+    val global = base.groupBy(col("_sens")).agg(count(lit(1)).as("g"))
+    val n = base.groupBy().agg(count(lit(1)).as("n"))
+    val perClass = cells
+      .join(broadcast(global), "_sens")
+      .join(broadcast(n))
+      .groupBy(qiNames.map(col): _*)
+      .agg(
+        sum(col("cnt")).cast(dec).as("cs"),
+        sum(col("g")).cast(dec).as("g_present"),
+        first(col("n")).cast(dec).as("n"),
+        // Σ |cnt·n − g·cs| needs cs, known only after the agg — so carry the
+        // bounded (cnt, g) cells through and fold them in one projection.
+        collect_list(struct(col("cnt").cast(dec).as("cnt"),
+          col("g").cast(dec).as("g"))).as("cells"))
+      .withColumn("num",
+        aggregate(col("cells"), lit(0).cast(dec),
+          (acc, x) => acc + abs(x.getField("cnt") * col("n") -
+            x.getField("g") * col("cs"))) +
+          col("cs") * (col("n") - col("g_present")))
+      .withColumn("tv_bp", expr(s"(num * 5000) div (cs * n)"))
+    perClass
+      .withColumn("tv_bucket", expr(s"tv_bp div $bucketBp"))
+      .groupBy(col("tv_bucket"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("cs")).cast("long").as("n_rows"))
+      .withColumn("above_t", (col("tv_bucket") >= tBp / bucketBp).cast("int"))
+  }
 }

@@ -303,6 +303,49 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
   }
 
+  /** CMS inner-product JOIN-SIZE estimate (Cormode & Muthukrishnan §4.2 /
+    * the sketch form of the Alon–Matias–Szegedy F₂ estimator): the number
+    * of output pairs of an equi-join |L ⋈ R| equals Σ_key f_L(key)·f_R(key)
+    * — the inner product of the two frequency vectors — and a CMS row
+    * bounds it from above:  est = min_r Σ_bucket cntL(r,b)·cntR(r,b)
+    * (collisions only ever ADD cross terms, so each row overestimates and
+    * the min is the tightest bound). This is the query-planning artifact:
+    * a cluster estimates a join's output cardinality from two d×w grids
+    * without touching the join itself — the exact side here is the
+    * audit column the sketch replaces at scale.
+    *
+    * Scale shape: one map-side-combined aggregation per input whose state
+    * is bounded at d·w cells regardless of corpus size, one ≤ d·w-row
+    * grid-to-grid equi-join, and a d-row final min. The exact companion is
+    * a key-keyed count join — the thing that costs a corpus shuffle and is
+    * only affordable at audit scale. Products ride in DECIMAL(38,0): two
+    * 10^12-row inputs collapsing into one bucket would wrap a BIGINT, and
+    * the DuckDB replay widens to HUGEINT at the same point. */
+  def cmsJoinSize(left: DataFrame, leftKey: String,
+                  right: DataFrame, rightKey: String,
+                  d: Int = 4, w: Int = 256): DataFrame = {
+    val dec = "decimal(38,0)"
+    def grid(df: DataFrame, key: String): DataFrame =
+      df.select(explode(cmsCells(col(key), d, w)).as("_rb"))
+        .groupBy(col("_rb.r").as("r"), col("_rb.bucket").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+    val gl = grid(left, leftKey).withColumnRenamed("cnt", "cnt_l")
+    val gr = grid(right, rightKey).withColumnRenamed("cnt", "cnt_r")
+    // both grids are ≤ d·w cells by construction — broadcast the probe side
+    // so the cell join never shuffles either input's aggregation output
+    val est = gl.join(broadcast(gr), Seq("r", "bucket"))
+      .groupBy(col("r"))
+      .agg(sum(col("cnt_l").cast(dec) * col("cnt_r").cast(dec)).as("row_est"))
+      .groupBy().agg(min(col("row_est")).cast("long").as("cms_join_size"))
+    val exact = left.groupBy(col(leftKey).as("_k")).agg(count(lit(1)).as("nl"))
+      .join(right.groupBy(col(rightKey).as("_k")).agg(count(lit(1)).as("nr")), "_k")
+      .groupBy().agg(
+        coalesce(sum(col("nl").cast(dec) * col("nr").cast(dec)), lit(0).cast(dec))
+          .cast("long").as("exact_pairs"))
+    est.join(broadcast(exact))
+      .withColumn("overcount", col("cms_join_size") - col("exact_pairs"))
+  }
+
   /** Deterministic 60-bit row hash for the quantile sketch (distinct salt
     * from [[kmvHash]] so the two sketches never share hash streams). */
   def qskHash(c: Column): Column =

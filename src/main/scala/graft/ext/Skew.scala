@@ -44,4 +44,43 @@ object Skew {
       .agg(sum(value).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(col(key))
       .agg(sum(col("_psum")).as("sum_value"), sum(col("_pcnt")).as("n"))
+
+  /** Reducer-balance PLANNING audit — the before-the-job answer to "what
+    * does `spark.sql.shuffle.partitions` need to be, and will a hot key
+    * flood one reducer anyway?". For each candidate reducer count P it
+    * simulates hash partitioning (reducer = 60-bit salted md5 of the key,
+    * mod P — deterministic, so the oracle replays placement exactly) and
+    * reports the load profile: reducers actually hit, the heaviest
+    * reducer's rows, and its load in basis points of ideal (10000 =
+    * perfectly balanced; a key carrying 30% of the corpus pins
+    * max_load_bp near 3000·P regardless of P — the signature that says
+    * "salt this key", i.e. [[saltedSumCount]], not "raise partitions").
+    *
+    * Scale shape: everything after the first aggregation runs on the KEY
+    * HISTOGRAM (one corpus-scale map-side-combined groupBy — the same
+    * histogram a stats pass already materializes), exploded |candidates|
+    * times: O(NDV·|candidates|) rows, then two bounded rollups. AQE
+    * coalesces/splits at runtime; this is the plan-ahead artifact for
+    * sizing before the shuffle exists. */
+  def reducerBalanceAudit(df: DataFrame, keyCol: Column,
+                          candidates: Seq[Int]): DataFrame = {
+    require(candidates.nonEmpty && candidates.forall(_ >= 1),
+      s"need at least one candidate reducer count >= 1, got $candidates")
+    val keyed = df.select(keyCol.as("_k"))
+      .groupBy(col("_k")).agg(count(lit(1)).as("cnt"))
+      .withColumn("_h", conv(substring(md5(concat(lit("shf:"),
+        col("_k").cast("string")).cast("binary")), 1, 15), 16, 10).cast("bigint"))
+    keyed
+      .withColumn("p", explode(array(candidates.map(lit): _*)))
+      .withColumn("reducer", col("_h") % col("p"))
+      .groupBy(col("p"), col("reducer"))
+      .agg(sum(col("cnt")).as("load"), count(lit(1)).as("n_keys"))
+      .groupBy(col("p").as("candidate_p"))
+      .agg(count(lit(1)).as("n_used"),
+        sum(col("load")).as("n_rows"),
+        max(col("load")).as("max_rows"),
+        max(col("n_keys")).as("max_keys"))
+      .withColumn("max_load_bp",
+        expr("(max_rows * candidate_p * 10000) div n_rows"))
+  }
 }

@@ -408,7 +408,18 @@ object CurationQueries {
         "doc_id", "n_chars", "source", k = 128)
       .transform(tinySort(_, col("source")))
 
+  /** q139 — mixture concentration audit
+    * ([[graft.ext.Mixture.concentrationAudit]]): the diagnostic BEFORE
+    * q127's re-balancing — how dominated is the documents corpus by its
+    * biggest sources? Per-source share plus the `__all__` row's Simpson /
+    * Gini / HHI in exact integer basis points. One corpus aggregation;
+    * all index arithmetic on the bounded source table. */
+  def q139MixConcentration(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Mixture.concentrationAudit(load(spark, dir, "documents"), "source")
+      .transform(tinySort(_, col("scope")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_mix_concentration" -> (q139MixConcentration _),
     "q111_interleave" -> (q111Interleave _),
     "q117_priority_sample" -> (q117PrioritySample _),
     "q42_corpus_curation" -> (q42CorpusCuration _),
@@ -440,6 +451,33 @@ object CurationQueries {
     }.mkString("(", "\n      + ", ")")
 
   val sql: Map[String, String] = Map(
+    /* q139: same rank window (n_docs ASC, scope ASC — Σi·n is tie-order
+     * invariant) and the same exact-integer index arithmetic, widened to
+     * HUGEINT where Spark widens to DECIMAL(38,0). */
+    "q139_mix_concentration" ->
+      """WITH g AS (SELECT COALESCE(CAST(source AS VARCHAR), '__null__') AS scope,
+        |    COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        | r AS (SELECT scope, n_docs,
+        |    row_number() OVER (ORDER BY n_docs ASC, scope ASC) AS i,
+        |    SUM(n_docs) OVER () AS n, COUNT(*) OVER () AS gcnt FROM g),
+        | per AS (SELECT scope, CAST(n_docs AS BIGINT) AS n_docs,
+        |    CAST((n_docs * 10000) // n AS BIGINT) AS share_bp,
+        |    CAST(NULL AS BIGINT) AS simpson_bp,
+        |    CAST(NULL AS BIGINT) AS gini_bp,
+        |    CAST(NULL AS BIGINT) AS hhi_bp FROM r),
+        | tot AS (SELECT '__all__' AS scope,
+        |    CAST(MAX(n) AS BIGINT) AS n_docs,
+        |    CAST(10000 AS BIGINT) AS share_bp,
+        |    CASE WHEN MAX(n) > 1 THEN CAST(
+        |      (SUM(CAST(n_docs AS HUGEINT) * (n_docs - 1)) * 10000)
+        |        // (CAST(MAX(n) AS HUGEINT) * (MAX(n) - 1)) AS BIGINT) END AS simpson_bp,
+        |    CAST(((2 * SUM(CAST(i AS HUGEINT) * n_docs)
+        |        - (MAX(gcnt) + 1) * CAST(MAX(n) AS HUGEINT)) * 10000)
+        |      // (CAST(MAX(gcnt) AS HUGEINT) * MAX(n)) AS BIGINT) AS gini_bp,
+        |    CAST((SUM(CAST(n_docs AS HUGEINT) * n_docs) * 10000)
+        |      // (CAST(MAX(n) AS HUGEINT) * MAX(n)) AS BIGINT) AS hhi_bp
+        |  FROM r)
+        |SELECT * FROM per UNION ALL SELECT * FROM tot ORDER BY scope""".stripMargin,
     "q88_line_filter" ->
       """WITH m AS (SELECT doc_id,
         |    concat_ws(chr(10), text || '.',

@@ -169,9 +169,27 @@ object ExprQueries {
       .transform(tinySort(_, col("n_sensitive")))
   }
 
+  /** q135 — t-closeness audit ([[graft.ext.Redact.tClosenessAudit]], Li et
+    * al. ICDE '07): the skewness-attack check that completes the privacy
+    * triad with q122 (k-anonymity) and q129 (l-diversity) — over the QI
+    * (nation, 3000-unit balance bucket), how far each class's market-segment
+    * distribution drifts from the corpus-wide one, in exact-integer basis
+    * points of variational distance, rolled up into 500 bp buckets against
+    * t = 0.25. Two bounded aggregations + one broadcast join; the cell
+    * arithmetic is DECIMAL(38,0) end-to-end so it replays on HUGEINT. */
+  def q135TCloseness(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Redact
+    Redact.tClosenessAudit(load(spark, dir, "customer"),
+        Seq(col("c_nationkey"),
+          floor(col("c_acctbal") / 3000).cast("long").as("bal_bucket")),
+        col("c_mktsegment"), tBp = 2500, bucketBp = 500)
+      .transform(tinySort(_, col("tv_bucket")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_k_anonymity" -> (q122KAnonymity _),
     "q129_l_diversity" -> (q129LDiversity _),
+    "q135_t_closeness" -> (q135TCloseness _),
     "q34_salted_agg" -> (q34SaltedAgg _),
     "q67_pii_mask" -> (q67PiiMask _),
     "q13_part_exprs" -> (q13PartExprs _),
@@ -184,6 +202,27 @@ object ExprQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "q135_t_closeness" ->
+      """WITH base AS (SELECT c_nationkey,
+        |    CAST(floor(c_acctbal / 3000) AS BIGINT) AS bal_bucket,
+        |    c_mktsegment AS sens FROM customer),
+        |cell AS (SELECT c_nationkey, bal_bucket, sens, COUNT(*) AS cnt
+        |  FROM base GROUP BY 1, 2, 3),
+        |gdist AS (SELECT sens, COUNT(*) AS g FROM base GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM base),
+        |j AS (SELECT c.c_nationkey, c.bal_bucket, c.cnt, g.g, t.n,
+        |    SUM(c.cnt) OVER (PARTITION BY c.c_nationkey, c.bal_bucket) AS cs,
+        |    SUM(g.g) OVER (PARTITION BY c.c_nationkey, c.bal_bucket) AS g_present
+        |  FROM cell c JOIN gdist g USING (sens) CROSS JOIN tot t),
+        |cls AS (SELECT c_nationkey, bal_bucket, cs, n,
+        |    SUM(ABS(cnt * n - g * cs)) + cs * (n - g_present) AS num
+        |  FROM j GROUP BY c_nationkey, bal_bucket, cs, n, g_present),
+        |tv AS (SELECT (num * 5000) // (cs * n) AS tv_bp, cs FROM cls)
+        |SELECT CAST(tv_bp // 500 AS BIGINT) AS tv_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(cs) AS BIGINT) AS n_rows,
+        |  CASE WHEN tv_bp // 500 >= 5 THEN 1 ELSE 0 END AS above_t
+        |FROM tv GROUP BY 1, 4 ORDER BY 1""".stripMargin,
     "q129_l_diversity" ->
       """WITH cls AS (SELECT c_nationkey,
         |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket,

@@ -242,7 +242,36 @@ object ProfilingQueries {
       .transform(tinySort(_, col("prio_a"), col("prio_b")))
   }
 
+  /** q136 — CMS inner-product join-size estimation
+    * ([[graft.ext.Sketch.cmsJoinSize]], Cormode & Muthukrishnan §4.2 / the
+    * AMS F₂ form): estimate the output cardinality of the events-×-events
+    * self-join on user_id — the skew-planning question "how big would this
+    * join be" — from two 4×256 grids instead of the corpus-scale key join,
+    * with the exact inner product alongside so the overestimate law
+    * (collisions only add) is visible as a non-negative `overcount`. */
+  def q136CmsJoinSize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    Sketch.cmsJoinSize(ev, "user_id", ev, "user_id")
+  }
+
+  /** q138 — reducer-balance planning audit
+    * ([[graft.ext.Skew.reducerBalanceAudit]]): for candidate shuffle
+    * widths P ∈ {8, 16, 32}, simulate hash placement of the events
+    * user-activity aggregation and report each width's load profile —
+    * the "size spark.sql.shuffle.partitions before the job" artifact,
+    * and the diagnostic separating "raise P" from "salt the key" (a hot
+    * key's max_load_bp grows WITH P). Runs on the key histogram, not the
+    * corpus: one map-side-combined groupBy, then O(NDV·3) rows. */
+  def q138ReducerBalance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Skew
+    Skew.reducerBalanceAudit(load(spark, dir, "events"), col("user_id"),
+        Seq(8, 16, 32))
+      .transform(tinySort(_, col("candidate_p")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_cms_join_size" -> (q136CmsJoinSize _),
+    "q138_reducer_balance" -> (q138ReducerBalance _),
     "q114_sketch_overlap" -> (q114SketchOverlap _),
     "q126_sketch_diff" -> (q126SketchDiff _),
     "q71_column_profile" -> (q71ColumnProfile _),
@@ -266,6 +295,37 @@ object ProfilingQueries {
   private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
 
   val sql: Map[String, String] = Map(
+    "q138_reducer_balance" ->
+      s"""WITH hist AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+        | keyed AS (SELECT cnt,
+        |     ${hex60("'shf:' || CAST(user_id AS VARCHAR)")} AS h
+        |   FROM hist),
+        | loads AS (SELECT p.p, keyed.h % p.p AS reducer,
+        |     SUM(cnt) AS load, COUNT(*) AS n_keys
+        |   FROM keyed, (VALUES (8),(16),(32)) p(p)
+        |   GROUP BY 1, 2)
+        |SELECT CAST(p AS INTEGER) AS candidate_p,
+        |  CAST(COUNT(*) AS BIGINT) AS n_used,
+        |  CAST(SUM(load) AS BIGINT) AS n_rows,
+        |  CAST(MAX(load) AS BIGINT) AS max_rows,
+        |  CAST(MAX(n_keys) AS BIGINT) AS max_keys,
+        |  CAST((MAX(load) * p * 10000) // SUM(load) AS BIGINT) AS max_load_bp
+        |FROM loads GROUP BY p ORDER BY candidate_p""".stripMargin,
+    "q136_cms_join_size" ->
+      s"""WITH rs AS (SELECT r FROM (VALUES (0),(1),(2),(3)) t(r)),
+        | cells AS (SELECT r.r,
+        |     ${hex60("'cms:' || CAST(r.r AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)")}
+        |       % 256 AS bucket
+        |   FROM events e CROSS JOIN rs r),
+        | sk AS (SELECT r, bucket, COUNT(*) AS cnt FROM cells GROUP BY r, bucket),
+        | est AS (SELECT MIN(s) AS cms_join_size
+        |   FROM (SELECT r, SUM(cnt * cnt) AS s FROM sk GROUP BY r) t),
+        | ex AS (SELECT SUM(cnt * cnt) AS exact_pairs
+        |   FROM (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1) u)
+        |SELECT CAST(e.cms_join_size AS BIGINT) AS cms_join_size,
+        |  CAST(x.exact_pairs AS BIGINT) AS exact_pairs,
+        |  CAST(e.cms_join_size - x.exact_pairs AS BIGINT) AS overcount
+        |FROM est e CROSS JOIN ex x""".stripMargin,
     "q101_histogram" ->
       """WITH s AS (SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS mn,
         |            CAST(MAX(o_totalprice) AS DOUBLE) AS mx FROM orders),

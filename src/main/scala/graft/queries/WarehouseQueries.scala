@@ -260,7 +260,22 @@ object WarehouseQueries {
       .transform(tinySort(_, col("month"), col("bin")))
   }
 
+  /** q137 — range-partition planning audit ([[Layout.rangePartitionAudit]]):
+    * plan an 8-way range layout of orders by total price the way Spark
+    * core's `RangePartitioner` plans a global sort — a 1024-row bottom-k
+    * hash sample (deterministic, so both engines draw the SAME sample),
+    * equi-depth split points at sample ranks (i·s) div 8, then the balance
+    * audit: per-partition counts, value ranges, and load in basis points
+    * of ideal. One TakeOrdered pass + one bounded collect + one map-side
+    * assignment expression — the artifact a 100 TB sort consults before
+    * shuffling anything. */
+  def q137RangePartition(spark: SparkSession, dir: String): DataFrame =
+    Layout.rangePartitionAudit(load(spark, dir, "orders"),
+        col("o_orderkey"), col("o_totalprice"), parts = 8, sampleK = 1024)
+      .transform(tinySort(_, col("part_id")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_range_partition" -> (q137RangePartition _),
     "q76_scd2_history" -> (q76Scd2 _),
     "q118_rendezvous_shards" -> (q118RendezvousShards _),
     "q130_consistent_ring" -> (q130ConsistentRing _),
@@ -294,6 +309,28 @@ object WarehouseQueries {
       s"(((d_days >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
 
   val sql: Map[String, String] = Map(
+    /* q137: same deterministic sample (bottom-1024 by the rng: 60-bit hash),
+     * same rank arithmetic ((i*s)//8 + 1, 1-based), same ties-go-right
+     * assignment (count of boundaries <= v). */
+    "q137_range_partition" ->
+      s"""WITH hx AS (SELECT o_totalprice AS v,
+        |    ${ProfilingQueries.hex60("'rng:' || CAST(o_orderkey AS VARCHAR)")} AS hv
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        | smp AS (SELECT v FROM hx ORDER BY hv, v LIMIT 1024),
+        | sz AS (SELECT COUNT(*) AS s FROM smp),
+        | rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM smp),
+        | bounds AS (SELECT rk.v FROM rk, sz,
+        |     (VALUES (1),(2),(3),(4),(5),(6),(7)) i(i)
+        |   WHERE rk.rn = (i.i * sz.s) // 8 + 1),
+        | asn AS (SELECT h.v,
+        |     (SELECT COUNT(*) FROM bounds b WHERE h.v >= b.v) AS part_id
+        |   FROM hx h),
+        | tot AS (SELECT COUNT(*) AS n FROM hx)
+        |SELECT CAST(part_id AS BIGINT) AS part_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(v) AS lo_v, MAX(v) AS hi_v,
+        |  (COUNT(*) * 8 * 10000) // (SELECT n FROM tot) AS load_bp
+        |FROM asn GROUP BY part_id ORDER BY part_id""".stripMargin,
     /* q123: same quotient-binning arithmetic — the bin is the integer quotient of
      * the ROWS-framed running size BEFORE each file. */
     "q123_compaction_plan" ->

@@ -482,6 +482,29 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getAs[String]("p1").length == 32)
   }
 
+  test("t-closeness: hand-computed variational distance, bucket rollup, above_t flag") {
+    // Class A: 4 rows all 'x' — p_class={x:1}, global={x:.75,y:.25},
+    // TV = ½(|1−.75|+|0−.25|) = 0.25 → 2500 bp (absent-category term).
+    // Class B: 2 'x' + 2 'y' — p_class={x:.5,y:.5}, TV = ½(.25+.25) = 0.25.
+    val df = (Seq.fill(4)(("A", "x")) ++ Seq(("B", "x"), ("B", "x"), ("B", "y"), ("B", "y")))
+      .toDF("cls", "sens")
+    val out = graft.ext.Redact.tClosenessAudit(
+      df, Seq(col("cls")), col("sens"), tBp = 2500, bucketBp = 500)
+      .orderBy("tv_bucket").collect()
+    assert(out.length == 1) // both classes land in the same 2500-bp bucket
+    val r = out.head
+    assert(r.getAs[Long]("tv_bucket") == 5L)     // 2500 div 500
+    assert(r.getAs[Long]("n_classes") == 2L)
+    assert(r.getAs[Long]("n_rows") == 8L)
+    assert(r.getAs[Int]("above_t") == 1)         // 2500 >= t
+    // uniform class distribution == global → TV 0, below t
+    val uni = (Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "y"))).toDF("cls", "sens")
+    val u = graft.ext.Redact.tClosenessAudit(
+      uni, Seq(col("cls")), col("sens"), tBp = 2500, bucketBp = 500).collect()
+    assert(u.length == 1 && u.head.getAs[Long]("tv_bucket") == 0L
+      && u.head.getAs[Int]("above_t") == 0)
+  }
+
   test("multimodal: mapPartitions decode stub matches the expression path") {
     val media = Multimodal.fromDocuments(
       Seq((7L, "some payload text", "en", "src1", 17L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
@@ -755,6 +778,35 @@ class ExtSpec extends AnyFunSuite {
     val gz = graft.ext.Mixture.waterFill(z, "domain", "w", "cap", 30L)
       .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
     assert(gz == Map("z" -> 0L, "y" -> 30L))
+  }
+
+  test("concentrationAudit: hand-computed Simpson/Gini/HHI, uniform-mix zero Gini") {
+    import spark.implicits._
+    // groups A:1 B:2 C:3 (N=6, G=3): Simpson = 10000·8/30 = 2666,
+    // HHI = 10000·14/36 = 3888, Gini = (2·14 − 4·6)·10000/18 = 2222
+    val docs = (Seq("A") ++ Seq.fill(2)("B") ++ Seq.fill(3)("C")).toDF("src")
+    val out = graft.ext.Mixture.concentrationAudit(docs.repartition(3), "src")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Long]("share_bp") == 1666L)
+    assert(out("B").getAs[Long]("share_bp") == 3333L)
+    assert(out("C").getAs[Long]("share_bp") == 5000L)
+    assert(out("A").isNullAt(3) && out("A").isNullAt(4) && out("A").isNullAt(5))
+    val all = out("__all__")
+    assert(all.getAs[Long]("n_docs") == 6L)
+    assert(all.getAs[Long]("simpson_bp") == 2666L)
+    assert(all.getAs[Long]("gini_bp") == 2222L)
+    assert(all.getAs[Long]("hhi_bp") == 3888L)
+    // perfectly even mix → Gini exactly 0, Simpson = (N/G − 1)/(N − 1)
+    val even = (Seq.fill(2)("A") ++ Seq.fill(2)("B")).toDF("src")
+    val e = graft.ext.Mixture.concentrationAudit(even, "src")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(e("__all__").getAs[Long]("gini_bp") == 0L)
+    assert(e("__all__").getAs[Long]("simpson_bp") == 3333L)
+    // null keys fold to __null__
+    val withNull = Seq(Some("A"), None, None).toDF("src")
+    val n = graft.ext.Mixture.concentrationAudit(withNull, "src")
+      .collect().map(_.getString(0)).toSet
+    assert(n == Set("A", "__null__", "__all__"))
   }
 
   test("survivorship: first-non-null, longest, source-priority elections") {

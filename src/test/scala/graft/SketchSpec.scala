@@ -260,6 +260,31 @@ class SketchSpec extends AnyFunSuite {
     assert(r.getAs[Long]("est_jaccard_bp") == 0L)
   }
 
+  test("CMS join-size estimate: exact inner product when collision-free, overestimate law always") {
+    // 10 distinct keys into a 4x256 grid — collisions essentially impossible,
+    // so min_r sum(cntL*cntR) must EQUAL the true join size.
+    val left = (1 to 100).map(i => i % 10L).toDF("k")      // each key 10 times
+    val right = (1 to 40).map(i => i % 10L).toDF("k")      // each key 4 times
+    val r = Sketch.cmsJoinSize(left, "k", right, "k").head()
+    assert(r.getAs[Long]("exact_pairs") == 10L * 10 * 4)   // 10 keys x 10 x 4
+    assert(r.getAs[Long]("cms_join_size") == 400L)
+    assert(r.getAs[Long]("overcount") == 0L)
+    // skewed self-join: exact = sum cnt^2; estimate >= exact by construction
+    val skew = ((1 to 900).map(_ => 1L) ++ (1 to 300).map(i => (i % 50 + 2).toLong)).toDF("k")
+    val s = Sketch.cmsJoinSize(skew, "k", skew, "k").head()
+    assert(s.getAs[Long]("exact_pairs") == 900L * 900 + 50 * 36) // 50 keys x 6^2
+    assert(s.getAs[Long]("cms_join_size") >= s.getAs[Long]("exact_pairs"))
+    assert(s.getAs[Long]("overcount") >= 0L)
+  }
+
+  test("CMS join-size: disjoint key sets estimate near zero, never negative pairs") {
+    val left = (1 to 50).map(i => i.toLong).toDF("k")
+    val right = (1 to 50).map(i => (i + 1000).toLong).toDF("k")
+    val r = Sketch.cmsJoinSize(left, "k", right, "k").head()
+    assert(r.getAs[Long]("exact_pairs") == 0L)
+    assert(r.getAs[Long]("cms_join_size") >= 0L) // collisions may lift it above 0
+  }
+
   test("sampled quantiles land within 3 standard errors of true rank (k=256)") {
     // classical sampling bound: rank of the sample q-quantile in the
     // population deviates from q by ~sqrt(q(1-q)/k); md5 hashes freeze the

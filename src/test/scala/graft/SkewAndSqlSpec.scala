@@ -34,6 +34,28 @@ class SkewAndSqlSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("reducerBalanceAudit: conservation, bounds, and the hot-key signature") {
+    val out = Skew.reducerBalanceAudit(big, col("k"), Seq(4, 8, 16))
+      .orderBy("candidate_p").collect()
+    assert(out.map(_.getAs[Int]("candidate_p")).toSeq == Seq(4, 8, 16))
+    out.foreach { r =>
+      val p = r.getAs[Int]("candidate_p")
+      assert(r.getAs[Long]("n_rows") == 1000L)           // every width sees all rows
+      assert(r.getAs[Long]("n_used") <= p)
+      assert(r.getAs[Long]("max_rows") >= 901L)          // key 0 carries 901 rows:
+      assert(r.getAs[Long]("max_load_bp") >= 10000L)     // no width can balance it,
+    }
+    // ...and the signature grows with P: more reducers, same hot reducer
+    val bps = out.map(_.getAs[Long]("max_load_bp"))
+    assert(bps(2) > bps(0), s"hot-key max_load_bp should grow with P: $bps")
+    // uniform keys: every width lands near ideal
+    val uniform = (1 to 4096).map(i => i.toLong).toDF("k")
+    Skew.reducerBalanceAudit(uniform, col("k"), Seq(8)).collect().foreach { r =>
+      assert(r.getAs[Long]("n_used") == 8L)
+      assert(r.getAs[Long]("max_load_bp") < 13000L, s"uniform keys skewed: $r")
+    }
+  }
+
   test("graft_dot is callable from SQL after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")

@@ -130,6 +130,29 @@ class WarehouseOpsSpec extends AnyFunSuite {
     both.unpersist()
   }
 
+  test("rangePartitionAudit: conservation, ordered disjoint ranges, full-sample exactness") {
+    // values 0..1999 with unique ids; sampleK >= population → the "sample"
+    // IS the population, so 8 equi-depth parts must each hold exactly 250
+    // rows at load_bp 10000 (the planner's no-sampling-error base case)
+    val df = (0L until 2000L).map(i => (i, (i * 7919) % 2000)).toDF("id", "v")
+    val out = Layout.rangePartitionAudit(df, col("id"), col("v"),
+      parts = 8, sampleK = 4096).orderBy("part_id").collect()
+    assert(out.map(_.getAs[Long]("part_id")).toSeq == (0L until 8L))
+    assert(out.forall(_.getAs[Long]("n_rows") == 250L))
+    assert(out.forall(_.getAs[Long]("load_bp") == 10000L))
+    // ranges are disjoint and ordered: part i's max < part i+1's min
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi_v") < b.getAs[Long]("lo_v"))
+    }
+    // sampled path: boundaries from a 256-row sample still conserve rows
+    // and keep every partition within sampling error of ideal
+    val s = Layout.rangePartitionAudit(df, col("id"), col("v"),
+      parts = 4, sampleK = 256).collect()
+    assert(s.map(_.getAs[Long]("n_rows")).sum == 2000L)
+    s.foreach(r => assert(math.abs(r.getAs[Long]("load_bp") - 10000L) < 3000L,
+      s"sampled partition far off ideal: ${r}"))
+  }
+
   test("hilbert index: bijective on the grid, consecutive cells are Manhattan neighbors") {
     import graft.functions.HilbertKernel.xy2d
     // the defining curve property on the full 16×16 grid (bits = 4):
