@@ -207,4 +207,53 @@ object Linkage {
     mentions.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_mentions"), aggs: _*)
   }
+
+  /** Blocking-quality evaluation (the standard record-linkage eval pair,
+    * Christen's survey metrics): for each candidate-generation strategy,
+    *
+    *   - REDUCTION RATIO = 1 − comparisons/total-pairs — how much of the
+    *     quadratic comparison space the blocking avoided;
+    *   - PAIRS COMPLETENESS = caught-true-pairs/true-pairs — how many real
+    *     duplicates survive into the candidate set;
+    *
+    * both as exact integer basis points. Ground truth is ALL pairs at
+    * `levenshtein ≤ maxDist` over `sample` — deliberately quadratic: the
+    * exact all-pairs sweep is precisely what blocking avoids at corpus
+    * scale, so it exists ONLY on the caller's bounded deterministic sample
+    * (the q116 discipline — quadratic work confined by contract; the
+    * broadcast self-join squares the s-row sample, never the corpus).
+    *
+    * `strategies` maps labels to candidate-pair frames over the SAME
+    * sample, each carrying a `dist` column (generate them with
+    * [[blockedFuzzyPairs]] / [[sortedNeighborPairs]] at an unbounded
+    * maxDist so comparisons are counted BEFORE the distance filter).
+    * Include the all-pairs frame itself as a baseline row and the output
+    * shows the whole trade: completeness 10000 at reduction 0. */
+  def blockingQuality(sample: DataFrame, nameCol: String,
+                      strategies: Seq[(String, DataFrame)],
+                      maxDist: Int): DataFrame = {
+    require(strategies.nonEmpty, "need at least one strategy")
+    val names = sample.select(col(nameCol).as("name"))
+    val counts = names.groupBy().agg(count(lit(1)).as("s"))
+    val truth = names.as("a")
+      .join(broadcast(names.select(col("name").as("name_b"))),
+        col("name") < col("name_b"))
+      .filter(levenshtein(col("name"), col("name_b")) <= maxDist)
+      .groupBy().agg(count(lit(1)).as("n_true"))
+    val rows = strategies.map { case (label, cand) =>
+      cand.select(col("dist"))
+        .groupBy().agg(count(lit(1)).as("n_comparisons"),
+          coalesce(sum(when(col("dist") <= maxDist, 1L).otherwise(0L)), lit(0L))
+            .as("n_caught"))
+        .withColumn("strategy", lit(label))
+    }.reduce(_ unionByName _)
+    rows.join(broadcast(truth)).join(broadcast(counts))
+      .withColumn("n_total_pairs", expr("(s * (s - 1)) div 2"))
+      .select(col("strategy"), col("n_comparisons"), col("n_caught"),
+        col("n_true").as("n_true_pairs"), col("n_total_pairs"),
+        when(col("n_true") > 0,
+          expr("(10000 * n_caught) div n_true")).as("completeness_bp"),
+        expr("(10000 * (n_total_pairs - n_comparisons)) div n_total_pairs")
+          .as("reduction_bp"))
+  }
 }

@@ -269,7 +269,46 @@ object AdvancedJoinQueries {
       .transform(tinySort(_, col("name_a"), col("name_b")))
   }
 
+  /** q140 — blocking-quality evaluation
+    * ([[graft.ext.Linkage.blockingQuality]]): the eval tier over q97's
+    * hash blocking and q133's two-pass sorted neighborhood — on a
+    * deterministic bottom-400-by-md5 sample of distinct part names,
+    * reduction ratio and pairs completeness against exact all-pairs
+    * levenshtein ≤ 2 ground truth, with the all-pairs baseline row making
+    * the trade visible (completeness 10000 at reduction 0). The q104
+    * LSH-eval analog for entity resolution: candidates are counted BEFORE
+    * the distance filter (an unbounded maxDist run of each strategy), and
+    * the quadratic truth sweep exists only on the sample by contract. */
+  def q140BlockingQuality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Linkage
+    val hv = conv(substring(md5(concat(lit("blk:"), col("name"))
+      .cast("binary")), 1, 15), 16, 10).cast("bigint")
+    val sample = load(spark, dir, "part")
+      .groupBy(col("p_name").as("name")).agg(min(col("p_partkey")).as("min_id"))
+      .orderBy(hv, col("name")).limit(400)
+      .localCheckpoint() // five consumers: truth + 3 strategies + count
+    val wide = 1 << 20 // unbounded distance: count comparisons pre-filter
+    val hash = Linkage.blockedFuzzyPairs(sample, "min_id", "name",
+      blockKey = name => element_at(split(name, " "), -1), maxDist = wide)
+    def pass(key: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Linkage.sortedNeighborPairs(sample, "min_id", "name",
+        window = 5, maxDist = wide, sortKey = key)
+    val sn = pass(identity).unionByName(pass(reverse))
+      .select(col("name_a"), col("name_b"), col("dist")).distinct()
+    val names = sample.select(col("name"))
+    val allPairs = names.as("a")
+      .join(broadcast(names.select(col("name").as("name_b"))),
+        col("name") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name"), col("name_b")))
+    Linkage.blockingQuality(sample, "name",
+        Seq("hash_block" -> hash, "sorted_2pass" -> sn,
+          "all_pairs" -> allPairs),
+        maxDist = 2)
+      .transform(tinySort(_, col("strategy")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_blocking_quality" -> (q140BlockingQuality _),
     "q121_golden_record" -> (q121GoldenRecord _),
     "q125_survivorship_rules" -> (q125SurvivorshipRules _),
     "q133_sorted_neighbors" -> (q133SortedNeighbors _),
@@ -287,6 +326,53 @@ object AdvancedJoinQueries {
   )
 
   val sql: Map[String, String] = Map(
+    /* q140: same bottom-400 sample (blk: 60-bit hash), same pre-filter
+     * comparison counting, same exact all-pairs truth on the sample. */
+    "q140_blocking_quality" ->
+      s"""WITH v AS (SELECT p_name AS name FROM part GROUP BY 1),
+        | smp AS (SELECT name FROM (SELECT name,
+        |     ${ProfilingQueries.hex60("'blk:' || name")} AS hv FROM v)
+        |   ORDER BY hv, name LIMIT 400),
+        | sz AS (SELECT COUNT(*) AS s FROM smp),
+        | ap AS (SELECT a.name AS name_a, b.name AS name_b,
+        |     levenshtein(a.name, b.name) AS dist
+        |   FROM smp a JOIN smp b ON a.name < b.name),
+        | tr AS (SELECT COUNT(*) AS n_true FROM ap WHERE dist <= 2),
+        | hb AS (SELECT COUNT(*) AS n_comparisons,
+        |     COALESCE(SUM(CASE WHEN dist <= 2 THEN 1 ELSE 0 END), 0) AS n_caught
+        |   FROM (SELECT levenshtein(a.name, b.name) AS dist
+        |     FROM (SELECT name, string_split(name, ' ')[-1] AS block FROM smp) a
+        |     JOIN (SELECT name, string_split(name, ' ')[-1] AS block FROM smp) b
+        |       ON a.block = b.block AND a.name < b.name)),
+        | rf AS (SELECT name, row_number() OVER (ORDER BY name) AS rk FROM smp),
+        | rr AS (SELECT name,
+        |     row_number() OVER (ORDER BY reverse(name), name) AS rk FROM smp),
+        | snp AS (SELECT least(a.name, b.name) AS name_a,
+        |     greatest(a.name, b.name) AS name_b,
+        |     levenshtein(a.name, b.name) AS dist
+        |   FROM rf a JOIN rf b ON b.rk > a.rk AND b.rk <= a.rk + 5
+        |   UNION
+        |   SELECT least(a.name, b.name), greatest(a.name, b.name),
+        |     levenshtein(a.name, b.name)
+        |   FROM rr a JOIN rr b ON b.rk > a.rk AND b.rk <= a.rk + 5),
+        | sn AS (SELECT COUNT(*) AS n_comparisons,
+        |     COALESCE(SUM(CASE WHEN dist <= 2 THEN 1 ELSE 0 END), 0) AS n_caught
+        |   FROM snp),
+        | apm AS (SELECT COUNT(*) AS n_comparisons,
+        |     COALESCE(SUM(CASE WHEN dist <= 2 THEN 1 ELSE 0 END), 0) AS n_caught
+        |   FROM ap),
+        | m AS (SELECT 'hash_block' AS strategy, * FROM hb
+        |   UNION ALL SELECT 'sorted_2pass', * FROM sn
+        |   UNION ALL SELECT 'all_pairs', * FROM apm)
+        |SELECT strategy, CAST(n_comparisons AS BIGINT) AS n_comparisons,
+        |  CAST(n_caught AS BIGINT) AS n_caught,
+        |  CAST(t.n_true AS BIGINT) AS n_true_pairs,
+        |  CAST((s.s * (s.s - 1)) // 2 AS BIGINT) AS n_total_pairs,
+        |  CAST(CASE WHEN t.n_true > 0
+        |    THEN (10000 * n_caught) // t.n_true END AS BIGINT) AS completeness_bp,
+        |  CAST((10000 * ((s.s * (s.s - 1)) // 2 - n_comparisons))
+        |    // ((s.s * (s.s - 1)) // 2) AS BIGINT) AS reduction_bp
+        |FROM m, tr t, sz s ORDER BY strategy""".stripMargin,
     /* q121: the three feeds replayed inline; consensus via the same
      * (count DESC, max-clock DESC, value) election window; recency via a
      * null-filtered (clock DESC, value DESC) row_number window — the

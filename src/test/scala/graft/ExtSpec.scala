@@ -780,6 +780,38 @@ class ExtSpec extends AnyFunSuite {
     assert(gz == Map("z" -> 0L, "y" -> 30L))
   }
 
+  test("blockingQuality: all-pairs baseline is exact, strategies bounded by it") {
+    import spark.implicits._
+    import graft.ext.Linkage
+    // 6 names, planted dup pair ("red widget","rad widget") shares the
+    // last-token block; ("alpha unit","alpha unyt") differs in the block
+    // token so hash blocking MUST miss it while all-pairs catches both
+    val sample = Seq("red widget", "rad widget", "alpha unit", "alpha unyt",
+      "gamma tool", "delta lathe").zipWithIndex
+      .map { case (n, i) => (n, i.toLong) }.toDF("name", "min_id")
+    val wide = 1 << 20
+    val hash = Linkage.blockedFuzzyPairs(sample, "min_id", "name",
+      blockKey = n => element_at(split(n, " "), -1), maxDist = wide)
+    val names = sample.select(col("name"))
+    val allPairs = names.as("a")
+      .join(names.select(col("name").as("name_b")), col("name") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name"), col("name_b")))
+    val out = Linkage.blockingQuality(sample, "name",
+      Seq("hash_block" -> hash, "all_pairs" -> allPairs), maxDist = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ap = out("all_pairs")
+    assert(ap.getAs[Long]("n_total_pairs") == 15L)         // C(6,2)
+    assert(ap.getAs[Long]("n_comparisons") == 15L)
+    assert(ap.getAs[Long]("n_true_pairs") == 2L)
+    assert(ap.getAs[Long]("completeness_bp") == 10000L)    // baseline law
+    assert(ap.getAs[Long]("reduction_bp") == 0L)
+    val hb = out("hash_block")
+    assert(hb.getAs[Long]("n_caught") == 1L)               // block-token typo missed
+    assert(hb.getAs[Long]("completeness_bp") == 5000L)
+    assert(hb.getAs[Long]("n_comparisons") <= 15L)
+    assert(hb.getAs[Long]("reduction_bp") > 0L)
+  }
+
   test("concentrationAudit: hand-computed Simpson/Gini/HHI, uniform-mix zero Gini") {
     import spark.implicits._
     // groups A:1 B:2 C:3 (N=6, G=3): Simpson = 10000·8/30 = 2666,
