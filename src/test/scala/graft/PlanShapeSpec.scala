@@ -418,6 +418,39 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q137 range assignment is map-only: boundary array rides as a literal, no join, no window") {
+    // the planned-layout claim: once boundaries exist (one bounded sample
+    // pass), assigning every row costs a scan-stage expression — the audit
+    // aggregation is the ONLY exchange, and no per-row join/window appears
+    import org.apache.spark.sql.functions._
+    val orders = graft.util.Tables.load(spark, dir, "orders")
+    val bounds = graft.ext.Layout.rangeBoundaries(orders,
+      col("o_orderkey"), col("o_totalprice"), parts = 4, sampleK = 64)
+    val arr = array(bounds.map(b => lit(b)): _*)
+    val plan = orders.where(col("o_totalprice").isNotNull)
+      .withColumn("p", size(filter(arr, b => col("o_totalprice") >= b)))
+      .groupBy(col("p")).agg(count(lit(1)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+    val ex = "Exchange".r.findAllIn(plan).length
+    assert(ex == 1, s"expected exactly the audit aggregation exchange, got $ex:\n$plan")
+  }
+
+  test("q138 reducer-balance audit runs on the key histogram: one corpus exchange, then bounded work") {
+    // the planning-audit claim: the corpus is touched by ONE
+    // map-side-combined aggregation; the candidate explosion and both
+    // rollups operate on histogram rows (partial_count must appear below
+    // the first exchange), with no join anywhere
+    import org.apache.spark.sql.functions._
+    val plan = graft.ext.Skew.reducerBalanceAudit(
+        graft.util.Tables.load(spark, dir, "events"), col("user_id"),
+        Seq(8, 16))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"key histogram must partial-aggregate below the shuffle:\n$plan")
+  }
+
   test("q124 BPE encode pass is map-side only: fused kernel, no Exchange, no Join") {
     // the tokenizer-apply claim: with the merge table a codegen constant,
     // encoding is scan-stage work — the relational spelling's R rounds of

@@ -153,6 +153,24 @@ class WarehouseOpsSpec extends AnyFunSuite {
       s"sampled partition far off ideal: ${r}"))
   }
 
+  test("zone-map pruning: range layout never scans more files than hash, prunes strictly more overall") {
+    val out = graft.queries.WarehouseQueries
+      .q141ZoneMapPruning(spark, "/root/testdata/sf0.001").collect()
+    val byLayout = out.groupBy(_.getString(0))
+    val hashByPred = byLayout("hash")
+      .map(r => r.getAs[Int]("pred_id") -> r.getAs[Long]("n_scanned")).toMap
+    byLayout("range").foreach { r =>
+      assert(r.getAs[Long]("n_scanned") <= hashByPred(r.getAs[Int]("pred_id")),
+        s"range scanned more than hash: $r")
+    }
+    val rangePruned = byLayout("range").map(_.getAs[Long]("pruned_bp")).sum
+    val hashPruned = byLayout("hash").map(_.getAs[Long]("pruned_bp")).sum
+    assert(rangePruned > hashPruned,
+      s"range layout should prune strictly more: range=$rangePruned hash=$hashPruned")
+    // conservation: every (layout, predicate) accounts for all rows
+    out.foreach(r => assert(r.getAs[Long]("rows_scanned") <= r.getAs[Long]("rows_total")))
+  }
+
   test("hilbert index: bijective on the grid, consecutive cells are Manhattan neighbors") {
     import graft.functions.HilbertKernel.xy2d
     // the defining curve property on the full 16×16 grid (bits = 4):
