@@ -33,7 +33,8 @@ object AuctionPipelineDemo {
     // batch path
     val bronze = Flatten.bronze(spark, rawDir)
     // rescrape list goes through the distributed text sink (S8), not a
-    // driver-side collect; read back only for the demo printout
+    // driver-side collect; the collect below is DEMO-ONLY (prints the tiny
+    // fixture's URL list) — the engine path ends at writeUrlList
     graft.sources.TextSources.writeUrlList(Validate.rescrapeUrls(bronze), s"$work/rescrape")
     val rescrape = spark.read.text(s"$work/rescrape").collect().map(_.getString(0)).sorted
     val silver = Silver.run(bronze)

@@ -178,8 +178,15 @@ object Layout {
       .select(element_at(col("vs"),
         expr(s"(i * size(vs)) div $parts + 1").cast("int")).as("b"))
       .collect().map(_.get(0)).toSeq
-    require(bounds.length == parts - 1,
-      s"expected ${parts - 1} boundaries, got ${bounds.length} — sample smaller than parts?")
+    // explode(sequence(1, parts-1)) always yields parts-1 rows, so the row
+    // COUNT cannot detect a degenerate sample — but an EMPTY sample makes
+    // element_at return NULL (or throw under ANSI), so validate the realized
+    // boundary VALUES. A small-but-nonempty sample (parts > |sample| ≥ 1) is
+    // fine by the documented semantics: ranks clamp inside the sample and
+    // duplicate boundaries legitimately empty partitions.
+    require(bounds.length == parts - 1 && bounds.forall(_ != null),
+      s"range sample is empty (all-NULL ${valueCol} or empty input) — " +
+        "cannot plan boundaries")
     bounds
   }
 

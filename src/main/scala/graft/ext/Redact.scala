@@ -137,7 +137,14 @@ object Redact {
     require(bucketBp > 0 && tBp % bucketBp == 0,
       s"tBp ($tBp) must be a positive multiple of bucketBp ($bucketBp)")
     val dec = "decimal(38,0)"
-    val base = df.select((qiCols :+ sensitiveCol.as("_sens")): _*)
+    // NULL sensitive values are a distribution category of their own, not
+    // rows to drop: fold them to a sentinel BEFORE aggregating, otherwise
+    // the null-unsafe global join would silently exclude them from class
+    // sizes and TV — a privacy audit understating exactly the rows whose
+    // value is unknown. The cast-to-string is injective for audit purposes
+    // (distinct values stay distinct) and lets one sentinel serve any type.
+    val base = df.select((qiCols :+
+      coalesce(sensitiveCol.cast("string"), lit("__null__")).as("_sens")): _*)
     val qiNames = base.columns.dropRight(1)
     // Per-(class, value) cell counts — the only corpus-scale shuffle.
     val cells = base.groupBy(base.columns.map(col): _*).agg(count(lit(1)).as("cnt"))

@@ -332,11 +332,19 @@ object Sketch {
     val gl = grid(left, leftKey).withColumnRenamed("cnt", "cnt_l")
     val gr = grid(right, rightKey).withColumnRenamed("cnt", "cnt_r")
     // both grids are ≤ d·w cells by construction — broadcast the probe side
-    // so the cell join never shuffles either input's aggregation output
-    val est = gl.join(broadcast(gr), Seq("r", "bucket"))
+    // so the cell join never shuffles either input's aggregation output.
+    // LEFT join + coalesce-to-0: a bucket absent from the right grid
+    // contributes 0 to the inner product, and an entire row with zero
+    // shared buckets must still participate in the min (an inner join
+    // would drop it, loosening the bound — and a fully disjoint pair
+    // would return NULL instead of the correct estimate 0).
+    val est = gl.join(broadcast(gr), Seq("r", "bucket"), "left")
       .groupBy(col("r"))
-      .agg(sum(col("cnt_l").cast(dec) * col("cnt_r").cast(dec)).as("row_est"))
-      .groupBy().agg(min(col("row_est")).cast("long").as("cms_join_size"))
+      .agg(sum(col("cnt_l").cast(dec) *
+        coalesce(col("cnt_r"), lit(0L)).cast(dec)).as("row_est"))
+      .groupBy().agg(
+        coalesce(min(col("row_est")), lit(0).cast(dec))
+          .cast("long").as("cms_join_size"))
     val exact = left.groupBy(col(leftKey).as("_k")).agg(count(lit(1)).as("nl"))
       .join(right.groupBy(col(rightKey).as("_k")).agg(count(lit(1)).as("nr")), "_k")
       .groupBy().agg(

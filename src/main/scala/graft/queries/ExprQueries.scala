@@ -205,7 +205,8 @@ object ExprQueries {
     "q135_t_closeness" ->
       """WITH base AS (SELECT c_nationkey,
         |    CAST(floor(c_acctbal / 3000) AS BIGINT) AS bal_bucket,
-        |    c_mktsegment AS sens FROM customer),
+        |    COALESCE(CAST(c_mktsegment AS VARCHAR), '__null__') AS sens
+        |  FROM customer),
         |cell AS (SELECT c_nationkey, bal_bucket, sens, COUNT(*) AS cnt
         |  FROM base GROUP BY 1, 2, 3),
         |gdist AS (SELECT sens, COUNT(*) AS g FROM base GROUP BY 1),

@@ -300,7 +300,10 @@ object WarehouseQueries {
     val arr = array(bounds.map(b => lit(b)): _*)
     val hv = conv(substring(md5(concat(lit("zmf:"), col("o_orderkey")
       .cast("string")).cast("binary")), 1, 15), 16, 10).cast("bigint")
-    val base = orders.select(col("o_totalprice").as("v"),
+    // same null-value filter as rangePartitionAudit (and the SQL replay):
+    // a NULL price belongs to no zone map's [min, max]
+    val base = orders.where(col("o_totalprice").isNotNull)
+      .select(col("o_totalprice").as("v"),
       size(filter(arr, b => col("o_totalprice") >= b)).cast("long").as("f_range"),
       (hv % 8).as("f_hash"))
     val long = base.select(lit("range").as("layout"), col("f_range").as("file"), col("v"))

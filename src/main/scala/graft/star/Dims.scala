@@ -183,6 +183,13 @@ object Dims {
       table -> (if (wh.exists(table)) wh.cachedMaxId(table)(0L) else 0L) }.toMap
     val offExpr = specs.map { case (table, _, _, _) =>
       when(col("_dim") === table, lit(offsets(table))) }.reduce(coalesce(_, _))
+    // BOUNDED-KEY CONTRACT: this window funnels each dim's NEW keys through
+    // one task per dim — deliberate and safe ONLY because dim key domains
+    // are vocabulary-sized (makes, transmissions, statuses… ≤ tens of
+    // thousands by construction), so the per-task row count is bounded
+    // regardless of fact volume. Do NOT reuse this id-assignment shape for
+    // a corpus-scale key domain — that needs zipWithIndex-style per-
+    // partition offsets instead.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_dim")).orderBy(col("_key").asc_nulls_last)
     val assigned = newRows
