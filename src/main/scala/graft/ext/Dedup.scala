@@ -119,8 +119,8 @@ object Dedup {
     * signature slots hashed with the band index as salt. Shared by the
     * self-join ([[lshCandidatePairs]]) and cross-corpus
     * ([[crossCorpusCandidates]]) LSH paths. */
-  private def bandKeys(sig: DataFrame, idCol: String,
-                       numHashes: Int, bands: Int): DataFrame = {
+  private[graft] def bandKeys(sig: DataFrame, idCol: String,
+                              numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
     val bandDfs = (0 until bands).map { b =>

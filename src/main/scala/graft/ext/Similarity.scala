@@ -384,6 +384,112 @@ object Similarity {
         col("_drop").isNull.as("kept"))
   }
 
+  /** Product-quantization ANN top-k (Jégou, Douze & Schmid, TPAMI '11 —
+    * the PQ/ADC construction behind FAISS's `IndexPQ`): the compressed-
+    * domain completion of the quantization story begun by [[quantizeInt8]]
+    * and [[ivfTopK]]. Vectors are globally int8-quantized (ONE corpus-wide
+    * scale, so quantized distances are comparable across vectors), split
+    * into `m` subvectors, and each subvector is encoded as the index of its
+    * nearest codebook centroid — the corpus is then searched WITHOUT
+    * touching float vectors: a query precomputes, per subquantizer, its
+    * distance to every centroid (the ADC lookup table), the scan sums m
+    * table lookups per candidate, and only the `shortlist` best ADC
+    * candidates get an exact float cosine re-rank.
+    *
+    * Codebooks are the deterministic hash-sample idiom of [[ivfTopK]]: the
+    * `ksub` corpus vectors first in md5(id) order, quantized IN the engine
+    * (so round semantics are engine-exact), subvector-sliced. Real
+    * deployments refine per-subquantizer centroids with k-means; the
+    * sampling init is the deterministic, oracle-checkable instance of the
+    * same structure. All encode/ADC arithmetic is INTEGER (squared L2 in
+    * int8 space — bounded by m·subDim·254² < 2^23), so codes, lookup
+    * tables and ADC distances replay bit-for-bit relationally; floats
+    * appear only in the final rounded re-rank, the established engine
+    * boundary.
+    *
+    * Scale shape: code assignment and the ADC scan are pure map-side
+    * expression projections against plan-literal codebooks and a BROADCAST
+    * query-side LUT frame (the corpus never shuffles); the shortlist is the
+    * bounded [[TopK]] aggregation carrying O(queries·shortlist) rows; the
+    * re-rank re-enters float vectors by id for shortlist ids only. The two
+    * driver collects (global max-abs, ksub sample) are the bounded-artifact
+    * tier of the IVF centroids. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+             shortlist: Int = 20): DataFrame = {
+    require(corpus.schema(idCol).dataType == org.apache.spark.sql.types.LongType,
+      s"pqTopK: id column '$idCol' must be LongType, got " +
+        s"${corpus.schema(idCol).dataType.simpleString} — cast it upstream")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val e = corpus.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
+    // global symmetric scale — one scalar agg; per-vector scales would make
+    // quantized distances incomparable across vectors
+    val gmaxRow = e.agg(max(array_max(transform(col("_v"), x => abs(x))))).head()
+    val gmax = if (gmaxRow.isNullAt(0)) 0.0 else gmaxRow.getDouble(0)
+    val safe = if (gmax > 0) gmax / 127.0 else 1.0
+    def quant(v: Column): Column = transform(v, x =>
+      least(greatest(round(x / lit(safe)), lit(-127.0)), lit(127.0)).cast("int"))
+    // codebooks: the md5-ordered sample's QUANTIZED vectors, quantized by
+    // the engine itself so driver arithmetic can never drift from the plan
+    val sample: Array[Array[Int]] = e
+      .orderBy(md5(col("_id").cast("string").cast("binary"))).limit(ksub)
+      .select(quant(col("_v")).as("_q"))
+      .collect().map(_.getSeq[Int](0).toArray)
+    require(sample.nonEmpty, "pqTopK: empty corpus — no codebook sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqTopK: dim $dim must be divisible by m=$m")
+    val subDim = dim / m
+    // per-(subquantizer, centroid) squared-L2 distance expression on a
+    // quantized vector column — exact integer arithmetic
+    def subDist(qv: Column, mi: Int, j: Int): Column =
+      (0 until subDim).map { d =>
+        val qd = element_at(qv, mi * subDim + d + 1).cast("long")
+        val cd = lit(sample(j)(mi * subDim + d).toLong)
+        (qd - cd) * (qd - cd)
+      }.reduce(_ + _)
+    def distArr(qv: Column, mi: Int): Column =
+      array(sample.indices.map(j => subDist(qv, mi, j)): _*)
+    // corpus codes: materialize each distance array ONCE, then argmin via
+    // array_position(array_min) — first index wins ties (smaller centroid)
+    val coded = e.withColumn("_q", quant(col("_v")))
+      .select(col("_id").as("cand_id") +:
+        (0 until m).map(mi => distArr(col("_q"), mi).as(s"_da$mi")): _*)
+      .select(col("cand_id") +: (0 until m).map(mi =>
+        (array_position(col(s"_da$mi"), array_min(col(s"_da$mi"))) - 1)
+          .cast("int").as(s"code_$mi")): _*)
+    // query-side ADC lookup tables (tiny frame, broadcast)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("_qq", quant(col("qv")))
+      .select(col("query_id") +:
+        (0 until m).map(mi => distArr(col("_qq"), mi).as(s"lut_$mi")): _*)
+    val adc = coded.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .withColumn("adc_dist",
+        (0 until m).map(mi => element_at(col(s"lut_$mi"), col(s"code_$mi") + 1))
+          .reduce(_ + _))
+      .select(col("query_id"), col("cand_id"), col("adc_dist"))
+    // bounded ADC shortlist (asc distance ≡ desc negated score, id ties asc)
+    val short = TopK.topKPerGroup(
+        adc.withColumn("_score", -col("adc_dist").cast("double")),
+        "query_id", "cand_id", "_score", shortlist)
+      .withColumn("adc_dist", (-col("_score")).cast("long"))
+      .select(col("query_id"), col("cand_id"), col("adc_dist"))
+    // exact float re-rank on the surviving candidates only
+    val vecs = e.withColumn("_n", l2norm(col("_v")))
+    val rr = short
+      .join(vecs.select(col("_id").as("query_id"), col("_v").as("qv2"),
+        col("_n").as("qn")), "query_id")
+      .join(vecs.select(col("_id").as("cand_id"), col("_v").as("cv2"),
+        col("_n").as("cn")), "cand_id")
+      .withColumn("sim",
+        round(cosineFromNorms(dot(col("qv2"), col("cv2")), col("qn"), col("cn")), 4))
+      .select(col("query_id"), col("cand_id"), col("adc_dist"), col("sim"))
+    TopK.topKPerGroup(rr.withColumnRenamed("sim", "_s"), "query_id", "cand_id", "_s", k)
+      .join(rr.select(col("query_id"), col("cand_id"), col("adc_dist")),
+        Seq("query_id", "cand_id"))
+      .select(col("query_id"), col("cand_id"), col("adc_dist"), col("_s").as("sim"))
+  }
+
   /** ANN top-k via sign-LSH: candidates share the query's bucket; exact cosine
     * re-rank inside the bucket. Trades recall for a bucket-equi-join — the
     * shape that survives 100 TB (shuffle keyed on bucket, AQE-skew-safe). */

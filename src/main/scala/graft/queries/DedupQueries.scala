@@ -239,7 +239,20 @@ object DedupQueries {
       .transform(tinySort(_, col("doc_id")))
   }
 
+  /** q142 — LSH banding parameter planner ([[graft.ext.LshPlanner]],
+    * MMDS §3.4): the DESIGN-TIME third of the LSH eval tier — q104 scores
+    * a committed (bands, rows) choice a posteriori, q140 scores blocking
+    * keys; q142 predicts every divisor split of the 8-hash budget BEFORE
+    * committing, from the exact-integer S-curve 1−(1−s^r)^b and a sampled
+    * corpus similarity histogram, and selects the cheapest split clearing
+    * a 90% expected-recall floor at target Jaccard 0.80. */
+  def q142LshPlan(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.LshPlanner.planBands(load(spark, dir, "documents"),
+        "doc_id", "text")
+      .transform(tinySort(_, col("bands")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_lsh_plan" -> (q142LshPlan _),
     "q120_span_rewrite" -> (q120SpanRewrite _),
     "q116_shared_spans" -> (q116SharedSpans _),
     "q115_winnow_overlap" -> (q115WinnowOverlap _),
@@ -293,6 +306,80 @@ object DedupQueries {
        |        GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    /* q142: the planner's closed-form curve replayed in exact integers —
+     * powers by recursive-CTE product chains (c^r via pw; (100^r − c^r)^b
+     * via the carried-base mpow recursion), the sampled histogram by the
+     * same mod-5 shingle posting join, expectations on HUGEINT, selection
+     * by the identical (qual, key, bands) preference order. */
+    "q142_lsh_plan" ->
+      s"""WITH RECURSIVE
+         | w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents
+         |        WHERE doc_id % 5 = 0),
+         | t AS (SELECT doc_id, unnest(ws) tok, generate_subscripts(ws, 1) i FROM w),
+         | shl AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sg
+         |        FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+         |                 JOIN t c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+         | dfok AS (SELECT sg FROM shl GROUP BY sg HAVING COUNT(*) <= 1000),
+         | s AS (SELECT shl.doc_id, shl.sg FROM shl JOIN dfok USING (sg)),
+         | cnts AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY 1),
+         | shr AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) AS sh2
+         |   FROM s a JOIN s b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         | hist AS (SELECT (100 * sh2) // (ca.n + cb.n - sh2) AS hc, COUNT(*) AS h
+         |   FROM shr JOIN cnts ca ON ca.doc_id = da JOIN cnts cb ON cb.doc_id = db
+         |   GROUP BY 1),
+         | grid AS (SELECT * FROM (VALUES (1, 8), (2, 4), (4, 2), (8, 1))
+         |   g(bands, rows_per_band)),
+         | cs AS (SELECT c FROM range(1, 101) r(c)),
+         | pw AS (
+         |   SELECT c AS base, 0 AS e, CAST(1 AS HUGEINT) AS v FROM cs
+         |   UNION ALL SELECT base, e + 1, v * base FROM pw WHERE e < 8),
+         | mb0 AS (SELECT g.bands, g.rows_per_band, cs.c, pq.v - pc.v AS m
+         |   FROM grid g CROSS JOIN cs
+         |   JOIN pw pq ON pq.base = 100 AND pq.e = g.rows_per_band
+         |   JOIN pw pc ON pc.base = cs.c AND pc.e = g.rows_per_band),
+         | mpow AS (
+         |   SELECT bands, rows_per_band, c, m, 0 AS e, CAST(1 AS HUGEINT) AS v
+         |     FROM mb0
+         |   UNION ALL SELECT bands, rows_per_band, c, m, e + 1, v * m
+         |     FROM mpow WHERE e < bands),
+         | curve AS (SELECT bands, rows_per_band, c,
+         |     (CAST(10000 AS HUGEINT) * (CAST(10000000000000000 AS HUGEINT) - v))
+         |       // CAST(10000000000000000 AS HUGEINT) AS p_bp
+         |   FROM mpow WHERE e = bands),
+         | wh AS (SELECT cv.bands, cv.rows_per_band, cv.c, cv.p_bp,
+         |     COALESCE(h.h, 0) AS h
+         |   FROM curve cv LEFT JOIN hist h ON h.hc = cv.c),
+         | br AS (SELECT bands, rows_per_band,
+         |     MIN(CASE WHEN p_bp >= 5000 THEN c END) AS s50_centis,
+         |     MAX(CASE WHEN c = 80 THEN p_bp END) AS p_at_target_bp,
+         |     SUM(h * p_bp) AS exp_cand_x10k,
+         |     SUM(CASE WHEN c >= 80 THEN h * p_bp ELSE 0 END) AS exp_true_x10k,
+         |     SUM(CASE WHEN c >= 80 THEN h ELSE 0 END) AS true_pairs
+         |   FROM wh GROUP BY 1, 2),
+         | m2 AS (SELECT *,
+         |     CASE WHEN true_pairs > 0 THEN exp_true_x10k // true_pairs END AS recall_bp,
+         |     CASE WHEN exp_cand_x10k > 0
+         |       THEN (CAST(10000 AS HUGEINT) * exp_true_x10k) // exp_cand_x10k
+         |       END AS precision_bp
+         |   FROM br),
+         | sel AS (SELECT *,
+         |     CASE WHEN COALESCE(recall_bp, -1) >= 9000 THEN 1 ELSE 0 END AS qual
+         |   FROM m2),
+         | rk AS (SELECT *, row_number() OVER (ORDER BY qual DESC,
+         |     CASE WHEN qual = 1 THEN -exp_cand_x10k
+         |          ELSE CAST(COALESCE(recall_bp, -1) AS HUGEINT) END DESC,
+         |     bands ASC) AS rn FROM sel)
+         |SELECT CAST(bands AS INT) AS bands,
+         |  CAST(rows_per_band AS INT) AS rows_per_band,
+         |  CAST(s50_centis AS BIGINT) AS s50_centis,
+         |  CAST(p_at_target_bp AS BIGINT) AS p_at_target_bp,
+         |  CAST(exp_cand_x10k AS BIGINT) AS exp_cand_x10k,
+         |  CAST(exp_true_x10k AS BIGINT) AS exp_true_x10k,
+         |  CAST(true_pairs AS BIGINT) AS true_pairs,
+         |  CAST(recall_bp AS BIGINT) AS recall_bp,
+         |  CAST(precision_bp AS BIGINT) AS precision_bp,
+         |  CASE WHEN rn = 1 THEN 1 ELSE 0 END AS selected
+         |FROM rk ORDER BY bands""".stripMargin,
     /* q116: the q115 chain's pair set, then the relational LCS — token-
      * position join, diagonal d = i − j, islands of consecutive i within a
      * diagonal (i − row_number constant on an island), longest run = max

@@ -94,6 +94,20 @@ object SimilarityQueries {
       .transform(tinySort(_, col("cluster_id"), col("vec_id")))
   }
 
+  /** q143 — product-quantization ANN ([[Similarity.pqTopK]], Jégou et al.
+    * TPAMI '11): the compressed-domain search completing the quantization
+    * family — global int8 scale, 8 subquantizers × 16 hash-sampled
+    * centroids, integer ADC scan, 20-candidate shortlist, exact cosine
+    * re-rank to top 5. The oracle replays codebook assignment, lookup
+    * tables and ADC relationally in exact integers; floats only in the
+    * final rounded re-rank. */
+  def q143AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = load(spark, dir, "embeddings")
+    Similarity.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, m = 8, ksub = 16, shortlist = 20)
+      .transform(tinySort(_, col("query_id"), col("cand_id")))
+  }
+
   /** q58 — symmetric int8 embedding quantization
     * ([[Similarity.quantizeInt8]]): per-vector scale + exact integer
     * summaries. Map-only array HOFs, no shuffle — a plain global sort is the
@@ -139,6 +153,7 @@ object SimilarityQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_ann_pq" -> (q143AnnPq _),
     "q25_cosine_topk" -> (q25CosineTopK _),
     "q107_rrf_fusion" -> (q107RrfFusion _),
     "q68_label_centroids" -> (q68LabelCentroids _),
@@ -258,6 +273,42 @@ object SimilarityQueries {
         |  CAST(SUM(qx) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS centroid
         |FROM e GROUP BY label, pos
         |ORDER BY label, pos""".stripMargin,
+    /* q143: global int8 scale, md5-ordered 16-vector codebook sample per
+     * subquantizer slice, integer squared-L2 code assignment (dd ASC, j ASC),
+     * ADC = sum of the query's per-(m, code) table entries, shortlist 20 by
+     * (adc ASC, cand ASC), exact rounded cosine re-rank to top 5. */
+    "q143_ann_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | gm AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS gmax FROM e),
+        | sc AS (SELECT CASE WHEN gmax > 0 THEN gmax / 127.0 ELSE 1.0 END AS safe FROM gm),
+        | q8 AS (SELECT vec_id,
+        |          list_transform(v, x -> CAST(least(greatest(round(x / sc.safe), -127.0), 127.0) AS INT)) AS qv
+        |        FROM e, sc),
+        | smp AS (SELECT vec_id, qv FROM q8 ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        | cb AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS j,
+        |          qv AS cqv FROM smp),
+        | qd AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS x FROM q8),
+        | cd AS (SELECT j, generate_subscripts(cqv, 1) - 1 AS d, unnest(cqv) AS cx FROM cb),
+        | dist AS (SELECT qd.vec_id, qd.d // 8 AS m, cd.j,
+        |     SUM(CAST(qd.x - cd.cx AS BIGINT) * (qd.x - cd.cx)) AS dd
+        |   FROM qd JOIN cd ON qd.d = cd.d GROUP BY 1, 2, 3),
+        | codes AS (SELECT vec_id, m, j AS code FROM dist
+        |   QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dd ASC, j ASC) = 1),
+        | adc AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, SUM(d2.dd) AS adc_dist
+        |   FROM (SELECT vec_id FROM q8 WHERE vec_id < 10) q
+        |   JOIN codes c ON c.vec_id <> q.vec_id
+        |   JOIN dist d2 ON d2.vec_id = q.vec_id AND d2.m = c.m AND d2.j = c.code
+        |   GROUP BY 1, 2),
+        | short AS (SELECT query_id, cand_id, adc_dist FROM adc
+        |   QUALIFY row_number() OVER (PARTITION BY query_id
+        |     ORDER BY adc_dist ASC, cand_id ASC) <= 20),
+        | rr AS (SELECT s.query_id, s.cand_id, s.adc_dist,
+        |     round(list_cosine_similarity(eq.v, ec.v), 4) AS sim
+        |   FROM short s JOIN e eq ON eq.vec_id = s.query_id
+        |                JOIN e ec ON ec.vec_id = s.cand_id)
+        |SELECT query_id, cand_id, CAST(adc_dist AS BIGINT) AS adc_dist, sim FROM rr
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) <= 5
+        |ORDER BY query_id, cand_id""".stripMargin,
     "q58_embedding_quantize" ->
       """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM b),

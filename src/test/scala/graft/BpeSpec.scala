@@ -119,6 +119,27 @@ class BpeSpec extends AnyFunSuite {
     assert(enc("aaab") == Seq("aa", "a", "b", " ")) // OOV tail stays atomic
   }
 
+  test("underscore + non-BMP input round-trips: the space sentinel never collides") {
+    import org.apache.spark.sql.functions._
+    // literal underscores everywhere a sentinel-collision bug would bite:
+    // leading/trailing/doubled, plus a non-BMP word — the symbol stream must
+    // stay unambiguously decodable (split on ' ' recovers the exact words)
+    val docs = Seq("__init__ snake_case_name _ a_", "_lead trail_ __ 😀_a")
+      .toDF("text")
+    val merges = Bpe.learnMerges(docs, "text", 8, 50).orderBy("round")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    docs.select(col("text"), Bpe.encodeTokens(col("text"), merges).as("t"))
+      .collect().foreach { r =>
+        val words = r.getString(0).split(" ", -1).filter(_.nonEmpty).toSeq
+        val stream = r.getSeq[String](1).mkString("")
+        // exact reconstruction: every word + its terminal sentinel
+        assert(stream == words.map(_ + " ").mkString(""))
+        // and DECODE: splitting the stream on the sentinel recovers the
+        // original words even when they contain '_' (the old sentinel)
+        assert(stream.split(" ", -1).dropRight(1).toSeq == words)
+      }
+  }
+
   test("non-BMP input splits on code points, not UTF-16 code units") {
     // '😀' is a surrogate pair (2 UTF-16 units, 1 code point): the word
     // '😀a' must yield symbols [😀, a, ' '] — a code-UNIT split would

@@ -160,6 +160,28 @@ class ExtSpec extends AnyFunSuite {
     assert(multi == brute)
   }
 
+  test("PQ ADC search: non-negative integer distances, full recall vs brute force on clusters") {
+    val base1 = Array.tabulate(64)(i => math.sin(i + 1))
+    val base2 = Array.tabulate(64)(i => math.cos(2 * i + 1))
+    def jitter(b: Array[Double], k: Int): Seq[Float] = b.zipWithIndex
+      .map { case (v, i) => (v + 0.001 * ((i * k) % 7)).toFloat }.toSeq
+    val emb = (0 until 10).map(k => (k.toLong, jitter(if (k % 2 == 0) base1 else base2, k)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 2)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      k = 3, m = 8, ksub = 4, shortlist = 6)
+    val rows = pq.collect()
+    // ADC is a squared L2 in int8 space: integer, non-negative; same-cluster
+    // jittered twins quantize (near-)identically so their ADC is tiny
+    assert(rows.forall(_.getAs[Long]("adc_dist") >= 0L))
+    // the 6-wide ADC shortlist keeps every same-cluster mate (4 per query),
+    // so the exact re-rank recovers the full brute-force top-3
+    val pqPairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pqPairs == brute)
+  }
+
   test("band-OR LSH near-dup: recall >= single-table, identical vectors collide in every band") {
     val base1 = Array.tabulate(64)(i => math.sin(i + 1))
     val base2 = Array.tabulate(64)(i => math.cos(2 * i + 1))

@@ -252,6 +252,39 @@ class IncrementalSpec extends AnyFunSuite {
     assert(streamed.count() == batchFps.size)
   }
 
+  test("streaming near-dup ingest equals batch cross-corpus LSH across micro-batches") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = Files.createTempDirectory("graft_neardup_stream")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // three disjoint crawl batches; each later batch must pair ONLY against
+    // the union of earlier ones (the batch operator's cross-corpus contract)
+    val cuts = Seq(col("doc_id") < 200,
+      col("doc_id") >= 200 && col("doc_id") < 350,
+      col("doc_id") >= 350)
+    cuts.zipWithIndex.foreach { case (cut, i) =>
+      val tmp = Files.createTempDirectory(s"graft_neardup_chunk$i")
+      docs.filter(cut).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(s"c$i.parquet")
+      Files.move(part, dest)
+      dest.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val streamed = graft.stream.StreamingNearDup
+      .runToSnapshot(spark, streamDir.toString, "neardup_test",
+        maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def sig(cut: org.apache.spark.sql.Column) =
+      graft.ext.Dedup.minhashSignature(docs.filter(cut), "doc_id", "text")
+    val expected = (1 until cuts.size).flatMap { i =>
+      graft.ext.Dedup.crossCorpusCandidates(
+          sig(cuts(i)), sig(cuts.take(i).reduce(_ || _)), "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(expected.nonEmpty) // fixture must actually exercise cross-batch pairs
+    assert(streamed == expected)
+  }
+
   test("streaming windowed counts match the batch tumbling-window query") {
     val dir = "/root/testdata/sf0.001"
     // file-stream sources need a directory; link the single-file table in
