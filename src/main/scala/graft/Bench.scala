@@ -29,6 +29,11 @@ object Bench {
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("r_regionkey")).orderBy(col("k"))))
         .count()
+      // typed-Aggregator (ObjectHashAggregate) serde bootstrap: the sketch
+      // queries' per-attempt jit tail (NOTES r11, q108) is compile latency
+      // on the ScalaUDAF/ExpressionEncoder path — burn those classes here,
+      // on 5 rows, before any timed window
+      graft.ext.Sketch.kmvRollup(w, "r_name", "r_regionkey", k = 8).count()
     } catch { case _: Throwable => () }
     // a failed query must surface as an error, never as a fast timing.
     // Each query runs twice and reports the min: single-run numbers at this

@@ -176,9 +176,23 @@ object Sketch {
     * group boundary (measured 4× slower than the two-agg shape). Grouped
     * by the real key alone, the sketch aggregate stays in hash mode with
     * one live buffer per group. */
+  /** One udaf instance per (aggregator, k) for the JVM's lifetime: a fresh
+    * `udaf(new …Aggregator(k))` per query build means fresh
+    * ExpressionEncoder serde expressions per plan, and the ObjectHashAgg
+    * codegen+JIT for them lands INSIDE the query's execution — the q108
+    * bench tail (NOTES r11/r12: 2–3 s of in-window jit per attempt that no
+    * warmup could pre-compile, because each attempt rebuilt the instances).
+    * Reusing the instance makes the serde identical across plans, so the
+    * second execution onward runs already-compiled classes. */
+  private val udafCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), org.apache.spark.sql.expressions.UserDefinedFunction]()
+  private def cachedUdaf(name: String, k: Int)(
+      mk: => org.apache.spark.sql.expressions.UserDefinedFunction) =
+    udafCache.computeIfAbsent((name, k), _ => mk)
+
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
                   k: Int = 256): DataFrame = {
-    val agg = udaf(new KmvAggregator(k))
+    val agg = cachedUdaf("kmv", k)(udaf(new KmvAggregator(k)))
     val sketch = df.select(col(groupCol), kmvHash(col(valueCol)).as("_h"))
       .groupBy(col(groupCol))
       .agg(agg(col("_h")).as("_sk"))
@@ -215,8 +229,8 @@ object Sketch {
     * both output levels and is groups·k small. */
   def kmvRollup(df: DataFrame, groupCol: String, valueCol: String,
                 k: Int = 256): DataFrame = {
-    val skAgg = udaf(new KmvAggregator(k))
-    val mergeAgg = udaf(new KmvMergeAggregator(k))
+    val skAgg = cachedUdaf("kmv", k)(udaf(new KmvAggregator(k)))
+    val mergeAgg = cachedUdaf("kmvMerge", k)(udaf(new KmvMergeAggregator(k)))
     val hashed = df.select(
       coalesce(col(groupCol).cast("string"), lit(NullGroup)).as(groupCol),
       col(valueCol), kmvHash(col(valueCol)).as("_h"))
@@ -399,8 +413,9 @@ object Sketch {
   def quantileRollup(df: DataFrame, groupCol: String, keyCol: String,
                      valueCol: String, qBps: Seq[Int] = Seq(50, 90),
                      k: Int = 256): DataFrame = {
-    val skAgg = udaf(new BottomKSampleAggregator(k))
-    val mergeAgg = udaf(new BottomKSampleMergeAggregator(k))
+    val skAgg = cachedUdaf("bottomK", k)(udaf(new BottomKSampleAggregator(k)))
+    val mergeAgg = cachedUdaf("bottomKMerge", k)(
+      udaf(new BottomKSampleMergeAggregator(k)))
     val pairs = df.select(
       coalesce(col(groupCol).cast("string"), lit(NullGroup)).as(groupCol),
       qskHash(col(keyCol)).as("_h"), col(valueCol).cast("bigint").as("_v"))

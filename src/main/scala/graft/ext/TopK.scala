@@ -41,9 +41,16 @@ class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]
 
 object TopK {
 
+  /** One udaf instance per k for the JVM's lifetime — fresh instances per
+    * query build would re-generate the typed serde per plan and pay its
+    * codegen+JIT inside every execution (see [[graft.ext.Sketch]]'s
+    * cachedUdaf note / NOTES r12 q108). */
+  private val aggCache = new java.util.concurrent.ConcurrentHashMap[
+    Int, org.apache.spark.sql.expressions.UserDefinedFunction]()
+
   /** Untyped column form: `topKAgg(k)(idCol, scoreCol)` inside an agg. */
   def topKAgg(k: Int): (Column, Column) => Column = {
-    val agg = udaf(new TopKAggregator(k))
+    val agg = aggCache.computeIfAbsent(k, kk => udaf(new TopKAggregator(kk)))
     (id, score) => agg(id, score)
   }
 
