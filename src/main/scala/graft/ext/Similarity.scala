@@ -416,7 +416,31 @@ object Similarity {
     * tier of the IVF centroids. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
-             shortlist: Int = 20): DataFrame = {
+             shortlist: Int = 20): DataFrame =
+    pqImpl(corpus, queries, idCol, vecCol, k, m, ksub, shortlist,
+      nlist = 0, nprobe = 0)
+
+  /** IVF-PQ: [[pqTopK]]'s ADC scan gated by [[ivfTopK]]'s coarse quantizer
+    * — FAISS `IndexIVFPQ` with `by_residual=false` (codes encode the raw
+    * vectors, not per-list residuals; the residual rotation is a recall
+    * refinement, not a structural change). The coarse stage assigns every
+    * vector to its nearest of `nlist` md5-sampled centroids on the FLOAT
+    * side (exactly [[ivfTopK]]'s assignment, same rounded-cosine argmax);
+    * a query's ADC scan then touches only its `nprobe` probed lists, so at
+    * 100 TB the scan reads nprobe/nlist of the code table instead of all
+    * of it — and the code table is m bytes-ish per vector, not the
+    * embedding. Shortlist and exact re-rank as in [[pqTopK]]. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+                shortlist: Int = 20, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
+      s"need 1 <= nprobe ($nprobe) <= nlist ($nlist)")
+    pqImpl(corpus, queries, idCol, vecCol, k, m, ksub, shortlist, nlist, nprobe)
+  }
+
+  private def pqImpl(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, m: Int, ksub: Int,
+                     shortlist: Int, nlist: Int, nprobe: Int): DataFrame = {
     require(corpus.schema(idCol).dataType == org.apache.spark.sql.types.LongType,
       s"pqTopK: id column '$idCol' must be LongType, got " +
         s"${corpus.schema(idCol).dataType.simpleString} — cast it upstream")
@@ -449,21 +473,41 @@ object Similarity {
       }.reduce(_ + _)
     def distArr(qv: Column, mi: Int): Column =
       array(sample.indices.map(j => subDist(qv, mi, j)): _*)
+    // optional coarse quantizer (IVF gating): the ivfTopK float-side
+    // centroid sample + nearest-centroid assignment, as plan literals
+    val cents: Array[(Long, Array[Double])] =
+      if (nlist > 0)
+        e.orderBy(md5(col("_id").cast("string").cast("binary"))).limit(nlist)
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      else Array.empty
     // corpus codes: materialize each distance array ONCE, then argmin via
     // array_position(array_min) — first index wins ties (smaller centroid)
+    val listCol =
+      if (nlist > 0) Seq(element_at(nearestIds(cents, col("_v"), 1), 1).as("list_id"))
+      else Seq.empty
     val coded = e.withColumn("_q", quant(col("_v")))
-      .select(col("_id").as("cand_id") +:
-        (0 until m).map(mi => distArr(col("_q"), mi).as(s"_da$mi")): _*)
-      .select(col("cand_id") +: (0 until m).map(mi =>
+      .select((col("_id").as("cand_id") +:
+        (0 until m).map(mi => distArr(col("_q"), mi).as(s"_da$mi"))) ++ listCol: _*)
+      .select((col("cand_id") +: (0 until m).map(mi =>
         (array_position(col(s"_da$mi"), array_min(col(s"_da$mi"))) - 1)
-          .cast("int").as(s"code_$mi")): _*)
-    // query-side ADC lookup tables (tiny frame, broadcast)
-    val q = queries
+          .cast("int").as(s"code_$mi"))) ++ listCol.map(_ => col("list_id")): _*)
+    // query-side ADC lookup tables (tiny frame, broadcast); with gating the
+    // query also explodes its nprobe probed lists
+    val qBase = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("_qq", quant(col("qv")))
-      .select(col("query_id") +:
-        (0 until m).map(mi => distArr(col("_qq"), mi).as(s"lut_$mi")): _*)
-    val adc = coded.join(broadcast(q), col("cand_id") =!= col("query_id"))
+    val q =
+      if (nlist > 0)
+        qBase.select(col("query_id") +:
+            explode(nearestIds(cents, col("qv"), nprobe)).as("probe") +:
+            (0 until m).map(mi => distArr(col("_qq"), mi).as(s"lut_$mi")): _*)
+      else
+        qBase.select(col("query_id") +:
+          (0 until m).map(mi => distArr(col("_qq"), mi).as(s"lut_$mi")): _*)
+    val joinCond =
+      if (nlist > 0) col("list_id") === col("probe") && col("cand_id") =!= col("query_id")
+      else col("cand_id") =!= col("query_id")
+    val adc = coded.join(broadcast(q), joinCond)
       .withColumn("adc_dist",
         (0 until m).map(mi => element_at(col(s"lut_$mi"), col(s"code_$mi") + 1))
           .reduce(_ + _))

@@ -108,6 +108,19 @@ object SimilarityQueries {
       .transform(tinySort(_, col("query_id"), col("cand_id")))
   }
 
+  /** q144 — IVF-PQ ANN ([[Similarity.ivfPqTopK]]): q143's ADC scan gated
+    * by q43's coarse quantizer (FAISS IndexIVFPQ, by_residual=false) —
+    * each query's integer ADC scan touches only its 4 probed lists of 16,
+    * then the shortlist re-ranks exactly. The full compressed-index stack:
+    * coarse float assignment replayed by the q43 CTEs, codes/LUTs/ADC by
+    * the q143 integer CTEs. */
+  def q144AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = load(spark, dir, "embeddings")
+    Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, m = 8, ksub = 16, shortlist = 20, nlist = 16, nprobe = 4)
+      .transform(tinySort(_, col("query_id"), col("cand_id")))
+  }
+
   /** q58 — symmetric int8 embedding quantization
     * ([[Similarity.quantizeInt8]]): per-vector scale + exact integer
     * summaries. Map-only array HOFs, no shuffle — a plain global sort is the
@@ -154,6 +167,7 @@ object SimilarityQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_ann_pq" -> (q143AnnPq _),
+    "q144_ann_ivfpq" -> (q144AnnIvfPq _),
     "q25_cosine_topk" -> (q25CosineTopK _),
     "q107_rrf_fusion" -> (q107RrfFusion _),
     "q68_label_centroids" -> (q68LabelCentroids _),
@@ -298,6 +312,50 @@ object SimilarityQueries {
         |   FROM (SELECT vec_id FROM q8 WHERE vec_id < 10) q
         |   JOIN codes c ON c.vec_id <> q.vec_id
         |   JOIN dist d2 ON d2.vec_id = q.vec_id AND d2.m = c.m AND d2.j = c.code
+        |   GROUP BY 1, 2),
+        | short AS (SELECT query_id, cand_id, adc_dist FROM adc
+        |   QUALIFY row_number() OVER (PARTITION BY query_id
+        |     ORDER BY adc_dist ASC, cand_id ASC) <= 20),
+        | rr AS (SELECT s.query_id, s.cand_id, s.adc_dist,
+        |     round(list_cosine_similarity(eq.v, ec.v), 4) AS sim
+        |   FROM short s JOIN e eq ON eq.vec_id = s.query_id
+        |                JOIN e ec ON ec.vec_id = s.cand_id)
+        |SELECT query_id, cand_id, CAST(adc_dist AS BIGINT) AS adc_dist, sim FROM rr
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) <= 5
+        |ORDER BY query_id, cand_id""".stripMargin,
+    /* q144: q43's coarse CTEs (md5 sample, rounded-cosine argmax with cid
+     * DESC ties, nprobe=4 probes) gate q143's integer ADC chain. */
+    "q144_ann_ivfpq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | cents AS (SELECT vec_id AS cid, v AS cv FROM e
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        | asgn AS (SELECT e.vec_id, c.cid,
+        |            round(list_cosine_similarity(e.v, c.cv), 4) AS s
+        |          FROM e CROSS JOIN cents c),
+        | lists AS (SELECT vec_id, cid AS list_id FROM asgn
+        |           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) = 1),
+        | probes AS (SELECT vec_id AS query_id, cid AS probe FROM asgn WHERE vec_id < 10
+        |            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) <= 4),
+        | gm AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS gmax FROM e),
+        | sc AS (SELECT CASE WHEN gmax > 0 THEN gmax / 127.0 ELSE 1.0 END AS safe FROM gm),
+        | q8 AS (SELECT vec_id,
+        |          list_transform(v, x -> CAST(least(greatest(round(x / sc.safe), -127.0), 127.0) AS INT)) AS qv
+        |        FROM e, sc),
+        | smp AS (SELECT vec_id, qv FROM q8 ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        | cb AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS j,
+        |          qv AS cqv FROM smp),
+        | qd AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS x FROM q8),
+        | cd AS (SELECT j, generate_subscripts(cqv, 1) - 1 AS d, unnest(cqv) AS cx FROM cb),
+        | dist AS (SELECT qd.vec_id, qd.d // 8 AS m, cd.j,
+        |     SUM(CAST(qd.x - cd.cx AS BIGINT) * (qd.x - cd.cx)) AS dd
+        |   FROM qd JOIN cd ON qd.d = cd.d GROUP BY 1, 2, 3),
+        | codes AS (SELECT vec_id, m, j AS code FROM dist
+        |   QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dd ASC, j ASC) = 1),
+        | adc AS (SELECT p.query_id, l.vec_id AS cand_id, SUM(d2.dd) AS adc_dist
+        |   FROM probes p
+        |   JOIN lists l ON l.list_id = p.probe AND l.vec_id <> p.query_id
+        |   JOIN codes c ON c.vec_id = l.vec_id
+        |   JOIN dist d2 ON d2.vec_id = p.query_id AND d2.m = c.m AND d2.j = c.code
         |   GROUP BY 1, 2),
         | short AS (SELECT query_id, cand_id, adc_dist FROM adc
         |   QUALIFY row_number() OVER (PARTITION BY query_id

@@ -182,6 +182,34 @@ class ExtSpec extends AnyFunSuite {
     assert(pqPairs == brute)
   }
 
+  test("IVF-PQ: probing every list degenerates to flat PQ; gated probes keep cluster recall") {
+    val base1 = Array.tabulate(64)(i => math.sin(i + 1))
+    val base2 = Array.tabulate(64)(i => math.cos(2 * i + 1))
+    def jitter(b: Array[Double], k: Int): Seq[Float] = b.zipWithIndex
+      .map { case (v, i) => (v + 0.001 * ((i * k) % 7)).toFloat }.toSeq
+    val emb = (0 until 10).map(k => (k.toLong, jitter(if (k % 2 == 0) base1 else base2, k)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("adc_dist"),
+        r.getAs[Double]("sim"))).toSet
+    val flat = rows(Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      k = 3, m = 8, ksub = 4, shortlist = 6))
+    // law: nprobe = nlist probes every list — the gate admits exactly the
+    // flat scan's candidate set, so results are identical
+    val all = rows(Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k = 3, m = 8, ksub = 4, shortlist = 6, nlist = 4, nprobe = 4))
+    assert(all == flat)
+    // gated: 2 of 4 probes still recover the brute-force top-3 on two tight
+    // clusters (same-cluster mates share the probed lists)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gated = rows(Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k = 3, m = 8, ksub = 4, shortlist = 6, nlist = 4, nprobe = 2))
+      .map(t => (t._1, t._2))
+    assert(gated == brute)
+  }
+
   test("band-OR LSH near-dup: recall >= single-table, identical vectors collide in every band") {
     val base1 = Array.tabulate(64)(i => math.sin(i + 1))
     val base2 = Array.tabulate(64)(i => math.cos(2 * i + 1))
