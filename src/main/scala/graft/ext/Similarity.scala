@@ -534,6 +534,67 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("adc_dist"), col("_s").as("sim"))
   }
 
+  /** Cluster-quality audit in int8-quantized space — the "so what"
+    * measurement for the clustering family (the q43/q45/q60 coarse
+    * quantizer, the q144 IVF gate): per inverted list, how tight is the
+    * cluster? Uses the mean-free sum-of-squares identity so every number
+    * is EXACT INTEGER despite the mean being rational:
+    *   n·WCSS = n·Σ_i ||q_i||² − Σ_d (Σ_i q_{i,d})²
+    * (WCSS = within-cluster sum of squared L2 distance to the cluster
+    * mean). Vectors are globally int8-quantized (ONE corpus scale, the
+    * [[pqTopK]] convention) so sums and squares ride in long/DECIMAL(38,0)
+    * and replay on HUGEINT. Reports one row per list plus a global row
+    * (list_id = −1, the corpus-wide TSS·N): n, raw quantized energy `ssq`,
+    * the exact `wcss_x_n`, and `dispersion_bp` = (10000·n·WCSS) div
+    * (n·ssq) — the share of the cluster's raw energy that is variance
+    * around its own mean (0 = all members identical; ≥ the global row's
+    * value means the "cluster" is no tighter than the corpus).
+    *
+    * Scale shape: assignment is the map-side literal-centroid projection;
+    * per-cluster sums are ONE map-side-combined aggregation with
+    * nlist·(dim+2) bounded state (dim separate sum columns — no explode,
+    * the [[refineCentroids]] idiom); everything after is arithmetic on
+    * ≤ nlist+1 rows. */
+  def clusterQualityInt8(emb: DataFrame, idCol: String, vecCol: String,
+                         nlist: Int = 16): DataFrame = {
+    require(emb.schema(idCol).dataType == org.apache.spark.sql.types.LongType,
+      s"clusterQualityInt8: id column '$idCol' must be LongType, got " +
+        s"${emb.schema(idCol).dataType.simpleString} — cast it upstream")
+    val dec = "decimal(38,0)"
+    val e = emb.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
+    val gmaxRow = e.agg(max(array_max(transform(col("_v"), x => abs(x))))).head()
+    val gmax = if (gmaxRow.isNullAt(0)) 0.0 else gmaxRow.getDouble(0)
+    val safe = if (gmax > 0) gmax / 127.0 else 1.0
+    val quant = transform(col("_v"), x =>
+      least(greatest(round(x / lit(safe)), lit(-127.0)), lit(127.0)).cast("int"))
+    val cents: Array[(Long, Array[Double])] = e
+      .orderBy(md5(col("_id").cast("string").cast("binary"))).limit(nlist)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(cents.nonEmpty, "clusterQualityInt8: empty corpus")
+    val dim = cents.head._2.length
+    val assigned = e
+      .withColumn("_q", quant)
+      .withColumn("list_id", element_at(nearestIds(cents, col("_v"), 1), 1))
+      .withColumn("_rssq", aggregate(col("_q"), lit(0L),
+        (acc, x) => acc + x.cast("long") * x.cast("long")))
+    val aggs = count(lit(1)).as("n") +: sum(col("_rssq")).as("ssq") +:
+      (0 until dim).map(d => sum(element_at(col("_q"), d + 1).cast("long")).as(s"_s$d"))
+    val per = assigned.groupBy(col("list_id")).agg(aggs.head, aggs.tail: _*)
+    val glob = assigned.groupBy().agg(aggs.head, aggs.tail: _*)
+      .withColumn("list_id", lit(-1L))
+    val snorm = (0 until dim)
+      .map(d => col(s"_s$d").cast(dec) * col(s"_s$d")).reduce(_ + _)
+    per.unionByName(glob.select(per.columns.map(col): _*))
+      .withColumn("_snorm", snorm)
+      .withColumn("wcss_x_n",
+        col("n").cast(dec) * col("ssq") - col("_snorm"))
+      .withColumn("dispersion_bp",
+        when(col("n") * col("ssq") > 0,
+          expr(s"cast((10000 * wcss_x_n) div (cast(n as $dec) * ssq) as bigint)")))
+      .select(col("list_id"), col("n"), col("ssq").cast("long").as("ssq"),
+        col("wcss_x_n").cast("long").as("wcss_x_n"), col("dispersion_bp"))
+  }
+
   /** ANN top-k via sign-LSH: candidates share the query's bucket; exact cosine
     * re-rank inside the bucket. Trades recall for a bucket-equi-join — the
     * shape that survives 100 TB (shuffle keyed on bucket, AQE-skew-safe). */

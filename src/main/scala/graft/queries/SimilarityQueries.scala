@@ -121,6 +121,17 @@ object SimilarityQueries {
       .transform(tinySort(_, col("query_id"), col("cand_id")))
   }
 
+  /** q145 — cluster-quality audit ([[Similarity.clusterQualityInt8]]):
+    * exact-integer WCSS decomposition (n·WCSS = n·Σ||q||² − Σ_d(Σq_d)²)
+    * per inverted list of the q43 coarse quantizer, in the globally
+    * int8-quantized space — per-cluster tightness in basis points of raw
+    * energy, with the corpus-wide row at list_id = −1 as the baseline a
+    * useful cluster must beat. */
+  def q145ClusterQuality(spark: SparkSession, dir: String): DataFrame =
+    Similarity.clusterQualityInt8(load(spark, dir, "embeddings"),
+        "vec_id", "embedding", nlist = 16)
+      .transform(tinySort(_, col("list_id")))
+
   /** q58 — symmetric int8 embedding quantization
     * ([[Similarity.quantizeInt8]]): per-vector scale + exact integer
     * summaries. Map-only array HOFs, no shuffle — a plain global sort is the
@@ -168,6 +179,7 @@ object SimilarityQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_ann_pq" -> (q143AnnPq _),
     "q144_ann_ivfpq" -> (q144AnnIvfPq _),
+    "q145_cluster_quality" -> (q145ClusterQuality _),
     "q25_cosine_topk" -> (q25CosineTopK _),
     "q107_rrf_fusion" -> (q107RrfFusion _),
     "q68_label_centroids" -> (q68LabelCentroids _),
@@ -323,6 +335,40 @@ object SimilarityQueries {
         |SELECT query_id, cand_id, CAST(adc_dist AS BIGINT) AS adc_dist, sim FROM rr
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) <= 5
         |ORDER BY query_id, cand_id""".stripMargin,
+    /* q145: q43's assignment + the global-quant chain, then the mean-free
+     * SS identity on HUGEINT — n, Σ||q||², n·ssq − Σ_d s_d², bp ratio. */
+    "q145_cluster_quality" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | cents AS (SELECT vec_id AS cid, v AS cv FROM e
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        | asgn AS (SELECT e.vec_id, c.cid,
+        |            round(list_cosine_similarity(e.v, c.cv), 4) AS s
+        |          FROM e CROSS JOIN cents c),
+        | lists AS (SELECT vec_id, cid AS list_id FROM asgn
+        |           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) = 1),
+        | gm AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS gmax FROM e),
+        | sc AS (SELECT CASE WHEN gmax > 0 THEN gmax / 127.0 ELSE 1.0 END AS safe FROM gm),
+        | q8 AS (SELECT vec_id,
+        |          list_transform(v, x -> CAST(least(greatest(round(x / sc.safe), -127.0), 127.0) AS INT)) AS qv
+        |        FROM e, sc),
+        | un AS (SELECT l.list_id, q8.vec_id, q8.qv FROM lists l JOIN q8 USING (vec_id)
+        |        UNION ALL SELECT -1, vec_id, qv FROM q8),
+        | cnt AS (SELECT list_id, COUNT(*) AS n FROM un GROUP BY 1),
+        | xd AS (SELECT list_id, vec_id, unnest(qv) AS x,
+        |          generate_subscripts(qv, 1) AS d FROM un),
+        | dims AS (SELECT list_id, d, SUM(CAST(x AS BIGINT)) AS s,
+        |            SUM(CAST(x AS BIGINT) * x) AS ssq_d
+        |          FROM xd GROUP BY 1, 2),
+        | a2 AS (SELECT list_id, SUM(CAST(s AS HUGEINT) * s) AS snorm,
+        |          SUM(ssq_d) AS ssq FROM dims GROUP BY 1),
+        | j AS (SELECT c.list_id, c.n, a.ssq,
+        |         CAST(c.n AS HUGEINT) * a.ssq - a.snorm AS wcss_x_n
+        |       FROM cnt c JOIN a2 a USING (list_id))
+        |SELECT CAST(list_id AS BIGINT) AS list_id, CAST(n AS BIGINT) AS n,
+        |  CAST(ssq AS BIGINT) AS ssq, CAST(wcss_x_n AS BIGINT) AS wcss_x_n,
+        |  CASE WHEN n * ssq > 0 THEN
+        |    CAST((10000 * wcss_x_n) // (CAST(n AS HUGEINT) * ssq) AS BIGINT) END AS dispersion_bp
+        |FROM j ORDER BY list_id""".stripMargin,
     /* q144: q43's coarse CTEs (md5 sample, rounded-cosine argmax with cid
      * DESC ties, nprobe=4 probes) gate q143's integer ADC chain. */
     "q144_ann_ivfpq" ->

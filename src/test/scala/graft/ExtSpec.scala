@@ -210,6 +210,27 @@ class ExtSpec extends AnyFunSuite {
     assert(gated == brute)
   }
 
+  test("cluster quality: identical members give zero WCSS; the corpus row is looser") {
+    // two groups of byte-identical vectors; with nlist = corpus size every
+    // vector is a centroid, ties go to the highest centroid id, so the two
+    // groups land in exactly two lists whose members are identical
+    val vecA = Seq(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f)
+    val vecB = Seq(8f, -7f, 6f, -5f, 4f, -3f, 2f, -1f)
+    val emb = ((0 until 3).map(i => (i.toLong, vecA)) ++
+      (3 until 6).map(i => (i.toLong, vecB))).toDF("vec_id", "embedding")
+    val out = Similarity.clusterQualityInt8(emb, "vec_id", "embedding", nlist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("wcss_x_n"),
+        r.getAs[Long]("dispersion_bp"))).sortBy(_._1)
+    val global = out.filter(_._1 == -1L)
+    val clusters = out.filter(_._1 >= 0L)
+    assert(global.length == 1 && global.head._2 == 6L)
+    assert(clusters.length == 2 && clusters.forall(_._2 == 3L))
+    // identical members: zero within-cluster variance, exactly
+    assert(clusters.forall(c => c._3 == 0L && c._4 == 0L))
+    // the corpus-wide row mixes the two groups: strictly positive variance
+    assert(global.head._3 > 0L && global.head._4 > 0L)
+  }
+
   test("band-OR LSH near-dup: recall >= single-table, identical vectors collide in every band") {
     val base1 = Array.tabulate(64)(i => math.sin(i + 1))
     val base2 = Array.tabulate(64)(i => math.cos(2 * i + 1))
