@@ -203,6 +203,41 @@ object Sketch {
         col("kmv_estimate"))
   }
 
+  /** [[kmvDistinct]] with CONFIDENCE INTERVALS — the error-bar tier that
+    * turns the sketch estimates into decision-grade numbers (Beyer et al.
+    * SIGMOD '07 §4: the basic KMV estimator's relative error concentrates
+    * with coefficient of variation ≈ 1/√(k−2); the planner consuming an
+    * estimate needs the bar, not just the point). The (1−α) interval uses
+    * the multiplicative form n ∈ [n̂/(1+ε), n̂/(1−ε)] with ε = z/√k — and
+    * stays EXACT-integer by requiring k to be a PERFECT SQUARE, so
+    * ε = zNum/(zDen·√k) is rational and the bounds are integral divisions
+    * that replay on HUGEINT bit-for-bit (the transcendental-free discipline
+    * of q117's priority sampling: no float sqrt/erf crosses the engine
+    * boundary). Below-k sketches are exact, so their interval collapses to
+    * the point. `covered` flags whether the exact count (the test-scale
+    * comparison column) falls inside the interval — the validation a
+    * sketch-accuracy audit reports. */
+  def kmvDistinctCI(df: DataFrame, groupCol: String, valueCol: String,
+                    k: Int = 64, zNum: Int = 196, zDen: Int = 100): DataFrame = {
+    val sqrtK = math.round(math.sqrt(k.toDouble))
+    require(sqrtK * sqrtK == k,
+      s"k must be a perfect square so z/sqrt(k) is exactly rational, got $k")
+    require(zNum > 0 && zDen > 0, "z must be a positive rational")
+    val hwBp = (10000L * zNum) / (zDen * sqrtK) // floor — documented
+    require(hwBp < 10000, s"half-width $hwBp bp must stay below 10000 " +
+      "(z too large for this k: the upper bound would diverge)")
+    kmvDistinct(df, groupCol, valueCol, k)
+      .withColumn("ci_lo",
+        when(col("sketch_size") < k, col("kmv_estimate"))
+          .otherwise(expr(s"(kmv_estimate * 10000) div ${10000 + hwBp}")))
+      .withColumn("ci_hi",
+        when(col("sketch_size") < k, col("kmv_estimate"))
+          .otherwise(expr(s"(kmv_estimate * 10000) div ${10000 - hwBp}")))
+      .withColumn("covered",
+        (col("exact_distinct") >= col("ci_lo") &&
+          col("exact_distinct") <= col("ci_hi")).cast("int"))
+  }
+
   /** Label of the merged-across-groups row in [[kmvRollup]]. */
   val AllGroups = "__all__"
 

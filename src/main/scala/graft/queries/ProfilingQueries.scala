@@ -269,7 +269,22 @@ object ProfilingQueries {
       .transform(tinySort(_, col("candidate_p")))
   }
 
+  /** q146 — KMV distinct-count confidence intervals
+    * ([[graft.ext.Sketch.kmvDistinctCI]], Beyer et al. SIGMOD '07 §4): the
+    * error-bar tier over q106's estimates — distinct users per event type
+    * at k = 64 (engaged: every group exceeds k at test SF) with the exact
+    * rational ±z/√k interval (√64 = 8, so ε = 2450 bp exactly — no float
+    * sqrt crosses the engine boundary) and the `covered` audit flag
+    * against the exact count. */
+  def q146KmvCI(spark: SparkSession, dir: String): DataFrame =
+    Sketch.kmvDistinctCI(
+        load(spark, dir, "events")
+          .repartition(spark.sparkContext.defaultParallelism),
+        "event_type", "user_id", k = 64)
+      .transform(tinySort(_, col("event_type")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_kmv_ci" -> (q146KmvCI _),
     "q136_cms_join_size" -> (q136CmsJoinSize _),
     "q138_reducer_balance" -> (q138ReducerBalance _),
     "q114_sketch_overlap" -> (q114SketchOverlap _),
@@ -295,6 +310,41 @@ object ProfilingQueries {
   private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
 
   val sql: Map[String, String] = Map(
+    /* q146: the q106 replay chain at k = 64 on events, plus the exact
+     * rational CI (ε = 2450 bp = 1.96/8) and the covered flag. */
+    "q146_kmv_ci" ->
+      s"""WITH hx AS (
+        |  SELECT event_type AS grp, user_id,
+        |    ${hex60("'kmv:' || CAST(user_id AS VARCHAR)")} AS hv
+        |  FROM events),
+        | d AS (SELECT DISTINCT grp, hv FROM hx),
+        | r AS (SELECT grp, hv,
+        |         row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn FROM d),
+        | a AS (SELECT grp, COUNT(*) AS nd,
+        |         MAX(CASE WHEN rn = 64 THEN hv END) AS hk
+        |       FROM r GROUP BY grp),
+        | x AS (SELECT grp, COUNT(DISTINCT user_id) AS exact_distinct
+        |       FROM hx GROUP BY grp),
+        | est AS (SELECT a.grp, x.exact_distinct,
+        |    LEAST(a.nd, 64) AS sketch_size,
+        |    CASE WHEN a.hk IS NULL THEN LEAST(a.nd, 64)
+        |         ELSE (CAST(63 AS HUGEINT) * CAST(${Sketch.HashSpace} AS HUGEINT))
+        |              // CAST(a.hk AS HUGEINT) END AS kmv_estimate
+        |  FROM a JOIN x USING (grp)),
+        | ci AS (SELECT *,
+        |    CASE WHEN sketch_size < 64 THEN kmv_estimate
+        |         ELSE (kmv_estimate * 10000) // 12450 END AS ci_lo,
+        |    CASE WHEN sketch_size < 64 THEN kmv_estimate
+        |         ELSE (kmv_estimate * 10000) // 7550 END AS ci_hi
+        |  FROM est)
+        |SELECT grp AS event_type,
+        |  CAST(exact_distinct AS BIGINT) AS exact_distinct,
+        |  CAST(sketch_size AS BIGINT) AS sketch_size,
+        |  CAST(kmv_estimate AS BIGINT) AS kmv_estimate,
+        |  CAST(ci_lo AS BIGINT) AS ci_lo, CAST(ci_hi AS BIGINT) AS ci_hi,
+        |  CASE WHEN exact_distinct >= ci_lo AND exact_distinct <= ci_hi
+        |       THEN 1 ELSE 0 END AS covered
+        |FROM ci ORDER BY event_type""".stripMargin,
     "q138_reducer_balance" ->
       s"""WITH hist AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
         | keyed AS (SELECT cnt,

@@ -43,6 +43,27 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV CI: below-k collapses to the point; engaged CI brackets the estimate; k must be square") {
+    // 10 distinct values < k = 16 → sketch exact, interval collapses
+    val small = (0 until 40).map(i => ("g", i % 10)).toDF("g", "v")
+    val s = Sketch.kmvDistinctCI(small, "g", "v", k = 16).collect().head
+    assert(s.getAs[Long]("kmv_estimate") == 10L)
+    assert(s.getAs[Long]("ci_lo") == 10L && s.getAs[Long]("ci_hi") == 10L)
+    assert(s.getAs[Int]("covered") == 1)
+    // 400 distinct values > k = 64 → estimation engages: lo < est < hi and
+    // the bounds are the exact integral divisions (ε = 2450 bp at √k = 8)
+    val big = (0 until 400).map(i => ("g", i)).toDF("g", "v")
+    val b = Sketch.kmvDistinctCI(big, "g", "v", k = 64).collect().head
+    val est = b.getAs[Long]("kmv_estimate")
+    assert(b.getAs[Long]("ci_lo") == est * 10000 / 12450)
+    assert(b.getAs[Long]("ci_hi") == est * 10000 / 7550)
+    assert(b.getAs[Long]("ci_lo") < est && est < b.getAs[Long]("ci_hi"))
+    // non-square k is rejected (ε would need a float sqrt)
+    intercept[IllegalArgumentException] {
+      Sketch.kmvDistinctCI(big, "g", "v", k = 60)
+    }
+  }
+
   test("rollup's merged __all__ row equals a sketch built directly over the union") {
     val rollup = Sketch.kmvRollup(fixture, "g", "v", k = 256)
       .filter(col("scope") === Sketch.AllGroups).collect().head
