@@ -88,6 +88,30 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ family (q143 flat, q144 IVF-gated): broadcast query side, no window, no cartesian in the gated scan") {
+    // the ADC scan must be a map-side projection against the broadcast LUT
+    // frame (flat PQ deliberately pairs all queries × corpus — a broadcast
+    // nested-loop on the TINY query side is that shape; the corpus side must
+    // never shuffle before the bounded TopK), and the shortlist/re-rank must
+    // be the aggregator, not a window
+    val flat = graft.queries.SimilarityQueries.q143AnnPq(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(!flat.contains("Window"), s"window re-rank in PQ:\n$flat")
+    assert(flat.contains("ObjectHashAggregate"), s"expected TopK aggregator in:\n$flat")
+    assert(flat.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"flat ADC scan should broadcast the tiny LUT side:\n$flat")
+    // gated: the list_id = probe equi-condition makes the scan a broadcast
+    // HASH join — the all-pairs shape must be gone entirely
+    val gated = graft.queries.SimilarityQueries.q144AnnIvfPq(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(!gated.contains("Window"), s"window re-rank in IVF-PQ:\n$gated")
+    assert(!gated.contains("CartesianProduct") &&
+      !gated.contains("BroadcastNestedLoopJoin"),
+      s"ungated all-pairs scan in IVF-PQ:\n$gated")
+    assert(gated.contains("BroadcastHashJoin"),
+      s"probe gate should be a broadcast hash join:\n$gated")
+  }
+
   test("q50 band-OR near-dup joins on buckets — no cartesian product anywhere") {
     // the whole point of banding is that candidates come from bucket
     // equi-joins; a cartesian (or broadcast nested loop) product would mean
