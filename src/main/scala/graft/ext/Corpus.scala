@@ -207,6 +207,89 @@ object Corpus {
         (col("_sum") / col("n_bigrams").cast("double")).as("mean_p"))
   }
 
+  /** Trigram STUPID-BACKOFF document scoring (Brants, Popat, Xu, Och &
+    * Dean, EMNLP '07 — the web-scale LM smoothing built precisely for
+    * MapReduce-style distributed n-gram tables, and the scoring behind
+    * CCNet-style quality filtering): completes the LM-filter ladder above
+    * [[unigramLmScore]] and [[bigramLmScore]] with HELD-OUT scoring — the
+    * model counts come from a TRAIN corpus, the scored documents from a
+    * disjoint one, so backoff actually engages (a corpus scored on its own
+    * counts never backs off: every one of its n-grams has count ≥ 1).
+    *
+    * Per trigram position:  S(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂) if the trigram
+    * was seen, else 0.4·c(w₂w₃)/c(w₂), else 0.16·c(w₃)/N, else the OOV
+    * floor 0.16·(0.5/N) — no normalization, no discounting (Brants' point:
+    * at web scale the cheap score ranks as well as Kneser-Ney). The 0.16
+    * backoff factor is the LITERAL double 0.16 in both engines (0.4·0.4
+    * rounds differently). Every score is IEEE divisions/multiplies in
+    * fixed order, per-doc sums fold in POSITION order (the q81/q131
+    * identity), so the oracle matches bit-for-bit.
+    *
+    * Scale shape: the n-gram tables are corpus-bounded TYPE tables kept
+    * DISTRIBUTED (the q131 discipline — a web-scale trigram table outgrows
+    * any broadcast); scoring is five equi-joins of the document trigram
+    * stream against them (shuffles keyed on n-gram keys; every join is
+    * LEFT because held-out n-grams can be unseen) and one doc-keyed fold.
+    * The only driver scalar is N, the train token count. */
+  def stupidBackoffScore(train: DataFrame, score: DataFrame,
+                         idCol: String, textCol: String): DataFrame = {
+    def toks(df: DataFrame) = df.select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+    def trigrams(df: DataFrame) = toks(df)
+      .filter(size(col("_toks")) >= 3)
+      .select(col(idCol), posexplode(expr(
+        "transform(sequence(1, size(_toks) - 2), " +
+          "i -> named_struct('w1', element_at(_toks, i), " +
+          "'w2', element_at(_toks, i + 1), 'w3', element_at(_toks, i + 2)))")))
+      .select(col(idCol), col("pos"),
+        col("col.w1").as("w1"), col("col.w2").as("w2"), col("col.w3").as("w3"))
+    def bigrams(df: DataFrame) = toks(df)
+      .filter(size(col("_toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(_toks) - 1), " +
+          "i -> named_struct('w1', element_at(_toks, i), " +
+          "'w2', element_at(_toks, i + 1)))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val unis = toks(train).select(explode(col("_toks")).as("w"))
+    val c3 = trigrams(train).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("cnt3"))
+    val cb = bigrams(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cntb"))
+    val cu = unis.groupBy(col("w")).agg(count(lit(1)).as("cntu"))
+    val n = unis.count()
+    require(n > 0, "stupidBackoffScore: empty training corpus")
+    val sc = trigrams(score)
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(cb.withColumnRenamed("cntb", "cntb12"), Seq("w1", "w2"), "left")
+      .join(cb.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("cntb").as("cntb23")), Seq("w2", "w3"), "left")
+      .join(cu.select(col("w").as("w2"), col("cntu").as("cntu2")), Seq("w2"), "left")
+      .join(cu.select(col("w").as("w3"), col("cntu").as("cntu3")), Seq("w3"), "left")
+      .withColumn("s",
+        when(col("cnt3").isNotNull,
+          col("cnt3").cast("double") / col("cntb12").cast("double"))
+          .when(col("cntb23").isNotNull,
+            lit(0.4) * (col("cntb23").cast("double") / col("cntu2").cast("double")))
+          .when(col("cntu3").isNotNull,
+            lit(0.16) * (col("cntu3").cast("double") / lit(n.toDouble)))
+          .otherwise(lit(0.16) * (lit(0.5) / lit(n.toDouble))))
+      .withColumn("lvl",
+        when(col("cnt3").isNotNull, 3)
+          .when(col("cntb23").isNotNull, 2)
+          .when(col("cntu3").isNotNull, 1).otherwise(0))
+    sc.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_bi"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_uni"),
+        sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_oov"),
+        min(col("s")).as("min_s"),
+        aggregate(sort_array(collect_list(struct(col("pos"), col("s")))),
+          lit(0.0d), (acc, x) => acc + x.getField("s")).as("_sum"))
+      .select(col(idCol), col("n_scored"), col("n_tri"), col("n_bi"),
+        col("n_uni"), col("n_oov"), col("min_s"),
+        (col("_sum") / col("n_scored").cast("double")).as("mean_s"))
+  }
+
   /** Per-document term frequencies over whitespace tokens: one explode into
     * a map-side-combinable (doc, term) count — the shuffle carries at most
     * one row per distinct (doc, term) per input partition. */

@@ -193,7 +193,22 @@ object TextQueries {
         "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** q147 — trigram stupid-backoff held-out scoring
+    * ([[graft.ext.Corpus.stupidBackoffScore]], Brants et al. EMNLP '07):
+    * the top of the LM-filter ladder (q81 unigram, q131 bigram) — train
+    * counts on the even-id half (the q90 parity split), score the odd-id
+    * half, so backoff genuinely engages; per doc the backoff-level census
+    * (n_tri/n_bi/n_uni/n_oov) plus min/mean score in fixed IEEE order. */
+  def q147StupidBackoff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    graft.ext.Corpus.stupidBackoffScore(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_stupid_backoff" -> (q147StupidBackoff _),
     "q119_bpe_vocab" -> (q119BpeVocab _),
     "q124_bpe_encode" -> (q124BpeEncode _),
     "q128_tokenizer_fertility" -> (q128TokenizerFertility _),
@@ -371,6 +386,59 @@ object TextQueries {
     /* q131: same Laplace arithmetic — (cnt12+1)/(cnt1+V) one division per
      * bigram; per-doc sum folded in position order (list_reduce's
      * init-free left fold ≡ Spark's 0.0-init fold). */
+    /* q147: train tables from the even half, trigram stream from the odd
+     * half, LEFT joins at every level (held-out n-grams can be unseen),
+     * the 3→2→1→0 CASE with literal 0.4/0.16 factors, position-ordered
+     * list_reduce fold (the q81/q131 identity). */
+    "q147_stupid_backoff" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | trp AS (SELECT doc_id, unnest(toks[1:len(toks)-2]) AS w1,
+        |          unnest(toks[2:len(toks)-1]) AS w2,
+        |          unnest(toks[3:len(toks)]) AS w3
+        |         FROM tk WHERE len(toks) >= 3 AND doc_id % 2 = 0),
+        | tbp AS (SELECT unnest(toks[1:len(toks)-1]) AS w1,
+        |          unnest(toks[2:len(toks)]) AS w2
+        |         FROM tk WHERE len(toks) >= 2 AND doc_id % 2 = 0),
+        | tun AS (SELECT unnest(toks) AS w FROM tk WHERE doc_id % 2 = 0),
+        | c3 AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS cnt3
+        |        FROM trp GROUP BY 1, 2, 3),
+        | cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cntb
+        |        FROM tbp GROUP BY 1, 2),
+        | cu AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cntu FROM tun GROUP BY 1),
+        | nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tun),
+        | tp AS (SELECT doc_id, unnest(toks[1:len(toks)-2]) AS w1,
+        |         unnest(toks[2:len(toks)-1]) AS w2,
+        |         unnest(toks[3:len(toks)]) AS w3,
+        |         unnest(range(1, len(toks)-1)) AS pos
+        |        FROM tk WHERE len(toks) >= 3 AND doc_id % 2 = 1),
+        | sc AS (SELECT t.doc_id, t.pos,
+        |     CASE WHEN c3.cnt3 IS NOT NULL
+        |            THEN CAST(c3.cnt3 AS DOUBLE) / CAST(b12.cntb AS DOUBLE)
+        |          WHEN b23.cntb IS NOT NULL
+        |            THEN 0.4 * (CAST(b23.cntb AS DOUBLE) / CAST(u2.cntu AS DOUBLE))
+        |          WHEN u3.cntu IS NOT NULL
+        |            THEN 0.16 * (CAST(u3.cntu AS DOUBLE) / nn.n)
+        |          ELSE 0.16 * (0.5 / nn.n) END AS s,
+        |     CASE WHEN c3.cnt3 IS NOT NULL THEN 3
+        |          WHEN b23.cntb IS NOT NULL THEN 2
+        |          WHEN u3.cntu IS NOT NULL THEN 1 ELSE 0 END AS lvl
+        |   FROM tp t
+        |   LEFT JOIN c3 ON c3.w1 = t.w1 AND c3.w2 = t.w2 AND c3.w3 = t.w3
+        |   LEFT JOIN cb b12 ON b12.w1 = t.w1 AND b12.w2 = t.w2
+        |   LEFT JOIN cb b23 ON b23.w1 = t.w2 AND b23.w2 = t.w3
+        |   LEFT JOIN cu u2 ON u2.w = t.w2
+        |   LEFT JOIN cu u3 ON u3.w = t.w3
+        |   CROSS JOIN nn),
+        | ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+        |     CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+        |     CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+        |     CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+        |     CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |     MIN(s) AS min_s, list(s ORDER BY pos) AS ss
+        |   FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_scored, n_tri, n_bi, n_uni, n_oov, min_s,
+        |  list_reduce(ss, (a, b) -> a + b) / CAST(n_scored AS DOUBLE) AS mean_s
+        |FROM ag ORDER BY doc_id""".stripMargin,
     "q131_bigram_lm" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
         |            FROM documents),

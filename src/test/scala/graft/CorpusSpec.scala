@@ -16,6 +16,30 @@ class CorpusSpec extends AnyFunSuite {
     (3L, "a a a b b c") // repeats for tf/df
   ).toDF("doc_id", "text")
 
+  test("stupid backoff: hand-computed scores at every backoff level") {
+    // train: "a b c a b d" → c(a,b,c)=1, c(a,b)=2, c(a)=2, c(c)=1, N=6
+    val train = Seq((0L, "a b c a b d")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c x"), // (a,b,c): trigram hit 1/2; (b,c,x): full OOV floor
+      (3L, "x a b"),   // (x,a,b): backoff to bigram 0.4·c(a,b)/c(a) = 0.4
+      (5L, "q y c")    // (q,y,c): backoff to unigram 0.16·c(c)/N
+    ).toDF("doc_id", "text")
+    val out = Corpus.stupidBackoffScore(train, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_scored") == 2L)
+    assert(d1.getAs[Long]("n_tri") == 1L && d1.getAs[Long]("n_oov") == 1L)
+    val floor = 0.16 * (0.5 / 6.0)
+    assert(d1.getAs[Double]("min_s") == floor)
+    assert(d1.getAs[Double]("mean_s") == (0.5 + floor) / 2.0)
+    val d3 = out(3L)
+    assert(d3.getAs[Long]("n_bi") == 1L)
+    assert(d3.getAs[Double]("mean_s") == 0.4 * (2.0 / 2.0))
+    val d5 = out(5L)
+    assert(d5.getAs[Long]("n_uni") == 1L)
+    assert(d5.getAs[Double]("mean_s") == 0.16 * (1.0 / 6.0))
+  }
+
   test("heavy hitters: exact counts, count-desc/token-asc order, k bound") {
     val d = Seq(
       ("s1", "a a a b b c"),
