@@ -438,13 +438,16 @@ object Similarity {
     pqImpl(corpus, queries, idCol, vecCol, k, m, ksub, shortlist, nlist, nprobe)
   }
 
-  private def pqImpl(corpus: DataFrame, queries: DataFrame, idCol: String,
-                     vecCol: String, k: Int, m: Int, ksub: Int,
-                     shortlist: Int, nlist: Int, nprobe: Int): DataFrame = {
+  /** The PQ encode + ADC scan stage, up to (query_id, cand_id, adc_dist) —
+    * private[graft] so PlanShapeSpec can pin the scan's join shape (the
+    * final operator checkpoints the tiny re-rank frame, which truncates
+    * this stage out of the public plan). */
+  private[graft] def pqAdcFrame(corpus: DataFrame, queries: DataFrame,
+                                idCol: String, vecCol: String, m: Int,
+                                ksub: Int, nlist: Int, nprobe: Int): DataFrame = {
     require(corpus.schema(idCol).dataType == org.apache.spark.sql.types.LongType,
       s"pqTopK: id column '$idCol' must be LongType, got " +
         s"${corpus.schema(idCol).dataType.simpleString} — cast it upstream")
-    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     val e = corpus.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
     // global symmetric scale — one scalar agg; per-vector scales would make
     // quantized distances incomparable across vectors
@@ -462,17 +465,11 @@ object Similarity {
     require(sample.nonEmpty, "pqTopK: empty corpus — no codebook sample")
     val dim = sample.head.length
     require(dim % m == 0, s"pqTopK: dim $dim must be divisible by m=$m")
-    val subDim = dim / m
-    // per-(subquantizer, centroid) squared-L2 distance expression on a
-    // quantized vector column — exact integer arithmetic
-    def subDist(qv: Column, mi: Int, j: Int): Column =
-      (0 until subDim).map { d =>
-        val qd = element_at(qv, mi * subDim + d + 1).cast("long")
-        val cd = lit(sample(j)(mi * subDim + d).toLong)
-        (qd - cd) * (qd - cd)
-      }.reduce(_ + _)
-    def distArr(qv: Column, mi: Int): Column =
-      array(sample.indices.map(j => subDist(qv, mi, j)): _*)
+    // fused distance-matrix kernel ([[graft.functions.PqDistMatrix]]): ONE
+    // plan node per side — the unrolled m·ksub·subDim expression form cost
+    // ~8 s of Catalyst planning per execution, flat in data size
+    def distMat(v: Column): Column =
+      graft.functions.PqDistMatrix.pqDistMatrix(v, sample, m, safe)
     // optional coarse quantizer (IVF gating): the ivfTopK float-side
     // centroid sample + nearest-centroid assignment, as plan literals
     val cents: Array[(Long, Array[Double])] =
@@ -480,54 +477,67 @@ object Similarity {
         e.orderBy(md5(col("_id").cast("string").cast("binary"))).limit(nlist)
           .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       else Array.empty
-    // corpus codes: materialize each distance array ONCE, then argmin via
-    // array_position(array_min) — first index wins ties (smaller centroid)
+    // corpus codes: the dist matrix materializes ONCE, then argmin per
+    // subquantizer via array_position(array_min) — first index wins ties
+    // (smaller centroid)
     val listCol =
       if (nlist > 0) Seq(element_at(nearestIds(cents, col("_v"), 1), 1).as("list_id"))
       else Seq.empty
-    val coded = e.withColumn("_q", quant(col("_v")))
-      .select((col("_id").as("cand_id") +:
-        (0 until m).map(mi => distArr(col("_q"), mi).as(s"_da$mi"))) ++ listCol: _*)
+    val coded = e
+      .select((col("_id").as("cand_id") +: distMat(col("_v")).as("_dm") +:
+        listCol): _*)
       .select((col("cand_id") +: (0 until m).map(mi =>
-        (array_position(col(s"_da$mi"), array_min(col(s"_da$mi"))) - 1)
+        (array_position(element_at(col("_dm"), mi + 1),
+          array_min(element_at(col("_dm"), mi + 1))) - 1)
           .cast("int").as(s"code_$mi"))) ++ listCol.map(_ => col("list_id")): _*)
     // query-side ADC lookup tables (tiny frame, broadcast); with gating the
     // query also explodes its nprobe probed lists
     val qBase = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("_qq", quant(col("qv")))
+      .withColumn("_dm", distMat(col("qv")))
     val q =
       if (nlist > 0)
         qBase.select(col("query_id") +:
             explode(nearestIds(cents, col("qv"), nprobe)).as("probe") +:
-            (0 until m).map(mi => distArr(col("_qq"), mi).as(s"lut_$mi")): _*)
+            (0 until m).map(mi => element_at(col("_dm"), mi + 1).as(s"lut_$mi")): _*)
       else
         qBase.select(col("query_id") +:
-          (0 until m).map(mi => distArr(col("_qq"), mi).as(s"lut_$mi")): _*)
+          (0 until m).map(mi => element_at(col("_dm"), mi + 1).as(s"lut_$mi")): _*)
     val joinCond =
       if (nlist > 0) col("list_id") === col("probe") && col("cand_id") =!= col("query_id")
       else col("cand_id") =!= col("query_id")
-    val adc = coded.join(broadcast(q), joinCond)
+    coded.join(broadcast(q), joinCond)
       .withColumn("adc_dist",
         (0 until m).map(mi => element_at(col(s"lut_$mi"), col(s"code_$mi") + 1))
           .reduce(_ + _))
       .select(col("query_id"), col("cand_id"), col("adc_dist"))
+  }
+
+  private def pqImpl(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, m: Int, ksub: Int,
+                     shortlist: Int, nlist: Int, nprobe: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val adc = pqAdcFrame(corpus, queries, idCol, vecCol, m, ksub, nlist, nprobe)
+    val e = corpus.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
     // bounded ADC shortlist (asc distance ≡ desc negated score, id ties asc)
     val short = TopK.topKPerGroup(
         adc.withColumn("_score", -col("adc_dist").cast("double")),
         "query_id", "cand_id", "_score", shortlist)
       .withColumn("adc_dist", (-col("_score")).cast("long"))
       .select(col("query_id"), col("cand_id"), col("adc_dist"))
-    // exact float re-rank on the surviving candidates only
+    // exact float re-rank on the surviving candidates only; the re-ranked
+    // frame is O(queries·shortlist) rows and feeds TWO consumers (the
+    // bounded top-k and the adc join-back) — materialize it once instead of
+    // executing the whole ADC pipeline twice (the q53 discipline)
     val vecs = e.withColumn("_n", l2norm(col("_v")))
-    val rr = short
+    val rr = Dedup.checkpointStripped(short
       .join(vecs.select(col("_id").as("query_id"), col("_v").as("qv2"),
         col("_n").as("qn")), "query_id")
       .join(vecs.select(col("_id").as("cand_id"), col("_v").as("cv2"),
         col("_n").as("cn")), "cand_id")
       .withColumn("sim",
         round(cosineFromNorms(dot(col("qv2"), col("cv2")), col("qn"), col("cn")), 4))
-      .select(col("query_id"), col("cand_id"), col("adc_dist"), col("sim"))
+      .select(col("query_id"), col("cand_id"), col("adc_dist"), col("sim")))
     TopK.topKPerGroup(rr.withColumnRenamed("sim", "_s"), "query_id", "cand_id", "_s", k)
       .join(rr.select(col("query_id"), col("cand_id"), col("adc_dist")),
         Seq("query_id", "cand_id"))

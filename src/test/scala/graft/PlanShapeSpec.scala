@@ -94,22 +94,37 @@ class PlanShapeSpec extends AnyFunSuite {
     // nested-loop on the TINY query side is that shape; the corpus side must
     // never shuffle before the bounded TopK), and the shortlist/re-rank must
     // be the aggregator, not a window
-    val flat = graft.queries.SimilarityQueries.q143AnnPq(spark, dir)
+    // the public operator checkpoints the tiny re-rank frame (materialize-
+    // once), so the scan stage is pinned on the private[graft] ADC frame
+    val emb = graft.util.Tables.load(spark, dir, "embeddings")
+    val qs = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val flat = graft.ext.Similarity
+      .pqAdcFrame(emb, qs, "vec_id", "embedding", m = 8, ksub = 16,
+        nlist = 0, nprobe = 0)
       .queryExecution.sparkPlan.toString
-    assert(!flat.contains("Window"), s"window re-rank in PQ:\n$flat")
-    assert(flat.contains("ObjectHashAggregate"), s"expected TopK aggregator in:\n$flat")
     assert(flat.contains("BroadcastNestedLoopJoin BuildRight"),
       s"flat ADC scan should broadcast the tiny LUT side:\n$flat")
+    assert(flat.contains("graft_pq_dist_matrix"),
+      s"expected the fused PQ kernel (not unrolled literals) in:\n$flat")
     // gated: the list_id = probe equi-condition makes the scan a broadcast
     // HASH join — the all-pairs shape must be gone entirely
-    val gated = graft.queries.SimilarityQueries.q144AnnIvfPq(spark, dir)
+    val gated = graft.ext.Similarity
+      .pqAdcFrame(emb, qs, "vec_id", "embedding", m = 8, ksub = 16,
+        nlist = 16, nprobe = 4)
       .queryExecution.sparkPlan.toString
-    assert(!gated.contains("Window"), s"window re-rank in IVF-PQ:\n$gated")
     assert(!gated.contains("CartesianProduct") &&
       !gated.contains("BroadcastNestedLoopJoin"),
       s"ungated all-pairs scan in IVF-PQ:\n$gated")
     assert(gated.contains("BroadcastHashJoin"),
       s"probe gate should be a broadcast hash join:\n$gated")
+    // and the public operators' visible (post-checkpoint) plans keep the
+    // bounded-aggregator re-rank: no window anywhere
+    Seq(graft.queries.SimilarityQueries.q143AnnPq _,
+        graft.queries.SimilarityQueries.q144AnnIvfPq _).foreach { qf =>
+      val p = qf(spark, dir).queryExecution.sparkPlan.toString
+      assert(!p.contains("Window"), s"window re-rank in PQ family:\n$p")
+      assert(p.contains("ObjectHashAggregate"), s"expected TopK aggregator in:\n$p")
+    }
   }
 
   test("q50 band-OR near-dup joins on buckets — no cartesian product anywhere") {
