@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ext.Skew
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, HilbertIndex, MinHashSlots, WinnowFingerprints}
 
 /** Salted-join / salted-agg equivalence and the SQL function surface. */
 class SkewAndSqlSpec extends AnyFunSuite {
@@ -61,5 +61,45 @@ class SkewAndSqlSpec extends AnyFunSuite {
     val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .head().getDouble(0)
     assert(r == 11.0)
+  }
+
+  test("constant-arg kernels are callable from SQL; each matches its DataFrame twin") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    // shingles with a foldable width
+    val sh = spark.sql(
+      "SELECT graft_word_shingles('a b c d', 3) AS s").head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    // minhash slots: SQL == kernel column API on the same text
+    val viaSql = spark.sql(
+      "SELECT graft_minhash_slots('spark scans fast today', 3) AS m")
+      .head().getSeq[Long](0)
+    val viaApi = Seq("spark scans fast today").toDF("t")
+      .select(MinHashSlots.minhashSlots(col("t"), 3)).head().getSeq[Long](0)
+    assert(viaSql == viaApi)
+    // text stats with a foldable stopword array
+    val ts = spark.sql(
+      "SELECT graft_text_stats('the fast fox', array('the', 'a')).n_tokens AS n")
+      .head().getInt(0)
+    assert(ts == 3)
+    // hilbert index with foldable bits
+    val h = spark.sql("SELECT graft_hilbert_index(3L, 5L, 4) AS h").head().getLong(0)
+    val hApi = Seq((3L, 5L)).toDF("x", "y")
+      .select(HilbertIndex.hilbertIndex(col("x"), col("y"), 4)).head().getLong(0)
+    assert(h == hApi)
+    // winnow fingerprints: SQL == column API
+    val wSql = spark.sql(
+      "SELECT graft_winnow_fingerprints('p q r s t u v w', 4, 3) AS w")
+      .head().getSeq[Long](0)
+    val wApi = Seq("p q r s t u v w").toDF("t")
+      .select(WinnowFingerprints.winnowFingerprints(col("t"), 4, 3))
+      .head().getSeq[Long](0)
+    assert(wSql == wApi)
+    // non-foldable constant args are rejected with a clear error
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_word_shingles(t, CAST(rand() * 3 AS INT)) " +
+        "FROM (SELECT 'a b' AS t)").collect()
+    }
+    assert(err.getMessage.contains("foldable"))
   }
 }
