@@ -518,6 +518,13 @@ object Similarity {
                      shortlist: Int, nlist: Int, nprobe: Int): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     val adc = pqAdcFrame(corpus, queries, idCol, vecCol, m, ksub, nlist, nprobe)
+    pqFinish(adc, corpus, idCol, vecCol, k, shortlist)
+  }
+
+  /** Shared PQ tail: bounded ADC shortlist → checkpoint-once exact rounded
+    * cosine re-rank → bounded top-k with the adc audit column. */
+  private def pqFinish(adc: DataFrame, corpus: DataFrame, idCol: String,
+                       vecCol: String, k: Int, shortlist: Int): DataFrame = {
     val e = corpus.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
     // bounded ADC shortlist (asc distance ≡ desc negated score, id ties asc)
     val short = TopK.topKPerGroup(
@@ -542,6 +549,85 @@ object Similarity {
       .join(rr.select(col("query_id"), col("cand_id"), col("adc_dist")),
         Seq("query_id", "cand_id"))
       .select(col("query_id"), col("cand_id"), col("adc_dist"), col("_s").as("sim"))
+  }
+
+  /** RESIDUAL IVF-PQ — FAISS `IndexIVFPQ`'s default `by_residual=true`,
+    * completing the [[ivfPqTopK]] story: PQ codes encode the residual
+    * v − centroid(list(v)) instead of the raw vector. Residuals of a
+    * coherent list concentrate near the origin, so the SAME codebook
+    * budget spends its resolution on the part of the vector the coarse
+    * quantizer didn't already explain — the recall lever that justifies
+    * the extra machinery: the query must now build ONE ADC lookup table
+    * PER PROBED LIST (its residual differs per probe centroid), which is
+    * why FAISS bounds nprobe.
+    *
+    * Determinism/oracle: the centroid map rides as a plan literal; the
+    * residual is an exact IEEE subtraction (zip_with, index order), the
+    * global residual scale and codebook-sample quantization reuse the
+    * [[pqTopK]] discipline (engine-side HALF_UP, clamp ±127), and the
+    * [[graft.functions.PqDistMatrix]] kernel does encode + LUT in one
+    * node. Everything after the quantization boundary is exact integers.
+    *
+    * Scale shape: identical to [[ivfPqTopK]] — map-side assignment +
+    * residual + kernel, one broadcast hash join on (list = probe) whose
+    * broadcast side is queries×nprobe LUT rows, bounded shortlist,
+    * checkpoint-once re-rank. Three bounded driver collects (coarse
+    * sample, residual max, codebook sample). */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+                        shortlist: Int = 20, nlist: Int = 16,
+                        nprobe: Int = 4): DataFrame = {
+    require(corpus.schema(idCol).dataType == org.apache.spark.sql.types.LongType,
+      s"ivfPqResidualTopK: id column '$idCol' must be LongType, got " +
+        s"${corpus.schema(idCol).dataType.simpleString} — cast it upstream")
+    require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
+      s"need 1 <= nprobe ($nprobe) <= nlist ($nlist)")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val e = corpus.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
+    val cents: Array[(Long, Array[Double])] = e
+      .orderBy(md5(col("_id").cast("string").cast("binary"))).limit(nlist)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(cents.nonEmpty, "ivfPqResidualTopK: empty corpus")
+    val cmap = map(cents.flatMap { case (cid, cv) =>
+      Seq(lit(cid), typedLit(cv.toSeq)) }: _*)
+    def residual(v: Column, listId: Column): Column =
+      zip_with(v, element_at(cmap, listId), (a, b) => a - b)
+    val eL = e
+      .withColumn("list_id", element_at(nearestIds(cents, col("_v"), 1), 1))
+      .withColumn("_r", residual(col("_v"), col("list_id")))
+    val gmaxRow = eL.agg(max(array_max(transform(col("_r"), x => abs(x))))).head()
+    val gmax = if (gmaxRow.isNullAt(0)) 0.0 else gmaxRow.getDouble(0)
+    val safe = if (gmax > 0) gmax / 127.0 else 1.0
+    def quant(v: Column): Column = transform(v, x =>
+      least(greatest(round(x / lit(safe)), lit(-127.0)), lit(127.0)).cast("int"))
+    val codebook: Array[Array[Int]] = eL
+      .orderBy(md5(col("_id").cast("string").cast("binary"))).limit(ksub)
+      .select(quant(col("_r")).as("_q"))
+      .collect().map(_.getSeq[Int](0).toArray)
+    val dim = codebook.head.length
+    require(dim % m == 0, s"ivfPqResidualTopK: dim $dim must be divisible by m=$m")
+    def dm(v: Column): Column =
+      graft.functions.PqDistMatrix.pqDistMatrix(v, codebook, m, safe)
+    val coded = eL
+      .select(col("_id").as("cand_id"), dm(col("_r")).as("_dm"), col("list_id"))
+      .select(col("cand_id") +: (0 until m).map(mi =>
+        (array_position(element_at(col("_dm"), mi + 1),
+          array_min(element_at(col("_dm"), mi + 1))) - 1)
+          .cast("int").as(s"code_$mi")) :+ col("list_id"): _*)
+    // per-(query, probe) residual → one LUT row per probe (tiny, broadcast)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("probe", explode(nearestIds(cents, col("qv"), nprobe)))
+      .withColumn("_dm", dm(residual(col("qv"), col("probe"))))
+      .select(col("query_id") +: col("probe") +:
+        (0 until m).map(mi => element_at(col("_dm"), mi + 1).as(s"lut_$mi")): _*)
+    val adc = coded.join(broadcast(q),
+        col("list_id") === col("probe") && col("cand_id") =!= col("query_id"))
+      .withColumn("adc_dist",
+        (0 until m).map(mi => element_at(col(s"lut_$mi"), col(s"code_$mi") + 1))
+          .reduce(_ + _))
+      .select(col("query_id"), col("cand_id"), col("adc_dist"))
+    pqFinish(adc, corpus, idCol, vecCol, k, shortlist)
   }
 
   /** Cluster-quality audit in int8-quantized space — the "so what"

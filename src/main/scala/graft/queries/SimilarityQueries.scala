@@ -132,6 +132,20 @@ object SimilarityQueries {
         "vec_id", "embedding", nlist = 16)
       .transform(tinySort(_, col("list_id")))
 
+  /** q148 — residual IVF-PQ ([[Similarity.ivfPqResidualTopK]], FAISS
+    * IndexIVFPQ by_residual=true, the library default): PQ codes encode
+    * v − centroid(list(v)) so the codebook budget resolves what the coarse
+    * quantizer left unexplained; the query builds one ADC table per probed
+    * list. Oracle replays centroid subtraction, residual quantization,
+    * per-probe lookup tables and the gated ADC relationally. */
+  def q148AnnIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val e = load(spark, dir, "embeddings")
+    Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5, m = 8, ksub = 16, shortlist = 20,
+        nlist = 16, nprobe = 4)
+      .transform(tinySort(_, col("query_id"), col("cand_id")))
+  }
+
   /** q58 — symmetric int8 embedding quantization
     * ([[Similarity.quantizeInt8]]): per-vector scale + exact integer
     * summaries. Map-only array HOFs, no shuffle — a plain global sort is the
@@ -180,6 +194,7 @@ object SimilarityQueries {
     "q143_ann_pq" -> (q143AnnPq _),
     "q144_ann_ivfpq" -> (q144AnnIvfPq _),
     "q145_cluster_quality" -> (q145ClusterQuality _),
+    "q148_ann_ivfpq_residual" -> (q148AnnIvfPqResidual _),
     "q25_cosine_topk" -> (q25CosineTopK _),
     "q107_rrf_fusion" -> (q107RrfFusion _),
     "q68_label_centroids" -> (q68LabelCentroids _),
@@ -369,6 +384,68 @@ object SimilarityQueries {
         |  CASE WHEN n * ssq > 0 THEN
         |    CAST((10000 * wcss_x_n) // (CAST(n AS HUGEINT) * ssq) AS BIGINT) END AS dispersion_bp
         |FROM j ORDER BY list_id""".stripMargin,
+    /* q148: q144's coarse gating + residual encoding — centroid-subtracted
+     * vectors quantized with the residual-global scale, codebook = the
+     * md5-sample's residuals, one per-(query, probe) lookup table. */
+    "q148_ann_ivfpq_residual" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | cents AS (SELECT vec_id AS cid, v AS cv FROM e
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        | asgn AS (SELECT e.vec_id, c.cid,
+        |            round(list_cosine_similarity(e.v, c.cv), 4) AS s
+        |          FROM e CROSS JOIN cents c),
+        | lists AS (SELECT vec_id, cid AS list_id FROM asgn
+        |           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) = 1),
+        | probes AS (SELECT vec_id AS query_id, cid AS probe FROM asgn WHERE vec_id < 10
+        |            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) <= 4),
+        | rs AS (SELECT l.vec_id, l.list_id,
+        |          list_transform(range(1, len(e.v) + 1), i -> e.v[i] - c.cv[i]) AS rv
+        |        FROM lists l JOIN e ON e.vec_id = l.vec_id
+        |                     JOIN cents c ON c.cid = l.list_id),
+        | gm AS (SELECT max(list_max(list_transform(rv, x -> abs(x)))) AS gmax FROM rs),
+        | sc AS (SELECT CASE WHEN gmax > 0 THEN gmax / 127.0 ELSE 1.0 END AS safe FROM gm),
+        | q8 AS (SELECT vec_id, list_id,
+        |          list_transform(rv, x -> CAST(least(greatest(round(x / sc.safe), -127.0), 127.0) AS INT)) AS qv
+        |        FROM rs, sc),
+        | smp AS (SELECT vec_id, qv FROM q8 ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        | cb AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS j,
+        |          qv AS cqv FROM smp),
+        | qd AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS x FROM q8),
+        | cd AS (SELECT j, generate_subscripts(cqv, 1) - 1 AS d, unnest(cqv) AS cx FROM cb),
+        | dist AS (SELECT qd.vec_id, qd.d // 8 AS m, cd.j,
+        |     SUM(CAST(qd.x - cd.cx AS BIGINT) * (qd.x - cd.cx)) AS dd
+        |   FROM qd JOIN cd ON qd.d = cd.d GROUP BY 1, 2, 3),
+        | codes AS (SELECT vec_id, m, j AS code FROM dist
+        |   QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dd ASC, j ASC) = 1),
+        | qrs AS (SELECT p.query_id, p.probe,
+        |           list_transform(range(1, len(e.v) + 1), i -> e.v[i] - c.cv[i]) AS rv
+        |         FROM probes p JOIN e ON e.vec_id = p.query_id
+        |                       JOIN cents c ON c.cid = p.probe),
+        | qq8 AS (SELECT query_id, probe,
+        |           list_transform(rv, x -> CAST(least(greatest(round(x / sc.safe), -127.0), 127.0) AS INT)) AS qv
+        |         FROM qrs, sc),
+        | qqd AS (SELECT query_id, probe, generate_subscripts(qv, 1) - 1 AS d,
+        |           unnest(qv) AS x FROM qq8),
+        | qdist AS (SELECT qqd.query_id, qqd.probe, qqd.d // 8 AS m, cd.j,
+        |     SUM(CAST(qqd.x - cd.cx AS BIGINT) * (qqd.x - cd.cx)) AS dd
+        |   FROM qqd JOIN cd ON qqd.d = cd.d GROUP BY 1, 2, 3, 4),
+        | adc AS (SELECT p.query_id, l.vec_id AS cand_id, SUM(d2.dd) AS adc_dist
+        |   FROM probes p
+        |   JOIN lists l ON l.list_id = p.probe AND l.vec_id <> p.query_id
+        |   JOIN codes c ON c.vec_id = l.vec_id
+        |   JOIN qdist d2 ON d2.query_id = p.query_id AND d2.probe = p.probe
+        |                AND d2.m = c.m AND d2.j = c.code
+        |   GROUP BY 1, 2),
+        | short AS (SELECT query_id, cand_id, adc_dist FROM adc
+        |   QUALIFY row_number() OVER (PARTITION BY query_id
+        |     ORDER BY adc_dist ASC, cand_id ASC) <= 20),
+        | rr AS (SELECT s.query_id, s.cand_id, s.adc_dist,
+        |     round(list_cosine_similarity(eq.v, ec.v), 4) AS sim
+        |   FROM short s JOIN e eq ON eq.vec_id = s.query_id
+        |                JOIN e ec ON ec.vec_id = s.cand_id)
+        |SELECT query_id, cand_id, CAST(adc_dist AS BIGINT) AS adc_dist, sim FROM rr
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) <= 5
+        |ORDER BY query_id, cand_id""".stripMargin,
     /* q144: q43's coarse CTEs (md5 sample, rounded-cosine argmax with cid
      * DESC ties, nprobe=4 probes) gate q143's integer ADC chain. */
     "q144_ann_ivfpq" ->

@@ -210,6 +210,25 @@ class ExtSpec extends AnyFunSuite {
     assert(gated == brute)
   }
 
+  test("residual IVF-PQ: gated probes keep cluster recall; ADC stays integer non-negative") {
+    val base1 = Array.tabulate(64)(i => math.sin(i + 1))
+    val base2 = Array.tabulate(64)(i => math.cos(2 * i + 1))
+    def jitter(b: Array[Double], k: Int): Seq[Float] = b.zipWithIndex
+      .map { case (v, i) => (v + 0.001 * ((i * k) % 7)).toFloat }.toSeq
+    val emb = (0 until 10).map(k => (k.toLong, jitter(if (k % 2 == 0) base1 else base2, k)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 2)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Similarity.ivfPqResidualTopK(emb, queries, "vec_id", "embedding",
+      k = 3, m = 8, ksub = 4, shortlist = 6, nlist = 4, nprobe = 2).collect()
+    assert(rows.forall(_.getAs[Long]("adc_dist") >= 0L))
+    // residual codes + 2-of-4 probes still recover the brute-force top-3 on
+    // two tight clusters (residuals of same-cluster mates are tiny and
+    // quantize near-identically)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == brute)
+  }
+
   test("cluster quality: identical members give zero WCSS; the corpus row is looser") {
     // two groups of byte-identical vectors; with nlist = corpus size every
     // vector is a centroid, ties go to the highest centroid id, so the two
