@@ -146,6 +146,26 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("r12 operators are partition-invariant (planner, backoff LM, KMV CI)") {
+    // deterministic-by-construction claims, checked the q21 way: the same
+    // input under a different partitioning must give the same rows
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"tok${i % 7} tok${(i * 3) % 5} tok${i % 7} tok${(i + 1) % 11} end"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(graft.ext.LshPlanner.planBands(docs, "doc_id", "text")) ==
+      rows(graft.ext.LshPlanner.planBands(docs.repartition(13), "doc_id", "text")))
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val score = docs.filter(col("doc_id") % 2 === 1)
+    assert(rows(graft.ext.Corpus.stupidBackoffScore(train, score, "doc_id", "text")) ==
+      rows(graft.ext.Corpus.stupidBackoffScore(
+        train.repartition(11), score.repartition(7), "doc_id", "text")))
+    val ev = (0 until 300).map(i => (s"g${i % 3}", (i * 17) % 101)).toDF("g", "v")
+    assert(rows(graft.ext.Sketch.kmvDistinctCI(ev, "g", "v", k = 16)) ==
+      rows(graft.ext.Sketch.kmvDistinctCI(ev.repartition(9), "g", "v", k = 16)))
+  }
+
   test("movingStats conservation: last running total per user == exact group sum") {
     val ev = (1 to 200).map { i =>
       (i.toLong, (i % 7).toLong,

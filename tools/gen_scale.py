@@ -81,8 +81,54 @@ pq.write_table(
          "label": pa.array(elabels, pa.int32())}),
     DST / "embeddings.parquet")
 
-# passthrough relational tables ----------------------------------------
-for t in "region nation customer supplier part orders lineitem events".split():
+# fact tables: 10 copies with offset keys; dimension FKs unchanged so the
+# star joins stay valid (copy k's orders reference the original customers)
+FACT_OFFSET = 1_000_000_000
+
+orders = pq.read_table(SRC / "orders.parquet")
+ocols = {c: orders.column(c).to_pylist() for c in orders.schema.names}
+out = {c: [] for c in orders.schema.names}
+for k in range(FACTOR):
+    for c in orders.schema.names:
+        if c == "o_orderkey":
+            out[c].extend(v + k * FACT_OFFSET for v in ocols[c])
+        else:
+            out[c].extend(ocols[c])
+pq.write_table(
+    pa.table({c: pa.array(out[c], orders.schema.field(c).type)
+              for c in orders.schema.names}),
+    DST / "orders.parquet")
+
+li = pq.read_table(SRC / "lineitem.parquet")
+lcols = {c: li.column(c).to_pylist() for c in li.schema.names}
+lout = {c: [] for c in li.schema.names}
+for k in range(FACTOR):
+    for c in li.schema.names:
+        if c == "l_orderkey":
+            lout[c].extend(v + k * FACT_OFFSET for v in lcols[c])
+        else:
+            lout[c].extend(lcols[c])
+pq.write_table(
+    pa.table({c: pa.array(lout[c], li.schema.field(c).type)
+              for c in li.schema.names}),
+    DST / "lineitem.parquet")
+
+ev = pq.read_table(SRC / "events.parquet")
+ecols = {c: ev.column(c).to_pylist() for c in ev.schema.names}
+eout = {c: [] for c in ev.schema.names}
+for k in range(FACTOR):
+    for c in ev.schema.names:
+        if c == "event_id":
+            eout[c].extend(v + k * FACT_OFFSET for v in ecols[c])
+        else:
+            eout[c].extend(ecols[c])
+pq.write_table(
+    pa.table({c: pa.array(eout[c], ev.schema.field(c).type)
+              for c in ev.schema.names}),
+    DST / "events.parquet")
+
+# dimensions pass through unchanged
+for t in "region nation customer supplier part".split():
     shutil.copyfile(SRC / f"{t}.parquet", DST / f"{t}.parquet")
 
 for t in ["documents", "embeddings"]:
