@@ -207,7 +207,19 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q149 — batch-padding efficiency audit ([[graft.ext.Batching]]): the
+    * training-throughput payoff measurement for the token-count family —
+    * default hash batching vs length-bucketed batching over documents
+    * (truncate 128, batch 8, bucket width 16), padding waste in exact
+    * basis points of processed tokens. Window-free by design: both batch
+    * assignments are pure hash expressions a 100 TB writer partitions by. */
+  def q149PaddingAudit(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Batching.paddingAudit(load(spark, dir, "documents"),
+        "doc_id", "text", maxSeqLen = 128, batchSize = 8, bucketWidth = 16)
+      .transform(tinySort(_, col("policy")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_padding_audit" -> (q149PaddingAudit _),
     "q147_stupid_backoff" -> (q147StupidBackoff _),
     "q119_bpe_vocab" -> (q119BpeVocab _),
     "q124_bpe_encode" -> (q124BpeEncode _),
@@ -386,6 +398,43 @@ object TextQueries {
     /* q131: same Laplace arithmetic — (cnt12+1)/(cnt1+V) one division per
      * bigram; per-doc sum folded in position order (list_reduce's
      * init-free left fold ≡ Spark's 0.0-init fold). */
+    /* q149: truncated whitespace token counts, the 60-bit bat: hash, both
+     * batch assignments (global ceil-div batch count / per-bucket counts),
+     * per-batch max/sum, integral-division padding bp. */
+    "q149_padding_audit" ->
+      s"""WITH base AS (SELECT doc_id,
+        |    LEAST(len(string_split(text, ' ')), 128) AS len,
+        |    ${ProfilingQueries.hex60("'bat:' || CAST(doc_id AS VARCHAR)")} AS h
+        |  FROM documents),
+        | n AS (SELECT COUNT(*) AS n FROM base),
+        | hb AS (SELECT h % ((n.n + 7) // 8) AS batch, len FROM base, n),
+        | hstat AS (SELECT batch, COUNT(*) AS n_rows, MAX(len) AS max_len,
+        |     SUM(len) AS useful FROM hb GROUP BY 1),
+        | hroll AS (SELECT 'hash' AS policy,
+        |     CAST(COUNT(*) AS BIGINT) AS n_batches,
+        |     CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+        |     CAST(SUM(useful) AS BIGINT) AS useful_tokens,
+        |     CAST(SUM(n_rows * max_len) AS BIGINT) AS cost_tokens
+        |   FROM hstat),
+        | bk AS (SELECT doc_id, len, h, len // 16 AS bucket FROM base),
+        | bc AS (SELECT bucket, COUNT(*) AS bn FROM bk GROUP BY 1),
+        | bb AS (SELECT bk.bucket, bk.h % ((bc.bn + 7) // 8) AS sub, bk.len
+        |   FROM bk JOIN bc USING (bucket)),
+        | bstat AS (SELECT bucket, sub, COUNT(*) AS n_rows, MAX(len) AS max_len,
+        |     SUM(len) AS useful FROM bb GROUP BY 1, 2),
+        | broll AS (SELECT 'bucketed' AS policy,
+        |     CAST(COUNT(*) AS BIGINT) AS n_batches,
+        |     CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+        |     CAST(SUM(useful) AS BIGINT) AS useful_tokens,
+        |     CAST(SUM(n_rows * max_len) AS BIGINT) AS cost_tokens
+        |   FROM bstat),
+        | u AS (SELECT * FROM hroll UNION ALL SELECT * FROM broll)
+        |SELECT policy, n_batches, n_rows, useful_tokens, cost_tokens,
+        |  cost_tokens - useful_tokens AS padding_tokens,
+        |  CASE WHEN cost_tokens > 0
+        |    THEN (10000 * (cost_tokens - useful_tokens)) // cost_tokens
+        |    ELSE 0 END AS padding_bp
+        |FROM u ORDER BY policy""".stripMargin,
     /* q147: train tables from the even half, trigram stream from the odd
      * half, LEFT joins at every level (held-out n-grams can be unseen),
      * the 3→2→1→0 CASE with literal 0.4/0.16 factors, position-ordered

@@ -40,6 +40,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(d5.getAs[Double]("mean_s") == 0.16 * (1.0 / 6.0))
   }
 
+  test("padding audit: uniform lengths pad zero; width-1 buckets pad zero; conservation") {
+    import graft.ext.Batching
+    // uniform-length corpus: every batch's max == every member's len
+    val uni = (0 until 20).map(i => (i.toLong, "a b c d")).toDF("doc_id", "text")
+    val u = Batching.paddingAudit(uni, "doc_id", "text", 128, 4, 16)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(u("hash").getAs[Long]("padding_tokens") == 0L)
+    assert(u("bucketed").getAs[Long]("padding_tokens") == 0L)
+    // mixed lengths, bucketWidth = 1: bucketed batches are single-length by
+    // construction → zero padding; hash batches mix lengths → positive
+    val mix = (0 until 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "a b c d e f g h")).toDF("doc_id", "text")
+    val m = Batching.paddingAudit(mix, "doc_id", "text", 128, 4, 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("bucketed").getAs[Long]("padding_tokens") == 0L)
+    assert(m("hash").getAs[Long]("padding_tokens") > 0L)
+    // conservation: useful tokens identical across policies; rows conserved
+    assert(m("hash").getAs[Long]("useful_tokens") ==
+      m("bucketed").getAs[Long]("useful_tokens"))
+    assert(m("hash").getAs[Long]("n_rows") == 40L &&
+      m("bucketed").getAs[Long]("n_rows") == 40L)
+  }
+
   test("heavy hitters: exact counts, count-desc/token-asc order, k bound") {
     val d = Seq(
       ("s1", "a a a b b c"),
