@@ -546,6 +546,96 @@ object Sketch {
           .otherwise(lit(0L)))
       .drop("_m")
 
+  /** Deterministic 60-bit hash for the HLL sketch (distinct salt from
+    * [[kmvHash]]/[[qskHash]] so the three sketches never share hash
+    * streams). */
+  def hllHash(c: Column): Column =
+    conv(substring(md5(concat(lit("hll:"), c.cast("string")).cast("binary")), 1, 15), 16, 10)
+      .cast("bigint")
+
+  /** HyperLogLog register count: p = 6 ⇒ m = 64 registers, the smallest
+    * configuration with a PAPER-DEFINED alpha constant (α₆₄ = 0.709,
+    * Flajolet–Fusy–Gandouet–Meunier AofA '07 §4) — keeping the estimator
+    * a LITERAL rational so the whole chain stays in exact integers. */
+  val HllM = 64
+
+  /** α₆₄ · m² as the exact rational 709·4096/1000 — numerator piece. */
+  private val HllAlphaM2Num = 709L * 4096L // 2904064
+  private val HllAlphaDen = 1000L
+
+  /** HyperLogLog distinct-count rollup (Flajolet–Fusy–Gandouet–Meunier,
+    * "HyperLogLog: the analysis of a near-optimal cardinality estimation
+    * algorithm", AofA 2007) — the THIRD cardinality tier next to exact
+    * count-distinct and [[kmvRollup]]: where KMV keeps k hashes per group,
+    * HLL keeps m = 64 six-bit registers, and registers merge by
+    * ELEMENT-WISE MAX — the idempotent-merge property that lets per-day /
+    * per-corpus summaries combine without re-reading data AND without the
+    * KMV re-sort.
+    *
+    * LONG-FORM, fully relational — no typed aggregator at all: a row's
+    * 60-bit hash splits into bucket = h mod 64 and a 54-bit suffix whose
+    * RANK (position of the rightmost 1-bit, Flajolet–Martin '85 convention
+    * — same Geometric(1/2) law as the leftmost-zero-run count, and exact
+    * in integer arithmetic: rank = bit-length of `rest & -rest`; all-zero
+    * suffix ⇒ 55) max-aggregates into (group, bucket) registers. That
+    * groupBy(max) is map-side combined on ≤ groups·64 keys, so the shuffle
+    * carries O(groups·m) bytes from ANY input size — the 100 TB shape.
+    * The global `__all__` row is the register-wise max OVER the per-group
+    * registers (provably ≡ direct build over the union: max is
+    * associative-commutative-idempotent; the SketchSpec law).
+    *
+    * The estimate is the raw-HLL harmonic mean kept EXACT: each register
+    * contributes 2^(62−rho) (zero registers contribute 2^62) to the scaled
+    * denominator Z·2^62 — a DECIMAL(38,0) sum ≤ 64·2^62 — and
+    * E = ⌊α·m²·2^62 / Z·2^62⌋ = (709·4096·2^62) div (1000·ΣZ) — one
+    * integral division ≡ DuckDB HUGEINT `//`. The small-range
+    * linear-counting correction (m·ln(m/V) for E < 5m/2) needs a
+    * transcendental ln that is not bit-portable across engines (the same
+    * reason Efraimidis–Spirakis sampling was rejected, NOTES), so the raw
+    * estimate ships next to `n_zero_registers` — the V a consumer needs to
+    * apply the correction — and the exact-rational small-range alternative
+    * in this library IS [[kmvRollup]]. `err_bp` (|E−exact|·10⁴ div exact)
+    * makes the ~1.04/√64 ≈ 13 % expected error visible as data. */
+  def hllRollup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val hashed = df.select(
+      coalesce(col(groupCol).cast("string"), lit(NullGroup)).as(groupCol),
+      col(valueCol), hllHash(col(valueCol)).as("_h"))
+    val ranked = hashed
+      .withColumn("_bucket", col("_h") % HllM)
+      .withColumn("_rest", expr(s"_h div $HllM"))
+      // rank of the rightmost set bit: bit-length of the lowest-set-bit
+      // mask (a power of two), via the unpadded base-2 string — exact
+      // integer arithmetic on both engines (DuckDB: length(bin(x & -x)))
+      .withColumn("_rho", when(col("_rest") === 0, lit(55))
+        .otherwise(length(conv(expr("_rest & -_rest").cast("string"), 10, 2))))
+    val perGroup = ranked.groupBy(col(groupCol), col("_bucket"))
+      .agg(max(col("_rho")).as("_rho"))
+      .cache() // input of both output levels; ≤ groups·64 rows
+    val global = perGroup.groupBy(col("_bucket"))
+      .agg(max(col("_rho")).as("_rho"))
+      .withColumn(groupCol, lit(AllGroups))
+    val registers = perGroup.unionByName(global.select(col(groupCol), col("_bucket"), col("_rho")))
+    val dec = "DECIMAL(38,0)"
+    val z = registers.groupBy(col(groupCol))
+      .agg(
+        (lit(HllM) - count(lit(1))).cast("bigint").as("n_zero_registers"),
+        sum(expr(s"CAST(shiftleft(CAST(1 AS BIGINT), 62 - _rho) AS $dec)")).as("_zsum"))
+      .withColumn("_z", col("_zsum") +
+        expr(s"CAST(n_zero_registers AS $dec) * CAST(${1L << 62} AS $dec)"))
+      .withColumn("hll_estimate", expr(
+        s"CAST($HllAlphaM2Num AS $dec) * CAST(${1L << 62} AS $dec)" +
+          s" div (CAST($HllAlphaDen AS $dec) * _z)").cast("bigint"))
+    val exact = hashed.rollup(col(groupCol))
+      .agg(countDistinct(col(valueCol)).as("exact_distinct"))
+      .withColumn(groupCol, coalesce(col(groupCol), lit(AllGroups)))
+    z.join(broadcast(exact), Seq(groupCol))
+      .withColumn("err_bp", expr(
+        "CAST(abs(hll_estimate - exact_distinct) AS DECIMAL(38,0)) * 10000" +
+          " div greatest(exact_distinct, 1)").cast("bigint"))
+      .select(col(groupCol).as("scope"), col("exact_distinct"),
+        col("n_zero_registers"), col("hll_estimate"), col("err_bp"))
+  }
+
   /** Sketch → (sketch_size, kmv_estimate) columns; below k the sketch is
     * the exact distinct set, at k the unbiased estimator (exact-integer
     * arithmetic: DECIMAL(38,0) product, integral division ≡ DuckDB

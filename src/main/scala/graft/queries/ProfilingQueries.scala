@@ -283,7 +283,25 @@ object ProfilingQueries {
         "event_type", "user_id", k = 64)
       .transform(tinySort(_, col("event_type")))
 
+  /** q150 — HyperLogLog distinct-count rollup
+    * ([[graft.ext.Sketch.hllRollup]]): per-returnflag distinct-part
+    * cardinality over lineitem from 64 six-bit registers, plus the
+    * `__all__` row merged register-wise (max) from the per-group
+    * registers — the idempotent-merge cardinality tier next to q106/q108's
+    * KMV. Fully relational long form: the register build is ONE map-side-
+    * combined groupBy(max) on ≤ groups·64 keys (the shuffle carries
+    * O(groups·m) bytes from any input size), the estimator one exact
+    * integral division. The oracle replays hash, bucket/rank split,
+    * registers, merge and estimator on HUGEINT. */
+  def q150HllRollup(spark: SparkSession, dir: String): DataFrame =
+    Sketch.hllRollup(
+        load(spark, dir, "lineitem")
+          .repartition(spark.sparkContext.defaultParallelism),
+        "l_returnflag", "l_partkey")
+      .transform(tinySort(_, col("scope")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_hll_rollup" -> (q150HllRollup _),
     "q146_kmv_ci" -> (q146KmvCI _),
     "q136_cms_join_size" -> (q136CmsJoinSize _),
     "q138_reducer_balance" -> (q138ReducerBalance _),
@@ -310,6 +328,46 @@ object ProfilingQueries {
   private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
 
   val sql: Map[String, String] = Map(
+    /* q150: hash → (bucket, rightmost-1-bit rank) split, register max per
+     * (group, bucket), register-wise-max merge for the __all__ row, and
+     * the raw-HLL estimator as one HUGEINT integral division. bin() is
+     * unpadded in DuckDB, so length(bin(x & -x)) is the bit-length of the
+     * lowest-set-bit mask = the FM rank, matching Spark's
+     * length(conv(...)). */
+    "q150_hll_rollup" ->
+      s"""WITH hx AS (
+        |  SELECT l_returnflag AS grp, l_partkey,
+        |    ${hex60("'hll:' || CAST(l_partkey AS VARCHAR)")} AS hv
+        |  FROM lineitem),
+        | b AS (SELECT grp, hv % 64 AS bucket, hv // 64 AS rest FROM hx),
+        | r AS (SELECT grp, bucket,
+        |        CASE WHEN rest = 0 THEN 55
+        |             ELSE length(bin(rest & (-rest))) END AS rho FROM b),
+        | regs AS (SELECT grp, bucket, MAX(rho) AS rho FROM r GROUP BY grp, bucket),
+        | merged AS (SELECT '__all__' AS grp, bucket, MAX(rho) AS rho
+        |            FROM regs GROUP BY bucket),
+        | allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM merged),
+        | z AS (SELECT grp,
+        |         CAST(64 - COUNT(*) AS BIGINT) AS n_zero_registers,
+        |         SUM(CAST(1 AS HUGEINT) << (62 - rho)) AS zsum
+        |       FROM allregs GROUP BY grp),
+        | e AS (SELECT grp, n_zero_registers,
+        |         (CAST(2904064 AS HUGEINT) * (CAST(1 AS HUGEINT) << 62))
+        |           // (CAST(1000 AS HUGEINT) *
+        |              (zsum + CAST(n_zero_registers AS HUGEINT)
+        |                      * (CAST(1 AS HUGEINT) << 62))) AS est
+        |       FROM z),
+        | x AS (SELECT COALESCE(grp, '__all__') AS grp,
+        |         COUNT(DISTINCT l_partkey) AS exact_distinct
+        |       FROM hx GROUP BY ROLLUP(grp))
+        |SELECT e.grp AS scope,
+        |  CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+        |  e.n_zero_registers,
+        |  CAST(e.est AS BIGINT) AS hll_estimate,
+        |  CAST((CAST(abs(e.est - x.exact_distinct) AS HUGEINT) * 10000)
+        |       // GREATEST(x.exact_distinct, 1) AS BIGINT) AS err_bp
+        |FROM e JOIN x USING (grp)
+        |ORDER BY scope""".stripMargin,
     /* q146: the q106 replay chain at k = 64 on events, plus the exact
      * rational CI (ε = 2450 bp = 1.96/8) and the covered flag. */
     "q146_kmv_ci" ->

@@ -324,4 +324,45 @@ class SketchSpec extends AnyFunSuite {
         }
       }
   }
+
+  test("HLL: merged __all__ row equals a direct single-group build (max-merge law)") {
+    val rollup = Sketch.hllRollup(fixture, "g", "v")
+      .where(col("scope") === Sketch.AllGroups).collect().head
+    val direct = Sketch.hllRollup(fixture.withColumn("g", lit("only")), "g", "v")
+      .where(col("scope") === "only").collect().head
+    Seq("n_zero_registers", "hll_estimate").foreach { c =>
+      assert(rollup.getAs[Long](c) == direct.getAs[Long](c), c)
+    }
+  }
+
+  test("HLL: output invariant under repartitioning") {
+    val Seq(a, b) = Seq(1, 7).map(n =>
+      Sketch.hllRollup(fixture.repartition(n), "g", "v")
+        .orderBy("scope").collect().toSeq)
+    assert(a == b)
+  }
+
+  test("HLL: register rank replays the rightmost-1-bit definition; estimate within 3 stderr") {
+    // recompute registers from first principles over the collected hashes
+    val hs = fixture.select(col("v"), Sketch.hllHash(col("v")).as("h"))
+      .distinct().collect().map(_.getAs[Long]("h"))
+    val regs = Array.fill(64)(0)
+    hs.foreach { h =>
+      val b = (h % 64).toInt
+      val rest = h / 64
+      val rho = if (rest == 0L) 55 else java.lang.Long.numberOfTrailingZeros(rest) + 1
+      if (rho > regs(b)) regs(b) = rho
+    }
+    val zeros = regs.count(_ == 0)
+    val zsum = regs.map(r => BigInt(1) << (62 - r)).sum
+    val expected = (BigInt(2904064) * (BigInt(1) << 62)) / (BigInt(1000) * zsum)
+    val row = Sketch.hllRollup(fixture, "g", "v")
+      .where(col("scope") === Sketch.AllGroups).collect().head
+    assert(row.getAs[Long]("n_zero_registers") == zeros.toLong)
+    assert(row.getAs[Long]("hll_estimate") == expected.toLong)
+    // raw-HLL relative error concentrates with stderr ~ 1.04/sqrt(64) = 13%
+    val exact = row.getAs[Long]("exact_distinct").toDouble
+    assert(math.abs(row.getAs[Long]("hll_estimate") - exact) / exact <= 3 * 1.04 / 8,
+      s"est ${row.getAs[Long]("hll_estimate")} vs exact $exact")
+  }
 }
