@@ -92,6 +92,54 @@ object Corpus {
     * q63) — the vocabulary is one partition by design, bounded by |vocab|,
     * and a sharded two-level rank is the escape hatch if a real corpus's
     * vocabulary ever outgrows one partition. */
+  /** Vocabulary-growth (Heaps'-law) audit — the corpus-scaling measurement
+    * behind tokenizer and vocabulary-size planning (Heaps, "Information
+    * Retrieval: Computational and Theoretical Aspects", 1978: distinct
+    * type count grows as V(N) ≈ K·N^β, β ≈ 0.4–0.6 for natural text):
+    * docs are split into `buckets` equal-width id ranges forming corpus
+    * PREFIXES, and each prefix reports cumulative token and type counts —
+    * the curve a vocab-size decision (or a dedup health check: duplicated
+    * corpora flatten it) reads directly, kept in exact integers
+    * (`type_token_bp` instead of a transcendental β fit).
+    *
+    * Scale shape: bucket assignment is a map-only expression against a
+    * broadcast 1-row min/max frame (equi-width on the id — NOT ntile,
+    * whose global row_number would funnel the corpus through one task);
+    * per-bucket token totals and per-TYPE first-bucket are both map-side-
+    * combined aggregations (the type key is vocabulary-sized); the
+    * cumulative pass runs on the `buckets`-row result under the
+    * non-foldable constant-key window (the [[tokenVocab]] convention). A
+    * type counts as NEW in the first prefix bucket that contains it —
+    * min(bucket) per type — so cum_types over bucket b is exactly
+    * |types(prefix b)| with no per-prefix re-scan. */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val bounds = docs.agg(min(col(idCol)).as("_lo"), max(col(idCol)).as("_hi"))
+    val toks = docs.crossJoin(broadcast(bounds))
+      .withColumn("bucket", least(lit(buckets - 1),
+        expr(s"CAST(($idCol - _lo) * $buckets AS BIGINT) div (_hi - _lo + 1)")))
+      .select(col("bucket"),
+        explode(TextOps.tokens(col(textCol))).as("_tok"))
+    val perBucket = toks.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTypes = toks.groupBy(col("_tok"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    val one = substring(col("bucket").cast("string"), 0, 0)
+    val w = Window.partitionBy(one).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newTypes, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .withColumn("type_token_bp", expr(
+        "CAST(cum_types AS DECIMAL(38,0)) * 10000 div greatest(cum_tokens, 1)")
+        .cast("bigint"))
+      .select(col("bucket"), col("n_tokens"), col("new_types"),
+        col("cum_tokens"), col("cum_types"), col("type_token_bp"))
+  }
+
   def tokenVocab(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
     val counts = docs
       .select(explode(TextOps.tokens(col(textCol))).as("token"))

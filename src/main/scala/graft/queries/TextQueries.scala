@@ -90,6 +90,17 @@ object TextQueries {
         "source", "text", k = 5)
       .transform(tinySort(_, col("source"), col("rk")))
 
+  /** q151 — vocabulary-growth (Heaps'-law) audit
+    * ([[graft.ext.Corpus.vocabGrowth]], 10 prefix buckets): cumulative
+    * token/type counts per corpus prefix — the V(N) ≈ K·N^β curve a
+    * vocab-size decision or dedup health check reads, in exact integers.
+    * Two map-side-combined aggregations (bucket totals, per-type first
+    * bucket); the cumulative pass runs on 10 rows. */
+  def q151VocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Corpus.vocabGrowth(load(spark, dir, "documents"),
+        "doc_id", "text", buckets = 10)
+      .transform(tinySort(_, col("bucket")))
+
   /** q78 — token vocabulary with cumulative coverage
     * ([[graft.ext.Corpus.tokenVocab]], top-100): corpus-wide frequency
     * ranking plus the fraction of all token occurrences each vocabulary
@@ -221,6 +232,7 @@ object TextQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_padding_audit" -> (q149PaddingAudit _),
     "q147_stupid_backoff" -> (q147StupidBackoff _),
+    "q151_vocab_growth" -> (q151VocabGrowth _),
     "q119_bpe_vocab" -> (q119BpeVocab _),
     "q124_bpe_encode" -> (q124BpeEncode _),
     "q128_tokenizer_fertility" -> (q128TokenizerFertility _),
@@ -538,6 +550,30 @@ object TextQueries {
         |  list_reduce(ps, (a, b) -> a + b) / CAST(n_tokens AS DOUBLE) AS mean_p,
         |  (list_reduce(ps, (a, b) -> a + b) / CAST(n_tokens AS DOUBLE) >= 0.01) AS keep
         |FROM agg ORDER BY doc_id""".stripMargin,
+    /* q151: equi-width prefix buckets against the min/max row, per-bucket
+     * token totals, per-type MIN(bucket) as first appearance, window
+     * cumsum over the 10 bucket rows — all exact integers. */
+    "q151_vocab_growth" ->
+      """WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+        | d AS (SELECT LEAST(9, CAST((doc_id - b.lo) * 10 AS BIGINT) // (b.hi - b.lo + 1)) AS bucket,
+        |         text
+        |       FROM documents, b),
+        | t AS (SELECT bucket, unnest(string_split(text, ' ')) AS tok FROM d),
+        | pb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM t GROUP BY bucket),
+        | ft AS (SELECT tok, MIN(bucket) AS bucket FROM t GROUP BY tok),
+        | nt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_types FROM ft GROUP BY bucket),
+        | j AS (SELECT pb.bucket, pb.n_tokens, COALESCE(nt.new_types, 0) AS new_types
+        |       FROM pb LEFT JOIN nt USING (bucket)),
+        | c AS (SELECT bucket, n_tokens, new_types,
+        |         CAST(SUM(n_tokens) OVER (ORDER BY bucket
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |         CAST(SUM(new_types) OVER (ORDER BY bucket
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+        |       FROM j)
+        |SELECT bucket, n_tokens, new_types, cum_tokens, cum_types,
+        |  CAST((CAST(cum_types AS HUGEINT) * 10000)
+        |       // GREATEST(cum_tokens, 1) AS BIGINT) AS type_token_bp
+        |FROM c ORDER BY bucket""".stripMargin,
     "q78_token_vocab" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         | c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY token),

@@ -273,4 +273,40 @@ class CorpusSpec extends AnyFunSuite {
       (1L, "a", 3L, 3L, 3.0 / 6.0),
       (2L, "b", 2L, 5L, 5.0 / 6.0)))
   }
+
+  test("vocab growth: prefix cum_types equals a direct distinct count per prefix") {
+    val corpus = (0L until 40L)
+      .map(i => (i, s"w${i % 7} w${i % 13} shared t$i"))
+      .toDF("doc_id", "text")
+    val rows = Corpus.vocabGrowth(corpus, "doc_id", "text", buckets = 4)
+      .orderBy("bucket").collect()
+    assert(rows.length == 4)
+    val toks: Long => Seq[String] =
+      i => s"w${i % 7} w${i % 13} shared t$i".split(" ").toSeq
+    rows.zipWithIndex.foreach { case (r, b) =>
+      // equi-width on dense 0..39 ids: bucket b covers ids [10b, 10b+10)
+      val prefix = (0L until (b + 1) * 10L).flatMap(toks)
+      assert(r.getAs[Long]("cum_tokens") == prefix.size.toLong, s"bucket $b tokens")
+      assert(r.getAs[Long]("cum_types") == prefix.distinct.size.toLong, s"bucket $b types")
+      assert(r.getAs[Long]("type_token_bp") ==
+        prefix.distinct.size.toLong * 10000 / prefix.size)
+    }
+    // conservation: bucket-local columns sum to the corpus totals
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == rows.last.getAs[Long]("cum_tokens"))
+    assert(rows.map(_.getAs[Long]("new_types")).sum == rows.last.getAs[Long]("cum_types"))
+  }
+
+  test("vocab growth: invariant under repartitioning; duplicated corpus flattens the curve") {
+    val corpus = (0L until 40L).map(i => (i, s"w${i % 7} u$i")).toDF("doc_id", "text")
+    val Seq(a, b) = Seq(1, 5).map(n =>
+      Corpus.vocabGrowth(corpus.repartition(n), "doc_id", "text", buckets = 4)
+        .orderBy("bucket").collect().toSeq)
+    assert(a == b)
+    // an exact-duplicate corpus (every doc repeated) adds tokens but no
+    // types beyond the original's: the dedup-health reading of the curve
+    val dup = (0L until 40L).map(i => (i, s"w${i % 7} u${i / 2}")).toDF("doc_id", "text")
+    val flat = Corpus.vocabGrowth(dup, "doc_id", "text", buckets = 4)
+      .orderBy("bucket").collect()
+    assert(flat.last.getAs[Long]("cum_types") < a.last.getAs[Long]("cum_types"))
+  }
 }
