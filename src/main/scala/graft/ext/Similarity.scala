@@ -107,6 +107,49 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("sim"))
   }
 
+  /** Truncated-dimension retrieval audit (the Matryoshka question —
+    * Kusupati et al., "Matryoshka Representation Learning", NeurIPS '22:
+    * how much top-k quality survives keeping only a PREFIX of each
+    * embedding): for every truncation width d, brute-force cosine top-k
+    * over the d-dim prefixes is compared against the full-dim top-k, and
+    * the audit reports hits and recall@k in exact basis points. This is
+    * the measurement that prices the standard ANN memory/recall trade —
+    * a d-of-D prefix index is a d/D-size candidate generator whose
+    * shortlist the full vectors re-rank (the q143/q144 shortlist
+    * pattern) — before committing a 100 TB corpus to an index build.
+    *
+    * Scale shape: one broadcast of the bounded query set per truncation
+    * width over the SAME corpus scan pattern as [[bruteForceTopK]] (the
+    * map-side bounded TopK aggregator — O(queries·k) shuffle each); the
+    * per-width frames are queries·k small, so the semi-join against the
+    * full-dim truth and the final union are driver-negligible. Ranking
+    * uses the rounded similarity with id tie-break (deterministic on both
+    * engines); the d = full row is the recall-10000 sanity anchor. */
+  def truncatedRecallAudit(corpus: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String, k: Int,
+                           dims: Seq[Int]): DataFrame = {
+    val full = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("cand_id"))
+      .cache() // queries·k small; consumed once per truncation width
+    val perDim = dims.map { d =>
+      def trunc(df: DataFrame) =
+        df.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      // single pass over the truncated top-k: the hit marker rides a
+      // broadcast left join so n_retrieved and hits come from ONE agg
+      // (two consumers would re-run the whole brute-force scan)
+      bruteForceTopK(trunc(corpus), trunc(queries), idCol, vecCol, k)
+        .join(broadcast(full.withColumn("_hit", lit(1L))),
+          Seq("query_id", "cand_id"), "left")
+        .agg(count(lit(1)).as("n_retrieved"),
+          coalesce(sum(col("_hit")), lit(0L)).as("hits"))
+        .select(lit(d.toLong).as("trunc_dim"), col("n_retrieved"), col("hits"))
+    }
+    perDim.reduce(_ unionByName _)
+      .withColumn("recall_bp", expr(
+        "CAST(hits AS DECIMAL(38,0)) * 10000 div greatest(n_retrieved, 1)")
+        .cast("bigint"))
+  }
+
   /** All-pairs near-duplicate detection by cosine threshold, bounded to ids <
     * maxId (at scale, run on LSH-bucket candidates instead of all pairs). */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,

@@ -17,6 +17,20 @@ object SimilarityQueries {
       .transform(tinySort(_, col("query_id"), col("cand_id")))
   }
 
+  /** q152 — truncated-dimension retrieval audit
+    * ([[graft.ext.Similarity.truncatedRecallAudit]], widths 8/16/32/64 of
+    * the 64-dim embeddings, k = 5 over the q25 query set): recall@k of
+    * prefix-dim cosine top-k against the full-dim truth, in exact basis
+    * points — the Matryoshka measurement that prices a prefix-dim
+    * candidate index before building it. The oracle replays each width
+    * with list_slice and the q25 topk chain. */
+  def q152TruncRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = load(spark, dir, "embeddings")
+    Similarity.truncatedRecallAudit(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, dims = Seq(8, 16, 32, 64))
+      .transform(tinySort(_, col("trunc_dim")))
+  }
+
   def q26EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(load(spark, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.45, maxId = 2000L)
@@ -192,6 +206,7 @@ object SimilarityQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_ann_pq" -> (q143AnnPq _),
+    "q152_trunc_recall" -> (q152TruncRecall _),
     "q144_ann_ivfpq" -> (q144AnnIvfPq _),
     "q145_cluster_quality" -> (q145ClusterQuality _),
     "q148_ann_ivfpq_residual" -> (q148AnnIvfPqResidual _),
@@ -505,6 +520,32 @@ object SimilarityQueries {
         |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
         |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_saturated
         |FROM q ORDER BY vec_id""".stripMargin,
+    /* q152: the q25 topk chain replayed per truncation width over
+     * list_slice prefixes; the width-64 level IS the truth set, the rest
+     * left-join against it for hit counting. */
+    "q152_trunc_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | dims AS (SELECT unnest([8,16,32,64]) AS d),
+        | t AS (SELECT d, vec_id, list_slice(v, 1, d) AS tv FROM e, dims),
+        | q AS (SELECT d, vec_id, tv FROM t WHERE vec_id < 10),
+        | s AS (SELECT q.d, q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         round(list_cosine_similarity(q.tv, c.tv), 4) AS sim
+        |       FROM q JOIN t c ON c.d = q.d AND c.vec_id <> q.vec_id),
+        | top AS (SELECT d, query_id, cand_id FROM s
+        |         QUALIFY row_number() OVER (PARTITION BY d, query_id
+        |                                    ORDER BY sim DESC, cand_id) <= 5),
+        | full64 AS (SELECT query_id, cand_id FROM top WHERE d = 64),
+        | agg AS (SELECT t.d, COUNT(*) AS n_retrieved,
+        |           SUM(CASE WHEN f.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS hits
+        |         FROM top t LEFT JOIN full64 f
+        |           ON f.query_id = t.query_id AND f.cand_id = t.cand_id
+        |         GROUP BY t.d)
+        |SELECT CAST(d AS BIGINT) AS trunc_dim,
+        |  CAST(n_retrieved AS BIGINT) AS n_retrieved,
+        |  CAST(hits AS BIGINT) AS hits,
+        |  CAST((CAST(hits AS HUGEINT) * 10000)
+        |       // GREATEST(n_retrieved, 1) AS BIGINT) AS recall_bp
+        |FROM agg ORDER BY trunc_dim""".stripMargin,
     "q25_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),

@@ -991,4 +991,27 @@ class ExtSpec extends AnyFunSuite {
     assert(kernel == reference)
     assert(kernel.nonEmpty)
   }
+
+  test("truncated recall: full width is the 10000 anchor; zero-padded tails are lossless") {
+    // 20 vectors whose dims 4..7 are ALL ZERO: truncating to 4 dims loses
+    // nothing, so every width >= 4 must reproduce the full-dim top-k
+    val vecs = (0L until 20L).map { i =>
+      (i, Array(math.sin(i * 1.7).toFloat, math.cos(i * 0.9).toFloat,
+        (i % 5).toFloat / 5f, ((i * 3) % 7).toFloat / 7f, 0f, 0f, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.truncatedRecallAudit(vecs,
+        vecs.filter(col("vec_id") < 4), "vec_id", "embedding",
+        k = 3, dims = Seq(2, 4, 8))
+      .orderBy("trunc_dim").collect()
+    assert(out.map(_.getAs[Long]("trunc_dim")).toSeq == Seq(2L, 4L, 8L))
+    // every width retrieves exactly queries*k rows and recall is a valid bp
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_retrieved") == 4L * 3L)
+      val bp = r.getAs[Long]("recall_bp")
+      assert(bp >= 0L && bp <= 10000L)
+      assert(bp == r.getAs[Long]("hits") * 10000L / r.getAs[Long]("n_retrieved"))
+    }
+    assert(out(1).getAs[Long]("recall_bp") == 10000L, "width 4 is lossless here")
+    assert(out(2).getAs[Long]("recall_bp") == 10000L, "full width is the anchor")
+  }
 }
