@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines: token
@@ -110,6 +110,79 @@ object TextOps {
         .foldLeft(lit(true))(_ && _)
       words && terminal && clean
     })
+
+  /** Gopher stopword set (Rae et al. 2021, §A1.1): a document must contain
+    * at least [[GopherMinStops]] of these to pass the natural-language
+    * screen. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinStops = 2
+
+  /** Gopher document-level quality rules (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", 2021
+    * §A1.1) — the heuristic screen every major curation stack (Dolma,
+    * FineWeb, RedPajama-v2) reimplements, COMPLEMENTING this library's
+    * repetition signals (q54 covers the §A1.1 dup-token/top-2-gram tier)
+    * and the C4 line filter (q88):
+    *
+    *   1. word count in [50, 100000]
+    *   2. mean word length in [3, 10] characters
+    *   3. symbol-to-word ratio ('#' or '...') ≤ 0.1
+    *   4. < 90 % of lines bullet-started AND < 30 % ellipsis-ended
+    *   5. ≥ 80 % of words contain at least one alphabetic character
+    *   6. ≥ 2 of the 8 Gopher stopwords present
+    *
+    * Every threshold is an INTEGER CROSS-MULTIPLICATION (3n ≤ chars ≤ 10n,
+    * 10·sym ≤ words, 5·alpha ≥ 4·words, …) — no division, no floats, so
+    * pass/fail is bit-portable by construction; the reported `*_bp` ratio
+    * columns are exact integral divisions for human reading. Pure per-row
+    * expressions — map-only, NO shuffle: a 100 TB corpus screens at scan
+    * speed with the predicate pushed to the reader. Tokenization is the
+    * corpus convention (single-space split, empties kept — q27/q78). */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = split(t, " ")
+    val lines = split(t, "\n")
+    val nWords = size(toks).cast("long")
+    val sumChars = aggregate(toks, lit(0L), (acc, x) => acc + length(x).cast("long"))
+    val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val nEllSym = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long")
+    val nSym = nHash + nEllSym
+    val nAlpha = size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("long")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l =>
+      substring(l, 1, 1).isin("•", "-") || substring(l, 1, 2) === "* ")).cast("long")
+    val nEllLine = size(filter(lines, l => l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val nStop = GopherStopwords
+      .map(s => array_contains(toks, s).cast("int"))
+      .reduce(_ + _).cast("long")
+    // exact basis points: 10000·num div max(den,1) — BIGINT integral
+    // division (num ≤ chars < 2^31, ×10^4 well inside BIGINT)
+    def bp(num: String, den: String): Column =
+      expr(s"$num * 10000 div greatest($den, 1)").cast("bigint")
+    docs.select(
+        col(idCol), nWords.as("n_words"), sumChars.as("_chars"),
+        nSym.as("_sym"), nAlpha.as("_alpha"), nLines.as("_lines"),
+        nBullet.as("_bullet"), nEllLine.as("_ell"), nStop.as("n_stopwords"))
+      .withColumn("mean_wl_x100", expr(
+        "CAST(_chars AS DECIMAL(38,0)) * 100 div greatest(n_words, 1)").cast("bigint"))
+      .withColumn("symbol_bp", bp("_sym", "n_words"))
+      .withColumn("alpha_bp", bp("_alpha", "n_words"))
+      .withColumn("bullet_bp", bp("_bullet", "_lines"))
+      .withColumn("ellipsis_bp", bp("_ell", "_lines"))
+      .withColumn("pass_words",
+        (col("n_words") >= 50 && col("n_words") <= 100000).cast("int"))
+      .withColumn("pass_mwl",
+        (col("_chars") >= col("n_words") * 3 && col("_chars") <= col("n_words") * 10).cast("int"))
+      .withColumn("pass_symbol", (col("_sym") * 10 <= col("n_words")).cast("int"))
+      .withColumn("pass_lines",
+        (col("_bullet") * 10 < col("_lines") * 9 && col("_ell") * 10 < col("_lines") * 3).cast("int"))
+      .withColumn("pass_alpha", (col("_alpha") * 5 >= col("n_words") * 4).cast("int"))
+      .withColumn("pass_stop", (col("n_stopwords") >= GopherMinStops).cast("int"))
+      .withColumn("keep", (col("pass_words") * col("pass_mwl") * col("pass_symbol")
+        * col("pass_lines") * col("pass_alpha") * col("pass_stop")).cast("int"))
+      .drop("_chars", "_sym", "_alpha", "_lines", "_bullet", "_ell")
+  }
 
   /** Rolling polynomial hash over tokens: fold(h = (h*31 + hash16(tok)) mod
     * 2^31-1). Order-sensitive (true rolling fingerprint, unlike the md5 of

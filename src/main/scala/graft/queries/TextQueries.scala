@@ -101,6 +101,16 @@ object TextQueries {
         "doc_id", "text", buckets = 10)
       .transform(tinySort(_, col("bucket")))
 
+  /** q153 — Gopher document-quality rules
+    * ([[graft.ext.TextOps.gopherRules]]): the six §A1.1 heuristic screens
+    * as integer cross-multiplications, per-document flags plus exact-bp
+    * ratio columns. Map-only — no shuffle at any scale; the plain orderBy
+    * is the cheap-map-only-dump convention (NOTES). */
+  def q153GopherRules(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TextOps.gopherRules(load(spark, dir, "documents"),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** q78 — token vocabulary with cumulative coverage
     * ([[graft.ext.Corpus.tokenVocab]], top-100): corpus-wide frequency
     * ranking plus the fraction of all token occurrences each vocabulary
@@ -233,6 +243,7 @@ object TextQueries {
     "q149_padding_audit" -> (q149PaddingAudit _),
     "q147_stupid_backoff" -> (q147StupidBackoff _),
     "q151_vocab_growth" -> (q151VocabGrowth _),
+    "q153_gopher_rules" -> (q153GopherRules _),
     "q119_bpe_vocab" -> (q119BpeVocab _),
     "q124_bpe_encode" -> (q124BpeEncode _),
     "q128_tokenizer_fertility" -> (q128TokenizerFertility _),
@@ -550,6 +561,48 @@ object TextQueries {
         |  list_reduce(ps, (a, b) -> a + b) / CAST(n_tokens AS DOUBLE) AS mean_p,
         |  (list_reduce(ps, (a, b) -> a + b) / CAST(n_tokens AS DOUBLE) >= 0.01) AS keep
         |FROM agg ORDER BY doc_id""".stripMargin,
+    /* q153: all six rule bases recomputed relationally; thresholds are the
+     * same integer cross-multiplications, flags INT 0/1. */
+    "q153_gopher_rules" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    string_split(text, ' ') AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        | m AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS chars,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      + CAST(length(text) - length(replace(text, '...', '')) AS BIGINT) // 3 AS sym,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, l -> substring(l, 1, 1) IN ('•', '-')
+        |                                     OR substring(l, 1, 2) = '* ')) AS BIGINT) AS bullet,
+        |    CAST(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS BIGINT) AS ell,
+        |    CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        |  FROM b),
+        | f AS (SELECT doc_id, n_words, n_stop AS n_stopwords,
+        |    CAST(chars * 100 // GREATEST(n_words, 1) AS BIGINT) AS mean_wl_x100,
+        |    CAST(sym * 10000 // GREATEST(n_words, 1) AS BIGINT) AS symbol_bp,
+        |    CAST(alpha * 10000 // GREATEST(n_words, 1) AS BIGINT) AS alpha_bp,
+        |    CAST(bullet * 10000 // GREATEST(n_lines, 1) AS BIGINT) AS bullet_bp,
+        |    CAST(ell * 10000 // GREATEST(n_lines, 1) AS BIGINT) AS ellipsis_bp,
+        |    CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS INTEGER) AS pass_words,
+        |    CAST(CASE WHEN chars >= n_words * 3 AND chars <= n_words * 10 THEN 1 ELSE 0 END AS INTEGER) AS pass_mwl,
+        |    CAST(CASE WHEN sym * 10 <= n_words THEN 1 ELSE 0 END AS INTEGER) AS pass_symbol,
+        |    CAST(CASE WHEN bullet * 10 < n_lines * 9 AND ell * 10 < n_lines * 3 THEN 1 ELSE 0 END AS INTEGER) AS pass_lines,
+        |    CAST(CASE WHEN alpha * 5 >= n_words * 4 THEN 1 ELSE 0 END AS INTEGER) AS pass_alpha,
+        |    CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INTEGER) AS pass_stop
+        |  FROM m)
+        |SELECT *, CAST(pass_words * pass_mwl * pass_symbol * pass_lines
+        |               * pass_alpha * pass_stop AS INTEGER) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     /* q151: equi-width prefix buckets against the min/max row, per-bucket
      * token totals, per-type MIN(bucket) as first appearance, window
      * cumsum over the 10 bucket rows — all exact integers. */

@@ -992,6 +992,40 @@ class ExtSpec extends AnyFunSuite {
     assert(kernel.nonEmpty)
   }
 
+  test("gopher rules: each screen fires on its planted violation") {
+    val fifty = (1 to 48).map(i => s"word$i").mkString(" ") // 48 filler words, mean len ~5.7
+    val fix = Seq(
+      // 0: clean doc — 50 words incl. two stopwords, all alpha, no symbols
+      (0L, s"the of $fifty"),
+      // 1: too short (3 words)
+      (1L, "the of cat"),
+      // 2: symbol-heavy — '#' once per word on 50 words fails sym*10<=n
+      (2L, s"the of $fifty ${"# # # # # # # #"}"),
+      // 3: numeric words — <80% alphabetic
+      (3L, s"the of ${(1 to 48).map(_.toString).mkString(" ")}"),
+      // 4: no stopwords
+      (4L, (1 to 50).map(i => s"w$i").mkString(" ")),
+      // 5: bullet + ellipsis lines (3 lines: all bulleted, 1 ellipsis-ended)
+      (5L, s"• the of $fifty\n- more...\n- words"),
+      // 6: mean word length too long (every word 12 chars)
+      (6L, s"the of ${(1 to 48).map(_ => "abcdefghijkl").mkString(" ")}")
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(fix, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def flags(i: Int) = Seq("pass_words", "pass_mwl", "pass_symbol",
+      "pass_lines", "pass_alpha", "pass_stop", "keep").map(out(i).getAs[Int])
+    assert(flags(0) == Seq(1, 1, 1, 1, 1, 1, 1))
+    assert(out(1).getAs[Int]("pass_words") == 0 && out(1).getAs[Int]("keep") == 0)
+    assert(out(2).getAs[Int]("pass_symbol") == 0)
+    assert(out(3).getAs[Int]("pass_alpha") == 0)
+    assert(out(4).getAs[Int]("pass_stop") == 0)
+    assert(out(5).getAs[Int]("pass_lines") == 0, "3/3 bulleted lines")
+    assert(out(6).getAs[Int]("pass_mwl") == 0)
+    // bp columns replay their integer definitions on doc 5
+    assert(out(5).getAs[Long]("bullet_bp") == 10000L)
+    assert(out(5).getAs[Long]("ellipsis_bp") == 1L * 10000 / 3)
+  }
+
   test("truncated recall: full width is the 10000 anchor; zero-padded tails are lossless") {
     // 20 vectors whose dims 4..7 are ALL ZERO: truncating to 4 dims loses
     // nothing, so every width >= 4 must reproduce the full-dim top-k
