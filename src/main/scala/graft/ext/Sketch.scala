@@ -596,27 +596,27 @@ object Sketch {
     * apply the correction — and the exact-rational small-range alternative
     * in this library IS [[kmvRollup]]. `err_bp` (|E−exact|·10⁴ div exact)
     * makes the ~1.04/√64 ≈ 13 % expected error visible as data. */
-  def hllRollup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val hashed = df.select(
-      coalesce(col(groupCol).cast("string"), lit(NullGroup)).as(groupCol),
-      col(valueCol), hllHash(col(valueCol)).as("_h"))
-    val ranked = hashed
+  /** Map-side (bucket, rank) projection of a pre-hashed frame — shared by
+    * the batch rollup and [[graft.stream.StreamingHll]] so the two can
+    * never drift. Rank = rightmost-set-bit position of the 54-bit suffix
+    * (Flajolet–Martin '85 convention): bit-length of the lowest-set-bit
+    * mask (a power of two), via the unpadded base-2 string — exact integer
+    * arithmetic on both engines (DuckDB: length(bin(x & -x))); all-zero
+    * suffix ⇒ 55. */
+  private[graft] def hllRanked(hashed: DataFrame, groupCol: String): DataFrame =
+    hashed
       .withColumn("_bucket", col("_h") % HllM)
       .withColumn("_rest", expr(s"_h div $HllM"))
-      // rank of the rightmost set bit: bit-length of the lowest-set-bit
-      // mask (a power of two), via the unpadded base-2 string — exact
-      // integer arithmetic on both engines (DuckDB: length(bin(x & -x)))
       .withColumn("_rho", when(col("_rest") === 0, lit(55))
         .otherwise(length(conv(expr("_rest & -_rest").cast("string"), 10, 2))))
-    val perGroup = ranked.groupBy(col(groupCol), col("_bucket"))
-      .agg(max(col("_rho")).as("_rho"))
-      .cache() // input of both output levels; ≤ groups·64 rows
-    val global = perGroup.groupBy(col("_bucket"))
-      .agg(max(col("_rho")).as("_rho"))
-      .withColumn(groupCol, lit(AllGroups))
-    val registers = perGroup.unionByName(global.select(col(groupCol), col("_bucket"), col("_rho")))
+
+  /** Register frame (groupCol, _bucket, _rho) → per-scope
+    * (n_zero_registers, hll_estimate) via the exact-integer raw-HLL
+    * estimator. Shared by batch and streaming paths. */
+  private[graft] def hllEstimateFromRegisters(registers: DataFrame,
+                                              groupCol: String): DataFrame = {
     val dec = "DECIMAL(38,0)"
-    val z = registers.groupBy(col(groupCol))
+    registers.groupBy(col(groupCol))
       .agg(
         (lit(HllM) - count(lit(1))).cast("bigint").as("n_zero_registers"),
         sum(expr(s"CAST(shiftleft(CAST(1 AS BIGINT), 62 - _rho) AS $dec)")).as("_zsum"))
@@ -625,6 +625,20 @@ object Sketch {
       .withColumn("hll_estimate", expr(
         s"CAST($HllAlphaM2Num AS $dec) * CAST(${1L << 62} AS $dec)" +
           s" div (CAST($HllAlphaDen AS $dec) * _z)").cast("bigint"))
+  }
+
+  def hllRollup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val hashed = df.select(
+      coalesce(col(groupCol).cast("string"), lit(NullGroup)).as(groupCol),
+      col(valueCol), hllHash(col(valueCol)).as("_h"))
+    val perGroup = hllRanked(hashed, groupCol).groupBy(col(groupCol), col("_bucket"))
+      .agg(max(col("_rho")).as("_rho"))
+      .cache() // input of both output levels; ≤ groups·64 rows
+    val global = perGroup.groupBy(col("_bucket"))
+      .agg(max(col("_rho")).as("_rho"))
+      .withColumn(groupCol, lit(AllGroups))
+    val registers = perGroup.unionByName(global.select(col(groupCol), col("_bucket"), col("_rho")))
+    val z = hllEstimateFromRegisters(registers, groupCol)
     val exact = hashed.rollup(col(groupCol))
       .agg(countDistinct(col(valueCol)).as("exact_distinct"))
       .withColumn(groupCol, coalesce(col(groupCol), lit(AllGroups)))

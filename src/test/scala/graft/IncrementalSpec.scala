@@ -285,6 +285,31 @@ class IncrementalSpec extends AnyFunSuite {
     assert(streamed == expected)
   }
 
+  test("streaming HLL registers equal the batch rollup across micro-batches") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = Files.createTempDirectory("graft_hll_stream")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    // three disjoint ingest batches; max-merge must fold them to the same
+    // registers as one batch pass over the union
+    val cuts = Seq(col("l_orderkey") % 3 === 0,
+      col("l_orderkey") % 3 === 1, col("l_orderkey") % 3 === 2)
+    cuts.zipWithIndex.foreach { case (cut, i) =>
+      val tmp = Files.createTempDirectory(s"graft_hll_chunk$i")
+      li.filter(cut).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, streamDir.resolve(s"c$i.parquet"))
+    }
+    val streamed = graft.stream.StreamingHll
+      .runToSnapshot(spark, streamDir.toString, "l_returnflag", "l_partkey",
+        "hll_test", maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.ext.Sketch.hllRollup(li, "l_returnflag", "l_partkey")
+      .select(col("scope"), col("n_zero_registers"), col("hll_estimate"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming windowed counts match the batch tumbling-window query") {
     val dir = "/root/testdata/sf0.001"
     // file-stream sources need a directory; link the single-file table in
