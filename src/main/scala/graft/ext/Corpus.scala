@@ -104,14 +104,16 @@ object Corpus {
     *
     * Scale shape: bucket assignment is a map-only expression against a
     * broadcast 1-row min/max frame (equi-width on the id — NOT ntile,
-    * whose global row_number would funnel the corpus through one task);
-    * per-bucket token totals and per-TYPE first-bucket are both map-side-
-    * combined aggregations (the type key is vocabulary-sized); the
-    * cumulative pass runs on the `buckets`-row result under the
-    * non-foldable constant-key window (the [[tokenVocab]] convention). A
-    * type counts as NEW in the first prefix bucket that contains it —
-    * min(bucket) per type — so cum_types over bucket b is exactly
-    * |types(prefix b)| with no per-prefix re-scan. */
+    * whose global row_number would funnel the corpus through one task).
+    * The corpus is scanned ONCE: a single map-side-combined (type, bucket)
+    * count is the only corpus-scale shuffle, and it is cached — it is
+    * vocabulary×buckets-sized — so both derived views (per-bucket token
+    * totals, per-TYPE first bucket) read the materialized frame instead of
+    * re-tokenizing 100 TB. The cumulative pass runs on the `buckets`-row
+    * result under the non-foldable constant-key window (the [[tokenVocab]]
+    * convention). A type counts as NEW in the first prefix bucket that
+    * contains it — min(bucket) per type — so cum_types over bucket b is
+    * exactly |types(prefix b)| with no per-prefix re-scan. */
   def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
                   buckets: Int = 10): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
@@ -121,9 +123,12 @@ object Corpus {
         expr(s"CAST(($idCol - _lo) * $buckets AS BIGINT) div (_hi - _lo + 1)")))
       .select(col("bucket"),
         explode(TextOps.tokens(col(textCol))).as("_tok"))
-    val perBucket = toks.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_tokens"))
-    val newTypes = toks.groupBy(col("_tok"))
+    val typeBucket = toks.groupBy(col("_tok"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .cache() // vocabulary×buckets-sized; input of both derived views
+    val perBucket = typeBucket.groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("n_tokens"))
+    val newTypes = typeBucket.groupBy(col("_tok"))
       .agg(min(col("bucket")).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
     val one = substring(col("bucket").cast("string"), 0, 0)

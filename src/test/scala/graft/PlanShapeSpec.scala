@@ -506,4 +506,48 @@ class PlanShapeSpec extends AnyFunSuite {
       !plan.contains("Join"),
       s"encode must be map-side only:\n$plan")
   }
+
+  test("q153 gopher rules are map-side only: no Exchange, no Join, no Window") {
+    // the screening claim: a 100 TB corpus filters at scan speed — every
+    // rule is a per-row expression, so the whole frame (before the dump
+    // sort) must plan as a single scan stage
+    val plan = graft.ext.TextOps.gopherRules(
+        graft.util.Tables.load(spark, dir, "documents"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join") &&
+      !plan.contains("Window"),
+      s"gopher rules must be map-side only:\n$plan")
+  }
+
+  test("q150 HLL: register build partial-aggregates below the shuffle; no window") {
+    // the bounded-shuffle claim: the (group, bucket) register aggregation
+    // must map-side combine (partial_max before the exchange), and no
+    // window may appear anywhere in the sketch path
+    import org.apache.spark.sql.functions._
+    val plan = graft.ext.Sketch.hllRollup(
+        graft.util.Tables.load(spark, dir, "lineitem"),
+        "l_returnflag", "l_partkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max") || plan.contains("partial max") ||
+      "HashAggregate.*max".r.findFirstIn(plan).nonEmpty,
+      s"register max must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("Window"), s"no window in the sketch path:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"exact-side join must stay broadcast-hash:\n$plan")
+  }
+
+  test("q151 vocab growth: one corpus scan, no ntile, bounds is the only nested-loop") {
+    // the prefix-bucket claims: NO ntile/global row_number (equi-width on
+    // the id instead); the (type, bucket) count materializes ONCE (cache)
+    // so both derived views read it instead of re-tokenizing the corpus;
+    // the only nested-loop join is the broadcast 1-row bounds frame
+    val plan = graft.ext.Corpus.vocabGrowth(
+        graft.util.Tables.load(spark, dir, "documents"), "doc_id", "text",
+        buckets = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"the (type, bucket) count must materialize once for its two readers:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("NTile"), s"no ntile — equi-width on the id:\n$plan")
+  }
 }
