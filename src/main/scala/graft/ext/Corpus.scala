@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -258,6 +258,67 @@ object Corpus {
           lit(0.0d), (acc, x) => acc + x.getField("_p")).as("_sum"))
       .select(col(idCol), col("n_bigrams"), col("min_p"),
         (col("_sum") / col("n_bigrams").cast("double")).as("mean_p"))
+  }
+
+  /** DSIR importance weights (Xie, Santurkar, Ma & Liang, "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS '23 — the
+    * hashed-n-gram variant): rank RAW-corpus documents by how target-like
+    * they are under two HASHED-feature unigram models,
+    *
+    *   w(doc) = Π_i  p_target(f_i) / p_raw(f_i),
+    *   p(f) = (c(f) + 1) / (N + B)   (Laplace over B hash buckets),
+    *
+    * the importance weight DSIR resamples by (this operator ships the
+    * deterministic ranking tier; pair with [[graft.ext.Sampling]]'s
+    * integer priority sampling for the resampling step). Feature HASHING
+    * is the scale trick that makes it tractable: statistics live in B
+    * buckets — not a vocabulary — so both "models" are ≤ B-row tables
+    * regardless of corpus size.
+    *
+    * Numerics: each per-token ratio is computed as
+    * (double(c_t+1)·double(N_r+B)) / (double(c_r+1)·double(N_t+B)) —
+    * fixed IEEE multiply-then-divide, exact integer inputs at test scale —
+    * and the per-doc weight folds those ratios in POSITION order with init
+    * 1.0 (1.0·r ≡ r, the multiplicative q81/q131 identity), so the oracle
+    * matches bit-for-bit. Products of ≤ a few hundred ratios stay far
+    * inside double range; the log-space form needs a transcendental ln
+    * that is not bit-portable (the Efraimidis–Spirakis precedent, NOTES).
+    *
+    * Scale shape: one map-side explode to (doc, pos, bucket); two
+    * map-side-combined BOUNDED aggregations (≤ B keys each) build the
+    * models; totals ride a broadcast 1-row frame; scoring is one BROADCAST
+    * join of the token stream against the ≤ B-row ratio table plus one
+    * doc-keyed fold — no corpus-scale shuffle except the per-doc
+    * aggregation itself. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, buckets: Int = 512): DataFrame = {
+    val feats = docs
+      .select(col(idCol), isTarget.cast("boolean").as("_tgt"),
+        TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_tgt"), posexplode(col("_toks")))
+      .select(col(idCol), col("_tgt"), col("pos"),
+        pmod(TextOps.hash16(concat(lit("dsir:"), col("col"))), lit(buckets)).as("_f"))
+    val tgtCounts = feats.filter(col("_tgt"))
+      .groupBy(col("_f")).agg(count(lit(1)).as("ct"))
+    val rawCounts = feats.filter(!col("_tgt"))
+      .groupBy(col("_f")).agg(count(lit(1)).as("cr"))
+    val totals = tgtCounts.agg(coalesce(sum(col("ct")), lit(0L)).as("_nt"))
+      .crossJoin(rawCounts.agg(coalesce(sum(col("cr")), lit(0L)).as("_nr")))
+    val ratios = tgtCounts.join(rawCounts, Seq("_f"), "full")
+      .select(col("_f"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+      .crossJoin(broadcast(totals))
+      .select(col("_f"),
+        ((col("ct") + 1).cast("double") * (col("_nr") + buckets).cast("double") /
+          ((col("cr") + 1).cast("double") * (col("_nt") + buckets).cast("double")))
+          .as("_r"))
+    feats.filter(!col("_tgt"))
+      .join(broadcast(ratios), Seq("_f"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), min(col("_r")).as("min_ratio"),
+        aggregate(sort_array(collect_list(struct(col("pos"), col("_r")))),
+          lit(1.0d), (acc, x) => acc * x.getField("_r")).as("weight"))
+      .withColumn("keep", col("weight") >= 1.0d)
   }
 
   /** Trigram STUPID-BACKOFF document scoring (Brants, Popat, Xu, Och &

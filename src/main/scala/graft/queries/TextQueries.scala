@@ -111,6 +111,18 @@ object TextQueries {
         "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** q154 — DSIR importance weights ([[graft.ext.Corpus.dsirWeights]],
+    * 512 hash buckets): every non-English document ranked by how
+    * English-target-like its hashed-unigram distribution is — the
+    * data-selection importance weight of Xie et al. NeurIPS '23, with
+    * English docs as the target corpus. Bounded bucket models broadcast;
+    * the oracle replays hash, Laplace models and the position-ordered
+    * ratio product bit-for-bit. */
+  def q154DsirWeights(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Corpus.dsirWeights(load(spark, dir, "documents"),
+        "doc_id", "text", isTarget = col("lang") === "en", buckets = 512)
+      .orderBy(col("doc_id"))
+
   /** q78 — token vocabulary with cumulative coverage
     * ([[graft.ext.Corpus.tokenVocab]], top-100): corpus-wide frequency
     * ranking plus the fraction of all token occurrences each vocabulary
@@ -244,6 +256,7 @@ object TextQueries {
     "q147_stupid_backoff" -> (q147StupidBackoff _),
     "q151_vocab_growth" -> (q151VocabGrowth _),
     "q153_gopher_rules" -> (q153GopherRules _),
+    "q154_dsir_weights" -> (q154DsirWeights _),
     "q119_bpe_vocab" -> (q119BpeVocab _),
     "q124_bpe_encode" -> (q124BpeEncode _),
     "q128_tokenizer_fertility" -> (q128TokenizerFertility _),
@@ -561,6 +574,39 @@ object TextQueries {
         |  list_reduce(ps, (a, b) -> a + b) / CAST(n_tokens AS DOUBLE) AS mean_p,
         |  (list_reduce(ps, (a, b) -> a + b) / CAST(n_tokens AS DOUBLE) >= 0.01) AS keep
         |FROM agg ORDER BY doc_id""".stripMargin,
+    /* q154: hash16('dsir:'||tok) % 512 bucketing, Laplace bucket models
+     * from the en/non-en split, one IEEE multiply-then-divide per bucket
+     * ratio, position-ordered product fold (init 1.0 ≡ list_reduce). */
+    "q154_dsir_weights" -> {
+      val h16 = (0 until 4).map { i =>
+        val shift = math.pow(16, 3 - i).toInt
+        s"(strpos('0123456789abcdef', substring(md5('dsir:' || tok), ${i + 1}, 1)) - 1) * $shift"
+      }.mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, lang = 'en' AS tgt,
+        |             string_split(text, ' ') AS toks FROM documents),
+        | f AS (SELECT doc_id, tgt, i, ($h16) % 512 AS f
+        |       FROM (SELECT doc_id, tgt, unnest(toks) AS tok,
+        |               generate_subscripts(toks, 1) AS i FROM d)),
+        | tc AS (SELECT f, COUNT(*) AS ct FROM f WHERE tgt GROUP BY f),
+        | rc AS (SELECT f, COUNT(*) AS cr FROM f WHERE NOT tgt GROUP BY f),
+        | tot AS (SELECT (SELECT COALESCE(SUM(ct), 0) FROM tc) AS nt,
+        |                (SELECT COALESCE(SUM(cr), 0) FROM rc) AS nr),
+        | st AS (SELECT COALESCE(tc.f, rc.f) AS f,
+        |          COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+        |        FROM tc FULL JOIN rc ON tc.f = rc.f),
+        | sr AS (SELECT f, CAST(ct + 1 AS DOUBLE) * CAST(nr + 512 AS DOUBLE)
+        |               / (CAST(cr + 1 AS DOUBLE) * CAST(nt + 512 AS DOUBLE)) AS r
+        |        FROM st, tot),
+        | per AS (SELECT f.doc_id, f.i, sr.r
+        |         FROM f JOIN sr USING (f) WHERE NOT f.tgt),
+        | agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |           MIN(r) AS min_ratio, list(r ORDER BY i) AS rs
+        |         FROM per GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, min_ratio,
+        |  list_reduce(rs, (a, b) -> a * b) AS weight,
+        |  (list_reduce(rs, (a, b) -> a * b) >= 1.0) AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin
+    },
     /* q153: all six rule bases recomputed relationally; thresholds are the
      * same integer cross-multiplications, flags INT 0/1. */
     "q153_gopher_rules" ->

@@ -296,6 +296,46 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("new_types")).sum == rows.last.getAs[Long]("cum_types"))
   }
 
+  test("DSIR weights: first-principles replay, target-like raw docs outrank soup") {
+    val fix = Seq(
+      // target corpus: about cats
+      (0L, "en", "cat cat feline purr cat whiskers"),
+      (1L, "en", "cat purr feline cat"),
+      // raw: one target-like doc, one soup doc
+      (10L, "de", "cat feline purr"),
+      (11L, "de", "xylophone quartz bogon")
+    ).toDF("doc_id", "lang", "text")
+    val out = Corpus.dsirWeights(fix, "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 64)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L, 11L))
+    val catW = out(0).getAs[Double]("weight")
+    val soupW = out(1).getAs[Double]("weight")
+    assert(catW > 1.0, s"target-like doc must look target-like: $catW")
+    assert(catW > soupW, s"ranking must prefer target-like: $catW vs $soupW")
+    // exact replay from first principles (md5 bucket hash, Laplace
+    // models, position-ordered IEEE product with init 1.0)
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"dsir:$tok".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      Integer.parseInt(hex, 16) % 64
+    }
+    val tgtToks = Seq("cat cat feline purr cat whiskers", "cat purr feline cat")
+      .flatMap(_.split(" ")).map(bucket)
+    val rawToks = Seq("cat feline purr", "xylophone quartz bogon")
+      .flatMap(_.split(" ")).map(bucket)
+    val (nt, nr) = (tgtToks.size.toLong, rawToks.size.toLong)
+    def ratio(f: Int): Double = {
+      val ct = tgtToks.count(_ == f).toLong
+      val cr = rawToks.count(_ == f).toLong
+      (ct + 1).toDouble * (nr + 64).toDouble / ((cr + 1).toDouble * (nt + 64).toDouble)
+    }
+    val expected = "cat feline purr".split(" ").map(bucket)
+      .foldLeft(1.0d)((acc, f) => acc * ratio(f))
+    assert(catW == expected, s"bit-exact replay: $catW vs $expected")
+  }
+
   test("vocab growth: invariant under repartitioning; duplicated corpus flattens the curve") {
     val corpus = (0L until 40L).map(i => (i, s"w${i % 7} u$i")).toDF("doc_id", "text")
     val Seq(a, b) = Seq(1, 5).map(n =>
