@@ -139,7 +139,8 @@ object TextOps {
     * expressions — map-only, NO shuffle: a 100 TB corpus screens at scan
     * speed with the predicate pushed to the reader. Tokenization is the
     * corpus convention (single-space split, empties kept — q27/q78). */
-  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  passThrough: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val toks = split(t, " ")
     val lines = split(t, "\n")
@@ -161,9 +162,10 @@ object TextOps {
     def bp(num: String, den: String): Column =
       expr(s"$num * 10000 div greatest($den, 1)").cast("bigint")
     docs.select(
-        col(idCol), nWords.as("n_words"), sumChars.as("_chars"),
-        nSym.as("_sym"), nAlpha.as("_alpha"), nLines.as("_lines"),
-        nBullet.as("_bullet"), nEllLine.as("_ell"), nStop.as("n_stopwords"))
+        (col(idCol) +: passThrough.map(col)) ++ Seq(
+          nWords.as("n_words"), sumChars.as("_chars"),
+          nSym.as("_sym"), nAlpha.as("_alpha"), nLines.as("_lines"),
+          nBullet.as("_bullet"), nEllLine.as("_ell"), nStop.as("n_stopwords")): _*)
       .withColumn("mean_wl_x100", expr(
         "CAST(_chars AS DECIMAL(38,0)) * 100 div greatest(n_words, 1)").cast("bigint"))
       .withColumn("symbol_bp", bp("_sym", "n_words"))
@@ -182,6 +184,35 @@ object TextOps {
       .withColumn("keep", (col("pass_words") * col("pass_mwl") * col("pass_symbol")
         * col("pass_lines") * col("pass_alpha") * col("pass_stop")).cast("int"))
       .drop("_chars", "_sym", "_alpha", "_lines", "_bullet", "_ell")
+  }
+
+  /** Domain-level quality rollup (the RefinedWeb/FineWeb move: quality
+    * decisions aggregate UP from documents to their source domain, because
+    * a domain whose documents mostly fail the screens is boilerplate/spam
+    * at the source level and should be dropped wholesale — cheaper and
+    * higher-precision than per-doc filtering alone): per domain, document
+    * count, per-rule FAILURE rates and overall pass rate from
+    * [[gopherRules]], all in exact basis points, plus the wholesale
+    * `domain_keep` decision (majority of documents pass — the integer
+    * cross-multiplication 2·passes ≥ docs).
+    *
+    * Scale shape: the rules are map-only ([[gopherRules]]); this adds ONE
+    * map-side-combined aggregation on the domain key — bounded at
+    * |domains| rows — so a 100 TB corpus rolls up in a single bounded
+    * shuffle with no join anywhere. */
+  def domainQuality(docs: DataFrame, domainCol: String, idCol: String,
+                    textCol: String): DataFrame = {
+    val rules = gopherRules(docs, idCol, textCol, passThrough = Seq(domainCol))
+    def failBp(rule: String) =
+      expr(s"sum(1 - $rule) * 10000 div count(1)").cast("bigint")
+        .as(s"fail_${rule.stripPrefix("pass_")}_bp")
+    rules.groupBy(col(domainCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        failBp("pass_words"), failBp("pass_mwl"), failBp("pass_symbol"),
+        failBp("pass_lines"), failBp("pass_alpha"), failBp("pass_stop"),
+        expr("sum(keep) * 10000 div count(1)").cast("bigint").as("keep_bp"),
+        (expr("2 * sum(keep)") >= count(lit(1))).cast("int").as("domain_keep"))
   }
 
   /** Rolling polynomial hash over tokens: fold(h = (h*31 + hash16(tok)) mod

@@ -123,6 +123,16 @@ object TextQueries {
         "doc_id", "text", isTarget = col("lang") === "en", buckets = 512)
       .orderBy(col("doc_id"))
 
+  /** q155 — domain-level quality rollup
+    * ([[graft.ext.TextOps.domainQuality]]): the Gopher screens aggregated
+    * to the source domain — per-rule failure rates, overall pass rate and
+    * the wholesale majority-keep decision, in exact basis points. Map-only
+    * rules + ONE bounded domain-key aggregation. */
+  def q155DomainQuality(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TextOps.domainQuality(load(spark, dir, "documents"),
+        "source", "doc_id", "text")
+      .transform(tinySort(_, col("source")))
+
   /** q78 — token vocabulary with cumulative coverage
     * ([[graft.ext.Corpus.tokenVocab]], top-100): corpus-wide frequency
     * ranking plus the fraction of all token occurrences each vocabulary
@@ -257,6 +267,7 @@ object TextQueries {
     "q151_vocab_growth" -> (q151VocabGrowth _),
     "q153_gopher_rules" -> (q153GopherRules _),
     "q154_dsir_weights" -> (q154DsirWeights _),
+    "q155_domain_quality" -> (q155DomainQuality _),
     "q119_bpe_vocab" -> (q119BpeVocab _),
     "q124_bpe_encode" -> (q124BpeEncode _),
     "q128_tokenizer_fertility" -> (q128TokenizerFertility _),
@@ -273,6 +284,49 @@ object TextQueries {
   )
 
   private val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** The q153 Gopher-rule CTE chain (b → m → f) with optional passthrough
+    * columns threaded to `f` — shared by the q153 per-doc dump and the
+    * q155 domain rollup so the rule arithmetic can never drift. */
+  private def gopherCteSql(extra: String*): String = {
+    val ex = extra.map(c => s"$c, ").mkString
+    s"""WITH b AS (SELECT ${ex}doc_id, text,
+      |    string_split(text, ' ') AS toks,
+      |    string_split(text, chr(10)) AS lines
+      |  FROM documents),
+      | m AS (SELECT ${ex}doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS chars,
+      |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+      |      + CAST(length(text) - length(replace(text, '...', '')) AS BIGINT) // 3 AS sym,
+      |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+      |    CAST(len(lines) AS BIGINT) AS n_lines,
+      |    CAST(len(list_filter(lines, l -> substring(l, 1, 1) IN ('•', '-')
+      |                                     OR substring(l, 1, 2) = '* ')) AS BIGINT) AS bullet,
+      |    CAST(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS BIGINT) AS ell,
+      |    CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+      |       + (CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END)
+      |       + (CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END)
+      |       + (CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END)
+      |       + (CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END)
+      |       + (CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END)
+      |       + (CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END)
+      |       + (CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+      |  FROM b),
+      | f AS (SELECT ${ex}doc_id, n_words, n_stop AS n_stopwords,
+      |    CAST(chars * 100 // GREATEST(n_words, 1) AS BIGINT) AS mean_wl_x100,
+      |    CAST(sym * 10000 // GREATEST(n_words, 1) AS BIGINT) AS symbol_bp,
+      |    CAST(alpha * 10000 // GREATEST(n_words, 1) AS BIGINT) AS alpha_bp,
+      |    CAST(bullet * 10000 // GREATEST(n_lines, 1) AS BIGINT) AS bullet_bp,
+      |    CAST(ell * 10000 // GREATEST(n_lines, 1) AS BIGINT) AS ellipsis_bp,
+      |    CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS INTEGER) AS pass_words,
+      |    CAST(CASE WHEN chars >= n_words * 3 AND chars <= n_words * 10 THEN 1 ELSE 0 END AS INTEGER) AS pass_mwl,
+      |    CAST(CASE WHEN sym * 10 <= n_words THEN 1 ELSE 0 END AS INTEGER) AS pass_symbol,
+      |    CAST(CASE WHEN bullet * 10 < n_lines * 9 AND ell * 10 < n_lines * 3 THEN 1 ELSE 0 END AS INTEGER) AS pass_lines,
+      |    CAST(CASE WHEN alpha * 5 >= n_words * 4 THEN 1 ELSE 0 END AS INTEGER) AS pass_alpha,
+      |    CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INTEGER) AS pass_stop
+      |  FROM m)""".stripMargin
+  }
 
   /** DuckDB replay of one BPE merge round r (see [[graft.ext.Bpe]]): pair
     * counts over the weighted symbol table s(r-1), top-1 selection with
@@ -607,45 +661,27 @@ object TextQueries {
         |  (list_reduce(rs, (a, b) -> a * b) >= 1.0) AS keep
         |FROM agg ORDER BY doc_id""".stripMargin
     },
+    /* q155: the q153 rule chain carried through `source`, one GROUP BY
+     * rollup — failure rates per rule and the majority-keep decision as
+     * integer cross-multiplications. */
+    "q155_domain_quality" ->
+      s"""${gopherCteSql("source")}
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(1 - pass_words) * 10000 // COUNT(*) AS BIGINT) AS fail_words_bp,
+        |  CAST(SUM(1 - pass_mwl) * 10000 // COUNT(*) AS BIGINT) AS fail_mwl_bp,
+        |  CAST(SUM(1 - pass_symbol) * 10000 // COUNT(*) AS BIGINT) AS fail_symbol_bp,
+        |  CAST(SUM(1 - pass_lines) * 10000 // COUNT(*) AS BIGINT) AS fail_lines_bp,
+        |  CAST(SUM(1 - pass_alpha) * 10000 // COUNT(*) AS BIGINT) AS fail_alpha_bp,
+        |  CAST(SUM(1 - pass_stop) * 10000 // COUNT(*) AS BIGINT) AS fail_stop_bp,
+        |  CAST(SUM(pass_words * pass_mwl * pass_symbol * pass_lines
+        |           * pass_alpha * pass_stop) * 10000 // COUNT(*) AS BIGINT) AS keep_bp,
+        |  CAST(CASE WHEN 2 * SUM(pass_words * pass_mwl * pass_symbol * pass_lines
+        |           * pass_alpha * pass_stop) >= COUNT(*) THEN 1 ELSE 0 END AS INTEGER) AS domain_keep
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
     /* q153: all six rule bases recomputed relationally; thresholds are the
      * same integer cross-multiplications, flags INT 0/1. */
     "q153_gopher_rules" ->
-      """WITH b AS (SELECT doc_id, text,
-        |    string_split(text, ' ') AS toks,
-        |    string_split(text, chr(10)) AS lines
-        |  FROM documents),
-        | m AS (SELECT doc_id,
-        |    CAST(len(toks) AS BIGINT) AS n_words,
-        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS chars,
-        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
-        |      + CAST(length(text) - length(replace(text, '...', '')) AS BIGINT) // 3 AS sym,
-        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
-        |    CAST(len(lines) AS BIGINT) AS n_lines,
-        |    CAST(len(list_filter(lines, l -> substring(l, 1, 1) IN ('•', '-')
-        |                                     OR substring(l, 1, 2) = '* ')) AS BIGINT) AS bullet,
-        |    CAST(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS BIGINT) AS ell,
-        |    CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
-        |       + (CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END)
-        |       + (CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END)
-        |       + (CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END)
-        |       + (CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END)
-        |       + (CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END)
-        |       + (CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END)
-        |       + (CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
-        |  FROM b),
-        | f AS (SELECT doc_id, n_words, n_stop AS n_stopwords,
-        |    CAST(chars * 100 // GREATEST(n_words, 1) AS BIGINT) AS mean_wl_x100,
-        |    CAST(sym * 10000 // GREATEST(n_words, 1) AS BIGINT) AS symbol_bp,
-        |    CAST(alpha * 10000 // GREATEST(n_words, 1) AS BIGINT) AS alpha_bp,
-        |    CAST(bullet * 10000 // GREATEST(n_lines, 1) AS BIGINT) AS bullet_bp,
-        |    CAST(ell * 10000 // GREATEST(n_lines, 1) AS BIGINT) AS ellipsis_bp,
-        |    CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS INTEGER) AS pass_words,
-        |    CAST(CASE WHEN chars >= n_words * 3 AND chars <= n_words * 10 THEN 1 ELSE 0 END AS INTEGER) AS pass_mwl,
-        |    CAST(CASE WHEN sym * 10 <= n_words THEN 1 ELSE 0 END AS INTEGER) AS pass_symbol,
-        |    CAST(CASE WHEN bullet * 10 < n_lines * 9 AND ell * 10 < n_lines * 3 THEN 1 ELSE 0 END AS INTEGER) AS pass_lines,
-        |    CAST(CASE WHEN alpha * 5 >= n_words * 4 THEN 1 ELSE 0 END AS INTEGER) AS pass_alpha,
-        |    CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INTEGER) AS pass_stop
-        |  FROM m)
+      s"""${gopherCteSql()}
         |SELECT *, CAST(pass_words * pass_mwl * pass_symbol * pass_lines
         |               * pass_alpha * pass_stop AS INTEGER) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,

@@ -1026,6 +1026,29 @@ class ExtSpec extends AnyFunSuite {
     assert(out(5).getAs[Long]("ellipsis_bp") == 1L * 10000 / 3)
   }
 
+  test("domain quality: majority-keep fires per domain; failure rates are exact bp") {
+    val good = (1 to 48).map(i => s"word$i").mkString(" ")
+    val fix = Seq(
+      // domain A: 2 passing docs, 1 too-short doc → 6667 bp keep, kept
+      (0L, "a.com", s"the of $good"),
+      (1L, "a.com", s"the of $good"),
+      (2L, "a.com", "the of cat"),
+      // domain B: 2 short docs, 1 passing → 3333 bp keep, dropped
+      (3L, "b.com", "the of dog"),
+      (4L, "b.com", "the of bird"),
+      (5L, "b.com", s"the of $good")
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.domainQuality(fix, "source", "doc_id", "text")
+      .orderBy("source").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a.com", "b.com"))
+    assert(out(0).getAs[Long]("n_docs") == 3L)
+    assert(out(0).getAs[Long]("fail_words_bp") == 1L * 10000 / 3)
+    assert(out(0).getAs[Long]("keep_bp") == 2L * 10000 / 3)
+    assert(out(0).getAs[Int]("domain_keep") == 1)
+    assert(out(1).getAs[Long]("fail_words_bp") == 2L * 10000 / 3)
+    assert(out(1).getAs[Int]("domain_keep") == 0)
+  }
+
   test("truncated recall: full width is the 10000 anchor; zero-padded tails are lossless") {
     // 20 vectors whose dims 4..7 are ALL ZERO: truncating to 4 dims loses
     // nothing, so every width >= 4 must reproduce the full-dim top-k
