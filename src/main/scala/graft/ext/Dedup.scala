@@ -175,6 +175,43 @@ object Dedup {
     df.groupBy(TextOps.fingerprintMd5(col(textCol)).as("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
+  /** Deduplicated token-yield report — the dataset-card number every
+    * released corpus states (how much actually survives exact dedup, and
+    * where): per source domain, document/token totals next to the counts
+    * surviving GLOBAL exact dedup (keeper = lowest doc id per normalized-
+    * text fingerprint, credited to the keeper's source — cross-source
+    * duplication therefore shows up as yield moving between domains), with
+    * duplication rate and token yield in exact basis points.
+    *
+    * Scale shape: ONE corpus-scale shuffle on the 16-byte md5 fingerprint
+    * (the [[exactDupGroups]] q20 shape) whose aggregate keeps the keeper
+    * row as min(struct(id, source, tokens)) — lexicographic struct order
+    * makes it the min-id doc with its payload, NO join back to the corpus
+    * — and one map-side-combined rollup per side on the bounded source
+    * key. */
+  def dedupYield(docs: DataFrame, groupCol: String, idCol: String,
+                 textCol: String): DataFrame = {
+    val base = docs.select(col(groupCol), col(idCol),
+      TextOps.fingerprintMd5(col(textCol)).as("_fp"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("_toks"))
+    val all = base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_toks")).as("n_tokens"))
+    val kept = base.groupBy(col("_fp"))
+      .agg(min(struct(col(idCol), col(groupCol), col("_toks"))).as("_k"))
+      .select(col(s"_k.$groupCol").as(groupCol), col("_k._toks").as("_toks"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("_toks")).as("kept_tokens"))
+    // LEFT join: a source whose every doc lost to another source's keeper
+    // has no kept row at all — it must still report, at zero yield
+    all.join(broadcast(kept), Seq(groupCol), "left")
+      .withColumn("kept_docs", coalesce(col("kept_docs"), lit(0L)))
+      .withColumn("kept_tokens", coalesce(col("kept_tokens"), lit(0L)))
+      .withColumn("dup_doc_bp", expr(
+        "(n_docs - kept_docs) * 10000 div greatest(n_docs, 1)").cast("bigint"))
+      .withColumn("token_yield_bp", expr(
+        "kept_tokens * 10000 div greatest(n_tokens, 1)").cast("bigint"))
+  }
+
   /** All-pairs n-gram Jaccard similarity over ids < maxId (bounded — at scale
     * this runs on LSH candidates only), thresholded. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -57,6 +57,21 @@ object DedupQueries {
       .transform(tinySort(_, col("doc_a"), col("doc_b")))
   }
 
+  /** q156 — deduplicated token-yield report ([[Dedup.dedupYield]]): the
+    * dataset-card number per source — documents/tokens surviving global
+    * exact dedup, duplication rate and token yield in exact bp. The input
+    * models a PARTIAL RE-CRAWL (every even-id page fetched twice, id
+    * offset +10000) so the keeper-credit and yield arithmetic actually
+    * engage; keepers are the original ids, so each source's yield reflects
+    * its even-doc share. */
+  def q156DedupYield(spark: SparkSession, dir: String): DataFrame = {
+    val d = load(spark, dir, "documents")
+    val recrawl = d.filter(col("doc_id") % 2 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    Dedup.dedupYield(d.unionByName(recrawl), "source", "doc_id", "text")
+      .transform(tinySort(_, col("source")))
+  }
+
   def q23Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash16(load(spark, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
@@ -252,6 +267,7 @@ object DedupQueries {
       .transform(tinySort(_, col("bands")))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_dedup_yield" -> (q156DedupYield _),
     "q142_lsh_plan" -> (q142LshPlan _),
     "q120_span_rewrite" -> (q120SpanRewrite _),
     "q116_shared_spans" -> (q116SharedSpans _),
@@ -306,6 +322,31 @@ object DedupQueries {
        |        GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    /* q156: re-crawl union, md5-of-normalized fingerprints, min-id keeper
+     * join, two source rollups, exact-bp ratios. */
+    "q156_dedup_yield" ->
+      """WITH u AS (SELECT doc_id, source, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 10000, source, text FROM documents
+        |           WHERE doc_id % 2 = 0),
+        | b AS (SELECT source, doc_id,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM u),
+        | a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(toks) AS BIGINT) AS n_tokens FROM b GROUP BY source),
+        | k AS (SELECT fp, MIN(doc_id) AS keep_id FROM b GROUP BY fp),
+        | kk AS (SELECT b.source, b.toks FROM b
+        |        JOIN k ON b.fp = k.fp AND b.doc_id = k.keep_id),
+        | ks AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+        |         CAST(SUM(toks) AS BIGINT) AS kept_tokens FROM kk GROUP BY source)
+        |SELECT a.source, n_docs, n_tokens,
+        |  COALESCE(kept_docs, 0) AS kept_docs,
+        |  COALESCE(kept_tokens, 0) AS kept_tokens,
+        |  CAST((n_docs - COALESCE(kept_docs, 0)) * 10000
+        |       // GREATEST(n_docs, 1) AS BIGINT) AS dup_doc_bp,
+        |  CAST(COALESCE(kept_tokens, 0) * 10000
+        |       // GREATEST(n_tokens, 1) AS BIGINT) AS token_yield_bp
+        |FROM a LEFT JOIN ks USING (source) ORDER BY source""".stripMargin,
     /* q142: the planner's closed-form curve replayed in exact integers —
      * powers by recursive-CTE product chains (c^r via pw; (100^r − c^r)^b
      * via the carried-base mpow recursion), the sampled histogram by the

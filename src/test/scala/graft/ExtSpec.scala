@@ -1026,6 +1026,30 @@ class ExtSpec extends AnyFunSuite {
     assert(out(5).getAs[Long]("ellipsis_bp") == 1L * 10000 / 3)
   }
 
+  test("dedup yield: keeper credit crosses sources, zero-yield mirror reports, totals conserve") {
+    val fix = Seq(
+      (0L, "orig", "alpha beta gamma"),
+      (1L, "orig", "delta epsilon"),
+      (2L, "other", "unique words here today"),
+      // mirror: byte-copies of orig's docs at higher ids — every keeper
+      // is in orig, so mirror must report at zero yield
+      (10L, "mirror", "alpha beta gamma"),
+      (11L, "mirror", "delta  epsilon") // ws-normalized dup of doc 1
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.dedupYield(fix, "source", "doc_id", "text")
+      .orderBy("source").collect()
+    val bySrc = out.map(r => r.getString(0) -> r).toMap
+    assert(bySrc("mirror").getAs[Long]("kept_docs") == 0L)
+    assert(bySrc("mirror").getAs[Long]("token_yield_bp") == 0L)
+    assert(bySrc("mirror").getAs[Long]("dup_doc_bp") == 10000L)
+    assert(bySrc("orig").getAs[Long]("kept_docs") == 2L)
+    assert(bySrc("orig").getAs[Long]("dup_doc_bp") == 0L)
+    assert(bySrc("other").getAs[Long]("token_yield_bp") == 10000L)
+    // conservation: kept docs across sources = distinct normalized texts
+    assert(out.map(_.getAs[Long]("kept_docs")).sum == 3L)
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 5L)
+  }
+
   test("domain quality: majority-keep fires per domain; failure rates are exact bp") {
     val good = (1 to 48).map(i => s"word$i").mkString(" ")
     val fix = Seq(
