@@ -133,6 +133,41 @@ object TextQueries {
         "source", "doc_id", "text")
       .transform(tinySort(_, col("source")))
 
+  /** q157 — BPE compression curve: corpus token count as a function of
+    * MERGE COUNT (encode with the first m learned merges, m = 0,2,4,6,8) —
+    * the vocabulary-size trade-off curve (Gage '94 / Sennrich '16: every
+    * additional merge trades vocabulary slots for sequence length; this
+    * curve is the data a vocab-size decision reads, next to q151's Heaps
+    * curve and q128's fixed-vocab fertility). m = 0 is the symbol-stream
+    * baseline, so `saved_bp` starts at 0 and grows monotonically (each
+    * merge can only shorten streams — the BpeSpec law). Each level is one
+    * map-only fused-kernel pass ([[graft.ext.Bpe.encodeTokens]], zero
+    * shuffles) feeding a single-row aggregation; the baseline row joins
+    * the others by broadcast. */
+  def q157BpeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val merges = graft.ext.Bpe.learnMerges(docs, "text", rounds = 8,
+        maxTypes = 50)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val levels = Seq(0, 2, 4, 6, 8).map { m =>
+      docs.select(graft.ext.Bpe.encodeTokens(col("text"), merges.take(m)).as("_toks"))
+        .agg(sum(size(col("_toks")).cast("long")).as("n_tokens"))
+        .select(lit(m.toLong).as("n_merges"), col("n_tokens"))
+    }.reduce(_ unionByName _)
+      .cache() // 5 rows; two consumers (levels + baseline) — without the
+               // cache each would re-run all five corpus encode passes
+    val base = levels.filter(col("n_merges") === 0)
+      .select(col("n_tokens").as("_base"))
+    levels.join(broadcast(base))
+      .withColumn("saved_bp", expr(
+        "(_base - n_tokens) * 10000 div greatest(_base, 1)").cast("bigint"))
+      .withColumn("symbols_per_token_x100", expr(
+        "_base * 100 div greatest(n_tokens, 1)").cast("bigint"))
+      .drop("_base")
+      .transform(tinySort(_, col("n_merges")))
+  }
+
   /** q78 — token vocabulary with cumulative coverage
     * ([[graft.ext.Corpus.tokenVocab]], top-100): corpus-wide frequency
     * ranking plus the fraction of all token occurrences each vocabulary
@@ -268,6 +303,7 @@ object TextQueries {
     "q153_gopher_rules" -> (q153GopherRules _),
     "q154_dsir_weights" -> (q154DsirWeights _),
     "q155_domain_quality" -> (q155DomainQuality _),
+    "q157_bpe_curve" -> (q157BpeCurve _),
     "q119_bpe_vocab" -> (q119BpeVocab _),
     "q124_bpe_encode" -> (q124BpeEncode _),
     "q128_tokenizer_fertility" -> (q128TokenizerFertility _),
@@ -483,6 +519,40 @@ object TextQueries {
 
   val sql: Map[String, String] = Map(
     "q119_bpe_vocab" -> bpeSql(rounds = 8, maxTypes = 50),
+    /* q157: the q124 learn+apply chain, read at INTERMEDIATE merge counts —
+     * every a_r state is already materialized, so the curve is one
+     * per-type token count + occurrence-weighted sum per level. */
+    "q157_bpe_curve" -> {
+      val applyCtes = (1 to 8).map(bpeApplyRoundSql).mkString(",\n")
+      val ms = Seq(0, 2, 4, 6, 8)
+      val tcs = ms.map(m =>
+        s" tc$m AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM a$m GROUP BY word)")
+        .mkString(",\n")
+      val lvls = ms.map(m =>
+        s"SELECT $m AS n_merges, CAST(SUM(w.c * t.c) AS BIGINT) AS n_tokens" +
+          s" FROM wc w JOIN tc$m t USING (word)")
+        .mkString("\n UNION ALL ")
+      s"""WITH ${bpeLearnCtes(8, 50)},
+         | wt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         |          unnest(range(1, len(string_split(text, ' ')) + 1)) AS widx
+         |        FROM documents),
+         | wtf AS (SELECT doc_id, word, widx FROM wt WHERE word <> ''),
+         | atypes AS (SELECT DISTINCT word FROM wtf),
+         | a0 AS MATERIALIZED (SELECT word, CAST(pos AS BIGINT) AS pos,
+         |     CASE WHEN pos <= len(word) THEN substring(word, pos, 1)
+         |          ELSE ' ' END AS sym
+         |   FROM (SELECT word, unnest(range(1, len(word) + 2)) AS pos
+         |         FROM atypes) v),
+         |$applyCtes,
+         | wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM wtf GROUP BY word),
+         |$tcs,
+         | lv AS ($lvls),
+         | b AS (SELECT n_tokens AS base FROM lv WHERE n_merges = 0)
+         |SELECT CAST(n_merges AS BIGINT) AS n_merges, n_tokens,
+         |  CAST((base - n_tokens) * 10000 // GREATEST(base, 1) AS BIGINT) AS saved_bp,
+         |  CAST(base * 100 // GREATEST(n_tokens, 1) AS BIGINT) AS symbols_per_token_x100
+         |FROM lv, b ORDER BY n_merges""".stripMargin
+    },
     "q124_bpe_encode" -> bpeApplySql(rounds = 8, maxTypes = 50),
     "q128_tokenizer_fertility" -> bpeFertilitySql(rounds = 8, maxTypes = 50),
     /* q131: same Laplace arithmetic — (cnt12+1)/(cnt1+V) one division per

@@ -150,4 +150,24 @@ class BpeSpec extends AnyFunSuite {
     assert(out.head == (1L, "a", " ", "a ", 3L))
     assert(out(1) == (2L, "\ud83d\ude00", "a ", "\ud83d\ude00a ", 3L))
   }
+
+  test("compression curve: token count is monotone non-increasing in merge count; m=0 is the symbol stream") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "low lower lowest low low"), (2L, "low slow glow lower"))
+      .toDF("doc_id", "text")
+    val learned = Bpe.learnMerges(docs, "text", rounds = 6, maxTypes = 50)
+      .orderBy("round").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val counts = (0 to 6).map { m =>
+      docs.select(Bpe.encodeTokens(col("text"), learned.take(m)).as("t"))
+        .agg(sum(size(col("t")))).head().getLong(0)
+    }
+    // m=0: every code point + one sentinel per word
+    val symbols = Seq("low lower lowest low low", "low slow glow lower")
+      .map(t => t.replace(" ", "").length + t.split(" ").length).sum
+    assert(counts.head == symbols.toLong)
+    counts.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"merge added tokens: $counts")
+    }
+    assert(counts.last < counts.head, "six merges must compress this corpus")
+  }
 }
