@@ -166,6 +166,25 @@ class PropertySpec extends AnyFunSuite {
       rows(graft.ext.Sketch.kmvDistinctCI(ev.repartition(9), "g", "v", k = 16)))
   }
 
+  test("late-r12 operators are partition-invariant (DSIR, dedup yield, domain quality)") {
+    // the IEEE-ratio product (DSIR), min-struct keeper (yield) and rule
+    // rollup (domain) all claim bit-determinism under any partitioning
+    val docs = (0 until 40).map { i =>
+      (i.toLong, if (i % 4 == 0) "en" else "de", s"src${i % 5}",
+        s"tok${i % 7} the of tok${(i * 3) % 5} tok${i % 11}")
+    }.toDF("doc_id", "lang", "source", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(graft.ext.Corpus.dsirWeights(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 64)) ==
+      rows(graft.ext.Corpus.dsirWeights(docs.repartition(13), "doc_id", "text",
+        col("lang") === "en", buckets = 64)))
+    assert(rows(graft.ext.Dedup.dedupYield(docs, "source", "doc_id", "text")) ==
+      rows(graft.ext.Dedup.dedupYield(docs.repartition(11), "source", "doc_id", "text")))
+    assert(rows(graft.ext.TextOps.domainQuality(docs, "source", "doc_id", "text")) ==
+      rows(graft.ext.TextOps.domainQuality(docs.repartition(7), "source", "doc_id", "text")))
+  }
+
   test("movingStats conservation: last running total per user == exact group sum") {
     val ev = (1 to 200).map { i =>
       (i.toLong, (i % 7).toLong,
