@@ -46,8 +46,12 @@ object Batching {
     val n = base.groupBy().agg(count(lit(1)).as("_n"))
 
     // policy `hash`: batch = h mod ceil(N / batchSize)
+    // greatest(·, 1): an empty input gives _n = 0 hence _nb = 0, and pmod
+    // by zero is an ANSI error — clamp so the empty frame flows through to
+    // the zero-row report instead.
     val hashed = base.join(broadcast(n))
-      .withColumn("_nb", expr(s"(_n + ${batchSize - 1}) div $batchSize"))
+      .withColumn("_nb",
+        greatest(expr(s"(_n + ${batchSize - 1}) div $batchSize"), lit(1L)))
       .withColumn("batch", pmod(col("_h"), col("_nb")))
       .groupBy(col("batch"))
       .agg(count(lit(1)).as("n_rows"), max(col("len")).as("max_len"),
@@ -57,7 +61,8 @@ object Batching {
     val buckets = base.withColumn("bucket", expr(s"len div $bucketWidth"))
     val bCounts = buckets.groupBy(col("bucket")).agg(count(lit(1)).as("_bn"))
     val bucketed = buckets.join(broadcast(bCounts), "bucket")
-      .withColumn("_nb", expr(s"(_bn + ${batchSize - 1}) div $batchSize"))
+      .withColumn("_nb",
+        greatest(expr(s"(_bn + ${batchSize - 1}) div $batchSize"), lit(1L)))
       .withColumn("sub", pmod(col("_h"), col("_nb")))
       .groupBy(col("bucket"), col("sub"))
       .agg(count(lit(1)).as("n_rows"), max(col("len")).as("max_len"),
@@ -67,9 +72,10 @@ object Batching {
       perBatch
         .withColumn("cost", col("n_rows") * col("max_len"))
         .groupBy()
-        .agg(count(lit(1)).as("n_batches"), sum(col("n_rows")).as("n_rows"),
-          sum(col("useful")).as("useful_tokens"),
-          sum(col("cost")).as("cost_tokens"))
+        .agg(count(lit(1)).as("n_batches"),
+          coalesce(sum(col("n_rows")), lit(0L)).as("n_rows"),
+          coalesce(sum(col("useful")), lit(0L)).as("useful_tokens"),
+          coalesce(sum(col("cost")), lit(0L)).as("cost_tokens"))
         .withColumn("padding_tokens", col("cost_tokens") - col("useful_tokens"))
         .withColumn("padding_bp",
           when(col("cost_tokens") > 0,

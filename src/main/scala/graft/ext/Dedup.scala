@@ -89,7 +89,8 @@ object Dedup {
     * Docs with fewer than shingleN tokens have no shingles and are dropped,
     * matching the exploded formulation's semantics. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
-                       numHashes: Int = 8, shingleN: Int = 3): DataFrame = {
+                       numHashes: Int = 8, shingleN: Int = 3,
+                       carryCols: Seq[String] = Nil): DataFrame = {
     require(numHashes == graft.functions.MinHashKernel.NumSlots,
       s"kernel computes ${graft.functions.MinHashKernel.NumSlots} slots")
     // one kernel call per row: CollapseProject won't inline a non-cheap
@@ -97,10 +98,11 @@ object Dedup {
     // short-document guard filters on token count — NOT on the kernel's
     // null result, which filter pushdown would duplicate below the project
     df.filter(size(split(col(textCol), " ")) >= shingleN) // kernel nulls exactly these
-      .select(col(idCol),
-        graft.functions.MinHashSlots.minhashSlots(col(textCol), shingleN).as("_sig"))
-      .select(col(idCol) +: (0 until numHashes).map(s =>
-        element_at(col("_sig"), s + 1).as(s"sig$s")): _*)
+      .select(col(idCol) +: (graft.functions.MinHashSlots
+        .minhashSlots(col(textCol), shingleN).as("_sig") +:
+        carryCols.map(col)): _*)
+      .select(col(idCol) +: ((0 until numHashes).map(s =>
+        element_at(col("_sig"), s + 1).as(s"sig$s")) ++ carryCols.map(col)): _*)
   }
 
   /** LSH banding over a MinHash signature: hash each band of `rowsPerBand`
@@ -120,13 +122,15 @@ object Dedup {
     * self-join ([[lshCandidatePairs]]) and cross-corpus
     * ([[crossCorpusCandidates]]) LSH paths. */
   private[graft] def bandKeys(sig: DataFrame, idCol: String,
-                              numHashes: Int, bands: Int): DataFrame = {
+                              numHashes: Int, bands: Int,
+                              carryCols: Seq[String] = Nil): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
     val bandDfs = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"sig$i"))
-      sig.select(col(idCol),
-        md5(concat_ws("|", lit(s"B$b") +: cols: _*).cast("binary")).as("band"))
+      sig.select(col(idCol) +:
+        (md5(concat_ws("|", lit(s"B$b") +: cols: _*).cast("binary")).as("band") +:
+          carryCols.map(col)): _*)
     }
     bandDfs.reduce(_ unionByName _)
   }

@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * P over every divisor split b·r = numHashes and every similarity
   * hundredth c ∈ [1,100] in EXACT integer arithmetic —
   *   P_bp(c) = (10000·(Q^b − (Q − c^r)^b)) div Q^b,  Q = 100^r
-  * (products ride in long/DECIMAL(38,0); for the default budget of 8 the
-  * largest term is 10^20) — so the curve replays bit-for-bit on any engine
-  * with 128-bit integers.
+  * (every product rides in DECIMAL(38,0), and the ×10000 is folded into the
+  * divisor as Q^b/10^4 = 100^(numHashes−2) — an exact cancellation — so the
+  * largest term over the whole documented budget of 18 is 100^18 = 10^36)
+  * — the curve replays bit-for-bit on any engine with 128-bit integers.
   *
   * Corpus stats: the similarity histogram comes from an id-mod sample (the
   * q104 idiom — a mod-sample keeps a fixed fraction of TRUE pairs at any
@@ -53,9 +54,14 @@ import org.apache.spark.sql.functions._
 object LshPlanner {
 
   /** Integer power by fold — an exact IEEE-free product chain, identical in
-    * any engine (the exponent is a tiny literal-grid value). */
+    * any engine (the exponent is a tiny literal-grid value). The fold rides
+    * in DECIMAL(38,0) — not LONG — because the b=1 split needs
+    * 100^numHashes, which leaves the long range at numHashes = 10 (10^20);
+    * decimal(38,0) carries the full documented budget of 18 (10^36). */
   private def ipow(base: Column, e: Column): Column =
-    aggregate(sequence(lit(1), e), lit(1L), (acc, _) => acc * base)
+    aggregate(sequence(lit(1), e),
+      lit(java.math.BigDecimal.ONE).cast("decimal(38,0)"),
+      (acc, _) => acc * base.cast("decimal(38,0)"))
 
   def planBands(docs: DataFrame, idCol: String, textCol: String,
                 shingleN: Int = 3, numHashes: Int = 8,
@@ -95,8 +101,15 @@ object LshPlanner {
       .withColumn("q", ipow(lit(100L), col("rows_per_band")))
       .withColumn("mb", ipow(col("q") - col("cr"), col("bands")))
       .withColumn("qb", ipow(col("q"), col("bands")))
-      .withColumn("p_bp", expr(
-        "cast((10000 * (cast(qb as decimal(38,0)) - mb)) div qb as bigint)"))
+      // p_bp = floor(10000·(qb − mb) / qb). Multiplying first would need
+      // 10^4·10^36 = 10^40 digits at the top of the budget, so use the
+      // exact identity 10000·X div 100^n = X div 100^(n−2) (both sides
+      // divided by the common 10^4; numHashes ≥ 2 guarantees n ≥ 2).
+      .withColumn("_qdiv", lit(new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(100).pow(numHashes - 2)))
+        .cast("decimal(38,0)"))
+      .withColumn("p_bp", expr("cast((qb - mb) div _qdiv as bigint)"))
+      .drop("_qdiv")
 
     // ---- expectations against the measured histogram ----
     val withH = curve.join(hist, col("c") === col("hc"), "left")

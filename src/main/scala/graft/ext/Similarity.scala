@@ -144,10 +144,18 @@ object Similarity {
           coalesce(sum(col("_hit")), lit(0L)).as("hits"))
         .select(lit(d.toLong).as("trunc_dim"), col("n_retrieved"), col("hits"))
     }
-    perDim.reduce(_ unionByName _)
+    val audited = perDim.reduce(_ unionByName _)
       .withColumn("recall_bp", expr(
         "CAST(hits AS DECIMAL(38,0)) * 10000 div greatest(n_retrieved, 1)")
         .cast("bigint"))
+    // Cache lifecycle (unlike ivfTopK, whose persist deliberately outlives
+    // the call): the audit result is |dims| one-row aggregates, so
+    // materialize it eagerly here — every consumer of the cached truth
+    // frame runs inside this call — and release the cache before
+    // returning. The caller reads the tiny checkpointed rows, not `full`.
+    val out = Dedup.checkpointStripped(audited)
+    full.unpersist(blocking = false)
+    out
   }
 
   /** All-pairs near-duplicate detection by cosine threshold, bounded to ids <

@@ -549,34 +549,6 @@ object DedupQueries {
         |WHERE CAST(p.inter AS DOUBLE) /
         |    (sqrt(CAST(x.n AS DOUBLE)) * sqrt(CAST(y.n AS DOUBLE))) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
-    /* q132: postings = DISTINCT doc shingles; pair intersection via the
-     * posting self-join (df cap 1000 — inactive at this corpus, verified
-     * exact); cosine = inter / (sqrt(n_a)*sqrt(n_b)), one sqrt per side
-     * like Spark. */
-    "q132_cosine_pairs" ->
-      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
-        |            FROM documents),
-        | sh AS (SELECT DISTINCT doc_id,
-        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sg
-        |        FROM tk, unnest(range(1, len(t) - 1)) AS u(i)
-        |        WHERE len(t) >= 3),
-        | sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
-        | dfc AS (SELECT sg FROM (SELECT sg, COUNT(*) AS df FROM sh GROUP BY 1)
-        |         WHERE df <= 1000),
-        | kept AS (SELECT s.doc_id, s.sg FROM sh s JOIN dfc ON dfc.sg = s.sg),
-        | pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         CAST(COUNT(*) AS BIGINT) AS inter
-        |        FROM kept a JOIN kept b
-        |          ON a.sg = b.sg AND a.doc_id < b.doc_id
-        |        GROUP BY 1, 2)
-        |SELECT p.doc_a, p.doc_b, x.n AS n_a, y.n AS n_b, p.inter,
-        |  CAST(p.inter AS DOUBLE) /
-        |    (sqrt(CAST(x.n AS DOUBLE)) * sqrt(CAST(y.n AS DOUBLE))) AS cos
-        |FROM pr p JOIN sz x ON x.doc_id = p.doc_a
-        |          JOIN sz y ON y.doc_id = p.doc_b
-        |WHERE CAST(p.inter AS DOUBLE) /
-        |    (sqrt(CAST(x.n AS DOUBLE)) * sqrt(CAST(y.n AS DOUBLE))) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
     "q109_prefix_jaccard" ->
       s"""WITH $ShinglesCte,
          | f AS (SELECT sg, COUNT(*) AS fr FROM sh GROUP BY sg),

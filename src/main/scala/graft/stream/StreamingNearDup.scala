@@ -26,6 +26,15 @@ import graft.ext.Dedup
   * times out and is evicted, so state holds the HORIZON's bands, never the
   * corpus's (the [[StreamingDedup]] trade: suppression/pairing beyond the
   * horizon belongs to the batch operator).
+  *
+  * Eviction clock: pass `eventTimeCol` (a timestamp column of the source)
+  * to make the watermark — and hence the horizon — true EVENT time, so a
+  * replay of historical data evicts exactly as the live run did. Without
+  * it the watermark column falls back to `current_timestamp()` at ingest,
+  * i.e. PROCESSING time: correct pairing either way (pairing never reads
+  * the clock), but on a replay all batches share one wall-clock arrival,
+  * so nothing ages out mid-replay — the horizon is "since ingest", not
+  * "since the document's own timestamp".
   */
 object StreamingNearDup {
 
@@ -61,15 +70,24 @@ object StreamingNearDup {
                     watermarkDelay: String = "1 hour",
                     stateTtlMs: Long = 3600L * 1000,
                     maxFilesPerTrigger: Option[Int] = None,
-                    numHashes: Int = 8, bands: Int = 2): DataFrame = {
+                    numHashes: Int = 8, bands: Int = 2,
+                    eventTimeCol: Option[String] = None): DataFrame = {
     import spark.implicits._
     val schema = spark.read.parquet(docsDir).schema
     val reader = spark.readStream.schema(schema)
     val raw = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(docsDir)
-    val sig = Dedup.minhashSignature(raw, "doc_id", "text", numHashes)
-    val banded = Dedup.bandKeys(sig, "doc_id", numHashes, bands)
-      .withColumn("_arrival", current_timestamp())
+    // event-time watermark when the source carries one; processing-time
+    // (ingest wall clock) fallback otherwise — see the eviction-clock note.
+    // The clock column rides through the SHARED signature/band projections
+    // via carryCols (no streaming fork of the batch kernels, no
+    // stream-stream re-join).
+    val clock = eventTimeCol.map(c => col(c).cast("timestamp"))
+      .getOrElse(current_timestamp())
+    val sig = Dedup.minhashSignature(raw.withColumn("_arrival", clock),
+      "doc_id", "text", numHashes, carryCols = Seq("_arrival"))
+    val banded = Dedup.bandKeys(sig, "doc_id", numHashes, bands,
+        carryCols = Seq("_arrival"))
       .withWatermark("_arrival", watermarkDelay)
     val pairs = banded
       .groupByKey(_.getString(1)) // band column of (doc_id, band, _arrival)

@@ -61,6 +61,16 @@ class CorpusSpec extends AnyFunSuite {
       m("bucketed").getAs[Long]("useful_tokens"))
     assert(m("hash").getAs[Long]("n_rows") == 40L &&
       m("bucketed").getAs[Long]("n_rows") == 40L)
+    // empty input: _n = 0 used to make the batch count 0 and pmod(_h, 0)
+    // an ANSI divide-by-zero; the greatest(·, 1) clamp must instead yield
+    // the clean all-zero two-policy report
+    val e = Batching.paddingAudit(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(e.keySet == Set("hash", "bucketed"))
+    for (p <- e.values; c <- Seq("n_batches", "n_rows", "useful_tokens",
+        "cost_tokens", "padding_tokens", "padding_bp"))
+      assert(p.getAs[Long](c) == 0L, s"$c on empty input")
   }
 
   test("heavy hitters: exact counts, count-desc/token-asc order, k bound") {

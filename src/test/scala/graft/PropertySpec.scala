@@ -166,6 +166,25 @@ class PropertySpec extends AnyFunSuite {
       rows(graft.ext.Sketch.kmvDistinctCI(ev.repartition(9), "g", "v", k = 16)))
   }
 
+  test("LSH planner S-curve is exact over the full decimal budget (numHashes = 18)") {
+    // the b = 1 split needs 100^18 = 10^36 — past the long range at 10
+    // hashes; the decimal(38,0) fold plus the 10000·X div 100^n =
+    // X div 100^(n−2) cancellation must carry the whole documented budget
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"tok${i % 7} tok${(i * 3) % 5} tok${i % 7} tok${(i + 1) % 11} end"))
+      .toDF("doc_id", "text")
+    val plan = graft.ext.LshPlanner.planBands(docs, "doc_id", "text", numHashes = 18)
+      .collect().map(r => r.getAs[Int]("bands") -> r).toMap
+    assert(plan.keySet == Set(1, 2, 3, 6, 9, 18)) // the divisor grid of 18
+    // hand-computed anchor: b = 1, r = 18, target c = 80 →
+    // floor(10^4·80^18/100^18) = floor(10^4·(4/5)^18) = 180
+    assert(plan(1).getAs[Long]("p_at_target_bp") == 180L)
+    // more bands ⇒ the curve catches pairs earlier: s50 strictly decreasing
+    val s50 = Seq(1, 2, 3, 6, 9, 18).map(plan(_).getAs[Long]("s50_centis"))
+    assert(s50 == s50.sorted.reverse && s50.distinct == s50)
+    assert(plan.values.map(_.getAs[Int]("selected")).sum == 1)
+  }
+
   test("late-r12 operators are partition-invariant (DSIR, dedup yield, domain quality)") {
     // the IEEE-ratio product (DSIR), min-struct keeper (yield) and rule
     // rollup (domain) all claim bit-determinism under any partitioning
