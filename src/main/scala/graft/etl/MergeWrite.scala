@@ -22,8 +22,29 @@ object MergeWrite {
   val PartitionCol = "auction_saving_date"
 
   /** Merge `batch` (silver schema, with auction_date) into the
-    * date-partitioned Parquet table at `processedDir`. */
-  def mergeWrite(spark: SparkSession, processedDir: String, batch: DataFrame): Unit = {
+    * date-partitioned Parquet table at `processedDir`.
+    *
+    * `durable` picks the lineage-cut strategy for the overwrite-what-you-
+    * read problem (Spark cannot overwrite a path a plan is reading):
+    *
+    *  - `false` (default): eager `localCheckpoint` — merged partitions are
+    *    materialized as EXECUTOR-LOCAL blocks, then written once. One
+    *    write of the data; strictly better on local[n] and the right
+    *    default for this harness. The failure window: on a real cluster,
+    *    losing an executor between checkpoint and commit loses blocks
+    *    whose lineage was just severed — the job dies. SAFE but not
+    *    durable: dynamic overwrite commits per partition and the source
+    *    batch still exists, so the merge is simply re-run.
+    *  - `true`: staging-dir double write — the merged partitions are
+    *    written to a sibling staging dir (a normal fault-tolerant Spark
+    *    job that survives executor loss and re-runs lost tasks from
+    *    lineage), re-read from DURABLE files, and only then overwritten
+    *    into the table. Costs one extra write+read of the touched
+    *    partitions (O(batch dates), never the table root) — the price of
+    *    running the merge unattended on a 1000-executor cluster.
+    */
+  def mergeWrite(spark: SparkSession, processedDir: String, batch: DataFrame,
+                 durable: Boolean = false): Unit = {
     val dated = batch.withColumn(PartitionCol, to_date(col("auction_date")))
     val merged =
       if (tableExists(spark, processedDir)) {
@@ -40,15 +61,27 @@ object MergeWrite {
         tagged.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn", "_src_rank")
       } else dated
-    // The merged plan reads the target path; Spark cannot overwrite a path
-    // it is reading from, so cut the lineage with an eager localCheckpoint
-    // (executor-local blocks) — each affected partition is then written to
-    // the table exactly once, instead of the staging-dir double write.
-    merged.localCheckpoint().write
+    def overwriteInto(df: DataFrame): Unit = df.write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic") // never static-overwrite the root
       .partitionBy(PartitionCol)
       .parquet(processedDir)
+    if (durable) {
+      // staging-dir double write (see scaladoc): merged rows land on the
+      // table's own filesystem first, so the final overwrite reads durable
+      // files — an executor loss at any point only re-runs tasks
+      val staging = new org.apache.hadoop.fs.Path(
+        processedDir.stripSuffix("/") + s"__staging_${System.nanoTime()}")
+      val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try {
+        merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+        overwriteInto(spark.read.parquet(staging.toString))
+      } finally fs.delete(staging, true)
+    } else {
+      // eager localCheckpoint lineage cut (executor-local blocks): each
+      // affected partition is written to the table exactly once
+      overwriteInto(merged.localCheckpoint())
+    }
   }
 
   def readProcessed(spark: SparkSession, processedDir: String): DataFrame =

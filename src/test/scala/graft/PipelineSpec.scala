@@ -113,6 +113,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(after.filter(col("auction_id") === "AAA111").head().getAs[String]("model") == "RAPTOR")
   }
 
+  test("S5 durable mode: staging-dir double write produces the identical table") {
+    // run the same three merges as the default-mode test but with
+    // durable = true; row-for-row identical outcome, and the staging dir
+    // must not survive the call
+    val base = Files.createTempDirectory("graft_processed_dur").toString
+    val processed = base + "/t"
+    MergeWrite.mergeWrite(spark, processed, silver, durable = true)
+    MergeWrite.mergeWrite(spark, processed, silver, durable = true)
+    val updated = silver.filter(col("auction_id") === "AAA111")
+      .withColumn("auction_date", col("auction_date") + expr("INTERVAL 1 HOUR"))
+      .withColumn("model", lit("RAPTOR"))
+    MergeWrite.mergeWrite(spark, processed, updated, durable = true)
+    val dur = MergeWrite.readProcessed(spark, processed)
+    assert(dur.count() == 2)
+    assert(dur.filter(col("auction_id") === "AAA111").head().getAs[String]("model") == "RAPTOR")
+    // same sequence through the default localCheckpoint path → same rows
+    val processed2 = Files.createTempDirectory("graft_processed_ref").toString + "/t"
+    MergeWrite.mergeWrite(spark, processed2, silver)
+    MergeWrite.mergeWrite(spark, processed2, silver)
+    MergeWrite.mergeWrite(spark, processed2, updated)
+    val ref = MergeWrite.readProcessed(spark, processed2)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(ref.columns.sorted.map(col).toIndexedSeq: _*)
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(dur) == canon(ref))
+    // no leaked staging dirs next to the table
+    val leftovers = new java.io.File(base).listFiles()
+      .map(_.getName).filter(_.contains("__staging_"))
+    assert(leftovers.isEmpty, s"staging leftovers: ${leftovers.toSeq}")
+  }
+
   test("F2→S8→S3→merge: the full rescrape correction loop, newest wins in processed + star") {
     // round 1: ingest the golden fixture — CCC333 is invalid and held out
     val processed = Files.createTempDirectory("graft_loop_proc").toString + "/t"
