@@ -405,9 +405,95 @@ object Dedup {
     * Scale shape: one shingle-keyed df aggregation, a posting equi-join on
     * the shingle key (bounded by the df cap), one pair aggregation, two
     * sizes joins. No BNLJ, no cartesian. */
+  /** Per-document pair cap — the OUTPUT-bound for the pair detectors
+    * (r12 VERDICT #4): the posting joins are df-capped, but the PAIR SET
+    * itself grows with the corpus' duplicate structure (sf1 scale table:
+    * 979× more true pairs on 10× duplicate-heavy data), and every
+    * downstream consumer (span rewrite, cluster build, review queues)
+    * pays it. This keeps, per document, only its `k` best incident pairs
+    * — a pair survives iff it is inside BOTH endpoints' top-k (score
+    * desc, partner-id asc), so the bound is strict: no document emits
+    * more than k pairs, total output ≤ |docs|·k/2 regardless of how
+    * pathological the crawl is.
+    *
+    * Scale shape: the ranking is the bounded map-side [[TopK]] aggregator
+    * on the doubled (doc, partner, score) view — O(docs·k) shuffle, never
+    * a pair-scale window — and two semi-joins back. The pair frame feeds
+    * three consumers, so the caller materializes it first
+    * ([[checkpointStripped]]). `scoreCol = None` ranks by partner id
+    * ascending (score-free inputs keep their lowest-id partners —
+    * deterministic on any engine).
+    *
+    * Truncation is ACCOUNTED, not silent: [[pairCapCurve]] reports, per
+    * candidate k, exactly how many pairs and documents a cap would
+    * truncate (q158's oracle surface). */
+  private[graft] def capPairsPerDoc(pairs: DataFrame, aCol: String, bCol: String,
+                                    k: Int, scoreCol: Option[String]): DataFrame = {
+    require(k >= 1, s"maxPairsPerDoc must be positive, got $k")
+    val p = checkpointStripped(pairs)
+    def sideScore(partner: Column): Column = scoreCol match {
+      case Some(s) => col(s).cast("double")
+      case None    => -partner.cast("double") // partner asc == score desc
+    }
+    val sided = p.select(col(aCol).as("_d"), col(bCol).as("_p"),
+        sideScore(col(bCol)).as("_s"))
+      .unionByName(p.select(col(bCol).as("_d"), col(aCol).as("_p"),
+        sideScore(col(aCol)).as("_s")))
+    val keep = TopK.topKPerGroup(sided, "_d", "_p", "_s", k)
+    p.join(keep.select(col("_d").as(aCol), col("_p").as(bCol)),
+        Seq(aCol, bCol), "left_semi")
+      .join(keep.select(col("_d").as(bCol), col("_p").as(aCol)),
+        Seq(aCol, bCol), "left_semi")
+  }
+
+  /** Cap-planning curve — the truncation ACCOUNTING for
+    * [[capPairsPerDoc]]: for each candidate cap k, how many pairs the
+    * both-endpoints top-k rule would keep/drop and how many documents
+    * would lose at least one incident pair. Run this over a measured pair
+    * set BEFORE committing a cap, exactly like the LSH banding planner
+    * (q142) prices a band split before committing it.
+    *
+    * The ranks here are a row_number window partitioned per document over
+    * the doubled pair view — pair-scale, the data being audited, never
+    * corpus-scale — with the same (score desc, partner asc) order as the
+    * operator's TopK aggregator, so curve and cap can never disagree. */
+  def pairCapCurve(pairs: DataFrame, aCol: String, bCol: String,
+                   scoreCol: String, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be positive, got $ks")
+    val p = checkpointStripped(
+      pairs.select(col(aCol), col(bCol), col(scoreCol).cast("double").as("_s")))
+    val sided = p.select(col(aCol).as("_d"), col(bCol).as("_p"), col("_s"))
+      .unionByName(p.select(col(bCol).as("_d"), col(aCol).as("_p"), col("_s")))
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_d")).orderBy(col("_s").desc, col("_p").asc)
+    val ranked = sided.withColumn("_r", row_number().over(W))
+    val pr = checkpointStripped(p
+      .join(ranked.select(col("_d").as(aCol), col("_p").as(bCol),
+        col("_r").as("_ra")), Seq(aCol, bCol))
+      .join(ranked.select(col("_d").as(bCol), col("_p").as(aCol),
+        col("_r").as("_rb")), Seq(aCol, bCol)))
+    val withK = pr.withColumn("k", explode(array(ks.map(lit(_)): _*)))
+      .withColumn("_dropped",
+        (col("_ra") > col("k") || col("_rb") > col("k")).cast("int"))
+    val pairAgg = withK.groupBy(col("k"))
+      .agg(count(lit(1)).as("pairs_total"),
+        sum(when(col("_dropped") === 0, 1L).otherwise(0L)).as("pairs_kept"))
+      .withColumn("pairs_dropped", col("pairs_total") - col("pairs_kept"))
+    val docAgg = withK
+      .select(col("k"), col("_dropped"),
+        explode(array(col(aCol), col(bCol))).as("_doc"))
+      .groupBy(col("k"))
+      .agg(count_distinct(when(col("_dropped") === 1, col("_doc")))
+        .as("docs_truncated"))
+    pairAgg.join(docAgg, Seq("k"))
+      .select(col("k").cast("int").as("k"), col("pairs_total"),
+        col("pairs_kept"), col("pairs_dropped"), col("docs_truncated"))
+  }
+
   def cosinePairs(df: DataFrame, idCol: String, textCol: String,
                   shingleN: Int = 3, maxDf: Int = 1000,
-                  minCos: Double = 0.5): DataFrame = {
+                  minCos: Double = 0.5,
+                  maxPairsPerDoc: Option[Int] = None): DataFrame = {
     // FOUR consumers (sizes, df counts, both posting-join sides) of the
     // kernel+explode — materialize once (unlike q131's cheap bigram
     // explode, the shingle kernel re-run 4× dominates; measured 2.36 s →
@@ -422,7 +508,7 @@ object Dedup {
       .filter(col("_ida") < col("_idb"))
       .groupBy(col("_ida"), col("_idb"))
       .agg(count(lit(1)).as("inter"))
-    pairs
+    val scored = pairs
       .join(sizes.select(col(idCol).as("_ida"), col("_n").as("n_a")), Seq("_ida"))
       .join(sizes.select(col(idCol).as("_idb"), col("_n").as("n_b")), Seq("_idb"))
       .withColumn("cos", col("inter").cast("double") /
@@ -430,6 +516,8 @@ object Dedup {
       .filter(col("cos") >= minCos)
       .select(col("_ida").as("doc_a"), col("_idb").as("doc_b"),
         col("n_a"), col("n_b"), col("inter"), col("cos"))
+    maxPairsPerDoc.fold(scored)(k =>
+      capPairsPerDoc(scored, "doc_a", "doc_b", k, scoreCol = Some("cos")))
   }
 
   def lshEval(candidates: DataFrame, truth: DataFrame,
@@ -753,10 +841,19 @@ object Dedup {
     * one distinct on matched positions; reassembly is one per-document
     * aggregate over affected docs only (doc-length bounded). */
   def removeSharedSpans(docs: DataFrame, pairs: DataFrame, idCol: String,
-                        textCol: String, minRun: Int): DataFrame = {
+                        textCol: String, minRun: Int,
+                        maxPairsPerDoc: Option[Int] = None): DataFrame = {
     require(minRun >= 1, s"minRun must be positive, got $minRun")
     val toks = tokenPositions(docs, idCol, textCol)
-    val m = diagonalMatches(toks, pairs, idCol)
+    // optional per-doc pair cap BEFORE the position join — the join's work
+    // is per-pair-quadratic in doc length, so bounding incident pairs
+    // bounds each document's rewrite cost regardless of its duplicate
+    // family's size. Score-free inputs (q120 passes bare id pairs) rank by
+    // partner id ascending; callers wanting overlap-priority should cap
+    // the scored pair set upstream ([[capPairsPerDoc]], [[pairCapCurve]]).
+    val boundedPairs = maxPairsPerDoc.fold(pairs)(k =>
+      capPairsPerDoc(pairs, "doc_a", "doc_b", k, scoreCol = None))
+    val m = diagonalMatches(toks, boundedPairs, idCol)
     val W = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_a"), col("doc_b"), col("_d")).orderBy(col("i"))
     val WRun = org.apache.spark.sql.expressions.Window

@@ -186,6 +186,20 @@ object DedupQueries {
     Dedup.cosinePairs(load(spark, dir, "documents"), "doc_id", "text")
       .transform(tinySort(_, col("doc_a"), col("doc_b")))
 
+  /** q158 — per-document pair-cap planning curve
+    * ([[Dedup.pairCapCurve]] over the q132 cosine pair set): the
+    * truncation ACCOUNTING for [[Dedup.capPairsPerDoc]], the r12-verdict
+    * output bound on the two output-super-linear detectors. For each
+    * candidate cap k ∈ {1, 2, 4}: pairs kept/dropped under the
+    * both-endpoints top-k rule (cos desc, partner asc) and documents that
+    * would lose an incident pair — measured BEFORE committing a cap, the
+    * q142 planning idiom applied to pair volume. */
+  def q158PairCapCurve(spark: SparkSession, dir: String): DataFrame =
+    Dedup.pairCapCurve(
+        Dedup.cosinePairs(load(spark, dir, "documents"), "doc_id", "text"),
+        "doc_a", "doc_b", "cos", Seq(1, 2, 4))
+      .transform(tinySort(_, col("k")))
+
   /** q112 — exact set-containment join ([[Dedup.containmentJoin]], the
     * PRETTI/prefix set-containment family): ordered (contained, container)
     * pairs at C ≥ 9/10 over the whole corpus — the doc-inside-doc detector
@@ -275,6 +289,7 @@ object DedupQueries {
     "q112_containment" -> (q112Containment _),
     "q109_prefix_jaccard" -> (q109PrefixJaccard _),
     "q132_cosine_pairs" -> (q132CosinePairs _),
+    "q158_pair_cap_curve" -> (q158PairCapCurve _),
     "q100_triangles" -> (q100Triangles _),
     "q104_lsh_eval" -> (q104LshEval _),
     "q77_span_dedup" -> (q77SpanDedup _),
@@ -549,6 +564,57 @@ object DedupQueries {
         |WHERE CAST(p.inter AS DOUBLE) /
         |    (sqrt(CAST(x.n AS DOUBLE)) * sqrt(CAST(y.n AS DOUBLE))) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    /* q158: the q132 pair set, both-endpoint ranks by row_number
+     * (cos DESC, partner ASC) — the same total order as the Spark TopK
+     * aggregator — crossed with the k grid; kept iff both ranks <= k;
+     * docs_truncated = distinct endpoints of dropped pairs. */
+    "q158_pair_cap_curve" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+        |            FROM documents),
+        | sh AS (SELECT DISTINCT doc_id,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sg
+        |        FROM tk, unnest(range(1, len(t) - 1)) AS u(i)
+        |        WHERE len(t) >= 3),
+        | sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        | dfc AS (SELECT sg FROM (SELECT sg, COUNT(*) AS df FROM sh GROUP BY 1)
+        |         WHERE df <= 1000),
+        | kept AS (SELECT s.doc_id, s.sg FROM sh s JOIN dfc ON dfc.sg = s.sg),
+        | pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(COUNT(*) AS BIGINT) AS inter
+        |        FROM kept a JOIN kept b
+        |          ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        | fp AS (SELECT p.doc_a, p.doc_b,
+        |         CAST(p.inter AS DOUBLE) /
+        |           (sqrt(CAST(x.n AS DOUBLE)) * sqrt(CAST(y.n AS DOUBLE))) AS cos
+        |        FROM pr p JOIN sz x ON x.doc_id = p.doc_a
+        |                  JOIN sz y ON y.doc_id = p.doc_b
+        |        WHERE CAST(p.inter AS DOUBLE) /
+        |           (sqrt(CAST(x.n AS DOUBLE)) * sqrt(CAST(y.n AS DOUBLE))) >= 0.5),
+        | sided AS (SELECT doc_a AS d, doc_b AS p2, cos FROM fp
+        |           UNION ALL SELECT doc_b, doc_a, cos FROM fp),
+        | rk AS (SELECT d, p2, row_number() OVER
+        |           (PARTITION BY d ORDER BY cos DESC, p2 ASC) AS r FROM sided),
+        | pra AS (SELECT fp.doc_a, fp.doc_b, ra.r AS ra, rb.r AS rb
+        |         FROM fp JOIN rk ra ON ra.d = fp.doc_a AND ra.p2 = fp.doc_b
+        |                 JOIN rk rb ON rb.d = fp.doc_b AND rb.p2 = fp.doc_a),
+        | kg AS (SELECT k FROM (VALUES (1), (2), (4)) g(k)),
+        | x AS (SELECT kg.k, doc_a, doc_b,
+        |         CASE WHEN ra > kg.k OR rb > kg.k THEN 1 ELSE 0 END AS dropped
+        |       FROM pra CROSS JOIN kg),
+        | pa AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS pairs_total,
+        |         CAST(SUM(CASE WHEN dropped = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS pairs_kept
+        |       FROM x GROUP BY k),
+        | da AS (SELECT k,
+        |         CAST(COUNT(DISTINCT CASE WHEN dropped = 1 THEN doc END) AS BIGINT)
+        |           AS docs_truncated
+        |       FROM (SELECT k, dropped, doc_a AS doc FROM x
+        |             UNION ALL SELECT k, dropped, doc_b FROM x)
+        |       GROUP BY k)
+        |SELECT CAST(pa.k AS INT) AS k, pairs_total, pairs_kept,
+        |  pairs_total - pairs_kept AS pairs_dropped, docs_truncated
+        |FROM pa JOIN da USING (k) ORDER BY k""".stripMargin,
     "q109_prefix_jaccard" ->
       s"""WITH $ShinglesCte,
          | f AS (SELECT sg, COUNT(*) AS fr FROM sh GROUP BY sg),

@@ -130,6 +130,42 @@ class ExtSpec extends AnyFunSuite {
       minCos = 0.0).count() == 0)
   }
 
+  test("per-doc pair cap: both-endpoints rule by hand; non-binding cap == uncapped") {
+    // hand graph: doc 1 has three partners (scores 0.9 > 0.8 > 0.7),
+    // docs 2 and 3 also share a 0.6 pair. Cap k = 2:
+    //   top-2 lists — 1:{2,3}  2:{1,3}  3:{1,2}  4:{1}
+    //   (1,4) dies (4 not in 1's top-2); every other pair is in BOTH lists
+    val pairs = Seq((1L, 2L, 0.9), (1L, 3L, 0.8), (1L, 4L, 0.7), (2L, 3L, 0.6))
+      .toDF("doc_a", "doc_b", "cos")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(Dedup.capPairsPerDoc(pairs, "doc_a", "doc_b", 2, Some("cos")))
+      == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // score-free ranking (partner id asc): doc 1 keeps {2,3}, same result
+    assert(rows(Dedup.capPairsPerDoc(pairs, "doc_a", "doc_b", 2, None))
+      == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // the curve replays the same order: k=1 keeps only (1,2) — 3 dropped
+    // pairs touch all 4 docs; k=2 drops only (1,4) — docs {1,4} truncated
+    val curve = Dedup.pairCapCurve(pairs, "doc_a", "doc_b", "cos", Seq(1, 2))
+      .orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(curve.toSeq == Seq((1, 4L, 1L, 3L, 4L), (2, 4L, 3L, 1L, 2L)))
+    // non-binding caps are the identity, end to end, on the real corpus
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(pairRows(Dedup.cosinePairs(corpus, "doc_id", "text",
+        maxPairsPerDoc = Some(1000))) ==
+      pairRows(Dedup.cosinePairs(corpus, "doc_id", "text")))
+    val winnow = Dedup.winnowOverlapPairs(corpus, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"))
+    assert(pairRows(Dedup.removeSharedSpans(corpus, winnow, "doc_id", "text",
+        minRun = 11, maxPairsPerDoc = Some(1000))) ==
+      pairRows(Dedup.removeSharedSpans(corpus, winnow, "doc_id", "text",
+        minRun = 11)))
+  }
+
   test("cosine similarity: exact on known vectors") {
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
       .toDF("a", "b")

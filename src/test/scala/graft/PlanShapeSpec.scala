@@ -88,6 +88,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("per-doc pair cap ranks via the bounded TopK aggregator, not a pair-scale window") {
+    // the cap must never become a window over the full pair set — the
+    // whole point is an O(docs·k) shuffle bound when a pathological crawl
+    // makes pairs super-linear (r12 VERDICT #4)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val capped = graft.ext.Dedup.cosinePairs(docs, "doc_id", "text",
+      maxPairsPerDoc = Some(4))
+    val plan = capped.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Window"), s"pair-scale window crept in:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected the TopKAggregator's ObjectHashAggregate in:\n$plan")
+  }
+
   test("PQ family (q143 flat, q144 IVF-gated): broadcast query side, no window, no cartesian in the gated scan") {
     // the ADC scan must be a map-side projection against the broadcast LUT
     // frame (flat PQ deliberately pairs all queries × corpus — a broadcast
