@@ -57,7 +57,7 @@ object Bpe {
     * which disagrees for symbols in [U+E000, U+FFFF] vs non-BMP symbols
     * (0xFFFD sorts above a surrogate but below U+1F600) — the tie-break
     * must use the order every other engine uses. */
-  private[ext] def compareCodePoints(a: String, b: String): Int = {
+  private[graft] def compareCodePoints(a: String, b: String): Int = {
     var i = 0
     var j = 0
     while (i < a.length && j < b.length) {
@@ -74,7 +74,7 @@ object Bpe {
 
   /** One string per Unicode code point (surrogate pairs stay together —
     * the same per-character indexing DuckDB's substring uses). */
-  private[ext] def codePointSymbols(w: String): Vector[String] = {
+  private[graft] def codePointSymbols(w: String): Vector[String] = {
     val out = Vector.newBuilder[String]
     var i = 0
     while (i < w.length) {

@@ -259,6 +259,43 @@ object TextQueries {
       .transform(tinySort(_, col("lang")))
   }
 
+  /** q159 — unigram-LM tokenizer vocabulary ([[graft.ext.Unigram]], Kudo
+    * ACL '18, the SentencePiece default): hard-EM over the bounded type
+    * table — char inventory + top-120 substring seeds, two Viterbi-EM
+    * rounds (fixed-order IEEE score chains, zero transcendentals), unused
+    * multi-char pieces pruned, characters floored at count 1. The
+    * industrial tokenizer next to the BPE family (q119/q124/q157). */
+  def q159UnigramVocab(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Unigram.learn(load(spark, dir, "documents"), "text")
+      .transform(tinySort(_, col("piece")))
+
+  /** q160 — unigram-LM fertility by language (the q128 eval table for the
+    * Kudo tokenizer): encode the corpus with the learned unigram
+    * vocabulary — one map-side kernel pass
+    * ([[graft.functions.UnigramEncode]], per-task type memo) — and
+    * aggregate docs/words/chars/tokens per language with exact
+    * integer-basis-point fertility and compression. */
+  def q160UnigramFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val (vocabRows, _) = graft.ext.Unigram.learnVocab(docs, "text",
+      maxTypes = 50, maxPieceLen = 4, seedMulti = 120, emRounds = 2,
+      wordLenCap = 16)
+    val vocab = vocabRows.map(p => (p.piece, p.prob))
+    docs
+      .select(col("lang"),
+        size(filter(split(col("text"), " "), w => w =!= ""))
+          .cast("long").as("_nw"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("_nc"),
+        size(graft.functions.UnigramEncode.unigramEncode(col("text"), vocab))
+          .cast("long").as("_nt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nw")).as("n_words"),
+        sum(col("_nc")).as("n_chars"), sum(col("_nt")).as("n_tokens"))
+      .withColumn("fertility_bp", expr("(10000 * n_tokens) div n_words"))
+      .withColumn("compression_bp", expr("(10000 * n_chars) div n_tokens"))
+      .transform(tinySort(_, col("lang")))
+  }
+
   /** q131 — bigram-LM scoring ([[graft.ext.Corpus.bigramLmScore]]): the
     * stronger perplexity-filter above q81's unigram — per document, mean
     * and min Laplace-smoothed P(w2|w1) with corpus-trained counts. The
@@ -297,6 +334,8 @@ object TextQueries {
       .transform(tinySort(_, col("policy")))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_unigram_vocab" -> (q159UnigramVocab _),
+    "q160_unigram_fertility" -> (q160UnigramFertility _),
     "q149_padding_audit" -> (q149PaddingAudit _),
     "q147_stupid_backoff" -> (q147StupidBackoff _),
     "q151_vocab_growth" -> (q151VocabGrowth _),
@@ -517,7 +556,169 @@ object TextQueries {
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   }
 
+  /** The unigram-LM learn chain as DuckDB CTEs (q159/q160 replay): type
+    * table → char inventory → capped types → substring seeds → per EM
+    * round (total → probs → piece candidates → `wordLenCap` Viterbi level
+    * tables, one row per (word, pieces-used, end) kept by the shared
+    * (score DESC, path ASC) tie-break → best path → usage recount →
+    * next vocabulary with the char floor). Ends with `v{emRounds}` (the
+    * final counts) and `tf` (their total). */
+  /** One Viterbi level ladder as CTEs. The n ≥ 2 step computes
+    * score/path in an inner subquery and QUALIFYs OUTSIDE it: in a flat
+    * `SELECT l.score * c.prob AS score ... QUALIFY ORDER BY score`,
+    * DuckDB resolves `score` to the SOURCE column l.score (the PREFIX's
+    * score), silently ranking cells by the wrong key — the r13 bug that
+    * made the oracle prefer lexicographic prefixes over better
+    * extensions. */
+  private def unigramLevels(tag: String, candCte: String,
+                            wordLenCap: Int): String =
+    (1 to wordLenCap).map { n =>
+      if (n == 1)
+        s""" ${tag}_1 AS MATERIALIZED (
+           |   SELECT word, j, prob AS score, piece AS path
+           |   FROM $candCte WHERE i = 0
+           |   QUALIFY row_number() OVER
+           |     (PARTITION BY word, j ORDER BY score DESC, path) = 1)"""
+          .stripMargin
+      else
+        s""" ${tag}_$n AS MATERIALIZED (
+           |   SELECT word, j, score, path FROM (
+           |     SELECT c.word AS word, c.j AS j,
+           |       l.score * c.prob AS score,
+           |       l.path || chr(1) || c.piece AS path
+           |     FROM ${tag}_${n - 1} l
+           |     JOIN $candCte c ON c.word = l.word AND c.i = l.j) z
+           |   QUALIFY row_number() OVER
+           |     (PARTITION BY word, j ORDER BY score DESC, path) = 1)"""
+          .stripMargin
+    }.mkString(",\n")
+
+  private def unigramLearnCtes(maxTypes: Int, maxPieceLen: Int,
+                               seedMulti: Int, emRounds: Int,
+                               wordLenCap: Int): String = {
+    def levelUnion(tag: String): String =
+      (1 to wordLenCap).map(n => s"SELECT word, j, score, path FROM ${tag}_$n")
+        .mkString("\n     UNION ALL ")
+    val rounds = (1 to emRounds).map { r =>
+      val prev = s"v${r - 1}"
+      s""" t$r AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM $prev),
+         | p$r AS (SELECT piece,
+         |     CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS prob
+         |   FROM $prev CROSS JOIN t$r),
+         | cd$r AS MATERIALIZED (SELECT x.word, x.i, x.j, p.piece, p.prob
+         |   FROM (SELECT c.word, ui.i - 1 AS i, ui.i - 1 + ul.l AS j,
+         |           substring(c.word, ui.i, ul.l) AS sp
+         |         FROM cap c,
+         |              unnest(range(1, len(c.word) + 1)) AS ui(i),
+         |              unnest(range(1, ${maxPieceLen + 1})) AS ul(l)
+         |         WHERE ui.i - 1 + ul.l <= len(c.word)) x
+         |   JOIN p$r p ON p.piece = x.sp),
+         |${unigramLevels(s"l$r", s"cd$r", wordLenCap)},
+         | b$r AS (SELECT u.word, u.score, u.path FROM (
+         |     ${levelUnion(s"l$r")}) u
+         |   JOIN cap c ON c.word = u.word AND u.j = len(c.word)
+         |   QUALIFY row_number() OVER
+         |     (PARTITION BY u.word ORDER BY u.score DESC, u.path) = 1),
+         | u$r AS (SELECT s.piece, CAST(SUM(c.cnt) AS BIGINT) AS cnt
+         |   FROM b$r b JOIN cap c ON c.word = b.word,
+         |        unnest(string_split(b.path, chr(1))) AS s(piece)
+         |   GROUP BY 1),
+         | v$r AS (
+         |   SELECT ch.piece,
+         |     CAST(GREATEST(COALESCE(u.cnt, 0), 1) AS BIGINT) AS cnt
+         |   FROM chars ch LEFT JOIN u$r u ON u.piece = ch.piece
+         |   UNION ALL
+         |   SELECT piece, cnt FROM u$r WHERE len(piece) >= 2)"""
+        .stripMargin
+    }.mkString(",\n")
+    s""" wt AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       | tw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM wt
+       |        WHERE word <> '' GROUP BY 1),
+       | chx AS (SELECT substring(word, p, 1) AS piece, cnt
+       |         FROM tw, unnest(range(1, len(word) + 1)) AS u(p)),
+       | chars AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS cnt
+       |           FROM chx GROUP BY 1),
+       | cap0 AS (SELECT word, cnt FROM tw
+       |          ORDER BY cnt DESC, word LIMIT $maxTypes),
+       | cap AS (SELECT word, cnt FROM cap0 WHERE len(word) <= $wordLenCap),
+       | mx AS (SELECT substring(word, i, l) AS piece, cnt
+       |        FROM cap,
+       |             unnest(range(1, len(word) + 1)) AS ui(i),
+       |             unnest(range(2, ${maxPieceLen + 1})) AS ul(l)
+       |        WHERE i + l - 1 <= len(word)),
+       | multis AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS cnt
+       |            FROM mx GROUP BY 1
+       |            ORDER BY cnt DESC, piece LIMIT $seedMulti),
+       | v0 AS (SELECT piece, cnt FROM chars
+       |        UNION ALL SELECT piece, cnt FROM multis),
+       |$rounds,
+       | tf AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v$emRounds)"""
+      .stripMargin
+  }
+
+  /** q159 replay: the learn chain's final vocabulary with one exact
+    * double division per piece. */
+  private def unigramVocabSql(maxTypes: Int, maxPieceLen: Int,
+                              seedMulti: Int, emRounds: Int,
+                              wordLenCap: Int): String =
+    s"""WITH ${unigramLearnCtes(maxTypes, maxPieceLen, seedMulti, emRounds, wordLenCap)}
+       |SELECT piece, CAST(len(piece) AS INT) AS piece_len, cnt,
+       |  CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS prob
+       |FROM v$emRounds CROSS JOIN tf ORDER BY piece""".stripMargin
+
+  /** q160 replay: learn, then the SAME Viterbi levels over every DISTINCT
+    * corpus word (≤ cap; longer words encode char-wise), joined back to
+    * occurrences and rolled up per language. */
+  private def unigramFertilitySql(maxTypes: Int, maxPieceLen: Int,
+                                  seedMulti: Int, emRounds: Int,
+                                  wordLenCap: Int): String = {
+    val levelUnion = (1 to wordLenCap)
+      .map(n => s"SELECT word, j, score, path FROM e_$n")
+      .mkString("\n     UNION ALL ")
+    s"""WITH ${unigramLearnCtes(maxTypes, maxPieceLen, seedMulti, emRounds, wordLenCap)},
+       | pf AS (SELECT piece,
+       |     CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS prob
+       |   FROM v$emRounds CROSS JOIN tf),
+       | dwords AS (SELECT DISTINCT word FROM wt WHERE word <> ''),
+       | dshort AS (SELECT word FROM dwords WHERE len(word) <= $wordLenCap),
+       | dlong AS (SELECT word, CAST(len(word) AS BIGINT) AS n_pieces
+       |           FROM dwords WHERE len(word) > $wordLenCap),
+       | ce AS MATERIALIZED (SELECT x.word, x.i, x.j, p.piece, p.prob
+       |   FROM (SELECT c.word, ui.i - 1 AS i, ui.i - 1 + ul.l AS j,
+       |           substring(c.word, ui.i, ul.l) AS sp
+       |         FROM dshort c,
+       |              unnest(range(1, len(c.word) + 1)) AS ui(i),
+       |              unnest(range(1, ${maxPieceLen + 1})) AS ul(l)
+       |         WHERE ui.i - 1 + ul.l <= len(c.word)) x
+       |   JOIN pf p ON p.piece = x.sp),
+       |${unigramLevels("e", "ce", wordLenCap)},
+       | eb AS (SELECT u.word, u.path FROM (
+       |     $levelUnion) u
+       |   JOIN dshort c ON c.word = u.word AND u.j = len(c.word)
+       |   QUALIFY row_number() OVER
+       |     (PARTITION BY u.word ORDER BY u.score DESC, u.path) = 1),
+       | enc AS (SELECT word,
+       |     CAST(len(string_split(path, chr(1))) AS BIGINT) AS n_pieces
+       |   FROM eb
+       |   UNION ALL SELECT word, n_pieces FROM dlong),
+       | occ AS (SELECT d.lang, w.word
+       |   FROM documents d, unnest(string_split(d.text, ' ')) AS w(word)
+       |   WHERE w.word <> ''),
+       | roll AS (SELECT o.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |     CAST(SUM(len(o.word)) AS BIGINT) AS n_chars,
+       |     CAST(SUM(e.n_pieces) AS BIGINT) AS n_tokens
+       |   FROM occ o JOIN enc e ON e.word = o.word GROUP BY 1),
+       | nd AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |        FROM documents GROUP BY 1)
+       |SELECT r.lang, nd.n_docs, r.n_words, r.n_chars, r.n_tokens,
+       |  CAST((10000 * r.n_tokens) // r.n_words AS BIGINT) AS fertility_bp,
+       |  CAST((10000 * r.n_chars) // r.n_tokens AS BIGINT) AS compression_bp
+       |FROM roll r JOIN nd ON nd.lang = r.lang ORDER BY r.lang""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q159_unigram_vocab" -> unigramVocabSql(50, 4, 120, 2, 16),
+    "q160_unigram_fertility" -> unigramFertilitySql(50, 4, 120, 2, 16),
     "q119_bpe_vocab" -> bpeSql(rounds = 8, maxTypes = 50),
     /* q157: the q124 learn+apply chain, read at INTERMEDIATE merge counts —
      * every a_r state is already materialized, so the curve is one

@@ -520,6 +520,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"encode must be map-side only:\n$plan")
   }
 
+  test("q160 unigram encode pass is map-side only: fused kernel, no Exchange, no Join") {
+    // the Kudo-tokenizer-apply claim: with the vocabulary a codegen
+    // constant, the per-word Viterbi is scan-stage work — the relational
+    // spelling's wordLenCap level joins never appear (they are the
+    // ORACLE's shape, not the engine's)
+    import org.apache.spark.sql.functions._
+    val plan = graft.util.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.UnigramEncode.unigramEncode(col("text"),
+          Seq(("a", 0.5), ("b", 0.25), ("ab", 0.25))).as("pieces"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_unigram_encode"),
+      s"pieces should come from the fused kernel:\n$plan")
+    assert(!plan.contains("Exchange") && !plan.contains("Window") &&
+      !plan.contains("Join"),
+      s"encode must be map-side only:\n$plan")
+  }
+
   test("q153 gopher rules are map-side only: no Exchange, no Join, no Window") {
     // the screening claim: a 100 TB corpus filters at scan speed — every
     // rule is a per-row expression, so the whole frame (before the dump
