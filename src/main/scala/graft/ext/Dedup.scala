@@ -173,6 +173,45 @@ object Dedup {
       .select(col(idCol), sig.as("simhash"))
   }
 
+  /** Hamming near-dup join over a 63-bit fingerprint column (the consumer
+    * of [[graft.functions.TextDHash]] / [[Multimodal.imageDHash]] — and of
+    * any simhash-family signature): pairs within Hamming distance
+    * `maxDist`, found by a BANDED equi-join, never all pairs.
+    *
+    * Recall is GUARANTEED, not probabilistic: the hash splits into 4
+    * disjoint bands (16+16+16+15 bits), and a pair differing in ≤ 3 bits
+    * cannot touch all 4 bands (pigeonhole), so it collides on at least
+    * one band key — the banding loses nothing at `maxDist` ≤ 3, which the
+    * signature enforces by contract (the multi-index scheme of
+    * Manku/Jain/Sarma, WWW '07 simhash dedup: d+1 bands catch ≤ d bits).
+    *
+    * Scale shape: one explode to 4 rows per doc, one (band, value)
+    * equi-join (AQE-skew-safe, never cartesian), DISTINCT over the
+    * bounded candidate set, then the exact bit_count(XOR) verify — all
+    * integer arithmetic, so the oracle replays bit-for-bit. */
+  def hammingNearDup(df: DataFrame, idCol: String, hashCol: String,
+                     maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4-band pigeonhole guarantees recall only to 3, got $maxDist")
+    val h = df.select(col(idCol).as("_id"), col(hashCol).cast("long").as("_dh"))
+    val banded = h
+      .select(col("_id"), col("_dh"),
+        explode(array((0 until 4).map(lit(_)): _*)).as("b"))
+      .withColumn("bv", expr(
+        "CASE WHEN b < 3 THEN (_dh >> (16 * b)) & 65535 ELSE _dh >> 48 END"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x._id") < col("y._id"))
+      .select(col("x._id").as("id_a"), col("y._id").as("id_b"),
+        col("x._dh").as("_ha"), col("y._dh").as("_hb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("_ha").bitwiseXOR(col("_hb"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Exact-duplicate groups by md5 fingerprint of normalized text: fingerprint,
     * group size, and the representative (minimum) id kept. */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -150,6 +150,72 @@ object Multimodal {
     * deterministic pseudo-features from md5(payload). A production deployment
     * swaps this for video codec bindings; the signature and batch shape are
     * the real contract. */
+  /** Perceptual difference-hash of an image payload (Krawetz dHash): decode
+    * (the same JDK `javax.imageio` stack as [[decode]]), average luminance
+    * over a balanced 8×8 grid, and pack 63 bits where bit i = 1 iff cell
+    * i's mean exceeds cell i+1's (row-major) — the identical 64-cell /
+    * 63-diff rule as the text twin [[graft.functions.TextDHash]], so
+    * [[Dedup.hammingNearDup]] consumes either modality unchanged. Mean
+    * comparison is exact integer cross-multiplication (sumᵢ·nᵢ₊₁ >
+    * sumᵢ₊₁·nᵢ — no division, deterministic to gigapixel inputs).
+    *
+    * Non-image payloads take the TEXT rule on the payload decoded as
+    * UTF-8 (the q32 stub discipline: deterministic, honest, and exactly
+    * what the DuckDB oracle replays for the text-blob testdata). */
+  private[graft] def imageDHash(payload: Array[Byte]): Long = {
+    import javax.imageio.ImageIO
+    try {
+      val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) {
+        iis.close()
+        return graft.functions.TextDHashKernel.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromBytes(payload))
+      }
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val img = reader.read(0)
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Long](64)
+        val counts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val cy = ((y.toLong * 8) / h).toInt
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            val cell = cy * 8 + ((x.toLong * 8) / w).toInt
+            sums(cell) += lum
+            counts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        var i = 0
+        while (i < 63) {
+          // meanᵢ > meanᵢ₊₁ by cross-multiplication (empty cells mean 0)
+          val l = sums(i) * math.max(counts(i + 1), 1L)
+          val r = sums(i + 1) * math.max(counts(i), 1L)
+          if (l > r) hash |= (1L << i)
+          i += 1
+        }
+        hash
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+    } catch {
+      case _: java.io.IOException =>
+        graft.functions.TextDHashKernel.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromBytes(payload))
+    }
+  }
+
   private def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     val h = java.security.MessageDigest.getInstance("MD5").digest(payload)
     def u(i: Int): Int = h(i) & 0xff

@@ -200,6 +200,24 @@ object DedupQueries {
         "doc_a", "doc_b", "cos", Seq(1, 2, 4))
       .transform(tinySort(_, col("k")))
 
+  /** q161 — positional dHash Hamming near-dup
+    * ([[graft.functions.TextDHash]] → [[Dedup.hammingNearDup]]): the
+    * fingerprint tier between exact md5 (q20) and bag-of-words SimHash
+    * (q23) — a 63-bit locality-sensitive POSITIONAL hash (64 balanced
+    * code-point segments, adjacent-sum difference bits; the Krawetz
+    * image-dHash rule, shared bit-for-bit with
+    * [[graft.ext.Multimodal.imageDHash]] so the Hamming machinery is
+    * modality-agnostic), then the 4-band pigeonhole join with GUARANTEED
+    * recall at distance ≤ 3 (Manku WWW '07). One map-side kernel pass +
+    * one band equi-join — never all pairs. */
+  def q161HammingNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.hammingNearDup(
+        load(spark, dir, "documents").select(col("doc_id"),
+          graft.functions.TextDHash.textDHash(col("text")).as("dhash")),
+        "doc_id", "dhash", maxDist = 3)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+      .transform(tinySort(_, col("doc_a"), col("doc_b")))
+
   /** q112 — exact set-containment join ([[Dedup.containmentJoin]], the
     * PRETTI/prefix set-containment family): ordered (contained, container)
     * pairs at C ≥ 9/10 over the whole corpus — the doc-inside-doc detector
@@ -290,6 +308,7 @@ object DedupQueries {
     "q109_prefix_jaccard" -> (q109PrefixJaccard _),
     "q132_cosine_pairs" -> (q132CosinePairs _),
     "q158_pair_cap_curve" -> (q158PairCapCurve _),
+    "q161_hamming_neardup" -> (q161HammingNearDup _),
     "q100_triangles" -> (q100Triangles _),
     "q104_lsh_eval" -> (q104LshEval _),
     "q77_span_dedup" -> (q77SpanDedup _),
@@ -563,6 +582,39 @@ object DedupQueries {
         |          JOIN sz y ON y.doc_id = p.doc_b
         |WHERE CAST(p.inter AS DOUBLE) /
         |    (sqrt(CAST(x.n AS DOUBLE)) * sqrt(CAST(y.n AS DOUBLE))) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    /* q161: the positional dHash replayed relationally — code-point values
+     * by unicode(substring), balanced segments by ((p−1)·64) div L over a
+     * dense 64-segment grid (COALESCE 0 for short texts), 63 adjacent-
+     * difference bits, the same 4-band split, and bit_count(xor) verify. */
+    "q161_hamming_neardup" ->
+      """WITH ch AS (SELECT doc_id, p, unicode(substring(text, p, 1)) AS v,
+        |         CAST(((p - 1) * 64) // len(text) AS INT) AS seg
+        |       FROM documents, unnest(range(1, len(text) + 1)) u(p)),
+        | segs AS (SELECT doc_id, seg, CAST(SUM(v) AS BIGINT) AS s
+        |          FROM ch GROUP BY 1, 2),
+        | grid AS (SELECT d.doc_id, g.seg
+        |          FROM documents d, unnest(range(0, 64)) g(seg)),
+        | s2 AS (SELECT g.doc_id, g.seg, COALESCE(s.s, 0) AS s
+        |        FROM grid g LEFT JOIN segs s USING (doc_id, seg)),
+        | bits AS (SELECT a.doc_id, a.seg AS i,
+        |           CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+        |          FROM s2 a JOIN s2 b ON b.doc_id = a.doc_id
+        |            AND b.seg = a.seg + 1 AND a.seg < 63),
+        | h AS (SELECT doc_id,
+        |         CAST(SUM(bit * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS dh
+        |       FROM bits GROUP BY 1),
+        | bands AS (SELECT doc_id, dh, b,
+        |            CASE WHEN b < 3 THEN (dh >> (16 * b)) & 65535
+        |                 ELSE dh >> 48 END AS bv
+        |           FROM h, unnest(range(0, 4)) u(b)),
+        | cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+        |            a.dh AS dha, b.dh AS dhb
+        |          FROM bands a JOIN bands b
+        |            ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  CAST(bit_count(xor(dha, dhb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(dha, dhb)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
     /* q158: the q132 pair set, both-endpoint ranks by row_number
      * (cos DESC, partner ASC) — the same total order as the Spark TopK

@@ -669,6 +669,59 @@ class ExtSpec extends AnyFunSuite {
     assert(stub.width >= 1 && stub.width <= 64)
   }
 
+  test("dHash: image perceptual hash — identity, locality, fallback; banded join ≡ brute force") {
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) img.setRGB(x, y, f(x, y))
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    // horizontal brightness gradient → every row-internal diff bit set the
+    // same way; identical images hash identically
+    val grad = (x: Int, _: Int) => { val v = x * 8; (v << 16) | (v << 8) | v }
+    val h1 = Multimodal.imageDHash(png(grad))
+    assert(h1 == Multimodal.imageDHash(png(grad)))
+    assert(h1 >= 0L, "63-bit contract: never negative")
+    // one perturbed cell → small Hamming distance; inverted gradient → large
+    val perturbed = (x: Int, y: Int) =>
+      if (x < 4 && y < 4) 0xffffff else grad(x, y)
+    val inv = (x: Int, y: Int) => grad(31 - x, y)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h1, Multimodal.imageDHash(png(perturbed))) <= 3)
+    assert(ham(h1, Multimodal.imageDHash(png(inv))) > 20)
+    // non-image payloads take the TEXT rule — the oracle's path
+    val blob = "not an image at all".getBytes("UTF-8")
+    assert(Multimodal.imageDHash(blob) ==
+      graft.functions.TextDHashKernel.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(blob)))
+    // hand-check the 64-cell/63-diff packer
+    val cells = Array.tabulate(64)(i => if (i % 2 == 0) 10L else 5L)
+    val packed = graft.functions.TextDHashKernel.packBits(cells)
+    assert((0 until 63).forall(i => (((packed >> i) & 1L) == 1L) == (i % 2 == 0)))
+
+    // pigeonhole recall: the banded join finds EXACTLY the brute-force
+    // pairs at maxDist <= 3 on the real corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.TextDHash.textDHash(col("text")).as("dh"))
+      .localCheckpoint()
+    val banded = Dedup.hammingNearDup(docs, "doc_id", "dh", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = docs.as("a")
+      .join(docs.select(col("doc_id").as("id_b"), col("dh").as("dhb")),
+        col("doc_id") < col("id_b"))
+      .select(col("doc_id"), col("id_b"),
+        bit_count(col("dh").bitwiseXOR(col("dhb"))).cast("long").as("d"))
+      .filter(col("d") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded.nonEmpty && banded == brute)
+    intercept[IllegalArgumentException] {
+      Dedup.hammingNearDup(docs, "doc_id", "dh", maxDist = 4)
+    }
+  }
+
   test("multimodal: an animated GIF reports its true frame count") {
     import javax.imageio.{IIOImage, ImageIO}
     val buf = new java.io.ByteArrayOutputStream()

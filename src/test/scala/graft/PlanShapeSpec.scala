@@ -538,6 +538,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"encode must be map-side only:\n$plan")
   }
 
+  test("q161 hamming near-dup: kernel hash + band equi-join, no cartesian, no window") {
+    // the guaranteed-recall claim rides an EQUI-join on (band, value) —
+    // a cartesian/BNLJ here would mean the banding silently degenerated
+    val plan = graft.queries.DedupQueries.q161HammingNearDup(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("graft_text_dhash"),
+      s"hash should come from the fused kernel:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"band join must stay equi:\n$plan")
+    assert(!plan.contains("Window"), s"no window anywhere in q161:\n$plan")
+  }
+
   test("q153 gopher rules are map-side only: no Exchange, no Join, no Window") {
     // the screening claim: a 100 TB corpus filters at scan speed — every
     // rule is a per-row expression, so the whole frame (before the dump
