@@ -68,7 +68,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow_fingerprints"),
       (exprs: Seq[Expression]) => WinnowFingerprints(exprs(0),
         foldInt(exprs(1), "graft_winnow_fingerprints", "gram width k"),
-        foldInt(exprs(2), "graft_winnow_fingerprints", "window w"))))
+        foldInt(exprs(2), "graft_winnow_fingerprints", "window w"))),
+    (FunctionIdentifier("graft_text_dhash"),
+      new ExpressionInfo(classOf[TextDHash].getName, "graft_text_dhash"),
+      (exprs: Seq[Expression]) => TextDHash(exprs(0))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (ident, info, builder) =>

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ext.Skew
-import graft.functions.{GraftFunctions, HilbertIndex, MinHashSlots, WinnowFingerprints}
+import graft.functions.{GraftFunctions, HilbertIndex, MinHashSlots, TextDHash, WinnowFingerprints}
 
 /** Salted-join / salted-agg equivalence and the SQL function surface. */
 class SkewAndSqlSpec extends AnyFunSuite {
@@ -95,6 +95,21 @@ class SkewAndSqlSpec extends AnyFunSuite {
       .select(WinnowFingerprints.winnowFingerprints(col("t"), 4, 3))
       .head().getSeq[Long](0)
     assert(wSql == wApi)
+    // positional dHash: SQL == column API, and the hand case — one char
+    // per segment cell for a 64-char text, strictly decreasing codepoints
+    // → every diff bit set → (2^63 − 1)
+    val dSql = spark.sql("SELECT graft_text_dhash('abc') AS d").head().getLong(0)
+    val dApi = Seq("abc").toDF("t")
+      .select(TextDHash.textDHash(col("t"))).head().getLong(0)
+    assert(dSql == dApi)
+    val desc = (0 until 64).map(i => ('z' - i % 26).toChar).mkString
+    assert(desc.length == 64) // one code point per cell
+    // cells cycle z..a then z..: descending runs set bits except at wraps
+    val dh = Seq(desc).toDF("t")
+      .select(TextDHash.textDHash(col("t"))).head().getLong(0)
+    val expected = (0 until 63).filter(i => desc(i) > desc(i + 1))
+      .map(1L << _).sum
+    assert(dh == expected)
     // non-foldable constant args are rejected with a clear error
     val err = intercept[Exception] {
       spark.sql("SELECT graft_word_shingles(t, CAST(rand() * 3 AS INT)) " +
