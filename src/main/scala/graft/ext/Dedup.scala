@@ -498,7 +498,8 @@ object Dedup {
     * operator's TopK aggregator, so curve and cap can never disagree. */
   def pairCapCurve(pairs: DataFrame, aCol: String, bCol: String,
                    scoreCol: String, ks: Seq[Int]): DataFrame = {
-    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be positive, got $ks")
+    require(ks.nonEmpty && ks.forall(_ >= 1) && ks.distinct.size == ks.size,
+      s"ks must be positive and distinct, got $ks")
     val p = checkpointStripped(
       pairs.select(col(aCol), col(bCol), col(scoreCol).cast("double").as("_s")))
     val sided = p.select(col(aCol).as("_d"), col(bCol).as("_p"), col("_s"))

@@ -296,6 +296,28 @@ object TextQueries {
       .transform(tinySort(_, col("lang")))
   }
 
+  /** q162 — tokenizer head-to-head (the table a vocab decision actually
+    * reads: Sennrich BPE q128 vs Kudo unigram q160 on the SAME corpus,
+    * same budget discipline, per language): token counts, fertilities and
+    * the direct uni-vs-BPE token ratio in exact basis points. Asymmetry
+    * noted rather than hidden: BPE streams carry the end-of-word sentinel
+    * among their symbols (its learned merges can absorb it), the unigram
+    * tokenizer has no sentinel — the ratio compares the tokenizers AS
+    * DEPLOYED, not a sentinel-normalized abstraction. Both learns are
+    * bounded collects; both encodes are one map-side kernel pass each. */
+  def q162TokenizerCompare(spark: SparkSession, dir: String): DataFrame = {
+    val bpe = q128TokenizerFertility(spark, dir)
+      .select(col("lang"), col("n_words"),
+        col("n_tokens").as("bpe_tokens"),
+        col("fertility_bp").as("bpe_fertility_bp"))
+    val uni = q160UnigramFertility(spark, dir)
+      .select(col("lang"), col("n_tokens").as("uni_tokens"),
+        col("fertility_bp").as("uni_fertility_bp"))
+    bpe.join(uni, Seq("lang"))
+      .withColumn("uni_vs_bpe_bp", expr("(10000 * uni_tokens) div bpe_tokens"))
+      .transform(tinySort(_, col("lang")))
+  }
+
   /** q131 — bigram-LM scoring ([[graft.ext.Corpus.bigramLmScore]]): the
     * stronger perplexity-filter above q81's unigram — per document, mean
     * and min Laplace-smoothed P(w2|w1) with corpus-trained counts. The
@@ -336,6 +358,7 @@ object TextQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_unigram_vocab" -> (q159UnigramVocab _),
     "q160_unigram_fertility" -> (q160UnigramFertility _),
+    "q162_tokenizer_compare" -> (q162TokenizerCompare _),
     "q149_padding_audit" -> (q149PaddingAudit _),
     "q147_stupid_backoff" -> (q147StupidBackoff _),
     "q151_vocab_growth" -> (q151VocabGrowth _),
@@ -719,6 +742,20 @@ object TextQueries {
   val sql: Map[String, String] = Map(
     "q159_unigram_vocab" -> unigramVocabSql(50, 4, 120, 2, 16),
     "q160_unigram_fertility" -> unigramFertilitySql(50, 4, 120, 2, 16),
+    /* q162: the q128 and q160 replay chains INLINED as parenthesized
+     * subqueries — each keeps its own WITH scope, so their colliding CTE
+     * names (wt, enc, …) never meet — joined on lang. */
+    "q162_tokenizer_compare" ->
+      s"""SELECT b.lang, b.n_words, b.n_tokens AS bpe_tokens,
+         |  b.fertility_bp AS bpe_fertility_bp,
+         |  u.n_tokens AS uni_tokens, u.fertility_bp AS uni_fertility_bp,
+         |  CAST((10000 * u.n_tokens) // b.n_tokens AS BIGINT) AS uni_vs_bpe_bp
+         |FROM (
+         |${bpeFertilitySql(rounds = 8, maxTypes = 50)}
+         |) b JOIN (
+         |${unigramFertilitySql(50, 4, 120, 2, 16)}
+         |) u USING (lang)
+         |ORDER BY b.lang""".stripMargin,
     "q119_bpe_vocab" -> bpeSql(rounds = 8, maxTypes = 50),
     /* q157: the q124 learn+apply chain, read at INTERMEDIATE merge counts —
      * every a_r state is already materialized, so the curve is one
