@@ -469,6 +469,15 @@ object Dedup {
   private[graft] def capPairsPerDoc(pairs: DataFrame, aCol: String, bCol: String,
                                     k: Int, scoreCol: Option[String]): DataFrame = {
     require(k >= 1, s"maxPairsPerDoc must be positive, got $k")
+    // the bounded TopK aggregator's Scored.id is LONG — the id-type
+    // contract every pair detector in this codebase already meets; fail
+    // at plan time (with a readable message) rather than mid-aggregation
+    Seq(aCol, bCol).foreach { c =>
+      require(Seq("bigint", "int", "smallint", "tinyint")
+        .contains(pairs.schema(c).dataType.simpleString),
+        s"capPairsPerDoc needs integral ids, got " +
+          s"$c: ${pairs.schema(c).dataType.simpleString}")
+    }
     val p = checkpointStripped(pairs)
     def sideScore(partner: Column): Column = scoreCol match {
       case Some(s) => col(s).cast("double")

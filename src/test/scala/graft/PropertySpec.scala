@@ -166,6 +166,28 @@ class PropertySpec extends AnyFunSuite {
       rows(graft.ext.Sketch.kmvDistinctCI(ev.repartition(9), "g", "v", k = 16)))
   }
 
+  test("dHash locality THEOREM: one substitution moves at most 2 bits (pure kernel, 200 cases)") {
+    // a single-character substitution changes exactly ONE of the 64
+    // balanced segment sums, and a cell value appears in exactly two
+    // adjacent comparisons (bit cell−1 and bit cell) — so Hamming ≤ 2 for
+    // ANY text and ANY position, provable, and here fuzzed. Kernel-only
+    // (no Spark jobs), so the case budget can afford 200.
+    import org.apache.spark.unsafe.types.UTF8String
+    def dh(s: String) = graft.functions.TextDHashKernel.compute(UTF8String.fromString(s))
+    val gen = for {
+      n <- Gen.choose(1, 150)
+      cs <- Gen.listOfN(n, Gen.alphaNumChar)
+      pos <- Gen.choose(0, n - 1)
+      c <- Gen.alphaNumChar
+    } yield (cs.mkString, pos, c)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAll(gen) { case (s, pos, c) =>
+        val t = s.updated(pos, c)
+        java.lang.Long.bitCount(dh(s) ^ dh(t)) <= 2
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("LSH planner S-curve is exact over the full decimal budget (numHashes = 18)") {
     // the b = 1 split needs 100^18 = 10^36 — past the long range at 10
     // hashes; the decimal(38,0) fold plus the 10000·X div 100^n =
