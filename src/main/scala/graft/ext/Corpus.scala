@@ -404,6 +404,66 @@ object Corpus {
         (col("_sum") / col("n_scored").cast("double")).as("mean_s"))
   }
 
+  /** CCNet-style LM-quality bucketing (Wenzek et al., LREC '20: score every
+    * document with a reference LM, cut the corpus at the score terciles,
+    * keep "head", inspect "middle", drop "tail"): the decision layer on top
+    * of [[stupidBackoffScore]] — documents are scored held-out against the
+    * train corpus, assigned head/middle/tail by corpus-relative rank, and
+    * rolled up per (bucket, group) with doc and scored-token volume.
+    *
+    * Rank WITHOUT a global sort: each mean score is snapped to an integer
+    * grid key ⌊mean_s·2^gridBits⌋ (multiply + floor — exact IEEE ops on the
+    * bit-portable q147 score, so the key is engine-identical); the tercile
+    * cutoffs come from a HISTOGRAM of those keys, not from ordering the
+    * corpus — cum·3 ≥ N and cum·3 ≥ 2N in exact integers pick the
+    * thresholds. A grid cell is never split: ties on a cell land in the
+    * same bucket, so bucket sizes are terciles up to cell granularity
+    * (2^20 cells ≈ 10⁻⁶ score resolution — far finer than LM scores
+    * cluster) and assignment is deterministic with no row_number over the
+    * corpus.
+    *
+    * Scale shape: scoring is [[stupidBackoffScore]] (distributed n-gram
+    * joins); the histogram is one map-side-combinable count bounded by
+    * 2^gridBits cells; the cumulative pass runs the non-foldable
+    * constant-key window over that BOUNDED table (the [[tokenVocab]]
+    * convention); thresholds are a 1-row broadcast; bucket assignment is
+    * map-only. No corpus-scale sort anywhere — the shape CCNet itself uses
+    * (they compute cutoffs on a sample; the histogram is the exact
+    * equivalent). */
+  def perplexityBuckets(train: DataFrame, scoreDocs: DataFrame,
+                        idCol: String, textCol: String, groupCol: String,
+                        gridBits: Int = 20): DataFrame = {
+    require(gridBits >= 1 && gridBits <= 30, s"gridBits in [1,30], got $gridBits")
+    val grid = math.pow(2, gridBits) // exact power of two
+    // persist deliberately outlives the call (the ivfTopK convention):
+    // three consumers — histogram, doc total, bucket assignment — read the
+    // materialized one-row-per-doc scores instead of re-running the five
+    // n-gram joins of the scorer
+    val scored = stupidBackoffScore(train, scoreDocs, idCol, textCol)
+      .withColumn("key", floor(col("mean_s") * lit(grid)).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = scored.groupBy(col("key")).agg(count(lit(1)).as("c"))
+    val one = substring(col("key").cast("string"), 0, 0)
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(one).orderBy(col("key"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = scored.agg(count(lit(1)).as("_nd"))
+    val th = cum.crossJoin(broadcast(total)).agg(
+      min(when(col("cum") * 3 >= col("_nd"), col("key"))).as("_t1"),
+      min(when(col("cum") * 3 >= col("_nd") * 2, col("key"))).as("_t2"))
+    scored
+      .join(scoreDocs.select(col(idCol), col(groupCol)), idCol)
+      .crossJoin(broadcast(th))
+      .withColumn("bucket",
+        when(col("key") <= col("_t1"), "tail")
+          .when(col("key") <= col("_t2"), "middle")
+          .otherwise("head"))
+      .groupBy(col("bucket"), col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_scored")).as("tok_scored"),
+        min(col("key")).as("min_key"), max(col("key")).as("max_key"))
+  }
+
   /** Per-document term frequencies over whitespace tokens: one explode into
     * a map-side-combinable (doc, term) count — the shuffle carries at most
     * one row per distinct (doc, term) per input partition. */
@@ -433,6 +493,57 @@ object Corpus {
       // The RANK is engine-portable — scores collide only at identical
       // (tf, df), where the term tie-break decides
       .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** Okapi BM25 top-k terms per document (Robertson & Walker SIGIR '94;
+    * the Lucene `+1` idf variant so weights never go negative on
+    * majority terms): completes the term-weighting pair next to
+    * [[tfidfTopK]] — BM25's tf saturation and length normalization are
+    * what industrial retrieval (and retrieval-based data curation)
+    * actually rank with.
+    *
+    * score(t, d) = ln(1 + (N − df + ½)/(df + ½)) ·
+    *               tf·(k₁+1) / (tf + k₁·(1 − b + b·dl/avgdl))
+    *
+    * Float discipline (the q57 precedent): every input to the formula is
+    * an exact integer (tf, df, dl, N, Σdl < 2⁵³), each division/multiply
+    * is a correctly-rounded IEEE op in a parse tree the oracle mirrors
+    * token-for-token, and avgdl is derived from INTEGER totals (Σdl/N),
+    * never a pre-rounded double mean. Only `ln` differs in the last ulp
+    * across engines, so the raw score is NOT emitted — the RANK is, with
+    * the term tie-break deciding genuine score collisions.
+    *
+    * Scale shape: document length joins the (doc, term) counts on the doc
+    * key (fact-scale equi-join, both sides already doc-keyed); document
+    * frequency is VOCABULARY-sized and the (N, Σdl) totals are one row —
+    * both broadcast; the ranking window partitions per doc (bounded by a
+    * doc's distinct terms). Same plan at 100 TB. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1 && k1 > 0 && b >= 0 && b <= 1,
+      s"need k >= 1, k1 > 0, b in [0,1]; got k=$k k1=$k1 b=$b")
+    val tf = termFrequencies(docs, idCol, textCol)
+    val dl = docs.select(col(idCol),
+      size(TextOps.tokens(col(textCol))).cast("long").as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val totals = dl.agg(count(lit(1)).cast("double").as("_n"),
+      sum(col("dl")).cast("double").as("_tok"))
+    val dfd = col("df").cast("double")
+    val idf = log(lit(1.0) +
+      (col("_n") - dfd + lit(0.5)) / (dfd + lit(0.5)))
+    val tfd = col("tf").cast("double")
+    val norm = (tfd * lit(k1 + 1.0)) /
+      (tfd + lit(k1) * (lit(1.0 - b) +
+        lit(b) * (col("dl").cast("double") / (col("_tok") / col("_n")))))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("bm25").desc, col("term"))
+    tf.join(dl, idCol)
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("bm25", idf * norm)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("dl"),
         col("rk").cast("long").as("rk"))
   }
 

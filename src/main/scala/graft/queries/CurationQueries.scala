@@ -257,6 +257,53 @@ object CurationQueries {
       .transform(tinySort(_, col("doc_id")))
   }
 
+  /** Benchmark-side CONTAMINATION AUDIT — the mirror image of
+    * [[decontaminate]]: instead of scoring corpus documents for the drop
+    * list, score each EVAL document by the fraction of its distinct word
+    * n-grams already present anywhere in the training corpus (the
+    * GPT-3-appendix-style "how compromised is this benchmark" table), with
+    * a clean / partial / dirty verdict at 20% / 70% in exact basis points
+    * (integer cross-multiplication, no float ratio).
+    *
+    * Scale shape: the corpus side NEVER shuffles its full gram set — the
+    * benchmark's distinct grams broadcast (eval suites are small and
+    * fixed), the 100 TB corpus stream is filtered MAP-SIDE against them,
+    * and only colliding grams (bounded by the benchmark set) reach the
+    * distinct + per-doc count shuffles. Grams join on their text (the
+    * [[graft.ext.Corpus.spanDedup]] convention — a production run keys on
+    * a 16-byte gram hash instead; same plan). Documents shorter than n
+    * tokens have no grams and are absent by contract. */
+  def contaminationAudit(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int): DataFrame = {
+    val grams = Dedup.explodedShingles(benchmark, idCol, textCol, n)
+    val bgSet = grams.select(col("sg")).distinct()
+    val matched = Dedup.explodedShingles(corpus, idCol, textCol, n)
+      .join(broadcast(bgSet), Seq("sg"))
+      .select(col("sg")).distinct()
+    val totals = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val hits = grams.join(matched, Seq("sg"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contam_bp", expr("n_hit * 10000 div n_grams"))
+      .withColumn("verdict",
+        when(col("contam_bp") >= 7000, "dirty")
+          .when(col("contam_bp") >= 2000, "partial")
+          .otherwise("clean"))
+  }
+
+  /** q165 — [[contaminationAudit]] on the q55 split (every 50th doc is the
+    * benchmark, the rest the training corpus): per eval doc, distinct
+    * 3-grams, hits, contamination bp and verdict — zero-hit docs included,
+    * unlike q55's drop list. */
+  def q165ContaminationAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    contaminationAudit(docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 3)
+      .transform(tinySort(_, col("doc_id")))
+  }
+
   /** [[decontaminate]]'s scale path for benchmark sets too big to broadcast
     * as an exact hash relation: a bloom filter over the benchmark's n-gram
     * hashes (~10 bits/gram at 1% fpp vs ~50+ bytes/gram for the exact
@@ -433,6 +480,7 @@ object CurationQueries {
     "q53_curation_pipeline" -> (q53CurationPipeline _),
     "q54_repetition_filters" -> (q54RepetitionFilters _),
     "q55_decontaminate" -> (q55Decontaminate _),
+    "q165_contamination_audit" -> (q165ContaminationAudit _),
     "q79_bloom_decontaminate" -> (q79BloomDecontaminate _),
     "q86_stratified_sample" -> (q86StratifiedSample _),
     "q88_line_filter" -> (q88LineFilter _),
@@ -779,6 +827,25 @@ object CurationQueries {
          |          WHERE s.doc_id % 50 <> 0
          |          GROUP BY s.doc_id)
          |SELECT doc_id, n_shared_3grams FROM hits ORDER BY doc_id""".stripMargin,
+    /* q165: every-50th-doc benchmark scored against the rest — distinct
+     * gram totals and hits per eval doc, bp via integer floor division,
+     * verdict thresholds in exact integers. */
+    "q165_contamination_audit" ->
+      s"""WITH ${DedupQueries.ShinglesCte},
+         | cg AS (SELECT DISTINCT sg FROM sh WHERE doc_id % 50 <> 0),
+         | bg AS (SELECT doc_id, sg FROM sh WHERE doc_id % 50 = 0),
+         | tt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+         |       FROM bg GROUP BY doc_id),
+         | hh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |       FROM bg WHERE sg IN (SELECT sg FROM cg) GROUP BY doc_id),
+         | j AS (SELECT tt.doc_id, tt.n_grams, COALESCE(hh.n_hit, 0) AS n_hit
+         |       FROM tt LEFT JOIN hh USING (doc_id))
+         |SELECT doc_id, n_grams, n_hit,
+         |  CAST(n_hit * 10000 // n_grams AS BIGINT) AS contam_bp,
+         |  CASE WHEN n_hit * 10000 // n_grams >= 7000 THEN 'dirty'
+         |       WHEN n_hit * 10000 // n_grams >= 2000 THEN 'partial'
+         |       ELSE 'clean' END AS verdict
+         |FROM j ORDER BY doc_id""".stripMargin,
     // the bloom prefilter is exact end-to-end (no false negatives + exact
     // verify join) — the oracle is the same SQL as q55 on the %37 split
     "q79_bloom_decontaminate" ->

@@ -66,6 +66,28 @@ object TextQueries {
       .localCheckpoint()
       .orderBy(col("doc_id"), col("rk"))
 
+  /** q163 — Okapi BM25 top-k terms per document
+    * ([[graft.ext.Corpus.bm25TopK]], k₁ = 1.2, b = 0.75, k = 3): the
+    * saturating, length-normalized counterpart of q57's TF-IDF — the
+    * weighting retrieval-based curation actually ranks with. Same dump
+    * plan as q57: checkpoint the top-k rows, then the cheap global sort. */
+  def q163Bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Corpus.bm25TopK(load(spark, dir, "documents"), "doc_id", "text", k = 3)
+      .localCheckpoint()
+      .orderBy(col("doc_id"), col("rk"))
+
+  /** q164 — CCNet-style LM-quality terciles
+    * ([[graft.ext.Corpus.perplexityBuckets]], Wenzek et al. LREC '20):
+    * head/middle/tail cut of the held-out half by stupid-backoff score
+    * (train = even ids, the q147 split), rolled up per (bucket, source).
+    * Output bounded by 3·|sources| → [[tinySort]]. */
+  def q164PerplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    graft.ext.Corpus.perplexityBuckets(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", "source")
+      .transform(tinySort(_, col("bucket"), col("source")))
+  }
+
   /** q62 — corpus composition statistics ([[graft.ext.Corpus.sourceStats]]):
     * per (source, 100-char length bucket) — doc count, token volume, char
     * range, distinct langs. One map-side-combinable aggregation; output
@@ -378,10 +400,67 @@ object TextQueries {
     "q29_lang_id" -> (q29LangId _),
     "q57_tfidf_topk" -> (q57TfidfTopK _),
     "q59_inverted_index" -> (q59InvertedIndex _),
-    "q62_corpus_stats" -> (q62CorpusStats _)
+    "q62_corpus_stats" -> (q62CorpusStats _),
+    "q163_bm25_topk" -> (q163Bm25TopK _),
+    "q164_perplexity_buckets" -> (q164PerplexityBuckets _)
   )
 
   private val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** The q147 stupid-backoff scoring CTE chain ending in the per-doc frame
+    * `pd` (doc_id, n_scored, n_tri, n_bi, n_uni, n_oov, min_s, mean_s) —
+    * shared by the q147 per-doc dump and the q164 bucket rollup so the
+    * backoff arithmetic can never drift. Train = even doc ids, scored =
+    * odd (the q90 parity split). */
+  private val backoffPerDocCte: String =
+    """tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      | trp AS (SELECT doc_id, unnest(toks[1:len(toks)-2]) AS w1,
+      |          unnest(toks[2:len(toks)-1]) AS w2,
+      |          unnest(toks[3:len(toks)]) AS w3
+      |         FROM tk WHERE len(toks) >= 3 AND doc_id % 2 = 0),
+      | tbp AS (SELECT unnest(toks[1:len(toks)-1]) AS w1,
+      |          unnest(toks[2:len(toks)]) AS w2
+      |         FROM tk WHERE len(toks) >= 2 AND doc_id % 2 = 0),
+      | tun AS (SELECT unnest(toks) AS w FROM tk WHERE doc_id % 2 = 0),
+      | c3 AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS cnt3
+      |        FROM trp GROUP BY 1, 2, 3),
+      | cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cntb
+      |        FROM tbp GROUP BY 1, 2),
+      | cu AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cntu FROM tun GROUP BY 1),
+      | nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tun),
+      | tp AS (SELECT doc_id, unnest(toks[1:len(toks)-2]) AS w1,
+      |         unnest(toks[2:len(toks)-1]) AS w2,
+      |         unnest(toks[3:len(toks)]) AS w3,
+      |         unnest(range(1, len(toks)-1)) AS pos
+      |        FROM tk WHERE len(toks) >= 3 AND doc_id % 2 = 1),
+      | sc AS (SELECT t.doc_id, t.pos,
+      |     CASE WHEN c3.cnt3 IS NOT NULL
+      |            THEN CAST(c3.cnt3 AS DOUBLE) / CAST(b12.cntb AS DOUBLE)
+      |          WHEN b23.cntb IS NOT NULL
+      |            THEN 0.4 * (CAST(b23.cntb AS DOUBLE) / CAST(u2.cntu AS DOUBLE))
+      |          WHEN u3.cntu IS NOT NULL
+      |            THEN 0.16 * (CAST(u3.cntu AS DOUBLE) / nn.n)
+      |          ELSE 0.16 * (0.5 / nn.n) END AS s,
+      |     CASE WHEN c3.cnt3 IS NOT NULL THEN 3
+      |          WHEN b23.cntb IS NOT NULL THEN 2
+      |          WHEN u3.cntu IS NOT NULL THEN 1 ELSE 0 END AS lvl
+      |   FROM tp t
+      |   LEFT JOIN c3 ON c3.w1 = t.w1 AND c3.w2 = t.w2 AND c3.w3 = t.w3
+      |   LEFT JOIN cb b12 ON b12.w1 = t.w1 AND b12.w2 = t.w2
+      |   LEFT JOIN cb b23 ON b23.w1 = t.w2 AND b23.w2 = t.w3
+      |   LEFT JOIN cu u2 ON u2.w = t.w2
+      |   LEFT JOIN cu u3 ON u3.w = t.w3
+      |   CROSS JOIN nn),
+      | ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+      |     CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+      |     CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+      |     CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+      |     CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |     MIN(s) AS min_s, list(s ORDER BY pos) AS ss
+      |   FROM sc GROUP BY doc_id),
+      | pd AS (SELECT doc_id, n_scored, n_tri, n_bi, n_uni, n_oov, min_s,
+      |     list_reduce(ss, (a, b) -> a + b) / CAST(n_scored AS DOUBLE) AS mean_s
+      |   FROM ag)""".stripMargin
 
   /** The q153 Gopher-rule CTE chain (b → m → f) with optional passthrough
     * columns threaded to `f` — shared by the q153 per-doc dump and the
@@ -836,56 +915,37 @@ object TextQueries {
     /* q147: train tables from the even half, trigram stream from the odd
      * half, LEFT joins at every level (held-out n-grams can be unseen),
      * the 3→2→1→0 CASE with literal 0.4/0.16 factors, position-ordered
-     * list_reduce fold (the q81/q131 identity). */
+     * list_reduce fold (the q81/q131 identity). CTE chain shared with the
+     * q164 bucket rollup via [[backoffPerDocCte]]. */
     "q147_stupid_backoff" ->
-      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        | trp AS (SELECT doc_id, unnest(toks[1:len(toks)-2]) AS w1,
-        |          unnest(toks[2:len(toks)-1]) AS w2,
-        |          unnest(toks[3:len(toks)]) AS w3
-        |         FROM tk WHERE len(toks) >= 3 AND doc_id % 2 = 0),
-        | tbp AS (SELECT unnest(toks[1:len(toks)-1]) AS w1,
-        |          unnest(toks[2:len(toks)]) AS w2
-        |         FROM tk WHERE len(toks) >= 2 AND doc_id % 2 = 0),
-        | tun AS (SELECT unnest(toks) AS w FROM tk WHERE doc_id % 2 = 0),
-        | c3 AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS cnt3
-        |        FROM trp GROUP BY 1, 2, 3),
-        | cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cntb
-        |        FROM tbp GROUP BY 1, 2),
-        | cu AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cntu FROM tun GROUP BY 1),
-        | nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tun),
-        | tp AS (SELECT doc_id, unnest(toks[1:len(toks)-2]) AS w1,
-        |         unnest(toks[2:len(toks)-1]) AS w2,
-        |         unnest(toks[3:len(toks)]) AS w3,
-        |         unnest(range(1, len(toks)-1)) AS pos
-        |        FROM tk WHERE len(toks) >= 3 AND doc_id % 2 = 1),
-        | sc AS (SELECT t.doc_id, t.pos,
-        |     CASE WHEN c3.cnt3 IS NOT NULL
-        |            THEN CAST(c3.cnt3 AS DOUBLE) / CAST(b12.cntb AS DOUBLE)
-        |          WHEN b23.cntb IS NOT NULL
-        |            THEN 0.4 * (CAST(b23.cntb AS DOUBLE) / CAST(u2.cntu AS DOUBLE))
-        |          WHEN u3.cntu IS NOT NULL
-        |            THEN 0.16 * (CAST(u3.cntu AS DOUBLE) / nn.n)
-        |          ELSE 0.16 * (0.5 / nn.n) END AS s,
-        |     CASE WHEN c3.cnt3 IS NOT NULL THEN 3
-        |          WHEN b23.cntb IS NOT NULL THEN 2
-        |          WHEN u3.cntu IS NOT NULL THEN 1 ELSE 0 END AS lvl
-        |   FROM tp t
-        |   LEFT JOIN c3 ON c3.w1 = t.w1 AND c3.w2 = t.w2 AND c3.w3 = t.w3
-        |   LEFT JOIN cb b12 ON b12.w1 = t.w1 AND b12.w2 = t.w2
-        |   LEFT JOIN cb b23 ON b23.w1 = t.w2 AND b23.w2 = t.w3
-        |   LEFT JOIN cu u2 ON u2.w = t.w2
-        |   LEFT JOIN cu u3 ON u3.w = t.w3
-        |   CROSS JOIN nn),
-        | ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
-        |     CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
-        |     CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
-        |     CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
-        |     CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-        |     MIN(s) AS min_s, list(s ORDER BY pos) AS ss
-        |   FROM sc GROUP BY doc_id)
-        |SELECT doc_id, n_scored, n_tri, n_bi, n_uni, n_oov, min_s,
-        |  list_reduce(ss, (a, b) -> a + b) / CAST(n_scored AS DOUBLE) AS mean_s
-        |FROM ag ORDER BY doc_id""".stripMargin,
+      s"""WITH $backoffPerDocCte
+        |SELECT doc_id, n_scored, n_tri, n_bi, n_uni, n_oov, min_s, mean_s
+        |FROM pd ORDER BY doc_id""".stripMargin,
+    /* q164: the q147 per-doc scores snapped to the 2^20 integer grid
+     * (multiply + floor, exact on the bit-portable mean_s), tercile
+     * thresholds from the key histogram in exact integer arithmetic
+     * (cum·3 ≥ N / cum·3 ≥ 2N), bucket CASE on key vs thresholds, rollup
+     * per (bucket, source). */
+    "q164_perplexity_buckets" ->
+      s"""WITH $backoffPerDocCte,
+        | k AS (SELECT doc_id, n_scored,
+        |        CAST(floor(mean_s * 1048576.0) AS BIGINT) AS key FROM pd),
+        | h AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS c FROM k GROUP BY key),
+        | cm AS (SELECT key, SUM(c) OVER (ORDER BY key) AS cum FROM h),
+        | nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM k),
+        | th AS (SELECT MIN(CASE WHEN cum * 3 >= n THEN key END) AS t1,
+        |          MIN(CASE WHEN cum * 3 >= 2 * n THEN key END) AS t2
+        |        FROM cm, nd),
+        | a AS (SELECT k.doc_id, k.n_scored, k.key,
+        |         CASE WHEN key <= t1 THEN 'tail'
+        |              WHEN key <= t2 THEN 'middle' ELSE 'head' END AS bucket
+        |       FROM k, th)
+        |SELECT bucket, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_scored) AS BIGINT) AS tok_scored,
+        |  CAST(MIN(key) AS BIGINT) AS min_key,
+        |  CAST(MAX(key) AS BIGINT) AS max_key
+        |FROM a JOIN documents USING (doc_id)
+        |GROUP BY bucket, source ORDER BY bucket, source""".stripMargin,
     "q131_bigram_lm" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
         |            FROM documents),
@@ -1085,6 +1145,27 @@ object TextQueries {
         | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
         |       FROM s)
         |SELECT doc_id, term, tf, df, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    /* q163: the BM25 formula token-for-token as the Spark tree — every
+     * division/multiply correctly rounded on exact-integer inputs, avgdl
+     * from INTEGER totals (tok / n), constants folded the same way
+     * ((1.2 + 1.0), (1.0 - 0.75)); only ln differs in the last ulp, so
+     * the rank is emitted, never the raw score (the q57 discipline). */
+    "q163_bm25_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term),
+        | dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        | dls AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+        | tot AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS tok FROM dls),
+        | s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df, dls.dl,
+        |         ln(1.0 + (n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |         ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+        |          (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) +
+        |            0.75 * (CAST(dl AS DOUBLE) / (tok / n))))) AS bm25
+        |       FROM tf JOIN dfq USING (term) JOIN dls USING (doc_id), tot),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, term) AS rk
+        |       FROM s)
+        |SELECT doc_id, term, tf, df, dl, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "q59_inverted_index" ->
       """WITH t0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

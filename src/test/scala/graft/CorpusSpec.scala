@@ -359,4 +359,71 @@ class CorpusSpec extends AnyFunSuite {
       .orderBy("bucket").collect()
     assert(flat.last.getAs[Long]("cum_types") < a.last.getAs[Long]("cum_types"))
   }
+
+  test("bm25: first-principles replay fixes every rank; dl and df exact") {
+    val top = Corpus.bm25TopK(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+        r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Long]("dl"),
+        r.getAs[Long]("rk")))
+    // independent replay of the Robertson/Lucene formula in plain Scala
+    val texts = Map(1L -> "a b c d e f g h i j", 2L -> "x y z", 3L -> "a a a b b c")
+    val toks = texts.map { case (id, t) => id -> t.split(" ").toSeq }
+    val nDocs = toks.size.toDouble
+    val avgdl = toks.values.map(_.length).sum.toDouble / nDocs
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity).map { case (t, o) => t -> o.size }
+    def score(id: Long, term: String): Double = {
+      val tf = toks(id).count(_ == term).toDouble
+      val df = dfm(term).toDouble
+      val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (toks(id).length / avgdl)))
+    }
+    toks.foreach { case (id, ts) =>
+      val expect = ts.distinct.sortBy(t => (-score(id, t), t)).take(3)
+      val got = top.filter(_._1 == id).sortBy(_._6)
+      assert(got.map(_._2).toSeq == expect, s"doc $id rank order")
+      assert(got.forall(_._5 == ts.length.toLong), s"doc $id dl")
+    }
+    // df counts documents, not occurrences: "a" is in docs 1 and 3
+    assert(top.filter(_._2 == "a").forall(_._4 == 2L))
+  }
+
+  test("perplexity buckets: exact terciles on distinct keys; volumes conserved") {
+    // train trigrams all hit with s = 1.0 (c3(a,b,c)=3 / cb(a,b)=3); each
+    // scored doc appends i OOV tokens, so mean_i = (1 + i·floor)/(1+i)
+    // strictly decreases with i — nine docs, nine distinct grid keys
+    val train = Seq((0L, "a b c a b c a b c", "s")).toDF("doc_id", "text", "source")
+    val scored = (0 until 9).map(i =>
+      (2L * i + 1, "a b c" + (" o" * i), "s")).toDF("doc_id", "text", "source")
+    val out = Corpus.perplexityBuckets(train, scored, "doc_id", "text", "source")
+      .collect().map(r => r.getAs[String]("bucket") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("tok_scored"),
+          r.getAs[Long]("min_key"), r.getAs[Long]("max_key")))).toMap
+    // doc i scores 1+i trigram positions: head = i∈{0,1,2} (highest means),
+    // middle = {3,4,5}, tail = {6,7,8}
+    assert(out("head")._1 == 3L && out("head")._2 == 6L)
+    assert(out("middle")._1 == 3L && out("middle")._2 == 15L)
+    assert(out("tail")._1 == 3L && out("tail")._2 == 24L)
+    // buckets are key-disjoint and ordered
+    assert(out("head")._3 > out("middle")._4 && out("middle")._3 > out("tail")._4)
+    // the pure-hit doc sits at exactly key 2^20 (mean_s = 1.0)
+    assert(out("head")._4 == (1L << 20))
+  }
+
+  test("contamination audit: hit fractions, verdict thresholds, zero-hit docs present") {
+    import graft.queries.CurationQueries
+    val corpus = Seq((1L, "q w e r t")).toDF("doc_id", "text")
+    val bench = Seq(
+      (2L, "q w e r"),       // grams {qwe, wer} both in corpus → dirty
+      (4L, "q w e x y z"),   // 1 of 4 grams shared → 2500 bp → partial
+      (6L, "m n o p")        // no overlap → clean, still reported
+    ).toDF("doc_id", "text")
+    val out = CurationQueries.contaminationAudit(corpus, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"),
+          r.getAs[Long]("contam_bp"), r.getAs[String]("verdict")))).toMap
+    assert(out(2L) == ((2L, 2L, 10000L, "dirty")))
+    assert(out(4L) == ((4L, 1L, 2500L, "partial")))
+    assert(out(6L) == ((2L, 0L, 0L, "clean")))
+    assert(out.size == 3)
+  }
 }

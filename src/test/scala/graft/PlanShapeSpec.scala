@@ -594,4 +594,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("NTile"), s"no ntile — equi-width on the id:\n$plan")
   }
+
+  test("q163 BM25: df broadcasts, doc-length join shuffles, totals are the only nested-loop") {
+    // the term-weighting scale claims under simulated fact-scale sizes:
+    // the vocabulary-sized document-frequency side stays a broadcast hash
+    // join, the doc-keyed (tf ⋈ dl) join degrades to a shuffle join, and
+    // the single BroadcastNestedLoopJoin is the 1-row (N, Σdl) totals
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = graft.ext.Corpus.bm25TopK(
+          graft.util.Tables.load(spark, dir, "documents"), "doc_id", "text", k = 3)
+        .queryExecution.sparkPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"df side must stay broadcast:\n$plan")
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).nonEmpty,
+        s"doc-length join must shuffle at fact scale:\n$plan")
+      assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length == 1 &&
+        !plan.contains("CartesianProduct"),
+        s"only the 1-row totals may nested-loop:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q165 contamination audit: benchmark grams broadcast map-side, no cartesian") {
+    // the corpus side must never shuffle its full gram set: the hinted
+    // benchmark gram set builds the broadcast side of the only join the
+    // 100 TB stream touches; everything downstream is benchmark-bounded
+    import spark.implicits._
+    val corpus = Seq((1L, "q w e r t")).toDF("doc_id", "text")
+    val bench = Seq((2L, "q w e r")).toDF("doc_id", "text")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = graft.queries.CurationQueries
+        .contaminationAudit(corpus, bench, "doc_id", "text", n = 3)
+        .queryExecution.sparkPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"benchmark gram set must broadcast against the corpus stream:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"equi-joins only:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
