@@ -158,6 +158,96 @@ object Similarity {
     out
   }
 
+  /** Margin-based mining (Artetxe & Schwenk, ACL '19 "ratio" margin — the
+    * criterion behind CCMatrix/LASER bitext mining, and the alignment-pair
+    * miner of any two-corpus embedding space): raw cosine overrates hub
+    * vectors that are close to EVERYTHING, so each candidate pair (x, y)
+    * is rescored by its similarity relative to what x and y score against
+    * their own neighborhoods —
+    *
+    *   margin(x, y) = cos(x, y) / ((meanₖ(x→tgt) + meanₖ(y→src)) / 2)
+    *
+    * and only the best-margin partner of each source vector survives, with
+    * the standard ≥ 1.05 acceptance threshold emitted as a flag. Margins
+    * genuinely rerank (the denominator depends on y), so this is NOT
+    * top-1-by-cosine.
+    *
+    * Float discipline: sims are the 4-dp-rounded engine-portable cosines
+    * ([[bruteForceTopK]]); neighborhood means fold in cand-id order (the
+    * q81 0.0-init identity) and divide by the actual neighbor COUNT; the
+    * margin is one fixed-tree IEEE expression over those — bit-identical
+    * in the oracle, so the raw margin is emitted.
+    *
+    * Scale shape: the margin layer consumes two bounded (query, cand, sim)
+    * top-k frames — O(|src|·k + |tgt|·k) rows — checkpointed once for
+    * their two consumers (mean + rerank); the rerank itself is equi-joins
+    * on the vector ids plus the bounded TopK aggregator. The candidate
+    * GENERATOR here is brute force (exact, broadcast query side — the
+    * oracle's replayable baseline); at 100 TB both directions swap in the
+    * IVF shortlist generator ([[ivfTopK]], the q143/q144 pattern) and the
+    * margin layer is unchanged. */
+  def marginMine(src: DataFrame, tgt: DataFrame, idCol: String,
+                 vecCol: String, k: Int, threshold: Double = 1.05): DataFrame = {
+    val fwd = Dedup.checkpointStripped(
+      bruteForceTopK(tgt, src, idCol, vecCol, k))
+    val bwd = Dedup.checkpointStripped(
+      bruteForceTopK(src, tgt, idCol, vecCol, k))
+    def meanSim(nn: DataFrame, out: String) = nn.groupBy(col("query_id"))
+      .agg((aggregate(
+        sort_array(collect_list(struct(col("cand_id"), col("sim")))),
+        lit(0.0d), (a, x) => a + x.getField("sim"))
+        / count(lit(1)).cast("double")).as(out))
+    val mf = meanSim(fwd, "_mf")
+    val mb = meanSim(bwd, "_mb").withColumnRenamed("query_id", "cand_id")
+    val pr = fwd.join(mf, "query_id").join(mb, "cand_id")
+      .withColumn("margin",
+        col("sim") / ((col("_mf") + col("_mb")) / lit(2.0)))
+    TopK.topKPerGroup(pr, "query_id", "cand_id", "margin", 1)
+      .join(fwd, Seq("query_id", "cand_id"))
+      .select(col("query_id"), col("cand_id"), col("sim"), col("margin"),
+        when(col("margin") >= lit(threshold), 1).otherwise(0)
+          .cast("int").as("accepted"))
+  }
+
+  /** k-NN majority-vote classification audit — the cheapest semi-supervised
+    * quality-labeler over an embedding corpus (the data-level analogue of a
+    * FineWeb-Edu-style classifier pass: propagate curator labels to the
+    * unlabeled pool by neighborhood vote) run here as a HELD-OUT audit:
+    * every probe vector carries its true label, so the output is the
+    * per-vector confusion record (pred vs truth) an embedding-quality
+    * report aggregates. Majority with smallest-label tie-break, both
+    * engine-deterministic.
+    *
+    * Scale shape: neighbor lists are the bounded TopK frames (O(probes·k));
+    * the label join keys on the candidate id (fact-scale equi-join); votes
+    * aggregate map-side on (probe, label); the vote winner reuses the
+    * bounded TopK aggregator — no windows anywhere. Brute-force generator
+    * for the oracle; IVF swaps in at scale (see [[marginMine]]). */
+  def knnClassify(labeled: DataFrame, probes: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int): DataFrame = {
+    // null-labeled rows can neither vote nor occupy a neighbor slot
+    // (Scored.id is a primitive long) — excluded before the k-NN search
+    val lab = labeled.filter(col(labelCol).isNotNull)
+    val nn = Dedup.checkpointStripped(
+      bruteForceTopK(lab, probes, idCol, vecCol, k))
+    val votes = nn
+      .join(lab.select(col(idCol).as("cand_id"),
+        col(labelCol).cast("long").as("_lbl")), "cand_id")
+      .groupBy(col("query_id"), col("_lbl"))
+      .agg(count(lit(1)).as("n_votes"))
+    TopK.topKPerGroup(
+        votes.withColumn("_sc", col("n_votes").cast("double")),
+        "query_id", "_lbl", "_sc", 1)
+      .join(probes.select(col(idCol).as("query_id"),
+        col(labelCol).cast("long").as("true_label")), "query_id")
+      .select(col("query_id").as(idCol),
+        col("_lbl").as("pred_label"),
+        col("_sc").cast("long").as("n_votes"),
+        col("true_label"),
+        when(col("_lbl") === col("true_label"), 1).otherwise(0)
+          .cast("int").as("correct"))
+  }
+
   /** All-pairs near-duplicate detection by cosine threshold, bounded to ids <
     * maxId (at scale, run on LSH-bucket candidates instead of all pairs). */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,

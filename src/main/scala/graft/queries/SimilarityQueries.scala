@@ -31,6 +31,30 @@ object SimilarityQueries {
       .transform(tinySort(_, col("trunc_dim")))
   }
 
+  /** q166 — margin-based mining ([[graft.ext.Similarity.marginMine]],
+    * Artetxe & Schwenk ACL '19): even-id vectors as the source corpus,
+    * odd-id as the target, k = 4 neighborhoods, best-margin partner per
+    * source with the standard 1.05 acceptance flag. Output bounded by
+    * |src| → [[tinySort]]. */
+  def q166MarginMining(spark: SparkSession, dir: String): DataFrame = {
+    val e = load(spark, dir, "embeddings")
+    Similarity.marginMine(e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", k = 4)
+      .transform(tinySort(_, col("query_id")))
+  }
+
+  /** q167 — k-NN majority-vote label audit
+    * ([[graft.ext.Similarity.knnClassify]], k = 5): even-id vectors are
+    * the labeled pool, odd-id the held-out probes; per probe the majority
+    * neighbor label vs its true label — the embedding-quality confusion
+    * record. Output bounded by |probes| → [[tinySort]]. */
+  def q167KnnLabelAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = load(spark, dir, "embeddings")
+    Similarity.knnClassify(e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", "label", k = 5)
+      .transform(tinySort(_, col("vec_id")))
+  }
+
   def q26EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(load(spark, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.45, maxId = 2000L)
@@ -220,6 +244,8 @@ object SimilarityQueries {
     "q45_ann_ivf_lloyd" -> (q45AnnIvfLloyd _),
     "q46_lsh_neardup" -> (q46LshNearDup _),
     "q47_ann_multiprobe" -> (q47AnnMultiProbe _),
+    "q166_margin_mining" -> (q166MarginMining _),
+    "q167_knn_label_audit" -> (q167KnnLabelAudit _),
     "q50_banded_neardup" -> (q50BandedNearDup _),
     "q51_dup_clusters" -> (q51DupClusters _),
     "q60_semdedup" -> (q60SemDedup _)
@@ -555,6 +581,64 @@ object SimilarityQueries {
         |SELECT query_id, cand_id, sim FROM s
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) <= 5
         |ORDER BY query_id, cand_id""".stripMargin,
+    /* q166: the margin arithmetic replays the Spark tree exactly — 4-dp
+     * cosines, neighborhood sums folded in cand-id order (list_reduce ==
+     * the 0.0-init Spark fold), one division by the neighbor count, and
+     * margin = sim / ((mf + mb) / 2.0) — so the raw margin double is
+     * bit-identical and emitted as-is. */
+    "q166_margin_mining" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | s AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+        | t AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),
+        | fwd AS (SELECT s.vec_id AS query_id, t.vec_id AS cand_id,
+        |          round(list_cosine_similarity(s.v, t.v), 4) AS sim
+        |         FROM s, t
+        |         QUALIFY row_number() OVER (PARTITION BY query_id
+        |           ORDER BY sim DESC, cand_id) <= 4),
+        | bwd AS (SELECT t.vec_id AS query_id, s.vec_id AS cand_id,
+        |          round(list_cosine_similarity(t.v, s.v), 4) AS sim
+        |         FROM t, s
+        |         QUALIFY row_number() OVER (PARTITION BY query_id
+        |           ORDER BY sim DESC, cand_id) <= 4),
+        | mf AS (SELECT query_id, list_reduce(list(sim ORDER BY cand_id),
+        |          (a, b) -> a + b) / CAST(COUNT(*) AS DOUBLE) AS m
+        |        FROM fwd GROUP BY query_id),
+        | mb AS (SELECT query_id, list_reduce(list(sim ORDER BY cand_id),
+        |          (a, b) -> a + b) / CAST(COUNT(*) AS DOUBLE) AS m
+        |        FROM bwd GROUP BY query_id),
+        | pr AS (SELECT f.query_id, f.cand_id, f.sim,
+        |          f.sim / ((mf.m + mb.m) / 2.0) AS margin
+        |        FROM fwd f JOIN mf ON mf.query_id = f.query_id
+        |                   JOIN mb ON mb.query_id = f.cand_id),
+        | best AS (SELECT * FROM pr
+        |          QUALIFY row_number() OVER (PARTITION BY query_id
+        |            ORDER BY margin DESC, cand_id) = 1)
+        |SELECT query_id, cand_id, sim, margin,
+        |  CAST(CASE WHEN margin >= 1.05 THEN 1 ELSE 0 END AS INTEGER) AS accepted
+        |FROM best ORDER BY query_id""".stripMargin,
+    /* q167: the 5-NN lists via the q25 chain restricted to the labeled
+     * pool, votes counted per (probe, label), winner by (votes desc,
+     * label asc) — all exact integers after the rounded-sim ranking. */
+    "q167_knn_label_audit" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        | l AS (SELECT * FROM e WHERE vec_id % 2 = 0 AND label IS NOT NULL),
+        | u AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+        | nn AS (SELECT u.vec_id AS query_id, l.vec_id AS cand_id,
+        |         CAST(l.label AS BIGINT) AS lbl,
+        |         round(list_cosine_similarity(u.v, l.v), 4) AS sim
+        |        FROM u, l
+        |        QUALIFY row_number() OVER (PARTITION BY query_id
+        |          ORDER BY sim DESC, cand_id) <= 5),
+        | v AS (SELECT query_id, lbl, CAST(COUNT(*) AS BIGINT) AS n_votes
+        |       FROM nn GROUP BY query_id, lbl),
+        | p AS (SELECT query_id, lbl, n_votes FROM v
+        |       QUALIFY row_number() OVER (PARTITION BY query_id
+        |         ORDER BY n_votes DESC, lbl) = 1)
+        |SELECT p.query_id AS vec_id, p.lbl AS pred_label, p.n_votes,
+        |  CAST(u.label AS BIGINT) AS true_label,
+        |  CAST(CASE WHEN p.lbl = CAST(u.label AS BIGINT) THEN 1 ELSE 0 END
+        |    AS INTEGER) AS correct
+        |FROM p JOIN u ON u.vec_id = p.query_id ORDER BY vec_id""".stripMargin,
     "q26_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 2000)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -1184,4 +1184,53 @@ class ExtSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("recall_bp") == 10000L, "width 4 is lossless here")
     assert(out(2).getAs[Long]("recall_bp") == 10000L, "full width is the anchor")
   }
+
+  test("margin mining demotes the hub: best-margin partner differs from best-cosine") {
+    // 2-D construction: target h sits at 30° — the closest tgt to src x1
+    // by RAW cosine (0.866 vs 0.799) but close to every src (bwd mean
+    // ≈ 0.916); target s at −37° is close ONLY to x1 (bwd mean ≈ 0.47).
+    // margin(x1, s) ≈ 1.23 beats margin(x1, h) ≈ 0.99 — the Artetxe &
+    // Schwenk hub correction, hand-checked
+    val src = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (2L, Array(0.7071f, 0.7071f)),
+      (4L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (1L, Array(0.866f, 0.5f)),    // hub
+      (3L, Array(0.799f, -0.601f))  // specialist for x1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.marginMine(src, tgt, "vec_id", "embedding", k = 2)
+      .collect().map(r => r.getAs[Long]("query_id") -> r).toMap
+    assert(out.size == 3, "exactly one best partner per source vector")
+    val x1 = out(0L)
+    assert(x1.getAs[Long]("cand_id") == 3L, "margin must pick the specialist")
+    assert(x1.getAs[Double]("sim") < 0.866, "which raw cosine would not")
+    assert(x1.getAs[Double]("margin") > 1.05 && x1.getAs[Int]("accepted") == 1)
+    // flag consistency everywhere
+    out.values.foreach { r =>
+      assert((r.getAs[Double]("margin") >= 1.05) == (r.getAs[Int]("accepted") == 1))
+    }
+  }
+
+  test("knn label vote: majority wins; one-vote ties break to the smallest label") {
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f), 2),
+      (2L, Array(0.995f, 0.0998f), 2),
+      (4L, Array(0.9f, 0.436f), 1),
+      (6L, Array(0.0f, 1.0f), 9)).toDF("vec_id", "embedding", "label")
+    val probes = Seq(
+      (1L, Array(0.99f, 0.14f), 2), // 3-NN = {0, 2, 4} → votes 2:2, 1:1
+      (3L, Array(0.0f, 1.0f), 1)    // 3-NN = {6, 4, 2} → three 1-vote labels
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(labeled, probes, "vec_id", "embedding",
+        "label", k = 3)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(out(1L).getAs[Long]("pred_label") == 2L)
+    assert(out(1L).getAs[Long]("n_votes") == 2L)
+    assert(out(1L).getAs[Int]("correct") == 1)
+    // probe 3: labels {9, 1, 2} one vote each → smallest label 1 wins
+    assert(out(3L).getAs[Long]("pred_label") == 1L)
+    assert(out(3L).getAs[Long]("n_votes") == 1L)
+    assert(out(3L).getAs[Int]("correct") == 1)
+  }
 }
