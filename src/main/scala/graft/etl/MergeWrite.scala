@@ -69,10 +69,19 @@ object MergeWrite {
     if (durable) {
       // staging-dir double write (see scaladoc): merged rows land on the
       // table's own filesystem first, so the final overwrite reads durable
-      // files — an executor loss at any point only re-runs tasks
+      // files — an executor loss at any point only re-runs tasks.
+      // FIXED staging path per table (not nanotime-suffixed): a driver
+      // death between the staging write and the finally block leaves an
+      // orphan, and a fixed name means the next run overwrites it instead
+      // of accumulating copies of touched partitions on an unattended
+      // cluster. The glob sweep below also clears any `__staging_*`
+      // stragglers written by older builds.
       val staging = new org.apache.hadoop.fs.Path(
-        processedDir.stripSuffix("/") + s"__staging_${System.nanoTime()}")
+        processedDir.stripSuffix("/") + "__staging")
       val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val stale = fs.globStatus(new org.apache.hadoop.fs.Path(
+        processedDir.stripSuffix("/") + "__staging*"))
+      if (stale != null) stale.foreach(s => fs.delete(s.getPath, true))
       try {
         merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
         overwriteInto(spark.read.parquet(staging.toString))

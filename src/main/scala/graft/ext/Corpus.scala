@@ -435,10 +435,13 @@ object Corpus {
                         gridBits: Int = 20): DataFrame = {
     require(gridBits >= 1 && gridBits <= 30, s"gridBits in [1,30], got $gridBits")
     val grid = math.pow(2, gridBits) // exact power of two
-    // persist deliberately outlives the call (the ivfTopK convention):
-    // three consumers — histogram, doc total, bucket assignment — read the
-    // materialized one-row-per-doc scores instead of re-running the five
-    // n-gram joins of the scorer
+    // persist lives only for the duration of the call (the
+    // truncatedRecallAudit convention, NOT ivfTopK's): the three consumers
+    // — histogram, doc total, bucket assignment — all run inside this
+    // method and the output is bounded by 3·|groups| rows, so the result
+    // is eagerly materialized below and the corpus-sized cache released
+    // before returning. Long-lived batch drivers looping over corpora
+    // therefore don't accumulate pinned MEMORY_AND_DISK frames.
     val scored = stupidBackoffScore(train, scoreDocs, idCol, textCol)
       .withColumn("key", floor(col("mean_s") * lit(grid)).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -451,7 +454,7 @@ object Corpus {
     val th = cum.crossJoin(broadcast(total)).agg(
       min(when(col("cum") * 3 >= col("_nd"), col("key"))).as("_t1"),
       min(when(col("cum") * 3 >= col("_nd") * 2, col("key"))).as("_t2"))
-    scored
+    val out = Dedup.checkpointStripped(scored
       .join(scoreDocs.select(col(idCol), col(groupCol)), idCol)
       .crossJoin(broadcast(th))
       .withColumn("bucket",
@@ -461,7 +464,9 @@ object Corpus {
       .groupBy(col("bucket"), col(groupCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_scored")).as("tok_scored"),
-        min(col("key")).as("min_key"), max(col("key")).as("max_key"))
+        min(col("key")).as("min_key"), max(col("key")).as("max_key")))
+    scored.unpersist(blocking = false)
+    out
   }
 
   /** Per-document term frequencies over whitespace tokens: one explode into

@@ -193,7 +193,12 @@ object Dedup {
                      maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"4-band pigeonhole guarantees recall only to 3, got $maxDist")
-    val h = df.select(col(idCol).as("_id"), col(hashCol).cast("long").as("_dh"))
+    // materialize the (id, hash) projection before the self-join: hashCol
+    // is typically a kernel over the full document text (TextDHash /
+    // imageDHash), and both join sides must read the computed rows, not
+    // re-run the kernel (the cosinePairs multi-consumer convention)
+    val h = checkpointStripped(
+      df.select(col(idCol).as("_id"), col(hashCol).cast("long").as("_dh")))
     val banded = h
       .select(col("_id"), col("_dh"),
         explode(array((0 until 4).map(lit(_)): _*)).as("b"))

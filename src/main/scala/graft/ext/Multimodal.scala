@@ -164,11 +164,16 @@ object Multimodal {
     * what the DuckDB oracle replays for the text-blob testdata). */
   private[graft] def imageDHash(payload: Array[Byte]): Long = {
     import javax.imageio.ImageIO
+    // NonFatal, not just IOException: javax.imageio readers throw
+    // RuntimeExceptions (IllegalArgumentException, CMMException, AIOOBE) on
+    // malformed/crafted payloads, and one bad blob in an untrusted crawl
+    // must hit the deterministic fallback, not kill the job. The stream is
+    // opened before the try so the finally always releases it.
+    var iis: javax.imageio.stream.ImageInputStream = null
     try {
-      val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
+      iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
       val readers = ImageIO.getImageReaders(iis)
       if (!readers.hasNext) {
-        iis.close()
         return graft.functions.TextDHashKernel.compute(
           org.apache.spark.unsafe.types.UTF8String.fromBytes(payload))
       }
@@ -205,14 +210,14 @@ object Multimodal {
           i += 1
         }
         hash
-      } finally {
-        reader.dispose()
-        iis.close()
-      }
+      } finally reader.dispose()
     } catch {
-      case _: java.io.IOException =>
+      case scala.util.control.NonFatal(_) =>
         graft.functions.TextDHashKernel.compute(
           org.apache.spark.unsafe.types.UTF8String.fromBytes(payload))
+    } finally if (iis != null) {
+      // a throwing close must not mask the computed hash/fallback
+      try iis.close() catch { case scala.util.control.NonFatal(_) => }
     }
   }
 

@@ -92,6 +92,11 @@ object UnigramEncode {
   * resolves). */
 object UnigramEncodeKernel {
 
+  /** Per-task memo entry cap — bounds executor memory against adversarial
+    * type inventories (1M entries ≈ tens of MB; real Heaps-law vocabularies
+    * sit far below it). */
+  final val MemoCap = 1 << 20
+
   /** Pieces of the whole document, word-major. Empty words (consecutive
     * spaces) contribute nothing — the same `word <> ''` filter the
     * trainer applies. */
@@ -111,7 +116,11 @@ object UnigramEncodeKernel {
           ps =
             if (syms.length > wordLenCap) syms.toArray // documented fallback
             else graft.ext.Unigram.viterbi(syms, vocab.get(_), maxPieceLen).toArray
-          memo.put(w, ps)
+          // The Heaps bound on word TYPES is corpus-level; a single
+          // long-lived task over high-entropy text (URLs, hashes) could
+          // grow the memo without limit. Cap insertions — past MemoCap the
+          // DP just reruns (cheap for the rare words that blow the cap).
+          if (memo.size < MemoCap) memo.put(w, ps)
         }
         var t = 0
         while (t < ps.length) { out.add(UTF8String.fromString(ps(t))); t += 1 }

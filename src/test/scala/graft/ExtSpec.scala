@@ -696,6 +696,19 @@ class ExtSpec extends AnyFunSuite {
     assert(Multimodal.imageDHash(blob) ==
       graft.functions.TextDHashKernel.compute(
         org.apache.spark.unsafe.types.UTF8String.fromBytes(blob)))
+    // MALFORMED image payloads (magic bytes select a reader, body is
+    // garbage) must hit the same deterministic fallback, never throw —
+    // imageio raises RuntimeExceptions as well as IOExceptions on
+    // crafted blobs, and one bad blob must not kill an untrusted crawl
+    val goodPng = png(grad)
+    for (crafted <- Seq(
+        goodPng.take(16) ++ Array.fill[Byte](64)(0x41),   // truncated + junk
+        goodPng.patch(20, Array[Byte](-1, -1, -1, -1), 4), // absurd dims field
+        "GIF89a".getBytes("UTF-8") ++ Array.fill[Byte](8)(0x7f))) {
+      assert(Multimodal.imageDHash(crafted) ==
+        graft.functions.TextDHashKernel.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromBytes(crafted)))
+    }
     // hand-check the 64-cell/63-diff packer
     val cells = Array.tabulate(64)(i => if (i % 2 == 0) 10L else 5L)
     val packed = graft.functions.TextDHashKernel.packBits(cells)

@@ -138,6 +138,28 @@ class PipelineSpec extends AnyFunSuite {
       df.select(ref.columns.sorted.map(col).toIndexedSeq: _*)
         .collect().map(_.toString).sorted.toSeq
     assert(canon(dur) == canon(ref))
+    // no staging dir (fixed-name or legacy nanotime-suffixed) survives
+    val fs = new org.apache.hadoop.fs.Path(processed)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(processed + "__staging*")).isEmpty)
+  }
+
+  test("S5 durable mode sweeps orphaned staging dirs from a crashed prior run") {
+    val base = Files.createTempDirectory("graft_processed_orph").toString
+    val processed = base + "/t"
+    // simulate a driver death mid-durable-write: an orphaned staging dir
+    // (legacy nanotime-suffixed name) holding stale rows
+    val orphan = processed + "__staging_123456789"
+    silver.withColumn("model", lit("STALE")).write.parquet(orphan)
+    MergeWrite.mergeWrite(spark, processed, silver, durable = true)
+    val fs = new org.apache.hadoop.fs.Path(processed)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the orphan was swept on entry, the run's own staging dir removed,
+    // and the table holds the fresh batch (no STALE rows)
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(processed + "__staging*")).isEmpty)
+    val rows = MergeWrite.readProcessed(spark, processed)
+    assert(rows.count() == silver.count())
+    assert(rows.filter(col("model") === "STALE").count() == 0)
     // no leaked staging dirs next to the table
     val leftovers = new java.io.File(base).listFiles()
       .map(_.getName).filter(_.contains("__staging_"))
