@@ -189,6 +189,13 @@ object Dedup {
     * equi-join (AQE-skew-safe, never cartesian), DISTINCT over the
     * bounded candidate set, then the exact bit_count(XOR) verify — all
     * integer arithmetic, so the oracle replays bit-for-bit. */
+  /** The (id, hash) projection [[hammingNearDup]] checkpoints before its
+    * self-join — exposed so PlanShapeSpec can pin the fused-kernel scan
+    * stage the checkpoint hides from the outer plan. */
+  private[graft] def hammingHashFrame(df: DataFrame, idCol: String,
+                                      hashCol: String): DataFrame =
+    df.select(col(idCol).as("_id"), col(hashCol).cast("long").as("_dh"))
+
   def hammingNearDup(df: DataFrame, idCol: String, hashCol: String,
                      maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
@@ -197,8 +204,7 @@ object Dedup {
     // is typically a kernel over the full document text (TextDHash /
     // imageDHash), and both join sides must read the computed rows, not
     // re-run the kernel (the cosinePairs multi-consumer convention)
-    val h = checkpointStripped(
-      df.select(col(idCol).as("_id"), col(hashCol).cast("long").as("_dh")))
+    val h = checkpointStripped(hammingHashFrame(df, idCol, hashCol))
     val banded = h
       .select(col("_id"), col("_dh"),
         explode(array((0 until 4).map(lit(_)): _*)).as("b"))

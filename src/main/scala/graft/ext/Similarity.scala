@@ -182,16 +182,20 @@ object Similarity {
     * top-k frames — O(|src|·k + |tgt|·k) rows — checkpointed once for
     * their two consumers (mean + rerank); the rerank itself is equi-joins
     * on the vector ids plus the bounded TopK aggregator. The candidate
-    * GENERATOR here is brute force (exact, broadcast query side — the
-    * oracle's replayable baseline); at 100 TB both directions swap in the
-    * IVF shortlist generator ([[ivfTopK]], the q143/q144 pattern) and the
-    * margin layer is unchanged. */
+    * GENERATOR is a parameter with the [[bruteForceTopK]] contract
+    * (corpus, queries, idCol, vecCol, k) → (query_id, cand_id, sim):
+    * brute force by default (exact, broadcast query side — the oracle's
+    * replayable baseline); at 100 TB both directions swap in the IVF
+    * shortlist generator via [[marginMineIvf]] (the q143/q144 pattern)
+    * and the margin layer is unchanged. */
   def marginMine(src: DataFrame, tgt: DataFrame, idCol: String,
-                 vecCol: String, k: Int, threshold: Double = 1.05): DataFrame = {
+                 vecCol: String, k: Int, threshold: Double = 1.05,
+                 generator: (DataFrame, DataFrame, String, String, Int) => DataFrame =
+                   bruteForceTopK(_, _, _, _, _)): DataFrame = {
     val fwd = Dedup.checkpointStripped(
-      bruteForceTopK(tgt, src, idCol, vecCol, k))
+      generator(tgt, src, idCol, vecCol, k))
     val bwd = Dedup.checkpointStripped(
-      bruteForceTopK(src, tgt, idCol, vecCol, k))
+      generator(src, tgt, idCol, vecCol, k))
     def meanSim(nn: DataFrame, out: String) = nn.groupBy(col("query_id"))
       .agg((aggregate(
         sort_array(collect_list(struct(col("cand_id"), col("sim")))),
@@ -209,6 +213,28 @@ object Similarity {
           .cast("int").as("accepted"))
   }
 
+  /** [[marginMine]] with the IVF shortlist generator — the 100 TB shape:
+    * each direction builds its own coarse-quantizer index over its corpus
+    * side (the CCMatrix deployment: source and target corpora are indexed
+    * independently) and probes `nprobe` of `nlist` lists, so candidate
+    * generation is an equi-join keyed on list_id — each corpus vector
+    * meets only the queries probing its list, a 1/(nlist/nprobe) slice of
+    * the brute all-pairs comparison volume ([[ivfTopK]] broadcast-hints
+    * the probe side; when the mined corpora outgrow the broadcast
+    * threshold, dropping the hint turns the same plan into a shuffle hash
+    * join on list_id with AQE skew-splitting hot lists); the margin layer
+    * is byte-identical to the brute path. Recall contract: with
+    * nprobe = nlist the probe set covers
+    * every list, the candidate set equals all non-self pairs, and the
+    * result is EXACTLY [[marginMine]]'s (the ExtSpec law); with
+    * nprobe < nlist the shortlist can miss true neighbors and the miss
+    * rate is measurable with the q152 audit idiom. */
+  def marginMineIvf(src: DataFrame, tgt: DataFrame, idCol: String,
+                    vecCol: String, k: Int, threshold: Double = 1.05,
+                    nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    marginMine(src, tgt, idCol, vecCol, k, threshold,
+      (c, q, id, vc, kk) => ivfTopK(c, q, id, vc, kk, nlist, nprobe))
+
   /** k-NN majority-vote classification audit — the cheapest semi-supervised
     * quality-labeler over an embedding corpus (the data-level analogue of a
     * FineWeb-Edu-style classifier pass: propagate curator labels to the
@@ -221,15 +247,19 @@ object Similarity {
     * Scale shape: neighbor lists are the bounded TopK frames (O(probes·k));
     * the label join keys on the candidate id (fact-scale equi-join); votes
     * aggregate map-side on (probe, label); the vote winner reuses the
-    * bounded TopK aggregator — no windows anywhere. Brute-force generator
-    * for the oracle; IVF swaps in at scale (see [[marginMine]]). */
+    * bounded TopK aggregator — no windows anywhere. The neighbor GENERATOR
+    * is a parameter with the [[bruteForceTopK]] contract: brute force by
+    * default (the oracle's replayable baseline); [[knnClassifyIvf]] swaps
+    * in the IVF shortlist at scale. */
   def knnClassify(labeled: DataFrame, probes: DataFrame, idCol: String,
-                  vecCol: String, labelCol: String, k: Int): DataFrame = {
+                  vecCol: String, labelCol: String, k: Int,
+                  generator: (DataFrame, DataFrame, String, String, Int) => DataFrame =
+                    bruteForceTopK(_, _, _, _, _)): DataFrame = {
     // null-labeled rows can neither vote nor occupy a neighbor slot
     // (Scored.id is a primitive long) — excluded before the k-NN search
     val lab = labeled.filter(col(labelCol).isNotNull)
     val nn = Dedup.checkpointStripped(
-      bruteForceTopK(lab, probes, idCol, vecCol, k))
+      generator(lab, probes, idCol, vecCol, k))
     val votes = nn
       .join(lab.select(col(idCol).as("cand_id"),
         col(labelCol).cast("long").as("_lbl")), "cand_id")
@@ -247,6 +277,17 @@ object Similarity {
         when(col("_lbl") === col("true_label"), 1).otherwise(0)
           .cast("int").as("correct"))
   }
+
+  /** [[knnClassify]] with the IVF shortlist generator (see
+    * [[marginMineIvf]] for the recall contract): the labeled pool is
+    * indexed once, probes shortlist via nprobe lists — label propagation
+    * over a 100 TB pool without the broadcast all-pairs pass. nprobe =
+    * nlist reproduces [[knnClassify]] exactly (the ExtSpec law). */
+  def knnClassifyIvf(labeled: DataFrame, probes: DataFrame, idCol: String,
+                     vecCol: String, labelCol: String, k: Int,
+                     nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    knnClassify(labeled, probes, idCol, vecCol, labelCol, k,
+      (c, q, id, vc, kk) => ivfTopK(c, q, id, vc, kk, nlist, nprobe))
 
   /** All-pairs near-duplicate detection by cosine threshold, bounded to ids <
     * maxId (at scale, run on LSH-bucket candidates instead of all pairs). */

@@ -43,6 +43,20 @@ object SimilarityQueries {
       .transform(tinySort(_, col("query_id")))
   }
 
+  /** q168 — margin mining through the IVF shortlist generator
+    * ([[graft.ext.Similarity.marginMineIvf]], nlist = 8, nprobe = 2): the
+    * q166 miner with candidate generation swapped to the coarse-quantizer
+    * equi-join — each direction indexes its own corpus side (the CCMatrix
+    * deployment shape). Same margin layer, same output schema; the
+    * brute-vs-IVF recall accounting is the ExtSpec law. */
+  def q168MarginMiningIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = load(spark, dir, "embeddings")
+    Similarity.marginMineIvf(e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", k = 4,
+        nlist = 8, nprobe = 2)
+      .transform(tinySort(_, col("query_id")))
+  }
+
   /** q167 — k-NN majority-vote label audit
     * ([[graft.ext.Similarity.knnClassify]], k = 5): even-id vectors are
     * the labeled pool, odd-id the held-out probes; per probe the majority
@@ -246,6 +260,7 @@ object SimilarityQueries {
     "q47_ann_multiprobe" -> (q47AnnMultiProbe _),
     "q166_margin_mining" -> (q166MarginMining _),
     "q167_knn_label_audit" -> (q167KnnLabelAudit _),
+    "q168_margin_mining_ivf" -> (q168MarginMiningIvf _),
     "q50_banded_neardup" -> (q50BandedNearDup _),
     "q51_dup_clusters" -> (q51DupClusters _),
     "q60_semdedup" -> (q60SemDedup _)
@@ -598,6 +613,71 @@ object SimilarityQueries {
         | bwd AS (SELECT t.vec_id AS query_id, s.vec_id AS cand_id,
         |          round(list_cosine_similarity(t.v, s.v), 4) AS sim
         |         FROM t, s
+        |         QUALIFY row_number() OVER (PARTITION BY query_id
+        |           ORDER BY sim DESC, cand_id) <= 4),
+        | mf AS (SELECT query_id, list_reduce(list(sim ORDER BY cand_id),
+        |          (a, b) -> a + b) / CAST(COUNT(*) AS DOUBLE) AS m
+        |        FROM fwd GROUP BY query_id),
+        | mb AS (SELECT query_id, list_reduce(list(sim ORDER BY cand_id),
+        |          (a, b) -> a + b) / CAST(COUNT(*) AS DOUBLE) AS m
+        |        FROM bwd GROUP BY query_id),
+        | pr AS (SELECT f.query_id, f.cand_id, f.sim,
+        |          f.sim / ((mf.m + mb.m) / 2.0) AS margin
+        |        FROM fwd f JOIN mf ON mf.query_id = f.query_id
+        |                   JOIN mb ON mb.query_id = f.cand_id),
+        | best AS (SELECT * FROM pr
+        |          QUALIFY row_number() OVER (PARTITION BY query_id
+        |            ORDER BY margin DESC, cand_id) = 1)
+        |SELECT query_id, cand_id, sim, margin,
+        |  CAST(CASE WHEN margin >= 1.05 THEN 1 ELSE 0 END AS INTEGER) AS accepted
+        |FROM best ORDER BY query_id""".stripMargin,
+    /* q168: q166's margin layer verbatim, but fwd/bwd come from the q43
+     * IVF replay run per DIRECTION — each side's corpus samples its own
+     * 8 centroids in md5(id) order, assigns lists and probes 2 with the
+     * identical (s DESC, cid DESC) tie-break, and the 4-dp rounded
+     * re-rank keeps (sim DESC, cand_id). A query whose probed lists are
+     * empty simply has no rows; neighborhood means divide by the ACTUAL
+     * candidate count — both replayed exactly. */
+    "q168_margin_mining_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | s AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+        | t AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),
+        | centf AS (SELECT vec_id AS cid, v AS cv FROM t
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+        | asgnf AS (SELECT t.vec_id, c.cid,
+        |             round(list_cosine_similarity(t.v, c.cv), 4) AS sc
+        |           FROM t CROSS JOIN centf c),
+        | listf AS (SELECT vec_id, cid AS list_id FROM asgnf
+        |           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid DESC) = 1),
+        | probef AS (SELECT s.vec_id AS query_id, c.cid AS probe
+        |            FROM s CROSS JOIN centf c
+        |            QUALIFY row_number() OVER (PARTITION BY s.vec_id
+        |              ORDER BY round(list_cosine_similarity(s.v, c.cv), 4) DESC, c.cid DESC) <= 2),
+        | fwd AS (SELECT p.query_id, l.vec_id AS cand_id,
+        |           round(list_cosine_similarity(q.v, c.v), 4) AS sim
+        |         FROM probef p
+        |         JOIN listf l ON l.list_id = p.probe AND l.vec_id <> p.query_id
+        |         JOIN s q ON q.vec_id = p.query_id
+        |         JOIN t c ON c.vec_id = l.vec_id
+        |         QUALIFY row_number() OVER (PARTITION BY query_id
+        |           ORDER BY sim DESC, cand_id) <= 4),
+        | centb AS (SELECT vec_id AS cid, v AS cv FROM s
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+        | asgnb AS (SELECT s.vec_id, c.cid,
+        |             round(list_cosine_similarity(s.v, c.cv), 4) AS sc
+        |           FROM s CROSS JOIN centb c),
+        | listb AS (SELECT vec_id, cid AS list_id FROM asgnb
+        |           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid DESC) = 1),
+        | probeb AS (SELECT t.vec_id AS query_id, c.cid AS probe
+        |            FROM t CROSS JOIN centb c
+        |            QUALIFY row_number() OVER (PARTITION BY t.vec_id
+        |              ORDER BY round(list_cosine_similarity(t.v, c.cv), 4) DESC, c.cid DESC) <= 2),
+        | bwd AS (SELECT p.query_id, l.vec_id AS cand_id,
+        |           round(list_cosine_similarity(q.v, c.v), 4) AS sim
+        |         FROM probeb p
+        |         JOIN listb l ON l.list_id = p.probe AND l.vec_id <> p.query_id
+        |         JOIN t q ON q.vec_id = p.query_id
+        |         JOIN s c ON c.vec_id = l.vec_id
         |         QUALIFY row_number() OVER (PARTITION BY query_id
         |           ORDER BY sim DESC, cand_id) <= 4),
         | mf AS (SELECT query_id, list_reduce(list(sim ORDER BY cand_id),

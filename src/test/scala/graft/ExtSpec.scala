@@ -1238,6 +1238,16 @@ class ExtSpec extends AnyFunSuite {
     val out = Similarity.knnClassify(labeled, probes, "vec_id", "embedding",
         "label", k = 3)
       .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    // null-label exclusion: an unlabeled vector sitting closer than every
+    // labeled one must neither vote nor occupy a neighbor slot
+    val withNull = labeled.unionByName(
+      Seq((8L, Array(0.99f, 0.14f), Option.empty[Int]))
+        .toDF("vec_id", "embedding", "label"))
+    val out2 = Similarity.knnClassify(withNull, probes, "vec_id", "embedding",
+        "label", k = 3)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(out2.keySet == out.keySet &&
+      out.keySet.forall(k => out2(k).toString == out(k).toString))
     assert(out(1L).getAs[Long]("pred_label") == 2L)
     assert(out(1L).getAs[Long]("n_votes") == 2L)
     assert(out(1L).getAs[Int]("correct") == 1)
@@ -1245,5 +1255,41 @@ class ExtSpec extends AnyFunSuite {
     assert(out(3L).getAs[Long]("pred_label") == 1L)
     assert(out(3L).getAs[Long]("n_votes") == 1L)
     assert(out(3L).getAs[Int]("correct") == 1)
+  }
+
+  test("IVF generator swap: full-probe ≡ brute for marginMine and knnClassify; " +
+       "partial-probe recall accounted") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val src = emb.filter(col("vec_id") % 2 === 0)
+    val tgt = emb.filter(col("vec_id") % 2 === 1)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // LAW: nprobe = nlist probes every list → the IVF candidate set is all
+    // non-self pairs, so the whole miner is EXACTLY the brute-force one
+    val brute = Similarity.marginMine(src, tgt, "vec_id", "embedding", k = 3)
+    val full = Similarity.marginMineIvf(src, tgt, "vec_id", "embedding",
+      k = 3, nlist = 4, nprobe = 4)
+    assert(canon(full) == canon(brute))
+    // same law through the classifier (label column exists on embeddings)
+    val bruteK = Similarity.knnClassify(src, tgt, "vec_id", "embedding",
+      "label", k = 3)
+    val fullK = Similarity.knnClassifyIvf(src, tgt, "vec_id", "embedding",
+      "label", k = 3, nlist = 4, nprobe = 4)
+    assert(canon(fullK) == canon(bruteK))
+    // RECALL ACCOUNTING (the q152 audit idiom): with nprobe < nlist the
+    // shortlist may miss true neighbors — measure the partner agreement
+    // instead of asserting it
+    val part = Similarity.marginMineIvf(src, tgt, "vec_id", "embedding",
+      k = 3, nlist = 4, nprobe = 1)
+    val bRows = brute.collect().map(r =>
+      r.getAs[Long]("query_id") -> r.getAs[Long]("cand_id")).toMap
+    val pRows = part.collect().map(r =>
+      r.getAs[Long]("query_id") -> r.getAs[Long]("cand_id")).toMap
+    assert(pRows.nonEmpty && pRows.size <= bRows.size,
+      "partial probing never yields more mined sources than brute")
+    val agree = pRows.count { case (q, c) => bRows.get(q).contains(c) }
+    val agreeBp = agree * 10000L / pRows.size
+    assert(agreeBp >= 0L && agreeBp <= 10000L)
+    info(s"nprobe=1/4 partner agreement: $agree/${pRows.size} ($agreeBp bp)")
   }
 }

@@ -543,8 +543,16 @@ class PlanShapeSpec extends AnyFunSuite {
     // a cartesian/BNLJ here would mean the banding silently degenerated
     val plan = graft.queries.DedupQueries.q161HammingNearDup(spark, dir)
       .queryExecution.sparkPlan.toString
-    assert(plan.contains("graft_text_dhash"),
-      s"hash should come from the fused kernel:\n$plan")
+    // the checkpoint hides the scan stage from the outer plan — pin the
+    // kernel on the materialized-once hash frame itself
+    import org.apache.spark.sql.functions.col
+    val hashStage = graft.ext.Dedup.hammingHashFrame(
+        graft.util.Tables.load(spark, dir, "documents").select(col("doc_id"),
+          graft.functions.TextDHash.textDHash(col("text")).as("dhash")),
+        "doc_id", "dhash")
+      .queryExecution.sparkPlan.toString
+    assert(hashStage.contains("graft_text_dhash"),
+      s"hash should come from the fused kernel:\n$hashStage")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"band join must stay equi:\n$plan")
@@ -635,5 +643,39 @@ class PlanShapeSpec extends AnyFunSuite {
         !plan.contains("CartesianProduct"),
         s"equi-joins only:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q166/q167/q168: margin/vote layers windowless over checkpointed top-k; " +
+       "IVF generator is a list-keyed hash join") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.util.Tables.load(spark, dir, "embeddings")
+    val src = emb.filter(col("vec_id") % 2 === 0)
+    val tgt = emb.filter(col("vec_id") % 2 === 1)
+    // the visible (post-checkpoint) plans of the margin miner and the label
+    // auditor: the rerank/vote layers must be equi-joins + the bounded TopK
+    // aggregator — never a window, never a nested loop over pairs
+    Seq(
+      graft.ext.Similarity.marginMine(src, tgt, "vec_id", "embedding", 3),
+      graft.ext.Similarity.knnClassify(src, tgt, "vec_id", "embedding", "label", 3),
+      graft.ext.Similarity.marginMineIvf(src, tgt, "vec_id", "embedding", 3,
+        nlist = 4, nprobe = 2)
+    ).foreach { df =>
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(!plan.contains("Window"), s"windowless layer expected:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"equi-joins only above the checkpointed top-k frames:\n$plan")
+    }
+    // the IVF generator itself (checkpoints hide it from the plans above):
+    // candidate generation must key on list_id — a broadcast HASH join, not
+    // the brute-force nested loop
+    val gen = graft.ext.Similarity
+      .ivfTopK(tgt, src, "vec_id", "embedding", 3, nlist = 4, nprobe = 2)
+      .queryExecution.sparkPlan.toString
+    assert(gen.contains("BroadcastHashJoin"),
+      s"IVF candidates must come from the list-keyed hash join:\n$gen")
+    assert(!gen.contains("BroadcastNestedLoopJoin") &&
+      !gen.contains("CartesianProduct"),
+      s"no all-pairs stage inside the IVF generator:\n$gen")
   }
 }
