@@ -566,6 +566,60 @@ object Similarity {
         col("_drop").isNull.as("kept"))
   }
 
+  /** [[semDeDup]] with the keeper rule real corpus curation uses (FineWeb /
+    * SemDeDup §4 practice): in a near-duplicate pair, drop the LOWER-QUALITY
+    * member — id is only the tie-break — so the surviving representative of
+    * each duplicate neighborhood is its best document, not its accidental
+    * min-id one. Dominance per above-threshold pair: the loser is the side
+    * with the smaller (quality, −id) — i.e. lower quality, and on an exact
+    * quality tie the larger id, which makes CONSTANT quality reduce this
+    * operator to [[semDeDup]]'s keep-min-id exactly (the ExtSpec law).
+    * Like keep-min-id, dominance is per-pair, not per-component: a doc
+    * dropped by a better neighbor still drops ITS worse neighbors (the same
+    * transitivity behavior q60 has — a chain keeps only local maxima).
+    * Quality must be an engine-exact column (the q27 composite is proven
+    * bit-identical; integers trivially so) — dominance compares it raw.
+    *
+    * Scale shape: identical to [[semDeDup]] — map-side assignment against
+    * literal centroids, ONE list-keyed self-equi-join (AQE skew-split),
+    * quality rides the existing row (no extra join), drop set anti-joined
+    * without broadcast. */
+  def semDeDupKeepBest(emb: DataFrame, idCol: String, vecCol: String,
+                       qualityCol: String, threshold: Double,
+                       nlist: Int = 16): DataFrame = {
+    require(emb.schema(idCol).dataType == org.apache.spark.sql.types.LongType,
+      s"semDeDupKeepBest: id column '$idCol' must be LongType, got " +
+        s"${emb.schema(idCol).dataType.simpleString} — cast it upstream")
+    val e = emb.select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v"),
+      col(qualityCol).cast("double").as("_q"))
+    val cents: Array[(Long, Array[Double])] = e
+      .orderBy(md5(col("_id").cast("string").cast("binary")))
+      .limit(nlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val lists = e
+      .withColumn("_n", l2norm(col("_v")))
+      .withColumn("list_id", element_at(nearestIds(cents, col("_v"), 1), 1))
+    val a = lists.select(col("list_id"), col("_id").as("a_id"),
+      col("_v").as("av"), col("_n").as("an"), col("_q").as("aq"))
+    val dropped = a.join(
+        lists.select(col("list_id"), col("_id").as("b_id"),
+          col("_v").as("bv"), col("_n").as("bn"), col("_q").as("bq")),
+        Seq("list_id"))
+      .filter(col("a_id") < col("b_id") &&
+        cosineFromNorms(dot(col("av"), col("bv")), col("an"), col("bn")) > threshold)
+      // the dominated side: lower quality loses; an exact tie loses the
+      // larger id (b, since a_id < b_id) — the keep-min-id degeneration
+      .select(when(col("aq") < col("bq"), col("a_id"))
+        .otherwise(col("b_id")).as("_id"))
+      .distinct()
+    lists
+      .join(dropped.withColumn("_drop", lit(true)), Seq("_id"), "left")
+      .select(col("_id").as("vec_id"), col("list_id"), col("_q").as("quality"),
+        col("_drop").isNull.as("kept"))
+  }
+
   /** Product-quantization ANN top-k (Jégou, Douze & Schmid, TPAMI '11 —
     * the PQ/ADC construction behind FAISS's `IndexPQ`): the compressed-
     * domain completion of the quantization story begun by [[quantizeInt8]]

@@ -155,6 +155,48 @@ object Unigram {
         StructField("prob", DoubleType, nullable = false))))
   }
 
+  /** Character-coverage / OOV audit for a trained vocabulary — the
+    * SentencePiece `--character_coverage` decision input: per group
+    * (language), the raw code-point inventory of the corpus slice versus
+    * the vocabulary's single-character tier. Because the trainer floors
+    * every training-slice character at count 1 (never pruned), the
+    * single-char tier IS the training slice's char inventory — so a
+    * language scoring below 10000 bp here has characters the tokenizer
+    * can only handle through the kernel's char-wise coverage escape, and
+    * the bp number is exactly the occurrence mass that escape would carry.
+    *
+    * Columns (all exact integers): distinct chars seen / covered, char
+    * occurrences total / covered, occurrence-weighted `coverage_bp`
+    * (integer basis points — the `--character_coverage` number), and the
+    * smallest uncovered code point (NULL when fully covered; integer min,
+    * so no collation dependence).
+    *
+    * Scale shape: chars explode map-side off the word stream (spaces
+    * excluded, the trainer's convention); the ONE shuffle keys on
+    * (group, char) — an alphabet-bounded, map-side-combinable key space;
+    * the covered test is a literal IN over the alphabet-bounded vocab
+    * char set; the group rollup is bounded by |groups|. */
+  def charCoverageAudit(docs: DataFrame, groupCol: String, textCol: String,
+                        pieces: Seq[Piece]): DataFrame = {
+    val covered = pieces.filter(_.piece_len == 1).map(_.piece)
+    val occ = docs
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .select(col(groupCol),
+        explode(sequence(lit(1), length(col("word")))).as("p"), col("word"))
+      .select(col(groupCol), col("word").substr(col("p"), lit(1)).as("ch"))
+      .groupBy(col(groupCol), col("ch")).agg(count(lit(1)).as("occ"))
+      .withColumn("cov", col("ch").isInCollection(covered))
+    occ.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_chars_distinct"),
+        sum(when(col("cov"), 1L).otherwise(0L)).as("n_chars_covered"),
+        sum(col("occ")).as("occ_total"),
+        sum(when(col("cov"), col("occ")).otherwise(0L)).as("occ_covered"),
+        min(when(!col("cov"), ascii(col("ch")).cast("long")))
+          .as("min_uncovered_cp"))
+      .withColumn("coverage_bp", expr("(10000 * occ_covered) div occ_total"))
+  }
+
   /** Shared Viterbi (trainer + encode kernel): per DP cell (n pieces, end
     * j) keep the best (score DESC, path ASC in UTF-8 order) candidate;
     * return the best full path's pieces. Assumes every symbol of `syms`

@@ -217,6 +217,24 @@ object SimilarityQueries {
         threshold = 0.3, nlist = 16)
       .transform(tinySort(_, col("vec_id")))
 
+  /** q169 — SemDeDup, keep-best-quality ([[Similarity.semDeDupKeepBest]]):
+    * q60's clustering and pair detection with the keeper rule corpus
+    * curation actually ships (FineWeb practice) — the lower-QUALITY side
+    * of each near-dup pair drops, id only breaking exact ties. Quality is
+    * the q27 composite over the id-aligned documents table (one fused
+    * TextStats kernel pass, proven bit-identical to the oracle), riding
+    * the embedding row through the cluster join — no second corpus join. */
+  def q169SemDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val q = load(spark, dir, "documents").select(
+      col("doc_id").as("vec_id"),
+      graft.functions.TextStats.textStats(col("text"),
+        Seq("the", "a", "or", "and", "of")).getField("quality").as("q"))
+    Similarity.semDeDupKeepBest(
+        load(spark, dir, "embeddings").join(q, "vec_id"),
+        "vec_id", "embedding", "q", threshold = 0.3, nlist = 16)
+      .transform(tinySort(_, col("vec_id")))
+  }
+
   /** q68 — per-label int8 centroids ([[Similarity.labelCentroidsInt8]]):
     * exact BIGINT sums over the quantized space, one division per output
     * row. |labels|·dims output rows → [[tinySort]]. */
@@ -261,6 +279,7 @@ object SimilarityQueries {
     "q166_margin_mining" -> (q166MarginMining _),
     "q167_knn_label_audit" -> (q167KnnLabelAudit _),
     "q168_margin_mining_ivf" -> (q168MarginMiningIvf _),
+    "q169_semdedup_keepbest" -> (q169SemDedupKeepBest _),
     "q50_banded_neardup" -> (q50BandedNearDup _),
     "q51_dup_clusters" -> (q51DupClusters _),
     "q60_semdedup" -> (q60SemDedup _)
@@ -878,6 +897,36 @@ object SimilarityQueries {
      * sample, round(cos,4) DESC + cid DESC assignment tie-break), then the
      * within-cluster keep-min-id drop rule on the UNROUNDED cosine (the q26
      * convention; nearest pair sits 1.5e-5 from the 0.3 boundary at sf0.1). */
+    /* q169: q60's chain with the quality column joined on (the q27 m-CTE
+     * arithmetic verbatim — the unrounded composite is bit-identical across
+     * engines, so raw dominance comparisons replay exactly); the dominated
+     * side of each pair is the lower quality, exact ties drop the larger
+     * id (the keep-min-id degeneration). */
+    "q169_semdedup_keepbest" ->
+      """WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS toks, length(text) AS nc FROM documents),
+        | m AS (SELECT doc_id,
+        |   0.4 * (1.0 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / greatest(nc, 1))
+        |   + 0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+        |   + 0.3 * least(CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'or', 'and', 'of'))) AS DOUBLE) / greatest(len(toks), 1) * 5.0, 1.0) AS q
+        | FROM b),
+        | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, m.q
+        |       FROM embeddings JOIN m ON m.doc_id = embeddings.vec_id),
+        | cents AS (SELECT vec_id AS cid, v AS cv FROM e
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        | asgn AS (SELECT e.vec_id, c.cid,
+        |            round(list_cosine_similarity(e.v, c.cv), 4) AS s
+        |          FROM e CROSS JOIN cents c),
+        | lists AS (SELECT vec_id, cid AS list_id FROM asgn
+        |           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) = 1),
+        | le AS (SELECT l.vec_id, l.list_id, e.v, e.q FROM lists l JOIN e USING (vec_id)),
+        | dropped AS (SELECT DISTINCT CASE WHEN a.q < b.q THEN a.vec_id
+        |                                  ELSE b.vec_id END AS vec_id
+        |             FROM le a JOIN le b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        |             WHERE list_cosine_similarity(a.v, b.v) > 0.3)
+        |SELECT le.vec_id, CAST(le.list_id AS BIGINT) AS list_id, le.q AS quality,
+        |  (d.vec_id IS NULL) AS kept
+        |FROM le LEFT JOIN dropped d ON le.vec_id = d.vec_id
+        |ORDER BY le.vec_id""".stripMargin,
     "q60_semdedup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | cents AS (SELECT vec_id AS cid, v AS cv FROM e

@@ -88,6 +88,26 @@ object TextQueries {
       .transform(tinySort(_, col("bucket"), col("source")))
   }
 
+  /** q170 — tokenizer character-coverage / OOV audit
+    * ([[graft.ext.Unigram.charCoverageAudit]]): the SentencePiece
+    * `--character_coverage` decision table — train the unigram vocab on
+    * the ENGLISH slice only (the mono-lingual-vocab-for-a-multilingual-
+    * corpus question), then audit every language's code-point inventory
+    * and occurrence mass against the vocab's single-char tier. On this
+    * corpus every language shares the a–y alphabet, so coverage is
+    * 10000 bp across the board — that IS the measurement; the sub-10000
+    * branch (uncovered chars, min code point) is proven on a planted
+    * corpus in UnigramSpec. */
+  def q170CharCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val (vocabRows, _) = graft.ext.Unigram.learnVocab(
+      docs.filter(col("lang") === "en"), "text",
+      maxTypes = 50, maxPieceLen = 4, seedMulti = 120, emRounds = 2,
+      wordLenCap = 16)
+    graft.ext.Unigram.charCoverageAudit(docs, "lang", "text", vocabRows)
+      .transform(tinySort(_, col("lang")))
+  }
+
   /** q62 — corpus composition statistics ([[graft.ext.Corpus.sourceStats]]):
     * per (source, 100-char length bucket) — doc count, token volume, char
     * range, distinct langs. One map-side-combinable aggregation; output
@@ -402,7 +422,8 @@ object TextQueries {
     "q59_inverted_index" -> (q59InvertedIndex _),
     "q62_corpus_stats" -> (q62CorpusStats _),
     "q163_bm25_topk" -> (q163Bm25TopK _),
-    "q164_perplexity_buckets" -> (q164PerplexityBuckets _)
+    "q164_perplexity_buckets" -> (q164PerplexityBuckets _),
+    "q170_char_coverage" -> (q170CharCoverage _)
   )
 
   private val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
@@ -921,6 +942,36 @@ object TextQueries {
       s"""WITH $backoffPerDocCte
         |SELECT doc_id, n_scored, n_tri, n_bi, n_uni, n_oov, min_s, mean_s
         |FROM pd ORDER BY doc_id""".stripMargin,
+    /* q170: the vocab's single-char tier is EXACTLY the training slice's
+     * char inventory (characters are floored, never pruned; seeds and EM
+     * survivors are all length >= 2), so the oracle needs no EM replay —
+     * just the en slice's distinct word-chars as the covered set, and the
+     * same space-excluded char explosion per language. All outputs exact
+     * integers; the uncovered marker is an integer code-point min, never
+     * a collated string min. */
+    "q170_char_coverage" ->
+      """WITH wf AS (SELECT lang, word
+        |            FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+        |                  FROM documents)
+        |            WHERE word <> ''),
+        | cp AS (SELECT lang, substring(word, CAST(p AS INTEGER), 1) AS ch
+        |        FROM (SELECT lang, word,
+        |                unnest(generate_series(1, length(word))) AS p
+        |              FROM wf)),
+        | vch AS (SELECT DISTINCT ch FROM cp WHERE lang = 'en'),
+        | occ AS (SELECT lang, ch, CAST(COUNT(*) AS BIGINT) AS occ
+        |         FROM cp GROUP BY lang, ch),
+        | j AS (SELECT o.lang, o.ch, o.occ, (v.ch IS NOT NULL) AS cov
+        |       FROM occ o LEFT JOIN vch v ON o.ch = v.ch)
+        |SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chars_distinct,
+        |  CAST(SUM(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_covered,
+        |  CAST(SUM(occ) AS BIGINT) AS occ_total,
+        |  CAST(SUM(CASE WHEN cov THEN occ ELSE 0 END) AS BIGINT) AS occ_covered,
+        |  MIN(CASE WHEN NOT cov THEN CAST(unicode(ch) AS BIGINT) END) AS min_uncovered_cp,
+        |  (10000 * CAST(SUM(CASE WHEN cov THEN occ ELSE 0 END) AS BIGINT))
+        |    // CAST(SUM(occ) AS BIGINT) AS coverage_bp
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     /* q164: the q147 per-doc scores snapped to the 2^20 integer grid
      * (multiply + floor, exact on the bit-portable mean_s), tercile
      * thresholds from the key histogram in exact integer arithmetic

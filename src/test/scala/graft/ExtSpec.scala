@@ -1257,6 +1257,38 @@ class ExtSpec extends AnyFunSuite {
     assert(out(3L).getAs[Int]("correct") == 1)
   }
 
+  test("semDeDup keep-best-quality: constant quality ≡ keep-min-id; " +
+       "quality flips the keeper; ties degenerate") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("list_id"),
+        r.getAs[Boolean]("kept"))).sortBy(_._1).toSeq
+    // LAW: with every quality equal, the dominated side of each pair is
+    // the larger id — exactly semDeDup's keep-min-id verdicts
+    val base = Similarity.semDeDup(emb, "vec_id", "embedding",
+      threshold = 0.3, nlist = 8)
+    val const = Similarity.semDeDupKeepBest(
+      emb.withColumn("q", lit(1.0)), "vec_id", "embedding", "q",
+      threshold = 0.3, nlist = 8)
+    assert(canon(const) == canon(base))
+    // planted pair: two near-identical vectors, the HIGHER id carries the
+    // higher quality — keep-best must keep it where keep-min-id would not
+    val v = Array.tabulate(4)(i => 1.0f / (i + 1))
+    val pair = Seq(
+      (0L, v, 0.2), (1L, v.map(x => x * 0.999f), 0.9),
+      (2L, Array(-1.0f, 0.5f, -0.25f, 0.125f), 0.5) // far from both
+    ).toDF("vec_id", "embedding", "q")
+    val out = Similarity.semDeDupKeepBest(pair, "vec_id", "embedding", "q",
+        threshold = 0.3, nlist = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+    assert(!out(0L) && out(1L), "the better document wins regardless of id")
+    // quality rides through to the output column
+    val qs = Similarity.semDeDupKeepBest(pair, "vec_id", "embedding", "q",
+        threshold = 0.3, nlist = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("quality")).toMap
+    assert(qs(1L) == 0.9 && qs(0L) == 0.2)
+  }
+
   test("IVF generator swap: full-probe ≡ brute for marginMine and knnClassify; " +
        "partial-probe recall accounted") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
