@@ -89,13 +89,27 @@ object Similarity {
       .withColumn("centroid", col("sum_q").cast("double") / col("n").cast("double"))
   }
 
+  /** Widen a frame to the cluster's task slots when its source gives fewer
+    * splits: broadcast-join scan stages (nested-loop or hash) parallelize
+    * by the STREAMED side's partition count — at real scale file splits
+    * provide it for free, but a small local parquet collapses to one split
+    * and an O(|corpus|·|queries|) pair loop runs on one core (measured:
+    * q166's sf1 bench pinned a single thread for minutes). A cheap narrow
+    * shuffle locally; the no-op branch at scale. */
+  private def ensureSlots(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+  }
+
   /** Brute-force cosine top-k: for each query vector (broadcast), the k most
     * similar corpus vectors (excluding itself). Ranking uses the rounded
-    * similarity with id tie-break for full determinism. */
+    * similarity with id tie-break for full determinism. The streamed
+    * (corpus) side is widened via [[ensureSlots]] — see there. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("cn", l2norm(col("cv")))
+    val c = ensureSlots(corpus.select(col(idCol).as("cand_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", l2norm(col("cv"))))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", l2norm(col("qv")))
     val sims = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
@@ -434,7 +448,8 @@ object Similarity {
     require(corpus.schema(idCol).dataType == org.apache.spark.sql.types.LongType,
       s"ivfTopK: id column '$idCol' must be LongType, got " +
         s"${corpus.schema(idCol).dataType.simpleString} — cast it upstream")
-    val e = corpus.select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
+    val e = ensureSlots(corpus.select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v")))
     // the Lloyd path runs 1 + iterations full-corpus actions (sample, then
     // one assignment+means pass per iteration) — cache the projected
     // embeddings for the duration so each pass reads memory blocks, not the
