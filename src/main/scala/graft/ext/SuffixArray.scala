@@ -1,0 +1,131 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact repeated-substring detection via a k-order suffix array — the
+  * EXACT tier of the span-dedup family (Lee et al. 2021 "Deduplicating
+  * Training Data" build a suffix array over the tokenized corpus and drop
+  * every ≥ 50-token repeat; the winnow operators q115/q116/q120 are the
+  * SAMPLED approximation of the same structure, cf.
+  * `/root/reference` transform-stage dedup semantics).
+  *
+  * Design choices, each load-bearing at 100 TB:
+  *
+  *   - WORD-START suffixes, not every byte: dedup practice is token-level
+  *     (a repeat that starts mid-word is headed by one that starts at the
+  *     word), so the suffix count is the corpus WORD count (~5–6× fewer
+  *     rows than chars).
+  *   - k-ORDER ranking (sort by the k-char suffix prefix, k = 64 default):
+  *     a full suffix sort needs prefix doubling (log(maxlen) global
+  *     sort+join rounds — Flick & Aluru SC'15); with the comparison capped
+  *     at k chars the ONE range-partitioned sort on the k-byte prefix IS
+  *     the suffix array restricted to ≤ k-char structure, which is all a
+  *     repeated-span detector with minLen ≤ k consumes. Prefix doubling
+  *     only pays when k must be unbounded — documented trade, not a
+  *     shortcut: the operator REQUIRES minLen ≤ k.
+  *   - Adjacent-LCP only: lcp(rank i, rank i+1) lower-bounds the lcp of
+  *     every pair spanning them, so every maximal ≥ L repeat surfaces on
+  *     at least one ADJACENT pair — O(suffixes) comparisons, never the
+  *     quadratic pair set.
+  *
+  * Scale shape: one corpus-scale range-partitioned sort (the thing a
+  * suffix array IS), per-partition windows only ([[globalRowNumber]] —
+  * zero unpartitioned windows, the AuditWindows invariant), one equi-join
+  * on the dense rank for adjacency, and the LCP codegen kernel
+  * ([[graft.functions.LcpPrefix]]) per adjacent pair.
+  */
+object SuffixArray {
+
+  /** Global row number without an unpartitioned window — the two-phase
+    * distributed ranking: range-partition on the sort key (equal keys
+    * co-locate; our keys are unique so the total order is deterministic),
+    * `row_number` WITHIN each partition, then add per-partition offsets
+    * from a partition-count table bounded by the partition count (the
+    * constant-key cumulative window over a BOUNDED frame — the tokenVocab
+    * convention). The range exchange feeding both the ranked rows and the
+    * count table is deduplicated by ReuseExchange. */
+  private[graft] def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
+                                     out: String): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    val ranged = df.repartitionByRange(slots, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    val local = ranged.withColumn("_lrn",
+      row_number().over(Window.partitionBy(col("_pid")).orderBy(sortCols: _*))
+        .cast("long"))
+    val one = substring(col("_pid").cast("string"), 0, 0)
+    val offs = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(
+        sum(col("_c")).over(Window.partitionBy(one).orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    local.join(broadcast(offs), "_pid")
+      .withColumn(out, col("_off") + col("_lrn"))
+      .drop("_pid", "_lrn", "_off")
+  }
+
+  /** The k-order suffix array: one row per word-start suffix with its
+    * 1-based code-point offset, k-char prefix, and dense global rank in
+    * (prefix, doc, off) order — a UNIQUE sort key, so the rank is total
+    * and engine-deterministic. Word offsets come from a per-doc running
+    * sum over the split positions (empty split cells — consecutive
+    * spaces — contribute their separator before being dropped, so
+    * offsets stay exact). */
+  def suffixArrayK(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val words = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("_text"),
+        posexplode(split(col(textCol), " ")).as(Seq("_wi", "_w")))
+      .withColumn("off", coalesce(
+        sum(length(col("_w")) + 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("_wi"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1L)
+      .filter(col("_w") =!= "")
+      .select(col("doc_id"), col("off"),
+        col("_text").substr(col("off").cast("int"), lit(k)).as("prefix"))
+    globalRowNumber(words, Seq(col("prefix"), col("doc_id"), col("off")), "rank")
+      .select(col("rank"), col("doc_id"), col("off"), col("prefix"))
+  }
+
+  /** [[suffixArrayK]] plus the adjacent LCP: per suffix, the code-point
+    * common-prefix length with its rank-predecessor (0 for rank 1 —
+    * left join, never a window). This is the complete repeated-substring
+    * index: max over the column = longest repeat (≤ k), and any ≥ L
+    * repeat shows as some row with lcp_prev ≥ L. */
+  def adjacentLcp(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 64): DataFrame = {
+    val sa = suffixArrayK(docs, idCol, textCol, k)
+    val prev = sa.select((col("rank") + 1L).as("rank"),
+      col("doc_id").as("prev_doc"), col("off").as("prev_off"),
+      col("prefix").as("_pp"))
+    sa.join(prev, Seq("rank"), "left")
+      .select(col("rank"), col("doc_id"), col("off"), col("prefix"),
+        col("prev_doc"), col("prev_off"),
+        coalesce(graft.functions.LcpPrefix.lcp(col("_pp"), col("prefix")),
+          lit(0)).cast("long").as("lcp_prev"))
+  }
+
+  /** Exact repeated spans ≥ `minLen` chars across DIFFERENT documents —
+    * the exact counterpart of the winnowed q115 detector: rank-adjacent
+    * suffix pairs from different docs whose LCP reaches the bar, with the
+    * shared span text. Every maximal cross-doc repeat ≥ minLen surfaces
+    * through at least one adjacent pair whose mid-run suffixes share it
+    * (suffixes of one doc's copy sort between suffixes of the other's).
+    * Output is bounded by the suffix count, and in practice by the
+    * corpus' true duplicate structure. minLen ≤ k is REQUIRED — beyond k
+    * the prefixes can't witness the repeat. */
+  def exactRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                         minLen: Int, k: Int = 64): DataFrame = {
+    require(minLen >= 1 && minLen <= k,
+      s"need 1 <= minLen ($minLen) <= k ($k): a k-char prefix cannot " +
+        "witness a longer repeat")
+    adjacentLcp(docs, idCol, textCol, k)
+      .filter(col("lcp_prev") >= minLen && col("prev_doc") =!= col("doc_id"))
+      .select(col("prev_doc").as("doc_a"), col("prev_off").as("off_a"),
+        col("doc_id").as("doc_b"), col("off"). as("off_b"),
+        col("lcp_prev").as("lcp"),
+        col("prefix").substr(lit(1), col("lcp_prev").cast("int")).as("span"))
+  }
+}

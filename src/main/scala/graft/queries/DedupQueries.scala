@@ -298,7 +298,34 @@ object DedupQueries {
         "doc_id", "text")
       .transform(tinySort(_, col("bands")))
 
+  /** q171 — k-order suffix array + adjacent LCP
+    * ([[graft.ext.SuffixArray.adjacentLcp]], Lee et al. 2021's exact
+    * index; winnow q115 is its sampled approximation): every word-start
+    * suffix ranked by its 64-char prefix (range-partitioned sort + the
+    * two-phase row number — no unpartitioned window), LCP with the rank
+    * predecessor via the codegen kernel. The dump drops the bulky prefix
+    * column (rank/off/lcp pin the structure; the oracle recomputes
+    * prefixes anyway). */
+  def q171SuffixArray(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.SuffixArray.adjacentLcp(
+        load(spark, dir, "documents"), "doc_id", "text", k = 64)
+      .select(col("rank"), col("doc_id"), col("off"),
+        coalesce(col("prev_doc"), lit(-1L)).as("prev_doc"),
+        coalesce(col("prev_off"), lit(-1L)).as("prev_off"), col("lcp_prev"))
+      .transform(tinySort(_, col("rank")))
+
+  /** q172 — exact cross-doc repeated spans ≥ 20 chars
+    * ([[graft.ext.SuffixArray.exactRepeatedSpans]]): the exact
+    * counterpart of q115's winnowed overlap — rank-adjacent suffix pairs
+    * from different documents with LCP ≥ 20, shared span included. */
+  def q172ExactSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.SuffixArray.exactRepeatedSpans(
+        load(spark, dir, "documents"), "doc_id", "text", minLen = 20, k = 64)
+      .transform(tinySort(_, col("doc_a"), col("off_a"), col("doc_b"), col("off_b")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_suffix_array" -> (q171SuffixArray _),
+    "q172_exact_spans" -> (q172ExactSpans _),
     "q156_dedup_yield" -> (q156DedupYield _),
     "q142_lsh_plan" -> (q142LshPlan _),
     "q120_span_rewrite" -> (q120SpanRewrite _),
@@ -355,7 +382,52 @@ object DedupQueries {
        |        FROM fpk a JOIN fpk b ON a.hv = b.hv AND a.doc_id < b.doc_id
        |        GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
 
+  /** The q171 CTE chain (word offsets → 64-char suffix prefixes → unique
+    * total order → adjacency + correlated LCP) — shared verbatim by the
+    * q172 oracle so index and extractor can never drift. The oracle may
+    * rank with one global window (DuckDB side only); the ENGINE ranks via
+    * the two-phase partitioned row number. LCP replays as "max i with
+    * equal i-char prefixes", capped at the shorter prefix — exactly the
+    * kernel's complete-code-point walk. */
+  private def suffixCtes: String =
+    """sp AS (SELECT doc_id, text, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS wi
+      |       FROM documents),
+      | offs AS (SELECT doc_id, text, w,
+      |     COALESCE(SUM(length(w) + 1) OVER (PARTITION BY doc_id ORDER BY wi
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS off
+      |   FROM sp),
+      | sfx AS (SELECT doc_id, CAST(off AS BIGINT) AS off,
+      |           substring(text, CAST(off AS INTEGER), 64) AS prefix
+      |         FROM offs WHERE w <> ''),
+      | ranked AS (SELECT doc_id, off, prefix,
+      |     CAST(row_number() OVER (ORDER BY prefix, doc_id, off) AS BIGINT) AS rank
+      |   FROM sfx),
+      | adj AS (SELECT r.rank, r.doc_id, r.off, r.prefix,
+      |           p.doc_id AS prev_doc, p.off AS prev_off, p.prefix AS pp
+      |         FROM ranked r LEFT JOIN ranked p ON p.rank = r.rank - 1),
+      | lcps AS (SELECT rank, doc_id, off, prefix, prev_doc, prev_off,
+      |     CAST(COALESCE((SELECT max(i) FROM generate_series(1, 64) g(i)
+      |       WHERE i <= least(length(pp), length(prefix))
+      |         AND substring(pp, 1, CAST(i AS INTEGER)) =
+      |             substring(prefix, 1, CAST(i AS INTEGER))), 0) AS BIGINT) AS lcp_prev
+      |   FROM adj)""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q171_suffix_array" ->
+      s"""WITH $suffixCtes
+        |SELECT rank, doc_id, off,
+        |  COALESCE(prev_doc, -1) AS prev_doc,
+        |  COALESCE(prev_off, -1) AS prev_off, lcp_prev
+        |FROM lcps ORDER BY rank""".stripMargin,
+    "q172_exact_spans" ->
+      s"""WITH $suffixCtes
+        |SELECT prev_doc AS doc_a, prev_off AS off_a,
+        |  doc_id AS doc_b, off AS off_b, lcp_prev AS lcp,
+        |  substring(prefix, 1, CAST(lcp_prev AS INTEGER)) AS span
+        |FROM lcps
+        |WHERE lcp_prev >= 20 AND prev_doc <> doc_id
+        |ORDER BY doc_a, off_a, doc_b, off_b""".stripMargin,
     /* q156: re-crawl union, md5-of-normalized fingerprints, min-id keeper
      * join, two source rollups, exact-bp ratios. */
     "q156_dedup_yield" ->

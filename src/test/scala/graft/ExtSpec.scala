@@ -1257,6 +1257,60 @@ class ExtSpec extends AnyFunSuite {
     assert(out(3L).getAs[Int]("correct") == 1)
   }
 
+  test("LCP kernel: code-point exact, multibyte-safe, caps at shorter string") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def lcp(a: String, b: String) = graft.functions.LcpPrefixKernel.compute(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+    assert(lcp("abcd", "abxy") == 2)
+    assert(lcp("abc", "abc") == 3)
+    assert(lcp("abc", "abcdef") == 3, "caps at the shorter string")
+    assert(lcp("", "abc") == 0 && lcp("x", "y") == 0)
+    // multibyte: é is 2 bytes; common prefix "aé" = 2 code points
+    assert(lcp("aéx", "aéy") == 2)
+    // ÿ (C3 BF) vs é (C3 A9) share their FIRST byte — a divergence inside
+    // a multibyte sequence must not count a partial code point
+    assert(lcp("aÿ", "aé") == 1)
+    assert(lcp("日本語x", "日本語y") == 3)
+  }
+
+  test("suffix array: two-phase rank ≡ global sort; planted exact repeat " +
+       "surfaces with its span; window-free rank is partition-invariant") {
+    import graft.ext.SuffixArray
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "an utterly different sentence with no overlap at all"),
+      (3L, "said the quick brown fox jumps over the lazy dog again")
+    ).toDF("doc_id", "text")
+    val sa = SuffixArray.suffixArrayK(docs, "doc_id", "text", k = 64).collect()
+    // the rank IS the (prefix, doc, off) sort position — replay in-JVM
+    val byRank = sa.sortBy(_.getAs[Long]("rank"))
+    val sorted = sa.sortBy(r => (r.getAs[String]("prefix"),
+      r.getAs[Long]("doc_id"), r.getAs[Long]("off")))
+    assert(byRank.map(_.toString).toSeq == sorted.map(_.toString).toSeq)
+    assert(byRank.map(_.getAs[Long]("rank")).toSeq ==
+      (1L to sa.length.toLong), "ranks are dense from 1")
+    // offsets index the text exactly: every suffix prefix is substring(text, off)
+    val texts = Map(1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "an utterly different sentence with no overlap at all",
+      3L -> "said the quick brown fox jumps over the lazy dog again")
+    sa.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      val off = r.getAs[Long]("off").toInt
+      assert(t.substring(off - 1).take(64) == r.getAs[String]("prefix"))
+    }
+    // the planted 44-char shared span surfaces exactly once, cross-doc
+    val spans = SuffixArray.exactRepeatedSpans(docs, "doc_id", "text",
+      minLen = 40, k = 64).collect()
+    assert(spans.exists(r => r.getAs[String]("span") ==
+      "the quick brown fox jumps over the lazy dog "),
+      s"planted span missing from: ${spans.mkString("; ")}")
+    assert(spans.forall(r => r.getAs[Long]("doc_a") != r.getAs[Long]("doc_b")))
+    // partition invariance: rank assignment is independent of input splits
+    val sa1 = SuffixArray.suffixArrayK(docs.repartition(7), "doc_id", "text", 64)
+      .collect().map(_.toString).sorted.toSeq
+    assert(sa1 == sa.map(_.toString).sorted.toSeq)
+  }
+
   test("semDeDup keep-best-quality: constant quality ≡ keep-min-id; " +
        "quality flips the keeper; ties degenerate") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -645,6 +645,40 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q171/q172 suffix array: range-partitioned rank, no unpartitioned window, " +
+       "adjacency is an equi-join, LCP is the kernel") {
+    val qe = graft.queries.DedupQueries.q171SuffixArray(spark, dir)
+      .queryExecution
+    val plan = qe.sparkPlan.toString
+    // the suffix sort IS a range exchange; ranking windows must all carry
+    // a partition key (spark_partition_id / doc_id / the bounded
+    // constant-key offset table) — an unpartitioned global window here
+    // would serialize the corpus through one task
+    assert(plan.contains("rangepartitioning"),
+      s"suffix order should come from a range exchange:\n$plan")
+    assert(plan.contains("graft_lcp"),
+      s"adjacent LCP should be the codegen kernel:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"rank adjacency must be an equi-join:\n$plan")
+    // the AuditWindows invariant, asserted structurally on this plan:
+    // every WindowExec carries a non-empty partition spec
+    def unpartitioned(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+      val here = p match {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => Seq(w)
+        case _ => Seq.empty
+      }
+      here ++ p.children.flatMap(unpartitioned) ++
+        p.subqueries.flatMap(unpartitioned)
+    }
+    val wins = "Window".r.findAllIn(plan).length
+    assert(wins >= 1, s"expected ranking windows in the plan:\n$plan")
+    assert(unpartitioned(qe.sparkPlan).isEmpty,
+      s"unpartitioned WindowExec in the suffix rank:\n$plan")
+  }
+
   test("q166/q167/q168: margin/vote layers windowless over checkpointed top-k; " +
        "IVF generator is a list-keyed hash join") {
     import org.apache.spark.sql.functions.col
