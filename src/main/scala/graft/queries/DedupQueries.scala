@@ -323,9 +323,33 @@ object DedupQueries {
         load(spark, dir, "documents"), "doc_id", "text", minLen = 20, k = 64)
       .transform(tinySort(_, col("doc_a"), col("off_a"), col("doc_b"), col("off_b")))
 
+  /** q173 — exact-discovery span rewrite: q120's rewrite machinery
+    * ([[graft.ext.Dedup.removeSharedSpans]]) fed by the EXACT pair
+    * discovery of q172 instead of winnow sampling — the full Lee et al.
+    * loop with structural recall at the discovery tier (exact finds 1124
+    * doc pairs at sf0.01 where winnow's sampled fingerprints find far
+    * fewer). Canonical (least, greatest) pairs, per-doc pair cap 4 (the
+    * q158 both-endpoints rule — bounds each doc's per-pair-quadratic
+    * rewrite cost on duplicate-heavy crawls), runs ≥ 4 tokens (≈ the
+    * 20-char discovery bar) removed from the higher-id doc. */
+  def q173ExactSpanRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .select("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val pairs = graft.ext.SuffixArray.exactRepeatedSpans(
+        docs, "doc_id", "text", minLen = 20, k = 64)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+    Dedup.removeSharedSpans(docs, pairs, "doc_id", "text", minRun = 4,
+        maxPairsPerDoc = Some(4))
+      .transform(tinySort(_, col("doc_id")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_suffix_array" -> (q171SuffixArray _),
     "q172_exact_spans" -> (q172ExactSpans _),
+    "q173_exact_span_rewrite" -> (q173ExactSpanRewrite _),
     "q156_dedup_yield" -> (q156DedupYield _),
     "q142_lsh_plan" -> (q142LshPlan _),
     "q120_span_rewrite" -> (q120SpanRewrite _),
@@ -428,6 +452,48 @@ object DedupQueries {
         |FROM lcps
         |WHERE lcp_prev >= 20 AND prev_doc <> doc_id
         |ORDER BY doc_a, off_a, doc_b, off_b""".stripMargin,
+    /* q173: the q172 pair set canonicalized, the q158 both-endpoints
+     * top-4 cap (score-free → partner asc; no ties, so row_number is the
+     * aggregator's order), then the q120 rewrite chain verbatim with
+     * run >= 4. */
+    "q173_exact_span_rewrite" ->
+      s"""WITH $suffixCtes,
+        | pr0 AS (SELECT DISTINCT least(prev_doc, doc_id) AS doc_a,
+        |           greatest(prev_doc, doc_id) AS doc_b
+        |         FROM lcps WHERE lcp_prev >= 20 AND prev_doc <> doc_id),
+        | dbl AS (SELECT doc_a AS d, doc_b AS partner FROM pr0
+        |         UNION ALL SELECT doc_b, doc_a FROM pr0),
+        | keepr AS (SELECT d, partner FROM dbl
+        |           QUALIFY row_number() OVER (PARTITION BY d ORDER BY partner) <= 4),
+        | pr AS (SELECT pr0.doc_a, pr0.doc_b FROM pr0
+        |        JOIN keepr k1 ON k1.d = pr0.doc_a AND k1.partner = pr0.doc_b
+        |        JOIN keepr k2 ON k2.d = pr0.doc_b AND k2.partner = pr0.doc_a),
+        | b2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | tk AS (SELECT doc_id, unnest(ws) AS tok,
+        |          generate_subscripts(ws, 1) AS p FROM b2),
+        | mm AS (SELECT pr.doc_a, pr.doc_b, ta.p AS i, ta.p - tb.p AS d
+        |        FROM pr JOIN tk ta ON ta.doc_id = pr.doc_a
+        |                JOIN tk tb ON tb.doc_id = pr.doc_b AND tb.tok = ta.tok),
+        | isl AS (SELECT doc_a, doc_b, d, i,
+        |           i - row_number() OVER (PARTITION BY doc_a, doc_b, d
+        |                                  ORDER BY i) AS grp
+        |         FROM mm),
+        | runs AS (SELECT doc_a, doc_b, d, grp, COUNT(*) AS run
+        |          FROM isl GROUP BY 1, 2, 3, 4),
+        | rem AS (SELECT DISTINCT isl.doc_b AS doc_id, isl.i - isl.d AS p
+        |         FROM isl JOIN runs USING (doc_a, doc_b, d, grp)
+        |         WHERE runs.run >= 4),
+        | aff AS (SELECT DISTINCT doc_id FROM rem)
+        |SELECT t.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(r.p) AS BIGINT) AS n_removed,
+        |  md5(COALESCE(array_to_string(
+        |    list(t.tok ORDER BY t.p) FILTER (WHERE r.p IS NULL), ' '), ''))
+        |    AS kept_fp
+        |FROM tk t JOIN aff USING (doc_id)
+        |LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.p = t.p
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     /* q156: re-crawl union, md5-of-normalized fingerprints, min-id keeper
      * join, two source rollups, exact-bp ratios. */
     "q156_dedup_yield" ->

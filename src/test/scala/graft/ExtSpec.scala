@@ -1309,6 +1309,18 @@ class ExtSpec extends AnyFunSuite {
     val sa1 = SuffixArray.suffixArrayK(docs.repartition(7), "doc_id", "text", 64)
       .collect().map(_.toString).sorted.toSeq
     assert(sa1 == sa.map(_.toString).sorted.toSeq)
+    // q173 composition: exact pairs through the rewrite machinery strip
+    // the shared run from the HIGHER-id doc only
+    val pairs = SuffixArray.exactRepeatedSpans(docs, "doc_id", "text", 40, 64)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b")).distinct()
+    val rw = Dedup.removeSharedSpans(docs, pairs, "doc_id", "text",
+        minRun = 4, maxPairsPerDoc = Some(4))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rw.keySet == Set(3L), "only the higher-id pair member rewrites")
+    assert(rw(3L).getAs[Long]("n_removed") == 9L,
+      "the 9 tokens of the shared run go")
+    assert(rw(3L).getAs[Long]("n_tokens") == 11L)
   }
 
   test("semDeDup keep-best-quality: constant quality ≡ keep-min-id; " +
