@@ -101,24 +101,58 @@ object Similarity {
     if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
   }
 
-  /** Brute-force cosine top-k: for each query vector (broadcast), the k most
-    * similar corpus vectors (excluding itself). Ranking uses the rounded
-    * similarity with id tie-break for full determinism. The streamed
-    * (corpus) side is widened via [[ensureSlots]] — see there. */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                     vecCol: String, k: Int): DataFrame = {
+  /** The all-pairs rounded-cosine frame both brute rankers consume:
+    * (query_id, cand_id, sim) for every non-self pair, computed map-side
+    * against the broadcast query set with per-vector norms. */
+  private def pairSims(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String): DataFrame = {
     val c = ensureSlots(corpus.select(col(idCol).as("cand_id"),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", l2norm(col("cv"))))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", l2norm(col("qv")))
-    val sims = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+    c.join(broadcast(q), col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
         round(cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")), 4).as("sim"))
+  }
+
+  /** Brute-force cosine top-k: for each query vector (broadcast), the k most
+    * similar corpus vectors (excluding itself). Ranking uses the rounded
+    * similarity with id tie-break for full determinism. The streamed
+    * (corpus) side is widened via [[ensureSlots]] — see there. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame =
     // bounded map-side top-k aggregation: the shuffle carries O(queries·k)
     // rows, vs. the window form shuffling every (query, candidate) pair
-    TopK.topKPerGroup(sims, "query_id", "cand_id", "sim", k)
+    TopK.topKPerGroup(pairSims(corpus, queries, idCol, vecCol),
+        "query_id", "cand_id", "sim", k)
       .select(col("query_id"), col("cand_id"), col("sim"))
+
+  /** Hard-negative mining — the contrastive-training data op (SimCSE /
+    * DPR / SBERT practice: the best negatives are the most similar
+    * candidates that are NOT matches): per query, the top-k candidates by
+    * similarity STRICTLY BELOW `ceil` (set it to the corpus' near-dup
+    * threshold — q26's 0.45 — so dups can't leak into the negative set)
+    * and at or above `floor` (excludes easy negatives that teach
+    * nothing). The band test runs on the ROUNDED sim (the established
+    * engine boundary), so membership is bit-portable.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — the band filter
+    * applies map-side BEFORE the bounded TopK aggregation (filtering
+    * after a plain top-k would return fewer than k, or none, for
+    * duplicate-heavy queries); the shuffle still carries O(queries·k).
+    * At 100 TB the IVF shortlist generator does NOT substitute directly —
+    * its shortlist is top-k overall, which duplicates can crowd out;
+    * widen the shortlist (k·probe-depth) before banding instead. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, ceil: Double,
+                    floor: Double = 0.0): DataFrame = {
+    require(floor < ceil, s"need floor ($floor) < ceil ($ceil)")
+    val banded = pairSims(corpus, queries, idCol, vecCol)
+      .filter(col("sim") < ceil && col("sim") >= floor)
+    TopK.topKPerGroup(banded, "query_id", "cand_id", "sim", k)
+      .select(col("query_id"), col("cand_id"), col("sim"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** Truncated-dimension retrieval audit (the Matryoshka question —

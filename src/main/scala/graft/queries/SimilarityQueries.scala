@@ -235,6 +235,18 @@ object SimilarityQueries {
       .transform(tinySort(_, col("vec_id")))
   }
 
+  /** q174 — hard-negative mining ([[Similarity.hardNegatives]], k = 3,
+    * band [0, 0.45)): per even-id anchor, the three most similar vectors
+    * strictly below the q26 near-dup threshold — the contrastive-pair
+    * table an embedding-training pipeline exports. Rank included so the
+    * negative ORDER (hardest first) is part of the checked contract. */
+  def q174HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = load(spark, dir, "embeddings")
+    Similarity.hardNegatives(e, e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", k = 3, ceil = 0.45, floor = 0.0)
+      .transform(tinySort(_, col("query_id"), col("rank")))
+  }
+
   /** q68 — per-label int8 centroids ([[Similarity.labelCentroidsInt8]]):
     * exact BIGINT sums over the quantized space, one division per output
     * row. |labels|·dims output rows → [[tinySort]]. */
@@ -280,6 +292,7 @@ object SimilarityQueries {
     "q167_knn_label_audit" -> (q167KnnLabelAudit _),
     "q168_margin_mining_ivf" -> (q168MarginMiningIvf _),
     "q169_semdedup_keepbest" -> (q169SemDedupKeepBest _),
+    "q174_hard_negatives" -> (q174HardNegatives _),
     "q50_banded_neardup" -> (q50BandedNearDup _),
     "q51_dup_clusters" -> (q51DupClusters _),
     "q60_semdedup" -> (q60SemDedup _)
@@ -615,6 +628,22 @@ object SimilarityQueries {
         |SELECT query_id, cand_id, sim FROM s
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) <= 5
         |ORDER BY query_id, cand_id""".stripMargin,
+    /* q174: the q25 chain with the negative band applied BEFORE the rank
+     * — membership tests run on the rounded sim, rank rides out as part
+     * of the contract (hardest negatives first). */
+    "q174_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | q AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+        | s AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         round(list_cosine_similarity(q.v, c.v), 4) AS sim
+        |       FROM q, e c WHERE c.vec_id <> q.vec_id),
+        | b AS (SELECT * FROM s WHERE sim < 0.45 AND sim >= 0.0)
+        |SELECT query_id, cand_id, sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
+        |FROM b
+        |QUALIFY rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     /* q166: the margin arithmetic replays the Spark tree exactly — 4-dp
      * cosines, neighborhood sums folded in cand-id order (list_reduce ==
      * the 0.0-init Spark fold), one division by the neighbor count, and

@@ -1257,6 +1257,28 @@ class ExtSpec extends AnyFunSuite {
     assert(out(3L).getAs[Int]("correct") == 1)
   }
 
+  test("hard negatives: dups above the ceiling never leak; hardest in-band wins") {
+    // anchor 0 has a near-dup (1, cos≈1) above the 0.45 ceiling, a hard
+    // negative (3, cos≈0.39 in band) and an easy one (5, cos≈0.09)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.999f, 0.045f)),   // near-dup — must NOT appear
+      (3L, Array(0.92f, 2.17f)),     // cos ≈ 0.39 — the hard negative
+      (5L, Array(0.09f, 1.0f))       // cos ≈ 0.09 — easy
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 2, ceil = 0.45)
+      .orderBy(col("rank")).collect()
+    assert(out.map(_.getAs[Long]("cand_id")).toSeq == Seq(3L, 5L),
+      "band-filtered, hardest first")
+    assert(out.forall(r => r.getAs[Double]("sim") < 0.45 &&
+      r.getAs[Double]("sim") >= 0.0))
+    // the floor excludes easy negatives when raised
+    val floored = Similarity.hardNegatives(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 2, ceil = 0.45, floor = 0.2).collect()
+    assert(floored.map(_.getAs[Long]("cand_id")).toSeq == Seq(3L))
+  }
+
   test("LCP kernel: code-point exact, multibyte-safe, caps at shorter string") {
     import org.apache.spark.unsafe.types.UTF8String
     def lcp(a: String, b: String) = graft.functions.LcpPrefixKernel.compute(
