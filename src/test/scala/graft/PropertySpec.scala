@@ -396,6 +396,61 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("LCP kernel reference equivalence + laws (pure kernel, 300 cases)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def lcp(a: String, b: String) = graft.functions.LcpPrefixKernel.compute(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+    // reference: count equal leading code points
+    def ref(a: String, b: String): Int =
+      a.codePoints.toArray.zip(b.codePoints.toArray).takeWhile(p => p._1 == p._2).length
+    // fragments, not Chars: U+1D11E is a surrogate pair — exactly the
+    // 4-byte case the kernel's complete-code-point walk must handle
+    val frag = Gen.oneOf("a", "b", "z", "1", "é", "ÿ", "日", "語", "𝄞")
+    val str = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, frag).map(_.mkString))
+    val p = Prop.forAll(str, str) { (a, b) =>
+      val l = lcp(a, b)
+      l == ref(a, b) && l == lcp(b, a) &&                 // reference + symmetry
+        lcp(a, a) == a.codePointCount(0, a.length) &&     // identity
+        lcp(a + "x", b + "x") >= l                        // extension monotone
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("suffix-array guarantee: a distinctive word-aligned shared span of >= L chars " +
+       "is ALWAYS witnessed by a rank-adjacent cross-doc pair with lcp >= L") {
+    // the structural-recall theorem q172 stands on: the two suffixes at
+    // the planted span starts begin with a token sequence nothing else in
+    // the corpus starts with, so they sort adjacent — the pair MUST
+    // surface however the surrounding salad aligns
+    import graft.ext.SuffixArray
+    val salad = Gen.choose(0, 400).map(n => s"w$n")
+    val gen = for {
+      // 5 DISTINCT rare tokens (vocab disjoint from the salad): distinct
+      // keeps the two span-START suffixes lexicographic neighbors — a
+      // repeated first token could interleave a mid-span suffix between
+      // them and the witness would route through a shorter-lcp pair
+      span <- Gen.pick(5, 100 until 1000).map(_.map(n => s"zq${n}xk").toList)
+      pre1 <- Gen.listOfN(9, salad); suf1 <- Gen.listOfN(4, salad)
+      pre2 <- Gen.listOfN(2, salad); suf2 <- Gen.listOfN(11, salad)
+      filler <- Gen.listOfN(25, salad)
+    } yield (
+      (pre1 ++ span ++ suf1).mkString(" "),
+      (pre2 ++ span ++ suf2).mkString(" "),
+      filler.mkString(" "))
+    check(Prop.forAll(gen) { case (t1, t2, t3) =>
+      val spanLen = t1.split(" ").filter(_.startsWith("zq")).mkString(" ").length
+      val L = math.min(spanLen, 30)
+      val docs = Seq((1L, t1), (2L, t2), (3L, t3)).toDF("doc_id", "text")
+      val pairs = SuffixArray.exactRepeatedSpans(docs, "doc_id", "text",
+          minLen = L, k = 64)
+        .collect()
+      pairs.exists(r => Set(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ==
+        Set(1L, 2L) && r.getAs[Long]("lcp") >= L &&
+        r.getAs[String]("span").startsWith("zq"))
+    })
+  }
+
   test("interleave schedule: per-source bucket spread ≤ 2 for arbitrary source skews") {
     import graft.ext.Sampling
     val weightsGen = Gen.listOfN(4, Gen.choose(10, 400))
