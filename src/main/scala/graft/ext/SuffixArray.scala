@@ -44,13 +44,33 @@ object SuffixArray {
     * `row_number` WITHIN each partition, then add per-partition offsets
     * from a partition-count table bounded by the partition count (the
     * constant-key cumulative window over a BOUNDED frame — the tokenVocab
-    * convention). The range exchange feeding both the ranked rows and the
-    * count table is deduplicated by ReuseExchange. */
+    * convention).
+    *
+    * The ranged frame is MATERIALIZED (localCheckpoint) before fan-out,
+    * and this is load-bearing for correctness, not a perf nicety: the
+    * ranked-rows subtree and the offsets subtree both read `_pid =
+    * spark_partition_id()`, and if the two subtrees each recompute the
+    * range exchange (ReuseExchange declined, or separate actions — both
+    * observed under AQE), the RangePartitioner re-SAMPLES boundaries per
+    * instance, the two `_pid` mappings disagree, and offsets from one
+    * partitioning are added to row numbers from another — silently
+    * corrupted ranks. One materialization pins one physical partitioning
+    * for every consumer (including downstream self-joins on the rank).
+    * Cost is one O(rows) cache of the projected sort columns — the same
+    * price Lee et al. pay to persist their suffix array. */
+  /** The pre-materialization ranged frame — exposed so the plan-shape
+    * spec can pin the range exchange that the checkpoint then hides
+    * behind a LogicalRDD scan. */
+  private[graft] def rangedWithPid(df: DataFrame,
+                                   sortCols: Seq[Column]): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    df.repartitionByRange(slots, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+  }
+
   private[graft] def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
                                      out: String): DataFrame = {
-    val slots = df.sparkSession.sparkContext.defaultParallelism
-    val ranged = df.repartitionByRange(slots, sortCols: _*)
-      .withColumn("_pid", spark_partition_id())
+    val ranged = rangedWithPid(df, sortCols).localCheckpoint(true)
     val local = ranged.withColumn("_lrn",
       row_number().over(Window.partitionBy(col("_pid")).orderBy(sortCols: _*))
         .cast("long"))
@@ -105,6 +125,59 @@ object SuffixArray {
         col("prev_doc"), col("prev_off"),
         coalesce(graft.functions.LcpPrefix.lcp(col("_pp"), col("prefix")),
           lit(0)).cast("long").as("lcp_prev"))
+  }
+
+  /** Per-document duplication profile — the number Lee et al. report per
+    * corpus slice (“fraction of tokens in duplicated substrings”), here in
+    * exact chars per doc: every adjacent-LCP hit ≥ `minLen` contributes
+    * its interval to BOTH endpoint docs, intervals are merged per doc
+    * (gaps-and-islands over a per-doc window — successive word-start
+    * suffixes cover a long repeat in overlapping ≤ k windows, and the
+    * union stitches them back to the full run), and the merged mass is
+    * reported against the doc's char count in exact basis points. Docs
+    * with no repeats are kept at zero (left join).
+    *
+    * Scale shape: the interval set is bounded by 2× the qualifying
+    * adjacent pairs; islands use per-DOC windows only; the rollup is one
+    * doc-keyed aggregation joined back to the corpus projection. */
+  def duplicationProfile(docs: DataFrame, idCol: String, textCol: String,
+                         minLen: Int, k: Int = 64): DataFrame = {
+    require(minLen >= 1 && minLen <= k,
+      s"need 1 <= minLen ($minLen) <= k ($k)")
+    val adj = adjacentLcp(docs, idCol, textCol, k)
+      .filter(col("lcp_prev") >= minLen)
+    // DISTINCT is load-bearing: duplicate (s, e) intervals are irrelevant
+    // to coverage, and deduping makes (s, e) a UNIQUE order within each
+    // doc — a gaps-and-islands chain whose window order admits ties is
+    // under-determined across engines (the cm pass and the cumulative
+    // island-number pass may see tie groups in different physical orders
+    // and split islands differently; observed as run-to-run flapping in
+    // the DuckDB oracle before the dedup).
+    val iv = adj.select(col("doc_id"), col("off").as("s"),
+        (col("off") + col("lcp_prev")).as("e"))
+      .unionByName(adj.select(col("prev_doc").as("doc_id"),
+        col("prev_off").as("s"), (col("prev_off") + col("lcp_prev")).as("e")))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val islands = iv
+      .withColumn("_cm", max(col("e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_new", when(col("_cm").isNull || col("s") > col("_cm"), 1L)
+        .otherwise(0L))
+      .withColumn("_isl", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("_isl"))
+      .agg(min(col("s")).as("_s"), max(col("e")).as("_e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("_e") - col("_s")).as("chars_dup"))
+    docs.select(col(idCol).as("doc_id"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        coalesce(col("chars_dup"), lit(0L)).as("chars_dup"))
+      .withColumn("dup_bp", expr("(10000 * chars_dup) div n_chars"))
   }
 
   /** Exact repeated spans ≥ `minLen` chars across DIFFERENT documents —

@@ -346,7 +346,18 @@ object DedupQueries {
       .transform(tinySort(_, col("doc_id")))
   }
 
+  /** q175 — per-document duplication profile
+    * ([[graft.ext.SuffixArray.duplicationProfile]], minLen = 20): the
+    * Lee et al. corpus-health number — merged char mass under exact
+    * repeats (cross- AND within-doc) per doc, in exact basis points;
+    * zero-repeat docs kept. */
+  def q175DupProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.SuffixArray.duplicationProfile(
+        load(spark, dir, "documents"), "doc_id", "text", minLen = 20, k = 64)
+      .transform(tinySort(_, col("doc_id")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_dup_profile" -> (q175DupProfile _),
     "q171_suffix_array" -> (q171SuffixArray _),
     "q172_exact_spans" -> (q172ExactSpans _),
     "q173_exact_span_rewrite" -> (q173ExactSpanRewrite _),
@@ -452,6 +463,42 @@ object DedupQueries {
         |FROM lcps
         |WHERE lcp_prev >= 20 AND prev_doc <> doc_id
         |ORDER BY doc_a, off_a, doc_b, off_b""".stripMargin,
+    /* q175: both endpoints' intervals from every >= 20 adjacent hit,
+     * DISTINCT (duplicate intervals are irrelevant to coverage, and a
+     * unique (s, e) per doc makes the two island window passes order-
+     * deterministic — with ties they may disagree on tie-group order and
+     * split islands differently), gaps-and-islands merge per doc
+     * (cumulative max of interval ends over the (s, e)-ordered preceding
+     * rows, island break when s clears it), merged mass vs doc chars in
+     * integer bp; zero docs kept. */
+    "q175_dup_profile" ->
+      s"""WITH $suffixCtes,
+        | hit AS (SELECT * FROM lcps WHERE lcp_prev >= 20),
+        | iv AS (SELECT DISTINCT doc_id, s, e FROM (
+        |        SELECT doc_id, off AS s, off + lcp_prev AS e FROM hit
+        |        UNION ALL
+        |        SELECT prev_doc, prev_off, prev_off + lcp_prev FROM hit)),
+        | isl AS (SELECT doc_id, s, e,
+        |     MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm
+        |   FROM iv),
+        | num AS (SELECT doc_id, s, e,
+        |     SUM(CASE WHEN cm IS NULL OR s > cm THEN 1 ELSE 0 END)
+        |       OVER (PARTITION BY doc_id ORDER BY s, e
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |   FROM isl),
+        | merged AS (SELECT doc_id, isl, MIN(s) AS ms, MAX(e) AS me
+        |            FROM num GROUP BY doc_id, isl),
+        | prof AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |            CAST(SUM(me - ms) AS BIGINT) AS chars_dup
+        |          FROM merged GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+        |  COALESCE(p.n_islands, 0) AS n_islands,
+        |  COALESCE(p.chars_dup, 0) AS chars_dup,
+        |  (10000 * COALESCE(p.chars_dup, 0)) // CAST(length(d.text) AS BIGINT)
+        |    AS dup_bp
+        |FROM documents d LEFT JOIN prof p ON p.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     /* q173: the q172 pair set canonicalized, the q158 both-endpoints
      * top-4 cap (score-free → partner asc; no ties, so row_number is the
      * aggregator's order), then the q120 rewrite chain verbatim with

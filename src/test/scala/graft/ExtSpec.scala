@@ -1345,6 +1345,57 @@ class ExtSpec extends AnyFunSuite {
     assert(rw(3L).getAs[Long]("n_tokens") == 11L)
   }
 
+  test("duplication profile: exact doc-level duplicate profiles at 10000 bp; " +
+       "zero-repeat doc kept at 0; bp is integer division; stable across " +
+       "actions and input splits") {
+    import graft.ext.SuffixArray
+    val twin = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, twin),
+      (2L, twin),
+      (3L, "an utterly different sentence with no overlap at all here"),
+      // within-doc repeat: the 34-char phrase occurs twice inside one doc
+      (4L, "start marker one two three four five end marker one two three " +
+        "four five tail")
+    ).toDF("doc_id", "text")
+    val prof = SuffixArray.duplicationProfile(docs, "doc_id", "text",
+      minLen = 20, k = 64)
+    val rows = prof.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L), "every doc keeps a row")
+    // LAW: an exact doc-level duplicate is covered end-to-end — successive
+    // word-start intervals overlap (gap = word length < lcp) and the union
+    // stitches them to [1, len+1), so the profile reads exactly 10000 bp
+    Seq(1L, 2L).foreach { id =>
+      assert(rows(id).getAs[Long]("chars_dup") == twin.length.toLong,
+        s"doc $id should be fully covered")
+      assert(rows(id).getAs[Long]("dup_bp") == 10000L)
+      assert(rows(id).getAs[Long]("n_islands") == 1L, "one merged island")
+    }
+    assert(rows(3L).getAs[Long]("chars_dup") == 0L &&
+      rows(3L).getAs[Long]("n_islands") == 0L &&
+      rows(3L).getAs[Long]("dup_bp") == 0L, "zero-repeat doc kept at zero")
+    // within-doc repeats count: both copies of the repeated phrase carry
+    // interval mass, and bp replays as exact integer division
+    val d4 = rows(4L)
+    assert(d4.getAs[Long]("chars_dup") > 0L, "within-doc repeat detected")
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("dup_bp") ==
+        10000L * r.getAs[Long]("chars_dup") / r.getAs[Long]("n_chars"))
+      assert(r.getAs[Long]("chars_dup") <= r.getAs[Long]("n_chars"))
+    }
+    // REGRESSION GUARD for the materialized-rank fix: the profile must be
+    // identical across repeated actions on one frame AND across input
+    // splits — the unmaterialized two-subtree ranking could disagree on
+    // spark_partition_id between recomputations and silently drop mass
+    val again = prof.collect().map(_.toString).sorted.toSeq
+    assert(again == rows.values.map(_.toString).toSeq.sorted)
+    val split = SuffixArray.duplicationProfile(docs.repartition(7), "doc_id",
+        "text", minLen = 20, k = 64)
+      .collect().map(_.toString).sorted.toSeq
+    assert(split == again, "profile is partition-invariant")
+  }
+
   test("semDeDup keep-best-quality: constant quality ≡ keep-min-id; " +
        "quality flips the keeper; ties degenerate") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -650,12 +650,21 @@ class PlanShapeSpec extends AnyFunSuite {
     val qe = graft.queries.DedupQueries.q171SuffixArray(spark, dir)
       .queryExecution
     val plan = qe.sparkPlan.toString
-    // the suffix sort IS a range exchange; ranking windows must all carry
-    // a partition key (spark_partition_id / doc_id / the bounded
-    // constant-key offset table) — an unpartitioned global window here
-    // would serialize the corpus through one task
-    assert(plan.contains("rangepartitioning"),
-      s"suffix order should come from a range exchange:\n$plan")
+    // the suffix sort IS a range exchange — pinned on the pre-checkpoint
+    // seam (the materialization that makes the _pid mapping consistent
+    // across consumers hides the exchange behind a LogicalRDD scan in the
+    // visible plan); ranking windows must all carry a partition key
+    // (spark_partition_id / doc_id / the bounded constant-key offset
+    // table) — an unpartitioned global window here would serialize the
+    // corpus through one task
+    val rangedPlan = graft.ext.SuffixArray.rangedWithPid(
+        graft.util.Tables.load(spark, dir, "documents"),
+        Seq(org.apache.spark.sql.functions.col("doc_id")))
+      .queryExecution.sparkPlan.toString
+    assert(rangedPlan.contains("rangepartitioning"),
+      s"suffix order should come from a range exchange:\n$rangedPlan")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan\n"),
+      s"ranked frame should read the one materialized partitioning:\n$plan")
     assert(plan.contains("graft_lcp"),
       s"adjacent LCP should be the codegen kernel:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
