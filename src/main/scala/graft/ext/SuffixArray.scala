@@ -93,20 +93,23 @@ object SuffixArray {
     * spaces — contribute their separator before being dropped, so
     * offsets stay exact). */
   def suffixArrayK(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int = 64): DataFrame = {
+                   k: Int = 64, carryCols: Seq[String] = Nil): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val carried = carryCols.map(col)
     val words = docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("_text"),
-        posexplode(split(col(textCol), " ")).as(Seq("_wi", "_w")))
+      .select(Seq(col(idCol).as("doc_id"), col(textCol).as("_text"),
+        posexplode(split(col(textCol), " ")).as(Seq("_wi", "_w"))) ++ carried: _*)
       .withColumn("off", coalesce(
         sum(length(col("_w")) + 1).over(
           Window.partitionBy(col("doc_id")).orderBy(col("_wi"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1L)
       .filter(col("_w") =!= "")
-      .select(col("doc_id"), col("off"),
-        col("_text").substr(col("off").cast("int"), lit(k)).as("prefix"))
+      .select(Seq(col("doc_id"), col("off"),
+        col("_text").substr(col("off").cast("int"), lit(k)).as("prefix")) ++
+        carried: _*)
     globalRowNumber(words, Seq(col("prefix"), col("doc_id"), col("off")), "rank")
-      .select(col("rank"), col("doc_id"), col("off"), col("prefix"))
+      .select(Seq(col("rank"), col("doc_id"), col("off"), col("prefix")) ++
+        carried: _*)
   }
 
   /** [[suffixArrayK]] plus the adjacent LCP: per suffix, the code-point
@@ -115,16 +118,16 @@ object SuffixArray {
     * index: max over the column = longest repeat (≤ k), and any ≥ L
     * repeat shows as some row with lcp_prev ≥ L. */
   def adjacentLcp(docs: DataFrame, idCol: String, textCol: String,
-                  k: Int = 64): DataFrame = {
-    val sa = suffixArrayK(docs, idCol, textCol, k)
+                  k: Int = 64, carryCols: Seq[String] = Nil): DataFrame = {
+    val sa = suffixArrayK(docs, idCol, textCol, k, carryCols)
     val prev = sa.select((col("rank") + 1L).as("rank"),
       col("doc_id").as("prev_doc"), col("off").as("prev_off"),
       col("prefix").as("_pp"))
     sa.join(prev, Seq("rank"), "left")
-      .select(col("rank"), col("doc_id"), col("off"), col("prefix"),
+      .select(Seq(col("rank"), col("doc_id"), col("off"), col("prefix"),
         col("prev_doc"), col("prev_off"),
         coalesce(graft.functions.LcpPrefix.lcp(col("_pp"), col("prefix")),
-          lit(0)).cast("long").as("lcp_prev"))
+          lit(0)).cast("long").as("lcp_prev")) ++ carryCols.map(col): _*)
   }
 
   /** Per-document duplication profile — the number Lee et al. report per
@@ -178,6 +181,126 @@ object SuffixArray {
         coalesce(col("n_islands"), lit(0L)).as("n_islands"),
         coalesce(col("chars_dup"), lit(0L)).as("chars_dup"))
       .withColumn("dup_bp", expr("(10000 * chars_dup) div n_chars"))
+  }
+
+  /** Exact longest shared substring (≤ k chars, word-start anchored) between
+    * each corpus document and ANY document of a benchmark set — the exact
+    * counterpart of the n-gram contamination audit (q165), and the number a
+    * memorization/leakage study reports (Lee et al. 2021 §5, Carlini et al.
+    * 2021: the LENGTH of the longest eval-set span a training document
+    * carries, not just whether some fixed-size gram collides).
+    *
+    * Exactness argument: for suffixes in rank order, lcp(a, b) =
+    * min(adjacent lcps) over the rank interval (a, b], and lcp against the
+    * NEAREST benchmark suffix (above or below in rank order) dominates all
+    * farther ones — so per corpus suffix the true max-over-benchmark LCP is
+    * `max(min-chain to previous bench suffix, min-chain to next bench
+    * suffix)`, and per doc the max over its suffixes. No pair enumeration.
+    *
+    * Scale shape — a distributed segmented running min, zero unpartitioned
+    * windows: the LCP chain is range-partitioned on the rank and
+    * MATERIALIZED once (the [[globalRowNumber]] consistency rule: every
+    * window and the boundary summary must see ONE `spark_partition_id`
+    * mapping); within each partition the min-chains are per-(partition,
+    * bench-segment) windows; across partitions a BOUNDED per-partition
+    * summary table (has-bench, min after last bench, min up to first
+    * bench, whole-partition min) is stitched with the constant-key
+    * bounded-window convention and broadcast back. Min is idempotent, so
+    * boundary edges may be covered by both the local window and the
+    * carry-in without harm; the carry sentinel (Long.MaxValue) keeps
+    * "bench below but zero carried edges" distinct from "no bench below".
+    */
+  def crossSetMaxLcp(docs: DataFrame, idCol: String, textCol: String,
+                     isBenchCol: String, minLen: Int, k: Int = 64): DataFrame = {
+    require(minLen >= 1 && minLen <= k,
+      s"need 1 <= minLen ($minLen) <= k ($k): a k-char prefix cannot " +
+        "witness a longer shared span")
+    val slots = docs.sparkSession.sparkContext.defaultParallelism
+    val f1 = adjacentLcp(docs, idCol, textCol, k, carryCols = Seq(isBenchCol))
+      .select(col("rank"), col("doc_id"), col("off"), col("prefix"),
+        col("lcp_prev"), col(isBenchCol).cast("boolean").as("_is_b"))
+      .repartitionByRange(slots, col("rank"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val bInt = when(col("_is_b"), 1L).otherwise(0L)
+    val wAsc = Window.partitionBy(col("_pid")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy(col("_pid")).orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // _seg / _segd: benches seen at-or-before in rank order (resp. at-or-
+    // after); segment boundaries for the local min-chains, and the "rows
+    // strictly after the last bench" / "rows up to the first bench"
+    // selectors for the summary
+    val f2 = f1.withColumn("_seg", sum(bInt).over(wAsc))
+      .withColumn("_segd", sum(bInt).over(wDesc))
+    val wSegAsc = Window.partitionBy(col("_pid"), col("_seg"))
+      .orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSegDesc = Window.partitionBy(col("_pid"), col("_segd"))
+      .orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // down-chain: edges (prevBench+1 .. r] = lcp_prev of the segment's
+    // non-bench rows up to r inclusive (the bench's own lcp_prev is the
+    // edge BEFORE it — excluded via null). up-chain: edges (r .. nextBench]
+    // = lcp_prev of strictly-higher-rank rows in the desc segment, the
+    // bench's own lcp_prev included.
+    val f3 = f2
+      .withColumn("_draw", min(when(col("_is_b"), lit(null))
+        .otherwise(col("lcp_prev"))).over(wSegAsc))
+      .withColumn("_uraw", min(col("lcp_prev")).over(wSegDesc))
+    val big = lit(Long.MaxValue)
+    val summary = f2.groupBy(col("_pid")).agg(
+      max(col("_is_b")).as("_hasB"),
+      min(when(col("_segd") === 0L, col("lcp_prev"))).as("_minAfterLastB"),
+      min(when(col("_seg") - bInt === 0L, col("lcp_prev"))).as("_minUpToFirstB"),
+      min(col("lcp_prev")).as("_minAll"))
+    val one = substring(col("_pid").cast("string"), 0, 0)
+    val hasBInt = when(col("_hasB"), 1L).otherwise(0L)
+    val s2 = summary
+      .withColumn("_pseg", sum(hasBInt).over(
+        Window.partitionBy(one).orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_psegd", sum(hasBInt).over(
+        Window.partitionBy(one).orderBy(col("_pid").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // sentinel, not null: "partition's bench is its last row" carries
+      // zero edges but must still mark a bench as present below
+      .withColumn("_cDown", when(col("_hasB"),
+        coalesce(col("_minAfterLastB"), big)).otherwise(col("_minAll")))
+      .withColumn("_cUp", when(col("_hasB"),
+        coalesce(col("_minUpToFirstB"), big)).otherwise(col("_minAll")))
+    val carryDown = s2
+      .withColumn("_run", min(col("_cDown")).over(
+        Window.partitionBy(one, col("_pseg")).orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select((col("_pid") + 1).as("_pid"),
+        when(col("_pseg") >= 1L, col("_run")).as("_carryIn"))
+    val carryUp = s2
+      .withColumn("_run", min(col("_cUp")).over(
+        Window.partitionBy(one, col("_psegd")).orderBy(col("_pid").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select((col("_pid") - 1).as("_pid"),
+        when(col("_psegd") >= 1L, col("_run")).as("_carryUp"))
+    val f4 = f3
+      .join(broadcast(carryDown), Seq("_pid"), "left")
+      .join(broadcast(carryUp), Seq("_pid"), "left")
+      .withColumn("_d", when(col("_seg") >= 1L, col("_draw"))
+        .otherwise(when(col("_carryIn").isNull, lit(null))
+          .otherwise(least(coalesce(col("_draw"), big), col("_carryIn")))))
+      .withColumn("_u", when(col("_segd") >= 1L, col("_uraw"))
+        .otherwise(when(col("_carryUp").isNull, lit(null))
+          .otherwise(least(coalesce(col("_uraw"), big), col("_carryUp")))))
+    f4.filter(!col("_is_b"))
+      .withColumn("_best",
+        greatest(coalesce(col("_d"), lit(0L)), coalesce(col("_u"), lit(0L))))
+      .filter(col("_best") >= minLen)
+      .select(col("doc_id"), col("_best"),
+        col("prefix").substr(lit(1), col("_best").cast("int")).as("_span"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        max(struct(col("_best"), col("_span"))).as("_m"))
+      .select(col("doc_id"), col("_m._best").as("shared_len"),
+        col("_m._span").as("span"), col("n_hits"))
   }
 
   /** Exact repeated spans ≥ `minLen` chars across DIFFERENT documents —

@@ -356,7 +356,22 @@ object DedupQueries {
         load(spark, dir, "documents"), "doc_id", "text", minLen = 20, k = 64)
       .transform(tinySort(_, col("doc_id")))
 
+  /** q176 — exact contamination-span audit
+    * ([[graft.ext.SuffixArray.crossSetMaxLcp]], minLen = 20, k = 64): per
+    * corpus doc the TRUE longest word-start substring (≤ 64 chars) shared
+    * with any benchmark doc — the q55/q165 every-50th-doc benchmark split,
+    * upgraded from "some fixed-size gram collides" to the exact leaked
+    * span length + the span text (Lee et al. / Carlini-style memorization
+    * length). */
+  def q176ContaminationSpan(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.SuffixArray.crossSetMaxLcp(
+        load(spark, dir, "documents")
+          .withColumn("is_b", col("doc_id") % 50 === 0),
+        "doc_id", "text", "is_b", minLen = 20, k = 64)
+      .transform(tinySort(_, col("doc_id")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_contamination_span" -> (q176ContaminationSpan _),
     "q175_dup_profile" -> (q175DupProfile _),
     "q171_suffix_array" -> (q171SuffixArray _),
     "q172_exact_spans" -> (q172ExactSpans _),
@@ -499,6 +514,43 @@ object DedupQueries {
         |    AS dup_bp
         |FROM documents d LEFT JOIN prof p ON p.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    /* q176: the oracle replays the segmented min-chain with GLOBAL windows
+     * (sanctioned oracle-side shortcut, q171 precedent): lcp(a,b) =
+     * min(adjacent lcps) over (a,b], nearest bench dominates, so per
+     * suffix best = max(running min since previous bench — bench's own
+     * edge excluded, down pass — , running min to next bench — bench's
+     * edge included, up pass). Every window ORDER BY rank: UNIQUE (the
+     * q175 tie lesson). Argmax span via max-best join + string MAX. */
+    "q176_contamination_span" ->
+      s"""WITH $suffixCtes,
+        | tg AS (SELECT l.*, (l.doc_id % 50 = 0) AS is_b FROM lcps l),
+        | sg AS (SELECT *,
+        |     SUM(CASE WHEN is_b THEN 1 ELSE 0 END) OVER (ORDER BY rank
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg,
+        |     SUM(CASE WHEN is_b THEN 1 ELSE 0 END) OVER (ORDER BY rank DESC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segd
+        |   FROM tg),
+        | mm AS (SELECT *,
+        |     MIN(CASE WHEN is_b THEN NULL ELSE lcp_prev END) OVER (
+        |       PARTITION BY seg ORDER BY rank
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS draw,
+        |     MIN(lcp_prev) OVER (PARTITION BY segd ORDER BY rank DESC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS uraw
+        |   FROM sg),
+        | sc AS (SELECT doc_id, prefix,
+        |     GREATEST(COALESCE(CASE WHEN seg >= 1 THEN draw END, 0),
+        |              COALESCE(CASE WHEN segd >= 1 THEN uraw END, 0)) AS best
+        |   FROM mm WHERE NOT is_b),
+        | hit AS (SELECT doc_id, best,
+        |           substring(prefix, 1, CAST(best AS INTEGER)) AS span
+        |         FROM sc WHERE best >= 20),
+        | top AS (SELECT doc_id, MAX(best) AS shared_len,
+        |           CAST(COUNT(*) AS BIGINT) AS n_hits
+        |         FROM hit GROUP BY 1)
+        |SELECT t.doc_id, t.shared_len, MAX(h.span) AS span, t.n_hits
+        |FROM top t JOIN hit h ON h.doc_id = t.doc_id AND h.best = t.shared_len
+        |GROUP BY 1, 2, 4
+        |ORDER BY t.doc_id""".stripMargin,
     /* q173: the q172 pair set canonicalized, the q158 both-endpoints
      * top-4 cap (score-free → partner asc; no ties, so row_number is the
      * aggregator's order), then the q120 rewrite chain verbatim with

@@ -1345,6 +1345,75 @@ class ExtSpec extends AnyFunSuite {
     assert(rw(3L).getAs[Long]("n_tokens") == 11L)
   }
 
+  test("crossSetMaxLcp ≡ brute-force longest shared word-start substring: " +
+       "planted spans, randomized corpus, partition-boundary stitching") {
+    import graft.ext.SuffixArray
+    // in-JVM ground truth: max over (corpus word-start, bench word-start)
+    // pairs of the common-prefix length of the k-capped suffixes
+    def wordStarts(t: String): Seq[Int] = {
+      val b = Seq.newBuilder[Int]; b += 0
+      var i = t.indexOf(' ')
+      while (i >= 0) { b += i + 1; i = t.indexOf(' ', i + 1) }
+      b.result().filter(o => o < t.length && t.charAt(o) != ' ')
+    }
+    def cpl(a: String, b: String): Int = {
+      val n = math.min(a.length, b.length); var i = 0
+      while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+      i
+    }
+    def brute(corpus: Seq[(Long, String)], bench: Seq[String], minLen: Int,
+              k: Int): Map[Long, (Long, String, Long)] =
+      corpus.flatMap { case (id, t) =>
+        val bests = wordStarts(t).map { o =>
+          val suf = t.substring(o).take(k)
+          val best = (for (bt <- bench; bo <- wordStarts(bt))
+            yield cpl(suf, bt.substring(bo).take(k))).foldLeft(0)(math.max)
+          (best.toLong, suf.take(best))
+        }.filter(_._1 >= minLen)
+        if (bests.isEmpty) None
+        else Some(id -> (bests.max._1, bests.max._2, bests.size.toLong))
+      }.toMap
+    def run(corpus: Seq[(Long, String)], bench: Seq[(Long, String)],
+            minLen: Int): Map[Long, (Long, String, Long)] =
+      SuffixArray.crossSetMaxLcp(
+          (corpus.map { case (i, t) => (i, t, false) } ++
+            bench.map { case (i, t) => (i, t, true) })
+            .toDF("doc_id", "text", "is_b").repartition(5),
+          "doc_id", "text", "is_b", minLen, k = 64)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("shared_len"), r.getAs[String]("span"),
+            r.getAs[Long]("n_hits")))).toMap
+    // planted: full copy, partial span, sub-threshold overlap, no overlap
+    val bench = Seq(
+      100L -> "the quick brown fox jumps over the lazy dog every day",
+      101L -> "pack my box with five dozen liquor jugs tonight")
+    val corpus = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog every day", // full
+      2L -> "he said pack my box with five dozen pebbles instead",   // part
+      3L -> "a dog every so often naps",                             // short
+      4L -> "utterly disjoint text with zero common content")        // none
+    val got = run(corpus, bench, minLen = 20)
+    val want = brute(corpus, bench.map(_._2), minLen = 20, k = 64)
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.contains(1L) && got(1L)._1 == 53L, "full copy = full length")
+    assert(got.contains(2L) && !got.contains(3L) && !got.contains(4L))
+    // randomized stress: small vocab → long accidental shared runs; many
+    // input partitions + tiny per-range partitions exercise the bounded
+    // carry stitching across every boundary shape (bench-free partitions,
+    // bench-at-edge partitions); fixed seed for reproducibility
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    def mkDoc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val rCorpus = (0L until 30L).map(i => i -> mkDoc(8 + rnd.nextInt(10)))
+    val rBench = (1000L until 1006L).map(i => i -> mkDoc(8 + rnd.nextInt(10)))
+    val g2 = run(rCorpus, rBench, minLen = 8)
+    val w2 = brute(rCorpus, rBench.map(_._2), minLen = 8, k = 64)
+    assert(g2 == w2, {
+      val bad = (g2.keySet ++ w2.keySet).filter(k => g2.get(k) != w2.get(k))
+      s"diff docs $bad: got ${bad.map(g2.get)}, want ${bad.map(w2.get)}"
+    })
+  }
+
   test("duplication profile: exact doc-level duplicate profiles at 10000 bp; " +
        "zero-repeat doc kept at 0; bp is integer division; stable across " +
        "actions and input splits") {
