@@ -229,6 +229,49 @@ object Dedup {
     df.groupBy(TextOps.fingerprintMd5(col(textCol)).as("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
+  /** Corpus-level paragraph dedup — the CCNet/C4 shard-dedup semantics
+    * (Wenzek '20 §3.1 dedups paragraph hashes across the whole shard;
+    * C4 drops any repeated three-sentence span) at sub-document
+    * granularity: documents split into consecutive `blockWords`-word
+    * blocks (the pseudo-paragraph unit when the corpus carries no line
+    * structure; trailing partial blocks participate, as CCNet hashes raw
+    * paragraphs of any length), every block occurrence beyond the global
+    * FIRST (lowest (doc, position)) removed, and the doc reassembled from
+    * its kept blocks. Output per doc: block/removal counts and the md5 of
+    * the kept text (the q120 rewrite-family convention).
+    *
+    * Scale shape: blocks form map-side (array slicing inside codegen — no
+    * per-word explode); ONE corpus-scale shuffle on the block hash whose
+    * aggregate keeps min(struct(doc, position)) — map-side partial
+    * combine collapses hot boilerplate hashes BEFORE the exchange, which
+    * is exactly the skew this operator hunts (a window-ranked keeper
+    * would sort the hot key in one task) — then an equi-join back on the
+    * hash (AQE skew-split applies) and one doc-keyed rollup. */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     blockWords: Int): DataFrame = {
+    require(blockWords >= 1, s"blockWords must be >= 1, got $blockWords")
+    val w = blockWords
+    val blocks = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_ws"))
+      .withColumn("_nb", expr(s"(size(_ws) + ${w - 1}) div $w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, int(_nb) - 1), i -> " +
+          s"array_join(slice(_ws, i * $w + 1, $w), ' '))"))
+        .as(Seq("bi", "block")))
+      .withColumn("_h", md5(col("block").cast("binary")))
+    val keep = blocks.groupBy(col("_h"))
+      .agg(min(struct(col("doc_id"), col("bi"))).as("_k"))
+    blocks.join(keep, Seq("_h"))
+      .withColumn("_kept", col("_k.doc_id") === col("doc_id") &&
+        col("_k.bi") === col("bi"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("_kept"), 0L).otherwise(1L)).as("n_removed"),
+        md5(array_join(transform(array_sort(collect_list(
+            when(col("_kept"), struct(col("bi"), col("block"))))),
+          x => x.getField("block")), " ").cast("binary")).as("kept_fp"))
+  }
+
   /** Deduplicated token-yield report — the dataset-card number every
     * released corpus states (how much actually survives exact dedup, and
     * where): per source domain, document/token totals next to the counts

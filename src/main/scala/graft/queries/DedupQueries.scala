@@ -370,7 +370,17 @@ object DedupQueries {
         "doc_id", "text", "is_b", minLen = 20, k = 64)
       .transform(tinySort(_, col("doc_id")))
 
+  /** q177 — corpus-level paragraph dedup ([[graft.ext.Dedup.paragraphDedup]],
+    * 20-word blocks): the CCNet shard-dedup semantics — every block
+    * occurrence beyond the global first (lowest (doc, position)) removed,
+    * docs reassembled, per-doc removal accounting + kept-text md5. */
+  def q177ParagraphDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.paragraphDedup(load(spark, dir, "documents"), "doc_id", "text",
+        blockWords = 20)
+      .transform(tinySort(_, col("doc_id")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_paragraph_dedup" -> (q177ParagraphDedup _),
     "q176_contamination_span" -> (q176ContaminationSpan _),
     "q175_dup_profile" -> (q175DupProfile _),
     "q171_suffix_array" -> (q171SuffixArray _),
@@ -514,6 +524,26 @@ object DedupQueries {
         |    AS dup_bp
         |FROM documents d LEFT JOIN prof p ON p.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    /* q177: 20-word blocks by list slicing (trailing partials kept),
+     * global keeper = min (doc, position) per block md5, kept text
+     * reassembled in position order, md5'd. */
+    "q177_paragraph_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | nb AS (SELECT doc_id, ws,
+        |          CAST((len(ws) + 19) // 20 AS BIGINT) AS n FROM w),
+        | b AS (SELECT doc_id, CAST(bi AS BIGINT) AS bi,
+        |          array_to_string(ws[(bi*20+1):(bi*20+20)], ' ') AS block
+        |        FROM (SELECT doc_id, ws, unnest(range(0, n)) AS bi FROM nb)),
+        | h AS (SELECT doc_id, bi, block, md5(block) AS hv FROM b),
+        | k AS (SELECT hv, MIN(ROW(doc_id, bi)) AS kk FROM h GROUP BY hv),
+        | m AS (SELECT h.doc_id, h.bi, h.block,
+        |          (k.kk = ROW(h.doc_id, h.bi)) AS kept
+        |        FROM h JOIN k USING (hv))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+        |  md5(COALESCE(string_agg(CASE WHEN kept THEN block END, ' '
+        |    ORDER BY bi), '')) AS kept_fp
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     /* q176: the oracle replays the segmented min-chain with GLOBAL windows
      * (sanctioned oracle-side shortcut, q171 precedent): lcp(a,b) =
      * min(adjacent lcps) over (a,b], nearest bench dominates, so per

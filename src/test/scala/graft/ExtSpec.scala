@@ -1345,6 +1345,32 @@ class ExtSpec extends AnyFunSuite {
     assert(rw(3L).getAs[Long]("n_tokens") == 11L)
   }
 
+  test("paragraphDedup: global first occurrence wins, within-doc repeats " +
+       "collapse, trailing partials participate, fully-duplicated doc " +
+       "empties to md5('')") {
+    // blockWords = 3; doc 1 owns blocks A=(a b c), B=(d e f); doc 2 repeats
+    // A twice plus a trailing partial (g); doc 3 is entirely A+B → empties
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c a b c g"),
+      (3L, "a b c d e f")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text", blockWords = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_blocks"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("kept_fp")))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) == ((2L, 0L, md5hex("a b c d e f"))),
+      "first occurrences keep everything")
+    // doc 2: both 'a b c' blocks lose to doc 1's (global first); the
+    // trailing 1-word partial block 'g' is unique and survives
+    assert(out(2L) == ((3L, 2L, md5hex("g"))))
+    assert(out(3L) == ((2L, 2L, md5hex(""))),
+      "a fully-duplicated doc reports md5 of the empty string")
+  }
+
   test("crossSetMaxLcp ≡ brute-force longest shared word-start substring: " +
        "planted spans, randomized corpus, partition-boundary stitching") {
     import graft.ext.SuffixArray
