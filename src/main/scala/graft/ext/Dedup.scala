@@ -156,6 +156,58 @@ object Dedup {
       .select(col(s"n.$idCol").as("new_id"), col(s"r.$idCol").as("ref_id"))
       .distinct()
 
+  /** Train/eval split-leakage audit — the release-hygiene check a benchmark
+    * or eval split needs before shipping (The Pile / FineWeb practice:
+    * near-duplicates of eval documents inside the training split inflate
+    * scores): per EVAL document, the LSH-candidate training documents and
+    * how many verify as true near-dups at an exact rational Jaccard
+    * threshold.
+    *
+    * Two tiers, both established shapes: candidates from the cross-corpus
+    * MinHash band equi-join ([[crossCorpusCandidates]] — never all-pairs),
+    * then EXACT distinct-shingle verification on the candidate set only,
+    * with the accept test as integer cross-multiplication
+    * (tDen·shared ≥ tNum·(na+nb−shared), the [[prefixJaccardJoin]]
+    * convention — no float compare anywhere) and similarity reported in
+    * exact basis points. Candidates with ZERO shared shingles stay in the
+    * report (left join) — a banding false positive is itself information.
+    *
+    * Scale note: the distinct-shingle frame is consumed three times
+    * (per-doc counts + both join sides); each pass is the map-side
+    * codegen shingle kernel, so this trades two extra corpus scans for
+    * not materializing a corpus×shingles frame — at cluster scale a
+    * caller auditing MANY splits over one corpus should pre-materialize
+    * [[explodedShingles]] once and inline this composition. */
+  def splitLeakageAudit(docs: DataFrame, idCol: String, textCol: String,
+                        isTestCol: String, shingleN: Int = 3,
+                        numHashes: Int = 8, bands: Int = 2,
+                        tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    require(tNum >= 0 && tDen >= 1, s"bad threshold $tNum/$tDen")
+    val cand = crossCorpusCandidates(
+      minhashSignature(docs.filter(col(isTestCol)), idCol, textCol),
+      minhashSignature(docs.filter(!col(isTestCol)), idCol, textCol),
+      idCol, numHashes, bands)
+    val sh = explodedShingles(docs, idCol, textCol, shingleN)
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val shared = cand
+      .join(sh.select(col(idCol).as("new_id"), col("sg")), "new_id")
+      .join(sh.select(col(idCol).as("ref_id"), col("sg")), Seq("ref_id", "sg"))
+      .groupBy(col("new_id"), col("ref_id"))
+      .agg(count(lit(1)).as("shared"))
+    cand.join(shared, Seq("new_id", "ref_id"), "left")
+      .withColumn("shared", coalesce(col("shared"), lit(0L)))
+      .join(counts.select(col(idCol).as("new_id"), col("n").as("na")), "new_id")
+      .join(counts.select(col(idCol).as("ref_id"), col("n").as("nb")), "ref_id")
+      .withColumn("jac_bp",
+        expr("10000 * shared div (na + nb - shared)").cast("long"))
+      .withColumn("_leak", lit(tDen) * col("shared") >=
+        lit(tNum) * (col("na") + col("nb") - col("shared")))
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("_leak"), 1L).otherwise(0L)).as("n_leaks"),
+        max(col("jac_bp")).as("max_jac_bp"))
+  }
+
   /** 16-bit SimHash over whitespace tokens: per bit b, sum ±1 weighted by bit
     * b of hash16(token); bit set iff the sum is positive. Two map-side-combined
     * aggregations — no all-pairs stage. */

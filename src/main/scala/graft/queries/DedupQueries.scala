@@ -379,7 +379,20 @@ object DedupQueries {
         blockWords = 20)
       .transform(tinySort(_, col("doc_id")))
 
+  /** q178 — split-leakage audit ([[graft.ext.Dedup.splitLeakageAudit]]):
+    * eval split = every 10th doc (the stable-key hash stand-in), MinHash
+    * band candidates from the training split, exact shingle verification
+    * at Jaccard ≥ 1/2 by integer cross-multiplication; per eval doc the
+    * candidate/confirmed-leak counts and max similarity in bp. */
+  def q178SplitLeakage(spark: SparkSession, dir: String): DataFrame =
+    Dedup.splitLeakageAudit(
+        load(spark, dir, "documents")
+          .withColumn("is_test", col("doc_id") % 10 === 0),
+        "doc_id", "text", "is_test")
+      .transform(tinySort(_, col("doc_id")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_split_leakage" -> (q178SplitLeakage _),
     "q177_paragraph_dedup" -> (q177ParagraphDedup _),
     "q176_contamination_span" -> (q176ContaminationSpan _),
     "q175_dup_profile" -> (q175DupProfile _),
@@ -524,6 +537,34 @@ object DedupQueries {
         |    AS dup_bp
         |FROM documents d LEFT JOIN prof p ON p.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    /* q178: the q90 band join with a %10 split, candidate pairs verified
+     * by exact shingle intersection (COUNT of matched LEFT-JOIN rows keeps
+     * zero-shared banding false positives in the report), leak test as
+     * integer cross-multiplication at 1/2, rollup per eval doc. */
+    "q178_split_leakage" ->
+      s"""WITH $SigCte,
+        | bands AS (
+        |   SELECT doc_id, md5('B0|' || sig0 || '|' || sig1 || '|' || sig2 || '|' || sig3) AS band FROM sig
+        |   UNION ALL
+        |   SELECT doc_id, md5('B1|' || sig4 || '|' || sig5 || '|' || sig6 || '|' || sig7) AS band FROM sig),
+        | cand AS (SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+        |          FROM bands n JOIN bands r ON n.band = r.band
+        |          WHERE n.doc_id % 10 = 0 AND r.doc_id % 10 <> 0),
+        | c AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        | pp AS (SELECT cand.new_id, cand.ref_id,
+        |          CAST(COUNT(sb.sg) AS BIGINT) AS shared
+        |        FROM cand JOIN sh sa ON sa.doc_id = cand.new_id
+        |             LEFT JOIN sh sb ON sb.doc_id = cand.ref_id AND sb.sg = sa.sg
+        |        GROUP BY 1, 2),
+        | j AS (SELECT p.new_id, p.shared, ca.n AS na, cb.n AS nb,
+        |         (10000 * p.shared) // (ca.n + cb.n - p.shared) AS jac_bp,
+        |         (2 * p.shared >= ca.n + cb.n - p.shared) AS leak
+        |       FROM pp p JOIN c ca ON ca.doc_id = p.new_id
+        |                 JOIN c cb ON cb.doc_id = p.ref_id)
+        |SELECT new_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        |  CAST(SUM(CASE WHEN leak THEN 1 ELSE 0 END) AS BIGINT) AS n_leaks,
+        |  MAX(jac_bp) AS max_jac_bp
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     /* q177: 20-word blocks by list slicing (trailing partials kept),
      * global keeper = min (doc, position) per block md5, kept text
      * reassembled in position order, md5'd. */

@@ -1345,6 +1345,37 @@ class ExtSpec extends AnyFunSuite {
     assert(rw(3L).getAs[Long]("n_tokens") == 11L)
   }
 
+  test("splitLeakageAudit: planted cross-split near-dup confirms at the " +
+       "integer threshold; same-split twins never pair; clean eval doc absent") {
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val docs = Seq(
+      (10L, t, true),                           // eval doc
+      (3L, t.replace("omega", "OMEGA"), false), // train near-dup -> leak
+      (20L, t, true),                           // eval twin of 10: same split
+      (30L, "totally different words with no trigram overlap at all " +
+        "here and more filler tokens to clear the shingle floor", true),
+      (5L, "another unrelated training document with its own trigrams " +
+        "spread across enough words to shingle", false)
+    ).toDF("doc_id", "text", "is_test")
+    val out = Dedup.splitLeakageAudit(docs, "doc_id", "text", "is_test")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_candidates"), r.getAs[Long]("n_leaks"),
+          r.getAs[Long]("max_jac_bp")))).toMap
+    // eval 10 vs train 3: 24 words -> 22 trigrams each; 'omega' is the
+    // LAST word, so exactly ONE trigram (the trailing window) differs ->
+    // shared = 21, union = 22 + 22 - 21 = 23; 2*21 >= 23 -> leak;
+    // bp = 210000 div 23 = 9130
+    assert(out.contains(10L), s"planted leak missing: $out")
+    assert(out(10L) == ((1L, 1L, 9130L)),
+      s"exact integer replay failed: ${out(10L)}")
+    // doc 20 duplicates doc 10 EXACTLY but both are eval-side: the audit
+    // must not pair within a split, so 20's only possible partner is 3
+    assert(out.get(20L).forall(_._1 == 1L),
+      "eval-eval twins must not appear as candidates")
+    assert(!out.contains(30L), "clean eval doc reports nothing")
+  }
+
   test("paragraphDedup: global first occurrence wins, within-doc repeats " +
        "collapse, trailing partials participate, fully-duplicated doc " +
        "empties to md5('')") {
