@@ -221,6 +221,63 @@ object TextOps {
     * ([[graft.functions.RollingTokenHash]]) — the `aggregate` HOF form ran
     * a full md5-hex expression tree interpreted per token. pmod ≡ plain %
     * here: every operand is non-negative. */
+  /** Code-switching / language-mixture audit — the intra-document
+    * granularity CCNet filters on (a document that flips language
+    * mid-stream is split or dropped; fastText runs per line): documents
+    * sliced into consecutive `blockWords`-word blocks (the q177
+    * pseudo-paragraph unit), each block language-ID'd by INTEGER marker
+    * counts (argmax with the [[langPredict]] fixed priority order on ties,
+    * `unknown` when zero markers — exact integer compares, never a float
+    * ratio, so the oracle replays bit-free), then per doc: block count,
+    * dominant block language with its share in exact basis points, and
+    * the count of distinct non-unknown block languages (≥ 2 = mixed).
+    *
+    * Scale shape: blocks and marker counts are map-side (list slicing +
+    * HOF filters inside codegen); one (doc, lang) aggregation and one
+    * doc rollup — both map-side combined. */
+  def codeSwitchAudit(docs: DataFrame, idCol: String, textCol: String,
+                      blockWords: Int): DataFrame = {
+    require(blockWords >= 1, s"blockWords must be >= 1, got $blockWords")
+    val w = blockWords
+    val blocks = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_ws"))
+      .withColumn("_nb", expr(s"(size(_ws) + ${w - 1}) div $w"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, int(_nb) - 1), i -> " +
+          s"array_join(slice(_ws, i * $w + 1, $w), ' '))")).as("block"))
+    // per-language integer marker counts; rank encodes the langPredict
+    // priority order (first list wins ties)
+    val ranked = LangMarkers.reverse.zipWithIndex.map { case ((l, ws), i) =>
+      (l, ws, (i + 1).toLong)
+    }
+    val counted = ranked.foldLeft(blocks) { case (df, (l, words, _)) =>
+      df.withColumn(s"_c_$l", size(filter(split(col("block"), " "),
+        t => words.map(t === lit(_)).reduce(_ || _))).cast("long"))
+    }
+    val langRank = ranked.foldLeft(lit(0L)) { case (acc, (l, _, r)) =>
+      when(col(s"_c_$l") > 0L &&
+        ranked.filter(_._3 > r).map { case (o, _, _) =>
+          col(s"_c_$l") > col(s"_c_$o")
+        }.foldLeft(lit(true).cast("boolean"))(_ && _) &&
+        ranked.filter(_._3 < r).map { case (o, _, _) =>
+          col(s"_c_$l") >= col(s"_c_$o")
+        }.foldLeft(lit(true).cast("boolean"))(_ && _), lit(r)).otherwise(acc)
+    }
+    val byLang = counted.withColumn("_lr", langRank)
+      .groupBy(col("doc_id"), col("_lr"))
+      .agg(count(lit(1)).as("_cnt"))
+    val domCase = ranked.foldLeft(when(lit(false), lit("unknown"))) {
+      case (acc, (l, _, r)) => acc.when(col("_dom._lr") === r, lit(l))
+    }.otherwise(lit("unknown"))
+    byLang.groupBy(col("doc_id"))
+      .agg(sum(col("_cnt")).as("n_blocks"),
+        max(struct(col("_cnt"), col("_lr"))).as("_dom"),
+        countDistinct(when(col("_lr") > 0L, col("_lr"))).as("n_langs"))
+      .select(col("doc_id"), col("n_blocks"), domCase.as("dom_lang"),
+        expr("10000 * _dom._cnt div n_blocks").cast("long").as("dom_bp"),
+        col("n_langs").cast("long").as("n_langs"))
+  }
+
   def rollingTokenHash(toks: Column): Column =
     graft.functions.RollingTokenHash.rollingTokenHash(toks)
 }

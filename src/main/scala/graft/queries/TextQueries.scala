@@ -397,7 +397,19 @@ object TextQueries {
         "doc_id", "text", maxSeqLen = 128, batchSize = 8, bucketWidth = 16)
       .transform(tinySort(_, col("policy")))
 
+  /** q179 — code-switching / language-mixture audit
+    * ([[graft.ext.TextOps.codeSwitchAudit]], 20-word blocks): per-block
+    * integer-marker language ID with the fixed priority tie-break, per doc
+    * the dominant block language + share in bp and the distinct
+    * non-unknown block-language count (≥ 2 = mixed, the CCNet per-line
+    * granularity). */
+  def q179CodeSwitching(spark: SparkSession, dir: String): DataFrame =
+    TextOps.codeSwitchAudit(load(spark, dir, "documents"), "doc_id", "text",
+        blockWords = 20)
+      .transform(tinySort(_, col("doc_id")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_code_switching" -> (q179CodeSwitching _),
     "q159_unigram_vocab" -> (q159UnigramVocab _),
     "q160_unigram_fertility" -> (q160UnigramFertility _),
     "q162_tokenizer_compare" -> (q162TokenizerCompare _),
@@ -840,6 +852,46 @@ object TextQueries {
   }
 
   val sql: Map[String, String] = Map(
+    /* q179: 20-word blocks (the q177 slicing), per-block integer marker
+     * counts per language, argmax with en > es > de priority on ties
+     * (rank 3/2/1, unknown 0), dominant = max count then max rank
+     * (two-step replay of the struct max), bp by integer division. */
+    "q179_code_switching" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | nb AS (SELECT doc_id, ws,
+        |          CAST((len(ws) + 19) // 20 AS BIGINT) AS n FROM w),
+        | b AS (SELECT doc_id,
+        |          array_to_string(ws[(bi*20+1):(bi*20+20)], ' ') AS block
+        |        FROM (SELECT doc_id, ws, unnest(range(0, n)) AS bi FROM nb)),
+        | c AS (SELECT doc_id,
+        |   CAST(len(list_filter(string_split(block, ' '),
+        |     t -> t IN ('the','a','or','and','fast','slow'))) AS BIGINT) AS c_en,
+        |   CAST(len(list_filter(string_split(block, ' '),
+        |     t -> t IN ('el','la','los','datos','y'))) AS BIGINT) AS c_es,
+        |   CAST(len(list_filter(string_split(block, ' '),
+        |     t -> t IN ('der','die','das','und','nicht'))) AS BIGINT) AS c_de
+        |   FROM b),
+        | lrk AS (SELECT doc_id, CASE
+        |     WHEN c_en > 0 AND c_en >= c_es AND c_en >= c_de THEN 3
+        |     WHEN c_es > 0 AND c_es > c_en AND c_es >= c_de THEN 2
+        |     WHEN c_de > 0 AND c_de > c_en AND c_de > c_es THEN 1
+        |     ELSE 0 END AS lr FROM c),
+        | bl AS (SELECT doc_id, lr, CAST(COUNT(*) AS BIGINT) AS cnt
+        |        FROM lrk GROUP BY 1, 2),
+        | agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_blocks,
+        |           MAX(cnt) AS mx,
+        |           CAST(COUNT(DISTINCT CASE WHEN lr > 0 THEN lr END) AS BIGINT)
+        |             AS n_langs
+        |         FROM bl GROUP BY 1),
+        | dom AS (SELECT a.doc_id, a.n_blocks, a.mx, a.n_langs,
+        |           MAX(b.lr) AS dom_lr
+        |         FROM agg a JOIN bl b ON b.doc_id = a.doc_id AND b.cnt = a.mx
+        |         GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, n_blocks,
+        |  CASE dom_lr WHEN 3 THEN 'en' WHEN 2 THEN 'es' WHEN 1 THEN 'de'
+        |    ELSE 'unknown' END AS dom_lang,
+        |  CAST((10000 * mx) // n_blocks AS BIGINT) AS dom_bp, n_langs
+        |FROM dom ORDER BY doc_id""".stripMargin,
     "q159_unigram_vocab" -> unigramVocabSql(50, 4, 120, 2, 16),
     "q160_unigram_fertility" -> unigramFertilitySql(50, 4, 120, 2, 16),
     /* q162: the q128 and q160 replay chains INLINED as parenthesized

@@ -1345,6 +1345,29 @@ class ExtSpec extends AnyFunSuite {
     assert(rw(3L).getAs[Long]("n_tokens") == 11L)
   }
 
+  test("codeSwitchAudit: planted bilingual doc flags mixed; priority " +
+       "tie-break; unknown floor; exact bp division") {
+    // blockWords = 4 → each 4-word block language-IDs independently
+    val docs = Seq(
+      (1L, "the fast and slow el la los datos the a or and"), // en,es,en
+      (2L, "el la datos y der die das und"),                  // es,de
+      (3L, "qqq www eee rrr"),                                // unknown
+      (4L, "the el qq ww")                                    // 1-1 tie -> en
+    ).toDF("doc_id", "text")
+    val out = TextOps.codeSwitchAudit(docs, "doc_id", "text", blockWords = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_blocks"), r.getAs[String]("dom_lang"),
+          r.getAs[Long]("dom_bp"), r.getAs[Long]("n_langs")))).toMap
+    assert(out(1L) == ((3L, "en", 6666L, 2L)),
+      s"2/3 en blocks -> 6666 bp, mixed: ${out(1L)}")
+    assert(out(2L) == ((2L, "es", 5000L, 2L)),
+      "es/de 1-1 block tie -> priority order picks es (higher rank)")
+    assert(out(3L) == ((1L, "unknown", 10000L, 0L)),
+      "zero markers -> unknown, n_langs 0")
+    assert(out(4L) == ((1L, "en", 10000L, 1L)),
+      "within-block marker-count tie -> en by priority")
+  }
+
   test("splitLeakageAudit: planted cross-split near-dup confirms at the " +
        "integer threshold; same-split twins never pair; clean eval doc absent") {
     val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
