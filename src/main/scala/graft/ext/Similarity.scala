@@ -89,6 +89,57 @@ object Similarity {
       .withColumn("centroid", col("sum_q").cast("double") / col("n").cast("double"))
   }
 
+  /** Data-pruning by prototypicality (Sorscher et al. '22 "Beyond neural
+    * scaling laws" / the D4 recipe): rank every vector within its cluster
+    * by distance to the cluster prototype and KEEP the hardest `keepBp`
+    * fraction — in the abundant-data regime, easy (near-prototype)
+    * examples are the redundant ones. Clusters here are the label column
+    * (the supervised prototype of the [[labelCentroidsInt8]] q68 pass);
+    * null labels are excluded, as in [[knnClassify]].
+    *
+    * Exactness: distances live in the int8-QUANTIZED space and compare as
+    * ||n·q − S||² (n = cluster size, S = per-dimension integer sum) — the
+    * mean-free form keeps every term an integer; squares accumulate in
+    * DECIMAL(38,0) (n·127 squared overflows BIGINT once clusters pass
+    * ~2^26 rows — the LshPlanner precedent), and the distance itself never
+    * leaves the plan: only the rank, the percentile in exact basis
+    * points, and the keep flag ship, so no decimal/HUGEINT dtype skew can
+    * reach the output. Ties (identical vectors) break by id — documented
+    * determinism, not an accident.
+    *
+    * Scale shape: quantization + explode map-side; the (label, dim)
+    * centroid aggregation is map-side-combined over a bounded key space;
+    * the distance rollup is one id-keyed aggregation; the rank is a
+    * per-LABEL window (bounded partitions — the cluster key IS the
+    * partition key). */
+  def prototypicalityPrune(emb: DataFrame, idCol: String, vecCol: String,
+                           labelCol: String, keepBp: Long): DataFrame = {
+    require(keepBp >= 0L && keepBp <= 10000L, s"keepBp out of range: $keepBp")
+    val v = col(vecCol).cast("array<double>")
+    val amax = array_max(transform(v, x => abs(x)))
+    val safe = when(col("_amax") > 0.0, col("_amax") / 127.0).otherwise(lit(1.0))
+    val q = transform(v, x =>
+      least(greatest(round(x / col("_safe")), lit(-127.0)), lit(127.0)).cast("int"))
+    val ex = emb.filter(col(labelCol).isNotNull)
+      .select(col(idCol), col(labelCol), v.as(vecCol), amax.as("_amax"))
+      .withColumn("_safe", safe)
+      .select(col(idCol), col(labelCol), posexplode(q).as(Seq("pos", "qx")))
+    val cent = ex.groupBy(col(labelCol), col("pos"))
+      .agg(count(lit(1)).as("_n"), sum(col("qx").cast("long")).as("_s"))
+    val resid = (col("_n") * col("qx") - col("_s")).cast("decimal(38,0)")
+    val d2 = ex.join(cent, Seq(labelCol, "pos"))
+      .withColumn("_r", resid)
+      .groupBy(col(idCol), col(labelCol))
+      .agg(sum(col("_r") * col("_r")).as("_d2"), max(col("_n")).as("_nlab"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(labelCol)).orderBy(col("_d2").desc, col(idCol))
+    d2.withColumn("rank_hard", row_number().over(wRank).cast("long"))
+      .withColumn("pct_bp", expr("10000 * rank_hard div _nlab").cast("long"))
+      .withColumn("kept", col("pct_bp") <= keepBp)
+      .select(col(idCol), col(labelCol), col("rank_hard"), col("pct_bp"),
+        col("kept"))
+  }
+
   /** Widen a frame to the cluster's task slots when its source gives fewer
     * splits: broadcast-join scan stages (nested-loop or hash) parallelize
     * by the STREAMED side's partition count — at real scale file splits

@@ -250,6 +250,16 @@ object SimilarityQueries {
   /** q68 — per-label int8 centroids ([[Similarity.labelCentroidsInt8]]):
     * exact BIGINT sums over the quantized space, one division per output
     * row. |labels|·dims output rows → [[tinySort]]. */
+  /** q180 — prototypicality pruning
+    * ([[Similarity.prototypicalityPrune]], keep hardest 60 %): per label
+    * cluster, each vector ranked by exact-integer distance to the cluster
+    * prototype (||n·q − S||² in the q68 quantized space), percentile in
+    * bp, keep flag — the Sorscher/D4 hard-example selection. */
+  def q180PrototypicalityPrune(spark: SparkSession, dir: String): DataFrame =
+    Similarity.prototypicalityPrune(load(spark, dir, "embeddings"),
+        "vec_id", "embedding", "label", keepBp = 6000L)
+      .transform(tinySort(_, col("vec_id")))
+
   def q68LabelCentroids(spark: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroidsInt8(load(spark, dir, "embeddings"),
         "label", "embedding")
@@ -281,6 +291,7 @@ object SimilarityQueries {
     "q25_cosine_topk" -> (q25CosineTopK _),
     "q107_rrf_fusion" -> (q107RrfFusion _),
     "q68_label_centroids" -> (q68LabelCentroids _),
+    "q180_prototypicality_prune" -> (q180PrototypicalityPrune _),
     "q58_embedding_quantize" -> (q58EmbeddingQuantize _),
     "q26_embedding_neardup" -> (q26EmbeddingNearDup _),
     "q31_ann_lsh" -> (q31AnnLsh _),
@@ -387,6 +398,39 @@ object SimilarityQueries {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, cand_id) AS BIGINT) AS fused_rank
         |FROM g
         |ORDER BY query_id, fused_rank""".stripMargin,
+    /* q180: the q68 quantization chain per vector, mean-free integer
+     * residuals n·q − S squared in HUGEINT (≡ Spark's DECIMAL(38,0) on
+     * every in-range value; the distance never ships), rank per label by
+     * (d2 DESC, vec_id), integer-div percentile, keep ≤ 6000 bp. */
+    "q180_prototypicality_prune" ->
+      """WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE label IS NOT NULL),
+        | m AS (SELECT vec_id, label, v,
+        |         list_max(list_transform(v, x -> abs(x))) AS amax FROM b),
+        | s AS (SELECT vec_id, label, v,
+        |         CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS safe FROM m),
+        | q AS (SELECT vec_id, label,
+        |         list_transform(v, x -> CAST(least(greatest(round(x / safe),
+        |           -127.0), 127.0) AS INT)) AS qv
+        |       FROM s),
+        | e AS (SELECT vec_id, label, unnest(qv) AS qx,
+        |         generate_subscripts(qv, 1) - 1 AS pos FROM q),
+        | c AS (SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(qx) AS BIGINT) AS sq FROM e GROUP BY 1, 2),
+        | d AS (SELECT e.vec_id, e.label,
+        |         SUM((CAST(c.n AS HUGEINT) * e.qx - c.sq) *
+        |             (CAST(c.n AS HUGEINT) * e.qx - c.sq)) AS d2,
+        |         MAX(c.n) AS nlab
+        |       FROM e JOIN c ON c.label = e.label AND c.pos = e.pos
+        |       GROUP BY 1, 2),
+        | r AS (SELECT vec_id, label,
+        |         CAST(row_number() OVER (PARTITION BY label
+        |           ORDER BY d2 DESC, vec_id) AS BIGINT) AS rank_hard, nlab
+        |       FROM d)
+        |SELECT vec_id, label, rank_hard,
+        |  CAST((10000 * rank_hard) // nlab AS BIGINT) AS pct_bp,
+        |  ((10000 * rank_hard) // nlab <= 6000) AS kept
+        |FROM r ORDER BY vec_id""".stripMargin,
     "q68_label_centroids" ->
       """WITH b AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | m AS (SELECT label, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM b),

@@ -1345,6 +1345,42 @@ class ExtSpec extends AnyFunSuite {
     assert(rw(3L).getAs[Long]("n_tokens") == 11L)
   }
 
+  test("prototypicalityPrune: outlier ranks hardest, near-prototype ranks " +
+       "last, identical vectors tie by id, null labels excluded") {
+    // label 7: two near-identical vectors + one outlier; label 8: three
+    // exact twins (pure id tie-break); label null: excluded
+    val emb = Seq(
+      (1L, Array(1.0f, 1.0f, 0.0f, 0.0f), Some(7)),
+      (2L, Array(1.0f, 0.9f, 0.0f, 0.0f), Some(7)),
+      (3L, Array(-1.0f, -1.0f, 0.5f, 0.5f), Some(7)), // outlier
+      (10L, Array(0.5f, 0.5f, 0.5f, 0.5f), Some(8)),
+      (11L, Array(0.5f, 0.5f, 0.5f, 0.5f), Some(8)),
+      (12L, Array(0.5f, 0.5f, 0.5f, 0.5f), Some(8)),
+      (99L, Array(9.0f, 9.0f, 9.0f, 9.0f), None: Option[Int])
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.prototypicalityPrune(emb, "vec_id", "embedding",
+        "label", keepBp = 6000L)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("rank_hard"), r.getAs[Long]("pct_bp"),
+          r.getAs[Boolean]("kept")))).toMap
+    assert(!out.contains(99L), "null label excluded")
+    assert(out(3L)._1 == 1L, "the outlier is the hardest example")
+    assert(out(3L) == ((1L, 3333L, true)), "1/3 -> 3333 bp, kept at 6000")
+    // vectors 1 and 2 are both near the prototype; ranks 2 and 3 in some
+    // distance order; the last (most prototypical) is dropped at 6000 bp
+    assert(Set(out(1L)._1, out(2L)._1) == Set(2L, 3L))
+    // with n = 3 the percentiles land at 3333/6666/10000 bp: only rank 1
+    // clears keepBp = 6000 (the integer grid is conservative — a rank
+    // keeps only if its FULL percentile fits under the budget)
+    assert(out.count { case (id, (_, _, k)) =>
+      Seq(1L, 2L, 3L).contains(id) && !k } == 2,
+      "ranks 2 and 3 of label 7 drop at the 6000 bp budget")
+    // exact twins: zero distance for all three -> pure id order
+    assert(out(10L) == ((1L, 3333L, true)) && out(11L) == ((2L, 6666L, false))
+      && out(12L) == ((3L, 10000L, false)),
+      s"deterministic id tie-break: ${Seq(out(10L), out(11L), out(12L))}")
+  }
+
   test("codeSwitchAudit: planted bilingual doc flags mixed; priority " +
        "tie-break; unknown floor; exact bp division") {
     // blockWords = 4 → each 4-word block language-IDs independently
