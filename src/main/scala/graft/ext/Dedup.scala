@@ -156,6 +156,75 @@ object Dedup {
       .select(col(s"n.$idCol").as("new_id"), col(s"r.$idCol").as("ref_id"))
       .distinct()
 
+  /** The dedup funnel — the stage-by-stage ablation table a dataset card
+    * reports (FineWeb's "what each dedup stage removed"): per source, doc
+    * and token mass surviving each SEQUENTIAL stage:
+    *
+    *   raw → EXACT (q20 keeper: min id per normalized-text md5)
+    *       → FUZZY (MinHash band keep-min-id: a survivor drops iff some
+    *         band holds a smaller surviving id — the q26 keep-min-id rule,
+    *         deliberately not transitive closure; docs too short to
+    *         shingle carry no near-dup evidence and keep)
+    *       → PARAGRAPH (q177 block dedup over the fuzzy survivors; the
+    *         stage yield is TOKEN mass, the unit sub-document dedup
+    *         actually removes)
+    *
+    * Scale shape: each stage is an established bounded shape (fingerprint
+    * shuffle, band equi-join + per-doc min, block-hash shuffle), applied
+    * to the previous stage's survivor frame; the rollup is one map-side-
+    * combined aggregation per stage on the bounded source key, stitched
+    * with broadcast left joins. */
+  def dedupFunnel(docs: DataFrame, sourceCol: String, idCol: String,
+                  textCol: String, blockWords: Int = 20): DataFrame = {
+    val base = docs.select(col(sourceCol), col(idCol).as("doc_id"),
+      col(textCol).as("_text"),
+      TextOps.fingerprintMd5(col(textCol)).as("_fp"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("_toks"))
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("_fp"))
+    val exact = base.withColumn("_kmin", min(col("doc_id")).over(wFp))
+      .filter(col("doc_id") === col("_kmin")).drop("_kmin")
+    val sig = minhashSignature(
+      exact.select(col("doc_id"), col("_text")), "doc_id", "_text")
+    val bands = bandKeys(sig, "doc_id", numHashes = 8, bands = 2)
+    val bandMin = bands.groupBy(col("band")).agg(min(col("doc_id")).as("_bmin"))
+    val dropFuzzy = bands.join(bandMin, Seq("band"))
+      .groupBy(col("doc_id")).agg(min(col("_bmin")).as("_best"))
+      .filter(col("_best") < col("doc_id"))
+      .select(col("doc_id"))
+    val fuzzy = exact.join(dropFuzzy.withColumn("_drop", lit(1)),
+        Seq("doc_id"), "left")
+      .filter(col("_drop").isNull).drop("_drop")
+    val blocks = wordBlocks(fuzzy.select(col("doc_id"), col("_text")),
+        "doc_id", "_text", blockWords)
+      .withColumn("_h", md5(col("block").cast("binary")))
+    val keep = blocks.groupBy(col("_h"))
+      .agg(min(struct(col("doc_id"), col("bi"))).as("_k"))
+    val paraToks = blocks.join(keep, Seq("_h"))
+      .withColumn("_kept", col("_k.doc_id") === col("doc_id") &&
+        col("_k.bi") === col("bi"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("_kept"),
+        size(split(col("block"), " ")).cast("long")).otherwise(0L))
+        .as("_ktoks"))
+    def roll(df: DataFrame, docsAs: String, toksAs: String) =
+      df.groupBy(col(sourceCol)).agg(count(lit(1)).as(docsAs),
+        sum(col("_toks")).as(toksAs))
+    val para = fuzzy.join(paraToks, Seq("doc_id"))
+      .groupBy(col(sourceCol)).agg(sum(col("_ktoks")).as("tokens_para"))
+    roll(base, "n_raw_docs", "tokens_raw")
+      .join(broadcast(roll(exact, "n_exact_docs", "tokens_exact")),
+        Seq(sourceCol), "left")
+      .join(broadcast(roll(fuzzy, "n_fuzzy_docs", "tokens_fuzzy")),
+        Seq(sourceCol), "left")
+      .join(broadcast(para), Seq(sourceCol), "left")
+      .na.fill(0L, Seq("n_exact_docs", "tokens_exact", "n_fuzzy_docs",
+        "tokens_fuzzy", "tokens_para"))
+      .withColumn("doc_yield_bp",
+        expr("10000 * n_fuzzy_docs div greatest(n_raw_docs, 1)").cast("long"))
+      .withColumn("token_yield_bp",
+        expr("10000 * tokens_para div greatest(tokens_raw, 1)").cast("long"))
+  }
+
   /** Train/eval split-leakage audit — the release-hygiene check a benchmark
     * or eval split needs before shipping (The Pile / FineWeb practice:
     * near-duplicates of eval documents inside the training split inflate
@@ -299,17 +368,25 @@ object Dedup {
     * is exactly the skew this operator hunts (a window-ranked keeper
     * would sort the hot key in one task) — then an equi-join back on the
     * hash (AQE skew-split applies) and one doc-keyed rollup. */
-  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
-                     blockWords: Int): DataFrame = {
-    require(blockWords >= 1, s"blockWords must be >= 1, got $blockWords")
-    val w = blockWords
-    val blocks = docs
+  /** (doc_id, bi, block): consecutive `w`-word blocks per doc, formed
+    * map-side by list slicing (trailing partials included) — the shared
+    * pseudo-paragraph builder of [[paragraphDedup]], the code-switch
+    * audit and the dedup funnel. */
+  private[graft] def wordBlocks(docs: DataFrame, idCol: String,
+                                textCol: String, w: Int): DataFrame = {
+    require(w >= 1, s"blockWords must be >= 1, got $w")
+    docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_ws"))
       .withColumn("_nb", expr(s"(size(_ws) + ${w - 1}) div $w"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, int(_nb) - 1), i -> " +
           s"array_join(slice(_ws, i * $w + 1, $w), ' '))"))
         .as(Seq("bi", "block")))
+  }
+
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     blockWords: Int): DataFrame = {
+    val blocks = wordBlocks(docs, idCol, textCol, blockWords)
       .withColumn("_h", md5(col("block").cast("binary")))
     val keep = blocks.groupBy(col("_h"))
       .agg(min(struct(col("doc_id"), col("bi"))).as("_k"))

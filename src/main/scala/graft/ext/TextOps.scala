@@ -237,14 +237,8 @@ object TextOps {
     * doc rollup — both map-side combined. */
   def codeSwitchAudit(docs: DataFrame, idCol: String, textCol: String,
                       blockWords: Int): DataFrame = {
-    require(blockWords >= 1, s"blockWords must be >= 1, got $blockWords")
-    val w = blockWords
-    val blocks = docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_ws"))
-      .withColumn("_nb", expr(s"(size(_ws) + ${w - 1}) div $w"))
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, int(_nb) - 1), i -> " +
-          s"array_join(slice(_ws, i * $w + 1, $w), ' '))")).as("block"))
+    val blocks = Dedup.wordBlocks(docs, idCol, textCol, blockWords)
+      .select(col("doc_id"), col("block"))
     // per-language integer marker counts; rank encodes the langPredict
     // priority order (first list wins ties)
     val ranked = LangMarkers.reverse.zipWithIndex.map { case ((l, ws), i) =>

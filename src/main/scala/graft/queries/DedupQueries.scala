@@ -391,7 +391,17 @@ object DedupQueries {
         "doc_id", "text", "is_test")
       .transform(tinySort(_, col("doc_id")))
 
+  /** q181 — the dedup funnel ([[graft.ext.Dedup.dedupFunnel]], 20-word
+    * blocks): per source, doc/token mass surviving raw → exact → fuzzy
+    * (band keep-min-id) → paragraph dedup, the FineWeb-style dataset-card
+    * ablation, all-integer yields. */
+  def q181DedupFunnel(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupFunnel(load(spark, dir, "documents"), "source", "doc_id",
+        "text", blockWords = 20)
+      .transform(tinySort(_, col("source")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_dedup_funnel" -> (q181DedupFunnel _),
     "q178_split_leakage" -> (q178SplitLeakage _),
     "q177_paragraph_dedup" -> (q177ParagraphDedup _),
     "q176_contamination_span" -> (q176ContaminationSpan _),
@@ -537,6 +547,67 @@ object DedupQueries {
         |    AS dup_bp
         |FROM documents d LEFT JOIN prof p ON p.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    /* q181: sequential funnel — q20's normalized-md5 keeper (window min),
+     * the q90 band construction FILTERED to exact survivors (minhash per
+     * doc is corpus-independent, so the all-docs sig CTE reuses verbatim),
+     * keep-min-id = no band holds a smaller surviving id, then the q177
+     * block-dedup chain over the fuzzy survivors with TOKEN accounting.
+     * Sourceless fills via COALESCE; yields by integer division. */
+    "q181_dedup_funnel" ->
+      s"""WITH $SigCte,
+        | base AS (SELECT source, doc_id, text,
+        |     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+        |     CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |   FROM documents),
+        | ek AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS kmin FROM base),
+        | es AS (SELECT * FROM ek WHERE doc_id = kmin),
+        | sig2 AS (SELECT sig.* FROM sig JOIN es USING (doc_id)),
+        | bands AS (
+        |   SELECT doc_id, md5('B0|' || sig0 || '|' || sig1 || '|' || sig2 || '|' || sig3) AS band FROM sig2
+        |   UNION ALL
+        |   SELECT doc_id, md5('B1|' || sig4 || '|' || sig5 || '|' || sig6 || '|' || sig7) AS band FROM sig2),
+        | bm AS (SELECT band, MIN(doc_id) AS bmin FROM bands GROUP BY band),
+        | dropf AS (SELECT doc_id FROM bands JOIN bm USING (band)
+        |           GROUP BY doc_id HAVING MIN(bmin) < doc_id),
+        | fs AS (SELECT * FROM es
+        |        WHERE doc_id NOT IN (SELECT doc_id FROM dropf)),
+        | w2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM fs),
+        | nb2 AS (SELECT doc_id, ws,
+        |           CAST((len(ws) + 19) // 20 AS BIGINT) AS n FROM w2),
+        | b2 AS (SELECT doc_id, CAST(bi AS BIGINT) AS bi,
+        |          array_to_string(ws[(bi*20+1):(bi*20+20)], ' ') AS block
+        |        FROM (SELECT doc_id, ws, unnest(range(0, n)) AS bi FROM nb2)),
+        | h2 AS (SELECT doc_id, bi, block, md5(block) AS hv FROM b2),
+        | k2 AS (SELECT hv, MIN(ROW(doc_id, bi)) AS kk FROM h2 GROUP BY hv),
+        | kt AS (SELECT h2.doc_id,
+        |          CAST(SUM(CASE WHEN k2.kk = ROW(h2.doc_id, h2.bi)
+        |            THEN len(string_split(h2.block, ' ')) ELSE 0 END) AS BIGINT)
+        |            AS ktoks
+        |        FROM h2 JOIN k2 USING (hv) GROUP BY 1),
+        | r_raw AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw_docs,
+        |             CAST(SUM(toks) AS BIGINT) AS tokens_raw
+        |           FROM base GROUP BY 1),
+        | r_ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact_docs,
+        |            CAST(SUM(toks) AS BIGINT) AS tokens_exact
+        |          FROM es GROUP BY 1),
+        | r_fz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fuzzy_docs,
+        |            CAST(SUM(toks) AS BIGINT) AS tokens_fuzzy
+        |          FROM fs GROUP BY 1),
+        | r_pa AS (SELECT fs.source, CAST(SUM(kt.ktoks) AS BIGINT) AS tokens_para
+        |          FROM fs JOIN kt USING (doc_id) GROUP BY 1)
+        |SELECT r.source, r.n_raw_docs,
+        |  COALESCE(e.n_exact_docs, 0) AS n_exact_docs,
+        |  COALESCE(f.n_fuzzy_docs, 0) AS n_fuzzy_docs,
+        |  r.tokens_raw, COALESCE(e.tokens_exact, 0) AS tokens_exact,
+        |  COALESCE(f.tokens_fuzzy, 0) AS tokens_fuzzy,
+        |  COALESCE(p.tokens_para, 0) AS tokens_para,
+        |  CAST((10000 * COALESCE(f.n_fuzzy_docs, 0))
+        |    // GREATEST(r.n_raw_docs, 1) AS BIGINT) AS doc_yield_bp,
+        |  CAST((10000 * COALESCE(p.tokens_para, 0))
+        |    // GREATEST(r.tokens_raw, 1) AS BIGINT) AS token_yield_bp
+        |FROM r_raw r LEFT JOIN r_ex e USING (source)
+        |  LEFT JOIN r_fz f USING (source) LEFT JOIN r_pa p USING (source)
+        |ORDER BY r.source""".stripMargin,
     /* q178: the q90 band join with a %10 split, candidate pairs verified
      * by exact shingle intersection (COUNT of matched LEFT-JOIN rows keeps
      * zero-shared banding false positives in the report), leak test as

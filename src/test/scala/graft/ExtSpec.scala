@@ -1345,6 +1345,43 @@ class ExtSpec extends AnyFunSuite {
     assert(rw(3L).getAs[Long]("n_tokens") == 11L)
   }
 
+  test("dedupFunnel: each stage removes exactly its planted duplicate class; " +
+       "token accounting survives to the paragraph stage") {
+    val para = Seq.tabulate(20)(i => s"w$i").mkString(" ") // one full block
+    val docs = Seq(
+      // src A: doc 2 is an EXACT copy of doc 1 -> dies at the exact stage
+      (1L, "A", para + " unique tail alpha beta gamma delta epsilon zeta"),
+      (2L, "A", para + " unique tail alpha beta gamma delta epsilon zeta"),
+      // src B: doc 4 appends one word to doc 3 — NOT an exact dup (the
+      // fingerprint normalizes case, so a case edit would die at the
+      // exact stage!), but the appended shingles don't displace any of
+      // the 8 minhash mins -> same bands -> dies at the fuzzy stage
+      (3L, "B", Seq.tabulate(24)(i => s"b$i").mkString(" ")),
+      (4L, "B", Seq.tabulate(24)(i => s"b$i").mkString(" ") + " extrazz"),
+      // src C: doc 5 repeats doc 1's opening block -> loses those 20
+      // TOKENS (not the doc) at the paragraph stage
+      (5L, "C", para + " " + Seq.tabulate(20)(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.dedupFunnel(docs, "source", "doc_id", "text",
+        blockWords = 20)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("n_raw_docs") == 2L &&
+      a.getAs[Long]("n_exact_docs") == 1L &&
+      a.getAs[Long]("n_fuzzy_docs") == 1L, "exact twin dies first")
+    val b = out("B")
+    assert(b.getAs[Long]("n_exact_docs") == 2L &&
+      b.getAs[Long]("n_fuzzy_docs") == 1L,
+      s"near-dup survives exact, dies fuzzy: $b")
+    val c = out("C")
+    assert(c.getAs[Long]("n_fuzzy_docs") == 1L)
+    // doc 5 keeps its doc but loses the 20-token opening block to doc 1's
+    // surviving copy: 40 raw tokens -> 20 after the paragraph stage
+    assert(c.getAs[Long]("tokens_raw") == 40L &&
+      c.getAs[Long]("tokens_para") == 20L &&
+      c.getAs[Long]("token_yield_bp") == 5000L, s"token accounting: $c")
+  }
+
   test("prototypicalityPrune: outlier ranks hardest, near-prototype ranks " +
        "last, identical vectors tie by id, null labels excluded") {
     // label 7: two near-identical vectors + one outlier; label 8: three

@@ -721,4 +721,50 @@ class PlanShapeSpec extends AnyFunSuite {
       !gen.contains("CartesianProduct"),
       s"no all-pairs stage inside the IVF generator:\n$gen")
   }
+
+  test("q177-q180: dedup/audit layers are equi-joins and map-side blocks — " +
+       "no nested loops, no unpartitioned windows, q179 join-free") {
+    import org.apache.spark.sql.functions.col
+    def unpartitioned(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+      val here = p match {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => Seq(w)
+        case _ => Seq.empty
+      }
+      here ++ p.children.flatMap(unpartitioned) ++
+        p.subqueries.flatMap(unpartitioned)
+    }
+    val docs = graft.util.Tables.load(spark, dir, "documents")
+    val emb = graft.util.Tables.load(spark, dir, "embeddings")
+    val q177 = graft.ext.Dedup.paragraphDedup(docs, "doc_id", "text", 20)
+      .queryExecution
+    val p177 = q177.sparkPlan.toString
+    assert(!p177.contains("BroadcastNestedLoopJoin") &&
+      !p177.contains("CartesianProduct"),
+      s"keeper join must be hash-keyed:\n$p177")
+    assert(!p177.contains("Generate explode(split"),
+      s"blocks must slice map-side, never explode per word:\n$p177")
+    val q178 = graft.ext.Dedup.splitLeakageAudit(
+        docs.withColumn("is_test", col("doc_id") % 10 === 0),
+        "doc_id", "text", "is_test")
+      .queryExecution
+    val p178 = q178.sparkPlan.toString
+    assert(!p178.contains("BroadcastNestedLoopJoin") &&
+      !p178.contains("CartesianProduct"),
+      s"band candidates + shingle verify are equi-joins only:\n$p178")
+    val q179 = graft.ext.TextOps.codeSwitchAudit(docs, "doc_id", "text", 20)
+      .queryExecution
+    val p179 = q179.sparkPlan.toString
+    assert(!p179.contains("Join"), s"q179 must be join-free:\n$p179")
+    assert(unpartitioned(q179.sparkPlan).isEmpty)
+    val q180 = graft.ext.Similarity.prototypicalityPrune(emb, "vec_id",
+        "embedding", "label", 6000L)
+      .queryExecution
+    val p180 = q180.sparkPlan.toString
+    assert(unpartitioned(q180.sparkPlan).isEmpty,
+      s"the hardness rank must stay a per-label window:\n$p180")
+    assert(!p180.contains("BroadcastNestedLoopJoin") &&
+      !p180.contains("CartesianProduct"))
+  }
 }
