@@ -384,21 +384,26 @@ object Dedup {
         .as(Seq("bi", "block")))
   }
 
+  /** Per-doc rollup of a (doc_id, bi, block, _kept) marked-block frame —
+    * shared by the batch [[paragraphDedup]] and its streaming twin so the
+    * two reports can never drift. */
+  private[graft] def rollupParagraphBlocks(marked: DataFrame): DataFrame =
+    marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("_kept"), 0L).otherwise(1L)).as("n_removed"),
+        md5(array_join(transform(array_sort(collect_list(
+            when(col("_kept"), struct(col("bi"), col("block"))))),
+          x => x.getField("block")), " ").cast("binary")).as("kept_fp"))
+
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
                      blockWords: Int): DataFrame = {
     val blocks = wordBlocks(docs, idCol, textCol, blockWords)
       .withColumn("_h", md5(col("block").cast("binary")))
     val keep = blocks.groupBy(col("_h"))
       .agg(min(struct(col("doc_id"), col("bi"))).as("_k"))
-    blocks.join(keep, Seq("_h"))
+    rollupParagraphBlocks(blocks.join(keep, Seq("_h"))
       .withColumn("_kept", col("_k.doc_id") === col("doc_id") &&
-        col("_k.bi") === col("bi"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_blocks"),
-        sum(when(col("_kept"), 0L).otherwise(1L)).as("n_removed"),
-        md5(array_join(transform(array_sort(collect_list(
-            when(col("_kept"), struct(col("bi"), col("block"))))),
-          x => x.getField("block")), " ").cast("binary")).as("kept_fp"))
+        col("_k.bi") === col("bi")))
   }
 
   /** Deduplicated token-yield report — the dataset-card number every

@@ -285,6 +285,37 @@ class IncrementalSpec extends AnyFunSuite {
     assert(streamed == expected)
   }
 
+  test("streaming paragraph dedup equals the batch block keeper across " +
+       "micro-batches under id-ordered arrival") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = Files.createTempDirectory("graft_paradedup_stream")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // id-ordered micro-batches: the ingest contract under which keep-first
+    // arrival IS the batch global min(struct(doc, position)) keeper
+    val cuts = Seq(col("doc_id") < 200,
+      col("doc_id") >= 200 && col("doc_id") < 350,
+      col("doc_id") >= 350)
+    cuts.zipWithIndex.foreach { case (cut, i) =>
+      val tmp = Files.createTempDirectory(s"graft_paradedup_chunk$i")
+      docs.filter(cut).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(s"c$i.parquet")
+      Files.move(part, dest)
+      dest.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val streamed = graft.stream.StreamingParagraphDedup
+      .runToSnapshot(spark, streamDir.toString, "paradedup_test",
+        maxFilesPerTrigger = Some(1))
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.ext.Dedup
+      .paragraphDedup(docs, "doc_id", "text", blockWords = 20)
+      .collect().map(_.toString).sorted.toSeq
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      "streamed keep-first must equal the batch keeper verdict-for-verdict")
+  }
+
   test("streaming HLL registers equal the batch rollup across micro-batches") {
     val dir = "/root/testdata/sf0.001"
     val streamDir = Files.createTempDirectory("graft_hll_stream")
