@@ -221,6 +221,83 @@ object Multimodal {
     }
   }
 
+  /** Perceptual difference-hash of an AUDIO payload — the Chromaprint-lite
+    * twin of [[imageDHash]]: decode PCM (the same `javax.sound.sampled`
+    * stack and mix-down rule as [[decodeAudio]]), bucket per-frame energy
+    * (mix²) into a balanced 64-segment timeline, and pack 63 bits where
+    * bit i = 1 iff segment i's MEAN energy exceeds segment i+1's — the
+    * identical 64-cell / 63-diff rule as the image and text twins, so
+    * [[Dedup.hammingNearDup]]'s pigeonhole band join consumes any
+    * modality unchanged. Mean comparison is cross-multiplication
+    * (energyᵢ·countᵢ₊₁ > energyᵢ₊₁·countᵢ — no division; the energy sums
+    * walk frames in order, so the doubles are bit-deterministic). The
+    * hash is LEVEL-INVARIANT in structure (an 8-bit and a 16-bit encode
+    * of the same waveform order their segment means identically) —
+    * that's the perceptual part.
+    *
+    * Non-audio payloads take the TEXT rule on the payload bytes (the q32
+    * stub discipline, shared with [[imageDHash]]'s fallback): honest,
+    * deterministic, and exactly what the DuckDB oracle replays for
+    * text-blob testdata. */
+  private[graft] def audioDHash(payload: Array[Byte]): Long = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    def fallback = graft.functions.TextDHashKernel.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(payload))
+    try {
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val channels = fmt.getChannels
+        val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+        val pcmOk = ((bits == 8 && (signed || enc == AudioFormat.Encoding.PCM_UNSIGNED)) ||
+          (bits == 16 && signed)) && fmt.getFrameSize == channels * bits / 8
+        if (!pcmOk) return fallback
+        val bytes = ais.readAllBytes()
+        val frameSize = fmt.getFrameSize
+        val frames = bytes.length / frameSize
+        if (frames == 0) return fallback
+        val energy = new Array[Double](64)
+        val counts = new Array[Long](64)
+        var i = 0
+        while (i < frames) {
+          var c = 0
+          var mix = 0.0
+          while (c < channels) {
+            val off = i * frameSize + c * (bits / 8)
+            val s =
+              if (bits == 8) {
+                if (signed) bytes(off) / 128.0 else ((bytes(off) & 0xff) - 128) / 128.0
+              } else {
+                val lo = if (fmt.isBigEndian) bytes(off + 1) & 0xff else bytes(off) & 0xff
+                val hi = if (fmt.isBigEndian) bytes(off).toInt else bytes(off + 1).toInt
+                ((hi << 8) | lo).toShort / 32768.0
+              }
+            mix += s
+            c += 1
+          }
+          mix /= channels
+          val seg = (i.toLong * 64 / frames).toInt
+          energy(seg) += mix * mix
+          counts(seg) += 1
+          i += 1
+        }
+        var hash = 0L
+        var k = 0
+        while (k < 63) {
+          val l = energy(k) * math.max(counts(k + 1), 1L)
+          val r = energy(k + 1) * math.max(counts(k), 1L)
+          if (l > r) hash |= (1L << k)
+          k += 1
+        }
+        hash
+      } finally ais.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => fallback
+    }
+  }
+
   private def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     val h = java.security.MessageDigest.getInstance("MD5").digest(payload)
     def u(i: Int): Int = h(i) & 0xff

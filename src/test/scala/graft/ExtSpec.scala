@@ -821,6 +821,50 @@ class ExtSpec extends AnyFunSuite {
       assert(math.abs(v - expected) < 0.02f, s"sine segment rms=$v expected≈$expected"))
   }
 
+  test("audioDHash: staircase waveform packs hand-computed bits; " +
+       "level/bit-depth invariance; text fallback equals the text kernel") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // build 16-bit mono PCM WAV from a per-segment amplitude plan: 64
+    // segments × 64 frames, constant amplitude per segment (square wave so
+    // RMS = amplitude exactly)
+    def wav16(amps: Seq[Double], scale: Double): Array[Byte] = {
+      val n = amps.length * 64
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val a = amps(i / 64) * scale
+        val s = (if (i % 2 == 0) a else -a)
+        val v = (s * 32767).toInt.toShort
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val buf = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        AudioFileFormat.Type.WAVE, buf)
+      buf.toByteArray
+    }
+    // alternating loud/quiet segments: bit i = 1 iff seg i louder than i+1
+    // -> expected bits = 1 at even i (loud->quiet), 0 at odd (quiet->loud)
+    val amps = Seq.tabulate(64)(i => if (i % 2 == 0) 0.8 else 0.2)
+    val h1 = Multimodal.audioDHash(wav16(amps, 1.0))
+    var expected = 0L
+    for (i <- 0 until 63 if i % 2 == 0) expected |= (1L << i)
+    assert(h1 == expected, f"staircase bits: got $h1%016x want $expected%016x")
+    // perceptual invariance: a quieter master (x0.5) orders segment means
+    // identically -> same hash
+    assert(Multimodal.audioDHash(wav16(amps, 0.5)) == h1, "level invariance")
+    // non-audio payload falls back to the text rule, bit for bit
+    val txt = "the quick brown fox jumps over the lazy dog and keeps going"
+    assert(Multimodal.audioDHash(txt.getBytes("UTF-8")) ==
+      graft.functions.TextDHashKernel.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(txt)),
+      "fallback must be the shared text kernel")
+    // malformed RIFF header (crafted payload) must not throw
+    val junk = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    Multimodal.audioDHash("RIFF".getBytes ++ junk) // no-throw is the assert
+  }
+
   test("shared-span stats ≡ brute-force longest common token run + match count") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
