@@ -1609,6 +1609,21 @@ class ExtSpec extends AnyFunSuite {
       val bad = (g2.keySet ++ w2.keySet).filter(k => g2.get(k) != w2.get(k))
       s"diff docs $bad: got ${bad.map(g2.get)}, want ${bad.map(w2.get)}"
     })
+    // multibyte: the LCP kernel counts COMPLETE code points and the brute
+    // force compares Java chars — BMP-only vocab keeps the two aligned
+    // while still exercising divergence inside multibyte sequences
+    // (é = C3 A9 vs ÿ = C3 BF share their first UTF-8 byte)
+    val rnd2 = new scala.util.Random(7)
+    val mbVocab = Vector("éé", "ÿÿ", "日本", "aa")
+    def mkMb(n: Int) = Seq.fill(n)(mbVocab(rnd2.nextInt(mbVocab.size))).mkString(" ")
+    val mCorpus = (0L until 20L).map(i => i -> mkMb(6 + rnd2.nextInt(8)))
+    val mBench = (500L until 504L).map(i => i -> mkMb(6 + rnd2.nextInt(8)))
+    val g3 = run(mCorpus, mBench, minLen = 5)
+    val w3 = brute(mCorpus, mBench.map(_._2), minLen = 5, k = 64)
+    assert(g3 == w3, {
+      val bad = (g3.keySet ++ w3.keySet).filter(k => g3.get(k) != w3.get(k))
+      s"multibyte diff docs $bad: got ${bad.map(g3.get)}, want ${bad.map(w3.get)}"
+    })
   }
 
   test("duplication profile: exact doc-level duplicate profiles at 10000 bp; " +
