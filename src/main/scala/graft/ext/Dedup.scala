@@ -156,6 +156,42 @@ object Dedup {
       .select(col(s"n.$idCol").as("new_id"), col(s"r.$idCol").as("ref_id"))
       .distinct()
 
+  /** Corpus snapshot diff — the release-delta table a versioned dataset
+    * card reports (what changed between corpus v1 and v2): per source,
+    * documents ADDED (id only in B), REMOVED (id only in A), CHANGED
+    * (both, different normalized-text fingerprint — so
+    * whitespace/case-only edits do NOT count as changes, the q20
+    * normalization), UNCHANGED, plus the token delta (Σ tokens_B −
+    * Σ tokens_A over the source).
+    *
+    * Scale shape: one full outer join on the id (both sides pre-projected
+    * to (id, source, fingerprint, token count) — fingerprint and count
+    * are map-side kernel expressions), one map-side-combined rollup on
+    * the bounded source key. The source of a changed/unchanged doc is
+    * B's (incoming-wins, the U2 upsert convention); removed docs report
+    * under A's source. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, sourceCol: String,
+                   idCol: String, textCol: String): DataFrame = {
+    def proj(df: DataFrame, tag: String) = df.select(
+      col(idCol).as("doc_id"), col(sourceCol).as(s"_src_$tag"),
+      TextOps.fingerprintMd5(col(textCol)).as(s"_fp_$tag"),
+      size(TextOps.tokens(col(textCol))).cast("long").as(s"_tk_$tag"))
+    proj(a, "a").join(proj(b, "b"), Seq("doc_id"), "full_outer")
+      .withColumn(sourceCol, coalesce(col("_src_b"), col("_src_a")))
+      .withColumn("_state", when(col("_fp_a").isNull, lit("added"))
+        .when(col("_fp_b").isNull, lit("removed"))
+        .when(col("_fp_a") === col("_fp_b"), lit("unchanged"))
+        .otherwise(lit("changed")))
+      .groupBy(col(sourceCol))
+      .agg(
+        sum(when(col("_state") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("_state") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("_state") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("_state") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+        (sum(coalesce(col("_tk_b"), lit(0L))) -
+          sum(coalesce(col("_tk_a"), lit(0L)))).as("token_delta"))
+  }
+
   /** The dedup funnel — the stage-by-stage ablation table a dataset card
     * reports (FineWeb's "what each dedup stage removed"): per source, doc
     * and token mass surviving each SEQUENTIAL stage:

@@ -400,7 +400,27 @@ object DedupQueries {
         "text", blockWords = 20)
       .transform(tinySort(_, col("source")))
 
+  /** q182 — corpus snapshot diff ([[graft.ext.Dedup.snapshotDiff]]):
+    * version B derived deterministically from the documents table (every
+    * 11th doc deleted, every 13th SURVIVOR edited with a ` rev2` suffix,
+    * every 17th re-added under id+1000000), diffed against version A =
+    * the table itself; per source the added/removed/changed/unchanged
+    * counts and the token delta. Whitespace/case-only edits do not count
+    * as changes (q20 normalization). */
+  def q182SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val a = load(spark, dir, "documents")
+    val kept = a.filter(col("doc_id") % 11 =!= 0)
+    val edited = kept.withColumn("text",
+      when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+        .otherwise(col("text")))
+    val added = a.filter(col("doc_id") % 17 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    Dedup.snapshotDiff(a, edited.unionByName(added), "source", "doc_id", "text")
+      .transform(tinySort(_, col("source")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_snapshot_diff" -> (q182SnapshotDiff _),
     "q181_dedup_funnel" -> (q181DedupFunnel _),
     "q178_split_leakage" -> (q178SplitLeakage _),
     "q177_paragraph_dedup" -> (q177ParagraphDedup _),
@@ -547,6 +567,39 @@ object DedupQueries {
         |    AS dup_bp
         |FROM documents d LEFT JOIN prof p ON p.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    /* q182: the same deterministic v2 derivation, full outer join on id,
+     * state by normalized-fingerprint compare, source = B's
+     * (incoming-wins) with A's for removals, bounded source rollup. */
+    "q182_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, source,
+        |     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |     CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+        |   FROM documents),
+        | bsrc AS (
+        |   SELECT doc_id, source,
+        |     CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END AS text
+        |   FROM documents WHERE doc_id % 11 <> 0
+        |   UNION ALL
+        |   SELECT doc_id + 1000000, source, text FROM documents
+        |   WHERE doc_id % 17 = 0),
+        | b AS (SELECT doc_id, source,
+        |     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |     CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+        |   FROM bsrc),
+        | j AS (SELECT COALESCE(b.source, a.source) AS source,
+        |         CASE WHEN a.fp IS NULL THEN 'added'
+        |              WHEN b.fp IS NULL THEN 'removed'
+        |              WHEN a.fp = b.fp THEN 'unchanged'
+        |              ELSE 'changed' END AS state,
+        |         COALESCE(a.tk, 0) AS tka, COALESCE(b.tk, 0) AS tkb
+        |       FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT source,
+        |  CAST(SUM(CASE WHEN state = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(SUM(CASE WHEN state = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(SUM(CASE WHEN state = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(SUM(CASE WHEN state = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+        |  CAST(SUM(tkb) - SUM(tka) AS BIGINT) AS token_delta
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     /* q181: sequential funnel — q20's normalized-md5 keeper (window min),
      * the q90 band construction FILTERED to exact survivors (minhash per
      * doc is corpus-independent, so the all-docs sig CTE reuses verbatim),

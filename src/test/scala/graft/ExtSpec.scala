@@ -1389,6 +1389,33 @@ class ExtSpec extends AnyFunSuite {
     assert(rw(3L).getAs[Long]("n_tokens") == 11L)
   }
 
+  test("snapshotDiff: add/remove/change/unchanged classified per doc; " +
+       "whitespace/case edits are NOT changes; token delta signed exact") {
+    val a = Seq(
+      (1L, "S", "alpha beta gamma"),        // unchanged
+      (2L, "S", "delta epsilon"),           // changed (real edit)
+      (3L, "S", "zeta eta theta iota"),     // removed
+      (4L, "T", "kappa  Lambda")            // cosmetic edit -> unchanged
+    ).toDF("doc_id", "source", "text")
+    val b = Seq(
+      (1L, "S", "alpha beta gamma"),
+      (2L, "S", "delta epsilon APPENDED"),  // +1 token, changed
+      (4L, "T", "KAPPA lambda"),            // case+whitespace only
+      (5L, "T", "new doc entirely")         // added, 3 tokens
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.snapshotDiff(a, b, "source", "doc_id", "text")
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_added"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("n_changed"), r.getAs[Long]("n_unchanged"),
+          r.getAs[Long]("token_delta")))).toMap
+    // S: doc1 unchanged, doc2 changed (+1 token), doc3 removed (-4)
+    assert(out("S") == ((0L, 1L, 1L, 1L, -3L)), s"S: ${out("S")}")
+    // T: doc4 normalizes equal (case + double space), doc5 added; token
+    // delta: doc4 "kappa  Lambda" splits to 3 cells (empty mid-cell) vs
+    // b's 2, so -1; +3 for the added doc -> +2
+    assert(out("T") == ((1L, 0L, 0L, 1L, 2L)), s"T: ${out("T")}")
+  }
+
   test("dedupFunnel: each stage removes exactly its planted duplicate class; " +
        "token accounting survives to the paragraph stage") {
     val para = Seq.tabulate(20)(i => s"w$i").mkString(" ") // one full block
