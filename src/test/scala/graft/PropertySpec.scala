@@ -477,6 +477,60 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("snapshot-diff laws: diff(A, A) is all-unchanged with zero delta; " +
+       "counts partition A∪B exactly; diff is split-invariant") {
+    import graft.ext.Dedup
+    val docGen = for {
+      id <- Gen.choose(0L, 30L)
+      words <- Gen.listOfN(4, Gen.oneOf("aa", "bb", "cc", "dd"))
+    } yield (id, s"s${id % 3}", words.mkString(" "))
+    check(Prop.forAll(Gen.listOfN(18, docGen), Gen.listOfN(18, docGen)) {
+      (as, bs) =>
+        // ids must be unique per version (the operator's id contract)
+        val a = as.distinctBy(_._1).toDF("doc_id", "source", "text")
+        val b = bs.distinctBy(_._1).toDF("doc_id", "source", "text")
+        val self = Dedup.snapshotDiff(a, a, "source", "doc_id", "text")
+          .collect()
+        val selfLaw = self.forall(r => r.getAs[Long]("n_added") == 0 &&
+          r.getAs[Long]("n_removed") == 0 && r.getAs[Long]("n_changed") == 0 &&
+          r.getAs[Long]("token_delta") == 0)
+        val d = Dedup.snapshotDiff(a, b, "source", "doc_id", "text").collect()
+        val total = d.map(r => r.getAs[Long]("n_added") +
+          r.getAs[Long]("n_removed") + r.getAs[Long]("n_changed") +
+          r.getAs[Long]("n_unchanged")).sum
+        val aIds = as.distinctBy(_._1).map(_._1).toSet
+        val bIds = bs.distinctBy(_._1).map(_._1).toSet
+        val d7 = Dedup.snapshotDiff(a.repartition(7), b.repartition(5),
+            "source", "doc_id", "text")
+          .collect().map(_.toString).sorted.toSeq
+        selfLaw && total == (aIds ++ bIds).size &&
+          d7 == d.map(_.toString).sorted.toSeq
+    })
+  }
+
+  test("dedup-funnel monotonicity: raw ≥ exact ≥ fuzzy docs and " +
+       "raw ≥ fuzzy ≥ paragraph tokens, per source and in total") {
+    import graft.ext.Dedup
+    val docGen = for {
+      words <- Gen.listOfN(8, Gen.oneOf("aa", "bb", "cc"))
+    } yield words.mkString(" ")
+    check(Prop.forAll(Gen.listOfN(15, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, s"s${i % 2}", t)
+      }.toDF("doc_id", "source", "text")
+      val out = Dedup.dedupFunnel(docs, "source", "doc_id", "text",
+        blockWords = 2).collect()
+      out.forall { r =>
+        r.getAs[Long]("n_raw_docs") >= r.getAs[Long]("n_exact_docs") &&
+        r.getAs[Long]("n_exact_docs") >= r.getAs[Long]("n_fuzzy_docs") &&
+        r.getAs[Long]("tokens_raw") >= r.getAs[Long]("tokens_fuzzy") &&
+        r.getAs[Long]("tokens_fuzzy") >= r.getAs[Long]("tokens_para") &&
+        r.getAs[Long]("doc_yield_bp") <= 10000L &&
+        r.getAs[Long]("token_yield_bp") <= 10000L
+      }
+    })
+  }
+
   test("interleave schedule: per-source bucket spread ≤ 2 for arbitrary source skews") {
     import graft.ext.Sampling
     val weightsGen = Gen.listOfN(4, Gen.choose(10, 400))
