@@ -217,8 +217,12 @@ object Dedup {
       TextOps.fingerprintMd5(col(textCol)).as("_fp"),
       size(TextOps.tokens(col(textCol))).cast("long").as("_toks"))
     val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("_fp"))
-    val exact = base.withColumn("_kmin", min(col("doc_id")).over(wFp))
-      .filter(col("doc_id") === col("_kmin")).drop("_kmin")
+    // each survivor frame feeds THREE consumers (its rollup + the next
+    // stage's two branches); checkpoint per the multi-consumer convention
+    // so the fingerprint window / band join run once, not once per branch
+    val exact = checkpointStripped(
+      base.withColumn("_kmin", min(col("doc_id")).over(wFp))
+        .filter(col("doc_id") === col("_kmin")).drop("_kmin"))
     val sig = minhashSignature(
       exact.select(col("doc_id"), col("_text")), "doc_id", "_text")
     val bands = bandKeys(sig, "doc_id", numHashes = 8, bands = 2)
@@ -227,9 +231,10 @@ object Dedup {
       .groupBy(col("doc_id")).agg(min(col("_bmin")).as("_best"))
       .filter(col("_best") < col("doc_id"))
       .select(col("doc_id"))
-    val fuzzy = exact.join(dropFuzzy.withColumn("_drop", lit(1)),
-        Seq("doc_id"), "left")
-      .filter(col("_drop").isNull).drop("_drop")
+    val fuzzy = checkpointStripped(
+      exact.join(dropFuzzy.withColumn("_drop", lit(1)),
+          Seq("doc_id"), "left")
+        .filter(col("_drop").isNull).drop("_drop"))
     val blocks = wordBlocks(fuzzy.select(col("doc_id"), col("_text")),
         "doc_id", "_text", blockWords)
       .withColumn("_h", md5(col("block").cast("binary")))
