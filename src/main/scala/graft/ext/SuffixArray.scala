@@ -149,6 +149,9 @@ object SuffixArray {
       s"need 1 <= minLen ($minLen) <= k ($k)")
     val adj = adjacentLcp(docs, idCol, textCol, k)
       .filter(col("lcp_prev") >= minLen)
+    // Both endpoints' intervals in ONE pass — an array explode, not a
+    // two-branch union (a union would consume `adj` twice and re-run the
+    // rank join + LCP kernel per branch, the hammingNearDup lesson).
     // DISTINCT is load-bearing: duplicate (s, e) intervals are irrelevant
     // to coverage, and deduping makes (s, e) a UNIQUE order within each
     // doc — a gaps-and-islands chain whose window order admits ties is
@@ -156,10 +159,12 @@ object SuffixArray {
     // island-number pass may see tie groups in different physical orders
     // and split islands differently; observed as run-to-run flapping in
     // the DuckDB oracle before the dedup).
-    val iv = adj.select(col("doc_id"), col("off").as("s"),
-        (col("off") + col("lcp_prev")).as("e"))
-      .unionByName(adj.select(col("prev_doc").as("doc_id"),
-        col("prev_off").as("s"), (col("prev_off") + col("lcp_prev")).as("e")))
+    val iv = adj.select(explode(array(
+        struct(col("doc_id"), col("off").as("s"),
+          (col("off") + col("lcp_prev")).as("e")),
+        struct(col("prev_doc").as("doc_id"), col("prev_off").as("s"),
+          (col("prev_off") + col("lcp_prev")).as("e")))).as("_iv"))
+      .select(col("_iv.doc_id"), col("_iv.s"), col("_iv.e"))
       .distinct()
     val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
     val islands = iv
@@ -221,7 +226,6 @@ object SuffixArray {
         col("lcp_prev"), col(isBenchCol).cast("boolean").as("_is_b"))
       .repartitionByRange(slots, col("rank"))
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(true)
     val bInt = when(col("_is_b"), 1L).otherwise(0L)
     val wAsc = Window.partitionBy(col("_pid")).orderBy(col("rank"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -230,9 +234,15 @@ object SuffixArray {
     // _seg / _segd: benches seen at-or-before in rank order (resp. at-or-
     // after); segment boundaries for the local min-chains, and the "rows
     // strictly after the last bench" / "rows up to the first bench"
-    // selectors for the summary
+    // selectors for the summary. The checkpoint sits HERE, after the
+    // segment columns: f1→f2 is a single lineage (both window nodes read
+    // the one exchange instance, so the _pid mapping is consistent within
+    // this plan), and materializing f2 serves both the consistency rule
+    // AND the two consumers (the local min-chains and the boundary
+    // summary) with one pass instead of one per branch.
     val f2 = f1.withColumn("_seg", sum(bInt).over(wAsc))
       .withColumn("_segd", sum(bInt).over(wDesc))
+      .localCheckpoint(true)
     val wSegAsc = Window.partitionBy(col("_pid"), col("_seg"))
       .orderBy(col("rank"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
