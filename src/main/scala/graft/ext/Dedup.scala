@@ -293,6 +293,14 @@ object Dedup {
                         numHashes: Int = 8, bands: Int = 2,
                         tNum: Int = 1, tDen: Int = 2): DataFrame = {
     require(tNum >= 0 && tDen >= 1, s"bad threshold $tNum/$tDen")
+    // the candidate frame feeds BOTH the shared-shingle count and the
+    // final left join, but deliberately WITHOUT a checkpoint: the two
+    // consumer subtrees are canonically identical, so ReuseExchange
+    // already computes the signature + band join once — measured: cpu
+    // 2.42 s un-materialized vs 5.31 s with checkpointStripped at sf0.1
+    // (the checkpoint only added its own overhead). Contrast dedupFunnel,
+    // whose stage consumers DIVERGE (different filters/windows) and
+    // genuinely need the materialization.
     val cand = crossCorpusCandidates(
       minhashSignature(docs.filter(col(isTestCol)), idCol, textCol),
       minhashSignature(docs.filter(!col(isTestCol)), idCol, textCol),
