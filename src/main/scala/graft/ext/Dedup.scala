@@ -295,12 +295,15 @@ object Dedup {
     require(tNum >= 0 && tDen >= 1, s"bad threshold $tNum/$tDen")
     // the candidate frame feeds BOTH the shared-shingle count and the
     // final left join, but deliberately WITHOUT a checkpoint: the two
-    // consumer subtrees are canonically identical, so ReuseExchange
-    // already computes the signature + band join once — measured: cpu
-    // 2.42 s un-materialized vs 5.31 s with checkpointStripped at sf0.1
-    // (the checkpoint only added its own overhead). Contrast dedupFunnel,
-    // whose stage consumers DIVERGE (different filters/windows) and
-    // genuinely need the materialization.
+    // consumer subtrees are canonically IDENTICAL, so ReuseExchange
+    // computes the signature + band join once (and if reuse ever
+    // declines, a recompute is merely slower, never wrong — minhash is
+    // deterministic). An A/B probe showed no wall/cpu win for a
+    // checkpoint here (cold-probe cpu is JIT-dominated either way; the
+    // warm full-run record sits at 2.4 cpu-s). Contrast dedupFunnel,
+    // whose stage consumers DIVERGE (different filters/windows), defeat
+    // reuse, and genuinely need the materialization (8.07 → 2.83 s at
+    // sf1 when it was added).
     val cand = crossCorpusCandidates(
       minhashSignature(docs.filter(col(isTestCol)), idCol, textCol),
       minhashSignature(docs.filter(!col(isTestCol)), idCol, textCol),
