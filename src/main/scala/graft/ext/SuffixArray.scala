@@ -60,29 +60,42 @@ object SuffixArray {
     * price Lee et al. pay to persist their suffix array. */
   /** The pre-materialization ranged frame — exposed so the plan-shape
     * spec can pin the range exchange that the checkpoint then hides
-    * behind a LogicalRDD scan. */
+    * behind a LogicalRDD scan. Rows are SORTED within partitions and
+    * carry their physical partition id plus a monotonic id whose
+    * within-partition index IS the local sort position — so the rank
+    * needs no corpus-wide window at all (see [[globalRowNumber]]). */
   private[graft] def rangedWithPid(df: DataFrame,
                                    sortCols: Seq[Column]): DataFrame = {
     val slots = df.sparkSession.sparkContext.defaultParallelism
     df.repartitionByRange(slots, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .withColumn("_pid", spark_partition_id())
+      .withColumn("_mono", monotonically_increasing_id())
   }
 
+  /** Two-phase global rank with ZERO corpus-wide exchanges beyond the
+    * range sort itself: `monotonically_increasing_id()` evaluated right
+    * after the within-partition sort encodes (partition, local index) in
+    * one stage — no hash re-exchange on the partition id and no window
+    * sort pass, which the previous formulation paid just to recover the
+    * local position the sort had already established. The local index is
+    * `_mono − min(_mono in partition)` (mono ids are contiguous within a
+    * partition by construction), and per-partition minima/counts come
+    * from ONE bounded aggregation over the materialized frame, stitched
+    * by the constant-key bounded window and broadcast back. */
   private[graft] def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
                                      out: String): DataFrame = {
     val ranged = rangedWithPid(df, sortCols).localCheckpoint(true)
-    val local = ranged.withColumn("_lrn",
-      row_number().over(Window.partitionBy(col("_pid")).orderBy(sortCols: _*))
-        .cast("long"))
     val one = substring(col("_pid").cast("string"), 0, 0)
-    val offs = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+    val offs = ranged.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_c"), min(col("_mono")).as("_m0"))
       .withColumn("_off", coalesce(
         sum(col("_c")).over(Window.partitionBy(one).orderBy(col("_pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_pid"), col("_off"))
-    local.join(broadcast(offs), "_pid")
-      .withColumn(out, col("_off") + col("_lrn"))
-      .drop("_pid", "_lrn", "_off")
+      .select(col("_pid"), col("_off"), col("_m0"))
+    ranged.join(broadcast(offs), "_pid")
+      .withColumn(out, col("_off") + (col("_mono") - col("_m0")) + 1L)
+      .drop("_pid", "_mono", "_off", "_m0")
   }
 
   /** The k-order suffix array: one row per word-start suffix with its
