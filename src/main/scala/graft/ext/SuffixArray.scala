@@ -39,12 +39,12 @@ import org.apache.spark.sql.functions._
 object SuffixArray {
 
   /** Global row number without an unpartitioned window — the two-phase
-    * distributed ranking: range-partition on the sort key (equal keys
+    * distributed ranking: range-partition + sort on the key (equal keys
     * co-locate; our keys are unique so the total order is deterministic),
-    * `row_number` WITHIN each partition, then add per-partition offsets
-    * from a partition-count table bounded by the partition count (the
-    * constant-key cumulative window over a BOUNDED frame — the tokenVocab
-    * convention).
+    * recover each row's LOCAL position from the monotonic id assigned in
+    * the sorted stage, then add per-partition offsets from a count table
+    * bounded by the partition count (the constant-key cumulative window
+    * over a BOUNDED frame — the tokenVocab convention).
     *
     * The ranged frame is MATERIALIZED (localCheckpoint) before fan-out,
     * and this is load-bearing for correctness, not a perf nicety: the
