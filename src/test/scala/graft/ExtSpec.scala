@@ -1651,6 +1651,12 @@ class ExtSpec extends AnyFunSuite {
       val bad = (g3.keySet ++ w3.keySet).filter(k => g3.get(k) != w3.get(k))
       s"multibyte diff docs $bad: got ${bad.map(g3.get)}, want ${bad.map(w3.get)}"
     })
+    // degenerate sets: no benchmark -> nothing can contaminate; an
+    // all-benchmark corpus has no corpus rows to report
+    assert(run(corpus, Seq.empty, minLen = 20).isEmpty,
+      "empty benchmark yields an empty audit")
+    assert(run(Seq.empty, bench, minLen = 20).isEmpty,
+      "all-benchmark input yields an empty audit")
   }
 
   test("duplication profile: exact doc-level duplicate profiles at 10000 bp; " +
