@@ -192,6 +192,51 @@ object Dedup {
           sum(coalesce(col("_tk_a"), lit(0L)))).as("token_delta"))
   }
 
+  /** Distribution-drift audit between two corpus versions — the
+    * drift-monitor number a production data pipeline alarms on: per
+    * group, the TOTAL-VARIATION distance between the two versions'
+    * histograms of a numeric column (fixed-width bins, top bin open), in
+    * exact basis points. TV = ½ Σ|p_i − q_i| over bins; with integer
+    * counts that is Σ|cA_i·nB − cB_i·nA| div (2·nA·nB) — every term an
+    * integer, products in DECIMAL(38,0) (count pairs overflow BIGINT
+    * beyond ~3·10⁹ rows per side, the LshPlanner precedent), division
+    * last, so the oracle replays exactly. Groups empty on one side read
+    * TV = 10000 (all mass moved).
+    *
+    * Scale shape: two map-side bucketings, two map-side-combined
+    * (group, bin) aggregations — the shuffled key space is groups·bins,
+    * corpus-size-independent — one full outer join and per-group totals
+    * via windows over the BOUNDED histogram frame. */
+  def histogramDrift(a: DataFrame, b: DataFrame, groupCol: String,
+                     valueCol: String, bins: Int, binWidth: Long): DataFrame = {
+    require(bins >= 2 && binWidth >= 1, s"bad grid: bins=$bins width=$binWidth")
+    // `div`, never `/`: Spark's `/` on integral types is DOUBLE division
+    def hist(df: DataFrame, out: String) = df
+      .select(col(groupCol), expr(
+        s"least(cast(${bins - 1} as bigint), " +
+          s"cast($valueCol as bigint) div $binWidth)").as("_b"))
+      .groupBy(col(groupCol), col("_b")).agg(count(lit(1)).as(out))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val j = hist(a, "_ca").join(hist(b, "_cb"), Seq(groupCol, "_b"), "full_outer")
+      .withColumn("_ca", coalesce(col("_ca"), lit(0L)))
+      .withColumn("_cb", coalesce(col("_cb"), lit(0L)))
+      .withColumn("_na", sum(col("_ca")).over(w))
+      .withColumn("_nb", sum(col("_cb")).over(w))
+    val dec = "decimal(38,0)"
+    j.withColumn("_term", abs(col("_ca").cast(dec) * col("_nb") -
+        col("_cb").cast(dec) * col("_na")))
+      .groupBy(col(groupCol))
+      .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+        sum(col("_term")).as("_t"))
+      // decimal `div` ≡ DuckDB HUGEINT `//` (the interleaveSchedule
+      // parity note); decimal `/` would round at its result scale
+      .withColumn("tv_bp", when(col("n_a") === 0L || col("n_b") === 0L,
+          lit(10000L))
+        .otherwise(expr("(cast(10000 as decimal(38,0)) * _t) div " +
+          "(cast(2 as decimal(38,0)) * n_a * n_b)").cast("long")))
+      .select(col(groupCol), col("n_a"), col("n_b"), col("tv_bp"))
+  }
+
   /** The dedup funnel — the stage-by-stage ablation table a dataset card
     * reports (FineWeb's "what each dedup stage removed"): per source, doc
     * and token mass surviving each SEQUENTIAL stage:

@@ -419,7 +419,25 @@ object DedupQueries {
       .transform(tinySort(_, col("source")))
   }
 
+  /** q183 — length-distribution drift ([[graft.ext.Dedup.histogramDrift]],
+    * 16 bins × 32 chars, top bin open): per source, the exact-integer
+    * total-variation distance in bp between the live corpus and the q182
+    * v2 derivation — the drift-monitor alarm number. */
+  def q183LengthDrift(spark: SparkSession, dir: String): DataFrame = {
+    val a = load(spark, dir, "documents").withColumn("len", length(col("text")))
+    val kept = load(spark, dir, "documents").filter(col("doc_id") % 11 =!= 0)
+    val edited = kept.withColumn("text",
+      when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+        .otherwise(col("text")))
+    val added = load(spark, dir, "documents").filter(col("doc_id") % 17 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val b = edited.unionByName(added).withColumn("len", length(col("text")))
+    Dedup.histogramDrift(a, b, "source", "len", bins = 16, binWidth = 32L)
+      .transform(tinySort(_, col("source")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_length_drift" -> (q183LengthDrift _),
     "q182_snapshot_diff" -> (q182SnapshotDiff _),
     "q181_dedup_funnel" -> (q181DedupFunnel _),
     "q178_split_leakage" -> (q178SplitLeakage _),
@@ -567,6 +585,39 @@ object DedupQueries {
         |    AS dup_bp
         |FROM documents d LEFT JOIN prof p ON p.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    /* q183: fixed-width length bins (top bin open), per-(source, bin)
+     * counts both versions, TV = sum |cA*nB - cB*nA| over bins with the
+     * division LAST (HUGEINT // ≡ Spark DECIMAL div). */
+    "q183_length_drift" ->
+      """WITH av AS (SELECT source, length(text) AS len FROM documents),
+        | bv AS (SELECT source, length(CASE WHEN doc_id % 13 = 0
+        |            THEN text || ' rev2' ELSE text END) AS len
+        |        FROM documents WHERE doc_id % 11 <> 0
+        |        UNION ALL
+        |        SELECT source, length(text) FROM documents
+        |        WHERE doc_id % 17 = 0),
+        | ha AS (SELECT source, LEAST(15, len // 32) AS b,
+        |          CAST(COUNT(*) AS BIGINT) AS ca
+        |        FROM av GROUP BY 1, 2),
+        | hb AS (SELECT source, LEAST(15, len // 32) AS b,
+        |          CAST(COUNT(*) AS BIGINT) AS cb
+        |        FROM bv GROUP BY 1, 2),
+        | j AS (SELECT COALESCE(ha.source, hb.source) AS source,
+        |         COALESCE(ha.b, hb.b) AS b,
+        |         COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |       FROM ha FULL OUTER JOIN hb
+        |         ON ha.source = hb.source AND ha.b = hb.b),
+        | t AS (SELECT source, ca, cb,
+        |         CAST(SUM(ca) OVER (PARTITION BY source) AS BIGINT) AS na,
+        |         CAST(SUM(cb) OVER (PARTITION BY source) AS BIGINT) AS nb
+        |       FROM j)
+        |SELECT source, MAX(na) AS n_a, MAX(nb) AS n_b,
+        |  CASE WHEN MAX(na) = 0 OR MAX(nb) = 0 THEN 10000
+        |    ELSE CAST((10000 * SUM(abs(CAST(ca AS HUGEINT) * nb
+        |      - CAST(cb AS HUGEINT) * na)))
+        |      // (2 * CAST(MAX(na) AS HUGEINT) * MAX(nb)) AS BIGINT)
+        |  END AS tv_bp
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     /* q182: the same deterministic v2 derivation, full outer join on id,
      * state by normalized-fingerprint compare, source = B's
      * (incoming-wins) with A's for removals, bounded source rollup. */

@@ -1389,6 +1389,32 @@ class ExtSpec extends AnyFunSuite {
     assert(rw(3L).getAs[Long]("n_tokens") == 11L)
   }
 
+  test("histogramDrift: hand-computed TV in bp; identity = 0; disjoint " +
+       "supports = 10000; one-sided group = 10000; open top bin") {
+    def mk(rows: Seq[(String, Long)]) =
+      rows.toDF("g", "v")
+    // group G: A = 4 docs in bin0 (v<8), B = 2 in bin0 + 2 in bin1 —
+    // p = (1, 0), q = (.5, .5) -> TV = .5 -> 5000 bp
+    val a = mk(Seq(("G", 1L), ("G", 2L), ("G", 3L), ("G", 4L),
+      ("H", 1L), ("onlyA", 1L),
+      // group T: values far beyond the grid land in the OPEN top bin
+      ("T", 1L), ("T", 999L)))
+    val b = mk(Seq(("G", 1L), ("G", 2L), ("G", 9L), ("G", 10L),
+      ("H", 2L), ("onlyB", 1L),
+      ("T", 3L), ("T", 12345L)))
+    val out = Dedup.histogramDrift(a, b, "g", "v", bins = 4, binWidth = 8L)
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("tv_bp")))).toMap
+    assert(out("G") == ((4L, 4L, 5000L)), s"G: ${out("G")}")
+    // H: both single docs in bin0 -> identical distributions
+    assert(out("H") == ((1L, 1L, 0L)), s"H: ${out("H")}")
+    assert(out("onlyA") == ((1L, 0L, 10000L)) &&
+      out("onlyB") == ((0L, 1L, 10000L)), "one-sided groups read full drift")
+    // T: 999 and 12345 both clamp into bin 3 -> same shape -> 0
+    assert(out("T") == ((2L, 2L, 0L)), s"T: ${out("T")}")
+  }
+
   test("snapshotDiff: add/remove/change/unchanged classified per doc; " +
        "whitespace/case edits are NOT changes; token delta signed exact") {
     val a = Seq(
