@@ -21,6 +21,14 @@ object MergeWrite {
 
   val PartitionCol = "auction_saving_date"
 
+  /** Entry-time orphan-sweep age gate for durable mode: a staging-shaped
+    * sibling dir (`<table>__staging` or `<table>__staging_<suffix>`) is
+    * deleted only when its modification time is at least this old — old
+    * enough that it can only be the leftover of a dead run, never the
+    * in-flight staging data of a live concurrent merge. One hour covers
+    * any realistic staging write; tests pass 0 to force the sweep. */
+  val DefaultStagingTtlMs: Long = 3600L * 1000
+
   /** Merge `batch` (silver schema, with auction_date) into the
     * date-partitioned Parquet table at `processedDir`.
     *
@@ -44,7 +52,8 @@ object MergeWrite {
     *    running the merge unattended on a 1000-executor cluster.
     */
   def mergeWrite(spark: SparkSession, processedDir: String, batch: DataFrame,
-                 durable: Boolean = false): Unit = {
+                 durable: Boolean = false,
+                 stagingTtlMs: Long = DefaultStagingTtlMs): Unit = {
     val dated = batch.withColumn(PartitionCol, to_date(col("auction_date")))
     val merged =
       if (tableExists(spark, processedDir)) {
@@ -70,18 +79,26 @@ object MergeWrite {
       // staging-dir double write (see scaladoc): merged rows land on the
       // table's own filesystem first, so the final overwrite reads durable
       // files — an executor loss at any point only re-runs tasks.
-      // FIXED staging path per table (not nanotime-suffixed): a driver
-      // death between the staging write and the finally block leaves an
-      // orphan, and a fixed name means the next run overwrites it instead
-      // of accumulating copies of touched partitions on an unattended
-      // cluster. The glob sweep below also clears any `__staging_*`
-      // stragglers written by older builds.
+      // UNIQUE staging path per run (UUID-suffixed): two mergeWrite calls
+      // against the same table never share a staging dir, so a concurrent
+      // run cannot delete/overwrite this run's in-flight staging data.
+      // Orphans from a driver death between the staging write and the
+      // finally block are cleaned by the entry-time sweep below, which is
+      // AGE-GATED: only staging-shaped siblings untouched for `stagingTtlMs`
+      // are deleted — a live concurrent run's (fresh) staging dir survives
+      // the sweep, and nothing that isn't named like a staging dir is ever
+      // considered.
+      val root = processedDir.stripSuffix("/")
       val staging = new org.apache.hadoop.fs.Path(
-        processedDir.stripSuffix("/") + "__staging")
+        root + "__staging_" + java.util.UUID.randomUUID().toString)
       val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val stale = fs.globStatus(new org.apache.hadoop.fs.Path(
-        processedDir.stripSuffix("/") + "__staging*"))
-      if (stale != null) stale.foreach(s => fs.delete(s.getPath, true))
+      val stagingName = ("""__staging(_[0-9a-fA-F-]+)?$""").r
+      val now = System.currentTimeMillis()
+      val stale = fs.globStatus(new org.apache.hadoop.fs.Path(root + "__staging*"))
+      if (stale != null) stale
+        .filter(s => stagingName.findFirstIn(s.getPath.getName).isDefined)
+        .filter(s => now - s.getModificationTime >= stagingTtlMs)
+        .foreach(s => fs.delete(s.getPath, true))
       try {
         merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
         overwriteInto(spark.read.parquet(staging.toString))

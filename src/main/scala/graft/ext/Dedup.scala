@@ -210,11 +210,16 @@ object Dedup {
   def histogramDrift(a: DataFrame, b: DataFrame, groupCol: String,
                      valueCol: String, bins: Int, binWidth: Long): DataFrame = {
     require(bins >= 2 && binWidth >= 1, s"bad grid: bins=$bins width=$binWidth")
-    // `div`, never `/`: Spark's `/` on integral types is DOUBLE division
+    // `div`, never `/`: Spark's `/` on integral types is DOUBLE division.
+    // Values are clamped to 0 BEFORE binning (ADVICE r14): Spark's `div`
+    // truncates toward zero while DuckDB's `//` floors, so a negative
+    // value would bin differently across engines AND produce bin ids
+    // outside [0, bins); clamping makes the grid [0, bins) well-defined
+    // for any input — negatives land in bin 0 on both engines.
     def hist(df: DataFrame, out: String) = df
       .select(col(groupCol), expr(
         s"least(cast(${bins - 1} as bigint), " +
-          s"cast($valueCol as bigint) div $binWidth)").as("_b"))
+          s"greatest(cast(0 as bigint), cast($valueCol as bigint)) div $binWidth)").as("_b"))
       .groupBy(col(groupCol), col("_b")).agg(count(lit(1)).as(out))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
     val j = hist(a, "_ca").join(hist(b, "_cb"), Seq(groupCol, "_b"), "full_outer")

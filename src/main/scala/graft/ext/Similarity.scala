@@ -679,6 +679,9 @@ object Similarity {
     * transitivity behavior q60 has — a chain keeps only local maxima).
     * Quality must be an engine-exact column (the q27 composite is proven
     * bit-identical; integers trivially so) — dominance compares it raw.
+    * A NULL quality ranks strictly WORSE than any real score (it loses to
+    * every scored neighbor; two null-quality duplicates fall back to the
+    * id tie-break), so unscored documents never displace scored ones.
     *
     * Scale shape: identical to [[semDeDup]] — map-side assignment against
     * literal centroids, ONE list-keyed self-equi-join (AQE skew-split),
@@ -710,8 +713,13 @@ object Similarity {
       .filter(col("a_id") < col("b_id") &&
         cosineFromNorms(dot(col("av"), col("bv")), col("an"), col("bn")) > threshold)
       // the dominated side: lower quality loses; an exact tie loses the
-      // larger id (b, since a_id < b_id) — the keep-min-id degeneration
-      .select(when(col("aq") < col("bq"), col("a_id"))
+      // larger id (b, since a_id < b_id) — the keep-min-id degeneration.
+      // NULL quality ranks WORST (ADVICE r14): a bare `aq < bq` is null
+      // when aq is null, which would fire the otherwise-branch and drop
+      // the side WITH a real score — so the null side is named the loser
+      // explicitly, and a double-null pair falls back to the id tie-break.
+      .select(when(col("aq").isNull && col("bq").isNotNull, col("a_id"))
+        .when(col("aq") < col("bq"), col("a_id"))
         .otherwise(col("b_id")).as("_id"))
       .distinct()
     lists

@@ -18,6 +18,12 @@ import graft.ext.Dedup
   * is the SAME rollup code ([[Dedup.rollupParagraphBlocks]] — shared, so
   * the two reports can never drift). Within one micro-batch the keeper is
   * the batch-local minimum, so a batch boundary never changes a verdict.
+  * ACROSS micro-batches the rule is keep-FIRST-ARRIVAL: an existing keeper
+  * is never displaced, so even when the ingest contract is violated (a
+  * later batch carries a smaller (doc, bi) for a seen block) the output
+  * holds exactly ONE kept=true row per block hash — the violation shows up
+  * as a keeper that differs from batch's global min, never as a duplicate
+  * kept row (IncrementalSpec pins this with a descending two-file stream).
   *
   * Scale design: block slicing is the shared map-side builder
   * ([[Dedup.wordBlocks]] — no streaming fork of the batch kernel); the
@@ -42,12 +48,16 @@ object StreamingParagraphDedup {
       // row layout: (doc_id, bi, block, _h, _arrival)
       val members = batch.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
       val batchMin = members.map(m => (m._1, m._2)).min
-      val keeper = state.getOption match {
-        case Some(prior) if implicitly[Ordering[(Long, Long)]]
-          .lteq(prior, batchMin) => prior
-        case _ => batchMin // first sighting (or an out-of-order arrival —
-        // the contract makes this the keeper exactly when batch would)
-      }
+      // Pure keep-FIRST-ARRIVAL (ADVICE r14): once a keeper has been
+      // emitted kept=true in an earlier micro-batch it stays keeper —
+      // adopting a later, smaller-keyed arrival would emit a SECOND
+      // kept=true row for the same block hash (the prior one is already
+      // in the output and append mode cannot retract it). Under the
+      // ascending-(doc, bi) ingest contract prior ≤ batchMin always, so
+      // first-arrival and global-min coincide and streamed ≡ batch holds;
+      // on a contract violation the invariant "exactly one kept row per
+      // block hash" now survives instead of silently breaking.
+      val keeper = state.getOption.getOrElse(batchMin)
       state.update(keeper)
       val maxEvent = batch.map(_.getTimestamp(4).getTime).max
       state.setTimeoutTimestamp(maxEvent + stateTtlMs)

@@ -1415,6 +1415,29 @@ class ExtSpec extends AnyFunSuite {
     assert(out("T") == ((2L, 2L, 0L)), s"T: ${out("T")}")
   }
 
+  test("histogramDrift: negative values clamp into bin 0 — the grid is " +
+       "well-defined and engine-portable for any input (ADVICE r14)") {
+    def mk(rows: Seq[(String, Long)]) = rows.toDF("g", "v")
+    // A = {-5, -100, 3}: all three land in bin 0 (negatives clamp, 3 div 8
+    // = 0); B = {1, 2, 3}: also all bin 0 → identical histograms, TV = 0.
+    // Pre-fix, Spark's truncating div sent -5 to bin 0 but -100 to an
+    // UNCLAMPED bin -12 while DuckDB's floor div binned them differently
+    // again — the operator was only accidentally correct on non-negatives.
+    val a = mk(Seq(("N", -5L), ("N", -100L), ("N", 3L)))
+    val b = mk(Seq(("N", 1L), ("N", 2L), ("N", 3L)))
+    val out = Dedup.histogramDrift(a, b, "g", "v", bins = 4, binWidth = 8L)
+      .collect().map(r => (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("tv_bp"))).toSeq
+    assert(out == Seq((3L, 3L, 0L)), s"negatives must clamp to bin 0: $out")
+    // a negative-vs-positive split that DOES drift: A all in (clamped)
+    // bin 0, B all in bin 1 → disjoint supports → 10000 bp exactly
+    val out2 = Dedup.histogramDrift(
+        mk(Seq(("N", -1L), ("N", -9L))), mk(Seq(("N", 8L), ("N", 15L))),
+        "g", "v", bins = 4, binWidth = 8L)
+      .collect().map(r => r.getAs[Long]("tv_bp")).toSeq
+    assert(out2 == Seq(10000L))
+  }
+
   test("snapshotDiff: add/remove/change/unchanged classified per doc; " +
        "whitespace/case edits are NOT changes; token delta signed exact") {
     val a = Seq(
@@ -1766,6 +1789,33 @@ class ExtSpec extends AnyFunSuite {
         threshold = 0.3, nlist = 1)
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("quality")).toMap
     assert(qs(1L) == 0.9 && qs(0L) == 0.2)
+  }
+
+  test("semDeDup keep-best-quality: NULL quality ranks worst — a scored " +
+       "document is never dropped in favor of an unscored one (ADVICE r14)") {
+    // near-identical pair where the LOWER id has NULL quality and the
+    // higher id a real score. Pre-fix, `aq < bq` evaluated to null, the
+    // otherwise-branch fired, and the scored side (b) was dropped.
+    val v = Array.tabulate(4)(i => 1.0f / (i + 1))
+    val pair = Seq(
+      (0L, v, Option.empty[Double]),              // unscored duplicate
+      (1L, v.map(x => x * 0.999f), Some(0.1)),    // scored — must win
+      (2L, Array(-1.0f, 0.5f, -0.25f, 0.125f), Some(0.5))
+    ).toDF("vec_id", "embedding", "q")
+    val out = Similarity.semDeDupKeepBest(pair, "vec_id", "embedding", "q",
+        threshold = 0.3, nlist = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+    assert(!out(0L) && out(1L),
+      s"null-quality side must lose to the scored side: $out")
+    // two null-quality duplicates fall back to the id tie-break (keep-min)
+    val bothNull = Seq(
+      (10L, v, Option.empty[Double]),
+      (11L, v.map(x => x * 0.999f), Option.empty[Double])
+    ).toDF("vec_id", "embedding", "q")
+    val out2 = Similarity.semDeDupKeepBest(bothNull, "vec_id", "embedding",
+        "q", threshold = 0.3, nlist = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+    assert(out2(10L) && !out2(11L), s"double-null ties keep the min id: $out2")
   }
 
   test("IVF generator swap: full-probe ≡ brute for marginMine and knnClassify; " +

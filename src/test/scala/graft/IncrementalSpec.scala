@@ -316,6 +316,38 @@ class IncrementalSpec extends AnyFunSuite {
       "streamed keep-first must equal the batch keeper verdict-for-verdict")
   }
 
+  test("streaming paragraph dedup on an OUT-OF-ORDER arrival keeps the " +
+       "first-arrival keeper — never two kept rows per block hash") {
+    // ADVICE r14: under the old rule a later batch carrying a smaller
+    // (doc, bi) for a seen block ADOPTED the newcomer as keeper, emitting
+    // a second kept=true row for the same hash (append mode cannot retract
+    // the first). Pin the fixed invariant with a descending two-file
+    // stream: doc 500 (batch 1) and doc 10 (batch 2) share their one block.
+    import spark.implicits._
+    val streamDir = Files.createTempDirectory("graft_paradedup_ooo")
+    val words = (1 to 20).map(i => s"w$i").mkString(" ")
+    val batches = Seq(Seq((500L, words)), Seq((10L, words)))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = Files.createTempDirectory(s"graft_paradedup_ooo_chunk$i")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(s"c$i.parquet")
+      Files.move(part, dest)
+      dest.toFile.setLastModified(1000000L * (i + 1))
+    }
+    graft.stream.StreamingParagraphDedup
+      .runToSnapshot(spark, streamDir.toString, "paradedup_ooo",
+        maxFilesPerTrigger = Some(1))
+    val marked = spark.table("paradedup_ooo")
+    assert(marked.count() == 2)
+    val kept = marked.filter(col("_kept")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(500L),
+      s"expected the first-arrival keeper (doc 500) as the ONLY kept row, got $kept")
+  }
+
   test("streaming HLL registers equal the batch rollup across micro-batches") {
     val dir = "/root/testdata/sf0.001"
     val streamDir = Files.createTempDirectory("graft_hll_stream")

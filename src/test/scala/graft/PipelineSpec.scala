@@ -148,10 +148,13 @@ class PipelineSpec extends AnyFunSuite {
     val base = Files.createTempDirectory("graft_processed_orph").toString
     val processed = base + "/t"
     // simulate a driver death mid-durable-write: an orphaned staging dir
-    // (legacy nanotime-suffixed name) holding stale rows
+    // (legacy nanotime-suffixed name) holding stale rows. stagingTtlMs = 0
+    // makes the just-written orphan "old enough" — in production the 1h
+    // default means only dirs a dead run actually abandoned are swept.
     val orphan = processed + "__staging_123456789"
     silver.withColumn("model", lit("STALE")).write.parquet(orphan)
-    MergeWrite.mergeWrite(spark, processed, silver, durable = true)
+    MergeWrite.mergeWrite(spark, processed, silver, durable = true,
+      stagingTtlMs = 0L)
     val fs = new org.apache.hadoop.fs.Path(processed)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the orphan was swept on entry, the run's own staging dir removed,
@@ -164,6 +167,34 @@ class PipelineSpec extends AnyFunSuite {
     val leftovers = new java.io.File(base).listFiles()
       .map(_.getName).filter(_.contains("__staging_"))
     assert(leftovers.isEmpty, s"staging leftovers: ${leftovers.toSeq}")
+  }
+
+  test("S5 durable mode: a live concurrent run's fresh staging dir survives " +
+    "the sweep; non-staging siblings are never touched") {
+    val base = Files.createTempDirectory("graft_processed_conc").toString
+    val processed = base + "/t"
+    // a FRESH staging dir = a concurrent mergeWrite mid-flight; with the
+    // default 1h TTL it must NOT be deleted by this run's entry sweep
+    val inflight = processed + "__staging_deadbeef-0000-4000-8000-000000000000"
+    silver.withColumn("model", lit("INFLIGHT")).write.parquet(inflight)
+    // a sibling path that merely starts with the prefix but is not
+    // staging-shaped (the ADVICE r14 over-match case) must survive even
+    // with TTL 0
+    val sibling = processed + "__staging_notes.txt"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(sibling), "keep me")
+    MergeWrite.mergeWrite(spark, processed, silver, durable = true)
+    val fs = new org.apache.hadoop.fs.Path(processed)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(inflight)),
+      "fresh concurrent staging dir was swept")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(sibling)))
+    // table itself is correct and this run's own staging dir is gone
+    assert(MergeWrite.readProcessed(spark, processed).count() == silver.count())
+    val own = fs.globStatus(new org.apache.hadoop.fs.Path(processed + "__staging_*"))
+      .map(_.getPath.getName)
+      .filterNot(_ == new org.apache.hadoop.fs.Path(inflight).getName)
+      .filterNot(_ == "t__staging_notes.txt")
+    assert(own.isEmpty, s"own staging leaked: ${own.toSeq}")
   }
 
   test("F2→S8→S3→merge: the full rescrape correction loop, newest wins in processed + star") {
