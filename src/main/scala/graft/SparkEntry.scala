@@ -21,7 +21,8 @@ object SparkEntry {
     RelationalQueries.defs ++ ExprQueries.defs ++ DedupQueries.defs ++
       TextQueries.defs ++ SimilarityQueries.defs ++ MultimodalQueries.defs ++
       AdvancedJoinQueries.defs ++ CurationQueries.defs ++ StarLoadQueries.defs ++
-      ProfilingQueries.defs ++ WarehouseQueries.defs ++ EventQueries.defs
+      ProfilingQueries.defs ++ WarehouseQueries.defs ++ EventQueries.defs ++
+      AuctionQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     RelationalQueries.sql ++ ExprQueries.sql ++ DedupQueries.sql ++
       TextQueries.sql ++ SimilarityQueries.sql ++ MultimodalQueries.sql ++
       AdvancedJoinQueries.sql ++ CurationQueries.sql ++ StarLoadQueries.sql ++
-      ProfilingQueries.sql ++ WarehouseQueries.sql ++ EventQueries.sql
+      ProfilingQueries.sql ++ WarehouseQueries.sql ++ EventQueries.sql ++
+      AuctionQueries.sql
 }

@@ -197,6 +197,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(own.isEmpty, s"own staging leaked: ${own.toSeq}")
   }
 
+  test("q184 committed fixture still exercises every FIXTURES.md §1 edge " +
+    "case (guards fixture erosion — the oracle only proves engine parity)") {
+    val silver184 = Silver.run(
+      Flatten.bronze(spark, graft.queries.AuctionQueries.FixtureDir)).cache()
+    assert(silver184.count() == 8, "2 invalid + 1 dup must fall out of 11 raw")
+    def one(id: String) = silver184.filter(col("auction_id") === id).head()
+    // keep-newest resolved ACROSS envelopes: map's newer AAA111 beat list's
+    assert(one("AAA111").getAs[String]("model") == "F-150")
+    // epoch-millis date branch (E1) taken
+    assert(one("DDD444").getAs[java.sql.Timestamp]("auction_date") != null)
+    // reserve_met true requires the exact canonical 'Sold'
+    assert(one("DDD444").getAs[Boolean]("reserve_met"))
+    assert(!one("AAA111").getAs[Boolean]("reserve_met")) // 'Sold winner'
+    // E10 all-or-nothing: unparseable member nukes the list
+    assert(one("BBB222").getSeq[Long](one("BBB222").fieldIndex("bids")).isEmpty)
+    // E8 whole-cell quirk: exact form canonicalizes, suffixed form survives
+    assert(one("FFF666").getAs[String]("auction_status") == "Reserve not met")
+    assert(one("EEE555").getAs[String]("auction_status")
+      .startsWith("Reserve not met, bid to $"))
+    // E12: comma-less and multi-comma locations
+    assert(one("EEE555").isNullAt(one("EEE555").fieldIndex("state")))
+    assert(one("FFF666").getAs[String]("city") == "Washington, D.C.")
+    // E17 non-numeric year slug + null-date record
+    assert(one("GGG777").isNullAt(one("GGG777").fieldIndex("manufacture_year")))
+    // services alias key populated the count
+    assert(one("DDD444").getAs[Int]("service_count") == 2)
+    silver184.unpersist()
+  }
+
   test("F2→S8→S3→merge: the full rescrape correction loop, newest wins in processed + star") {
     // round 1: ingest the golden fixture — CCC333 is invalid and held out
     val processed = Files.createTempDirectory("graft_loop_proc").toString + "/t"
