@@ -23,8 +23,50 @@ object MultimodalQueries {
     ).orderBy(col("media_id"))
   }
 
+  /** q185 — real MP4/ISO-BMFF container-metadata extraction
+    * ([[graft.ext.Mp4]], round-14 verdict task #4). Every document id
+    * becomes a structurally real ISO-BMFF payload (proper box framing,
+    * both mvhd versions, 16.16 tkhd dimensions, stsd sample entries; ids
+    * ≡ 0 mod 31 get md5 garbage instead — the NonFatal path), and the
+    * metadata comes back out by WALKING THE BOXES map-side. The oracle
+    * replays the planted parameters arithmetically from doc_id — Spark
+    * must agree by actually parsing bytes it framed, so any box-offset
+    * error (mvhd version fields, fixed-point shifts, entry framing)
+    * surfaces as a hash mismatch, not a silent drift.
+    *
+    * Scale shape: one projection, one mapPartitions — embarrassingly
+    * parallel, zero shuffle; at 100 TB this is the same
+    * per-split demux pass a real video-curation scan performs. */
+  def q185VideoMetadata(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = load(spark, dir, "documents").select(col("doc_id")).as[Long]
+    val records = ids.map { k =>
+      val payload =
+        if (k % 31 == 0)
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(BigInt(k).toByteArray)
+        else {
+          val n = 1 + (k % 3L).toInt
+          val tracks = Seq(graft.ext.Mp4.TrackSpec(
+              Vector("avc1", "hvc1", "vp09")((k % 3L).toInt),
+              16 * (1 + (k % 120L).toInt), 16 * (1 + (k % 68L).toInt))) ++
+            (if (n >= 2) Seq(graft.ext.Mp4.TrackSpec("mp4a", 0, 0, "soun")) else Nil) ++
+            (if (n >= 3) Seq(graft.ext.Mp4.TrackSpec("tx3g", 0, 0, "text")) else Nil)
+          graft.ext.Mp4.synthesize(
+            majorBrand = if (k % 2 == 0) "isom" else "mp42",
+            timescale = 600L + (k % 1000L) * 10L,
+            duration = (k % 90000L) + 60L,
+            tracks = tracks,
+            mvhdVersion = (k % 2L).toInt)
+        }
+      (k, payload)
+    }
+    graft.ext.Mp4.extractVideoMeta(records).orderBy(col("media_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q32_multimodal_features" -> (q32MultimodalFeatures _)
+    "q32_multimodal_features" -> (q32MultimodalFeatures _),
+    "q185_video_metadata" -> (q185VideoMetadata _)
   )
 
   private val hex16 = (0 until 4).map { i =>
@@ -39,6 +81,32 @@ object MultimodalQueries {
          |  CAST(length(text) AS BIGINT) AS n_bytes,
          |  CAST(1 + ($hex16) % 64 AS INTEGER) AS fake_width,
          |  CAST(1 + length(text) // 256 AS BIGINT) AS fake_frames
-         |FROM documents ORDER BY media_id""".stripMargin
+         |FROM documents ORDER BY media_id""".stripMargin,
+    /* q185: the planted container parameters, replayed arithmetically.
+     * duration_ms = ticks*1000 // timescale (both engines integer-floor on
+     * positives); codecs = video fourcc by id mod 3, then the audio/text
+     * entries the track count adds; ids ≡ 0 mod 31 are the garbage rows —
+     * all-null metadata with n_tracks 0. */
+    "q185_video_metadata" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 31 = 0 THEN NULL
+        |    WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS major_brand,
+        |  CAST(CASE WHEN doc_id % 31 = 0 THEN 0
+        |    ELSE 1 + doc_id % 3 END AS INTEGER) AS n_tracks,
+        |  CASE WHEN doc_id % 31 = 0 THEN NULL
+        |    ELSE 600 + (doc_id % 1000) * 10 END AS timescale,
+        |  CASE WHEN doc_id % 31 = 0 THEN NULL
+        |    ELSE ((doc_id % 90000) + 60) * 1000
+        |      // (600 + (doc_id % 1000) * 10) END AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 31 = 0 THEN NULL
+        |    ELSE 16 * (1 + doc_id % 120) END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 31 = 0 THEN NULL
+        |    ELSE 16 * (1 + doc_id % 68) END AS INTEGER) AS height,
+        |  CASE WHEN doc_id % 31 = 0 THEN NULL
+        |    ELSE ['avc1','hvc1','vp09'][CAST(doc_id % 3 AS INTEGER) + 1]
+        |      || CASE WHEN doc_id % 3 >= 1 THEN ',mp4a' ELSE '' END
+        |      || CASE WHEN doc_id % 3 >= 2 THEN ',tx3g' ELSE '' END
+        |    END AS codecs
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 }

@@ -735,6 +735,75 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("Mp4 box walk: round-trip law parse(synthesize(p)) == p for both " +
+       "mvhd versions and 1/2/3 tracks; duration_ms floors exactly") {
+    import graft.ext.Mp4
+    for (version <- Seq(0, 1); nTracks <- Seq(1, 2, 3)) {
+      val tracks = Seq(Mp4.TrackSpec("avc1", 1920, 1080)) ++
+        (if (nTracks >= 2) Seq(Mp4.TrackSpec("mp4a", 0, 0, "soun")) else Nil) ++
+        (if (nTracks >= 3) Seq(Mp4.TrackSpec("tx3g", 0, 0, "text")) else Nil)
+      val p = Mp4.synthesize("isom", timescale = 600L, duration = 9001L,
+        tracks, mvhdVersion = version)
+      val m = Mp4.parseMeta(7L, p)
+      assert(m.major_brand.contains("isom"), s"v$version n$nTracks: $m")
+      assert(m.n_tracks == nTracks)
+      assert(m.timescale.contains(600L))
+      // 9001 * 1000 / 600 = 15001.66… → floors to 15001 on both engines
+      assert(m.duration_ms.contains(15001L))
+      assert(m.width.contains(1920) && m.height.contains(1080))
+      assert(m.codecs.contains(
+        Seq("avc1", "mp4a", "tx3g").take(nTracks).mkString(",")))
+    }
+    // width/height come from the FIRST track with nonzero dims, so an
+    // audio-first layout still reports the video track's size
+    val audioFirst = Mp4.synthesize("mp42", 1000L, 5000L,
+      Seq(Mp4.TrackSpec("mp4a", 0, 0, "soun"), Mp4.TrackSpec("hvc1", 640, 480)))
+    val am = Mp4.parseMeta(1L, audioFirst)
+    assert(am.width.contains(640) && am.height.contains(480) &&
+      am.codecs.contains("mp4a,hvc1"))
+  }
+
+  test("Mp4 box walk: crafted payloads never throw, loop, or overread — " +
+       "truncations keep the metadata that preceded the cut") {
+    import graft.ext.Mp4
+    val good = Mp4.synthesize("isom", 600L, 1200L,
+      Seq(Mp4.TrackSpec("avc1", 320, 240)))
+    // EVERY prefix parses without throwing (exhaustive truncation sweep);
+    // parsing is monotone: a prefix long enough to hold ftyp keeps brand
+    for (n <- 0 to good.length) {
+      val m = Mp4.parseMeta(0L, good.take(n))
+      if (n >= 16) assert(m.major_brand.contains("isom"),
+        s"prefix $n lost the already-parsed brand")
+    }
+    val torture = Seq[Array[Byte]](
+      Array.emptyByteArray,
+      Array.fill[Byte](7)(0x6d), // shorter than one header
+      // size=0 ("to end of file") wrapping garbage
+      Array[Byte](0, 0, 0, 0) ++ "free".getBytes ++ Array.fill[Byte](32)(0x11),
+      // size=1 with a largesize far beyond the payload
+      Array[Byte](0, 0, 0, 1) ++ "mdat".getBytes ++
+        Array.fill[Byte](8)(0x7f) ++ Array.fill[Byte](16)(0x22),
+      // declared size 4 < header 8 — malformed framing
+      Array[Byte](0, 0, 0, 4) ++ "moov".getBytes ++ Array.fill[Byte](16)(0x33),
+      // "moov" claiming to contain itself (self-nesting, depth-cap path):
+      // 16 nested container headers each spanning to the end
+      (0 until 16).map(_ => Array[Byte](0, 0, 0, 0) ++ "moov".getBytes)
+        .reduce(_ ++ _),
+      // random-ish bytes (the q185 garbage-row path)
+      java.security.MessageDigest.getInstance("MD5").digest("junk".getBytes),
+      good ++ good // two concatenated files: first moov wins, no throw
+    )
+    for (p <- torture) {
+      val m = Mp4.parseMeta(0L, p) // must not throw
+      assert(m.n_tracks >= 0)
+    }
+    // pure garbage reads as the all-null/zero row (the oracle's CASE arm)
+    val g = Mp4.parseMeta(0L,
+      java.security.MessageDigest.getInstance("MD5").digest("junk".getBytes))
+    assert(g.major_brand.isEmpty && g.n_tracks == 0 && g.timescale.isEmpty &&
+      g.duration_ms.isEmpty && g.width.isEmpty && g.codecs.isEmpty)
+  }
+
   test("multimodal: an animated GIF reports its true frame count") {
     import javax.imageio.{IIOImage, ImageIO}
     val buf = new java.io.ByteArrayOutputStream()
