@@ -259,13 +259,32 @@ object Dedup {
     * shuffle, band equi-join + per-doc min, block-hash shuffle), applied
     * to the previous stage's survivor frame; the rollup is one map-side-
     * combined aggregation per stage on the bounded source key, stitched
-    * with broadcast left joins. */
+    * with broadcast left joins.
+    *
+    * `qualityCol` (round-14 verdict task #6) switches the FUZZY stage to
+    * the keeper rule a real curation run ships ([[graft.ext.Similarity
+    * .semDeDupKeepBest]]'s q169 convention, FineWeb practice): per band
+    * the keeper is the member with the greatest (quality, −id) — best
+    * quality, smallest id on an exact tie — and a doc drops iff some band
+    * holds a strictly better member. CONSTANT quality degenerates to the
+    * default keep-band-min verdict-for-verdict (the ExtSpec law), and a
+    * NULL quality ranks strictly worst (coalesced below every real score
+    * — the q169 ADVICE lesson applied from the start). The exact and
+    * paragraph stages are keeper-insensitive by construction (exact
+    * twins have identical text and token mass; a paragraph block's
+    * SURVIVAL does not depend on which twin keeps it), so only the fuzzy
+    * keeper is parameterized — the dataset-card doc/token yields are
+    * what move. */
   def dedupFunnel(docs: DataFrame, sourceCol: String, idCol: String,
-                  textCol: String, blockWords: Int = 20): DataFrame = {
-    val base = docs.select(col(sourceCol), col(idCol).as("doc_id"),
-      col(textCol).as("_text"),
-      TextOps.fingerprintMd5(col(textCol)).as("_fp"),
-      size(TextOps.tokens(col(textCol))).cast("long").as("_toks"))
+                  textCol: String, blockWords: Int = 20,
+                  qualityCol: Option[String] = None): DataFrame = {
+    val base = docs.select(col(sourceCol) +: col(idCol).as("doc_id") +:
+      col(textCol).as("_text") +:
+      TextOps.fingerprintMd5(col(textCol)).as("_fp") +:
+      size(TextOps.tokens(col(textCol))).cast("long").as("_toks") +:
+      qualityCol.toSeq.map(q =>
+        coalesce(col(q).cast("double"),
+          lit(Double.NegativeInfinity)).as("_q")): _*)
     val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("_fp"))
     // each survivor frame feeds THREE consumers (its rollup + the next
     // stage's two branches); checkpoint per the multi-consumer convention
@@ -276,11 +295,29 @@ object Dedup {
     val sig = minhashSignature(
       exact.select(col("doc_id"), col("_text")), "doc_id", "_text")
     val bands = bandKeys(sig, "doc_id", numHashes = 8, bands = 2)
-    val bandMin = bands.groupBy(col("band")).agg(min(col("doc_id")).as("_bmin"))
-    val dropFuzzy = bands.join(bandMin, Seq("band"))
-      .groupBy(col("doc_id")).agg(min(col("_bmin")).as("_best"))
-      .filter(col("_best") < col("doc_id"))
-      .select(col("doc_id"))
+    val dropFuzzy = qualityCol match {
+      case None =>
+        val bandMin = bands.groupBy(col("band")).agg(min(col("doc_id")).as("_bmin"))
+        bands.join(bandMin, Seq("band"))
+          .groupBy(col("doc_id")).agg(min(col("_bmin")).as("_best"))
+          .filter(col("_best") < col("doc_id"))
+          .select(col("doc_id"))
+      case Some(_) =>
+        // keep-best: quality rides in via one doc_id-keyed hash join (the
+        // q169 convention: no extra corpus pass), keeper = lexicographic
+        // max of (quality, −id) per band, loser = any member some band
+        // strictly dominates
+        def rank(q: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =
+          struct(q.as("q"), (-id).as("nid"))
+        val qb = bands.join(exact.select(col("doc_id"), col("_q")), Seq("doc_id"))
+        val bandBest = qb.groupBy(col("band"))
+          .agg(max(rank(col("_q"), col("doc_id"))).as("_bb"))
+        qb.join(bandBest, Seq("band"))
+          .groupBy(col("doc_id"), col("_q"))
+          .agg(max(col("_bb")).as("_best"))
+          .filter(col("_best") > rank(col("_q"), col("doc_id")))
+          .select(col("doc_id"))
+    }
     val fuzzy = checkpointStripped(
       exact.join(dropFuzzy.withColumn("_drop", lit(1)),
           Seq("doc_id"), "left")

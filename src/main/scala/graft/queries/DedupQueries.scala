@@ -400,6 +400,23 @@ object DedupQueries {
         "text", blockWords = 20)
       .transform(tinySort(_, col("source")))
 
+  /** q186 — the funnel with the keep-BEST fuzzy keeper (round-14 verdict
+    * task #6): same four stages as q181, but the fuzzy stage drops the
+    * lower-QUALITY member of each band neighborhood (quality = exact
+    * token count here — engine-exact integers, so dominance replays
+    * bit-for-bit in DuckDB; ids break exact ties). The dataset-card
+    * yields now describe what a real curation run would ship — the
+    * longest representative of each near-dup neighborhood survives, so
+    * token yield can only move UP vs q181's accidental min-id keeper on
+    * equal doc yield. */
+  def q186DedupFunnelKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .withColumn("q", size(graft.ext.TextOps.tokens(col("text"))).cast("long"))
+    Dedup.dedupFunnel(docs, "source", "doc_id", "text", blockWords = 20,
+        qualityCol = Some("q"))
+      .transform(tinySort(_, col("source")))
+  }
+
   /** q182 — corpus snapshot diff ([[graft.ext.Dedup.snapshotDiff]]):
     * version B derived deterministically from the documents table (every
     * 11th doc deleted, every 13th SURVIVOR edited with a ` rev2` suffix,
@@ -437,6 +454,7 @@ object DedupQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_dedup_funnel_keepbest" -> (q186DedupFunnelKeepBest _),
     "q183_length_drift" -> (q183LengthDrift _),
     "q182_snapshot_diff" -> (q182SnapshotDiff _),
     "q181_dedup_funnel" -> (q181DedupFunnel _),
@@ -657,6 +675,69 @@ object DedupQueries {
      * keep-min-id = no band holds a smaller surviving id, then the q177
      * block-dedup chain over the fuzzy survivors with TOKEN accounting.
      * Sourceless fills via COALESCE; yields by integer division. */
+    /* q186: q181's chain with the keep-best fuzzy keeper — per band the
+     * keeper is MAX(ROW(toks, -doc_id)) (best quality, min id on ties;
+     * DuckDB ROW comparison is lexicographic like Spark's struct), and a
+     * doc drops iff some band strictly dominates it. Every other CTE is
+     * q181's verbatim. */
+    "q186_dedup_funnel_keepbest" ->
+      s"""WITH $SigCte,
+        | base AS (SELECT source, doc_id, text,
+        |     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+        |     CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |   FROM documents),
+        | ek AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS kmin FROM base),
+        | es AS (SELECT * FROM ek WHERE doc_id = kmin),
+        | sig2 AS (SELECT sig.* FROM sig JOIN es USING (doc_id)),
+        | bands AS (
+        |   SELECT doc_id, md5('B0|' || sig0 || '|' || sig1 || '|' || sig2 || '|' || sig3) AS band FROM sig2
+        |   UNION ALL
+        |   SELECT doc_id, md5('B1|' || sig4 || '|' || sig5 || '|' || sig6 || '|' || sig7) AS band FROM sig2),
+        | bq AS (SELECT bands.band, bands.doc_id, es.toks
+        |        FROM bands JOIN es USING (doc_id)),
+        | bb AS (SELECT band, MAX(ROW(toks, -doc_id)) AS bbest
+        |        FROM bq GROUP BY band),
+        | dropf AS (SELECT doc_id FROM bq JOIN bb USING (band)
+        |           GROUP BY doc_id, toks HAVING MAX(bbest) > ROW(toks, -doc_id)),
+        | fs AS (SELECT * FROM es
+        |        WHERE doc_id NOT IN (SELECT doc_id FROM dropf)),
+        | w2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM fs),
+        | nb2 AS (SELECT doc_id, ws,
+        |           CAST((len(ws) + 19) // 20 AS BIGINT) AS n FROM w2),
+        | b2 AS (SELECT doc_id, CAST(bi AS BIGINT) AS bi,
+        |          array_to_string(ws[(bi*20+1):(bi*20+20)], ' ') AS block
+        |        FROM (SELECT doc_id, ws, unnest(range(0, n)) AS bi FROM nb2)),
+        | h2 AS (SELECT doc_id, bi, block, md5(block) AS hv FROM b2),
+        | k2 AS (SELECT hv, MIN(ROW(doc_id, bi)) AS kk FROM h2 GROUP BY hv),
+        | kt AS (SELECT h2.doc_id,
+        |          CAST(SUM(CASE WHEN k2.kk = ROW(h2.doc_id, h2.bi)
+        |            THEN len(string_split(h2.block, ' ')) ELSE 0 END) AS BIGINT)
+        |            AS ktoks
+        |        FROM h2 JOIN k2 USING (hv) GROUP BY 1),
+        | r_raw AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw_docs,
+        |             CAST(SUM(toks) AS BIGINT) AS tokens_raw
+        |           FROM base GROUP BY 1),
+        | r_ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact_docs,
+        |            CAST(SUM(toks) AS BIGINT) AS tokens_exact
+        |          FROM es GROUP BY 1),
+        | r_fz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fuzzy_docs,
+        |            CAST(SUM(toks) AS BIGINT) AS tokens_fuzzy
+        |          FROM fs GROUP BY 1),
+        | r_pa AS (SELECT fs.source, CAST(SUM(kt.ktoks) AS BIGINT) AS tokens_para
+        |          FROM fs JOIN kt USING (doc_id) GROUP BY 1)
+        |SELECT r.source, r.n_raw_docs,
+        |  COALESCE(e.n_exact_docs, 0) AS n_exact_docs,
+        |  COALESCE(f.n_fuzzy_docs, 0) AS n_fuzzy_docs,
+        |  r.tokens_raw, COALESCE(e.tokens_exact, 0) AS tokens_exact,
+        |  COALESCE(f.tokens_fuzzy, 0) AS tokens_fuzzy,
+        |  COALESCE(p.tokens_para, 0) AS tokens_para,
+        |  CAST((10000 * COALESCE(f.n_fuzzy_docs, 0))
+        |    // GREATEST(r.n_raw_docs, 1) AS BIGINT) AS doc_yield_bp,
+        |  CAST((10000 * COALESCE(p.tokens_para, 0))
+        |    // GREATEST(r.tokens_raw, 1) AS BIGINT) AS token_yield_bp
+        |FROM r_raw r LEFT JOIN r_ex e USING (source)
+        |  LEFT JOIN r_fz f USING (source) LEFT JOIN r_pa p USING (source)
+        |ORDER BY r.source""".stripMargin,
     "q181_dedup_funnel" ->
       s"""WITH $SigCte,
         | base AS (SELECT source, doc_id, text,

@@ -1571,6 +1571,45 @@ class ExtSpec extends AnyFunSuite {
       c.getAs[Long]("token_yield_bp") == 5000L, s"token accounting: $c")
   }
 
+  test("dedupFunnel keep-best keeper: constant quality ≡ default keeper " +
+       "verdict-for-verdict; quality flips the fuzzy survivor (ADVICE/" +
+       "verdict r14 task #6)") {
+    // LAW on the real corpus: constant quality degenerates to keep-band-min
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val base = Dedup.dedupFunnel(docs, "source", "doc_id", "text")
+    val const = Dedup.dedupFunnel(docs.withColumn("q", lit(1.0)),
+      "source", "doc_id", "text", qualityCol = Some("q"))
+    assert(canon(const) == canon(base))
+    // planted band pair where the HIGHER id is the better (longer) doc:
+    // default keeps doc 3 (min id, 24 tokens); keep-best keeps doc 4
+    // (25 tokens) — same doc yield, strictly higher token yield
+    val pair = Seq(
+      (3L, "B", Seq.tabulate(24)(i => s"b$i").mkString(" ")),
+      (4L, "B", Seq.tabulate(24)(i => s"b$i").mkString(" ") + " extrazz")
+    ).toDF("doc_id", "source", "text")
+      .withColumn("q", size(graft.ext.TextOps.tokens(col("text"))).cast("long"))
+    def fuzzyToks(qc: Option[String]) =
+      Dedup.dedupFunnel(pair, "source", "doc_id", "text", qualityCol = qc)
+        .head()
+    val dflt = fuzzyToks(None)
+    val best = fuzzyToks(Some("q"))
+    assert(dflt.getAs[Long]("n_fuzzy_docs") == 1L &&
+      best.getAs[Long]("n_fuzzy_docs") == 1L)
+    assert(dflt.getAs[Long]("tokens_fuzzy") == 24L, s"min-id keeper: $dflt")
+    assert(best.getAs[Long]("tokens_fuzzy") == 25L,
+      s"keep-best must ship the longer representative: $best")
+    // null quality ranks worst: nulling the better doc's score hands the
+    // neighborhood back to the scored one
+    val nulled = pair.withColumn("q",
+      when(col("doc_id") === 4L, lit(null).cast("long")).otherwise(col("q")))
+    val n = Dedup.dedupFunnel(nulled, "source", "doc_id", "text",
+      qualityCol = Some("q")).head()
+    assert(n.getAs[Long]("tokens_fuzzy") == 24L,
+      s"null quality must lose to any real score: $n")
+  }
+
   test("prototypicalityPrune: outlier ranks hardest, near-prototype ranks " +
        "last, identical vectors tie by id, null labels excluded") {
     // label 7: two near-identical vectors + one outlier; label 8: three
