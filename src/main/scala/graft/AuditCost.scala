@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ext.SuffixArray
+
+/** Cost harness for the incremental contamination audit (the r14 verdict
+  * ask: prove [[graft.ext.SuffixArray.auditShard]] scales with |shard| +
+  * |index|, never |corpus|). Audits a FIXED shard (the same ~1000
+  * documents, doc_id ≡ 1 mod 5 below the fixed cutoff — ids present at
+  * every SF of the derived corpora) against each given corpus' benchmark
+  * index (every 50th doc — the index DOES grow with the corpus, 10× rows
+  * at sf1, which is the honest part of the claim: the audit reads shard +
+  * index and nothing else). Per corpus, also times the q176-shaped FULL
+  * rebuild over corpus ∪ bench for the same-breath comparison.
+  *
+  * Walls print per rep; quote mins (the JIT-warm figures) in NOTES.
+  *
+  * Usage: runMain graft.AuditCost [reps] [sfDir ...]
+  */
+object AuditCost {
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(3)
+    val dirs = if (args.length > 1) args.drop(1).toSeq
+      else Seq("/root/testdata/sf0.1", "/root/repo/scale/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cutoff = 5000L // the sf0.1 id space — present in every corpus
+    for (dir <- dirs) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val shard = docs.filter(col("doc_id") % 5 === 1 &&
+        col("doc_id") < cutoff)
+      val nDocs = docs.count()
+      val nShard = shard.count()
+      val nBench = bench.count()
+      // the standing index: built once, persisted; audits read it back
+      val ixDir = java.nio.file.Files
+        .createTempDirectory("graft_auditcost_ix").toString
+      SuffixArray.contaminationIndex(bench, "doc_id", "text", k = 64)
+        .write.mode("overwrite").parquet(ixDir)
+      val index = spark.read.parquet(ixDir)
+      def time(label: String)(f: => Long): Unit =
+        for (i <- 1 to reps) {
+          val t0 = System.nanoTime()
+          val rows = f
+          println(f"$dir $label rep$i: wall=${(System.nanoTime() - t0) / 1e9}%.2fs rows=$rows")
+        }
+      println(s"$dir: corpus=$nDocs shard=$nShard bench=$nBench")
+      time("audit_fixed_shard") {
+        SuffixArray.auditShard(index, shard, "doc_id", "text",
+          minLen = 20, k = 64).count()
+      }
+      time("full_rebuild") {
+        SuffixArray.crossSetMaxLcp(
+          docs.withColumn("is_b", col("doc_id") % 50 === 0),
+          "doc_id", "text", "is_b", minLen = 20, k = 64).count()
+      }
+    }
+    spark.stop()
+  }
+}

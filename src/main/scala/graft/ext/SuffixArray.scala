@@ -105,11 +105,17 @@ object SuffixArray {
     * sum over the split positions (empty split cells — consecutive
     * spaces — contribute their separator before being dropped, so
     * offsets stay exact). */
-  def suffixArrayK(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int = 64, carryCols: Seq[String] = Nil): DataFrame = {
+  /** The un-ranked suffix frame: one row per word-start suffix with its
+    * 1-based code-point offset and k-char prefix — the extraction half of
+    * [[suffixArrayK]], also the PERSISTED-index payload for
+    * [[auditShard]] (an audit index needs no global rank: insertion order
+    * is re-derived per audit from the prefix itself). */
+  private[graft] def wordStartPrefixes(docs: DataFrame, idCol: String,
+                                       textCol: String, k: Int,
+                                       carryCols: Seq[String] = Nil): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val carried = carryCols.map(col)
-    val words = docs
+    docs
       .select(Seq(col(idCol).as("doc_id"), col(textCol).as("_text"),
         posexplode(split(col(textCol), " ")).as(Seq("_wi", "_w"))) ++ carried: _*)
       .withColumn("off", coalesce(
@@ -120,9 +126,14 @@ object SuffixArray {
       .select(Seq(col("doc_id"), col("off"),
         col("_text").substr(col("off").cast("int"), lit(k)).as("prefix")) ++
         carried: _*)
+  }
+
+  def suffixArrayK(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 64, carryCols: Seq[String] = Nil): DataFrame = {
+    val words = wordStartPrefixes(docs, idCol, textCol, k, carryCols)
     globalRowNumber(words, Seq(col("prefix"), col("doc_id"), col("off")), "rank")
       .select(Seq(col("rank"), col("doc_id"), col("off"), col("prefix")) ++
-        carried: _*)
+        carryCols.map(col): _*)
   }
 
   /** [[suffixArrayK]] plus the adjacent LCP: per suffix, the code-point
@@ -335,6 +346,110 @@ object SuffixArray {
     * Output is bounded by the suffix count, and in practice by the
     * corpus' true duplicate structure. minLen ≤ k is REQUIRED — beyond k
     * the prefixes can't witness the repeat. */
+  /** The persisted contamination index over a (stable) benchmark/eval set:
+    * its word-start suffixes with k-char prefixes — `(doc_id, off,
+    * prefix)`. Build ONCE per benchmark release, write to parquet, audit
+    * every incoming corpus shard against it with [[auditShard]]. No rank
+    * column: an audit re-derives insertion order from the prefix itself,
+    * so the index carries no partitioning assumptions a parquet
+    * round-trip would lose. */
+  def contaminationIndex(bench: DataFrame, idCol: String, textCol: String,
+                         k: Int = 64): DataFrame =
+    wordStartPrefixes(bench, idCol, textCol, k)
+
+  /** Incremental contamination audit (round-14 verdict task #3): the
+    * per-shard twin of [[crossSetMaxLcp]]. q176 re-sorts corpus ∪ bench
+    * per audit; at 100 TB the Lee et al. pipeline builds the benchmark
+    * index once and audits each NEW shard on arrival — this operator's
+    * cost scales with |shard| + |index|, never |corpus|.
+    *
+    * Exactness (the ExtSpec law: shard audit ≡ the full rebuild's report
+    * restricted to the shard): a shard suffix's max LCP against ANY
+    * index suffix is realized by its INSERTION NEIGHBORS in the index's
+    * prefix order — for sorted suffixes, lcp(s, b) ≤ lcp(s, nearer b′) —
+    * so two direct LCP kernel calls (predecessor, successor) replace the
+    * full build's segmented chain mins, and the chain-min identity
+    * (min of adjacent lcps = pairwise lcp, capped at k on both sides)
+    * makes the two formulations agree value-for-value. Other corpus
+    * shards never influence a shard doc's verdict (the chain min through
+    * interleaved corpus suffixes IS the pairwise lcp), which is what
+    * makes per-shard auditing sound in the first place.
+    *
+    * Scale shape: ONE range shuffle of shard-suffixes ∪ index rows on
+    * the prefix (the insertion sort — the [[globalRowNumber]] offset
+    * idiom turned inside out: instead of ranking the index per audit,
+    * shard rows range-co-partition WITH it), materialized once (the
+    * two-subtree `spark_partition_id` consistency rule), per-partition
+    * running last/first-index-prefix windows, a partition-count-BOUNDED
+    * boundary summary stitched by the constant-key window and broadcast
+    * back, then two [[graft.functions.LcpPrefix]] calls per shard
+    * suffix and a doc-keyed rollup. Zero unpartitioned windows, zero
+    * joins beyond the broadcast carry. */
+  def auditShard(index: DataFrame, shard: DataFrame, idCol: String,
+                 textCol: String, minLen: Int, k: Int = 64): DataFrame = {
+    require(minLen >= 1 && minLen <= k,
+      s"need 1 <= minLen ($minLen) <= k ($k): a k-char prefix cannot " +
+        "witness a longer shared span")
+    val slots = shard.sparkSession.sparkContext.defaultParallelism
+    val s = wordStartPrefixes(shard, idCol, textCol, k)
+      .withColumn("_ib", lit(0))
+    val ix = index.select(col("doc_id"), col("off"), col("prefix"))
+      .withColumn("_ib", lit(1))
+    // (prefix, _ib, doc, off) is a UNIQUE total order (the q175 tie rule);
+    // on prefix ties the index row sorts AFTER the shard row, which is
+    // irrelevant to values (equal prefixes lcp to k either way) but keeps
+    // every window deterministic
+    val sortAsc = Seq(col("prefix"), col("_ib"), col("doc_id"), col("off"))
+    val ranged = s.unionByName(ix)
+      .repartitionByRange(slots, sortAsc: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val idxPrefix = when(col("_ib") === 1, col("prefix"))
+    val wAsc = Window.partitionBy(col("_pid")).orderBy(sortAsc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy(col("_pid"))
+      .orderBy(col("prefix").desc, col("_ib").desc, col("doc_id").desc,
+        col("off").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val f = ranged
+      .withColumn("_pred", last(idxPrefix, ignoreNulls = true).over(wAsc))
+      .withColumn("_succ", last(idxPrefix, ignoreNulls = true).over(wDesc))
+    // bounded boundary summary: each partition's first/last index prefix
+    // in sort order (struct min/max over the unique key = the sort's own
+    // endpoints), carried across partitions as running last-non-null
+    val summary = ranged.groupBy(col("_pid")).agg(
+      max(when(col("_ib") === 1,
+        struct(col("prefix"), col("doc_id"), col("off")))).as("_last"),
+      min(when(col("_ib") === 1,
+        struct(col("prefix"), col("doc_id"), col("off")))).as("_first"))
+    val one = substring(col("_pid").cast("string"), 0, 0)
+    val carry = summary
+      .withColumn("_carryDown", last(col("_last.prefix"), ignoreNulls = true)
+        .over(Window.partitionBy(one).orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_carryUp", last(col("_first.prefix"), ignoreNulls = true)
+        .over(Window.partitionBy(one).orderBy(col("_pid").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("_pid"), col("_carryDown"), col("_carryUp"))
+    f.join(broadcast(carry), Seq("_pid"))
+      .filter(col("_ib") === 0)
+      .withColumn("_p", coalesce(col("_pred"), col("_carryDown")))
+      .withColumn("_s", coalesce(col("_succ"), col("_carryUp")))
+      .withColumn("_best", greatest(
+        coalesce(graft.functions.LcpPrefix.lcp(col("prefix"), col("_p"))
+          .cast("long"), lit(0L)),
+        coalesce(graft.functions.LcpPrefix.lcp(col("prefix"), col("_s"))
+          .cast("long"), lit(0L))))
+      .filter(col("_best") >= minLen)
+      .select(col("doc_id"), col("_best"),
+        col("prefix").substr(lit(1), col("_best").cast("int")).as("_span"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        max(struct(col("_best"), col("_span"))).as("_m"))
+      .select(col("doc_id"), col("_m._best").as("shared_len"),
+        col("_m._span").as("span"), col("n_hits"))
+  }
+
   def exactRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                          minLen: Int, k: Int = 64): DataFrame = {
     require(minLen >= 1 && minLen <= k,

@@ -370,6 +370,25 @@ object DedupQueries {
         "doc_id", "text", "is_b", minLen = 20, k = 64)
       .transform(tinySort(_, col("doc_id")))
 
+  /** q187 — incremental contamination audit over a persisted benchmark
+    * suffix index ([[graft.ext.SuffixArray.auditShard]], round-14 verdict
+    * task #3): q176's bench set (every 50th doc) becomes a standing
+    * index; the audited SHARD is every doc ≡ 1 mod 5 (provably disjoint
+    * from the bench). The oracle is q176's full-rebuild CTE chain with
+    * the report restricted to the shard — the equivalence law (a shard's
+    * verdicts don't depend on other shards) stated as SQL. At 100 TB
+    * this is the arrival-time audit: cost scales with |shard| + |index|,
+    * never |corpus| (measured in NOTES). */
+  def q187AuditShard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val index = graft.ext.SuffixArray.contaminationIndex(
+      docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", k = 64)
+    graft.ext.SuffixArray.auditShard(index,
+        docs.filter(col("doc_id") % 5 === 1), "doc_id", "text",
+        minLen = 20, k = 64)
+      .transform(tinySort(_, col("doc_id")))
+  }
+
   /** q177 — corpus-level paragraph dedup ([[graft.ext.Dedup.paragraphDedup]],
     * 20-word blocks): the CCNet shard-dedup semantics — every block
     * occurrence beyond the global first (lowest (doc, position)) removed,
@@ -454,6 +473,7 @@ object DedupQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_audit_shard" -> (q187AuditShard _),
     "q186_dedup_funnel_keepbest" -> (q186DedupFunnelKeepBest _),
     "q183_length_drift" -> (q183LengthDrift _),
     "q182_snapshot_diff" -> (q182SnapshotDiff _),
@@ -848,6 +868,40 @@ object DedupQueries {
      * edge excluded, down pass — , running min to next bench — bench's
      * edge included, up pass). Every window ORDER BY rank: UNIQUE (the
      * q175 tie lesson). Argmax span via max-best join + string MAX. */
+    /* q187: q176's full-rebuild chain with the report restricted to the
+     * audited shard (doc_id ≡ 1 mod 5) — the incremental-audit law
+     * (other shards never influence a shard doc's verdict) stated as
+     * SQL. Spark, by contrast, never touches the rest of the corpus. */
+    "q187_audit_shard" ->
+      s"""WITH $suffixCtes,
+        | tg AS (SELECT l.*, (l.doc_id % 50 = 0) AS is_b FROM lcps l),
+        | sg AS (SELECT *,
+        |     SUM(CASE WHEN is_b THEN 1 ELSE 0 END) OVER (ORDER BY rank
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg,
+        |     SUM(CASE WHEN is_b THEN 1 ELSE 0 END) OVER (ORDER BY rank DESC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segd
+        |   FROM tg),
+        | mm AS (SELECT *,
+        |     MIN(CASE WHEN is_b THEN NULL ELSE lcp_prev END) OVER (
+        |       PARTITION BY seg ORDER BY rank
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS draw,
+        |     MIN(lcp_prev) OVER (PARTITION BY segd ORDER BY rank DESC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS uraw
+        |   FROM sg),
+        | sc AS (SELECT doc_id, prefix,
+        |     GREATEST(COALESCE(CASE WHEN seg >= 1 THEN draw END, 0),
+        |              COALESCE(CASE WHEN segd >= 1 THEN uraw END, 0)) AS best
+        |   FROM mm WHERE NOT is_b),
+        | hit AS (SELECT doc_id, best,
+        |           substring(prefix, 1, CAST(best AS INTEGER)) AS span
+        |         FROM sc WHERE best >= 20 AND doc_id % 5 = 1),
+        | top AS (SELECT doc_id, MAX(best) AS shared_len,
+        |           CAST(COUNT(*) AS BIGINT) AS n_hits
+        |         FROM hit GROUP BY 1)
+        |SELECT t.doc_id, t.shared_len, MAX(h.span) AS span, t.n_hits
+        |FROM top t JOIN hit h ON h.doc_id = t.doc_id AND h.best = t.shared_len
+        |GROUP BY 1, 2, 4
+        |ORDER BY t.doc_id""".stripMargin,
     "q176_contamination_span" ->
       s"""WITH $suffixCtes,
         | tg AS (SELECT l.*, (l.doc_id % 50 = 0) AS is_b FROM lcps l),

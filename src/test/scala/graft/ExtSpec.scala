@@ -1816,6 +1816,85 @@ class ExtSpec extends AnyFunSuite {
       "all-benchmark input yields an empty audit")
   }
 
+  test("auditShard ≡ crossSetMaxLcp restricted to the shard: real corpus, " +
+       "randomized stress, parquet round-trip of the persisted index") {
+    import graft.ext.SuffixArray
+    // LAW on the real corpus: auditing ONE shard against the persisted
+    // bench index reproduces exactly the full rebuild's report rows for
+    // that shard's docs — other shards never influence a verdict (the
+    // chain min through interleaved corpus suffixes IS the pairwise lcp)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val full = SuffixArray.crossSetMaxLcp(
+        docs.withColumn("is_b", col("doc_id") % 50 === 0),
+        "doc_id", "text", "is_b", minLen = 20, k = 64)
+      .collect().map(_.toString).sorted.toSeq
+    // the index survives a parquet round-trip (no partitioning assumptions)
+    val ixDir = java.nio.file.Files.createTempDirectory("graft_contidx").toString
+    SuffixArray.contaminationIndex(bench, "doc_id", "text", k = 64)
+      .write.mode("overwrite").parquet(ixDir)
+    val index = spark.read.parquet(ixDir)
+    // shards tile the NON-bench corpus (a pipeline never audits the
+    // benchmark against itself — crossSetMaxLcp likewise reports only
+    // non-bench docs)
+    val shards = Seq(0, 1, 2).map(r =>
+      col("doc_id") % 3 === r && col("doc_id") % 50 =!= 0)
+    val audited = shards.flatMap { cut =>
+      SuffixArray.auditShard(index, docs.filter(cut), "doc_id", "text",
+          minLen = 20, k = 64)
+        .collect().map(_.toString)
+    }.sorted
+    val fullNonBench = full // crossSetMaxLcp reports non-bench docs only
+    assert(audited.nonEmpty && audited == fullNonBench,
+      s"shard audits must tile the full rebuild: ${audited.size} vs ${fullNonBench.size}")
+    // randomized stress vs the same in-JVM brute force shape the q176 law
+    // uses — small vocab forces long accidental runs across many partition
+    // boundary shapes
+    def wordStarts(t: String): Seq[Int] = {
+      val b = Seq.newBuilder[Int]; b += 0
+      var i = t.indexOf(' ')
+      while (i >= 0) { b += i + 1; i = t.indexOf(' ', i + 1) }
+      b.result().filter(o => o < t.length && t.charAt(o) != ' ')
+    }
+    def cpl(a: String, b: String): Int = {
+      val n = math.min(a.length, b.length); var i = 0
+      while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+      i
+    }
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector("aa", "bb", "cc")
+    def mkDoc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val rBench = (1000L until 1005L).map(i => i -> mkDoc(6 + rnd.nextInt(8)))
+    val rShard = (0L until 25L).map(i => i -> mkDoc(6 + rnd.nextInt(8)))
+    val got = SuffixArray.auditShard(
+        SuffixArray.contaminationIndex(
+          rBench.toDF("doc_id", "text").repartition(4), "doc_id", "text", 64),
+        rShard.toDF("doc_id", "text").repartition(7), "doc_id", "text",
+        minLen = 6, k = 64)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("shared_len"), r.getAs[String]("span"),
+          r.getAs[Long]("n_hits")))).toMap
+    val want = rShard.flatMap { case (id, t) =>
+      val bests = wordStarts(t).map { o =>
+        val suf = t.substring(o).take(64)
+        val best = (for ((_, bt) <- rBench; bo <- wordStarts(bt))
+          yield cpl(suf, bt.substring(bo).take(64))).foldLeft(0)(math.max)
+        (best.toLong, suf.take(best))
+      }.filter(_._1 >= 6)
+      if (bests.isEmpty) None
+      else Some(id -> (bests.max._1, bests.max._2, bests.size.toLong))
+    }.toMap
+    assert(got == want, {
+      val bad = (got.keySet ++ want.keySet).filter(k => got.get(k) != want.get(k))
+      s"diff docs $bad: got ${bad.map(got.get)}, want ${bad.map(want.get)}"
+    })
+    // degenerate: an empty index contaminates nothing
+    assert(SuffixArray.auditShard(
+      SuffixArray.contaminationIndex(
+        rBench.toDF("doc_id", "text").limit(0), "doc_id", "text", 64),
+      rShard.toDF("doc_id", "text"), "doc_id", "text", 6, 64).isEmpty)
+  }
+
   test("duplication profile: exact doc-level duplicate profiles at 10000 bp; " +
        "zero-repeat doc kept at 0; bp is integer division; stable across " +
        "actions and input splits") {
