@@ -503,6 +503,65 @@ object Similarity {
   private def nearestIds(cents: Array[(Long, Array[Double])], v: Column, n: Int): Column =
     graft.functions.NearestCentroids.nearestCentroids(v, cents.toSeq, n)
 
+  /** IVF index-maintenance audit (round-15; FAISS operational practice):
+    * an IVF index is trained ONCE on the corpus it was built from, then
+    * new shards stream into its FROZEN lists — and the question a
+    * production vector store actually alarms on is "has the incoming
+    * distribution drifted enough to re-train the coarse quantizer?".
+    * Per frozen list: the index occupancy, the new shard's occupancy
+    * under the SAME frozen centroids, and the share drift in exact basis
+    * points — |n_new·T_index − n_index·T_new| scaled by 10⁴ over
+    * T_index·T_new, every product in DECIMAL(38,0) (count pairs overflow
+    * BIGINT beyond ~3·10⁹ rows/side — the [[graft.ext.Dedup
+    * .histogramDrift]] precedent), division last, so the oracle replays
+    * exactly. Lists the shard never touches report n_new = 0 — an
+    * emptying list is itself drift signal, so the frame is seeded from
+    * the centroid set, not from observed assignments.
+    *
+    * Scale shape: centroids are the deterministic bounded sample (the
+    * [[ivfTopK]] idiom — nlist rows collected, shipped as literals into
+    * the [[graft.functions.NearestCentroids]] kernel), both assignment
+    * passes are map-side with map-side-combined (list) counts — the
+    * shuffled key space is nlist, corpus-size-independent — and the
+    * totals ride the constant-key bounded window over the nlist-row
+    * frame. Cost scales with |index| + |shard| scans; nothing quadratic,
+    * nothing driver-side beyond the nlist-row collect. */
+  def ivfMaintenanceAudit(index: DataFrame, shard: DataFrame, idCol: String,
+                          vecCol: String, nlist: Int = 16): DataFrame = {
+    require(index.schema(idCol).dataType == org.apache.spark.sql.types.LongType,
+      s"ivfMaintenanceAudit: id column '$idCol' must be LongType, got " +
+        s"${index.schema(idCol).dataType.simpleString} — cast it upstream")
+    val ei = ensureSlots(index.select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v")))
+    val es = shard.select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    val cents: Array[(Long, Array[Double])] = ei
+      .orderBy(md5(col("_id").cast("string").cast("binary")))
+      .limit(nlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def occupancy(df: DataFrame, out: String) = df
+      .withColumn("list_id", element_at(nearestIds(cents, col("_v"), 1), 1))
+      .groupBy(col("list_id")).agg(count(lit(1)).as(out))
+    import ei.sparkSession.implicits._
+    val lists = cents.map(_._1).toSeq.toDF("list_id")
+    val one = substring(col("list_id").cast("string"), 0, 0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(one)
+    val dec = "decimal(38,0)"
+    lists
+      .join(occupancy(ei, "n_index"), Seq("list_id"), "left")
+      .join(occupancy(es, "n_new"), Seq("list_id"), "left")
+      .na.fill(0L, Seq("n_index", "n_new"))
+      .withColumn("_ti", sum(col("n_index")).over(w))
+      .withColumn("_tn", sum(col("n_new")).over(w))
+      .withColumn("share_drift_bp",
+        expr(s"(cast(10000 as $dec) * abs(cast(n_new as $dec) * _ti - " +
+          s"cast(n_index as $dec) * _tn)) div " +
+          s"(cast(greatest(_ti, 1) as $dec) * greatest(_tn, 1))").cast("long"))
+      .select(col("list_id"), col("n_index"), col("n_new"),
+        col("share_drift_bp"))
+  }
+
   /** Lloyd refinement of the coarse quantizer: each iteration assigns every
     * vector to its nearest centroid (map-side, literal centroids) and
     * re-centers each list on the member mean — one shuffle of nlist·dim

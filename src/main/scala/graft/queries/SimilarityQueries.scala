@@ -282,7 +282,24 @@ object SimilarityQueries {
       .transform(tinySort(_, col("query_id"), col("fused_rank")))
   }
 
+  /** q188 — IVF index-maintenance audit
+    * ([[graft.ext.Similarity.ivfMaintenanceAudit]]): the index corpus is
+    * every embedding with id ≢ 0 mod 4 ("trained" quantizer: md5-sample
+    * centroids from THIS side only), the arriving shard is the rest;
+    * per frozen list the index/new occupancies and the exact-bp share
+    * drift — the re-train-the-quantizer alarm a production vector store
+    * monitors. Lists the shard misses report n_new = 0 (seeded from the
+    * centroid set — an emptying list is drift signal too). */
+  def q188IvfMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val e = load(spark, dir, "embeddings")
+    Similarity.ivfMaintenanceAudit(
+        e.filter(col("vec_id") % 4 =!= 0), e.filter(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", nlist = 16)
+      .transform(tinySort(_, col("list_id")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_ivf_maintenance" -> (q188IvfMaintenance _),
     "q143_ann_pq" -> (q143AnnPq _),
     "q152_trunc_recall" -> (q152TruncRecall _),
     "q144_ann_ivfpq" -> (q144AnnIvfPq _),
@@ -342,6 +359,46 @@ object SimilarityQueries {
       |  FROM reach GROUP BY a)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    /* q188: the q43 IVF idiom — md5-ordered centroid sample from the
+     * INDEX side only, nearest-list assignment with rounded cosine and
+     * the (s DESC, cid DESC) tie-break — applied twice (index + shard),
+     * seeded from the centroid set so untouched lists report 0, share
+     * drift via HUGEINT cross-multiplication ≡ Spark DECIMAL(38,0). */
+    "q188_ivf_maintenance" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | ei AS (SELECT * FROM e WHERE vec_id % 4 <> 0),
+        | es AS (SELECT * FROM e WHERE vec_id % 4 = 0),
+        | cents AS (SELECT vec_id AS cid, v AS cv FROM ei
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        | ai AS (SELECT ei.vec_id, c.cid,
+        |          round(list_cosine_similarity(ei.v, c.cv), 4) AS s
+        |        FROM ei CROSS JOIN cents c),
+        | li AS (SELECT vec_id, cid FROM ai
+        |        QUALIFY row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY s DESC, cid DESC) = 1),
+        | a2 AS (SELECT es.vec_id, c.cid,
+        |          round(list_cosine_similarity(es.v, c.cv), 4) AS s
+        |        FROM es CROSS JOIN cents c),
+        | ls AS (SELECT vec_id, cid FROM a2
+        |        QUALIFY row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY s DESC, cid DESC) = 1),
+        | ci AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_index
+        |        FROM li GROUP BY 1),
+        | cs AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_new
+        |        FROM ls GROUP BY 1),
+        | j AS (SELECT c.cid AS list_id,
+        |         COALESCE(ci.n_index, 0) AS n_index,
+        |         COALESCE(cs.n_new, 0) AS n_new
+        |       FROM cents c LEFT JOIN ci ON ci.cid = c.cid
+        |         LEFT JOIN cs ON cs.cid = c.cid),
+        | t AS (SELECT *, CAST(SUM(n_index) OVER () AS BIGINT) AS ti,
+        |         CAST(SUM(n_new) OVER () AS BIGINT) AS tn FROM j)
+        |SELECT list_id, n_index, n_new,
+        |  CAST((10000 * abs(CAST(n_new AS HUGEINT) * ti
+        |      - CAST(n_index AS HUGEINT) * tn))
+        |    // (CAST(GREATEST(ti, 1) AS HUGEINT) * GREATEST(tn, 1))
+        |    AS BIGINT) AS share_drift_bp
+        |FROM t ORDER BY list_id""".stripMargin,
     /* RRF: q31's LSH chain and q43's IVF chain rebuilt side by side,
      * per-list ranks = the same row_number that selects their top-5, then
      * the two-term reciprocal sum. CAST(1 AS DOUBLE) keeps the division

@@ -1978,6 +1978,45 @@ class ExtSpec extends AnyFunSuite {
     assert(qs(1L) == 0.9 && qs(0L) == 0.2)
   }
 
+  test("ivfMaintenanceAudit: an identically-distributed shard drifts 0 bp; " +
+       "a concentrated shard drifts only where it lands; untouched lists " +
+       "stay in the report at n_new = 0") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // LAW: a shard that is the index itself (values identical, ids
+    // shifted out of the way) assigns identically list-for-list — equal
+    // occupancies, zero share drift everywhere
+    val clone = emb.withColumn("vec_id", col("vec_id") + 1000000L)
+    val same = Similarity.ivfMaintenanceAudit(emb, clone,
+        "vec_id", "embedding", nlist = 8)
+      .collect()
+    assert(same.length == 8)
+    assert(same.forall(r => r.getAs[Long]("n_index") == r.getAs[Long]("n_new")),
+      "identical value distribution must occupy identically")
+    assert(same.forall(_.getAs[Long]("share_drift_bp") == 0L))
+    // a shard of N copies of ONE centroid vector lands entirely in that
+    // centroid's list; every other list reports n_new = 0 but stays in
+    // the report (and now carries nonzero drift — its share evaporated)
+    import spark.implicits._
+    val cents = Similarity.ivfMaintenanceAudit(emb,
+      emb.limit(0), "vec_id", "embedding", nlist = 8)
+      .select(col("list_id")).collect().map(_.getLong(0)).toSet
+    val target = cents.min
+    val tvec = emb.filter(col("vec_id") === target)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val planted = Seq.tabulate(40)(i => (2000000L + i, tvec))
+      .toDF("vec_id", "embedding")
+    val conc = Similarity.ivfMaintenanceAudit(emb, planted,
+        "vec_id", "embedding", nlist = 8)
+      .collect().map(r => r.getAs[Long]("list_id") ->
+        ((r.getAs[Long]("n_new"), r.getAs[Long]("share_drift_bp")))).toMap
+    assert(conc(target)._1 == 40L, s"all 40 must land on $target: $conc")
+    assert(conc.filterKeys(_ != target).values.forall(_._1 == 0L))
+    assert(conc(target)._2 > 0L &&
+      conc.filterKeys(_ != target).values.forall(_._2 > 0L),
+      "total concentration drifts every list's share")
+  }
+
   test("semDeDup keep-best-quality: NULL quality ranks worst — a scored " +
        "document is never dropped in favor of an unscored one (ADVICE r14)") {
     // near-identical pair where the LOWER id has NULL quality and the
