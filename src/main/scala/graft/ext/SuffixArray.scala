@@ -390,6 +390,24 @@ object SuffixArray {
     require(minLen >= 1 && minLen <= k,
       s"need 1 <= minLen ($minLen) <= k ($k): a k-char prefix cannot " +
         "witness a longer shared span")
+    shardSuffixBest(index, shard, idCol, textCol, k)
+      .filter(col("_best") >= minLen)
+      .select(col("doc_id"), col("_best"),
+        col("prefix").substr(lit(1), col("_best").cast("int")).as("_span"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        max(struct(col("_best"), col("_span"))).as("_m"))
+      .select(col("doc_id"), col("_m._best").as("shared_len"),
+        col("_m._span").as("span"), col("n_hits"))
+  }
+
+  /** The per-suffix half of [[auditShard]]: every shard word-start suffix
+    * with its offset, k-prefix, and `_best` = the exact max LCP against
+    * any index suffix (insertion-neighbor argument — see [[auditShard]]).
+    * Shared by the audit rollup and the [[exciseContaminated]] rewrite. */
+  private[graft] def shardSuffixBest(index: DataFrame, shard: DataFrame,
+                                     idCol: String, textCol: String,
+                                     k: Int): DataFrame = {
     val slots = shard.sparkSession.sparkContext.defaultParallelism
     val s = wordStartPrefixes(shard, idCol, textCol, k)
       .withColumn("_ib", lit(0))
@@ -440,14 +458,76 @@ object SuffixArray {
           .cast("long"), lit(0L)),
         coalesce(graft.functions.LcpPrefix.lcp(col("prefix"), col("_s"))
           .cast("long"), lit(0L))))
+      .select(col("doc_id"), col("off"), col("prefix"), col("_best"))
+  }
+
+  /** Span-level decontamination of an arriving shard against the persisted
+    * benchmark index — the REWRITE that completes [[auditShard]]'s report
+    * (Lee et al. 2021 drop the repeated span, not the document; for
+    * benchmark contamination the span-level cut preserves the rest of an
+    * otherwise-clean document): every character covered by a ≥ `minLen`
+    * word-start span shared with ANY index suffix is excised, and the
+    * output reports per shard doc the original size, merged contaminated
+    * span count and char mass, the rebuilt text's length and md5.
+    * Coverage is exact for runs of ANY length despite the k-cap: interior
+    * word-starts of a long shared run each witness ≥ min(k, remaining)
+    * chars, so their intervals chain to the run's exact end.
+    *
+    * Clean docs (no qualifying span) pass through verbatim — the output
+    * IS the cleaned shard's manifest, one row per shard doc.
+    *
+    * Scale shape: [[shardSuffixBest]]'s one range shuffle + the
+    * q175-style interval merge (DISTINCT intervals — the tie-free window
+    * rule — then per-DOC gaps-and-islands windows), one doc-keyed rollup
+    * carrying the bounded per-doc interval ARRAY, and the excision as a
+    * single `aggregate` fold over that array — no per-char explode, no
+    * second text scan. */
+  def exciseContaminated(index: DataFrame, shard: DataFrame, idCol: String,
+                         textCol: String, minLen: Int, k: Int = 64): DataFrame = {
+    require(minLen >= 1 && minLen <= k,
+      s"need 1 <= minLen ($minLen) <= k ($k): a k-char prefix cannot " +
+        "witness a longer shared span")
+    val iv = shardSuffixBest(index, shard, idCol, textCol, k)
       .filter(col("_best") >= minLen)
-      .select(col("doc_id"), col("_best"),
-        col("prefix").substr(lit(1), col("_best").cast("int")).as("_span"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_hits"),
-        max(struct(col("_best"), col("_span"))).as("_m"))
-      .select(col("doc_id"), col("_m._best").as("shared_len"),
-        col("_m._span").as("span"), col("n_hits"))
+      .select(col("doc_id"), col("off").as("s"),
+        (col("off") + col("_best")).as("e"))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val merged = iv
+      .withColumn("_cm", max(col("e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_new", when(col("_cm").isNull || col("s") > col("_cm"), 1L)
+        .otherwise(0L))
+      .withColumn("_isl", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("_isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val perDoc = merged.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("_iv"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("chars_removed"))
+    // fold the sorted DISJOINT intervals once: emit the gap before each
+    // interval, then the tail after the last — the whole rebuild is one
+    // expression over the bounded per-doc array, never a char explode
+    val kept = aggregate(col("_iv"),
+      struct(lit(1L).as("pos"), lit("").as("acc")),
+      (acc, i) => struct(i.getField("e").as("pos"),
+        concat(acc.getField("acc"),
+          col("_text").substr(acc.getField("pos").cast("int"),
+            (i.getField("s") - acc.getField("pos")).cast("int"))).as("acc")),
+      acc => concat(acc.getField("acc"),
+        col("_text").substr(acc.getField("pos").cast("int"),
+          length(col("_text")).cast("int"))))
+    shard.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("_kept",
+        when(col("_iv").isNull, col("_text")).otherwise(kept))
+      .select(col("doc_id"),
+        length(col("_text")).cast("long").as("n_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("chars_removed"), lit(0L)).as("chars_removed"),
+        length(col("_kept")).cast("long").as("kept_len"),
+        md5(col("_kept").cast("binary")).as("kept_fp"))
   }
 
   def exactRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,

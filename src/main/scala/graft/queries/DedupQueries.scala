@@ -389,6 +389,23 @@ object DedupQueries {
       .transform(tinySort(_, col("doc_id")))
   }
 
+  /** q189 — span-level decontamination of the arriving shard
+    * ([[graft.ext.SuffixArray.exciseContaminated]]): the rewrite that
+    * completes q187's audit — every char of a shard doc covered by a
+    * ≥ 20-char word-start span shared with the benchmark index is
+    * excised; per shard doc the merged-span count/char mass and the
+    * rebuilt text's length + md5 (clean docs pass through verbatim).
+    * Same bench (every 50th doc) and shard (≡ 1 mod 5) as q187. */
+  def q189ExciseContaminated(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val index = graft.ext.SuffixArray.contaminationIndex(
+      docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", k = 64)
+    graft.ext.SuffixArray.exciseContaminated(index,
+        docs.filter(col("doc_id") % 5 === 1), "doc_id", "text",
+        minLen = 20, k = 64)
+      .transform(tinySort(_, col("doc_id")))
+  }
+
   /** q177 — corpus-level paragraph dedup ([[graft.ext.Dedup.paragraphDedup]],
     * 20-word blocks): the CCNet shard-dedup semantics — every block
     * occurrence beyond the global first (lowest (doc, position)) removed,
@@ -473,6 +490,7 @@ object DedupQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_excise_contaminated" -> (q189ExciseContaminated _),
     "q187_audit_shard" -> (q187AuditShard _),
     "q186_dedup_funnel_keepbest" -> (q186DedupFunnelKeepBest _),
     "q183_length_drift" -> (q183LengthDrift _),
@@ -868,6 +886,69 @@ object DedupQueries {
      * edge excluded, down pass — , running min to next bench — bench's
      * edge included, up pass). Every window ORDER BY rank: UNIQUE (the
      * q175 tie lesson). Argmax span via max-best join + string MAX. */
+    /* q189: the q187 per-suffix chain (restricted to the shard) turned
+     * into a rewrite — qualifying [off, off+best) intervals, the q175
+     * gaps-and-islands merge, then the text rebuilt from the inter-island
+     * gaps (LAG(me) default 1 = the gap start; string_agg ordered by the
+     * island start; tail from the last island's end). Clean shard docs
+     * pass through via the COALESCE(..., d.text) arms. */
+    "q189_excise_contaminated" ->
+      s"""WITH $suffixCtes,
+        | tg AS (SELECT l.*, (l.doc_id % 50 = 0) AS is_b FROM lcps l),
+        | sg AS (SELECT *,
+        |     SUM(CASE WHEN is_b THEN 1 ELSE 0 END) OVER (ORDER BY rank
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg,
+        |     SUM(CASE WHEN is_b THEN 1 ELSE 0 END) OVER (ORDER BY rank DESC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segd
+        |   FROM tg),
+        | mm AS (SELECT *,
+        |     MIN(CASE WHEN is_b THEN NULL ELSE lcp_prev END) OVER (
+        |       PARTITION BY seg ORDER BY rank
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS draw,
+        |     MIN(lcp_prev) OVER (PARTITION BY segd ORDER BY rank DESC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS uraw
+        |   FROM sg),
+        | sc AS (SELECT doc_id, off,
+        |     GREATEST(COALESCE(CASE WHEN seg >= 1 THEN draw END, 0),
+        |              COALESCE(CASE WHEN segd >= 1 THEN uraw END, 0)) AS best
+        |   FROM mm WHERE NOT is_b AND doc_id % 5 = 1),
+        | iv AS (SELECT DISTINCT doc_id, off AS s, off + best AS e
+        |        FROM sc WHERE best >= 20),
+        | isl AS (SELECT doc_id, s, e,
+        |     MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm
+        |   FROM iv),
+        | num AS (SELECT doc_id, s, e,
+        |     SUM(CASE WHEN cm IS NULL OR s > cm THEN 1 ELSE 0 END)
+        |       OVER (PARTITION BY doc_id ORDER BY s, e
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |   FROM isl),
+        | merged AS (SELECT doc_id, isl, MIN(s) AS ms, MAX(e) AS me
+        |            FROM num GROUP BY doc_id, isl),
+        | gaps AS (SELECT doc_id, ms, me,
+        |     COALESCE(LAG(me) OVER (PARTITION BY doc_id ORDER BY ms), 1) AS gs
+        |   FROM merged),
+        | pieces AS (SELECT g.doc_id, g.ms AS ord,
+        |     substring(d.text, CAST(g.gs AS INT), CAST(g.ms - g.gs AS INT)) AS piece
+        |   FROM gaps g JOIN documents d USING (doc_id)),
+        | lastm AS (SELECT doc_id, MAX(me) AS le,
+        |     CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |     CAST(SUM(me - ms) AS BIGINT) AS chars_removed
+        |   FROM merged GROUP BY 1),
+        | rebuilt AS (SELECT l.doc_id,
+        |     COALESCE(string_agg(p.piece, '' ORDER BY p.ord), '')
+        |       || substring(d.text, CAST(l.le AS INT)) AS ktext
+        |   FROM lastm l JOIN documents d USING (doc_id)
+        |   LEFT JOIN pieces p ON p.doc_id = l.doc_id
+        |   GROUP BY l.doc_id, d.text, l.le)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+        |  COALESCE(l.n_spans, 0) AS n_spans,
+        |  COALESCE(l.chars_removed, 0) AS chars_removed,
+        |  CAST(length(COALESCE(r.ktext, d.text)) AS BIGINT) AS kept_len,
+        |  md5(COALESCE(r.ktext, d.text)) AS kept_fp
+        |FROM (SELECT * FROM documents WHERE doc_id % 5 = 1) d
+        |LEFT JOIN lastm l USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     /* q187: q176's full-rebuild chain with the report restricted to the
      * audited shard (doc_id ≡ 1 mod 5) — the incremental-audit law
      * (other shards never influence a shard doc's verdict) stated as

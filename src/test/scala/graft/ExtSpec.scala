@@ -1895,6 +1895,68 @@ class ExtSpec extends AnyFunSuite {
       rShard.toDF("doc_id", "text"), "doc_id", "text", 6, 64).isEmpty)
   }
 
+  test("exciseContaminated: planted bench spans cut exactly (including a " +
+       "run LONGER than k — interval chaining), clean docs verbatim, " +
+       "kept_len ≡ n_chars − chars_removed on the real corpus") {
+    import graft.ext.SuffixArray
+    // bench passage LONGER than k = 64 chars: coverage must chain through
+    // interior word-starts to the run's exact end
+    val passage = (1 to 20).map(i => s"benchword$i").mkString(" ") // ~220 chars
+    assert(passage.length > 64)
+    val shortB = "twenty one characters exactly padded here" // > 20 chars
+    val bench = Seq((100L, passage), (101L, shortB)).toDF("doc_id", "text")
+    val lead = "unique lead material alpha beta"
+    val tail = "closing unique trailer gamma"
+    val mid = "clean middle segment zz"
+    val shard = Seq(
+      (1L, s"$lead $passage $tail"),          // long-run excision
+      (2L, s"$lead $shortB $mid $shortB $tail"), // two islands, same span
+      (3L, "totally clean document with no shared content at all")
+    ).toDF("doc_id", "text")
+    val out = SuffixArray.exciseContaminated(
+        SuffixArray.contaminationIndex(bench, "doc_id", "text", 64),
+        shard, "doc_id", "text", minLen = 20, k = 64)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def expect(text: String, spans: Seq[(Int, Int)]): (Long, String) = {
+      // 1-based [s, e) surgery, right to left
+      val cleaned = spans.sortBy(-_._1).foldLeft(text) { case (t, (s, e)) =>
+        t.substring(0, s - 1) + t.substring(e - 1)
+      }
+      (spans.map(se => se._2 - se._1).sum.toLong, cleaned)
+    }
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1: the passage occupies [lead+2, lead+2+len) 1-based
+    val s1 = lead.length + 2
+    val (rm1, c1) = expect(s"$lead $passage $tail",
+      Seq((s1, s1 + passage.length)))
+    assert(out(1L).getAs[Long]("chars_removed") == rm1,
+      s"long-run chaining must cover the full ${passage.length}-char run: ${out(1L)}")
+    assert(out(1L).getAs[String]("kept_fp") == md5hex(c1))
+    // doc 2: two disjoint islands of the short bench span
+    val s2a = lead.length + 2
+    val s2b = s2a + shortB.length + 1 + mid.length + 1
+    val (rm2, c2) = expect(s"$lead $shortB $mid $shortB $tail",
+      Seq((s2a, s2a + shortB.length), (s2b, s2b + shortB.length)))
+    assert(out(2L).getAs[Long]("n_spans") == 2L &&
+      out(2L).getAs[Long]("chars_removed") == rm2, s"${out(2L)}")
+    assert(out(2L).getAs[String]("kept_fp") == md5hex(c2))
+    // doc 3: untouched
+    assert(out(3L).getAs[Long]("chars_removed") == 0L &&
+      out(3L).getAs[String]("kept_fp") ==
+        md5hex("totally clean document with no shared content at all"))
+    // real-corpus invariant: the rebuild is length-consistent everywhere
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = SuffixArray.exciseContaminated(
+      SuffixArray.contaminationIndex(
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", 64),
+      docs.filter(col("doc_id") % 5 === 1), "doc_id", "text", 20, 64)
+    assert(corpus.filter(col("kept_len") =!=
+      col("n_chars") - col("chars_removed")).count() == 0)
+    assert(corpus.filter(col("chars_removed") > 0).count() > 0,
+      "fixture must actually excise something")
+  }
+
   test("duplication profile: exact doc-level duplicate profiles at 10000 bp; " +
        "zero-repeat doc kept at 0; bp is integer division; stable across " +
        "actions and input splits") {
