@@ -348,6 +348,37 @@ class IncrementalSpec extends AnyFunSuite {
       s"expected the first-arrival keeper (doc 500) as the ONLY kept row, got $kept")
   }
 
+  test("streaming contamination audit equals the batch shard audit over " +
+       "the union of micro-batches (the q187 independence law, streamed)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val index = graft.ext.SuffixArray.contaminationIndex(
+      docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", k = 64)
+      .localCheckpoint(true)
+    val shard = docs.filter(col("doc_id") % 5 === 1)
+    // three arrival files in arbitrary id order
+    val streamDir = Files.createTempDirectory("graft_contam_stream")
+    val cuts = Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1,
+      col("doc_id") % 3 === 2)
+    cuts.zipWithIndex.foreach { case (cut, i) =>
+      val tmp = Files.createTempDirectory(s"graft_contam_chunk$i")
+      shard.filter(cut).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, streamDir.resolve(s"c$i.parquet"))
+    }
+    val streamed = graft.stream.StreamingContamination
+      .runToSnapshot(spark, streamDir.toString, index, minLen = 20,
+        maxFilesPerTrigger = Some(1))
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.ext.SuffixArray.auditShard(index, shard,
+        "doc_id", "text", minLen = 20, k = 64)
+      .collect().map(_.toString).sorted.toSeq
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      "per-batch audits must union to the batch audit exactly")
+  }
+
   test("streaming HLL registers equal the batch rollup across micro-batches") {
     val dir = "/root/testdata/sf0.001"
     val streamDir = Files.createTempDirectory("graft_hll_stream")
