@@ -767,4 +767,56 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p180.contains("BroadcastNestedLoopJoin") &&
       !p180.contains("CartesianProduct"))
   }
+
+  test("q187/q188/q189: incremental audits join only by hash/broadcast — " +
+       "no nested loops, no unpartitioned windows in the corpus path") {
+    import org.apache.spark.sql.functions.col
+    def unpartitioned(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+      val here = p match {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => Seq(w)
+        case _ => Seq.empty
+      }
+      here ++ p.children.flatMap(unpartitioned) ++
+        p.subqueries.flatMap(unpartitioned)
+    }
+    val docs = graft.util.Tables.load(spark, dir, "documents")
+    val emb = graft.util.Tables.load(spark, dir, "embeddings")
+    val index = graft.ext.SuffixArray.contaminationIndex(
+      docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", 64)
+    // auditShard: the only join is the BROADCAST carry on _pid; every
+    // window is per-partition (the constant-key summary windows are over
+    // the bounded partition-count frame, their partitionSpec is non-empty)
+    val q187 = graft.ext.SuffixArray.auditShard(index,
+        docs.filter(col("doc_id") % 5 === 1), "doc_id", "text", 20, 64)
+      .queryExecution
+    val p187 = q187.sparkPlan.toString
+    assert(!p187.contains("BroadcastNestedLoopJoin") &&
+      !p187.contains("CartesianProduct"), s"carry must broadcast-hash:\n$p187")
+    assert(unpartitioned(q187.sparkPlan).isEmpty,
+      s"no corpus-wide window in the audit:\n$p187")
+    assert(p187.contains("BroadcastHashJoin"),
+      s"the _pid carry join must be a broadcast hash join:\n$p187")
+    val q189 = graft.ext.SuffixArray.exciseContaminated(index,
+        docs.filter(col("doc_id") % 5 === 1), "doc_id", "text", 20, 64)
+      .queryExecution
+    val p189 = q189.sparkPlan.toString
+    assert(!p189.contains("BroadcastNestedLoopJoin") &&
+      !p189.contains("CartesianProduct"))
+    assert(unpartitioned(q189.sparkPlan).isEmpty,
+      s"island merge must stay per-doc windows:\n$p189")
+    // q188: assignment is map-side against literal centroids — the plan
+    // has NO join at all below the bounded nlist-row report frame except
+    // the two occupancy hash joins
+    val q188 = graft.ext.Similarity.ivfMaintenanceAudit(
+        emb.filter(col("vec_id") % 4 =!= 0), emb.filter(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", 8)
+      .queryExecution
+    val p188 = q188.sparkPlan.toString
+    assert(!p188.contains("BroadcastNestedLoopJoin") &&
+      !p188.contains("CartesianProduct"))
+    assert(unpartitioned(q188.sparkPlan).isEmpty,
+      s"totals must ride the constant-key bounded window:\n$p188")
+  }
 }
