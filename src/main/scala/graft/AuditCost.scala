@@ -55,8 +55,20 @@ object AuditCost {
           println(f"$dir $label rep$i: wall=${(System.nanoTime() - t0) / 1e9}%.2fs rows=$rows")
         }
       println(s"$dir: corpus=$nDocs shard=$nShard bench=$nBench")
+      val nSfx = SuffixArray.wordStartPrefixes(shard, "doc_id", "text", 64).count()
+      val nCand = SuffixArray.prunedCandidates(index, shard, "doc_id", "text",
+        20, 64).count()
+      println(s"$dir: shard suffixes=$nSfx pruned candidates=$nCand " +
+        f"(${100.0 * nCand / math.max(1, nSfx)}%.1f%% survive the broadcast prune)")
       time("audit_fixed_shard") {
         SuffixArray.auditShard(index, shard, "doc_id", "text",
+          minLen = 20, k = 64).count()
+      }
+      // the q190 shape: broadcast prefix semi-join drops clean shard
+      // suffixes map-side before the range shuffle — same output (the
+      // ExtSpec law), cheaper candidates-only insertion sort
+      time("audit_fixed_shard_pruned") {
+        SuffixArray.auditShardPruned(index, shard, "doc_id", "text",
           minLen = 20, k = 64).count()
       }
       time("full_rebuild") {

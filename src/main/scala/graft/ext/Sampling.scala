@@ -44,15 +44,89 @@ object Sampling {
                 splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
                 salt: String = "graft-split"): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0), "splits must have positive weights")
+    df.select(col(idCol), bucketHex(col(idCol), salt, 2).as("bucket"),
+      splitLabel(col(idCol), splits, salt).as("split"))
+  }
+
+  /** The split-label expression of [[hashSplit]] over an arbitrary key:
+    * thresholds evaluated low→high, first threshold the bucket is under
+    * wins. Shared by [[hashSplit]] and [[clusterAwareSplit]]. */
+  private def splitLabel(key: Column, splits: Seq[(String, Double)],
+                         salt: String): Column = {
     val total = splits.map(_._2).sum
     val th = hexThresholds(splits.map(_._2 / total), hexChars = 2)
-    val bucket = bucketHex(col(idCol), salt, 2)
-    // evaluate thresholds low→high: first threshold the bucket is under wins
+    val bucket = bucketHex(key, salt, 2)
     val ordered = splits.map(_._1).zip(th)
-    val expr = ordered.init.foldRight(lit(ordered.last._1): Column) {
+    ordered.init.foldRight(lit(ordered.last._1): Column) {
       case ((name, t), acc) => when(bucket < lit(t), lit(name)).otherwise(acc)
     }
-    df.select(col(idCol), bucket.as("bucket"), expr.as("split"))
+  }
+
+  /** Cluster-aware leakage-free split: route every NEAR-DUP CLUSTER — not
+    * every document — through [[hashSplit]]'s md5 assignment, so a
+    * document and its near-duplicates land in the SAME split by
+    * construction and the eval sets can never be contaminated by a
+    * training twin (the q178 split-leakage audit's failure mode, closed
+    * at the source). Documents outside any detector pair form singleton
+    * clusters keyed by their own id, which makes the rule degenerate to
+    * [[hashSplit]] exactly when the detector finds nothing.
+    *
+    * The output is the audit a dataset card quotes, one row per split:
+    * doc counts under the cluster-aware and the naive per-doc assignment,
+    * and the detector-pair leak counts under both — `cluster_cross_pairs`
+    * is computed, not asserted, and is provably 0 (both endpoints of a
+    * pair share a cluster by the transitivity of [[Dedup.duplicateClusters]],
+    * hence a split); `naive_cross_pairs` is what the same corpus would
+    * have leaked had docs been routed independently (a straddling pair
+    * counts once for each side's split).
+    *
+    * Scale shape: detector pairs are checkpointed once and feed both the
+    * CC loop and the endpoint joins; the per-doc assignment frame is one
+    * left join (cluster labels are keyed by doc, shuffled — deliberately
+    * NOT broadcast: at 100 TB the clustered-doc set scales with the
+    * corpus) plus a map-side expression, materialized once for its three
+    * consumers; every aggregate after it is |splits|²-bounded. */
+  def clusterAwareSplit(ids: DataFrame, pairs: DataFrame, idCol: String,
+                        aCol: String, bCol: String,
+                        splits: Seq[(String, Double)] =
+                          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                        salt: String = "graft-split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "splits must have positive weights")
+    val pr = pairs
+      .select(col(aCol).cast("long").as("_a"), col(bCol).cast("long").as("_b"))
+      .localCheckpoint(true) // detector runs once: CC loop + endpoint joins
+    val labels = Dedup.duplicateClusters(pr, "_a", "_b")
+      .select(col("vec_id").as("_id"), col("cluster_id"))
+    val asg = ids.select(col(idCol).cast("long").as("_id"))
+      .join(labels, Seq("_id"), "left")
+      .select(col("_id"),
+        splitLabel(coalesce(col("cluster_id"), col("_id")), splits, salt).as("_sc"),
+        splitLabel(col("_id"), splits, salt).as("_sn"))
+      .localCheckpoint(true) // marginal counts + both endpoint joins
+    val counts = asg.groupBy(col("_sc"), col("_sn"))
+      .agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true) // |splits|²-bounded, read twice
+    val nc = counts.groupBy(col("_sc").as("split"))
+      .agg(sum(col("_n")).as("n_docs_cluster"))
+    val nn = counts.groupBy(col("_sn").as("split"))
+      .agg(sum(col("_n")).as("n_docs_naive"))
+    val pa = pr
+      .join(asg.select(col("_id").as("_a"), col("_sc").as("_ca"),
+        col("_sn").as("_na")), Seq("_a"))
+      .join(asg.select(col("_id").as("_b"), col("_sc").as("_cb"),
+        col("_sn").as("_nb")), Seq("_b"))
+      .localCheckpoint(true) // pair-count-bounded, read twice
+    def cross(l: Column, r: Column, out: String) = pa.filter(l =!= r)
+      .select(explode(array(l, r)).as("split"))
+      .groupBy(col("split")).agg(count(lit(1)).as(out))
+    nc.join(nn, Seq("split"), "full")
+      .join(cross(col("_na"), col("_nb"), "naive_cross_pairs"), Seq("split"), "left")
+      .join(cross(col("_ca"), col("_cb"), "cluster_cross_pairs"), Seq("split"), "left")
+      .select(col("split"),
+        coalesce(col("n_docs_cluster"), lit(0L)).as("n_docs_cluster"),
+        coalesce(col("n_docs_naive"), lit(0L)).as("n_docs_naive"),
+        coalesce(col("naive_cross_pairs"), lit(0L)).as("naive_cross_pairs"),
+        coalesce(col("cluster_cross_pairs"), lit(0L)).as("cluster_cross_pairs"))
   }
 
   /** Deterministic corpus shuffle: a reproducible global training order —

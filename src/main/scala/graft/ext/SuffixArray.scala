@@ -390,7 +390,13 @@ object SuffixArray {
     require(minLen >= 1 && minLen <= k,
       s"need 1 <= minLen ($minLen) <= k ($k): a k-char prefix cannot " +
         "witness a longer shared span")
-    shardSuffixBest(index, shard, idCol, textCol, k)
+    auditRollup(shardSuffixBest(index, shard, idCol, textCol, k), minLen)
+  }
+
+  /** The doc-level report half of [[auditShard]]: qualifying suffixes
+    * (`_best >= minLen`) rolled up to one row per contaminated doc. */
+  private def auditRollup(best: DataFrame, minLen: Int): DataFrame =
+    best
       .filter(col("_best") >= minLen)
       .select(col("doc_id"), col("_best"),
         col("prefix").substr(lit(1), col("_best").cast("int")).as("_span"))
@@ -399,6 +405,45 @@ object SuffixArray {
         max(struct(col("_best"), col("_span"))).as("_m"))
       .select(col("doc_id"), col("_m._best").as("shared_len"),
         col("_m._span").as("span"), col("n_hits"))
+
+  /** [[auditShard]] with a broadcast prefix pre-filter — the shape the
+    * arrival-time audit actually needs at 100 TB, where the shard is huge
+    * and MOSTLY CLEAN while the benchmark index is small and fixed.
+    *
+    * A shard suffix can reach max-LCP >= minLen against the index ONLY if
+    * its first `minLen` code points equal some index suffix's first
+    * `minLen` code points — so the distinct `xxhash64` keys of the index's
+    * minLen-prefixes (bounded by |index|, 8 bytes each) broadcast as an
+    * exact left-semi pushdown, and clean shard suffixes drop MAP-SIDE
+    * before the range shuffle ever ships them. Pruning is lossless end to
+    * end: a true hit's prefix hashes identically (no false negatives), and
+    * a hash collision merely keeps an extra suffix whose true `_best` —
+    * computed by the LCP kernel downstream — falls below the bar and exits
+    * at the rollup filter. The ExtSpec law pins output ≡ [[auditShard]]
+    * row-for-row; the cost asymmetry (range shuffle carries candidates,
+    * not the shard) is the measured NOTES row. */
+  def auditShardPruned(index: DataFrame, shard: DataFrame, idCol: String,
+                       textCol: String, minLen: Int, k: Int = 64): DataFrame = {
+    require(minLen >= 1 && minLen <= k,
+      s"need 1 <= minLen ($minLen) <= k ($k): a k-char prefix cannot " +
+        "witness a longer shared span")
+    auditRollup(
+      suffixBest(index, prunedCandidates(index, shard, idCol, textCol, minLen, k), k),
+      minLen)
+  }
+
+  /** The prune stage of [[auditShardPruned]], exposed for the plan-shape
+    * pin (the stage sits above [[suffixBest]]'s eager checkpoint, so it is
+    * invisible in the final query plan): shard suffixes left-semi-joined
+    * against the BROADCAST distinct xxhash64 keys of the index's
+    * minLen-prefixes — map-side, no shuffle of the shard. */
+  private[graft] def prunedCandidates(index: DataFrame, shard: DataFrame,
+                                      idCol: String, textCol: String,
+                                      minLen: Int, k: Int): DataFrame = {
+    val pk = xxhash64(substring(col("prefix"), 1, minLen))
+    val keys = index.select(pk.as("_pk")).distinct()
+    wordStartPrefixes(shard, idCol, textCol, k)
+      .join(broadcast(keys), pk === col("_pk"), "left_semi")
   }
 
   /** The per-suffix half of [[auditShard]]: every shard word-start suffix
@@ -407,9 +452,17 @@ object SuffixArray {
     * Shared by the audit rollup and the [[exciseContaminated]] rewrite. */
   private[graft] def shardSuffixBest(index: DataFrame, shard: DataFrame,
                                      idCol: String, textCol: String,
-                                     k: Int): DataFrame = {
-    val slots = shard.sparkSession.sparkContext.defaultParallelism
-    val s = wordStartPrefixes(shard, idCol, textCol, k)
+                                     k: Int): DataFrame =
+    suffixBest(index, wordStartPrefixes(shard, idCol, textCol, k), k)
+
+  /** [[shardSuffixBest]] over an ALREADY-EXTRACTED (and possibly pruned)
+    * shard suffix frame `(doc_id, off, prefix)`. Dropping shard rows never
+    * changes a surviving row's verdict: `_pred`/`_succ` track the nearest
+    * INDEX rows only (`_ib = 1`), and the index side is passed whole. */
+  private[graft] def suffixBest(index: DataFrame, shardSuffixes: DataFrame,
+                                k: Int): DataFrame = {
+    val slots = shardSuffixes.sparkSession.sparkContext.defaultParallelism
+    val s = shardSuffixes.select(col("doc_id"), col("off"), col("prefix"))
       .withColumn("_ib", lit(0))
     val ix = index.select(col("doc_id"), col("off"), col("prefix"))
       .withColumn("_ib", lit(1))

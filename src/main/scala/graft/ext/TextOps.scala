@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines: token
@@ -86,6 +87,126 @@ object TextOps {
     lit(0.4) * (lit(1.0) - nonAlphaRatio(c)) +
       lit(0.3) * least(size(toks).cast("double") / 100.0, lit(1.0)) +
       lit(0.3) * least(tokenSetRatio(toks, stopwords) * 5.0, lit(1.0))
+  }
+
+  /** fastText-style hashed linear classifier margin (Joulin et al. '17
+    * "Bag of Tricks": word unigrams + bigrams, feature hashing into a
+    * fixed bucket space, a linear layer — the architecture behind the
+    * CCNet/LLaMA quality and language filters). The model here is the
+    * DETERMINISTIC-fake convention of the multimodal tier: features hash
+    * into 65,536 buckets via the first 4 md5 hex chars (`salt:token`),
+    * and each bucket's weight is a fixed integer in [-128, 127] derived
+    * from md5 of the bucket key (`saltw:bucket`) — so the full scoring
+    * path (tokenize → n-gram → hash → look up → sum) is real and
+    * engine-exact while the learned weights are a stand-in a user swaps
+    * for a trained table. All-integer arithmetic: the margin replays
+    * bit-for-bit in any engine with md5.
+    *
+    * Scale shape: one `aggregate` fold per n-gram order over the token
+    * array — pure map-side, zero per-token explode, zero shuffle; the
+    * per-source rollup in [[hashedClassifierReport]] is the only
+    * aggregation. */
+  def hashedMargin(c: Column, salt: String = "graft-ft"): Column = {
+    val toks = filter(tokens(c), t => t =!= "")
+    def w(t: Column): Column =
+      conv(substring(md5(concat(lit(salt + "w:"),
+          substring(md5(concat(lit(salt + ":"), t).cast("binary")), 1, 4))
+        .cast("binary")), 1, 2), 16, 10).cast("long") - 128L
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    aggregate(toks, lit(0L), (acc, t) => acc + w(t)) +
+      aggregate(bigrams, lit(0L), (acc, t) => acc + w(t))
+  }
+
+  /** Per-source audit of [[hashedMargin]] over a corpus: doc count,
+    * positive-class count (margin > 0), and the margin sum/min/max —
+    * the quality-filter calibration table a curation run quotes before
+    * picking a threshold. */
+  def hashedClassifierReport(docs: DataFrame, srcCol: String,
+                             textCol: String): DataFrame =
+    docs.select(col(srcCol).as("source"),
+        hashedMargin(col(textCol)).as("_m"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_m") > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(col("_m")).as("margin_sum"),
+        min(col("_m")).as("margin_min"),
+        max(col("_m")).as("margin_max"))
+
+  /** Threshold yield curve for [[hashedMargin]] — the calibration table a
+    * curation run reads before picking a filter cutoff (the FineWeb-Edu
+    * practice: sweep the classifier threshold, quote surviving doc/token
+    * mass at each). Margins bucket by FLOOR division (binWidth-wide bins;
+    * `(m − pmod(m, B)) / B` is exact floor for any sign and any B), and
+    * `cum_docs`/`cum_tokens` at a row are the survivors at
+    * `margin >= threshold` (the bin's lower edge) exactly. NOTE: DuckDB's
+    * `//` TRUNCATES toward zero on negatives (measured, r15 — the q183
+    * clamp only masked it); the oracle floors with the same
+    * nonneg-remainder construction.
+    *
+    * Scale shape: margin + token count are one map-side pass; the bin
+    * aggregate is map-side combined onto a margin-range-bounded key; the
+    * cumulative sums ride the constant-key window over the BOUNDED bin
+    * frame (never the corpus). */
+  def classifierYieldCurve(docs: DataFrame, textCol: String,
+                           binWidth: Long = 256L): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    val toks = filter(tokens(col(textCol)), t => t =!= "")
+    val binned = docs
+      .select(hashedMargin(col(textCol)).as("_m"),
+        size(toks).cast("long").as("_t"))
+      .select(((col("_m") - pmod(col("_m"), lit(binWidth))) / lit(binWidth))
+        .cast("long").as("_bin"), col("_t"))
+      .groupBy(col("_bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_t")).as("n_tokens"))
+    val one = substring(col("_bin").cast("string"), 0, 0)
+    val wDesc = Window.partitionBy(one).orderBy(col("_bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .withColumn("cum_docs", sum(col("n_docs")).over(wDesc))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wDesc))
+      .select((col("_bin") * binWidth).as("threshold"),
+        col("n_docs"), col("n_tokens"), col("cum_docs"), col("cum_tokens"))
+  }
+
+  /** Per-source quality cap (RefinedWeb/DataComp practice: cap each
+    * domain's contribution so one huge low-quality source cannot dominate
+    * the mixture — keep the TOP `k` docs per source by [[hashedMargin]],
+    * ids breaking exact ties). The output is the per-source audit: total
+    * and kept doc/token mass plus `threshold_margin`, the effective
+    * cutoff the cap realized (min kept margin — the number that tells a
+    * reader how deep into the quality distribution the cap reached).
+    *
+    * Scale shape: the rank-filter compiles to Spark's WindowGroupLimit
+    * pushdown (pinned in PlanShapeSpec) — each task keeps only its local
+    * top-k per source BEFORE the window exchange, so the shuffle carries
+    * O(tasks · k) rows per source, never the corpus. Totals come from a
+    * SECOND, margin-free scan: aggregating the ranked frame instead
+    * would force every row through the window and forfeit the pushdown —
+    * the deliberate two-scan trade, both map-side combined onto the
+    * bounded source key. */
+  def domainQualityCap(docs: DataFrame, srcCol: String, idCol: String,
+                       textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = filter(tokens(col(textCol)), t => t =!= "")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("_m").desc, col("_id").asc)
+    val kept = docs
+      .select(col(srcCol).as("source"), col(idCol).cast("long").as("_id"),
+        hashedMargin(col(textCol)).as("_m"), size(toks).cast("long").as("_t"))
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= k)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("_t")).as("tokens_kept"),
+        min(col("_m")).as("threshold_margin"))
+    val totals = docs
+      .select(col(srcCol).as("source"), size(toks).cast("long").as("_t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_t")).as("tokens_total"))
+    totals.join(kept, Seq("source"))
+      .select(col("source"), col("n_docs"), col("tokens_total"),
+        col("n_kept"), col("tokens_kept"), col("threshold_margin"))
   }
 
   /** C4-style line-level boilerplate filter: split a document on newlines and

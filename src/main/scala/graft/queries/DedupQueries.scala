@@ -389,6 +389,27 @@ object DedupQueries {
       .transform(tinySort(_, col("doc_id")))
   }
 
+  /** q190 — the PRUNED arrival-time audit
+    * ([[graft.ext.SuffixArray.auditShardPruned]]): q187's standing
+    * benchmark index (every 50th doc), audited shard = every doc ≡ 2
+    * mod 5 (disjoint from bench and from q187's shard), with the
+    * broadcast minLen-prefix semi-join dropping clean shard suffixes
+    * map-side BEFORE the range shuffle — the shape a mostly-clean
+    * 100 TB ingest needs. Pruning is provably invisible in the output
+    * (ExtSpec pins pruned ≡ unpruned row-for-row; hash collisions only
+    * admit extras whose true `_best` exits at the rollup filter), so
+    * the oracle is the same full-rebuild CTE chain restricted to this
+    * shard. */
+  def q190AuditShardPruned(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val index = graft.ext.SuffixArray.contaminationIndex(
+      docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", k = 64)
+    graft.ext.SuffixArray.auditShardPruned(index,
+        docs.filter(col("doc_id") % 5 === 2), "doc_id", "text",
+        minLen = 20, k = 64)
+      .transform(tinySort(_, col("doc_id")))
+  }
+
   /** q189 — span-level decontamination of the arriving shard
     * ([[graft.ext.SuffixArray.exciseContaminated]]): the rewrite that
     * completes q187's audit — every char of a shard doc covered by a
@@ -490,6 +511,7 @@ object DedupQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_audit_shard_pruned" -> (q190AuditShardPruned _),
     "q189_excise_contaminated" -> (q189ExciseContaminated _),
     "q187_audit_shard" -> (q187AuditShard _),
     "q186_dedup_funnel_keepbest" -> (q186DedupFunnelKeepBest _),
@@ -949,6 +971,42 @@ object DedupQueries {
         |FROM (SELECT * FROM documents WHERE doc_id % 5 = 1) d
         |LEFT JOIN lastm l USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    /* q190: the q187 full-rebuild chain restricted to the ≡ 2 mod 5
+     * shard. The broadcast prefix pushdown is invisible here by
+     * construction — pruning never changes a verdict (no false
+     * negatives; collisions exit at the >= 20 filter), so the oracle
+     * states only the audit semantics, and the pruned ≡ unpruned law
+     * lives in ExtSpec where both engine plans run. */
+    "q190_audit_shard_pruned" ->
+      s"""WITH $suffixCtes,
+        | tg AS (SELECT l.*, (l.doc_id % 50 = 0) AS is_b FROM lcps l),
+        | sg AS (SELECT *,
+        |     SUM(CASE WHEN is_b THEN 1 ELSE 0 END) OVER (ORDER BY rank
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg,
+        |     SUM(CASE WHEN is_b THEN 1 ELSE 0 END) OVER (ORDER BY rank DESC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segd
+        |   FROM tg),
+        | mm AS (SELECT *,
+        |     MIN(CASE WHEN is_b THEN NULL ELSE lcp_prev END) OVER (
+        |       PARTITION BY seg ORDER BY rank
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS draw,
+        |     MIN(lcp_prev) OVER (PARTITION BY segd ORDER BY rank DESC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS uraw
+        |   FROM sg),
+        | sc AS (SELECT doc_id, prefix,
+        |     GREATEST(COALESCE(CASE WHEN seg >= 1 THEN draw END, 0),
+        |              COALESCE(CASE WHEN segd >= 1 THEN uraw END, 0)) AS best
+        |   FROM mm WHERE NOT is_b),
+        | hit AS (SELECT doc_id, best,
+        |           substring(prefix, 1, CAST(best AS INTEGER)) AS span
+        |         FROM sc WHERE best >= 20 AND doc_id % 5 = 2),
+        | top AS (SELECT doc_id, MAX(best) AS shared_len,
+        |           CAST(COUNT(*) AS BIGINT) AS n_hits
+        |         FROM hit GROUP BY 1)
+        |SELECT t.doc_id, t.shared_len, MAX(h.span) AS span, t.n_hits
+        |FROM top t JOIN hit h ON h.doc_id = t.doc_id AND h.best = t.shared_len
+        |GROUP BY 1, 2, 4
+        |ORDER BY t.doc_id""".stripMargin,
     /* q187: q176's full-rebuild chain with the report restricted to the
      * audited shard (doc_id ≡ 1 mod 5) — the incremental-audit law
      * (other shards never influence a shard doc's verdict) stated as

@@ -146,6 +146,22 @@ object SimilarityQueries {
       .transform(tinySort(_, col("cluster_id"), col("vec_id")))
   }
 
+  /** q191 — cluster-aware leakage-free split
+    * ([[graft.ext.Sampling.clusterAwareSplit]]): q51's near-dup clusters
+    * routed whole through the q61 md5 80/10/10 assignment, so eval splits
+    * can never hold a training twin — the q178 leakage failure mode
+    * closed at construction time. Per split: doc counts under the
+    * cluster-aware and naive assignments, and the detector-pair leak
+    * counts under both (cluster side computed, provably 0; naive side is
+    * what per-doc routing would have leaked). */
+  def q191ClusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val pairs = Similarity.bandedNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.35, bands = 3, planesPerBand = 6)
+    graft.ext.Sampling.clusterAwareSplit(emb, pairs, "vec_id", "vec_a", "vec_b")
+      .transform(tinySort(_, col("split")))
+  }
+
   /** q143 — product-quantization ANN ([[Similarity.pqTopK]], Jégou et al.
     * TPAMI '11): the compressed-domain search completing the quantization
     * family — global int8 scale, 8 subquantizers × 16 hash-sampled
@@ -323,6 +339,7 @@ object SimilarityQueries {
     "q174_hard_negatives" -> (q174HardNegatives _),
     "q50_banded_neardup" -> (q50BandedNearDup _),
     "q51_dup_clusters" -> (q51DupClusters _),
+    "q191_cluster_split" -> (q191ClusterSplit _),
     "q60_semdedup" -> (q60SemDedup _)
   )
 
@@ -1023,6 +1040,42 @@ object SimilarityQueries {
         |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
         |FROM labels
         |ORDER BY cluster_id, vec_id""".stripMargin,
+    /* q191: the q51 recursive transitive closure supplies cluster labels;
+     * split routing is the q61 md5('graft-split:'+key) hex-compare with
+     * the CLUSTER id (fallback: own id) as the key; a straddling detector
+     * pair counts once for each endpoint's split. */
+    "q191_cluster_split" ->
+      s"""WITH RECURSIVE $ClusterLabelCtes,
+        | asg AS (SELECT e.vec_id AS id, COALESCE(l.cluster_id, e.vec_id) AS gk
+        |         FROM embeddings e LEFT JOIN labels l ON l.vec_id = e.vec_id),
+        | sp AS (SELECT id,
+        |    CASE WHEN substr(md5('graft-split:' || CAST(gk AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |         WHEN substr(md5('graft-split:' || CAST(gk AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS sc,
+        |    CASE WHEN substr(md5('graft-split:' || CAST(id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |         WHEN substr(md5('graft-split:' || CAST(id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS sn
+        |   FROM asg),
+        | nc AS (SELECT sc AS split, CAST(COUNT(*) AS BIGINT) AS n_docs_cluster FROM sp GROUP BY 1),
+        | nn AS (SELECT sn AS split, CAST(COUNT(*) AS BIGINT) AS n_docs_naive FROM sp GROUP BY 1),
+        | pe AS (SELECT a.sc AS ca, a.sn AS na, b.sc AS cb, b.sn AS nb
+        |        FROM pairs p JOIN sp a ON a.id = p.vec_a JOIN sp b ON b.id = p.vec_b),
+        | nl AS (SELECT s.split, CAST(COUNT(*) AS BIGINT) AS naive_cross_pairs FROM (
+        |          SELECT unnest([na, nb]) AS split FROM pe WHERE na <> nb) s
+        |        GROUP BY 1),
+        | cl AS (SELECT s.split, CAST(COUNT(*) AS BIGINT) AS cluster_cross_pairs FROM (
+        |          SELECT unnest([ca, cb]) AS split FROM pe WHERE ca <> cb) s
+        |        GROUP BY 1),
+        | sx AS (SELECT DISTINCT split FROM (SELECT split FROM nc
+        |                  UNION ALL SELECT split FROM nn) u)
+        |SELECT sx.split,
+        |  COALESCE(nc.n_docs_cluster, 0) AS n_docs_cluster,
+        |  COALESCE(nn.n_docs_naive, 0) AS n_docs_naive,
+        |  COALESCE(nl.naive_cross_pairs, 0) AS naive_cross_pairs,
+        |  COALESCE(cl.cluster_cross_pairs, 0) AS cluster_cross_pairs
+        |FROM sx LEFT JOIN nc USING (split) LEFT JOIN nn USING (split)
+        |LEFT JOIN nl USING (split) LEFT JOIN cl USING (split)
+        |ORDER BY sx.split""".stripMargin,
     /* SemDeDup: q43's deterministic index build (md5-ordered centroid
      * sample, round(cos,4) DESC + cid DESC assignment tie-break), then the
      * within-cluster keep-min-id drop rule on the UNROUNDED cosine (the q26

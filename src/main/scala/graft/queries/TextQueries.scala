@@ -408,7 +408,45 @@ object TextQueries {
         blockWords = 20)
       .transform(tinySort(_, col("doc_id")))
 
+  /** q192 — fastText-style hashed linear quality classifier
+    * ([[graft.ext.TextOps.hashedClassifierReport]], Joulin et al. '17):
+    * word unigram+bigram features hashed into 65,536 buckets, fixed
+    * integer bucket weights (the deterministic-fake model convention —
+    * the scoring path is real, the weights are a stand-in for a trained
+    * table), per-source margin calibration rollup. Pure map-side fold
+    * over the token array — zero per-token explode — plus one bounded
+    * per-source aggregate. */
+  def q192HashedClassifier(spark: SparkSession, dir: String): DataFrame =
+    TextOps.hashedClassifierReport(load(spark, dir, "documents"),
+        "source", "text")
+      .transform(tinySort(_, col("source")))
+
+  /** q193 — classifier threshold yield curve
+    * ([[graft.ext.TextOps.classifierYieldCurve]], 256-wide margin bins):
+    * the FineWeb-Edu calibration sweep — per bin the doc/token mass, per
+    * threshold (bin lower edge) the surviving mass at margin ≥ t. Floor
+    * binning (exact for negative margins — the q183 lesson); cumulative
+    * sums on the constant-key BOUNDED bin window. */
+  def q193ClassifierYield(spark: SparkSession, dir: String): DataFrame =
+    TextOps.classifierYieldCurve(load(spark, dir, "documents"), "text",
+        binWidth = 256L)
+      .transform(tinySort(_, col("threshold")))
+
+  /** q194 — per-source quality cap ([[graft.ext.TextOps.domainQualityCap]],
+    * top 50 by margin per source, ids break ties): the RefinedWeb-style
+    * domain cap with its per-source audit (total vs kept mass and the
+    * realized cutoff margin). The rank filter rides Spark's
+    * WindowGroupLimit pushdown — local top-k before the exchange
+    * (PlanShapeSpec pin). */
+  def q194DomainCap(spark: SparkSession, dir: String): DataFrame =
+    TextOps.domainQualityCap(load(spark, dir, "documents"), "source",
+        "doc_id", "text", k = 50)
+      .transform(tinySort(_, col("source")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_classifier_yield" -> (q193ClassifierYield _),
+    "q194_domain_cap" -> (q194DomainCap _),
+    "q192_hashed_classifier" -> (q192HashedClassifier _),
     "q179_code_switching" -> (q179CodeSwitching _),
     "q159_unigram_vocab" -> (q159UnigramVocab _),
     "q160_unigram_fertility" -> (q160UnigramFertility _),
@@ -851,7 +889,76 @@ object TextQueries {
        |FROM roll r JOIN nd ON nd.lang = r.lang ORDER BY r.lang""".stripMargin
   }
 
+  /** The [[graft.ext.TextOps.hashedMargin]] bucket-weight expression over a
+    * token expression `e`: weight = int of the first 2 hex chars of
+    * md5('graft-ftw:' || bucket) − 128, bucket = first 4 hex chars of
+    * md5('graft-ft:' || e) — the strpos hex→int idiom. */
+  private def ftWeightSql(e: String): String = {
+    val h = s"md5('graft-ftw:' || substring(md5('graft-ft:' || $e), 1, 4))"
+    s"""((strpos('0123456789abcdef', substring($h, 1, 1)) - 1) * 16
+       |       + (strpos('0123456789abcdef', substring($h, 2, 1)) - 1) - 128)""".stripMargin
+  }
+
+  /** Shared q192/q193/q194 margin chain: per doc the filtered token list,
+    * exact token count, and the [[graft.ext.TextOps.hashedMargin]] replay
+    * (unigrams via list_transform, bigrams via range(1, len) positional
+    * pairing; COALESCE 0 for empty lists ≡ the 0L fold seed). */
+  private val FtMarginCtes: String =
+    s"""t AS (SELECT doc_id, source,
+      |     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |   FROM documents),
+      | m AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS ntoks,
+      |     COALESCE(list_sum(list_transform(toks, x ->
+      |       ${ftWeightSql("x")})), 0)
+      |     + COALESCE(list_sum(list_transform(range(1, len(toks)), i ->
+      |       ${ftWeightSql("(toks[i] || ' ' || toks[i+1])")})), 0) AS margin
+      |   FROM t)""".stripMargin
+
   val sql: Map[String, String] = Map(
+    /* q192: the same two md5 hops per n-gram (token → 4-hex bucket →
+     * 2-hex weight − 128) — see FtMarginCtes. */
+    "q192_hashed_classifier" ->
+      s"""WITH $FtMarginCtes
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(SUM(margin) AS BIGINT) AS margin_sum,
+        |  CAST(MIN(margin) AS BIGINT) AS margin_min,
+        |  CAST(MAX(margin) AS BIGINT) AS margin_max
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    /* q193: DuckDB's `//` TRUNCATES toward zero on negatives (measured:
+     * -2366 // 256 = -9, not -10 — the q183 clamp only masked this), so
+     * the oracle floors explicitly with the same nonneg-remainder
+     * construction Spark uses: (m − ((m % B + B) % B)) // 256 divides an
+     * exact multiple, where truncation ≡ floor. Cumulative window over
+     * the bounded bin frame. */
+    "q193_classifier_yield" ->
+      s"""WITH $FtMarginCtes,
+        | b AS (SELECT (margin - ((margin % 256 + 256) % 256)) // 256 AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(ntoks) AS BIGINT) AS n_tokens FROM m GROUP BY 1)
+        |SELECT CAST(bin * 256 AS BIGINT) AS threshold, n_docs, n_tokens,
+        |  CAST(SUM(n_docs) OVER (ORDER BY bin DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY bin DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |FROM b ORDER BY threshold""".stripMargin,
+    /* q194: the same margin chain, per-source rank with (margin DESC,
+     * doc_id ASC) — the engine's WindowGroupLimit pushdown is invisible
+     * to values; totals from the margin-free marginal. */
+    "q194_domain_cap" ->
+      s"""WITH $FtMarginCtes,
+        | r AS (SELECT source, margin, ntoks,
+        |       row_number() OVER (PARTITION BY source
+        |         ORDER BY margin DESC, doc_id ASC) AS rnk FROM m),
+        | kept AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |          CAST(SUM(ntoks) AS BIGINT) AS tokens_kept,
+        |          CAST(MIN(margin) AS BIGINT) AS threshold_margin
+        |        FROM r WHERE rnk <= 50 GROUP BY 1),
+        | tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(ntoks) AS BIGINT) AS tokens_total FROM m GROUP BY 1)
+        |SELECT tot.source, tot.n_docs, tot.tokens_total, kept.n_kept,
+        |  kept.tokens_kept, kept.threshold_margin
+        |FROM tot JOIN kept USING (source) ORDER BY tot.source""".stripMargin,
     /* q179: 20-word blocks (the q177 slicing), per-block integer marker
      * counts per language, argmax with en > es > de priority on ties
      * (rank 3/2/1, unknown 0), dominant = max count then max rank

@@ -495,6 +495,113 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getAs[Long]("h1") != r.getAs[Long]("h2"))
   }
 
+  test("hashedMargin ≡ in-JVM brute force (unigram+bigram hash chain) on " +
+       "real docs and edge shapes; classifier report is their exact rollup") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def w(tok: String): Long =
+      java.lang.Long.parseLong(
+        md5hex("graft-ftw:" + md5hex("graft-ft:" + tok).take(4)).take(2), 16) - 128L
+    def brute(text: String): Long = {
+      val toks = text.split(" ", -1).filter(_.nonEmpty).toSeq
+      toks.map(w).sum +
+        toks.zip(toks.drop(1)).map { case (a, b) => w(s"$a $b") }.sum
+    }
+    val edges = Seq("", " ", "solo", "a b", "a  b", "the cat and the dog",
+      ("x " * 50).trim)
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).limit(40).collect().map(_.getString(0)).toSeq
+    val texts = (edges ++ real).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = texts.toDF("id", "text")
+      .select(col("id"), TextOps.hashedMargin(col("text")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.foreach { case (i, t) =>
+      assert(got(i) == brute(t), s"doc $i '${t.take(30)}': ${got(i)} vs ${brute(t)}")
+    }
+    // the per-source report is exactly the brute margins rolled up
+    val df = texts.toDF("id", "text")
+      .withColumn("source", when(col("id") % 2 === 0, "even").otherwise("odd"))
+    val rep = TextOps.hashedClassifierReport(df, "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (s <- Seq("even", "odd")) {
+      val ms = texts.filter(_._1 % 2 == (if (s == "even") 0 else 1))
+        .map { case (_, t) => brute(t) }
+      assert(rep(s).getAs[Long]("n_docs") == ms.size)
+      assert(rep(s).getAs[Long]("n_pos") == ms.count(_ > 0))
+      assert(rep(s).getAs[Long]("margin_sum") == ms.sum)
+      assert(rep(s).getAs[Long]("margin_min") == ms.min)
+      assert(rep(s).getAs[Long]("margin_max") == ms.max)
+    }
+  }
+
+  test("classifierYieldCurve and domainQualityCap ≡ brute force over the " +
+       "in-JVM margins: floor bins for negative margins, exact cum masses, " +
+       "k-th-best threshold with id tie-breaks") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def w(tok: String): Long =
+      java.lang.Long.parseLong(
+        md5hex("graft-ftw:" + md5hex("graft-ft:" + tok).take(4)).take(2), 16) - 128L
+    def brute(text: String): (Long, Long) = {
+      val toks = text.split(" ", -1).filter(_.nonEmpty).toSeq
+      (toks.map(w).sum +
+        toks.zip(toks.drop(1)).map { case (a, b) => w(s"$a $b") }.sum,
+        toks.size.toLong)
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val texts = docs.select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val margins = texts.map { case (id, s, t) =>
+      val (m, n) = brute(t); (id, s, m, n)
+    }
+    assert(margins.exists(_._3 < 0) && margins.exists(_._3 > 0),
+      "fixture must exercise both margin signs (floor-bin law needs negatives)")
+    // yield curve: floor bins, per-bin mass, cumulative-from-above
+    val B = 256L
+    def fdiv(m: Long): Long = Math.floorDiv(m, B)
+    val byBin = margins.groupBy(x => fdiv(x._3)).view
+      .mapValues(g => (g.size.toLong, g.map(_._4).sum)).toMap
+    val got = graft.ext.TextOps.classifierYieldCurve(docs, "text", B)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == byBin.keySet.map(_ * B))
+    got.foreach { case (th, (nd, nt, cd, ct)) =>
+      val bin = th / B
+      assert((nd, nt) == byBin(bin), s"bin mass at threshold $th")
+      val above = byBin.filter(_._1 >= bin).values
+      assert(cd == above.map(_._1).sum && ct == above.map(_._2).sum,
+        s"cum survivors at threshold $th must be the >= $th mass")
+    }
+    // domain cap: per source the top-k by (margin desc, id asc)
+    val k = 5
+    val cap = graft.ext.TextOps.domainQualityCap(docs, "source", "doc_id",
+        "text", k)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val bySrc = margins.groupBy(_._2)
+    assert(cap.keySet == bySrc.keySet)
+    bySrc.foreach { case (s, g) =>
+      val kept = g.sortBy(x => (-x._3, x._1)).take(k)
+      val r = cap(s)
+      assert(r.getAs[Long]("n_docs") == g.size)
+      assert(r.getAs[Long]("tokens_total") == g.map(_._4).sum)
+      assert(r.getAs[Long]("n_kept") == kept.size)
+      assert(r.getAs[Long]("tokens_kept") == kept.map(_._4).sum)
+      assert(r.getAs[Long]("threshold_margin") == kept.map(_._3).min,
+        s"source $s: realized cutoff is the k-th best margin")
+    }
+    // exact twins: the cap binds at k even when margins tie (the id
+    // tie-break keeps row_number total) and the cutoff is the shared margin
+    import spark.implicits._
+    val twins = Seq((10L, "s", "same text here"), (11L, "s", "same text here"),
+      (12L, "s", "same text here")).toDF("doc_id", "source", "text")
+    val tc = graft.ext.TextOps.domainQualityCap(twins, "source", "doc_id",
+      "text", 2).head()
+    assert(tc.getAs[Long]("n_kept") == 2L &&
+      tc.getAs[Long]("threshold_margin") == brute("same text here")._1)
+  }
+
   test("shingle kernel ≡ the relational HOF formulation (incl. dups, short docs, empties)") {
     val texts = Seq(
       "a b c d e", "a a a a", "x y", "", "one two three",
@@ -1890,6 +1997,56 @@ class ExtSpec extends AnyFunSuite {
     })
     // degenerate: an empty index contaminates nothing
     assert(SuffixArray.auditShard(
+      SuffixArray.contaminationIndex(
+        rBench.toDF("doc_id", "text").limit(0), "doc_id", "text", 64),
+      rShard.toDF("doc_id", "text"), "doc_id", "text", 6, 64).isEmpty)
+  }
+
+  test("auditShardPruned ≡ auditShard: real corpus shards, collision-heavy " +
+       "randomized stress, clean shard prunes to an empty audit") {
+    import graft.ext.SuffixArray
+    // LAW: the broadcast minLen-prefix semi-join never changes a verdict —
+    // a true hit's prefix hashes identically (no false negatives) and a
+    // collision's _best exits at the rollup filter — so pruned ≡ unpruned
+    // row-for-row on the real corpus, for both q187's and q190's shards
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val index = SuffixArray.contaminationIndex(bench, "doc_id", "text", k = 64)
+    for (r <- Seq(1, 2)) {
+      val shard = docs.filter(col("doc_id") % 5 === r)
+      val want = SuffixArray.auditShard(index, shard, "doc_id", "text",
+        minLen = 20, k = 64).collect().map(_.toString).sorted.toSeq
+      val got = SuffixArray.auditShardPruned(index, shard, "doc_id", "text",
+        minLen = 20, k = 64).collect().map(_.toString).sorted.toSeq
+      assert(got.nonEmpty && got == want,
+        s"shard ≡ $r mod 5: pruned audit must equal unpruned (${got.size} vs ${want.size})")
+    }
+    // randomized small-vocab stress: two-char words make minLen-prefixes
+    // collide constantly, exercising the kept-extra-then-filtered path at
+    // several bars
+    val rnd = new scala.util.Random(4321)
+    val vocab = Vector("aa", "bb", "cc")
+    def mkDoc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val rBench = (1000L until 1005L).map(i => i -> mkDoc(6 + rnd.nextInt(8)))
+    val rShard = (0L until 25L).map(i => i -> mkDoc(6 + rnd.nextInt(8)))
+    val rIndex = SuffixArray.contaminationIndex(
+      rBench.toDF("doc_id", "text").repartition(4), "doc_id", "text", 64)
+    for (minLen <- Seq(2, 5, 8)) {
+      val shardDf = rShard.toDF("doc_id", "text").repartition(7)
+      val want = SuffixArray.auditShard(rIndex, shardDf, "doc_id", "text",
+        minLen, 64).collect().map(_.toString).sorted.toSeq
+      val got = SuffixArray.auditShardPruned(rIndex, shardDf, "doc_id",
+        "text", minLen, 64).collect().map(_.toString).sorted.toSeq
+      assert(got == want, s"minLen=$minLen: pruned ≡ unpruned")
+    }
+    // a shard sharing NO vocabulary with the bench prunes every suffix
+    // map-side and still reports the correct (empty) audit
+    val clean = (0L until 10L).map(i =>
+      i -> Seq.fill(8)("zz").mkString(" ")).toDF("doc_id", "text")
+    assert(SuffixArray.auditShardPruned(rIndex, clean, "doc_id", "text",
+      minLen = 4, k = 64).isEmpty, "clean shard yields an empty audit")
+    // degenerate: an empty index prunes everything
+    assert(SuffixArray.auditShardPruned(
       SuffixArray.contaminationIndex(
         rBench.toDF("doc_id", "text").limit(0), "doc_id", "text", 64),
       rShard.toDF("doc_id", "text"), "doc_id", "text", 6, 64).isEmpty)

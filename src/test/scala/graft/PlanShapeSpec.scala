@@ -819,4 +819,62 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(unpartitioned(q188.sparkPlan).isEmpty,
       s"totals must ride the constant-key bounded window:\n$p188")
   }
+
+  test("q190 prune stage: broadcast LEFT-SEMI over the index prefix keys, " +
+       "zero shuffle of the shard side") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.util.Tables.load(spark, dir, "documents")
+    val index = graft.ext.SuffixArray.contaminationIndex(
+      docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", 64)
+    // the stage above suffixBest's eager checkpoint: clean suffixes must
+    // drop map-side — a shard-side shuffle here means the prune shipped
+    // the whole shard anyway and bought nothing at 100 TB
+    val plan = graft.ext.SuffixArray.prunedCandidates(index,
+        docs.filter(col("doc_id") % 5 === 2), "doc_id", "text", 20, 64)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"prune must be a broadcast left-semi hash join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the shard side must never shuffle-join:\n$plan")
+    assert(!plan.contains("hashpartitioning(doc_id"),
+      s"no shard-keyed exchange in the prune stage:\n$plan")
+  }
+
+  test("q194 domain cap: the rank filter rides WindowGroupLimit (local " +
+       "top-k BEFORE the exchange); q193 curve windows only the bounded " +
+       "bin frame") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p194 = graft.ext.TextOps.domainQualityCap(docs, "source", "doc_id",
+        "text", 50)
+      .queryExecution.executedPlan.toString
+    // rank <= k must push a per-task top-k below the window exchange —
+    // without it every row of a 100 TB source ships through the shuffle
+    assert(p194.contains("WindowGroupLimit"),
+      s"rank filter must compile to WindowGroupLimit pushdown:\n$p194")
+    assert(!p194.contains("hashpartitioning(doc_id"),
+      s"no doc-keyed exchange:\n$p194")
+    val p193 = graft.ext.TextOps.classifierYieldCurve(docs, "text")
+      .queryExecution.executedPlan.toString
+    // the cumulative window must key on the constant-key BOUNDED bin
+    // frame — windowing the corpus would funnel it through one task
+    assert(!p193.contains("Window [") ||
+      !p193.contains("SinglePartition"),
+      s"cumulative sums must not single-partition the corpus:\n$p193")
+    assert(!p193.contains("Join"), s"the curve is one scan + one window:\n$p193")
+  }
+
+  test("q192 hashed classifier: map-side margin fold, the only exchange " +
+       "aggregates the bounded per-source rollup") {
+    val plan = graft.ext.TextOps.hashedClassifierReport(
+        spark.read.parquet(s"$dir/documents.parquet"), "source", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"scoring must not join:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"margins fold over the token array — never a per-token explode:\n$plan")
+    assert(plan.contains("hashpartitioning(source"),
+      s"the rollup exchange keys on source:\n$plan")
+    assert(!plan.contains("hashpartitioning(doc_id"),
+      s"no doc-keyed exchange:\n$plan")
+  }
 }

@@ -187,4 +187,68 @@ class SamplingSpec extends AnyFunSuite {
     val out = Sampling.prioritySample(withZero, "id", "w", "grp", k = 64)
     assert(out.filter(col("grp") === "z").count() == 0)
   }
+
+  /** In-JVM twin of the hashSplit 80/10/10 routing — used to PLANT
+    * straddling pairs for the clusterAwareSplit laws. */
+  private def naiveSplitOf(id: Long): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(s"graft-split:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(2)
+    if (hex < "cd") "train" else if (hex < "e6") "val" else "test"
+  }
+
+  test("clusterAwareSplit: planted straddling pair is healed (same split, " +
+       "zero cluster leaks), naive side counts it once per endpoint") {
+    val ids = (0L until 400L).toDF("id")
+    // find a pair whose NAIVE splits differ — the leak hashSplit would ship
+    val (a, b) = {
+      val train = (0L until 400L).find(naiveSplitOf(_) == "train").get
+      val test = (0L until 400L).find(naiveSplitOf(_) == "test").get
+      (train, test)
+    }
+    val pairs = Seq((a, b)).toDF("pa", "pb")
+    val out = Sampling.clusterAwareSplit(ids, pairs, "id", "pa", "pb")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // total partition under BOTH assignments
+    assert(out.values.map(_.getAs[Long]("n_docs_cluster")).sum == 400L)
+    assert(out.values.map(_.getAs[Long]("n_docs_naive")).sum == 400L)
+    // the pair leaks under naive routing — once for each endpoint's split
+    assert(out(naiveSplitOf(a)).getAs[Long]("naive_cross_pairs") == 1L)
+    assert(out(naiveSplitOf(b)).getAs[Long]("naive_cross_pairs") == 1L)
+    // and never under cluster routing (the law: computed, comes out 0)
+    assert(out.values.forall(_.getAs[Long]("cluster_cross_pairs") == 0L))
+    // the healed pair moved ONE doc across: marginals differ by exactly one
+    // doc between the two assignments, in the two touched splits only
+    val moved = out.values.map(r =>
+      math.abs(r.getAs[Long]("n_docs_cluster") - r.getAs[Long]("n_docs_naive"))).sum
+    assert(moved == 2L, s"one doc rerouted: |Δ| sums to 2, got $moved")
+  }
+
+  test("clusterAwareSplit: no detector pairs degenerates to hashSplit " +
+       "marginals exactly; real-corpus run keeps the zero-leak law") {
+    val ids = (0L until 500L).toDF("id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("pa", "pb")
+    val out = Sampling.clusterAwareSplit(ids, noPairs, "id", "pa", "pb")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_docs_cluster"), r.getAs[Long]("n_docs_naive"),
+          r.getAs[Long]("naive_cross_pairs"),
+          r.getAs[Long]("cluster_cross_pairs")))).toMap
+    val want = Sampling.hashSplit(ids, "id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == want.keySet)
+    out.foreach { case (s, (nc, nn, nl, cl)) =>
+      assert(nc == want(s) && nn == want(s) && nl == 0L && cl == 0L,
+        s"split $s: ($nc, $nn, $nl, $cl) vs hashSplit ${want(s)}")
+    }
+    // real corpus: q51's detector pairs over sf0.001 embeddings — clusters
+    // route whole, so the cluster side leaks nothing while naive may
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = graft.ext.Similarity.bandedNearDupPairs(emb, "vec_id",
+      "embedding", threshold = 0.35, bands = 3, planesPerBand = 6)
+    val real = Sampling.clusterAwareSplit(emb, pairs, "vec_id", "vec_a", "vec_b")
+      .collect()
+    assert(real.map(_.getAs[Long]("n_docs_cluster")).sum == emb.count())
+    assert(real.forall(_.getAs[Long]("cluster_cross_pairs") == 0L),
+      "cluster-aware routing must never leak a detector pair")
+  }
 }
