@@ -86,6 +86,25 @@ object Sampling {
     * NOT broadcast: at 100 TB the clustered-doc set scales with the
     * corpus) plus a map-side expression, materialized once for its three
     * consumers; every aggregate after it is |splits|²-bounded. */
+  /** The per-doc half of [[clusterAwareSplit]]: cluster labels from the
+    * (already-projected `(_a, _b)`, ideally checkpointed) pair frame,
+    * each id's CLUSTER-keyed and naive split labels — `(_id, _sc, _sn)`.
+    * Shared with the q195 curation capstone, which routes its survivors
+    * by `_sc`. */
+  private[graft] def splitAssignments(ids: DataFrame, pr: DataFrame,
+                                      idCol: String,
+                                      splits: Seq[(String, Double)] =
+                                        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                                      salt: String = "graft-split"): DataFrame = {
+    val labels = Dedup.duplicateClusters(pr, "_a", "_b")
+      .select(col("vec_id").as("_id"), col("cluster_id"))
+    ids.select(col(idCol).cast("long").as("_id"))
+      .join(labels, Seq("_id"), "left")
+      .select(col("_id"),
+        splitLabel(coalesce(col("cluster_id"), col("_id")), splits, salt).as("_sc"),
+        splitLabel(col("_id"), splits, salt).as("_sn"))
+  }
+
   def clusterAwareSplit(ids: DataFrame, pairs: DataFrame, idCol: String,
                         aCol: String, bCol: String,
                         splits: Seq[(String, Double)] =
@@ -95,13 +114,7 @@ object Sampling {
     val pr = pairs
       .select(col(aCol).cast("long").as("_a"), col(bCol).cast("long").as("_b"))
       .localCheckpoint(true) // detector runs once: CC loop + endpoint joins
-    val labels = Dedup.duplicateClusters(pr, "_a", "_b")
-      .select(col("vec_id").as("_id"), col("cluster_id"))
-    val asg = ids.select(col(idCol).cast("long").as("_id"))
-      .join(labels, Seq("_id"), "left")
-      .select(col("_id"),
-        splitLabel(coalesce(col("cluster_id"), col("_id")), splits, salt).as("_sc"),
-        splitLabel(col("_id"), splits, salt).as("_sn"))
+    val asg = splitAssignments(ids, pr, idCol, splits, salt)
       .localCheckpoint(true) // marginal counts + both endpoint joins
     val counts = asg.groupBy(col("_sc"), col("_sn"))
       .agg(count(lit(1)).as("_n"))

@@ -129,6 +129,60 @@ object CurationQueries {
     * Shuffles: detector band joins (bucketed) + cluster iterations (pair
     * graph only), one fingerprint groupBy, one anti-join, one source-keyed
     * window. Nothing all-pairs, nothing collected. */
+  /** q195 — the round-15 curation capstone: classifier gate → domain cap →
+    * index decontamination → cluster-aware split, composed into ONE
+    * release manifest (per (split, source): doc/token mass + the realized
+    * min margin). Stages are the q192/q194/q190/q191 operators verbatim:
+    * keep margin ≥ 0, top 50 per source by (margin, id), drop docs the
+    * PRUNED benchmark-index audit flags (shard-independence law makes the
+    * subset audit ≡ the full chain restricted — the oracle leans on it),
+    * then route the survivors' near-dup clusters whole through the md5
+    * 80/10/10 assignment. Scale shape: one corpus scan for the margins,
+    * WindowGroupLimit top-k, then everything downstream operates on the
+    * ≤ 50·|sources| capped frame — audit, detector, CC and rollup are all
+    * survivor-sized; the capped frame is checkpointed once for its three
+    * consumers. */
+  def q195CuratedRelease(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = load(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val toks = graft.ext.TextOps.tokens(col("text"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("_m").desc, col("doc_id").asc)
+    val capped = corpus
+      .select(col("source"), col("doc_id"), col("text"),
+        TextOps.hashedMargin(col("text")).as("_m"),
+        size(filter(toks, t => t =!= "")).cast("long").as("_t"))
+      .filter(col("_m") >= 0)
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= 50)
+      .drop("_r")
+      .localCheckpoint(true) // audit + anti-join + assignment + rollup
+    val index = graft.ext.SuffixArray.contaminationIndex(bench, "doc_id",
+      "text", k = 64)
+    val flagged = graft.ext.SuffixArray.auditShardPruned(index, capped,
+        "doc_id", "text", minLen = 20, k = 64)
+      .select(col("doc_id"))
+    val clean = capped.join(flagged, Seq("doc_id"), "left_anti")
+    val emb = load(spark, dir, "embeddings")
+      .join(clean.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+    val pr = graft.ext.Similarity.bandedNearDupPairs(emb, "vec_id",
+        "embedding", threshold = 0.35, bands = 3, planesPerBand = 6)
+      .select(col("vec_a").cast("long").as("_a"),
+        col("vec_b").cast("long").as("_b"))
+      .localCheckpoint(true)
+    val asg = Sampling.splitAssignments(clean.select(col("doc_id")), pr,
+      "doc_id")
+    clean
+      .join(asg.select(col("_id").as("doc_id"), col("_sc").as("split")),
+        Seq("doc_id"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_t")).as("n_tokens"),
+        min(col("_m")).as("min_margin"))
+      .transform(tinySort(_, col("split"), col("source")))
+  }
+
   def q53CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
     val budget = 800L
     val seqLen = 512L
@@ -478,6 +532,7 @@ object CurationQueries {
     "q127_water_fill" -> (q127WaterFill _),
     "q52_sequence_packing" -> (q52SequencePacking _),
     "q53_curation_pipeline" -> (q53CurationPipeline _),
+    "q195_curated_release" -> (q195CuratedRelease _),
     "q54_repetition_filters" -> (q54RepetitionFilters _),
     "q55_decontaminate" -> (q55Decontaminate _),
     "q165_contamination_audit" -> (q165ContaminationAudit _),
@@ -499,6 +554,55 @@ object CurationQueries {
     }.mkString("(", "\n      + ", ")")
 
   val sql: Map[String, String] = Map(
+    /* q195: the q192 margin chain → q194 cap rank → the q190 full-rebuild
+     * contamination chain (flagged = any corpus doc with best >= 20; the
+     * shard-independence law makes the subset audit ≡ this restriction) →
+     * the q51 recursive closure with `e` RESTRICTED to the clean
+     * survivors → the q61 hex-compare routing keyed by the cluster. */
+    "q195_curated_release" ->
+      s"""WITH RECURSIVE ${TextQueries.FtMarginCtes},
+        | r AS (SELECT doc_id, source, ntoks, margin,
+        |       row_number() OVER (PARTITION BY source
+        |         ORDER BY margin DESC, doc_id ASC) AS rnk
+        |     FROM m WHERE doc_id % 50 <> 0 AND margin >= 0),
+        | cap AS (SELECT doc_id, source, ntoks, margin FROM r WHERE rnk <= 50),
+        | ${DedupQueries.suffixCtes},
+        | tg AS (SELECT l.*, (l.doc_id % 50 = 0) AS is_b FROM lcps l),
+        | sg AS (SELECT *,
+        |     SUM(CASE WHEN is_b THEN 1 ELSE 0 END) OVER (ORDER BY rank
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg,
+        |     SUM(CASE WHEN is_b THEN 1 ELSE 0 END) OVER (ORDER BY rank DESC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segd
+        |   FROM tg),
+        | mm AS (SELECT *,
+        |     MIN(CASE WHEN is_b THEN NULL ELSE lcp_prev END) OVER (
+        |       PARTITION BY seg ORDER BY rank
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS draw,
+        |     MIN(lcp_prev) OVER (PARTITION BY segd ORDER BY rank DESC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS uraw
+        |   FROM sg),
+        | scb AS (SELECT doc_id,
+        |     GREATEST(COALESCE(CASE WHEN seg >= 1 THEN draw END, 0),
+        |              COALESCE(CASE WHEN segd >= 1 THEN uraw END, 0)) AS best
+        |   FROM mm WHERE NOT is_b),
+        | flagged AS (SELECT DISTINCT doc_id FROM scb WHERE best >= 20),
+        | clean AS (SELECT cap.* FROM cap LEFT JOIN flagged f USING (doc_id)
+        |           WHERE f.doc_id IS NULL),
+        | ${SimilarityQueries.clusterLabelCtes(
+             "SELECT e0.vec_id, CAST(e0.embedding AS DOUBLE[]) AS v " +
+             "FROM embeddings e0 JOIN clean ON clean.doc_id = e0.vec_id")},
+        | asg AS (SELECT c.doc_id, c.source, c.ntoks, c.margin,
+        |        COALESCE(l.cluster_id, c.doc_id) AS gk
+        |      FROM clean c LEFT JOIN labels l ON l.vec_id = c.doc_id),
+        | spl AS (SELECT *,
+        |    CASE WHEN substr(md5('graft-split:' || CAST(gk AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |         WHEN substr(md5('graft-split:' || CAST(gk AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |   FROM asg)
+        |SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(ntoks) AS BIGINT) AS n_tokens,
+        |  CAST(MIN(margin) AS BIGINT) AS min_margin
+        |FROM spl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     /* q139: same rank window (n_docs ASC, scope ASC — Σi·n is tie-order
      * invariant) and the same exact-integer index arithmetic, widened to
      * HUGEINT where Spark widens to DECIMAL(38,0). */

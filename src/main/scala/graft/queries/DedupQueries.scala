@@ -588,7 +588,7 @@ object DedupQueries {
     * the two-phase partitioned row number. LCP replays as "max i with
     * equal i-char prefixes", capped at the shorter prefix — exactly the
     * kernel's complete-code-point walk. */
-  private def suffixCtes: String =
+  private[queries] def suffixCtes: String =
     """sp AS (SELECT doc_id, text, unnest(string_split(text, ' ')) AS w,
       |         generate_subscripts(string_split(text, ' '), 1) AS wi
       |       FROM documents),

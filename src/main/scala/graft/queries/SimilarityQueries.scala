@@ -346,9 +346,11 @@ object SimilarityQueries {
   /** Shared CTE chain: band-OR sign-LSH detector at 0.35 → `pairs` →
     * transitive closure → `labels` (vec_id, cluster_id). Used by q51 and the
     * q53 curation capstone. */
-  private[queries] val ClusterLabelCtes: String =
-    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      | planes AS (
+  // the detector/closure tail shared by ClusterLabelCtes and the
+  // parameterized clusterLabelCtes — declared FIRST (a val interpolating a
+  // later val silently interpolates null; the standing NOTES lesson)
+  private val ClusterLabelTail: String =
+    """ planes AS (
       |  SELECT b, p, d,
       |    CASE WHEN substr(md5('graft:b' || b || ':' || p || ':' || d), 2, 1) IN ('0','2','4','6','8','a','c','e')
       |         THEN 1.0 ELSE -1.0 END AS w
@@ -374,6 +376,16 @@ object SimilarityQueries {
       | labels AS (
       |  SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
       |  FROM reach GROUP BY a)""".stripMargin
+
+  /** [[ClusterLabelCtes]] with a caller-supplied `e` population — the q195
+    * capstone restricts the detector to its curation survivors while q51
+    * and q191 cluster the whole table. */
+  private[queries] def clusterLabelCtes(eSql: String): String =
+    s"""e AS ($eSql),
+      |$ClusterLabelTail""".stripMargin
+
+  private[queries] val ClusterLabelCtes: String =
+    clusterLabelCtes("SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")
 
   val sql: Map[String, String] = Map(
     /* q188: the q43 IVF idiom — md5-ordered centroid sample from the

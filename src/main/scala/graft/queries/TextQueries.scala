@@ -903,7 +903,7 @@ object TextQueries {
     * exact token count, and the [[graft.ext.TextOps.hashedMargin]] replay
     * (unigrams via list_transform, bigrams via range(1, len) positional
     * pairing; COALESCE 0 for empty lists ≡ the 0L fold seed). */
-  private val FtMarginCtes: String =
+  private[queries] val FtMarginCtes: String =
     s"""t AS (SELECT doc_id, source,
       |     list_filter(string_split(text, ' '), x -> x <> '') AS toks
       |   FROM documents),

@@ -166,6 +166,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(plan).length == 1, s"expected exactly 1 window:\n$plan")
   }
 
+  test("q195 capstone: corpus work ends at the capped checkpoint — final " +
+       "plan is survivor-sized (no corpus scan, no detector, no margin)") {
+    // margins + WindowGroupLimit top-k run eagerly into the capped
+    // checkpoint; the audit/detector/CC land in their own checkpoints; if
+    // the final rollup plan still scanned documents or recomputed margins,
+    // the corpus pass would re-execute under the write sink
+    val plan = graft.queries.CurationQueries.q195CuratedRelease(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents") && !plan.contains("embeddings"),
+      s"corpus rescanned in final plan:\n$plan")
+    assert(!plan.contains("graft-ft"), s"margins recomputed in final plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in capstone:\n$plan")
+  }
+
   test("q51 label-propagation round plan is O(1) nodes (checkpoint contract)") {
     // every round's frames must read materialized blocks, not the detector:
     // a round plan referencing parquet or LSH means lineage grew — the exact
