@@ -106,7 +106,16 @@ object TextOps {
     * array — pure map-side, zero per-token explode, zero shuffle; the
     * per-source rollup in [[hashedClassifierReport]] is the only
     * aggregation. */
-  def hashedMargin(c: Column, salt: String = "graft-ft"): Column = {
+  def hashedMargin(c: Column, salt: String = "graft-ft"): Column =
+    graft.functions.HashedMargin.hashedMargin(c, salt)
+
+  /** The relational HOF twin of [[hashedMargin]] — the specification the
+    * codegen kernel is pinned against (ExtSpec kernel ≡ HOF law, the §2.8
+    * convention). The kernel replaces this in the hot path: the lambda
+    * here runs INTERPRETED with a full md5-hex `conv(substring(...))`
+    * expression tree per n-gram (measured 3.6–5.4× slower at sf1, NOTES). */
+  private[graft] def hashedMarginHof(c: Column,
+                                     salt: String = "graft-ft"): Column = {
     val toks = filter(tokens(c), t => t =!= "")
     def w(t: Column): Column =
       conv(substring(md5(concat(lit(salt + "w:"),

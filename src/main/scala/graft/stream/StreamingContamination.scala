@@ -30,11 +30,18 @@ import graft.ext.SuffixArray
 object StreamingContamination {
 
   /** Audit a parquet document stream (AvailableNow) against `index`;
-    * returns the accumulated per-doc report over all micro-batches. */
+    * returns the accumulated per-doc report over all micro-batches.
+    * `pruned = true` swaps in [[graft.ext.SuffixArray.auditShardPruned]]
+    * (q190) — the shape a mostly-clean ingest wants, since each
+    * micro-batch then ships only broadcast-surviving candidate suffixes
+    * into its range shuffle; output-identical by the pruned ≡ unpruned
+    * law, so the streamed ≡ batch contract is unchanged (IncrementalSpec
+    * pins both flavors against the same batch audit). */
   def runToSnapshot(spark: SparkSession, docsDir: String, index: DataFrame,
                     minLen: Int, k: Int = 64,
                     queryName: String = "stream_contamination",
-                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+                    maxFilesPerTrigger: Option[Int] = None,
+                    pruned: Boolean = false): DataFrame = {
     val schema = spark.read.parquet(docsDir).schema
     val reader = spark.readStream.schema(schema)
     val raw = maxFilesPerTrigger.fold(reader)(n =>
@@ -46,8 +53,12 @@ object StreamingContamination {
         if (!batch.isEmpty) {
           // materialize the batch verdicts eagerly: foreachBatch frames are
           // only valid within their micro-batch
-          sink.add(SuffixArray.auditShard(index, batch, "doc_id", "text",
-            minLen, k).localCheckpoint(true))
+          val audit =
+            if (pruned) SuffixArray.auditShardPruned(index, batch, "doc_id",
+              "text", minLen, k)
+            else SuffixArray.auditShard(index, batch, "doc_id", "text",
+              minLen, k)
+          sink.add(audit.localCheckpoint(true))
         }
         ()
       }

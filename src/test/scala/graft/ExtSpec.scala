@@ -519,6 +519,11 @@ class ExtSpec extends AnyFunSuite {
     texts.foreach { case (i, t) =>
       assert(got(i) == brute(t), s"doc $i '${t.take(30)}': ${got(i)} vs ${brute(t)}")
     }
+    // §2.8 law: the codegen kernel ≡ the relational HOF twin, text-for-text
+    val hof = texts.toDF("id", "text")
+      .select(col("id"), TextOps.hashedMarginHof(col("text")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hof == got, "hashedMargin kernel must equal its HOF twin")
     // the per-source report is exactly the brute margins rolled up
     val df = texts.toDF("id", "text")
       .withColumn("source", when(col("id") % 2 === 0, "even").otherwise("odd"))

@@ -377,6 +377,14 @@ class IncrementalSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
     assert(streamed == batch,
       "per-batch audits must union to the batch audit exactly")
+    // the pruned flavor (q190 per micro-batch) is output-identical — the
+    // pruned ≡ unpruned law composed with the same independence argument
+    val streamedPruned = graft.stream.StreamingContamination
+      .runToSnapshot(spark, streamDir.toString, index, minLen = 20,
+        maxFilesPerTrigger = Some(1), pruned = true)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamedPruned == batch,
+      "pruned per-batch audits must union to the same batch audit")
   }
 
   test("streaming HLL registers equal the batch rollup across micro-batches") {
