@@ -540,7 +540,34 @@ object SuffixArray {
     require(minLen >= 1 && minLen <= k,
       s"need 1 <= minLen ($minLen) <= k ($k): a k-char prefix cannot " +
         "witness a longer shared span")
-    val iv = shardSuffixBest(index, shard, idCol, textCol, k)
+    exciseFromBest(shardSuffixBest(index, shard, idCol, textCol, k),
+      shard, idCol, textCol, minLen)
+  }
+
+  /** [[exciseContaminated]] with the q190 broadcast prefix prune in front
+    * of the range shuffle — valid here for the same reason it is valid
+    * for the audit, plus one more step: the rewrite consumes ONLY
+    * intervals from suffixes with `_best >= minLen`, and every pruned
+    * suffix has `_best < minLen` by the prefix-equality argument, so the
+    * interval set (and hence every excision) is identical. ExtSpec pins
+    * pruned ≡ unpruned manifests row-for-row. */
+  def exciseContaminatedPruned(index: DataFrame, shard: DataFrame,
+                               idCol: String, textCol: String, minLen: Int,
+                               k: Int = 64): DataFrame = {
+    require(minLen >= 1 && minLen <= k,
+      s"need 1 <= minLen ($minLen) <= k ($k): a k-char prefix cannot " +
+        "witness a longer shared span")
+    exciseFromBest(
+      suffixBest(index, prunedCandidates(index, shard, idCol, textCol, minLen, k), k),
+      shard, idCol, textCol, minLen)
+  }
+
+  /** The interval-merge + fold half of [[exciseContaminated]], over an
+    * already-computed per-suffix `_best` frame. */
+  private def exciseFromBest(best: DataFrame, shard: DataFrame,
+                             idCol: String, textCol: String,
+                             minLen: Int): DataFrame = {
+    val iv = best
       .filter(col("_best") >= minLen)
       .select(col("doc_id"), col("off").as("s"),
         (col("off") + col("_best")).as("e"))

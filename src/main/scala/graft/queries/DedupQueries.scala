@@ -389,6 +389,36 @@ object DedupQueries {
       .transform(tinySort(_, col("doc_id")))
   }
 
+  /** q196 — benchmark exposure report: the bench-side view of q176
+    * ([[graft.ext.SuffixArray.crossSetMaxLcp]] with the roles FLIPPED —
+    * `is_b` marks the corpus), so the report is per BENCHMARK doc: the
+    * longest word-start span it shares with ANY corpus doc — the number
+    * an eval-release integrity report quotes per benchmark item ("which
+    * items leak worst"). Pure reuse of the operator — the role column was
+    * always a parameter; same one-range-sort scale shape. */
+  def q196BenchExposure(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.SuffixArray.crossSetMaxLcp(
+        load(spark, dir, "documents")
+          .withColumn("is_b", col("doc_id") % 50 =!= 0),
+        "doc_id", "text", "is_b", minLen = 20, k = 64)
+      .transform(tinySort(_, col("doc_id")))
+
+  /** q197 — span-level decontamination with the q190 prune in front
+    * ([[graft.ext.SuffixArray.exciseContaminatedPruned]]): the rewrite
+    * consumes only ≥ minLen intervals and every pruned suffix sits below
+    * the bar, so the manifests are identical while the range shuffle
+    * ships candidates only. Shard ≡ 2 mod 5 (q190's); oracle is q189's
+    * rebuild chain on that shard. */
+  def q197ExcisePruned(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val index = graft.ext.SuffixArray.contaminationIndex(
+      docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", k = 64)
+    graft.ext.SuffixArray.exciseContaminatedPruned(index,
+        docs.filter(col("doc_id") % 5 === 2), "doc_id", "text",
+        minLen = 20, k = 64)
+      .transform(tinySort(_, col("doc_id")))
+  }
+
   /** q190 — the PRUNED arrival-time audit
     * ([[graft.ext.SuffixArray.auditShardPruned]]): q187's standing
     * benchmark index (every 50th doc), audited shard = every doc ≡ 2
@@ -511,6 +541,8 @@ object DedupQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_bench_exposure" -> (q196BenchExposure _),
+    "q197_excise_pruned" -> (q197ExcisePruned _),
     "q190_audit_shard_pruned" -> (q190AuditShardPruned _),
     "q189_excise_contaminated" -> (q189ExciseContaminated _),
     "q187_audit_shard" -> (q187AuditShard _),
@@ -611,6 +643,72 @@ object DedupQueries {
       |         AND substring(pp, 1, CAST(i AS INTEGER)) =
       |             substring(prefix, 1, CAST(i AS INTEGER))), 0) AS BIGINT) AS lcp_prev
       |   FROM adj)""".stripMargin
+
+  /** The q189/q197 span-rewrite oracle over the `doc_id % 5 = shardMod`
+    * shard: the q187 per-suffix chain restricted to the shard, qualifying
+    * [off, off+best) intervals, the q175 gaps-and-islands merge, text
+    * rebuilt from the inter-island gaps (LAG(me) default 1 = the gap
+    * start; string_agg ordered by island start; tail from the last
+    * island's end); clean docs via the COALESCE(..., d.text) arms. Shared
+    * by both entries so the chains can never drift — q197's prune is
+    * provably invisible to the manifests. */
+  private def exciseOracle(shardMod: Int): String =
+    s"""WITH $suffixCtes,
+      | tg AS (SELECT l.*, (l.doc_id % 50 = 0) AS is_b FROM lcps l),
+      | sg AS (SELECT *,
+      |     SUM(CASE WHEN is_b THEN 1 ELSE 0 END) OVER (ORDER BY rank
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg,
+      |     SUM(CASE WHEN is_b THEN 1 ELSE 0 END) OVER (ORDER BY rank DESC
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segd
+      |   FROM tg),
+      | mm AS (SELECT *,
+      |     MIN(CASE WHEN is_b THEN NULL ELSE lcp_prev END) OVER (
+      |       PARTITION BY seg ORDER BY rank
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS draw,
+      |     MIN(lcp_prev) OVER (PARTITION BY segd ORDER BY rank DESC
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS uraw
+      |   FROM sg),
+      | sc AS (SELECT doc_id, off,
+      |     GREATEST(COALESCE(CASE WHEN seg >= 1 THEN draw END, 0),
+      |              COALESCE(CASE WHEN segd >= 1 THEN uraw END, 0)) AS best
+      |   FROM mm WHERE NOT is_b AND doc_id % 5 = $shardMod),
+      | iv AS (SELECT DISTINCT doc_id, off AS s, off + best AS e
+      |        FROM sc WHERE best >= 20),
+      | isl AS (SELECT doc_id, s, e,
+      |     MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm
+      |   FROM iv),
+      | num AS (SELECT doc_id, s, e,
+      |     SUM(CASE WHEN cm IS NULL OR s > cm THEN 1 ELSE 0 END)
+      |       OVER (PARTITION BY doc_id ORDER BY s, e
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |   FROM isl),
+      | merged AS (SELECT doc_id, isl, MIN(s) AS ms, MAX(e) AS me
+      |            FROM num GROUP BY doc_id, isl),
+      | gaps AS (SELECT doc_id, ms, me,
+      |     COALESCE(LAG(me) OVER (PARTITION BY doc_id ORDER BY ms), 1) AS gs
+      |   FROM merged),
+      | pieces AS (SELECT g.doc_id, g.ms AS ord,
+      |     substring(d.text, CAST(g.gs AS INT), CAST(g.ms - g.gs AS INT)) AS piece
+      |   FROM gaps g JOIN documents d USING (doc_id)),
+      | lastm AS (SELECT doc_id, MAX(me) AS le,
+      |     CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |     CAST(SUM(me - ms) AS BIGINT) AS chars_removed
+      |   FROM merged GROUP BY 1),
+      | rebuilt AS (SELECT l.doc_id,
+      |     COALESCE(string_agg(p.piece, '' ORDER BY p.ord), '')
+      |       || substring(d.text, CAST(l.le AS INT)) AS ktext
+      |   FROM lastm l JOIN documents d USING (doc_id)
+      |   LEFT JOIN pieces p ON p.doc_id = l.doc_id
+      |   GROUP BY l.doc_id, d.text, l.le)
+      |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+      |  COALESCE(l.n_spans, 0) AS n_spans,
+      |  COALESCE(l.chars_removed, 0) AS chars_removed,
+      |  CAST(length(COALESCE(r.ktext, d.text)) AS BIGINT) AS kept_len,
+      |  md5(COALESCE(r.ktext, d.text)) AS kept_fp
+      |FROM (SELECT * FROM documents WHERE doc_id % 5 = $shardMod) d
+      |LEFT JOIN lastm l USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 
   val sql: Map[String, String] = Map(
     "q171_suffix_array" ->
@@ -914,9 +1012,18 @@ object DedupQueries {
      * gaps (LAG(me) default 1 = the gap start; string_agg ordered by the
      * island start; tail from the last island's end). Clean shard docs
      * pass through via the COALESCE(..., d.text) arms. */
-    "q189_excise_contaminated" ->
+    "q189_excise_contaminated" -> exciseOracle(shardMod = 1),
+    /* q197: the SAME rebuild chain on q190's shard — the prune is
+     * provably invisible in the manifests (every pruned suffix sits below
+     * the >= 20 bar, so the interval set is identical; ExtSpec pins the
+     * engine law where both plans run). */
+    "q197_excise_pruned" -> exciseOracle(shardMod = 2),
+    /* q196: q176's chain with the roles FLIPPED — is_b marks the CORPUS,
+     * so the surviving (NOT is_b) side is the benchmark and the report is
+     * per benchmark doc. */
+    "q196_bench_exposure" ->
       s"""WITH $suffixCtes,
-        | tg AS (SELECT l.*, (l.doc_id % 50 = 0) AS is_b FROM lcps l),
+        | tg AS (SELECT l.*, (l.doc_id % 50 <> 0) AS is_b FROM lcps l),
         | sg AS (SELECT *,
         |     SUM(CASE WHEN is_b THEN 1 ELSE 0 END) OVER (ORDER BY rank
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg,
@@ -930,47 +1037,20 @@ object DedupQueries {
         |     MIN(lcp_prev) OVER (PARTITION BY segd ORDER BY rank DESC
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS uraw
         |   FROM sg),
-        | sc AS (SELECT doc_id, off,
+        | sc AS (SELECT doc_id, prefix,
         |     GREATEST(COALESCE(CASE WHEN seg >= 1 THEN draw END, 0),
         |              COALESCE(CASE WHEN segd >= 1 THEN uraw END, 0)) AS best
-        |   FROM mm WHERE NOT is_b AND doc_id % 5 = 1),
-        | iv AS (SELECT DISTINCT doc_id, off AS s, off + best AS e
-        |        FROM sc WHERE best >= 20),
-        | isl AS (SELECT doc_id, s, e,
-        |     MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm
-        |   FROM iv),
-        | num AS (SELECT doc_id, s, e,
-        |     SUM(CASE WHEN cm IS NULL OR s > cm THEN 1 ELSE 0 END)
-        |       OVER (PARTITION BY doc_id ORDER BY s, e
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-        |   FROM isl),
-        | merged AS (SELECT doc_id, isl, MIN(s) AS ms, MAX(e) AS me
-        |            FROM num GROUP BY doc_id, isl),
-        | gaps AS (SELECT doc_id, ms, me,
-        |     COALESCE(LAG(me) OVER (PARTITION BY doc_id ORDER BY ms), 1) AS gs
-        |   FROM merged),
-        | pieces AS (SELECT g.doc_id, g.ms AS ord,
-        |     substring(d.text, CAST(g.gs AS INT), CAST(g.ms - g.gs AS INT)) AS piece
-        |   FROM gaps g JOIN documents d USING (doc_id)),
-        | lastm AS (SELECT doc_id, MAX(me) AS le,
-        |     CAST(COUNT(*) AS BIGINT) AS n_spans,
-        |     CAST(SUM(me - ms) AS BIGINT) AS chars_removed
-        |   FROM merged GROUP BY 1),
-        | rebuilt AS (SELECT l.doc_id,
-        |     COALESCE(string_agg(p.piece, '' ORDER BY p.ord), '')
-        |       || substring(d.text, CAST(l.le AS INT)) AS ktext
-        |   FROM lastm l JOIN documents d USING (doc_id)
-        |   LEFT JOIN pieces p ON p.doc_id = l.doc_id
-        |   GROUP BY l.doc_id, d.text, l.le)
-        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
-        |  COALESCE(l.n_spans, 0) AS n_spans,
-        |  COALESCE(l.chars_removed, 0) AS chars_removed,
-        |  CAST(length(COALESCE(r.ktext, d.text)) AS BIGINT) AS kept_len,
-        |  md5(COALESCE(r.ktext, d.text)) AS kept_fp
-        |FROM (SELECT * FROM documents WHERE doc_id % 5 = 1) d
-        |LEFT JOIN lastm l USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+        |   FROM mm WHERE NOT is_b),
+        | hit AS (SELECT doc_id, best,
+        |           substring(prefix, 1, CAST(best AS INTEGER)) AS span
+        |         FROM sc WHERE best >= 20),
+        | top AS (SELECT doc_id, MAX(best) AS shared_len,
+        |           CAST(COUNT(*) AS BIGINT) AS n_hits
+        |         FROM hit GROUP BY 1)
+        |SELECT t.doc_id, t.shared_len, MAX(h.span) AS span, t.n_hits
+        |FROM top t JOIN hit h ON h.doc_id = t.doc_id AND h.best = t.shared_len
+        |GROUP BY 1, 2, 4
+        |ORDER BY t.doc_id""".stripMargin,
     /* q190: the q187 full-rebuild chain restricted to the ≡ 2 mod 5
      * shard. The broadcast prefix pushdown is invisible here by
      * construction — pruning never changes a verdict (no false

@@ -2025,6 +2025,16 @@ class ExtSpec extends AnyFunSuite {
         minLen = 20, k = 64).collect().map(_.toString).sorted.toSeq
       assert(got.nonEmpty && got == want,
         s"shard ≡ $r mod 5: pruned audit must equal unpruned (${got.size} vs ${want.size})")
+      // the REWRITE under the same prune: interval sets are identical
+      // (every pruned suffix sits below the bar), so the manifests match
+      // doc-for-doc including the rebuilt-text md5
+      val wantEx = SuffixArray.exciseContaminated(index, shard, "doc_id",
+        "text", minLen = 20, k = 64).collect().map(_.toString).sorted.toSeq
+      val gotEx = SuffixArray.exciseContaminatedPruned(index, shard,
+        "doc_id", "text", minLen = 20, k = 64)
+        .collect().map(_.toString).sorted.toSeq
+      assert(gotEx == wantEx,
+        s"shard ≡ $r mod 5: pruned excise must equal unpruned")
     }
     // randomized small-vocab stress: two-char words make minLen-prefixes
     // collide constantly, exercising the kept-extra-then-filtered path at
