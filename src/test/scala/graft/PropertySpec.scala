@@ -551,4 +551,30 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("hashedMargin seam law: margin(a ⧺ b) = margin(a) + margin(b) + " +
+       "w(seam bigram) for arbitrary token lists") {
+    import graft.ext.TextOps
+    // the only cross-boundary feature of the unigram+bigram model is the
+    // ONE bigram straddling the seam — so concatenation decomposes exactly.
+    // This pins the bigram pairing (consecutive tokens of the FILTERED
+    // stream) against reorderings, multi-space runs and token content.
+    val tokGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "b", "ccc", "Δδ", "x1", "zz")))
+    check(Prop.forAll(tokGen, tokGen) { (a, b) =>
+      val sa = a.mkString(" ")
+      val sb = b.mkString(" ")
+      val rows = Seq((1L, sa), (2L, sb), (3L, s"$sa $sb"),
+        (4L, s"${a.last} ${b.head}")).toDF("id", "t")
+        .select(col("id"), TextOps.hashedMargin(col("t")).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // margin of the two-token seam text = w(last_a) + w(first_b) + w(seam)
+      val seamOnly = rows(4L)
+      val single = Seq((1L, a.last), (2L, b.head)).toDF("id", "t")
+        .select(col("id"), TextOps.hashedMargin(col("t")).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val wSeam = seamOnly - single(1L) - single(2L)
+      rows(3L) == rows(1L) + rows(2L) + wSeam
+    })
+  }
 }
