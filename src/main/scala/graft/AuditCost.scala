@@ -20,8 +20,12 @@ import graft.ext.SuffixArray
   */
 object AuditCost {
   def main(args: Array[String]): Unit = {
-    val reps = args.headOption.map(_.toInt).getOrElse(3)
-    val dirs = if (args.length > 1) args.drop(1).toSeq
+    // first arg is reps IF numeric; a path first arg means "default reps,
+    // these dirs" — matches the usage line instead of throwing NFE
+    val repsOpt = args.headOption.flatMap(a => scala.util.Try(a.toInt).toOption)
+    val reps = repsOpt.getOrElse(3)
+    val dirArgs = if (repsOpt.isDefined) args.drop(1).toSeq else args.toSeq
+    val dirs = if (dirArgs.nonEmpty) dirArgs
       else Seq("/root/testdata/sf0.1", "/root/repo/scale/sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

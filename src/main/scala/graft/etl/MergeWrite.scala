@@ -84,20 +84,32 @@ object MergeWrite {
       // run cannot delete/overwrite this run's in-flight staging data.
       // Orphans from a driver death between the staging write and the
       // finally block are cleaned by the entry-time sweep below, which is
-      // AGE-GATED: only staging-shaped siblings untouched for `stagingTtlMs`
-      // are deleted — a live concurrent run's (fresh) staging dir survives
-      // the sweep, and nothing that isn't named like a staging dir is ever
-      // considered.
+      // AGE-GATED on the NEWEST file anywhere under the staging dir — not
+      // the dir's own mtime, which is set at creation and does not track
+      // an in-flight write (Spark tasks keep producing files under
+      // _temporary, so a live write reads fresh however long it runs).
+      // Only staging-shaped siblings whose newest content is older than
+      // `stagingTtlMs` are deleted; nothing that isn't named like a
+      // staging dir is ever considered. Object-store caveat: where mtimes
+      // aren't meaningful, pair the sweep with an external lease — the
+      // TTL gate is a filesystem-semantics convenience, not a lock.
       val root = processedDir.stripSuffix("/")
       val staging = new org.apache.hadoop.fs.Path(
         root + "__staging_" + java.util.UUID.randomUUID().toString)
       val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val stagingName = ("""__staging(_[0-9a-fA-F-]+)?$""").r
       val now = System.currentTimeMillis()
+      def newestMtime(p: org.apache.hadoop.fs.Path): Long =
+        scala.util.Try {
+          var m = fs.getFileStatus(p).getModificationTime
+          val it = fs.listFiles(p, true)
+          while (it.hasNext) m = math.max(m, it.next().getModificationTime)
+          m
+        }.getOrElse(now) // listing race (dir vanished mid-sweep) → leave it
       val stale = fs.globStatus(new org.apache.hadoop.fs.Path(root + "__staging*"))
       if (stale != null) stale
         .filter(s => stagingName.findFirstIn(s.getPath.getName).isDefined)
-        .filter(s => now - s.getModificationTime >= stagingTtlMs)
+        .filter(s => now - newestMtime(s.getPath) >= stagingTtlMs)
         .foreach(s => fs.delete(s.getPath, true))
       try {
         merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)

@@ -170,8 +170,11 @@ object Mp4 {
         case "tkhd" if body + 4 <= end =>
           val version = b(body) & 0xff
           // width/height are the LAST 8 bytes of the box, 16.16 fixed —
-          // same offset-from-end for both tkhd versions
-          if (end - 8 >= body + 4) {
+          // same offset-from-end for both tkhd versions. They are
+          // offsets from the DECLARED end: a truncation-clamped end would
+          // read matrix bytes as dimensions, fabricating metadata the cut
+          // removed — so dims are taken only from a COMPLETE tkhd box.
+          if (off + size <= until && end - 8 >= body + 4) {
             val w = (readU32(b, end - 8) >>> 16).toInt
             val h = (readU32(b, end - 4) >>> 16).toInt
             val okVersion = version == 0 || version == 1
@@ -186,9 +189,11 @@ object Mp4 {
           var n = readU32(b, body + 4)
           while (n > 0 && e + 8 <= end) {
             val esize = readU32(b, e)
-            acc.codecs += readType(b, e + 4)
-            if (esize < 8) n = 0 // malformed entry framing: stop
+            if (esize < 8) n = 0 // malformed entry framing: stop, record nothing
             else {
+              // validate the entry's framing BEFORE trusting its fourcc —
+              // a structurally invalid entry must not contribute a codec
+              acc.codecs += readType(b, e + 4)
               e = math.min(end.toLong, e + esize).toInt
               n -= 1
             }

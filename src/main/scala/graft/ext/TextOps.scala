@@ -162,11 +162,15 @@ object TextOps {
                            binWidth: Long = 256L): DataFrame = {
     require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
     val toks = filter(tokens(col(textCol)), t => t =!= "")
+    // `div`, never `/` (the histogramDrift rule): Spark's `/` on longs is
+    // DOUBLE division — exact only below 2^53. The numerator is an exact
+    // multiple of binWidth (nonneg pmod subtracted), so integral `div`
+    // (truncating) IS floor here, for every long.
     val binned = docs
       .select(hashedMargin(col(textCol)).as("_m"),
         size(toks).cast("long").as("_t"))
-      .select(((col("_m") - pmod(col("_m"), lit(binWidth))) / lit(binWidth))
-        .cast("long").as("_bin"), col("_t"))
+      .select(expr(s"(_m - pmod(_m, ${binWidth}L)) div ${binWidth}L")
+        .as("_bin"), col("_t"))
       .groupBy(col("_bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("_t")).as("n_tokens"))
     val one = substring(col("_bin").cast("string"), 0, 0)

@@ -66,7 +66,14 @@ object StreamingContamination {
     q.awaitTermination()
     import scala.jdk.CollectionConverters._
     sink.asScala.toSeq match {
-      case Seq() => spark.emptyDataFrame
+      case Seq() =>
+        // an all-empty arrival is a legitimate state (an upstream writer
+        // committed empty shards) — return the REPORT schema, not the
+        // schema-less emptyDataFrame, so filters/unions downstream resolve
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("doc_id", LongType), StructField("shared_len", LongType),
+            StructField("span", StringType), StructField("n_hits", LongType))))
       case parts => parts.reduce(_ unionByName _)
     }
   }

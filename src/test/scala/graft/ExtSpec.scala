@@ -881,12 +881,30 @@ class ExtSpec extends AnyFunSuite {
     val good = Mp4.synthesize("isom", 600L, 1200L,
       Seq(Mp4.TrackSpec("avc1", 320, 240)))
     // EVERY prefix parses without throwing (exhaustive truncation sweep);
-    // parsing is monotone: a prefix long enough to hold ftyp keeps brand
+    // parsing is monotone: a prefix long enough to hold ftyp keeps brand.
+    // Dims are end-relative in tkhd, so a truncated box must yield NO
+    // dims — never dimensions fabricated from matrix bytes at the clamped
+    // end (the r15 review find): every prefix reports either nothing or
+    // the true 320×240.
     for (n <- 0 to good.length) {
       val m = Mp4.parseMeta(0L, good.take(n))
       if (n >= 16) assert(m.major_brand.contains("isom"),
         s"prefix $n lost the already-parsed brand")
+      assert(m.width.forall(_ == 320) && m.height.forall(_ == 240),
+        s"prefix $n fabricated dims ${m.width}x${m.height}")
     }
+    // a structurally invalid stsd sample entry (declared esize < 8) must
+    // not contribute its fourcc — validate framing BEFORE trusting content
+    val badEntry = {
+      val body = Array[Byte](0, 0, 0, 0) ++ // version/flags
+        Array[Byte](0, 0, 0, 1) ++          // entry_count = 1
+        Array[Byte](0, 0, 0, 4) ++ "zzzz".getBytes // esize 4 < 8
+      val size = 8 + body.length
+      Array[Byte]((size >> 24).toByte, (size >> 16).toByte,
+        (size >> 8).toByte, size.toByte) ++ "stsd".getBytes ++ body
+    }
+    assert(Mp4.parseMeta(0L, badEntry).codecs.isEmpty,
+      "malformed stsd entry leaked a codec")
     val torture = Seq[Array[Byte]](
       Array.emptyByteArray,
       Array.fill[Byte](7)(0x6d), // shorter than one header

@@ -197,6 +197,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(own.isEmpty, s"own staging leaked: ${own.toSeq}")
   }
 
+  test("S5 durable sweep ages on the NEWEST file under a staging dir: a " +
+    "write outliving the TTL survives while its tasks still produce files") {
+    val base = Files.createTempDirectory("graft_processed_long").toString
+    val processed = base + "/t"
+    val inflight = new org.apache.hadoop.fs.Path(
+      processed + "__staging_aaaaaaaa-1111-4111-8111-111111111111")
+    silver.withColumn("model", lit("LONGRUN")).write.parquet(inflight.toString)
+    val fs = inflight.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // backdate the dir and every file 2h: the dir-mtime gate would sweep it
+    val old = System.currentTimeMillis() - 7200000L
+    def backdateAll(): Unit = {
+      fs.setTimes(inflight, old, old)
+      val it = fs.listFiles(inflight, true)
+      while (it.hasNext) fs.setTimes(it.next().getPath, old, old)
+    }
+    backdateAll()
+    // ...but one FRESH nested file = a task still writing right now
+    fs.create(new org.apache.hadoop.fs.Path(inflight, "_task_in_progress")).close()
+    MergeWrite.mergeWrite(spark, processed, silver, durable = true,
+      stagingTtlMs = 3600000L)
+    assert(fs.exists(inflight),
+      "a live long-running write was swept on the stale dir mtime")
+    // once nothing under it is fresh anymore, the same TTL sweeps it
+    backdateAll()
+    MergeWrite.mergeWrite(spark, processed, silver, durable = true,
+      stagingTtlMs = 3600000L)
+    assert(!fs.exists(inflight), "a truly abandoned staging dir must sweep")
+  }
+
   test("q184 committed fixture still exercises every FIXTURES.md §1 edge " +
     "case (guards fixture erosion — the oracle only proves engine parity)") {
     val silver184 = Silver.run(
