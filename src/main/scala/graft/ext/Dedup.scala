@@ -269,12 +269,16 @@ object Dedup {
     * holds a strictly better member. CONSTANT quality degenerates to the
     * default keep-band-min verdict-for-verdict (the ExtSpec law), and a
     * NULL quality ranks strictly worst (coalesced below every real score
-    * — the q169 ADVICE lesson applied from the start). The exact and
-    * paragraph stages are keeper-insensitive by construction (exact
-    * twins have identical text and token mass; a paragraph block's
-    * SURVIVAL does not depend on which twin keeps it), so only the fuzzy
-    * keeper is parameterized — the dataset-card doc/token yields are
-    * what move. */
+    * — the q169 ADVICE lesson applied from the start). The EXACT stage
+    * applies the same (quality, −id) keeper (ADVICE r15: qualityCol is an
+    * arbitrary user column, so exact twins — identical text — may still
+    * carry different quality values, e.g. a source-level prior; keep-min-id
+    * there could discard the best-quality twin before the fuzzy rule ever
+    * ran). For TEXT-DERIVED quality (identical across exact twins, q186's
+    * token count included) the keeper ties and degenerates to keep-min-id
+    * exactly, so the oracle and the constant-quality law are unchanged.
+    * The paragraph stage stays keeper-insensitive by construction (a
+    * block's SURVIVAL does not depend on which twin keeps it). */
   def dedupFunnel(docs: DataFrame, sourceCol: String, idCol: String,
                   textCol: String, blockWords: Int = 20,
                   qualityCol: Option[String] = None): DataFrame = {
@@ -288,10 +292,17 @@ object Dedup {
     val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("_fp"))
     // each survivor frame feeds THREE consumers (its rollup + the next
     // stage's two branches); checkpoint per the multi-consumer convention
-    // so the fingerprint window / band join run once, not once per branch
+    // so the fingerprint window / band join run once, not once per branch.
+    // With a qualityCol the exact keeper is max(quality, −id) per
+    // fingerprint (see the scaladoc: arbitrary quality may differ across
+    // exact twins; text-derived quality ties and this IS keep-min-id)
+    val exactKeeper = qualityCol match {
+      case None    => struct((-col("doc_id")).as("nid"))
+      case Some(_) => struct(col("_q").as("q"), (-col("doc_id")).as("nid"))
+    }
     val exact = checkpointStripped(
-      base.withColumn("_kmin", min(col("doc_id")).over(wFp))
-        .filter(col("doc_id") === col("_kmin")).drop("_kmin"))
+      base.withColumn("_kbest", max(exactKeeper).over(wFp))
+        .filter(exactKeeper === col("_kbest")).drop("_kbest"))
     val sig = minhashSignature(
       exact.select(col("doc_id"), col("_text")), "doc_id", "_text")
     val bands = bandKeys(sig, "doc_id", numHashes = 8, bands = 2)

@@ -160,7 +160,12 @@ object Mp4 {
           acc.brand = Some(readType(b, body))
         case "mvhd" if body + 4 <= end =>
           val version = b(body) & 0xff
-          if (version == 1 && body + 28 <= end) {
+          // v1 duration is a u64 at body+24..31 — the guard must cover the
+          // READ's last byte (body + 32), not its first (the ADVICE-r15
+          // off-by-4: a short-declared v1 mvhd fabricated a duration from a
+          // sibling's header bytes, and an array-end truncation threw into
+          // the NonFatal net, aborting the walk and dropping later traks)
+          if (version == 1 && body + 32 <= end) {
             acc.timescale = Some(readU32(b, body + 20))
             acc.duration = Some(readU64(b, body + 24))
           } else if (version == 0 && body + 20 <= end) {
@@ -189,12 +194,15 @@ object Mp4 {
           var n = readU32(b, body + 4)
           while (n > 0 && e + 8 <= end) {
             val esize = readU32(b, e)
-            if (esize < 8) n = 0 // malformed entry framing: stop, record nothing
+            // validate the entry's COMPLETE framing before trusting its
+            // fourcc (the tkhd complete-box rule, applied to entries): an
+            // undersized header OR a declared size overrunning the box end
+            // must not contribute a codec — a final truncated entry would
+            // otherwise leak its fourcc before the clamp (r15 verdict #1)
+            if (esize < 8 || e + esize > end) n = 0
             else {
-              // validate the entry's framing BEFORE trusting its fourcc —
-              // a structurally invalid entry must not contribute a codec
               acc.codecs += readType(b, e + 4)
-              e = math.min(end.toLong, e + esize).toInt
+              e = (e + esize).toInt
               n -= 1
             }
           }
@@ -210,7 +218,11 @@ object Mp4 {
     val acc = new Acc
     try walk(payload, 0, payload.length, 0, acc)
     catch { case scala.util.control.NonFatal(_) => () } // belt over braces
-    val durationMs = for (ts <- acc.timescale if ts > 0; d <- acc.duration)
+    // clamp the hostile-u64 range: a v1 duration read is an arbitrary bit
+    // pattern — negative (high bit set) or ×1000-overflowing values would
+    // silently wrap in signed arithmetic, so they report as absent instead
+    val durationMs = for (ts <- acc.timescale if ts > 0; d <- acc.duration
+                          if d >= 0L && d <= Long.MaxValue / 1000L)
       yield d * 1000L / ts
     VideoMeta(mediaId, acc.brand, acc.nTracks, acc.timescale, durationMs,
       acc.width, acc.height,

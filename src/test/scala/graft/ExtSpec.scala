@@ -934,6 +934,73 @@ class ExtSpec extends AnyFunSuite {
       g.duration_ms.isEmpty && g.width.isEmpty && g.codecs.isEmpty)
   }
 
+  test("Mp4 box walk: ADVICE-r15 bounds tortures — short v1 mvhd cannot " +
+       "fabricate a duration from sibling bytes or abort the walk; hostile " +
+       "u64 durations clamp; a truncated final stsd entry leaks no codec") {
+    import graft.ext.Mp4
+    def u32(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def bx(t: String, body: Array[Byte]) =
+      u32(8L + body.length) ++ t.getBytes("ISO-8859-1") ++ body
+    // v1 mvhd declaring only 28 body bytes (guard used to pass at +28 but
+    // the u64 read needs +32): the next 4 bytes belong to the SIBLING trak
+    // header — duration must be absent, and the trak still counted
+    val shortV1 = bx("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0) ++
+        u32(600) ++ u32(26)) // 28 body bytes: u64 duration would overrun
+    val trak = bx("trak", Array.emptyByteArray)
+    val m1 = Mp4.parseMeta(0L, bx("moov", shortV1 ++ trak))
+    assert(m1.duration_ms.isEmpty,
+      s"short v1 mvhd fabricated a duration: $m1")
+    assert(m1.n_tracks == 1,
+      s"the walk aborted instead of skipping the short mvhd: $m1")
+    // the short mvhd as moov's LAST child, a top-level trak after the moov:
+    // the u64 read used to cross the moov boundary into the trak's header
+    // bytes — fabrication across a CONTAINER boundary, not just a sibling
+    val m2 = Mp4.parseMeta(0L, bx("moov", shortV1) ++ trak)
+    assert(m2.n_tracks == 1 && m2.duration_ms.isEmpty,
+      s"mvhd read crossed the moov boundary: $m2")
+    // ...and with NOTHING after the moov the same read ran off the array:
+    // AIOOBE swallowed by parseMeta. A malformed v1 box (28 < 32 body
+    // bytes) now records nothing at all — not even the timescale the old
+    // code had assigned before throwing mid-box
+    val m2b = Mp4.parseMeta(0L, bx("moov", shortV1))
+    assert(m2b.timescale.isEmpty && m2b.duration_ms.isEmpty,
+      s"array-end v1 mvhd must record nothing: $m2b")
+    // hostile u64 duration (high bit set → negative as signed): clamps to
+    // absent rather than wrapping in d * 1000 / ts
+    val hostile = bx("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0) ++
+        u32(600) ++ Array.fill[Byte](8)(0xff.toByte))
+    val m3 = Mp4.parseMeta(0L, bx("moov", hostile))
+    assert(m3.timescale.contains(600L) && m3.duration_ms.isEmpty,
+      s"hostile u64 duration must clamp to absent: $m3")
+    // ...and a ×1000-overflowing positive (2^62) clamps the same way
+    val big = bx("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0) ++
+        u32(600) ++ Array[Byte](0x40, 0, 0, 0, 0, 0, 0, 0))
+    assert(Mp4.parseMeta(0L, bx("moov", big)).duration_ms.isEmpty)
+    // final stsd entry whose declared size overruns the box end: the
+    // complete-entry rule — its fourcc must NOT contribute (r15 verdict #1)
+    val stsd = bx("stsd", Array[Byte](0, 0, 0, 0) ++ u32(2) ++
+      bx("avc1", new Array[Byte](8)) ++          // entry 1: complete
+      u32(64L) ++ "zzzz".getBytes)               // entry 2: size 64 > room
+    val m4 = Mp4.parseMeta(0L, bx("moov", bx("trak",
+      bx("mdia", bx("minf", bx("stbl", stsd))))))
+    assert(m4.codecs.contains("avc1"),
+      s"complete entry must still report: $m4")
+    assert(!m4.codecs.exists(_.contains("zzzz")),
+      s"truncated entry leaked its fourcc: $m4")
+    // v1 synthesize prefix sweep: monotone, no fabricated duration ever
+    val goodV1 = Mp4.synthesize("isom", 600L, 1200L,
+      Seq(Mp4.TrackSpec("avc1", 320, 240)), mvhdVersion = 1)
+    for (n <- 0 to goodV1.length) {
+      val m = Mp4.parseMeta(0L, goodV1.take(n))
+      assert(m.duration_ms.forall(_ == 2000L),
+        s"v1 prefix $n fabricated duration ${m.duration_ms}")
+    }
+  }
+
   test("multimodal: an animated GIF reports its true frame count") {
     import javax.imageio.{IIOImage, ImageIO}
     val buf = new java.io.ByteArrayOutputStream()
@@ -1738,6 +1805,33 @@ class ExtSpec extends AnyFunSuite {
       qualityCol = Some("q")).head()
     assert(n.getAs[Long]("tokens_fuzzy") == 24L,
       s"null quality must lose to any real score: $n")
+  }
+
+  test("dedupFunnel keep-best keeper applies at the EXACT stage too: exact " +
+       "twins with differing (non-text-derived) quality keep the best one " +
+       "(ADVICE r15)") {
+    // quality here is a source-level prior (arbitrary user column), NOT
+    // text-derived: exact twins 1 and 3 share text T but doc 3 carries the
+    // better score. The exact-stage survivor then duels doc 2 (a near-dup
+    // of T in another source, mid quality) at the fuzzy stage — so WHICH
+    // twin survived the exact stage is observable in the per-source fuzzy
+    // counts: keeper ⇒ doc 3 (0.9) survives and beats doc 2 (0.5) ⇒
+    // A keeps its doc, B loses its. Keep-min-id would ship doc 1 (0.2),
+    // which LOSES to doc 2 — flipping both sources' verdicts.
+    val t = Seq.tabulate(24)(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, "A", t, 0.2),
+      (3L, "A", t, 0.9),
+      (2L, "B", t + " extrazz", 0.5)
+    ).toDF("doc_id", "source", "text", "q")
+    val out = Dedup.dedupFunnel(docs, "source", "doc_id", "text",
+        qualityCol = Some("q"))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("A").getAs[Long]("n_exact_docs") == 1L, "twins merge at exact")
+    assert(out("A").getAs[Long]("n_fuzzy_docs") == 1L &&
+      out("B").getAs[Long]("n_fuzzy_docs") == 0L,
+      s"the BEST-quality exact twin must be the one reaching the fuzzy " +
+      s"duel: A=${out("A")} B=${out("B")}")
   }
 
   test("prototypicalityPrune: outlier ranks hardest, near-prototype ranks " +
