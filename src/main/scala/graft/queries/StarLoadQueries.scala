@@ -205,8 +205,9 @@ object StarLoadQueries {
       .orderBy(col("auction_id"))
   }
 
-  /** The pre-seeded state_dim ([[StateSeed]]) as a SQL VALUES literal. */
-  private val stateValues: String = StateSeed.states.zipWithIndex
+  /** The pre-seeded state_dim ([[StateSeed]]) as a SQL VALUES literal
+    * (shared with [[AuctionQueries]]'s q198 oracle — one seed definition). */
+  private[queries] val stateValues: String = StateSeed.states.zipWithIndex
     .map { case ((st, ab), i) => s"(${i + 1}, '$st', '$ab')" }
     .mkString(", ")
 
