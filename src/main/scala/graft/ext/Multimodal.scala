@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // imageio's default stream cache is a TEMP FILE per decode — a per-task
+  // disk round-trip plus /tmp contention under 32 codec threads (found via
+  // the q199 AVI bench). Every payload here is an in-memory byte array;
+  // cache in memory.
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaMeta(source: String, lang: String, n_bytes: Long)
   case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte], meta: MediaMeta)
   case class MediaFeatures(media_id: Long, kind: String, width: Int, height: Int,

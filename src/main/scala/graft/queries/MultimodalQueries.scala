@@ -64,9 +64,61 @@ object MultimodalQueries {
     graft.ext.Mp4.extractVideoMeta(records).orderBy(col("media_id"))
   }
 
+  /** q199 — real MJPEG-in-AVI FRAME decode ([[graft.ext.Avi]], round-15
+    * verdict task #3). Every document id becomes a structurally real AVI
+    * (RIFF framing, 56-byte avih/strh, word-alignment padding) whose movi
+    * chunks are real JDK-encoded JPEGs — solid gray at luminance-bin
+    * CENTERS (gray = 32·bin + 16), so decode survives JPEG's DC
+    * quantization with every pixel in the planted bin. Ids ≡ 0 mod 31 get
+    * md5 garbage (non-RIFF → zero frame rows — the NonFatal path). Spark
+    * must demux the container and DECODE EVERY FRAME to recover the
+    * dominant bin and its exact 1.0 mass; the oracle replays the planted
+    * parameters arithmetically, so any chunk-framing, padding, or
+    * byte-range error surfaces as a hash mismatch.
+    *
+    * Scale shape: one projection, one mapPartitions flatMap — zero
+    * shuffle; per-record decode fan-out is capped (maxFrames) so an
+    * adversarial million-chunk AVI cannot skew-bomb a task. */
+  def q199AviFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // the id column is one tiny parquet split, but each id fans out into a
+    // JPEG encode + container demux + per-frame decode — spread the codec
+    // work across the cluster before the map (decode cost, not input bytes,
+    // is the unit of work here; Multimodal.partitionBySize is the same idea
+    // for real payloads)
+    val ids = load(spark, dir, "documents").select(col("doc_id"))
+      .repartition(64).as[Long]
+    val records = ids.map { k =>
+      val payload =
+        if (k % 31 == 0)
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(BigInt(k).toByteArray)
+        else {
+          val n = 1 + (k % 4L).toInt
+          val w = 16 * (1 + (k % 8L).toInt)
+          val h = 16 * (1 + (k % 5L).toInt)
+          val frames = (0 until n).map(f =>
+            graft.ext.Avi.encodeGrayJpeg(w, h, 32 * ((k + f) % 8L).toInt + 16))
+          graft.ext.Avi.synthesize(
+            usPerFrame = 20000L + (k % 100L) * 100L,
+            width = w, height = h, frames = frames)
+        }
+      (k, payload)
+    }
+    graft.ext.Avi.extractFrameFeatures(records, stride = 1, maxFrames = 8)
+      .select(
+        col("media_id"), col("frame_idx"), col("width"), col("height"),
+        col("n_frames"), col("us_per_frame"), col("codec"),
+        (expr("array_position(feature, array_max(feature))") - 1)
+          .cast("int").as("dom_bin"),
+        expr("array_max(feature)").cast("double").as("dom_mass"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_multimodal_features" -> (q32MultimodalFeatures _),
-    "q185_video_metadata" -> (q185VideoMetadata _)
+    "q185_video_metadata" -> (q185VideoMetadata _),
+    "q199_avi_frames" -> (q199AviFrames _)
   )
 
   private val hex16 = (0 until 4).map { i =>
@@ -107,6 +159,25 @@ object MultimodalQueries {
         |      || CASE WHEN doc_id % 3 >= 1 THEN ',mp4a' ELSE '' END
         |      || CASE WHEN doc_id % 3 >= 2 THEN ',tx3g' ELSE '' END
         |    END AS codecs
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+    /* q199: the planted AVI/JPEG parameters, replayed arithmetically.
+     * One row per (id, frame) for ids not ≡ 0 mod 31 (those are garbage
+     * payloads → zero frame rows); dom_bin = (id + frame) % 8 because the
+     * frame is solid gray 32·bin + 16 and a solid (DC-only) JPEG decodes
+     * pixel-constant within ±2 — never crossing the ±16 bin boundary —
+     * so the dominant bin holds exactly 1.0 of the mass. */
+    "q199_avi_frames" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(16 * (1 + doc_id % 8) AS INTEGER) AS width,
+        |  CAST(16 * (1 + doc_id % 5) AS INTEGER) AS height,
+        |  CAST(1 + doc_id % 4 AS INTEGER) AS n_frames,
+        |  20000 + (doc_id % 100) * 100 AS us_per_frame,
+        |  'MJPG' AS codec,
+        |  CAST((doc_id + f) % 8 AS INTEGER) AS dom_bin,
+        |  1.0 AS dom_mass
+        |FROM (SELECT doc_id, unnest(range(1 + doc_id % 4)) AS f
+        |      FROM documents WHERE doc_id % 31 <> 0)
+        |ORDER BY media_id, frame_idx""".stripMargin
   )
 }

@@ -1001,6 +1001,131 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("Avi RIFF walk: round-trip law parse(synthesize(p)) == p; frames " +
+       "decode to the planted bins with exact 1.0 mass; features equal an " +
+       "independent decode of the source JPEGs") {
+    import graft.ext.Avi
+    val w = 48
+    val h = 32
+    val bins = Seq(1, 4, 7) // grays 48, 144, 240 — bin centers
+    val jpegs = bins.map(b => Avi.encodeGrayJpeg(w, h, 32 * b + 16))
+    val p = Avi.synthesize(usPerFrame = 40000L, width = w, height = h,
+      frames = jpegs)
+    val m = Avi.parseMeta(9L, p)
+    assert(m.width.contains(w) && m.height.contains(h), s"meta dims: $m")
+    assert(m.n_streams == 1 && m.total_frames.contains(3L))
+    assert(m.us_per_frame.contains(40000L) && m.codec.contains("MJPG"))
+    val frames = Avi.decodeFrames(9L, p, stride = 1, maxFrames = 8)
+    assert(frames.map(_.frame_idx) == Seq(0, 1, 2))
+    frames.zip(bins).foreach { case (f, bin) =>
+      assert(f.width == w && f.height == h && f.n_frames == 3)
+      assert(f.us_per_frame.contains(40000L) && f.codec.contains("MJPG"))
+      // solid DC-only JPEG: every pixel lands in the planted bin
+      assert(f.feature(bin) == 1.0f,
+        s"frame ${f.frame_idx}: bin $bin mass ${f.feature(bin)}")
+      assert(f.feature.sum == 1.0f)
+    }
+    // chunk byte-range validation: the walked feature must equal an
+    // INDEPENDENT histogram of the source JPEG decoded outside the walk
+    frames.zip(jpegs).foreach { case (f, src) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(src))
+      val hist = new Array[Float](8)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        hist(lum >> 5) += 1f
+      }
+      val n = (img.getWidth.toLong * img.getHeight).toFloat
+      assert(f.feature.toSeq == hist.map(_ / n).toSeq,
+        s"frame ${f.frame_idx} diverges from the independent decode")
+    }
+    // stride + cap: every 2nd of 6 frames, capped at 2 — indices stay the
+    // movi positions (stable under the cap), n_frames stays the total 6
+    val six = Avi.synthesize(33366L, w, h,
+      (0 until 6).map(i => Avi.encodeGrayJpeg(w, h, 32 * (i % 8) + 16)))
+    val sampled = Avi.decodeFrames(9L, six, stride = 2, maxFrames = 2)
+    assert(sampled.map(_.frame_idx) == Seq(0, 2))
+    assert(sampled.forall(_.n_frames == 6))
+  }
+
+  test("Avi RIFF walk: crafted payloads never throw, loop, or overread — " +
+       "truncations keep complete frames only; padding and bad chunks skip " +
+       "without losing neighbours") {
+    import graft.ext.Avi
+    val good = Avi.synthesize(40000L, 32, 32,
+      Seq(Avi.encodeGrayJpeg(32, 32, 48), Avi.encodeGrayJpeg(32, 32, 144)))
+    // exhaustive truncation sweep: every prefix parses without throwing,
+    // and any frame that DOES come out is a complete chunk with the true
+    // dims and planted bin — never a half-JPEG
+    for (n <- 0 to good.length) {
+      val pre = good.take(n)
+      val m = Avi.parseMeta(0L, pre) // must not throw
+      assert(m.n_streams >= 0)
+      val fs = Avi.decodeFrames(0L, pre, 1, 8)
+      fs.foreach { f =>
+        assert(f.width == 32 && f.height == 32,
+          s"prefix $n emitted a frame with fabricated dims ${f.width}x${f.height}")
+        assert(f.feature(if (f.frame_idx == 0) 1 else 4) == 1.0f,
+          s"prefix $n frame ${f.frame_idx} lost its planted bin")
+      }
+    }
+    def le32(v: Long) = Array(v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    def ck(t: String, body: Array[Byte]) =
+      t.getBytes("ISO-8859-1") ++ le32(body.length.toLong) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    def riff(body: Array[Byte]) =
+      "RIFF".getBytes ++ le32(4L + body.length) ++ "AVI ".getBytes ++ body
+    // an ODD-length non-JPEG frame chunk: its pad byte must be respected
+    // (the next chunk is found), and the undecodable chunk itself skips
+    // WITHOUT shifting its neighbour's movi index
+    val oddJunk = ck("00dc", Array.fill[Byte](33)(0x5a))
+    val realJpeg = ck("00dc", Avi.encodeGrayJpeg(16, 16, 240))
+    val mixed = riff(
+      "LIST".getBytes ++ le32(4L + oddJunk.length + realJpeg.length) ++
+        "movi".getBytes ++ oddJunk ++ realJpeg)
+    val mf = Avi.decodeFrames(3L, mixed, 1, 8)
+    assert(mf.map(_.frame_idx) == Seq(1), s"padding broke chunk framing: $mf")
+    assert(mf.head.feature(7) == 1.0f && mf.head.n_frames == 2)
+    // a movi chunk whose declared size overruns the file contributes NO
+    // frame (complete chunks only), but the file still parses
+    val overrun = riff(
+      "LIST".getBytes ++ le32(4L + 8 + 4) ++ "movi".getBytes ++
+        "00dc".getBytes ++ le32(1000000L) ++ Array.fill[Byte](4)(0x11))
+    assert(Avi.decodeFrames(0L, overrun, 1, 8).isEmpty)
+    val torture = Seq[Array[Byte]](
+      Array.emptyByteArray,
+      Array.fill[Byte](7)(0x52),
+      "RIFF".getBytes ++ le32(4L) ++ "AVI ".getBytes, // header only
+      "RIFF".getBytes ++ le32(0xffffffffL) ++ "AVI ".getBytes ++
+        Array.fill[Byte](32)(0x22), // hostile riff size clamps
+      "RIFF".getBytes ++ le32(100L) ++ "WAVE".getBytes ++
+        Array.fill[Byte](32)(0x33), // not an AVI form
+      riff(ck("avih", Array.fill[Byte](12)(0x44))), // short avih: no fields
+      riff("LIST".getBytes ++ le32(0L) ++ Array.fill[Byte](16)(0x55)), // size 0
+      // LIST self-nesting depth bomb: 16 movi lists each spanning to end
+      riff((0 until 16).map(_ => "LIST".getBytes ++ le32(0xfffffff0L) ++
+        "movi".getBytes).reduce(_ ++ _)),
+      java.security.MessageDigest.getInstance("MD5").digest("junk".getBytes),
+      good ++ good // concatenated files: first RIFF bounds the walk
+    )
+    for (p <- torture) {
+      val m = Avi.parseMeta(0L, p) // must not throw
+      assert(m.n_streams >= 0)
+      Avi.decodeFrames(0L, p, 1, 4) // must not throw either
+    }
+    // pure garbage reads as the all-null row with zero frames (q199's
+    // oracle CASE arm)
+    val g = Avi.parseMeta(0L,
+      java.security.MessageDigest.getInstance("MD5").digest("junk".getBytes))
+    assert(g.width.isEmpty && g.n_streams == 0 && g.total_frames.isEmpty &&
+      g.us_per_frame.isEmpty && g.codec.isEmpty)
+    // concatenated files: the first RIFF's size bounds the walk — the
+    // second file's frames must not leak in
+    assert(Avi.decodeFrames(0L, good ++ good, 1, 8).size == 2)
+  }
+
   test("multimodal: an animated GIF reports its true frame count") {
     import javax.imageio.{IIOImage, ImageIO}
     val buf = new java.io.ByteArrayOutputStream()
