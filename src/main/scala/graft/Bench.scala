@@ -178,14 +178,30 @@ object Bench {
       }
       val ccMb = codeCacheMb
       val ok = attempts.collect { case (t, None, g, c, s, j) => (t, g, c, s, j) }
-      val best = if (ok.nonEmpty) ok.minBy(_._1) else (-1.0, 0.0, -1.0, -1.0, -1.0)
-      // every attempt's wall + jit ride along (ADVICE r9: the variable-N
-      // min must be auditable — a reader can see how many attempts ran and
-      // which one the reported floor came from; errored attempts log -1)
+      // steal-aware min (r15 verdict #4): two rounds of steal-poisoned
+      // epochs showed "wait for a quiet box" is not a strategy. Prefer the
+      // min over attempts that ran at < 1% machine steal; only when NO
+      // attempt was clean fall back to the global min and flag the query
+      // `contended` so the number is visibly not like-for-like. Steal −1
+      // means /proc/stat was unreadable — unknown, not contended: such
+      // attempts stay eligible only for the fallback. Attempt counts,
+      // warmup and the adaptive re-run rule are unchanged (the harness
+      // stays comparable round-over-round).
+      val clean = ok.filter(a => a._4 >= 0 && a._4 < 1.0)
+      val best = if (clean.nonEmpty) clean.minBy(_._1)
+                 else if (ok.nonEmpty) ok.minBy(_._1)
+                 else (-1.0, 0.0, -1.0, -1.0, -1.0)
+      val contended = ok.nonEmpty && clean.isEmpty && ok.exists(_._4 >= 1.0)
+      // every attempt's wall + jit + steal ride along (ADVICE r9: the
+      // variable-N min must be auditable — a reader can see how many
+      // attempts ran, which one the reported floor came from, and whether
+      // the clean-steal rule or the fallback picked it; errored attempts
+      // log wall −1 but keep their real steal)
       (name, best._1, if (ok.isEmpty) attempts.head._2 else None,
         best._2, best._3, best._4, best._5, ccMb,
         attempts.map(a => if (a._2.isDefined) -1.0 else a._1).toSeq,
-        attempts.map(_._6).toSeq)
+        attempts.map(_._6).toSeq,
+        attempts.map(_._5).toSeq, contended)
     }
     val qs = runs.map { case r => s"\"" + r._1 + "\":" + (if (r._3.isDefined) -1.0 else r._2) }
       .mkString("{", ",", "}")
@@ -202,7 +218,7 @@ object Bench {
     // cpu up with gc/steal flat + codecache at the ceiling = code-cache
     // flushing (see build.sbt's ReservedCodeCacheSize note)
     type RunRow = (String, Double, Option[String], Double, Double, Double,
-      Double, Double, Seq[Double], Seq[Double])
+      Double, Double, Seq[Double], Seq[Double], Seq[Double], Boolean)
     def jmap(f: RunRow => Double) =
       runs.map(r => s"\"" + r._1 + "\":" + r3(f(r))).mkString("{", ",", "}")
     // per-attempt arrays: the audit trail for the adaptive-attempt rule
@@ -216,8 +232,13 @@ object Bench {
     val ccs = jmap(_._8)
     val aWalls = jarr(_._9)
     val aJits = jarr(_._10)
+    val aSteals = jarr(_._11)
+    // only the queries whose reported min came from the contended fallback
+    // (no attempt under 1% steal) — empty object on a clean run
+    val contendedMap = runs.collect { case r if r._12 =>
+      "\"" + r._1 + "\":true" }.mkString("{", ",", "}")
     val total = runs.collect { case r if r._3.isEmpty => r._2 }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"gc":$gcs,"cpu":$cpus_,"steal_pct":$steals,"jit":$jits,"codecache_mb":$ccs,"attempt_walls":$aWalls,"attempt_jits":$aJits,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"gc":$gcs,"cpu":$cpus_,"steal_pct":$steals,"jit":$jits,"codecache_mb":$ccs,"attempt_walls":$aWalls,"attempt_jits":$aJits,"attempt_steals":$aSteals,"contended":$contendedMap,"sf":"$sfDir"}"""
     println(line)
     // the stdout line is >4 KB at 100+ queries and output-capture windows
     // truncate it — ALSO dump the same JSON whole to a file (overridable;
