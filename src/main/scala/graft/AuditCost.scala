@@ -80,6 +80,31 @@ object AuditCost {
           docs.withColumn("is_b", col("doc_id") % 50 === 0),
           "doc_id", "text", "is_b", minLen = 20, k = 64).count()
       }
+      // ── near-dup twin (r15 verdict #6): the same fixed shard audited
+      // against the persisted LSH band index vs. re-banding the standing
+      // corpus from text each time. The corpus here is everything NOT in
+      // the shard — it grows 10× at sf1 while the shard stays fixed, so
+      // the delta between the two rows is exactly the corpus re-band
+      // (MinHash kernel over all corpus text) the index amortizes away.
+      import graft.ext.Dedup
+      val ndCorpus = docs.filter(!(col("doc_id") % 5 === 1 &&
+        col("doc_id") < cutoff))
+      val ndIxDir = java.nio.file.Files
+        .createTempDirectory("graft_auditcost_ndix").toString
+      val tb0 = System.nanoTime()
+      Dedup.nearDupBandIndex(ndCorpus, "doc_id", "text")
+        .write.mode("overwrite").parquet(ndIxDir)
+      println(f"$dir neardup_index_build (once, amortized): " +
+        f"wall=${(System.nanoTime() - tb0) / 1e9}%.2fs")
+      val ndIndex = spark.read.parquet(ndIxDir)
+      time("neardup_index_audit") {
+        Dedup.nearDupAgainstIndex(ndIndex, shard, "doc_id", "text").count()
+      }
+      time("neardup_full_reband") {
+        Dedup.nearDupAgainstIndex(
+          Dedup.nearDupBandIndex(ndCorpus, "doc_id", "text"),
+          shard, "doc_id", "text").count()
+      }
     }
     spark.stop()
   }

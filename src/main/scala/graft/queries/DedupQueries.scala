@@ -121,6 +121,23 @@ object DedupQueries {
       .transform(tinySort(_, col("new_id"), col("ref_id")))
   }
 
+  /** q200 — arrival-time near-dup against the PERSISTED band index
+    * ([[Dedup.nearDupAgainstIndex]], r15 verdict #6): even doc_ids are the
+    * standing corpus whose `(id, band)` index was built once (here
+    * in-query for the oracle; `graft.AuditCost` measures the
+    * parquet-persisted shape), odd ids the arriving shard. Output =
+    * shard-vs-index candidates PLUS shard-internal pairs — exactly the
+    * full re-band restricted to pairs touching the shard (the ExtSpec
+    * law), with zero corpus signatures recomputed. */
+  def q200NearDupIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val index = Dedup.nearDupBandIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    Dedup.nearDupAgainstIndex(index,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      .transform(tinySort(_, col("new_id"), col("ref_id")))
+  }
+
   /** q91 — near-dup hub centrality ([[graft.ext.Graph.pageRankInt]], 5
     * damped iterations, integer fixed-point): PageRank over the symmetric
     * LSH pair graph (the same graph q22 emits and q51 clusters) — ranks the
@@ -571,6 +588,7 @@ object DedupQueries {
     "q104_lsh_eval" -> (q104LshEval _),
     "q77_span_dedup" -> (q77SpanDedup _),
     "q90_cross_corpus" -> (q90CrossCorpus _),
+    "q200_neardup_index" -> (q200NearDupIndex _),
     "q91_pagerank" -> (q91PageRank _),
     "q20_dedup_exact" -> (q20DedupExact _),
     "q70_ngram_novelty" -> (q70NgramNovelty _),
@@ -1644,6 +1662,20 @@ object DedupQueries {
          |SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
          |FROM bands n JOIN bands r ON n.band = r.band
          |WHERE n.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+         |ORDER BY new_id, ref_id""".stripMargin,
+    /* q200: the q90 bands, but the pair set is everything TOUCHING the
+     * shard (odd ids): shard-vs-corpus in either band role, plus
+     * shard-internal pairs oriented smaller-id-first. */
+    "q200_neardup_index" ->
+      s"""WITH $SigCte,
+         | bands AS (
+         |   SELECT doc_id, md5('B0|' || sig0 || '|' || sig1 || '|' || sig2 || '|' || sig3) AS band FROM sig
+         |   UNION ALL
+         |   SELECT doc_id, md5('B1|' || sig4 || '|' || sig5 || '|' || sig6 || '|' || sig7) AS band FROM sig)
+         |SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+         |FROM bands n JOIN bands r ON n.band = r.band
+         |WHERE n.doc_id % 2 = 1
+         |  AND (r.doc_id % 2 = 0 OR n.doc_id < r.doc_id)
          |ORDER BY new_id, ref_id""".stripMargin,
     "q22_lsh_band_pairs" ->
       s"""WITH $SigCte,
