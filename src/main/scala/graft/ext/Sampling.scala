@@ -142,6 +142,37 @@ object Sampling {
         coalesce(col("cluster_cross_pairs"), lit(0L)).as("cluster_cross_pairs"))
   }
 
+  /** [[clusterAwareSplit]]'s marginal counts WITHOUT the pair-leak columns —
+    * the output that depends only on CLUSTER LABELS, never on which edges
+    * the detector materialized. This is the consumer a connectivity-exact
+    * reduced detector ([[Similarity.bandedNearDupForest]]'s spanning
+    * forest, r15 verdict #5) can feed verbatim: same clusters → identical
+    * rows, which is exactly what the q201 oracle proves per run (DuckDB
+    * closes over the FULL pair set, Spark routes the forest). Leakage is
+    * still free by construction — both endpoints of any detector pair
+    * share a cluster, hence a split. */
+  def clusterAwareSplitCounts(ids: DataFrame, pairs: DataFrame, idCol: String,
+                              aCol: String, bCol: String,
+                              splits: Seq[(String, Double)] =
+                                Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                              salt: String = "graft-split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "splits must have positive weights")
+    val pr = pairs
+      .select(col(aCol).cast("long").as("_a"), col(bCol).cast("long").as("_b"))
+    val counts = splitAssignments(ids, pr, idCol, splits, salt)
+      .groupBy(col("_sc"), col("_sn"))
+      .agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true) // |splits|²-bounded, read twice
+    val nc = counts.groupBy(col("_sc").as("split"))
+      .agg(sum(col("_n")).as("n_docs_cluster"))
+    val nn = counts.groupBy(col("_sn").as("split"))
+      .agg(sum(col("_n")).as("n_docs_naive"))
+    nc.join(nn, Seq("split"), "full")
+      .select(col("split"),
+        coalesce(col("n_docs_cluster"), lit(0L)).as("n_docs_cluster"),
+        coalesce(col("n_docs_naive"), lit(0L)).as("n_docs_naive"))
+  }
+
   /** Deterministic corpus shuffle: a reproducible global training order —
     * every row gets a dense position 1..N by sorting on md5(salt:id) with
     * the id itself as tie-break (md5 collisions at 128 bits never happen,

@@ -162,6 +162,27 @@ object SimilarityQueries {
       .transform(tinySort(_, col("split")))
   }
 
+  /** q201 — cluster-aware split through the SPANNING-FOREST detector
+    * ([[Similarity.bandedNearDupForest]] → [[graft.ext.Sampling
+    * .clusterAwareSplitCounts]], r15 verdict #5 — q191's scale path):
+    * per band bucket an in-memory union-find over verified pairs emits
+    * only spanning edges — the same transitive closure as q191's full
+    * pair materialization (a per-bucket spanning forest preserves the
+    * verified pair graph's components exactly), at one n·bands shuffle
+    * instead of a quadratic pair shuffle + two embedding joins. The
+    * oracle IS the law: DuckDB closes over the FULL detector's pairs
+    * while Spark routes the forest — any split/merge divergence is a
+    * hash mismatch. Output: the label-only split audit (doc counts per
+    * split under cluster-aware and naive routing). */
+  def q201ClusterSplitForest(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val pairs = Similarity.bandedNearDupForest(emb, "vec_id", "embedding",
+      threshold = 0.35, bands = 3, planesPerBand = 6)
+    graft.ext.Sampling.clusterAwareSplitCounts(emb, pairs,
+        "vec_id", "vec_a", "vec_b")
+      .transform(tinySort(_, col("split")))
+  }
+
   /** q143 — product-quantization ANN ([[Similarity.pqTopK]], Jégou et al.
     * TPAMI '11): the compressed-domain search completing the quantization
     * family — global int8 scale, 8 subquantizers × 16 hash-sampled
@@ -340,6 +361,7 @@ object SimilarityQueries {
     "q50_banded_neardup" -> (q50BandedNearDup _),
     "q51_dup_clusters" -> (q51DupClusters _),
     "q191_cluster_split" -> (q191ClusterSplit _),
+    "q201_cluster_split_forest" -> (q201ClusterSplitForest _),
     "q60_semdedup" -> (q60SemDedup _)
   )
 
@@ -1087,6 +1109,32 @@ object SimilarityQueries {
         |  COALESCE(cl.cluster_cross_pairs, 0) AS cluster_cross_pairs
         |FROM sx LEFT JOIN nc USING (split) LEFT JOIN nn USING (split)
         |LEFT JOIN nl USING (split) LEFT JOIN cl USING (split)
+        |ORDER BY sx.split""".stripMargin,
+    /* q201: q191's label CTEs verbatim — the closure runs over the FULL
+     * verified pair detector, so matching hashes PROVE the Spark-side
+     * spanning forest preserved every component (the connectivity law,
+     * re-checked per run). Pair-leak columns omitted: they are the only
+     * output that depends on the materialized edge set. */
+    "q201_cluster_split_forest" ->
+      s"""WITH RECURSIVE $ClusterLabelCtes,
+        | asg AS (SELECT e.vec_id AS id, COALESCE(l.cluster_id, e.vec_id) AS gk
+        |         FROM embeddings e LEFT JOIN labels l ON l.vec_id = e.vec_id),
+        | sp AS (SELECT id,
+        |    CASE WHEN substr(md5('graft-split:' || CAST(gk AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |         WHEN substr(md5('graft-split:' || CAST(gk AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS sc,
+        |    CASE WHEN substr(md5('graft-split:' || CAST(id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |         WHEN substr(md5('graft-split:' || CAST(id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS sn
+        |   FROM asg),
+        | nc AS (SELECT sc AS split, CAST(COUNT(*) AS BIGINT) AS n_docs_cluster FROM sp GROUP BY 1),
+        | nn AS (SELECT sn AS split, CAST(COUNT(*) AS BIGINT) AS n_docs_naive FROM sp GROUP BY 1),
+        | sx AS (SELECT DISTINCT split FROM (SELECT split FROM nc
+        |                  UNION ALL SELECT split FROM nn) u)
+        |SELECT sx.split,
+        |  COALESCE(nc.n_docs_cluster, 0) AS n_docs_cluster,
+        |  COALESCE(nn.n_docs_naive, 0) AS n_docs_naive
+        |FROM sx LEFT JOIN nc USING (split) LEFT JOIN nn USING (split)
         |ORDER BY sx.split""".stripMargin,
     /* SemDeDup: q43's deterministic index build (md5-ordered centroid
      * sample, round(cos,4) DESC + cid DESC assignment tie-break), then the

@@ -482,6 +482,37 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L), (5L, 2L)))
   }
 
+  test("bandedNearDupForest: spanning-forest detector yields EXACTLY the " +
+       "full pair detector's clusters, with linear edge volume (r15 #5)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val full = Similarity.bandedNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.35, bands = 3, planesPerBand = 6)
+    val forest = Similarity.bandedNearDupForest(emb, "vec_id", "embedding",
+      threshold = 0.35, bands = 3, planesPerBand = 6)
+    def partition(pairs: org.apache.spark.sql.DataFrame,
+                  a: String, b: String): Set[Set[Long]] =
+      Dedup.duplicateClusters(pairs, a, b)
+        .collect().map(r => (r.getLong(1), r.getLong(0)))
+        .groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+    val pFull = partition(full, "vec_a", "vec_b")
+    val pForest = partition(forest, "vec_a", "vec_b")
+    // THE LAW: identical components — the forest never splits (leakage)
+    // nor merges (over-grouping) a cluster
+    assert(pForest == pFull,
+      s"forest clusters diverged: only-full=${(pFull -- pForest).take(3)} " +
+        s"only-forest=${(pForest -- pFull).take(3)}")
+    assert(pFull.nonEmpty, "law ran on empty cluster structure")
+    // edge-volume claim: per component the forest carries at most
+    // |members|−1 edges PER BAND (bands may emit overlapping spanning
+    // edges for a shared component, so the union is bounded by
+    // bands·Σ(m−1) — LINEAR in member count, never quadratic like the
+    // full pair set's within-clique m² blowup)
+    val nForest = forest.count()
+    val maxPerComponent = 3L * pFull.toSeq.map(_.size - 1).sum
+    assert(nForest <= maxPerComponent,
+      s"forest edges $nForest exceed the bands·(m−1) bound $maxPerComponent")
+  }
+
   test("nearDupAgainstIndex: parquet-persisted index audit ≡ the full " +
        "re-band restricted to pairs touching the shard (r15 verdict #6)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
