@@ -66,6 +66,15 @@ object Avi {
                       n_frames: Int, us_per_frame: Option[Long],
                       codec: Option[String], feature: Array[Float])
 
+  /** The decoded AUDIO track of an interleaved A/V file: PCM format fields
+    * from the `auds` stream's WAVEFORMATEX `strf`, chunk/sample counts, and
+    * the same 8-segment RMS energy profile [[Multimodal.decodeAudio]] emits
+    * (identical per-sample math, so consumers are modality-blind). One row
+    * per payload WITH a decodable PCM track; none otherwise. */
+  case class AviAudio(media_id: Long, sample_rate: Long, channels: Int,
+                      bits: Int, n_chunks: Int, n_samples: Long,
+                      rms: Array[Double])
+
   // ---------------------------------------------------------------- builder
 
   private def u32le(v: Long): Array[Byte] = Array(
@@ -107,14 +116,39 @@ object Avi {
     bos.toByteArray
   }
 
-  /** Emit a minimal but structurally complete single-video-stream AVI:
-    * 56-byte `avih`, one `strl` (56-byte `strh` 'vids' + BITMAPINFOHEADER
-    * `strf`), then one `00dc` chunk per pre-encoded JPEG frame. */
+  /** Raw little-endian 16-bit signed PCM of a constant-amplitude tone —
+    * the audio analog of [[encodeGrayJpeg]]'s solid frame: every float op
+    * on decode (scale by 2⁻¹⁵, square, segment mean, sqrt) is EXACT for a
+    * constant sample (partial sums stay integer-scaled under 2⁵³; the
+    * mean divides its own multiple; sqrt of an exact square is the exact
+    * root), so the oracle replays `c / 32768.0` arithmetically. */
+  def encodePcm16(amplitude: Int, nSamples: Int): Array[Byte] = {
+    require(amplitude > -32768 && amplitude < 32768, s"amplitude $amplitude")
+    val out = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      out(2 * i) = amplitude.toByte
+      out(2 * i + 1) = (amplitude >> 8).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Emit a minimal but structurally complete AVI: 56-byte `avih`, a
+    * `strl` (56-byte `strh` 'vids' + BITMAPINFOHEADER `strf`) with one
+    * `00dc` chunk per pre-encoded JPEG frame — and, when `audioChunks` is
+    * non-empty, a SECOND `strl` ('auds' + WAVEFORMATEX `strf`) whose raw
+    * PCM rides in `01wb` chunks interleaved after the video frames (movi
+    * order is what a demuxer must honor; graft reads streams by the
+    * chunk-id digits, not by position). */
   def synthesize(usPerFrame: Long, width: Int, height: Int,
-                 frames: Seq[Array[Byte]], handler: String = "MJPG"): Array[Byte] = {
+                 frames: Seq[Array[Byte]], handler: String = "MJPG",
+                 audioChunks: Seq[Array[Byte]] = Nil, audioRate: Long = 8000L,
+                 audioChannels: Int = 1, audioBits: Int = 16): Array[Byte] = {
+    val nStreams = if (audioChunks.nonEmpty) 2L else 1L
     val avih = chunk("avih",
       u32le(usPerFrame) ++ u32le(0) ++ u32le(0) ++ u32le(0x10) ++
-        u32le(frames.size.toLong) ++ u32le(0) ++ u32le(1) ++ u32le(0) ++
+        u32le(frames.size.toLong) ++ u32le(0) ++ u32le(nStreams) ++ u32le(0) ++
         u32le(width.toLong) ++ u32le(height.toLong) ++ new Array[Byte](16))
     val strh = chunk("strh",
       fourcc("vids") ++ fourcc(handler) ++ u32le(0) ++ u16le(0) ++ u16le(0) ++
@@ -126,8 +160,28 @@ object Avi {
         u16le(1) ++ u16le(24) ++ fourcc("MJPG") ++
         u32le(width.toLong * height * 3) ++ u32le(0) ++ u32le(0) ++
         u32le(0) ++ u32le(0))
-    val hdrl = list("hdrl", avih, list("strl", strh, strf))
-    val movi = list("movi", frames.map(f => chunk("00dc", f)): _*)
+    val audioStrl =
+      if (audioChunks.isEmpty) Nil
+      else {
+        val blockAlign = audioChannels * audioBits / 8
+        val ash = chunk("strh",
+          fourcc("auds") ++ fourcc("NONE") ++ u32le(0) ++
+            u16le(0) ++ u16le(0) ++ u32le(0) ++ u32le(1) ++ u32le(audioRate) ++
+            u32le(0) ++ u32le(audioChunks.map(_.length.toLong).sum / blockAlign) ++
+            u32le(0) ++ u32le(10000) ++ u32le(blockAlign.toLong) ++
+            u16le(0) ++ u16le(0) ++ u16le(0) ++ u16le(0))
+        // WAVEFORMATEX: tag 1 = PCM
+        val asf = chunk("strf",
+          u16le(1) ++ u16le(audioChannels) ++ u32le(audioRate) ++
+            u32le(audioRate * blockAlign) ++ u16le(blockAlign) ++
+            u16le(audioBits) ++ u16le(0))
+        Seq(list("strl", ash, asf))
+      }
+    val hdrl = list("hdrl",
+      (avih +: list("strl", strh, strf) +: audioStrl): _*)
+    val movi = list("movi",
+      (frames.map(f => chunk("00dc", f)) ++
+        audioChunks.map(a => chunk("01wb", a))): _*)
     val riffBody = fourcc("AVI ") ++ hdrl ++ movi
     fourcc("RIFF") ++ u32le(riffBody.length.toLong) ++ riffBody
   }
@@ -146,6 +200,14 @@ object Avi {
     t.length == 4 && t(0) >= '0' && t(0) <= '9' && t(1) >= '0' && t(1) <= '9' &&
       t(2) == 'd' && (t(3) == 'b' || t(3) == 'c')
 
+  /** `${idx}%02dwb` for the discovered auds stream index (hdrl precedes
+    * movi in a well-formed file, so the index is known by the time chunks
+    * arrive; without one, no chunk qualifies). */
+  private def isAudioCc(t: String, audioStream: Option[Int]): Boolean =
+    audioStream.exists(i => t.length == 4 &&
+      t(0) == ('0' + i / 10).toChar && t(1) == ('0' + i % 10).toChar &&
+      t(2) == 'w' && t(3) == 'b' && i < 100)
+
   private final class Acc {
     var width: Option[Int] = None
     var height: Option[Int] = None
@@ -154,6 +216,15 @@ object Avi {
     var usPerFrame: Option[Long] = None
     var codec: Option[String] = None
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    // audio stream state: the strl whose strh says 'auds' owns the next
+    // strf (WAVEFORMATEX); its stream INDEX (strh order) names its movi
+    // chunk ids — `${idx}%02dwb`
+    var lastStrhType: Option[String] = None
+    var audioStream: Option[Int] = None
+    var audioRate: Option[Long] = None
+    var audioChannels: Option[Int] = None
+    var audioBits: Option[Int] = None
+    val audioChunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
   }
 
   /** Walk the chunks in `b[from, until)`. Every branch is bounds-guarded;
@@ -186,13 +257,35 @@ object Avi {
             acc.height = Some(h.toInt)
           }
         case "strh" if body + 8 <= end =>
-          acc.nStreams += 1
-          if (acc.codec.isEmpty && readType(b, body) == "vids")
+          val st = readType(b, body)
+          acc.lastStrhType = Some(st)
+          if (acc.codec.isEmpty && st == "vids")
             acc.codec = Some(readType(b, body + 4))
+          // the FIRST auds stream's strh position names its movi chunks
+          // (`${idx}%02dwb`) and claims the strl's following strf
+          if (st == "auds" && acc.audioStream.isEmpty)
+            acc.audioStream = Some(acc.nStreams)
+          acc.nStreams += 1
+        case "strf" if acc.lastStrhType.contains("auds") &&
+            acc.audioRate.isEmpty && body + 16 <= end =>
+          // WAVEFORMATEX; only uncompressed PCM (tag 1) is decodable here
+          val tag = (b(body) & 0xff) | ((b(body + 1) & 0xff) << 8)
+          if (tag == 1) {
+            val ch = (b(body + 2) & 0xff) | ((b(body + 3) & 0xff) << 8)
+            val bits = (b(body + 14) & 0xff) | ((b(body + 15) & 0xff) << 8)
+            if (ch >= 1 && (bits == 8 || bits == 16)) {
+              acc.audioChannels = Some(ch)
+              acc.audioRate = Some(readU32LE(b, body + 4))
+              acc.audioBits = Some(bits)
+            }
+          }
         case t if inMovi && isFrameCc(t) =>
           // complete chunks only: a declared size overrunning the file
           // must not contribute a truncated frame
           if (body + size <= until) acc.frames += ((body, end))
+        case t if inMovi && isAudioCc(t, acc.audioStream) =>
+          // same complete-chunk rule: no half-samples from a truncation
+          if (body + size <= until) acc.audioChunks += ((body, end))
         case _ => ()
       }
       val adv = 8L + size + (size & 1L)
@@ -269,6 +362,69 @@ object Avi {
         Some((w, h, hist.map(_ / n)))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Demux + decode one payload's PCM audio track: the `auds` stream's
+    * `##wb` chunks concatenated in movi order (audio frames may split
+    * across chunks — the byte stream, not the chunk, is the track),
+    * interpreted per the WAVEFORMATEX strf (8-bit unsigned / 16-bit
+    * signed LE, channel mix-down by per-frame average), bucketed into the
+    * same balanced 8-segment RMS profile as [[Multimodal.decodeAudio]] —
+    * identical per-sample math, so the two paths emit comparable
+    * features. None when no PCM track parses or it holds no complete
+    * frame. */
+  private[graft] def decodeAudioTrack(mediaId: Long,
+                                      payload: Array[Byte]): Option[AviAudio] = {
+    val acc = parseAcc(payload)
+    for {
+      rate <- acc.audioRate
+      ch <- acc.audioChannels
+      bits <- acc.audioBits
+      if acc.audioChunks.nonEmpty
+    } yield {
+      val total = acc.audioChunks.map { case (s, e) => e - s }.sum
+      val bytes = new Array[Byte](total)
+      var off = 0
+      acc.audioChunks.foreach { case (s, e) =>
+        System.arraycopy(payload, s, bytes, off, e - s)
+        off += e - s
+      }
+      val frameSize = ch * bits / 8
+      val frames = bytes.length / frameSize
+      val energy = new Array[Double](8)
+      val counts = new Array[Long](8)
+      var i = 0
+      while (i < frames) {
+        var c = 0
+        var mix = 0.0
+        while (c < ch) {
+          val o = i * frameSize + c * (bits / 8)
+          val s =
+            if (bits == 8) ((bytes(o) & 0xff) - 128) / 128.0
+            else (((bytes(o + 1) << 8) | (bytes(o) & 0xff))).toShort / 32768.0
+          mix += s
+          c += 1
+        }
+        mix /= ch
+        val seg = (i.toLong * 8 / frames).toInt
+        energy(seg) += mix * mix
+        counts(seg) += 1
+        i += 1
+      }
+      val rms = Array.tabulate(8)(s =>
+        if (counts(s) > 0) math.sqrt(energy(s) / counts(s)) else 0.0)
+      AviAudio(mediaId, rate, ch, bits, acc.audioChunks.size, frames.toLong, rms)
+    }
+  }.filter(_.n_samples > 0)
+
+  /** Audio-track feature extraction over (media_id, payload) records — the
+    * audio half of the A/V demux, same mapPartitions batch shape. One row
+    * per payload with a decodable PCM track. */
+  def extractAudioFeatures(records: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.flatMap { case (id, p) =>
+      decodeAudioTrack(id, p)
+    }).toDF()
   }
 
   /** Container-metadata extraction over (media_id, payload) records — the

@@ -115,10 +115,54 @@ object MultimodalQueries {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** q202 — the AUDIO half of the AVI demux ([[graft.ext.Avi
+    * .extractAudioFeatures]]): the same per-doc containers as q199 gain an
+    * interleaved `auds` PCM stream — TWO `01wb` chunks of constant
+    * 16-bit amplitude (c1 then c2), each a multiple of 4 samples, so the
+    * 8-segment RMS profile is segment-pure: segments 0–3 read exactly
+    * c1/32768 and 4–7 exactly c2/32768 (every float op on a constant
+    * sample is exact — see [[graft.ext.Avi.encodePcm16]]). Spark must
+    * find the auds strl, parse WAVEFORMATEX, collect the stream's chunks
+    * in movi order and concatenate them — a wrong chunk order, a missed
+    * chunk, or an off-by-one in the format offsets flips rms_first /
+    * rms_last / n_samples and fails the hash. Ids ≡ 0 mod 31 stay the
+    * garbage rows (no RIFF → no audio row). Zero-shuffle mapPartitions. */
+  def q202AviAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = load(spark, dir, "documents").select(col("doc_id"))
+      .repartition(64).as[Long]
+    val records = ids.map { k =>
+      val payload =
+        if (k % 31 == 0)
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(BigInt(k).toByteArray)
+        else {
+          val w = 16 * (1 + (k % 4L).toInt)
+          val nc = 400 + 8 * (k % 50L).toInt
+          val c1 = 500 + (k * 7 % 20000L).toInt
+          val c2 = 300 + (k * 13 % 25000L).toInt
+          graft.ext.Avi.synthesize(
+            usPerFrame = 33366L, width = w, height = w,
+            frames = Seq(graft.ext.Avi.encodeGrayJpeg(w, w, 144)),
+            audioChunks = Seq(graft.ext.Avi.encodePcm16(c1, nc),
+              graft.ext.Avi.encodePcm16(c2, nc)),
+            audioRate = 8000L + (k % 1000L))
+        }
+      (k, payload)
+    }
+    graft.ext.Avi.extractAudioFeatures(records)
+      .select(col("media_id"), col("sample_rate"), col("channels"),
+        col("bits"), col("n_chunks"), col("n_samples"),
+        element_at(col("rms"), 1).as("rms_first"),
+        element_at(col("rms"), 8).as("rms_last"))
+      .orderBy(col("media_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_multimodal_features" -> (q32MultimodalFeatures _),
     "q185_video_metadata" -> (q185VideoMetadata _),
-    "q199_avi_frames" -> (q199AviFrames _)
+    "q199_avi_frames" -> (q199AviFrames _),
+    "q202_avi_audio" -> (q202AviAudio _)
   )
 
   private val hex16 = (0 until 4).map { i =>
@@ -178,6 +222,20 @@ object MultimodalQueries {
         |  1.0 AS dom_mass
         |FROM (SELECT doc_id, unnest(range(1 + doc_id % 4)) AS f
         |      FROM documents WHERE doc_id % 31 <> 0)
-        |ORDER BY media_id, frame_idx""".stripMargin
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    /* q202: the planted PCM parameters replayed arithmetically — constant
+     * 16-bit samples make every decode-side float op exact, so the RMS of
+     * a segment-pure block is literally c/32768.0 in both engines. */
+    "q202_avi_audio" ->
+      """SELECT doc_id AS media_id,
+        |  8000 + (doc_id % 1000) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(16 AS INTEGER) AS bits,
+        |  CAST(2 AS INTEGER) AS n_chunks,
+        |  CAST(2 * (400 + 8 * (doc_id % 50)) AS BIGINT) AS n_samples,
+        |  CAST(500 + (doc_id * 7) % 20000 AS DOUBLE) / 32768.0 AS rms_first,
+        |  CAST(300 + (doc_id * 13) % 25000 AS DOUBLE) / 32768.0 AS rms_last
+        |FROM documents WHERE doc_id % 31 <> 0
+        |ORDER BY media_id""".stripMargin
   )
 }

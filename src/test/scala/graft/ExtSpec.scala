@@ -1113,6 +1113,58 @@ class ExtSpec extends AnyFunSuite {
     assert(sampled.forall(_.n_frames == 6))
   }
 
+  test("Avi A/V demux: interleaved auds stream round-trips — WAVEFORMATEX " +
+       "fields, chunk concatenation in movi order, EXACT segment-pure RMS") {
+    import graft.ext.Avi
+    val c1 = 12000
+    val c2 = 3000
+    val nc = 416 // multiple of 4 → 8 | 2·nc → segment-pure blocks
+    val p = Avi.synthesize(33366L, 32, 32,
+      frames = Seq(Avi.encodeGrayJpeg(32, 32, 144)),
+      audioChunks = Seq(Avi.encodePcm16(c1, nc), Avi.encodePcm16(c2, nc)),
+      audioRate = 44100L)
+    val m = Avi.parseMeta(4L, p)
+    assert(m.n_streams == 2 && m.codec.contains("MJPG"), s"meta: $m")
+    // the video path is untouched by the audio strl
+    val fs = Avi.decodeFrames(4L, p, 1, 8)
+    assert(fs.size == 1 && fs.head.feature(4) == 1.0f && fs.head.n_frames == 1)
+    val a = Avi.decodeAudioTrack(4L, p).get
+    assert(a.sample_rate == 44100L && a.channels == 1 && a.bits == 16)
+    assert(a.n_chunks == 2 && a.n_samples == 2L * nc)
+    // constant samples: every decode-side float op is exact, so segment
+    // RMS is LITERALLY c/32768.0 — equality, not tolerance
+    (0 until 4).foreach(s => assert(a.rms(s) == c1 / 32768.0,
+      s"segment $s: ${a.rms(s)} != ${c1 / 32768.0}"))
+    (4 until 8).foreach(s => assert(a.rms(s) == c2 / 32768.0,
+      s"segment $s: ${a.rms(s)} != ${c2 / 32768.0}"))
+    // 8-bit unsigned path: constant byte u → |u − 128| / 128 exactly
+    val pcm8 = Array.fill[Byte](200)(200.toByte)
+    val p8 = Avi.synthesize(33366L, 16, 16,
+      frames = Seq(Avi.encodeGrayJpeg(16, 16, 48)),
+      audioChunks = Seq(pcm8), audioBits = 8)
+    val a8 = Avi.decodeAudioTrack(1L, p8).get
+    assert(a8.bits == 8 && a8.n_samples == 200L)
+    assert(a8.rms.forall(_ == 72.0 / 128.0), a8.rms.toSeq.toString)
+    // no auds strl → wb chunks are unclaimed → no audio row (and no throw)
+    val videoOnly = Avi.synthesize(33366L, 16, 16,
+      frames = Seq(Avi.encodeGrayJpeg(16, 16, 48)))
+    assert(Avi.decodeAudioTrack(0L, videoOnly).isEmpty)
+    // truncation sweep over the A/V file: never throws; any audio row a
+    // prefix yields respects the complete-chunk rule — chunk counts only
+    // whole, rms values only from the planted constants
+    for (n <- 0 to p.length) {
+      val pre = p.take(n)
+      Avi.parseMeta(0L, pre)
+      Avi.decodeAudioTrack(0L, pre).foreach { t =>
+        assert(t.n_chunks >= 1 && t.n_samples % nc == 0,
+          s"prefix $n kept a partial chunk: $t")
+        assert(t.rms.forall(r =>
+          r == c1 / 32768.0 || r == c2 / 32768.0 || r == 0.0),
+          s"prefix $n fabricated rms: ${t.rms.toSeq}")
+      }
+    }
+  }
+
   test("Avi RIFF walk: crafted payloads never throw, loop, or overread — " +
        "truncations keep complete frames only; padding and bad chunks skip " +
        "without losing neighbours") {
