@@ -150,6 +150,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop in banded near-dup:\n$plan")
   }
 
+  test("q201 forest detector: ZERO joins — one bucket-keyed exchange into " +
+       "mapGroups, never a pair-scale shuffle") {
+    // the scale claim behind the spanning-forest swap: the full detector's
+    // pair materialization (bucket self-join + two embedding joins) is
+    // gone ENTIRELY — pair enumeration lives inside each bucket's task,
+    // so the detector plan must contain no join node of any kind and
+    // exactly the groupByKey exchange feeding MapGroups
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qe = graft.ext.Similarity.bandedNearDupForest(emb, "vec_id",
+        "embedding", threshold = 0.35, bands = 3, planesPerBand = 6)
+      .queryExecution
+    val plan = qe.sparkPlan.toString
+    assert(!("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|" +
+        "BroadcastNestedLoopJoin|CartesianProduct").r.findAllIn(plan).hasNext,
+      s"forest detector must not join:\n$plan")
+    assert(plan.contains("MapGroups"), s"expected MapGroups:\n$plan")
+    // exchanges only exist post-insertion (the r12 sparkPlan lesson)
+    val exec = qe.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(exec).length == 1,
+      s"expected exactly the bucket-keyed exchange:\n$exec")
+  }
+
   test("q53 capstone: detector materializes once — final plan has no LSH, no embeddings scan") {
     // the near-dup detector + clustering run eagerly into the edge/label
     // checkpoints; if the final plan still contained a sign_buckets
