@@ -387,6 +387,57 @@ class IncrementalSpec extends AnyFunSuite {
       "pruned per-batch audits must union to the same batch audit")
   }
 
+  test("streaming near-dup vs the persisted band index: per-batch audits " +
+       "+ appends fold to the one-shot batch audit of the union (r16)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val shard = docs.filter(col("doc_id") % 2 === 1)
+    // the standing index, built once; the stream will APPEND to it
+    val ixDir = Files.createTempDirectory("graft_sndix").toString
+    graft.ext.Dedup.nearDupBandIndex(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(ixDir)
+    // three disjoint arrival files — the law holds for ANY partitioning
+    val streamDir = Files.createTempDirectory("graft_snd_stream")
+    Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1,
+        col("doc_id") % 3 === 2).zipWithIndex.foreach { case (cut, i) =>
+      val tmp = Files.createTempDirectory(s"graft_snd_chunk$i")
+      shard.filter(cut).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, streamDir.resolve(s"c$i.parquet"))
+    }
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (math.min(a, b), math.max(a, b))
+      }.toSet
+    val streamed = canon(graft.stream.StreamingNearDupIndex
+      .runToSnapshot(spark, streamDir.toString, ixDir,
+        maxFilesPerTrigger = Some(1)))
+    // one-shot batch audit of the union, against the ORIGINAL index (the
+    // stream mutated its copy, so rebuild for the reference side)
+    val ixDir2 = Files.createTempDirectory("graft_sndix2").toString
+    graft.ext.Dedup.nearDupBandIndex(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(ixDir2)
+    val batch = canon(graft.ext.Dedup.nearDupAgainstIndex(
+      spark.read.parquet(ixDir2), shard, "doc_id", "text"))
+    assert(batch.nonEmpty, "law ran on empty pair structure")
+    assert(streamed == batch,
+      s"fold diverged: streamed-only=${(streamed -- batch).take(5)} " +
+        s"batch-only=${(batch -- streamed).take(5)}")
+    // cross-ARRIVAL pairs must exist, or the append path went untested
+    // (a pair between docs of different %3 classes can only surface via
+    // a later batch pairing against an earlier batch's appended bands
+    // or the within-batch self-join — assert the index actually grew)
+    val finalIx = spark.read.parquet(ixDir).count()
+    val ix0 = spark.read.parquet(ixDir2).count()
+    assert(finalIx > ix0, "stream never appended to the index")
+    assert(streamed.exists { case (a, b) =>
+      a % 2 == 1 && b % 2 == 1 && a % 3 != b % 3 },
+      "no pair spans two arrival files — the append path went unexercised")
+  }
+
   test("streaming HLL registers equal the batch rollup across micro-batches") {
     val dir = "/root/testdata/sf0.001"
     val streamDir = Files.createTempDirectory("graft_hll_stream")
