@@ -227,7 +227,10 @@ object FuzzGen {
     "  44 ", "120,000 km (75,000 mi)"))
 
   private val titleStatusGen: Gen[Option[String]] = opt(Gen.oneOf(
-    "Clean (CA)", "Salvage (NY)", "Clean", "(X)", "Clean (", "A (B) (C)", ""))
+    "Clean (CA)", "Salvage (NY)", "Clean", "(X)", "Clean (", "A (B) (C)", "",
+    // full state names: the J1 disjunctive lookup's BY-NAME arm (state_dim
+    // matches "Texas" as state, never as abbr) — exercised by StarFuzzSpec
+    "Clean (Texas)", "Salvage (New York)"))
 
   private val locationGen: Gen[Option[String]] = opt(Gen.oneOf(
     "Dallas, TX 75001", "Austin , TX 78701", "Berlin", "  Lisbon  ",
