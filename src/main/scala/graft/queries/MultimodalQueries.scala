@@ -158,11 +158,46 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q203 — AVI container METADATA extraction ([[graft.ext.Avi.parseMeta]],
+    * the q185 metadata shape for the RIFF container): avih dims/frame-count/
+    * µs-per-frame, strh-counted stream count (odd ids gain an interleaved
+    * auds strl → 2 streams), vids codec fourcc. Frame payloads are junk
+    * bytes — metadata never decodes, so the walk must take every field from
+    * the HEADERS it framed, and any offset error (little-endian fields,
+    * word-alignment padding, strl association) is a hash mismatch. Ids ≡ 0
+    * mod 31 are the garbage rows: all-null metadata with n_streams 0 IN the
+    * oracle (the NonFatal arm). Zero-shuffle mapPartitions. */
+  def q203AviMetadata(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = load(spark, dir, "documents").select(col("doc_id"))
+      .repartition(64).as[Long]
+    val records = ids.map { k =>
+      val payload =
+        if (k % 31 == 0)
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(BigInt(k).toByteArray)
+        else {
+          val n = 1 + (k % 4L).toInt
+          val frames = Seq.fill(n)(Array.fill[Byte](10 + (k % 7L).toInt)(0x55))
+          val audio = if (k % 2 == 1)
+            Seq(graft.ext.Avi.encodePcm16(1000, 64)) else Nil
+          graft.ext.Avi.synthesize(
+            usPerFrame = 20000L + (k % 100L) * 100L,
+            width = 16 * (1 + (k % 8L).toInt),
+            height = 16 * (1 + (k % 5L).toInt),
+            frames = frames, audioChunks = audio)
+        }
+      (k, payload)
+    }
+    graft.ext.Avi.extractAviMeta(records).orderBy(col("media_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_multimodal_features" -> (q32MultimodalFeatures _),
     "q185_video_metadata" -> (q185VideoMetadata _),
     "q199_avi_frames" -> (q199AviFrames _),
-    "q202_avi_audio" -> (q202AviAudio _)
+    "q202_avi_audio" -> (q202AviAudio _),
+    "q203_avi_metadata" -> (q203AviMetadata _)
   )
 
   private val hex16 = (0 until 4).map { i =>
@@ -236,6 +271,23 @@ object MultimodalQueries {
         |  CAST(500 + (doc_id * 7) % 20000 AS DOUBLE) / 32768.0 AS rms_first,
         |  CAST(300 + (doc_id * 13) % 25000 AS DOUBLE) / 32768.0 AS rms_last
         |FROM documents WHERE doc_id % 31 <> 0
-        |ORDER BY media_id""".stripMargin
+        |ORDER BY media_id""".stripMargin,
+    /* q203: the planted container headers replayed arithmetically; odd ids
+     * carry the interleaved auds strl (2 streams), garbage ids the all-null
+     * NonFatal arm with n_streams 0. */
+    "q203_avi_metadata" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(CASE WHEN doc_id % 31 = 0 THEN NULL
+        |    ELSE 16 * (1 + doc_id % 8) END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 31 = 0 THEN NULL
+        |    ELSE 16 * (1 + doc_id % 5) END AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 31 = 0 THEN 0
+        |    WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS INTEGER) AS n_streams,
+        |  CASE WHEN doc_id % 31 = 0 THEN NULL
+        |    ELSE 1 + doc_id % 4 END AS total_frames,
+        |  CASE WHEN doc_id % 31 = 0 THEN NULL
+        |    ELSE 20000 + (doc_id % 100) * 100 END AS us_per_frame,
+        |  CASE WHEN doc_id % 31 = 0 THEN NULL ELSE 'MJPG' END AS codec
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 }
