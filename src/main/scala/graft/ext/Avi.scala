@@ -216,10 +216,13 @@ object Avi {
     var usPerFrame: Option[Long] = None
     var codec: Option[String] = None
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-    // audio stream state: the strl whose strh says 'auds' owns the next
-    // strf (WAVEFORMATEX); its stream INDEX (strh order) names its movi
-    // chunk ids — `${idx}%02dwb`
-    var lastStrhType: Option[String] = None
+    // audio stream state: the FIRST auds strh claims the audio slot; ONLY
+    // its own strl's strf (the next strf after that strh) may supply the
+    // WAVEFORMATEX — a later auds stream's PCM strf must not be applied to
+    // the claimed stream's chunks (they may be compressed; decoding them
+    // as someone else's PCM fabricates samples). Its stream INDEX (strh
+    // order) names its movi chunk ids — `${idx}%02dwb`.
+    var pendingAudioStrf: Boolean = false
     var audioStream: Option[Int] = None
     var audioRate: Option[Long] = None
     var audioChannels: Option[Int] = None
@@ -258,25 +261,31 @@ object Avi {
           }
         case "strh" if body + 8 <= end =>
           val st = readType(b, body)
-          acc.lastStrhType = Some(st)
           if (acc.codec.isEmpty && st == "vids")
             acc.codec = Some(readType(b, body + 4))
           // the FIRST auds stream's strh position names its movi chunks
-          // (`${idx}%02dwb`) and claims the strl's following strf
-          if (st == "auds" && acc.audioStream.isEmpty)
-            acc.audioStream = Some(acc.nStreams)
+          // (`${idx}%02dwb`) and claims the strl's following strf; any
+          // other strh closes a still-pending claim
+          acc.pendingAudioStrf = st == "auds" && acc.audioStream.isEmpty
+          if (acc.pendingAudioStrf) acc.audioStream = Some(acc.nStreams)
           acc.nStreams += 1
-        case "strf" if acc.lastStrhType.contains("auds") &&
-            acc.audioRate.isEmpty && body + 16 <= end =>
-          // WAVEFORMATEX; only uncompressed PCM (tag 1) is decodable here
-          val tag = (b(body) & 0xff) | ((b(body + 1) & 0xff) << 8)
-          if (tag == 1) {
-            val ch = (b(body + 2) & 0xff) | ((b(body + 3) & 0xff) << 8)
-            val bits = (b(body + 14) & 0xff) | ((b(body + 15) & 0xff) << 8)
-            if (ch >= 1 && (bits == 8 || bits == 16)) {
-              acc.audioChannels = Some(ch)
-              acc.audioRate = Some(readU32LE(b, body + 4))
-              acc.audioBits = Some(bits)
+        case "strf" if acc.pendingAudioStrf =>
+          // the claimed stream's OWN format box — consumed exactly once,
+          // whether or not it is decodable (a non-PCM first auds stream
+          // reports as undecodable rather than borrowing a later stream's
+          // WAVEFORMATEX)
+          acc.pendingAudioStrf = false
+          if (body + 16 <= end) {
+            // WAVEFORMATEX; only uncompressed PCM (tag 1) is decodable here
+            val tag = (b(body) & 0xff) | ((b(body + 1) & 0xff) << 8)
+            if (tag == 1) {
+              val ch = (b(body + 2) & 0xff) | ((b(body + 3) & 0xff) << 8)
+              val bits = (b(body + 14) & 0xff) | ((b(body + 15) & 0xff) << 8)
+              if (ch >= 1 && (bits == 8 || bits == 16)) {
+                acc.audioChannels = Some(ch)
+                acc.audioRate = Some(readU32LE(b, body + 4))
+                acc.audioBits = Some(bits)
+              }
             }
           }
         case t if inMovi && isFrameCc(t) =>

@@ -191,7 +191,22 @@ object Dedup {
                           idCol: String, textCol: String,
                           numHashes: Int = 8, shingleN: Int = 3,
                           bands: Int = 2): DataFrame = {
-    val sb = nearDupBandIndex(shard, idCol, textCol, numHashes, shingleN, bands)
+    // materialize the shard bands ONCE: they feed three plan legs (the
+    // index join + both sides of the self-join), and with a broadcast-
+    // promoted shard there is no exchange for ReuseExchange to dedupe —
+    // without this the MinHash kernel runs over the shard text 3× per
+    // action (the dedupFunnel multi-consumer convention)
+    val sb = checkpointStripped(
+      nearDupBandIndex(shard, idCol, textCol, numHashes, shingleN, bands))
+    nearDupAuditBands(bandIndex, sb, idCol)
+  }
+
+  /** The audit over ALREADY-MATERIALIZED shard bands — shared with
+    * [[graft.stream.StreamingNearDupIndex]], which must append the SAME
+    * band rows it audited with (recomputing them per stage would run the
+    * kernel twice per micro-batch). */
+  private[graft] def nearDupAuditBands(bandIndex: DataFrame, sb: DataFrame,
+                                       idCol: String): DataFrame = {
     val vsIndex = sb.as("n").join(bandIndex.as("r"), "band")
       .select(col(s"n.$idCol").as("new_id"), col(s"r.$idCol").as("ref_id"))
     val within = sb.as("a").join(sb.as("b"),

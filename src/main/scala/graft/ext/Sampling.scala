@@ -116,13 +116,7 @@ object Sampling {
       .localCheckpoint(true) // detector runs once: CC loop + endpoint joins
     val asg = splitAssignments(ids, pr, idCol, splits, salt)
       .localCheckpoint(true) // marginal counts + both endpoint joins
-    val counts = asg.groupBy(col("_sc"), col("_sn"))
-      .agg(count(lit(1)).as("_n"))
-      .localCheckpoint(true) // |splits|²-bounded, read twice
-    val nc = counts.groupBy(col("_sc").as("split"))
-      .agg(sum(col("_n")).as("n_docs_cluster"))
-    val nn = counts.groupBy(col("_sn").as("split"))
-      .agg(sum(col("_n")).as("n_docs_naive"))
+    val marginals = splitMarginals(asg)
     val pa = pr
       .join(asg.select(col("_id").as("_a"), col("_sc").as("_ca"),
         col("_sn").as("_na")), Seq("_a"))
@@ -132,14 +126,30 @@ object Sampling {
     def cross(l: Column, r: Column, out: String) = pa.filter(l =!= r)
       .select(explode(array(l, r)).as("split"))
       .groupBy(col("split")).agg(count(lit(1)).as(out))
-    nc.join(nn, Seq("split"), "full")
+    marginals
       .join(cross(col("_na"), col("_nb"), "naive_cross_pairs"), Seq("split"), "left")
       .join(cross(col("_ca"), col("_cb"), "cluster_cross_pairs"), Seq("split"), "left")
-      .select(col("split"),
-        coalesce(col("n_docs_cluster"), lit(0L)).as("n_docs_cluster"),
-        coalesce(col("n_docs_naive"), lit(0L)).as("n_docs_naive"),
+      .select(col("split"), col("n_docs_cluster"), col("n_docs_naive"),
         coalesce(col("naive_cross_pairs"), lit(0L)).as("naive_cross_pairs"),
         coalesce(col("cluster_cross_pairs"), lit(0L)).as("cluster_cross_pairs"))
+  }
+
+  /** Per-split doc counts under the cluster-aware and naive assignments —
+    * the marginal block shared by [[clusterAwareSplit]] and
+    * [[clusterAwareSplitCounts]] (one definition, so the two audits can
+    * never diverge on split accounting). */
+  private def splitMarginals(asg: DataFrame): DataFrame = {
+    val counts = asg.groupBy(col("_sc"), col("_sn"))
+      .agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true) // |splits|²-bounded, read twice
+    val nc = counts.groupBy(col("_sc").as("split"))
+      .agg(sum(col("_n")).as("n_docs_cluster"))
+    val nn = counts.groupBy(col("_sn").as("split"))
+      .agg(sum(col("_n")).as("n_docs_naive"))
+    nc.join(nn, Seq("split"), "full")
+      .select(col("split"),
+        coalesce(col("n_docs_cluster"), lit(0L)).as("n_docs_cluster"),
+        coalesce(col("n_docs_naive"), lit(0L)).as("n_docs_naive"))
   }
 
   /** [[clusterAwareSplit]]'s marginal counts WITHOUT the pair-leak columns —
@@ -159,18 +169,7 @@ object Sampling {
     require(splits.nonEmpty && splits.forall(_._2 > 0), "splits must have positive weights")
     val pr = pairs
       .select(col(aCol).cast("long").as("_a"), col(bCol).cast("long").as("_b"))
-    val counts = splitAssignments(ids, pr, idCol, splits, salt)
-      .groupBy(col("_sc"), col("_sn"))
-      .agg(count(lit(1)).as("_n"))
-      .localCheckpoint(true) // |splits|²-bounded, read twice
-    val nc = counts.groupBy(col("_sc").as("split"))
-      .agg(sum(col("_n")).as("n_docs_cluster"))
-    val nn = counts.groupBy(col("_sn").as("split"))
-      .agg(sum(col("_n")).as("n_docs_naive"))
-    nc.join(nn, Seq("split"), "full")
-      .select(col("split"),
-        coalesce(col("n_docs_cluster"), lit(0L)).as("n_docs_cluster"),
-        coalesce(col("n_docs_naive"), lit(0L)).as("n_docs_naive"))
+    splitMarginals(splitAssignments(ids, pr, idCol, splits, salt))
   }
 
   /** Deterministic corpus shuffle: a reproducible global training order —

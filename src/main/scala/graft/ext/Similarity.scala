@@ -536,7 +536,15 @@ object Similarity {
           while (j < n) {
             val ri = find(i)
             val rj = find(j)
-            if (ri != rj) {
+            // duplicate-id rows are the SAME vertex: merge them without
+            // emitting (a self-loop (x, x) is an edge the full detector's
+            // `vec_a < vec_b` join can never produce, and would break the
+            // clusters(forest) ≡ clusters(full) law on dirty ingestion) —
+            // merging unverified is exact: the full detector emits (x, y)
+            // for both copies' neighbours, so their neighbourhoods share a
+            // component there too
+            if (ri != rj && ids(i) == ids(j)) parent(rj) = ri
+            else if (ri != rj) {
               val a = vs(i)
               val b = vs(j)
               val len = math.min(a.length, b.length)

@@ -94,8 +94,20 @@ object AuctionQueries {
   /** q198: full composed star load over the REAL fixture silver frame, every
     * resulting table row tagged and unioned. */
   def q198AuctionStarLoad(spark: SparkSession, dir: String): DataFrame = {
-    val wh = new Warehouse(spark,
-      java.nio.file.Files.createTempDirectory("graft_q198_wh").toString)
+    // ONE fixed per-process dir, wiped before each load: a fresh temp dir
+    // per invocation leaked a full 12-table warehouse into /tmp on every
+    // bench warmup + attempt (unbounded across rounds); the wipe keeps the
+    // load deterministic (always a from-scratch warehouse) and the disk
+    // footprint bounded at one fixture-sized copy
+    val whDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q198_wh_${ProcessHandle.current.pid}")
+    if (java.nio.file.Files.exists(whDir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(whDir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val wh = new Warehouse(spark, whDir.toString)
     StarLoad.run(wh, Silver.run(Flatten.bronze(spark, FixtureDir)))
     wh.close() // release dim-cache blocks; reads below come from disk
     val simple = Seq(

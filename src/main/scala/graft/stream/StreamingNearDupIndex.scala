@@ -39,7 +39,17 @@ object StreamingNearDupIndex {
     * into — the band index at `indexDir`; returns the accumulated
     * (new_id, ref_id) candidate pairs over all micro-batches. The index
     * directory must exist with at least one write (build it with
-    * [[graft.ext.Dedup.nearDupBandIndex]] over the standing corpus). */
+    * [[graft.ext.Dedup.nearDupBandIndex]] over the standing corpus).
+    *
+    * The streaming CHECKPOINT lives under the index directory
+    * (`_graft_checkpoint` — underscore-prefixed, so parquet reads of the
+    * index ignore it): the set of already-ingested files shares the
+    * index's lifecycle. Without a durable checkpoint a second invocation
+    * would re-read every file as new, audit each doc against an index
+    * that already contains its OWN bands (self-pairs — downstream dedup
+    * reads "drop this doc"), and append its bands a second time,
+    * permanently duplicating index rows. With it, a re-run after new
+    * files land processes exactly the new files. */
   def runToSnapshot(spark: SparkSession, docsDir: String, indexDir: String,
                     queryName: String = "stream_neardup_index",
                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
@@ -50,19 +60,22 @@ object StreamingNearDupIndex {
     val sink = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
     val q = raw.writeStream
       .queryName(queryName)
+      .option("checkpointLocation", s"$indexDir/_graft_checkpoint")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
           // the index is RE-READ per batch: earlier batches' appends must
           // be visible (the fold is the point)
           val index = spark.read.parquet(indexDir)
-          // materialize eagerly: foreachBatch frames are only valid within
-          // their micro-batch, and the audit must finish BEFORE the append
-          // below makes the batch visible to itself
-          sink.add(Dedup.nearDupAgainstIndex(index, batch, "doc_id", "text")
+          // the batch's bands are computed ONCE (kernel over the batch
+          // text) and reused for both the audit and the append — and the
+          // audit materializes BEFORE the append makes the batch visible
+          // to itself
+          val bands = Dedup.checkpointStripped(
+            Dedup.nearDupBandIndex(batch, "doc_id", "text"))
+          sink.add(Dedup.nearDupAuditBands(index, bands, "doc_id")
             .localCheckpoint(true))
-          Dedup.nearDupBandIndex(batch, "doc_id", "text")
-            .write.mode("append").parquet(indexDir)
+          bands.write.mode("append").parquet(indexDir)
         }
         ()
       }

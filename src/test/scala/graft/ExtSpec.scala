@@ -1165,6 +1165,67 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("Avi A/V demux: a non-PCM first auds stream reports undecodable — " +
+       "it must not borrow a later auds stream's WAVEFORMATEX (r16 review)") {
+    import graft.ext.Avi
+    def le32(v: Long) = Array(v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+    def ck(t: String, body: Array[Byte]) =
+      t.getBytes("ISO-8859-1") ++ le32(body.length.toLong) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    def lst(lt: String, parts: Array[Byte]*) = {
+      val body = lt.getBytes("ISO-8859-1") ++ parts.flatten
+      "LIST".getBytes ++ le32(body.length.toLong) ++ body
+    }
+    def strh(tpe: String) = ck("strh", tpe.getBytes ++ "NONE".getBytes ++
+      new Array[Byte](48))
+    // strl#1: auds with an MP3-tagged (0x55) WAVEFORMATEX — NOT decodable;
+    // strl#2: auds with a clean 16-bit PCM WAVEFORMATEX
+    def wfx(tag: Int) = ck("strf", le16(tag) ++ le16(1) ++ le32(8000L) ++
+      le32(16000L) ++ le16(2) ++ le16(16) ++ le16(0))
+    val pcm = Avi.encodePcm16(1000, 64)
+    val body = lst("hdrl", lst("strl", strh("auds"), wfx(0x55)),
+        lst("strl", strh("auds"), wfx(1))) ++
+      lst("movi", ck("00wb", Array.fill[Byte](65)(0x33)), ck("01wb", pcm))
+    val p = "RIFF".getBytes ++ le32(4L + body.length) ++ "AVI ".getBytes ++ body
+    val m = Avi.parseMeta(0L, p)
+    assert(m.n_streams == 2, s"both strh must count: $m")
+    // the claimed (first) auds stream has no decodable format: NO audio row
+    // fabricated from stream 2's PCM fields over stream 1's MP3 bytes
+    assert(Avi.decodeAudioTrack(0L, p).isEmpty,
+      "first auds stream borrowed a later stream's WAVEFORMATEX")
+  }
+
+  test("bandedNearDupForest: duplicate ids merge without emitting a " +
+       "self-loop — clusters still equal the full detector's (r16 review)") {
+    import spark.implicits._
+    // two rows share id 1 (dirty ingestion) with identical vectors; id 2
+    // is an exact near-dup of both; id 9 is unrelated
+    val v = Array.fill(8)(1.0f)
+    val emb = Seq((1L, v), (1L, v), (2L, v),
+        (9L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val forest = Similarity.bandedNearDupForest(emb, "vec_id", "embedding",
+      threshold = 0.35, bands = 2, planesPerBand = 4, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(forest.forall { case (a, b) => a != b },
+      s"self-loop emitted for a duplicate id: ${forest.toSeq}")
+    assert(forest.contains((1L, 2L)), s"lost the true pair: ${forest.toSeq}")
+    // the connectivity law holds on the dirty input too
+    def partition(pairs: org.apache.spark.sql.DataFrame): Set[Set[Long]] =
+      Dedup.duplicateClusters(pairs, "vec_a", "vec_b")
+        .collect().map(r => (r.getLong(1), r.getLong(0)))
+        .groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+    val fullPairs = Similarity.bandedNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.35, bands = 2, planesPerBand = 4, dim = 8)
+      .select(col("vec_a"), col("vec_b"))
+    val forestDf = Similarity.bandedNearDupForest(emb, "vec_id", "embedding",
+      threshold = 0.35, bands = 2, planesPerBand = 4, dim = 8)
+    assert(partition(forestDf) == partition(fullPairs),
+      "duplicate-id input broke the clusters(forest) ≡ clusters(full) law")
+  }
+
   test("Avi RIFF walk: crafted payloads never throw, loop, or overread — " +
        "truncations keep complete frames only; padding and bad chunks skip " +
        "without losing neighbours") {

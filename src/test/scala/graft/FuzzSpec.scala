@@ -48,7 +48,7 @@ class FuzzSpec extends AnyFunSuite {
   private def runBatch(base: Long, nFiles: Int): Unit = {
     val dir = Files.createTempDirectory(s"graft_fuzz_$base")
     val files = (0 until nFiles).map { i =>
-      genFile.pureApply(Gen.Parameters.default, Seed(base + i))
+      genFile(base + i).pureApply(Gen.Parameters.default, Seed(base + i))
     }
     files.zipWithIndex.foreach { case (f, i) =>
       writeFile(dir.resolve(f"raw_$i%04d.json"), renderFile(f))
@@ -312,9 +312,12 @@ object FuzzGen {
     "2015-ford-f150", "1997-bmw-318i", "ford", "97-toyota", "", "2021",
     "x-2015", "0042-pad", "2018-bmw-m3")
 
-  /** URLs are globally unique (uniq counter in the slug) so the keep-newest
-    * (date desc, url asc) tie-break is deterministic on BOTH sides; ids are
-    * drawn from a small pool so cross-file duplicates are common. */
+  /** URLs are unique within a batch (uniq token in the slug, derived from
+    * the caller's file tag — NOT a process-global counter, so a file truly
+    * reproduces from its seed alone and a replayed (tag, seed) pair yields
+    * byte-identical records) so the keep-newest (date desc, url asc)
+    * tie-break is deterministic on BOTH sides; ids are drawn from a small
+    * pool so cross-file duplicates are common. */
   private def urlGen(uniq: Long): Gen[String] = for {
     id <- Gen.choose(0, 39).map(i => f"FZ$i%03d")
     slug <- slugGen
@@ -322,14 +325,16 @@ object FuzzGen {
     trail <- Gen.frequency(9 -> Gen.const(""), 1 -> Gen.const("/"))
   } yield s"$pad" + s"https://carsandbids.com/auctions/$id/$slug-u$uniq$trail" + pad
 
-  private val fileUniq = new java.util.concurrent.atomic.AtomicLong(0)
-
-  val genFile: Gen[RawFile] = for {
+  /** `fileTag` must be unique per file within a batch (callers pass the
+    * seed offset, e.g. base + i): it salts each record's url-uniqueness
+    * token (tag·16 + record index — records per file ≤ 5 < 16), keeping
+    * urls batch-unique while staying a pure function of (tag, seed). */
+  def genFile(fileTag: Long): Gen[RawFile] = for {
     isMap <- Gen.oneOf(true, false)
     n <- Gen.choose(1, 5)
     recs <- Gen.listOfN(n, recBodyGen)
     urls <- Gen.sequence[List[String], String](
-      recs.map(_ => urlGen(fileUniq.incrementAndGet())))
+      recs.zipWithIndex.map { case (_, j) => urlGen(fileTag * 16 + j) })
     // map env: key authoritative, record's own url field is noise;
     // list env: record's url field is the only url.
     junkUrl <- Gen.oneOf(Some("ignored-key-must-win"), None)

@@ -53,7 +53,7 @@ class StarFuzzSpec extends AnyFunSuite {
   private def genSilver(base: Long, nFiles: Int): DataFrame = {
     val dir = Files.createTempDirectory(s"graft_starfuzz_$base")
     (0 until nFiles).foreach { i =>
-      val f = FuzzGen.genFile.pureApply(Gen.Parameters.default, Seed(base + i))
+      val f = FuzzGen.genFile(base + i).pureApply(Gen.Parameters.default, Seed(base + i))
       FuzzGen.writeFile(dir.resolve(f"raw_$i%04d.json"), FuzzGen.renderFile(f))
     }
     Silver.run(Flatten.bronze(spark, dir.toString + "/*.json"))
@@ -275,11 +275,12 @@ class StarFuzzSpec extends AnyFunSuite {
 
     val dir2 = Files.createTempDirectory("graft_starfuzz_b2")
     (0 until 60).foreach { i =>
-      val f = FuzzGen.genFile.pureApply(Gen.Parameters.default, Seed(92000L + i))
+      val f = FuzzGen.genFile(92000L + i).pureApply(Gen.Parameters.default, Seed(92000L + i))
       FuzzGen.writeFile(dir2.resolve(f"raw_$i%04d.json"), FuzzGen.renderFile(f))
     }
-    (0 until 20).foreach { i => // replays: same records as batch 1's first 20
-      val f = FuzzGen.genFile.pureApply(Gen.Parameters.default, Seed(91000L + i))
+    (0 until 20).foreach { i => // true replays: same (tag, seed) pairs as batch 1's first 20 files,
+      // so the records — urls included — are byte-identical
+      val f = FuzzGen.genFile(91000L + i).pureApply(Gen.Parameters.default, Seed(91000L + i))
       FuzzGen.writeFile(dir2.resolve(f"rep_$i%04d.json"), FuzzGen.renderFile(f))
     }
     val silver2 = Silver.run(Flatten.bronze(spark, dir2.toString + "/*.json"))
