@@ -22,7 +22,7 @@ object SparkEntry {
       TextQueries.defs ++ SimilarityQueries.defs ++ MultimodalQueries.defs ++
       AdvancedJoinQueries.defs ++ CurationQueries.defs ++ StarLoadQueries.defs ++
       ProfilingQueries.defs ++ WarehouseQueries.defs ++ EventQueries.defs ++
-      AuctionQueries.defs
+      AuctionQueries.defs ++ WebQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +31,5 @@ object SparkEntry {
       TextQueries.sql ++ SimilarityQueries.sql ++ MultimodalQueries.sql ++
       AdvancedJoinQueries.sql ++ CurationQueries.sql ++ StarLoadQueries.sql ++
       ProfilingQueries.sql ++ WarehouseQueries.sql ++ EventQueries.sql ++
-      AuctionQueries.sql
+      AuctionQueries.sql ++ WebQueries.sql
 }

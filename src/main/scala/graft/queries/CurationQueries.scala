@@ -141,7 +141,17 @@ object CurationQueries {
     * WindowGroupLimit top-k, then everything downstream operates on the
     * ≤ 50·|sources| capped frame — audit, detector, CC and rollup are all
     * survivor-sized; the capped frame is checkpointed once for its three
-    * consumers. */
+    * consumers.
+    *
+    * r16: the split-stage detector is [[graft.ext.Similarity
+    * .bandedNearDupForest]] (the q201 scale path) — this stage consumes
+    * only CONNECTIVITY (`splitAssignments` labels), and the per-bucket
+    * spanning forest has exactly the full detector's transitive closure
+    * (ExtSpec law + the q201 oracle), so the labels — and this query's
+    * hash — are provably identical while the pair materialization stops
+    * scaling with dup-group size squared. The oracle below still closes
+    * over the FULL detector CTEs: every green run re-proves the
+    * equivalence on the corpus. */
   def q195CuratedRelease(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = load(spark, dir, "documents")
@@ -167,7 +177,7 @@ object CurationQueries {
     val clean = capped.join(flagged, Seq("doc_id"), "left_anti")
     val emb = load(spark, dir, "embeddings")
       .join(clean.select(col("doc_id").as("vec_id")), Seq("vec_id"))
-    val pr = graft.ext.Similarity.bandedNearDupPairs(emb, "vec_id",
+    val pr = graft.ext.Similarity.bandedNearDupForest(emb, "vec_id",
         "embedding", threshold = 0.35, bands = 3, planesPerBand = 6)
       .select(col("vec_a").cast("long").as("_a"),
         col("vec_b").cast("long").as("_b"))

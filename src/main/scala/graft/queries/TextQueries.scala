@@ -443,7 +443,65 @@ object TextQueries {
         "doc_id", "text", k = 50)
       .transform(tinySort(_, col("source")))
 
+  /** q206 — exact-integer ROC/AUC eval of the hashed classifier
+    * ([[TextOps.hashedMargin]] scores vs the embeddings table's labels,
+    * positive = label >= 5): one row per distinct margin threshold with
+    * cumulative TPR/FPR/precision in basis points, plus a summary row
+    * carrying the exact AUC — the Mann–Whitney U statistic
+    * 2U = Σ_t p_t · (2·neg_below(t) + n_t) over the threshold table, so
+    * ties contribute the standard half credit WITHOUT any 0.5 float:
+    * everything is integer, DECIMAL(38,0) where products reach P·N
+    * (≡ DuckDB HUGEINT — a 100 TB corpus overflows int64 there).
+    *
+    * Scale shape: one corpus join + one groupBy collapse the corpus to
+    * the DISTINCT-MARGIN table (bounded by score resolution × max doc
+    * length, corpus-size-independent); the cumulative windows run over
+    * that bounded frame under the constant-key idiom (q139's shape). */
+  def q206ClassifierAuc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = load(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.hashedMargin(col("text")).as("thr"))
+    val lab = load(spark, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"),
+        (col("label") >= 5).cast("long").as("pos"))
+    val g = m.join(lab, Seq("doc_id"))
+      .groupBy(col("thr"))
+      .agg(sum(col("pos")).as("p"),
+        (count(lit(1)) - sum(col("pos"))).as("n"))
+    val wkey = substring(col("thr").cast("string"), 0, 0)
+    val ord = Window.partitionBy(wkey).orderBy(col("thr").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(wkey)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val c = g
+      .withColumn("cp", sum(col("p")).over(ord))
+      .withColumn("cn", sum(col("n")).over(ord))
+      .withColumn("tp", sum(col("p")).over(whole))
+      .withColumn("tn", sum(col("n")).over(whole))
+      .localCheckpoint(true) // bounded threshold table, read twice
+    val pts = c.select(col("thr"),
+      (col("p") + col("n")).as("n_docs"),
+      when(col("tp") > 0, expr("cp * 10000L div tp")).as("tpr_bp"),
+      when(col("tn") > 0, expr("cn * 10000L div tn")).as("fpr_bp"),
+      expr("cp * 10000L div (cp + cn)").as("prec_bp"),
+      lit(null).cast("long").as("auc_bp"))
+    val tot = c.agg(
+        sum(expr("CAST(p AS DECIMAL(38,0)) * (2 * (tn - cn) + n)")).as("u2"),
+        max(col("tp")).as("tp"), max(col("tn")).as("tn"))
+      .select(lit(null).cast("long").as("thr"),
+        (col("tp") + col("tn")).as("n_docs"),
+        lit(null).cast("long").as("tpr_bp"),
+        lit(null).cast("long").as("fpr_bp"),
+        lit(null).cast("long").as("prec_bp"),
+        when(col("tp") > 0 && col("tn") > 0, expr(
+          "CAST(u2 * 10000 AS DECIMAL(38,0)) div " +
+            "(2 * CAST(tp AS DECIMAL(38,0)) * tn)"))
+          .cast("long").as("auc_bp"))
+    pts.unionByName(tot).transform(tinySort(_, col("thr")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_classifier_auc" -> (q206ClassifierAuc _),
     "q193_classifier_yield" -> (q193ClassifierYield _),
     "q194_domain_cap" -> (q194DomainCap _),
     "q192_hashed_classifier" -> (q192HashedClassifier _),
@@ -915,6 +973,42 @@ object TextQueries {
       |   FROM t)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    /* q206: the same margin CTE joined to the labels; cumulative windows
+     * over the distinct-threshold frame; the AUC row is the exact
+     * rank-sum 2U = Σ p·(2·neg_below + n) in HUGEINT ≡ Spark's
+     * DECIMAL(38,0). All `//` operands are non-negative, so DuckDB's
+     * truncate-toward-zero ≡ floor (the q193 negative-`//` trap can't
+     * fire). */
+    "q206_classifier_auc" ->
+      s"""WITH $FtMarginCtes,
+        | lab AS (SELECT m.margin AS thr,
+        |     CASE WHEN e.label >= 5 THEN 1 ELSE 0 END AS pos
+        |   FROM m JOIN embeddings e ON e.vec_id = m.doc_id),
+        | g AS (SELECT thr, CAST(SUM(pos) AS BIGINT) AS p,
+        |     CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n
+        |   FROM lab GROUP BY 1),
+        | c AS (SELECT *,
+        |     SUM(p) OVER (ORDER BY thr DESC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+        |     SUM(n) OVER (ORDER BY thr DESC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+        |     SUM(p) OVER () AS tp, SUM(n) OVER () AS tn
+        |   FROM g),
+        | pts AS (SELECT thr, CAST(p + n AS BIGINT) AS n_docs,
+        |     CAST(CASE WHEN tp > 0 THEN cp * 10000 // tp END AS BIGINT) AS tpr_bp,
+        |     CAST(CASE WHEN tn > 0 THEN cn * 10000 // tn END AS BIGINT) AS fpr_bp,
+        |     CAST(cp * 10000 // (cp + cn) AS BIGINT) AS prec_bp,
+        |     CAST(NULL AS BIGINT) AS auc_bp
+        |   FROM c),
+        | tot AS (SELECT CAST(NULL AS BIGINT) AS thr,
+        |     CAST(MAX(tp) + MAX(tn) AS BIGINT) AS n_docs,
+        |     CAST(NULL AS BIGINT) AS tpr_bp, CAST(NULL AS BIGINT) AS fpr_bp,
+        |     CAST(NULL AS BIGINT) AS prec_bp,
+        |     CAST(CASE WHEN MAX(tp) > 0 AND MAX(tn) > 0 THEN
+        |       (SUM(CAST(p AS HUGEINT) * (2 * (tn - cn) + n)) * 10000)
+        |         // (2 * CAST(MAX(tp) AS HUGEINT) * MAX(tn)) END AS BIGINT) AS auc_bp
+        |   FROM c)
+        |SELECT * FROM pts UNION ALL SELECT * FROM tot ORDER BY thr""".stripMargin,
     /* q192: the same two md5 hops per n-gram (token → 4-hex bucket →
      * 2-hex weight − 128) — see FtMarginCtes. */
     "q192_hashed_classifier" ->

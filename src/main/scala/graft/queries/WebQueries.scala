@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.Html
+import graft.util.Output.tinySort
+import graft.util.Tables.load
+
+/** Web-extraction operator surface (round 16): HTML boilerplate removal
+  * and the anchor-text outlink corpus — the crawl-side front door of a
+  * training-data pipeline ([[graft.ext.Html]]). Pages are synthesized
+  * deterministically around the documents table so the DuckDB oracle can
+  * replay every block's fate from the construction while Spark runs the
+  * generic extractor over the actual markup (the q199 pattern).
+  */
+object WebQueries {
+
+  /** q204 — block-level boilerplate extraction with the link-density
+    * rule ([[Html.extractPage]]): per page, rendered/kept block counts,
+    * char masses, boilerplate share in integer basis points, and the
+    * extracted text itself (nav/footer/related-link blocks carry too
+    * much anchor mass and drop; heads and the content paragraph
+    * survive). Map-side work per page — the block-stats array
+    * materializes in its own projection (HOFs get no CSE; see
+    * [[Html.pageSummary]]), the summary reads it, and the O(input) dump
+    * checkpoints the narrow rows before the global sort (the q54
+    * pattern: the range partitioner's sampling pass must not re-run the
+    * regex pipeline). */
+  def q204HtmlExtract(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(col("doc_id"),
+        Html.blockStats(Html.synthPage(col("doc_id"), col("text"))).as("_st"))
+      .select(col("doc_id"), Html.pageSummary(col("_st")).as("_e"))
+      .select(col("doc_id"),
+        col("_e.n_blocks").as("n_blocks"),
+        col("_e.n_kept").as("n_kept"),
+        col("_e.kept_chars").as("kept_chars"),
+        col("_e.total_chars").as("total_chars"),
+        expr("CASE WHEN _e.total_chars > 0 THEN " +
+          "(_e.total_chars - _e.kept_chars) * 10000L div _e.total_chars END")
+          .as("boiler_bp"),
+        col("_e.extracted").as("extracted"))
+      .localCheckpoint()
+      .orderBy(col("doc_id"))
+
+  /** q205 — the anchor-text corpus ([[Html.anchorPairs]]): every (href,
+    * anchor text) outlink on every page, aggregated per target href —
+    * reference counts, citing-page counts, and the anchor-text value
+    * range. The web-graph signal (in-degree + how the web DESCRIBES a
+    * target) that seed-quality and query-relevance pipelines consume.
+    * Extraction is map-side; the one shuffle is the per-href groupBy. */
+  def q205AnchorCorpus(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(Html.anchorPairs(Html.synthPage(col("doc_id"), col("text"))))
+          .as("_a"))
+      .groupBy(col("_a.href").as("href"))
+      .agg(count(lit(1)).as("n_refs"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("_a.anchor")).as("anchor_min"),
+        max(col("_a.anchor")).as("anchor_max"))
+      .transform(tinySort(_, col("href")))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_html_extract" -> (q204HtmlExtract _),
+    "q205_anchor_corpus" -> (q205AnchorCorpus _)
+  )
+
+  /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
+    * each block's visible text and anchor mass are closed-form in
+    * (doc_id, text), so the keep rule (vis >= 10 AND anchor*3 <= vis),
+    * the char masses, and the join order reconstruct exactly — no HTML
+    * parsing on the DuckDB side, which is the point: a parser bug on the
+    * Spark side cannot hide in a shared parser. Constants: nav visible
+    * "home about us contact" = 21 chars / anchors 19; footer visible
+    * "privacy policy terms (c) example.org" = 36 chars / anchors 19 —
+    * both fail anchor*3 <= vis for every page. */
+  val sql: Map[String, String] = Map(
+    "q204_html_extract" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    'doc ' || CAST(doc_id AS VARCHAR) AS tvis,
+        |    'doc ' || CAST(doc_id AS VARCHAR) || ' report' AS hvis,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      'see also doc ' || CAST(doc_id + 1 AS VARCHAR) ||
+        |      ' and doc ' || CAST(doc_id * 2 AS VARCHAR) END AS rvis,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      length('doc ' || CAST(doc_id + 1 AS VARCHAR)) +
+        |      length('doc ' || CAST(doc_id * 2 AS VARCHAR)) END AS ranch
+        |  FROM documents),
+        | k AS (SELECT doc_id, text, tvis, hvis, rvis,
+        |    (length(tvis) >= 10) AS keep_t,
+        |    (length(hvis) >= 10) AS keep_h,
+        |    (length(text) >= 10) AS keep_p,
+        |    (rvis IS NOT NULL AND length(rvis) >= 10
+        |      AND ranch * 3 <= length(rvis)) AS keep_r
+        |  FROM b),
+        | s AS (SELECT doc_id,
+        |    CAST(5 + CASE WHEN rvis IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_blocks,
+        |    CAST(CASE WHEN keep_t THEN 1 ELSE 0 END
+        |       + CASE WHEN keep_h THEN 1 ELSE 0 END
+        |       + CASE WHEN keep_p THEN 1 ELSE 0 END
+        |       + CASE WHEN keep_r THEN 1 ELSE 0 END AS BIGINT) AS n_kept,
+        |    CAST(CASE WHEN keep_t THEN length(tvis) ELSE 0 END
+        |       + CASE WHEN keep_h THEN length(hvis) ELSE 0 END
+        |       + CASE WHEN keep_p THEN length(text) ELSE 0 END
+        |       + CASE WHEN keep_r THEN length(rvis) ELSE 0 END AS BIGINT) AS kept_chars,
+        |    CAST(length(tvis) + length(hvis) + 21 + length(text)
+        |       + COALESCE(length(rvis), 0) + 36 AS BIGINT) AS total_chars,
+        |    concat_ws(chr(10),
+        |      CASE WHEN keep_t THEN tvis END,
+        |      CASE WHEN keep_h THEN hvis END,
+        |      CASE WHEN keep_p THEN text END,
+        |      CASE WHEN keep_r THEN rvis END) AS extracted
+        |  FROM k)
+        |SELECT doc_id, n_blocks, n_kept, kept_chars, total_chars,
+        |  CAST(CASE WHEN total_chars > 0 THEN
+        |    (total_chars - kept_chars) * 10000 // total_chars END AS BIGINT) AS boiler_bp,
+        |  extracted
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q205_anchor_corpus" ->
+      """WITH p AS (
+        |  SELECT doc_id, '/' AS href, 'home' AS anchor FROM documents
+        |  UNION ALL SELECT doc_id, '/about', 'about us' FROM documents
+        |  UNION ALL SELECT doc_id, '/contact', 'contact' FROM documents
+        |  UNION ALL SELECT doc_id, '/privacy', 'privacy policy' FROM documents
+        |  UNION ALL SELECT doc_id, '/terms', 'terms' FROM documents
+        |  UNION ALL SELECT doc_id, '/doc/' || CAST(doc_id + 1 AS VARCHAR),
+        |      'doc ' || CAST(doc_id + 1 AS VARCHAR)
+        |    FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, '/doc/' || CAST(doc_id * 2 AS VARCHAR),
+        |      'doc ' || CAST(doc_id * 2 AS VARCHAR)
+        |    FROM documents WHERE doc_id % 3 = 0)
+        |SELECT href, CAST(COUNT(*) AS BIGINT) AS n_refs,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  MIN(anchor) AS anchor_min, MAX(anchor) AS anchor_max
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Html
+
+/** The web-extraction tier (r16): [[Html]] block extraction on generic
+  * hand-built markup (NOT the synthesized pages — the oracle already pins
+  * those end-to-end), anchor-pair alignment, and the q206 AUC laws on
+  * frames with known exact answers. */
+class WebSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def page(html: String) =
+    Seq(html).toDF("h").select(Html.extractPage(col("h")).as("e"))
+      .select("e.n_blocks", "e.n_kept", "e.kept_chars", "e.total_chars",
+        "e.extracted")
+      .as[(Long, Long, Long, Long, String)].head()
+
+  test("extractPage keeps long low-link blocks, drops boilerplate") {
+    val (nb, nk, kc, tc, ex) = page(
+      "<div><a href=\"/x\">one</a> <a href=\"/y\">two</a></div>" +
+        "<p>this is the real content of the page</p>" +
+        "<div>footer <a href=\"/z\">legal notice text</a></div>")
+    // block 1: vis "one two" (7) — short AND anchor-heavy; block 2: kept;
+    // block 3: vis "footer legal notice text" (24), anchors 17 -> 51 > 24
+    assert(nb == 3 && nk == 1)
+    assert(ex == "this is the real content of the page")
+    assert(kc == 36 && tc == 7 + 36 + 24)
+  }
+
+  test("density boundary is anchor*3 <= vis (kept AT a third, dropped past)") {
+    // vis = "aaaa bbbbbbbb" (13) with anchor "aaaa" (4): 12 <= 13 -> kept
+    val kept = page("<p><a href=\"/\">aaaa</a> bbbbbbbb</p>")
+    assert(kept._2 == 1 && kept._5 == "aaaa bbbbbbbb")
+    // vis = "aaaaa bbbbbbbb" (14) with anchor "aaaaa" (5): 15 > 14 -> dropped
+    val dropped = page("<p><a href=\"/\">aaaaa</a> bbbbbbbb</p>")
+    assert(dropped._2 == 0 && dropped._5 == "")
+  }
+
+  test("minLen gate and pure-markup tails produce no blocks") {
+    val (nb, nk, _, _, ex) = page("<p>tiny</p></body></html>")
+    assert(nb == 1 && nk == 0 && ex == "")
+    val empty = page("")
+    assert(empty._1 == 0 && empty._4 == 0)
+  }
+
+  test("tag stripping collapses runs of whitespace between elements") {
+    val (_, _, _, _, ex) =
+      page("<p><b>bold</b> and <i>italic</i> words in one block</p>")
+    assert(ex == "bold and italic words in one block")
+  }
+
+  test("anchorPairs aligns hrefs with their anchor texts in page order") {
+    val got = Seq("<a href=\"/a\">first</a><p>x</p><a href=\"/b\">second</a>")
+      .toDF("h")
+      .select(explode(Html.anchorPairs(col("h"))).as("p"))
+      .select("p.href", "p.anchor").as[(String, String)].collect().toSeq
+    assert(got == Seq("/a" -> "first", "/b" -> "second"))
+  }
+
+  // --- q206 AUC laws (exact integers, tiny frames through the real query
+  // shape: groupBy thr -> cumulative windows -> rank-sum) -------------
+
+  private def auc(rows: Seq[(Long, Int)]): Long = {
+    // replicate q206's math over (margin, label01) via the same SQL forms
+    val df = rows.toDF("thr", "pos")
+    val g = df.groupBy("thr")
+      .agg(sum("pos").cast("long").as("p"),
+        (count(lit(1)) - sum("pos")).cast("long").as("n"))
+    import org.apache.spark.sql.expressions.Window
+    val wkey = substring(col("thr").cast("string"), 0, 0)
+    val ord = Window.partitionBy(wkey).orderBy(col("thr").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(wkey)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("cn", sum(col("n")).over(ord))
+      .withColumn("tp", sum(col("p")).over(whole))
+      .withColumn("tn", sum(col("n")).over(whole))
+      .agg(sum(expr("CAST(p AS DECIMAL(38,0)) * (2 * (tn - cn) + n)")).as("u2"),
+        max("tp").as("tp"), max("tn").as("tn"))
+      .select(expr("CAST(CAST(u2 * 10000 AS DECIMAL(38,0)) div " +
+        "(2 * CAST(tp AS DECIMAL(38,0)) * tn) AS BIGINT)"))
+      .as[Long].head()
+  }
+
+  test("AUC: perfect separation = 10000, inverted = 0") {
+    val perfect = Seq((10L, 1), (9L, 1), (2L, 0), (1L, 0))
+    assert(auc(perfect) == 10000L)
+    val inverted = Seq((10L, 0), (9L, 0), (2L, 1), (1L, 1))
+    assert(auc(inverted) == 0L)
+  }
+
+  test("AUC: all-tied scores = exactly 5000 (half credit, no floats)") {
+    assert(auc(Seq((5L, 1), (5L, 1), (5L, 0), (5L, 0), (5L, 0))) == 5000L)
+  }
+
+  test("AUC: hand-computed mixed case") {
+    // pairs (pos, neg): (4,1)> (4,3)> (2,1)> (2,3)< + tie? none
+    // U = 3 of 4 concordant -> 7500
+    assert(auc(Seq((4L, 1), (2L, 1), (3L, 0), (1L, 0))) == 7500L)
+  }
+}
