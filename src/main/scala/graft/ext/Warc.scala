@@ -1,0 +1,190 @@
+package graft.ext
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** WARC (Web ARChive, ISO 28500) container walk — the format CommonCrawl
+  * and every serious crawler actually ship, and therefore the byte-level
+  * front door of a 100 TB web pipeline (the [[Html]] extractor's input
+  * lives inside these records). Round 16, third member of the container
+  * tier after [[Mp4]] and [[Avi]], under the same discipline:
+  *
+  *   - strictly bounded: every read is inside the array; a declared
+  *     Content-Length never frames a record past the blob end
+  *     (complete-records-only — a truncated tail record is dropped, it
+  *     cannot fabricate fields from bytes it doesn't own);
+  *   - guaranteed progress: the cursor strictly advances or the walk
+  *     stops; header scans are capped ([[MaxHeaderBytes]]) and the
+  *     record count is capped (`maxRecords`);
+  *   - never throws on hostile bytes: malformed magic, missing blank
+  *     line, unparseable/negative Content-Length all STOP the walk
+  *     (framing depends on the length — after a bad length nothing
+  *     downstream is trustworthy) and return what was complete so far.
+  *
+  * Record grammar (WARC/1.x): a version line, `Name: value` header
+  * lines, CRLF CRLF, `Content-Length` payload octets, CRLF CRLF. For
+  * `application/http` payloads the HTTP message is split at ITS blank
+  * line: status code from the status line (`msgtype=response` only),
+  * body = the octets after the HTTP headers.
+  */
+object Warc {
+
+  /** Max bytes a single record's WARC header block may span. */
+  val MaxHeaderBytes = 8192
+
+  private val Crlf = "\r\n"
+
+  /** One record to [[synthesize]]: (WARC-Type, optional target URI,
+    * Content-Type, payload octets). */
+  final case class Entry(warcType: String, targetUri: Option[String],
+                         contentType: String, payload: Array[Byte])
+
+  /** A parsed record's metadata (offsets index into the source blob). */
+  final case class Rec(recIdx: Int, warcType: String, targetUri: String,
+                       contentLength: Long, httpStatus: Option[Int],
+                       bodyOffset: Int, bodyLen: Int)
+
+  /** Serialize records into one WARC blob (the round-trip anchor the
+    * torture specs cut prefixes from). */
+  def synthesize(entries: Seq[Entry]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    entries.foreach { e =>
+      val sb = new StringBuilder
+      sb.append("WARC/1.0").append(Crlf)
+      sb.append("WARC-Type: ").append(e.warcType).append(Crlf)
+      e.targetUri.foreach(u => sb.append("WARC-Target-URI: ").append(u).append(Crlf))
+      sb.append("Content-Type: ").append(e.contentType).append(Crlf)
+      sb.append("Content-Length: ").append(e.payload.length).append(Crlf)
+      sb.append(Crlf)
+      out.write(sb.toString.getBytes(UTF_8))
+      out.write(e.payload)
+      out.write((Crlf + Crlf).getBytes(UTF_8))
+    }
+    out.toByteArray
+  }
+
+  /** HTTP response payload around an HTML body. */
+  def httpResponse(status: String, body: String): Array[Byte] =
+    (s"HTTP/1.1 $status${Crlf}Content-Type: text/html$Crlf$Crlf$body")
+      .getBytes(UTF_8)
+
+  /** HTTP request payload for a path. */
+  def httpRequest(path: String): Array[Byte] =
+    (s"GET $path HTTP/1.1${Crlf}Host: example.org$Crlf$Crlf").getBytes(UTF_8)
+
+  private def indexOfCrlfCrlf(b: Array[Byte], from: Int, until: Int): Int = {
+    var i = from
+    val end = math.min(until, b.length) - 4 // i+3 must stay in-bounds
+    while (i <= end) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  private def startsWith(b: Array[Byte], at: Int, s: String): Boolean = {
+    if (at + s.length > b.length) return false
+    var i = 0
+    while (i < s.length) {
+      if (b(at + i) != s.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Walk a blob; returns the complete records in order. Never throws. */
+  def parse(bytes: Array[Byte], maxRecords: Int = 10000): Seq[Rec] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Rec]
+    var c = 0
+    while (c < bytes.length && out.length < maxRecords) {
+      if (!startsWith(bytes, c, "WARC/")) return out.toSeq
+      val hEnd = indexOfCrlfCrlf(bytes, c, c + MaxHeaderBytes)
+      if (hEnd < 0) return out.toSeq
+      val header = new String(bytes, c, hEnd - c, UTF_8)
+      var warcType = ""
+      var uri = ""
+      var ctype = ""
+      var clen = -1L
+      header.split("\r\n").iterator.drop(1).foreach { line =>
+        val i = line.indexOf(':')
+        if (i > 0) {
+          val name = line.substring(0, i).trim.toLowerCase
+          val value = line.substring(i + 1).trim
+          name match {
+            case "warc-type" => warcType = value
+            case "warc-target-uri" => uri = value
+            case "content-type" => ctype = value
+            case "content-length" =>
+              clen = try value.toLong catch { case _: NumberFormatException => -1L }
+            case _ => ()
+          }
+        }
+      }
+      if (clen < 0) return out.toSeq // framing unusable past this point
+      val pStart = hEnd + 4
+      if (clen > bytes.length - pStart) return out.toSeq // truncated tail
+      val pEnd = pStart + clen.toInt
+      // HTTP payload split: status from the first line (responses), body
+      // after the HTTP blank line; non-HTTP records keep the raw payload
+      // as the body with no status
+      var status: Option[Int] = None
+      var bodyOff = pStart
+      var bodyLen = pEnd - pStart
+      if (ctype.startsWith("application/http")) {
+        val hh = indexOfCrlfCrlf(bytes, pStart, pEnd)
+        if (hh >= 0 && hh + 4 <= pEnd) {
+          bodyOff = hh + 4
+          bodyLen = pEnd - bodyOff
+        } else {
+          bodyLen = 0
+        }
+        if (ctype.contains("msgtype=response") && startsWith(bytes, pStart, "HTTP/")) {
+          val lineEnd = {
+            var i = pStart
+            while (i < pEnd && bytes(i) != '\r') i += 1
+            i
+          }
+          val parts = new String(bytes, pStart, lineEnd - pStart, UTF_8).split(" ")
+          if (parts.length >= 2)
+            status = try Some(parts(1).toInt) catch { case _: NumberFormatException => None }
+        }
+      }
+      out += Rec(out.length, warcType, uri, clen, status, bodyOff, bodyLen)
+      // record separator CRLF CRLF; a record flush at EOF is still complete
+      val next = if (startsWith(bytes, pEnd, Crlf + Crlf)) pEnd + 4 else pEnd
+      if (next <= c) return out.toSeq // progress guard (clen 0 + no sep)
+      if (next == pEnd && pEnd < bytes.length) return out.toSeq // junk after payload
+      c = next
+    }
+    out.toSeq
+  }
+
+  /** Per-record extraction over (blob_id, warc bytes) rows: one output row
+    * per complete record — type, target URI, declared length, HTTP status,
+    * and the body's byte mass + md5 (response records only; the md5 is
+    * over the body octets, so the DuckDB oracle replays it with md5() on
+    * the constructed string). mapPartitions batch shape, same as the
+    * [[Avi]] extractors: demux cost is the unit of work. */
+  def extractRecords(blobs: Dataset[(Long, Array[Byte])]): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.flatMap { case (blobId, bytes) =>
+      parse(bytes).map { r =>
+        val (bc, bmd5) =
+          if (r.httpStatus.isDefined) {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            md.update(bytes, r.bodyOffset, r.bodyLen)
+            (Some(r.bodyLen.toLong),
+              Some(md.digest().map(b => f"$b%02x").mkString))
+          } else (None, None)
+        (blobId, r.recIdx.toLong, r.warcType,
+          if (r.targetUri.isEmpty) None else Some(r.targetUri),
+          r.contentLength, r.httpStatus.map(_.toLong), bc, bmd5)
+      }
+    }).toDF("blob_id", "rec_idx", "rec_type", "uri", "content_length",
+      "http_status", "body_bytes", "body_md5")
+  }
+}

@@ -61,9 +61,46 @@ object WebQueries {
         max(col("_a.anchor")).as("anchor_max"))
       .transform(tinySort(_, col("href")))
 
+  /** q207 — WARC record walk ([[graft.ext.Warc]]): documents pack eight
+    * to a crawl blob (warcinfo + request/response pairs, real ISO-28500
+    * framing with HTTP payloads), Spark demuxes the actual bytes —
+    * bounded walk, complete-records-only, HTTP header split, body md5 —
+    * while the oracle constructs the same payload STRINGS in SQL and
+    * measures them (strlen bytes / md5), never parsing: a framing bug on
+    * the Spark side cannot hide in a shared parser. Every 13th doc is a
+    * 404 so the status column has to come from the HTTP status line, not
+    * the record headers. Blob assembly is one groupBy; the demux is
+    * mapPartitions batch work (the [[graft.ext.Avi]] shape). */
+  def q207WarcRecords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.Warc
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val blobs = docs.groupByKey(_._1 / 8).mapGroups { (b, it) =>
+      val ms = it.toArray.sortBy(_._1)
+      val entries = Warc.Entry("warcinfo", None, "application/warc-fields",
+          "software: graft-crawler/1.0\r\n"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)) +:
+        ms.toSeq.flatMap { case (id, t) =>
+          val status = if (id % 13 == 0) "404 Not Found" else "200 OK"
+          Seq(
+            Warc.Entry("request", Some(s"https://example.org/doc/$id"),
+              "application/http; msgtype=request",
+              Warc.httpRequest(s"/doc/$id")),
+            Warc.Entry("response", Some(s"https://example.org/doc/$id"),
+              "application/http; msgtype=response",
+              Warc.httpResponse(status,
+                s"<html><body><p>$t</p></body></html>")))
+        }
+      (b, Warc.synthesize(entries))
+    }
+    Warc.extractRecords(blobs).orderBy(col("blob_id"), col("rec_idx"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q204_html_extract" -> (q204HtmlExtract _),
-    "q205_anchor_corpus" -> (q205AnchorCorpus _)
+    "q205_anchor_corpus" -> (q205AnchorCorpus _),
+    "q207_warc_records" -> (q207WarcRecords _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -133,6 +170,44 @@ object WebQueries {
         |SELECT href, CAST(COUNT(*) AS BIGINT) AS n_refs,
         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  MIN(anchor) AS anchor_min, MAX(anchor) AS anchor_max
-        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    /* q207: the oracle CONSTRUCTS every record's payload string and
+     * measures it (strlen bytes for the declared Content-Length, md5 of
+     * the HTTP body) — no WARC parsing on the DuckDB side by design.
+     * rec_idx replays the synthesis order: warcinfo 0, then the blob's
+     * docs in doc_id order as (request 2r−1, response 2r). */
+    "q207_warc_records" ->
+      """WITH d AS (SELECT doc_id, text, doc_id // 8 AS blob_id,
+        |    row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id) AS rn,
+        |    'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        |    '<html><body><p>' || text || '</p></body></html>' AS body,
+        |    CASE WHEN doc_id % 13 = 0 THEN '404 Not Found' ELSE '200 OK' END AS st,
+        |    CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS code
+        |  FROM documents),
+        | info AS (SELECT DISTINCT blob_id, CAST(0 AS BIGINT) AS rec_idx,
+        |    'warcinfo' AS rec_type, CAST(NULL AS VARCHAR) AS uri,
+        |    CAST(strlen('software: graft-crawler/1.0' || chr(13) || chr(10))
+        |      AS BIGINT) AS content_length,
+        |    CAST(NULL AS BIGINT) AS http_status,
+        |    CAST(NULL AS BIGINT) AS body_bytes,
+        |    CAST(NULL AS VARCHAR) AS body_md5 FROM d),
+        | req AS (SELECT blob_id, CAST(2 * rn - 1 AS BIGINT) AS rec_idx,
+        |    'request' AS rec_type, uri,
+        |    CAST(strlen('GET /doc/' || CAST(doc_id AS VARCHAR) ||
+        |      ' HTTP/1.1' || chr(13) || chr(10) || 'Host: example.org' ||
+        |      chr(13) || chr(10) || chr(13) || chr(10)) AS BIGINT) AS content_length,
+        |    CAST(NULL AS BIGINT) AS http_status,
+        |    CAST(NULL AS BIGINT) AS body_bytes,
+        |    CAST(NULL AS VARCHAR) AS body_md5 FROM d),
+        | resp AS (SELECT blob_id, CAST(2 * rn AS BIGINT) AS rec_idx,
+        |    'response' AS rec_type, uri,
+        |    CAST(strlen('HTTP/1.1 ' || st || chr(13) || chr(10) ||
+        |      'Content-Type: text/html' || chr(13) || chr(10) ||
+        |      chr(13) || chr(10) || body) AS BIGINT) AS content_length,
+        |    CAST(code AS BIGINT) AS http_status,
+        |    CAST(strlen(body) AS BIGINT) AS body_bytes,
+        |    md5(body) AS body_md5 FROM d)
+        |SELECT * FROM info UNION ALL SELECT * FROM req
+        |UNION ALL SELECT * FROM resp ORDER BY blob_id, rec_idx""".stripMargin
   )
 }

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Warc
+
+/** [[Warc]] torture suite under the container-tier discipline (the Mp4/Avi
+  * precedent): round-trip law, exhaustive truncation sweep, hostile
+  * framing, record cap, and the HTTP-payload split rules. */
+class WarcSpec extends AnyFunSuite {
+
+  private def entries = Seq(
+    Warc.Entry("warcinfo", None, "application/warc-fields",
+      "software: graft-crawler/1.0\r\n".getBytes(UTF_8)),
+    Warc.Entry("request", Some("https://example.org/doc/7"),
+      "application/http; msgtype=request", Warc.httpRequest("/doc/7")),
+    Warc.Entry("response", Some("https://example.org/doc/7"),
+      "application/http; msgtype=response",
+      Warc.httpResponse("200 OK", "<html><body><p>hello</p></body></html>")))
+
+  test("round-trip: synthesize then parse recovers every record's metadata") {
+    val recs = Warc.parse(Warc.synthesize(entries))
+    assert(recs.length == 3)
+    assert(recs.map(_.warcType) == Seq("warcinfo", "request", "response"))
+    assert(recs.map(_.targetUri) ==
+      Seq("", "https://example.org/doc/7", "https://example.org/doc/7"))
+    assert(recs.map(_.contentLength) == entries.map(_.payload.length.toLong))
+    assert(recs.map(_.httpStatus) == Seq(None, None, Some(200)))
+    // response body = the octets after the HTTP blank line
+    val body = "<html><body><p>hello</p></body></html>"
+    assert(recs(2).bodyLen == body.length)
+    // request body is empty (headers end the payload)
+    assert(recs(1).bodyLen == 0)
+    // non-HTTP record: body = whole payload
+    assert(recs(0).bodyLen == entries(0).payload.length)
+  }
+
+  test("truncation sweep: every prefix parses without throwing, yields only " +
+       "complete records, never fabricates fields") {
+    val full = Warc.synthesize(entries)
+    val complete = Warc.parse(full)
+    (0 to full.length).foreach { cut =>
+      val recs = Warc.parse(full.take(cut))
+      assert(recs.length <= complete.length)
+      // every parsed record must equal its full-parse twin exactly
+      recs.zip(complete).foreach { case (got, want) => assert(got == want, s"cut=$cut") }
+    }
+    assert(Warc.parse(full) == complete)
+  }
+
+  test("hostile framing stops the walk instead of guessing") {
+    // not WARC at all
+    assert(Warc.parse("HTTP/1.1 200 OK\r\n\r\n".getBytes(UTF_8)).isEmpty)
+    // unparseable Content-Length: framing unusable, stop before the record
+    val bad = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: xyz\r\n" +
+      "\r\npayload\r\n\r\n").getBytes(UTF_8)
+    assert(Warc.parse(bad).isEmpty)
+    // negative length: same rule
+    val neg = ("WARC/1.0\r\nWARC-Type: x\r\nContent-Length: -5\r\n\r\n\r\n\r\n")
+      .getBytes(UTF_8)
+    assert(Warc.parse(neg).isEmpty)
+    // missing header terminator within the cap
+    val open = ("WARC/1.0\r\nWARC-Type: x\r\nContent-Length: 3\r\nabc")
+      .getBytes(UTF_8)
+    assert(Warc.parse(open).isEmpty)
+    // declared length past the blob end: complete-records-only
+    val overrun = ("WARC/1.0\r\nWARC-Type: x\r\nContent-Length: 9999\r\n\r\nabc")
+      .getBytes(UTF_8)
+    assert(Warc.parse(overrun).isEmpty)
+    // junk between records: first record emitted, walk stops at the junk
+    val two = Warc.synthesize(entries.take(1)) ++ "JUNK".getBytes(UTF_8)
+    assert(Warc.parse(two).map(_.warcType) == Seq("warcinfo"))
+  }
+
+  test("record cap bounds the walk") {
+    val many = Warc.synthesize(Seq.fill(10)(entries.head))
+    assert(Warc.parse(many).length == 10)
+    assert(Warc.parse(many, maxRecords = 3).length == 3)
+  }
+
+  test("HTTP split rules: malformed payloads yield no status and no body") {
+    // msgtype=response but payload has no HTTP blank line -> body 0, and a
+    // status only if the status line parses
+    val noBlank = Warc.synthesize(Seq(Warc.Entry("response", Some("u"),
+      "application/http; msgtype=response", "HTTP/1.1 200 OK".getBytes(UTF_8))))
+    val r = Warc.parse(noBlank).head
+    assert(r.bodyLen == 0 && r.httpStatus.contains(200))
+    // payload not starting with HTTP/: no status
+    val notHttp = Warc.synthesize(Seq(Warc.Entry("response", Some("u"),
+      "application/http; msgtype=response", "garbage\r\n\r\nbody".getBytes(UTF_8))))
+    assert(Warc.parse(notHttp).head.httpStatus.isEmpty)
+    // non-numeric status code: None, body still split
+    val badCode = Warc.synthesize(Seq(Warc.Entry("response", Some("u"),
+      "application/http; msgtype=response",
+      "HTTP/1.1 OK\r\n\r\nbody!".getBytes(UTF_8))))
+    val b = Warc.parse(badCode).head
+    assert(b.httpStatus.isEmpty && b.bodyLen == 5)
+  }
+
+  test("final record at exact EOF (no trailing separator) is still complete") {
+    val full = Warc.synthesize(entries.take(1))
+    val noSep = full.dropRight(4)
+    assert(Warc.parse(noSep).map(_.warcType) == Seq("warcinfo"))
+  }
+}
