@@ -187,4 +187,21 @@ object Warc {
     }).toDF("blob_id", "rec_idx", "rec_type", "uri", "content_length",
       "http_status", "body_bytes", "body_md5")
   }
+
+  /** Response bodies as STRINGS — the hand-off row set between the
+    * container walk and the text extractors (q208 feeds these straight
+    * into [[Html]]): one row per response record that parsed a status,
+    * (blob_id, rec_idx, uri, http_status, body). Same mapPartitions
+    * batch shape as [[extractRecords]]. */
+  def extractResponseBodies(blobs: Dataset[(Long, Array[Byte])]): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.flatMap { case (blobId, bytes) =>
+      parse(bytes).iterator.collect {
+        case r if r.httpStatus.isDefined =>
+          (blobId, r.recIdx.toLong, r.targetUri, r.httpStatus.get.toLong,
+            new String(bytes, r.bodyOffset, r.bodyLen, UTF_8))
+      }
+    }).toDF("blob_id", "rec_idx", "uri", "http_status", "body")
+  }
 }

@@ -97,10 +97,63 @@ object WebQueries {
     Warc.extractRecords(blobs).orderBy(col("blob_id"), col("rec_idx"))
   }
 
+  /** q208 — the crawl-ingest chain END-TO-END: crawl bytes → WARC demux →
+    * HTTP status gate → boilerplate extraction, every seam real. Pages
+    * ([[Html.synthPage]] markup, built by the Column expression so there
+    * is exactly ONE page definition in the codebase) are packed into WARC
+    * response records (every 13th doc serves a 404 error page instead);
+    * Spark walks the container ([[graft.ext.Warc.extractResponseBodies]]),
+    * keeps the 200s, derives the doc id back from the crawled URI — the
+    * pipeline never peeks at the source table's key — and runs the q204
+    * extractor over the recovered body strings. The oracle is q204's CTE
+    * chain restricted to the non-404 id class: the whole container/HTTP
+    * layer must be value-transparent for the hash to match. */
+  def q208CrawlExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.Warc
+    val pages = load(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0,
+          lit("<html><body><p>not found</p></body></html>"))
+          .otherwise(Html.synthPage(col("doc_id"), col("text"))).as("body"),
+        when(col("doc_id") % 13 === 0, lit("404 Not Found"))
+          .otherwise(lit("200 OK")).as("st"))
+      .as[(Long, String, String)]
+    val blobs = pages.groupByKey(_._1 / 8).mapGroups { (b, it) =>
+      val ms = it.toArray.sortBy(_._1)
+      val entries = ms.toSeq.map { case (id, body, st) =>
+        Warc.Entry("response", Some(s"https://example.org/doc/$id"),
+          "application/http; msgtype=response", Warc.httpResponse(st, body))
+      }
+      (b, Warc.synthesize(entries))
+    }
+    Warc.extractResponseBodies(blobs)
+      .filter(col("http_status") === 200)
+      .select(
+        regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        col("http_status"),
+        Html.blockStats(col("body")).as("_st"))
+      .select(col("doc_id"), col("http_status"),
+        Html.pageSummary(col("_st")).as("_e"))
+      .select(col("doc_id"), col("http_status"),
+        col("_e.n_blocks").as("n_blocks"),
+        col("_e.n_kept").as("n_kept"),
+        col("_e.kept_chars").as("kept_chars"),
+        col("_e.total_chars").as("total_chars"),
+        expr("CASE WHEN _e.total_chars > 0 THEN " +
+          "(_e.total_chars - _e.kept_chars) * 10000L div _e.total_chars END")
+          .as("boiler_bp"),
+        col("_e.extracted").as("extracted"))
+      .localCheckpoint()
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q204_html_extract" -> (q204HtmlExtract _),
     "q205_anchor_corpus" -> (q205AnchorCorpus _),
-    "q207_warc_records" -> (q207WarcRecords _)
+    "q207_warc_records" -> (q207WarcRecords _),
+    "q208_crawl_extract" -> (q208CrawlExtract _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -112,9 +165,11 @@ object WebQueries {
     * "home about us contact" = 21 chars / anchors 19; footer visible
     * "privacy policy terms (c) example.org" = 36 chars / anchors 19 —
     * both fail anchor*3 <= vis for every page. */
-  val sql: Map[String, String] = Map(
-    "q204_html_extract" ->
-      """WITH b AS (SELECT doc_id, text,
+  /** The q204 extraction replay (CTEs b → k → s), shared verbatim with
+    * q208 so the standalone extractor and the crawl-chain composition can
+    * never drift on the keep rule or the masses. */
+  private val HtmlExtractCtes: String =
+    """b AS (SELECT doc_id, text,
         |    'doc ' || CAST(doc_id AS VARCHAR) AS tvis,
         |    'doc ' || CAST(doc_id AS VARCHAR) || ' report' AS hvis,
         |    CASE WHEN doc_id % 3 = 0 THEN
@@ -148,12 +203,28 @@ object WebQueries {
         |      CASE WHEN keep_h THEN hvis END,
         |      CASE WHEN keep_p THEN text END,
         |      CASE WHEN keep_r THEN rvis END) AS extracted
-        |  FROM k)
+        |  FROM k)""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "q204_html_extract" ->
+      s"""WITH $HtmlExtractCtes
         |SELECT doc_id, n_blocks, n_kept, kept_chars, total_chars,
         |  CAST(CASE WHEN total_chars > 0 THEN
         |    (total_chars - kept_chars) * 10000 // total_chars END AS BIGINT) AS boiler_bp,
         |  extracted
         |FROM s ORDER BY doc_id""".stripMargin,
+    /* q208: the SAME extraction CTEs — the crawl chain only changes which
+     * pages reach the extractor (every 13th doc 404s and is filtered by
+     * status on the Spark side, by id class here) and adds the constant
+     * status column the HTTP split produced. */
+    "q208_crawl_extract" ->
+      s"""WITH $HtmlExtractCtes
+        |SELECT doc_id, CAST(200 AS BIGINT) AS http_status,
+        |  n_blocks, n_kept, kept_chars, total_chars,
+        |  CAST(CASE WHEN total_chars > 0 THEN
+        |    (total_chars - kept_chars) * 10000 // total_chars END AS BIGINT) AS boiler_bp,
+        |  extracted
+        |FROM s WHERE doc_id % 13 <> 0 ORDER BY doc_id""".stripMargin,
     "q205_anchor_corpus" ->
       """WITH p AS (
         |  SELECT doc_id, '/' AS href, 'home' AS anchor FROM documents

@@ -97,6 +97,21 @@ class WarcSpec extends AnyFunSuite {
     assert(b.httpStatus.isEmpty && b.bodyLen == 5)
   }
 
+  test("extractResponseBodies hands the exact body strings to the text tier") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val blob = Warc.synthesize(entries :+ Warc.Entry("response", Some("u2"),
+      "application/http; msgtype=response",
+      Warc.httpResponse("404 Not Found", "gone")))
+    val got = Warc.extractResponseBodies(Seq((7L, blob)).toDS())
+      .select("blob_id", "uri", "http_status", "body")
+      .as[(Long, String, Long, String)].collect().sortBy(_._3).toSeq
+    assert(got == Seq(
+      (7L, "https://example.org/doc/7", 200L,
+        "<html><body><p>hello</p></body></html>"),
+      (7L, "u2", 404L, "gone")))
+  }
+
   test("final record at exact EOF (no trailing separator) is still complete") {
     val full = Warc.synthesize(entries.take(1))
     val noSep = full.dropRight(4)
