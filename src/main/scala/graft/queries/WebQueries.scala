@@ -149,11 +149,67 @@ object WebQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q209 — robots-rules URL filtering under the LONGEST-MATCH rule (the
+    * Google robots.txt spec's core: among the group's rules whose path is
+    * a prefix of the URL path, the longest wins; an allow/disallow TIE at
+    * equal length resolves to allow; no match means allow). Wildcards are
+    * out of scope — the deterministic prefix subset is what the REP RFC
+    * 9309 requires of every implementation. Rules are a bounded per-site
+    * table (five shared rules per site + a root disallow on even sites) —
+    * broadcast; the corpus side is one prefix-predicate broadcast join +
+    * one per-URL argmax via struct max, no window over the corpus. URL
+    * paths cycle five shapes so every branch is exercised: nested allow
+    * under a blocked root, a longer disallow overriding an allow, a pure
+    * disallow subtree, the equal-length tie, and the no-match default. */
+  def q209RobotsFilter(spark: SparkSession, dir: String): DataFrame =
+    q209Stage(spark, dir)
+      .localCheckpoint()
+      .orderBy(col("doc_id"))
+
+  /** q209 before the dump checkpoint (the checkpoint truncates the plan,
+    * so PlanShapeSpec pins the join shape here). */
+  private[graft] def q209Stage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 7).cast("string").as("site"),
+        expr("""CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN '/a/' || CAST(doc_id AS STRING)
+          WHEN 1 THEN '/a/x' || CAST(doc_id AS STRING)
+          WHEN 2 THEN '/tmp/' || CAST(doc_id AS STRING)
+          WHEN 3 THEN '/b/p'
+          ELSE '/c/' || CAST(doc_id AS STRING) END""").as("path"))
+    val sites = spark.range(7)
+    val shared = sites.select(col("id").cast("string").as("r_site"),
+        explode(array(
+          struct(lit("/a/").as("r_path"), lit(1).as("r_allow")),
+          struct(lit("/a/x").as("r_path"), lit(0).as("r_allow")),
+          struct(lit("/tmp/").as("r_path"), lit(0).as("r_allow")),
+          struct(lit("/b/p").as("r_path"), lit(1).as("r_allow")),
+          struct(lit("/b/p").as("r_path"), lit(0).as("r_allow")))).as("r"))
+      .select(col("r_site"), col("r.r_path").as("r_path"),
+        col("r.r_allow").as("r_allow"))
+    val rootBlock = sites.filter(col("id") % 2 === 0)
+      .select(col("id").cast("string").as("r_site"),
+        lit("/").as("r_path"), lit(0).as("r_allow"))
+    val rules = shared.unionByName(rootBlock)
+    docs
+      .join(broadcast(rules),
+        col("site") === col("r_site") &&
+          col("path").startsWith(col("r_path")), "left")
+      .groupBy(col("doc_id"), col("site"), col("path"))
+      .agg(max(when(col("r_path").isNotNull,
+        struct(length(col("r_path")).as("l"), col("r_allow").as("a"),
+          col("r_path").as("p")))).as("m"))
+      .select(col("doc_id"), col("site"), col("path"),
+        coalesce(col("m.a") === 1, lit(true)).as("allowed"),
+        col("m.p").as("matched_path"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q204_html_extract" -> (q204HtmlExtract _),
     "q205_anchor_corpus" -> (q205AnchorCorpus _),
     "q207_warc_records" -> (q207WarcRecords _),
-    "q208_crawl_extract" -> (q208CrawlExtract _)
+    "q208_crawl_extract" -> (q208CrawlExtract _),
+    "q209_robots_filter" -> (q209RobotsFilter _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -225,6 +281,36 @@ object WebQueries {
         |    (total_chars - kept_chars) * 10000 // total_chars END AS BIGINT) AS boiler_bp,
         |  extracted
         |FROM s WHERE doc_id % 13 <> 0 ORDER BY doc_id""".stripMargin,
+    /* q209: the same rule table via UNION ALL selects over range(7), the
+     * prefix match as LIKE p||'%' (rule paths carry no LIKE
+     * metacharacters), the longest-match/tie argmax as a row_number over
+     * (length DESC, allow DESC) — unique (length, allow) per URL, the
+     * trailing p is a determinism belt. */
+    "q209_robots_filter" ->
+      """WITH u AS (SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS site,
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN '/a/' || CAST(doc_id AS VARCHAR)
+        |      WHEN 1 THEN '/a/x' || CAST(doc_id AS VARCHAR)
+        |      WHEN 2 THEN '/tmp/' || CAST(doc_id AS VARCHAR)
+        |      WHEN 3 THEN '/b/p'
+        |      ELSE '/c/' || CAST(doc_id AS VARCHAR) END AS path
+        |  FROM documents),
+        | r AS (
+        |  SELECT CAST(range AS VARCHAR) AS site, '/a/' AS p, 1 AS a FROM range(7)
+        |  UNION ALL SELECT CAST(range AS VARCHAR), '/a/x', 0 FROM range(7)
+        |  UNION ALL SELECT CAST(range AS VARCHAR), '/tmp/', 0 FROM range(7)
+        |  UNION ALL SELECT CAST(range AS VARCHAR), '/b/p', 1 FROM range(7)
+        |  UNION ALL SELECT CAST(range AS VARCHAR), '/b/p', 0 FROM range(7)
+        |  UNION ALL SELECT CAST(range AS VARCHAR), '/', 0 FROM range(7)
+        |    WHERE range % 2 = 0),
+        | m AS (SELECT u.doc_id, r.p, r.a,
+        |    row_number() OVER (PARTITION BY u.doc_id
+        |      ORDER BY length(r.p) DESC, r.a DESC, r.p) AS rk
+        |  FROM u JOIN r ON r.site = u.site AND u.path LIKE r.p || '%')
+        |SELECT u.doc_id, u.site, u.path,
+        |  COALESCE(m.a = 1, TRUE) AS allowed, m.p AS matched_path
+        |FROM u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rk = 1
+        |ORDER BY u.doc_id""".stripMargin,
     "q205_anchor_corpus" ->
       """WITH p AS (
         |  SELECT doc_id, '/' AS href, 'home' AS anchor FROM documents

@@ -27,6 +27,15 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q209 robots filter: prefix match rides the site equi-join as a " +
+       "residual — BroadcastHashJoin, never a nested loop") {
+    val plan = graft.queries.WebQueries.q209Stage(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rules join must broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"prefix predicate must not force a nested loop:\n$plan")
+  }
+
   test("q97 blocked fuzzy join: block-keyed equi-join, no BNLJ, levenshtein above the join") {
     // the entity-resolution shape claim: the expensive comparator may only
     // run INSIDE blocks — the self-join must be an equi-join on the block
