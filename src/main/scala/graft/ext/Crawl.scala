@@ -1,0 +1,41 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** The crawl-ingest chain as ONE operator (q208 + its streaming twin —
+  * one definition, so the batch query and the arrival-time loop can never
+  * drift): WARC blobs → response bodies → HTTP 200 gate → doc id recovered
+  * from the crawled URI → link-density boilerplate extraction
+  * ([[Html.pageSummary]]).
+  *
+  * Per-page independence: a page's output row depends only on its own
+  * record bytes — no corpus state, no cross-page joins — so ANY partition
+  * of the blob set into micro-batches yields exactly the batch extraction
+  * of the union (the [[graft.stream.StreamingCrawl]] ≡ batch law).
+  */
+object Crawl {
+
+  /** One row per successfully fetched (HTTP 200) page in `blobs`:
+    * doc_id, http_status, block/keep counts, char masses, boilerplate
+    * basis points, extracted text. */
+  def extract(blobs: Dataset[(Long, Array[Byte])], minLen: Int = 10): DataFrame =
+    Warc.extractResponseBodies(blobs)
+      .filter(col("http_status") === 200)
+      .select(
+        regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        col("http_status"),
+        Html.blockStats(col("body")).as("_st"))
+      .select(col("doc_id"), col("http_status"),
+        Html.pageSummary(col("_st"), minLen).as("_e"))
+      .select(col("doc_id"), col("http_status"),
+        col("_e.n_blocks").as("n_blocks"),
+        col("_e.n_kept").as("n_kept"),
+        col("_e.kept_chars").as("kept_chars"),
+        col("_e.total_chars").as("total_chars"),
+        expr("CASE WHEN _e.total_chars > 0 THEN " +
+          "(_e.total_chars - _e.kept_chars) * 10000L div _e.total_chars END")
+          .as("boiler_bp"),
+        col("_e.extracted").as("extracted"))
+}

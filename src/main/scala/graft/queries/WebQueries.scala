@@ -102,13 +102,23 @@ object WebQueries {
     * ([[Html.synthPage]] markup, built by the Column expression so there
     * is exactly ONE page definition in the codebase) are packed into WARC
     * response records (every 13th doc serves a 404 error page instead);
-    * Spark walks the container ([[graft.ext.Warc.extractResponseBodies]]),
-    * keeps the 200s, derives the doc id back from the crawled URI — the
-    * pipeline never peeks at the source table's key — and runs the q204
-    * extractor over the recovered body strings. The oracle is q204's CTE
+    * Spark walks the container, keeps the 200s, derives the doc id back
+    * from the crawled URI — the pipeline never peeks at the source
+    * table's key — and runs the q204 extractor over the recovered body
+    * strings; the whole chain is [[graft.ext.Crawl.extract]], shared
+    * verbatim with [[graft.stream.StreamingCrawl]]. The oracle is q204's CTE
     * chain restricted to the non-404 id class: the whole container/HTTP
     * layer must be value-transparent for the hash to match. */
-  def q208CrawlExtract(spark: SparkSession, dir: String): DataFrame = {
+  def q208CrawlExtract(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Crawl.extract(crawlBlobs(spark, dir))
+      .localCheckpoint()
+      .orderBy(col("doc_id"))
+
+  /** The q208 crawl synthesis (pages → WARC response blobs, eight docs per
+    * blob, every 13th doc a 404 error page) — shared with the streaming
+    * twin's spec so the arrival-time loop ingests the SAME bytes. */
+  private[graft] def crawlBlobs(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     import graft.ext.Warc
     val pages = load(spark, dir, "documents")
@@ -119,7 +129,7 @@ object WebQueries {
         when(col("doc_id") % 13 === 0, lit("404 Not Found"))
           .otherwise(lit("200 OK")).as("st"))
       .as[(Long, String, String)]
-    val blobs = pages.groupByKey(_._1 / 8).mapGroups { (b, it) =>
+    pages.groupByKey(_._1 / 8).mapGroups { (b, it) =>
       val ms = it.toArray.sortBy(_._1)
       val entries = ms.toSeq.map { case (id, body, st) =>
         Warc.Entry("response", Some(s"https://example.org/doc/$id"),
@@ -127,26 +137,6 @@ object WebQueries {
       }
       (b, Warc.synthesize(entries))
     }
-    Warc.extractResponseBodies(blobs)
-      .filter(col("http_status") === 200)
-      .select(
-        regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long")
-          .as("doc_id"),
-        col("http_status"),
-        Html.blockStats(col("body")).as("_st"))
-      .select(col("doc_id"), col("http_status"),
-        Html.pageSummary(col("_st")).as("_e"))
-      .select(col("doc_id"), col("http_status"),
-        col("_e.n_blocks").as("n_blocks"),
-        col("_e.n_kept").as("n_kept"),
-        col("_e.kept_chars").as("kept_chars"),
-        col("_e.total_chars").as("total_chars"),
-        expr("CASE WHEN _e.total_chars > 0 THEN " +
-          "(_e.total_chars - _e.kept_chars) * 10000L div _e.total_chars END")
-          .as("boiler_bp"),
-        col("_e.extracted").as("extracted"))
-      .localCheckpoint()
-      .orderBy(col("doc_id"))
   }
 
   /** q209 — robots-rules URL filtering under the LONGEST-MATCH rule (the

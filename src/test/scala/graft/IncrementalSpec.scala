@@ -387,6 +387,33 @@ class IncrementalSpec extends AnyFunSuite {
       "pruned per-batch audits must union to the same batch audit")
   }
 
+  test("streaming crawl ingest equals the batch q208 chain over the union " +
+       "of micro-batches (per-page independence, streamed)") {
+    val dir = "/root/testdata/sf0.001"
+    val blobs = graft.queries.WebQueries.crawlBlobs(spark, dir)
+      .toDF("blob_id", "warc")
+    // three arrival files — the law holds for ANY partitioning
+    val streamDir = Files.createTempDirectory("graft_crawl_stream")
+    (0 until 3).foreach { i =>
+      val tmp = Files.createTempDirectory(s"graft_crawl_chunk$i")
+      blobs.filter(col("blob_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, streamDir.resolve(s"c$i.parquet"))
+    }
+    val streamed = graft.stream.StreamingCrawl
+      .runToSnapshot(spark, streamDir.toString, maxFilesPerTrigger = Some(1))
+      .collect().map(_.toString).sorted.toSeq
+    import spark.implicits._
+    val batch = graft.ext.Crawl.extract(
+        blobs.as[(Long, Array[Byte])])
+      .collect().map(_.toString).sorted.toSeq
+    assert(batch.size > 400, s"non-vacuity: expected the 200-page mass, got ${batch.size}")
+    assert(streamed == batch,
+      "per-batch extractions must union to the batch chain exactly")
+  }
+
   test("streaming near-dup vs the persisted band index: per-batch audits " +
        "+ appends fold to the one-shot batch audit of the union (r16)") {
     val dir = "/root/testdata/sf0.001"
