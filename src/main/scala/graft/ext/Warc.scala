@@ -162,28 +162,85 @@ object Warc {
     out.toSeq
   }
 
+  /** Gzip a blob ([[synthesize]]'s compressed counterpart — CommonCrawl
+    * ships `.warc.gz`). */
+  def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(bytes)
+    gz.close()
+    out.toByteArray
+  }
+
+  /** Bounded gunzip with the ZIP-BOMB guard: None on a corrupt or
+    * truncated stream, and None the moment the inflated size would
+    * exceed `maxOut` — a hostile member must not be able to allocate
+    * beyond the cap, so the copy loop stops AT the cap and probes for
+    * one more byte rather than inflating everything first. Multi-member
+    * streams concatenate (the JDK reader's behavior, which matches the
+    * record-per-member convention CommonCrawl uses). */
+  def gunzip(bytes: Array[Byte], maxOut: Int): Option[Array[Byte]] = {
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new ByteArrayOutputStream(math.min(maxOut, 1 << 16))
+      val buf = new Array[Byte](8192)
+      var total = 0
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (total + n > maxOut) { in.close(); return None } // bomb guard
+        out.write(buf, 0, n)
+        total += n
+        n = in.read(buf)
+      }
+      in.close()
+      Some(out.toByteArray)
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
   /** Per-record extraction over (blob_id, warc bytes) rows: one output row
     * per complete record — type, target URI, declared length, HTTP status,
     * and the body's byte mass + md5 (response records only; the md5 is
     * over the body octets, so the DuckDB oracle replays it with md5() on
     * the constructed string). mapPartitions batch shape, same as the
     * [[Avi]] extractors: demux cost is the unit of work. */
+  private def recordRows(blobId: Long, bytes: Array[Byte]) =
+    parse(bytes).map { r =>
+      val (bc, bmd5) =
+        if (r.httpStatus.isDefined) {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.update(bytes, r.bodyOffset, r.bodyLen)
+          (Some(r.bodyLen.toLong),
+            Some(md.digest().map(b => f"$b%02x").mkString))
+        } else (None, None)
+      (blobId, r.recIdx.toLong, r.warcType,
+        if (r.targetUri.isEmpty) None else Some(r.targetUri),
+        r.contentLength, r.httpStatus.map(_.toLong), bc, bmd5)
+    }
+
   def extractRecords(blobs: Dataset[(Long, Array[Byte])]): DataFrame = {
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.mapPartitions(_.flatMap { case (blobId, bytes) =>
-      parse(bytes).map { r =>
-        val (bc, bmd5) =
-          if (r.httpStatus.isDefined) {
-            val md = java.security.MessageDigest.getInstance("MD5")
-            md.update(bytes, r.bodyOffset, r.bodyLen)
-            (Some(r.bodyLen.toLong),
-              Some(md.digest().map(b => f"$b%02x").mkString))
-          } else (None, None)
-        (blobId, r.recIdx.toLong, r.warcType,
-          if (r.targetUri.isEmpty) None else Some(r.targetUri),
-          r.contentLength, r.httpStatus.map(_.toLong), bc, bmd5)
-      }
+      recordRows(blobId, bytes)
+    }).toDF("blob_id", "rec_idx", "rec_type", "uri", "content_length",
+      "http_status", "body_bytes", "body_md5")
+  }
+
+  /** [[extractRecords]] over `.warc.gz` blobs: bounded [[gunzip]] first
+    * (an undecodable or bomb-guarded blob contributes zero rows — the
+    * complete-records-only rule lifted to the compression layer), then
+    * the SAME walk. Output-identical to extracting the uncompressed
+    * blobs, which is exactly what the q210 oracle proves (it shares
+    * q207's SQL verbatim). */
+  def extractRecordsGz(blobs: Dataset[(Long, Array[Byte])],
+                       maxOut: Int = 1 << 26): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.flatMap { case (blobId, gz) =>
+      gunzip(gz, maxOut).iterator.flatMap(b => recordRows(blobId, b))
     }).toDF("blob_id", "rec_idx", "rec_type", "uri", "content_length",
       "http_status", "body_bytes", "body_md5")
   }

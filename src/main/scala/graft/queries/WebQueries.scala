@@ -71,12 +71,34 @@ object WebQueries {
     * 404 so the status column has to come from the HTTP status line, not
     * the record headers. Blob assembly is one groupBy; the demux is
     * mapPartitions batch work (the [[graft.ext.Avi]] shape). */
-  def q207WarcRecords(spark: SparkSession, dir: String): DataFrame = {
+  def q207WarcRecords(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Warc.extractRecords(warcBlobs(spark, dir))
+      .orderBy(col("blob_id"), col("rec_idx"))
+
+  /** q210 — the same record walk over `.warc.gz` blobs, the bytes
+    * CommonCrawl actually distributes: each q207 blob is gzipped whole,
+    * Spark gunzips under the ZIP-BOMB guard ([[graft.ext.Warc.gunzip]] —
+    * inflation stops AT the cap, a hostile member cannot allocate past
+    * it) and then runs the identical walk. The oracle is q207's SQL
+    * VERBATIM (one shared definition): the compression layer must be
+    * value-transparent for the hash to match. */
+  def q210WarcGz(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gz = warcBlobs(spark, dir)
+      .map { case (b, bytes) => (b, graft.ext.Warc.gzip(bytes)) }
+    graft.ext.Warc.extractRecordsGz(gz)
+      .orderBy(col("blob_id"), col("rec_idx"))
+  }
+
+  /** The q207/q210 shared blob synthesis: eight docs per blob, warcinfo +
+    * request/response pairs. */
+  private[graft] def warcBlobs(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     import graft.ext.Warc
     val docs = load(spark, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
-    val blobs = docs.groupByKey(_._1 / 8).mapGroups { (b, it) =>
+    docs.groupByKey(_._1 / 8).mapGroups { (b, it) =>
       val ms = it.toArray.sortBy(_._1)
       val entries = Warc.Entry("warcinfo", None, "application/warc-fields",
           "software: graft-crawler/1.0\r\n"
@@ -94,7 +116,6 @@ object WebQueries {
         }
       (b, Warc.synthesize(entries))
     }
-    Warc.extractRecords(blobs).orderBy(col("blob_id"), col("rec_idx"))
   }
 
   /** q208 — the crawl-ingest chain END-TO-END: crawl bytes → WARC demux →
@@ -199,7 +220,8 @@ object WebQueries {
     "q205_anchor_corpus" -> (q205AnchorCorpus _),
     "q207_warc_records" -> (q207WarcRecords _),
     "q208_crawl_extract" -> (q208CrawlExtract _),
-    "q209_robots_filter" -> (q209RobotsFilter _)
+    "q209_robots_filter" -> (q209RobotsFilter _),
+    "q210_warc_gz" -> (q210WarcGz _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -322,8 +344,14 @@ object WebQueries {
      * measures it (strlen bytes for the declared Content-Length, md5 of
      * the HTTP body) — no WARC parsing on the DuckDB side by design.
      * rec_idx replays the synthesis order: warcinfo 0, then the blob's
-     * docs in doc_id order as (request 2r−1, response 2r). */
-    "q207_warc_records" ->
+     * docs in doc_id order as (request 2r−1, response 2r).
+     * q210 is the SAME string verbatim: gzip round-tripping the blobs
+     * must be value-transparent. */
+    "q207_warc_records" -> WarcRecordsSql,
+    "q210_warc_gz" -> WarcRecordsSql
+  )
+
+  private lazy val WarcRecordsSql: String =
       """WITH d AS (SELECT doc_id, text, doc_id // 8 AS blob_id,
         |    row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id) AS rn,
         |    'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
@@ -356,5 +384,4 @@ object WebQueries {
         |    md5(body) AS body_md5 FROM d)
         |SELECT * FROM info UNION ALL SELECT * FROM req
         |UNION ALL SELECT * FROM resp ORDER BY blob_id, rec_idx""".stripMargin
-  )
 }

@@ -97,6 +97,30 @@ class WarcSpec extends AnyFunSuite {
     assert(b.httpStatus.isEmpty && b.bodyLen == 5)
   }
 
+  test("gzip layer: round-trip, truncation, garbage, and the zip-bomb guard") {
+    val blob = Warc.synthesize(entries)
+    val gz = Warc.gzip(blob)
+    // round-trip under a generous cap
+    assert(Warc.gunzip(gz, 1 << 20).map(_.toSeq).contains(blob.toSeq))
+    // parse-through equivalence
+    assert(Warc.gunzip(gz, 1 << 20).map(Warc.parse(_)).contains(Warc.parse(blob)))
+    // truncated member: no partial output, no throw
+    (0 until gz.length by 7).foreach { cut =>
+      val r = Warc.gunzip(gz.take(cut), 1 << 20)
+      assert(r.isEmpty || r.get.sameElements(blob), s"cut=$cut")
+    }
+    // garbage is not gzip
+    assert(Warc.gunzip("WARC/1.0 not gzip".getBytes(UTF_8), 1 << 20).isEmpty)
+    // bomb guard: 1 MiB of zeros compresses to ~1 KiB; a 4 KiB cap must
+    // refuse to inflate it rather than allocate the megabyte
+    val bomb = Warc.gzip(new Array[Byte](1 << 20))
+    assert(bomb.length < (1 << 13))
+    assert(Warc.gunzip(bomb, 1 << 12).isEmpty)
+    // exact-cap payload still inflates (the guard is > cap, not >= cap)
+    val atCap = new Array[Byte](1 << 12)
+    assert(Warc.gunzip(Warc.gzip(atCap), 1 << 12).map(_.length).contains(1 << 12))
+  }
+
   test("extractResponseBodies hands the exact body strings to the text tier") {
     val spark = TestSpark.spark
     import spark.implicits._
