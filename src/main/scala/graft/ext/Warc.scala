@@ -41,10 +41,17 @@ object Warc {
   final case class Entry(warcType: String, targetUri: Option[String],
                          contentType: String, payload: Array[Byte])
 
-  /** A parsed record's metadata (offsets index into the source blob). */
+  /** A parsed record's metadata (offsets index into the source blob).
+    * `chunkSpans` is non-empty only for a successfully de-chunked
+    * Transfer-Encoding: chunked body — the body octets are the spans
+    * CONCATENATED, and bodyOffset/bodyLen summarize them (first span
+    * start, total de-chunked length). A chunked body whose framing is
+    * malformed decodes to the empty body, same as an HTTP payload with
+    * no blank line. */
   final case class Rec(recIdx: Int, warcType: String, targetUri: String,
                        contentLength: Long, httpStatus: Option[Int],
-                       bodyOffset: Int, bodyLen: Int)
+                       bodyOffset: Int, bodyLen: Int,
+                       chunkSpans: Seq[(Int, Int)] = Nil)
 
   /** Serialize records into one WARC blob (the round-trip anchor the
     * torture specs cut prefixes from). */
@@ -70,9 +77,63 @@ object Warc {
     (s"HTTP/1.1 $status${Crlf}Content-Type: text/html$Crlf$Crlf$body")
       .getBytes(UTF_8)
 
+  /** HTTP response with the body in Transfer-Encoding: chunked framing,
+    * split at byte `cut` (RFC 9112 §7.1: hex size line, data, CRLF per
+    * chunk; 0-size terminator). Chunk extensions and trailers are not
+    * emitted — and not consumed by the parser — by scope. */
+  def httpResponseChunked(status: String, body: String, cut: Int): Array[Byte] = {
+    val b = body.getBytes(UTF_8)
+    val at = math.max(0, math.min(cut, b.length))
+    val parts = Seq(b.take(at), b.drop(at)).filter(_.nonEmpty)
+    val sb = new StringBuilder
+    sb.append(s"HTTP/1.1 $status${Crlf}Transfer-Encoding: chunked$Crlf$Crlf")
+    val out = new ByteArrayOutputStream()
+    out.write(sb.toString.getBytes(UTF_8))
+    parts.foreach { p =>
+      out.write(f"${p.length}%x$Crlf".getBytes(UTF_8))
+      out.write(p)
+      out.write(Crlf.getBytes(UTF_8))
+    }
+    out.write(s"0$Crlf$Crlf".getBytes(UTF_8))
+    out.toByteArray
+  }
+
   /** HTTP request payload for a path. */
   def httpRequest(path: String): Array[Byte] =
     (s"GET $path HTTP/1.1${Crlf}Host: example.org$Crlf$Crlf").getBytes(UTF_8)
+
+  /** Decode RFC 9112 chunked framing inside [from, until): Some(spans of
+    * chunk DATA) on clean framing, None on any violation — bad hex, a
+    * size line past 7 digits (2^28 caps a single chunk), missing CRLFs,
+    * data overrunning the payload. Chunk extensions/trailers are out of
+    * scope and rejected, keeping the decode deterministic. */
+  private def parseChunks(b: Array[Byte], from: Int,
+                          until: Int): Option[Seq[(Int, Int)]] = {
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var c = from
+    while (spans.length < 100000) {
+      var i = c
+      var size = 0L
+      var digits = 0
+      while (i < until && b(i) != '\r') {
+        val d = Character.digit(b(i), 16)
+        if (d < 0) return None
+        size = size * 16 + d
+        digits += 1
+        if (digits > 7) return None
+        i += 1
+      }
+      if (digits == 0 || i + 1 >= until || b(i + 1) != '\n') return None
+      val dataStart = i + 2
+      if (size == 0) return Some(spans.toSeq) // terminator; trailers ignored
+      val dataEnd = dataStart + size.toInt
+      if (dataEnd + 2 > until || b(dataEnd) != '\r' || b(dataEnd + 1) != '\n')
+        return None
+      spans += ((dataStart, dataEnd))
+      c = dataEnd + 2
+    }
+    None // chunk-count bomb
+  }
 
   private def indexOfCrlfCrlf(b: Array[Byte], from: Int, until: Int): Int = {
     var i = from
@@ -133,11 +194,24 @@ object Warc {
       var status: Option[Int] = None
       var bodyOff = pStart
       var bodyLen = pEnd - pStart
+      var spans: Seq[(Int, Int)] = Nil
       if (ctype.startsWith("application/http")) {
         val hh = indexOfCrlfCrlf(bytes, pStart, pEnd)
         if (hh >= 0 && hh + 4 <= pEnd) {
           bodyOff = hh + 4
           bodyLen = pEnd - bodyOff
+          val httpHeader = new String(bytes, pStart, hh - pStart, UTF_8)
+            .toLowerCase
+          if (httpHeader.contains("transfer-encoding:") &&
+              httpHeader.contains("chunked")) {
+            parseChunks(bytes, bodyOff, pEnd) match {
+              case Some(sp) =>
+                spans = sp
+                bodyOff = sp.headOption.map(_._1).getOrElse(bodyOff)
+                bodyLen = sp.iterator.map(s => s._2 - s._1).sum
+              case None => bodyLen = 0 // malformed framing = empty body
+            }
+          }
         } else {
           bodyLen = 0
         }
@@ -152,7 +226,8 @@ object Warc {
             status = try Some(parts(1).toInt) catch { case _: NumberFormatException => None }
         }
       }
-      out += Rec(out.length, warcType, uri, clen, status, bodyOff, bodyLen)
+      out += Rec(out.length, warcType, uri, clen, status, bodyOff, bodyLen,
+        spans)
       // record separator CRLF CRLF; a record flush at EOF is still complete
       val next = if (startsWith(bytes, pEnd, Crlf + Crlf)) pEnd + 4 else pEnd
       if (next <= c) return out.toSeq // progress guard (clen 0 + no sep)
@@ -206,12 +281,18 @@ object Warc {
     * over the body octets, so the DuckDB oracle replays it with md5() on
     * the constructed string). mapPartitions batch shape, same as the
     * [[Avi]] extractors: demux cost is the unit of work. */
+  /** A record's body octet spans: the de-chunked spans when chunked,
+    * else the contiguous body. */
+  private def bodySpans(r: Rec): Seq[(Int, Int)] =
+    if (r.chunkSpans.nonEmpty) r.chunkSpans
+    else Seq((r.bodyOffset, r.bodyOffset + r.bodyLen))
+
   private def recordRows(blobId: Long, bytes: Array[Byte]) =
     parse(bytes).map { r =>
       val (bc, bmd5) =
         if (r.httpStatus.isDefined) {
           val md = java.security.MessageDigest.getInstance("MD5")
-          md.update(bytes, r.bodyOffset, r.bodyLen)
+          bodySpans(r).foreach { case (s, e) => md.update(bytes, s, e - s) }
           (Some(r.bodyLen.toLong),
             Some(md.digest().map(b => f"$b%02x").mkString))
         } else (None, None)
@@ -256,8 +337,10 @@ object Warc {
     blobs.mapPartitions(_.flatMap { case (blobId, bytes) =>
       parse(bytes).iterator.collect {
         case r if r.httpStatus.isDefined =>
-          (blobId, r.recIdx.toLong, r.targetUri, r.httpStatus.get.toLong,
-            new String(bytes, r.bodyOffset, r.bodyLen, UTF_8))
+          val body = bodySpans(r).map { case (s, e) =>
+            new String(bytes, s, e - s, UTF_8)
+          }.mkString
+          (blobId, r.recIdx.toLong, r.targetUri, r.httpStatus.get.toLong, body)
       }
     }).toDF("blob_id", "rec_idx", "uri", "http_status", "body")
   }

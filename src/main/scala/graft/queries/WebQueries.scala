@@ -90,6 +90,37 @@ object WebQueries {
       .orderBy(col("blob_id"), col("rec_idx"))
   }
 
+  /** q211 — chunked Transfer-Encoding inside the WARC walk: odd docs'
+    * responses ship their bodies in RFC 9112 chunked framing (two chunks,
+    * split mid-body), even docs stay identity-encoded; every 13th doc
+    * still 404s. The walk must detect the Transfer-Encoding header and
+    * DE-CHUNK before measuring — body_bytes and body_md5 are over the
+    * reassembled body, so they match the plain rows' values doc-for-doc,
+    * while content_length exposes the framing overhead (the oracle
+    * constructs the chunked payload string hex-size lines and all).
+    * Transparency law as data: the encoding layer changes the payload,
+    * never the content. */
+  def q211WarcChunked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.Warc
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val blobs = docs.groupByKey(_._1 / 8).mapGroups { (b, it) =>
+      val ms = it.toArray.sortBy(_._1)
+      val entries = ms.toSeq.map { case (id, t) =>
+        val status = if (id % 13 == 0) "404 Not Found" else "200 OK"
+        val body = s"<html><body><p>$t</p></body></html>"
+        val payload =
+          if (id % 2 == 1) Warc.httpResponseChunked(status, body, body.length / 2)
+          else Warc.httpResponse(status, body)
+        Warc.Entry("response", Some(s"https://example.org/doc/$id"),
+          "application/http; msgtype=response", payload)
+      }
+      (b, Warc.synthesize(entries))
+    }
+    Warc.extractRecords(blobs).orderBy(col("blob_id"), col("rec_idx"))
+  }
+
   /** The q207/q210 shared blob synthesis: eight docs per blob, warcinfo +
     * request/response pairs. */
   private[graft] def warcBlobs(spark: SparkSession, dir: String)
@@ -221,7 +252,8 @@ object WebQueries {
     "q207_warc_records" -> (q207WarcRecords _),
     "q208_crawl_extract" -> (q208CrawlExtract _),
     "q209_robots_filter" -> (q209RobotsFilter _),
-    "q210_warc_gz" -> (q210WarcGz _)
+    "q210_warc_gz" -> (q210WarcGz _),
+    "q211_warc_chunked" -> (q211WarcChunked _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -348,7 +380,43 @@ object WebQueries {
      * q210 is the SAME string verbatim: gzip round-tripping the blobs
      * must be value-transparent. */
     "q207_warc_records" -> WarcRecordsSql,
-    "q210_warc_gz" -> WarcRecordsSql
+    "q210_warc_gz" -> WarcRecordsSql,
+    /* q211: body_bytes/body_md5 replay the DE-CHUNKED body — identical
+     * expressions to the plain rows — while content_length replays the
+     * chunked payload construction (hex size lines via lower(to_hex),
+     * the exact Scala "%x" casing). Response-only blobs: rec_idx = rn−1. */
+    "q211_warc_chunked" ->
+      """WITH d AS (SELECT doc_id, text, doc_id // 8 AS blob_id,
+        |    row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id) AS rn,
+        |    'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        |    '<html><body><p>' || text || '</p></body></html>' AS body,
+        |    CASE WHEN doc_id % 13 = 0 THEN '404 Not Found' ELSE '200 OK' END AS st,
+        |    CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS code
+        |  FROM documents),
+        | p AS (SELECT *,
+        |    substr(body, 1, length(body) // 2) AS p1,
+        |    substr(body, length(body) // 2 + 1) AS p2
+        |  FROM d),
+        | r AS (SELECT blob_id, CAST(rn - 1 AS BIGINT) AS rec_idx,
+        |    'response' AS rec_type, uri,
+        |    CAST(CASE WHEN doc_id % 2 = 1 THEN
+        |      strlen('HTTP/1.1 ' || st || chr(13) || chr(10) ||
+        |        'Transfer-Encoding: chunked' || chr(13) || chr(10) ||
+        |        chr(13) || chr(10) ||
+        |        lower(to_hex(strlen(p1))) || chr(13) || chr(10) || p1 ||
+        |        chr(13) || chr(10) ||
+        |        lower(to_hex(strlen(p2))) || chr(13) || chr(10) || p2 ||
+        |        chr(13) || chr(10) || '0' || chr(13) || chr(10) || chr(13) || chr(10))
+        |    ELSE
+        |      strlen('HTTP/1.1 ' || st || chr(13) || chr(10) ||
+        |        'Content-Type: text/html' || chr(13) || chr(10) ||
+        |        chr(13) || chr(10) || body)
+        |    END AS BIGINT) AS content_length,
+        |    CAST(code AS BIGINT) AS http_status,
+        |    CAST(strlen(body) AS BIGINT) AS body_bytes,
+        |    md5(body) AS body_md5
+        |  FROM p)
+        |SELECT * FROM r ORDER BY blob_id, rec_idx""".stripMargin
   )
 
   private lazy val WarcRecordsSql: String =

@@ -97,6 +97,52 @@ class WarcSpec extends AnyFunSuite {
     assert(b.httpStatus.isEmpty && b.bodyLen == 5)
   }
 
+  private def chunkedRec(payload: String) = Warc.parse(Warc.synthesize(Seq(
+    Warc.Entry("response", Some("u"), "application/http; msgtype=response",
+      payload.getBytes(UTF_8))))).head
+
+  test("chunked transfer-encoding: de-chunk reassembles the body exactly") {
+    val body = "<html><body><p>hello chunked world</p></body></html>"
+    val rec = Warc.parse(Warc.synthesize(Seq(Warc.Entry("response", Some("u"),
+      "application/http; msgtype=response",
+      Warc.httpResponseChunked("200 OK", body, body.length / 2))))).head
+    assert(rec.httpStatus.contains(200))
+    assert(rec.chunkSpans.length == 2)
+    assert(rec.bodyLen == body.length)
+    // identity-encoded twin yields the same body length and, through the
+    // extractor, the same md5 — the q211 transparency law's core
+    val plain = Warc.parse(Warc.synthesize(Seq(Warc.Entry("response", Some("u"),
+      "application/http; msgtype=response",
+      Warc.httpResponse("200 OK", body))))).head
+    assert(plain.bodyLen == rec.bodyLen)
+    // degenerate cuts collapse to one chunk, still exact
+    Seq(0, body.length, 9999).foreach { cut =>
+      val r1 = Warc.parse(Warc.synthesize(Seq(Warc.Entry("response", Some("u"),
+        "application/http; msgtype=response",
+        Warc.httpResponseChunked("200 OK", body, cut))))).head
+      assert(r1.chunkSpans.length == 1 && r1.bodyLen == body.length, s"cut=$cut")
+    }
+  }
+
+  test("chunked framing violations decode to the EMPTY body, never throw") {
+    val te = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+    // bad hex digit in the size line
+    assert(chunkedRec(te + "xz\r\nhi\r\n0\r\n\r\n").bodyLen == 0)
+    // size overruns the payload
+    assert(chunkedRec(te + "ff\r\nhi\r\n0\r\n\r\n").bodyLen == 0)
+    // missing chunk-data CRLF
+    assert(chunkedRec(te + "2\r\nhi0\r\n\r\n").bodyLen == 0)
+    // missing 0-terminator
+    assert(chunkedRec(te + "2\r\nhi\r\n").bodyLen == 0)
+    // chunk extension is out of scope and rejected, not misparsed
+    assert(chunkedRec(te + "2;ext=1\r\nhi\r\n0\r\n\r\n").bodyLen == 0)
+    // size line past 7 hex digits (single-chunk cap)
+    assert(chunkedRec(te + "00000002\r\nhi\r\n0\r\n\r\n").bodyLen == 0)
+    // empty chunked body (immediate terminator) is VALID and empty
+    val r = chunkedRec(te + "0\r\n\r\n")
+    assert(r.bodyLen == 0 && r.httpStatus.contains(200))
+  }
+
   test("gzip layer: round-trip, truncation, garbage, and the zip-bomb guard") {
     val blob = Warc.synthesize(entries)
     val gz = Warc.gzip(blob)
