@@ -72,6 +72,28 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.parse(two).map(_.warcType) == Seq("warcinfo"))
   }
 
+  test("hostile payload CONTENT cannot confuse framing: embedded magic, " +
+       "separators, and fake headers ride through as payload bytes") {
+    // Content-Length drives framing — a payload containing the record
+    // separator, the WARC magic, a fake Content-Length line, or chunked
+    // framing noise must be carried verbatim, and the NEXT record must
+    // still parse
+    val hostile = Seq[Array[Byte]](
+      "\r\n\r\nWARC/1.0\r\nContent-Length: 0\r\n\r\n".getBytes(UTF_8),
+      ("HTTP/1.1 200 OK\r\n\r\n" + "\r\n\r\n0\r\n\r\n").getBytes(UTF_8),
+      Array.fill(64)('\r'.toByte),
+      Array[Byte]())
+    hostile.foreach { p =>
+      val blob = Warc.synthesize(Seq(
+        Warc.Entry("resource", Some("u1"), "application/octet-stream", p),
+        entries.last))
+      val recs = Warc.parse(blob)
+      assert(recs.length == 2, s"payload=${new String(p, UTF_8)}")
+      assert(recs(0).contentLength == p.length)
+      assert(recs(1).warcType == "response" && recs(1).httpStatus.contains(200))
+    }
+  }
+
   test("record cap bounds the walk") {
     val many = Warc.synthesize(Seq.fill(10)(entries.head))
     assert(Warc.parse(many).length == 10)
