@@ -1,0 +1,171 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+import graft.ext.Html
+
+/** Generative differential fuzz of the HTML extraction tier (the FuzzSpec
+  * discipline applied to [[Html]]): ScalaCheck builds random page ASTs —
+  * blocks of text runs / anchors / inline-wrapped runs with random
+  * attributes, empty blocks, anchor-only boilerplate, unicode, stray text
+  * after the last block — renders them to markup, and the REAL extractor
+  * (the q204 column pipeline, executed through Spark in one job per seed
+  * base) is compared page-by-page against [[HtmlFuzzGen.model]], an
+  * independent plain-Scala evaluator computed from the AST, never from
+  * the rendered string, so a regex bug cannot hide in a shared parser.
+  *
+  * Each page is its own ScalaCheck seed (`Seed(base+i)`) — a failure
+  * reproduces from the printed seed alone. 2 bases × 100 pages, two
+  * Spark jobs total.
+  *
+  * Scope notes (documented, not fuzzed — the [[Html]] sanitizer
+  * contract): text content carries no '<'/'>' (tag-stripping would be
+  * ambiguous), no tabs (the collapse rule is spaces), and no HTML
+  * entities (no decoding layer); anchors have flat text and an href
+  * attribute first.
+  */
+class WebFuzzSpec extends AnyFunSuite {
+  import HtmlFuzzGen._
+
+  private lazy val spark = TestSpark.spark
+
+  private def runBatch(base: Long, nPages: Int): Unit = {
+    import spark.implicits._
+    val pages = (0 until nPages).map { i =>
+      genPage.pureApply(Gen.Parameters.default, Seed(base + i))
+    }
+    // vacuity guards: the batch must exercise kept AND dropped blocks,
+    // anchors, empty-visible blocks, and stray tails
+    val models = pages.map(p => model(p))
+    assert(models.map(_.nKept).sum > 50, s"[base $base] too few kept blocks")
+    assert(models.map(m => m.nBlocks - m.nKept).sum > 50,
+      s"[base $base] too few dropped blocks")
+    assert(pages.count(_.stray.nonEmpty) > 5, s"[base $base] no stray tails")
+    assert(pages.flatMap(_.blocks).count(_.elems.exists(_.isInstanceOf[Anchor])) > 30,
+      s"[base $base] too few anchors")
+
+    val df = pages.zipWithIndex
+      .map { case (p, i) => (i.toLong, render(p)) }.toDF("id", "h")
+      .select(col("id"), Html.blockStats(col("h")).as("_st"),
+        Html.anchorPairs(col("h")).as("_ap"))
+      .select(col("id"), Html.pageSummary(col("_st")).as("e"), col("_ap"))
+      .select(col("id"), col("e.n_blocks"), col("e.n_kept"),
+        col("e.kept_chars"), col("e.total_chars"), col("e.extracted"),
+        expr("transform(_ap, a -> a.href || chr(10) || a.anchor)").as("ap"))
+      .as[(Long, Long, Long, Long, Long, String, Seq[String])]
+      .collect().sortBy(_._1)
+
+    df.zip(pages.zip(models)).foreach {
+      case ((i, nb, nk, kc, tc, ex, ap), (page, m)) =>
+        val seed = base + i
+        assert(nb == m.nBlocks, s"[seed $seed] n_blocks $nb != ${m.nBlocks}\n${render(page)}")
+        assert(nk == m.nKept, s"[seed $seed] n_kept $nk != ${m.nKept}\n${render(page)}")
+        assert(kc == m.keptChars, s"[seed $seed] kept_chars $kc != ${m.keptChars}\n${render(page)}")
+        assert(tc == m.totalChars, s"[seed $seed] total_chars $tc != ${m.totalChars}\n${render(page)}")
+        assert(ex == m.extracted, s"[seed $seed] extracted mismatch\n got: $ex\nwant: ${m.extracted}\n${render(page)}")
+        val wantAp = page.blocks.flatMap(_.elems).collect {
+          case Anchor(h, t) => s"$h\n$t"
+        }
+        assert(ap == wantAp, s"[seed $seed] anchor pairs mismatch\n got: $ap\nwant: $wantAp")
+    }
+  }
+
+  test("extractor ≡ AST model over 100 random pages (seed base 7000)") {
+    runBatch(7000L, 100)
+  }
+
+  test("extractor ≡ AST model over 100 random pages (seed base 9000)") {
+    runBatch(9000L, 100)
+  }
+}
+
+/** Page AST generators + the independent extraction model (WebFuzzSpec). */
+object HtmlFuzzGen {
+  sealed trait Elem
+  final case class Text(s: String) extends Elem
+  final case class Anchor(href: String, text: String) extends Elem
+  final case class Wrapped(tag: String, s: String) extends Elem
+  final case class Block(tag: String, attrs: String, elems: Seq[Elem])
+  final case class Page(blocks: Seq[Block], stray: String)
+
+  private val wordChars =
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789" +
+      "éüßñøåçÆŒ日本語данные.,:;!?()'&-"
+  private val word: Gen[String] = for {
+    n <- Gen.chooseNum(1, 10)
+    cs <- Gen.listOfN(n, Gen.oneOf(wordChars.toSeq))
+  } yield cs.mkString
+
+  private val textRun: Gen[String] = for {
+    n <- Gen.chooseNum(0, 6)
+    ws <- Gen.listOfN(n, word)
+    sep <- Gen.oneOf(" ", "  ", " ") // double spaces exercise the collapse
+  } yield ws.mkString(sep)
+
+  private val elem: Gen[Elem] = Gen.frequency(
+    5 -> textRun.map(Text.apply),
+    3 -> (for { h <- word; t <- textRun } yield Anchor(s"/x/$h", t)),
+    2 -> (for { tg <- Gen.oneOf("b", "i", "em", "span"); s <- textRun }
+      yield Wrapped(tg, s)))
+
+  private val block: Gen[Block] = for {
+    tag <- Gen.oneOf("p", "div", "h1")
+    attrs <- Gen.oneOf("", " class=\"c1\"", " id=\"z9\" class=\"nav menu\"")
+    n <- Gen.frequency(1 -> Gen.const(0), 6 -> Gen.chooseNum(1, 5))
+    es <- Gen.listOfN(n, elem)
+  } yield Block(tag, attrs, es)
+
+  val genPage: Gen[Page] = for {
+    nb <- Gen.chooseNum(0, 7)
+    bs <- Gen.listOfN(nb, block)
+    stray <- Gen.frequency(8 -> Gen.const(""), 2 -> textRun)
+  } yield Page(bs, stray)
+
+  def render(p: Page): String = {
+    val sb = new StringBuilder("<html><head></head><body>")
+    p.blocks.foreach { b =>
+      sb.append(s"<${b.tag}${b.attrs}>")
+      b.elems.foreach {
+        case Text(s) => sb.append(s)
+        case Anchor(h, t) => sb.append(s"""<a href="$h">$t</a>""")
+        case Wrapped(tg, s) => sb.append(s"<$tg>$s</$tg>")
+      }
+      sb.append(s"</${b.tag}>")
+    }
+    sb.append(p.stray).append("</body></html>")
+    sb.toString
+  }
+
+  final case class PageModel(nBlocks: Long, nKept: Long, keptChars: Long,
+                             totalChars: Long, extracted: String)
+
+  /** The extraction semantics evaluated from the AST: every tag becomes a
+    * space, runs of spaces collapse, trim; anchor mass is the anchors'
+    * text length; keep = vis >= 10 && anchor*3 <= vis. The stray tail is
+    * one more visible chunk (anchor 0). Computed from the AST, never the
+    * rendered string — the extractor's split/strip regexes have no
+    * counterpart here to share a bug with. */
+  def model(p: Page, minLen: Int = 10): PageModel = {
+    def collapse(s: String) = s.replaceAll(" +", " ").trim
+    val blockStats = p.blocks.map { b =>
+      val vis = collapse(b.elems.map {
+        case Text(s) => s
+        case Anchor(_, t) => " " + t + " "
+        case Wrapped(_, s) => " " + s + " "
+      }.mkString)
+      val anchor = b.elems.collect { case Anchor(_, t) => t.length }.sum
+      (vis, anchor)
+    } ++ (if (collapse(p.stray).nonEmpty) Seq((collapse(p.stray), 0)) else Nil)
+    val rendered = blockStats.filter(_._1.nonEmpty)
+    val kept = rendered.filter { case (v, a) => v.length >= minLen && a * 3 <= v.length }
+    PageModel(
+      nBlocks = rendered.length.toLong,
+      nKept = kept.length.toLong,
+      keptChars = kept.map(_._1.length.toLong).sum,
+      totalChars = rendered.map(_._1.length.toLong).sum,
+      extracted = kept.map(_._1).mkString("\n"))
+  }
+}
