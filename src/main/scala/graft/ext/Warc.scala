@@ -51,7 +51,8 @@ object Warc {
   final case class Rec(recIdx: Int, warcType: String, targetUri: String,
                        contentLength: Long, httpStatus: Option[Int],
                        bodyOffset: Int, bodyLen: Int,
-                       chunkSpans: Seq[(Int, Int)] = Nil)
+                       chunkSpans: Seq[(Int, Int)] = Nil,
+                       location: String = "")
 
   /** Serialize records into one WARC blob (the round-trip anchor the
     * torture specs cut prefixes from). */
@@ -101,6 +102,11 @@ object Warc {
   /** HTTP request payload for a path. */
   def httpRequest(path: String): Array[Byte] =
     (s"GET $path HTTP/1.1${Crlf}Host: example.org$Crlf$Crlf").getBytes(UTF_8)
+
+  /** HTTP 301 redirect payload (empty body, Location header). */
+  def httpRedirect(location: String): Array[Byte] =
+    (s"HTTP/1.1 301 Moved Permanently${Crlf}Location: $location$Crlf$Crlf")
+      .getBytes(UTF_8)
 
   /** Decode RFC 9112 chunked framing inside [from, until): Some(spans of
     * chunk DATA) on clean framing, None on any violation — bad hex, a
@@ -195,13 +201,18 @@ object Warc {
       var bodyOff = pStart
       var bodyLen = pEnd - pStart
       var spans: Seq[(Int, Int)] = Nil
+      var location = ""
       if (ctype.startsWith("application/http")) {
         val hh = indexOfCrlfCrlf(bytes, pStart, pEnd)
         if (hh >= 0 && hh + 4 <= pEnd) {
           bodyOff = hh + 4
           bodyLen = pEnd - bodyOff
-          val httpHeader = new String(bytes, pStart, hh - pStart, UTF_8)
-            .toLowerCase
+          val httpRaw = new String(bytes, pStart, hh - pStart, UTF_8)
+          val httpHeader = httpRaw.toLowerCase
+          // Location header (redirect target, case preserved) — the
+          // redirect-chain resolver's input (q212)
+          httpRaw.split("\r\n").find(_.toLowerCase.startsWith("location:"))
+            .foreach(l => location = l.substring("location:".length).trim)
           if (httpHeader.contains("transfer-encoding:") &&
               httpHeader.contains("chunked")) {
             parseChunks(bytes, bodyOff, pEnd) match {
@@ -227,7 +238,7 @@ object Warc {
         }
       }
       out += Rec(out.length, warcType, uri, clen, status, bodyOff, bodyLen,
-        spans)
+        spans, location)
       // record separator CRLF CRLF; a record flush at EOF is still complete
       val next = if (startsWith(bytes, pEnd, Crlf + Crlf)) pEnd + 4 else pEnd
       if (next <= c) return out.toSeq // progress guard (clen 0 + no sep)
@@ -324,6 +335,21 @@ object Warc {
       gunzip(gz, maxOut).iterator.flatMap(b => recordRows(blobId, b))
     }).toDF("blob_id", "rec_idx", "rec_type", "uri", "content_length",
       "http_status", "body_bytes", "body_md5")
+  }
+
+  /** HTTP-level metadata per response record — the redirect resolver's
+    * input (q212): (blob_id, uri, http_status, location — NULL when the
+    * response carries none). */
+  def extractHttpMeta(blobs: Dataset[(Long, Array[Byte])]): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.flatMap { case (blobId, bytes) =>
+      parse(bytes).iterator.collect {
+        case r if r.httpStatus.isDefined =>
+          (blobId, r.targetUri, r.httpStatus.get.toLong,
+            if (r.location.isEmpty) None else Some(r.location))
+      }
+    }).toDF("blob_id", "uri", "http_status", "location")
   }
 
   /** Response bodies as STRINGS — the hand-off row set between the

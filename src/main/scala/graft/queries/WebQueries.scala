@@ -121,6 +121,63 @@ object WebQueries {
     Warc.extractRecords(blobs).orderBy(col("blob_id"), col("rec_idx"))
   }
 
+  /** q212 — HTTP redirect-chain resolution over the crawl: every third
+    * and fourth URL class 301s to its successor (Location header — the
+    * walk must surface it from the HTTP headers), and the resolver
+    * follows each crawled URL to its landing page with a HARD 3-hop cap
+    * (bounded unrolled left joins — a cycle or a hostile chain costs a
+    * fixed number of shuffles, never an unbounded loop). Chains here
+    * reach 2 hops (1-mod-4 → 2-mod-4 → 3-mod-4 lands); block-tail
+    * targets that were never crawled resolve to a dangling final URL
+    * with a NULL final status. The oracle resolves the same chains with
+    * a recursive CTE — a genuinely different algorithm (fixpoint vs
+    * unrolled), so agreement checks the semantics, not the spelling.
+    * Scale shape: the per-URL frame joins the redirect EDGE subset
+    * (O(corpus/2) here, usually far sparser) three times on the URL
+    * key; everything is equi-join + one checkpoint of the demuxed
+    * metadata read four ways. */
+  def q212RedirectChains(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.Warc
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val blobs = docs.groupByKey(_._1 / 8).mapGroups { (b, it) =>
+      val ms = it.toArray.sortBy(_._1)
+      val entries = ms.toSeq.map { case (id, t) =>
+        val payload =
+          if (id % 4 == 1 || id % 4 == 2)
+            Warc.httpRedirect(s"https://example.org/doc/${id + 1}")
+          else Warc.httpResponse("200 OK",
+            s"<html><body><p>$t</p></body></html>")
+        Warc.Entry("response", Some(s"https://example.org/doc/$id"),
+          "application/http; msgtype=response", payload)
+      }
+      (b, Warc.synthesize(entries))
+    }
+    val meta = Warc.extractHttpMeta(blobs)
+      .localCheckpoint(true) // start set + edges + final-status lookup
+    val edges = meta
+      .filter(col("http_status").between(300, 399) && col("location").isNotNull)
+      .select(col("uri").as("src"), col("location").as("dst"))
+    var cur = meta.select(col("uri").as("orig"), col("uri").as("cur"),
+      lit(0L).as("hops"))
+    for (_ <- 1 to 3) {
+      cur = cur.join(edges, cur("cur") === edges("src"), "left")
+        .select(col("orig"),
+          coalesce(col("dst"), col("cur")).as("cur"),
+          (col("hops") + when(col("dst").isNotNull, 1L).otherwise(0L))
+            .as("hops"))
+    }
+    cur
+      .join(meta.select(col("uri").as("cur"),
+        col("http_status").as("final_status")), Seq("cur"), "left")
+      .select(
+        regexp_extract(col("orig"), "/doc/([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        col("cur").as("final_uri"), col("final_status"), col("hops"))
+      .transform(tinySort(_, col("doc_id")))
+  }
+
   /** The q207/q210 shared blob synthesis: eight docs per blob, warcinfo +
     * request/response pairs. */
   private[graft] def warcBlobs(spark: SparkSession, dir: String)
@@ -253,7 +310,8 @@ object WebQueries {
     "q208_crawl_extract" -> (q208CrawlExtract _),
     "q209_robots_filter" -> (q209RobotsFilter _),
     "q210_warc_gz" -> (q210WarcGz _),
-    "q211_warc_chunked" -> (q211WarcChunked _)
+    "q211_warc_chunked" -> (q211WarcChunked _),
+    "q212_redirect_chains" -> (q212RedirectChains _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -381,6 +439,30 @@ object WebQueries {
      * must be value-transparent. */
     "q207_warc_records" -> WarcRecordsSql,
     "q210_warc_gz" -> WarcRecordsSql,
+    /* q212: the oracle resolves the chains by RECURSIVE fixpoint (vs the
+     * engine's bounded unrolled joins — different algorithm, same
+     * semantics) with the same 3-hop cap in the recursion guard; the
+     * deepest row per origin is the landing. */
+    "q212_redirect_chains" ->
+      """WITH RECURSIVE u AS (SELECT doc_id,
+        |    'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        |    CASE WHEN doc_id % 4 IN (1, 2) THEN 301 ELSE 200 END AS st,
+        |    CASE WHEN doc_id % 4 IN (1, 2) THEN
+        |      'https://example.org/doc/' || CAST(doc_id + 1 AS VARCHAR) END AS loc
+        |  FROM documents),
+        | e AS (SELECT uri AS src, loc AS dst FROM u WHERE loc IS NOT NULL),
+        | walk(orig, cur, hops) AS (
+        |   SELECT uri, uri, 0 FROM u
+        |   UNION ALL
+        |   SELECT w.orig, e.dst, w.hops + 1 FROM walk w
+        |   JOIN e ON e.src = w.cur WHERE w.hops < 3),
+        | fin AS (SELECT orig, cur, hops,
+        |    row_number() OVER (PARTITION BY orig ORDER BY hops DESC) AS rk
+        |  FROM walk)
+        |SELECT u.doc_id, f.cur AS final_uri,
+        |  CAST(t.st AS BIGINT) AS final_status, CAST(f.hops AS BIGINT) AS hops
+        |FROM fin f JOIN u ON u.uri = f.orig LEFT JOIN u t ON t.uri = f.cur
+        |WHERE f.rk = 1 ORDER BY u.doc_id""".stripMargin,
     /* q211: body_bytes/body_md5 replay the DE-CHUNKED body — identical
      * expressions to the plain rows — while content_length replays the
      * chunked payload construction (hex size lines via lower(to_hex),

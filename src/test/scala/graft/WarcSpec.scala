@@ -209,4 +209,69 @@ class WarcSpec extends AnyFunSuite {
     val noSep = full.dropRight(4)
     assert(Warc.parse(noSep).map(_.warcType) == Seq("warcinfo"))
   }
+
+  test("Location header surfaces case-insensitively, case-preserved value") {
+    val rec = Warc.parse(Warc.synthesize(Seq(Warc.Entry("response", Some("u"),
+      "application/http; msgtype=response",
+      "HTTP/1.1 301 Moved Permanently\r\nlOcAtIoN:  https://Ex.org/Next \r\n\r\n"
+        .getBytes(UTF_8))))).head
+    assert(rec.httpStatus.contains(301))
+    assert(rec.location == "https://Ex.org/Next")
+    // builder round-trip + no Location on a plain 200
+    val r2 = Warc.parse(Warc.synthesize(Seq(Warc.Entry("response", Some("u"),
+      "application/http; msgtype=response",
+      Warc.httpRedirect("https://t/x"))))).head
+    assert(r2.location == "https://t/x" && r2.bodyLen == 0)
+    assert(Warc.parse(Warc.synthesize(Seq(entries.last))).head.location == "")
+  }
+
+  test("generative round-trip: random record sequences with random binary " +
+       "payloads survive synthesize → [gzip →] parse metadata-exactly") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genEntry: Gen[Warc.Entry] = for {
+      t <- Gen.oneOf("warcinfo", "request", "response", "resource", "metadata")
+      u <- Gen.option(Gen.alphaNumStr.map(s => s"https://h/$s"))
+      ct <- Gen.oneOf("application/octet-stream", "application/warc-fields",
+        "text/plain")
+      n <- Gen.chooseNum(0, 300)
+      p <- Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    } yield Warc.Entry(t, u, ct, p.map(_.toByte).toArray)
+    val genBlob: Gen[List[Warc.Entry]] =
+      Gen.chooseNum(0, 8).flatMap(Gen.listOfN(_, genEntry))
+    (0 until 60).foreach { i =>
+      val es = genBlob.pureApply(Gen.Parameters.default, Seed(4200L + i))
+      val blob = Warc.synthesize(es)
+      Seq(Warc.parse(blob),
+          Warc.gunzip(Warc.gzip(blob), 1 << 22).map(Warc.parse(_)).get)
+        .foreach { recs =>
+          assert(recs.length == es.length, s"seed ${4200 + i}")
+          recs.zip(es).foreach { case (r, e) =>
+            assert(r.warcType == e.warcType && r.contentLength == e.payload.length
+              && r.targetUri == e.targetUri.getOrElse(""), s"seed ${4200 + i}")
+            // non-HTTP content types: body = the whole payload, no status
+            assert(r.httpStatus.isEmpty && r.bodyLen == e.payload.length,
+              s"seed ${4200 + i}")
+          }
+        }
+    }
+  }
+
+  test("generative chunked round-trip: random bodies and cut points " +
+       "reassemble exactly") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.chooseNum(0, 120)
+      cs <- Gen.listOfN(n, Gen.oneOf(('a' to 'z') ++ ('0' to '9') :+ ' '))
+      cut <- Gen.chooseNum(-3, 130)
+    } yield (cs.mkString, cut)
+    (0 until 80).foreach { i =>
+      val (body, cut) = gen.pureApply(Gen.Parameters.default, Seed(8800L + i))
+      val rec = chunkedRec(new String(
+        Warc.httpResponseChunked("200 OK", body, cut), UTF_8))
+      assert(rec.bodyLen == body.length, s"seed ${8800 + i} cut=$cut")
+      assert(rec.httpStatus.contains(200), s"seed ${8800 + i}")
+    }
+  }
 }
