@@ -121,6 +121,55 @@ object WebQueries {
     Warc.extractRecords(blobs).orderBy(col("blob_id"), col("rec_idx"))
   }
 
+  /** q213 — the CRAWL-FRONTIER capstone: the web tier's stages composed
+    * into one fetch plan, the crawl-side mirror of the curation
+    * capstones (q53/q195). Every page's outlinks ([[Html.anchorPairs]])
+    * feed the frontier; the robots gate resolves each candidate under
+    * the shared longest-match argmax ([[graft.ext.Robots]]) — evaluated
+    * on the frontier's DISTINCT (site, path) vocabulary, not per link,
+    * because thousands of pages cite the same href; survivors rank by
+    * citing-page count (the q205 in-degree signal) and the top 3 per
+    * site become the fetch list. Rules here: /doc/ subtree allowed
+    * everywhere (longest match beats even-site root blocks), /about
+    * blocked everywhere, everything else blocked on even sites and
+    * default-allowed on odd ones — every REP branch shows up in the
+    * output. Shuffles: one explode+groupBy for in-degree, one distinct
+    * for the rule vocabulary, one bounded per-site rank window. */
+  def q213CrawlFrontier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val links = load(spark, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 7).cast("string").as("site"),
+        explode(Html.anchorPairs(Html.synthPage(col("doc_id"), col("text"))))
+          .as("_a"))
+      .select(col("doc_id"), col("site"), col("_a.href").as("path"))
+    val sites = spark.range(7)
+    val shared = sites.select(col("id").cast("string").as("r_site"),
+        explode(array(
+          struct(lit("/doc/").as("r_path"), lit(1).as("r_allow")),
+          struct(lit("/about").as("r_path"), lit(0).as("r_allow")))).as("r"))
+      .select(col("r_site"), col("r.r_path").as("r_path"),
+        col("r.r_allow").as("r_allow"))
+    val rootBlock = sites.filter(col("id") % 2 === 0)
+      .select(col("id").cast("string").as("r_site"),
+        lit("/").as("r_path"), lit(0).as("r_allow"))
+    val verdicts = graft.ext.Robots
+      .resolveDistinct(links, shared.unionByName(rootBlock))
+      .filter(col("allowed"))
+      .select(col("site"), col("path"))
+    val w = Window.partitionBy(col("site"))
+      .orderBy(col("n_refs").desc, col("path").asc)
+    links.join(verdicts, Seq("site", "path"))
+      .groupBy(col("site"), col("path"))
+      .agg(countDistinct(col("doc_id")).as("n_refs"))
+      .withColumn("fetch_rank", row_number().over(w))
+      .filter(col("fetch_rank") <= 3)
+      .select(col("site"),
+        concat(lit("https://site"), col("site"), lit(".example.org"),
+          col("path")).as("url"),
+        col("n_refs"), col("fetch_rank").cast("long").as("fetch_rank"))
+      .transform(tinySort(_, col("site"), col("fetch_rank")))
+  }
+
   /** q212 — HTTP redirect-chain resolution over the crawl: every third
     * and fourth URL class 301s to its successor (Location header — the
     * walk must surface it from the HTTP headers), and the resolver
@@ -290,17 +339,8 @@ object WebQueries {
       .select(col("id").cast("string").as("r_site"),
         lit("/").as("r_path"), lit(0).as("r_allow"))
     val rules = shared.unionByName(rootBlock)
-    docs
-      .join(broadcast(rules),
-        col("site") === col("r_site") &&
-          col("path").startsWith(col("r_path")), "left")
-      .groupBy(col("doc_id"), col("site"), col("path"))
-      .agg(max(when(col("r_path").isNotNull,
-        struct(length(col("r_path")).as("l"), col("r_allow").as("a"),
-          col("r_path").as("p")))).as("m"))
-      .select(col("doc_id"), col("site"), col("path"),
-        coalesce(col("m.a") === 1, lit(true)).as("allowed"),
-        col("m.p").as("matched_path"))
+    graft.ext.Robots.verdictPerRow(docs, rules,
+      Seq("doc_id", "site", "path"))
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -311,7 +351,8 @@ object WebQueries {
     "q209_robots_filter" -> (q209RobotsFilter _),
     "q210_warc_gz" -> (q210WarcGz _),
     "q211_warc_chunked" -> (q211WarcChunked _),
-    "q212_redirect_chains" -> (q212RedirectChains _)
+    "q212_redirect_chains" -> (q212RedirectChains _),
+    "q213_crawl_frontier" -> (q213CrawlFrontier _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -413,6 +454,43 @@ object WebQueries {
         |  COALESCE(m.a = 1, TRUE) AS allowed, m.p AS matched_path
         |FROM u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rk = 1
         |ORDER BY u.doc_id""".stripMargin,
+    /* q213: the q205 pair construction carried with the citing site, the
+     * q209-style rule table, longest-match on the DISTINCT (site, path)
+     * vocabulary via row_number, survivors counted and ranked. */
+    "q213_crawl_frontier" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS site, '/' AS path FROM documents
+        |  UNION ALL SELECT doc_id, CAST(doc_id % 7 AS VARCHAR), '/about' FROM documents
+        |  UNION ALL SELECT doc_id, CAST(doc_id % 7 AS VARCHAR), '/contact' FROM documents
+        |  UNION ALL SELECT doc_id, CAST(doc_id % 7 AS VARCHAR), '/privacy' FROM documents
+        |  UNION ALL SELECT doc_id, CAST(doc_id % 7 AS VARCHAR), '/terms' FROM documents
+        |  UNION ALL SELECT doc_id, CAST(doc_id % 7 AS VARCHAR),
+        |      '/doc/' || CAST(doc_id + 1 AS VARCHAR)
+        |    FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, CAST(doc_id % 7 AS VARCHAR),
+        |      '/doc/' || CAST(doc_id * 2 AS VARCHAR)
+        |    FROM documents WHERE doc_id % 3 = 0),
+        | r AS (
+        |  SELECT CAST(range AS VARCHAR) AS site, '/doc/' AS rp, 1 AS a FROM range(7)
+        |  UNION ALL SELECT CAST(range AS VARCHAR), '/about', 0 FROM range(7)
+        |  UNION ALL SELECT CAST(range AS VARCHAR), '/', 0 FROM range(7)
+        |    WHERE range % 2 = 0),
+        | dp AS (SELECT DISTINCT site, path FROM p),
+        | m AS (SELECT dp.site, dp.path, r.a,
+        |    row_number() OVER (PARTITION BY dp.site, dp.path
+        |      ORDER BY length(r.rp) DESC, r.a DESC, r.rp) AS rk
+        |  FROM dp JOIN r ON r.site = dp.site AND dp.path LIKE r.rp || '%'),
+        | v AS (SELECT dp.site, dp.path FROM dp
+        |   LEFT JOIN m ON m.site = dp.site AND m.path = dp.path AND m.rk = 1
+        |   WHERE COALESCE(m.a = 1, TRUE)),
+        | c AS (SELECT p.site, p.path,
+        |    CAST(COUNT(DISTINCT p.doc_id) AS BIGINT) AS n_refs
+        |  FROM p JOIN v ON v.site = p.site AND v.path = p.path GROUP BY 1, 2),
+        | k AS (SELECT *, row_number() OVER (PARTITION BY site
+        |    ORDER BY n_refs DESC, path ASC) AS rnk FROM c)
+        |SELECT site, 'https://site' || site || '.example.org' || path AS url,
+        |  n_refs, CAST(rnk AS BIGINT) AS fetch_rank
+        |FROM k WHERE rnk <= 3 ORDER BY site, rnk""".stripMargin,
     "q205_anchor_corpus" ->
       """WITH p AS (
         |  SELECT doc_id, '/' AS href, 'home' AS anchor FROM documents

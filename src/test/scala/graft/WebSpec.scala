@@ -60,6 +60,36 @@ class WebSpec extends AnyFunSuite {
     assert(got == Seq("/a" -> "first", "/b" -> "second"))
   }
 
+  test("Robots: the two evaluation shapes agree (per-row vs distinct) and " +
+       "every REP branch resolves correctly") {
+    import graft.ext.Robots
+    val cands = Seq(
+      ("0", "/doc/5"), ("0", "/about"), ("0", "/contact"), // even site
+      ("1", "/doc/9"), ("1", "/about"), ("1", "/contact"), // odd site
+      ("1", "/doc/9"), ("0", "/doc/5")                     // repeats
+    ).toDF("site", "path")
+    val rules = Seq(
+      ("0", "/doc/", 1), ("0", "/about", 0), ("0", "/", 0),
+      ("1", "/doc/", 1), ("1", "/about", 0)
+    ).toDF("r_site", "r_path", "r_allow")
+    val distinct = Robots.resolveDistinct(cands, rules)
+      .select("site", "path", "allowed").as[(String, String, Boolean)]
+      .collect().toSet
+    val perRow = Robots.verdictPerRow(cands.distinct(), rules,
+        Seq("site", "path"))
+      .select("site", "path", "allowed").as[(String, String, Boolean)]
+      .collect().toSet
+    assert(distinct == perRow)
+    assert(distinct == Set(
+      ("0", "/doc/5", true),   // longest match /doc/ beats the root block
+      ("0", "/about", false),  // explicit block
+      ("0", "/contact", false),// root block
+      ("1", "/doc/9", true),
+      ("1", "/about", false),
+      ("1", "/contact", true)  // no match -> default allow
+    ))
+  }
+
   // --- q206 AUC laws (exact integers, tiny frames through the real query
   // shape: groupBy thr -> cumulative windows -> rank-sum) -------------
 
@@ -94,6 +124,34 @@ class WebSpec extends AnyFunSuite {
 
   test("AUC: all-tied scores = exactly 5000 (half credit, no floats)") {
     assert(auc(Seq((5L, 1), (5L, 1), (5L, 0), (5L, 0), (5L, 0))) == 5000L)
+  }
+
+  test("AUC property: the rank-sum formula equals brute pair counting on " +
+       "random tie-heavy frames") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // margins in a tiny range force heavy ties — the half-credit path
+    val genRows: Gen[List[(Long, Int)]] = for {
+      n <- Gen.chooseNum(2, 40)
+      rows <- Gen.listOfN(n, for {
+        m <- Gen.chooseNum(-3L, 3L)
+        p <- Gen.oneOf(0, 1)
+      } yield (m, p))
+    } yield rows
+    var checked = 0
+    (0 until 40).foreach { i =>
+      val rows = genRows.pureApply(Gen.Parameters.default, Seed(5500L + i))
+      val pos = rows.filter(_._2 == 1).map(_._1)
+      val neg = rows.filter(_._2 == 0).map(_._1)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        checked += 1
+        val u2 = (for { p <- pos; n <- neg } yield
+          if (p > n) 2L else if (p == n) 1L else 0L).sum
+        val want = u2 * 10000L / (2L * pos.size * neg.size)
+        assert(auc(rows) == want, s"seed ${5500 + i} rows=$rows")
+      }
+    }
+    assert(checked >= 25, s"vacuity: only $checked frames had both classes")
   }
 
   test("AUC: hand-computed mixed case") {
