@@ -286,6 +286,87 @@ object Warc {
     }
   }
 
+  /** Boundaries (offset, length) of the gzip MEMBERS concatenated in
+    * `bytes` — the record-per-member convention CommonCrawl uses so a
+    * reader can seek straight to a record. The walk parses each member's
+    * header manually (magic, deflate method, FEXTRA/FNAME/FCOMMENT/FHCRC
+    * skips), then drives a raw Inflater to find where its deflate stream
+    * ends; the 8-byte CRC/ISIZE trailer closes the member. Discipline as
+    * everywhere in this file: complete-members-only (a truncated header,
+    * stream, or trailer stops the walk), a per-member inflation cap (the
+    * zip-bomb guard — scanning must not allocate what it refuses to
+    * decode), member-count cap, never throws. */
+  def gzipMemberBounds(bytes: Array[Byte], maxOut: Int = 1 << 26,
+                       maxMembers: Int = 100000): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var c = 0
+    val len = bytes.length
+    while (c + 10 <= len && out.length < maxMembers) {
+      if ((bytes(c) & 0xff) != 0x1f || (bytes(c + 1) & 0xff) != 0x8b ||
+          bytes(c + 2) != 8) return out.toSeq
+      val flg = bytes(c + 3) & 0xff
+      var h = c + 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (h + 2 > len) return out.toSeq
+        h += 2 + ((bytes(h) & 0xff) | ((bytes(h + 1) & 0xff) << 8))
+      }
+      if ((flg & 8) != 0) { while (h < len && bytes(h) != 0) h += 1; h += 1 }
+      if ((flg & 16) != 0) { while (h < len && bytes(h) != 0) h += 1; h += 1 }
+      if ((flg & 2) != 0) h += 2 // FHCRC
+      if (h >= len) return out.toSeq
+      val inf = new java.util.zip.Inflater(true)
+      var compressed = -1L
+      try {
+        inf.setInput(bytes, h, len - h)
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        var ok = true
+        while (ok && !inf.finished()) {
+          val n = inf.inflate(buf)
+          total += n
+          if (total > maxOut) ok = false // bomb guard
+          else if (n == 0 && inf.needsInput()) ok = false // truncated stream
+        }
+        if (ok) compressed = inf.getBytesRead
+      } catch {
+        case _: java.util.zip.DataFormatException => return out.toSeq
+      } finally inf.end()
+      if (compressed < 0) return out.toSeq
+      val memberEnd = h + compressed.toInt + 8 // CRC32 + ISIZE trailer
+      if (memberEnd > len || memberEnd <= c) return out.toSeq
+      out += ((c, memberEnd - c))
+      c = memberEnd
+    }
+    out.toSeq
+  }
+
+  /** [[extractRecords]] over record-per-member `.warc.gz` blobs: walk the
+    * member boundaries ([[gzipMemberBounds]]), inflate each member under
+    * the bomb guard, parse its records, and emit rows with a GLOBALLY
+    * increasing rec_idx per blob — so a one-record-per-member blob of
+    * the same records is output-identical to the uncompressed blob
+    * (q214 shares q207's oracle verbatim, the q210 argument one layer
+    * deeper). */
+  def extractRecordsGzMembers(blobs: Dataset[(Long, Array[Byte])],
+                              maxOut: Int = 1 << 26): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.flatMap { case (blobId, gz) =>
+      var nextIdx = 0L
+      gzipMemberBounds(gz, maxOut).iterator.flatMap { case (off, mlen) =>
+        val member = java.util.Arrays.copyOfRange(gz, off, off + mlen)
+        gunzip(member, maxOut).iterator.flatMap { bytes =>
+          recordRows(blobId, bytes).map { r =>
+            val row = r.copy(_2 = nextIdx)
+            nextIdx += 1
+            row
+          }
+        }
+      }
+    }).toDF("blob_id", "rec_idx", "rec_type", "uri", "content_length",
+      "http_status", "body_bytes", "body_md5")
+  }
+
   /** Per-record extraction over (blob_id, warc bytes) rows: one output row
     * per complete record — type, target URI, declared length, HTTP status,
     * and the body's byte mass + md5 (response records only; the md5 is

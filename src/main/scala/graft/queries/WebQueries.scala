@@ -121,6 +121,31 @@ object WebQueries {
     Warc.extractRecords(blobs).orderBy(col("blob_id"), col("rec_idx"))
   }
 
+  /** q214 — `.warc.gz` in the RECORD-PER-MEMBER convention CommonCrawl
+    * actually writes (one gzip member per record, so a reader can seek
+    * straight to a record): the same entries as q207, each gzipped into
+    * its OWN member and concatenated; Spark walks the member boundaries
+    * with a manual header parse + raw-Inflater scan
+    * ([[graft.ext.Warc.gzipMemberBounds]] — complete-members-only,
+    * per-member bomb guard), inflates each, parses, and numbers records
+    * globally per blob. Output-identical to the uncompressed blob —
+    * q207's oracle VERBATIM, the q210 transparency argument one layer
+    * deeper (member framing on top of compression on top of record
+    * framing). */
+  def q214WarcGzMembers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.Warc
+    val blobs = docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+      val members = warcEntries(it.toArray.sortBy(_._1))
+        .map(e => Warc.gzip(Warc.synthesize(Seq(e))))
+      val out = new java.io.ByteArrayOutputStream()
+      members.foreach(out.write)
+      (b, out.toByteArray)
+    }
+    Warc.extractRecordsGzMembers(blobs)
+      .orderBy(col("blob_id"), col("rec_idx"))
+  }
+
   /** q213 — the CRAWL-FRONTIER capstone: the web tier's stages composed
     * into one fetch plan, the crawl-side mirror of the curation
     * capstones (q53/q195). Every page's outlinks ([[Html.anchorPairs]])
@@ -227,31 +252,39 @@ object WebQueries {
       .transform(tinySort(_, col("doc_id")))
   }
 
-  /** The q207/q210 shared blob synthesis: eight docs per blob, warcinfo +
-    * request/response pairs. */
+  /** The q207/q210/q214 shared blob entry list: warcinfo + request/
+    * response pairs for the blob's docs in id order. */
+  private def warcEntries(ms: Array[(Long, String)]): Seq[graft.ext.Warc.Entry] = {
+    import graft.ext.Warc
+    Warc.Entry("warcinfo", None, "application/warc-fields",
+        "software: graft-crawler/1.0\r\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)) +:
+      ms.toSeq.flatMap { case (id, t) =>
+        val status = if (id % 13 == 0) "404 Not Found" else "200 OK"
+        Seq(
+          Warc.Entry("request", Some(s"https://example.org/doc/$id"),
+            "application/http; msgtype=request",
+            Warc.httpRequest(s"/doc/$id")),
+          Warc.Entry("response", Some(s"https://example.org/doc/$id"),
+            "application/http; msgtype=response",
+            Warc.httpResponse(status,
+              s"<html><body><p>$t</p></body></html>")))
+      }
+  }
+
+  private def docPairs(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, String)] = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+  }
+
+  /** The q207/q210 shared blob synthesis: eight docs per blob. */
   private[graft] def warcBlobs(spark: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    import graft.ext.Warc
-    val docs = load(spark, dir, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-    docs.groupByKey(_._1 / 8).mapGroups { (b, it) =>
-      val ms = it.toArray.sortBy(_._1)
-      val entries = Warc.Entry("warcinfo", None, "application/warc-fields",
-          "software: graft-crawler/1.0\r\n"
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)) +:
-        ms.toSeq.flatMap { case (id, t) =>
-          val status = if (id % 13 == 0) "404 Not Found" else "200 OK"
-          Seq(
-            Warc.Entry("request", Some(s"https://example.org/doc/$id"),
-              "application/http; msgtype=request",
-              Warc.httpRequest(s"/doc/$id")),
-            Warc.Entry("response", Some(s"https://example.org/doc/$id"),
-              "application/http; msgtype=response",
-              Warc.httpResponse(status,
-                s"<html><body><p>$t</p></body></html>")))
-        }
-      (b, Warc.synthesize(entries))
+    docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+      (b, graft.ext.Warc.synthesize(warcEntries(it.toArray.sortBy(_._1))))
     }
   }
 
@@ -352,7 +385,8 @@ object WebQueries {
     "q210_warc_gz" -> (q210WarcGz _),
     "q211_warc_chunked" -> (q211WarcChunked _),
     "q212_redirect_chains" -> (q212RedirectChains _),
-    "q213_crawl_frontier" -> (q213CrawlFrontier _)
+    "q213_crawl_frontier" -> (q213CrawlFrontier _),
+    "q214_warc_gz_members" -> (q214WarcGzMembers _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -517,6 +551,7 @@ object WebQueries {
      * must be value-transparent. */
     "q207_warc_records" -> WarcRecordsSql,
     "q210_warc_gz" -> WarcRecordsSql,
+    "q214_warc_gz_members" -> WarcRecordsSql,
     /* q212: the oracle resolves the chains by RECURSIVE fixpoint (vs the
      * engine's bounded unrolled joins — different algorithm, same
      * semantics) with the same 3-hop cap in the recursion guard; the

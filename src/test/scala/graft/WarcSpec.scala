@@ -225,6 +225,43 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.parse(Warc.synthesize(Seq(entries.last))).head.location == "")
   }
 
+  test("gzip member walk: boundaries, FNAME headers, truncation, bomb guard") {
+    val payloads = entries.map(e => Warc.synthesize(Seq(e)))
+    val members = payloads.map(Warc.gzip)
+    val stream = members.reduce(_ ++ _)
+    val bounds = Warc.gzipMemberBounds(stream)
+    assert(bounds.length == 3)
+    // boundaries are exact: each member inflates back to its record
+    bounds.zip(payloads).foreach { case ((off, len), want) =>
+      val m = java.util.Arrays.copyOfRange(stream, off, off + len)
+      assert(Warc.gunzip(m, 1 << 20).map(_.toSeq).contains(want.toSeq))
+    }
+    assert(bounds.map(_._2).sum == stream.length)
+    // FNAME-flagged member (header the JDK writer never emits): splice a
+    // filename into member 0 — the walk must skip it and still frame
+    val withName = {
+      val m = members.head
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(m, 0, 3); out.write(m(3) | 8) // set FNAME
+      out.write(m, 4, 6)
+      out.write("crawl-00.warc".getBytes(UTF_8)); out.write(0)
+      out.write(m, 10, m.length - 10)
+      out.toByteArray
+    }
+    val named = Warc.gzipMemberBounds(withName ++ members(1))
+    assert(named.length == 2 && named.head._2 == withName.length)
+    // truncation: every prefix yields only complete members, never throws
+    (0 until stream.length by 11).foreach { cut =>
+      val got = Warc.gzipMemberBounds(stream.take(cut))
+      assert(got.length <= 3 && got == bounds.take(got.length), s"cut=$cut")
+    }
+    // per-member bomb guard: a huge-inflating member stops the walk
+    val bomb = Warc.gzip(new Array[Byte](1 << 20)) ++ members.head
+    assert(Warc.gzipMemberBounds(bomb, maxOut = 1 << 12).isEmpty)
+    // garbage is not a member stream
+    assert(Warc.gzipMemberBounds("not gzip at all".getBytes(UTF_8)).isEmpty)
+  }
+
   test("generative round-trip: random record sequences with random binary " +
        "payloads survive synthesize → [gzip →] parse metadata-exactly") {
     import org.scalacheck.Gen
