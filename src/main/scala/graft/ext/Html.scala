@@ -23,11 +23,10 @@ import org.apache.spark.sql.functions._
   *
   *   - [[anchorPairs]]: the (href, anchor text) outlink pairs — the raw
   *     material of an anchor-text corpus (the web-graph signal used for
-  *     query-doc relevance and seed-quality propagation). Hrefs and
-  *     anchor texts are extracted as two aligned arrays and zipped;
-  *     this assumes every `<a>` carries an href and flat (element-free)
-  *     anchor text — guaranteed by [[synthPage]], and the documented
-  *     contract for real crawls (a sanitizer pass upstream).
+  *     query-doc relevance and seed-quality propagation). Both fields
+  *     come from ONE pattern (href anywhere in the attribute list + flat
+  *     text), so alignment holds by construction: a malformed anchor
+  *     drops out of the pair set, it can never shift later pairs.
   *
   * Scale shape: both operators are per-row projections — they partition
   * trivially, shuffle nothing, and survive any corpus size; the only
@@ -124,11 +123,19 @@ object Html {
     pageSummary(blockStats(html), minLen)
 
   /** Aligned (href, anchor_text) pairs of every `<a>` on the page, as
-    * array<struct<href, anchor>>. Contract: each anchor has an href
-    * attribute first and flat text content (see object doc). */
+    * array<struct<href, anchor>>. ONE pattern captures both fields —
+    * group 1 the href value (anywhere in the attribute list, not just
+    * first), group 2 the flat text content — and both arrays are
+    * extracted from that single pattern, so they index the SAME match
+    * set by construction: an anchor that violates the shape (no href,
+    * element-nested text) matches neither extraction and DROPS OUT of
+    * both arrays instead of shifting every subsequent pair out of
+    * alignment (the round-16 two-pattern zip could misalign on exactly
+    * those inputs). */
   def anchorPairs(html: Column): Column = {
-    val hrefs = regexp_extract_all(html, lit("<a href=\"([^\"]*)\""), lit(1))
-    val texts = regexp_extract_all(html, lit("<a [^>]*>([^<]*)</a>"), lit(1))
+    val pat = "<a [^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+    val hrefs = regexp_extract_all(html, lit(pat), lit(1))
+    val texts = regexp_extract_all(html, lit(pat), lit(2))
     zip_with(hrefs, texts, (h, t) => struct(h.as("href"), t.as("anchor")))
   }
 }

@@ -79,13 +79,18 @@ object Warc {
       .getBytes(UTF_8)
 
   /** HTTP response with the body in Transfer-Encoding: chunked framing,
-    * split at byte `cut` (RFC 9112 §7.1: hex size line, data, CRLF per
-    * chunk; 0-size terminator). Chunk extensions and trailers are not
-    * emitted — and not consumed by the parser — by scope. */
+    * split at CHARACTER `cut` (RFC 9112 §7.1: hex size line, data, CRLF
+    * per chunk; 0-size terminator). The split unit is characters — the
+    * same unit the SQL oracle's substr() cuts at — and each part is
+    * UTF-8-encoded AFTER the split, so multibyte text can never be
+    * severed mid-sequence or desynchronize engine and oracle (each
+    * chunk's hex size line is that part's UTF-8 BYTE length). Chunk
+    * extensions and trailers are not emitted — and not consumed by the
+    * parser — by scope. */
   def httpResponseChunked(status: String, body: String, cut: Int): Array[Byte] = {
-    val b = body.getBytes(UTF_8)
-    val at = math.max(0, math.min(cut, b.length))
-    val parts = Seq(b.take(at), b.drop(at)).filter(_.nonEmpty)
+    val at = math.max(0, math.min(cut, body.length))
+    val parts = Seq(body.take(at), body.drop(at)).filter(_.nonEmpty)
+      .map(_.getBytes(UTF_8))
     val sb = new StringBuilder
     sb.append(s"HTTP/1.1 $status${Crlf}Transfer-Encoding: chunked$Crlf$Crlf")
     val out = new ByteArrayOutputStream()
@@ -110,9 +115,12 @@ object Warc {
 
   /** Decode RFC 9112 chunked framing inside [from, until): Some(spans of
     * chunk DATA) on clean framing, None on any violation — bad hex, a
-    * size line past 7 digits (2^28 caps a single chunk), missing CRLFs,
-    * data overrunning the payload. Chunk extensions/trailers are out of
-    * scope and rejected, keeping the decode deterministic. */
+    * chunk VALUE of 2^28 or more (the single-chunk cap — leading zeros
+    * are valid per RFC 9112 and don't count against it), missing CRLFs,
+    * data overrunning the payload. Bounds arithmetic is in Long so a
+    * declared size near Int.MaxValue cannot wrap negative and slip past
+    * the overrun check. Chunk extensions/trailers are out of scope and
+    * rejected, keeping the decode deterministic. */
   private def parseChunks(b: Array[Byte], from: Int,
                           until: Int): Option[Seq[(Int, Int)]] = {
     val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
@@ -126,17 +134,18 @@ object Warc {
         if (d < 0) return None
         size = size * 16 + d
         digits += 1
-        if (digits > 7) return None
+        if (size >= (1L << 28)) return None // cap the VALUE, not the digits
         i += 1
       }
       if (digits == 0 || i + 1 >= until || b(i + 1) != '\n') return None
       val dataStart = i + 2
       if (size == 0) return Some(spans.toSeq) // terminator; trailers ignored
-      val dataEnd = dataStart + size.toInt
-      if (dataEnd + 2 > until || b(dataEnd) != '\r' || b(dataEnd + 1) != '\n')
+      val dataEnd = dataStart.toLong + size // Long: no Int wrap on huge sizes
+      if (dataEnd + 2 > until || b(dataEnd.toInt) != '\r' ||
+          b(dataEnd.toInt + 1) != '\n')
         return None
-      spans += ((dataStart, dataEnd))
-      c = dataEnd + 2
+      spans += ((dataStart, dataEnd.toInt))
+      c = dataEnd.toInt + 2
     }
     None // chunk-count bomb
   }
@@ -208,13 +217,22 @@ object Warc {
           bodyOff = hh + 4
           bodyLen = pEnd - bodyOff
           val httpRaw = new String(bytes, pStart, hh - pStart, UTF_8)
-          val httpHeader = httpRaw.toLowerCase
           // Location header (redirect target, case preserved) — the
           // redirect-chain resolver's input (q212)
           httpRaw.split("\r\n").find(_.toLowerCase.startsWith("location:"))
             .foreach(l => location = l.substring("location:".length).trim)
-          if (httpHeader.contains("transfer-encoding:") &&
-              httpHeader.contains("chunked")) {
+          // Transfer-Encoding is parsed as a HEADER LINE, not a substring
+          // scan over the whole block: only a Transfer-Encoding whose
+          // FINAL coding (RFC 9112 §6.1: last token of the list) is
+          // "chunked" triggers de-chunking — "identity" plus some other
+          // header merely mentioning the word cannot mis-detect
+          val teChunked = httpRaw.split("\r\n").iterator
+            .filter(_.toLowerCase.startsWith("transfer-encoding:"))
+            .exists { l =>
+              val v = l.substring("transfer-encoding:".length)
+              v.split(",").last.trim.toLowerCase == "chunked"
+            }
+          if (teChunked) {
             parseChunks(bytes, bodyOff, pEnd) match {
               case Some(sp) =>
                 spans = sp

@@ -158,11 +158,44 @@ class WarcSpec extends AnyFunSuite {
     assert(chunkedRec(te + "2\r\nhi\r\n").bodyLen == 0)
     // chunk extension is out of scope and rejected, not misparsed
     assert(chunkedRec(te + "2;ext=1\r\nhi\r\n0\r\n\r\n").bodyLen == 0)
-    // size line past 7 hex digits (single-chunk cap)
-    assert(chunkedRec(te + "00000002\r\nhi\r\n0\r\n\r\n").bodyLen == 0)
+    // leading-zero-padded size is VALID per RFC 9112 (r17: the cap moved
+    // from digit count to the VALUE)
+    assert(chunkedRec(te + "00000002\r\nhi\r\n0\r\n\r\n").bodyLen == 2)
+    // a chunk VALUE of 2^28 is rejected (single-chunk cap), zeros or not
+    assert(chunkedRec(te + "10000000\r\nhi\r\n0\r\n\r\n").bodyLen == 0)
+    assert(chunkedRec(te + "0010000000\r\nhi\r\n0\r\n\r\n").bodyLen == 0)
     // empty chunked body (immediate terminator) is VALID and empty
     val r = chunkedRec(te + "0\r\n\r\n")
     assert(r.bodyLen == 0 && r.httpStatus.contains(200))
+  }
+
+  test("Transfer-Encoding detection is a header-line parse, not a substring " +
+       "scan: 'chunked' elsewhere in the block cannot mis-trigger de-chunking") {
+    // identity-encoded response whose headers merely MENTION chunked: the
+    // body must ride through verbatim, not be fed to the chunk parser
+    val mention = chunkedRec("HTTP/1.1 200 OK\r\n" +
+      "Transfer-Encoding: identity\r\nX-Note: prefer chunked replies\r\n\r\n" +
+      "hello body")
+    assert(mention.bodyLen == "hello body".length && mention.chunkSpans.isEmpty)
+    // the FINAL coding decides (RFC 9112 §6.1): gzip, chunked → de-chunk
+    val layered = chunkedRec("HTTP/1.1 200 OK\r\n" +
+      "Transfer-Encoding: gzip, chunked\r\n\r\n" + "2\r\nhi\r\n0\r\n\r\n")
+    assert(layered.bodyLen == 2 && layered.chunkSpans.length == 1)
+    // chunked NOT final: no de-chunk
+    val notFinal = chunkedRec("HTTP/1.1 200 OK\r\n" +
+      "Transfer-Encoding: chunked, gzip\r\n\r\n" + "raw")
+    assert(notFinal.chunkSpans.isEmpty && notFinal.bodyLen == 3)
+  }
+
+  test("chunked cut unit is CHARACTERS: multibyte bodies cannot be severed " +
+       "mid-UTF-8-sequence and the size lines are per-part byte lengths") {
+    val body = "café 日本語 text" // é + CJK: 2- and 3-byte sequences
+    (0 to body.length).foreach { cut =>
+      val rec = chunkedRec(new String(
+        Warc.httpResponseChunked("200 OK", body, cut), UTF_8))
+      assert(rec.bodyLen == body.getBytes(UTF_8).length, s"cut=$cut")
+      assert(rec.httpStatus.contains(200), s"cut=$cut")
+    }
   }
 
   test("gzip layer: round-trip, truncation, garbage, and the zip-bomb guard") {

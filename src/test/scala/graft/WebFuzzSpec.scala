@@ -24,8 +24,10 @@ import graft.ext.Html
   * Scope notes (documented, not fuzzed — the [[Html]] sanitizer
   * contract): text content carries no '<'/'>' (tag-stripping would be
   * ambiguous), no tabs (the collapse rule is spaces), and no HTML
-  * entities (no decoding layer); anchors have flat text and an href
-  * attribute first.
+  * entities (no decoding layer); anchor text is flat (round 17 RETIRED
+  * the href-first contract — href-less and attribute-reordered anchors
+  * are generated and must drop from / join the pair set without
+  * shifting alignment).
   */
 class WebFuzzSpec extends AnyFunSuite {
   import HtmlFuzzGen._
@@ -46,6 +48,12 @@ class WebFuzzSpec extends AnyFunSuite {
     assert(pages.count(_.stray.nonEmpty) > 5, s"[base $base] no stray tails")
     assert(pages.flatMap(_.blocks).count(_.elems.exists(_.isInstanceOf[Anchor])) > 30,
       s"[base $base] too few anchors")
+    assert(pages.flatMap(_.blocks).flatMap(_.elems)
+      .count(_.isInstanceOf[AttrAnchor]) > 10,
+      s"[base $base] too few attribute-reordered anchors")
+    assert(pages.flatMap(_.blocks).flatMap(_.elems)
+      .count(_.isInstanceOf[BareAnchor]) > 10,
+      s"[base $base] too few href-less anchors")
 
     val df = pages.zipWithIndex
       .map { case (p, i) => (i.toLong, render(p)) }.toDF("id", "h")
@@ -66,8 +74,11 @@ class WebFuzzSpec extends AnyFunSuite {
         assert(kc == m.keptChars, s"[seed $seed] kept_chars $kc != ${m.keptChars}\n${render(page)}")
         assert(tc == m.totalChars, s"[seed $seed] total_chars $tc != ${m.totalChars}\n${render(page)}")
         assert(ex == m.extracted, s"[seed $seed] extracted mismatch\n got: $ex\nwant: ${m.extracted}\n${render(page)}")
+        // pairs: href-carrying anchors only (attribute order irrelevant);
+        // a bare <a> drops WITHOUT shifting the pairs after it
         val wantAp = page.blocks.flatMap(_.elems).collect {
           case Anchor(h, t) => s"$h\n$t"
+          case AttrAnchor(h, t) => s"$h\n$t"
         }
         assert(ap == wantAp, s"[seed $seed] anchor pairs mismatch\n got: $ap\nwant: $wantAp")
     }
@@ -87,6 +98,12 @@ object HtmlFuzzGen {
   sealed trait Elem
   final case class Text(s: String) extends Elem
   final case class Anchor(href: String, text: String) extends Elem
+  /** href NOT first (other attributes precede it) — must still pair. */
+  final case class AttrAnchor(href: String, text: String) extends Elem
+  /** No href at all — counts as anchor MASS (it renders as a link-ish
+    * element) but must DROP from the pair set without shifting later
+    * pairs (the round-16 two-pattern zip misaligned on exactly this). */
+  final case class BareAnchor(text: String) extends Elem
   final case class Wrapped(tag: String, s: String) extends Elem
   final case class Block(tag: String, attrs: String, elems: Seq[Elem])
   final case class Page(blocks: Seq[Block], stray: String)
@@ -108,6 +125,8 @@ object HtmlFuzzGen {
   private val elem: Gen[Elem] = Gen.frequency(
     5 -> textRun.map(Text.apply),
     3 -> (for { h <- word; t <- textRun } yield Anchor(s"/x/$h", t)),
+    1 -> (for { h <- word; t <- textRun } yield AttrAnchor(s"/y/$h", t)),
+    1 -> textRun.map(BareAnchor.apply),
     2 -> (for { tg <- Gen.oneOf("b", "i", "em", "span"); s <- textRun }
       yield Wrapped(tg, s)))
 
@@ -131,6 +150,9 @@ object HtmlFuzzGen {
       b.elems.foreach {
         case Text(s) => sb.append(s)
         case Anchor(h, t) => sb.append(s"""<a href="$h">$t</a>""")
+        case AttrAnchor(h, t) =>
+          sb.append(s"""<a rel="nofollow" href="$h">$t</a>""")
+        case BareAnchor(t) => sb.append(s"""<a name="n7">$t</a>""")
         case Wrapped(tg, s) => sb.append(s"<$tg>$s</$tg>")
       }
       sb.append(s"</${b.tag}>")
@@ -154,9 +176,17 @@ object HtmlFuzzGen {
       val vis = collapse(b.elems.map {
         case Text(s) => s
         case Anchor(_, t) => " " + t + " "
+        case AttrAnchor(_, t) => " " + t + " "
+        case BareAnchor(t) => " " + t + " "
         case Wrapped(_, s) => " " + s + " "
       }.mkString)
-      val anchor = b.elems.collect { case Anchor(_, t) => t.length }.sum
+      // anchor MASS counts every <a …>text</a> regardless of href — the
+      // link-density rule measures linkiness, not pairability
+      val anchor = b.elems.collect {
+        case Anchor(_, t) => t.length
+        case AttrAnchor(_, t) => t.length
+        case BareAnchor(t) => t.length
+      }.sum
       (vis, anchor)
     } ++ (if (collapse(p.stray).nonEmpty) Seq((collapse(p.stray), 0)) else Nil)
     val rendered = blockStats.filter(_._1.nonEmpty)

@@ -60,6 +60,19 @@ class WebSpec extends AnyFunSuite {
     assert(got == Seq("/a" -> "first", "/b" -> "second"))
   }
 
+  test("anchorPairs: a malformed anchor DROPS instead of shifting later " +
+       "pairs, and href need not be the first attribute (r17 ADVICE)") {
+    val html = "<a href=\"/a\">first</a>" +
+      "<a name=\"x\">no href</a>" +                    // drops
+      "<a rel=\"nofollow\" href=\"/b\">second</a>" +   // href not first
+      "<a href=\"/c\"><b>nested</b></a>" +             // non-flat text: drops
+      "<a href=\"/d\">last</a>"
+    val got = Seq(html).toDF("h")
+      .select(explode(Html.anchorPairs(col("h"))).as("p"))
+      .select("p.href", "p.anchor").as[(String, String)].collect().toSeq
+    assert(got == Seq("/a" -> "first", "/b" -> "second", "/d" -> "last"))
+  }
+
   test("Robots: the two evaluation shapes agree (per-row vs distinct) and " +
        "every REP branch resolves correctly") {
     import graft.ext.Robots
