@@ -22,6 +22,10 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   *     line, unparseable/negative Content-Length all STOP the walk
   *     (framing depends on the length — after a bad length nothing
   *     downstream is trustworthy) and return what was complete so far.
+  *     [[parseResync]] is the production twin: same per-record parse,
+  *     but a malformed record re-anchors at the next `WARC/1.` version
+  *     magic with EXACT loss accounting (spans + bytes) instead of
+  *     discarding the rest of the blob.
   *
   * Record grammar (WARC/1.x): a version line, `Name: value` header
   * lines, CRLF CRLF, `Content-Length` payload octets, CRLF CRLF. For
@@ -171,14 +175,17 @@ object Warc {
     true
   }
 
-  /** Walk a blob; returns the complete records in order. Never throws. */
-  def parse(bytes: Array[Byte], maxRecords: Int = 10000): Seq[Rec] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Rec]
-    var c = 0
-    while (c < bytes.length && out.length < maxRecords) {
-      if (!startsWith(bytes, c, "WARC/")) return out.toSeq
+  /** Parse ONE record at offset `c`: None when framing fails AT `c` (bad
+    * magic, unterminated header, unusable Content-Length, truncated
+    * payload); Some((record, next cursor, separator-missing flag)) on a
+    * complete record. The flag is true when the record ended without its
+    * CRLF CRLF separator and more bytes follow — the strict walk stops
+    * there, the resync walk scans. */
+  private def parseOne(bytes: Array[Byte], c: Int,
+                       recIdx: Int): Option[(Rec, Int, Boolean)] = {
+      if (!startsWith(bytes, c, "WARC/")) return None
       val hEnd = indexOfCrlfCrlf(bytes, c, c + MaxHeaderBytes)
-      if (hEnd < 0) return out.toSeq
+      if (hEnd < 0) return None
       val header = new String(bytes, c, hEnd - c, UTF_8)
       var warcType = ""
       var uri = ""
@@ -199,9 +206,9 @@ object Warc {
           }
         }
       }
-      if (clen < 0) return out.toSeq // framing unusable past this point
+      if (clen < 0) return None // framing unusable past this point
       val pStart = hEnd + 4
-      if (clen > bytes.length - pStart) return out.toSeq // truncated tail
+      if (clen > bytes.length - pStart) return None // truncated tail
       val pEnd = pStart + clen.toInt
       // HTTP payload split: status from the first line (responses), body
       // after the HTTP blank line; non-HTTP records keep the raw payload
@@ -255,15 +262,97 @@ object Warc {
             status = try Some(parts(1).toInt) catch { case _: NumberFormatException => None }
         }
       }
-      out += Rec(out.length, warcType, uri, clen, status, bodyOff, bodyLen,
+      val rec = Rec(recIdx, warcType, uri, clen, status, bodyOff, bodyLen,
         spans, location)
       // record separator CRLF CRLF; a record flush at EOF is still complete
       val next = if (startsWith(bytes, pEnd, Crlf + Crlf)) pEnd + 4 else pEnd
-      if (next <= c) return out.toSeq // progress guard (clen 0 + no sep)
-      if (next == pEnd && pEnd < bytes.length) return out.toSeq // junk after payload
-      c = next
+      Some((rec, next, next == pEnd && pEnd < bytes.length))
+  }
+
+  /** Walk a blob; returns the complete records in order. Never throws.
+    * STRICT framing: the walk stops at the first malformed record or
+    * missing separator and returns what was complete so far (see
+    * [[parseResync]] for the recovering walk). */
+  def parse(bytes: Array[Byte], maxRecords: Int = 10000): Seq[Rec] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Rec]
+    var c = 0
+    while (c < bytes.length && out.length < maxRecords) {
+      parseOne(bytes, c, out.length) match {
+        case None => return out.toSeq
+        case Some((rec, next, sepMissing)) =>
+          out += rec
+          if (sepMissing) return out.toSeq // junk after payload
+          if (next <= c) return out.toSeq // progress guard
+          c = next
+      }
     }
     out.toSeq
+  }
+
+  /** [[parseResync]]'s result: the surviving records plus EXACT loss
+    * accounting — how many corrupt spans were skipped and how many bytes
+    * they covered. recs.map(_.recIdx) is 0..n-1 over SURVIVORS. */
+  final case class ResyncResult(recs: Seq[Rec], skippedSpans: Int,
+                                skippedBytes: Long)
+
+  /** First offset >= `from` where a WARC/1.x version magic begins — the
+    * resync anchor (the `WARC/1.` spelling cannot collide with the
+    * `WARC-`-hyphenated header names inside a record's own header
+    * block). */
+  private def indexOfMagic(b: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    val end = b.length - 7
+    while (i <= end) {
+      if (b(i) == 'W' && startsWith(b, i, "WARC/1.")) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** The RECOVERING walk: like [[parse]], but a malformed record skips
+    * forward to the next `WARC/1.` version magic instead of discarding
+    * the rest of the blob — on a real 1 GiB CommonCrawl member one
+    * corrupt record must not silently drop everything after it. The loss
+    * is OBSERVABLE, never silent: every skip is counted (spans) and
+    * measured (bytes), so a consumer can alert on loss rates. Discipline
+    * unchanged: records that do parse are byte-identical to the strict
+    * walk's, the scan only moves forward (progress guard: a failed
+    * record's scan starts at its offset + 1), never throws, and the
+    * resync count is capped (`maxSpans` — past it the remainder is
+    * counted as one final skipped span and the walk stops). */
+  def parseResync(bytes: Array[Byte], maxRecords: Int = 10000,
+                  maxSpans: Int = 1000): ResyncResult = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Rec]
+    var c = 0
+    var spans = 0
+    var skipped = 0L
+    var stop = false
+    // scan for the next record magic at or after `scanFrom`; the loss
+    // span is [lossFrom, found) — they differ only for the missing-
+    // separator case, where the record itself was kept
+    def skipFrom(scanFrom: Int, lossFrom: Int): Unit = {
+      if (spans >= maxSpans) { // resync cap: remainder = one final span
+        skipped += bytes.length - lossFrom
+        spans += 1
+        stop = true
+        return
+      }
+      spans += 1
+      val at = indexOfMagic(bytes, scanFrom)
+      if (at < 0) { skipped += bytes.length - lossFrom; stop = true }
+      else { skipped += at - lossFrom; c = at }
+    }
+    while (!stop && c < bytes.length && out.length < maxRecords) {
+      parseOne(bytes, c, out.length) match {
+        case None => skipFrom(c + 1, c) // strictly after: guaranteed progress
+        case Some((rec, next, sepMissing)) =>
+          out += rec
+          if (sepMissing) skipFrom(next, next) // keep the record, scan the junk
+          else if (next <= c) stop = true // progress guard
+          else c = next
+      }
+    }
+    ResyncResult(out.toSeq, spans, skipped)
   }
 
   /** Gzip a blob ([[synthesize]]'s compressed counterpart — CommonCrawl
@@ -398,7 +487,10 @@ object Warc {
     else Seq((r.bodyOffset, r.bodyOffset + r.bodyLen))
 
   private def recordRows(blobId: Long, bytes: Array[Byte]) =
-    parse(bytes).map { r =>
+    rowsFor(blobId, bytes, parse(bytes))
+
+  private def rowsFor(blobId: Long, bytes: Array[Byte], recs: Seq[Rec]) =
+    recs.map { r =>
       val (bc, bmd5) =
         if (r.httpStatus.isDefined) {
           val md = java.security.MessageDigest.getInstance("MD5")
@@ -410,6 +502,27 @@ object Warc {
         if (r.targetUri.isEmpty) None else Some(r.targetUri),
         r.contentLength, r.httpStatus.map(_.toLong), bc, bmd5)
     }
+
+  /** [[extractRecords]] under the RECOVERING walk ([[parseResync]]): the
+    * q207 row set over the surviving records, plus the blob's exact loss
+    * accounting on every row (skipped_spans, skipped_bytes — constant per
+    * blob) so corruption at CommonCrawl scale is an observable column,
+    * never silent data loss. A blob whose every record is corrupt
+    * contributes zero rows (its loss is observable through
+    * [[parseResync]] directly — documented limitation of the row shape). */
+  def extractRecordsResync(blobs: Dataset[(Long, Array[Byte])]): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.flatMap { case (blobId, bytes) =>
+      val r = parseResync(bytes)
+      rowsFor(blobId, bytes, r.recs).map { t =>
+        (t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8,
+          r.skippedSpans.toLong, r.skippedBytes)
+      }
+    }).toDF("blob_id", "rec_idx", "rec_type", "uri", "content_length",
+      "http_status", "body_bytes", "body_md5", "skipped_spans",
+      "skipped_bytes")
+  }
 
   def extractRecords(blobs: Dataset[(Long, Array[Byte])]): DataFrame = {
     val spark = blobs.sparkSession

@@ -146,6 +146,51 @@ object WebQueries {
       .orderBy(col("blob_id"), col("rec_idx"))
   }
 
+  /** q215 — WARC resync under PLANTED mid-blob corruption: the q207 blobs
+    * with every id%5==2 doc's RESPONSE record magic-mangled in place
+    * (`WARC/1.0` → `JUNK/1.0`, same byte length), walked by the
+    * RECOVERING parser ([[graft.ext.Warc.parseResync]]) — survivors
+    * re-anchor at the next `WARC/1.` magic, and the loss is EXACT output
+    * columns (skipped_spans = corrupt records per blob, skipped_bytes =
+    * their full serialized length including the record separator). The
+    * oracle reconstructs both sides arithmetically: surviving rows are
+    * the q207 construction minus the corrupt id class with rec_idx
+    * re-ranked over survivors, and skipped_bytes is the strlen of each
+    * corrupt record's serialization — so a resync that lands anywhere
+    * but the exact next-record boundary, or loses/over-counts a single
+    * byte, breaks the hash. Corruption hits blob tails too (ids ≡ 7
+    * mod 8 ∧ ≡ 2 mod 5), exercising the scan-to-EOF branch. */
+  def q215WarcResync(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.Warc
+    val blobs = docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+      val ms = it.toArray.sortBy(_._1)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Warc.synthesize(Seq(Warc.Entry("warcinfo", None,
+        "application/warc-fields",
+        "software: graft-crawler/1.0\r\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))))
+      ms.foreach { case (id, t) =>
+        val status = if (id % 13 == 0) "404 Not Found" else "200 OK"
+        out.write(Warc.synthesize(Seq(
+          Warc.Entry("request", Some(s"https://example.org/doc/$id"),
+            "application/http; msgtype=request",
+            Warc.httpRequest(s"/doc/$id")))))
+        val resp = Warc.synthesize(Seq(
+          Warc.Entry("response", Some(s"https://example.org/doc/$id"),
+            "application/http; msgtype=response",
+            Warc.httpResponse(status,
+              s"<html><body><p>$t</p></body></html>"))))
+        if (id % 5 == 2) // corrupt IN PLACE: same length, dead magic
+          System.arraycopy("JUNK".getBytes(
+            java.nio.charset.StandardCharsets.UTF_8), 0, resp, 0, 4)
+        out.write(resp)
+      }
+      (b, out.toByteArray)
+    }
+    Warc.extractRecordsResync(blobs).orderBy(col("blob_id"), col("rec_idx"))
+  }
+
   /** q213 — the CRAWL-FRONTIER capstone: the web tier's stages composed
     * into one fetch plan, the crawl-side mirror of the curation
     * capstones (q53/q195). Every page's outlinks ([[Html.anchorPairs]])
@@ -386,7 +431,8 @@ object WebQueries {
     "q211_warc_chunked" -> (q211WarcChunked _),
     "q212_redirect_chains" -> (q212RedirectChains _),
     "q213_crawl_frontier" -> (q213CrawlFrontier _),
-    "q214_warc_gz_members" -> (q214WarcGzMembers _)
+    "q214_warc_gz_members" -> (q214WarcGzMembers _),
+    "q215_warc_resync" -> (q215WarcResync _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -552,6 +598,67 @@ object WebQueries {
     "q207_warc_records" -> WarcRecordsSql,
     "q210_warc_gz" -> WarcRecordsSql,
     "q214_warc_gz_members" -> WarcRecordsSql,
+    /* q215: survivors are the q207 construction MINUS the corrupt id
+     * class, rec_idx re-ranked over survivors in original record order;
+     * skipped_bytes per blob is the strlen of each corrupt response
+     * record's FULL serialization (WARC header block + blank line +
+     * HTTP payload + record separator) — the exact span the resync scan
+     * steps over to reach the next record's magic. */
+    "q215_warc_resync" ->
+      """WITH d AS (SELECT doc_id, text, doc_id // 8 AS blob_id,
+        |    row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id) AS rn,
+        |    'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        |    '<html><body><p>' || text || '</p></body></html>' AS body,
+        |    CASE WHEN doc_id % 13 = 0 THEN '404 Not Found' ELSE '200 OK' END AS st,
+        |    CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS code,
+        |    (doc_id % 5 = 2) AS corrupt
+        |  FROM documents),
+        | pay AS (SELECT *,
+        |    'HTTP/1.1 ' || st || chr(13) || chr(10) ||
+        |      'Content-Type: text/html' || chr(13) || chr(10) ||
+        |      chr(13) || chr(10) || body AS payload
+        |  FROM d),
+        | skip AS (SELECT blob_id,
+        |    CAST(COUNT(*) FILTER (WHERE corrupt) AS BIGINT) AS skipped_spans,
+        |    CAST(COALESCE(SUM(CASE WHEN corrupt THEN
+        |      strlen('WARC/1.0' || chr(13) || chr(10) ||
+        |        'WARC-Type: response' || chr(13) || chr(10) ||
+        |        'WARC-Target-URI: ' || uri || chr(13) || chr(10) ||
+        |        'Content-Type: application/http; msgtype=response' || chr(13) || chr(10) ||
+        |        'Content-Length: ' || CAST(strlen(payload) AS VARCHAR) ||
+        |        chr(13) || chr(10) || chr(13) || chr(10)) +
+        |      strlen(payload) + 4 END), 0) AS BIGINT) AS skipped_bytes
+        |  FROM pay GROUP BY blob_id),
+        | info AS (SELECT DISTINCT blob_id, 0 AS orig,
+        |    'warcinfo' AS rec_type, CAST(NULL AS VARCHAR) AS uri,
+        |    CAST(strlen('software: graft-crawler/1.0' || chr(13) || chr(10))
+        |      AS BIGINT) AS content_length,
+        |    CAST(NULL AS BIGINT) AS http_status,
+        |    CAST(NULL AS BIGINT) AS body_bytes,
+        |    CAST(NULL AS VARCHAR) AS body_md5 FROM pay),
+        | req AS (SELECT blob_id, 2 * rn - 1 AS orig,
+        |    'request' AS rec_type, uri,
+        |    CAST(strlen('GET /doc/' || CAST(doc_id AS VARCHAR) ||
+        |      ' HTTP/1.1' || chr(13) || chr(10) || 'Host: example.org' ||
+        |      chr(13) || chr(10) || chr(13) || chr(10)) AS BIGINT) AS content_length,
+        |    CAST(NULL AS BIGINT) AS http_status,
+        |    CAST(NULL AS BIGINT) AS body_bytes,
+        |    CAST(NULL AS VARCHAR) AS body_md5 FROM pay),
+        | resp AS (SELECT blob_id, 2 * rn AS orig,
+        |    'response' AS rec_type, uri,
+        |    CAST(strlen(payload) AS BIGINT) AS content_length,
+        |    CAST(code AS BIGINT) AS http_status,
+        |    CAST(strlen(body) AS BIGINT) AS body_bytes,
+        |    md5(body) AS body_md5 FROM pay WHERE NOT corrupt),
+        | surv AS (SELECT * FROM info UNION ALL SELECT * FROM req
+        |   UNION ALL SELECT * FROM resp),
+        | n AS (SELECT *, CAST(row_number() OVER (PARTITION BY blob_id
+        |    ORDER BY orig) - 1 AS BIGINT) AS rec_idx FROM surv)
+        |SELECT n.blob_id, n.rec_idx, n.rec_type, n.uri, n.content_length,
+        |  n.http_status, n.body_bytes, n.body_md5,
+        |  s.skipped_spans, s.skipped_bytes
+        |FROM n JOIN skip s USING (blob_id)
+        |ORDER BY blob_id, rec_idx""".stripMargin,
     /* q212: the oracle resolves the chains by RECURSIVE fixpoint (vs the
      * engine's bounded unrolled joins — different algorithm, same
      * semantics) with the same 3-hop cap in the recursion guard; the

@@ -198,6 +198,77 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("parseResync: corruption at every record position yields the exact " +
+       "survivors + exact skip accounting; strict parse still stops") {
+    val segs = entries.map(e => Warc.synthesize(Seq(e)))
+    val full = segs.reduce(_ ++ _)
+    val clean = Warc.parseResync(full)
+    assert(clean.recs == Warc.parse(full))
+    assert(clean.skippedSpans == 0 && clean.skippedBytes == 0L)
+    (0 until 3).foreach { k =>
+      val blob = segs.zipWithIndex.map { case (s, i) =>
+        if (i == k) { val c = s.clone()
+          System.arraycopy("JUNK".getBytes(UTF_8), 0, c, 0, 4); c
+        } else s
+      }.reduce(_ ++ _)
+      val r = Warc.parseResync(blob)
+      assert(r.recs.map(_.warcType) ==
+        entries.zipWithIndex.collect { case (e, i) if i != k => e.warcType },
+        s"k=$k")
+      // the skipped span is EXACTLY the corrupt record's serialization
+      // (for the tail record: the scan-to-EOF branch, same count)
+      assert(r.skippedSpans == 1 && r.skippedBytes == segs(k).length.toLong,
+        s"k=$k")
+      assert(Warc.parse(blob).length == k, s"k=$k") // strict stops there
+    }
+  }
+
+  test("parseResync: header-level corruption (dead Content-Length) skips " +
+       "the record with the same exact accounting") {
+    val segs = entries.map(e => Warc.synthesize(Seq(e)))
+    val blob = {
+      val s = new String(segs(1), UTF_8)
+        .replace("Content-Length", "Content-Lxngth") // same byte length
+      segs(0) ++ s.getBytes(UTF_8) ++ segs(2)
+    }
+    val r = Warc.parseResync(blob)
+    assert(r.recs.map(_.warcType) == Seq("warcinfo", "response"))
+    assert(r.skippedSpans == 1 && r.skippedBytes == segs(1).length.toLong)
+  }
+
+  test("parseResync boundary classes: junk between records, missing " +
+       "separator, truncated tail, all-junk, and the resync cap") {
+    val segs = entries.map(e => Warc.synthesize(Seq(e)))
+    // junk between records: both records survive, the junk is the span
+    val junky = segs(0) ++ "XXXX".getBytes(UTF_8) ++ segs(1)
+    val j = Warc.parseResync(junky)
+    assert(j.recs.map(_.warcType) == Seq("warcinfo", "request"))
+    assert(j.skippedSpans == 1 && j.skippedBytes == 4L)
+    // missing record separator, next record back-to-back: the complete
+    // record is KEPT, the anomaly counts as a zero-byte span
+    val noSep = segs(0).dropRight(4) ++ segs(1)
+    val n = Warc.parseResync(noSep)
+    assert(n.recs.map(_.warcType) == Seq("warcinfo", "request"))
+    assert(n.skippedSpans == 1 && n.skippedBytes == 0L)
+    // truncated tail: survivors + the remainder as one measured span
+    val cut = segs(0).length + segs(1).length + 10
+    val t = Warc.parseResync(segs.reduce(_ ++ _).take(cut))
+    assert(t.recs.map(_.warcType) == Seq("warcinfo", "request"))
+    assert(t.skippedSpans == 1 && t.skippedBytes == 10L)
+    // all junk: zero records, one span covering the whole blob
+    val g = Warc.parseResync("no warc content here at all".getBytes(UTF_8))
+    assert(g.recs.isEmpty && g.skippedSpans == 1 && g.skippedBytes == 27L)
+    // resync cap: 5 records, 0/2/4 corrupt, maxSpans=2 — the third
+    // failure charges the remainder as one final span and stops
+    val five = (0 until 5).map(_ => segs(0).clone()).toArray
+    Seq(0, 2, 4).foreach(i =>
+      System.arraycopy("JUNK".getBytes(UTF_8), 0, five(i), 0, 4))
+    val capped = Warc.parseResync(five.reduce(_ ++ _), maxSpans = 2)
+    assert(capped.recs.length == 2) // records 1 and 3 survive
+    assert(capped.skippedSpans == 3)
+    assert(capped.skippedBytes == 3L * segs(0).length)
+  }
+
   test("gzip layer: round-trip, truncation, garbage, and the zip-bomb guard") {
     val blob = Warc.synthesize(entries)
     val gz = Warc.gzip(blob)
