@@ -421,6 +421,55 @@ object WebQueries {
       Seq("doc_id", "site", "path"))
   }
 
+  /** q216 — robots filtering under FULL RFC 9309 special characters
+    * ([[graft.ext.Robots.verdictPerRowWild]]): `*` runs, trailing `$`
+    * anchors, specificity = pattern length as written, allow wins ties —
+    * the same single argmax as q209, different match tier. The rule set
+    * exercises every wildcard branch: star-suffix vs longer literal
+    * (`/fish*` < `/fishheads`), the anchored extension rule (slash,
+    * star, `.php$` — beats `/page/` on exact-.php paths, loses its grip
+    * the moment the path continues), the equal-length allow/disallow tie, a LITERAL
+    * dot that must not regex-match (`/files/doc.` must not claim
+    * `/files/docs/...` — escaping is load-bearing), a mid-pattern star
+    * (`/misc/` + star + `0` fires only when a 0 follows), and the even-site root
+    * block underneath everything. The oracle replays each pattern as a
+    * HAND-WRITTEN LIKE translation — the Scala regex compiler has no
+    * counterpart on the DuckDB side to share a bug with. */
+  def q216RobotsWildcards(spark: SparkSession, dir: String): DataFrame =
+    q216Stage(spark, dir)
+      .localCheckpoint()
+      .orderBy(col("doc_id"))
+
+  private[graft] def q216Stage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 3).cast("string").as("site"),
+        expr("""CASE CAST(doc_id % 7 AS INT)
+          WHEN 0 THEN '/fish/' || CAST(doc_id AS STRING)
+          WHEN 1 THEN '/fishheads/' || CAST(doc_id AS STRING)
+          WHEN 2 THEN '/page/' || CAST(doc_id AS STRING) || '.php'
+          WHEN 3 THEN '/page/' || CAST(doc_id AS STRING) || '.php/more'
+          WHEN 4 THEN '/files/doc.' || CAST(doc_id AS STRING)
+          WHEN 5 THEN '/misc/' || CAST(doc_id AS STRING)
+          ELSE '/files/docs/' || CAST(doc_id AS STRING) END""").as("path"))
+    val sites = spark.range(3)
+    val shared = sites.select(col("id").cast("string").as("r_site"),
+        explode(array(
+          struct(lit("/fish*").as("r_path"), lit(0).as("r_allow")),
+          struct(lit("/fishheads").as("r_path"), lit(1).as("r_allow")),
+          struct(lit("/*.php$").as("r_path"), lit(0).as("r_allow")),
+          struct(lit("/page/").as("r_path"), lit(1).as("r_allow")),
+          struct(lit("/page/").as("r_path"), lit(0).as("r_allow")),
+          struct(lit("/files/doc.").as("r_path"), lit(1).as("r_allow")),
+          struct(lit("/misc/*0").as("r_path"), lit(0).as("r_allow")))).as("r"))
+      .select(col("r_site"), col("r.r_path").as("r_path"),
+        col("r.r_allow").as("r_allow"))
+    val rootBlock = sites.filter(col("id") % 2 === 0)
+      .select(col("id").cast("string").as("r_site"),
+        lit("/").as("r_path"), lit(0).as("r_allow"))
+    graft.ext.Robots.verdictPerRowWild(docs, shared.unionByName(rootBlock),
+      Seq("doc_id", "site", "path"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q204_html_extract" -> (q204HtmlExtract _),
     "q205_anchor_corpus" -> (q205AnchorCorpus _),
@@ -432,7 +481,8 @@ object WebQueries {
     "q212_redirect_chains" -> (q212RedirectChains _),
     "q213_crawl_frontier" -> (q213CrawlFrontier _),
     "q214_warc_gz_members" -> (q214WarcGzMembers _),
-    "q215_warc_resync" -> (q215WarcResync _)
+    "q215_warc_resync" -> (q215WarcResync _),
+    "q216_robots_wildcards" -> (q216RobotsWildcards _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -530,6 +580,40 @@ object WebQueries {
         |    row_number() OVER (PARTITION BY u.doc_id
         |      ORDER BY length(r.p) DESC, r.a DESC, r.p) AS rk
         |  FROM u JOIN r ON r.site = u.site AND u.path LIKE r.p || '%')
+        |SELECT u.doc_id, u.site, u.path,
+        |  COALESCE(m.a = 1, TRUE) AS allowed, m.p AS matched_path
+        |FROM u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rk = 1
+        |ORDER BY u.doc_id""".stripMargin,
+    /* q216: each wildcard pattern replayed as a HAND-WRITTEN LIKE
+     * translation (lk) — star → %, trailing $ → no trailing %, prefix
+     * semantics → trailing % otherwise; specificity = length(p) of the
+     * pattern AS WRITTEN; tie order (length DESC, allow DESC, p DESC)
+     * mirrors the engine's struct max exactly. */
+    "q216_robots_wildcards" ->
+      """WITH u AS (SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS site,
+        |    CASE CAST(doc_id % 7 AS INT)
+        |      WHEN 0 THEN '/fish/' || CAST(doc_id AS VARCHAR)
+        |      WHEN 1 THEN '/fishheads/' || CAST(doc_id AS VARCHAR)
+        |      WHEN 2 THEN '/page/' || CAST(doc_id AS VARCHAR) || '.php'
+        |      WHEN 3 THEN '/page/' || CAST(doc_id AS VARCHAR) || '.php/more'
+        |      WHEN 4 THEN '/files/doc.' || CAST(doc_id AS VARCHAR)
+        |      WHEN 5 THEN '/misc/' || CAST(doc_id AS VARCHAR)
+        |      ELSE '/files/docs/' || CAST(doc_id AS VARCHAR) END AS path
+        |  FROM documents),
+        | r AS (
+        |  SELECT CAST(range AS VARCHAR) AS site, '/fish*' AS p, '/fish%' AS lk, 0 AS a FROM range(3)
+        |  UNION ALL SELECT CAST(range AS VARCHAR), '/fishheads', '/fishheads%', 1 FROM range(3)
+        |  UNION ALL SELECT CAST(range AS VARCHAR), '/*.php$', '/%.php', 0 FROM range(3)
+        |  UNION ALL SELECT CAST(range AS VARCHAR), '/page/', '/page/%', 1 FROM range(3)
+        |  UNION ALL SELECT CAST(range AS VARCHAR), '/page/', '/page/%', 0 FROM range(3)
+        |  UNION ALL SELECT CAST(range AS VARCHAR), '/files/doc.', '/files/doc.%', 1 FROM range(3)
+        |  UNION ALL SELECT CAST(range AS VARCHAR), '/misc/*0', '/misc/%0%', 0 FROM range(3)
+        |  UNION ALL SELECT CAST(range AS VARCHAR), '/', '/%', 0 FROM range(3)
+        |    WHERE range % 2 = 0),
+        | m AS (SELECT u.doc_id, r.p, r.a,
+        |    row_number() OVER (PARTITION BY u.doc_id
+        |      ORDER BY length(r.p) DESC, r.a DESC, r.p DESC) AS rk
+        |  FROM u JOIN r ON r.site = u.site AND u.path LIKE r.lk)
         |SELECT u.doc_id, u.site, u.path,
         |  COALESCE(m.a = 1, TRUE) AS allowed, m.p AS matched_path
         |FROM u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rk = 1

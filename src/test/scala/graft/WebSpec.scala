@@ -103,6 +103,78 @@ class WebSpec extends AnyFunSuite {
     ))
   }
 
+  test("Robots wildcards: the REP spec's own pattern/path example table " +
+       "resolves exactly (RFC 9309 §2.2.3 special characters)") {
+    import graft.ext.Robots
+    // (pattern, path, must-match?) — the match rows from the published
+    // REP documentation tables: star runs, trailing-$ anchor, prefix
+    // semantics, case sensitivity
+    val table = Seq(
+      ("/fish", "/fish", true),
+      ("/fish", "/fishheads", true),
+      ("/fish", "/fish/salmon.html", true),
+      ("/fish", "/Fish.asp", false),
+      ("/fish", "/catfish", false),
+      ("/fish", "/?id=fish", false),
+      ("/fish*", "/fish.php?id=anything", true),
+      ("/fish*", "/fishheads/yummy.html", true),
+      ("/fish*", "/toffish", false),
+      ("/fish/", "/fish/", true),
+      ("/fish/", "/fish/salmon.htm", true),
+      ("/fish/", "/fish", false),
+      ("/fish/", "/fish.html", false),
+      ("/*.php", "/index.php", true),
+      ("/*.php", "/folder/filename.php", true),
+      ("/*.php", "/folder/filename.php?parameters", true),
+      ("/*.php", "/filename.php/", true),
+      ("/*.php", "/", false),
+      ("/*.php", "/windows.PHP", false),
+      ("/*.php$", "/filename.php", true),
+      ("/*.php$", "/folder/filename.php", true),
+      ("/*.php$", "/filename.php?parameters", false),
+      ("/*.php$", "/filename.php/", false),
+      ("/*.php$", "/filename.php5", false),
+      ("/*.php$", "/windows.PHP", false),
+      ("/fish*.php", "/fish.php", true),
+      ("/fish*.php", "/fishheads/catfish.php?parameters", true),
+      ("/fish*.php", "/Fish.PHP", false))
+    // one site per table row; each row's single disallow rule either
+    // matches (allowed=false) or doesn't (default allow)
+    val cands = table.zipWithIndex
+      .map { case ((_, path, _), i) => (i.toString, path) }
+      .toDF("site", "path")
+    val rules = table.zipWithIndex
+      .map { case ((pat, _, _), i) => (i.toString, pat, 0) }
+      .toDF("r_site", "r_path", "r_allow")
+    val got = Robots.verdictPerRowWild(cands, rules, Seq("site", "path"))
+      .select("site", "allowed").as[(String, Boolean)].collect()
+      .map { case (s, a) => s.toInt -> a }.toMap
+    table.zipWithIndex.foreach { case ((pat, path, matches), i) =>
+      assert(got(i) == !matches, s"pattern=$pat path=$path")
+    }
+  }
+
+  test("Robots wildcards: on wildcard-free rules the wildcard tier is " +
+       "EXACTLY the prefix tier (q209's rule table, verdicts identical)") {
+    import graft.ext.Robots
+    val cands = (0 until 40).map(i =>
+      ((i % 2).toString, Seq("/a/" + i, "/a/x" + i, "/tmp/" + i, "/b/p",
+        "/c/" + i)(i % 5))).toDF("site", "path")
+    val rules = Seq(
+      ("0", "/a/", 1), ("0", "/a/x", 0), ("0", "/tmp/", 0),
+      ("0", "/b/p", 1), ("0", "/b/p", 0), ("0", "/", 0),
+      ("1", "/a/", 1), ("1", "/a/x", 0), ("1", "/tmp/", 0),
+      ("1", "/b/p", 1), ("1", "/b/p", 0)
+    ).toDF("r_site", "r_path", "r_allow")
+    val prefix = Robots.verdictPerRow(cands, rules, Seq("site", "path"))
+      .select("site", "path", "allowed", "matched_path")
+      .as[(String, String, Boolean, Option[String])].collect().toSet
+    val wild = Robots.verdictPerRowWild(cands, rules, Seq("site", "path"))
+      .select("site", "path", "allowed", "matched_path")
+      .as[(String, String, Boolean, Option[String])].collect().toSet
+    assert(prefix == wild)
+  }
+
   // --- q206 AUC laws (exact integers, tiny frames through the real query
   // shape: groupBy thr -> cumulative windows -> rank-sum) -------------
 
