@@ -51,12 +51,19 @@ object Warc {
     * CONCATENATED, and bodyOffset/bodyLen summarize them (first span
     * start, total de-chunked length). A chunked body whose framing is
     * malformed decodes to the empty body, same as an HTTP payload with
-    * no blank line. */
+    * no blank line. `contentGzip` marks a Content-Encoding whose final
+    * coding is gzip — the record stays pure span metadata (cheap,
+    * equality-safe); consumers inflate through [[decodedBodyBytes]].
+    * `charset` is the Content-Type charset parameter verbatim ("" when
+    * absent); [[extractResponseBodies]] decodes with it (UTF-8
+    * fallback for unknown names). */
   final case class Rec(recIdx: Int, warcType: String, targetUri: String,
                        contentLength: Long, httpStatus: Option[Int],
                        bodyOffset: Int, bodyLen: Int,
                        chunkSpans: Seq[(Int, Int)] = Nil,
-                       location: String = "")
+                       location: String = "",
+                       contentGzip: Boolean = false,
+                       charset: String = "")
 
   /** Serialize records into one WARC blob (the round-trip anchor the
     * torture specs cut prefixes from). */
@@ -106,6 +113,23 @@ object Warc {
     }
     out.write(s"0$Crlf$Crlf".getBytes(UTF_8))
     out.toByteArray
+  }
+
+  /** HTTP response with explicit body encodings — the q217 synthesis:
+    * optional Content-Type charset parameter (the body string is encoded
+    * in THAT charset), optional Content-Encoding: gzip (the encoded
+    * bytes are gzipped — content layer on top of charset layer, the
+    * inverse of the parse order). */
+  def httpResponseEnc(status: String, body: String,
+                      charset: Option[String] = None,
+                      gzipBody: Boolean = false): Array[Byte] = {
+    val ct = "Content-Type: text/html" +
+      charset.map(c => s"; charset=$c").getOrElse("")
+    val ce = if (gzipBody) s"Content-Encoding: gzip$Crlf" else ""
+    val enc = body.getBytes(charset.map(java.nio.charset.Charset.forName)
+      .getOrElse(UTF_8))
+    val payload = if (gzipBody) gzip(enc) else enc
+    (s"HTTP/1.1 $status$Crlf$ct$Crlf$ce$Crlf").getBytes(UTF_8) ++ payload
   }
 
   /** HTTP request payload for a path. */
@@ -218,6 +242,8 @@ object Warc {
       var bodyLen = pEnd - pStart
       var spans: Seq[(Int, Int)] = Nil
       var location = ""
+      var contentGzip = false
+      var charset = ""
       if (ctype.startsWith("application/http")) {
         val hh = indexOfCrlfCrlf(bytes, pStart, pEnd)
         if (hh >= 0 && hh + 4 <= pEnd) {
@@ -238,6 +264,29 @@ object Warc {
             .exists { l =>
               val v = l.substring("transfer-encoding:".length)
               v.split(",").last.trim.toLowerCase == "chunked"
+            }
+          // Content-Encoding (content layer — applies AFTER de-chunking):
+          // final coding gzip/x-gzip marks the body for consumer-side
+          // inflation; same header-line discipline as Transfer-Encoding
+          contentGzip = httpRaw.split("\r\n").iterator
+            .filter(_.toLowerCase.startsWith("content-encoding:"))
+            .exists { l =>
+              val v = l.substring("content-encoding:".length)
+                .split(",").last.trim.toLowerCase
+              v == "gzip" || v == "x-gzip"
+            }
+          // Content-Type charset parameter, value verbatim (quotes
+          // stripped) — the body's DECLARED character encoding
+          httpRaw.split("\r\n").find(_.toLowerCase.startsWith("content-type:"))
+            .foreach { l =>
+              val v = l.substring("content-type:".length)
+              val i = v.toLowerCase.indexOf("charset=")
+              if (i >= 0) {
+                var cv = v.substring(i + "charset=".length)
+                val sc = cv.indexOf(';')
+                if (sc >= 0) cv = cv.substring(0, sc)
+                charset = cv.trim.stripPrefix("\"").stripSuffix("\"")
+              }
             }
           if (teChunked) {
             parseChunks(bytes, bodyOff, pEnd) match {
@@ -263,7 +312,7 @@ object Warc {
         }
       }
       val rec = Rec(recIdx, warcType, uri, clen, status, bodyOff, bodyLen,
-        spans, location)
+        spans, location, contentGzip, charset)
       // record separator CRLF CRLF; a record flush at EOF is still complete
       val next = if (startsWith(bytes, pEnd, Crlf + Crlf)) pEnd + 4 else pEnd
       Some((rec, next, next == pEnd && pEnd < bytes.length))
@@ -486,6 +535,35 @@ object Warc {
     if (r.chunkSpans.nonEmpty) r.chunkSpans
     else Seq((r.bodyOffset, r.bodyOffset + r.bodyLen))
 
+  /** Cap on an inflated Content-Encoding: gzip body (the consumer-side
+    * zip-bomb guard — same rule as the container layer). */
+  val MaxDecodedBody: Int = 1 << 26
+
+  /** The record's body CONTENT octets: spans concatenated (de-chunked
+    * when chunked), then inflated when Content-Encoding marked gzip —
+    * the transfer layer strictly before the content layer, RFC 9110's
+    * ordering. An undecodable or bomb-guarded gzip body is EMPTY, never
+    * a throw (the complete-records rule lifted to the body layer). */
+  def decodedBodyBytes(bytes: Array[Byte], r: Rec,
+                       maxOut: Int = MaxDecodedBody): Array[Byte] = {
+    val raw = bodySpans(r) match {
+      case Seq((s, e)) => java.util.Arrays.copyOfRange(bytes, s, e)
+      case ss =>
+        val out = new ByteArrayOutputStream(r.bodyLen)
+        ss.foreach { case (s, e) => out.write(bytes, s, e - s) }
+        out.toByteArray
+    }
+    if (r.contentGzip) gunzip(raw, maxOut).getOrElse(Array.emptyByteArray)
+    else raw
+  }
+
+  /** Charset lookup with the UTF-8 fallback (unknown/illegal names must
+    * not throw on hostile crawl headers). */
+  private def charsetFor(name: String): java.nio.charset.Charset =
+    if (name.isEmpty) UTF_8
+    else try java.nio.charset.Charset.forName(name)
+    catch { case scala.util.control.NonFatal(_) => UTF_8 }
+
   private def recordRows(blobId: Long, bytes: Array[Byte]) =
     rowsFor(blobId, bytes, parse(bytes))
 
@@ -494,9 +572,16 @@ object Warc {
       val (bc, bmd5) =
         if (r.httpStatus.isDefined) {
           val md = java.security.MessageDigest.getInstance("MD5")
-          bodySpans(r).foreach { case (s, e) => md.update(bytes, s, e - s) }
-          (Some(r.bodyLen.toLong),
-            Some(md.digest().map(b => f"$b%02x").mkString))
+          if (r.contentGzip) { // mass + md5 are over the CONTENT octets
+            val b = decodedBodyBytes(bytes, r)
+            md.update(b)
+            (Some(b.length.toLong),
+              Some(md.digest().map(x => f"$x%02x").mkString))
+          } else {
+            bodySpans(r).foreach { case (s, e) => md.update(bytes, s, e - s) }
+            (Some(r.bodyLen.toLong),
+              Some(md.digest().map(x => f"$x%02x").mkString))
+          }
         } else (None, None)
       (blobId, r.recIdx.toLong, r.warcType,
         if (r.targetUri.isEmpty) None else Some(r.targetUri),
@@ -575,9 +660,11 @@ object Warc {
     blobs.mapPartitions(_.flatMap { case (blobId, bytes) =>
       parse(bytes).iterator.collect {
         case r if r.httpStatus.isDefined =>
-          val body = bodySpans(r).map { case (s, e) =>
-            new String(bytes, s, e - s, UTF_8)
-          }.mkString
+          // bytes first (concat spans, inflate gzip), ONE decode with the
+          // declared charset — a multibyte sequence straddling a chunk
+          // boundary must decode whole
+          val body = new String(decodedBodyBytes(bytes, r),
+            charsetFor(r.charset))
           (blobId, r.recIdx.toLong, r.targetUri, r.httpStatus.get.toLong, body)
       }
     }).toDF("blob_id", "rec_idx", "uri", "http_status", "body")

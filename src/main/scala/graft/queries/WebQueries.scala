@@ -191,6 +191,50 @@ object WebQueries {
     Warc.extractRecordsResync(blobs).orderBy(col("blob_id"), col("rec_idx"))
   }
 
+  /** q217 — real-crawl BODY FIDELITY: Content-Encoding and charset
+    * handling through the full byte path. Every body carries a non-ASCII
+    * marker (é — a 2-byte UTF-8 / 1-byte latin-1 character), and doc
+    * classes cycle the four encoding combinations: identity/UTF-8,
+    * gzip/UTF-8, identity/ISO-8859-1 (charset parameter on the
+    * Content-Type), gzip/ISO-8859-1. The engine must inflate the content
+    * layer under the bomb guard and decode with the DECLARED charset —
+    * the output is the decoded STRING, so a missed charset (0xE9 is
+    * invalid UTF-8 → replacement char) or a skipped inflation breaks the
+    * hash — while the oracle never touches bytes: it constructs the
+    * expected strings directly (gzip output is not SQL-computable, which
+    * is exactly why the output row is the decoded content, not the
+    * compressed framing). */
+  def q217BodyEncodings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.Warc
+    val blobs = docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+      val entries = it.toArray.sortBy(_._1).toSeq.map { case (id, t) =>
+        val body = s"<html><body><p>$t caf\u00e9</p></body></html>"
+        val payload = (id % 4) match {
+          case 0 => Warc.httpResponse("200 OK", body)
+          case 1 => Warc.httpResponseEnc("200 OK", body, None, gzipBody = true)
+          case 2 => Warc.httpResponseEnc("200 OK", body, Some("ISO-8859-1"))
+          case _ => Warc.httpResponseEnc("200 OK", body, Some("ISO-8859-1"),
+            gzipBody = true)
+        }
+        Warc.Entry("response", Some(s"https://example.org/doc/$id"),
+          "application/http; msgtype=response", payload)
+      }
+      (b, Warc.synthesize(entries))
+    }
+    Warc.extractResponseBodies(blobs)
+      .select(
+        regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        col("http_status"), col("body"))
+      .withColumn("enc", expr("""CASE CAST(doc_id % 4 AS INT)
+        WHEN 0 THEN 'plain' WHEN 1 THEN 'gzip'
+        WHEN 2 THEN 'latin1' ELSE 'gzip+latin1' END"""))
+      .select(col("doc_id"), col("enc"), col("http_status"), col("body"),
+        length(col("body")).cast("long").as("body_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q213 — the CRAWL-FRONTIER capstone: the web tier's stages composed
     * into one fetch plan, the crawl-side mirror of the curation
     * capstones (q53/q195). Every page's outlinks ([[Html.anchorPairs]])
@@ -482,7 +526,8 @@ object WebQueries {
     "q213_crawl_frontier" -> (q213CrawlFrontier _),
     "q214_warc_gz_members" -> (q214WarcGzMembers _),
     "q215_warc_resync" -> (q215WarcResync _),
-    "q216_robots_wildcards" -> (q216RobotsWildcards _)
+    "q216_robots_wildcards" -> (q216RobotsWildcards _),
+    "q217_body_encodings" -> (q217BodyEncodings _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -618,6 +663,23 @@ object WebQueries {
         |  COALESCE(m.a = 1, TRUE) AS allowed, m.p AS matched_path
         |FROM u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rk = 1
         |ORDER BY u.doc_id""".stripMargin,
+    /* q217: the oracle constructs the DECODED body strings directly —
+     * chr(233) is é as a Unicode codepoint, exactly what the engine must
+     * recover from the 1-byte latin-1 / 2-byte UTF-8 wire forms (and
+     * from under the gzip content layer, whose output no SQL can
+     * compute — hence the decoded-content row shape). */
+    "q217_body_encodings" ->
+      """WITH d AS (SELECT doc_id,
+        |    '<html><body><p>' || text || ' caf' || chr(233) ||
+        |      '</p></body></html>' AS body
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'plain' WHEN 1 THEN 'gzip'
+        |    WHEN 2 THEN 'latin1' ELSE 'gzip+latin1' END AS enc,
+        |  CAST(200 AS BIGINT) AS http_status,
+        |  body,
+        |  CAST(length(body) AS BIGINT) AS body_chars
+        |FROM d ORDER BY doc_id""".stripMargin,
     /* q213: the q205 pair construction carried with the citing site, the
      * q209-style rule table, longest-match on the DISTINCT (site, path)
      * vocabulary via row_number, survivors counted and ranked. */

@@ -308,6 +308,102 @@ class WarcSpec extends AnyFunSuite {
       (7L, "u2", 404L, "gone")))
   }
 
+  private def respEntry(payload: Array[Byte]) =
+    Warc.Entry("response", Some("u"), "application/http; msgtype=response",
+      payload)
+
+  test("Content-Encoding: gzip bodies are the identity twin's CONTENT — " +
+       "strings, byte mass and md5 all equal; corrupt/bomb bodies EMPTY") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val body = "<html><body><p>packed tight café</p></body></html>"
+    val blob = Warc.synthesize(Seq(
+      respEntry(Warc.httpResponse("200 OK", body)),
+      respEntry(Warc.httpResponseEnc("200 OK", body, None, gzipBody = true))))
+    val strs = Warc.extractResponseBodies(Seq((1L, blob)).toDS())
+      .select("rec_idx", "body").as[(Long, String)].collect().sortBy(_._1)
+    assert(strs.map(_._2).toSeq == Seq(body, body))
+    val meta = Warc.extractRecords(Seq((1L, blob)).toDS())
+      .select("rec_idx", "body_bytes", "body_md5")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(meta(0)._2 == meta(1)._2 && meta(0)._3 == meta(1)._3)
+    assert(meta(0)._2 == body.getBytes(UTF_8).length.toLong)
+    // content_length still exposes the wire framing difference
+    // corrupt gzip stream: body decodes EMPTY, never throws
+    val gzPay = Warc.httpResponseEnc("200 OK", body, None, gzipBody = true)
+    gzPay(gzPay.length - 12) = (gzPay(gzPay.length - 12) ^ 0x55).toByte
+    val corrupt = Warc.parse(Warc.synthesize(Seq(respEntry(gzPay)))).head
+    assert(corrupt.contentGzip)
+    assert(Warc.decodedBodyBytes(Warc.synthesize(Seq(respEntry(gzPay))),
+      corrupt).isEmpty)
+    // bomb guard at the body layer: a 1 MiB-inflating body under a 4 KiB
+    // cap refuses to allocate, yields the empty body
+    val bombBlob = Warc.synthesize(Seq(respEntry(
+      ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n").getBytes(UTF_8) ++
+        Warc.gzip(new Array[Byte](1 << 20)))))
+    val bombRec = Warc.parse(bombBlob).head
+    assert(Warc.decodedBodyBytes(bombBlob, bombRec, maxOut = 1 << 12).isEmpty)
+    // non-final gzip coding (gzip, identity) does NOT mark the body
+    val notFinal = Warc.parse(Warc.synthesize(Seq(respEntry(
+      ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip, identity\r\n\r\nraw")
+        .getBytes(UTF_8))))).head
+    assert(!notFinal.contentGzip && notFinal.bodyLen == 3)
+  }
+
+  test("charset parameter: the declared encoding decodes the body (quoted " +
+       "or bare), unknown names fall back to UTF-8") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val body = "café déjà vu"
+    def bodyOf(payload: Array[Byte]): String =
+      Warc.extractResponseBodies(Seq((1L,
+        Warc.synthesize(Seq(respEntry(payload))))).toDS())
+        .select("body").as[String].collect().head
+    // latin-1: 1-byte wire form, exact round-trip
+    assert(bodyOf(Warc.httpResponseEnc("200 OK", body,
+      Some("ISO-8859-1"))) == body)
+    // the charset is load-bearing: raw latin-1 bytes read as UTF-8 would
+    // NOT round-trip (0xE9 is an invalid UTF-8 start byte)
+    assert(new String(body.getBytes("ISO-8859-1"), UTF_8) != body)
+    // quoted charset value
+    assert(bodyOf(("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=\"ISO-8859-1\"\r\n\r\n").getBytes(UTF_8)
+      ++ body.getBytes("ISO-8859-1")) == body)
+    // unknown charset: UTF-8 fallback, never a throw
+    assert(bodyOf(("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=klingon-8\r\n\r\nascii only")
+      .getBytes(UTF_8)) == "ascii only")
+    // charset parse records the verbatim value
+    val rec = Warc.parse(Warc.synthesize(Seq(respEntry(
+      Warc.httpResponseEnc("200 OK", "x", Some("ISO-8859-1")))))).head
+    assert(rec.charset == "ISO-8859-1")
+    // gzip + latin-1 layered: inflate first, then charset-decode
+    assert(bodyOf(Warc.httpResponseEnc("200 OK", body, Some("ISO-8859-1"),
+      gzipBody = true)) == body)
+  }
+
+  test("transfer layer strictly before content layer: a chunked gzip body " +
+       "reassembles the stream, THEN inflates (RFC 9110 ordering)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val body = "layered body café through two codings"
+    val gz = Warc.gzip(body.getBytes(UTF_8))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n").getBytes(UTF_8))
+    val cut = gz.length / 2 // binary cut mid-stream: reassembly must be exact
+    Seq(gz.take(cut), gz.drop(cut)).foreach { p =>
+      out.write(f"${p.length}%x\r\n".getBytes(UTF_8))
+      out.write(p)
+      out.write("\r\n".getBytes(UTF_8))
+    }
+    out.write("0\r\n\r\n".getBytes(UTF_8))
+    val got = Warc.extractResponseBodies(Seq((1L,
+      Warc.synthesize(Seq(respEntry(out.toByteArray))))).toDS())
+      .select("body").as[String].collect().head
+    assert(got == body)
+  }
+
   test("final record at exact EOF (no trailing separator) is still complete") {
     val full = Warc.synthesize(entries.take(1))
     val noSep = full.dropRight(4)
