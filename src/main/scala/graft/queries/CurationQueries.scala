@@ -257,6 +257,70 @@ object CurationQueries {
       .transform(tinySort(_, col("source"), col("doc_id")))
   }
 
+  /** q218 — the CONTAINER-BYTES → PACKED-SEQUENCES capstone: round 16's
+    * two capstones composed into ONE dataflow, proving the 100 TB story
+    * end-to-end — crawl bytes in, training sequences out. The q208 crawl
+    * chain (WARC demux → HTTP 200 gate → link-density boilerplate
+    * extraction, [[graft.ext.Crawl.extract]]) feeds the q53 curation
+    * stages, with every downstream gate operating on the EXTRACTED text
+    * (what a real pipeline trains on), never the source table's:
+    *
+    *   1. extraction materializes ONCE (eager checkpoint — the
+    *      container/regex pipeline must not re-run under any downstream
+    *      consumer or sampling pass; PlanShapeSpec pins the final plan
+    *      free of MapPartitions/MapGroups);
+    *   2. near-dup detection via the SPANNING FOREST (q201's scale path,
+    *      [[graft.ext.Similarity.bandedNearDupForest]] — zero joins, one
+    *      bucket-keyed exchange) → hub-safe large/small-star clustering
+    *      ([[Dedup.duplicateClustersStar]]) → non-representatives
+    *      dropped; the oracle closes over the FULL detector CTEs, so
+    *      every green run re-proves forest ≡ full transitive closure on
+    *      the corpus (the q195 discipline);
+    *   3. the q42 gate stack over the extracted text (quality, language,
+    *      exact-dup keep-lowest-id — [[curatedDocs]], the shared
+    *      builder);
+    *   4. per-source token budget + sequence packing in ONE source-keyed
+    *      window (the q48+q52 formulation), token counts over the
+    *      extracted text.
+    *
+    * Shuffles: blob groupBy + forest bucket exchange + star-round joins
+    * (pair-graph-sized) + one fingerprint groupBy + two anti-join-side
+    * shuffles + one window. Nothing all-pairs, nothing collected,
+    * everything between checkpoints O(survivors). */
+  def q218CrawlCuration(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 800L
+    val seqLen = 512L
+    val extracted = graft.ext.Crawl.extract(WebQueries.crawlBlobs(spark, dir))
+      .select(col("doc_id"), col("extracted").as("text"))
+      .localCheckpoint(true)
+    val fr = graft.ext.Similarity.bandedNearDupForest(
+        load(spark, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, bands = 3, planesPerBand = 6)
+      .select(col("vec_a").cast("long").as("vec_a"),
+        col("vec_b").cast("long").as("vec_b"))
+      .localCheckpoint(true)
+    val dropped = Dedup.duplicateClustersStar(fr, "vec_a", "vec_b")
+      .filter(col("vec_id") =!= col("cluster_id"))
+      .select(col("vec_id").as("doc_id"))
+    val src = load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val kept = curatedDocs(extracted.join(src, Seq("doc_id")), Seq("source"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    kept
+      .select(col("doc_id"), col("source"), col("quality"),
+        TextOps.reTokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .select(col("doc_id"), col("source"), col("quality"), col("n_tokens"),
+        col("cum_tokens"),
+        floor((col("cum_tokens") - col("n_tokens")) / seqLen).cast("long")
+          .as("pack_id"),
+        ((col("cum_tokens") - col("n_tokens")) % seqLen).as("offset_in_pack"))
+      .transform(tinySort(_, col("source"), col("doc_id")))
+  }
+
   /** q54 — Gopher-style repetition filters (Rae et al. 2021 §A1.1 quality
     * heuristics, word-level): duplicate-token fraction, fraction of 2-grams
     * taken by the most common 2-gram, duplicate-3-gram fraction, and the
@@ -542,6 +606,7 @@ object CurationQueries {
     "q127_water_fill" -> (q127WaterFill _),
     "q52_sequence_packing" -> (q52SequencePacking _),
     "q53_curation_pipeline" -> (q53CurationPipeline _),
+    "q218_crawl_curation" -> (q218CrawlCuration _),
     "q195_curated_release" -> (q195CuratedRelease _),
     "q54_repetition_filters" -> (q54RepetitionFilters _),
     "q55_decontaminate" -> (q55Decontaminate _),
@@ -901,6 +966,65 @@ object CurationQueries {
          | c AS (
          |  SELECT doc_id, source, quality, n_tokens,
          |    -- HUGEINT window sum cast back (driver hash is dtype-sensitive)
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, source, quality, n_tokens, cum_tokens,
+         |  CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS pack_id,
+         |  CAST((cum_tokens - n_tokens) % 512 AS BIGINT) AS offset_in_pack
+         |FROM c
+         |WHERE cum_tokens - n_tokens < 800
+         |ORDER BY source, doc_id""".stripMargin
+    },
+    /* q218: the q204/q208 extraction CTEs (shared verbatim from
+     * WebQueries — b/k/s reconstruct every page's extracted text
+     * arithmetically) feed the q53 gate/dedup/budget/packing CTEs, with
+     * `ex` (the 200-gated extraction) replacing `documents` as the text
+     * source everywhere downstream; the near-dup drop closes over the
+     * FULL detector closure (ClusterLabelCtes), so a green run re-proves
+     * forest ≡ full transitive closure on the corpus. */
+    "q218_crawl_curation" -> {
+      val ratios = TextOps.LangMarkers.map { case (lang, words) =>
+        val in = words.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(toks, t -> t IN ($in))) AS DOUBLE) / greatest(len(toks), 1) AS r_$lang"
+      }.mkString(",\n   ")
+      s"""WITH RECURSIVE ${SimilarityQueries.ClusterLabelCtes},
+         | dropped AS (SELECT vec_id FROM labels WHERE vec_id <> cluster_id),
+         | ${WebQueries.HtmlExtractCtes},
+         | ex AS (SELECT doc_id, extracted AS text FROM s WHERE doc_id % 13 <> 0),
+         | bq AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS toks, length(text) AS nc,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |  FROM ex),
+         | m AS (
+         |  SELECT doc_id, fp,
+         |   CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / greatest(nc, 1) AS nonalpha,
+         |   CAST(len(toks) AS DOUBLE) AS nt,
+         |   CAST(len(list_filter(toks, t -> t IN ($stopIn))) AS DOUBLE) / greatest(len(toks), 1) AS stop_r,
+         |   $ratios
+         |  FROM bq),
+         | q AS (
+         |  SELECT doc_id, fp,
+         |   0.4 * (1.0 - nonalpha) + 0.3 * least(nt / 100.0, 1.0) + 0.3 * least(stop_r * 5.0, 1.0) AS quality,
+         |   CASE WHEN r_en >= 0.01 AND r_en >= r_es AND r_en >= r_de THEN 'en'
+         |        WHEN r_es >= 0.01 AND r_es >= r_de THEN 'es'
+         |        WHEN r_de >= 0.01 THEN 'de'
+         |        ELSE 'unknown' END AS lang_pred
+         |  FROM m),
+         | keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM q GROUP BY fp),
+         | kept AS (
+         |  SELECT q.doc_id, q.quality
+         |  FROM q JOIN keep ON q.fp = keep.fp
+         |  WHERE q.doc_id = keep.keep_id AND q.quality > 0.5 AND q.lang_pred = 'en'
+         |    AND q.doc_id NOT IN (SELECT vec_id FROM dropped)),
+         | t AS (
+         |  SELECT d.doc_id, d.source, k.quality,
+         |    CAST(len(regexp_extract_all(ex.text, '${TextOps.ReTokenPattern}')) AS BIGINT) AS n_tokens,
+         |    md5(CAST(d.doc_id AS VARCHAR)) AS h
+         |  FROM documents d JOIN kept k USING (doc_id)
+         |    JOIN ex ON ex.doc_id = d.doc_id),
+         | c AS (
+         |  SELECT doc_id, source, quality, n_tokens,
          |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
          |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
          |  FROM t)

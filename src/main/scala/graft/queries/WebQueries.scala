@@ -540,9 +540,10 @@ object WebQueries {
     * "privacy policy terms (c) example.org" = 36 chars / anchors 19 —
     * both fail anchor*3 <= vis for every page. */
   /** The q204 extraction replay (CTEs b → k → s), shared verbatim with
-    * q208 so the standalone extractor and the crawl-chain composition can
-    * never drift on the keep rule or the masses. */
-  private val HtmlExtractCtes: String =
+    * q208 — and with q218's container-bytes→packed-sequences capstone in
+    * [[CurationQueries]] — so the standalone extractor and every
+    * composition can never drift on the keep rule or the masses. */
+  private[queries] val HtmlExtractCtes: String =
     """b AS (SELECT doc_id, text,
         |    'doc ' || CAST(doc_id AS VARCHAR) AS tvis,
         |    'doc ' || CAST(doc_id AS VARCHAR) || ' report' AS hvis,

@@ -197,6 +197,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(plan).length == 1, s"expected exactly 1 window:\n$plan")
   }
 
+  test("q218 capstone: extraction AND detector materialize once — final " +
+       "plan has no container walk, no HOF extraction, no LSH, no " +
+       "embeddings scan") {
+    // the crawl chain (blob mapGroups + WARC mapPartitions + block-stats
+    // HOFs) runs eagerly into the extraction checkpoint; the forest
+    // detector (groupByKey → MapGroups) into the edge checkpoint — if the
+    // final plan contains ANY object operator, one of the two byte-scale
+    // pipelines would re-execute under the write sink
+    val plan = graft.queries.CurationQueries.q218CrawlCuration(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions") && !plan.contains("MapGroups"),
+      s"object operator leaked past a checkpoint:\n$plan")
+    assert(!plan.toLowerCase.contains("sign_buckets"),
+      s"detector re-appears in final plan:\n$plan")
+    assert(!plan.contains("embeddings"), s"embeddings rescanned in final plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in capstone:\n$plan")
+    // exactly the one source-keyed running-total window (q53's shape)
+    assert("Window".r.findAllIn(plan).length == 1,
+      s"expected exactly 1 window:\n$plan")
+  }
+
   test("q195 capstone: corpus work ends at the capped checkpoint — final " +
        "plan is survivor-sized (no corpus scan, no detector, no margin)") {
     // margins + WindowGroupLimit top-k run eagerly into the capped
