@@ -122,6 +122,24 @@ object Html {
   def extractPage(html: Column, minLen: Int = 10): Column =
     pageSummary(blockStats(html), minLen)
 
+  /** Decode the CORE HTML entity set — `&amp;` `&lt;` `&gt;` `&quot;`
+    * `&#39;` (the five escapes every sanitizer emits; `&#39;` is what
+    * HTML writers use for the apostrophe since `&apos;` is XML-only) —
+    * with ONE-PASS semantics: `&amp;` decodes LAST, so a double-escaped
+    * `&amp;lt;` yields the literal `&lt;` (one level), exactly what a
+    * real tokenizer produces; nothing re-decodes output. Literal
+    * `replace` steps (codegen'd, no regex) — the DuckDB oracle replays
+    * the same chain with its own replace(). Numeric (`&#NNN;`) and
+    * exotic named references stay a documented sanitizer-contract
+    * exclusion (they need computed replacements no relational engine
+    * expresses portably). Closes the round-16 NOTES item (a): entity
+    * decoding as an explicit layer AFTER tag stripping, where visible
+    * text is already plain. */
+  def decodeEntities(c: Column): Column =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+        "&amp;" -> "&")
+      .foldLeft(c) { case (acc, (e, ch)) => replace(acc, lit(e), lit(ch)) }
+
   /** Aligned (href, anchor_text) pairs of every `<a>` on the page, as
     * array<struct<href, anchor>>. ONE pattern captures both fields —
     * group 1 the href value (anywhere in the attribute list, not just

@@ -295,16 +295,31 @@ object WebQueries {
     * with a NULL final status. The oracle resolves the same chains with
     * a recursive CTE — a genuinely different algorithm (fixpoint vs
     * unrolled), so agreement checks the semantics, not the spelling.
-    * Scale shape: the per-URL frame joins the redirect EDGE subset
-    * (O(corpus/2) here, usually far sparser) three times on the URL
-    * key; everything is equi-join + one checkpoint of the demuxed
-    * metadata read four ways. */
+    * The resolver is [[graft.ext.Redirects.resolve]], shared VERBATIM
+    * with [[graft.stream.StreamingRedirects]] (r17). Scale shape: the
+    * per-URL frame joins the redirect EDGE subset (O(corpus/2) here,
+    * usually far sparser) three times on the URL key; everything is
+    * equi-join + one checkpoint of the demuxed metadata read four
+    * ways. */
   def q212RedirectChains(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Warc
+    graft.ext.Redirects.resolve(Warc.extractHttpMeta(redirectBlobs(spark, dir)))
+      .select(
+        regexp_extract(col("orig"), "/doc/([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        col("final_uri"), col("final_status"), col("hops"))
+      .transform(tinySort(_, col("doc_id")))
+  }
+
+  /** The q212 blob synthesis (every 1-mod-4 / 2-mod-4 doc 301s to its
+    * successor, the rest serve 200s) — shared with the streaming
+    * redirect twin's spec so the arrival-time loop ingests the SAME
+    * bytes. */
+  private[graft] def redirectBlobs(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     import graft.ext.Warc
-    val docs = load(spark, dir, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-    val blobs = docs.groupByKey(_._1 / 8).mapGroups { (b, it) =>
+    docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
       val ms = it.toArray.sortBy(_._1)
       val entries = ms.toSeq.map { case (id, t) =>
         val payload =
@@ -317,28 +332,6 @@ object WebQueries {
       }
       (b, Warc.synthesize(entries))
     }
-    val meta = Warc.extractHttpMeta(blobs)
-      .localCheckpoint(true) // start set + edges + final-status lookup
-    val edges = meta
-      .filter(col("http_status").between(300, 399) && col("location").isNotNull)
-      .select(col("uri").as("src"), col("location").as("dst"))
-    var cur = meta.select(col("uri").as("orig"), col("uri").as("cur"),
-      lit(0L).as("hops"))
-    for (_ <- 1 to 3) {
-      cur = cur.join(edges, cur("cur") === edges("src"), "left")
-        .select(col("orig"),
-          coalesce(col("dst"), col("cur")).as("cur"),
-          (col("hops") + when(col("dst").isNotNull, 1L).otherwise(0L))
-            .as("hops"))
-    }
-    cur
-      .join(meta.select(col("uri").as("cur"),
-        col("http_status").as("final_status")), Seq("cur"), "left")
-      .select(
-        regexp_extract(col("orig"), "/doc/([0-9]+)$", 1).cast("long")
-          .as("doc_id"),
-        col("cur").as("final_uri"), col("final_status"), col("hops"))
-      .transform(tinySort(_, col("doc_id")))
   }
 
   /** The q207/q210/q214 shared blob entry list: warcinfo + request/
@@ -514,6 +507,74 @@ object WebQueries {
       Seq("doc_id", "site", "path"))
   }
 
+  /** q219 — HTML entity decoding as an explicit layer
+    * ([[Html.decodeEntities]]): sanitizer-escaped text (the five core
+    * references, including a DOUBLE-escaped pair that must come out
+    * single-decoded — one-pass semantics, amp last) is decoded back to
+    * markup-literal text, with the reference count as an audit column.
+    * The engine decodes with codegen'd literal replaces; the oracle
+    * replays the same chain with DuckDB's replace() — plus ExtSpec's
+    * hand-computed table (the &amp;lt; trap included) so the chain
+    * order itself is pinned, not just engine agreement. */
+  def q219EntityDecode(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(lit("A &lt;b&gt; said: &quot;"), col("text"),
+      lit("&quot; &amp; that&#39;s &amp;lt;fine&amp;gt;"))
+    load(spark, dir, "documents")
+      .select(col("doc_id"), raw.as("_raw"))
+      .select(col("doc_id"),
+        Html.decodeEntities(col("_raw")).as("decoded"),
+        size(regexp_extract_all(col("_raw"),
+          lit("&(amp|lt|gt|quot|#39);"), lit(0))).cast("long").as("n_refs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q220 — sitemap.xml walk: per-site sitemaps are SYNTHESIZED
+    * (urlset/url/loc/lastmod, entries in doc order inside one XML string
+    * per site), the engine extracts (loc, lastmod) pairs with ONE
+    * two-group pattern (the aligned-extraction discipline q205 set —
+    * a malformed url element drops from both arrays, it cannot shift
+    * later pairs), recovers the doc id from each loc, and anti-joins the
+    * ALREADY-CRAWLED frontier (every third doc) — the seed-discovery
+    * step a crawler runs against robots' Sitemap: lines. The oracle
+    * replays the construction arithmetically: survivors are exactly the
+    * uncrawled id classes with their derived lastmod strings. Shuffles:
+    * one per-site groupBy to assemble, one anti-join. */
+  def q220SitemapWalk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 7).cast("string").as("site"),
+        expr("""'https://site' || CAST(doc_id % 7 AS STRING) ||
+          '.example.org/doc/' || CAST(doc_id AS STRING)""").as("url"),
+        expr("""'2026-' || lpad(CAST(1 + doc_id % 12 AS STRING), 2, '0') ||
+          '-' || lpad(CAST(1 + doc_id % 28 AS STRING), 2, '0')""")
+          .as("lastmod"))
+    val sitemaps = docs
+      .groupBy(col("site"))
+      .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"),
+            concat(lit("<url><loc>"), col("url"), lit("</loc><lastmod>"),
+              col("lastmod"), lit("</lastmod></url>")).as("entry")))),
+          x => x.getField("entry")), ""),
+        lit("</urlset>")).as("xml"))
+    val pat = "<url><loc>([^<]*)</loc><lastmod>([^<]*)</lastmod></url>"
+    val entries = sitemaps
+      .select(col("site"),
+        explode(zip_with(
+          regexp_extract_all(col("xml"), lit(pat), lit(1)),
+          regexp_extract_all(col("xml"), lit(pat), lit(2)),
+          (l, m) => struct(l.as("url"), m.as("lastmod")))).as("_e"))
+      .select(col("site"), col("_e.url").as("url"),
+        col("_e.lastmod").as("lastmod"))
+    val crawled = docs.filter(col("doc_id") % 3 === 0).select(col("url"))
+    entries
+      .join(crawled, Seq("url"), "left_anti")
+      .select(
+        regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        col("site"), col("url"), col("lastmod"))
+      .transform(tinySort(_, col("doc_id")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q204_html_extract" -> (q204HtmlExtract _),
     "q205_anchor_corpus" -> (q205AnchorCorpus _),
@@ -527,7 +588,9 @@ object WebQueries {
     "q214_warc_gz_members" -> (q214WarcGzMembers _),
     "q215_warc_resync" -> (q215WarcResync _),
     "q216_robots_wildcards" -> (q216RobotsWildcards _),
-    "q217_body_encodings" -> (q217BodyEncodings _)
+    "q217_body_encodings" -> (q217BodyEncodings _),
+    "q219_entity_decode" -> (q219EntityDecode _),
+    "q220_sitemap_walk" -> (q220SitemapWalk _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -681,6 +744,33 @@ object WebQueries {
         |  body,
         |  CAST(length(body) AS BIGINT) AS body_chars
         |FROM d ORDER BY doc_id""".stripMargin,
+    /* q219: the same one-pass chain via DuckDB replace() — amp LAST, so
+     * the double-escaped pair single-decodes; n_refs counts the
+     * references in the RAW string (the &amp; inside &amp;lt; counts,
+     * the lt; after it does not — both engines see the same matches). */
+    "q219_entity_decode" ->
+      """WITH r AS (SELECT doc_id,
+        |    'A &lt;b&gt; said: &quot;' || text ||
+        |    '&quot; &amp; that&#39;s &amp;lt;fine&amp;gt;' AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  replace(replace(replace(replace(replace(raw,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        |    '&amp;', '&') AS decoded,
+        |  CAST(len(regexp_extract_all(raw, '&(amp|lt|gt|quot|#39);'))
+        |    AS BIGINT) AS n_refs
+        |FROM r ORDER BY doc_id""".stripMargin,
+    /* q220: survivors are the uncrawled id classes with their derived
+     * lastmod strings — the XML assembly/extraction round-trip must be
+     * value-transparent for the hash to match. */
+    "q220_sitemap_walk" ->
+      """SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS site,
+        |  'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |  '2026-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') ||
+        |    '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS lastmod
+        |FROM documents WHERE doc_id % 3 <> 0
+        |ORDER BY doc_id""".stripMargin,
     /* q213: the q205 pair construction carried with the citing site, the
      * q209-style rule table, longest-match on the DISTINCT (site, path)
      * vocabulary via row_number, survivors counted and ranked. */

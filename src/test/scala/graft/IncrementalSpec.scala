@@ -465,6 +465,73 @@ class IncrementalSpec extends AnyFunSuite {
       "no pair spans two arrival files — the append path went unexercised")
   }
 
+  test("streaming redirect ingest: the persisted meta store resolves to " +
+       "the batch chain for any arrival partitioning, and a re-invocation " +
+       "after new files appends ONLY the new metadata (r17)") {
+    import graft.ext.{Redirects, Warc}
+    import graft.stream.StreamingRedirects
+    val dir = "/root/testdata/sf0.001"
+    val blobs = graft.queries.WebQueries.redirectBlobs(spark, dir)
+      .toDF("blob_id", "warc").localCheckpoint(true)
+    val streamDir = Files.createTempDirectory("graft_redir_stream")
+    def land(i: Int): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_redir_chunk$i")
+      blobs.filter(col("blob_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, streamDir.resolve(s"c$i.parquet"))
+    }
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("orig", "final_uri", "final_status", "hops")
+        .collect().map(_.toString).sorted.toSeq
+    val metaDir = Files.createTempDirectory("graft_redir_meta").toString
+    // wave 1: two arrival files
+    land(0); land(1)
+    assert(StreamingRedirects.ingest(spark, streamDir.toString, metaDir,
+      maxFilesPerTrigger = Some(1)) == 2)
+    import spark.implicits._
+    val wave1 = blobs.filter(col("blob_id") % 3 =!= 2)
+      .as[(Long, Array[Byte])]
+    assert(canon(StreamingRedirects.resolveFromStore(spark, metaDir)) ==
+      canon(Redirects.resolve(Warc.extractHttpMeta(wave1))),
+      "partial store must resolve exactly as the batch over the same blobs")
+    // wave 2 lands; re-invoke — the durable checkpoint must process ONLY
+    // the new file (a duplicate-append would double every meta row)
+    land(2)
+    assert(StreamingRedirects.ingest(spark, streamDir.toString, metaDir,
+      maxFilesPerTrigger = Some(1)) == 1)
+    val all = blobs.as[(Long, Array[Byte])]
+    val batchMeta = Warc.extractHttpMeta(all).localCheckpoint(true)
+    assert(spark.read.parquet(metaDir).count() == batchMeta.count(),
+      "store row count must equal the one-shot demux — no duplicate appends")
+    val streamed = canon(StreamingRedirects.resolveFromStore(spark, metaDir))
+    val batch = canon(Redirects.resolve(batchMeta))
+    assert(batch.size > 400, s"non-vacuity: got ${batch.size}")
+    assert(streamed == batch,
+      "full store must resolve exactly as the one-shot batch chain")
+  }
+
+  test("redirect resolution is NON-monotone in edge arrival: a later hop " +
+       "rewrites an earlier URL's landing (why the twin resolves on read)") {
+    import graft.ext.Redirects
+    import spark.implicits._
+    val early = Seq(("u1", 301L, Some("u2"))).toDF("uri", "http_status", "location")
+    val late = early.unionByName(Seq(
+      ("u2", 301L, Some("u3")), ("u3", 200L, None: Option[String]))
+      .toDF("uri", "http_status", "location"))
+    val r1 = Redirects.resolve(early)
+      .filter(col("orig") === "u1")
+      .select("final_uri", "final_status", "hops")
+      .as[(String, Option[Long], Long)].collect().head
+    val r2 = Redirects.resolve(late)
+      .filter(col("orig") === "u1")
+      .select("final_uri", "final_status", "hops")
+      .as[(String, Option[Long], Long)].collect().head
+    assert(r1 == (("u2", None, 1L))) // dangles: u2 not crawled yet
+    assert(r2 == (("u3", Some(200L), 2L))) // REWRITTEN by u2's later 301
+  }
+
   test("streaming HLL registers equal the batch rollup across micro-batches") {
     val dir = "/root/testdata/sf0.001"
     val streamDir = Files.createTempDirectory("graft_hll_stream")

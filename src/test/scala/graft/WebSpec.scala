@@ -103,6 +103,28 @@ class WebSpec extends AnyFunSuite {
     ))
   }
 
+  test("decodeEntities: hand-computed table — one-pass semantics, amp " +
+       "last, double-escapes come out single-decoded, unknowns ride through") {
+    val cases = Seq(
+      ("&lt;p&gt;", "<p>"),
+      ("&quot;q&quot;", "\"q\""),
+      ("it&#39;s", "it's"),
+      ("a &amp; b", "a & b"),
+      ("&amp;lt;", "&lt;"), // double-escape: exactly ONE level decodes
+      ("&amp;amp;", "&amp;"),
+      ("&amp;&amp;", "&&"),
+      ("&lt;a href=&quot;/x&quot;&gt;", "<a href=\"/x\">"),
+      ("no refs at all", "no refs at all"),
+      ("&unknown; &euro;", "&unknown; &euro;"), // out-of-scope names
+      ("", ""))
+    val got = cases.map(_._1).toDF("raw")
+      .select(Html.decodeEntities(col("raw")).as("d"))
+      .as[String].collect().toSeq
+    got.zip(cases).foreach { case (g, (raw, want)) =>
+      assert(g == want, s"raw=$raw")
+    }
+  }
+
   test("Robots wildcards: the REP spec's own pattern/path example table " +
        "resolves exactly (RFC 9309 §2.2.3 special characters)") {
     import graft.ext.Robots
