@@ -575,6 +575,53 @@ object WebQueries {
       .transform(tinySort(_, col("doc_id")))
   }
 
+  /** q221 — MIRROR DETECTION by body digest (the CommonCrawl
+    * content-digest dedup idiom): every 8-mod-16 id class serves the
+    * BODY of its id−8 twin from a different URL on a (usually)
+    * different host — URL-distinct, byte-identical pages, the case URL
+    * dedup can't see and text near-dup wastes work on. The engine walks
+    * the real bytes, groups responses by body md5 (computed once in the
+    * demux), and emits per mirror set the canonical (min) URL, URL and
+    * host counts, and the body mass; natural exact-dup texts in the
+    * corpus merge groups beyond the planted pairs, which the oracle
+    * replays by grouping on the constructed body STRING (no digest on
+    * the DuckDB side — a digest collision or a demux bug cannot hide).
+    * Scale shape: one groupBy on the 16-byte digest — the exact-dedup
+    * shuffle (A4/q20), never the bodies themselves. */
+  def q221MirrorDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.Warc
+    val docs = load(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val src = docs.select(col("doc_id").as("src_id"), col("text").as("src_text"))
+    val pages = docs
+      .withColumn("src_id",
+        col("doc_id") - when(col("doc_id") % 16 >= 8, 8).otherwise(0))
+      .join(src, Seq("src_id"))
+      .select(col("doc_id"), col("src_text"))
+      .as[(Long, String)]
+    val blobs = pages.groupByKey(_._1 / 8).mapGroups { (b, it) =>
+      val ms = it.toArray.sortBy(_._1)
+      val entries = ms.toSeq.map { case (id, t) =>
+        Warc.Entry("response",
+          Some(s"https://site${id % 7}.example.org/doc/$id"),
+          "application/http; msgtype=response",
+          Warc.httpResponse("200 OK", s"<html><body><p>$t</p></body></html>"))
+      }
+      (b, Warc.synthesize(entries))
+    }
+    Warc.extractRecords(blobs)
+      .filter(col("http_status") === 200)
+      .groupBy(col("body_md5"))
+      .agg(min(col("uri")).as("canonical_uri"),
+        count(lit(1)).as("n_urls"),
+        countDistinct(regexp_extract(col("uri"), "^https://([^/]+)/", 1))
+          .as("n_hosts"),
+        max(col("body_bytes")).as("body_bytes"))
+      .select(col("canonical_uri"), col("n_urls"), col("n_hosts"),
+        col("body_bytes"))
+      .transform(tinySort(_, col("canonical_uri")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q204_html_extract" -> (q204HtmlExtract _),
     "q205_anchor_corpus" -> (q205AnchorCorpus _),
@@ -590,7 +637,8 @@ object WebQueries {
     "q216_robots_wildcards" -> (q216RobotsWildcards _),
     "q217_body_encodings" -> (q217BodyEncodings _),
     "q219_entity_decode" -> (q219EntityDecode _),
-    "q220_sitemap_walk" -> (q220SitemapWalk _)
+    "q220_sitemap_walk" -> (q220SitemapWalk _),
+    "q221_mirror_detect" -> (q221MirrorDetect _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -771,6 +819,23 @@ object WebQueries {
         |    '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS lastmod
         |FROM documents WHERE doc_id % 3 <> 0
         |ORDER BY doc_id""".stripMargin,
+    /* q221: mirror sets replayed by grouping on the constructed body
+     * STRING — the engine's md5 grouping must agree set-for-set. */
+    "q221_mirror_detect" ->
+      """WITH d AS (SELECT doc_id,
+        |    doc_id - CASE WHEN doc_id % 16 >= 8 THEN 8 ELSE 0 END AS src_id
+        |  FROM documents),
+        | p AS (SELECT d.doc_id,
+        |    'https://site' || CAST(d.doc_id % 7 AS VARCHAR) ||
+        |      '.example.org/doc/' || CAST(d.doc_id AS VARCHAR) AS uri,
+        |    'site' || CAST(d.doc_id % 7 AS VARCHAR) || '.example.org' AS host,
+        |    '<html><body><p>' || s.text || '</p></body></html>' AS body
+        |  FROM d JOIN documents s ON s.doc_id = d.src_id)
+        |SELECT MIN(uri) AS canonical_uri,
+        |  CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  CAST(strlen(body) AS BIGINT) AS body_bytes
+        |FROM p GROUP BY body ORDER BY canonical_uri""".stripMargin,
     /* q213: the q205 pair construction carried with the citing site, the
      * q209-style rule table, longest-match on the DISTINCT (site, path)
      * vocabulary via row_number, survivors counted and ranked. */
