@@ -232,7 +232,8 @@ object WebQueries {
         WHEN 2 THEN 'latin1' ELSE 'gzip+latin1' END"""))
       .select(col("doc_id"), col("enc"), col("http_status"), col("body"),
         length(col("body")).cast("long").as("body_chars"))
-      .orderBy(col("doc_id"))
+      .localCheckpoint() // O(input) dump: the sampling pass must not
+      .orderBy(col("doc_id")) // re-run the demux/inflate (q204 pattern)
   }
 
   /** q213 — the CRAWL-FRONTIER capstone: the web tier's stages composed
@@ -525,7 +526,8 @@ object WebQueries {
         Html.decodeEntities(col("_raw")).as("decoded"),
         size(regexp_extract_all(col("_raw"),
           lit("&(amp|lt|gt|quot|#39);"), lit(0))).cast("long").as("n_refs"))
-      .orderBy(col("doc_id"))
+      .localCheckpoint() // O(input) dump: the range sort's sampling pass
+      .orderBy(col("doc_id")) // must not re-run the decode (q204 pattern)
   }
 
   /** q220 — sitemap.xml walk: per-site sitemaps are SYNTHESIZED
