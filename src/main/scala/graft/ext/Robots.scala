@@ -81,6 +81,60 @@ object Robots {
       concat(lit("^"), starred, when(hasAnchor, lit("$")).otherwise(lit(""))))
   }
 
+  /** Parse robots.txt TEXTS relationally: (site, txt) → one row per
+    * directive (site, gid, name, value) where `gid` numbers the RFC 9309
+    * GROUPS within each site's file — a run of consecutive `User-agent:`
+    * lines heads one group (multiple tokens share the group's rules),
+    * and every following directive line belongs to it until the next
+    * such run. Comments (`#` to end of line) and blank lines are
+    * stripped; names lowercase, values verbatim-trimmed.
+    *
+    * Shape: posexplode the line array, one lag + one running-sum window
+    * per site (group-islands), both over the site partition — file
+    * parsing costs two bounded windows over O(lines), never a shuffle of
+    * the corpus (robots.txt is per-HOST data: thousands of rows, not
+    * billions). */
+  def parseDirectives(txts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("site")).orderBy(col("i"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    txts
+      .select(col("site"), posexplode(split(col("txt"), "\n")).as(Seq("i", "raw")))
+      .select(col("site"), col("i"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("ln"))
+      .filter(col("ln") =!= "" && col("ln").contains(":"))
+      .select(col("site"), col("i"),
+        lower(trim(substring_index(col("ln"), ":", 1))).as("name"),
+        trim(expr("substring(ln, instr(ln, ':') + 1)")).as("value"))
+      .withColumn("_ua", col("name") === "user-agent")
+      .withColumn("_new",
+        (col("_ua") && !coalesce(lag(col("_ua"), 1).over(w), lit(false)))
+          .cast("int"))
+      .withColumn("gid", sum(col("_new")).over(run))
+      .select(col("site"), col("gid"), col("i"), col("name"), col("value"))
+  }
+
+  /** The ONE group a crawler obeys per site (RFC 9309 §2.2.1): among
+    * groups carrying a user-agent token that is `*` or a
+    * case-insensitive PREFIX of the crawler's product token, the
+    * longest token wins (`*` = specificity 0; the Google-parser-
+    * compatible direction — a LONGER token like `graftbot-images` never
+    * captures UA `graftbot`). Sites with no matching group get no row
+    * (nothing to obey = allow all). Returns (site, gid). */
+  def selectGroup(directives: DataFrame, userAgent: String): DataFrame =
+    directives
+      .filter(col("name") === "user-agent")
+      .select(col("site"), col("gid"),
+        lower(col("value")).as("_tok"))
+      .filter(col("_tok") === "*" ||
+        lit(userAgent.toLowerCase).startsWith(col("_tok")))
+      .groupBy(col("site"))
+      .agg(max(struct(
+        when(col("_tok") === "*", lit(0)).otherwise(length(col("_tok")))
+          .as("spec"),
+        col("gid").as("g"))).as("_m"))
+      .select(col("site"), col("_m.g").as("gid"))
+
   /** [[verdictPerRow]] under full RFC 9309 wildcard matching: same join
     * shape (broadcast rules, per-key argmax via the SHARED [[winner]] —
     * the tie rule cannot drift between the prefix and wildcard tiers),

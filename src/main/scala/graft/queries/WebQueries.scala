@@ -624,6 +624,71 @@ object WebQueries {
       .transform(tinySort(_, col("canonical_uri")))
   }
 
+  /** The q222 per-site robots.txt TEXT — real file syntax: comments,
+    * blank lines, a longer-token trap group (`graftbot-images`), an
+    * `otherbot` group, a `*` fallback, and per site-class a `graftbot`
+    * group (s%3==0, with Crawl-delay), a MULTI-TOKEN group whose second
+    * UA line is `graftbot` (s%3==1 — consecutive User-agent lines share
+    * one group), or none (s%3==2 — selection falls to `*`). */
+  private def robotsTxt(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lit("# robots for site "), s.cast("string"), lit("\n\n"),
+      lit("User-agent: graftbot-images\nDisallow: /img/\n\n"),
+      when(s % 3 === 0, concat(
+        lit("User-agent: graftbot\nAllow: /a/x\nDisallow: /a/ # comment\nCrawl-delay: "),
+        (s % 5 + 1).cast("string"), lit("\n\n"))).otherwise(lit("")),
+      when(s % 3 === 1,
+        lit("User-agent: webcrawler\nUser-agent: graftbot\nDisallow: /news/\n\n"))
+        .otherwise(lit("")),
+      lit("User-agent: otherbot\nDisallow: /\n\n"),
+      lit("User-agent: *\nDisallow: /tmp/\n"))
+
+  /** q222 — robots.txt FILE parsing + RFC 9309 group selection: the
+    * missing layer between crawl bytes and the q209/q216 rule resolver.
+    * Per-site robots.txt TEXTS (comments, blank lines, multi-token
+    * groups) parse relationally ([[graft.ext.Robots.parseDirectives]] —
+    * group-islands via one lag + one running-sum window), the crawler's
+    * group is selected by longest-prefix user-agent match
+    * ([[graft.ext.Robots.selectGroup]] — `graftbot-images` must NOT
+    * capture UA `graftbot`; a multi-UA group matches through its second
+    * token; sites without a graftbot group fall back to `*`), and ONLY
+    * the selected group's rules reach the shared longest-match argmax —
+    * group selection REPLACES, it never unions (the classic robots
+    * gotcha: /tmp/ is blocked for strangers but NOT for graftbot on
+    * sites that address graftbot explicitly). The oracle never parses:
+    * it writes the per-site-class effective rule table arithmetically
+    * and replays the q209 match, so a parser or selection bug cannot
+    * hide. Output carries the selected group's Crawl-delay (NULL where
+    * the group has none). */
+  def q222RobotsParse(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Robots
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 7).cast("string").as("site"),
+        expr("""CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN '/a/x' || CAST(doc_id AS STRING)
+          WHEN 1 THEN '/a/' || CAST(doc_id AS STRING)
+          WHEN 2 THEN '/tmp/' || CAST(doc_id AS STRING)
+          WHEN 3 THEN '/news/' || CAST(doc_id AS STRING)
+          ELSE '/img/' || CAST(doc_id AS STRING) END""").as("path"))
+    val txts = spark.range(7)
+      .select(col("id").cast("string").as("site"), robotsTxt(col("id")).as("txt"))
+    val dirs = Robots.parseDirectives(txts).localCheckpoint(true) // 3 consumers
+    val sel = dirs.transform(Robots.selectGroup(_, "graftbot"))
+    val rules = dirs.join(sel, Seq("site", "gid"))
+      .filter(col("name").isin("allow", "disallow") && col("value") =!= "")
+      .select(col("site").as("r_site"), col("value").as("r_path"),
+        when(col("name") === "allow", 1).otherwise(0).as("r_allow"))
+    val delays = dirs.join(sel, Seq("site", "gid"))
+      .filter(col("name") === "crawl-delay")
+      .select(col("site"), expr("try_cast(value AS BIGINT)").as("crawl_delay"))
+    Robots.verdictPerRow(docs, rules, Seq("doc_id", "site", "path"))
+      .join(broadcast(delays), Seq("site"), "left")
+      .select(col("doc_id"), col("site"), col("path"), col("allowed"),
+        col("matched_path"), col("crawl_delay"))
+      .localCheckpoint()
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q204_html_extract" -> (q204HtmlExtract _),
     "q205_anchor_corpus" -> (q205AnchorCorpus _),
@@ -640,7 +705,8 @@ object WebQueries {
     "q217_body_encodings" -> (q217BodyEncodings _),
     "q219_entity_decode" -> (q219EntityDecode _),
     "q220_sitemap_walk" -> (q220SitemapWalk _),
-    "q221_mirror_detect" -> (q221MirrorDetect _)
+    "q221_mirror_detect" -> (q221MirrorDetect _),
+    "q222_robots_parse" -> (q222RobotsParse _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -821,6 +887,41 @@ object WebQueries {
         |    '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS lastmod
         |FROM documents WHERE doc_id % 3 <> 0
         |ORDER BY doc_id""".stripMargin,
+    /* q222: the oracle writes the per-site-class EFFECTIVE rule table
+     * arithmetically (what correct parsing + group selection must
+     * produce) and replays the q209 LIKE match — no parsing, no group
+     * logic on the DuckDB side. */
+    "q222_robots_parse" ->
+      """WITH u AS (SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS site,
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN '/a/x' || CAST(doc_id AS VARCHAR)
+        |      WHEN 1 THEN '/a/' || CAST(doc_id AS VARCHAR)
+        |      WHEN 2 THEN '/tmp/' || CAST(doc_id AS VARCHAR)
+        |      WHEN 3 THEN '/news/' || CAST(doc_id AS VARCHAR)
+        |      ELSE '/img/' || CAST(doc_id AS VARCHAR) END AS path
+        |  FROM documents),
+        | r AS (
+        |  SELECT CAST(range AS VARCHAR) AS site, '/a/x' AS p, 1 AS a
+        |    FROM range(7) WHERE range % 3 = 0
+        |  UNION ALL SELECT CAST(range AS VARCHAR), '/a/', 0
+        |    FROM range(7) WHERE range % 3 = 0
+        |  UNION ALL SELECT CAST(range AS VARCHAR), '/news/', 0
+        |    FROM range(7) WHERE range % 3 = 1
+        |  UNION ALL SELECT CAST(range AS VARCHAR), '/tmp/', 0
+        |    FROM range(7) WHERE range % 3 = 2),
+        | dl AS (SELECT CAST(range AS VARCHAR) AS site,
+        |    CAST(range % 5 + 1 AS BIGINT) AS delay
+        |  FROM range(7) WHERE range % 3 = 0),
+        | m AS (SELECT u.doc_id, r.p, r.a,
+        |    row_number() OVER (PARTITION BY u.doc_id
+        |      ORDER BY length(r.p) DESC, r.a DESC, r.p DESC) AS rk
+        |  FROM u JOIN r ON r.site = u.site AND u.path LIKE r.p || '%')
+        |SELECT u.doc_id, u.site, u.path,
+        |  COALESCE(m.a = 1, TRUE) AS allowed, m.p AS matched_path,
+        |  dl.delay AS crawl_delay
+        |FROM u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rk = 1
+        |LEFT JOIN dl ON dl.site = u.site
+        |ORDER BY u.doc_id""".stripMargin,
     /* q221: mirror sets replayed by grouping on the constructed body
      * STRING — the engine's md5 grouping must agree set-for-set. */
     "q221_mirror_detect" ->

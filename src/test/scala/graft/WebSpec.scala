@@ -125,6 +125,41 @@ class WebSpec extends AnyFunSuite {
     }
   }
 
+  test("Robots.parseDirectives + selectGroup: group islands, comments, " +
+       "multi-token groups, longest-prefix UA selection, fallbacks") {
+    import graft.ext.Robots
+    val txt = Seq(
+      "# header comment",
+      "User-agent: graftbot-images",
+      "Disallow: /img/",
+      "",
+      "User-agent: webcrawler",
+      "User-agent: GraftBot", // case-insensitive token
+      "Disallow: /news/   # inline comment",
+      "Crawl-delay: 7",
+      "",
+      "User-agent: *",
+      "Disallow: /tmp/").mkString("\n")
+    val dirs = Robots.parseDirectives(Seq(("0", txt)).toDF("site", "txt"))
+    val byGid = dirs.select("gid", "name", "value")
+      .as[(Long, String, String)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(byGid(1L) == Set("user-agent" -> "graftbot-images",
+      "disallow" -> "/img/"))
+    assert(byGid(2L) == Set("user-agent" -> "webcrawler",
+      "user-agent" -> "GraftBot", "disallow" -> "/news/",
+      "crawl-delay" -> "7"))
+    assert(byGid(3L) == Set("user-agent" -> "*", "disallow" -> "/tmp/"))
+    def gidFor(ua: String): Seq[Long] =
+      Robots.selectGroup(dirs, ua).select("gid").as[Long].collect().toSeq
+    assert(gidFor("graftbot") == Seq(2L)) // via the group's SECOND token
+    assert(gidFor("graftbot-images") == Seq(1L)) // longest prefix wins
+    assert(gidFor("otherbot") == Seq(3L)) // no named match -> *
+    // no matching group at all: no row (allow-all)
+    val noStar = dirs.filter(col("gid") =!= 3)
+    assert(Robots.selectGroup(noStar, "otherbot").isEmpty)
+  }
+
   test("Robots wildcards: the REP spec's own pattern/path example table " +
        "resolves exactly (RFC 9309 §2.2.3 special characters)") {
     import graft.ext.Robots
