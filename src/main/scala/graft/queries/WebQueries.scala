@@ -660,7 +660,12 @@ object WebQueries {
     * and replays the q209 match, so a parser or selection bug cannot
     * hide. Output carries the selected group's Crawl-delay (NULL where
     * the group has none). */
-  def q222RobotsParse(spark: SparkSession, dir: String): DataFrame = {
+  def q222RobotsParse(spark: SparkSession, dir: String): DataFrame =
+    q222Stage(spark, dir)
+      .localCheckpoint()
+      .orderBy(col("doc_id"))
+
+  private[graft] def q222Stage(spark: SparkSession, dir: String): DataFrame = {
     import graft.ext.Robots
     val docs = load(spark, dir, "documents")
       .select(col("doc_id"), (col("doc_id") % 7).cast("string").as("site"),
@@ -685,8 +690,28 @@ object WebQueries {
       .join(broadcast(delays), Seq("site"), "left")
       .select(col("doc_id"), col("site"), col("path"), col("allowed"),
         col("matched_path"), col("crawl_delay"))
-      .localCheckpoint()
-      .orderBy(col("doc_id"))
+  }
+
+  /** q223 — the POLITENESS fetch schedule: q222's full stack (file parse
+    * → group selection → rule verdicts → the group's Crawl-delay)
+    * composed into per-host fetch timing, the piece a real fetcher runs
+    * between the frontier and the wire. Allowed URLs queue per site in
+    * doc order; slot k fetches at (k−1)·delay seconds (Crawl-delay where
+    * the selected group declares one, the 1-second default where not) —
+    * so a host that asked for 4-second spacing gets exactly that, and
+    * the delay column's NULL/valued split flows straight from group
+    * selection. One window over the site partition; everything upstream
+    * is q222's stage verbatim (shared builder — no drift). */
+  def q223FetchSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("site")).orderBy(col("doc_id"))
+    q222Stage(spark, dir)
+      .filter(col("allowed"))
+      .withColumn("fetch_rank", row_number().over(w).cast("long"))
+      .select(col("site"), col("doc_id"), col("path"), col("fetch_rank"),
+        ((col("fetch_rank") - 1) * coalesce(col("crawl_delay"), lit(1L)))
+          .as("fetch_at_s"))
+      .transform(tinySort(_, col("site"), col("fetch_rank")))
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -706,7 +731,8 @@ object WebQueries {
     "q219_entity_decode" -> (q219EntityDecode _),
     "q220_sitemap_walk" -> (q220SitemapWalk _),
     "q221_mirror_detect" -> (q221MirrorDetect _),
-    "q222_robots_parse" -> (q222RobotsParse _)
+    "q222_robots_parse" -> (q222RobotsParse _),
+    "q223_fetch_schedule" -> (q223FetchSchedule _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -922,6 +948,45 @@ object WebQueries {
         |FROM u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rk = 1
         |LEFT JOIN dl ON dl.site = u.site
         |ORDER BY u.doc_id""".stripMargin,
+    /* q223: q222's effective rule table + delay, then the schedule
+     * window in SQL — slot (k-1)·delay per site over allowed rows. */
+    "q223_fetch_schedule" ->
+      """WITH u AS (SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS site,
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN '/a/x' || CAST(doc_id AS VARCHAR)
+        |      WHEN 1 THEN '/a/' || CAST(doc_id AS VARCHAR)
+        |      WHEN 2 THEN '/tmp/' || CAST(doc_id AS VARCHAR)
+        |      WHEN 3 THEN '/news/' || CAST(doc_id AS VARCHAR)
+        |      ELSE '/img/' || CAST(doc_id AS VARCHAR) END AS path
+        |  FROM documents),
+        | r AS (
+        |  SELECT CAST(range AS VARCHAR) AS site, '/a/x' AS p, 1 AS a
+        |    FROM range(7) WHERE range % 3 = 0
+        |  UNION ALL SELECT CAST(range AS VARCHAR), '/a/', 0
+        |    FROM range(7) WHERE range % 3 = 0
+        |  UNION ALL SELECT CAST(range AS VARCHAR), '/news/', 0
+        |    FROM range(7) WHERE range % 3 = 1
+        |  UNION ALL SELECT CAST(range AS VARCHAR), '/tmp/', 0
+        |    FROM range(7) WHERE range % 3 = 2),
+        | dl AS (SELECT CAST(range AS VARCHAR) AS site,
+        |    CAST(range % 5 + 1 AS BIGINT) AS delay
+        |  FROM range(7) WHERE range % 3 = 0),
+        | m AS (SELECT u.doc_id, r.a,
+        |    row_number() OVER (PARTITION BY u.doc_id
+        |      ORDER BY length(r.p) DESC, r.a DESC, r.p DESC) AS rk
+        |  FROM u JOIN r ON r.site = u.site AND u.path LIKE r.p || '%'),
+        | v AS (SELECT u.doc_id, u.site, u.path,
+        |    COALESCE(dl.delay, 1) AS delay
+        |  FROM u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rk = 1
+        |  LEFT JOIN dl ON dl.site = u.site
+        |  WHERE COALESCE(m.a = 1, TRUE)),
+        | s AS (SELECT site, doc_id, path,
+        |    CAST(row_number() OVER (PARTITION BY site ORDER BY doc_id)
+        |      AS BIGINT) AS fetch_rank, delay
+        |  FROM v)
+        |SELECT site, doc_id, path, fetch_rank,
+        |  CAST((fetch_rank - 1) * delay AS BIGINT) AS fetch_at_s
+        |FROM s ORDER BY site, fetch_rank""".stripMargin,
     /* q221: mirror sets replayed by grouping on the constructed body
      * STRING — the engine's md5 grouping must agree set-for-set. */
     "q221_mirror_detect" ->
