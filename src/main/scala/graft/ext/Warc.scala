@@ -634,6 +634,26 @@ object Warc {
       "http_status", "body_bytes", "body_md5")
   }
 
+  /** [[extractRecords]]' sibling for WET-STYLE derived archives: one row
+    * per CONVERSION record — the record type CommonCrawl's WET sidecars
+    * carry, whose payload is extracted TEXT rather than an HTTP message —
+    * (blob_id, rec_idx, uri, content_length, text), payload decoded
+    * UTF-8 (WET is UTF-8 by convention; the producing side encodes the
+    * same way). */
+  def extractConversions(blobs: Dataset[(Long, Array[Byte])]): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.flatMap { case (blobId, bytes) =>
+      parse(bytes).iterator.collect {
+        case r if r.warcType == "conversion" =>
+          (blobId, r.recIdx.toLong,
+            if (r.targetUri.isEmpty) None else Some(r.targetUri),
+            r.contentLength,
+            new String(bytes, r.bodyOffset, r.bodyLen, UTF_8))
+      }
+    }).toDF("blob_id", "rec_idx", "uri", "content_length", "text")
+  }
+
   /** HTTP-level metadata per response record — the redirect resolver's
     * input (q212): (blob_id, uri, http_status, location — NULL when the
     * response carries none). */

@@ -714,6 +714,42 @@ object WebQueries {
       .transform(tinySort(_, col("site"), col("fetch_rank")))
   }
 
+  /** q224 — WET SIDECAR generation, the derived-archive WRITE path:
+    * crawl bytes → extraction (the q208 chain) → per-blob CONVERSION
+    * records (WARC-Type: conversion, text/plain payload = the extracted
+    * text, the format CommonCrawl ships as `.warc.wet`) → re-walked by
+    * the generic parser. The engine both WRITES and RE-READS real
+    * container bytes; the oracle reconstructs the extracted text
+    * arithmetically (the shared b/k/s CTEs) and never sees a container —
+    * so the whole write→read loop must be value-transparent, text,
+    * byte-mass and record framing included. Completes the container
+    * tier's missing direction: until now [[graft.ext.Warc.synthesize]]
+    * produced only test inputs; here it is the distributed OUTPUT
+    * format of a real derivation. */
+  def q224WetSidecar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.Warc
+    val pages = graft.ext.Crawl.extract(crawlBlobs(spark, dir))
+      .select(col("doc_id"), col("extracted"))
+      .as[(Long, String)]
+    val wet = pages.groupByKey(_._1 / 8).mapGroups { (b, it) =>
+      val ms = it.toArray.sortBy(_._1)
+      val entries = ms.toSeq.map { case (id, ex) =>
+        Warc.Entry("conversion", Some(s"https://example.org/doc/$id"),
+          "text/plain",
+          ex.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      (b, Warc.synthesize(entries))
+    }
+    Warc.extractConversions(wet)
+      .select(
+        regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        col("content_length").as("wet_bytes"), col("text"))
+      .localCheckpoint()
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q204_html_extract" -> (q204HtmlExtract _),
     "q205_anchor_corpus" -> (q205AnchorCorpus _),
@@ -732,7 +768,8 @@ object WebQueries {
     "q220_sitemap_walk" -> (q220SitemapWalk _),
     "q221_mirror_detect" -> (q221MirrorDetect _),
     "q222_robots_parse" -> (q222RobotsParse _),
-    "q223_fetch_schedule" -> (q223FetchSchedule _)
+    "q223_fetch_schedule" -> (q223FetchSchedule _),
+    "q224_wet_sidecar" -> (q224WetSidecar _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -786,6 +823,15 @@ object WebQueries {
         |  FROM k)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    /* q224: the write→read loop must be value-transparent — the oracle
+     * is the extraction construction itself, restricted to the crawled
+     * (non-404) classes; wet_bytes = strlen of the extracted text (the
+     * conversion record's declared Content-Length). */
+    "q224_wet_sidecar" ->
+      s"""WITH $HtmlExtractCtes
+        |SELECT doc_id, CAST(strlen(extracted) AS BIGINT) AS wet_bytes,
+        |  extracted AS text
+        |FROM s WHERE doc_id % 13 <> 0 ORDER BY doc_id""".stripMargin,
     "q204_html_extract" ->
       s"""WITH $HtmlExtractCtes
         |SELECT doc_id, n_blocks, n_kept, kept_chars, total_chars,

@@ -404,6 +404,24 @@ class WarcSpec extends AnyFunSuite {
     assert(got == body)
   }
 
+  test("extractConversions: WET-style conversion records round-trip " +
+       "arbitrary unicode text, and non-conversion records don't leak in") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val texts = Seq("plain ascii", "café 日本語 данные", "", "line1\nline2")
+    val blob = Warc.synthesize(
+      texts.zipWithIndex.map { case (t, i) =>
+        Warc.Entry("conversion", Some(s"https://h/doc/$i"), "text/plain",
+          t.getBytes(UTF_8))
+      } :+ entries.last) // a response record must NOT appear
+    val got = Warc.extractConversions(Seq((3L, blob)).toDS())
+      .select("rec_idx", "uri", "content_length", "text")
+      .as[(Long, String, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._4) == texts)
+    assert(got.map(_._3) == texts.map(_.getBytes(UTF_8).length.toLong))
+    assert(got.forall(_._2.startsWith("https://h/doc/")))
+  }
+
   test("final record at exact EOF (no trailing separator) is still complete") {
     val full = Warc.synthesize(entries.take(1))
     val noSep = full.dropRight(4)
