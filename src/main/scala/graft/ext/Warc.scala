@@ -41,9 +41,11 @@ object Warc {
   private val Crlf = "\r\n"
 
   /** One record to [[synthesize]]: (WARC-Type, optional target URI,
-    * Content-Type, payload octets). */
+    * Content-Type, payload octets, extra WARC headers verbatim — e.g.
+    * WARC-Refers-To-Target-URI / WARC-Profile on revisit records). */
   final case class Entry(warcType: String, targetUri: Option[String],
-                         contentType: String, payload: Array[Byte])
+                         contentType: String, payload: Array[Byte],
+                         extraHeaders: Seq[(String, String)] = Nil)
 
   /** A parsed record's metadata (offsets index into the source blob).
     * `chunkSpans` is non-empty only for a successfully de-chunked
@@ -63,7 +65,8 @@ object Warc {
                        chunkSpans: Seq[(Int, Int)] = Nil,
                        location: String = "",
                        contentGzip: Boolean = false,
-                       charset: String = "")
+                       charset: String = "",
+                       refersTo: String = "")
 
   /** Serialize records into one WARC blob (the round-trip anchor the
     * torture specs cut prefixes from). */
@@ -74,6 +77,9 @@ object Warc {
       sb.append("WARC/1.0").append(Crlf)
       sb.append("WARC-Type: ").append(e.warcType).append(Crlf)
       e.targetUri.foreach(u => sb.append("WARC-Target-URI: ").append(u).append(Crlf))
+      e.extraHeaders.foreach { case (n, v) =>
+        sb.append(n).append(": ").append(v).append(Crlf)
+      }
       sb.append("Content-Type: ").append(e.contentType).append(Crlf)
       sb.append("Content-Length: ").append(e.payload.length).append(Crlf)
       sb.append(Crlf)
@@ -215,6 +221,7 @@ object Warc {
       var uri = ""
       var ctype = ""
       var clen = -1L
+      var refersTo = ""
       header.split("\r\n").iterator.drop(1).foreach { line =>
         val i = line.indexOf(':')
         if (i > 0) {
@@ -223,6 +230,7 @@ object Warc {
           name match {
             case "warc-type" => warcType = value
             case "warc-target-uri" => uri = value
+            case "warc-refers-to-target-uri" => refersTo = value
             case "content-type" => ctype = value
             case "content-length" =>
               clen = try value.toLong catch { case _: NumberFormatException => -1L }
@@ -312,7 +320,7 @@ object Warc {
         }
       }
       val rec = Rec(recIdx, warcType, uri, clen, status, bodyOff, bodyLen,
-        spans, location, contentGzip, charset)
+        spans, location, contentGzip, charset, refersTo)
       // record separator CRLF CRLF; a record flush at EOF is still complete
       val next = if (startsWith(bytes, pEnd, Crlf + Crlf)) pEnd + 4 else pEnd
       Some((rec, next, next == pEnd && pEnd < bytes.length))
@@ -652,6 +660,22 @@ object Warc {
             new String(bytes, r.bodyOffset, r.bodyLen, UTF_8))
       }
     }).toDF("blob_id", "rec_idx", "uri", "content_length", "text")
+  }
+
+  /** REVISIT records per blob — the storage-dedup mechanism CommonCrawl
+    * uses for unchanged pages on recrawl: no body is stored, the record
+    * points at the ORIGINAL capture via WARC-Refers-To-Target-URI.
+    * (blob_id, rec_idx, uri, refers_to). */
+  def extractRevisits(blobs: Dataset[(Long, Array[Byte])]): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.flatMap { case (blobId, bytes) =>
+      parse(bytes).iterator.collect {
+        case r if r.warcType == "revisit" =>
+          (blobId, r.recIdx.toLong, r.targetUri,
+            if (r.refersTo.isEmpty) None else Some(r.refersTo))
+      }
+    }).toDF("blob_id", "rec_idx", "uri", "refers_to")
   }
 
   /** HTTP-level metadata per response record — the redirect resolver's

@@ -750,6 +750,70 @@ object WebQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q225 — REVISIT records and storage-dedup reconstruction: the
+    * recrawl convention CommonCrawl actually ships. Crawl 1 stores every
+    * page's body; on crawl 2, CHANGED pages (odd ids) store a fresh
+    * response while UNCHANGED pages (even ids) store a bodiless
+    * `WARC-Type: revisit` record whose WARC-Refers-To-Target-URI points
+    * at the ORIGINAL capture (the recrawl URI itself differs — ?v=2 —
+    * so the refers-to join is the ONLY way to recover the body).
+    * Reconstructing the logical latest crawl = fresh responses UNION
+    * (revisits ⋈ original bodies on refers_to): per doc, its change
+    * status and the AUTHORITATIVE body's mass + md5. The oracle
+    * constructs both generations' bodies and picks per id class —
+    * a wrong join key, a missed extra header, or a revisit leaking into
+    * the response set all break the hash. Scale shape: two demux passes
+    * + one equi-join on the referred URI (O(unchanged)). */
+  def q225RevisitDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.Warc
+    def uri(id: Long) = s"https://example.org/doc/$id"
+    val crawl1 = docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+      val entries = it.toArray.sortBy(_._1).toSeq.map { case (id, t) =>
+        Warc.Entry("response", Some(uri(id)),
+          "application/http; msgtype=response",
+          Warc.httpResponse("200 OK", s"<html><body><p>$t</p></body></html>"))
+      }
+      (b, Warc.synthesize(entries))
+    }
+    val crawl2 = docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+      val entries = it.toArray.sortBy(_._1).toSeq.map { case (id, t) =>
+        if (id % 2 == 1)
+          Warc.Entry("response", Some(uri(id) + "?v=2"),
+            "application/http; msgtype=response",
+            Warc.httpResponse("200 OK",
+              s"<html><body><p>$t v2</p></body></html>"))
+        else
+          Warc.Entry("revisit", Some(uri(id) + "?v=2"),
+            "application/http; msgtype=response",
+            Warc.httpResponse("304 Not Modified", ""),
+            extraHeaders = Seq(
+              "WARC-Refers-To-Target-URI" -> uri(id),
+              "WARC-Profile" ->
+                "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"))
+      }
+      (b, Warc.synthesize(entries))
+    }
+    val orig = Warc.extractRecords(crawl1)
+      .filter(col("http_status") === 200)
+      .select(col("uri").as("o_uri"), col("body_bytes"), col("body_md5"))
+    val fresh = Warc.extractRecords(crawl2)
+      .filter(col("rec_type") === "response" && col("http_status") === 200)
+      .select(col("uri"), lit("changed").as("status"),
+        col("body_bytes"), col("body_md5"))
+    val unchanged = Warc.extractRevisits(crawl2)
+      .select(col("uri"), col("refers_to"))
+      .join(orig, col("refers_to") === col("o_uri"))
+      .select(col("uri"), lit("unchanged").as("status"),
+        col("body_bytes"), col("body_md5"))
+    fresh.unionByName(unchanged)
+      .select(
+        regexp_extract(col("uri"), "/doc/([0-9]+)", 1).cast("long")
+          .as("doc_id"),
+        col("status"), col("body_bytes"), col("body_md5"))
+      .transform(tinySort(_, col("doc_id")))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q204_html_extract" -> (q204HtmlExtract _),
     "q205_anchor_corpus" -> (q205AnchorCorpus _),
@@ -769,7 +833,8 @@ object WebQueries {
     "q221_mirror_detect" -> (q221MirrorDetect _),
     "q222_robots_parse" -> (q222RobotsParse _),
     "q223_fetch_schedule" -> (q223FetchSchedule _),
-    "q224_wet_sidecar" -> (q224WetSidecar _)
+    "q224_wet_sidecar" -> (q224WetSidecar _),
+    "q225_revisit_dedup" -> (q225RevisitDedup _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -1033,6 +1098,20 @@ object WebQueries {
         |SELECT site, doc_id, path, fetch_rank,
         |  CAST((fetch_rank - 1) * delay AS BIGINT) AS fetch_at_s
         |FROM s ORDER BY site, fetch_rank""".stripMargin,
+    /* q225: both generations' bodies constructed, the authoritative one
+     * picked per id class — the engine must route changed docs to the
+     * fresh capture and unchanged docs through the refers-to join. */
+    "q225_revisit_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    '<html><body><p>' || text || '</p></body></html>' AS body1,
+        |    '<html><body><p>' || text || ' v2</p></body></html>' AS body2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'changed' ELSE 'unchanged' END AS status,
+        |  CAST(strlen(CASE WHEN doc_id % 2 = 1 THEN body2 ELSE body1 END)
+        |    AS BIGINT) AS body_bytes,
+        |  md5(CASE WHEN doc_id % 2 = 1 THEN body2 ELSE body1 END) AS body_md5
+        |FROM d ORDER BY doc_id""".stripMargin,
     /* q221: mirror sets replayed by grouping on the constructed body
      * STRING — the engine's md5 grouping must agree set-for-set. */
     "q221_mirror_detect" ->

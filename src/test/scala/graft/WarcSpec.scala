@@ -422,6 +422,28 @@ class WarcSpec extends AnyFunSuite {
     assert(got.forall(_._2.startsWith("https://h/doc/")))
   }
 
+  test("revisit records: extra WARC headers round-trip, refers-to is " +
+       "captured, and revisits never leak into the response row set") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val blob = Warc.synthesize(Seq(
+      Warc.Entry("revisit", Some("https://h/p?v=2"),
+        "application/http; msgtype=response",
+        Warc.httpResponse("304 Not Modified", ""),
+        extraHeaders = Seq("WARC-Refers-To-Target-URI" -> "https://h/p",
+          "WARC-Profile" -> "x/identical-payload-digest")),
+      entries.last))
+    val recs = Warc.parse(blob)
+    assert(recs.length == 2)
+    assert(recs.head.warcType == "revisit")
+    assert(recs.head.refersTo == "https://h/p")
+    assert(recs.head.httpStatus.contains(304) && recs.head.bodyLen == 0)
+    assert(recs(1).refersTo == "") // absent header stays empty
+    val rv = Warc.extractRevisits(Seq((1L, blob)).toDS())
+      .select("uri", "refers_to").as[(String, Option[String])].collect().toSeq
+    assert(rv == Seq(("https://h/p?v=2", Some("https://h/p"))))
+  }
+
   test("final record at exact EOF (no trailing separator) is still complete") {
     val full = Warc.synthesize(entries.take(1))
     val noSep = full.dropRight(4)
