@@ -269,6 +269,59 @@ class WarcSpec extends AnyFunSuite {
     assert(capped.skippedBytes == 3L * segs(0).length)
   }
 
+  test("generative resync fuzz: random corruption patterns over random " +
+       "record sequences — survivors exact, accounting exact, never throws") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genEntry: Gen[Warc.Entry] = for {
+      t <- Gen.oneOf("warcinfo", "resource", "metadata")
+      n <- Gen.chooseNum(0, 120)
+      // payloads from a CRLF-free alphabet so a corrupt record's span
+      // can't contain a fake boundary — the model then predicts resync
+      // exactly (hostile payload CONTENT is covered by its own test)
+      p <- Gen.listOfN(n, Gen.oneOf(('a' to 'z') :+ ' '))
+    } yield Warc.Entry(t, Some("https://h/x"), "application/octet-stream",
+      p.mkString.getBytes(UTF_8))
+    val genBlob = for {
+      k <- Gen.chooseNum(1, 8)
+      es <- Gen.listOfN(k, genEntry)
+      mask <- Gen.listOfN(k, Gen.oneOf(true, false, false)) // ~1/3 corrupt
+    } yield (es, mask)
+    (0 until 80).foreach { i =>
+      val (es, mask) = genBlob.pureApply(Gen.Parameters.default, Seed(5100L + i))
+      val segs = es.map(e => Warc.synthesize(Seq(e)))
+      val blob = segs.zip(mask).map { case (s, corrupt) =>
+        if (corrupt) { val c = s.clone()
+          System.arraycopy("JUNK".getBytes(UTF_8), 0, c, 0, 4); c
+        } else s
+      }.reduce(_ ++ _)
+      val r = Warc.parseResync(blob)
+      // model: survivors are exactly the uncorrupted records in order;
+      // each corrupt RUN (consecutive corrupted segments collapse into
+      // one scan) is one span covering its segments' serialized bytes
+      val wantTypes = es.zip(mask).collect { case (e, false) => e.warcType }
+      assert(r.recs.map(_.warcType) == wantTypes, s"seed ${5100 + i}")
+      val runs = mask.foldLeft(List.empty[List[Int]] -> 0) {
+        case ((acc, idx), corrupt) =>
+          val nacc =
+            if (!corrupt) acc
+            else acc match {
+              case h :: t if h.last == idx - 1 => (h :+ idx) :: t
+              case _ => List(idx) :: acc
+            }
+          (nacc, idx + 1)
+      }._1
+      assert(r.skippedSpans == runs.length, s"seed ${5100 + i}")
+      val wantBytes = runs.flatten.map(segs(_).length.toLong).sum
+      assert(r.skippedBytes == wantBytes, s"seed ${5100 + i}")
+      // conservation: skipped + surviving serializations = whole blob
+      assert(r.skippedBytes +
+        es.zip(mask).collect { case (e, false) => e }
+          .map(e => Warc.synthesize(Seq(e)).length.toLong).sum == blob.length,
+        s"seed ${5100 + i}")
+    }
+  }
+
   test("gzip layer: round-trip, truncation, garbage, and the zip-bomb guard") {
     val blob = Warc.synthesize(entries)
     val gz = Warc.gzip(blob)

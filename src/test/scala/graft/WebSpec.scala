@@ -211,6 +211,49 @@ class WebSpec extends AnyFunSuite {
     }
   }
 
+  test("generative wildcard fuzz: compiled-regex matching ≡ a plain-Scala " +
+       "glob matcher over random patterns and paths (dots literal, stars " +
+       "greedy-with-backtracking, trailing $ anchors)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.ext.Robots
+    val tokChars = Seq('a', 'b', '/', '.')
+    val genCase = for {
+      n <- Gen.chooseNum(1, 7)
+      ts <- Gen.listOfN(n, Gen.frequency(
+        5 -> Gen.oneOf(tokChars).map(_.toString), 2 -> Gen.const("*")))
+      anchor <- Gen.oneOf("", "", "$")
+      m <- Gen.chooseNum(0, 9)
+      ps <- Gen.listOfN(m, Gen.oneOf(tokChars))
+    } yield ("/" + ts.mkString + anchor, "/" + ps.mkString)
+    // independent reference: a recursive glob matcher computed from the
+    // PATTERN SEMANTICS, no regex anywhere
+    def refMatch(pat: String, path: String): Boolean = {
+      val anchored = pat.endsWith("$")
+      val p = if (anchored) pat.dropRight(1) else pat
+      def m(pi: Int, si: Int): Boolean =
+        if (pi == p.length) !anchored || si == path.length
+        else if (p(pi) == '*') (si to path.length).exists(k => m(pi + 1, k))
+        else si < path.length && path(si) == p(pi) && m(pi + 1, si + 1)
+      m(0, 0)
+    }
+    val cases = (0 until 200).map(i =>
+      genCase.pureApply(Gen.Parameters.default, Seed(6200L + i)))
+    val want = cases.map { case (pat, path) => refMatch(pat, path) }
+    assert(want.count(identity) > 20 && want.count(!_) > 20, "vacuous mix")
+    val cands = cases.zipWithIndex
+      .map { case ((_, path), i) => (i.toString, path) }.toDF("site", "path")
+    val rules = cases.zipWithIndex
+      .map { case ((pat, _), i) => (i.toString, pat, 0) }
+      .toDF("r_site", "r_path", "r_allow")
+    val got = Robots.verdictPerRowWild(cands, rules, Seq("site", "path"))
+      .select("site", "allowed").as[(String, Boolean)].collect()
+      .map { case (s, a) => s.toInt -> a }.toMap
+    cases.zipWithIndex.foreach { case ((pat, path), i) =>
+      assert(got(i) == !want(i), s"seed ${6200 + i} pat=$pat path=$path")
+    }
+  }
+
   test("Robots wildcards: on wildcard-free rules the wildcard tier is " +
        "EXACTLY the prefix tier (q209's rule table, verdicts identical)") {
     import graft.ext.Robots
