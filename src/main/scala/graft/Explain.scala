@@ -12,7 +12,7 @@ object Explain {
       else Seq("q01_pricing_summary", "q05_star_revenue", "q04_keep_newest",
         "q21_minhash_signature", "q26_embedding_neardup", "q64_cube",
         "q65_moving_stats", "q55_decontaminate", "q90_cross_corpus",
-        "q92_mv_refresh", "q95_anomaly_flags")
+        "q92_mv_refresh", "q95_anomaly_flags", "q218_crawl_curation")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
