@@ -114,26 +114,32 @@ object Robots {
       .select(col("site"), col("gid"), col("i"), col("name"), col("value"))
   }
 
-  /** The ONE group a crawler obeys per site (RFC 9309 §2.2.1): among
+  /** The group(s) a crawler obeys per site (RFC 9309 §2.2.1): among
     * groups carrying a user-agent token that is `*` or a
     * case-insensitive PREFIX of the crawler's product token, the
     * longest token wins (`*` = specificity 0; the Google-parser-
     * compatible direction — a LONGER token like `graftbot-images` never
-    * captures UA `graftbot`). Sites with no matching group get no row
-    * (nothing to obey = allow all). Returns (site, gid). */
-  def selectGroup(directives: DataFrame, userAgent: String): DataFrame =
-    directives
+    * captures UA `graftbot`). EVERY group at the winning specificity is
+    * returned, because the RFC merges the rules of groups addressing
+    * the same token — and matching prefix tokens of equal maximal
+    * length are necessarily the SAME token, so this is exactly the
+    * RFC's merge, never a mix of different tokens. Sites with no
+    * matching group get no row (nothing to obey = allow all). Returns
+    * (site, gid), possibly several gids per site. */
+  def selectGroup(directives: DataFrame, userAgent: String): DataFrame = {
+    val toks = directives
       .filter(col("name") === "user-agent")
-      .select(col("site"), col("gid"),
-        lower(col("value")).as("_tok"))
+      .select(col("site"), col("gid"), lower(col("value")).as("_tok"))
       .filter(col("_tok") === "*" ||
         lit(userAgent.toLowerCase).startsWith(col("_tok")))
-      .groupBy(col("site"))
-      .agg(max(struct(
-        when(col("_tok") === "*", lit(0)).otherwise(length(col("_tok")))
-          .as("spec"),
-        col("gid").as("g"))).as("_m"))
-      .select(col("site"), col("_m.g").as("gid"))
+      .withColumn("_spec",
+        when(col("_tok") === "*", lit(0)).otherwise(length(col("_tok"))))
+    toks
+      .join(toks.groupBy(col("site")).agg(max(col("_spec")).as("_spec")),
+        Seq("site", "_spec"))
+      .select(col("site"), col("gid"))
+      .distinct()
+  }
 
   /** [[verdictPerRow]] under full RFC 9309 wildcard matching: same join
     * shape (broadcast rules, per-key argmax via the SHARED [[winner]] —

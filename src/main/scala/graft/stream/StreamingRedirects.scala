@@ -37,7 +37,12 @@ import graft.ext.{Redirects, Warc}
   * Scale design: per micro-batch cost is one demux pass (map-side) plus
   * a three-column append; resolution cost is the batch resolver's and is
   * paid per READ, not per batch — the right side of the trade when
-  * ingest is continuous and scheduling cycles are coarse. */
+  * ingest is continuous and scheduling cycles are coarse. Delivery is
+  * foreachBatch's at-least-once: a crash BETWEEN the parquet append and
+  * the checkpoint commit re-appends that one batch on restart (same
+  * caveat as [[StreamingNearDupIndex]]'s index append); an
+  * exactly-once store needs a transactional/idempotent sink, out of
+  * scope here by the same documented trade. */
 object StreamingRedirects {
 
   /** Ingest a parquet WARC-blob stream (AvailableNow) into the metadata

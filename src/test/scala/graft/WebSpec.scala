@@ -151,13 +151,21 @@ class WebSpec extends AnyFunSuite {
       "crawl-delay" -> "7"))
     assert(byGid(3L) == Set("user-agent" -> "*", "disallow" -> "/tmp/"))
     def gidFor(ua: String): Seq[Long] =
-      Robots.selectGroup(dirs, ua).select("gid").as[Long].collect().toSeq
+      Robots.selectGroup(dirs, ua).select("gid").as[Long].collect().toSeq.sorted
     assert(gidFor("graftbot") == Seq(2L)) // via the group's SECOND token
     assert(gidFor("graftbot-images") == Seq(1L)) // longest prefix wins
     assert(gidFor("otherbot") == Seq(3L)) // no named match -> *
     // no matching group at all: no row (allow-all)
     val noStar = dirs.filter(col("gid") =!= 3)
     assert(Robots.selectGroup(noStar, "otherbot").isEmpty)
+    // RFC merge: TWO groups addressing the same token both apply — their
+    // rules union (the spec's same-token merge, not a pick-one)
+    val twoGroups = Robots.parseDirectives(Seq(("0", Seq(
+      "User-agent: graftbot", "Disallow: /a/", "",
+      "User-agent: other", "Disallow: /", "",
+      "User-agent: graftbot", "Disallow: /b/").mkString("\n"))).toDF("site", "txt"))
+    assert(Robots.selectGroup(twoGroups, "graftbot")
+      .select("gid").as[Long].collect().toSeq.sorted == Seq(1L, 3L))
   }
 
   test("Robots wildcards: the REP spec's own pattern/path example table " +
