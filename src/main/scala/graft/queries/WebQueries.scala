@@ -541,15 +541,24 @@ object WebQueries {
     * replays the construction arithmetically: survivors are exactly the
     * uncrawled id classes with their derived lastmod strings. Shuffles:
     * one per-site groupBy to assemble, one anti-join. */
-  def q220SitemapWalk(spark: SparkSession, dir: String): DataFrame = {
-    val docs = load(spark, dir, "documents")
+  def q220SitemapWalk(spark: SparkSession, dir: String): DataFrame =
+    sitemapTail(sitemapDocs(spark, dir), sitemapXmls(spark, dir))
+
+  /** The q220/q226 shared doc frame: per doc its site, canonical URL,
+    * and derived lastmod string. */
+  private def sitemapDocs(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
       .select(col("doc_id"), (col("doc_id") % 7).cast("string").as("site"),
         expr("""'https://site' || CAST(doc_id % 7 AS STRING) ||
           '.example.org/doc/' || CAST(doc_id AS STRING)""").as("url"),
         expr("""'2026-' || lpad(CAST(1 + doc_id % 12 AS STRING), 2, '0') ||
           '-' || lpad(CAST(1 + doc_id % 28 AS STRING), 2, '0')""")
           .as("lastmod"))
-    val sitemaps = docs
+
+  /** The q220/q226 shared sitemap assembly: one urlset XML per site,
+    * entries in doc order, keyed by the sitemap's own URL. */
+  private def sitemapXmls(spark: SparkSession, dir: String): DataFrame =
+    sitemapDocs(spark, dir)
       .groupBy(col("site"))
       .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
         array_join(transform(
@@ -558,6 +567,13 @@ object WebQueries {
               col("lastmod"), lit("</lastmod></url>")).as("entry")))),
           x => x.getField("entry")), ""),
         lit("</urlset>")).as("xml"))
+      .withColumn("sitemap_url",
+        concat(lit("https://site"), col("site"),
+          lit(".example.org/sitemap.xml")))
+
+  /** The q220/q226 shared extraction + frontier anti-join over an
+    * (already discovery-filtered, for q226) sitemap set. */
+  private def sitemapTail(docs: DataFrame, sitemaps: DataFrame): DataFrame = {
     val pat = "<url><loc>([^<]*)</loc><lastmod>([^<]*)</lastmod></url>"
     val entries = sitemaps
       .select(col("site"),
@@ -575,6 +591,27 @@ object WebQueries {
           .as("doc_id"),
         col("site"), col("url"), col("lastmod"))
       .transform(tinySort(_, col("doc_id")))
+  }
+
+  /** q226 — sitemap DISCOVERY through robots.txt: the `Sitemap:`
+    * directive (RFC 9309 §2.3 — group-INDEPENDENT, typically written
+    * above any group) is parsed by the same relational parser as the
+    * rules ([[graft.ext.Robots.parseDirectives]] assigns pre-group lines
+    * gid 0, and the sitemap consumer ignores gids entirely), and ONLY
+    * declared sitemaps are fetched and walked: even sites declare, odd
+    * sites' sitemaps exist but are never discovered, so their URLs are
+    * absent from the fetch candidates — discovery is load-bearing, not
+    * decorative. Downstream is q220's extraction + frontier anti-join
+    * verbatim (shared tail). Closes the r17 NOTES seam (robots Sitemap
+    * directives feeding the walk end-to-end). */
+  def q226SitemapDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val txts = spark.range(7)
+      .select(col("id").cast("string").as("site"), robotsTxt(col("id")).as("txt"))
+    val declared = graft.ext.Robots.parseDirectives(txts)
+      .filter(col("name") === "sitemap")
+      .select(col("value").as("sitemap_url"))
+    sitemapTail(sitemapDocs(spark, dir),
+      sitemapXmls(spark, dir).join(broadcast(declared), Seq("sitemap_url")))
   }
 
   /** q221 — MIRROR DETECTION by body digest (the CommonCrawl
@@ -633,6 +670,11 @@ object WebQueries {
   private def robotsTxt(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(
       lit("# robots for site "), s.cast("string"), lit("\n\n"),
+      // group-independent Sitemap declaration (q226) — EVEN sites only;
+      // parses as a gid-0 (pre-group) directive, invisible to the
+      // q222/q223 rule/delay consumers
+      when(s % 2 === 0, concat(lit("Sitemap: https://site"), s.cast("string"),
+        lit(".example.org/sitemap.xml\n\n"))).otherwise(lit("")),
       lit("User-agent: graftbot-images\nDisallow: /img/\n\n"),
       when(s % 3 === 0, concat(
         lit("User-agent: graftbot\nAllow: /a/x\nDisallow: /a/ # comment\nCrawl-delay: "),
@@ -834,7 +876,8 @@ object WebQueries {
     "q222_robots_parse" -> (q222RobotsParse _),
     "q223_fetch_schedule" -> (q223FetchSchedule _),
     "q224_wet_sidecar" -> (q224WetSidecar _),
-    "q225_revisit_dedup" -> (q225RevisitDedup _)
+    "q225_revisit_dedup" -> (q225RevisitDedup _),
+    "q226_sitemap_discovery" -> (q226SitemapDiscovery _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -1129,6 +1172,16 @@ object WebQueries {
         |  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
         |  CAST(strlen(body) AS BIGINT) AS body_bytes
         |FROM p GROUP BY body ORDER BY canonical_uri""".stripMargin,
+    /* q226: q220's replay restricted to the DECLARING sites (even) —
+     * odd sites' sitemaps exist but are never discovered. */
+    "q226_sitemap_discovery" ->
+      """SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS site,
+        |  'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |  '2026-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') ||
+        |    '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS lastmod
+        |FROM documents WHERE doc_id % 3 <> 0 AND (doc_id % 7) % 2 = 0
+        |ORDER BY doc_id""".stripMargin,
     /* q213: the q205 pair construction carried with the citing site, the
      * q209-style rule table, longest-match on the DISTINCT (site, path)
      * vocabulary via row_number, survivors counted and ranked. */
