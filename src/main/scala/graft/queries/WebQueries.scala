@@ -708,6 +708,18 @@ object WebQueries {
       .orderBy(col("doc_id"))
 
   private[graft] def q222Stage(spark: SparkSession, dir: String): DataFrame = {
+    val txts = spark.range(7)
+      .select(col("id").cast("string").as("site"), robotsTxt(col("id")).as("txt"))
+    robotsVerdicts(spark, dir, txts)
+  }
+
+  /** The q222/q227 shared tail: parse → group selection → ONLY the
+    * selected group's rules/delay → verdicts. `txts` is (site, txt) —
+    * built as plain column values (q222) or recovered from WARC bytes
+    * (q227): the policy semantics cannot drift between the two
+    * transports. */
+  private def robotsVerdicts(spark: SparkSession, dir: String,
+                             txts: DataFrame): DataFrame = {
     import graft.ext.Robots
     val docs = load(spark, dir, "documents")
       .select(col("doc_id"), (col("doc_id") % 7).cast("string").as("site"),
@@ -717,8 +729,6 @@ object WebQueries {
           WHEN 2 THEN '/tmp/' || CAST(doc_id AS STRING)
           WHEN 3 THEN '/news/' || CAST(doc_id AS STRING)
           ELSE '/img/' || CAST(doc_id AS STRING) END""").as("path"))
-    val txts = spark.range(7)
-      .select(col("id").cast("string").as("site"), robotsTxt(col("id")).as("txt"))
     val dirs = Robots.parseDirectives(txts).localCheckpoint(true) // 3 consumers
     val sel = dirs.transform(Robots.selectGroup(_, "graftbot"))
     val rules = dirs.join(sel, Seq("site", "gid"))
@@ -732,6 +742,40 @@ object WebQueries {
       .join(broadcast(delays), Seq("site"), "left")
       .select(col("doc_id"), col("site"), col("path"), col("allowed"),
         col("matched_path"), col("crawl_delay"))
+  }
+
+  /** q227 — the robots stack FROM CONTAINER BYTES: each site's
+    * robots.txt travels inside a WARC response record (fetched the way a
+    * real crawler fetches it — `https://siteS.example.org/robots.txt`,
+    * HTTP 200, the file as the body), the walk recovers the text through
+    * the full demux/HTTP/charset path, and the SAME shared tail
+    * (parse → group selection → verdicts + Crawl-delay) resolves the
+    * q222 candidates. The oracle is q222's SQL VERBATIM: the container
+    * transport must be value-transparent for the policy layer — the
+    * q207/q210 transparency argument applied to CONFIG files rather
+    * than content pages, closing the last synthetic seam in the crawl
+    * stack (rules no longer appear from nowhere; they are parsed from
+    * fetched bytes end-to-end). */
+  def q227RobotsFromBytes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.Warc
+    val blobs = spark.range(7)
+      .select(col("id").cast("string").as("site"), robotsTxt(col("id")).as("txt"))
+      .as[(String, String)]
+      .map { case (site, txt) =>
+        (site.toLong, Warc.synthesize(Seq(Warc.Entry("response",
+          Some(s"https://site$site.example.org/robots.txt"),
+          "application/http; msgtype=response",
+          Warc.httpResponse("200 OK", txt)))))
+      }
+    val fetched = Warc.extractResponseBodies(blobs)
+      .filter(col("http_status") === 200)
+      .select(
+        regexp_extract(col("uri"), "^https://site([0-9]+)\\.", 1).as("site"),
+        col("body").as("txt"))
+    robotsVerdicts(spark, dir, fetched)
+      .localCheckpoint()
+      .orderBy(col("doc_id"))
   }
 
   /** q223 — the POLITENESS fetch schedule: q222's full stack (file parse
@@ -877,7 +921,8 @@ object WebQueries {
     "q223_fetch_schedule" -> (q223FetchSchedule _),
     "q224_wet_sidecar" -> (q224WetSidecar _),
     "q225_revisit_dedup" -> (q225RevisitDedup _),
-    "q226_sitemap_discovery" -> (q226SitemapDiscovery _)
+    "q226_sitemap_discovery" -> (q226SitemapDiscovery _),
+    "q227_robots_from_bytes" -> (q227RobotsFromBytes _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -1070,38 +1115,11 @@ object WebQueries {
     /* q222: the oracle writes the per-site-class EFFECTIVE rule table
      * arithmetically (what correct parsing + group selection must
      * produce) and replays the q209 LIKE match — no parsing, no group
-     * logic on the DuckDB side. */
-    "q222_robots_parse" ->
-      """WITH u AS (SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS site,
-        |    CASE CAST(doc_id % 5 AS INT)
-        |      WHEN 0 THEN '/a/x' || CAST(doc_id AS VARCHAR)
-        |      WHEN 1 THEN '/a/' || CAST(doc_id AS VARCHAR)
-        |      WHEN 2 THEN '/tmp/' || CAST(doc_id AS VARCHAR)
-        |      WHEN 3 THEN '/news/' || CAST(doc_id AS VARCHAR)
-        |      ELSE '/img/' || CAST(doc_id AS VARCHAR) END AS path
-        |  FROM documents),
-        | r AS (
-        |  SELECT CAST(range AS VARCHAR) AS site, '/a/x' AS p, 1 AS a
-        |    FROM range(7) WHERE range % 3 = 0
-        |  UNION ALL SELECT CAST(range AS VARCHAR), '/a/', 0
-        |    FROM range(7) WHERE range % 3 = 0
-        |  UNION ALL SELECT CAST(range AS VARCHAR), '/news/', 0
-        |    FROM range(7) WHERE range % 3 = 1
-        |  UNION ALL SELECT CAST(range AS VARCHAR), '/tmp/', 0
-        |    FROM range(7) WHERE range % 3 = 2),
-        | dl AS (SELECT CAST(range AS VARCHAR) AS site,
-        |    CAST(range % 5 + 1 AS BIGINT) AS delay
-        |  FROM range(7) WHERE range % 3 = 0),
-        | m AS (SELECT u.doc_id, r.p, r.a,
-        |    row_number() OVER (PARTITION BY u.doc_id
-        |      ORDER BY length(r.p) DESC, r.a DESC, r.p DESC) AS rk
-        |  FROM u JOIN r ON r.site = u.site AND u.path LIKE r.p || '%')
-        |SELECT u.doc_id, u.site, u.path,
-        |  COALESCE(m.a = 1, TRUE) AS allowed, m.p AS matched_path,
-        |  dl.delay AS crawl_delay
-        |FROM u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rk = 1
-        |LEFT JOIN dl ON dl.site = u.site
-        |ORDER BY u.doc_id""".stripMargin,
+     * logic on the DuckDB side.
+     * q227 is the SAME string verbatim: fetching robots.txt through the
+     * WARC/HTTP transport must be value-transparent for the policy. */
+    "q222_robots_parse" -> RobotsVerdictSql,
+    "q227_robots_from_bytes" -> RobotsVerdictSql,
     /* q223: q222's effective rule table + delay, then the schedule
      * window in SQL — slot (k-1)·delay per site over allowed rows. */
     "q223_fetch_schedule" ->
@@ -1368,6 +1386,40 @@ object WebQueries {
         |  FROM p)
         |SELECT * FROM r ORDER BY blob_id, rec_idx""".stripMargin
   )
+
+  /** q222 ≡ q227: the effective per-site-class rule table + delay,
+    * replayed through the q209 LIKE match. */
+  private lazy val RobotsVerdictSql: String =
+      """WITH u AS (SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS site,
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN '/a/x' || CAST(doc_id AS VARCHAR)
+        |      WHEN 1 THEN '/a/' || CAST(doc_id AS VARCHAR)
+        |      WHEN 2 THEN '/tmp/' || CAST(doc_id AS VARCHAR)
+        |      WHEN 3 THEN '/news/' || CAST(doc_id AS VARCHAR)
+        |      ELSE '/img/' || CAST(doc_id AS VARCHAR) END AS path
+        |  FROM documents),
+        | r AS (
+        |  SELECT CAST(range AS VARCHAR) AS site, '/a/x' AS p, 1 AS a
+        |    FROM range(7) WHERE range % 3 = 0
+        |  UNION ALL SELECT CAST(range AS VARCHAR), '/a/', 0
+        |    FROM range(7) WHERE range % 3 = 0
+        |  UNION ALL SELECT CAST(range AS VARCHAR), '/news/', 0
+        |    FROM range(7) WHERE range % 3 = 1
+        |  UNION ALL SELECT CAST(range AS VARCHAR), '/tmp/', 0
+        |    FROM range(7) WHERE range % 3 = 2),
+        | dl AS (SELECT CAST(range AS VARCHAR) AS site,
+        |    CAST(range % 5 + 1 AS BIGINT) AS delay
+        |  FROM range(7) WHERE range % 3 = 0),
+        | m AS (SELECT u.doc_id, r.p, r.a,
+        |    row_number() OVER (PARTITION BY u.doc_id
+        |      ORDER BY length(r.p) DESC, r.a DESC, r.p DESC) AS rk
+        |  FROM u JOIN r ON r.site = u.site AND u.path LIKE r.p || '%')
+        |SELECT u.doc_id, u.site, u.path,
+        |  COALESCE(m.a = 1, TRUE) AS allowed, m.p AS matched_path,
+        |  dl.delay AS crawl_delay
+        |FROM u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rk = 1
+        |LEFT JOIN dl ON dl.site = u.site
+        |ORDER BY u.doc_id""".stripMargin
 
   private lazy val WarcRecordsSql: String =
       """WITH d AS (SELECT doc_id, text, doc_id // 8 AS blob_id,
