@@ -149,9 +149,12 @@ object Html {
     * element-nested text) matches neither extraction and DROPS OUT of
     * both arrays instead of shifting every subsequent pair out of
     * alignment (the round-16 two-pattern zip could misalign on exactly
-    * those inputs). */
+    * those inputs). The attribute name is anchored at a delimiter
+    * (`<a ` directly, or any preceding attribute ending in whitespace)
+    * so a name-SUFFIX collision like `data-href=` / `xlink:href=`
+    * cannot be captured as the real href. */
   def anchorPairs(html: Column): Column = {
-    val pat = "<a [^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+    val pat = "<a (?:[^>]*\\s)?href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
     val hrefs = regexp_extract_all(html, lit(pat), lit(1))
     val texts = regexp_extract_all(html, lit(pat), lit(2))
     zip_with(hrefs, texts, (h, t) => struct(h.as("href"), t.as("anchor")))

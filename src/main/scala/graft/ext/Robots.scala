@@ -130,6 +130,11 @@ object Robots {
     val toks = directives
       .filter(col("name") === "user-agent")
       .select(col("site"), col("gid"), lower(col("value")).as("_tok"))
+      // An EMPTY token (a "User-agent:" line with blank value) must not
+      // match: startsWith("") is vacuously true with specificity 0,
+      // which would tie `*` and break the invariant that equal-max-
+      // length prefix tokens are necessarily the same token.
+      .filter(col("_tok") =!= "")
       .filter(col("_tok") === "*" ||
         lit(userAgent.toLowerCase).startsWith(col("_tok")))
       .withColumn("_spec",

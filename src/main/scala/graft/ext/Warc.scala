@@ -40,6 +40,11 @@ object Warc {
 
   private val Crlf = "\r\n"
 
+  /** Case-insensitive `charset=` locator applied to the ORIGINAL
+    * header value — never to a lowered copy whose indices can drift
+    * under Unicode case expansion (see the Content-Type parse). */
+  private val CharsetParam = java.util.regex.Pattern.compile("(?i)charset=")
+
   /** One record to [[synthesize]]: (WARC-Type, optional target URI,
     * Content-Type, payload octets, extra WARC headers verbatim — e.g.
     * WARC-Refers-To-Target-URI / WARC-Profile on revisit records). */
@@ -284,13 +289,19 @@ object Warc {
               v == "gzip" || v == "x-gzip"
             }
           // Content-Type charset parameter, value verbatim (quotes
-          // stripped) — the body's DECLARED character encoding
+          // stripped) — the body's DECLARED character encoding. The
+          // parameter is located with a case-insensitive regex on the
+          // ORIGINAL string: lowering a copy and applying its index back
+          // to the original is wrong under Unicode case expansion
+          // (U+0130 lowercases to TWO chars, shifting every later
+          // index), and default-locale toLowerCase misses "CHARSET="
+          // under a Turkish-locale JVM.
           httpRaw.split("\r\n").find(_.toLowerCase.startsWith("content-type:"))
             .foreach { l =>
               val v = l.substring("content-type:".length)
-              val i = v.toLowerCase.indexOf("charset=")
-              if (i >= 0) {
-                var cv = v.substring(i + "charset=".length)
+              val m = CharsetParam.matcher(v)
+              if (m.find()) {
+                var cv = v.substring(m.end())
                 val sc = cv.indexOf(';')
                 if (sc >= 0) cv = cv.substring(0, sc)
                 charset = cv.trim.stripPrefix("\"").stripSuffix("\"")

@@ -435,6 +435,23 @@ class WarcSpec extends AnyFunSuite {
       gzipBody = true)) == body)
   }
 
+  test("charset locator is index-safe under Unicode case expansion and " +
+       "finds uppercase CHARSET= (r17 ADVICE)") {
+    // U+0130 (İ) lowercases to TWO chars — a lowered-copy index applied
+    // back to the original would overrun and throw; parse must not.
+    val hostile = Warc.parse(Warc.synthesize(Seq(respEntry(
+      ("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html; İİİcharset=ISO-8859-1\r\n" +
+        "\r\nbody").getBytes(UTF_8)))))
+    assert(hostile.head.charset == "ISO-8859-1")
+    // uppercase parameter name is found regardless of JVM default locale
+    val upper = Warc.parse(Warc.synthesize(Seq(respEntry(
+      ("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html; CHARSET=ISO-8859-1\r\n" +
+        "\r\nbody").getBytes(UTF_8)))))
+    assert(upper.head.charset == "ISO-8859-1")
+  }
+
   test("transfer layer strictly before content layer: a chunked gzip body " +
        "reassembles the stream, THEN inflates (RFC 9110 ordering)") {
     val spark = TestSpark.spark

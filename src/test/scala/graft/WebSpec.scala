@@ -73,6 +73,17 @@ class WebSpec extends AnyFunSuite {
     assert(got == Seq("/a" -> "first", "/b" -> "second", "/d" -> "last"))
   }
 
+  test("anchorPairs: an attribute whose NAME merely ends in 'href' " +
+       "(data-href, xlink:href) is not the href (r17 ADVICE)") {
+    val html = "<a data-href=\"/fake\">no real href</a>" + // drops
+      "<a data-href=\"/fake\" href=\"/real\">kept</a>" +   // real href wins
+      "<a href=\"/b\">plain</a>"
+    val got = Seq(html).toDF("h")
+      .select(explode(Html.anchorPairs(col("h"))).as("p"))
+      .select("p.href", "p.anchor").as[(String, String)].collect().toSeq
+    assert(got == Seq("/real" -> "kept", "/b" -> "plain"))
+  }
+
   test("Robots: the two evaluation shapes agree (per-row vs distinct) and " +
        "every REP branch resolves correctly") {
     import graft.ext.Robots
@@ -166,6 +177,14 @@ class WebSpec extends AnyFunSuite {
       "User-agent: graftbot", "Disallow: /b/").mkString("\n"))).toDF("site", "txt"))
     assert(Robots.selectGroup(twoGroups, "graftbot")
       .select("gid").as[Long].collect().toSeq.sorted == Seq(1L, 3L))
+    // an EMPTY user-agent token never matches (startsWith("") is
+    // vacuously true at specificity 0 — it must not tie and merge with
+    // the `*` group; r17 ADVICE)
+    val emptyTok = Robots.parseDirectives(Seq(("0", Seq(
+      "User-agent:", "Disallow: /empty/", "",
+      "User-agent: *", "Disallow: /tmp/").mkString("\n"))).toDF("site", "txt"))
+    assert(Robots.selectGroup(emptyTok, "anybot")
+      .select("gid").as[Long].collect().toSeq == Seq(2L))
   }
 
   test("Robots wildcards: the REP spec's own pattern/path example table " +
