@@ -20,7 +20,15 @@ object Crawl {
     * doc_id, http_status, block/keep counts, char masses, boilerplate
     * basis points, extracted text. */
   def extract(blobs: Dataset[(Long, Array[Byte])], minLen: Int = 10): DataFrame =
-    Warc.extractResponseBodies(blobs)
+    extractFrom(Warc.extractResponseBodies(blobs), minLen)
+
+  /** The extraction chain from an ALREADY-WALKED response-bodies frame
+    * (any frame carrying uri / http_status / body — the strict walk's
+    * [[Warc.extractResponseBodies]] or the hostile-bytes recovering
+    * walk's [[Warc.extractHostile]]): the container layer varies, the
+    * 200 gate → id recovery → boilerplate extraction must not. */
+  def extractFrom(bodies: DataFrame, minLen: Int = 10): DataFrame =
+    bodies
       .filter(col("http_status") === 200)
       .select(
         regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long")

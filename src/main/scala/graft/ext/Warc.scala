@@ -515,6 +515,172 @@ object Warc {
     out.toSeq
   }
 
+  /** [[gzMembersResync]]'s result: the inflated payload of every VALID
+    * member, plus exact compressed-domain loss accounting — how many
+    * corrupt spans the walk re-anchored over and how many compressed
+    * bytes they covered. */
+  final case class GzResyncResult(payloads: Seq[Array[Byte]],
+                                  skippedMembers: Int,
+                                  skippedMemberBytes: Long)
+
+  /** Parse ONE gzip member at `c`: header (magic, deflate method, flag
+    * fields), raw-inflate under the bomb guard, then VERIFY the trailer —
+    * CRC32 of the inflated output and ISIZE (mod 2^32) must both match,
+    * so in-place corruption of the deflate stream (which the JDK Inflater
+    * can "finish" through with garbage output) is detected, never
+    * silently misframed. Some((inflated payload, member end)) only for a
+    * fully valid member. */
+  private def tryGzMember(bytes: Array[Byte], c: Int,
+                          maxOut: Int): Option[(Array[Byte], Int)] = {
+    val len = bytes.length
+    if (c + 10 > len) return None
+    if ((bytes(c) & 0xff) != 0x1f || (bytes(c + 1) & 0xff) != 0x8b ||
+        bytes(c + 2) != 8) return None
+    val flg = bytes(c + 3) & 0xff
+    var h = c + 10
+    if ((flg & 4) != 0) { // FEXTRA
+      if (h + 2 > len) return None
+      h += 2 + ((bytes(h) & 0xff) | ((bytes(h + 1) & 0xff) << 8))
+    }
+    if ((flg & 8) != 0) { while (h < len && bytes(h) != 0) h += 1; h += 1 }
+    if ((flg & 16) != 0) { while (h < len && bytes(h) != 0) h += 1; h += 1 }
+    if ((flg & 2) != 0) h += 2 // FHCRC
+    if (h >= len) return None
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(bytes, h, len - h)
+      val out = new ByteArrayOutputStream(8192)
+      val crc = new java.util.zip.CRC32
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        total += n
+        if (total > maxOut) return None // bomb guard
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        out.write(buf, 0, n)
+        crc.update(buf, 0, n)
+      }
+      val end = h + inf.getBytesRead.toInt + 8 // CRC32 + ISIZE trailer
+      if (end > len || end <= c) return None
+      def le32(at: Int): Long =
+        (bytes(at) & 0xffL) | ((bytes(at + 1) & 0xffL) << 8) |
+          ((bytes(at + 2) & 0xffL) << 16) | ((bytes(at + 3) & 0xffL) << 24)
+      val t = h + inf.getBytesRead.toInt
+      if (le32(t) != crc.getValue) return None // CRC mismatch = corrupt
+      if (le32(t + 4) != (total & 0xffffffffL)) return None // ISIZE
+      Some((out.toByteArray, end))
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  /** The RECOVERING member walk — [[gzipMemberBounds]]' production twin,
+    * the compressed-domain mirror of [[parseResync]]: a member that
+    * fails ANY check (magic, header framing, deflate error, truncation,
+    * bomb guard, CRC32/ISIZE trailer mismatch) re-anchors the scan at
+    * the next gzip magic (`1f 8b 08`) instead of discarding the rest of
+    * the blob, and the loss is EXACT — skipped spans counted, skipped
+    * compressed bytes measured. Unlike the strict walk this one VERIFIES
+    * each member's CRC32 trailer, because resync only makes sense when
+    * corruption is detectable: an in-place bit flip in a deflate stream
+    * can inflate to garbage without a DataFormatException, and only the
+    * CRC catches it. Progress guaranteed (a failed member's rescan
+    * starts at its offset + 1), span count capped (`maxSpans` — the
+    * remainder past it is one final counted span), never throws. */
+  def gzMembersResync(bytes: Array[Byte], maxOut: Int = 1 << 26,
+                      maxMembers: Int = 100000,
+                      maxSpans: Int = 1000): GzResyncResult = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val len = bytes.length
+    var c = 0
+    var spans = 0
+    var skipped = 0L
+    var stop = false
+    def findMagic(from: Int): Int = {
+      var i = math.max(from, 0)
+      val end = len - 3
+      while (i <= end) {
+        if ((bytes(i) & 0xff) == 0x1f && (bytes(i + 1) & 0xff) == 0x8b &&
+            bytes(i + 2) == 8) return i
+        i += 1
+      }
+      -1
+    }
+    def skipFrom(scanFrom: Int, lossFrom: Int): Unit = {
+      if (spans >= maxSpans) { // resync cap: remainder = one final span
+        skipped += len - lossFrom
+        spans += 1
+        stop = true
+        return
+      }
+      spans += 1
+      val at = findMagic(scanFrom)
+      if (at < 0) { skipped += len - lossFrom; stop = true }
+      else { skipped += at - lossFrom; c = at }
+    }
+    while (!stop && c < len && out.length < maxMembers) {
+      tryGzMember(bytes, c, maxOut) match {
+        case Some((payload, end)) => out += payload; c = end
+        case None => skipFrom(c + 1, c) // strictly after: progress
+      }
+    }
+    GzResyncResult(out.toSeq, spans, skipped)
+  }
+
+  /** The FULL production read path over record-per-member `.warc.gz`
+    * blobs — every hostile-bytes layer composed, each with exact loss
+    * accounting at its own level:
+    *
+    *   1. member walk with compressed-domain resync + CRC verification
+    *      ([[gzMembersResync]] — skipped_members / skipped_member_bytes);
+    *   2. per-member record parse with inflated-domain resync
+    *      ([[parseResync]] — skipped_spans / skipped_bytes summed across
+    *      the blob's members; per-member parsing keeps memory O(member),
+    *      never O(blob inflated) — the record-per-member convention means
+    *      records don't span members, so the accounting equals the
+    *      concatenated logical stream's);
+    *   3. body recovery through the transfer + content + charset layers
+    *      ([[decodedBodyBytes]] + declared-charset decode — the q217
+    *      path, applied to records RECOVERED by resync).
+    *
+    * One row per response record that survived all three layers:
+    * (blob_id, rec_idx globally renumbered over survivors, uri,
+    * http_status, decoded body) plus the blob's four loss columns —
+    * corruption at CommonCrawl scale is an observable column set, never
+    * silent data loss. */
+  def extractHostile(blobs: Dataset[(Long, Array[Byte])],
+                     maxOut: Int = 1 << 26): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.flatMap { case (blobId, gz) =>
+      val gw = gzMembersResync(gz, maxOut)
+      var spans = 0L
+      var skippedB = 0L
+      var nextIdx = 0L
+      val rows = gw.payloads.flatMap { member =>
+        val rr = parseResync(member)
+        spans += rr.skippedSpans
+        skippedB += rr.skippedBytes
+        rr.recs.collect {
+          case r if r.httpStatus.isDefined =>
+            val body = new String(decodedBodyBytes(member, r),
+              charsetFor(r.charset))
+            val row = (blobId, nextIdx, r.targetUri, r.httpStatus.get.toLong,
+              body)
+            nextIdx += 1
+            row
+        }
+      }
+      rows.map { case (b, i, u, s, body) =>
+        (b, i, u, s, body, spans, skippedB,
+          gw.skippedMembers.toLong, gw.skippedMemberBytes)
+      }
+    }).toDF("blob_id", "rec_idx", "uri", "http_status", "body",
+      "skipped_spans", "skipped_bytes", "skipped_members",
+      "skipped_member_bytes")
+  }
+
   /** [[extractRecords]] over record-per-member `.warc.gz` blobs: walk the
     * member boundaries ([[gzipMemberBounds]]), inflate each member under
     * the bomb guard, parse its records, and emit rows with a GLOBALLY

@@ -288,11 +288,23 @@ object CurationQueries {
     * shuffles + one window. Nothing all-pairs, nothing collected,
     * everything between checkpoints O(survivors). */
   def q218CrawlCuration(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 800L
-    val seqLen = 512L
     val extracted = graft.ext.Crawl.extract(WebQueries.crawlBlobs(spark, dir))
       .select(col("doc_id"), col("extracted").as("text"))
       .localCheckpoint(true)
+    crawlCurationStages(spark, dir, extracted)
+      .transform(tinySort(_, col("source"), col("doc_id")))
+  }
+
+  /** q218's curation stages downstream of the (already materialized)
+    * extraction — forest near-dup → star clustering → the q42 gate stack
+    * → per-source budget + packing — shared VERBATIM with q229 so the
+    * clean-bytes and hostile-bytes capstones cannot drift on a single
+    * gate or window. Returns the packed rows unsorted (callers add their
+    * dump sort / loss columns). */
+  private def crawlCurationStages(spark: SparkSession, dir: String,
+                                  extracted: DataFrame): DataFrame = {
+    val budget = 800L
+    val seqLen = 512L
     val fr = graft.ext.Similarity.bandedNearDupForest(
         load(spark, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.35, bands = 3, planesPerBand = 6)
@@ -318,6 +330,43 @@ object CurationQueries {
         floor((col("cum_tokens") - col("n_tokens")) / seqLen).cast("long")
           .as("pack_id"),
         ((col("cum_tokens") - col("n_tokens")) % seqLen).as("offset_in_pack"))
+  }
+
+  /** q229 — the HOSTILE-BYTES capstone: q228's full production read path
+    * (record-per-member `.warc.gz`, torn members, dead records inside
+    * valid members, gzip/latin-1 body encodings —
+    * [[graft.queries.WebQueries.hostileCrawlBlobs]] +
+    * [[graft.ext.Warc.extractHostile]]) feeding q218's curation stages
+    * ([[crawlCurationStages]], shared verbatim) in ONE dataflow —
+    * container corruption in, packed training sequences out, and the
+    * loss is never silent: the walk's four exact accounting columns ride
+    * every output row as CORPUS TOTALS (summed over per-blob constants),
+    * so the oracle re-proves byte-exact skip accounting at both resync
+    * tiers THROUGH the whole composition, not just in isolation.
+    *
+    * Materialization discipline: the walk output is checkpointed ONCE
+    * (it feeds both the extraction chain and the loss aggregate — the
+    * demux must not re-run); extraction is checkpointed once more before
+    * fanning into the detector/gate/sampling consumers (the q218 rule).
+    * The loss aggregate is a single-row frame — broadcast cross join,
+    * the bounded-domain precedent. */
+  def q229HostileCuration(spark: SparkSession, dir: String): DataFrame = {
+    val walked = graft.ext.Warc
+      .extractHostile(WebQueries.hostileCrawlBlobs(spark, dir))
+      .localCheckpoint(true)
+    val skips = walked
+      .select(col("blob_id"), col("skipped_spans"), col("skipped_bytes"),
+        col("skipped_members"), col("skipped_member_bytes"))
+      .distinct()
+      .agg(sum(col("skipped_spans")).as("skipped_spans"),
+        sum(col("skipped_bytes")).as("skipped_bytes"),
+        sum(col("skipped_members")).as("skipped_members"),
+        sum(col("skipped_member_bytes")).as("skipped_member_bytes"))
+    val extracted = graft.ext.Crawl.extractFrom(walked)
+      .select(col("doc_id"), col("extracted").as("text"))
+      .localCheckpoint(true)
+    crawlCurationStages(spark, dir, extracted)
+      .crossJoin(broadcast(skips))
       .transform(tinySort(_, col("source"), col("doc_id")))
   }
 
@@ -607,6 +656,7 @@ object CurationQueries {
     "q52_sequence_packing" -> (q52SequencePacking _),
     "q53_curation_pipeline" -> (q53CurationPipeline _),
     "q218_crawl_curation" -> (q218CrawlCuration _),
+    "q229_hostile_curation" -> (q229HostileCuration _),
     "q195_curated_release" -> (q195CuratedRelease _),
     "q54_repetition_filters" -> (q54RepetitionFilters _),
     "q55_decontaminate" -> (q55Decontaminate _),
@@ -1032,6 +1082,102 @@ object CurationQueries {
          |  CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS pack_id,
          |  CAST((cum_tokens - n_tokens) % 512 AS BIGINT) AS offset_in_pack
          |FROM c
+         |WHERE cum_tokens - n_tokens < 800
+         |ORDER BY source, doc_id""".stripMargin
+    },
+    /* q229: q218's CTE chain with `ex` restricted to the docs that
+     * SURVIVE the hostile container (non-404 AND not record-corrupt AND
+     * not member-corrupt), plus the walk's loss TOTALS replayed
+     * arithmetically — pg constructs each corrupt record's exact wire
+     * payload (its id class is plain-encoded by construction, so strlen
+     * measures the bytes) and skt cross-joins onto every packed row. */
+    "q229_hostile_curation" -> {
+      val ratios = TextOps.LangMarkers.map { case (lang, words) =>
+        val in = words.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(toks, t -> t IN ($in))) AS DOUBLE) / greatest(len(toks), 1) AS r_$lang"
+      }.mkString(",\n   ")
+      s"""WITH RECURSIVE ${SimilarityQueries.ClusterLabelCtes},
+         | dropped AS (SELECT vec_id FROM labels WHERE vec_id <> cluster_id),
+         | ${WebQueries.HtmlExtractCtes},
+         | ex AS (SELECT doc_id, extracted AS text FROM s
+         |        WHERE doc_id % 13 <> 0 AND doc_id % 20 <> 12
+         |          AND doc_id % 10 <> 1),
+         | pg AS (SELECT doc_id,
+         |    'HTTP/1.1 ' ||
+         |      CASE WHEN doc_id % 13 = 0 THEN '404 Not Found' ELSE '200 OK' END ||
+         |      chr(13) || chr(10) || 'Content-Type: text/html' ||
+         |      chr(13) || chr(10) || chr(13) || chr(10) ||
+         |    CASE WHEN doc_id % 13 = 0 THEN '<html><body><p>not found</p></body></html>'
+         |    ELSE '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+         |      '</title></head><body>' ||
+         |      '<h1>doc ' || CAST(doc_id AS VARCHAR) || ' report</h1>' ||
+         |      '<div class="nav"><a href="/">home</a> <a href="/about">about us</a> <a href="/contact">contact</a></div>' ||
+         |      '<p>' || text || '</p>' ||
+         |      CASE WHEN doc_id % 3 = 0 THEN
+         |        '<div class="related">see also <a href="/doc/' ||
+         |        CAST(doc_id + 1 AS VARCHAR) || '">doc ' ||
+         |        CAST(doc_id + 1 AS VARCHAR) || '</a> and <a href="/doc/' ||
+         |        CAST(doc_id * 2 AS VARCHAR) || '">doc ' ||
+         |        CAST(doc_id * 2 AS VARCHAR) || '</a></div>' ELSE '' END ||
+         |      '<div class="footer"><a href="/privacy">privacy policy</a> <a href="/terms">terms</a> (c) example.org</div>' ||
+         |      '</body></html>' END AS payload,
+         |    'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri
+         |  FROM documents),
+         | skt AS (SELECT
+         |    CAST(COUNT(*) FILTER (WHERE doc_id % 20 = 12) AS BIGINT) AS skipped_spans,
+         |    CAST(COALESCE(SUM(CASE WHEN doc_id % 20 = 12 THEN
+         |      strlen('WARC/1.0' || chr(13) || chr(10) ||
+         |        'WARC-Type: response' || chr(13) || chr(10) ||
+         |        'WARC-Target-URI: ' || uri || chr(13) || chr(10) ||
+         |        'Content-Type: application/http; msgtype=response' || chr(13) || chr(10) ||
+         |        'Content-Length: ' || CAST(strlen(payload) AS VARCHAR) ||
+         |        chr(13) || chr(10) || chr(13) || chr(10)) +
+         |      strlen(payload) + 4 END), 0) AS BIGINT) AS skipped_bytes,
+         |    CAST(COUNT(*) FILTER (WHERE doc_id % 10 = 1) AS BIGINT) AS skipped_members,
+         |    CAST(64 * COUNT(*) FILTER (WHERE doc_id % 10 = 1) AS BIGINT) AS skipped_member_bytes
+         |  FROM pg),
+         | bq AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS toks, length(text) AS nc,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |  FROM ex),
+         | m AS (
+         |  SELECT doc_id, fp,
+         |   CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / greatest(nc, 1) AS nonalpha,
+         |   CAST(len(toks) AS DOUBLE) AS nt,
+         |   CAST(len(list_filter(toks, t -> t IN ($stopIn))) AS DOUBLE) / greatest(len(toks), 1) AS stop_r,
+         |   $ratios
+         |  FROM bq),
+         | q AS (
+         |  SELECT doc_id, fp,
+         |   0.4 * (1.0 - nonalpha) + 0.3 * least(nt / 100.0, 1.0) + 0.3 * least(stop_r * 5.0, 1.0) AS quality,
+         |   CASE WHEN r_en >= 0.01 AND r_en >= r_es AND r_en >= r_de THEN 'en'
+         |        WHEN r_es >= 0.01 AND r_es >= r_de THEN 'es'
+         |        WHEN r_de >= 0.01 THEN 'de'
+         |        ELSE 'unknown' END AS lang_pred
+         |  FROM m),
+         | keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM q GROUP BY fp),
+         | kept AS (
+         |  SELECT q.doc_id, q.quality
+         |  FROM q JOIN keep ON q.fp = keep.fp
+         |  WHERE q.doc_id = keep.keep_id AND q.quality > 0.5 AND q.lang_pred = 'en'
+         |    AND q.doc_id NOT IN (SELECT vec_id FROM dropped)),
+         | t AS (
+         |  SELECT d.doc_id, d.source, k.quality,
+         |    CAST(len(regexp_extract_all(ex.text, '${TextOps.ReTokenPattern}')) AS BIGINT) AS n_tokens,
+         |    md5(CAST(d.doc_id AS VARCHAR)) AS h
+         |  FROM documents d JOIN kept k USING (doc_id)
+         |    JOIN ex ON ex.doc_id = d.doc_id),
+         | c AS (
+         |  SELECT doc_id, source, quality, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, source, quality, n_tokens, cum_tokens,
+         |  CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS pack_id,
+         |  CAST((cum_tokens - n_tokens) % 512 AS BIGINT) AS offset_in_pack,
+         |  skt.skipped_spans, skt.skipped_bytes, skt.skipped_members,
+         |  skt.skipped_member_bytes
+         |FROM c, skt
          |WHERE cum_tokens - n_tokens < 800
          |ORDER BY source, doc_id""".stripMargin
     },

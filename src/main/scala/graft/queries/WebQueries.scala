@@ -236,6 +236,101 @@ object WebQueries {
       .orderBy(col("doc_id")) // re-run the demux/inflate (q204 pattern)
   }
 
+  /** Hostile record-per-member `.warc.gz` synthesis — the q228/q229
+    * shared builder, every production failure layer planted at once:
+    * each (id, status, body) becomes ONE gzip member holding one
+    * response record with its id-class body encoding (the q217 cycle:
+    * plain / Content-Encoding gzip / latin-1 charset / both), ids
+    * ≡ 12 (mod 20) get their record magic mangled INSIDE an otherwise
+    * valid member (dead record, valid CRC — the inflated-domain resync
+    * tier), and ids ≡ 1 (mod 10) get their whole member REPLACED by 64
+    * junk bytes (torn write — the compressed-domain resync tier, and 64
+    * is what the oracle charges for it). The corrupt-record class is a
+    * subset of the PLAIN encoding class (12 mod 4 = 0) so its serialized
+    * length stays SQL-computable. */
+  private def hostileMembers(ms: Seq[(Long, String, String)]): Array[Byte] = {
+    import graft.ext.Warc
+    val out = new java.io.ByteArrayOutputStream()
+    ms.foreach { case (id, st, body) =>
+      if (id % 10 == 1) {
+        out.write(Array.fill[Byte](64)('X'))
+      } else {
+        val payload = (id % 4) match {
+          case 0 => Warc.httpResponse(st, body)
+          case 1 => Warc.httpResponseEnc(st, body, None, gzipBody = true)
+          case 2 => Warc.httpResponseEnc(st, body, Some("ISO-8859-1"))
+          case _ => Warc.httpResponseEnc(st, body, Some("ISO-8859-1"),
+            gzipBody = true)
+        }
+        val rec = Warc.synthesize(Seq(Warc.Entry("response",
+          Some(s"https://example.org/doc/$id"),
+          "application/http; msgtype=response", payload)))
+        if (id % 20 == 12) // dead record inside a CRC-valid member
+          System.arraycopy("JUNK".getBytes(
+            java.nio.charset.StandardCharsets.UTF_8), 0, rec, 0, 4)
+        out.write(Warc.gzip(rec))
+      }
+    }
+    out.toByteArray
+  }
+
+  /** q228 — the FULL production read path under hostile bytes
+    * ([[graft.ext.Warc.extractHostile]]): record-per-member `.warc.gz`
+    * blobs where corruption is planted at BOTH resync tiers at once
+    * (torn members AND dead records inside valid members) and every
+    * surviving record still has to run the q217 body-fidelity path
+    * (gzip Content-Encoding, latin-1 charset). Loss is four exact output
+    * columns per blob — compressed-domain (skipped_members /
+    * skipped_member_bytes: 64 junk bytes per torn member) and
+    * inflated-domain (skipped_spans / skipped_bytes: the corrupt
+    * record's full serialization) — so the oracle reconstructs every
+    * byte of the accounting arithmetically: a resync that lands anywhere
+    * but the exact next boundary at EITHER tier, or a missed CRC
+    * verification, breaks the hash. */
+  def q228HostileWalk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobs = docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+      (b, hostileMembers(it.toArray.sortBy(_._1).toSeq.map { case (id, t) =>
+        (id, "200 OK", s"<html><body><p>$t caf\u00e9</p></body></html>")
+      }))
+    }
+    graft.ext.Warc.extractHostile(blobs)
+      .select(
+        col("blob_id"), col("rec_idx"),
+        regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        col("http_status"), col("body"),
+        length(col("body")).cast("long").as("body_chars"),
+        col("skipped_spans"), col("skipped_bytes"),
+        col("skipped_members"), col("skipped_member_bytes"))
+      .withColumn("enc", expr("""CASE CAST(doc_id % 4 AS INT)
+        WHEN 0 THEN 'plain' WHEN 1 THEN 'gzip'
+        WHEN 2 THEN 'latin1' ELSE 'gzip+latin1' END"""))
+      .localCheckpoint() // O(input) dump: the sort's sampling pass must
+      .orderBy(col("blob_id"), col("rec_idx")) // not re-run the demux
+  }
+
+  /** The q229 synthesis: the q208 crawl pages (synthPage markup, every
+    * 13th doc a 404 error page) shipped through the HOSTILE container —
+    * [[hostileMembers]]' record-per-member gz with both corruption tiers
+    * and the body-encoding cycle. Shared construction with q228; only
+    * the page content differs (so the extraction oracle CTEs replay). */
+  private[graft] def hostileCrawlBlobs(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val pages = load(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, lit("404 Not Found"))
+          .otherwise(lit("200 OK")).as("st"),
+        when(col("doc_id") % 13 === 0,
+          lit("<html><body><p>not found</p></body></html>"))
+          .otherwise(Html.synthPage(col("doc_id"), col("text"))).as("body"))
+      .as[(Long, String, String)]
+    pages.groupByKey(_._1 / 8).mapGroups { (b, it) =>
+      (b, hostileMembers(it.toArray.sortBy(_._1).toSeq))
+    }
+  }
+
   /** q213 — the CRAWL-FRONTIER capstone: the web tier's stages composed
     * into one fetch plan, the crawl-side mirror of the curation
     * capstones (q53/q195). Every page's outlinks ([[Html.anchorPairs]])
@@ -922,7 +1017,8 @@ object WebQueries {
     "q224_wet_sidecar" -> (q224WetSidecar _),
     "q225_revisit_dedup" -> (q225RevisitDedup _),
     "q226_sitemap_discovery" -> (q226SitemapDiscovery _),
-    "q227_robots_from_bytes" -> (q227RobotsFromBytes _)
+    "q227_robots_from_bytes" -> (q227RobotsFromBytes _),
+    "q228_hostile_walk" -> (q228HostileWalk _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -1325,6 +1421,51 @@ object WebQueries {
         |  s.skipped_spans, s.skipped_bytes
         |FROM n JOIN skip s USING (blob_id)
         |ORDER BY blob_id, rec_idx""".stripMargin,
+    /* q228: survivors are the construction MINUS both corrupt classes
+     * (rec_idx re-ranked per blob), bodies are the q217 decoded strings;
+     * the accounting replays BOTH tiers arithmetically — skipped_bytes
+     * is the corrupt record's full serialization (its class is plain-
+     * encoded by construction, so strlen computes the wire bytes) and
+     * skipped_member_bytes is 64 per torn member. */
+    "q228_hostile_walk" ->
+      """WITH d AS (SELECT doc_id, text, doc_id // 8 AS blob_id,
+        |    'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        |    '<html><body><p>' || text || ' caf' || chr(233) ||
+        |      '</p></body></html>' AS body,
+        |    (doc_id % 20 = 12) AS rec_corrupt,
+        |    (doc_id % 10 = 1) AS mem_corrupt
+        |  FROM documents),
+        | pay AS (SELECT *,
+        |    'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+        |      'Content-Type: text/html' || chr(13) || chr(10) ||
+        |      chr(13) || chr(10) || body AS payload
+        |  FROM d),
+        | skip AS (SELECT blob_id,
+        |    CAST(COUNT(*) FILTER (WHERE rec_corrupt) AS BIGINT) AS skipped_spans,
+        |    CAST(COALESCE(SUM(CASE WHEN rec_corrupt THEN
+        |      strlen('WARC/1.0' || chr(13) || chr(10) ||
+        |        'WARC-Type: response' || chr(13) || chr(10) ||
+        |        'WARC-Target-URI: ' || uri || chr(13) || chr(10) ||
+        |        'Content-Type: application/http; msgtype=response' || chr(13) || chr(10) ||
+        |        'Content-Length: ' || CAST(strlen(payload) AS VARCHAR) ||
+        |        chr(13) || chr(10) || chr(13) || chr(10)) +
+        |      strlen(payload) + 4 END), 0) AS BIGINT) AS skipped_bytes,
+        |    CAST(COUNT(*) FILTER (WHERE mem_corrupt) AS BIGINT) AS skipped_members,
+        |    CAST(64 * COUNT(*) FILTER (WHERE mem_corrupt) AS BIGINT) AS skipped_member_bytes
+        |  FROM pay GROUP BY blob_id),
+        | surv AS (SELECT blob_id, doc_id, body,
+        |    CAST(row_number() OVER (PARTITION BY blob_id ORDER BY doc_id) - 1
+        |      AS BIGINT) AS rec_idx
+        |  FROM d WHERE NOT rec_corrupt AND NOT mem_corrupt)
+        |SELECT s.blob_id, s.rec_idx, s.doc_id,
+        |  CASE CAST(s.doc_id % 4 AS INT) WHEN 0 THEN 'plain' WHEN 1 THEN 'gzip'
+        |    WHEN 2 THEN 'latin1' ELSE 'gzip+latin1' END AS enc,
+        |  CAST(200 AS BIGINT) AS http_status, s.body,
+        |  CAST(length(s.body) AS BIGINT) AS body_chars,
+        |  k.skipped_spans, k.skipped_bytes, k.skipped_members,
+        |  k.skipped_member_bytes
+        |FROM surv s JOIN skip k USING (blob_id)
+        |ORDER BY s.blob_id, s.rec_idx""".stripMargin,
     /* q212: the oracle resolves the chains by RECURSIVE fixpoint (vs the
      * engine's bounded unrolled joins — different algorithm, same
      * semantics) with the same 3-hop cap in the recursion guard; the

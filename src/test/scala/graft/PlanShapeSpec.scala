@@ -219,6 +219,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected exactly 1 window:\n$plan")
   }
 
+  test("q229 hostile capstone: walk AND extraction AND detector " +
+       "materialize once — final plan is object-operator-free; the only " +
+       "nested-loop join is the single-row loss-totals broadcast") {
+    // the hostile walk (member resync + record resync + body decode)
+    // runs eagerly into the walked checkpoint and feeds BOTH consumers
+    // (extraction chain + loss aggregate) from there; extraction and the
+    // forest detector land in their own checkpoints (the q218 rule) — an
+    // object operator in the final plan means one of the byte-scale
+    // pipelines re-executes under the write sink
+    val plan = graft.queries.CurationQueries.q229HostileCuration(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions") && !plan.contains("MapGroups"),
+      s"object operator leaked past a checkpoint:\n$plan")
+    assert(!plan.toLowerCase.contains("sign_buckets"),
+      s"detector re-appears in final plan:\n$plan")
+    assert(!plan.contains("embeddings"), s"embeddings rescanned in final plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+    // exactly ONE nested-loop join: the broadcast of the 1-row loss
+    // aggregate (bounded by construction — the sanctioned cross-join
+    // shape); any second one means a real join degraded
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length == 1,
+      s"expected exactly the loss-totals broadcast join:\n$plan")
+    assert("Window".r.findAllIn(plan).length == 1,
+      s"expected exactly 1 window:\n$plan")
+  }
+
   test("q195 capstone: corpus work ends at the capped checkpoint — final " +
        "plan is survivor-sized (no corpus scan, no detector, no margin)") {
     // margins + WindowGroupLimit top-k run eagerly into the capped

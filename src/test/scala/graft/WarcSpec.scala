@@ -572,6 +572,97 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.gzipMemberBounds("not gzip at all".getBytes(UTF_8)).isEmpty)
   }
 
+  test("gzMembersResync: torn members, in-place deflate corruption (CRC " +
+       "catch), tail junk, bomb member — exact compressed-domain loss") {
+    val payloads = entries.map(e => Warc.synthesize(Seq(e)))
+    val members = payloads.map(Warc.gzip)
+    // clean stream: every payload back, zero loss
+    val clean = Warc.gzMembersResync(members.reduce(_ ++ _))
+    assert(clean.payloads.map(_.toSeq) == payloads.map(_.toSeq))
+    assert(clean.skippedMembers == 0 && clean.skippedMemberBytes == 0)
+    // torn member: 64 junk bytes between two valid members
+    val junk = Array.fill[Byte](64)('X')
+    val torn = Warc.gzMembersResync(members(0) ++ junk ++ members(1))
+    assert(torn.payloads.map(_.toSeq) == Seq(payloads(0).toSeq, payloads(1).toSeq))
+    assert(torn.skippedMembers == 1 && torn.skippedMemberBytes == 64)
+    // junk at EOF: loss measured to the end, nothing fabricated
+    val tail = Warc.gzMembersResync(members(0) ++ junk)
+    assert(tail.payloads.length == 1 && tail.skippedMembers == 1 &&
+      tail.skippedMemberBytes == 64)
+    // IN-PLACE corruption mid-member: flip a byte in the middle of the
+    // deflate stream — the Inflater may still "finish", only the CRC32
+    // trailer check can reject it; the whole member is one skipped span
+    // and the walk re-anchors at the NEXT member's magic
+    (0 until 8).foreach { d =>
+      val bad = members(1).clone()
+      val at = bad.length / 2 + d
+      bad(at) = (bad(at) ^ 0x5b).toByte
+      val r = Warc.gzMembersResync(members(0) ++ bad ++ members(2))
+      assert(r.payloads.map(_.toSeq) ==
+        Seq(payloads(0).toSeq, payloads(2).toSeq), s"d=$d")
+      assert(r.skippedMembers >= 1, s"d=$d")
+      assert(r.payloads.map(_.length).sum + 0 ==
+        payloads(0).length + payloads(2).length, s"d=$d")
+      // loss covers exactly the corrupt member's compressed bytes
+      // (resync may count >1 span if a false 1f8b08 appears in the
+      // corrupted stream, but the byte total is exact)
+      assert(r.skippedMemberBytes == bad.length, s"d=$d")
+    }
+    // trailer corruption: flip a bit in the ISIZE field
+    val badTrailer = members(1).clone()
+    badTrailer(badTrailer.length - 1) =
+      (badTrailer(badTrailer.length - 1) ^ 1).toByte
+    val rt = Warc.gzMembersResync(members(0) ++ badTrailer ++ members(2))
+    assert(rt.payloads.map(_.toSeq) == Seq(payloads(0).toSeq, payloads(2).toSeq))
+    assert(rt.skippedMemberBytes == badTrailer.length)
+    // bomb member: skipped (never allocated past the cap), walk continues
+    val bomb = Warc.gzip(new Array[Byte](1 << 20))
+    val rb = Warc.gzMembersResync(bomb ++ members(0), maxOut = 1 << 12)
+    assert(rb.payloads.map(_.toSeq) == Seq(payloads(0).toSeq))
+    assert(rb.skippedMembers == 1 && rb.skippedMemberBytes == bomb.length)
+    // garbage-only stream: one span covering everything
+    val g = Warc.gzMembersResync("no gzip here".getBytes(UTF_8))
+    assert(g.payloads.isEmpty && g.skippedMembers == 1 &&
+      g.skippedMemberBytes == 12)
+  }
+
+  test("extractHostile: both resync tiers + body encodings compose — rows " +
+       "and all four loss columns exact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // five docs: [0] plain, [1] torn member (64 junk bytes), [2] dead
+    // record inside a CRC-valid member, [3] gzip+latin1 body, [4] plain
+    val body = "café corpus body with enough text"
+    def member(id: Int, payload: Array[Byte], mangle: Boolean = false) = {
+      val rec = Warc.synthesize(Seq(Warc.Entry("response",
+        Some(s"https://example.org/doc/$id"),
+        "application/http; msgtype=response", payload)))
+      if (mangle) System.arraycopy("JUNK".getBytes(UTF_8), 0, rec, 0, 4)
+      (rec, Warc.gzip(rec))
+    }
+    val (_, m0) = member(0, Warc.httpResponse("200 OK", body))
+    val junk = Array.fill[Byte](64)('X')
+    val (deadRec, m2) = member(2, Warc.httpResponse("200 OK", body), mangle = true)
+    val (_, m3) = member(3, Warc.httpResponseEnc("200 OK", body,
+      Some("ISO-8859-1"), gzipBody = true))
+    val (_, m4) = member(4, Warc.httpResponse("404 Not Found", body))
+    val blob = m0 ++ junk ++ m2 ++ m3 ++ m4
+    val got = Warc.extractHostile(Seq((7L, blob)).toDS())
+      .as[(Long, Long, String, Long, String, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._2)
+    assert(got.map(r => (r._2, r._3, r._4, r._5)) == Seq(
+      (0L, "https://example.org/doc/0", 200L, body),
+      (1L, "https://example.org/doc/3", 200L, body), // recovered + decoded
+      (2L, "https://example.org/doc/4", 404L, body)))
+    got.foreach { r =>
+      assert(r._1 == 7L)
+      assert(r._6 == 1L, "skipped_spans: the dead record")
+      assert(r._7 == deadRec.length.toLong, "skipped_bytes: its full serialization")
+      assert(r._8 == 1L, "skipped_members: the torn member")
+      assert(r._9 == 64L, "skipped_member_bytes")
+    }
+  }
+
   test("generative round-trip: random record sequences with random binary " +
        "payloads survive synthesize → [gzip →] parse metadata-exactly") {
     import org.scalacheck.Gen
