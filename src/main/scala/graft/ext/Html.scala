@@ -122,23 +122,23 @@ object Html {
   def extractPage(html: Column, minLen: Int = 10): Column =
     pageSummary(blockStats(html), minLen)
 
-  /** Decode the CORE HTML entity set — `&amp;` `&lt;` `&gt;` `&quot;`
-    * `&#39;` (the five escapes every sanitizer emits; `&#39;` is what
-    * HTML writers use for the apostrophe since `&apos;` is XML-only) —
-    * with ONE-PASS semantics: `&amp;` decodes LAST, so a double-escaped
-    * `&amp;lt;` yields the literal `&lt;` (one level), exactly what a
-    * real tokenizer produces; nothing re-decodes output. Literal
-    * `replace` steps (codegen'd, no regex) — the DuckDB oracle replays
-    * the same chain with its own replace(). Numeric (`&#NNN;`) and
-    * exotic named references stay a documented sanitizer-contract
-    * exclusion (they need computed replacements no relational engine
-    * expresses portably). Closes the round-16 NOTES item (a): entity
-    * decoding as an explicit layer AFTER tag stripping, where visible
-    * text is already plain. */
+  /** Decode HTML character references — the core named set (`&amp;`
+    * `&lt;` `&gt;` `&quot;`) plus ALL numeric references (`&#NNN;` /
+    * `&#xHH;`, the forms real markup uses more than half the named set)
+    * under the HTML5 end-state rules — with ONE-PASS semantics: output
+    * is never rescanned, so a double-escaped `&amp;lt;` yields the
+    * literal `&lt;` (one level), exactly what a real tokenizer produces.
+    * Implementation is the fused codegen kernel
+    * ([[graft.functions.EntityDecode]]) — numeric decoding has no
+    * portable relational spelling (the round-17 NOTES seam), and one
+    * kernel pass replaces the former five-step replace chain; on
+    * named-set-only inputs the two are output-identical (amp-last ≡
+    * no-output-rescan — WebSpec's hand-computed table pins it, and the
+    * q219 oracle hash proved it across the swap). Exotic NAMED
+    * references (`&euro;` …) stay a documented exclusion and ride
+    * through literally. */
   def decodeEntities(c: Column): Column =
-    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
-        "&amp;" -> "&")
-      .foldLeft(c) { case (acc, (e, ch)) => replace(acc, lit(e), lit(ch)) }
+    graft.functions.EntityDecode.entityDecode(c)
 
   /** Aligned (href, anchor_text) pairs of every `<a>` on the page, as
     * array<struct<href, anchor>>. ONE pattern captures both fields —

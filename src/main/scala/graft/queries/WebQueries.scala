@@ -625,6 +625,33 @@ object WebQueries {
       .orderBy(col("doc_id")) // must not re-run the decode (q204 pattern)
   }
 
+  /** q230 — NUMERIC character references ([[Html.decodeEntities]], now
+    * the fused [[graft.functions.EntityDecode]] kernel): every numeric
+    * branch of the HTML5 end-state rules planted in one fixture —
+    * decimal, hex (both x/X spellings), leading zeros (value-capped, not
+    * digit-capped), the C1 windows-1252 remap (`&#150;` must equal
+    * `&#x2013;`), an astral codepoint, and the U+FFFD classes (NUL,
+    * surrogate, above-ceiling in both radixes) — plus the one-pass law
+    * (`&amp;#65;` stays `&#65;`) and the invalid-reference ride-throughs
+    * (bad digits, empty body, bad hex, unterminated). The audit column
+    * counts candidate numeric references in the RAW string with one
+    * regex both engines run verbatim. */
+  def q230NumericEntities(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      lit("caf&#233; &#x41;B &#X2013;&#150; &#x1F600; z&#48;&#x000000041;" +
+        " bad&#0;&#xD800;&#x110000;&#1114112; amp&amp;#65; t&#zz; u&#;" +
+        " v&#xG1; w&#12 "),
+      col("text"))
+    load(spark, dir, "documents")
+      .select(col("doc_id"), raw.as("_raw"))
+      .select(col("doc_id"),
+        Html.decodeEntities(col("_raw")).as("decoded"),
+        size(regexp_extract_all(col("_raw"),
+          lit("&#[xX]?[0-9a-fA-F]+;"), lit(0))).cast("long").as("n_numeric"))
+      .localCheckpoint() // O(input) dump: the range sort's sampling pass
+      .orderBy(col("doc_id")) // must not re-run the decode (q204 pattern)
+  }
+
   /** q220 — sitemap.xml walk: per-site sitemaps are SYNTHESIZED
     * (urlset/url/loc/lastmod, entries in doc order inside one XML string
     * per site), the engine extracts (loc, lastmod) pairs with ONE
@@ -1018,7 +1045,8 @@ object WebQueries {
     "q225_revisit_dedup" -> (q225RevisitDedup _),
     "q226_sitemap_discovery" -> (q226SitemapDiscovery _),
     "q227_robots_from_bytes" -> (q227RobotsFromBytes _),
-    "q228_hostile_walk" -> (q228HostileWalk _)
+    "q228_hostile_walk" -> (q228HostileWalk _),
+    "q230_numeric_entities" -> (q230NumericEntities _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -1196,6 +1224,24 @@ object WebQueries {
         |    '&amp;', '&') AS decoded,
         |  CAST(len(regexp_extract_all(raw, '&(amp|lt|gt|quot|#39);'))
         |    AS BIGINT) AS n_refs
+        |FROM r ORDER BY doc_id""".stripMargin,
+    /* q230: the oracle CONSTRUCTS the decoded string from the fixture's
+     * known reference values (chr() per codepoint — numeric decoding has
+     * no relational spelling, which is why the engine side is a kernel)
+     * and counts candidate references with the same regex the engine
+     * runs on the raw string. */
+    "q230_numeric_entities" ->
+      """WITH r AS (SELECT doc_id,
+        |    'caf&#233; &#x41;B &#X2013;&#150; &#x1F600; z&#48;&#x000000041;' ||
+        |      ' bad&#0;&#xD800;&#x110000;&#1114112; amp&amp;#65; t&#zz; u&#;' ||
+        |      ' v&#xG1; w&#12 ' || text AS raw,
+        |    'caf' || chr(233) || ' AB ' || chr(8211) || chr(8211) || ' ' ||
+        |      chr(128512) || ' z0A bad' || repeat(chr(65533), 4) ||
+        |      ' amp&#65; t&#zz; u&#; v&#xG1; w&#12 ' || text AS decoded
+        |  FROM documents)
+        |SELECT doc_id, decoded,
+        |  CAST(len(regexp_extract_all(raw, '&#[xX]?[0-9a-fA-F]+;'))
+        |    AS BIGINT) AS n_numeric
         |FROM r ORDER BY doc_id""".stripMargin,
     /* q220: survivors are the uncrawled id classes with their derived
      * lastmod strings — the XML assembly/extraction round-trip must be

@@ -127,12 +127,81 @@ class WebSpec extends AnyFunSuite {
       ("&lt;a href=&quot;/x&quot;&gt;", "<a href=\"/x\">"),
       ("no refs at all", "no refs at all"),
       ("&unknown; &euro;", "&unknown; &euro;"), // out-of-scope names
-      ("", ""))
+      ("", ""),
+      // numeric references (r18): decimal, hex both spellings, leading
+      // zeros value-capped, C1 remap, astral, the U+FFFD classes,
+      // invalid bodies and unterminated refs ride through
+      ("caf&#233;", "café"),
+      ("&#x41;&#X41;&#x0000041;", "AAA"),
+      ("&#150; is &#x2013;", "– is –"), // C1 windows-1252 remap
+      ("&#129; raw C1", "\u0081 raw C1"), // unmapped C1 passes through
+      ("&#x1F600;", new String(Character.toChars(0x1F600))),
+      ("&#0;&#xD800;&#xDFFF;&#x110000;&#1114112;", "�" * 5),
+      ("&amp;#65; once", "&#65; once"), // one pass: never rescans output
+      ("&#zz; &#; &#xG1; &#12", "&#zz; &#; &#xG1; &#12"),
+      ("&#" + "0" * 40 + "65;", "&#" + "0" * 40 + "65;"), // > lookahead cap
+      ("tail&#48", "tail&#48"))
     val got = cases.map(_._1).toDF("raw")
       .select(Html.decodeEntities(col("raw")).as("d"))
       .as[String].collect().toSeq
     got.zip(cases).foreach { case (g, (raw, want)) =>
       assert(g == want, s"raw=$raw")
+    }
+  }
+
+  test("decodeEntities generative fuzz: random token sequences (literals, " +
+       "named + numeric refs of every class, broken refs) decode to the " +
+       "construction's expectation") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // token AST: rendered form and expected decode derive from the SAME
+    // construction, never from re-parsing the rendered string
+    val litGen = Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf(('a' to 'z') ++ ('0' to '9') :+ ' ' :+ '#' :+ ';')))
+      .map(cs => (cs.mkString, cs.mkString))
+    val namedGen = Gen.oneOf(
+      ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""), ("&amp;", "&"))
+    val c1 = Map(0x80 -> 0x20AC, 0x85 -> 0x2026, 0x96 -> 0x2013,
+      0x99 -> 0x2122, 0x9F -> 0x0178) // spot rows of the spec table
+    val cpGen = Gen.frequency(
+      6 -> Gen.chooseNum(1, 0xD7FF).retryUntil(v => v < 0x80 || v > 0x9F),
+      2 -> Gen.chooseNum(0xE000, 0x10FFFF),
+      2 -> Gen.oneOf(c1.keys.toSeq),
+      1 -> Gen.oneOf(0, 0xD800, 0xDFFF, 0x110000, 0x7FFFFFFF))
+    val numGen = for {
+      cp <- cpGen
+      hex <- Gen.oneOf(true, false)
+      zeros <- Gen.chooseNum(0, 3)
+    } yield {
+      val digits = "0" * zeros + (if (hex) cp.toHexString else cp.toString)
+      val r = "&#" + (if (hex) "x" else "") + digits + ";"
+      val want =
+        if (cp == 0 || cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF)) "�"
+        else new String(Character.toChars(c1.getOrElse(cp, cp)))
+      (r, want)
+    }
+    // ride-throughs, both sides literal — all SELF-TERMINATED (their ';'
+    // is already consumed as the lookahead target and the body is
+    // invalid), so no following literal token can complete them into a
+    // real reference; unterminated tails are pinned in the hand table
+    val brokenGen = Gen.oneOf(
+      ("&#;", "&#;"), ("&#x;", "&#x;"), ("&#q7;", "&#q7;"),
+      ("&nope;", "&nope;"), ("&;", "&;"))
+    val tokGen = Gen.frequency(4 -> litGen, 2 -> numGen, 2 -> namedGen,
+      1 -> brokenGen)
+    val docGen = Gen.chooseNum(0, 12).flatMap(Gen.listOfN(_, tokGen))
+    val docs = (0 until 200).map { i =>
+      val toks = docGen.pureApply(Gen.Parameters.default, Seed(31800L + i))
+      (i.toLong, toks.map(_._1).mkString, toks.map(_._2).mkString)
+    }
+    // vacuity guards
+    assert(docs.count(_._2.contains("&#")) > 80)
+    assert(docs.count(d => d._3.contains("�")) > 10)
+    val got = docs.map(d => (d._1, d._2)).toDF("id", "raw")
+      .select(col("id"), Html.decodeEntities(col("raw")).as("d"))
+      .as[(Long, String)].collect().toMap
+    docs.foreach { case (i, raw, want) =>
+      assert(got(i) == want, s"seed ${31800 + i} raw=$raw")
     }
   }
 
