@@ -30,10 +30,26 @@ import graft.ext.Dedup
   * shard's bands are one map-side projection, the index side a bare
   * two-column parquet scan (no text, no MinHash), small batches
   * broadcast-promote under AQE. The append is the same `(id, band)`
-  * projection written once. Ingest-rate sizing is direct: the loop keeps
+  * projection written once, through the batch-id transaction log
+  * ([[TxnSink]]): at-least-once delivery × idempotent isolated writes =
+  * EXACTLY-ONCE visible index rows — a crash between append and
+  * checkpoint commit can no longer duplicate bands in a store downstream
+  * treats as ground truth (rows the batch-dedup semantics would survive,
+  * but every audit would pay a phantom-cardinality index forever).
+  * Ingest-rate sizing is direct: the loop keeps
   * up while (batch interval) > audit(batch) + append(batch).
   */
 object StreamingNearDupIndex {
+
+  /** The GROWN index: the standing corpus's flat parquet files at the
+    * directory root (the batch build) plus every COMMITTED streaming
+    * append ([[TxnSink]] — a half-appended batch is invisible here, so a
+    * crashed run can never make a document pair against a partial copy
+    * of a peer batch's bands). This is the store's only read path. */
+  def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val base = spark.read.parquet(indexDir)
+    TxnSink.read(spark, indexDir).fold(base)(base.unionByName(_))
+  }
 
   /** Audit a parquet document stream (AvailableNow) against — and fold it
     * into — the band index at `indexDir`; returns the accumulated
@@ -62,11 +78,11 @@ object StreamingNearDupIndex {
       .queryName(queryName)
       .option("checkpointLocation", s"$indexDir/_graft_checkpoint")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           // the index is RE-READ per batch: earlier batches' appends must
-          // be visible (the fold is the point)
-          val index = spark.read.parquet(indexDir)
+          // be visible (the fold is the point) — base + committed appends
+          val index = readIndex(spark, indexDir)
           // the batch's bands are computed ONCE (kernel over the batch
           // text) and reused for both the audit and the append — and the
           // audit materializes BEFORE the append makes the batch visible
@@ -75,7 +91,7 @@ object StreamingNearDupIndex {
             Dedup.nearDupBandIndex(batch, "doc_id", "text"))
           sink.add(Dedup.nearDupAuditBands(index, bands, "doc_id")
             .localCheckpoint(true))
-          bands.write.mode("append").parquet(indexDir)
+          TxnSink.append(bands, indexDir, batchId)
         }
         ()
       }

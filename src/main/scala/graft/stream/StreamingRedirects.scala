@@ -37,12 +37,13 @@ import graft.ext.{Redirects, Warc}
   * Scale design: per micro-batch cost is one demux pass (map-side) plus
   * a three-column append; resolution cost is the batch resolver's and is
   * paid per READ, not per batch — the right side of the trade when
-  * ingest is continuous and scheduling cycles are coarse. Delivery is
-  * foreachBatch's at-least-once: a crash BETWEEN the parquet append and
-  * the checkpoint commit re-appends that one batch on restart (same
-  * caveat as [[StreamingNearDupIndex]]'s index append); an
-  * exactly-once store needs a transactional/idempotent sink, out of
-  * scope here by the same documented trade. */
+  * ingest is continuous and scheduling cycles are coarse. Appends go
+  * through the batch-id transaction log ([[TxnSink]]): foreachBatch's
+  * at-least-once delivery × the sink's idempotent isolated writes =
+  * EXACTLY-ONCE visible store rows — a crash between append and
+  * checkpoint commit replays the batch into its own subdirectory
+  * instead of appending a second copy (IncrementalSpec replays every
+  * crash window). */
 object StreamingRedirects {
 
   /** Ingest a parquet WARC-blob stream (AvailableNow) into the metadata
@@ -61,15 +62,16 @@ object StreamingRedirects {
       .queryName(queryName)
       .option("checkpointLocation", s"$metaDir/_graft_checkpoint")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           batches.incrementAndGet()
           val blobs = batch
             .selectExpr("CAST(blob_id AS BIGINT) AS blob_id", "warc")
             .as[(Long, Array[Byte])]
-          Warc.extractHttpMeta(blobs)
-            .select("uri", "http_status", "location")
-            .write.mode("append").parquet(metaDir)
+          TxnSink.append(
+            Warc.extractHttpMeta(blobs)
+              .select("uri", "http_status", "location"),
+            metaDir, batchId)
         }
         ()
       }
@@ -78,8 +80,16 @@ object StreamingRedirects {
     batches.get()
   }
 
+  /** The store's committed metadata rows (uri, http_status, location) —
+    * ALL reads of the store go through the transaction log's committed
+    * set, never a raw directory scan. */
+  def storeRows(spark: SparkSession, metaDir: String): DataFrame =
+    TxnSink.read(spark, metaDir).getOrElse(
+      throw new IllegalStateException(
+        s"redirect meta store at $metaDir has no committed batches"))
+
   /** The resolved-landings view over the store: the batch resolver
     * verbatim. (orig, final_uri, final_status, hops). */
   def resolveFromStore(spark: SparkSession, metaDir: String): DataFrame =
-    Redirects.resolve(spark.read.parquet(metaDir))
+    Redirects.resolve(storeRows(spark, metaDir))
 }

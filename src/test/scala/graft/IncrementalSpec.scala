@@ -457,7 +457,7 @@ class IncrementalSpec extends AnyFunSuite {
     // (a pair between docs of different %3 classes can only surface via
     // a later batch pairing against an earlier batch's appended bands
     // or the within-batch self-join — assert the index actually grew)
-    val finalIx = spark.read.parquet(ixDir).count()
+    val finalIx = graft.stream.StreamingNearDupIndex.readIndex(spark, ixDir).count()
     val ix0 = spark.read.parquet(ixDir2).count()
     assert(finalIx > ix0, "stream never appended to the index")
     assert(streamed.exists { case (a, b) =>
@@ -503,13 +503,61 @@ class IncrementalSpec extends AnyFunSuite {
       maxFilesPerTrigger = Some(1)) == 1)
     val all = blobs.as[(Long, Array[Byte])]
     val batchMeta = Warc.extractHttpMeta(all).localCheckpoint(true)
-    assert(spark.read.parquet(metaDir).count() == batchMeta.count(),
+    assert(StreamingRedirects.storeRows(spark, metaDir).count() == batchMeta.count(),
       "store row count must equal the one-shot demux — no duplicate appends")
     val streamed = canon(StreamingRedirects.resolveFromStore(spark, metaDir))
     val batch = canon(Redirects.resolve(batchMeta))
     assert(batch.size > 400, s"non-vacuity: got ${batch.size}")
     assert(streamed == batch,
       "full store must resolve exactly as the one-shot batch chain")
+    // CRASH REPLAY (r18, the exactly-once law end-to-end): lose the
+    // streaming checkpoint entirely — the worst redelivery case, every
+    // batch replays from scratch under whatever id assignment the second
+    // run picks — and the COMMITTED store must still equal the one-shot
+    // demux row-for-row: idempotent per-batch overwrites absorb the
+    // replay, a plain append would double every row
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .foreach(deleteRec)
+      Files.delete(p)
+    }
+    deleteRec(java.nio.file.Paths.get(s"$metaDir/_graft_checkpoint"))
+    assert(StreamingRedirects.ingest(spark, streamDir.toString, metaDir,
+      maxFilesPerTrigger = Some(1)) == 3, "full redelivery expected")
+    assert(StreamingRedirects.storeRows(spark, metaDir).count() == batchMeta.count(),
+      "replayed batches must overwrite their own output, never append a second copy")
+    assert(canon(StreamingRedirects.resolveFromStore(spark, metaDir)) == batch,
+      "post-replay store must still resolve exactly as the batch chain")
+  }
+
+  test("TxnSink crash windows: replay after data-write-before-commit " +
+       "overwrites, replay after commit skips, partials stay invisible (r18)") {
+    import graft.stream.TxnSink
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_txn").toString
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // window 1: crash BETWEEN data write and commit marker — the data
+    // subdirectory exists but the batch must be invisible to readers
+    b0.write.mode("overwrite").parquet(s"$dir/_txn/batches/0")
+    assert(TxnSink.read(spark, dir).isEmpty, "uncommitted batch leaked")
+    // redelivery completes the batch: exactly one copy visible
+    TxnSink.append(b0, dir, 0L)
+    assert(TxnSink.read(spark, dir).get.count() == 2)
+    // window 2: crash AFTER commit, BEFORE checkpoint — redelivery of the
+    // same id must skip (fast path), never double
+    TxnSink.append(b0, dir, 0L)
+    assert(TxnSink.read(spark, dir).get.count() == 2)
+    // window 3: mid-write crash left a PARTIAL subdirectory for batch 1;
+    // redelivery overwrites it wholesale
+    Seq((9L, "junk")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/_txn/batches/1")
+    val b1 = Seq((3L, "c")).toDF("id", "v")
+    TxnSink.append(b1, dir, 1L)
+    val rows = TxnSink.read(spark, dir).get.as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      s"partial write survived the replay: $rows")
+    assert(TxnSink.committedIds(spark, dir) == Seq(0L, 1L))
   }
 
   test("redirect resolution is NON-monotone in edge arrival: a later hop " +
