@@ -839,6 +839,26 @@ object Warc {
     }).toDF("blob_id", "rec_idx", "uri", "content_length", "text")
   }
 
+  /** [[extractConversions]]' sibling for WAT-STYLE derived archives: one
+    * row per METADATA record — the record type CommonCrawl's WAT
+    * sidecars carry, whose payload is derived metadata about a capture
+    * (headers, outlinks, title) rather than content — (blob_id, rec_idx,
+    * uri, content_length, fields), payload decoded UTF-8 (the producing
+    * side encodes the same way). */
+  def extractMetadata(blobs: Dataset[(Long, Array[Byte])]): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.flatMap { case (blobId, bytes) =>
+      parse(bytes).iterator.collect {
+        case r if r.warcType == "metadata" =>
+          (blobId, r.recIdx.toLong,
+            if (r.targetUri.isEmpty) None else Some(r.targetUri),
+            r.contentLength,
+            new String(bytes, r.bodyOffset, r.bodyLen, UTF_8))
+      }
+    }).toDF("blob_id", "rec_idx", "uri", "content_length", "fields")
+  }
+
   /** REVISIT records per blob — the storage-dedup mechanism CommonCrawl
     * uses for unchanged pages on recrawl: no body is stored, the record
     * points at the ORIGINAL capture via WARC-Refers-To-Target-URI.

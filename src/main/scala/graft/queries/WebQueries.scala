@@ -958,6 +958,64 @@ object WebQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q231 — WAT-style METADATA sidecar: the third member of the
+    * WARC/WAT/WET derived-archive triplet CommonCrawl ships (q224 wrote
+    * WET). Per response record of the q208 crawl — 404s included, WAT
+    * covers every capture — the engine derives the capture's metadata
+    * from the ACTUAL walked bytes (HTTP status from the status line,
+    * title and outlink hrefs extracted from the body markup:
+    * [[Html.anchorPairs]], the q224 write-path discipline), serializes
+    * it as `application/warc-fields` lines inside `WARC-Type: metadata`
+    * records ([[graft.ext.Warc.synthesize]]), RE-WALKS the sidecar
+    * ([[graft.ext.Warc.extractMetadata]]), and parses the fields back —
+    * so the write→read loop covers serialization, container framing, and
+    * field recovery, and the re-walked sidecar must join back to the
+    * source walk doc-for-doc. The oracle replays the construction
+    * arithmetically (title/outlinks are closed-form in doc_id; wat_bytes
+    * is the declared Content-Length of the fields payload). Shuffles:
+    * the blob groupBys; everything else map-side demux. */
+  def q231WatSidecar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.Warc
+    val meta = Warc.extractResponseBodies(crawlBlobs(spark, dir))
+      .select(
+        regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        col("http_status"),
+        regexp_extract(col("body"), "<title>([^<]*)</title>", 1).as("_t"),
+        Html.anchorPairs(col("body")).as("_ap"))
+      .select(col("doc_id"),
+        concat(
+          lit("Status: "), col("http_status").cast("string"), lit("\r\n"),
+          lit("Title: "), col("_t"), lit("\r\n"),
+          lit("Outlinks: "),
+          concat_ws(" ", expr("transform(_ap, a -> a.href)")), lit("\r\n"))
+          .as("payload"))
+      .as[(Long, String)]
+    val wat = meta.groupByKey(_._1 / 8).mapGroups { (b, it) =>
+      val entries = it.toArray.sortBy(_._1).toSeq.map { case (id, p) =>
+        Warc.Entry("metadata", Some(s"https://example.org/doc/$id"),
+          "application/warc-fields",
+          p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      (b, Warc.synthesize(entries))
+    }
+    Warc.extractMetadata(wat)
+      .select(
+        regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        regexp_extract(col("fields"), "Status: ([0-9]+)", 1).cast("long")
+          .as("http_status"),
+        regexp_extract(col("fields"), "Title: ([^\r]*)", 1).as("title"),
+        regexp_extract(col("fields"), "Outlinks: ([^\r]*)", 1).as("outlinks"),
+        col("content_length").as("wat_bytes"))
+      .withColumn("n_links",
+        when(col("outlinks") === "", lit(0L))
+          .otherwise(size(split(col("outlinks"), " ")).cast("long")))
+      .localCheckpoint() // O(input) dump: the sort's sampling pass must
+      .orderBy(col("doc_id")) // not re-run the demux (q204 pattern)
+  }
+
   /** q225 — REVISIT records and storage-dedup reconstruction: the
     * recrawl convention CommonCrawl actually ships. Crawl 1 stores every
     * page's body; on crawl 2, CHANGED pages (odd ids) store a fresh
@@ -1046,7 +1104,8 @@ object WebQueries {
     "q226_sitemap_discovery" -> (q226SitemapDiscovery _),
     "q227_robots_from_bytes" -> (q227RobotsFromBytes _),
     "q228_hostile_walk" -> (q228HostileWalk _),
-    "q230_numeric_entities" -> (q230NumericEntities _)
+    "q230_numeric_entities" -> (q230NumericEntities _),
+    "q231_wat_sidecar" -> (q231WatSidecar _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -1109,6 +1168,33 @@ object WebQueries {
         |SELECT doc_id, CAST(strlen(extracted) AS BIGINT) AS wet_bytes,
         |  extracted AS text
         |FROM s WHERE doc_id % 13 <> 0 ORDER BY doc_id""".stripMargin,
+    /* q231: the WAT construction replayed arithmetically — status by id
+     * class, title/outlinks closed-form in doc_id (the synthPage anchor
+     * set: nav + conditional related block + footer, in page order),
+     * wat_bytes the strlen of the exact warc-fields payload. The 404
+     * page has no title element and no anchors: empty fields, 0 links. */
+    "q231_wat_sidecar" ->
+      """WITH w AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS code,
+        |    CASE WHEN doc_id % 13 = 0 THEN ''
+        |      ELSE 'doc ' || CAST(doc_id AS VARCHAR) END AS title,
+        |    CASE WHEN doc_id % 13 = 0 THEN ''
+        |      ELSE '/ /about /contact' ||
+        |        CASE WHEN doc_id % 3 = 0 THEN
+        |          ' /doc/' || CAST(doc_id + 1 AS VARCHAR) ||
+        |          ' /doc/' || CAST(doc_id * 2 AS VARCHAR) ELSE '' END ||
+        |        ' /privacy /terms' END AS outlinks
+        |  FROM documents),
+        | p AS (SELECT *,
+        |    'Status: ' || CAST(code AS VARCHAR) || chr(13) || chr(10) ||
+        |    'Title: ' || title || chr(13) || chr(10) ||
+        |    'Outlinks: ' || outlinks || chr(13) || chr(10) AS payload
+        |  FROM w)
+        |SELECT doc_id, CAST(code AS BIGINT) AS http_status, title, outlinks,
+        |  CAST(strlen(payload) AS BIGINT) AS wat_bytes,
+        |  CAST(CASE WHEN outlinks = '' THEN 0
+        |    ELSE len(string_split(outlinks, ' ')) END AS BIGINT) AS n_links
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q204_html_extract" ->
       s"""WITH $HtmlExtractCtes
         |SELECT doc_id, n_blocks, n_kept, kept_chars, total_chars,

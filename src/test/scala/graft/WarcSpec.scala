@@ -492,6 +492,28 @@ class WarcSpec extends AnyFunSuite {
     assert(got.forall(_._2.startsWith("https://h/doc/")))
   }
 
+  test("extractMetadata: WAT-style metadata records round-trip their " +
+       "warc-fields payload; other record types never leak in") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val fields = "Status: 200\r\nTitle: café page\r\nOutlinks: /a /b\r\n"
+    val blob = Warc.synthesize(Seq(
+      Warc.Entry("metadata", Some("https://h/1"), "application/warc-fields",
+        fields.getBytes(UTF_8)),
+      Warc.Entry("response", Some("https://h/1"),
+        "application/http; msgtype=response",
+        Warc.httpResponse("200 OK", "body")),
+      Warc.Entry("metadata", None, "application/warc-fields",
+        "Status: 404\r\n".getBytes(UTF_8))))
+    val got = Warc.extractMetadata(Seq((3L, blob)).toDS())
+      .select("blob_id", "rec_idx", "uri", "content_length", "fields")
+      .as[(Long, Long, Option[String], Long, String)].collect().toSeq
+      .sortBy(_._2)
+    assert(got == Seq(
+      (3L, 0L, Some("https://h/1"), fields.getBytes(UTF_8).length.toLong, fields),
+      (3L, 2L, None, 13L, "Status: 404\r\n")))
+  }
+
   test("revisit records: extra WARC headers round-trip, refers-to is " +
        "captured, and revisits never leak into the response row set") {
     val spark = TestSpark.spark
