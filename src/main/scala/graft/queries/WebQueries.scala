@@ -715,6 +715,64 @@ object WebQueries {
       .transform(tinySort(_, col("doc_id")))
   }
 
+  /** q232 — the CANONICAL-KEYED frontier ([[graft.ext.Urls.canonical]],
+    * q89's operator routed into the crawl tier): sitemap candidates
+    * arrive under mirror-variant spellings — scheme case (`HTTP://`),
+    * `www.` prefixes, trailing slashes, tracking params, fragments, and
+    * for every fifth doc a SECOND full spelling with a later lastmod —
+    * while the already-crawled frontier holds the plain spelling. Both
+    * sides of the anti-join key on the canonical form: a raw-string
+    * anti-join (q220's, which is safe there only because its fixture is
+    * single-spelling by construction) would drop NOTHING here and
+    * double-fetch every crawled page; and the candidate set itself
+    * dedupes by canonical key (n_spellings, latest lastmod, min raw
+    * spelling — the crawl-scheduler's view). The oracle replays every
+    * spelling class closed-form. Idempotence of the key is pinned
+    * separately (PropertySpec's canonical fixpoint law). Shuffles: one
+    * canonical-key groupBy + one anti-join — both on the dedup key, the
+    * q89 scale shape. */
+  def q232CanonicalFrontier(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Urls
+    val base = load(spark, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 7).cast("string").as("site"),
+        expr("""'https://site' || CAST(doc_id % 7 AS STRING) ||
+          '.example.org/doc/' || CAST(doc_id AS STRING)""").as("plain"),
+        expr("""'2026-' || lpad(CAST(1 + doc_id % 12 AS STRING), 2, '0') ||
+          '-' || lpad(CAST(1 + doc_id % 28 AS STRING), 2, '0')""")
+          .as("lastmod"))
+    val spelled = base
+      .withColumn("url", expr("""CASE CAST(doc_id % 5 AS INT)
+        WHEN 1 THEN 'HTTP://WWW.' || substr(plain, 9)
+        WHEN 2 THEN plain || '/'
+        WHEN 3 THEN plain || '?utm_source=feed'
+        WHEN 4 THEN plain || '#frag'
+        ELSE plain END"""))
+      .select(col("site"), col("url"), col("lastmod"))
+    val dupes = base.filter(col("doc_id") % 5 === 0)
+      .select(col("site"),
+        expr("""'https://www.site' || CAST(doc_id % 7 AS STRING) ||
+          '.example.org/doc/' || CAST(doc_id AS STRING) ||
+          '?utm_source=x&ref=z'""").as("url"),
+        lit("2027-01-01").as("lastmod"))
+    val crawled = base.filter(col("doc_id") % 3 === 0)
+      .select(Urls.canonical(col("plain")).as("canon"))
+    spelled.unionByName(dupes)
+      .select(col("site"), Urls.canonical(col("url")).as("canon"),
+        col("url"), col("lastmod"))
+      .groupBy(col("canon"))
+      .agg(min(col("site")).as("site"),
+        count(lit(1)).as("n_spellings"),
+        min(col("url")).as("first_spelling"),
+        max(col("lastmod")).as("lastmod"))
+      .join(crawled, Seq("canon"), "left_anti")
+      .select(
+        regexp_extract(col("canon"), "/doc/([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        col("site"), col("canon").as("canon_url"), col("n_spellings"),
+        col("lastmod"), col("first_spelling"))
+      .transform(tinySort(_, col("doc_id")))
+  }
+
   /** q226 — sitemap DISCOVERY through robots.txt: the `Sitemap:`
     * directive (RFC 9309 §2.3 — group-INDEPENDENT, typically written
     * above any group) is parsed by the same relational parser as the
@@ -1105,7 +1163,8 @@ object WebQueries {
     "q227_robots_from_bytes" -> (q227RobotsFromBytes _),
     "q228_hostile_walk" -> (q228HostileWalk _),
     "q230_numeric_entities" -> (q230NumericEntities _),
-    "q231_wat_sidecar" -> (q231WatSidecar _)
+    "q231_wat_sidecar" -> (q231WatSidecar _),
+    "q232_canonical_frontier" -> (q232CanonicalFrontier _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -1329,6 +1388,32 @@ object WebQueries {
         |  CAST(len(regexp_extract_all(raw, '&#[xX]?[0-9a-fA-F]+;'))
         |    AS BIGINT) AS n_numeric
         |FROM r ORDER BY doc_id""".stripMargin,
+    /* q232: every spelling class replayed closed-form — survivors are
+     * the uncrawled ids, canon_url is host+path (scheme/www/slash/
+     * params/fragment collapsed), duplicates count 2 spellings and take
+     * the later lastmod, min raw spelling is the CASE form (the plain
+     * spelling sorts below 'https://www.' for duplicated docs). */
+    "q232_canonical_frontier" ->
+      """WITH b AS (SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS site,
+        |    'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS plain,
+        |    '2026-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') ||
+        |      '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS lastmod
+        |  FROM documents)
+        |SELECT doc_id, site,
+        |  'site' || site || '.example.org/doc/' || CAST(doc_id AS VARCHAR)
+        |    AS canon_url,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_spellings,
+        |  CASE WHEN doc_id % 5 = 0 THEN '2027-01-01' ELSE lastmod END
+        |    AS lastmod,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 1 THEN 'HTTP://WWW.' || substr(plain, 9)
+        |    WHEN 2 THEN plain || '/'
+        |    WHEN 3 THEN plain || '?utm_source=feed'
+        |    WHEN 4 THEN plain || '#frag'
+        |    ELSE plain END AS first_spelling
+        |FROM b WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
     /* q220: survivors are the uncrawled id classes with their derived
      * lastmod strings — the XML assembly/extraction round-trip must be
      * value-transparent for the hash to match. */
