@@ -664,8 +664,8 @@ object Warc {
         skippedB += rr.skippedBytes
         rr.recs.collect {
           case r if r.httpStatus.isDefined =>
-            val body = new String(decodedBodyBytes(member, r),
-              charsetFor(r.charset))
+            val bb = decodedBodyBytes(member, r)
+            val body = new String(bb, effectiveCharset(r, bb))
             val row = (blobId, nextIdx, r.targetUri, r.httpStatus.get.toLong,
               body)
             nextIdx += 1
@@ -748,6 +748,44 @@ object Warc {
     if (name.isEmpty) UTF_8
     else try java.nio.charset.Charset.forName(name)
     catch { case scala.util.control.NonFatal(_) => UTF_8 }
+
+  /** Bytes the HTML5 prescan may inspect (the spec's 1024-byte window —
+    * an encoding declared deeper in the page is NOT honored, by spec). */
+  val PrescanWindow = 1024
+
+  /** Bounded `<meta charset=…>` locator on the original prefix (same
+    * index discipline as the header parse — see the r17 charset fix). */
+  private val MetaCharset = java.util.regex.Pattern.compile(
+    "(?i)<meta[^>]*charset\\s*=\\s*[\"']?([a-zA-Z0-9_\\-]+)")
+
+  /** HTML5 §13.2.3.2-style META-CHARSET PRESCAN (bounded subset): when
+    * the HTTP header carries no charset parameter, real pages declare
+    * their encoding in markup — `<meta charset=…>` or the legacy
+    * `<meta http-equiv="Content-Type" content="…; charset=…">` (both
+    * spellings carry a `charset=` inside a meta tag, which is what the
+    * pattern anchors on). The scan reads at most [[PrescanWindow]] bytes
+    * of the CONTENT-decoded body, interpreted byte-transparently
+    * (ISO-8859-1 — every pre-window byte maps to one char, so indices
+    * cannot drift and the scan works for any ASCII-compatible page
+    * encoding, which is the spec's own precondition). Returns "" when
+    * nothing is declared in the window — the caller falls back to
+    * UTF-8. Never throws. */
+  def sniffCharset(body: Array[Byte]): String = {
+    val n = math.min(body.length, PrescanWindow)
+    if (n == 0) return ""
+    val prefix = new String(body, 0, n,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val m = MetaCharset.matcher(prefix)
+    if (m.find()) m.group(1) else ""
+  }
+
+  /** The record's effective charset: the Content-Type header parameter
+    * when declared (HTTP wins, per spec precedence), else the meta
+    * prescan over the content-decoded body, else UTF-8 (via
+    * [[charsetFor]]'s fallback). */
+  private def effectiveCharset(r: Rec,
+                               body: Array[Byte]): java.nio.charset.Charset =
+    charsetFor(if (r.charset.nonEmpty) r.charset else sniffCharset(body))
 
   private def recordRows(blobId: Long, bytes: Array[Byte]) =
     rowsFor(blobId, bytes, parse(bytes))
@@ -902,10 +940,11 @@ object Warc {
       parse(bytes).iterator.collect {
         case r if r.httpStatus.isDefined =>
           // bytes first (concat spans, inflate gzip), ONE decode with the
-          // declared charset — a multibyte sequence straddling a chunk
-          // boundary must decode whole
-          val body = new String(decodedBodyBytes(bytes, r),
-            charsetFor(r.charset))
+          // effective charset (header param, else meta prescan, else
+          // UTF-8) — a multibyte sequence straddling a chunk boundary
+          // must decode whole
+          val b = decodedBodyBytes(bytes, r)
+          val body = new String(b, effectiveCharset(r, b))
           (blobId, r.recIdx.toLong, r.targetUri, r.httpStatus.get.toLong, body)
       }
     }).toDF("blob_id", "rec_idx", "uri", "http_status", "body")

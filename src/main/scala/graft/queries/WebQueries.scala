@@ -236,6 +236,64 @@ object WebQueries {
       .orderBy(col("doc_id")) // re-run the demux/inflate (q204 pattern)
   }
 
+  /** q233 — HTML5 META-CHARSET PRESCAN ([[graft.ext.Warc.sniffCharset]]):
+    * pages whose encoding is declared only in markup, the case q217's
+    * header-parameter layer cannot cover. Five doc classes pin every
+    * branch AND the precedence order: (0) header param PLUS a LYING
+    * `<meta charset=utf-8>` — HTTP wins, latin-1 decodes; (1) header-less
+    * `<meta charset="ISO-8859-1">` — the prescan is load-bearing, a
+    * UTF-8 fallback would shred every é; (2) no declaration anywhere —
+    * UTF-8 fallback; (3) the legacy `http-equiv` content spelling UNDER
+    * a gzip content layer — prescan runs on content-decoded bytes;
+    * (4) the meta pushed past the 1024-byte window by a comment — by
+    * spec NOT honored, the é decodes to U+FFFD (the oracle constructs
+    * exactly that replacement, so an over-wide window breaks the hash
+    * as surely as a missing scan). */
+  def q233MetaCharset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.Warc
+    import java.nio.charset.StandardCharsets.UTF_8
+    val pad = "x" * 1100
+    val blobs = docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+      val entries = it.toArray.sortBy(_._1).toSeq.map { case (id, t) =>
+        def body(meta: String) =
+          s"<html><head>$meta</head><body><p>$t caf\u00e9</p></body></html>"
+        def hdr(ct: String, gz: Boolean = false) =
+          (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+            (if (gz) "Content-Encoding: gzip\r\n" else "") + "\r\n")
+            .getBytes(UTF_8)
+        val latin1 = "ISO-8859-1"
+        val payload = (id % 5) match {
+          case 0 => hdr(s"text/html; charset=$latin1") ++
+            body("<meta charset=\"utf-8\">").getBytes(latin1)
+          case 1 => hdr("text/html") ++
+            body("<meta charset=\"ISO-8859-1\">").getBytes(latin1)
+          case 2 => hdr("text/html") ++ body("").getBytes(UTF_8)
+          case 3 => hdr("text/html", gz = true) ++ Warc.gzip(
+            body("<meta http-equiv=\"Content-Type\" " +
+              "content=\"text/html; charset=ISO-8859-1\">").getBytes(latin1))
+          case _ => hdr("text/html") ++
+            body(s"<!--$pad--><meta charset=\"ISO-8859-1\">").getBytes(latin1)
+        }
+        Warc.Entry("response", Some(s"https://example.org/doc/$id"),
+          "application/http; msgtype=response", payload)
+      }
+      (b, Warc.synthesize(entries))
+    }
+    Warc.extractResponseBodies(blobs)
+      .select(
+        regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        col("http_status"), col("body"),
+        length(col("body")).cast("long").as("body_chars"))
+      .withColumn("mode", expr("""CASE CAST(doc_id % 5 AS INT)
+        WHEN 0 THEN 'header-wins' WHEN 1 THEN 'meta-charset'
+        WHEN 2 THEN 'utf8-fallback' WHEN 3 THEN 'http-equiv+gzip'
+        ELSE 'beyond-window' END"""))
+      .localCheckpoint() // O(input) dump: the sort's sampling pass must
+      .orderBy(col("doc_id")) // not re-run the demux (q204 pattern)
+  }
+
   /** Hostile record-per-member `.warc.gz` synthesis — the q228/q229
     * shared builder, every production failure layer planted at once:
     * each (id, status, body) becomes ONE gzip member holding one
@@ -1164,7 +1222,8 @@ object WebQueries {
     "q228_hostile_walk" -> (q228HostileWalk _),
     "q230_numeric_entities" -> (q230NumericEntities _),
     "q231_wat_sidecar" -> (q231WatSidecar _),
-    "q232_canonical_frontier" -> (q232CanonicalFrontier _)
+    "q232_canonical_frontier" -> (q232CanonicalFrontier _),
+    "q233_meta_charset" -> (q233MetaCharset _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -1683,6 +1742,33 @@ object WebQueries {
         |  k.skipped_member_bytes
         |FROM surv s JOIN skip k USING (blob_id)
         |ORDER BY s.blob_id, s.rec_idx""".stripMargin,
+    /* q233: the oracle constructs each class's decoded string — chr(233)
+     * where a declaration (header or in-window meta) names latin-1,
+     * chr(65533) where the spec says the declaration is OUT of reach
+     * (beyond the 1024-byte prescan window) and the latin-1 é must shred
+     * under the UTF-8 fallback. */
+    "q233_meta_charset" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN '<meta charset="utf-8">'
+        |      WHEN 1 THEN '<meta charset="ISO-8859-1">'
+        |      WHEN 2 THEN ''
+        |      WHEN 3 THEN '<meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1">'
+        |      ELSE '<!--' || repeat('x', 1100) || '--><meta charset="ISO-8859-1">' END AS meta,
+        |    CASE WHEN doc_id % 5 = 4 THEN chr(65533) ELSE chr(233) END AS e
+        |  FROM documents),
+        | p AS (SELECT doc_id,
+        |    '<html><head>' || meta || '</head><body><p>' || text ||
+        |      ' caf' || e || '</p></body></html>' AS body
+        |  FROM d)
+        |SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'header-wins' WHEN 1 THEN 'meta-charset'
+        |    WHEN 2 THEN 'utf8-fallback' WHEN 3 THEN 'http-equiv+gzip'
+        |    ELSE 'beyond-window' END AS mode,
+        |  CAST(200 AS BIGINT) AS http_status, body,
+        |  CAST(length(body) AS BIGINT) AS body_chars
+        |FROM p ORDER BY doc_id""".stripMargin,
     /* q212: the oracle resolves the chains by RECURSIVE fixpoint (vs the
      * engine's bounded unrolled joins — different algorithm, same
      * semantics) with the same 3-hop cap in the recursion guard; the

@@ -452,6 +452,42 @@ class WarcSpec extends AnyFunSuite {
     assert(upper.head.charset == "ISO-8859-1")
   }
 
+  test("meta-charset prescan: both spellings honored header-lessly, header " +
+       "wins over a lying meta, window-bounded, never throws (r18)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val body = "café déjà vu"
+    def bodyOf(payload: Array[Byte]): String =
+      Warc.extractResponseBodies(Seq((1L,
+        Warc.synthesize(Seq(respEntry(payload))))).toDS())
+        .select("body").as[String].collect().head
+    def page(meta: String) =
+      s"<html><head>$meta</head><body>$body</body></html>"
+    def plainHdr = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+    // header-less + <meta charset=...>: prescan decodes latin-1 exactly
+    val m1 = page("<meta charset=\"ISO-8859-1\">")
+    assert(bodyOf(plainHdr.getBytes(UTF_8) ++ m1.getBytes("ISO-8859-1")) == m1)
+    // the legacy http-equiv spelling, unquoted value, odd spacing
+    val m2 = page("<meta http-equiv=Content-Type " +
+      "content=\"text/html; charset = ISO-8859-1\">")
+    assert(bodyOf(plainHdr.getBytes(UTF_8) ++ m2.getBytes("ISO-8859-1")) == m2)
+    // HTTP header wins over a LYING meta (precedence per spec)
+    val m3 = page("<meta charset=\"utf-8\">")
+    assert(bodyOf(("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+      "charset=ISO-8859-1\r\n\r\n").getBytes(UTF_8) ++
+      m3.getBytes("ISO-8859-1")) == m3)
+    // beyond the 1024-byte window: NOT honored, UTF-8 fallback shreds é
+    val m4 = page("<!--" + "x" * 1100 + "--><meta charset=\"ISO-8859-1\">")
+    assert(bodyOf(plainHdr.getBytes(UTF_8) ++ m4.getBytes("ISO-8859-1"))
+      == m4.replace("é", "�").replace("à", "�"))
+    // direct kernel: empty and binary junk never throw
+    assert(Warc.sniffCharset(Array.emptyByteArray) == "")
+    assert(Warc.sniffCharset(Array.fill[Byte](2000)(0x9c.toByte)) == "")
+    // a charset= OUTSIDE a meta tag is not a declaration
+    assert(Warc.sniffCharset(
+      "<p>set charset=KOI8-R in your editor</p>".getBytes(UTF_8)) == "")
+  }
+
   test("transfer layer strictly before content layer: a chunked gzip body " +
        "reassembles the stream, THEN inflates (RFC 9110 ordering)") {
     val spark = TestSpark.spark
