@@ -188,10 +188,24 @@ object Bench {
       // warmup and the adaptive re-run rule are unchanged (the harness
       // stays comparable round-over-round).
       val clean = ok.filter(a => a._4 >= 0 && a._4 < 1.0)
-      val best = if (clean.nonEmpty) clean.minBy(_._1)
-                 else if (ok.nonEmpty) ok.minBy(_._1)
-                 else (-1.0, 0.0, -1.0, -1.0, -1.0)
-      val contended = ok.nonEmpty && clean.isEmpty && ok.exists(_._4 >= 1.0)
+      // r17 verdict nit: the <1% threshold is binary, so a barely-clean
+      // SLOW attempt (e.g. q166's 7.06 s at 0.50% steal, with a 2.27 s
+      // attempt at 1.39% in the same run) could masquerade as a
+      // regression. When the clean min exceeds 2× the global min, the
+      // clean label is doing more harm than the steal it guards against:
+      // report the global min and flag `contended` so the number is
+      // visibly not like-for-like.
+      val cleanBest = if (clean.nonEmpty) Some(clean.minBy(_._1)) else None
+      val globalBest = if (ok.nonEmpty) Some(ok.minBy(_._1)) else None
+      val best = (cleanBest, globalBest) match {
+        case (Some(c), Some(g)) if c._1 > 2.0 * g._1 => g
+        case (Some(c), _) => c
+        case (_, Some(g)) => g
+        case _ => (-1.0, 0.0, -1.0, -1.0, -1.0)
+      }
+      val contended = ok.nonEmpty &&
+        ((clean.isEmpty && ok.exists(_._4 >= 1.0)) ||
+          cleanBest.exists(c => globalBest.exists(g => c._1 > 2.0 * g._1)))
       // every attempt's wall + jit + steal ride along (ADVICE r9: the
       // variable-N min must be auditable — a reader can see how many
       // attempts ran, which one the reported floor came from, and whether
