@@ -664,8 +664,7 @@ object Warc {
         skippedB += rr.skippedBytes
         rr.recs.collect {
           case r if r.httpStatus.isDefined =>
-            val bb = decodedBodyBytes(member, r)
-            val body = new String(bb, effectiveCharset(r, bb))
+            val body = decodeBodyString(r, decodedBodyBytes(member, r))
             val row = (blobId, nextIdx, r.targetUri, r.httpStatus.get.toLong,
               body)
             nextIdx += 1
@@ -786,6 +785,35 @@ object Warc {
   private def effectiveCharset(r: Rec,
                                body: Array[Byte]): java.nio.charset.Charset =
     charsetFor(if (r.charset.nonEmpty) r.charset else sniffCharset(body))
+
+  /** Byte-order mark at the head of `b`: (charset, BOM length). BOM
+    * sniffing is STEP ONE of the HTML5 encoding algorithm (WHATWG HTML
+    * §13.2.3.1) — it outranks even the HTTP header, because the byte
+    * pattern is unforgeable evidence of the actual encoding while
+    * headers routinely lie. */
+  private def bomCharset(
+      b: Array[Byte]): Option[(java.nio.charset.Charset, Int)] = {
+    import java.nio.charset.StandardCharsets.{UTF_16BE, UTF_16LE}
+    if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte &&
+      b(2) == 0xBF.toByte) Some((UTF_8, 3))
+    else if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte)
+      Some((UTF_16BE, 2))
+    else if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xFE.toByte)
+      Some((UTF_16LE, 2))
+    else None
+  }
+
+  /** Decode a record's CONTENT-decoded body bytes to the body string —
+    * the one shared decode for every consumer, full HTML5 precedence:
+    * BOM (consumed, never leaked into the text — the JDK does not strip
+    * a UTF-8 BOM on its own) > Content-Type charset parameter >
+    * in-window `<meta charset=…>` prescan > UTF-8. Never throws
+    * (unknown names fall back; malformed sequences decode to U+FFFD). */
+  private def decodeBodyString(r: Rec, b: Array[Byte]): String =
+    bomCharset(b) match {
+      case Some((cs, skip)) => new String(b, skip, b.length - skip, cs)
+      case None => new String(b, effectiveCharset(r, b))
+    }
 
   private def recordRows(blobId: Long, bytes: Array[Byte]) =
     rowsFor(blobId, bytes, parse(bytes))
@@ -939,12 +967,12 @@ object Warc {
     blobs.mapPartitions(_.flatMap { case (blobId, bytes) =>
       parse(bytes).iterator.collect {
         case r if r.httpStatus.isDefined =>
-          // bytes first (concat spans, inflate gzip), ONE decode with the
-          // effective charset (header param, else meta prescan, else
+          // bytes first (concat spans, inflate gzip), ONE decode under
+          // the full precedence (BOM > header param > meta prescan >
           // UTF-8) — a multibyte sequence straddling a chunk boundary
           // must decode whole
           val b = decodedBodyBytes(bytes, r)
-          val body = new String(b, effectiveCharset(r, b))
+          val body = decodeBodyString(r, b)
           (blobId, r.recIdx.toLong, r.targetUri, r.httpStatus.get.toLong, body)
       }
     }).toDF("blob_id", "rec_idx", "uri", "http_status", "body")

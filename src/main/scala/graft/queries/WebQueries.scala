@@ -294,6 +294,61 @@ object WebQueries {
       .orderBy(col("doc_id")) // not re-run the demux (q204 pattern)
   }
 
+  /** q234 — BYTE-ORDER-MARK sniffing, STEP ONE of the HTML5 encoding
+    * algorithm (WHATWG §13.2.3.1 — the BOM outranks even the HTTP
+    * header, because the byte pattern is unforgeable while headers
+    * routinely lie): (0) no BOM control; (1) UTF-8 BOM — must be
+    * CONSUMED, never leaked as U+FEFF into the text (the JDK does not
+    * strip it on its own); (2) UTF-16LE BOM under a LYING
+    * `charset=ISO-8859-1` header — BOM wins, a header-first decode
+    * would shred every code unit; (3) UTF-16BE BOM under a gzip content
+    * layer with a LYING in-body meta — BOM beats the prescan too, and
+    * the sniff runs on content-decoded bytes. The oracle constructs the
+    * exact decoded strings; é rides in every body so each wrong-branch
+    * decode breaks the hash. */
+  def q234BomCharset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.Warc
+    import java.nio.charset.StandardCharsets.{UTF_8, UTF_16BE, UTF_16LE}
+    val blobs = docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+      val entries = it.toArray.sortBy(_._1).toSeq.map { case (id, t) =>
+        val plainb = s"<html><body><p>$t caf\u00e9</p></body></html>"
+        val metab = "<html><head><meta charset=\"ISO-8859-1\"></head>" +
+          s"<body><p>$t caf\u00e9</p></body></html>"
+        def hdr(ct: String, gz: Boolean = false) =
+          (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+            (if (gz) "Content-Encoding: gzip\r\n" else "") + "\r\n")
+            .getBytes(UTF_8)
+        val bom8 = Array(0xEF, 0xBB, 0xBF).map(_.toByte)
+        val bomLE = Array(0xFF, 0xFE).map(_.toByte)
+        val bomBE = Array(0xFE, 0xFF).map(_.toByte)
+        val payload = (id % 4) match {
+          case 0 => hdr("text/html") ++ plainb.getBytes(UTF_8)
+          case 1 => hdr("text/html") ++ bom8 ++ plainb.getBytes(UTF_8)
+          case 2 => hdr("text/html; charset=ISO-8859-1") ++ bomLE ++
+            plainb.getBytes(UTF_16LE)
+          case _ => hdr("text/html", gz = true) ++
+            Warc.gzip(bomBE ++ metab.getBytes(UTF_16BE))
+        }
+        Warc.Entry("response", Some(s"https://example.org/doc/$id"),
+          "application/http; msgtype=response", payload)
+      }
+      (b, Warc.synthesize(entries))
+    }
+    Warc.extractResponseBodies(blobs)
+      .select(
+        regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        col("http_status"), col("body"),
+        length(col("body")).cast("long").as("body_chars"))
+      .withColumn("mode", expr("""CASE CAST(doc_id % 4 AS INT)
+        WHEN 0 THEN 'plain' WHEN 1 THEN 'bom-utf8'
+        WHEN 2 THEN 'bom-utf16le-lying-header'
+        ELSE 'bom-utf16be-gzip-lying-meta' END"""))
+      .localCheckpoint() // O(input) dump: the sort's sampling pass must
+      .orderBy(col("doc_id")) // not re-run the demux (q204 pattern)
+  }
+
   /** Hostile record-per-member `.warc.gz` synthesis — the q228/q229
     * shared builder, every production failure layer planted at once:
     * each (id, status, body) becomes ONE gzip member holding one
@@ -1223,7 +1278,8 @@ object WebQueries {
     "q230_numeric_entities" -> (q230NumericEntities _),
     "q231_wat_sidecar" -> (q231WatSidecar _),
     "q232_canonical_frontier" -> (q232CanonicalFrontier _),
-    "q233_meta_charset" -> (q233MetaCharset _)
+    "q233_meta_charset" -> (q233MetaCharset _),
+    "q234_bom_charset" -> (q234BomCharset _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -1769,6 +1825,27 @@ object WebQueries {
         |  CAST(200 AS BIGINT) AS http_status, body,
         |  CAST(length(body) AS BIGINT) AS body_chars
         |FROM p ORDER BY doc_id""".stripMargin,
+    /* q234: the oracle constructs the decoded strings directly — the
+     * BOM itself never appears in any expected body (consumed by the
+     * sniff), and classes 2/3 only hash-match if the UTF-16 code units
+     * decoded under the BOM's charset, not the lying header's/meta's. */
+    "q234_bom_charset" ->
+      """WITH d AS (SELECT doc_id,
+        |    '<html><body><p>' || text || ' caf' || chr(233) ||
+        |      '</p></body></html>' AS plainb,
+        |    '<html><head><meta charset="ISO-8859-1"></head><body><p>' ||
+        |      text || ' caf' || chr(233) || '</p></body></html>' AS metab
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'plain' WHEN 1 THEN 'bom-utf8'
+        |    WHEN 2 THEN 'bom-utf16le-lying-header'
+        |    ELSE 'bom-utf16be-gzip-lying-meta' END AS mode,
+        |  CAST(200 AS BIGINT) AS http_status,
+        |  CASE WHEN doc_id % 4 = 3 THEN metab ELSE plainb END AS body,
+        |  CAST(length(CASE WHEN doc_id % 4 = 3 THEN metab ELSE plainb END)
+        |    AS BIGINT) AS body_chars
+        |FROM d ORDER BY doc_id""".stripMargin,
     /* q212: the oracle resolves the chains by RECURSIVE fixpoint (vs the
      * engine's bounded unrolled joins — different algorithm, same
      * semantics) with the same 3-hop cap in the recursion guard; the

@@ -488,6 +488,37 @@ class WarcSpec extends AnyFunSuite {
       "<p>set charset=KOI8-R in your editor</p>".getBytes(UTF_8)) == "")
   }
 
+  test("BOM sniffing is step one: consumed never leaked, beats a lying " +
+       "header and a lying meta, works under the content layer (r18)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.{UTF_16BE, UTF_16LE}
+    val body = "café déjà vu"
+    def bodyOf(payload: Array[Byte]): String =
+      Warc.extractResponseBodies(Seq((1L,
+        Warc.synthesize(Seq(respEntry(payload))))).toDS())
+        .select("body").as[String].collect().head
+    val bom8 = Array(0xEF, 0xBB, 0xBF).map(_.toByte)
+    val bomLE = Array(0xFF, 0xFE).map(_.toByte)
+    val bomBE = Array(0xFE, 0xFF).map(_.toByte)
+    def plainHdr = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+    // UTF-8 BOM: consumed — no U+FEFF at the head of the text
+    assert(bodyOf(plainHdr.getBytes(UTF_8) ++ bom8 ++ body.getBytes(UTF_8))
+      == body)
+    // UTF-16LE BOM beats a lying latin-1 header parameter
+    assert(bodyOf(("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+      "charset=ISO-8859-1\r\n\r\n").getBytes(UTF_8) ++ bomLE ++
+      body.getBytes(UTF_16LE)) == body)
+    // UTF-16BE BOM beats a lying in-window meta, under gzip
+    val metab = "<meta charset=\"ISO-8859-1\">" + body
+    assert(bodyOf(("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n" +
+      "Content-Type: text/html\r\n\r\n").getBytes(UTF_8) ++
+      Warc.gzip(bomBE ++ metab.getBytes(UTF_16BE))) == metab)
+    // a lone 0xFF first byte (no 0xFE after) is NOT a BOM: UTF-8 fallback
+    assert(bodyOf(plainHdr.getBytes(UTF_8) ++ Array(0xFF.toByte) ++
+      "abc".getBytes(UTF_8)) == "�abc")
+  }
+
   test("transfer layer strictly before content layer: a chunked gzip body " +
        "reassembles the stream, THEN inflates (RFC 9110 ordering)") {
     val spark = TestSpark.spark
