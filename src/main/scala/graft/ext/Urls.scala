@@ -36,6 +36,16 @@ object Urls {
     array_join(sort_array(kept), "&")
   }
 
+  /** SURT key (Sort-friendly URI Reordering Transform — the urlkey field
+    * of a CDX index line): host components REVERSED and comma-joined,
+    * `)`, then the canonical path — so one domain's pages sort together
+    * and a range scan over the sorted index covers exactly one
+    * host/prefix subtree (`org,example)/doc/7`). Built on the same
+    * [[host]]/[[path]] normalizations as [[canonical]]. */
+  def surtKey(url: Column): Column =
+    concat(array_join(reverse(split(host(url), "\\.")), ","), lit(")"),
+      path(url))
+
   /** Canonical form: `host` + `path` (+ `?` + sorted clean query). Scheme and
     * fragment are dropped entirely — http/https/HTTPS variants of one page
     * collapse. */

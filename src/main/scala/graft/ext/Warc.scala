@@ -905,6 +905,55 @@ object Warc {
     }).toDF("blob_id", "rec_idx", "uri", "content_length", "text")
   }
 
+  /** CDX-STYLE INDEX over record-per-member `.warc.gz` blobs — the
+    * fourth member of the CommonCrawl artifact family (WARC/WAT/WET/
+    * CDX): one row per member with its BYTE EXTENT in the compressed
+    * blob (offset, length — what a CDX line's offset/length fields
+    * carry) plus the record's identity (ordinal, uri, status, body mass
+    * + md5). The extent is what makes 100 TB reads cheap: a consumer
+    * holding the index range-reads ONE member instead of walking the
+    * container ([[seekRecord]] is that read). Offsets are
+    * gzip-length-dependent (not SQL-computable), so the oracle checks
+    * them INDIRECTLY: q236 seeks through them, and a wrong extent
+    * cannot re-produce the right record. */
+  def cdxIndex(blobs: Dataset[(Long, Array[Byte])],
+               maxOut: Int = 1 << 26): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.flatMap { case (blobId, gz) =>
+      gzipMemberBounds(gz, maxOut).iterator.zipWithIndex.flatMap {
+        case ((off, mlen), ord) =>
+          val member = java.util.Arrays.copyOfRange(gz, off, off + mlen)
+          gunzip(member, maxOut).iterator.flatMap { bytes =>
+            rowsFor(blobId, bytes, parse(bytes).take(1)).map { t =>
+              (blobId, ord.toLong, off.toLong, mlen.toLong,
+                t._4, t._6, t._7, t._8)
+            }
+          }
+      }
+    }).toDF("blob_id", "ordinal", "offset", "length", "uri",
+      "http_status", "body_bytes", "body_md5")
+  }
+
+  /** RANDOM-ACCESS read of one indexed member: slice exactly
+    * [offset, offset+length) out of the blob, inflate, parse — never
+    * walking the members before it (the CDX promise). Bounds-guarded
+    * and never throws: an extent outside the blob, a slice that is not
+    * a whole valid member, or a member holding no record yields None —
+    * a stale or corrupt index row is observable, not a crash. Returns
+    * (uri, http_status, body_bytes, body_md5). */
+  def seekRecord(gz: Array[Byte], offset: Long, length: Long,
+                 maxOut: Int = 1 << 26)
+      : Option[(String, Option[Long], Option[Long], Option[String])] = {
+    if (offset < 0 || length <= 0 || offset + length > gz.length) return None
+    val member = java.util.Arrays.copyOfRange(
+      gz, offset.toInt, (offset + length).toInt)
+    gunzip(member, maxOut).flatMap { bytes =>
+      rowsFor(0L, bytes, parse(bytes).take(1)).headOption
+        .map(t => (t._4.getOrElse(""), t._6, t._7, t._8))
+    }
+  }
+
   /** [[extractConversions]]' sibling for WAT-STYLE derived archives: one
     * row per METADATA record — the record type CommonCrawl's WAT
     * sidecars carry, whose payload is derived metadata about a capture

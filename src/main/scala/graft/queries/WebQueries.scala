@@ -294,6 +294,87 @@ object WebQueries {
       .orderBy(col("doc_id")) // not re-run the demux (q204 pattern)
   }
 
+  /** The q235/q236 shared blob synthesis: one RESPONSE record per doc
+    * (status per the %13 class), each record its own gzip member — the
+    * record-per-member convention whose whole point is the CDX seek. */
+  private def cdxBlobs(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    import graft.ext.Warc
+    docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+      val out = new java.io.ByteArrayOutputStream()
+      it.toArray.sortBy(_._1).foreach { case (id, t) =>
+        val status = if (id % 13 == 0) "404 Not Found" else "200 OK"
+        out.write(Warc.gzip(Warc.synthesize(Seq(Warc.Entry("response",
+          Some(s"https://example.org/doc/$id"),
+          "application/http; msgtype=response",
+          Warc.httpResponse(status,
+            s"<html><body><p>$t</p></body></html>"))))))
+      }
+      (b, out.toByteArray)
+    }
+  }
+
+  /** q235 — CDX-style index generation ([[graft.ext.Warc.cdxIndex]]):
+    * the FOURTH CommonCrawl artifact (WARC/WAT/WET/CDX done) — one row
+    * per member with its byte extent in the compressed blob, the
+    * member's ordinal, the SURT urlkey ([[graft.ext.Urls.surtKey]] —
+    * host components reversed so one domain's pages sort together), and
+    * the record's identity columns. The oracle replays everything
+    * SQL-expressible (ordinal = rank within blob, urlkey closed-form,
+    * status/mass/md5 from the construction); the byte extents are
+    * gzip-length-dependent and are proven by q236's seek instead. */
+  def q235CdxIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Warc.cdxIndex(cdxBlobs(spark, dir))
+      .select(
+        regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        col("ordinal"),
+        graft.ext.Urls.surtKey(col("uri")).as("urlkey"),
+        col("http_status"), col("body_bytes"), col("body_md5"))
+      .localCheckpoint() // O(input) dump: the sort's sampling pass must
+      .orderBy(col("doc_id")) // not re-run the demux (q204 pattern)
+
+  /** q236 — RANDOM-ACCESS reads THROUGH the index
+    * ([[graft.ext.Warc.seekRecord]]): the requested id class's rows are
+    * looked up in the q235 index, joined back to the blob bytes, and
+    * each member is range-read at exactly (offset, length) — no walk of
+    * the members before it, the access pattern that makes a 100 TB
+    * archive queryable (on a cluster the slice is an object-store range
+    * GET; here the blob rides the join). Identity columns come from the
+    * SOUGHT bytes, so a wrong extent — off by one byte anywhere — fails
+    * to inflate or parses the wrong record and breaks the hash.
+    * Materialization: the blob set is checkpointed ONCE (it feeds both
+    * the index build and the seek join). */
+  def q236CdxSeek(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.Warc
+    val blobs = cdxBlobs(spark, dir).toDF("blob_id", "warc")
+      .localCheckpoint(true)
+    val idx = Warc.cdxIndex(blobs.as[(Long, Array[Byte])])
+      .withColumn("doc_id",
+        regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long"))
+    val wanted = idx.filter(col("doc_id") % 7 === 3)
+      .select(col("blob_id"), col("ordinal"), col("offset"), col("length"))
+    wanted.join(blobs, Seq("blob_id"))
+      .select(col("blob_id"), col("ordinal"), col("offset"), col("length"),
+        col("warc"))
+      .as[(Long, Long, Long, Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (blobId, ord, off, len, gz) =>
+        Warc.seekRecord(gz, off, len).map { case (uri, st, bb, md5) =>
+          (blobId, ord, uri, st, bb, md5)
+        }
+      })
+      .toDF("blob_id", "ordinal", "uri", "http_status", "body_bytes",
+        "body_md5")
+      .select(
+        regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        col("ordinal"), graft.ext.Urls.surtKey(col("uri")).as("urlkey"),
+        col("http_status"), col("body_bytes"), col("body_md5"))
+      .transform(tinySort(_, col("doc_id")))
+  }
+
   /** q234 — BYTE-ORDER-MARK sniffing, STEP ONE of the HTML5 encoding
     * algorithm (WHATWG §13.2.3.1 — the BOM outranks even the HTTP
     * header, because the byte pattern is unforgeable while headers
@@ -1279,7 +1360,9 @@ object WebQueries {
     "q231_wat_sidecar" -> (q231WatSidecar _),
     "q232_canonical_frontier" -> (q232CanonicalFrontier _),
     "q233_meta_charset" -> (q233MetaCharset _),
-    "q234_bom_charset" -> (q234BomCharset _)
+    "q234_bom_charset" -> (q234BomCharset _),
+    "q235_cdx_index" -> (q235CdxIndex _),
+    "q236_cdx_seek" -> (q236CdxSeek _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -1846,6 +1929,13 @@ object WebQueries {
         |  CAST(length(CASE WHEN doc_id % 4 = 3 THEN metab ELSE plainb END)
         |    AS BIGINT) AS body_chars
         |FROM d ORDER BY doc_id""".stripMargin,
+    /* q235/q236: ordinal = rank within blob, urlkey = SURT closed-form,
+     * status/mass/md5 from the construction. q236 is q235 restricted to
+     * the requested id class — identical expected rows is exactly the
+     * seek law: range-reading (offset, length) must reproduce the
+     * record the walk saw. */
+    "q235_cdx_index" -> CdxSql("TRUE"),
+    "q236_cdx_seek" -> CdxSql("doc_id % 7 = 3"),
     /* q212: the oracle resolves the chains by RECURSIVE fixpoint (vs the
      * engine's bounded unrolled joins — different algorithm, same
      * semantics) with the same 3-hop cap in the recursion guard; the
@@ -1941,6 +2031,22 @@ object WebQueries {
         |FROM u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rk = 1
         |LEFT JOIN dl ON dl.site = u.site
         |ORDER BY u.doc_id""".stripMargin
+
+  /** The q235/q236 shared oracle shape — identical expected rows, q236
+    * restricted to the requested class: the seek law as SQL. */
+  private def CdxSql(pred: String): String =
+    s"""WITH d AS (SELECT doc_id, text, doc_id // 8 AS blob_id,
+       |    CAST(row_number() OVER (PARTITION BY doc_id // 8
+       |      ORDER BY doc_id) - 1 AS BIGINT) AS ordinal,
+       |    '<html><body><p>' || text || '</p></body></html>' AS body,
+       |    CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS code
+       |  FROM documents)
+       |SELECT doc_id, ordinal,
+       |  'org,example)/doc/' || CAST(doc_id AS VARCHAR) AS urlkey,
+       |  CAST(code AS BIGINT) AS http_status,
+       |  CAST(strlen(body) AS BIGINT) AS body_bytes,
+       |  md5(body) AS body_md5
+       |FROM d WHERE $pred ORDER BY doc_id""".stripMargin
 
   private lazy val WarcRecordsSql: String =
       """WITH d AS (SELECT doc_id, text, doc_id // 8 AS blob_id,

@@ -559,6 +559,36 @@ class WarcSpec extends AnyFunSuite {
     assert(got.forall(_._2.startsWith("https://h/doc/")))
   }
 
+  test("cdxIndex + seekRecord: every indexed extent range-reads back to " +
+       "exactly the walked record; stale/corrupt extents yield None (r18)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val members = entries.map(e => Warc.gzip(Warc.synthesize(Seq(e))))
+    val blob = members.reduce(_ ++ _)
+    val idx = Warc.cdxIndex(Seq((5L, blob)).toDS())
+      .select("ordinal", "offset", "length", "uri", "http_status",
+        "body_bytes", "body_md5")
+      .as[(Long, Long, Long, Option[String], Option[Long], Option[Long],
+        Option[String])].collect().toSeq.sortBy(_._1)
+    assert(idx.length == entries.length)
+    // extents tile the blob exactly
+    assert(idx.map(_._3).sum == blob.length.toLong)
+    assert(idx.head._2 == 0L)
+    // the seek law: every extent reproduces the record the walk saw
+    idx.foreach { case (ord, off, len, uri, st, bb, md5) =>
+      val got = Warc.seekRecord(blob, off, len)
+      assert(got.contains((uri.getOrElse(""), st, bb, md5)), s"ordinal $ord")
+    }
+    // off-by-one anywhere: not a valid member, None — never a wrong record
+    val (_, off1, len1, _, _, _, _) = idx(1)
+    assert(Warc.seekRecord(blob, off1 + 1, len1).isEmpty)
+    assert(Warc.seekRecord(blob, off1, len1 - 1).isEmpty)
+    // out-of-bounds extents are guarded, never a throw
+    assert(Warc.seekRecord(blob, -1, 10).isEmpty)
+    assert(Warc.seekRecord(blob, blob.length - 4, 400).isEmpty)
+    assert(Warc.seekRecord(blob, 0, 0).isEmpty)
+  }
+
   test("extractMetadata: WAT-style metadata records round-trip their " +
        "warc-fields payload; other record types never leak in") {
     val spark = TestSpark.spark
