@@ -71,7 +71,8 @@ object Warc {
                        location: String = "",
                        contentGzip: Boolean = false,
                        charset: String = "",
-                       refersTo: String = "")
+                       refersTo: String = "",
+                       etag: String = "")
 
   /** Serialize records into one WARC blob (the round-trip anchor the
     * torture specs cut prefixes from). */
@@ -255,6 +256,7 @@ object Warc {
       var bodyLen = pEnd - pStart
       var spans: Seq[(Int, Int)] = Nil
       var location = ""
+      var etag = ""
       var contentGzip = false
       var charset = ""
       if (ctype.startsWith("application/http")) {
@@ -267,6 +269,11 @@ object Warc {
           // redirect-chain resolver's input (q212)
           httpRaw.split("\r\n").find(_.toLowerCase.startsWith("location:"))
             .foreach(l => location = l.substring("location:".length).trim)
+          // ETag (cache validator, value verbatim incl. quotes/W/ —
+          // RFC 9110 §8.8.3 comparison is on the whole opaque tag) —
+          // the conditional-recrawl reconciler's input (q237)
+          httpRaw.split("\r\n").find(_.toLowerCase.startsWith("etag:"))
+            .foreach(l => etag = l.substring("etag:".length).trim)
           // Transfer-Encoding is parsed as a HEADER LINE, not a substring
           // scan over the whole block: only a Transfer-Encoding whose
           // FINAL coding (RFC 9112 §6.1: last token of the list) is
@@ -331,7 +338,7 @@ object Warc {
         }
       }
       val rec = Rec(recIdx, warcType, uri, clen, status, bodyOff, bodyLen,
-        spans, location, contentGzip, charset, refersTo)
+        spans, location, contentGzip, charset, refersTo, etag)
       // record separator CRLF CRLF; a record flush at EOF is still complete
       val next = if (startsWith(bytes, pEnd, Crlf + Crlf)) pEnd + 4 else pEnd
       Some((rec, next, next == pEnd && pEnd < bytes.length))
@@ -988,6 +995,25 @@ object Warc {
             if (r.refersTo.isEmpty) None else Some(r.refersTo))
       }
     }).toDF("blob_id", "rec_idx", "uri", "refers_to")
+  }
+
+  /** Per-response CACHE-VALIDATOR rows — the conditional-recrawl
+    * reconciler's input (q237): (blob_id, uri, http_status, etag —
+    * verbatim opaque tag per RFC 9110, NULL when absent, body mass +
+    * md5). A 304 row carries the validator and an empty body: the
+    * whole point is that the body did NOT travel. */
+  def extractValidators(blobs: Dataset[(Long, Array[Byte])]): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.flatMap { case (blobId, bytes) =>
+      val recs = parse(bytes)
+      rowsFor(blobId, bytes, recs).zip(recs).collect {
+        case ((_, _, _, uri, _, Some(st), bb, md5), r) =>
+          (blobId, uri,
+            st, if (r.etag.isEmpty) None else Some(r.etag), bb, md5)
+      }
+    }).toDF("blob_id", "uri", "http_status", "etag", "body_bytes",
+      "body_md5")
   }
 
   /** HTTP-level metadata per response record — the redirect resolver's

@@ -1268,6 +1268,78 @@ object WebQueries {
       .orderBy(col("doc_id")) // not re-run the demux (q204 pattern)
   }
 
+  /** q237 — CONDITIONAL-RECRAWL reconciliation through HTTP cache
+    * validators ([[graft.ext.Warc.extractValidators]]): q225's sibling
+    * one layer down — revisit records dedup STORAGE, ETags dedup
+    * TRANSFER. Crawl 1 stores every page with its ETag (the md5 opaque
+    * tag); crawl 2's conditional fetches come back 304 Not Modified
+    * with the SAME validator and an EMPTY body (unchanged, even ids) or
+    * 200 with a fresh body and a NEW validator (changed, odd ids). The
+    * reconciler joins the two generations on URI and emits per doc: the
+    * changed flag (from crawl 2's status line), the validator-agreement
+    * law etag_match — the engine compares the PARSED tags, and the
+    * oracle pins it to NOT changed, so a broken ETag parse cannot hide
+    * — the authoritative body's mass + md5 (fresh when changed, cached
+    * otherwise: a 304 must never overwrite the stored body with its
+    * empty one), and bytes_saved (the cached mass the 304 avoided
+    * re-transferring). Scale shape: two map-side demux passes + ONE
+    * equi-join on the URI. */
+  def q237ConditionalRecrawl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.Warc
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(x => f"$x%02x").mkString
+    }
+    def uri(id: Long) = s"https://example.org/doc/$id"
+    def respond(status: String, etag: String, body: String) =
+      (s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n" +
+        s"ETag: \"$etag\"\r\n\r\n$body")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val crawl1 = docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+      val entries = it.toArray.sortBy(_._1).toSeq.map { case (id, t) =>
+        val body = s"<html><body><p>$t</p></body></html>"
+        Warc.Entry("response", Some(uri(id)),
+          "application/http; msgtype=response",
+          respond("200 OK", md5hex(body), body))
+      }
+      (b, Warc.synthesize(entries))
+    }
+    val crawl2 = docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+      val entries = it.toArray.sortBy(_._1).toSeq.map { case (id, t) =>
+        val b1 = s"<html><body><p>$t</p></body></html>"
+        val b2 = s"<html><body><p>$t v2</p></body></html>"
+        val payload =
+          if (id % 2 == 1) respond("200 OK", md5hex(b2), b2)
+          else respond("304 Not Modified", md5hex(b1), "")
+        Warc.Entry("response", Some(uri(id)),
+          "application/http; msgtype=response", payload)
+      }
+      (b, Warc.synthesize(entries))
+    }
+    val c1 = Warc.extractValidators(crawl1)
+      .select(col("uri"), col("etag").as("etag1"),
+        col("body_bytes").as("bytes1"), col("body_md5").as("md51"))
+    val c2 = Warc.extractValidators(crawl2)
+      .select(col("uri"), col("http_status").as("status2"),
+        col("etag").as("etag2"), col("body_bytes").as("bytes2"),
+        col("body_md5").as("md52"))
+    c1.join(c2, Seq("uri"))
+      .select(
+        regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        (col("status2") === 200).as("changed"),
+        (col("etag1") === col("etag2")).as("etag_match"),
+        when(col("status2") === 200, col("md52")).otherwise(col("md51"))
+          .as("authoritative_md5"),
+        when(col("status2") === 200, col("bytes2")).otherwise(col("bytes1"))
+          .as("authoritative_bytes"),
+        when(col("status2") === 200, lit(0L)).otherwise(col("bytes1"))
+          .as("bytes_saved"))
+      .transform(tinySort(_, col("doc_id")))
+  }
+
   /** q225 — REVISIT records and storage-dedup reconstruction: the
     * recrawl convention CommonCrawl actually ships. Crawl 1 stores every
     * page's body; on crawl 2, CHANGED pages (odd ids) store a fresh
@@ -1362,7 +1434,8 @@ object WebQueries {
     "q233_meta_charset" -> (q233MetaCharset _),
     "q234_bom_charset" -> (q234BomCharset _),
     "q235_cdx_index" -> (q235CdxIndex _),
-    "q236_cdx_seek" -> (q236CdxSeek _)
+    "q236_cdx_seek" -> (q236CdxSeek _),
+    "q237_conditional_recrawl" -> (q237ConditionalRecrawl _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -1936,6 +2009,25 @@ object WebQueries {
      * record the walk saw. */
     "q235_cdx_index" -> CdxSql("TRUE"),
     "q236_cdx_seek" -> CdxSql("doc_id % 7 = 3"),
+    /* q237: both generations' bodies constructed; changed by id class;
+     * etag_match pinned to NOT changed (the validator law — the engine
+     * compares its PARSED tags, so a broken ETag parse breaks the
+     * hash); authoritative mass/md5 pick the fresh or cached body;
+     * bytes_saved is the cached mass the 304 avoided. */
+    "q237_conditional_recrawl" ->
+      """WITH d AS (SELECT doc_id,
+        |    '<html><body><p>' || text || '</p></body></html>' AS b1,
+        |    '<html><body><p>' || text || ' v2</p></body></html>' AS b2,
+        |    (doc_id % 2 = 1) AS changed
+        |  FROM documents)
+        |SELECT doc_id, changed,
+        |  (NOT changed) AS etag_match,
+        |  CASE WHEN changed THEN md5(b2) ELSE md5(b1) END AS authoritative_md5,
+        |  CAST(CASE WHEN changed THEN strlen(b2) ELSE strlen(b1) END
+        |    AS BIGINT) AS authoritative_bytes,
+        |  CAST(CASE WHEN changed THEN 0 ELSE strlen(b1) END
+        |    AS BIGINT) AS bytes_saved
+        |FROM d ORDER BY doc_id""".stripMargin,
     /* q212: the oracle resolves the chains by RECURSIVE fixpoint (vs the
      * engine's bounded unrolled joins — different algorithm, same
      * semantics) with the same 3-hop cap in the recursion guard; the

@@ -639,6 +639,17 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.parse(noSep).map(_.warcType) == Seq("warcinfo"))
   }
 
+  test("ETag header surfaces verbatim (quotes and weak prefix preserved — " +
+       "RFC 9110 opaque-tag comparison), absent = empty (r18)") {
+    def recOf(payload: String) =
+      Warc.parse(Warc.synthesize(Seq(respEntry(payload.getBytes(UTF_8))))).head
+    assert(recOf("HTTP/1.1 200 OK\r\nETag: \"abc123\"\r\n\r\nx")
+      .etag == "\"abc123\"")
+    assert(recOf("HTTP/1.1 200 OK\r\netag: W/\"v2\"\r\n\r\nx")
+      .etag == "W/\"v2\"") // case-insensitive name, verbatim value
+    assert(recOf("HTTP/1.1 200 OK\r\n\r\nx").etag == "")
+  }
+
   test("Location header surfaces case-insensitively, case-preserved value") {
     val rec = Warc.parse(Warc.synthesize(Seq(Warc.Entry("response", Some("u"),
       "application/http; msgtype=response",
