@@ -967,6 +967,68 @@ object WebQueries {
       .transform(tinySort(_, col("doc_id")))
   }
 
+  /** q238 — SITEMAP INDEX recursion (`<sitemapindex>` — how large sites
+    * actually ship their URL inventory: a sitemap-of-sitemaps whose
+    * entries are CHILD sitemap URLs, each child a bounded urlset): two
+    * extraction LEVELS compose — child locs from the index (one-group
+    * pattern), then the q220 two-group (loc, lastmod) extraction over
+    * exactly the children the index DECLARED (the fetch is a join on
+    * the child URL, so an index loc addressing nothing — or a child the
+    * index never declared — drops out, same load-bearing discovery as
+    * q226), then the crawled-frontier anti-join. Each site's docs split
+    * across two children by `doc_id div 7 % 2`, so both recursion
+    * branches carry mass on every site. Shuffles: two bounded per-site
+    * groupBys to assemble, one child-URL join, one anti-join. */
+  def q238SitemapIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = sitemapDocs(spark, dir)
+      .withColumn("child", expr("doc_id div 7 % 2"))
+    val childXml = docs
+      .groupBy(col("site"), col("child"))
+      .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"),
+            concat(lit("<url><loc>"), col("url"), lit("</loc><lastmod>"),
+              col("lastmod"), lit("</lastmod></url>")).as("entry")))),
+          x => x.getField("entry")), ""),
+        lit("</urlset>")).as("xml"))
+      .withColumn("child_url",
+        concat(lit("https://site"), col("site"),
+          lit(".example.org/sitemap-"), col("child").cast("string"),
+          lit(".xml")))
+    val indexXml = childXml
+      .groupBy(col("site"))
+      .agg(concat(lit("<?xml version=\"1.0\"?><sitemapindex>"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("child"),
+            concat(lit("<sitemap><loc>"), col("child_url"),
+              lit("</loc></sitemap>")).as("entry")))),
+          x => x.getField("entry")), ""),
+        lit("</sitemapindex>")).as("ixml"))
+    val childLocs = indexXml.select(col("site"),
+      explode(regexp_extract_all(col("ixml"),
+        lit("<sitemap><loc>([^<]*)</loc></sitemap>"), lit(1)))
+        .as("child_url"))
+    val pat = "<url><loc>([^<]*)</loc><lastmod>([^<]*)</lastmod></url>"
+    val entries = childLocs
+      .join(childXml.select(col("child_url"), col("child"), col("xml")),
+        Seq("child_url"))
+      .select(col("site"), col("child"),
+        explode(zip_with(
+          regexp_extract_all(col("xml"), lit(pat), lit(1)),
+          regexp_extract_all(col("xml"), lit(pat), lit(2)),
+          (l, m) => struct(l.as("url"), m.as("lastmod")))).as("_e"))
+      .select(col("site"), col("child"), col("_e.url").as("url"),
+        col("_e.lastmod").as("lastmod"))
+    val crawled = docs.filter(col("doc_id") % 3 === 0).select(col("url"))
+    entries
+      .join(crawled, Seq("url"), "left_anti")
+      .select(
+        regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        col("site"), col("child"), col("url"), col("lastmod"))
+      .transform(tinySort(_, col("doc_id")))
+  }
+
   /** q226 — sitemap DISCOVERY through robots.txt: the `Sitemap:`
     * directive (RFC 9309 §2.3 — group-INDEPENDENT, typically written
     * above any group) is parsed by the same relational parser as the
@@ -1435,7 +1497,8 @@ object WebQueries {
     "q234_bom_charset" -> (q234BomCharset _),
     "q235_cdx_index" -> (q235CdxIndex _),
     "q236_cdx_seek" -> (q236CdxSeek _),
-    "q237_conditional_recrawl" -> (q237ConditionalRecrawl _)
+    "q237_conditional_recrawl" -> (q237ConditionalRecrawl _),
+    "q238_sitemap_index" -> (q238SitemapIndex _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -1685,6 +1748,17 @@ object WebQueries {
         |    WHEN 4 THEN plain || '#frag'
         |    ELSE plain END AS first_spelling
         |FROM b WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
+    /* q238: survivors are the uncrawled ids with their child assignment
+     * and derived lastmod — the two-level XML round-trip (index → child
+     * urlsets) must be value-transparent end-to-end. */
+    "q238_sitemap_index" ->
+      """SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS site,
+        |  CAST((doc_id // 7) % 2 AS BIGINT) AS child,
+        |  'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |  '2026-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') ||
+        |    '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS lastmod
+        |FROM documents WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
     /* q220: survivors are the uncrawled id classes with their derived
      * lastmod strings — the XML assembly/extraction round-trip must be
      * value-transparent for the hash to match. */
