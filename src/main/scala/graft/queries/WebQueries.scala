@@ -1154,10 +1154,10 @@ object WebQueries {
     * built as plain column values (q222) or recovered from WARC bytes
     * (q227): the policy semantics cannot drift between the two
     * transports. */
-  private def robotsVerdicts(spark: SparkSession, dir: String,
-                             txts: DataFrame): DataFrame = {
-    import graft.ext.Robots
-    val docs = load(spark, dir, "documents")
+  /** The q222/q227/q239 shared fetch-candidate frame: per doc its site
+    * and a path cycling the five REP branch shapes. */
+  private def robotsCandidates(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
       .select(col("doc_id"), (col("doc_id") % 7).cast("string").as("site"),
         expr("""CASE CAST(doc_id % 5 AS INT)
           WHEN 0 THEN '/a/x' || CAST(doc_id AS STRING)
@@ -1165,6 +1165,11 @@ object WebQueries {
           WHEN 2 THEN '/tmp/' || CAST(doc_id AS STRING)
           WHEN 3 THEN '/news/' || CAST(doc_id AS STRING)
           ELSE '/img/' || CAST(doc_id AS STRING) END""").as("path"))
+
+  private def robotsVerdicts(spark: SparkSession, dir: String,
+                             txts: DataFrame): DataFrame = {
+    import graft.ext.Robots
+    val docs = robotsCandidates(spark, dir)
     val dirs = Robots.parseDirectives(txts).localCheckpoint(true) // 3 consumers
     val sel = dirs.transform(Robots.selectGroup(_, "graftbot"))
     val rules = dirs.join(sel, Seq("site", "gid"))
@@ -1212,6 +1217,55 @@ object WebQueries {
     robotsVerdicts(spark, dir, fetched)
       .localCheckpoint()
       .orderBy(col("doc_id"))
+  }
+
+  /** q239 — robots FETCH-STATUS semantics (RFC 9309 §2.3.1): what a
+    * crawler must do when robots.txt itself doesn't come back 200 —
+    * "unavailable" (4xx: the server says there IS no policy → crawler
+    * MAY access any resource, allow-all) vs "unreachable" (5xx: the
+    * policy exists but can't be read → MUST assume complete disallow).
+    * Site classes cycle 200/404/503; 200 sites resolve through the
+    * SHARED q222/q227 tail restricted to the sites whose file actually
+    * arrived (the tail's no-rules default-allow must NOT swallow the
+    * error classes — the restriction join is load-bearing), and each
+    * verdict carries its source so the three regimes are separable
+    * downstream. Fetches ride WARC bytes (the q227 transport). */
+  def q239RobotsFetchStatus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.Warc
+    val blobs = spark.range(7)
+      .select(col("id").cast("string").as("site"), robotsTxt(col("id")).as("txt"))
+      .as[(String, String)]
+      .map { case (site, txt) =>
+        val payload = (site.toLong % 3) match {
+          case 0 => Warc.httpResponse("200 OK", txt)
+          case 1 => Warc.httpResponse("404 Not Found", "no robots here")
+          case _ => Warc.httpResponse("503 Service Unavailable", "try later")
+        }
+        (site.toLong, Warc.synthesize(Seq(Warc.Entry("response",
+          Some(s"https://site$site.example.org/robots.txt"),
+          "application/http; msgtype=response", payload))))
+      }
+    val fetched = Warc.extractResponseBodies(blobs)
+      .select(
+        regexp_extract(col("uri"), "^https://site([0-9]+)\\.", 1).as("site"),
+        col("http_status"), col("body"))
+    val ok = fetched.filter(col("http_status") === 200)
+      .select(col("site"), col("body").as("txt"))
+    val ruleVerdicts = robotsVerdicts(spark, dir, ok)
+      .join(broadcast(ok.select(col("site"))), Seq("site"))
+      .select(col("doc_id"), col("site"), col("path"), col("allowed"),
+        lit("rules").as("verdict_source"))
+    val errVerdicts = robotsCandidates(spark, dir)
+      .join(broadcast(fetched.select(col("site"), col("http_status"))),
+        Seq("site"))
+      .filter(col("http_status") =!= 200)
+      .select(col("doc_id"), col("site"), col("path"),
+        (col("http_status") === 404).as("allowed"),
+        when(col("http_status") === 404, lit("unavailable"))
+          .otherwise(lit("unreachable")).as("verdict_source"))
+    ruleVerdicts.unionByName(errVerdicts)
+      .transform(tinySort(_, col("doc_id")))
   }
 
   /** q223 — the POLITENESS fetch schedule: q222's full stack (file parse
@@ -1498,7 +1552,8 @@ object WebQueries {
     "q235_cdx_index" -> (q235CdxIndex _),
     "q236_cdx_seek" -> (q236CdxSeek _),
     "q237_conditional_recrawl" -> (q237ConditionalRecrawl _),
-    "q238_sitemap_index" -> (q238SitemapIndex _)
+    "q238_sitemap_index" -> (q238SitemapIndex _),
+    "q239_robots_fetch_status" -> (q239RobotsFetchStatus _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -1778,6 +1833,37 @@ object WebQueries {
      * WARC/HTTP transport must be value-transparent for the policy. */
     "q222_robots_parse" -> RobotsVerdictSql,
     "q227_robots_from_bytes" -> RobotsVerdictSql,
+    /* q239: the q222 rule table applies only to the 200 site class
+     * (%3=0 — exactly the sites carrying graftbot groups there); 404
+     * sites are allow-all 'unavailable', 503 sites disallow-all
+     * 'unreachable' (RFC 9309 §2.3.1). */
+    "q239_robots_fetch_status" ->
+      """WITH u AS (SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS site,
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN '/a/x' || CAST(doc_id AS VARCHAR)
+        |      WHEN 1 THEN '/a/' || CAST(doc_id AS VARCHAR)
+        |      WHEN 2 THEN '/tmp/' || CAST(doc_id AS VARCHAR)
+        |      WHEN 3 THEN '/news/' || CAST(doc_id AS VARCHAR)
+        |      ELSE '/img/' || CAST(doc_id AS VARCHAR) END AS path
+        |  FROM documents),
+        | r AS (
+        |  SELECT CAST(range AS VARCHAR) AS site, '/a/x' AS p, 1 AS a
+        |    FROM range(7) WHERE range % 3 = 0
+        |  UNION ALL SELECT CAST(range AS VARCHAR), '/a/', 0
+        |    FROM range(7) WHERE range % 3 = 0),
+        | m AS (SELECT u.doc_id, r.p, r.a,
+        |    row_number() OVER (PARTITION BY u.doc_id
+        |      ORDER BY length(r.p) DESC, r.a DESC, r.p DESC) AS rk
+        |  FROM u JOIN r ON r.site = u.site AND u.path LIKE r.p || '%')
+        |SELECT u.doc_id, u.site, u.path,
+        |  CASE WHEN CAST(u.site AS INT) % 3 = 1 THEN TRUE
+        |       WHEN CAST(u.site AS INT) % 3 = 2 THEN FALSE
+        |       ELSE COALESCE(m.a = 1, TRUE) END AS allowed,
+        |  CASE WHEN CAST(u.site AS INT) % 3 = 1 THEN 'unavailable'
+        |       WHEN CAST(u.site AS INT) % 3 = 2 THEN 'unreachable'
+        |       ELSE 'rules' END AS verdict_source
+        |FROM u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rk = 1
+        |ORDER BY u.doc_id""".stripMargin,
     /* q223: q222's effective rule table + delay, then the schedule
      * window in SQL — slot (k-1)·delay per site over allowed rows. */
     "q223_fetch_schedule" ->
