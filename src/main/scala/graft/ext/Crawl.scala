@@ -26,18 +26,22 @@ object Crawl {
     * (any frame carrying uri / http_status / body — the strict walk's
     * [[Warc.extractResponseBodies]] or the hostile-bytes recovering
     * walk's [[Warc.extractHostile]]): the container layer varies, the
-    * 200 gate → id recovery → boilerplate extraction must not. */
-  def extractFrom(bodies: DataFrame, minLen: Int = 10): DataFrame =
+    * 200 gate → id recovery → boilerplate extraction must not. `extra`
+    * columns of the input ride the projection untouched (the
+    * curatedDocs convention — the streaming hostile twin carries the
+    * walk's per-blob loss columns through here). */
+  def extractFrom(bodies: DataFrame, minLen: Int = 10,
+                  extra: Seq[String] = Nil): DataFrame =
     bodies
       .filter(col("http_status") === 200)
-      .select(
+      .select(Seq(
         regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long")
           .as("doc_id"),
         col("http_status"),
-        Html.blockStats(col("body")).as("_st"))
-      .select(col("doc_id"), col("http_status"),
-        Html.pageSummary(col("_st"), minLen).as("_e"))
-      .select(col("doc_id"), col("http_status"),
+        Html.blockStats(col("body")).as("_st")) ++ extra.map(col): _*)
+      .select(Seq(col("doc_id"), col("http_status"),
+        Html.pageSummary(col("_st"), minLen).as("_e")) ++ extra.map(col): _*)
+      .select(Seq(col("doc_id"), col("http_status"),
         col("_e.n_blocks").as("n_blocks"),
         col("_e.n_kept").as("n_kept"),
         col("_e.kept_chars").as("kept_chars"),
@@ -45,5 +49,5 @@ object Crawl {
         expr("CASE WHEN _e.total_chars > 0 THEN " +
           "(_e.total_chars - _e.kept_chars) * 10000L div _e.total_chars END")
           .as("boiler_bp"),
-        col("_e.extracted").as("extracted"))
+        col("_e.extracted").as("extracted")) ++ extra.map(col): _*)
 }

@@ -387,6 +387,40 @@ class IncrementalSpec extends AnyFunSuite {
       "pruned per-batch audits must union to the same batch audit")
   }
 
+  test("streaming HOSTILE crawl ingest equals the batch walk+extraction " +
+       "over the union of micro-batches — losses included (r18)") {
+    val dir = "/root/testdata/sf0.001"
+    val blobs = graft.queries.WebQueries.hostileCrawlBlobs(spark, dir)
+      .toDF("blob_id", "warc").localCheckpoint(true)
+    // three arrival files — the law holds for ANY partitioning, and
+    // corruption arriving in any order is charged to exactly its blob
+    val streamDir = Files.createTempDirectory("graft_hostile_stream")
+    Seq(col("blob_id") % 3 === 0, col("blob_id") % 3 === 1,
+        col("blob_id") % 3 === 2).zipWithIndex.foreach { case (cut, i) =>
+      val tmp = Files.createTempDirectory(s"graft_hostile_chunk$i")
+      blobs.filter(cut).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, streamDir.resolve(s"c$i.parquet"))
+    }
+    val streamed = graft.stream.StreamingHostileCrawl
+      .runToSnapshot(spark, streamDir.toString, maxFilesPerTrigger = Some(1))
+      .collect().map(_.toString).sorted.toSeq
+    import spark.implicits._
+    val batch = graft.ext.Crawl.extractFrom(
+        graft.ext.Warc.extractHostile(blobs.as[(Long, Array[Byte])]),
+        extra = Seq("skipped_spans", "skipped_bytes", "skipped_members",
+          "skipped_member_bytes"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(batch.size > 300, s"non-vacuity: got ${batch.size}")
+    // the fixture must actually plant loss on this SF, or the law is
+    // vacuous on the columns that matter
+    assert(batch.exists(_.contains("64")), "no member loss in fixture")
+    assert(streamed == batch,
+      "per-batch hostile walks must union to the batch walk exactly, " +
+        "loss columns included")
+  }
+
   test("streaming crawl ingest equals the batch q208 chain over the union " +
        "of micro-batches (per-page independence, streamed)") {
     val dir = "/root/testdata/sf0.001"
