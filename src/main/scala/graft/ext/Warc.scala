@@ -632,6 +632,14 @@ object Warc {
         case None => skipFrom(c + 1, c) // strictly after: progress
       }
     }
+    // member-count cap with bytes remaining: the tail is neither
+    // inflated nor anchored over — charge it as ONE final skipped span
+    // (the maxSpans discipline), so "exact loss accounting" holds at
+    // every cap, never just the resync one.
+    if (!stop && c < len && out.length >= maxMembers) {
+      skipped += len - c
+      spans += 1
+    }
     GzResyncResult(out.toSeq, spans, skipped)
   }
 
@@ -759,30 +767,121 @@ object Warc {
     * an encoding declared deeper in the page is NOT honored, by spec). */
   val PrescanWindow = 1024
 
-  /** Bounded `<meta charset=…>` locator on the original prefix (same
-    * index discipline as the header parse — see the r17 charset fix). */
-  private val MetaCharset = java.util.regex.Pattern.compile(
-    "(?i)<meta[^>]*charset\\s*=\\s*[\"']?([a-zA-Z0-9_\\-]+)")
-
   /** HTML5 §13.2.3.2-style META-CHARSET PRESCAN (bounded subset): when
     * the HTTP header carries no charset parameter, real pages declare
     * their encoding in markup — `<meta charset=…>` or the legacy
-    * `<meta http-equiv="Content-Type" content="…; charset=…">` (both
-    * spellings carry a `charset=` inside a meta tag, which is what the
-    * pattern anchors on). The scan reads at most [[PrescanWindow]] bytes
-    * of the CONTENT-decoded body, interpreted byte-transparently
-    * (ISO-8859-1 — every pre-window byte maps to one char, so indices
-    * cannot drift and the scan works for any ASCII-compatible page
-    * encoding, which is the spec's own precondition). Returns "" when
-    * nothing is declared in the window — the caller falls back to
-    * UTF-8. Never throws. */
+    * `<meta http-equiv="Content-Type" content="…; charset=…">`. The
+    * scan reads at most [[PrescanWindow]] bytes of the CONTENT-decoded
+    * body, interpreted byte-transparently (ISO-8859-1 — every
+    * pre-window byte maps to one char, so indices cannot drift and the
+    * scan works for any ASCII-compatible page encoding, which is the
+    * spec's own precondition). Returns "" when nothing is declared in
+    * the window — the caller falls back to UTF-8. Never throws.
+    *
+    * ATTRIBUTE FIDELITY (r19, the r17 anchorPairs lesson applied here):
+    * each `<meta …>` tag in the window is tokenized into its attributes
+    * with quote handling, then the two HTML5 spellings are read off the
+    * ATTRIBUTE STRUCTURE — a `charset` attribute, or an
+    * `http-equiv=Content-Type` tag's `content` attribute's `charset=`
+    * parameter. A content attribute that merely MENTIONS `charset=`
+    * (`<meta name="description" content="use charset=utf-8">`) cannot
+    * hijack the page encoding, which a flat substring scan allowed.
+    *
+    * WHATWG "get an encoding" remaps (the prescan only ever runs over
+    * ASCII-compatible bytes, so a meta that claims a UTF-16 family
+    * encoding is lying about the very bytes it was decoded from):
+    * utf-16 / utf-16le / utf-16be → UTF-8; x-user-defined →
+    * windows-1252. */
   def sniffCharset(body: Array[Byte]): String = {
     val n = math.min(body.length, PrescanWindow)
     if (n == 0) return ""
     val prefix = new String(body, 0, n,
       java.nio.charset.StandardCharsets.ISO_8859_1)
-    val m = MetaCharset.matcher(prefix)
-    if (m.find()) m.group(1) else ""
+    val m = MetaTag.matcher(prefix)
+    while (m.find()) {
+      val declared = metaTagCharset(m.group(1))
+      if (declared.nonEmpty) return remapPrescan(declared)
+    }
+    ""
+  }
+
+  /** One meta tag's attribute region (everything after `<meta` up to the
+    * tag close) — tags are located structurally, attributes parsed by
+    * [[metaTagCharset]]. */
+  private val MetaTag =
+    java.util.regex.Pattern.compile("(?i)<meta[ \\t\\r\\n/]([^>]*)")
+
+  /** The `charset` parameter locator INSIDE a content-type content
+    * attribute value — whitespace-tolerant around the `=` (legacy markup
+    * writes `charset = X`), unlike the HTTP header's [[CharsetParam]]. */
+  private val MetaContentCharset =
+    java.util.regex.Pattern.compile("(?i)charset\\s*=\\s*")
+
+  /** WHATWG "get an encoding" remap for prescan results (§13.2.3.3
+    * step 4-5 analogue): a UTF-16 family declaration becomes UTF-8,
+    * x-user-defined becomes windows-1252. */
+  private def remapPrescan(name: String): String =
+    name.toLowerCase match {
+      case "utf-16" | "utf-16le" | "utf-16be" => "UTF-8"
+      case "x-user-defined" => "windows-1252"
+      case _ => name
+    }
+
+  /** The charset a single meta tag's ATTRIBUTES declare ("" when none):
+    * a `charset` attribute wins; else an `http-equiv=content-type` tag's
+    * `content` attribute is parsed for its `charset=` parameter (value
+    * to the next `;`/quote, quotes stripped). The tokenizer walks
+    * name [= value] pairs with quote handling — a `charset=` inside some
+    * OTHER attribute's quoted value is structurally invisible. */
+  private def metaTagCharset(attrs: String): String = {
+    var charsetAttr = ""
+    var httpEquiv = ""
+    var contentAttr = ""
+    var i = 0
+    val n = attrs.length
+    def isWs(c: Char) = c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '/'
+    while (i < n) {
+      while (i < n && isWs(attrs.charAt(i))) i += 1
+      val nameStart = i
+      while (i < n && !isWs(attrs.charAt(i)) && attrs.charAt(i) != '=') i += 1
+      val name = attrs.substring(nameStart, i).toLowerCase
+      while (i < n && isWs(attrs.charAt(i))) i += 1
+      var value = ""
+      if (i < n && attrs.charAt(i) == '=') {
+        i += 1
+        while (i < n && isWs(attrs.charAt(i))) i += 1
+        if (i < n && (attrs.charAt(i) == '"' || attrs.charAt(i) == '\'')) {
+          val q = attrs.charAt(i)
+          i += 1
+          val vStart = i
+          while (i < n && attrs.charAt(i) != q) i += 1
+          value = attrs.substring(vStart, i)
+          if (i < n) i += 1 // closing quote
+        } else {
+          val vStart = i
+          while (i < n && !isWs(attrs.charAt(i))) i += 1
+          value = attrs.substring(vStart, i)
+        }
+      }
+      if (name.nonEmpty) name match {
+        case "charset" => if (charsetAttr.isEmpty) charsetAttr = value.trim
+        case "http-equiv" => if (httpEquiv.isEmpty) httpEquiv = value.trim
+        case "content" => if (contentAttr.isEmpty) contentAttr = value
+        case _ => ()
+      }
+      if (nameStart == i) i += 1 // progress guard on stray bytes
+    }
+    if (charsetAttr.nonEmpty) charsetAttr
+    else if (httpEquiv.equalsIgnoreCase("content-type") && contentAttr.nonEmpty) {
+      val cm = MetaContentCharset.matcher(contentAttr)
+      if (cm.find()) {
+        var cv = contentAttr.substring(cm.end())
+        val sc = cv.indexOf(';')
+        if (sc >= 0) cv = cv.substring(0, sc)
+        cv.trim.stripPrefix("\"").stripSuffix("\"").trim
+          .takeWhile(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.')
+      } else ""
+    } else ""
   }
 
   /** The record's effective charset: the Content-Type header parameter

@@ -1,5 +1,6 @@
 package graft.stream
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 import graft.ext.{Redirects, Warc}
@@ -80,13 +81,30 @@ object StreamingRedirects {
     batches.get()
   }
 
-  /** The store's committed metadata rows (uri, http_status, location) —
-    * ALL reads of the store go through the transaction log's committed
-    * set, never a raw directory scan. */
-  def storeRows(spark: SparkSession, metaDir: String): DataFrame =
-    TxnSink.read(spark, metaDir).getOrElse(
-      throw new IllegalStateException(
-        s"redirect meta store at $metaDir has no committed batches"))
+  /** The store's metadata rows (uri, http_status, location): the
+    * transaction log's committed set, UNIONED with any root-level
+    * parquet files — rows appended by the pre-TxnSink release's plain
+    * `mode("append")` writes live at the store root and must stay
+    * visible after the migration (the [[StreamingNearDupIndex.readIndex]]
+    * pattern). New writes only ever land in committed batch
+    * subdirectories. */
+  def storeRows(spark: SparkSession, metaDir: String): DataFrame = {
+    val fs = new Path(metaDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val legacy =
+      if (fs.exists(new Path(metaDir)) &&
+          fs.listStatus(new Path(metaDir))
+            .exists(_.getPath.getName.endsWith(".parquet")))
+        Some(spark.read.parquet(metaDir)) // root files only; _txn/ ignored
+      else None
+    (legacy, TxnSink.read(spark, metaDir)) match {
+      case (Some(l), Some(c)) => l.unionByName(c)
+      case (Some(l), None) => l
+      case (None, Some(c)) => c
+      case (None, None) => throw new IllegalStateException(
+        s"redirect meta store at $metaDir has no committed batches")
+    }
+  }
 
   /** The resolved-landings view over the store: the batch resolver
     * verbatim. (orig, final_uri, final_status, hops). */

@@ -49,12 +49,18 @@ object TxnSink {
 
   /** Append `df` as batch `batchId` of the store at `dir`, exactly once:
     * skip if committed, else overwrite the batch's own subdirectory and
-    * commit the marker. */
+    * commit the marker. An EMPTY `df` commits nothing at all — a
+    * committed-but-row-less batch directory would make [[read]] return
+    * Some over paths parquet cannot infer a schema from (the
+    * all-committed-batches-empty store must behave exactly like the
+    * no-commits store), and skipping is still exactly-once: a replay of
+    * the empty batch re-evaluates to empty and skips again. */
   def append(df: DataFrame, dir: String, batchId: Long): Unit = {
     val spark = df.sparkSession
     val fs = fileSystem(spark, dir)
     val marker = commitPath(dir, batchId)
     if (fs.exists(marker)) return // replayed after commit: already visible
+    if (df.isEmpty) return // nothing to make visible; see scaladoc
     df.write.mode("overwrite").parquet(batchPath(dir, batchId))
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close() // commit point: batch becomes visible
@@ -72,10 +78,20 @@ object TxnSink {
   /** The committed rows of the store: exactly the committed batches'
     * subdirectories (uncommitted partials are never listed). Returns
     * None when no batch has committed yet (the caller supplies its own
-    * empty frame — parquet cannot read schema from nothing). */
+    * empty frame — parquet cannot read schema from nothing). Committed
+    * directories holding no data files — possible in stores written
+    * before [[append]] learned to skip empty batches — are filtered out
+    * for the same reason. */
   def read(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val ids = committedIds(spark, dir)
-    if (ids.isEmpty) None
-    else Some(spark.read.parquet(ids.map(batchPath(dir, _)): _*))
+    val fs = fileSystem(spark, dir)
+    val withData = committedIds(spark, dir)
+      .map(batchPath(dir, _))
+      .filter { p =>
+        val path = new Path(p)
+        fs.exists(path) && fs.listStatus(path)
+          .exists(_.getPath.getName.endsWith(".parquet"))
+      }
+    if (withData.isEmpty) None
+    else Some(spark.read.parquet(withData: _*))
   }
 }

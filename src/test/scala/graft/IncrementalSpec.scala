@@ -594,6 +594,57 @@ class IncrementalSpec extends AnyFunSuite {
     assert(TxnSink.committedIds(spark, dir) == Seq(0L, 1L))
   }
 
+  test("TxnSink empty batches: an all-empty store reads as None (never a " +
+       "schema-less parquet throw), empty appends skip, data still lands (r19)") {
+    import graft.stream.TxnSink
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_txn_empty").toString
+    val empty = Seq.empty[(Long, String)].toDF("id", "v")
+    // every committed batch empty (e.g. first micro-batch demuxes to
+    // zero rows): must behave exactly like the no-commits store
+    TxnSink.append(empty, dir, 0L)
+    TxnSink.append(empty, dir, 1L)
+    assert(TxnSink.read(spark, dir).isEmpty,
+      "all-empty store must read as None, not throw on schema inference")
+    // a later real batch commits normally; the store becomes visible
+    TxnSink.append(Seq((1L, "a")).toDF("id", "v"), dir, 2L)
+    assert(TxnSink.read(spark, dir).get.count() == 1)
+    // replay of an empty batch after the real one: still skipped, no-op
+    TxnSink.append(empty, dir, 1L)
+    assert(TxnSink.read(spark, dir).get.count() == 1)
+    // a pre-fix store shape: committed marker whose directory has no
+    // data files — read filters it out instead of throwing
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_txn/batches/3"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_txn/commits/3"), true).close()
+    assert(TxnSink.read(spark, dir).get.count() == 1,
+      "a data-less committed directory must be filtered, not read")
+  }
+
+  test("StreamingRedirects store migration: rows appended by the " +
+       "pre-TxnSink release at the store root stay visible (r19)") {
+    import graft.stream.{StreamingRedirects, TxnSink}
+    import spark.implicits._
+    val metaDir = Files.createTempDirectory("graft_redir_migrate").toString
+    val legacy = Seq(("u1", 301L, Some("u2")), ("u2", 200L, None: Option[String]))
+      .toDF("uri", "http_status", "location")
+    // the previous release's plain mode(append) writes land at the root
+    legacy.write.mode("append").parquet(metaDir)
+    // pre-migration store with no committed batches: still readable
+    assert(StreamingRedirects.storeRows(spark, metaDir).count() == 2,
+      "root-level pre-TxnSink rows must not become invisible")
+    // post-migration appends go through the txn log; both unioned
+    TxnSink.append(Seq(("u3", 200L, None: Option[String]))
+      .toDF("uri", "http_status", "location"), metaDir, 0L)
+    assert(StreamingRedirects.storeRows(spark, metaDir).count() == 3)
+    // and resolution sees the union: u1 → u2 (200) through the legacy edge
+    val landed = StreamingRedirects.resolveFromStore(spark, metaDir)
+      .filter(col("orig") === "u1")
+      .select("final_uri").as[String].collect().head
+    assert(landed == "u2")
+  }
+
   test("redirect resolution is NON-monotone in edge arrival: a later hop " +
        "rewrites an earlier URL's landing (why the twin resolves on read)") {
     import graft.ext.Redirects

@@ -486,6 +486,33 @@ class WarcSpec extends AnyFunSuite {
     // a charset= OUTSIDE a meta tag is not a declaration
     assert(Warc.sniffCharset(
       "<p>set charset=KOI8-R in your editor</p>".getBytes(UTF_8)) == "")
+    // DECOY (r19 attribute fidelity): a content attribute merely
+    // MENTIONING charset= — no http-equiv — must not hijack the encoding
+    assert(Warc.sniffCharset(("<meta name=\"description\" " +
+      "content=\"use charset=KOI8-R for this page\">").getBytes(UTF_8)) == "")
+    // decoy first, real declaration second: the real one still wins
+    assert(Warc.sniffCharset(("<meta name=\"d\" content=\"charset=KOI8-R\">" +
+      "<meta charset=\"ISO-8859-1\">").getBytes(UTF_8)) == "ISO-8859-1")
+    // http-equiv on some OTHER header does not make content a declaration
+    assert(Warc.sniffCharset(("<meta http-equiv=\"refresh\" " +
+      "content=\"0; url=x?charset=KOI8-R\">").getBytes(UTF_8)) == "")
+    // attribute order reversed on the legacy spelling still parses
+    assert(Warc.sniffCharset(("<meta content=\"text/html; charset=KOI8-R\" " +
+      "http-equiv=\"Content-Type\">").getBytes(UTF_8)) == "KOI8-R")
+    // WHATWG remap: a meta claiming a UTF-16 family is lying about the
+    // ASCII-compatible bytes it was decoded from — remapped to UTF-8,
+    // never honored verbatim (r19 ADVICE)
+    assert(Warc.sniffCharset(
+      "<meta charset=\"utf-16\">".getBytes(UTF_8)) == "UTF-8")
+    assert(Warc.sniffCharset(
+      "<meta charset=\"UTF-16LE\">".getBytes(UTF_8)) == "UTF-8")
+    assert(Warc.sniffCharset(
+      "<meta charset=\"utf-16be\">".getBytes(UTF_8)) == "UTF-8")
+    assert(Warc.sniffCharset(
+      "<meta charset=\"x-user-defined\">".getBytes(UTF_8)) == "windows-1252")
+    // end-to-end: a lying utf-16 meta decodes the page as UTF-8
+    val m5 = page("<meta charset=\"utf-16\">")
+    assert(bodyOf(plainHdr.getBytes(UTF_8) ++ m5.getBytes(UTF_8)) == m5)
   }
 
   test("BOM sniffing is step one: consumed never leaked, beats a lying " +
@@ -754,6 +781,19 @@ class WarcSpec extends AnyFunSuite {
     val g = Warc.gzMembersResync("no gzip here".getBytes(UTF_8))
     assert(g.payloads.isEmpty && g.skippedMembers == 1 &&
       g.skippedMemberBytes == 12)
+    // member-count cap with bytes remaining: the un-walked tail is
+    // charged as ONE final skipped span — loss accounting stays exact
+    // at the cap (r19 ADVICE)
+    val capped = Warc.gzMembersResync(members.reduce(_ ++ _), maxMembers = 2)
+    assert(capped.payloads.map(_.toSeq) ==
+      Seq(payloads(0).toSeq, payloads(1).toSeq))
+    assert(capped.skippedMembers == 1)
+    assert(capped.skippedMemberBytes ==
+      members.drop(2).map(_.length.toLong).sum)
+    // cap reached exactly at EOF: nothing remains, nothing charged
+    val exact = Warc.gzMembersResync(members(0) ++ members(1), maxMembers = 2)
+    assert(exact.payloads.length == 2 && exact.skippedMembers == 0 &&
+      exact.skippedMemberBytes == 0)
   }
 
   test("extractHostile: both resync tiers + body encodings compose — rows " +

@@ -91,6 +91,118 @@ class WebFuzzSpec extends AnyFunSuite {
   test("extractor ≡ AST model over 100 random pages (seed base 9000)") {
     runBatch(9000L, 100)
   }
+
+  test("meta-charset prescan ≡ AST model over 400 random heads — decoy " +
+       "content=\"…charset=…\" metas can never hijack the encoding (r19)") {
+    import graft.ext.Warc
+    import MetaFuzzGen._
+    var decoys = 0
+    var declared = 0
+    var undeclared = 0
+    (0 until 400).foreach { i =>
+      val head = genHead.pureApply(Gen.Parameters.default, Seed(21000L + i))
+      val got = Warc.sniffCharset(
+        render(head).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val want = model(head)
+      assert(got == want,
+        s"[seed ${21000L + i}] got '$got' want '$want'\n${render(head)}")
+      decoys += head.metas.count(m =>
+        m.isInstanceOf[Decoy] || m.isInstanceOf[OtherEquiv])
+      if (want.nonEmpty) declared += 1 else undeclared += 1
+    }
+    // vacuity guards: the batch must exercise decoys, real declarations,
+    // and heads with no declaration at all
+    assert(decoys > 100, s"too few decoy metas: $decoys")
+    assert(declared > 80, s"too few declaring heads: $declared")
+    assert(undeclared > 30, s"too few undeclared heads: $undeclared")
+  }
+}
+
+/** Meta-tag soup generators + the independent prescan model: which
+  * charset does a random `<head>` declare, computed from the AST — never
+  * from the rendered string — so the attribute tokenizer in
+  * [[graft.ext.Warc.sniffCharset]] cannot share a bug with the model.
+  * Decoy shapes are the round-19 fidelity classes: a `content` attribute
+  * MENTIONING `charset=` with no `http-equiv=Content-Type` beside it
+  * must be structurally invisible. */
+object MetaFuzzGen {
+  sealed trait Meta
+  /** `<meta charset=CS>` — quote ∈ {double, single, none}. */
+  final case class CharsetAttr(cs: String, quote: Int, spaced: Boolean) extends Meta
+  /** Legacy `<meta http-equiv="Content-Type" content="text/html; charset=CS">`;
+    * reversed puts content before http-equiv. */
+  final case class HttpEquiv(cs: String, reversed: Boolean) extends Meta
+  /** `<meta name=… content="… charset=CS …">` — a DECOY, not a declaration. */
+  final case class Decoy(cs: String) extends Meta
+  /** `http-equiv` on some OTHER header whose content mentions charset=
+    * — also a decoy (the equiv name gates the content parse). */
+  final case class OtherEquiv(cs: String) extends Meta
+  final case class Head(metas: Seq[Meta], filler: Seq[String])
+
+  private val charsets = Seq("ISO-8859-1", "KOI8-R", "utf-8", "UTF-16",
+    "utf-16le", "windows-1250", "x-user-defined")
+
+  private val genMeta: Gen[Meta] = Gen.frequency(
+    3 -> (for {
+      cs <- Gen.oneOf(charsets); q <- Gen.chooseNum(0, 2)
+      sp <- Gen.oneOf(true, false)
+    } yield CharsetAttr(cs, q, sp)),
+    3 -> (for {
+      cs <- Gen.oneOf(charsets); r <- Gen.oneOf(true, false)
+    } yield HttpEquiv(cs, r)),
+    3 -> Gen.oneOf(charsets).map(Decoy(_)),
+    2 -> Gen.oneOf(charsets).map(OtherEquiv(_)))
+
+  val genHead: Gen[Head] = for {
+    n <- Gen.chooseNum(0, 5)
+    metas <- Gen.listOfN(n, genMeta)
+    filler <- Gen.listOfN(n + 1,
+      Gen.oneOf("", "<title>t</title>", "<p>set charset=EBCDIC by hand</p>",
+        "<link rel=\"stylesheet\" href=\"/s.css\">"))
+  } yield Head(metas, filler)
+
+  def render(h: Head): String = {
+    val sb = new StringBuilder("<html><head>")
+    h.metas.zip(h.filler).foreach { case (m, f) =>
+      sb.append(f)
+      sb.append(m match {
+        case CharsetAttr(cs, q, sp) =>
+          val eq = if (sp) " = " else "="
+          val v = q match {
+            case 0 => "\"" + cs + "\""
+            case 1 => "'" + cs + "'"
+            case _ => cs
+          }
+          s"<meta charset$eq$v>"
+        case HttpEquiv(cs, false) =>
+          s"""<meta http-equiv="Content-Type" content="text/html; charset=$cs">"""
+        case HttpEquiv(cs, true) =>
+          s"""<meta content="text/html; charset=$cs" http-equiv="Content-Type">"""
+        case Decoy(cs) =>
+          s"""<meta name="description" content="use charset=$cs here">"""
+        case OtherEquiv(cs) =>
+          s"""<meta http-equiv="refresh" content="0; url=/x?charset=$cs">"""
+      })
+    }
+    sb.append(h.filler.last)
+    sb.append("</head><body>body</body></html>")
+    sb.toString
+  }
+
+  /** First DECLARING meta in document order wins; decoys are invisible;
+    * UTF-16 family remaps to UTF-8 and x-user-defined to windows-1252
+    * (WHATWG "get an encoding" over prescan results). */
+  def model(h: Head): String =
+    h.metas.collectFirst {
+      case CharsetAttr(cs, _, _) => remap(cs)
+      case HttpEquiv(cs, _) => remap(cs)
+    }.getOrElse("")
+
+  private def remap(cs: String): String = cs.toLowerCase match {
+    case "utf-16" | "utf-16le" | "utf-16be" => "UTF-8"
+    case "x-user-defined" => "windows-1252"
+    case _ => cs
+  }
 }
 
 /** Page AST generators + the independent extraction model (WebFuzzSpec). */
