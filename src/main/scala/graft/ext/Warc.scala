@@ -72,7 +72,8 @@ object Warc {
                        contentGzip: Boolean = false,
                        charset: String = "",
                        refersTo: String = "",
-                       etag: String = "")
+                       etag: String = "",
+                       contentDeflate: Boolean = false)
 
   /** Serialize records into one WARC blob (the round-trip anchor the
     * torture specs cut prefixes from). */
@@ -134,13 +135,33 @@ object Warc {
     * inverse of the parse order). */
   def httpResponseEnc(status: String, body: String,
                       charset: Option[String] = None,
-                      gzipBody: Boolean = false): Array[Byte] = {
+                      gzipBody: Boolean = false): Array[Byte] =
+    httpResponseCoded(status, body, charset,
+      if (gzipBody) Some("gzip") else None)
+
+  /** [[httpResponseEnc]] generalized over the content coding: `coding`
+    * is the `Content-Encoding` token to declare — "gzip", "deflate"
+    * (zlib-wrapped, the RFC 9110 meaning), or "deflate-raw" (declares
+    * `deflate` but ships RFC 1951 raw bytes — the broken-server
+    * spelling the read path must tolerate). */
+  def httpResponseCoded(status: String, body: String,
+                        charset: Option[String] = None,
+                        coding: Option[String] = None): Array[Byte] = {
     val ct = "Content-Type: text/html" +
       charset.map(c => s"; charset=$c").getOrElse("")
-    val ce = if (gzipBody) s"Content-Encoding: gzip$Crlf" else ""
+    val declared = coding.map {
+      case "deflate-raw" => "deflate"
+      case c => c
+    }
+    val ce = declared.map(c => s"Content-Encoding: $c$Crlf").getOrElse("")
     val enc = body.getBytes(charset.map(java.nio.charset.Charset.forName)
       .getOrElse(UTF_8))
-    val payload = if (gzipBody) gzip(enc) else enc
+    val payload = coding match {
+      case Some("gzip") => gzip(enc)
+      case Some("deflate") => deflate(enc)
+      case Some("deflate-raw") => deflate(enc, raw = true)
+      case _ => enc
+    }
     (s"HTTP/1.1 $status$Crlf$ct$Crlf$ce$Crlf").getBytes(UTF_8) ++ payload
   }
 
@@ -258,6 +279,7 @@ object Warc {
       var location = ""
       var etag = ""
       var contentGzip = false
+      var contentDeflate = false
       var charset = ""
       if (ctype.startsWith("application/http")) {
         val hh = indexOfCrlfCrlf(bytes, pStart, pEnd)
@@ -286,14 +308,19 @@ object Warc {
               v.split(",").last.trim.toLowerCase == "chunked"
             }
           // Content-Encoding (content layer — applies AFTER de-chunking):
-          // final coding gzip/x-gzip marks the body for consumer-side
-          // inflation; same header-line discipline as Transfer-Encoding
-          contentGzip = httpRaw.split("\r\n").iterator
+          // final coding gzip/x-gzip or deflate marks the body for
+          // consumer-side inflation; same header-line discipline as
+          // Transfer-Encoding. Every OTHER coding (br, zstd, …) rides
+          // through as its compressed bytes — the JDK ships no codec for
+          // them, so they are a documented pass-through (the Multimodal
+          // video-stub precedent), never a throw.
+          httpRaw.split("\r\n").iterator
             .filter(_.toLowerCase.startsWith("content-encoding:"))
-            .exists { l =>
+            .foreach { l =>
               val v = l.substring("content-encoding:".length)
                 .split(",").last.trim.toLowerCase
-              v == "gzip" || v == "x-gzip"
+              if (v == "gzip" || v == "x-gzip") contentGzip = true
+              else if (v == "deflate") contentDeflate = true
             }
           // Content-Type charset parameter, value verbatim (quotes
           // stripped) — the body's DECLARED character encoding. The
@@ -338,7 +365,7 @@ object Warc {
         }
       }
       val rec = Rec(recIdx, warcType, uri, clen, status, bodyOff, bodyLen,
-        spans, location, contentGzip, charset, refersTo, etag)
+        spans, location, contentGzip, charset, refersTo, etag, contentDeflate)
       // record separator CRLF CRLF; a record flush at EOF is still complete
       val next = if (startsWith(bytes, pEnd, Crlf + Crlf)) pEnd + 4 else pEnd
       Some((rec, next, next == pEnd && pEnd < bytes.length))
@@ -438,6 +465,57 @@ object Warc {
     gz.write(bytes)
     gz.close()
     out.toByteArray
+  }
+
+  /** Deflate-compress a blob — zlib-wrapped (`raw = false`, RFC 1950,
+    * what `Content-Encoding: deflate` actually means per RFC 9110) or
+    * raw-deflate (`raw = true`, RFC 1951, the spelling broken servers
+    * famously ship under the same header — the IE quirk every real
+    * client tolerates). [[inflate]] is the tolerant counterpart. */
+  def deflate(bytes: Array[Byte], raw: Boolean = false): Array[Byte] = {
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val out = new ByteArrayOutputStream(math.max(64, bytes.length / 2))
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** Bounded inflate for `Content-Encoding: deflate` bodies with the
+    * same bomb guard as [[gunzip]]: tries the SPEC spelling first
+    * (zlib-wrapped, RFC 1950), and on any failure retries as raw
+    * deflate (RFC 1951) — real servers ship both under the same header
+    * name, and a client that honors only one shreds half the web. None
+    * on a stream neither spelling can decode, and None the moment the
+    * inflated size would exceed `maxOut`. Never throws. */
+  def inflate(bytes: Array[Byte], maxOut: Int): Option[Array[Byte]] =
+    inflateWith(bytes, maxOut, nowrap = false)
+      .orElse(inflateWith(bytes, maxOut, nowrap = true))
+
+  private def inflateWith(bytes: Array[Byte], maxOut: Int,
+                          nowrap: Boolean): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater(nowrap)
+    try {
+      inf.setInput(bytes)
+      val out = new ByteArrayOutputStream(math.min(maxOut, 1 << 16))
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        total += n
+        if (total > maxOut) return None // bomb guard
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return None // truncated stream / preset-dictionary (unsupported)
+        out.write(buf, 0, n)
+      }
+      Some(out.toByteArray)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
   }
 
   /** Bounded gunzip with the ZIP-BOMB guard: None on a corrupt or
@@ -739,10 +817,15 @@ object Warc {
   val MaxDecodedBody: Int = 1 << 26
 
   /** The record's body CONTENT octets: spans concatenated (de-chunked
-    * when chunked), then inflated when Content-Encoding marked gzip —
-    * the transfer layer strictly before the content layer, RFC 9110's
-    * ordering. An undecodable or bomb-guarded gzip body is EMPTY, never
-    * a throw (the complete-records rule lifted to the body layer). */
+    * when chunked), then inflated when Content-Encoding marked gzip or
+    * deflate — the transfer layer strictly before the content layer,
+    * RFC 9110's ordering. Deflate accepts BOTH server spellings (zlib
+    * first, raw retry — see [[inflate]]). An undecodable or
+    * bomb-guarded compressed body is EMPTY, never a throw (the
+    * complete-records rule lifted to the body layer). Codings the JDK
+    * has no codec for (br, zstd) were never flagged at parse time and
+    * ride through as their compressed bytes — documented pass-through,
+    * same rule as the Multimodal video stub. */
   def decodedBodyBytes(bytes: Array[Byte], r: Rec,
                        maxOut: Int = MaxDecodedBody): Array[Byte] = {
     val raw = bodySpans(r) match {
@@ -753,6 +836,8 @@ object Warc {
         out.toByteArray
     }
     if (r.contentGzip) gunzip(raw, maxOut).getOrElse(Array.emptyByteArray)
+    else if (r.contentDeflate)
+      inflate(raw, maxOut).getOrElse(Array.emptyByteArray)
     else raw
   }
 
@@ -929,7 +1014,8 @@ object Warc {
       val (bc, bmd5) =
         if (r.httpStatus.isDefined) {
           val md = java.security.MessageDigest.getInstance("MD5")
-          if (r.contentGzip) { // mass + md5 are over the CONTENT octets
+          if (r.contentGzip || r.contentDeflate) {
+            // mass + md5 are over the CONTENT octets
             val b = decodedBodyBytes(bytes, r)
             md.update(b)
             (Some(b.length.toLong),

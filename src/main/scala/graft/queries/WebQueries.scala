@@ -236,6 +236,56 @@ object WebQueries {
       .orderBy(col("doc_id")) // re-run the demux/inflate (q204 pattern)
   }
 
+  /** q240 — `Content-Encoding: deflate`, the LAST JDK-decodable body
+    * coding (q217 closed gzip): doc classes cycle both SERVER SPELLINGS
+    * of the same header token — zlib-wrapped (RFC 1950, what the header
+    * means per RFC 9110) and raw-deflate (RFC 1951, the broken-server
+    * spelling every real client tolerates: [[graft.ext.Warc.inflate]]
+    * tries zlib first and retries raw) — crossed with the charset layer
+    * (latin-1 parameter under both spellings, the q217 composition).
+    * Every body carries é, so a missed inflation (compressed bytes are
+    * not valid UTF-8) or a wrong-spelling decode breaks the hash; the
+    * oracle constructs the decoded strings directly, never touching
+    * bytes (deflate output is not SQL-computable — the q217 argument).
+    * `br`/`zstd` stay codec-less pass-throughs by scope (the JDK ships
+    * no codec; documented in [[graft.ext.Warc.decodedBodyBytes]]). */
+  def q240DeflateBodies(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.Warc
+    val blobs = docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+      val entries = it.toArray.sortBy(_._1).toSeq.map { case (id, t) =>
+        val body = s"<html><body><p>$t caf\u00e9</p></body></html>"
+        val payload = (id % 5) match {
+          case 0 => Warc.httpResponse("200 OK", body)
+          case 1 => Warc.httpResponseCoded("200 OK", body, None,
+            Some("deflate"))
+          case 2 => Warc.httpResponseCoded("200 OK", body, None,
+            Some("deflate-raw"))
+          case 3 => Warc.httpResponseCoded("200 OK", body,
+            Some("ISO-8859-1"), Some("deflate"))
+          case _ => Warc.httpResponseCoded("200 OK", body,
+            Some("ISO-8859-1"), Some("deflate-raw"))
+        }
+        Warc.Entry("response", Some(s"https://example.org/doc/$id"),
+          "application/http; msgtype=response", payload)
+      }
+      (b, Warc.synthesize(entries))
+    }
+    Warc.extractResponseBodies(blobs)
+      .select(
+        regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        col("http_status"), col("body"))
+      .withColumn("enc", expr("""CASE CAST(doc_id % 5 AS INT)
+        WHEN 0 THEN 'plain' WHEN 1 THEN 'deflate-zlib'
+        WHEN 2 THEN 'deflate-raw' WHEN 3 THEN 'deflate-zlib+latin1'
+        ELSE 'deflate-raw+latin1' END"""))
+      .select(col("doc_id"), col("enc"), col("http_status"), col("body"),
+        length(col("body")).cast("long").as("body_chars"))
+      .localCheckpoint() // O(input) dump: the sort's sampling pass must
+      .orderBy(col("doc_id")) // not re-run the demux/inflate (q204 pattern)
+  }
+
   /** q233 — HTML5 META-CHARSET PRESCAN ([[graft.ext.Warc.sniffCharset]]):
     * pages whose encoding is declared only in markup, the case q217's
     * header-parameter layer cannot cover. Five doc classes pin every
@@ -1553,7 +1603,8 @@ object WebQueries {
     "q236_cdx_seek" -> (q236CdxSeek _),
     "q237_conditional_recrawl" -> (q237ConditionalRecrawl _),
     "q238_sitemap_index" -> (q238SitemapIndex _),
-    "q239_robots_fetch_status" -> (q239RobotsFetchStatus _)
+    "q239_robots_fetch_status" -> (q239RobotsFetchStatus _),
+    "q240_deflate_bodies" -> (q240DeflateBodies _)
   )
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
@@ -1739,6 +1790,24 @@ object WebQueries {
         |SELECT doc_id,
         |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'plain' WHEN 1 THEN 'gzip'
         |    WHEN 2 THEN 'latin1' ELSE 'gzip+latin1' END AS enc,
+        |  CAST(200 AS BIGINT) AS http_status,
+        |  body,
+        |  CAST(length(body) AS BIGINT) AS body_chars
+        |FROM d ORDER BY doc_id""".stripMargin,
+    /* q240: the q217 argument one coding over — deflate output is not
+     * SQL-computable, so the row shape is the decoded CONTENT and the
+     * oracle constructs the expected strings directly; both server
+     * spellings and both charsets must land on the same text. */
+    "q240_deflate_bodies" ->
+      """WITH d AS (SELECT doc_id,
+        |    '<html><body><p>' || text || ' caf' || chr(233) ||
+        |      '</p></body></html>' AS body
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'plain'
+        |    WHEN 1 THEN 'deflate-zlib' WHEN 2 THEN 'deflate-raw'
+        |    WHEN 3 THEN 'deflate-zlib+latin1'
+        |    ELSE 'deflate-raw+latin1' END AS enc,
         |  CAST(200 AS BIGINT) AS http_status,
         |  body,
         |  CAST(length(body) AS BIGINT) AS body_chars

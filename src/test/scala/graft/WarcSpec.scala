@@ -403,6 +403,63 @@ class WarcSpec extends AnyFunSuite {
     assert(!notFinal.contentGzip && notFinal.bodyLen == 3)
   }
 
+  test("Content-Encoding: deflate — BOTH server spellings decode to the " +
+       "identity twin's content; hostile streams EMPTY, never a throw (r19)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val body = "<html><body><p>deflated café</p></body></html>"
+    // the kernel round-trips both spellings
+    assert(Warc.inflate(Warc.deflate(body.getBytes(UTF_8)), 1 << 20)
+      .get.toSeq == body.getBytes(UTF_8).toSeq)
+    assert(Warc.inflate(Warc.deflate(body.getBytes(UTF_8), raw = true),
+      1 << 20).get.toSeq == body.getBytes(UTF_8).toSeq)
+    // end-to-end: identity, zlib-wrapped, raw, and raw+latin1 all land
+    // on the same decoded string; mass + md5 are over the CONTENT octets
+    val blob = Warc.synthesize(Seq(
+      respEntry(Warc.httpResponse("200 OK", body)),
+      respEntry(Warc.httpResponseCoded("200 OK", body, None, Some("deflate"))),
+      respEntry(Warc.httpResponseCoded("200 OK", body, None,
+        Some("deflate-raw"))),
+      respEntry(Warc.httpResponseCoded("200 OK", body, Some("ISO-8859-1"),
+        Some("deflate-raw")))))
+    val strs = Warc.extractResponseBodies(Seq((1L, blob)).toDS())
+      .select("rec_idx", "body").as[(Long, String)].collect().sortBy(_._1)
+    assert(strs.map(_._2).toSeq == Seq(body, body, body, body))
+    val meta = Warc.extractRecords(Seq((1L, blob)).toDS())
+      .select("rec_idx", "body_bytes", "body_md5")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(meta.take(3).map(_._2).distinct.length == 1)
+    assert(meta.take(3).map(_._3).distinct.length == 1)
+    assert(meta(0)._2 == body.getBytes(UTF_8).length.toLong)
+    // corrupt deflate stream (neither spelling decodes): EMPTY body
+    val dfPay = Warc.httpResponseCoded("200 OK", body, None, Some("deflate"))
+    dfPay(dfPay.length - 8) = (dfPay(dfPay.length - 8) ^ 0x55).toByte
+    val corrupt = Warc.parse(Warc.synthesize(Seq(respEntry(dfPay)))).head
+    assert(corrupt.contentDeflate && !corrupt.contentGzip)
+    assert(Warc.decodedBodyBytes(Warc.synthesize(Seq(respEntry(dfPay))),
+      corrupt).isEmpty)
+    // bomb guard: a 1 MiB-inflating deflate body under a 4 KiB cap
+    val bombBlob = Warc.synthesize(Seq(respEntry(
+      ("HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n")
+        .getBytes(UTF_8) ++ Warc.deflate(new Array[Byte](1 << 20)))))
+    val bombRec = Warc.parse(bombBlob).head
+    assert(bombRec.contentDeflate)
+    assert(Warc.decodedBodyBytes(bombBlob, bombRec, maxOut = 1 << 12).isEmpty)
+    // truncated stream: EMPTY, never a hang or a throw
+    val trunc = Warc.deflate(body.getBytes(UTF_8)).dropRight(4)
+    assert(Warc.inflate(trunc, 1 << 20).isEmpty)
+    // a codec-less final coding (br) marks NEITHER flag: pass-through
+    val br = Warc.parse(Warc.synthesize(Seq(respEntry(
+      ("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nxyz")
+        .getBytes(UTF_8))))).head
+    assert(!br.contentGzip && !br.contentDeflate && br.bodyLen == 3)
+    // non-final deflate coding (deflate, identity) does NOT mark
+    val nf = Warc.parse(Warc.synthesize(Seq(respEntry(
+      ("HTTP/1.1 200 OK\r\nContent-Encoding: deflate, identity\r\n\r\nraw")
+        .getBytes(UTF_8))))).head
+    assert(!nf.contentDeflate && nf.bodyLen == 3)
+  }
+
   test("charset parameter: the declared encoding decodes the body (quoted " +
        "or bare), unknown names fall back to UTF-8") {
     val spark = TestSpark.spark
