@@ -236,6 +236,102 @@ object WebQueries {
       .orderBy(col("doc_id")) // re-run the demux/inflate (q204 pattern)
   }
 
+  /** The q241/q242 shared page synthesis: [[Html.synthPage]]'s structure
+    * PLUS a planted TAG-CLOUD block — boilerplate the link-density rule
+    * cannot see (no anchors, plenty of characters, ZERO stopwords). The
+    * tag vocabulary is fixed so every page ships the SAME cloud — the
+    * cross-document gram-poisoning q242 measures. */
+  private def navPage(docId: org.apache.spark.sql.Column,
+                      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val id = docId.cast("string")
+    concat(
+      lit("<html><head><title>doc "), id, lit("</title></head><body>"),
+      lit("<h1>doc "), id, lit(" report</h1>"),
+      lit("<div class=\"nav\"><a href=\"/\">home</a> <a href=\"/about\">about us</a> <a href=\"/contact\">contact</a></div>"),
+      lit("<div class=\"tags\">spark hash join filter sort merge window batch index scan</div>"),
+      lit("<p>"), text, lit("</p>"),
+      lit("<div class=\"footer\"><a href=\"/privacy\">privacy policy</a> <a href=\"/terms\">terms</a> (c) example.org</div>"),
+      lit("</body></html>"))
+  }
+
+  /** q241 — MAIN-CONTENT extraction, the jusText-style block classifier
+    * ([[Html.extractMainContent]]): link density alone cannot see a tag
+    * cloud (no anchors, long enough, zero function words), so the page
+    * plants one and the STOPWORD-DENSITY test has to kill it — along
+    * with the heading — while the content paragraph survives iff its own
+    * stopword density clears the bar (a data-dependent split the oracle
+    * replays word-for-word from the text column). `n_kept_linkrule` is
+    * the q204 rule over the SAME blocks: the two columns differ on every
+    * page, which is the measurable point — the old rule ships the cloud
+    * into the corpus. All three keep tests are integer
+    * cross-multiplications; the block-stats array materializes in its
+    * own projection (HOFs get no CSE — the q204 two-step). */
+  def q241MainContent(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(col("doc_id"),
+        Html.blockStatsLex(navPage(col("doc_id"), col("text"))).as("_st"))
+      .select(col("doc_id"),
+        Html.mainContentSummary(col("_st")).as("_e"),
+        Html.pageSummary(col("_st")).as("_l"))
+      .select(col("doc_id"),
+        col("_e.n_blocks").as("n_blocks"),
+        col("_e.n_kept").as("n_kept"),
+        col("_l.n_kept").as("n_kept_linkrule"),
+        col("_e.kept_chars").as("kept_chars"),
+        col("_e.total_chars").as("total_chars"),
+        col("_e.extracted").as("extracted"))
+      .localCheckpoint() // O(input) dump: the sort's sampling pass must
+      .orderBy(col("doc_id")) // not re-run the regex pipeline (q204)
+
+  /** q242 — GRAM POISONING, measured: the same pages extracted under the
+    * link-density-only rule (which keeps the planted tag cloud and the
+    * heading on every page) and under [[Html.mainContentSummary]], each
+    * variant shingled ([[graft.ext.Dedup.explodedShingles]], the dedup
+    * tier's own gram basis) and scored for BOILERPLATE GRAMS — grams
+    * whose document frequency reaches half the corpus. Under the old
+    * rule every page carries the cloud's grams (df = corpus), poisoning
+    * near-dup candidate generation and any LM trained on the packs;
+    * under main-content extraction the boiler count drops to zero on
+    * every row while the genuine text grams ride through — the
+    * measurable drop the operator exists for. Scale shape: two map-side
+    * shingle explodes, two groupBys on the gram key (the q70 novelty
+    * shape), one broadcast 1-row corpus count; extraction text is
+    * checkpointed once and feeds both variants. */
+  def q242BoilerGrams(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Dedup
+    val texts = load(spark, dir, "documents")
+      .select(col("doc_id"),
+        Html.blockStatsLex(navPage(col("doc_id"), col("text"))).as("_st"))
+      .select(col("doc_id"),
+        Html.pageSummary(col("_st")).getField("extracted").as("link_text"),
+        Html.mainContentSummary(col("_st")).getField("extracted").as("main_text"))
+      .localCheckpoint() // two shingle consumers — materialize ONCE
+    val nDocs = texts.agg(count(lit(1)).as("n_docs"))
+    def perDoc(textCol: String, gramsName: String, boilerName: String) = {
+      val sh = Dedup.explodedShingles(
+        texts.select(col("doc_id"), col(textCol).as("text")),
+        "doc_id", "text", 3)
+      val dfreq = sh.groupBy(col("sg"))
+        .agg(countDistinct(col("doc_id")).as("_df"))
+      sh.join(dfreq, "sg").join(broadcast(nDocs))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as(gramsName),
+          sum(when(col("_df") * 2 >= col("n_docs"), 1L).otherwise(0L))
+            .as(boilerName))
+    }
+    texts.select(col("doc_id"))
+      .join(perDoc("link_text", "n_grams_link", "boiler_link"),
+        Seq("doc_id"), "left")
+      .join(perDoc("main_text", "n_grams_main", "boiler_main"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams_link"), lit(0L)).as("n_grams_link"),
+        coalesce(col("boiler_link"), lit(0L)).as("boiler_link"),
+        coalesce(col("n_grams_main"), lit(0L)).as("n_grams_main"),
+        coalesce(col("boiler_main"), lit(0L)).as("boiler_main"))
+      .transform(tinySort(_, col("doc_id")))
+  }
+
   /** q240 — `Content-Encoding: deflate`, the LAST JDK-decodable body
     * coding (q217 closed gzip): doc classes cycle both SERVER SPELLINGS
     * of the same header token — zlib-wrapped (RFC 1950, what the header
@@ -1604,8 +1700,17 @@ object WebQueries {
     "q237_conditional_recrawl" -> (q237ConditionalRecrawl _),
     "q238_sitemap_index" -> (q238SitemapIndex _),
     "q239_robots_fetch_status" -> (q239RobotsFetchStatus _),
-    "q240_deflate_bodies" -> (q240DeflateBodies _)
+    "q240_deflate_bodies" -> (q240DeflateBodies _),
+    "q241_main_content" -> (q241MainContent _),
+    "q242_boiler_grams" -> (q242BoilerGrams _)
   )
+
+  /** The q241/q242 oracle's stopword list — generated from the SAME
+    * [[Html.DefaultStopwords]] the engine evaluates, so the differential
+    * test pins the threshold/split/membership logic (the list itself is
+    * shared data, not shared code — the q229 loss-constant pattern). */
+  private val StopwordsSqlList: String =
+    Html.DefaultStopwords.map(w => s"'$w'").mkString(", ")
 
   /** Both oracles replay [[Html.synthPage]]'s construction arithmetically:
     * each block's visible text and anchor mass are closed-form in
@@ -1794,6 +1899,87 @@ object WebQueries {
         |  body,
         |  CAST(length(body) AS BIGINT) AS body_chars
         |FROM d ORDER BY doc_id""".stripMargin,
+    /* q241: every block's fate replayed arithmetically from the
+     * construction (the q204 oracle discipline): title/h1/nav/tags/
+     * footer fates are closed-form, the content paragraph's stopword
+     * test is recomputed word-for-word from the text column with the
+     * SAME 20-word list the engine passes — so a drifted stopword set,
+     * threshold, or word split breaks the hash. Constants: nav 21 vis /
+     * 19 anchor, tags 57 vis / 0 anchor, footer 36 vis / 19 anchor. */
+    "q241_main_content" ->
+      s"""WITH w AS (SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS fws,
+         |    len(CAST(doc_id AS VARCHAR)) AS L
+         |  FROM documents),
+         |c AS (SELECT doc_id, text, L, len(fws) AS wcnt,
+         |    len(list_filter(fws, x -> x IN ($StopwordsSqlList))) AS scnt
+         |  FROM w),
+         |k AS (SELECT *,
+         |    (length(text) >= 10 AND scnt * 100 >= wcnt * 6) AS keep
+         |  FROM c)
+         |SELECT doc_id,
+         |  CAST(6 AS BIGINT) AS n_blocks,
+         |  CAST(CASE WHEN keep THEN 1 ELSE 0 END AS BIGINT) AS n_kept,
+         |  CAST(2 + CASE WHEN length(text) >= 10 THEN 1 ELSE 0 END
+         |         + CASE WHEN 4 + L >= 10 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS n_kept_linkrule,
+         |  CAST(CASE WHEN keep THEN length(text) ELSE 0 END AS BIGINT)
+         |    AS kept_chars,
+         |  CAST(129 + 2 * L + length(text) AS BIGINT) AS total_chars,
+         |  CASE WHEN keep THEN text ELSE '' END AS extracted
+         |FROM k ORDER BY doc_id""".stripMargin,
+    /* q242: both extraction variants reconstructed closed-form (the
+     * q241 keep laws), then shingled with the ShinglesCte spelling over
+     * the derived strings — newline-joined blocks shingle as
+     * space-split tokens on BOTH sides, so a drifted join or split
+     * breaks the hash; boiler grams are df*2 >= corpus. */
+    "q242_boiler_grams" ->
+      s"""WITH w0 AS (SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS fws,
+         |    len(CAST(doc_id AS VARCHAR)) AS L
+         |  FROM documents),
+         |cl AS (SELECT doc_id, text, L, len(fws) AS wcnt,
+         |    len(list_filter(fws, x -> x IN ($StopwordsSqlList))) AS scnt
+         |  FROM w0),
+         |tx AS (SELECT doc_id,
+         |    CASE WHEN 4 + L >= 10
+         |      THEN 'doc ' || CAST(doc_id AS VARCHAR) || chr(10) ELSE '' END ||
+         |    'doc ' || CAST(doc_id AS VARCHAR) || ' report' || chr(10) ||
+         |    'spark hash join filter sort merge window batch index scan' ||
+         |    CASE WHEN length(text) >= 10 THEN chr(10) || text ELSE '' END
+         |      AS link_text,
+         |    CASE WHEN length(text) >= 10 AND scnt * 100 >= wcnt * 6
+         |      THEN text ELSE '' END AS main_text
+         |  FROM cl),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |lw AS (SELECT doc_id, string_split(link_text, ' ') ws FROM tx),
+         |lt AS (SELECT doc_id, unnest(ws) tok, generate_subscripts(ws, 1) i FROM lw),
+         |lsh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sg
+         |        FROM lt a JOIN lt b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+         |                  JOIN lt c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+         |ldf AS (SELECT sg, COUNT(DISTINCT doc_id) AS df FROM lsh GROUP BY sg),
+         |lagg AS (SELECT s.doc_id, COUNT(*) AS g,
+         |           SUM(CASE WHEN d.df * 2 >= (SELECT n_docs FROM n)
+         |             THEN 1 ELSE 0 END) AS bl
+         |         FROM lsh s JOIN ldf d ON s.sg = d.sg GROUP BY s.doc_id),
+         |mw AS (SELECT doc_id, string_split(main_text, ' ') ws FROM tx),
+         |mt AS (SELECT doc_id, unnest(ws) tok, generate_subscripts(ws, 1) i FROM mw),
+         |msh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sg
+         |        FROM mt a JOIN mt b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+         |                  JOIN mt c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+         |mdf AS (SELECT sg, COUNT(DISTINCT doc_id) AS df FROM msh GROUP BY sg),
+         |magg AS (SELECT s.doc_id, COUNT(*) AS g,
+         |           SUM(CASE WHEN d.df * 2 >= (SELECT n_docs FROM n)
+         |             THEN 1 ELSE 0 END) AS bm
+         |         FROM msh s JOIN mdf d ON s.sg = d.sg GROUP BY s.doc_id)
+         |SELECT t.doc_id,
+         |  CAST(COALESCE(lagg.g, 0) AS BIGINT) AS n_grams_link,
+         |  CAST(COALESCE(lagg.bl, 0) AS BIGINT) AS boiler_link,
+         |  CAST(COALESCE(magg.g, 0) AS BIGINT) AS n_grams_main,
+         |  CAST(COALESCE(magg.bm, 0) AS BIGINT) AS boiler_main
+         |FROM tx t LEFT JOIN lagg ON t.doc_id = lagg.doc_id
+         |          LEFT JOIN magg ON t.doc_id = magg.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     /* q240: the q217 argument one coding over — deflate output is not
      * SQL-computable, so the row shape is the decoded CONTENT and the
      * oracle constructs the expected strings directly; both server

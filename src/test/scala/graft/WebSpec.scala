@@ -52,6 +52,48 @@ class WebSpec extends AnyFunSuite {
     assert(ex == "bold and italic words in one block")
   }
 
+  private def mainContent(html: String) =
+    Seq(html).toDF("h").select(Html.extractMainContent(col("h")).as("e"))
+      .select("e.n_blocks", "e.n_kept", "e.kept_chars", "e.total_chars",
+        "e.extracted")
+      .as[(Long, Long, Long, Long, String)].head()
+
+  test("extractMainContent: the stopword axis kills what link density " +
+       "cannot — tag clouds, breadcrumbs, keyword footers (r19)") {
+    // a tag cloud: zero anchors, 44 chars, ZERO stopwords — the
+    // link-density rule keeps it, the jusText rule must not
+    val cloud = "<div>spark kafka flink beam storm samza heron arrow</div>"
+    // a breadcrumb trail: same failure class
+    val crumb = "<div>home products engines analytics pricing</div>"
+    // real prose: function words clear the 6% density bar
+    val prose = "<p>this is the actual content of a page that we keep</p>"
+    val (nb, nk, kc, _, ex) = mainContent(cloud + crumb + prose)
+    assert(nb == 3 && nk == 1)
+    assert(ex == "this is the actual content of a page that we keep")
+    assert(kc == ex.length.toLong)
+    // the SAME page under the link-density-only rule keeps all three —
+    // the measurable q242 gap
+    val old = page(cloud + crumb + prose)
+    assert(old._2 == 3)
+  }
+
+  test("extractMainContent boundary: stop*100 >= words*minStopPct is an " +
+       "exact integer test; membership is case-insensitive") {
+    // 17 words, 1 stopword ("the"): 100 >= 17*6=102 fails -> dropped
+    val sixteen = (1 to 16).map(i => s"w$i").mkString(" ")
+    assert(mainContent(s"<p>the $sixteen</p>")._2 == 0)
+    // 16 words, 1 stopword: 100 >= 96 -> kept, AT the bar
+    val fifteen = (1 to 15).map(i => s"w$i").mkString(" ")
+    assert(mainContent(s"<p>the $fifteen</p>")._2 == 1)
+    // uppercase stopword still counts (case-insensitive membership)
+    assert(mainContent(s"<p>The $fifteen</p>")._2 == 1)
+    // the link-density leg still applies: prose-dense but anchor-heavy
+    assert(mainContent(
+      "<p><a href=\"/\">the quick brown fox</a> is it</p>")._2 == 0)
+    // and minLen still applies: "it is" is 100% stopwords but too short
+    assert(mainContent("<p>it is</p>")._2 == 0)
+  }
+
   test("anchorPairs aligns hrefs with their anchor texts in page order") {
     val got = Seq("<a href=\"/a\">first</a><p>x</p><a href=\"/b\">second</a>")
       .toDF("h")
