@@ -467,6 +467,25 @@ object Warc {
     out.toByteArray
   }
 
+  /** Record-per-member `.warc.gz` synthesis WITH its CDX sidecar — the
+    * archive WRITE path a curation run delivers: each entry serializes
+    * to ONE gzip member, members concatenate, and the returned extents
+    * are each member's (offset, length) AS WRITTEN — the byte truth a
+    * CDX sidecar carries. [[cdxIndex]] over the returned blob must
+    * reproduce exactly these extents, and [[seekRecord]] through them
+    * must reproduce every record (q243 proves both in one dataflow).
+    * Deterministic: the JDK gzip header carries MTIME 0 and no name. */
+  def synthesizeGzMembers(entries: Seq[Entry]): (Array[Byte], Seq[(Long, Long)]) = {
+    val out = new ByteArrayOutputStream()
+    val extents = Seq.newBuilder[(Long, Long)]
+    entries.foreach { e =>
+      val member = gzip(synthesize(Seq(e)))
+      extents += ((out.size.toLong, member.length.toLong))
+      out.write(member)
+    }
+    (out.toByteArray, extents.result())
+  }
+
   /** Deflate-compress a blob — zlib-wrapped (`raw = false`, RFC 1950,
     * what `Content-Encoding: deflate` actually means per RFC 9110) or
     * raw-deflate (`raw = true`, RFC 1951, the spelling broken servers

@@ -332,6 +332,85 @@ object WebQueries {
       .transform(tinySort(_, col("doc_id")))
   }
 
+  /** q243 — the ARCHIVE-WRITE capstone, the direction q229 doesn't
+    * cover: a curated release delivered as what a production curation
+    * run actually ships — record-per-member `.warc.gz` blobs PLUS a CDX
+    * sidecar with REAL byte extents — then proven by its own consumers
+    * in the same dataflow. Stages:
+    *
+    *   1. CURATE: the q208 chain (crawl bytes → demux → 200 gate →
+    *      extraction), gated on boilerplate share (kept_chars*2 >=
+    *      total_chars — exact integer test, oracle-replayable);
+    *   2. WRITE: each kept page becomes ONE gzip member holding one
+    *      response record ([[graft.ext.Warc.synthesizeGzMembers]]); the
+    *      sidecar extents are measured AS WRITTEN, never recomputed;
+    *   3. RE-WALK: the generic [[graft.ext.Warc.cdxIndex]] over the
+    *      written bytes must agree with the sidecar extent-for-extent
+    *      (full outer join — a missing OR extra member both surface);
+    *   4. SEEK: every record is range-read back through the SIDECAR
+    *      extents ([[graft.ext.Warc.seekRecord]], the q236 access
+    *      pattern) — identity comes from the sought bytes, so a
+    *      one-byte extent error fails to inflate and breaks the hash.
+    *
+    * Closes the WARC/WAT/WET/CDX family's write side (q224 wrote WET,
+    * q231 WAT; the CDX index was read-side only until now). The oracle
+    * replays curation closed-form (the shared b/k/s CTEs) and pins
+    * md5/mass per record; extents are proven by the seek, the q236
+    * argument. Materialization: the written blobs checkpoint ONCE and
+    * feed sidecar, re-walk, and seek (PlanShapeSpec pins it). */
+  def q243ArchiveWrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.Warc
+    val curated = graft.ext.Crawl.extract(crawlBlobs(spark, dir))
+      .filter(col("kept_chars") * 2 >= col("total_chars"))
+      .select(col("doc_id"), col("extracted"))
+      .as[(Long, String)]
+    val written = curated.groupByKey(_._1 / 8).mapGroups { (b, it) =>
+      val ms = it.toArray.sortBy(_._1)
+      val entries = ms.toSeq.map { case (id, ex) =>
+        Warc.Entry("response", Some(s"https://example.org/doc/$id"),
+          "application/http; msgtype=response",
+          Warc.httpResponse("200 OK", ex))
+      }
+      val (blob, extents) = Warc.synthesizeGzMembers(entries)
+      (b, blob, extents.zipWithIndex.map { case ((off, len), ord) =>
+        (ord.toLong, off, len)
+      })
+    }.toDF("blob_id", "warc", "sidecar")
+      .localCheckpoint(true) // ONE write; feeds sidecar + re-walk + seek
+    val sidecar = written
+      .select(col("blob_id"), explode(col("sidecar")).as("_s"))
+      .select(col("blob_id"), col("_s._1").as("ordinal"),
+        col("_s._2").as("offset"), col("_s._3").as("length"))
+    val rewalk = Warc.cdxIndex(
+        written.select(col("blob_id"), col("warc")).as[(Long, Array[Byte])])
+      .select(col("blob_id"), col("ordinal"),
+        col("offset").as("rw_offset"), col("length").as("rw_length"))
+    val verified = sidecar
+      .join(rewalk, Seq("blob_id", "ordinal"), "full")
+      .select(col("blob_id"), col("ordinal"), col("offset"), col("length"),
+        (col("offset") === col("rw_offset") &&
+          col("length") === col("rw_length")).as("extent_match"))
+    verified
+      .join(written.select(col("blob_id"), col("warc")), Seq("blob_id"))
+      .select(col("blob_id"), col("ordinal"), col("extent_match"),
+        col("offset"), col("length"), col("warc"))
+      .as[(Long, Long, Boolean, Long, Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (b, ord, em, off, len, gz) =>
+        Warc.seekRecord(gz, off, len).map { case (uri, st, bb, md5) =>
+          (b, ord, em, uri, st, bb, md5)
+        }
+      })
+      .toDF("blob_id", "ordinal", "extent_match", "uri", "http_status",
+        "body_bytes", "body_md5")
+      .select(
+        regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        col("blob_id"), col("ordinal"), col("extent_match"),
+        col("http_status"), col("body_bytes"), col("body_md5"))
+      .transform(tinySort(_, col("doc_id")))
+  }
+
   /** q240 — `Content-Encoding: deflate`, the LAST JDK-decodable body
     * coding (q217 closed gzip): doc classes cycle both SERVER SPELLINGS
     * of the same header token — zlib-wrapped (RFC 1950, what the header
@@ -1702,7 +1781,8 @@ object WebQueries {
     "q239_robots_fetch_status" -> (q239RobotsFetchStatus _),
     "q240_deflate_bodies" -> (q240DeflateBodies _),
     "q241_main_content" -> (q241MainContent _),
-    "q242_boiler_grams" -> (q242BoilerGrams _)
+    "q242_boiler_grams" -> (q242BoilerGrams _),
+    "q243_archive_write" -> (q243ArchiveWrite _)
   )
 
   /** The q241/q242 oracle's stopword list — generated from the SAME
@@ -1899,6 +1979,29 @@ object WebQueries {
         |  body,
         |  CAST(length(body) AS BIGINT) AS body_chars
         |FROM d ORDER BY doc_id""".stripMargin,
+    /* q243: curation replayed closed-form (the shared b/k/s CTEs with
+     * the integer boilerplate gate), then per kept record: blob = id
+     * div 8, ordinal = rank within blob over survivors, mass + md5 of
+     * the response body the seek must reproduce. The byte extents are
+     * gzip-length-dependent and not SQL-computable — they are proven by
+     * the seek (a wrong extent cannot re-produce the right md5) and the
+     * full-outer extent_match column (TRUE on every row or the hash
+     * breaks), the q235/q236 argument applied to the WRITE side. */
+    "q243_archive_write" ->
+      s"""WITH $HtmlExtractCtes,
+         |cur AS (SELECT doc_id, extracted FROM s
+         |        WHERE doc_id % 13 <> 0 AND kept_chars * 2 >= total_chars),
+         |o AS (SELECT doc_id, extracted,
+         |        CAST(doc_id // 8 AS BIGINT) AS blob_id,
+         |        CAST(row_number() OVER (PARTITION BY doc_id // 8
+         |          ORDER BY doc_id) - 1 AS BIGINT) AS ordinal
+         |      FROM cur)
+         |SELECT doc_id, blob_id, ordinal,
+         |  true AS extent_match,
+         |  CAST(200 AS BIGINT) AS http_status,
+         |  CAST(strlen(extracted) AS BIGINT) AS body_bytes,
+         |  md5(extracted) AS body_md5
+         |FROM o ORDER BY doc_id""".stripMargin,
     /* q241: every block's fate replayed arithmetically from the
      * construction (the q204 oracle discipline): title/h1/nav/tags/
      * footer fates are closed-form, the content paragraph's stopword

@@ -245,6 +245,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected exactly 1 window:\n$plan")
   }
 
+  test("q243 archive-write capstone: ONE write feeding sidecar, re-walk " +
+       "and seek — the curation chain never re-executes under the sink") {
+    // the crawl→extract→write pipeline runs eagerly into the written-
+    // blobs checkpoint; the final plan re-walks and seeks FROM that
+    // checkpoint, so the only object operators left are the two
+    // checkpoint consumers (cdxIndex demux + seekRecord read), never a
+    // MapGroups (the write) or a documents scan (the curation chain)
+    val plan = graft.queries.WebQueries.q243ArchiveWrite(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("MapGroups"),
+      s"the archive write re-executes under the sink:\n$plan")
+    assert(!plan.contains("documents"),
+      s"curation chain rescanned in final plan:\n$plan")
+    assert("MapPartitions".r.findAllIn(plan).length <= 2,
+      s"more object consumers than the re-walk + seek:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in capstone:\n$plan")
+  }
+
   test("q195 capstone: corpus work ends at the capped checkpoint — final " +
        "plan is survivor-sized (no corpus scan, no detector, no margin)") {
     // margins + WindowGroupLimit top-k run eagerly into the capped

@@ -853,6 +853,32 @@ class WarcSpec extends AnyFunSuite {
       exact.skippedMemberBytes == 0)
   }
 
+  test("synthesizeGzMembers: as-written extents ARE the re-walked extents, " +
+       "and seeking through them reproduces every record (r19)") {
+    val (blob, extents) = Warc.synthesizeGzMembers(entries)
+    assert(extents.length == entries.length)
+    // extents tile the blob exactly: contiguous, gap-free, end at EOF
+    extents.foldLeft(0L) { case (at, (off, len)) =>
+      assert(off == at, s"gap or overlap at $off (expected $at)")
+      off + len
+    }
+    assert(extents.last._1 + extents.last._2 == blob.length)
+    // the generic member walk reproduces the as-written extents
+    assert(Warc.gzipMemberBounds(blob).map { case (o, l) => (o.toLong, l.toLong) }
+      == extents)
+    // seeking each extent reproduces that record (uri identity)
+    extents.zip(entries).foreach { case ((off, len), e) =>
+      val got = Warc.seekRecord(blob, off, len)
+      assert(got.isDefined, s"seek failed at ($off, $len)")
+      assert(got.get._1 == e.targetUri.getOrElse(""),
+        s"wrong record at ($off, $len)")
+    }
+    // an off-by-one extent CANNOT reproduce a record
+    val (o0, l0) = extents.head
+    assert(Warc.seekRecord(blob, o0 + 1, l0).isEmpty)
+    assert(Warc.seekRecord(blob, o0, l0 - 1).isEmpty)
+  }
+
   test("extractHostile: both resync tiers + body encodings compose — rows " +
        "and all four loss columns exact") {
     val spark = TestSpark.spark
