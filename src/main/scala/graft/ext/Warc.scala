@@ -760,7 +760,13 @@ object Warc {
     * (blob_id, rec_idx globally renumbered over survivors, uri,
     * http_status, decoded body) plus the blob's four loss columns —
     * corruption at CommonCrawl scale is an observable column set, never
-    * silent data loss. */
+    * silent data loss. A blob with ZERO surviving records still emits
+    * ONE row — record fields all NULL, loss columns populated — so the
+    * accounting holds exactly when corruption is worst: a fully
+    * destroyed blob's bytes appear in skipped_member_bytes instead of
+    * vanishing with the blob (the r18 undercount). Consumers filtering
+    * on http_status drop the loss row for free; loss aggregates see
+    * every blob. */
   def extractHostile(blobs: Dataset[(Long, Array[Byte])],
                      maxOut: Int = 1 << 26): DataFrame = {
     val spark = blobs.sparkSession
@@ -777,13 +783,17 @@ object Warc {
         rr.recs.collect {
           case r if r.httpStatus.isDefined =>
             val body = decodeBodyString(r, decodedBodyBytes(member, r))
-            val row = (blobId, nextIdx, r.targetUri, r.httpStatus.get.toLong,
-              body)
+            val row = (blobId, Some(nextIdx), Some(r.targetUri),
+              Some(r.httpStatus.get.toLong), Some(body))
             nextIdx += 1
             row
         }
       }
-      rows.map { case (b, i, u, s, body) =>
+      val out = // zero survivors: ONE null-record loss row for the blob
+        if (rows.nonEmpty) rows
+        else Seq((blobId, None: Option[Long], None: Option[String],
+          None: Option[Long], None: Option[String]))
+      out.map { case (b, i, u, s, body) =>
         (b, i, u, s, body, spans, skippedB,
           gw.skippedMembers.toLong, gw.skippedMemberBytes)
       }

@@ -705,11 +705,17 @@ object WebQueries {
     * record's full serialization) — so the oracle reconstructs every
     * byte of the accounting arithmetically: a resync that lands anywhere
     * but the exact next boundary at EITHER tier, or a missed CRC
-    * verification, breaks the hash. */
+    * verification, breaks the hash. Blobs ≡ 3 (mod 25) are DESTROYED
+    * WHOLESALE (512 junk bytes, nothing recoverable): each must still
+    * emit its per-blob loss row — record fields NULL, the 512 bytes in
+    * skipped_member_bytes — the r19 rule that loss accounting holds
+    * exactly when corruption is worst. */
   def q228HostileWalk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val blobs = docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
-      (b, hostileMembers(it.toArray.sortBy(_._1).toSeq.map { case (id, t) =>
+      val ms = it.toArray.sortBy(_._1)
+      if (b % 25 == 3) (b, Array.fill[Byte](512)('X'))
+      else (b, hostileMembers(ms.toSeq.map { case (id, t) =>
         (id, "200 OK", s"<html><body><p>$t caf\u00e9</p></body></html>")
       }))
     }
@@ -722,9 +728,10 @@ object WebQueries {
         length(col("body")).cast("long").as("body_chars"),
         col("skipped_spans"), col("skipped_bytes"),
         col("skipped_members"), col("skipped_member_bytes"))
-      .withColumn("enc", expr("""CASE CAST(doc_id % 4 AS INT)
-        WHEN 0 THEN 'plain' WHEN 1 THEN 'gzip'
-        WHEN 2 THEN 'latin1' ELSE 'gzip+latin1' END"""))
+      .withColumn("enc", when(col("doc_id").isNotNull,
+        expr("""CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN 'plain' WHEN 1 THEN 'gzip'
+          WHEN 2 THEN 'latin1' ELSE 'gzip+latin1' END""")))
       .localCheckpoint() // O(input) dump: the sort's sampling pass must
       .orderBy(col("blob_id"), col("rec_idx")) // not re-run the demux
   }
@@ -2462,7 +2469,8 @@ object WebQueries {
         | surv AS (SELECT blob_id, doc_id, body,
         |    CAST(row_number() OVER (PARTITION BY blob_id ORDER BY doc_id) - 1
         |      AS BIGINT) AS rec_idx
-        |  FROM d WHERE NOT rec_corrupt AND NOT mem_corrupt)
+        |  FROM d WHERE NOT rec_corrupt AND NOT mem_corrupt
+        |    AND blob_id % 25 <> 3)
         |SELECT s.blob_id, s.rec_idx, s.doc_id,
         |  CASE CAST(s.doc_id % 4 AS INT) WHEN 0 THEN 'plain' WHEN 1 THEN 'gzip'
         |    WHEN 2 THEN 'latin1' ELSE 'gzip+latin1' END AS enc,
@@ -2471,7 +2479,17 @@ object WebQueries {
         |  k.skipped_spans, k.skipped_bytes, k.skipped_members,
         |  k.skipped_member_bytes
         |FROM surv s JOIN skip k USING (blob_id)
-        |ORDER BY s.blob_id, s.rec_idx""".stripMargin,
+        |UNION ALL
+        |SELECT blob_id, CAST(NULL AS BIGINT) AS rec_idx,
+        |  CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS enc,
+        |  CAST(NULL AS BIGINT) AS http_status, CAST(NULL AS VARCHAR) AS body,
+        |  CAST(NULL AS BIGINT) AS body_chars,
+        |  CAST(0 AS BIGINT) AS skipped_spans, CAST(0 AS BIGINT) AS skipped_bytes,
+        |  CAST(1 AS BIGINT) AS skipped_members,
+        |  CAST(512 AS BIGINT) AS skipped_member_bytes
+        |FROM (SELECT DISTINCT doc_id // 8 AS blob_id FROM documents
+        |      WHERE (doc_id // 8) % 25 = 3)
+        |ORDER BY blob_id, rec_idx""".stripMargin,
     /* q233: the oracle constructs each class's decoded string — chr(233)
      * where a declaration (header or in-window meta) names latin-1,
      * chr(65533) where the spec says the declaration is OUT of reach

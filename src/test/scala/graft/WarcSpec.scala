@@ -916,6 +916,38 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("extractHostile: a fully destroyed blob still emits its loss row — " +
+       "record fields NULL, every byte charged to skipped_member_bytes (r19)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val body = "still here café"
+    val good = Warc.gzip(Warc.synthesize(Seq(Warc.Entry("response",
+      Some("https://example.org/doc/9"),
+      "application/http; msgtype=response",
+      Warc.httpResponse("200 OK", body)))))
+    val junkBlob = Array.fill[Byte](512)('X')
+    val rows = Warc.extractHostile(
+        Seq((1L, junkBlob), (2L, good), (3L, Array.emptyByteArray)).toDS())
+      .as[(Long, Option[Long], Option[String], Option[Long], Option[String],
+        Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(rows.map(_._1) == Seq(1L, 2L, 3L), "one row per blob, ALWAYS")
+    // blob 1: all-junk — nothing recoverable, loss row carries the bytes
+    val lost = rows(0)
+    assert(lost._2.isEmpty && lost._3.isEmpty && lost._4.isEmpty &&
+      lost._5.isEmpty, "record fields must be NULL on the loss row")
+    assert(lost._8 == 1L && lost._9 == 512L,
+      "the destroyed blob's bytes must appear in skipped_member_bytes")
+    assert(lost._6 == 0L && lost._7 == 0L)
+    // blob 2: intact — the normal row shape, zero loss
+    assert(rows(1)._3.contains("https://example.org/doc/9") &&
+      rows(1)._5.contains(body))
+    assert(rows(1)._6 == 0L && rows(1)._7 == 0L && rows(1)._8 == 0L &&
+      rows(1)._9 == 0L)
+    // blob 3: EMPTY bytes — zero survivors, zero loss, still observable
+    assert(rows(2)._2.isEmpty && rows(2)._6 == 0L && rows(2)._9 == 0L)
+  }
+
   test("generative round-trip: random record sequences with random binary " +
        "payloads survive synthesize → [gzip →] parse metadata-exactly") {
     import org.scalacheck.Gen
