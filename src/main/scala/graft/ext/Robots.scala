@@ -82,7 +82,8 @@ object Robots {
   }
 
   /** Parse robots.txt TEXTS relationally: (site, txt) → one row per
-    * directive (site, gid, name, value) where `gid` numbers the RFC 9309
+    * directive (site, gid, i, name, value, truncated) where `gid`
+    * numbers the RFC 9309
     * GROUPS within each site's file — a run of consecutive `User-agent:`
     * lines heads one group (multiple tokens share the group's rules),
     * and every following directive line belongs to it until the next
@@ -94,16 +95,38 @@ object Robots {
     * parsing costs two bounded windows over O(lines), never a shuffle of
     * the corpus (robots.txt is per-HOST data: thousands of rows, not
     * billions). */
+  /** RFC 9309 §2.5 processing limit: a crawler must enforce a parse cap
+    * of at least 500 kibibytes — an unbounded parse of a hostile host's
+    * multi-gigabyte robots.txt is a resource attack on the fetcher. The
+    * cap is counted in CHARACTERS (robots.txt is ASCII in practice, so
+    * chars = octets; a relational byte-exact cut would split multi-byte
+    * sequences). Content past the cap is ignored, and a line the cut
+    * severs is dropped WHOLE — a half directive must not parse as a
+    * different rule. */
+  val MaxParseChars: Int = 500 * 1024
+
   def parseDirectives(txts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("site")).orderBy(col("i"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     txts
-      .select(col("site"), posexplode(split(col("txt"), "\n")).as(Seq("i", "raw")))
-      .select(col("site"), col("i"),
+      // the §2.5 cap: window the text, drop the severed final line, and
+      // make the cut OBSERVABLE (`truncated` rides every directive row —
+      // a policy consumer can alert on hosts whose rules were cut)
+      .withColumn("_trunc", length(col("txt")) > MaxParseChars)
+      .withColumn("_win", when(col("_trunc"),
+          expr(s"substring(txt, 1, $MaxParseChars)"))
+        .otherwise(col("txt")))
+      .withColumn("_txt", when(col("_trunc"),
+          expr("substring(_win, 1, length(_win) - " +
+            "length(substring_index(_win, '\n', -1)))"))
+        .otherwise(col("_win")))
+      .select(col("site"), col("_trunc").as("truncated"),
+        posexplode(split(col("_txt"), "\n")).as(Seq("i", "raw")))
+      .select(col("site"), col("truncated"), col("i"),
         trim(regexp_replace(col("raw"), "#.*$", "")).as("ln"))
       .filter(col("ln") =!= "" && col("ln").contains(":"))
-      .select(col("site"), col("i"),
+      .select(col("site"), col("truncated"), col("i"),
         lower(trim(substring_index(col("ln"), ":", 1))).as("name"),
         trim(expr("substring(ln, instr(ln, ':') + 1)")).as("value"))
       .withColumn("_ua", col("name") === "user-agent")
@@ -111,7 +134,8 @@ object Robots {
         (col("_ua") && !coalesce(lag(col("_ua"), 1).over(w), lit(false)))
           .cast("int"))
       .withColumn("gid", sum(col("_new")).over(run))
-      .select(col("site"), col("gid"), col("i"), col("name"), col("value"))
+      .select(col("site"), col("gid"), col("i"), col("name"), col("value"),
+        col("truncated"))
   }
 
   /** The group(s) a crawler obeys per site (RFC 9309 §2.2.1): among

@@ -298,6 +298,45 @@ class WebSpec extends AnyFunSuite {
       .select("gid").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("Robots.parseDirectives enforces the RFC 9309 §2.5 500 KiB parse " +
+       "cap: directives past it ignored, severed line dropped whole, cap " +
+       "observable (r19)") {
+    import graft.ext.Robots
+    // a file whose head fits the cap, whose padding crosses it, and
+    // whose TAIL carries a disallow that must NOT parse — plus a line
+    // engineered to straddle the cap exactly (a prefix that would parse
+    // as a directive if the severed line weren't dropped whole)
+    val head = "User-agent: *\nDisallow: /tmp/\n"
+    val padLine = "# pad pad pad pad pad pad pad\n"
+    val padding = padLine * ((Robots.MaxParseChars - head.length) / padLine.length)
+    val straddle = "Disallow: /straddles-the-cap-boundary/\n"
+    val tail = "Disallow: /past-the-cap/\n"
+    val big = head + padding + straddle + tail
+    assert(big.length > Robots.MaxParseChars)
+    val dirs = Robots.parseDirectives(
+      Seq(("0", big), ("1", head)).toDF("site", "txt"))
+    val bySite = dirs.select("site", "name", "value", "truncated")
+      .as[(String, String, String, Boolean)].collect().toSeq
+      .groupBy(_._1)
+    // in-cap directives parse; nothing past the cap does
+    assert(bySite("0").map(t => (t._2, t._3)).toSet ==
+      Set("user-agent" -> "*", "disallow" -> "/tmp/"))
+    assert(!bySite("0").exists(_._3.contains("past-the-cap")))
+    assert(!bySite("0").exists(_._3.contains("straddles")))
+    // the cap is observable per directive row; the small file is not cut
+    assert(bySite("0").forall(_._4))
+    assert(bySite("1").forall(!_._4))
+    assert(bySite("1").map(t => (t._2, t._3)).toSet ==
+      Set("user-agent" -> "*", "disallow" -> "/tmp/"))
+    // exactly AT the cap: nothing is dropped, truncated is false
+    val exact = head + padLine * ((Robots.MaxParseChars - head.length) / padLine.length)
+    val atCap = exact + "x" * (Robots.MaxParseChars - exact.length - 1) + "\n"
+    assert(atCap.length == Robots.MaxParseChars)
+    val dirsAt = Robots.parseDirectives(Seq(("0", atCap)).toDF("site", "txt"))
+    assert(dirsAt.select("truncated").as[Boolean].collect().forall(!_))
+    assert(dirsAt.filter(col("value") === "/tmp/").count() == 1)
+  }
+
   test("Robots wildcards: the REP spec's own pattern/path example table " +
        "resolves exactly (RFC 9309 §2.2.3 special characters)") {
     import graft.ext.Robots
