@@ -1106,12 +1106,23 @@ object Warc {
       "http_status", "body_bytes", "body_md5")
   }
 
+  /** Decode a derived-archive payload: UTF-8 by the WET/WAT convention,
+    * but a BOM a THIRD-PARTY producer shipped is honored — and consumed,
+    * never leaked into the text (the r18 body-decode rule applied to
+    * sidecars; the JDK does not strip a UTF-8 BOM on its own). */
+  private def decodeSidecarText(bytes: Array[Byte], off: Int, len: Int): String =
+    bomCharset(java.util.Arrays.copyOfRange(bytes, off, off + len)) match {
+      case Some((cs, skip)) =>
+        new String(bytes, off + skip, len - skip, cs)
+      case None => new String(bytes, off, len, UTF_8)
+    }
+
   /** [[extractRecords]]' sibling for WET-STYLE derived archives: one row
     * per CONVERSION record — the record type CommonCrawl's WET sidecars
     * carry, whose payload is extracted TEXT rather than an HTTP message —
     * (blob_id, rec_idx, uri, content_length, text), payload decoded
-    * UTF-8 (WET is UTF-8 by convention; the producing side encodes the
-    * same way). */
+    * UTF-8 (WET is UTF-8 by convention) with BOM honesty for foreign
+    * archives ([[decodeSidecarText]]). */
   def extractConversions(blobs: Dataset[(Long, Array[Byte])]): DataFrame = {
     val spark = blobs.sparkSession
     import spark.implicits._
@@ -1121,7 +1132,7 @@ object Warc {
           (blobId, r.recIdx.toLong,
             if (r.targetUri.isEmpty) None else Some(r.targetUri),
             r.contentLength,
-            new String(bytes, r.bodyOffset, r.bodyLen, UTF_8))
+            decodeSidecarText(bytes, r.bodyOffset, r.bodyLen))
       }
     }).toDF("blob_id", "rec_idx", "uri", "content_length", "text")
   }
@@ -1179,8 +1190,8 @@ object Warc {
     * row per METADATA record — the record type CommonCrawl's WAT
     * sidecars carry, whose payload is derived metadata about a capture
     * (headers, outlinks, title) rather than content — (blob_id, rec_idx,
-    * uri, content_length, fields), payload decoded UTF-8 (the producing
-    * side encodes the same way). */
+    * uri, content_length, fields), payload decoded UTF-8 with BOM
+    * honesty for foreign archives ([[decodeSidecarText]]). */
   def extractMetadata(blobs: Dataset[(Long, Array[Byte])]): DataFrame = {
     val spark = blobs.sparkSession
     import spark.implicits._
@@ -1190,7 +1201,7 @@ object Warc {
           (blobId, r.recIdx.toLong,
             if (r.targetUri.isEmpty) None else Some(r.targetUri),
             r.contentLength,
-            new String(bytes, r.bodyOffset, r.bodyLen, UTF_8))
+            decodeSidecarText(bytes, r.bodyOffset, r.bodyLen))
       }
     }).toDF("blob_id", "rec_idx", "uri", "content_length", "fields")
   }

@@ -853,6 +853,36 @@ class WarcSpec extends AnyFunSuite {
       exact.skippedMemberBytes == 0)
   }
 
+  test("foreign-sidecar BOM honesty: a third-party WET/WAT payload with a " +
+       "BOM decodes under it, consumed never leaked; ours stay UTF-8 (r19)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.UTF_16LE
+    val text = "extracted café text"
+    val bom8 = Array(0xEF, 0xBB, 0xBF).map(_.toByte)
+    val bomLE = Array(0xFF, 0xFE).map(_.toByte)
+    val blob = Warc.synthesize(Seq(
+      Warc.Entry("conversion", Some("u0"), "text/plain",
+        text.getBytes(UTF_8)), // our convention: plain UTF-8
+      Warc.Entry("conversion", Some("u1"), "text/plain",
+        bom8 ++ text.getBytes(UTF_8)), // foreign, UTF-8 BOM
+      Warc.Entry("conversion", Some("u2"), "text/plain",
+        bomLE ++ text.getBytes(UTF_16LE)))) // foreign, UTF-16LE
+    val texts = Warc.extractConversions(Seq((1L, blob)).toDS())
+      .select("rec_idx", "text").as[(Long, String)].collect()
+      .sortBy(_._1).map(_._2).toSeq
+    assert(texts == Seq(text, text, text),
+      "BOM must be honored for the decode and consumed from the text")
+    // same rule on the WAT side
+    val fields = "Status: 200\r\nTitle: café\r\n"
+    val wat = Warc.synthesize(Seq(
+      Warc.Entry("metadata", Some("u0"), "application/warc-fields",
+        bomLE ++ fields.getBytes(UTF_16LE))))
+    val got = Warc.extractMetadata(Seq((1L, wat)).toDS())
+      .select("fields").as[String].collect().head
+    assert(got == fields)
+  }
+
   test("synthesizeGzMembers: as-written extents ARE the re-walked extents, " +
        "and seeking through them reproduces every record (r19)") {
     val (blob, extents) = Warc.synthesizeGzMembers(entries)
