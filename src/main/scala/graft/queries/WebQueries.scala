@@ -1211,7 +1211,11 @@ object WebQueries {
     * across two children by `doc_id div 7 % 2`, so both recursion
     * branches carry mass on every site. Shuffles: two bounded per-site
     * groupBys to assemble, one child-URL join, one anti-join. */
-  def q238SitemapIndex(spark: SparkSession, dir: String): DataFrame = {
+  /** The q238/q244 shared TWO-LEVEL walk: index XML → declared child
+    * sitemaps → (site, child, url, lastmod) entries, both extraction
+    * levels real (the fetch is a join on the child URL — an undeclared
+    * child drops). */
+  private def sitemapIndexEntries(spark: SparkSession, dir: String): DataFrame = {
     val docs = sitemapDocs(spark, dir)
       .withColumn("child", expr("doc_id div 7 % 2"))
     val childXml = docs
@@ -1241,7 +1245,7 @@ object WebQueries {
         lit("<sitemap><loc>([^<]*)</loc></sitemap>"), lit(1)))
         .as("child_url"))
     val pat = "<url><loc>([^<]*)</loc><lastmod>([^<]*)</lastmod></url>"
-    val entries = childLocs
+    childLocs
       .join(childXml.select(col("child_url"), col("child"), col("xml")),
         Seq("child_url"))
       .select(col("site"), col("child"),
@@ -1251,13 +1255,80 @@ object WebQueries {
           (l, m) => struct(l.as("url"), m.as("lastmod")))).as("_e"))
       .select(col("site"), col("child"), col("_e.url").as("url"),
         col("_e.lastmod").as("lastmod"))
-    val crawled = docs.filter(col("doc_id") % 3 === 0).select(col("url"))
+  }
+
+  def q238SitemapIndex(spark: SparkSession, dir: String): DataFrame = {
+    val entries = sitemapIndexEntries(spark, dir)
+    val crawled = sitemapDocs(spark, dir)
+      .filter(col("doc_id") % 3 === 0).select(col("url"))
     entries
       .join(crawled, Seq("url"), "left_anti")
       .select(
         regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long")
           .as("doc_id"),
         col("site"), col("child"), col("url"), col("lastmod"))
+      .transform(tinySort(_, col("doc_id")))
+  }
+
+  /** q244 — RECRAWL SCHEDULING: the join q238 and q237 were each one
+    * half of — sitemap `lastmod` (freshness the SITE declares) against
+    * the stored-capture frame (what the crawler HOLDS, with its cache
+    * validator), emitting the per-URL fetch decision a real recrawler
+    * makes:
+    *
+    *   - no stored capture → `fetch-new` (nothing to validate against);
+    *   - lastmod AFTER the capture date → `fetch-modified`
+    *     (unconditional fetch — the site says it changed);
+    *   - else → `conditional` (an If-None-Match revalidation carrying
+    *     the STORED ETag, which rides the output as cond_etag — the
+    *     q237 validator flowing into the scheduling decision).
+    *
+    * Sitemap URLs+lastmod come through the REAL two-level index walk
+    * (the q238 extraction, shared builder); stored captures come
+    * through REAL container bytes with parsed validators
+    * ([[graft.ext.Warc.extractValidators]], the q237 transport); the
+    * comparison is ISO-date string order (exact, no date parsing).
+    * Scale shape: one map-side demux + ONE left equi-join on the URL.
+    * The oracle replays captures (md5-as-ETag), dates, and all three
+    * decision classes closed-form. */
+  def q244RecrawlSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.Warc
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(x => f"$x%02x").mkString
+    }
+    val entries = sitemapIndexEntries(spark, dir)
+    val crawl1 = docPairs(spark, dir)
+      .filter(_._1 % 3 == 0) // the stored (already-crawled) class
+      .groupByKey(_._1 / 8).mapGroups { (b, it) =>
+        val recs = it.toArray.sortBy(_._1).toSeq.map { case (id, t) =>
+          val body = s"<html><body><p>$t</p></body></html>"
+          Warc.Entry("response",
+            Some(s"https://site${id % 7}.example.org/doc/$id"),
+            "application/http; msgtype=response",
+            (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+              "ETag: \"" + md5hex(body) + "\"\r\n\r\n" + body)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        (b, Warc.synthesize(recs))
+      }
+    val captures = Warc.extractValidators(crawl1)
+      .select(col("uri").as("url"), col("etag"),
+        lit("2026-06-15").as("captured_at"))
+    // plain equi-join: the capture store is corpus-sized at scale (AQE
+    // still broadcasts it under the threshold at test SFs)
+    entries.join(captures, Seq("url"), "left")
+      .select(
+        regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        col("site"), col("url"), col("lastmod"), col("captured_at"),
+        when(col("etag").isNull, lit("fetch-new"))
+          .when(col("lastmod") > col("captured_at"), lit("fetch-modified"))
+          .otherwise(lit("conditional")).as("decision"),
+        when(col("etag").isNotNull && !(col("lastmod") > col("captured_at")),
+          col("etag")).as("cond_etag"))
       .transform(tinySort(_, col("doc_id")))
   }
 
@@ -1789,7 +1860,8 @@ object WebQueries {
     "q240_deflate_bodies" -> (q240DeflateBodies _),
     "q241_main_content" -> (q241MainContent _),
     "q242_boiler_grams" -> (q242BoilerGrams _),
-    "q243_archive_write" -> (q243ArchiveWrite _)
+    "q243_archive_write" -> (q243ArchiveWrite _),
+    "q244_recrawl_schedule" -> (q244RecrawlSchedule _)
   )
 
   /** The q241/q242 oracle's stopword list — generated from the SAME
@@ -2009,6 +2081,31 @@ object WebQueries {
          |  CAST(strlen(extracted) AS BIGINT) AS body_bytes,
          |  md5(extracted) AS body_md5
          |FROM o ORDER BY doc_id""".stripMargin,
+    /* q244: the three decision classes closed-form — the stored class
+     * is id%3=0 with ETag '"'||md5(body)||'"' and a fixed mid-year
+     * capture date; lastmod derives from the id; ISO string order IS
+     * date order, so the class split is exact on both engines and the
+     * conditional rows must carry the parsed validator through. */
+    "q244_recrawl_schedule" ->
+      """WITH d AS (SELECT doc_id, text, CAST(doc_id % 7 AS VARCHAR) AS site,
+        |    'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |    '2026-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') ||
+        |      '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS lastmod
+        |  FROM documents),
+        |c AS (SELECT url,
+        |    '"' || md5('<html><body><p>' || text || '</p></body></html>')
+        |      || '"' AS etag,
+        |    '2026-06-15' AS captured_at
+        |  FROM d WHERE doc_id % 3 = 0)
+        |SELECT d.doc_id, d.site, d.url, d.lastmod, c.captured_at,
+        |  CASE WHEN c.etag IS NULL THEN 'fetch-new'
+        |       WHEN d.lastmod > c.captured_at THEN 'fetch-modified'
+        |       ELSE 'conditional' END AS decision,
+        |  CASE WHEN c.etag IS NOT NULL AND NOT d.lastmod > c.captured_at
+        |       THEN c.etag END AS cond_etag
+        |FROM d LEFT JOIN c USING (url)
+        |ORDER BY d.doc_id""".stripMargin,
     /* q241: every block's fate replayed arithmetically from the
      * construction (the q204 oracle discipline): title/h1/nav/tags/
      * footer fates are closed-form, the content paragraph's stopword
