@@ -267,6 +267,13 @@ object WebQueries {
     * cross-multiplications; the block-stats array materializes in its
     * own projection (HOFs get no CSE — the q204 two-step). */
   def q241MainContent(spark: SparkSession, dir: String): DataFrame =
+    q241Stage(spark, dir)
+      .localCheckpoint() // O(input) dump: the sort's sampling pass must
+      .orderBy(col("doc_id")) // not re-run the regex pipeline (q204)
+
+  /** q241 before the dump checkpoint (PlanShapeSpec pins the map-side-
+    * only law here — the checkpoint truncates the plan). */
+  private[graft] def q241Stage(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "documents")
       .select(col("doc_id"),
         Html.blockStatsLex(navPage(col("doc_id"), col("text"))).as("_st"))
@@ -280,8 +287,6 @@ object WebQueries {
         col("_e.kept_chars").as("kept_chars"),
         col("_e.total_chars").as("total_chars"),
         col("_e.extracted").as("extracted"))
-      .localCheckpoint() // O(input) dump: the sort's sampling pass must
-      .orderBy(col("doc_id")) // not re-run the regex pipeline (q204)
 
   /** q242 — GRAM POISONING, measured: the same pages extracted under the
     * link-density-only rule (which keeps the planted tag cloud and the

@@ -36,6 +36,36 @@ class PlanShapeSpec extends AnyFunSuite {
       s"prefix predicate must not force a nested loop:\n$plan")
   }
 
+  test("q241 main-content extraction is map-side: no join, no aggregate — " +
+       "the one exchange is the output sort's (r19)") {
+    val plan = graft.queries.WebQueries.q241MainContent(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the checkpoint truncates the upstream; the FINAL plan is the
+    // sorted dump of checkpointed rows — nothing heavier may appear
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"extraction must be a pure per-row projection:\n$plan")
+    // and the upstream stage (pre-checkpoint) shuffles nothing either:
+    // documents scan -> two projections -> checkpoint
+    val up = graft.queries.WebQueries.q241Stage(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!up.contains("Exchange") && !up.contains("Join"),
+      s"the extraction pipeline itself must not shuffle:\n$up")
+  }
+
+  test("q242 gram poisoning: extraction text materializes ONCE — the final " +
+       "plan has no HOF regex pipeline, joins are equi on gram/doc keys (r19)") {
+    val plan = graft.queries.WebQueries.q242BoilerGrams(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents"),
+      s"corpus rescanned past the extraction checkpoint:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in the gram join:\n$plan")
+    // the sanctioned 1-row corpus-count broadcasts are the ONLY
+    // nested-loop joins (one per variant)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 2,
+      s"a real join degraded to a nested loop:\n$plan")
+  }
+
   test("q97 blocked fuzzy join: block-keyed equi-join, no BNLJ, levenshtein above the join") {
     // the entity-resolution shape claim: the expensive comparator may only
     // run INSIDE blocks — the self-join must be an equi-join on the block

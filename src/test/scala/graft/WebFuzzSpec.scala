@@ -92,6 +92,38 @@ class WebFuzzSpec extends AnyFunSuite {
     runBatch(9000L, 100)
   }
 
+  test("main-content extractor ≡ AST model over 100 stopword-mixed pages " +
+       "(seed base 23000) — the stopword leg kills and keeps both ways (r19)") {
+    import spark.implicits._
+    val pages = (0 until 100).map { i =>
+      genPageLex.pureApply(Gen.Parameters.default, Seed(23000L + i))
+    }
+    val models = pages.map(p => modelMain(p))
+    val linkModels = pages.map(p => model(p))
+    // vacuity guards: blocks killed ONLY by the stopword leg (they pass
+    // the q204 rule), blocks KEPT under it, and undecided pages
+    assert(models.map(_.nKept).sum > 30, "too few main-content keeps")
+    assert(linkModels.map(_.nKept).sum - models.map(_.nKept).sum > 40,
+      "too few stopword-leg-only kills")
+    val df = pages.zipWithIndex
+      .map { case (p, i) => (i.toLong, render(p)) }.toDF("id", "h")
+      .select(col("id"), Html.blockStatsLex(col("h")).as("_st"))
+      .select(col("id"), Html.mainContentSummary(col("_st")).as("e"))
+      .select(col("id"), col("e.n_blocks"), col("e.n_kept"),
+        col("e.kept_chars"), col("e.total_chars"), col("e.extracted"))
+      .as[(Long, Long, Long, Long, Long, String)]
+      .collect().sortBy(_._1)
+    df.zip(pages.zip(models)).foreach {
+      case ((i, nb, nk, kc, tc, ex), (page, m)) =>
+        val seed = 23000L + i
+        assert(nb == m.nBlocks, s"[seed $seed] n_blocks $nb != ${m.nBlocks}\n${render(page)}")
+        assert(nk == m.nKept, s"[seed $seed] n_kept $nk != ${m.nKept}\n${render(page)}")
+        assert(kc == m.keptChars, s"[seed $seed] kept_chars $kc != ${m.keptChars}\n${render(page)}")
+        assert(tc == m.totalChars, s"[seed $seed] total_chars $tc != ${m.totalChars}\n${render(page)}")
+        assert(ex == m.extracted, s"[seed $seed] extracted mismatch\n got: $ex\nwant: ${m.extracted}\n${render(page)}")
+    }
+  }
+
   test("meta-charset prescan ≡ AST model over 400 random heads — decoy " +
        "content=\"…charset=…\" metas can never hijack the encoding (r19)") {
     import graft.ext.Warc
@@ -228,32 +260,42 @@ object HtmlFuzzGen {
     cs <- Gen.listOfN(n, Gen.oneOf(wordChars.toSeq))
   } yield cs.mkString
 
-  private val textRun: Gen[String] = for {
+  private def textRunOf(w: Gen[String]): Gen[String] = for {
     n <- Gen.chooseNum(0, 6)
-    ws <- Gen.listOfN(n, word)
+    ws <- Gen.listOfN(n, w)
     sep <- Gen.oneOf(" ", "  ", " ") // double spaces exercise the collapse
   } yield ws.mkString(sep)
 
-  private val elem: Gen[Elem] = Gen.frequency(
-    5 -> textRun.map(Text.apply),
-    3 -> (for { h <- word; t <- textRun } yield Anchor(s"/x/$h", t)),
-    1 -> (for { h <- word; t <- textRun } yield AttrAnchor(s"/y/$h", t)),
-    1 -> textRun.map(BareAnchor.apply),
-    2 -> (for { tg <- Gen.oneOf("b", "i", "em", "span"); s <- textRun }
+  private val textRun: Gen[String] = textRunOf(word)
+
+  private def elemOf(run: Gen[String]): Gen[Elem] = Gen.frequency(
+    5 -> run.map(Text.apply),
+    3 -> (for { h <- word; t <- run } yield Anchor(s"/x/$h", t)),
+    1 -> (for { h <- word; t <- run } yield AttrAnchor(s"/y/$h", t)),
+    1 -> run.map(BareAnchor.apply),
+    2 -> (for { tg <- Gen.oneOf("b", "i", "em", "span"); s <- run }
       yield Wrapped(tg, s)))
 
-  private val block: Gen[Block] = for {
+  private def blockOf(run: Gen[String]): Gen[Block] = for {
     tag <- Gen.oneOf("p", "div", "h1")
     attrs <- Gen.oneOf("", " class=\"c1\"", " id=\"z9\" class=\"nav menu\"")
     n <- Gen.frequency(1 -> Gen.const(0), 6 -> Gen.chooseNum(1, 5))
-    es <- Gen.listOfN(n, elem)
+    es <- Gen.listOfN(n, elemOf(run))
   } yield Block(tag, attrs, es)
 
-  val genPage: Gen[Page] = for {
+  private def genPageOf(run: Gen[String]): Gen[Page] = for {
     nb <- Gen.chooseNum(0, 7)
-    bs <- Gen.listOfN(nb, block)
-    stray <- Gen.frequency(8 -> Gen.const(""), 2 -> textRun)
+    bs <- Gen.listOfN(nb, blockOf(run))
+    stray <- Gen.frequency(8 -> Gen.const(""), 2 -> run)
   } yield Page(bs, stray)
+
+  val genPage: Gen[Page] = genPageOf(textRun)
+
+  /** Pages whose text MIXES stopwords with random vocabulary — the
+    * input class that exercises the jusText stopword-density leg both
+    * ways (a page of pure random words is all-drop under it). */
+  val genPageLex: Gen[Page] = genPageOf(textRunOf(Gen.frequency(
+    9 -> word, 1 -> Gen.oneOf(graft.ext.Html.DefaultStopwords))))
 
   def render(p: Page): String = {
     val sb = new StringBuilder("<html><head></head><body>")
@@ -283,6 +325,18 @@ object HtmlFuzzGen {
     * rendered string — the extractor's split/strip regexes have no
     * counterpart here to share a bug with. */
   def model(p: Page, minLen: Int = 10): PageModel = {
+    val rendered = blockVisAnchor(p)
+    val kept = rendered.filter { case (v, a) => v.length >= minLen && a * 3 <= v.length }
+    PageModel(
+      nBlocks = rendered.length.toLong,
+      nKept = kept.length.toLong,
+      keptChars = kept.map(_._1.length.toLong).sum,
+      totalChars = rendered.map(_._1.length.toLong).sum,
+      extracted = kept.map(_._1).mkString("\n"))
+  }
+
+  /** (visible, anchor mass) per rendered block, from the AST. */
+  private def blockVisAnchor(p: Page): Seq[(String, Int)] = {
     def collapse(s: String) = s.replaceAll(" +", " ").trim
     val blockStats = p.blocks.map { b =>
       val vis = collapse(b.elems.map {
@@ -301,8 +355,21 @@ object HtmlFuzzGen {
       }.sum
       (vis, anchor)
     } ++ (if (collapse(p.stray).nonEmpty) Seq((collapse(p.stray), 0)) else Nil)
-    val rendered = blockStats.filter(_._1.nonEmpty)
-    val kept = rendered.filter { case (v, a) => v.length >= minLen && a * 3 <= v.length }
+    blockStats.filter(_._1.nonEmpty)
+  }
+
+  /** The MAIN-CONTENT semantics ([[graft.ext.Html.mainContentSummary]])
+    * from the AST: the q204 keep legs plus the stopword-density leg
+    * (stop*100 >= words*minStopPct, case-insensitive membership). */
+  def modelMain(p: Page, minLen: Int = 10, minStopPct: Int = 6): PageModel = {
+    val rendered = blockVisAnchor(p)
+    val kept = rendered.filter { case (v, a) =>
+      val words = v.split(" ").filter(_.nonEmpty)
+      val stops = words.count(w =>
+        graft.ext.Html.DefaultStopwords.contains(w.toLowerCase))
+      v.length >= minLen && a * 3 <= v.length &&
+        stops * 100 >= words.length * minStopPct
+    }
     PageModel(
       nBlocks = rendered.length.toLong,
       nKept = kept.length.toLong,
