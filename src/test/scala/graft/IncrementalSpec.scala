@@ -448,6 +448,50 @@ class IncrementalSpec extends AnyFunSuite {
       "per-batch extractions must union to the batch chain exactly")
   }
 
+  test("streaming archive write equals the batch q243 release at the " +
+       "RECORD level for any batching, and crash replay never doubles (r19)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val blobs = graft.queries.WebQueries.crawlBlobs(spark, dir)
+      .toDF("blob_id", "warc")
+    // three arrival files — blob GROUPING differs per batching, which is
+    // why the law is record-level (seek-reproduced doc_id/mass/md5)
+    val streamDir = Files.createTempDirectory("graft_arch_stream")
+    (0 until 3).foreach { i =>
+      val tmp = Files.createTempDirectory(s"graft_arch_chunk$i")
+      blobs.filter(col("blob_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, streamDir.resolve(s"c$i.parquet"))
+    }
+    val releaseDir = Files.createTempDirectory("graft_arch_release").toString
+    assert(graft.stream.StreamingArchiveWrite.ingest(
+      spark, streamDir.toString, releaseDir, maxFilesPerTrigger = Some(1)) == 3)
+    val streamed = graft.stream.StreamingArchiveWrite
+      .releaseRecords(spark, releaseDir)
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    val batch = graft.queries.WebQueries.q243ArchiveWrite(spark, dir)
+      .select(col("doc_id"), col("body_bytes"), col("body_md5"))
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(batch.size > 40, s"non-vacuity: expected the curated mass, got ${batch.size}")
+    assert(streamed == batch,
+      "seeking every committed sidecar extent must reproduce the batch release")
+    // crash window: checkpoint loss redelivers EVERY batch; the txn log
+    // must swallow the replay (same batch ids → same subdirectories)
+    val fs = new org.apache.hadoop.fs.Path(releaseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$releaseDir/_graft_checkpoint"), true)
+    assert(graft.stream.StreamingArchiveWrite.ingest(
+      spark, streamDir.toString, releaseDir, maxFilesPerTrigger = Some(1)) == 3,
+      "full redelivery expected")
+    val replayed = graft.stream.StreamingArchiveWrite
+      .releaseRecords(spark, releaseDir)
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(replayed == batch,
+      "replayed batches must overwrite their own output, never append a second copy")
+  }
+
   test("streaming near-dup vs the persisted band index: per-batch audits " +
        "+ appends fold to the one-shot batch audit of the union (r16)") {
     val dir = "/root/testdata/sf0.001"
