@@ -88,6 +88,111 @@ object Graph {
     rank.toDF("node", "rank")
   }
 
+  /** Multi-source BFS crawl depth over a DIRECTED edge list: the minimum
+    * number of link hops from any seed to each reachable node, capped at
+    * `maxDepth` — the crawl-radius feature quality pipelines gate on
+    * (pages far from trusted seeds are overwhelmingly the spam/SEO tail;
+    * OPIC/TrustRank-era crawl ordering and URL-depth gates are the same
+    * signal). The THIRD loop shape next to the label-propagation fixpoint
+    * ([[Dedup.duplicateClusters]]) and the numeric fixpoint
+    * ([[pageRankInt]]): a MONOTONE FRONTIER loop — per round, messages
+    * flow only from nodes assigned LAST round (the frontier), never the
+    * whole node set, so total message volume across the entire run is
+    * O(edges): each edge fires exactly once, the round its source enters
+    * the frontier.
+    *
+    * Same RDD-tier rationale as [[pageRankInt]]: one hash partitioner
+    * carries edges, depths, and frontiers across all rounds (the
+    * edge⋈frontier and message⋈depth joins are narrow); the per-round
+    * shuffle is the message reduceByKey. The round count is FIXED at
+    * `maxDepth` — no convergence action, the whole loop materializes in
+    * the consumer's single action; an exhausted frontier makes remaining
+    * rounds empty narrow joins. Each frontier is localCheckpoint-marked:
+    * it feeds both the next round's messages and the depth union, and
+    * the mark persists its blocks so neither consumer recomputes the
+    * chain. The assigned set is the UNION of the (disjoint) frontiers —
+    * partitioner-aware, so it never reshuffles; each round's anti-probe
+    * reads all prior frontier blocks, O(maxDepth·reached) reads total.
+    *
+    * All-integer: depths are exact BIGINTs and min is associative, so a
+    * depth-bounded recursive CTE replays the result bit-identically.
+    * Returns (node, depth) for REACHED nodes only (depth ≤ maxDepth);
+    * seeds report depth 0 whether or not they appear in the edge list. */
+  def bfsDepth(edges: DataFrame, srcCol: String, dstCol: String,
+               seeds: DataFrame, seedCol: String, maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val numParts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val p = new org.apache.spark.HashPartitioner(numParts)
+    val e = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+      .as[(Long, Long)].rdd.partitionBy(p)
+    e.localCheckpoint()
+    val seed = seeds.select(col(seedCol).cast("long")).distinct()
+      .as[Long].rdd.map((_, 0L)).partitionBy(p)
+    seed.localCheckpoint()
+    var depth = seed
+    var frontier = seed
+    for (d <- 1 to maxDepth) {
+      val msgs = e.join(frontier, p) // narrow: both carry p
+        .map { case (_, (dst, _)) => (dst, d.toLong) }
+        .reduceByKey(p, math.min(_: Long, _: Long)) // the round's one shuffle
+      // fresh nodes only — anything already assigned keeps its smaller depth
+      val fresh = msgs.leftOuterJoin(depth, p).mapPartitions(
+        _.collect { case (v, (nd, None)) => (v, nd) },
+        preservesPartitioning = true)
+      fresh.localCheckpoint() // feeds next round's messages AND the union
+      depth = spark.sparkContext.union(depth, fresh) // partitioner-aware: disjoint keys, both on p
+      frontier = fresh
+    }
+    depth.toDF("node", "depth")
+  }
+
+  /** HyperBall neighborhood function (Boldi & Vigna, "In-Core Computation
+    * of Geometric Centralities with HyperBall", WWW 2014 companion; the
+    * HLL lift of Palmer–Gibbons–Faloutsos ANF, KDD 2002): for every node,
+    * an HLL-sketched estimate of its OUT-ball size |{u : dist(v,u) ≤ r}|
+    * — the per-node reachability profile that makes geometric centrality
+    * computable where per-source BFS is quadratic and unthinkable. State
+    * is m = 64 registers per node; the ball recurrence
+    * B_{r+1}(v) = B_r(v) ∪ ⋃ over out-edges (v,w) of B_r(w) becomes
+    * ELEMENT-WISE MAX over registers — associative, commutative,
+    * idempotent — so each round is ONE equi-join (edge ⋈ head registers)
+    * plus ONE map-side-combinable max aggregation. Registers ride as
+    * (node, bucket, rho) ROWS, the fully relational form: ≤ m rows per
+    * node, the groupBy(max) combines map-side, and state is O(nodes·m)
+    * regardless of graph size (a production variant would pack the
+    * registers into a byte array to cut the message constant, at the
+    * price of a custom merge aggregator).
+    *
+    * Hash, FM rightmost-1 rank, and the exact-integer raw-HLL estimator
+    * are byte-shared with [[Sketch.hllRollup]] (q150), so DuckDB replays
+    * every register and the estimate bit-identically from a
+    * depth-bounded recursive ball CTE.
+    *
+    * Returns (node, n_zero_registers, ball_estimate) over all nodes
+    * appearing in the edge list (either side). */
+  def hyperBall(edges: DataFrame, srcCol: String, dstCol: String,
+                radius: Int): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var regs = Sketch.hllRanked(
+        nodes.withColumn("_h", Sketch.hllHash(col("node"))), "node")
+      .select(col("node"), col("_bucket"), col("_rho"))
+      .localCheckpoint()
+    for (_ <- 1 to radius) {
+      val msgs = e.join(regs.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("_bucket"), col("_rho"))
+      regs = regs.unionByName(msgs)
+        .groupBy(col("node"), col("_bucket")).agg(max(col("_rho")).as("_rho"))
+        .localCheckpoint()
+    }
+    Sketch.hllEstimateFromRegisters(regs, "node")
+      .select(col("node"), col("n_zero_registers"),
+        col("hll_estimate").as("ball_estimate"))
+  }
+
   /** Triangle census over an UNDIRECTED graph given as canonical pairs
     * (`aCol` < `bCol`, distinct). A triangle {x<y<z} is counted exactly once
     * by the oriented wedge join: edges (x,y)⋈(y,z) on the middle vertex,

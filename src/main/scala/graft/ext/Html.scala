@@ -65,6 +65,39 @@ object Html {
       lit("</body></html>"))
   }
 
+  /** Deterministic LINK-GRAPH page around a document — the fixture for
+    * the web-graph loop operators (q246/q247): like [[synthPage]], but
+    * EVERY page carries in-corpus `/doc/K` outlinks computed mod the
+    * corpus size `n`, so on a contiguous-id corpus the doc→doc graph is
+    * CLOSED (every link lands on a real page and every page has
+    * out-degree ≥ 2 — rank mass circulates, BFS frontiers keep growing):
+    *   - `/doc/((id+1) mod n)`       — the "next page" chain
+    *   - `/doc/((id*7+3) mod n)`     — a mixing long-range link
+    *   - `/doc/((id*2+1) mod n)`     — every third page only
+    * Nav/footer links stay non-`/doc/` paths so the edge extractor's
+    * href filter (not the synthesis) decides what enters the graph —
+    * Spark parses the actual markup, the oracle replays the closed-form
+    * construction (the q199 pattern). */
+  def linkPage(docId: Column, n: Column, text: Column): Column = {
+    val id = docId.cast("string")
+    def doc(k: Column): Column = {
+      val s = k.cast("string")
+      concat(lit("<a href=\"/doc/"), s, lit("\">doc "), s, lit("</a>"))
+    }
+    concat(
+      lit("<html><head><title>doc "), id, lit("</title></head><body>"),
+      lit("<h1>doc "), id, lit(" report</h1>"),
+      lit("<div class=\"nav\"><a href=\"/\">home</a> <a href=\"/about\">about us</a></div>"),
+      lit("<p>"), text, lit("</p>"),
+      lit("<div class=\"related\">see also "), doc((docId + 1) % n),
+      lit(" and "), doc((docId * 7 + 3) % n),
+      when(docId % 3 === 0, concat(lit(" and "), doc((docId * 2 + 1) % n)))
+        .otherwise(lit("")),
+      lit("</div>"),
+      lit("<div class=\"footer\"><a href=\"/privacy\">privacy policy</a> (c) example.org</div>"),
+      lit("</body></html>"))
+  }
+
   /** Per-block stats: split at block closers, then for each block the
     * collapsed visible text, its length, and the summed anchor-text
     * length. Returns array<struct<visible, vis_len, anchor_len>>;
@@ -150,6 +183,30 @@ object Html {
         aggregate(anchors, lit(0), (acc, a) => acc + length(a)).as("anchor_len"),
         size(words).as("word_cnt"),
         size(filter(words, w => lower(w).isin(stopwords: _*))).as("stop_cnt"))
+    })
+    filter(stats, s => s.getField("vis_len") > 0)
+  }
+
+  /** [[blockStatsLex]] with the stopword set as a PER-ROW array column —
+    * the general form a multilingual corpus needs (per-language lists
+    * selected by a lang column, per-domain lists from config): the list
+    * is DATA, membership is `array_contains`. An empty array is the
+    * honest no-list statement (e.g. unsegmented CJK, where stopword
+    * density is undefined): zero stopwords everywhere, so the density
+    * leg drops every block rather than guessing. */
+  def blockStatsLexCol(html: Column, stopwords: Column): Column = {
+    val blocks = split(html, "</(?:p|div|h1|title)>")
+    val stats = transform(blocks, b => {
+      val vis = trim(regexp_replace(regexp_replace(b, "<[^>]*>", " "), " +", " "))
+      val anchors = regexp_extract_all(b, lit("<a [^>]*>([^<]*)</a>"), lit(1))
+      val words = filter(split(vis, " "), w => w =!= "")
+      struct(
+        vis.as("visible"),
+        length(vis).as("vis_len"),
+        aggregate(anchors, lit(0), (acc, a) => acc + length(a)).as("anchor_len"),
+        size(words).as("word_cnt"),
+        size(filter(words, w => array_contains(stopwords, lower(w))))
+          .as("stop_cnt"))
     })
     filter(stats, s => s.getField("vis_len") > 0)
   }

@@ -288,6 +288,48 @@ object WebQueries {
         col("_e.total_chars").as("total_chars"),
         col("_e.extracted").as("extracted"))
 
+  /** q245 — PER-LANGUAGE main-content extraction: jusText's stopword
+    * lists are per-language in reality, and the corpus carries a `lang`
+    * column — so the list is selected AS DATA per row
+    * ([[Html.blockStatsLexCol]]: a lang→list map column +
+    * `element_at`), never hard-wired. The fixture makes the selection
+    * load-bearing both ways: each page's content paragraph is salted
+    * with ITS OWN language's function words, so an es page evaluated
+    * under the en list (or a broken lang route) flips its keep
+    * decision; `zh` maps to the EMPTY list — the honest statement for
+    * unsegmented text, where the density leg drops every block rather
+    * than guessing — and unknown langs fall back to the en list. The
+    * oracle recomputes every per-lang count word-for-word. */
+  def q245LangContent(spark: SparkSession, dir: String): DataFrame = {
+    val esList = Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no")
+    val deList = Seq("der", "die", "das", "und", "ist", "ein", "zu", "den",
+      "nicht", "es")
+    val lists = map(
+      lit("en"), typedLit(Html.DefaultStopwords),
+      lit("es"), typedLit(esList),
+      lit("de"), typedLit(deList),
+      lit("zh"), typedLit(Seq.empty[String]))
+    val sw = coalesce(element_at(lists, col("lang")),
+      typedLit(Html.DefaultStopwords))
+    val salt = expr("""CASE lang WHEN 'es' THEN ' el la de que y en'
+      WHEN 'de' THEN ' der die das und ist' WHEN 'zh' THEN ''
+      ELSE ' the a of to' END""")
+    load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        Html.blockStatsLexCol(
+          navPage(col("doc_id"), concat(col("text"), salt)), sw).as("_st"))
+      .select(col("doc_id"), col("lang"),
+        Html.mainContentSummary(col("_st")).as("_e"))
+      .select(col("doc_id"), col("lang"),
+        col("_e.n_blocks").as("n_blocks"),
+        col("_e.n_kept").as("n_kept"),
+        col("_e.kept_chars").as("kept_chars"),
+        col("_e.total_chars").as("total_chars"),
+        col("_e.extracted").as("extracted"))
+      .localCheckpoint() // O(input) dump: the sort's sampling pass must
+      .orderBy(col("doc_id")) // not re-run the regex pipeline (q204)
+  }
+
   /** q242 — GRAM POISONING, measured: the same pages extracted under the
     * link-density-only rule (which keeps the planted tag cloud and the
     * heading on every page) and under [[Html.mainContentSummary]], each
@@ -1866,7 +1908,8 @@ object WebQueries {
     "q241_main_content" -> (q241MainContent _),
     "q242_boiler_grams" -> (q242BoilerGrams _),
     "q243_archive_write" -> (q243ArchiveWrite _),
-    "q244_recrawl_schedule" -> (q244RecrawlSchedule _)
+    "q244_recrawl_schedule" -> (q244RecrawlSchedule _),
+    "q245_lang_content" -> (q245LangContent _)
   )
 
   /** The q241/q242 oracle's stopword list — generated from the SAME
@@ -2086,6 +2129,41 @@ object WebQueries {
          |  CAST(strlen(extracted) AS BIGINT) AS body_bytes,
          |  md5(extracted) AS body_md5
          |FROM o ORDER BY doc_id""".stripMargin,
+    /* q245: the q241 replay with the lang axis — the salted text's
+     * per-lang stopword count is recomputed word-for-word under the
+     * SAME per-lang lists (zh = empty = always drop; unknown langs fall
+     * to the en branch), so a broken lang route or a wrong list breaks
+     * the hash on exactly the affected language class. */
+    "q245_lang_content" ->
+      s"""WITH w AS (SELECT doc_id, lang,
+         |    text || CASE lang WHEN 'es' THEN ' el la de que y en'
+         |      WHEN 'de' THEN ' der die das und ist' WHEN 'zh' THEN ''
+         |      ELSE ' the a of to' END AS stext,
+         |    len(CAST(doc_id AS VARCHAR)) AS L
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang, stext, L,
+         |    len(list_filter(string_split(stext, ' '), x -> x <> ''))
+         |      AS wcnt,
+         |    len(list_filter(string_split(stext, ' '), x -> x <> '' AND
+         |      CASE lang
+         |        WHEN 'es' THEN x IN ('el','la','de','que','y','en','un',
+         |          'es','se','no')
+         |        WHEN 'de' THEN x IN ('der','die','das','und','ist','ein',
+         |          'zu','den','nicht','es')
+         |        WHEN 'zh' THEN false
+         |        ELSE x IN ($StopwordsSqlList) END)) AS scnt
+         |  FROM w),
+         |k AS (SELECT *,
+         |    (length(stext) >= 10 AND scnt * 100 >= wcnt * 6) AS keep
+         |  FROM c)
+         |SELECT doc_id, lang,
+         |  CAST(6 AS BIGINT) AS n_blocks,
+         |  CAST(CASE WHEN keep THEN 1 ELSE 0 END AS BIGINT) AS n_kept,
+         |  CAST(CASE WHEN keep THEN length(stext) ELSE 0 END AS BIGINT)
+         |    AS kept_chars,
+         |  CAST(129 + 2 * L + length(stext) AS BIGINT) AS total_chars,
+         |  CASE WHEN keep THEN stext ELSE '' END AS extracted
+         |FROM k ORDER BY doc_id""".stripMargin,
     /* q244: the three decision classes closed-form — the stored class
      * is id%3=0 with ETag '"'||md5(body)||'"' and a fixed mid-year
      * capture date; lastmod derives from the id; ISO string order IS

@@ -77,6 +77,26 @@ class WebSpec extends AnyFunSuite {
     assert(old._2 == 3)
   }
 
+  test("blockStatsLexCol: the stopword list is per-ROW data — selection " +
+       "flips the keep decision; the empty list drops everything (r19)") {
+    val prose = "<p>el texto que la gente lee y comparte aqui</p>"
+    def keptUnder(list: Seq[String]): Long =
+      Seq(prose).toDF("h")
+        .select(Html.mainContentSummary(
+          Html.blockStatsLexCol(col("h"), typedLit(list))).as("e"))
+        .select("e.n_kept").as[Long].head()
+    // the es list keeps Spanish prose; the en list drops the SAME text
+    assert(keptUnder(Seq("el", "la", "de", "que", "y")) == 1L)
+    assert(keptUnder(Html.DefaultStopwords) == 0L)
+    // the empty list (unsegmented-language honesty): always drop
+    assert(keptUnder(Seq.empty) == 0L)
+    // literal-list and column forms agree on the same input
+    val viaSeq = Seq(prose).toDF("h")
+      .select(Html.extractMainContent(col("h")).as("e"))
+      .select("e.n_kept").as[Long].head()
+    assert(viaSeq == keptUnder(Html.DefaultStopwords))
+  }
+
   test("extractMainContent boundary: stop*100 >= words*minStopPct is an " +
        "exact integer test; membership is case-insensitive") {
     // 17 words, 1 stopword ("the"): 100 >= 17*6=102 fails -> dropped
