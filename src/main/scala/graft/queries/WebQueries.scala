@@ -330,6 +330,55 @@ object WebQueries {
       .orderBy(col("doc_id")) // not re-run the regex pipeline (q204)
   }
 
+  /** The q246/q247 doc→doc link graph: [[Html.linkPage]] pages parsed by
+    * the GENERIC anchor extractor ([[Html.anchorPairs]]), `/doc/K` hrefs
+    * kept (nav/footer paths fail the pattern) and K parsed as the
+    * destination node. The one `count()` is fixture-only — the synthesis
+    * needs the corpus size to close the graph mod n; real crawls carry
+    * real links and no such action exists. */
+  private def linkEdges(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val n = docs.count()
+    docs.select(col("doc_id"),
+        explode(Html.anchorPairs(
+          Html.linkPage(col("doc_id"), lit(n), col("text")))).as("_a"))
+      .select(col("doc_id").as("src"),
+        regexp_extract(col("_a.href"), "^/doc/([0-9]+)$", 1).as("_k"))
+      .filter(col("_k") =!= "")
+      .select(col("src"), col("_k").cast("long").as("dst"))
+  }
+
+  /** q246 — crawl DEPTH from the seed set ([[graft.ext.Graph.bfsDepth]]:
+    * multi-source frontier BFS, 8 rounds): every 17th page is a trusted
+    * seed (depth 0) and each page's depth is the minimum link distance
+    * from any seed through the REAL extracted link graph — the
+    * crawl-radius feature quality pipelines gate on (far-from-seed pages
+    * are the spam/SEO tail). The monotone frontier loop fires each edge
+    * exactly once across the whole run; the oracle replays it with a
+    * depth-bounded recursive CTE in exact integers. */
+  def q246CrawlDepth(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = load(spark, dir, "documents")
+      .filter(col("doc_id") % 17 === 0).select(col("doc_id"))
+    graft.ext.Graph
+      .bfsDepth(linkEdges(spark, dir), "src", "dst", seeds, "doc_id", maxDepth = 8)
+      .select(col("node").as("node_id"), col("depth"))
+      .transform(tinySort(_, col("node_id")))
+  }
+
+  /** q247 — HyperBall neighborhood function over the link graph
+    * ([[graft.ext.Graph.hyperBall]], radius 3): per page, the
+    * HLL-sketched size of its 3-hop out-ball — the reachability profile
+    * behind geometric centrality at archive scale, where per-source BFS
+    * is quadratic. Registers and the exact-integer estimator are
+    * byte-shared with q150's HLL rollup; the oracle rebuilds every ball
+    * by bounded recursion and replays registers + estimate
+    * bit-identically. */
+  def q247HyperBall(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Graph.hyperBall(linkEdges(spark, dir), "src", "dst", radius = 3)
+      .select(col("node").as("node_id"), col("n_zero_registers"),
+        col("ball_estimate"))
+      .transform(tinySort(_, col("node_id")))
+
   /** q242 — GRAM POISONING, measured: the same pages extracted under the
     * link-density-only rule (which keeps the planted tag cloud and the
     * heading on every page) and under [[Html.mainContentSummary]], each
@@ -1909,8 +1958,23 @@ object WebQueries {
     "q242_boiler_grams" -> (q242BoilerGrams _),
     "q243_archive_write" -> (q243ArchiveWrite _),
     "q244_recrawl_schedule" -> (q244RecrawlSchedule _),
-    "q245_lang_content" -> (q245LangContent _)
+    "q245_lang_content" -> (q245LangContent _),
+    "q246_crawl_depth" -> (q246CrawlDepth _),
+    "q247_hyperball" -> (q247HyperBall _)
   )
+
+  /** The q246/q247 oracle's closed-form replay of the [[Html.linkPage]]
+    * link graph (src, dst) — shared by both so the two graph loops can
+    * never drift from each other's edge set. */
+  private val LinkEdgeCtes: String =
+    """nn AS (SELECT COUNT(*) AS n FROM documents),
+      | e AS (
+      |   SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst FROM documents, nn
+      |   UNION ALL
+      |   SELECT doc_id, (doc_id * 7 + 3) % nn.n FROM documents, nn
+      |   UNION ALL
+      |   SELECT doc_id, (doc_id * 2 + 1) % nn.n FROM documents, nn
+      |   WHERE doc_id % 3 = 0)""".stripMargin
 
   /** The q241/q242 oracle's stopword list — generated from the SAME
     * [[Html.DefaultStopwords]] the engine evaluates, so the differential
@@ -2164,6 +2228,52 @@ object WebQueries {
          |  CAST(129 + 2 * L + length(stext) AS BIGINT) AS total_chars,
          |  CASE WHEN keep THEN stext ELSE '' END AS extracted
          |FROM k ORDER BY doc_id""".stripMargin,
+    /* q246: the frontier BFS replayed as a depth-bounded recursive CTE —
+     * UNION (not UNION ALL) dedups (node, d) states so the recursion
+     * terminates on the cyclic graph; MIN(d) per node is the BFS depth.
+     * All-integer, so the replay is bit-identical. */
+    "q246_crawl_depth" ->
+      s"""WITH RECURSIVE $LinkEdgeCtes,
+         | reach(node, d) AS (
+         |   SELECT doc_id, 0 FROM documents WHERE doc_id % 17 = 0
+         |   UNION
+         |   SELECT e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.node
+         |   WHERE r.d < 8)
+         |SELECT node AS node_id, CAST(MIN(d) AS BIGINT) AS depth
+         |FROM reach GROUP BY node ORDER BY node_id""".stripMargin,
+    /* q247: every node's 3-hop out-ball rebuilt by bounded recursion,
+     * then the q150 HLL register/estimator spelling verbatim (hash,
+     * bucket split, FM rightmost-1 rank, HUGEINT raw estimator) grouped
+     * per SOURCE node — a register or estimate that drifts from Spark's
+     * sketch breaks the hash on exactly the affected ball. */
+    "q247_hyperball" ->
+      s"""WITH RECURSIVE $LinkEdgeCtes,
+         | ball(src, node, d) AS (
+         |   SELECT doc_id, doc_id, 0 FROM documents
+         |   UNION
+         |   SELECT b.src, e.dst, b.d + 1 FROM ball b JOIN e ON e.src = b.node
+         |   WHERE b.d < 3),
+         | mem AS (SELECT DISTINCT src, node FROM ball),
+         | h AS (SELECT src,
+         |   ${ProfilingQueries.hex60("'hll:' || CAST(node AS VARCHAR)")} AS hv
+         |   FROM mem),
+         | bk AS (SELECT src, hv % 64 AS bucket, hv // 64 AS rest FROM h),
+         | rk AS (SELECT src, bucket,
+         |        CASE WHEN rest = 0 THEN 55
+         |             ELSE length(bin(rest & (-rest))) END AS rho FROM bk),
+         | regs AS (SELECT src, bucket, MAX(rho) AS rho
+         |          FROM rk GROUP BY src, bucket),
+         | z AS (SELECT src,
+         |         CAST(64 - COUNT(*) AS BIGINT) AS n_zero_registers,
+         |         SUM(CAST(1 AS HUGEINT) << (62 - rho)) AS zsum
+         |       FROM regs GROUP BY src)
+         |SELECT src AS node_id, n_zero_registers,
+         |  CAST((CAST(2904064 AS HUGEINT) * (CAST(1 AS HUGEINT) << 62))
+         |    // (CAST(1000 AS HUGEINT) *
+         |        (zsum + CAST(n_zero_registers AS HUGEINT)
+         |                * (CAST(1 AS HUGEINT) << 62))) AS BIGINT)
+         |    AS ball_estimate
+         |FROM z ORDER BY node_id""".stripMargin,
     /* q244: the three decision classes closed-form — the stored class
      * is id%3=0 with ETag '"'||md5(body)||'"' and a fixed mid-year
      * capture date; lastmod derives from the id; ISO string order IS

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Graph, Sketch}
+
+/** The graph WALK loops (r19): multi-source frontier BFS and the
+  * HyperBall neighborhood sketch — laws on hand-built graphs with known
+  * exact answers, plus the register-consistency law tying [[Graph.hyperBall]]
+  * to [[Sketch.hllRollup]] over explicit ball membership (the two must be
+  * the SAME sketch of the same set, byte for byte). */
+class GraphWalkSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def edges(es: (Long, Long)*) = es.toDF("src", "dst")
+  private def seeds(ss: Long*) = ss.toDF("doc_id")
+
+  test("bfsDepth: min distance from ANY seed; cycle-safe; disconnected " +
+       "components unreached") {
+    // 1→2→3→1 cycle with a spur 2→4; 5→6 is a separate component
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 2L -> 4L, 5L -> 6L)
+    val d = Graph.bfsDepth(e, "src", "dst", seeds(1L, 5L), "doc_id", 8)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 6L -> 1L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("bfsDepth: maxDepth caps the frontier — nodes past the cap drop; " +
+       "a closer seed wins over a longer path") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val capped = Graph.bfsDepth(e, "src", "dst", seeds(1L), "doc_id", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(capped == Map(1L -> 0L, 2L -> 1L, 3L -> 2L)) // 4 is at depth 3: cut
+    // seed 3 reaches 4 at depth 1 even though the path from 1 is length 3
+    val two = Graph.bfsDepth(e, "src", "dst", seeds(1L, 3L), "doc_id", 8)
+      .as[(Long, Long)].collect().toMap
+    assert(two(4L) == 1L && two(2L) == 1L && two(3L) == 0L)
+  }
+
+  test("bfsDepth: a seed outside the edge list still reports depth 0; " +
+       "an exhausted frontier leaves later rounds empty") {
+    val e = edges(1L -> 2L)
+    val d = Graph.bfsDepth(e, "src", "dst", seeds(9L, 1L), "doc_id", 8)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(9L -> 0L, 1L -> 0L, 2L -> 1L))
+  }
+
+  test("hyperBall ≡ hllRollup over explicit ball membership (same hash, " +
+       "same registers, same estimate) on a path + cycle graph") {
+    // path 1→2→3 plus cycle 3→1: radius-2 out-balls are
+    // 1:{1,2,3} 2:{2,3,1} 3:{3,1,2} — all three full at r=2
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    val hb = Graph.hyperBall(e, "src", "dst", radius = 2)
+      .select(col("node"), col("ball_estimate"))
+      .as[(Long, Long)].collect().toMap
+    // explicit membership of each ball, sketched by the q150 rollup
+    val members = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L), (3L, 3L)).toDF("node", "member")
+    val roll = Sketch.hllRollup(members, "node", "member")
+      .filter(col("scope") =!= "__all__")
+      .select(col("scope").cast("long"), col("hll_estimate"))
+      .as[(Long, Long)].collect().toMap
+    assert(hb == roll)
+  }
+
+  test("hyperBall: radius 0 sketches the singleton; radius widens balls " +
+       "monotonically (register max is idempotent — re-adding never shrinks)") {
+    val e = edges(1L -> 2L, 2L -> 3L)
+    def est(r: Int) = Graph.hyperBall(e, "src", "dst", r)
+      .select(col("node"), col("ball_estimate"))
+      .as[(Long, Long)].collect().toMap
+    val r0 = est(0); val r1 = est(1); val r2 = est(2)
+    // all singletons at r=0 estimate identically from one register
+    assert(r0.values.toSet.size >= 1 && r0.keySet == Set(1L, 2L, 3L))
+    // node 3 has no out-edges: its ball never grows
+    assert(r0(3L) == r1(3L) && r1(3L) == r2(3L))
+    // node 1's ball strictly gains members each round on this path; the
+    // raw-HLL estimate of a superset is >= (register-wise max dominance)
+    assert(r1(1L) >= r0(1L) && r2(1L) >= r1(1L))
+  }
+}
