@@ -172,7 +172,22 @@ object Graph {
     * Returns (node, n_zero_registers, ball_estimate) over all nodes
     * appearing in the edge list (either side). */
   def hyperBall(edges: DataFrame, srcCol: String, dstCol: String,
-                radius: Int): DataFrame = {
+                radius: Int): DataFrame =
+    hyperBallProfile(edges, srcCol, dstCol, radius)
+      .filter(col("r") === radius)
+      .select(col("node"), col("n_zero_registers"), col("ball_estimate"))
+
+  /** The full HyperBall PROFILE — one (node, r, …) row per radius
+    * 0 ≤ r ≤ `radius`, estimating |B_r(v)| at every step. This is the
+    * form geometric centralities consume: register max never decreases,
+    * so the per-radius estimates are MONOTONE and their successive
+    * differences estimate the count of nodes first reached at exactly
+    * distance r — harmonic centrality is Σ_r (|B_r|−|B_{r−1}|)/r (on the
+    * transpose graph), closeness is the analogous weighted sum. Each
+    * round's register state is localCheckpoint-materialized once and
+    * feeds BOTH its estimate row-set and the next round's merge. */
+  def hyperBallProfile(edges: DataFrame, srcCol: String, dstCol: String,
+                       radius: Int): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
@@ -181,16 +196,80 @@ object Graph {
         nodes.withColumn("_h", Sketch.hllHash(col("node"))), "node")
       .select(col("node"), col("_bucket"), col("_rho"))
       .localCheckpoint()
-    for (_ <- 1 to radius) {
+    def est(r: Int, rg: DataFrame): DataFrame =
+      Sketch.hllEstimateFromRegisters(rg, "node")
+        .select(col("node"), lit(r.toLong).as("r"),
+          col("n_zero_registers"), col("hll_estimate").as("ball_estimate"))
+    val out = scala.collection.mutable.ArrayBuffer(est(0, regs))
+    for (r <- 1 to radius) {
       val msgs = e.join(regs.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), col("_bucket"), col("_rho"))
       regs = regs.unionByName(msgs)
         .groupBy(col("node"), col("_bucket")).agg(max(col("_rho")).as("_rho"))
         .localCheckpoint()
+      out += est(r, regs)
     }
-    Sketch.hllEstimateFromRegisters(regs, "node")
-      .select(col("node"), col("n_zero_registers"),
-        col("hll_estimate").as("ball_estimate"))
+    out.reduce(_ unionByName _)
+  }
+
+  /** Seed-personalized damped PageRank — TrustRank (Gyöngyi,
+    * Garcia-Molina & Pedersen, "Combating Web Spam with TrustRank",
+    * VLDB 2004): the [[pageRankInt]] loop with the teleport vector
+    * restricted to a trusted SEED set, so rank mass can only enter the
+    * graph at vetted pages and decays multiplicatively with link
+    * distance from them — the spam-demotion signal crawl schedulers pair
+    * with the BFS depth gate ([[bfsDepth]] measures hops from the seeds;
+    * this measures attenuated endorsement). Per-seed teleport is the
+    * constant `(100−dampingPct)·scale/100` (unnormalized — this is a
+    * ranking; normalizing by |seeds| would only rescale every value).
+    * Non-seed nodes start and teleport at 0, so a node unreachable from
+    * the seed set holds rank EXACTLY 0 — integer arithmetic makes the
+    * untrusted tail exact, not epsilon-noise.
+    *
+    * Same loop shape, arithmetic, and RDD-tier rationale as
+    * [[pageRankInt]] (one partitioner, two narrow joins + one shuffle per
+    * round, fixed iteration count, no intermediate actions); the oracle
+    * replays it with an unrolled CTE chain whose teleport term is a seed
+    * CASE. Nodes must appear as a source to hold rank (same contract). */
+  def trustRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, seedCol: String,
+                   iterations: Int, dampingPct: Int = 85,
+                   scale: Long = 1000000000000L,
+                   checkpointEvery: Int = 8): DataFrame = {
+    require(scale % 100 == 0, "scale must be divisible by 100 for exact teleport mass")
+    val teleport = scale / 100 * (100 - dampingPct)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val numParts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val p = new org.apache.spark.HashPartitioner(numParts)
+    val e = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+      .as[(Long, Long)].rdd.partitionBy(p)
+    e.localCheckpoint()
+    val seed = seeds.select(col(seedCol).cast("long")).distinct()
+      .as[Long].rdd.map((_, ())).partitionBy(p)
+    val deg = e.mapValues(_ => 1L).reduceByKey(p, _ + _)
+    // per-node teleport base: constant across rounds — materialize once
+    val base = deg.leftOuterJoin(seed, p).mapPartitions(
+      _.map { case (n, (d, s)) => (n, (d, if (s.isDefined) teleport else 0L)) },
+      preservesPartitioning = true)
+    base.localCheckpoint()
+    var rank = base.mapPartitions(
+      _.map { case (n, (_, t)) => (n, if (t > 0) scale else 0L) },
+      preservesPartitioning = true)
+    for (i <- 1 to iterations) {
+      val shares = base.join(rank, p)
+        .mapPartitions(_.map { case (n, ((d, _), r)) => (n, r / d) },
+          preservesPartitioning = true)
+      val contribs = e.join(shares, p)
+        .map { case (_, (dst, share)) => (dst, share) }
+        .reduceByKey(p, _ + _) // the round's one real shuffle
+      rank = base.leftOuterJoin(contribs, p)
+        .mapPartitions(_.map { case (n, ((_, t), inf)) =>
+          (n, t + dampingPct * inf.getOrElse(0L) / 100)
+        }, preservesPartitioning = true)
+      if (i % checkpointEvery == 0 && i < iterations) rank.localCheckpoint()
+    }
+    rank.toDF("node", "trust")
   }
 
   /** Triangle census over an UNDIRECTED graph given as canonical pairs

@@ -379,6 +379,51 @@ object WebQueries {
         col("ball_estimate"))
       .transform(tinySort(_, col("node_id")))
 
+  /** q248 — HARMONIC CENTRALITY from the HyperBall profile
+    * ([[graft.ext.Graph.hyperBallProfile]] on the TRANSPOSE graph — the
+    * Boldi–Vigna payoff): per page, in-ball estimates at radii 0–3 and
+    * the truncated harmonic sum Σ_{r=1..3} (|B_r|−|B_{r−1}|)/r, scaled
+    * by 6 (= lcm 1,2,3) so the weights 6/3/2 keep the whole chain in
+    * exact BIGINTs. Register max is monotone, so the deltas are ≥ 0 by
+    * construction; the oracle rebuilds every in-ball's min distance with
+    * ONE bounded recursion and replays all four register sets from it. */
+  def q248HarmonicCentrality(spark: SparkSession, dir: String): DataFrame = {
+    val rev = linkEdges(spark, dir)
+      .select(col("dst").as("src"), col("src").as("dst"))
+    graft.ext.Graph.hyperBallProfile(rev, "src", "dst", radius = 3)
+      .groupBy(col("node").as("node_id"))
+      .agg(
+        max(when(col("r") === 0, col("ball_estimate"))).as("b0"),
+        max(when(col("r") === 1, col("ball_estimate"))).as("b1"),
+        max(when(col("r") === 2, col("ball_estimate"))).as("b2"),
+        max(when(col("r") === 3, col("ball_estimate"))).as("b3"))
+      .select(col("node_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        (lit(6L) * (col("b1") - col("b0"))
+          + lit(3L) * (col("b2") - col("b1"))
+          + lit(2L) * (col("b3") - col("b2"))).as("harmonic_x6"))
+      .transform(tinySort(_, col("node_id")))
+  }
+
+  /** q249 — TrustRank over the link graph
+    * ([[graft.ext.Graph.trustRankInt]], 5 damped iterations): the q246
+    * seed set (every 17th page) becomes the TELEPORT set, so endorsement
+    * mass enters only at vetted pages and decays multiplicatively along
+    * links — the spam-demotion companion to q246's hop-count gate, on
+    * the same seeds and the same extracted graph. Integer fixed-point
+    * end to end: a page unreachable from the seeds holds trust EXACTLY
+    * 0, and the oracle's unrolled CTE chain replays every floor
+    * division bit-identically (the q91 pattern with a seed-CASE
+    * teleport). */
+  def q249TrustRank(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = load(spark, dir, "documents")
+      .filter(col("doc_id") % 17 === 0).select(col("doc_id"))
+    graft.ext.Graph
+      .trustRankInt(linkEdges(spark, dir), "src", "dst", seeds, "doc_id",
+        iterations = 5)
+      .select(col("node").as("node_id"), col("trust"))
+      .transform(tinySort(_, col("node_id")))
+  }
+
   /** q242 — GRAM POISONING, measured: the same pages extracted under the
     * link-density-only rule (which keeps the planted tag cloud and the
     * heading on every page) and under [[Html.mainContentSummary]], each
@@ -1960,7 +2005,9 @@ object WebQueries {
     "q244_recrawl_schedule" -> (q244RecrawlSchedule _),
     "q245_lang_content" -> (q245LangContent _),
     "q246_crawl_depth" -> (q246CrawlDepth _),
-    "q247_hyperball" -> (q247HyperBall _)
+    "q247_hyperball" -> (q247HyperBall _),
+    "q248_harmonic_centrality" -> (q248HarmonicCentrality _),
+    "q249_trustrank" -> (q249TrustRank _)
   )
 
   /** The q246/q247 oracle's closed-form replay of the [[Html.linkPage]]
@@ -2274,6 +2321,71 @@ object WebQueries {
          |                * (CAST(1 AS HUGEINT) << 62))) AS BIGINT)
          |    AS ball_estimate
          |FROM z ORDER BY node_id""".stripMargin,
+    /* q248: ONE bounded recursion on the TRANSPOSE graph tracks every
+     * in-ball member's minimum distance; the four radius register sets
+     * all derive from it (member in B_r iff mind <= r), then the q150
+     * estimator spelling per (src, r), pivoted wide, and the 6/3/2
+     * harmonic weights in exact BIGINTs. */
+    "q248_harmonic_centrality" ->
+      s"""WITH RECURSIVE $LinkEdgeCtes,
+         | ball(src, node, d) AS (
+         |   SELECT doc_id, doc_id, 0 FROM documents
+         |   UNION
+         |   SELECT b.src, e.src, b.d + 1 FROM ball b JOIN e ON e.dst = b.node
+         |   WHERE b.d < 3),
+         | mem AS (SELECT src, node, MIN(d) AS mind FROM ball
+         |         GROUP BY src, node),
+         | h AS (SELECT src, mind,
+         |   ${ProfilingQueries.hex60("'hll:' || CAST(node AS VARCHAR)")} AS hv
+         |   FROM mem),
+         | bk AS (SELECT src, mind, hv % 64 AS bucket, hv // 64 AS rest FROM h),
+         | rk AS (SELECT src, mind, bucket,
+         |        CASE WHEN rest = 0 THEN 55
+         |             ELSE length(bin(rest & (-rest))) END AS rho FROM bk),
+         | rs AS (SELECT UNNEST([0, 1, 2, 3]) AS r),
+         | regs AS (SELECT src, rs.r, bucket, MAX(rho) AS rho
+         |          FROM rk, rs WHERE rk.mind <= rs.r
+         |          GROUP BY src, rs.r, bucket),
+         | z AS (SELECT src, r,
+         |         CAST(64 - COUNT(*) AS HUGEINT) AS nz,
+         |         SUM(CAST(1 AS HUGEINT) << (62 - rho)) AS zsum
+         |       FROM regs GROUP BY src, r),
+         | est AS (SELECT src, r,
+         |   CAST((CAST(2904064 AS HUGEINT) * (CAST(1 AS HUGEINT) << 62))
+         |     // (CAST(1000 AS HUGEINT) *
+         |         (zsum + nz * (CAST(1 AS HUGEINT) << 62))) AS BIGINT) AS b
+         |   FROM z),
+         | w AS (SELECT src,
+         |         MAX(CASE WHEN r = 0 THEN b END) AS b0,
+         |         MAX(CASE WHEN r = 1 THEN b END) AS b1,
+         |         MAX(CASE WHEN r = 2 THEN b END) AS b2,
+         |         MAX(CASE WHEN r = 3 THEN b END) AS b3
+         |       FROM est GROUP BY src)
+         |SELECT src AS node_id, b0, b1, b2, b3,
+         |  6 * (b1 - b0) + 3 * (b2 - b1) + 2 * (b3 - b2) AS harmonic_x6
+         |FROM w ORDER BY node_id""".stripMargin,
+    /* q249: the q91 unrolled-CTE chain with a seed-CASE teleport — rank
+     * rows exist for SOURCE nodes (the trustRankInt contract), seeds
+     * start at the full scale and everything else at exact 0. */
+    "q249_trustrank" -> {
+      val iters = (1 to 5).map { i =>
+        s"""r$i AS (SELECT d.node,
+           |   CAST(CASE WHEN d.node % 17 = 0 THEN 150000000000 ELSE 0 END
+           |        + (85 * COALESCE(s.inflow, 0)) // 100 AS BIGINT) AS trust
+           | FROM deg d LEFT JOIN (
+           |   SELECT e.dst AS node, CAST(SUM(r.trust // g.outdeg) AS BIGINT) AS inflow
+           |   FROM r${i - 1} r JOIN deg g ON r.node = g.node
+           |   JOIN e ON r.node = e.src
+           |   GROUP BY e.dst) s ON d.node = s.node)""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH $LinkEdgeCtes,
+         | deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY src),
+         | r0 AS (SELECT node,
+         |   CAST(CASE WHEN node % 17 = 0 THEN 1000000000000 ELSE 0 END
+         |        AS BIGINT) AS trust FROM deg),
+         | $iters
+         |SELECT node AS node_id, trust FROM r5 ORDER BY node_id""".stripMargin
+    },
     /* q244: the three decision classes closed-form — the stored class
      * is id%3=0 with ETag '"'||md5(body)||'"' and a fixed mid-year
      * capture date; lastmod derives from the id; ISO string order IS

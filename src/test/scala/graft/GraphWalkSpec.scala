@@ -65,6 +65,35 @@ class GraphWalkSpec extends AnyFunSuite {
     assert(hb == roll)
   }
 
+  test("trustRankInt: mass enters ONLY at seeds — an unreachable source " +
+       "holds trust exactly 0; trust decays along the chain") {
+    // seed 1 feeds the chain 1→2→3 (3 self-loops); node 4 is a source
+    // (4→1) but nothing links to it, so no trust can ever arrive there.
+    // Hand-computed two rounds at scale 1e12, damping 85, teleport 1.5e11:
+    //   r1 = (1: 1.5e11, 2: 0.85e12, 3: 0, 4: 0)
+    //   r2 = (1: 1.5e11, 2: .85·1.5e11 = 1.275e11, 3: .85·.85e12 = 7.225e11)
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 3L, 4L -> 1L)
+    val t = Graph.trustRankInt(e, "src", "dst", seeds(1L), "doc_id", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(t == Map(1L -> 150000000000L, 2L -> 127500000000L,
+      3L -> 722500000000L, 4L -> 0L))
+    // the unreachable source stays EXACTLY 0 at any depth of iteration
+    val t5 = Graph.trustRankInt(e, "src", "dst", seeds(1L), "doc_id", 5)
+      .as[(Long, Long)].collect().toMap
+    assert(t5(4L) == 0L && t5(1L) > 0L && t5(2L) > 0L && t5(3L) > 0L)
+  }
+
+  test("trustRankInt with EVERY source as a seed ≡ pageRankInt (same " +
+       "init, same teleport, same loop)") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 2L -> 1L, 3L -> 2L)
+    val all = seeds(1L, 2L, 3L)
+    val tr = Graph.trustRankInt(e, "src", "dst", all, "doc_id", 5)
+      .as[(Long, Long)].collect().toMap
+    val pr = Graph.pageRankInt(e, "src", "dst", 5)
+      .as[(Long, Long)].collect().toMap
+    assert(tr == pr)
+  }
+
   test("hyperBall: radius 0 sketches the singleton; radius widens balls " +
        "monotonically (register max is idempotent — re-adding never shrinks)") {
     val e = edges(1L -> 2L, 2L -> 3L)
