@@ -424,6 +424,45 @@ object WebQueries {
       .transform(tinySort(_, col("node_id")))
   }
 
+  /** q250 — the CRAWL-PRIORITY capstone: the graph tier composed into the
+    * scheduler's scoring frame. ONE edge extraction (localCheckpoint —
+    * materialized once) feeds all three signals: the 3-hop BFS horizon
+    * ([[graft.ext.Graph.bfsDepth]]), the 5-round TrustRank
+    * ([[graft.ext.Graph.trustRankInt]], same seeds), and the in-degree
+    * rollup. Per page: hop distance (−1 past the horizon), trust,
+    * in-degree, the integer priority `trust div (1+depth)`, and the
+    * fetch class — horizon first (no known path, nothing to schedule,
+    * whatever the trust), then endorsed/trusted/weak by trust mass; all
+    * four classes carry rows at both SFs. Trust can exceed the horizon
+    * (it flows 5 hops, the BFS stops at 3), so the precedence is
+    * load-bearing, not cosmetic. */
+  def q250CrawlPriority(spark: SparkSession, dir: String): DataFrame = {
+    val edges = linkEdges(spark, dir).localCheckpoint()
+    val seeds = load(spark, dir, "documents")
+      .filter(col("doc_id") % 17 === 0).select(col("doc_id"))
+    val trust = graft.ext.Graph
+      .trustRankInt(edges, "src", "dst", seeds, "doc_id", iterations = 5)
+    val depth = graft.ext.Graph
+      .bfsDepth(edges, "src", "dst", seeds, "doc_id", maxDepth = 3)
+      .withColumnRenamed("node", "d_node")
+    val indeg = edges.groupBy(col("dst").as("i_node"))
+      .agg(count(lit(1)).as("n_in"))
+    trust.join(depth, col("node") === col("d_node"), "left")
+      .join(indeg, col("node") === col("i_node"), "left")
+      .select(
+        col("node").as("node_id"),
+        coalesce(col("depth"), lit(-1L)).as("depth"),
+        col("trust"),
+        coalesce(col("n_in"), lit(0L)).as("n_in"),
+        when(col("depth").isNull, lit(0L))
+          .otherwise(expr("trust div (1 + depth)")).as("priority"),
+        when(col("depth").isNull, lit("beyond-horizon"))
+          .when(col("trust") >= 150000000000L, lit("endorsed"))
+          .when(col("trust") >= 40000000000L, lit("trusted"))
+          .otherwise(lit("weak")).as("fetch_class"))
+      .transform(tinySort(_, col("node_id")))
+  }
+
   /** q242 — GRAM POISONING, measured: the same pages extracted under the
     * link-density-only rule (which keeps the planted tag cloud and the
     * heading on every page) and under [[Html.mainContentSummary]], each
@@ -2007,8 +2046,30 @@ object WebQueries {
     "q246_crawl_depth" -> (q246CrawlDepth _),
     "q247_hyperball" -> (q247HyperBall _),
     "q248_harmonic_centrality" -> (q248HarmonicCentrality _),
-    "q249_trustrank" -> (q249TrustRank _)
+    "q249_trustrank" -> (q249TrustRank _),
+    "q250_crawl_priority" -> (q250CrawlPriority _)
   )
+
+  /** The q249/q250 oracle's unrolled TrustRank chain (deg + r0…r5, seed
+    * teleport as a CASE) — shared verbatim so the standalone ranking and
+    * the capstone's trust leg can never drift. */
+  private val TrustRankCtes: String = {
+    val iters = (1 to 5).map { i =>
+      s"""r$i AS (SELECT d.node,
+         |   CAST(CASE WHEN d.node % 17 = 0 THEN 150000000000 ELSE 0 END
+         |        + (85 * COALESCE(s.inflow, 0)) // 100 AS BIGINT) AS trust
+         | FROM deg d LEFT JOIN (
+         |   SELECT e.dst AS node, CAST(SUM(r.trust // g.outdeg) AS BIGINT) AS inflow
+         |   FROM r${i - 1} r JOIN deg g ON r.node = g.node
+         |   JOIN e ON r.node = e.src
+         |   GROUP BY e.dst) s ON d.node = s.node)""".stripMargin
+    }.mkString(",\n ")
+    s"""deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY src),
+       | r0 AS (SELECT node,
+       |   CAST(CASE WHEN node % 17 = 0 THEN 1000000000000 ELSE 0 END
+       |        AS BIGINT) AS trust FROM deg),
+       | $iters""".stripMargin
+  }
 
   /** The q246/q247 oracle's closed-form replay of the [[Html.linkPage]]
     * link graph (src, dst) — shared by both so the two graph loops can
@@ -2367,25 +2428,37 @@ object WebQueries {
     /* q249: the q91 unrolled-CTE chain with a seed-CASE teleport — rank
      * rows exist for SOURCE nodes (the trustRankInt contract), seeds
      * start at the full scale and everything else at exact 0. */
-    "q249_trustrank" -> {
-      val iters = (1 to 5).map { i =>
-        s"""r$i AS (SELECT d.node,
-           |   CAST(CASE WHEN d.node % 17 = 0 THEN 150000000000 ELSE 0 END
-           |        + (85 * COALESCE(s.inflow, 0)) // 100 AS BIGINT) AS trust
-           | FROM deg d LEFT JOIN (
-           |   SELECT e.dst AS node, CAST(SUM(r.trust // g.outdeg) AS BIGINT) AS inflow
-           |   FROM r${i - 1} r JOIN deg g ON r.node = g.node
-           |   JOIN e ON r.node = e.src
-           |   GROUP BY e.dst) s ON d.node = s.node)""".stripMargin
-      }.mkString(",\n ")
+    "q249_trustrank" ->
       s"""WITH $LinkEdgeCtes,
-         | deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY src),
-         | r0 AS (SELECT node,
-         |   CAST(CASE WHEN node % 17 = 0 THEN 1000000000000 ELSE 0 END
-         |        AS BIGINT) AS trust FROM deg),
-         | $iters
-         |SELECT node AS node_id, trust FROM r5 ORDER BY node_id""".stripMargin
-    },
+         | $TrustRankCtes
+         |SELECT node AS node_id, trust FROM r5 ORDER BY node_id""".stripMargin,
+    /* q250: the capstone replays all three legs from the SHARED edge
+     * CTE — the trust chain verbatim (TrustRankCtes), the 3-hop BFS as
+     * a bounded recursion, the in-degree as one groupBy — then the
+     * priority floor-division and the precedence CASE. */
+    "q250_crawl_priority" ->
+      s"""WITH RECURSIVE $LinkEdgeCtes,
+         | $TrustRankCtes,
+         | reach(node, d) AS (
+         |   SELECT doc_id, 0 FROM documents WHERE doc_id % 17 = 0
+         |   UNION
+         |   SELECT e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.node
+         |   WHERE r.d < 3),
+         | dp AS (SELECT node, MIN(d) AS depth FROM reach GROUP BY node),
+         | ind AS (SELECT dst AS node, COUNT(*) AS n_in FROM e GROUP BY dst)
+         |SELECT t.node AS node_id,
+         |  CAST(COALESCE(dp.depth, -1) AS BIGINT) AS depth,
+         |  t.trust,
+         |  CAST(COALESCE(ind.n_in, 0) AS BIGINT) AS n_in,
+         |  CAST(CASE WHEN dp.depth IS NULL THEN 0
+         |            ELSE t.trust // (1 + dp.depth) END AS BIGINT) AS priority,
+         |  CASE WHEN dp.depth IS NULL THEN 'beyond-horizon'
+         |       WHEN t.trust >= 150000000000 THEN 'endorsed'
+         |       WHEN t.trust >= 40000000000 THEN 'trusted'
+         |       ELSE 'weak' END AS fetch_class
+         |FROM r5 t LEFT JOIN dp ON t.node = dp.node
+         |LEFT JOIN ind ON t.node = ind.node
+         |ORDER BY node_id""".stripMargin,
     /* q244: the three decision classes closed-form — the stored class
      * is id%3=0 with ETag '"'||md5(body)||'"' and a fixed mid-year
      * capture date; lastmod derives from the id; ISO string order IS
