@@ -50,4 +50,22 @@ object Crawl {
           "(_e.total_chars - _e.kept_chars) * 10000L div _e.total_chars END")
           .as("boiler_bp"),
         col("_e.extracted").as("extracted")) ++ extra.map(col): _*)
+
+  /** The q246–q250 link-graph edge extraction as ONE operator (batch
+    * queries + [[graft.stream.StreamingLinkGraph]] — one definition, the
+    * [[extract]] discipline): `docs` rows (doc_id, text) synthesize their
+    * [[Html.linkPage]] markup (closed mod `n`), the GENERIC anchor
+    * extractor parses it, and `/doc/K` hrefs become (src, dst) edges —
+    * nav/footer paths fail the pattern at extraction, not synthesis.
+    * Per-page independence: a page's out-edges depend only on its own
+    * markup, so any micro-batch partition of the corpus extracts exactly
+    * the batch edge set of the union. */
+  def linkEdgesFrom(docs: DataFrame, n: Long): DataFrame =
+    docs.select(col("doc_id"),
+        explode(Html.anchorPairs(
+          Html.linkPage(col("doc_id"), lit(n), col("text")))).as("_a"))
+      .select(col("doc_id").as("src"),
+        regexp_extract(col("_a.href"), "^/doc/([0-9]+)$", 1).as("_k"))
+      .filter(col("_k") =!= "")
+      .select(col("src"), col("_k").cast("long").as("dst"))
 }

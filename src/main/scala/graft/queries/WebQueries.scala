@@ -338,14 +338,8 @@ object WebQueries {
     * real links and no such action exists. */
   private def linkEdges(spark: SparkSession, dir: String): DataFrame = {
     val docs = load(spark, dir, "documents")
-    val n = docs.count()
-    docs.select(col("doc_id"),
-        explode(Html.anchorPairs(
-          Html.linkPage(col("doc_id"), lit(n), col("text")))).as("_a"))
-      .select(col("doc_id").as("src"),
-        regexp_extract(col("_a.href"), "^/doc/([0-9]+)$", 1).as("_k"))
-      .filter(col("_k") =!= "")
-      .select(col("src"), col("_k").cast("long").as("dst"))
+    graft.ext.Crawl.linkEdgesFrom(docs.select(col("doc_id"), col("text")),
+      docs.count())
   }
 
   /** q246 — crawl DEPTH from the seed set ([[graft.ext.Graph.bfsDepth]]:

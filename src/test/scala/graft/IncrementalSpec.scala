@@ -1087,4 +1087,71 @@ class IncrementalSpec extends AnyFunSuite {
     assert(recovered.count() == 2L)
     assert(JFiles.exists(Paths.get(stateDir)))
   }
+
+  test("streaming link graph: exactly-once edge store; prefix horizons " +
+       "monotone (nodes only appear, depths only drop); final ≡ batch " +
+       "BFS; checkpoint-loss replay changes nothing (r19)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val n = docs.count()
+    val seeds = docs.filter(col("doc_id") % 17 === 0).select(col("doc_id"))
+    // three arrival files, split by id class
+    val chunks = (0 until 3).map { i =>
+      val tmp = Files.createTempDirectory(s"graft_lg_chunk$i")
+      docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+    }
+    def horizonOf(upTo: Int, store: String): Map[Long, Long] = {
+      val sd = Files.createTempDirectory(s"graft_lg_stream$upTo")
+      (0 to upTo).foreach(i =>
+        Files.copy(chunks(i), sd.resolve(s"c$i.parquet")))
+      assert(graft.stream.StreamingLinkGraph.ingest(
+        spark, sd.toString, store, n, maxFilesPerTrigger = Some(1)) == upTo + 1)
+      graft.stream.StreamingLinkGraph.horizon(spark, store, seeds, 8)
+        .as[(Long, Long)].collect().toMap
+    }
+    val stores = (0 until 3).map(_ =>
+      Files.createTempDirectory("graft_lg_store").toString)
+    val horizons = (0 until 3).map(k => horizonOf(k, stores(k)))
+    // monotone refinement across arrival prefixes
+    horizons.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.keySet.subsetOf(b.keySet),
+        "a reached node must stay reached as edges arrive")
+      a.foreach { case (node, d) =>
+        assert(b(node) <= d, s"depth of $node must be monotone non-increasing")
+      }
+    }
+    // final horizon ≡ batch BFS over the union edge set
+    val batchH = graft.ext.Graph.bfsDepth(
+        graft.ext.Crawl.linkEdgesFrom(docs.select(col("doc_id"), col("text")), n),
+        "src", "dst", seeds, "doc_id", 8)
+      .as[(Long, Long)].collect().toMap
+    assert(horizons.last == batchH)
+    assert(batchH.size > 10, s"non-vacuity: got ${batchH.size} reached nodes")
+    // crash window: checkpoint loss redelivers every batch; the txn log
+    // must swallow the replay (same batch ids → same subdirectories)
+    val full = stores(2)
+    val fs = new org.apache.hadoop.fs.Path(full)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$full/_graft_checkpoint"), true)
+    val sd = Files.createTempDirectory("graft_lg_replay")
+    (0 until 3).foreach(i => Files.copy(chunks(i), sd.resolve(s"c$i.parquet")))
+    assert(graft.stream.StreamingLinkGraph.ingest(
+      spark, sd.toString, full, n, maxFilesPerTrigger = Some(1)) == 3,
+      "full redelivery expected")
+    val replayed = graft.stream.StreamingLinkGraph
+      .horizon(spark, full, seeds, 8)
+      .as[(Long, Long)].collect().toMap
+    assert(replayed == batchH,
+      "replayed batches must overwrite their own edges, never duplicate them")
+    // duplicate edges would not change BFS — pin the store row count too
+    val edgeCount = graft.stream.StreamingLinkGraph.edges(spark, full).count()
+    val batchCount = graft.ext.Crawl
+      .linkEdgesFrom(docs.select(col("doc_id"), col("text")), n).count()
+    assert(edgeCount == batchCount,
+      "the committed store must hold each edge exactly once after replay")
+  }
 }
