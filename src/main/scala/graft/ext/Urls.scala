@@ -46,6 +46,20 @@ object Urls {
     concat(array_join(reverse(split(host(url), "\\.")), ","), lit(")"),
       path(url))
 
+  /** URL TEMPLATE for crawler-trap mining: the path+query (fragment
+    * dropped) with hex runs of ≥ 8 chars (the session-id/token shape)
+    * collapsed to `H` and remaining digit runs to `D`, so every URL a
+    * single generator mints (calendar pages, session tokens, pagination
+    * counters) folds to ONE template — the per-(host, template) rollup
+    * then sees a trap's fanout as data. Hex first: a long pure-digit run
+    * is a valid hex run and templates as `H` — deterministic, and the
+    * oracle replays the same two-pass substitution byte-identically.
+    * Map-only at any scale, like every operator here. */
+  def template(url: Column): Column = {
+    val pq = regexp_extract(url, "^[a-zA-Z]+://[^/?#]+([^#]*)", 1)
+    regexp_replace(regexp_replace(pq, "[0-9a-f]{8,}", "H"), "[0-9]+", "D")
+  }
+
   /** Canonical form: `host` + `path` (+ `?` + sorted clean query). Scheme and
     * fragment are dropped entirely — http/https/HTTPS variants of one page
     * collapse. */

@@ -598,6 +598,50 @@ object CurationQueries {
       .transform(tinySort(_, col("canonical_url")))
   }
 
+  /** q251 — crawler-TRAP detection by URL-template fanout
+    * ([[Urls.template]]): a trap (infinite calendar, session-token URLs,
+    * runaway pagination) mints unbounded distinct URLs from one
+    * generator while serving near-identical content — so per
+    * (host, template) the detector counts distinct URLs vs distinct
+    * content digests and flags `n_urls ≥ 8 AND n_content·4 ≤ n_urls`.
+    * The fixture mints three URL classes per host: a calendar trap
+    * (dates + page counter → `/cal/D-D-D?page=D`, content repeating
+    * every 256 ids), a session-token trap (16-hex md5 → `/view?s=H`,
+    * same repetition), and honest articles (`/articles/D`, unique
+    * content per URL) — the articles template has the LARGEST fanout
+    * and must still classify `ok`, pinning that the signal is the
+    * content ratio, not raw volume. Map-side templating; the one
+    * shuffle is the (host, template) rollup. */
+  def q251UrlTraps(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val s = (id % 7).cast("string")
+    val cls = id % 5
+    val base = concat(lit("https://site"), s, lit(".example.com"))
+    val url = when(cls === 0,
+        concat(base, lit("/cal/2021-"), (id % 12 + 1).cast("string"),
+          lit("-"), (id % 28 + 1).cast("string"),
+          lit("?page="), expr("doc_id div 35").cast("string")))
+      .when(cls === 1,
+        concat(base, lit("/view?s="),
+          substring(md5(concat(lit("sess:"), id.cast("string"))), 1, 16)))
+      .otherwise(concat(base, lit("/articles/"), id.cast("string")))
+    val contentKey = when(cls === 0,
+        concat(lit("cal:"), expr("doc_id div 256").cast("string")))
+      .when(cls === 1,
+        concat(lit("sess:"), expr("doc_id div 256").cast("string")))
+      .otherwise(concat(lit("art:"), id.cast("string")))
+    load(spark, dir, "documents")
+      .select(Urls.host(url).as("host"), Urls.template(url).as("template"),
+        url.as("url"), md5(contentKey).as("digest"))
+      .groupBy(col("host"), col("template"))
+      .agg(countDistinct(col("url")).as("n_urls"),
+        countDistinct(col("digest")).as("n_content"))
+      .withColumn("verdict",
+        when(col("n_urls") >= 8 && col("n_content") * 4 <= col("n_urls"),
+          lit("trap")).otherwise(lit("ok")))
+      .transform(tinySort(_, col("host"), col("template")))
+  }
+
   /** q69 — deterministic corpus shuffle ([[Sampling.deterministicShuffle]]):
     * reproducible global training order by md5(salt:id), dense positions via
     * the distributed sort + zipWithIndex id assigner (no single-partition
@@ -664,7 +708,8 @@ object CurationQueries {
     "q79_bloom_decontaminate" -> (q79BloomDecontaminate _),
     "q86_stratified_sample" -> (q86StratifiedSample _),
     "q88_line_filter" -> (q88LineFilter _),
-    "q89_url_dedup" -> (q89UrlDedup _)
+    "q89_url_dedup" -> (q89UrlDedup _),
+    "q251_url_traps" -> (q251UrlTraps _)
   )
 
   private val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
@@ -806,6 +851,36 @@ object CurationQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_urls
         |FROM k GROUP BY canonical_url
         |ORDER BY canonical_url""".stripMargin,
+    /* q251: the fixture URLs rebuilt closed-form, the two-pass template
+     * substitution replayed with 'g'-flag regexp_replace (hex-run first,
+     * then digit runs — same precedence), and the trap rule as exact
+     * integer comparisons. */
+    "q251_url_traps" ->
+      """WITH u AS (SELECT doc_id,
+        |    'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |        '/cal/2021-' || CAST(doc_id % 12 + 1 AS VARCHAR) || '-' ||
+        |          CAST(doc_id % 28 + 1 AS VARCHAR) ||
+        |          '?page=' || CAST(doc_id // 35 AS VARCHAR)
+        |      WHEN doc_id % 5 = 1 THEN
+        |        '/view?s=' || substring(md5('sess:' || CAST(doc_id AS VARCHAR)), 1, 16)
+        |      ELSE '/articles/' || CAST(doc_id AS VARCHAR) END AS pq,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'cal:' || CAST(doc_id // 256 AS VARCHAR)
+        |         WHEN doc_id % 5 = 1 THEN 'sess:' || CAST(doc_id // 256 AS VARCHAR)
+        |         ELSE 'art:' || CAST(doc_id AS VARCHAR) END AS ck
+        |  FROM documents),
+        | t AS (SELECT host,
+        |    regexp_replace(regexp_replace(pq, '[0-9a-f]{8,}', 'H', 'g'),
+        |      '[0-9]+', 'D', 'g') AS template,
+        |    'https://' || host || pq AS url, md5(ck) AS digest FROM u),
+        | g AS (SELECT host, template,
+        |    CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+        |    CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_content
+        |  FROM t GROUP BY host, template)
+        |SELECT host, template, n_urls, n_content,
+        |  CASE WHEN n_urls >= 8 AND n_content * 4 <= n_urls
+        |       THEN 'trap' ELSE 'ok' END AS verdict
+        |FROM g ORDER BY host, template""".stripMargin,
     /* Stride positions replayed with HUGEINT `//` ≡ Spark DECIMAL(38,0)
      * `div`; the per-source md5 rank is the q86 idiom. The oracle carries
      * t_total through the position CTE instead of re-aggregating. */

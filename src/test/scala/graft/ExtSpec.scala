@@ -463,6 +463,26 @@ class ExtSpec extends AnyFunSuite {
     assert(Set(c(1L), c(3L), c(4L)).size == 3)
   }
 
+  test("url templating: one generator's URLs fold to one template; hex " +
+       "runs beat digit runs; fragments drop; host stays out (r19)") {
+    val t = Seq(
+      (1L, "https://s.example.com/cal/2021-3-14?page=12"),
+      (2L, "https://s.example.com/cal/2020-11-2?page=7#frag"),
+      (3L, "https://s.example.com/view?s=deadbeef01234567"),  // 16-hex → H
+      (4L, "https://s.example.com/view?s=12345678"),          // 8 digits: hex first → H
+      (5L, "https://s.example.com/p/1234567"),                // 7 digits: not hex-long → D
+      (6L, "https://site9.example.com/cal/2021-3-14?page=12") // host digits untouched
+    ).toDF("id", "url")
+      .select(col("id"), graft.ext.Urls.template(col("url")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(t(1L) == "/cal/D-D-D?page=D")
+    assert(t(2L) == t(1L)) // both calendar pages fold to the same template
+    assert(t(3L) == "/view?s=H")
+    assert(t(4L) == "/view?s=H")
+    assert(t(5L) == "/p/D")
+    assert(t(6L) == t(1L)) // template is host-free; grouping carries the host
+  }
+
   test("crossCorpusCandidates: new↔ref pairs only — no self- or within-side pairs") {
     val dupText = "the quick brown fox jumps over the lazy dog again and again today"
     val cross = Seq(
