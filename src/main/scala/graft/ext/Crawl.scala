@@ -51,6 +51,54 @@ object Crawl {
           .as("boiler_bp"),
         col("_e.extracted").as("extracted")) ++ extra.map(col): _*)
 
+  /** SITE-LEVEL template-block removal (Gibson–Punera–Tomkins,
+    * "The volume and evolution of web page templates", WWW 2005; the
+    * frequency method production extractors layer under per-page
+    * heuristics): a block whose exact visible text recurs on a strict
+    * MAJORITY of its host's pages is site furniture — nav bars, footers,
+    * cookie banners — whatever its length or link density, which is
+    * precisely the case the per-page rules (q204 link density, q241
+    * stopword density) cannot see: a long, link-free, prose-like banner
+    * repeated site-wide. Cross-PAGE evidence, so this is a corpus
+    * operator, not a per-row expression.
+    *
+    * `pages` carries (host, doc_id, html). The block frame (one
+    * [[Html.blockStats]] pass, position-exploded) is materialized ONCE
+    * and feeds the host page counts, the per-(host, digest) frequency,
+    * and the final re-join — the q53 single-materialization discipline.
+    * Shuffles: the two rollups plus the digest re-join, all O(blocks);
+    * per-host state is O(distinct blocks), never O(pages²).
+    *
+    * Returns per page: (doc_id, host, n_blocks, n_template, kept_chars,
+    * extracted) — kept blocks rejoined in page order. */
+  def siteTemplateExtract(pages: DataFrame): DataFrame = {
+    val blocks = pages
+      .select(col("host"), col("doc_id"),
+        posexplode(Html.blockStats(col("html"))).as(Seq("ord", "_b")))
+      .select(col("host"), col("doc_id"), col("ord"),
+        col("_b.visible").as("visible"),
+        col("_b.vis_len").as("vis_len"),
+        md5(col("_b.visible")).as("digest"))
+      .localCheckpoint()
+    val hostPages = blocks.select(col("host"), col("doc_id")).distinct()
+      .groupBy(col("host")).agg(count(lit(1)).as("host_pages"))
+    val tmpl = blocks.select(col("host"), col("digest"), col("doc_id")).distinct()
+      .groupBy(col("host"), col("digest"))
+      .agg(count(lit(1)).as("n_pages"))
+      .join(broadcast(hostPages), Seq("host"))
+      .select(col("host"), col("digest"),
+        (col("n_pages") * 2 > col("host_pages")).as("is_template"))
+    blocks.join(tmpl, Seq("host", "digest"))
+      .groupBy(col("doc_id"), col("host"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("is_template"), 1L).otherwise(0L)).as("n_template"),
+        sum(when(!col("is_template"), col("vis_len").cast("long"))
+          .otherwise(0L)).as("kept_chars"),
+        array_join(transform(array_sort(collect_list(
+            when(!col("is_template"), struct(col("ord"), col("visible"))))),
+          s => s.getField("visible")), "\n").as("extracted"))
+  }
+
   /** The q246–q250 link-graph edge extraction as ONE operator (batch
     * queries + [[graft.stream.StreamingLinkGraph]] — one definition, the
     * [[extract]] discipline): `docs` rows (doc_id, text) synthesize their

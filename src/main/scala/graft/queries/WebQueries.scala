@@ -457,6 +457,24 @@ object WebQueries {
       .transform(tinySort(_, col("node_id")))
   }
 
+  /** q252 — SITE-TEMPLATE block removal
+    * ([[graft.ext.Crawl.siteTemplateExtract]]): the frequency method —
+    * a block recurring on a strict majority of its host's pages is site furniture,
+    * whatever its length or link density. Cross-page evidence is the
+    * third boilerplate axis after q204's link density and q241's
+    * stopword density: on the shared [[Html.synthPage]] fixture it
+    * convicts nav + footer from repetition ALONE (title/h1/content/
+    * related survive — each contains the doc id), and the oracle
+    * replays the whole frequency rollup from the construction, never
+    * assuming which blocks repeat. */
+  def q252TemplateBlocks(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Crawl.siteTemplateExtract(
+        load(spark, dir, "documents")
+          .select((col("doc_id") % 7).cast("string").as("host"), col("doc_id"),
+            Html.synthPage(col("doc_id"), col("text")).as("html")))
+      .localCheckpoint() // O(input) dump: the sort's sampling pass must
+      .orderBy(col("doc_id")) // not re-run the block pipeline (q204)
+
   /** q242 — GRAM POISONING, measured: the same pages extracted under the
     * link-density-only rule (which keeps the planted tag cloud and the
     * heading on every page) and under [[Html.mainContentSummary]], each
@@ -2041,7 +2059,8 @@ object WebQueries {
     "q247_hyperball" -> (q247HyperBall _),
     "q248_harmonic_centrality" -> (q248HarmonicCentrality _),
     "q249_trustrank" -> (q249TrustRank _),
-    "q250_crawl_priority" -> (q250CrawlPriority _)
+    "q250_crawl_priority" -> (q250CrawlPriority _),
+    "q252_template_blocks" -> (q252TemplateBlocks _)
   )
 
   /** The q249/q250 oracle's unrolled TrustRank chain (deg + r0…r5, seed
@@ -2453,6 +2472,46 @@ object WebQueries {
          |FROM r5 t LEFT JOIN dp ON t.node = dp.node
          |LEFT JOIN ind ON t.node = ind.node
          |ORDER BY node_id""".stripMargin,
+    /* q252: the synthPage blocks rebuilt as rows (same visible-string
+     * constants as HtmlExtractCtes), then the GENERIC frequency rollup —
+     * host page counts, per-(host, digest) page counts, the strict-majority rule —
+     * replayed relationally: the oracle never assumes which blocks
+     * repeat, so a frequency bug cannot hide in shared knowledge. */
+    "q252_template_blocks" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS host, text
+        |  FROM documents),
+        | blk AS (
+        |   SELECT doc_id, host, 0 AS ord,
+        |     'doc ' || CAST(doc_id AS VARCHAR) AS visible FROM d
+        |   UNION ALL SELECT doc_id, host, 1,
+        |     'doc ' || CAST(doc_id AS VARCHAR) || ' report' FROM d
+        |   UNION ALL SELECT doc_id, host, 2, 'home about us contact' FROM d
+        |   UNION ALL SELECT doc_id, host, 3, text FROM d
+        |   UNION ALL SELECT doc_id, host, 4,
+        |     'see also doc ' || CAST(doc_id + 1 AS VARCHAR) ||
+        |     ' and doc ' || CAST(doc_id * 2 AS VARCHAR)
+        |     FROM d WHERE doc_id % 3 = 0
+        |   UNION ALL SELECT doc_id, host, 5,
+        |     'privacy policy terms (c) example.org' FROM d),
+        | hp AS (SELECT host, COUNT(DISTINCT doc_id) AS host_pages
+        |        FROM blk GROUP BY host),
+        | fq AS (SELECT host, md5(visible) AS digest,
+        |          COUNT(DISTINCT doc_id) AS n_pages
+        |        FROM blk GROUP BY host, md5(visible)),
+        | tm AS (SELECT fq.host, fq.digest,
+        |          (fq.n_pages * 2 > hp.host_pages) AS is_t
+        |        FROM fq JOIN hp ON fq.host = hp.host)
+        |SELECT b.doc_id, b.host,
+        |  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(CASE WHEN t.is_t THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_template,
+        |  CAST(SUM(CASE WHEN t.is_t THEN 0 ELSE length(b.visible) END)
+        |    AS BIGINT) AS kept_chars,
+        |  string_agg(CASE WHEN NOT t.is_t THEN b.visible END, chr(10)
+        |    ORDER BY b.ord) AS extracted
+        |FROM blk b JOIN tm t ON b.host = t.host AND md5(b.visible) = t.digest
+        |GROUP BY b.doc_id, b.host
+        |ORDER BY b.doc_id""".stripMargin,
     /* q244: the three decision classes closed-form — the stored class
      * is id%3=0 with ETag '"'||md5(body)||'"' and a fixed mid-year
      * capture date; lastmod derives from the id; ISO string order IS

@@ -77,6 +77,38 @@ class WebSpec extends AnyFunSuite {
     assert(old._2 == 3)
   }
 
+  test("siteTemplateExtract: a long link-free prose banner repeated " +
+       "site-wide is convicted by FREQUENCY — the case link density and " +
+       "stopword density cannot see; unique content survives (r19)") {
+    // the banner would pass q204 (no anchors, long) and q241 (stopword-
+    // rich prose) on every page — only cross-page evidence catches it
+    val banner = "<p>we are the leading provider of the best things in the world</p>"
+    def pg(id: Long, body: String) = (id % 2).toString -> (id, banner +
+      s"<p>unique article $id text that is long enough to keep</p>" + body)
+    val pages = Seq(
+      pg(0L, ""), pg(2L, ""), pg(4L, ""),
+      pg(1L, ""), pg(3L, ""),
+      // a block on only 1 of 3 pages of host "0": below half — kept
+      (0L % 2).toString -> (6L, banner +
+        "<p>unique article 6 text that is long enough to keep</p>" +
+        "<p>rare block appearing once on this host today</p>"))
+      .map { case (h, (id, html)) => (h, id, html) }
+      .toDF("host", "doc_id", "html")
+    val out = graft.ext.Crawl.siteTemplateExtract(pages)
+      .select("doc_id", "n_blocks", "n_template", "extracted")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // every page: banner convicted, unique article kept
+    out.values.foreach { case (id, _, nt, ex) =>
+      assert(nt >= 1L, s"banner must be template on doc $id")
+      assert(ex.contains(s"unique article $id text"), s"doc $id content lost")
+      assert(!ex.contains("leading provider"), s"banner survived on doc $id")
+    }
+    // the 1-of-4-pages rare block is BELOW half on host 0 — kept
+    assert(out(6L)._4.contains("rare block appearing once"))
+    assert(out(6L)._2 == 3L && out(6L)._3 == 1L)
+  }
+
   test("blockStatsLexCol: the stopword list is per-ROW data — selection " +
        "flips the keep decision; the empty list drops everything (r19)") {
     val prose = "<p>el texto que la gente lee y comparte aqui</p>"
