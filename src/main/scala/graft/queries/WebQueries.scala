@@ -457,6 +457,58 @@ object WebQueries {
       .transform(tinySort(_, col("node_id")))
   }
 
+  /** q253 — the BOWTIE decomposition around the seed set (Broder et al.,
+    * "Graph structure in the web", WWW 2000 — the in/core/out anatomy),
+    * bounded-radius: forward and backward 2-hop BFS from the same seeds
+    * ([[graft.ext.Graph.bfsDepth]] on the graph and its transpose, ONE
+    * shared edge extraction) classify every node — CORE (reaches AND is
+    * reached), IN (feeds the seeds but is not reached), OUT (reached but
+    * feeds nothing back), TENDRIL (neither, within the horizon). The
+    * radius bound is the honest archive-scale form — full reachability
+    * is a fixpoint nobody runs on 100 TB — and both depths ride along
+    * (−1 past the horizon). All four classes carry rows at both SFs. */
+  def q253Bowtie(spark: SparkSession, dir: String): DataFrame = {
+    val edges = linkEdges(spark, dir).localCheckpoint()
+    val seeds = load(spark, dir, "documents")
+      .filter(col("doc_id") % 17 === 0).select(col("doc_id"))
+    val fwd = graft.ext.Graph
+      .bfsDepth(edges, "src", "dst", seeds, "doc_id", maxDepth = 2)
+      .select(col("node").as("f_node"), col("depth").as("_fd"))
+    val bwd = graft.ext.Graph
+      .bfsDepth(edges.select(col("dst").as("src"), col("src").as("dst")),
+        "src", "dst", seeds, "doc_id", maxDepth = 2)
+      .select(col("node").as("b_node"), col("depth").as("_bd"))
+    val nodes = edges.select(col("src").as("node_id"))
+      .unionByName(edges.select(col("dst").as("node_id"))).distinct()
+    nodes.join(fwd, col("node_id") === col("f_node"), "left")
+      .join(bwd, col("node_id") === col("b_node"), "left")
+      .select(col("node_id"),
+        coalesce(col("_fd"), lit(-1L)).as("fwd_depth"),
+        coalesce(col("_bd"), lit(-1L)).as("bwd_depth"),
+        when(col("_fd").isNotNull && col("_bd").isNotNull, lit("core"))
+          .when(col("_bd").isNotNull, lit("in"))
+          .when(col("_fd").isNotNull, lit("out"))
+          .otherwise(lit("tendril")).as("component"))
+      .transform(tinySort(_, col("node_id")))
+  }
+
+  /** q254 — fixpoint CONVERGENCE audit
+    * ([[graft.ext.Graph.trustRankResiduals]]): the per-round residual
+    * curve of q249's TrustRank — L1 delta, max per-node delta, and the
+    * count of still-moving nodes, in exact integers — the measurement
+    * that sizes the iteration budget BEFORE a 100 TB run commits to it.
+    * The oracle derives every row from consecutive levels of the shared
+    * unrolled chain (TrustRankCtes), so a drifting loop shows up as a
+    * wrong residual, not a vibe. */
+  def q254TrustResiduals(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = load(spark, dir, "documents")
+      .filter(col("doc_id") % 17 === 0).select(col("doc_id"))
+    graft.ext.Graph
+      .trustRankResiduals(linkEdges(spark, dir), "src", "dst", seeds,
+        "doc_id", iterations = 5)
+      .transform(tinySort(_, col("iteration")))
+  }
+
   /** q252 — SITE-TEMPLATE block removal
     * ([[graft.ext.Crawl.siteTemplateExtract]]): the frequency method —
     * a block recurring on a strict majority of its host's pages is site furniture,
@@ -2060,7 +2112,9 @@ object WebQueries {
     "q248_harmonic_centrality" -> (q248HarmonicCentrality _),
     "q249_trustrank" -> (q249TrustRank _),
     "q250_crawl_priority" -> (q250CrawlPriority _),
-    "q252_template_blocks" -> (q252TemplateBlocks _)
+    "q252_template_blocks" -> (q252TemplateBlocks _),
+    "q253_bowtie" -> (q253Bowtie _),
+    "q254_trust_residuals" -> (q254TrustResiduals _)
   )
 
   /** The q249/q250 oracle's unrolled TrustRank chain (deg + r0…r5, seed
@@ -2472,6 +2526,54 @@ object WebQueries {
          |FROM r5 t LEFT JOIN dp ON t.node = dp.node
          |LEFT JOIN ind ON t.node = ind.node
          |ORDER BY node_id""".stripMargin,
+    /* q253: two bounded recursions (forward on e, backward by swapping
+     * the join side) + the node universe. NOTE the node CTE uses an
+     * explicit DISTINCT over UNION ALL: inside WITH RECURSIVE, DuckDB
+     * does not apply set-union dedup semantics to a bare UNION in a
+     * non-recursive CTE (observed: 2x rows), so the dedup is spelled
+     * out. */
+    "q253_bowtie" ->
+      s"""WITH RECURSIVE $LinkEdgeCtes,
+         | f(node, d) AS (
+         |   SELECT doc_id, 0 FROM documents WHERE doc_id % 17 = 0
+         |   UNION
+         |   SELECT e.dst, r.d + 1 FROM f r JOIN e ON e.src = r.node
+         |   WHERE r.d < 2),
+         | b(node, d) AS (
+         |   SELECT doc_id, 0 FROM documents WHERE doc_id % 17 = 0
+         |   UNION
+         |   SELECT e.src, r.d + 1 FROM b r JOIN e ON e.dst = r.node
+         |   WHERE r.d < 2),
+         | nodes AS (SELECT DISTINCT v FROM (
+         |   SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         | fm AS (SELECT node, MIN(d) AS fd FROM f GROUP BY node),
+         | bm AS (SELECT node, MIN(d) AS bd FROM b GROUP BY node)
+         |SELECT v AS node_id,
+         |  CAST(COALESCE(fd, -1) AS BIGINT) AS fwd_depth,
+         |  CAST(COALESCE(bd, -1) AS BIGINT) AS bwd_depth,
+         |  CASE WHEN fd IS NOT NULL AND bd IS NOT NULL THEN 'core'
+         |       WHEN bd IS NOT NULL THEN 'in'
+         |       WHEN fd IS NOT NULL THEN 'out'
+         |       ELSE 'tendril' END AS component
+         |FROM nodes LEFT JOIN fm ON v = fm.node LEFT JOIN bm ON v = bm.node
+         |ORDER BY node_id""".stripMargin,
+    /* q254: each residual row derives from two consecutive levels of
+     * the SAME unrolled chain q249 checks — exact integer deltas. */
+    "q254_trust_residuals" -> {
+      val lvls = (1 to 5).map { i =>
+        s"""SELECT $i AS iteration, a.trust - b.trust AS dd
+           | FROM r$i a JOIN r${i - 1} b ON a.node = b.node""".stripMargin
+      }.mkString("\n UNION ALL\n")
+      s"""WITH $LinkEdgeCtes,
+         | $TrustRankCtes,
+         | dd AS ($lvls)
+         |SELECT CAST(iteration AS BIGINT) AS iteration,
+         |  CAST(SUM(ABS(dd)) AS BIGINT) AS l1_delta,
+         |  CAST(MAX(ABS(dd)) AS BIGINT) AS max_delta,
+         |  CAST(SUM(CASE WHEN dd <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_changed
+         |FROM dd GROUP BY iteration ORDER BY iteration""".stripMargin
+    },
     /* q252: the synthPage blocks rebuilt as rows (same visible-string
      * constants as HtmlExtractCtes), then the GENERIC frequency rollup —
      * host page counts, per-(host, digest) page counts, the strict-majority rule —

@@ -94,6 +94,17 @@ class GraphWalkSpec extends AnyFunSuite {
     assert(tr == pr)
   }
 
+  test("trustRankResiduals: the residual rows are exactly the deltas of " +
+       "the hand-computed iterates") {
+    // same graph/seed as the trustRankInt test: r0 = (1e12, 0, 0, 0),
+    // r1 = (1.5e11, 8.5e11, 0, 0), r2 = (1.5e11, 1.275e11, 7.225e11, 0)
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 3L, 4L -> 1L)
+    val r = Graph.trustRankResiduals(e, "src", "dst", seeds(1L), "doc_id", 2)
+      .as[(Long, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) == (1L, 850000000000L + 850000000000L, 850000000000L, 2L))
+    assert(r(2L) == (2L, 722500000000L + 722500000000L, 722500000000L, 2L))
+  }
+
   test("hyperBall: radius 0 sketches the singleton; radius widens balls " +
        "monotonically (register max is idempotent — re-adding never shrinks)") {
     val e = edges(1L -> 2L, 2L -> 3L)
