@@ -36,6 +36,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"prefix predicate must not force a nested loop:\n$plan")
   }
 
+  test("q252 site-template extract: the block frame materializes once — " +
+       "no Generate in the final plan, host counts broadcast, no nested " +
+       "loop anywhere (r19)") {
+    // the posexplode + block-stats HOFs run eagerly into the blocks
+    // checkpoint; if the final plan still contained a Generate, the
+    // regex pipeline would re-execute under every consumer
+    val pages = spark.read.parquet(s"$dir/documents.parquet")
+      .select((org.apache.spark.sql.functions.col("doc_id") % 7).cast("string").as("host"),
+        org.apache.spark.sql.functions.col("doc_id"),
+        graft.ext.Html.synthPage(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")).as("html"))
+    val plan = graft.ext.Crawl.siteTemplateExtract(pages)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"posexplode re-executes:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"host page counts must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in template extract:\n$plan")
+  }
+
   test("q241 main-content extraction is map-side: no join, no aggregate — " +
        "the one exchange is the output sort's (r19)") {
     val plan = graft.queries.WebQueries.q241MainContent(spark, dir)
