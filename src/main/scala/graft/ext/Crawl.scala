@@ -116,4 +116,19 @@ object Crawl {
         regexp_extract(col("_a.href"), "^/doc/([0-9]+)$", 1).as("_k"))
       .filter(col("_k") =!= "")
       .select(col("src"), col("_k").cast("long").as("dst"))
+
+  /** [[linkEdgesFrom]] carrying the ANCHOR-TEXT mass as the edge weight
+    * (w = anchor char length, read from the REAL markup): the endorsement
+    * signal weighted link analysis consumes — a link the page spends more
+    * anchor text on carries more of its vote (the q205 anchor-corpus
+    * signal, folded into the graph itself). */
+  def linkEdgesWeighted(docs: DataFrame, n: Long): DataFrame =
+    docs.select(col("doc_id"),
+        explode(Html.anchorPairs(
+          Html.linkPage(col("doc_id"), lit(n), col("text")))).as("_a"))
+      .select(col("doc_id").as("src"),
+        regexp_extract(col("_a.href"), "^/doc/([0-9]+)$", 1).as("_k"),
+        length(col("_a.anchor")).cast("long").as("w"))
+      .filter(col("_k") =!= "")
+      .select(col("src"), col("_k").cast("long").as("dst"), col("w"))
 }

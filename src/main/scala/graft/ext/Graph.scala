@@ -272,6 +272,60 @@ object Graph {
     rank.toDF("node", "trust")
   }
 
+  /** WEIGHTED damped PageRank — each out-edge carries a weight (here:
+    * anchor-text mass) and a node's vote splits PROPORTIONALLY instead
+    * of uniformly: the contribution along edge (u,v,w) is
+    * ⌊r(u)·w / W(u)⌋ with W(u) = Σ out-weights. The naive product
+    * r·w overflows BIGINT at corpus rank scales (r ~ nodes·scale), so
+    * the floor is computed by the EXACT split-multiply identity
+    *   ⌊r·w/W⌋ = (r div W)·w + ⌊(r mod W)·w / W⌋
+    * (substitute r = qW + rem and expand — no approximation). Both
+    * pieces are 64-bit-safe on the operator's own domain: w ≤ W(u) by
+    * construction (W sums the source's weights), so (r div W)·w ≤ r,
+    * and (r mod W)·w < W(u)·max-w — bounded as long as a node's total
+    * out-weight times its largest edge weight stays under 2⁶³ (here W
+    * is a page's anchor mass, a few hundred; at real scale cap
+    * per-edge weights, the robots-window discipline). DuckDB has 128-bit
+    * HUGEINT, so the oracle replays the SAME floor with a direct
+    * `r·w // W` — two spellings, one exact value, which is itself a
+    * cross-check of the identity on every edge of every round.
+    *
+    * Loop shape, arithmetic discipline, and RDD-tier rationale are
+    * [[pageRankInt]]'s (one partitioner, narrow joins, one shuffle per
+    * round, fixed iterations, zero intermediate actions). */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       wCol: String, iterations: Int, dampingPct: Int = 85,
+                       scale: Long = 1000000000000L,
+                       checkpointEvery: Int = 8): DataFrame = {
+    require(scale % 100 == 0, "scale must be divisible by 100 for exact teleport mass")
+    val teleport = scale / 100 * (100 - dampingPct)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val numParts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val p = new org.apache.spark.HashPartitioner(numParts)
+    val e = edges.select(col(srcCol).cast("long"), struct(col(dstCol).cast("long"),
+        col(wCol).cast("long"))).as[(Long, (Long, Long))].rdd.partitionBy(p)
+    e.localCheckpoint()
+    val tw = e.mapValues(_._2).reduceByKey(p, _ + _)
+    var rank = tw.mapPartitions(_.map { case (n, _) => (n, scale) },
+      preservesPartitioning = true)
+    for (i <- 1 to iterations) {
+      val rw = tw.join(rank, p) // narrow: (node, (W, r))
+      val contribs = e.join(rw, p)
+        .map { case (_, ((dst, w), (bigW, r))) =>
+          // exact ⌊r·w/W⌋ without the 128-bit product (identity above)
+          (dst, (r / bigW) * w + (r % bigW) * w / bigW)
+        }
+        .reduceByKey(p, _ + _) // the round's one real shuffle
+      rank = tw.leftOuterJoin(contribs, p)
+        .mapPartitions(_.map { case (n, (_, inf)) =>
+          (n, teleport + dampingPct * inf.getOrElse(0L) / 100)
+        }, preservesPartitioning = true)
+      if (i % checkpointEvery == 0 && i < iterations) rank.localCheckpoint()
+    }
+    rank.toDF("node", "rank")
+  }
+
   /** [[trustRankInt]] with the per-iteration CONVERGENCE RESIDUALS as the
     * output — the operational audit of an iterative fixpoint: before
     * committing a 100 TB job to k rounds, measure how fast the mass

@@ -509,6 +509,26 @@ object WebQueries {
       .transform(tinySort(_, col("iteration")))
   }
 
+  /** q255 — WEIGHTED PageRank over the link graph
+    * ([[graft.ext.Graph.pageRankWeighted]], 5 damped iterations): each
+    * edge carries its ANCHOR-TEXT mass as the weight (read from the real
+    * markup — [[graft.ext.Crawl.linkEdgesWeighted]]), so a page's vote
+    * splits proportionally to how much anchor text it spends on each
+    * link — the q205 endorsement signal folded into the graph itself.
+    * The per-edge floor ⌊r·w/W⌋ is computed 64-bit-exactly by the
+    * split-multiply identity on the Spark side and replayed by DuckDB
+    * as a DIRECT 128-bit `r·w // W` — two spellings, one value, so the
+    * oracle cross-checks the identity on every edge of every round. */
+  def q255WeightedPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    graft.ext.Graph.pageRankWeighted(
+        graft.ext.Crawl.linkEdgesWeighted(
+          docs.select(col("doc_id"), col("text")), docs.count()),
+        "src", "dst", "w", iterations = 5)
+      .select(col("node").as("node_id"), col("rank"))
+      .transform(tinySort(_, col("node_id")))
+  }
+
   /** q252 — SITE-TEMPLATE block removal
     * ([[graft.ext.Crawl.siteTemplateExtract]]): the frequency method —
     * a block recurring on a strict majority of its host's pages is site furniture,
@@ -2114,7 +2134,8 @@ object WebQueries {
     "q250_crawl_priority" -> (q250CrawlPriority _),
     "q252_template_blocks" -> (q252TemplateBlocks _),
     "q253_bowtie" -> (q253Bowtie _),
-    "q254_trust_residuals" -> (q254TrustResiduals _)
+    "q254_trust_residuals" -> (q254TrustResiduals _),
+    "q255_weighted_pagerank" -> (q255WeightedPagerank _)
   )
 
   /** The q249/q250 oracle's unrolled TrustRank chain (deg + r0…r5, seed
@@ -2526,6 +2547,31 @@ object WebQueries {
          |FROM r5 t LEFT JOIN dp ON t.node = dp.node
          |LEFT JOIN ind ON t.node = ind.node
          |ORDER BY node_id""".stripMargin,
+    /* q255: the q91/q249 unrolled chain with WEIGHTED shares — anchor
+     * mass w = length('doc ' || dst) closed-form, per-edge contribution
+     * as the DIRECT 128-bit floor r·w // tot (Spark computes the same
+     * value via the 64-bit split-multiply identity — the differential
+     * test of the identity itself). */
+    "q255_weighted_pagerank" -> {
+      val iters = (1 to 5).map { i =>
+        s"""r$i AS (SELECT d.node,
+           |   CAST(150000000000 + (85 * COALESCE(s.inflow, 0)) // 100 AS BIGINT) AS rank
+           | FROM tw d LEFT JOIN (
+           |   SELECT we.dst AS node,
+           |     CAST(SUM(CAST(r.rank AS HUGEINT) * we.w // g.tot) AS BIGINT) AS inflow
+           |   FROM r${i - 1} r JOIN tw g ON r.node = g.node
+           |   JOIN we ON r.node = we.src
+           |   GROUP BY we.dst) s ON d.node = s.node)""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH $LinkEdgeCtes,
+         | we AS (SELECT src, dst,
+         |   CAST(length('doc ' || CAST(dst AS VARCHAR)) AS BIGINT) AS w
+         |   FROM e),
+         | tw AS (SELECT src AS node, SUM(w) AS tot FROM we GROUP BY src),
+         | r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM tw),
+         | $iters
+         |SELECT node AS node_id, rank FROM r5 ORDER BY node_id""".stripMargin
+    },
     /* q253: two bounded recursions (forward on e, backward by swapping
      * the join side) + the node universe. NOTE the node CTE uses an
      * explicit DISTINCT over UNION ALL: inside WITH RECURSIVE, DuckDB

@@ -105,6 +105,43 @@ class GraphWalkSpec extends AnyFunSuite {
     assert(r(2L) == (2L, 722500000000L + 722500000000L, 722500000000L, 2L))
   }
 
+  test("split-multiply identity: (r div W)·w + (r mod W)·w div W equals " +
+       "the true 128-bit floor(r·w/W) exactly — BigInt cross-check at " +
+       "and near the documented W·w < 2^62 bound") {
+    // the operator's domain: w ≤ W always (W sums the source's own edge
+    // weights, w is one of them), so (r div W)·w ≤ r and
+    // (r mod W)·w < W² — both 64-bit-safe for W < 2^30, r < 2^62
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 2000) {
+      val bigW = 1L + rnd.nextLong(1L << 30)
+      val w = 1L + rnd.nextLong(bigW) // w ≤ W, the operator's invariant
+      val r = rnd.nextLong(1L << 62)
+      val got = (r / bigW) * w + (r % bigW) * w / bigW
+      assert(BigInt(got) == BigInt(r) * w / bigW,
+        s"identity broke at r=$r w=$w W=$bigW")
+    }
+  }
+
+  test("pageRankWeighted with EQUAL weights ≡ pageRankInt (the floor " +
+       "⌊r·w/(d·w)⌋ = ⌊r/d⌋ collapse, exact)") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 2L -> 1L, 3L -> 2L)
+    val we = e.withColumn("w", lit(7L))
+    val weighted = Graph.pageRankWeighted(we, "src", "dst", "w", 5)
+      .as[(Long, Long)].collect().toMap
+    val uniform = Graph.pageRankInt(e, "src", "dst", 5)
+      .as[(Long, Long)].collect().toMap
+    assert(weighted == uniform)
+    // and UNEQUAL weights genuinely shift mass: give node 1 two
+    // out-edges and tilt its anchor mass toward 3
+    val e2 = edges(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 1L)
+    val flat = Graph.pageRankWeighted(e2.withColumn("w", lit(5L)),
+      "src", "dst", "w", 5).as[(Long, Long)].collect().toMap
+    val tilt = Graph.pageRankWeighted(e2.withColumn("w",
+        when(col("dst") === 3L && col("src") === 1L, lit(99L)).otherwise(lit(1L))),
+      "src", "dst", "w", 5).as[(Long, Long)].collect().toMap
+    assert(tilt(3L) > flat(3L), "anchor-mass tilt must raise the favored target")
+  }
+
   test("hyperBall: radius 0 sketches the singleton; radius widens balls " +
        "monotonically (register max is idempotent — re-adding never shrinks)") {
     val e = edges(1L -> 2L, 2L -> 3L)
