@@ -272,6 +272,61 @@ object Graph {
     rank.toDF("node", "trust")
   }
 
+  /** Monotone RELAXATION from an arbitrary frontier — the GENERAL form
+    * of [[bfsDepth]] and the kernel of INCREMENTAL shortest-depth
+    * maintenance: given current depths `init` (node, depth) and the
+    * subset `frontier0` whose depths just changed (or just appeared),
+    * propagate min(depth+1) along edges for `maxRounds` rounds, capping
+    * assignments at `maxDepth`. Duplicate nodes in `init`/`frontier0`
+    * resolve by min (the merge an incremental caller wants: pass
+    * old ∪ improved and the improvement wins). Pure monotone refinement:
+    * depths only decrease, a round's messages flow only from the
+    * previous round's improved set — DELTA propagation, total message
+    * volume O(affected edges), not O(E·rounds) — and the fixpoint is
+    * independent of how the improvements were batched, which is exactly
+    * the incremental ≡ recompute law IncrementalSpec pins for
+    * [[graft.stream.StreamingLinkGraph]].
+    *
+    * [[bfsDepth]] is the from-scratch special case (init = frontier =
+    * seeds at 0; GraphWalkSpec pins the equivalence) and stays its own
+    * loop deliberately: from-scratch assignment is INSERT-only and
+    * rides a partitioner-aware union, while relaxation must rewrite the
+    * depth map per round (a narrow fullOuterJoin merge, O(state) per
+    * round — the price of updatability). */
+  def bfsRelax(edges: DataFrame, srcCol: String, dstCol: String,
+               init: DataFrame, frontier0: DataFrame,
+               maxRounds: Int, maxDepth: Long): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val numParts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val p = new org.apache.spark.HashPartitioner(numParts)
+    val e = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+      .as[(Long, Long)].rdd.partitionBy(p)
+    e.localCheckpoint()
+    var depth = init.select(col("node").cast("long"), col("depth").cast("long"))
+      .as[(Long, Long)].rdd.reduceByKey(p, math.min(_: Long, _: Long))
+    depth.localCheckpoint()
+    var frontier = frontier0.select(col("node").cast("long"), col("depth").cast("long"))
+      .as[(Long, Long)].rdd.reduceByKey(p, math.min(_: Long, _: Long))
+    frontier.localCheckpoint()
+    for (_ <- 1 to maxRounds) {
+      val msgs = e.join(frontier, p)
+        .flatMap { case (_, (dst, fd)) =>
+          if (fd + 1 <= maxDepth) Iterator((dst, fd + 1)) else Iterator.empty }
+        .reduceByKey(p, math.min(_: Long, _: Long)) // the round's one shuffle
+      val improved = msgs.leftOuterJoin(depth, p).mapPartitions(
+        _.collect { case (v, (nd, old)) if old.forall(nd < _) => (v, nd) },
+        preservesPartitioning = true)
+      improved.localCheckpoint() // feeds the merge AND the next round
+      depth = depth.fullOuterJoin(improved, p).mapPartitions(
+        _.map { case (v, (old, upd)) => (v, upd.orElse(old).get) },
+        preservesPartitioning = true)
+      depth.localCheckpoint() // truncate the per-round merge chain
+      frontier = improved
+    }
+    depth.toDF("node", "depth")
+  }
+
   /** WEIGHTED damped PageRank — each out-edge carries a weight (here:
     * anchor-text mass) and a node's vote splits PROPORTIONALLY instead
     * of uniformly: the contribution along edge (u,v,w) is

@@ -75,6 +75,19 @@ object TxnSink {
       .flatMap(s => s.getPath.getName.toLongOption).sorted
   }
 
+  /** The committed rows of ONE batch — None if that batch never
+    * committed or holds no data files. The read a LATEST-FRAME store
+    * needs: a state snapshot written whole per batch, where a consumer
+    * wants the newest committed snapshot rather than the union of all
+    * of them ([[StreamingLinkGraph]]'s depth store). */
+  def readBatch(spark: SparkSession, dir: String, batchId: Long): Option[DataFrame] = {
+    val fs = fileSystem(spark, dir)
+    val path = new Path(batchPath(dir, batchId))
+    if (!fs.exists(commitPath(dir, batchId)) || !fs.exists(path) ||
+        !fs.listStatus(path).exists(_.getPath.getName.endsWith(".parquet"))) None
+    else Some(spark.read.parquet(batchPath(dir, batchId)))
+  }
+
   /** The committed rows of the store: exactly the committed batches'
     * subdirectories (uncommitted partials are never listed). Returns
     * None when no batch has committed yet (the caller supplies its own

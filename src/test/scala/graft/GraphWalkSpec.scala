@@ -105,6 +105,31 @@ class GraphWalkSpec extends AnyFunSuite {
     assert(r(2L) == (2L, 722500000000L + 722500000000L, 722500000000L, 2L))
   }
 
+  test("bfsRelax seeded from scratch ≡ bfsDepth; an added shortcut edge " +
+       "relaxes exactly the affected cone") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val s0 = seeds(1L).select(col("doc_id").as("node"))
+      .withColumn("depth", lit(0L))
+    val scratch = Graph.bfsRelax(e, "src", "dst", s0, s0, 8, 8L)
+      .as[(Long, Long)].collect().toMap
+    val plain = Graph.bfsDepth(e, "src", "dst", seeds(1L), "doc_id", 8)
+      .as[(Long, Long)].collect().toMap
+    assert(scratch == plain)
+    assert(plain == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // a new shortcut 1→4 improves 4 (tentative = depth(1)+1 = 1) and its
+    // cone (5: 4→2); everything else keeps its old depth
+    val e2 = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 1L -> 4L)
+    val improved1 = Seq((4L, 1L)).toDF("node", "depth")
+    val init = plain.toSeq.toDF("node", "depth").unionByName(improved1)
+    val relaxed = Graph.bfsRelax(e2, "src", "dst", init, improved1, 8, 8L)
+      .as[(Long, Long)].collect().toMap
+    val full = Graph.bfsDepth(e2, "src", "dst", seeds(1L), "doc_id", 8)
+      .as[(Long, Long)].collect().toMap
+    assert(relaxed == full, "delta relaxation must equal the recompute")
+    assert(full(4L) == 1L && full(5L) == 2L && full(3L) == 2L)
+  }
+
   test("split-multiply identity: (r div W)·w + (r mod W)·w div W equals " +
        "the true 128-bit floor(r·w/W) exactly — BigInt cross-check at " +
        "and near the documented W·w < 2^62 bound") {

@@ -1154,4 +1154,58 @@ class IncrementalSpec extends AnyFunSuite {
     assert(edgeCount == batchCount,
       "the committed store must hold each edge exactly once after replay")
   }
+
+  test("incremental link-graph horizon: DELTA relaxation per batch ≡ " +
+       "from-scratch BFS of the union, at every arrival prefix; crash " +
+       "replay cannot fork the snapshot history (r19)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val n = docs.count()
+    val chunks = (0 until 3).map { i =>
+      val tmp = Files.createTempDirectory(s"graft_lgi_chunk$i")
+      docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+    }
+    def batchHorizon(upTo: Int): Map[Long, Long] = {
+      val sub = docs.filter(col("doc_id") % 3 <= upTo)
+      graft.ext.Graph.bfsDepth(
+          graft.ext.Crawl.linkEdgesFrom(sub.select(col("doc_id"), col("text")), n),
+          "src", "dst",
+          sub.filter(col("doc_id") % 17 === 0).select(col("doc_id")),
+          "doc_id", 8)
+        .as[(Long, Long)].collect().toMap
+    }
+    // the incremental maintainer, one arrival file per prefix store
+    (0 until 3).foreach { k =>
+      val sd = Files.createTempDirectory(s"graft_lgi_stream$k")
+      (0 to k).foreach(i => Files.copy(chunks(i), sd.resolve(s"c$i.parquet")))
+      val store = Files.createTempDirectory(s"graft_lgi_store$k").toString
+      assert(graft.stream.StreamingLinkGraph.ingestIncremental(
+        spark, sd.toString, store, n, maxDepth = 8,
+        maxFilesPerTrigger = Some(1)) == k + 1)
+      val inc = graft.stream.StreamingLinkGraph
+        .incrementalHorizon(spark, store)
+        .as[(Long, Long)].collect().toMap
+      assert(inc == batchHorizon(k),
+        s"prefix $k: delta relaxation must equal the from-scratch BFS")
+      if (k == 2) {
+        assert(inc.size > 10, s"non-vacuity: got ${inc.size} reached nodes")
+        // crash window: lose the checkpoint, redeliver everything — the
+        // depth snapshots' txn markers fast-skip every replayed append
+        val fs = new org.apache.hadoop.fs.Path(store)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$store/_graft_checkpoint"), true)
+        assert(graft.stream.StreamingLinkGraph.ingestIncremental(
+          spark, sd.toString, store, n, maxDepth = 8,
+          maxFilesPerTrigger = Some(1)) == 3, "full redelivery expected")
+        val replayed = graft.stream.StreamingLinkGraph
+          .incrementalHorizon(spark, store)
+          .as[(Long, Long)].collect().toMap
+        assert(replayed == inc, "replay must not fork the snapshot history")
+      }
+    }
+  }
 }
