@@ -105,6 +105,58 @@ class GraphWalkSpec extends AnyFunSuite {
     assert(r(2L) == (2L, 722500000000L + 722500000000L, 722500000000L, 2L))
   }
 
+  test("generative fuzz: bfsDepth ≡ in-memory BFS and trustRankInt ≡ an " +
+       "independent in-memory fixpoint on 12 random digraphs (dup edges, " +
+       "self-loops, random seed sets and caps)") {
+    val rnd = new scala.util.Random(42)
+    var ran = 0
+    for (c <- 1 to 12) {
+      val nNodes = 5 + rnd.nextInt(25)
+      val nEdges = nNodes + rnd.nextInt(3 * nNodes)
+      val es = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+      val seedSet = (0L until nNodes.toLong).filter(_ => rnd.nextDouble() < 0.2)
+      if (seedSet.nonEmpty) {
+        ran += 1
+        val cap = 1 + rnd.nextInt(8)
+        // reference BFS: plain frontier expansion over an adjacency map
+        val adj = es.groupMap(_._1)(_._2)
+        var depth = seedSet.map(_ -> 0L).toMap
+        var frontier = seedSet.toSet
+        for (d <- 1 to cap) {
+          val next = frontier.flatMap(u => adj.getOrElse(u, Nil))
+            .filterNot(depth.contains)
+          next.foreach(v => depth += v -> d.toLong)
+          frontier = next
+        }
+        val got = Graph.bfsDepth(es.toDF("src", "dst"), "src", "dst",
+            seedSet.toDF("doc_id"), "doc_id", cap)
+          .as[(Long, Long)].collect().toMap
+        assert(got == depth, s"bfs case $c: got $got want $depth edges $es seeds $seedSet cap $cap")
+        // reference TrustRank: direct fixpoint over the edge list (dup
+        // edges count once per occurrence, exactly like the loop)
+        val sources = es.map(_._1).distinct
+        val outdeg = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        var rank = sources.map(u =>
+          u -> (if (seedSet.contains(u)) 1000000000000L else 0L)).toMap
+        for (_ <- 1 to 4) {
+          val inflow = scala.collection.mutable.Map.empty[Long, Long]
+            .withDefaultValue(0L)
+          es.foreach { case (u, v) =>
+            if (rank.contains(u)) inflow(v) += rank(u) / outdeg(u) }
+          rank = sources.map(u => u ->
+            ((if (seedSet.contains(u)) 150000000000L else 0L)
+              + 85L * inflow(u) / 100L)).toMap
+        }
+        val gotT = Graph.trustRankInt(es.toDF("src", "dst"), "src", "dst",
+            seedSet.toDF("doc_id"), "doc_id", 4)
+          .as[(Long, Long)].collect().toMap
+        assert(gotT == rank, s"trust case $c")
+      }
+    }
+    assert(ran >= 8, s"non-vacuity: only $ran cases had seeds")
+  }
+
   test("bfsRelax seeded from scratch ≡ bfsDepth; an added shortcut edge " +
        "relaxes exactly the affected cone") {
     import org.apache.spark.sql.functions.{col, lit}
