@@ -529,6 +529,35 @@ object WebQueries {
       .transform(tinySort(_, col("node_id")))
   }
 
+  /** q256 — bounded CLOSENESS from the same HyperBall profile (Lin's
+    * reachability-squared-over-distance on the 3-hop in-ball): reached
+    * mass b₃, estimated total in-distance Σ r·Δ_r, and Lin's index as
+    * exact integer basis points reached²·10⁴ div dist (0 when nothing
+    * beyond self is reachable). The q248 sibling: same transpose
+    * profile, OPPOSITE weighting — harmonic rewards near mass
+    * (1, ½, ⅓), dist_mass charges far mass (1, 2, 3) — so the pair
+    * brackets the reachability geometry, and their oracles share the
+    * profile chain verbatim. */
+  def q256Closeness(spark: SparkSession, dir: String): DataFrame = {
+    val rev = linkEdges(spark, dir)
+      .select(col("dst").as("src"), col("src").as("dst"))
+    graft.ext.Graph.hyperBallProfile(rev, "src", "dst", radius = 3)
+      .groupBy(col("node").as("node_id"))
+      .agg(
+        max(when(col("r") === 0, col("ball_estimate"))).as("b0"),
+        max(when(col("r") === 1, col("ball_estimate"))).as("b1"),
+        max(when(col("r") === 2, col("ball_estimate"))).as("b2"),
+        max(when(col("r") === 3, col("ball_estimate"))).as("b3"))
+      .select(col("node_id"), col("b3").as("reached"),
+        ((col("b1") - col("b0")) + lit(2L) * (col("b2") - col("b1"))
+          + lit(3L) * (col("b3") - col("b2"))).as("dist_mass"))
+      .select(col("node_id"), col("reached"), col("dist_mass"),
+        when(col("dist_mass") > 0,
+          expr("reached * reached * 10000L div dist_mass"))
+          .otherwise(lit(0L)).as("lin_bp"))
+      .transform(tinySort(_, col("node_id")))
+  }
+
   /** q252 — SITE-TEMPLATE block removal
     * ([[graft.ext.Crawl.siteTemplateExtract]]): the frequency method —
     * a block recurring on a strict majority of its host's pages is site furniture,
@@ -2135,8 +2164,48 @@ object WebQueries {
     "q252_template_blocks" -> (q252TemplateBlocks _),
     "q253_bowtie" -> (q253Bowtie _),
     "q254_trust_residuals" -> (q254TrustResiduals _),
-    "q255_weighted_pagerank" -> (q255WeightedPagerank _)
+    "q255_weighted_pagerank" -> (q255WeightedPagerank _),
+    "q256_closeness" -> (q256Closeness _)
   )
+
+  /** The q248/q256 oracle's transpose in-ball profile (ball recursion →
+    * min distance → q150 registers per radius → estimates pivoted wide
+    * as b0–b3) — shared verbatim so the two centrality weightings can
+    * never drift on the profile itself. */
+  private val InBallProfileCtes: String =
+    s"""ball(src, node, d) AS (
+       |   SELECT doc_id, doc_id, 0 FROM documents
+       |   UNION
+       |   SELECT b.src, e.src, b.d + 1 FROM ball b JOIN e ON e.dst = b.node
+       |   WHERE b.d < 3),
+       | mem AS (SELECT src, node, MIN(d) AS mind FROM ball
+       |         GROUP BY src, node),
+       | h AS (SELECT src, mind,
+       |   ${ProfilingQueries.hex60("'hll:' || CAST(node AS VARCHAR)")} AS hv
+       |   FROM mem),
+       | bk AS (SELECT src, mind, hv % 64 AS bucket, hv // 64 AS rest FROM h),
+       | rk AS (SELECT src, mind, bucket,
+       |        CASE WHEN rest = 0 THEN 55
+       |             ELSE length(bin(rest & (-rest))) END AS rho FROM bk),
+       | rs AS (SELECT UNNEST([0, 1, 2, 3]) AS r),
+       | regs AS (SELECT src, rs.r, bucket, MAX(rho) AS rho
+       |          FROM rk, rs WHERE rk.mind <= rs.r
+       |          GROUP BY src, rs.r, bucket),
+       | z AS (SELECT src, r,
+       |         CAST(64 - COUNT(*) AS HUGEINT) AS nz,
+       |         SUM(CAST(1 AS HUGEINT) << (62 - rho)) AS zsum
+       |       FROM regs GROUP BY src, r),
+       | est AS (SELECT src, r,
+       |   CAST((CAST(2904064 AS HUGEINT) * (CAST(1 AS HUGEINT) << 62))
+       |     // (CAST(1000 AS HUGEINT) *
+       |         (zsum + nz * (CAST(1 AS HUGEINT) << 62))) AS BIGINT) AS b
+       |   FROM z),
+       | w AS (SELECT src,
+       |         MAX(CASE WHEN r = 0 THEN b END) AS b0,
+       |         MAX(CASE WHEN r = 1 THEN b END) AS b1,
+       |         MAX(CASE WHEN r = 2 THEN b END) AS b2,
+       |         MAX(CASE WHEN r = 3 THEN b END) AS b3
+       |       FROM est GROUP BY src)""".stripMargin
 
   /** The q249/q250 oracle's unrolled TrustRank chain (deg + r0…r5, seed
     * teleport as a CASE) — shared verbatim so the standalone ranking and
@@ -2474,45 +2543,28 @@ object WebQueries {
      * in-ball member's minimum distance; the four radius register sets
      * all derive from it (member in B_r iff mind <= r), then the q150
      * estimator spelling per (src, r), pivoted wide, and the 6/3/2
-     * harmonic weights in exact BIGINTs. */
+     * harmonic weights in exact BIGINTs. The ball→profile chain is
+     * InBallProfileCtes, shared verbatim with q256. */
     "q248_harmonic_centrality" ->
       s"""WITH RECURSIVE $LinkEdgeCtes,
-         | ball(src, node, d) AS (
-         |   SELECT doc_id, doc_id, 0 FROM documents
-         |   UNION
-         |   SELECT b.src, e.src, b.d + 1 FROM ball b JOIN e ON e.dst = b.node
-         |   WHERE b.d < 3),
-         | mem AS (SELECT src, node, MIN(d) AS mind FROM ball
-         |         GROUP BY src, node),
-         | h AS (SELECT src, mind,
-         |   ${ProfilingQueries.hex60("'hll:' || CAST(node AS VARCHAR)")} AS hv
-         |   FROM mem),
-         | bk AS (SELECT src, mind, hv % 64 AS bucket, hv // 64 AS rest FROM h),
-         | rk AS (SELECT src, mind, bucket,
-         |        CASE WHEN rest = 0 THEN 55
-         |             ELSE length(bin(rest & (-rest))) END AS rho FROM bk),
-         | rs AS (SELECT UNNEST([0, 1, 2, 3]) AS r),
-         | regs AS (SELECT src, rs.r, bucket, MAX(rho) AS rho
-         |          FROM rk, rs WHERE rk.mind <= rs.r
-         |          GROUP BY src, rs.r, bucket),
-         | z AS (SELECT src, r,
-         |         CAST(64 - COUNT(*) AS HUGEINT) AS nz,
-         |         SUM(CAST(1 AS HUGEINT) << (62 - rho)) AS zsum
-         |       FROM regs GROUP BY src, r),
-         | est AS (SELECT src, r,
-         |   CAST((CAST(2904064 AS HUGEINT) * (CAST(1 AS HUGEINT) << 62))
-         |     // (CAST(1000 AS HUGEINT) *
-         |         (zsum + nz * (CAST(1 AS HUGEINT) << 62))) AS BIGINT) AS b
-         |   FROM z),
-         | w AS (SELECT src,
-         |         MAX(CASE WHEN r = 0 THEN b END) AS b0,
-         |         MAX(CASE WHEN r = 1 THEN b END) AS b1,
-         |         MAX(CASE WHEN r = 2 THEN b END) AS b2,
-         |         MAX(CASE WHEN r = 3 THEN b END) AS b3
-         |       FROM est GROUP BY src)
+         | $InBallProfileCtes
          |SELECT src AS node_id, b0, b1, b2, b3,
          |  6 * (b1 - b0) + 3 * (b2 - b1) + 2 * (b3 - b2) AS harmonic_x6
          |FROM w ORDER BY node_id""".stripMargin,
+    /* q256: the SAME profile chain, the opposite weighting — dist_mass
+     * charges far mass 1/2/3 where harmonic rewarded near mass, and
+     * Lin's index lands as exact integer basis points. */
+    "q256_closeness" ->
+      s"""WITH RECURSIVE $LinkEdgeCtes,
+         | $InBallProfileCtes,
+         | m AS (SELECT src, b3 AS reached,
+         |         (b1 - b0) + 2 * (b2 - b1) + 3 * (b3 - b2) AS dist_mass
+         |       FROM w)
+         |SELECT src AS node_id, reached, dist_mass,
+         |  CAST(CASE WHEN dist_mass > 0
+         |       THEN reached * reached * 10000 // dist_mass
+         |       ELSE 0 END AS BIGINT) AS lin_bp
+         |FROM m ORDER BY node_id""".stripMargin,
     /* q249: the q91 unrolled-CTE chain with a seed-CASE teleport — rank
      * rows exist for SOURCE nodes (the trustRankInt contract), seeds
      * start at the full scale and everything else at exact 0. */
