@@ -157,6 +157,77 @@ class GraphWalkSpec extends AnyFunSuite {
     assert(ran >= 8, s"non-vacuity: only $ran cases had seeds")
   }
 
+  test("generative fuzz: hyperBall ≡ hllRollup over exact ball membership " +
+       "on 6 random digraphs (the register law, not just the path graph)") {
+    val rnd = new scala.util.Random(11)
+    for (c <- 1 to 6) {
+      val nNodes = 4 + rnd.nextInt(12)
+      val es = Seq.fill(nNodes + rnd.nextInt(2 * nNodes))(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+      val radius = 1 + rnd.nextInt(3)
+      // exact ball membership by in-memory expansion
+      val adj = es.groupMap(_._1)(_._2)
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+      val balls = nodes.map { v =>
+        var ball = Set(v); var frontier = Set(v)
+        for (_ <- 1 to radius) {
+          frontier = frontier.flatMap(u => adj.getOrElse(u, Nil)) -- ball
+          ball ++= frontier
+        }
+        v -> ball
+      }.toMap
+      val members = balls.toSeq.flatMap { case (v, b) => b.map(v -> _) }
+        .toDF("node", "member")
+      val roll = Sketch.hllRollup(members, "node", "member")
+        .filter(col("scope") =!= "__all__")
+        .select(col("scope").cast("long"), col("hll_estimate"))
+        .as[(Long, Long)].collect().toMap
+      val hb = Graph.hyperBall(es.toDF("src", "dst"), "src", "dst", radius)
+        .select(col("node"), col("ball_estimate"))
+        .as[(Long, Long)].collect().toMap
+      assert(hb == roll, s"case $c: radius $radius edges $es")
+    }
+  }
+
+  test("generative fuzz: incremental relaxation over a random edge SPLIT " +
+       "≡ from-scratch BFS of the union, on 6 random digraphs") {
+    import org.apache.spark.sql.functions.{col, lit, min => mincol}
+    val rnd = new scala.util.Random(23)
+    for (c <- 1 to 6) {
+      val nNodes = 6 + rnd.nextInt(20)
+      val es = Seq.fill(nNodes + rnd.nextInt(3 * nNodes))(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+      val seedSet = (0L until nNodes.toLong).filter(_ % 5 == 0)
+      val cap = 2 + rnd.nextInt(6)
+      val (e1, e2) = es.partition(_ => rnd.nextBoolean())
+      val d1 = Graph.bfsDepth(
+        (if (e1.isEmpty) Seq((seedSet.head, seedSet.head)) else e1)
+          .toDF("src", "dst"),
+        "src", "dst", seedSet.toDF("doc_id"), "doc_id", cap)
+      // the ingestIncremental candidate rule: heads of new edges whose
+      // tail already has a depth, strict improvements only
+      val newE = e2.toDF("src", "dst")
+      val improved = newE
+        .join(d1.select(col("node").as("_t"), col("depth").as("_td")),
+          col("src") === col("_t"))
+        .select(col("dst").as("node"), (col("_td") + 1L).as("depth"))
+        .filter(col("depth") <= cap)
+        .groupBy(col("node")).agg(mincol(col("depth")).as("depth"))
+        .join(d1.select(col("node").as("_o"), col("depth").as("_od")),
+          col("node") === col("_o"), "left")
+        .filter(col("_od").isNull || col("depth") < col("_od"))
+        .select(col("node"), col("depth"))
+      val union = es.toDF("src", "dst")
+      val inc = Graph.bfsRelax(union, "src", "dst",
+          d1.unionByName(improved), improved, cap, cap.toLong)
+        .as[(Long, Long)].collect().toMap
+      val full = Graph.bfsDepth(union, "src", "dst",
+          seedSet.toDF("doc_id"), "doc_id", cap)
+        .as[(Long, Long)].collect().toMap
+      assert(inc == full, s"case $c: cap $cap e1 $e1 e2 $e2")
+    }
+  }
+
   test("bfsRelax seeded from scratch ≡ bfsDepth; an added shortcut edge " +
        "relaxes exactly the affected cone") {
     import org.apache.spark.sql.functions.{col, lit}
