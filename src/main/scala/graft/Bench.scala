@@ -10,6 +10,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE coalescing's 1 MB minPartitionSize floor (parallelismFirst
+      // target = max(bytes/parallelism, floor)) collapses every sub-1MB
+      // post-shuffle stage to ONE partition — which serializes CPU-dense
+      // demux stages (gzip synthesis, WARC walks, media decode: ~1000x
+      // more CPU per byte than relational ops) onto a single core at
+      // bench SF (measured: q214's walk stage ran 1 task, cpu/wall 1.0).
+      // 16 KB keeps those stages at the parallelism target; at production
+      // scale bytes/parallelism >> 16 KB, so the floor never binds and
+      // coalescing behaves exactly as before (scale-adaptive by
+      // construction, not a local[32] constant). Overridable for A/B.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "16k"))
       .config("spark.ui.enabled", "false")
       // static conf, must be set before the session exists: the default
       // 100-entry generated-class cache thrashes on a 100+-query run (a

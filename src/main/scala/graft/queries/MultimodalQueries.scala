@@ -39,6 +39,9 @@ object MultimodalQueries {
     * per-split demux pass a real video-curation scan performs. */
   def q185VideoMetadata(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // NO repartition here, unlike q199: the box synthesis/walk is header
+    // arithmetic, not codec work — the fan-out exchange measurably costs
+    // more than the parallelism buys (A/B min-of-3, r19)
     val ids = load(spark, dir, "documents").select(col("doc_id")).as[Long]
     val records = ids.map { k =>
       val payload =
@@ -61,7 +64,9 @@ object MultimodalQueries {
         }
       (k, payload)
     }
-    graft.ext.Mp4.extractVideoMeta(records).orderBy(col("media_id"))
+    graft.ext.Mp4.extractVideoMeta(records)
+      .localCheckpoint() // O(input) dump: the sort's sampling pass must
+      .orderBy(col("media_id")) // not re-run the box walk (q204 pattern)
   }
 
   /** q199 — real MJPEG-in-AVI FRAME decode ([[graft.ext.Avi]], round-15
@@ -112,6 +117,7 @@ object MultimodalQueries {
         (expr("array_position(feature, array_max(feature))") - 1)
           .cast("int").as("dom_bin"),
         expr("array_max(feature)").cast("double").as("dom_mass"))
+      .localCheckpoint() // one JPEG encode+demux+decode pass, not two
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
@@ -155,6 +161,7 @@ object MultimodalQueries {
         col("bits"), col("n_chunks"), col("n_samples"),
         element_at(col("rms"), 1).as("rms_first"),
         element_at(col("rms"), 8).as("rms_last"))
+      .localCheckpoint() // one PCM demux pass, not two (q199 pattern)
       .orderBy(col("media_id"))
   }
 
@@ -189,7 +196,9 @@ object MultimodalQueries {
         }
       (k, payload)
     }
-    graft.ext.Avi.extractAviMeta(records).orderBy(col("media_id"))
+    graft.ext.Avi.extractAviMeta(records)
+      .localCheckpoint() // one header walk pass, not two (q199 pattern)
+      .orderBy(col("media_id"))
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

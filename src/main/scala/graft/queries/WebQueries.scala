@@ -73,7 +73,8 @@ object WebQueries {
     * mapPartitions batch work (the [[graft.ext.Avi]] shape). */
   def q207WarcRecords(spark: SparkSession, dir: String): DataFrame =
     graft.ext.Warc.extractRecords(warcBlobs(spark, dir))
-      .orderBy(col("blob_id"), col("rec_idx"))
+      .localCheckpoint() // O(input) dump: the sort's sampling pass must
+      .orderBy(col("blob_id"), col("rec_idx")) // not re-run the demux (q204)
 
   /** q210 — the same record walk over `.warc.gz` blobs, the bytes
     * CommonCrawl actually distributes: each q207 blob is gzipped whole,
@@ -87,6 +88,7 @@ object WebQueries {
     val gz = warcBlobs(spark, dir)
       .map { case (b, bytes) => (b, graft.ext.Warc.gzip(bytes)) }
     graft.ext.Warc.extractRecordsGz(gz)
+      .localCheckpoint() // see q207 — one gunzip+walk, not two
       .orderBy(col("blob_id"), col("rec_idx"))
   }
 
@@ -118,7 +120,9 @@ object WebQueries {
       }
       (b, Warc.synthesize(entries))
     }
-    Warc.extractRecords(blobs).orderBy(col("blob_id"), col("rec_idx"))
+    Warc.extractRecords(blobs)
+      .localCheckpoint() // see q207 — one de-chunk walk, not two
+      .orderBy(col("blob_id"), col("rec_idx"))
   }
 
   /** q214 — `.warc.gz` in the RECORD-PER-MEMBER convention CommonCrawl
@@ -143,6 +147,7 @@ object WebQueries {
       (b, out.toByteArray)
     }
     Warc.extractRecordsGzMembers(blobs)
+      .localCheckpoint() // see q207 — one member walk, not two
       .orderBy(col("blob_id"), col("rec_idx"))
   }
 
@@ -188,7 +193,9 @@ object WebQueries {
       }
       (b, out.toByteArray)
     }
-    Warc.extractRecordsResync(blobs).orderBy(col("blob_id"), col("rec_idx"))
+    Warc.extractRecordsResync(blobs)
+      .localCheckpoint() // see q207 — one resync walk, not two
+      .orderBy(col("blob_id"), col("rec_idx"))
   }
 
   /** q217 — real-crawl BODY FIDELITY: Content-Encoding and charset
