@@ -10,18 +10,24 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // AQE coalescing's 1 MB minPartitionSize floor (parallelismFirst
-      // target = max(bytes/parallelism, floor)) collapses every sub-1MB
-      // post-shuffle stage to ONE partition — which serializes CPU-dense
-      // demux stages (gzip synthesis, WARC walks, media decode: ~1000x
-      // more CPU per byte than relational ops) onto a single core at
-      // bench SF (measured: q214's walk stage ran 1 task, cpu/wall 1.0).
-      // 16 KB keeps those stages at the parallelism target; at production
-      // scale bytes/parallelism >> 16 KB, so the floor never binds and
-      // coalescing behaves exactly as before (scale-adaptive by
-      // construction, not a local[32] constant). Overridable for A/B.
+      // NOTE (r19): a session-wide cut of AQE's 1 MB coalesce floor
+      // (minPartitionSize=16k) was A/B-measured and REJECTED: it
+      // parallelized the CPU-dense demux stages (q214 2.5->1.4 s) but
+      // cost the action-latency-bound composed loads more than it saved
+      // (q44 5.9->7.9 s, q198 4.6->6.0 s — more tasks and more output
+      // files per driver action). Demux parallelism comes from explicit
+      // user-specified repartitions in the blob builders instead
+      // (WebQueries.groupedBlobs), which AQE never coalesces; the floor
+      // stays at the default that the load tier prefers. Env override
+      // kept for future A/B runs.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "16k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "1m"))
+      // NOTE (r19): KryoSerializer for the RDD tier (CC/BFS/PageRank
+      // loops) was A/B-measured and REJECTED: -0.2 s net over ten
+      // loop-bound queries, inside noise — local-mode shuffles of these
+      // small Tuple2 frames are not serialization-bound (on a real
+      // cluster with network shuffles Kryo stays the right default; the
+      // measurement only rejects it as a BENCH win).
       .config("spark.ui.enabled", "false")
       // static conf, must be set before the session exists: the default
       // 100-entry generated-class cache thrashes on a 100+-query run (a

@@ -288,11 +288,37 @@ object CurationQueries {
     * shuffles + one window. Nothing all-pairs, nothing collected,
     * everything between checkpoints O(survivors). */
   def q218CrawlCuration(spark: SparkSession, dir: String): DataFrame = {
+    // the forest detector (embeddings) and the crawl extraction (container
+    // bytes) are INDEPENDENT dataflows over different tables — overlap
+    // their eager materializations on the clean-thread executor (the q53
+    // two-detector idiom) instead of paying them serially; each future
+    // ends in a checkpointed, bounded frame
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import graft.util.Exec.loadEc
+    val droppedF = Future(forestDropped(spark, dir))
     val extracted = graft.ext.Crawl.extract(WebQueries.crawlBlobs(spark, dir))
       .select(col("doc_id"), col("extracted").as("text"))
       .localCheckpoint(true)
-    crawlCurationStages(spark, dir, extracted)
+    crawlCurationStages(spark, dir, extracted,
+        Await.result(droppedF, Duration.Inf))
       .transform(tinySort(_, col("source"), col("doc_id")))
+  }
+
+  /** The q218/q229 near-dup drop set: forest detector over the embedding
+    * corpus → hub-safe star clustering → non-representatives. Runs its
+    * own actions (edge checkpoint + star rounds), so callers overlap it
+    * with their extraction chain via a Future. */
+  private def forestDropped(spark: SparkSession, dir: String): DataFrame = {
+    val fr = graft.ext.Similarity.bandedNearDupForest(
+        load(spark, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, bands = 3, planesPerBand = 6)
+      .select(col("vec_a").cast("long").as("vec_a"),
+        col("vec_b").cast("long").as("vec_b"))
+      .localCheckpoint(true)
+    Dedup.duplicateClustersStar(fr, "vec_a", "vec_b")
+      .filter(col("vec_id") =!= col("cluster_id"))
+      .select(col("vec_id").as("doc_id"))
   }
 
   /** q218's curation stages downstream of the (already materialized)
@@ -302,18 +328,10 @@ object CurationQueries {
     * gate or window. Returns the packed rows unsorted (callers add their
     * dump sort / loss columns). */
   private def crawlCurationStages(spark: SparkSession, dir: String,
-                                  extracted: DataFrame): DataFrame = {
+                                  extracted: DataFrame,
+                                  dropped: DataFrame): DataFrame = {
     val budget = 800L
     val seqLen = 512L
-    val fr = graft.ext.Similarity.bandedNearDupForest(
-        load(spark, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.35, bands = 3, planesPerBand = 6)
-      .select(col("vec_a").cast("long").as("vec_a"),
-        col("vec_b").cast("long").as("vec_b"))
-      .localCheckpoint(true)
-    val dropped = Dedup.duplicateClustersStar(fr, "vec_a", "vec_b")
-      .filter(col("vec_id") =!= col("cluster_id"))
-      .select(col("vec_id").as("doc_id"))
     val src = load(spark, dir, "documents")
       .select(col("doc_id"), col("source"))
     val kept = curatedDocs(extracted.join(src, Seq("doc_id")), Seq("source"))
@@ -351,6 +369,12 @@ object CurationQueries {
     * The loss aggregate is a single-row frame — broadcast cross join,
     * the bounded-domain precedent. */
   def q229HostileCuration(spark: SparkSession, dir: String): DataFrame = {
+    // overlap the embeddings-side detector with the hostile walk +
+    // extraction checkpoints (independent dataflows — the q218 overlap)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import graft.util.Exec.loadEc
+    val droppedF = Future(forestDropped(spark, dir))
     val walked = graft.ext.Warc
       .extractHostile(WebQueries.hostileCrawlBlobs(spark, dir))
       .localCheckpoint(true)
@@ -365,7 +389,8 @@ object CurationQueries {
     val extracted = graft.ext.Crawl.extractFrom(walked)
       .select(col("doc_id"), col("extracted").as("text"))
       .localCheckpoint(true)
-    crawlCurationStages(spark, dir, extracted)
+    crawlCurationStages(spark, dir, extracted,
+        Await.result(droppedF, Duration.Inf))
       .crossJoin(broadcast(skips))
       .transform(tinySort(_, col("source"), col("doc_id")))
   }

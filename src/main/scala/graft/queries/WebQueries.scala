@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.Html
 import graft.util.Output.tinySort
-import graft.util.Tables.load
+import graft.util.Tables.{load, loadFan}
 
 /** Web-extraction operator surface (round 16): HTML boilerplate removal
   * and the anchor-text outlink corpus — the crawl-side front door of a
@@ -107,7 +107,7 @@ object WebQueries {
     import graft.ext.Warc
     val docs = load(spark, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
-    val blobs = docs.groupByKey(_._1 / 8).mapGroups { (b, it) =>
+    val blobs = docs.groupedBlobs() { (b, it) =>
       val ms = it.toArray.sortBy(_._1)
       val entries = ms.toSeq.map { case (id, t) =>
         val status = if (id % 13 == 0) "404 Not Found" else "200 OK"
@@ -139,7 +139,7 @@ object WebQueries {
   def q214WarcGzMembers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.ext.Warc
-    val blobs = docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+    val blobs = docPairs(spark, dir).groupedBlobs() { (b, it) =>
       val members = warcEntries(it.toArray.sortBy(_._1))
         .map(e => Warc.gzip(Warc.synthesize(Seq(e))))
       val out = new java.io.ByteArrayOutputStream()
@@ -168,7 +168,7 @@ object WebQueries {
   def q215WarcResync(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.ext.Warc
-    val blobs = docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+    val blobs = docPairs(spark, dir).groupedBlobs() { (b, it) =>
       val ms = it.toArray.sortBy(_._1)
       val out = new java.io.ByteArrayOutputStream()
       out.write(Warc.synthesize(Seq(Warc.Entry("warcinfo", None,
@@ -214,7 +214,7 @@ object WebQueries {
   def q217BodyEncodings(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.ext.Warc
-    val blobs = docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+    val blobs = docPairs(spark, dir).groupedBlobs() { (b, it) =>
       val entries = it.toArray.sortBy(_._1).toSeq.map { case (id, t) =>
         val body = s"<html><body><p>$t caf\u00e9</p></body></html>"
         val payload = (id % 4) match {
@@ -321,7 +321,7 @@ object WebQueries {
     val salt = expr("""CASE lang WHEN 'es' THEN ' el la de que y en'
       WHEN 'de' THEN ' der die das und ist' WHEN 'zh' THEN ''
       ELSE ' the a of to' END""")
-    load(spark, dir, "documents")
+    loadFan(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         Html.blockStatsLexCol(
           navPage(col("doc_id"), concat(col("text"), salt)), sw).as("_st"))
@@ -599,7 +599,7 @@ object WebQueries {
     * checkpointed once and feeds both variants. */
   def q242BoilerGrams(spark: SparkSession, dir: String): DataFrame = {
     import graft.ext.Dedup
-    val texts = load(spark, dir, "documents")
+    val texts = loadFan(spark, dir, "documents")
       .select(col("doc_id"),
         Html.blockStatsLex(navPage(col("doc_id"), col("text"))).as("_st"))
       .select(col("doc_id"),
@@ -665,7 +665,7 @@ object WebQueries {
       .filter(col("kept_chars") * 2 >= col("total_chars"))
       .select(col("doc_id"), col("extracted"))
       .as[(Long, String)]
-    val written = curated.groupByKey(_._1 / 8).mapGroups { (b, it) =>
+    val written = curated.groupedBlobs() { (b, it) =>
       val ms = it.toArray.sortBy(_._1)
       val entries = ms.toSeq.map { case (id, ex) =>
         Warc.Entry("response", Some(s"https://example.org/doc/$id"),
@@ -727,7 +727,7 @@ object WebQueries {
   def q240DeflateBodies(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.ext.Warc
-    val blobs = docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+    val blobs = docPairs(spark, dir).groupedBlobs() { (b, it) =>
       val entries = it.toArray.sortBy(_._1).toSeq.map { case (id, t) =>
         val body = s"<html><body><p>$t caf\u00e9</p></body></html>"
         val payload = (id % 5) match {
@@ -779,7 +779,7 @@ object WebQueries {
     import graft.ext.Warc
     import java.nio.charset.StandardCharsets.UTF_8
     val pad = "x" * 1100
-    val blobs = docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+    val blobs = docPairs(spark, dir).groupedBlobs() { (b, it) =>
       val entries = it.toArray.sortBy(_._1).toSeq.map { case (id, t) =>
         def body(meta: String) =
           s"<html><head>$meta</head><body><p>$t caf\u00e9</p></body></html>"
@@ -826,7 +826,7 @@ object WebQueries {
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     import graft.ext.Warc
-    docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+    docPairs(spark, dir).groupedBlobs() { (b, it) =>
       val out = new java.io.ByteArrayOutputStream()
       it.toArray.sortBy(_._1).foreach { case (id, t) =>
         val status = if (id % 13 == 0) "404 Not Found" else "200 OK"
@@ -916,7 +916,7 @@ object WebQueries {
     import spark.implicits._
     import graft.ext.Warc
     import java.nio.charset.StandardCharsets.{UTF_8, UTF_16BE, UTF_16LE}
-    val blobs = docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+    val blobs = docPairs(spark, dir).groupedBlobs() { (b, it) =>
       val entries = it.toArray.sortBy(_._1).toSeq.map { case (id, t) =>
         val plainb = s"<html><body><p>$t caf\u00e9</p></body></html>"
         val metab = "<html><head><meta charset=\"ISO-8859-1\"></head>" +
@@ -1012,7 +1012,7 @@ object WebQueries {
     * exactly when corruption is worst. */
   def q228HostileWalk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val blobs = docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+    val blobs = docPairs(spark, dir).groupedBlobs() { (b, it) =>
       val ms = it.toArray.sortBy(_._1)
       if (b % 25 == 3) (b, Array.fill[Byte](512)('X'))
       else (b, hostileMembers(ms.toSeq.map { case (id, t) =>
@@ -1052,7 +1052,7 @@ object WebQueries {
           lit("<html><body><p>not found</p></body></html>"))
           .otherwise(Html.synthPage(col("doc_id"), col("text"))).as("body"))
       .as[(Long, String, String)]
-    pages.groupByKey(_._1 / 8).mapGroups { (b, it) =>
+    pages.groupedBlobs() { (b, it) =>
       (b, hostileMembers(it.toArray.sortBy(_._1).toSeq))
     }
   }
@@ -1141,7 +1141,7 @@ object WebQueries {
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     import graft.ext.Warc
-    docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+    docPairs(spark, dir).groupedBlobs() { (b, it) =>
       val ms = it.toArray.sortBy(_._1)
       val entries = ms.toSeq.map { case (id, t) =>
         val payload =
@@ -1183,11 +1183,69 @@ object WebQueries {
       .select(col("doc_id"), col("text")).as[(Long, String)]
   }
 
+  /** `groupByKey(_ / groupSize).mapGroups` with USER-CONTROLLED
+    * parallelism — the blob-synthesis idiom of this file, de-serialized.
+    *
+    * AQE's partition coalescing sizes post-shuffle stages by shuffle
+    * BYTES (parallelism-first target, 1 MB minPartitionSize floor), so
+    * the sub-MB group-shuffle these builders feed collapsed to ONE
+    * partition — and everything fused after it (gzip synthesis, member
+    * walks, record parsing: ~1000x more CPU per byte than relational
+    * work) ran on a single core at bench SF (measured: q214's demux
+    * stage, 1 task, cpu/wall 1.0). Cutting the session-wide AQE floor
+    * was A/B-rejected (see Bench.scala) — it taxes the action-latency-
+    * bound load tier. A USER-specified repartition is exempt from
+    * coalescing, so the fix lives here, where the CPU density is: hash
+    * rows to defaultParallelism partitions (cores-derived at any scale,
+    * never a local constant) by group id, sort within partitions by id,
+    * and walk consecutive runs — exactly groupByKey's grouping contract
+    * with the partitioning pinned. Groups arrive sorted by id; bodies
+    * keep their defensive `.toArray.sortBy(_._1)` (a no-op on the ≤
+    * groupSize-element array). */
+  private def groupRuns[T, R: org.apache.spark.sql.Encoder](
+      ds: org.apache.spark.sql.Dataset[T], groupSize: Long, id: T => Long)(
+      f: (Long, Array[T]) => R)(
+      implicit ct: scala.reflect.ClassTag[T]): org.apache.spark.sql.Dataset[R] = {
+    val n = ds.sparkSession.sparkContext.defaultParallelism
+    val idCol = ds.columns.head // the Long group-id component
+    ds.repartition(n, expr(s"`$idCol` div $groupSize"))
+      .sortWithinPartitions(col(idCol))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[R] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): R = {
+            val g = id(buf.head) / groupSize
+            val arr = scala.collection.mutable.ArrayBuffer.empty[T]
+            while (buf.hasNext && id(buf.head) / groupSize == g)
+              arr += buf.next()
+            f(g, arr.toArray)
+          }
+        }
+      }
+  }
+
+  private[graft] implicit class GroupedBlobsOps[T](
+      ds: org.apache.spark.sql.Dataset[(Long, T)])(
+      implicit ct: scala.reflect.ClassTag[(Long, T)]) {
+    def groupedBlobs[R: org.apache.spark.sql.Encoder](groupSize: Long = 8L)(
+        f: (Long, Array[(Long, T)]) => R): org.apache.spark.sql.Dataset[R] =
+      groupRuns(ds, groupSize, (t: (Long, T)) => t._1)(f)
+  }
+
+  private[graft] implicit class GroupedBlobs3Ops[A, B](
+      ds: org.apache.spark.sql.Dataset[(Long, A, B)])(
+      implicit ct: scala.reflect.ClassTag[(Long, A, B)]) {
+    def groupedBlobs[R: org.apache.spark.sql.Encoder](groupSize: Long = 8L)(
+        f: (Long, Array[(Long, A, B)]) => R): org.apache.spark.sql.Dataset[R] =
+      groupRuns(ds, groupSize, (t: (Long, A, B)) => t._1)(f)
+  }
+
   /** The q207/q210 shared blob synthesis: eight docs per blob. */
   private[graft] def warcBlobs(spark: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+    docPairs(spark, dir).groupedBlobs() { (b, it) =>
       (b, graft.ext.Warc.synthesize(warcEntries(it.toArray.sortBy(_._1))))
     }
   }
@@ -1224,7 +1282,7 @@ object WebQueries {
         when(col("doc_id") % 13 === 0, lit("404 Not Found"))
           .otherwise(lit("200 OK")).as("st"))
       .as[(Long, String, String)]
-    pages.groupByKey(_._1 / 8).mapGroups { (b, it) =>
+    pages.groupedBlobs() { (b, it) =>
       val ms = it.toArray.sortBy(_._1)
       val entries = ms.toSeq.map { case (id, body, st) =>
         Warc.Entry("response", Some(s"https://example.org/doc/$id"),
@@ -1602,7 +1660,7 @@ object WebQueries {
     val entries = sitemapIndexEntries(spark, dir)
     val crawl1 = docPairs(spark, dir)
       .filter(_._1 % 3 == 0) // the stored (already-crawled) class
-      .groupByKey(_._1 / 8).mapGroups { (b, it) =>
+      .groupedBlobs() { (b, it) =>
         val recs = it.toArray.sortBy(_._1).toSeq.map { case (id, t) =>
           val body = s"<html><body><p>$t</p></body></html>"
           Warc.Entry("response",
@@ -1677,7 +1735,7 @@ object WebQueries {
       .join(src, Seq("src_id"))
       .select(col("doc_id"), col("src_text"))
       .as[(Long, String)]
-    val blobs = pages.groupByKey(_._1 / 8).mapGroups { (b, it) =>
+    val blobs = pages.groupedBlobs() { (b, it) =>
       val ms = it.toArray.sortBy(_._1)
       val entries = ms.toSeq.map { case (id, t) =>
         Warc.Entry("response",
@@ -1911,7 +1969,7 @@ object WebQueries {
     val pages = graft.ext.Crawl.extract(crawlBlobs(spark, dir))
       .select(col("doc_id"), col("extracted"))
       .as[(Long, String)]
-    val wet = pages.groupByKey(_._1 / 8).mapGroups { (b, it) =>
+    val wet = pages.groupedBlobs() { (b, it) =>
       val ms = it.toArray.sortBy(_._1)
       val entries = ms.toSeq.map { case (id, ex) =>
         Warc.Entry("conversion", Some(s"https://example.org/doc/$id"),
@@ -1963,7 +2021,7 @@ object WebQueries {
           concat_ws(" ", expr("transform(_ap, a -> a.href)")), lit("\r\n"))
           .as("payload"))
       .as[(Long, String)]
-    val wat = meta.groupByKey(_._1 / 8).mapGroups { (b, it) =>
+    val wat = meta.groupedBlobs() { (b, it) =>
       val entries = it.toArray.sortBy(_._1).toSeq.map { case (id, p) =>
         Warc.Entry("metadata", Some(s"https://example.org/doc/$id"),
           "application/warc-fields",
@@ -2016,7 +2074,7 @@ object WebQueries {
       (s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n" +
         s"ETag: \"$etag\"\r\n\r\n$body")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val crawl1 = docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+    val crawl1 = docPairs(spark, dir).groupedBlobs() { (b, it) =>
       val entries = it.toArray.sortBy(_._1).toSeq.map { case (id, t) =>
         val body = s"<html><body><p>$t</p></body></html>"
         Warc.Entry("response", Some(uri(id)),
@@ -2025,7 +2083,7 @@ object WebQueries {
       }
       (b, Warc.synthesize(entries))
     }
-    val crawl2 = docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+    val crawl2 = docPairs(spark, dir).groupedBlobs() { (b, it) =>
       val entries = it.toArray.sortBy(_._1).toSeq.map { case (id, t) =>
         val b1 = s"<html><body><p>$t</p></body></html>"
         val b2 = s"<html><body><p>$t v2</p></body></html>"
@@ -2077,7 +2135,7 @@ object WebQueries {
     import spark.implicits._
     import graft.ext.Warc
     def uri(id: Long) = s"https://example.org/doc/$id"
-    val crawl1 = docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+    val crawl1 = docPairs(spark, dir).groupedBlobs() { (b, it) =>
       val entries = it.toArray.sortBy(_._1).toSeq.map { case (id, t) =>
         Warc.Entry("response", Some(uri(id)),
           "application/http; msgtype=response",
@@ -2085,7 +2143,7 @@ object WebQueries {
       }
       (b, Warc.synthesize(entries))
     }
-    val crawl2 = docPairs(spark, dir).groupByKey(_._1 / 8).mapGroups { (b, it) =>
+    val crawl2 = docPairs(spark, dir).groupedBlobs() { (b, it) =>
       val entries = it.toArray.sortBy(_._1).toSeq.map { case (id, t) =>
         if (id % 2 == 1)
           Warc.Entry("response", Some(uri(id) + "?v=2"),
