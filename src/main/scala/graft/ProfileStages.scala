@@ -20,15 +20,22 @@ object ProfileStages {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same env name as Bench (ADVICE r19: the GRAFT_MIN_PART spelling
+      // silently diverged from the bench's variable in A/B runs)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("GRAFT_MIN_PART", "1m"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "1m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     @volatile var record = false
+    // stage ids seen during the warm run: straggler completion events from
+    // run 1 that are still in the bus when the flag flips must not print as
+    // run-2 stages (ADVICE r19)
+    val warmStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-        if (record) {
+        if (!record) { warmStages.add(s.stageInfo.stageId); () }
+        else if (!warmStages.contains(s.stageInfo.stageId)) {
           val i = s.stageInfo
           val m = i.taskMetrics
           println(f"[stage] ${i.stageId}%4d tasks=${i.numTasks}%4d " +

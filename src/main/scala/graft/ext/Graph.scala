@@ -157,16 +157,21 @@ object Graph {
     * B_{r+1}(v) = B_r(v) ∪ ⋃ over out-edges (v,w) of B_r(w) becomes
     * ELEMENT-WISE MAX over registers — associative, commutative,
     * idempotent — so each round is ONE equi-join (edge ⋈ head registers)
-    * plus ONE map-side-combinable max aggregation. Registers ride as
-    * (node, bucket, rho) ROWS, the fully relational form: ≤ m rows per
-    * node, the groupBy(max) combines map-side, and state is O(nodes·m)
-    * regardless of graph size (a production variant would pack the
-    * registers into a byte array to cut the message constant, at the
-    * price of a custom merge aggregator).
+    * plus ONE map-side-combinable max aggregation. Registers are PACKED
+    * into one m-byte array per node (Boldi–Vigna's own representation):
+    * the per-round shuffle carries ≤ |E| rows instead of ≤ m·|E|, the
+    * reduceByKey combiner collapses them map-side to ≤ parts·|N|, and the
+    * estimate is a narrow per-node pass — no aggregation shuffle at all.
     *
     * Hash, FM rightmost-1 rank, and the exact-integer raw-HLL estimator
-    * are byte-shared with [[Sketch.hllRollup]] (q150), so DuckDB replays
-    * every register and the estimate bit-identically from a
+    * are value-shared with [[Sketch.hllRollup]] (q150): the seed
+    * registers come from the SAME [[Sketch.hllRanked]] expressions, and
+    * the packed estimator computes the SAME exact rational
+    * E = (709·4096·2⁶²) div (1000·Z) (GraphWalkSpec pins
+    * hyperBall ≡ hllRollup byte-for-byte over explicit ball membership,
+    * and HyperBallPackSpec pins the packed profile ≡ the row-form
+    * groupBy(max) recursion on random digraphs), so DuckDB still replays
+    * every register and every estimate bit-identically from a
     * depth-bounded recursive ball CTE.
     *
     * Returns (node, n_zero_registers, ball_estimate) over all nodes
@@ -177,39 +182,106 @@ object Graph {
       .filter(col("r") === radius)
       .select(col("node"), col("n_zero_registers"), col("ball_estimate"))
 
+  /** Element-wise max of two packed register arrays — always allocates
+    * (the join fans one head's array out to many sources; mutating a
+    * shared reference would corrupt sibling messages). */
+  private def regMax(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val c = new Array[Byte](a.length)
+    var i = 0
+    while (i < a.length) { c(i) = if (a(i) >= b(i)) a(i) else b(i); i += 1 }
+    c
+  }
+
   /** The full HyperBall PROFILE — one (node, r, …) row per radius
     * 0 ≤ r ≤ `radius`, estimating |B_r(v)| at every step. This is the
     * form geometric centralities consume: register max never decreases,
     * so the per-radius estimates are MONOTONE and their successive
     * differences estimate the count of nodes first reached at exactly
     * distance r — harmonic centrality is Σ_r (|B_r|−|B_{r−1}|)/r (on the
-    * transpose graph), closeness is the analogous weighted sum. Each
-    * round's register state is localCheckpoint-materialized once and
-    * feeds BOTH its estimate row-set and the next round's merge. */
+    * transpose graph), closeness is the analogous weighted sum.
+    *
+    * Same RDD-tier rationale as [[pageRankInt]]/[[bfsDepth]]: one hash
+    * partitioner carries edges (keyed by HEAD — round r pulls B_{r−1}(w)
+    * back along each edge (v,w)) and register state across all rounds,
+    * so each round is ONE map-side-combined reduceByKey shuffle of
+    * packed-array messages plus a narrow leftOuterJoin merge, and the
+    * whole profile materializes in the consumer's single action (each
+    * round's state is localCheckpoint-marked: it feeds both its estimate
+    * row-set and the next round's merge).
+    *
+    * The per-node estimate stays in exact integers: rho ≤ 55 means every
+    * register contributes 2^(62−rho) = 2⁷·2^(55−rho) to Z, so Z/2⁷ is a
+    * 61-bit Long sum, and the one division per node runs in BigInt —
+    * identical to the DECIMAL(38,0) arithmetic of
+    * [[Sketch.hllEstimateFromRegisters]]. */
   def hyperBallProfile(edges: DataFrame, srcCol: String, dstCol: String,
                        radius: Int): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // materialize the (possibly expensive) edge extraction exactly once;
+    // both the loop's edge RDD and the node universe derive from it
+    val eDf = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
+    // SIZE-ADAPTIVE loop partitioning (guide §2.5): the DF form inherited
+    // AQE's coalescing of sub-MB register shuffles; the RDD tier must
+    // derive it itself or every round pays numParts near-empty tasks.
+    // ~64k message rows per partition, ceilinged at the session's
+    // shuffle.partitions — at production confs this IS the old constant,
+    // at small inputs it collapses the scheduling overhead exactly like
+    // AQE did (the count is a cheap action over the checkpointed blocks).
+    val confParts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val numParts = math.max(1L,
+      math.min(confParts.toLong, eDf.count() / 65536L + 1L)).toInt
+    val p = new org.apache.spark.HashPartitioner(numParts)
+    val e = eDf.select(col("dst"), col("src")).as[(Long, Long)].rdd
+      .partitionBy(p)
+    e.localCheckpoint()
+    val nodes = eDf.select(col("src").as("node"))
+      .unionByName(eDf.select(col("dst").as("node"))).distinct()
+    // seed registers — each node's own (bucket, rho) from the SAME
+    // hash/rank expressions as q150's rollup, packed into the array
     var regs = Sketch.hllRanked(
         nodes.withColumn("_h", Sketch.hllHash(col("node"))), "node")
-      .select(col("node"), col("_bucket"), col("_rho"))
-      .localCheckpoint()
-    def est(r: Int, rg: DataFrame): DataFrame =
-      Sketch.hllEstimateFromRegisters(rg, "node")
-        .select(col("node"), lit(r.toLong).as("r"),
-          col("n_zero_registers"), col("hll_estimate").as("ball_estimate"))
-    val out = scala.collection.mutable.ArrayBuffer(est(0, regs))
+      .select(col("node"), col("_bucket").cast("int"), col("_rho").cast("int"))
+      .as[(Long, Int, Int)].rdd
+      .map { case (n, b, rho) =>
+        val a = new Array[Byte](Sketch.HllM); a(b) = rho.toByte; (n, a) }
+      .partitionBy(p)
+    regs.localCheckpoint()
+    // packed twin of Sketch.hllEstimateFromRegisters: zero registers
+    // contribute 2^62 to Z, register rho contributes 2^(62-rho); both are
+    // multiples of 2^7 (rho ≤ 55), so zs = Z/2^7 fits a Long exactly and
+    // E = (709·4096·2^62) div (1000·Z) — one BigInt division per node
+    // est rows stay PAIR-shaped and partitioner-preserving so the final
+    // sc.union of the radius+1 row-sets is partitioner-AWARE: one output
+    // partition per loop partition reading all rounds' blocks, instead of
+    // (radius+1)·numParts tiny tasks feeding the consumer
+    def est(r: Long, rg: org.apache.spark.rdd.RDD[(Long, Array[Byte])]) =
+      rg.mapPartitions(_.map { case (n, a) =>
+        var i = 0; var zeros = 0L; var zs = 0L
+        while (i < a.length) {
+          if (a(i) == 0) { zeros += 1; zs += 1L << 55 }
+          else zs += 1L << (55 - a(i))
+          i += 1
+        }
+        val estv = ((BigInt(2904064L) << 62) /
+          (BigInt(1000L) * (BigInt(zs) << 7))).toLong
+        (n, (r, zeros, estv))
+      }, preservesPartitioning = true)
+    val out = scala.collection.mutable.ArrayBuffer(est(0L, regs))
     for (r <- 1 to radius) {
-      val msgs = e.join(regs.withColumnRenamed("node", "dst"), Seq("dst"))
-        .select(col("src").as("node"), col("_bucket"), col("_rho"))
-      regs = regs.unionByName(msgs)
-        .groupBy(col("node"), col("_bucket")).agg(max(col("_rho")).as("_rho"))
-        .localCheckpoint()
-      out += est(r, regs)
+      val msgs = e.join(regs, p) // narrow: edge heads and state both on p
+        .map { case (_, (src, arr)) => (src, arr) }
+        .reduceByKey(p, regMax _) // the round's ONE shuffle, combined map-side
+      regs = regs.leftOuterJoin(msgs, p).mapPartitions(
+        _.map { case (n, (a, m)) => (n, m.fold(a)(regMax(a, _))) },
+        preservesPartitioning = true)
+      regs.localCheckpoint() // feeds est(r) AND round r+1
+      out += est(r.toLong, regs)
     }
-    out.reduce(_ unionByName _)
+    spark.sparkContext.union(out.toSeq)
+      .map { case (n, (r, z, b)) => (n, r, z, b) }
+      .toDF("node", "r", "n_zero_registers", "ball_estimate")
   }
 
   /** Seed-personalized damped PageRank — TrustRank (Gyöngyi,

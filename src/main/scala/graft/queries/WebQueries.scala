@@ -1207,7 +1207,17 @@ object WebQueries {
       f: (Long, Array[T]) => R)(
       implicit ct: scala.reflect.ClassTag[T]): org.apache.spark.sql.Dataset[R] = {
     val n = ds.sparkSession.sparkContext.defaultParallelism
+    // INVARIANT (ADVICE r19): the head column IS the value `id` extracts —
+    // both extension methods pass tuple._1 and the datasets are tuples whose
+    // first column is that Long. The repartition key (SQL `div`) and the
+    // run splitter (Scala `/`) must also agree, which they only provably do
+    // for non-negative ids — assert both so a future caller that breaks
+    // either invariant fails loudly instead of silently splitting groups
+    // across partitions and emitting duplicate partial groups.
     val idCol = ds.columns.head // the Long group-id component
+    require(ds.schema.head.dataType == org.apache.spark.sql.types.LongType,
+      s"groupRuns: head column `$idCol` must be the LongType group id " +
+        s"the extractor reads (got ${ds.schema.head.dataType})")
     ds.repartition(n, expr(s"`$idCol` div $groupSize"))
       .sortWithinPartitions(col(idCol))
       .mapPartitions { it =>
@@ -1215,7 +1225,10 @@ object WebQueries {
         new Iterator[R] {
           def hasNext: Boolean = buf.hasNext
           def next(): R = {
-            val g = id(buf.head) / groupSize
+            val h = id(buf.head)
+            require(h >= 0, s"groupRuns: negative group-id component $h — " +
+              "SQL div partitioning and Scala / run-splitting diverge there")
+            val g = h / groupSize
             val arr = scala.collection.mutable.ArrayBuffer.empty[T]
             while (buf.hasNext && id(buf.head) / groupSize == g)
               arr += buf.next()

@@ -22,9 +22,15 @@ for attempt in $(seq 1 6); do
     python3 -c "import sys; sys.exit(0 if float('$S') < 0.5 else 1)" && break
     echo "[probe] contended box, waiting 60s"; sleep 60
   done
+  # ADVICE r19: remove any stale output first and gate on sbt's exit code,
+  # so a crashed run can never be parsed as a clean previous result
+  rm -f "$OUT"
   SPARK_GRAFT_ONLY=$QUERIES SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=$CPUS \
     SPARK_GRAFT_BENCH_OUT=$OUT sbt -batch "runMain graft.Bench" \
     > ${OUT%.json}.log 2>&1
+  if [ $? -ne 0 ] || [ ! -s "$OUT" ]; then
+    echo "[probe] sbt failed or no output (see ${OUT%.json}.log)"; exit 2
+  fi
   python3 - "$OUT" <<'EOF'
 import json,sys
 d=json.load(open(sys.argv[1]))
