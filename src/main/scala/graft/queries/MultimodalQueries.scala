@@ -161,7 +161,11 @@ object MultimodalQueries {
         col("bits"), col("n_chunks"), col("n_samples"),
         element_at(col("rms"), 1).as("rms_first"),
         element_at(col("rms"), 8).as("rms_last"))
-      .localCheckpoint() // one PCM demux pass, not two (q199 pattern)
+      // NO pre-sort localCheckpoint (r20 A/B, 3 matched pairs): the PCM
+      // walk is cheap header arithmetic — materializing it costs more
+      // than the range-sort sampling pass it saves (0.745 -> 0.653 s min;
+      // the r19 steal-clean records moved the same way). q199 keeps its
+      // checkpoint: per-frame JPEG decode is the expensive case.
       .orderBy(col("media_id"))
   }
 
@@ -197,7 +201,8 @@ object MultimodalQueries {
       (k, payload)
     }
     graft.ext.Avi.extractAviMeta(records)
-      .localCheckpoint() // one header walk pass, not two (q199 pattern)
+      // NO pre-sort localCheckpoint (r20 A/B, 3 matched pairs): header
+      // walk only — 0.659 -> 0.611 s min without it (see q202's note)
       .orderBy(col("media_id"))
   }
 
