@@ -1035,16 +1035,28 @@ object Dedup {
     val spark = pairs.sparkSession
     import spark.implicits._
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
-    val numParts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    val p = new org.apache.spark.HashPartitioner(numParts)
-    // symmetric edge list, shuffled into its loop partitioning ONCE; the
-    // localCheckpoint materializes the (possibly expensive) detector plan
-    // exactly once — rounds read executor-local blocks, never the detector
-    val edges = pairs
+    // symmetric edge list, materialized ONCE (localCheckpoint + the sizing
+    // count below) — rounds read executor-local blocks, never the detector
+    val sym = pairs
       .select(col(aCol).cast("long"), col(bCol).cast("long")).as[(Long, Long)]
       .rdd
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-      .partitionBy(p)
+    sym.localCheckpoint()
+    // SIZE-ADAPTIVE loop partitioning (guide §2.5, the r20 hyperBall
+    // pattern): a constant shuffle.partitions partitioner runs that many
+    // near-empty task waves per round at small pair graphs — profiled at
+    // q191: 3–4 stages/round × 32 tasks × ~50 ms run with ~20 ms cpu, over
+    // 10+ rounds. Size from the materialized edge count (~64k rows per
+    // partition, ceilinged at the session constant, so production confs
+    // keep the old partitioner); the count doubles as the detector's one
+    // materializing action, which round 1 previously paid anyway.
+    // Matched A/B (q191/q201/q51, two steal-clean pairs): 9.27/9.32 s at
+    // the constant vs 8.05/8.55 s sized — every query faster both pairs.
+    val confParts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val numParts = math.max(1L,
+      math.min(confParts.toLong, sym.count() / 65536L + 1L)).toInt
+    val p = new org.apache.spark.HashPartitioner(numParts)
+    val edges = sym.partitionBy(p)
     edges.localCheckpoint()
     // start from least(own id, min neighbour) — same first hop as the DF twin
     var labels = edges.reduceByKey(p, math.min(_: Long, _: Long))
@@ -1096,6 +1108,7 @@ object Dedup {
         f"${(System.nanoTime() - t0) / 1e9}%.3fs parts=${next.getNumPartitions}")
     }
     edges.unpersist(blocking = false) // labels' lineage is checkpoint-truncated
+    sym.unpersist(blocking = false)
     labels.toDF("vec_id", "label")
       .withColumn("cluster_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("label"))))
